@@ -1,0 +1,60 @@
+package graft
+
+import graft.mergetree._
+import org.apache.spark.sql.SparkSession
+
+/** Runnable demo of the MergeTree table API, mirroring the reference's
+  * examples/demo.cpp scenarios (basic ops, flush, merge, persistence).
+  * `sbt "runMain graft.Demo"` — prints each scenario's observable output.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = java.nio.file.Files.createTempDirectory("mt_demo_").toString
+    val t = MergeTreeTable.create(spark, dir,
+      MergeTreeConfig(memtableFlushThreshold = 5, maxParts = 2))
+
+    // basic ops (demo.cpp:9-38): versions accumulate, read-your-writes
+    t.insert("key1", "value1", 1000L)
+    t.insert("key2", "value2", 2000L)
+    t.insert("key1", "updated_value1", 4000L)
+    println("== point lookup key1 (unflushed, read-your-writes):")
+    t.queryKey("key1").show(false)
+
+    // flush at threshold (demo.cpp:40-64)
+    (0 until 20).foreach(i => t.insert(f"key$i%02d", s"v$i", i.toLong))
+    println(s"== after 20 inserts: parts=${t.partCount} memtable=${t.memtableSize} totalRows=${t.totalRows}")
+
+    // merge (demo.cpp:66-98)
+    t.optimize()
+    println(s"== after optimize: parts=${t.partCount} totalRows=${t.totalRows}")
+    println("== range query [key05,key08]:")
+    t.query("key05", "key08").show(false)
+
+    println("== inverted range (start>end) → empty:")
+    println("rows=" + t.query("zzz", "aaa").count())
+    println("== empty fresh table query:")
+    val e = MergeTreeTable.create(spark,
+      java.nio.file.Files.createTempDirectory("mt_demo_empty_").toString)
+    println("rows=" + e.query("a", "z").count())
+
+    // persistence (demo.cpp:155-190)
+    t.shutdown()
+    val t2 = MergeTreeTable.open(spark, dir)
+    println(s"== reopened: totalRows=${t2.totalRows} parts=${t2.partCount}")
+    t2.queryKey("key1").show(false)
+
+    println("== compat reader over C++-written fixture data/test_basic:")
+    RefFormatReader.readTable(spark, "/root/reference/data/test_basic").show(false)
+    t2.shutdown()
+    spark.stop()
+  }
+}

@@ -1,0 +1,404 @@
+package graft.mergetree
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable.ArrayBuffer
+
+/** The fixed compatibility row of the reference engine.
+  *
+  * Mirrors `Row{key, value, timestamp}` (reference: src/row.h:9-30). The
+  * reference's timestamp is uint64; JVM Long is signed — documented
+  * divergence (SURVEY §1.4), values ≥ 2^63 are out of scope.
+  */
+case class KVRow(key: String, value: String, timestamp: Long)
+
+/** Engine configuration, mirroring `MergeTreeConfig`
+  * (reference: src/merge_tree.h:16-23).
+  */
+case class MergeTreeConfig(
+    memtableFlushThreshold: Int = 1000,
+    maxParts: Int = 10,
+    enableBackgroundMerge: Boolean = false,
+    mergeIntervalSeconds: Int = 30,
+    /** Rows per parquet row group ≈ reference granule (src/granule.h:10).
+      * At 100 TB you'd leave parquet's byte-based default; this knob exists
+      * for fidelity tests at small scale.
+      */
+    granuleSize: Int = 8192)
+
+/** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
+  * Persisted in the table manifest; used for driver-side part pruning
+  * (the O8 equivalent of `Part::overlaps_range`, src/part.cpp:201-203).
+  */
+case class PartMetadata(
+    partId: Long,
+    minKey: String,
+    maxKey: String,
+    minTimestamp: Long,
+    maxTimestamp: Long,
+    rowCount: Long,
+    granuleCount: Long,
+    diskSize: Long,
+    creationTime: Long) {
+
+  /** Inclusive-range overlap check (reference: src/part.cpp:201-203). */
+  def overlapsRange(start: String, end: String): Boolean =
+    !(maxKey < start || minKey > end)
+}
+
+/** A Spark-native MergeTree table: a directory of immutable, sorted,
+  * range-partitioned Parquet "parts" plus a JSON manifest of live parts,
+  * with a driver-side memtable buffer for row-at-a-time ingest.
+  *
+  * Semantics reproduced from the reference engine
+  * (manumartinm/clickhouse-mergetree, src/merge_tree.cpp):
+  *   - reads see memtable ∪ all live parts (read-your-writes,
+  *     src/merge_tree.cpp:40-54);
+  *   - range bounds are inclusive and compare lexicographically on the
+  *     string key (src/granule.cpp:57, src/memtable.cpp:54);
+  *   - rows are versioned by (key, timestamp); exact (key, timestamp)
+  *     duplicates collapse to one row (src/merge_tree.cpp:56-60). The
+  *     reference keeps an arbitrary survivor; we keep max(value) so results
+  *     are deterministic (SURVEY §7 Phase 1);
+  *   - flush threshold / max-parts merge trigger / optimize loop mirror
+  *     src/merge_tree.cpp:199-243.
+  *
+  * Divergence (deliberate, SURVEY §3.3): the reference never deletes
+  * merged-away part dirs (duplicate data after merge+restart). We swap
+  * manifest entries atomically and garbage-collect the dead dirs.
+  *
+  * Scale posture: parts are written with a range-partition + local sort on
+  * (key, timestamp), so a part can be N parquet files written by N
+  * executors; queries push the key-range predicate into the parquet scan
+  * (min/max row-group pruning == the reference's sparse index, O7) and the
+  * manifest prunes whole parts on the driver (O8) before the scan is built.
+  */
+final class MergeTreeTable private (
+    val spark: SparkSession,
+    val path: String,
+    val config: MergeTreeConfig) {
+
+  import MergeTreeTable._
+
+  private val memtable = new ArrayBuffer[KVRow]()
+  private val lock = new Object
+  private var manifest: Manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
+  @volatile private var closed = false
+
+  private val bgThread: Option[Thread] =
+    if (!config.enableBackgroundMerge) None
+    else {
+      // Reference: background_merge_worker (src/merge_tree.cpp:207-226).
+      val t = new Thread(() => {
+        while (!closed) {
+          try Thread.sleep(config.mergeIntervalSeconds * 1000L)
+          catch { case _: InterruptedException => }
+          if (!closed) lock.synchronized {
+            triggerFlushIfNeeded(force = memtable.nonEmpty)
+            if (shouldTriggerMerge) performMerge()
+          }
+        }
+      }, s"mergetree-bg-$path")
+      t.setDaemon(true)
+      t.start()
+      Some(t)
+    }
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Row-at-a-time insert into the memtable (O1, src/merge_tree.cpp:24-35).
+    * Triggers a flush at the configured threshold (O20).
+    */
+  def insert(key: String, value: String, timestamp: Long): Unit =
+    insert(KVRow(key, value, timestamp))
+
+  def insert(row: KVRow): Unit = lock.synchronized {
+    memtable += row
+    triggerFlushIfNeeded()
+  }
+
+  def insertAll(rows: Seq[KVRow]): Unit = lock.synchronized {
+    rows.foreach { r => memtable += r; triggerFlushIfNeeded() }
+  }
+
+  /** Distributed batch ingest: writes the dataset straight to a new sorted
+    * part, bypassing the driver memtable. This is the 100 TB ingest path —
+    * no rows ever transit the driver.
+    */
+  def insertBatch(ds: Dataset[KVRow]): Unit = lock.synchronized {
+    writePart(ds.toDF(), numRangePartitions(ds.toDF()))
+  }
+
+  /** Flush the memtable as one new sorted part (O4,
+    * src/merge_tree.cpp:69-91). One flush == one part, like the reference.
+    */
+  def flush(): Unit = lock.synchronized { triggerFlushIfNeeded(force = memtable.nonEmpty) }
+
+  private def triggerFlushIfNeeded(force: Boolean = false): Unit = {
+    // Reference: trigger_flush_if_needed (src/merge_tree.cpp:228-238).
+    if ((force || memtable.size >= config.memtableFlushThreshold) && memtable.nonEmpty) {
+      import spark.implicits._
+      val df = spark.createDataset(memtable.toSeq).toDF()
+      writePart(df, 1)
+      memtable.clear()
+    }
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** Inclusive lexicographic key-range scan (O11, src/merge_tree.cpp:37-63):
+    * union(memtable, pruned parts) → filter → dedup(key,ts) → sort.
+    */
+  def query(startKey: String, endKey: String): Dataset[KVRow] = {
+    import spark.implicits._
+    dedupSort(unionScan(Some((startKey, endKey)))
+      .filter(col("key") >= lit(startKey) && col("key") <= lit(endKey)))
+      .as[KVRow]
+  }
+
+  /** Point lookup = range query with start == end (O12,
+    * src/merge_tree.cpp:65-67).
+    */
+  def queryKey(key: String): Dataset[KVRow] = query(key, key)
+
+  /** Full scan of all rows (O22) — dedup + sort applied like the reference's
+    * query path so results are a consistent view.
+    */
+  def fullScan(): Dataset[KVRow] = {
+    import spark.implicits._
+    dedupSort(unionScan(None)).as[KVRow]
+  }
+
+  /** Raw (pre-dedup) view of parts ∪ memtable, for diagnostics. */
+  def rawScan(): DataFrame = unionScan(None)
+
+  private def unionScan(range: Option[(String, String)]): DataFrame = lock.synchronized {
+    import spark.implicits._
+    // Driver-side part pruning from manifest min/max (O8) before Spark ever
+    // lists the files — at 100 TB this skips whole directories, not just
+    // row groups.
+    val live = range match {
+      case Some((s, e)) => manifest.parts.filter(_.overlapsRange(s, e))
+      case None         => manifest.parts
+    }
+    val partsDf: Option[DataFrame] =
+      if (live.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(live.map(p => partDir(p.partId)): _*))
+    val memDf: Option[DataFrame] =
+      if (memtable.isEmpty) None
+      else Some(spark.createDataset(memtable.toSeq).toDF())
+    (partsDf, memDf) match {
+      case (Some(p), Some(m)) => p.unionByName(m)
+      case (Some(p), None)    => p
+      case (None, Some(m))    => m
+      case (None, None)       => spark.createDataset(Seq.empty[KVRow]).toDF()
+    }
+  }
+
+  /** Dedup on (key, timestamp) + global sort. The reference keeps an
+    * arbitrary survivor on exact collision (O14, std::unique after unstable
+    * sort, src/merge_tree.cpp:56-60); we deterministically keep max(value).
+    * max() is a partial-aggregable function → map-side combine, no skew
+    * hazard beyond the natural key distribution.
+    */
+  private def dedupSort(df: DataFrame): DataFrame =
+    df.groupBy(col("key"), col("timestamp"))
+      .agg(max(col("value")).as("value"))
+      .select(col("key"), col("value"), col("timestamp"))
+      .orderBy(col("key"), col("timestamp"))
+
+  // ----------------------------------------------------------- maintenance
+
+  /** Flush, then merge until ≤ maxParts (O21, src/merge_tree.cpp:199-205). */
+  def optimize(): Unit = lock.synchronized {
+    triggerFlushIfNeeded(force = memtable.nonEmpty)
+    var guard = 0
+    while (manifest.parts.size > config.maxParts && guard < 1000) {
+      if (!performMerge()) guard = 1000 else guard += 1
+    }
+  }
+
+  /** Synchronous single merge round (src/merge_tree.cpp:93-97). */
+  def mergePartsSync(): Boolean = lock.synchronized { performMerge() }
+
+  private def shouldTriggerMerge: Boolean =
+    // Reference: should_trigger_merge (src/merge_tree.cpp:240-243).
+    manifest.parts.size > config.maxParts
+
+  /** One compaction round: pick candidates (O17), k-way merge via a
+    * range-repartitioned sort (O15/O16), atomic manifest swap, GC old dirs.
+    */
+  private def performMerge(): Boolean = {
+    val candidates = Merger.selectMergeCandidates(manifest.parts)
+    if (candidates.isEmpty) return false
+    val toMerge = candidates.get
+    val inputs = spark.read.schema(schema).parquet(toMerge.map(p => partDir(p.partId)): _*)
+    // The reference materializes all rows in RAM (src/merger.cpp:13-15); we
+    // instead range-partition + locally sort + partially aggregate — fully
+    // spillable, no driver materialization (SURVEY §4).
+    val merged = inputs
+      .groupBy(col("key"), col("timestamp"))
+      .agg(max(col("value")).as("value"))
+      .select(col("key"), col("value"), col("timestamp"))
+    val mergedIds = toMerge.map(_.partId).toSet
+    val newMeta = writePartInternal(merged, numRangePartitions(inputs), register = false)
+    // Atomic swap: new manifest lists merged part, drops inputs.
+    val next = Manifest(
+      math.max(manifest.version + 1, newMeta.partId + 1),
+      manifest.parts.filterNot(p => mergedIds(p.partId)) :+ newMeta)
+    Manifest.store(path, next)
+    manifest = next
+    // GC the dead dirs — fixing the reference's leak (SURVEY §3.3).
+    mergedIds.foreach(id => deleteRecursively(Paths.get(partDir(id))))
+    true
+  }
+
+  // ------------------------------------------------------------ part write
+
+  private def numRangePartitions(df: DataFrame): Int = {
+    // One file per ~maxRecordsPerFile at scale; local tests end up with 1.
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    math.max(1, math.min(n, 32))
+  }
+
+  private def writePart(df: DataFrame, partitions: Int): PartMetadata =
+    writePartInternal(df, partitions, register = true)
+
+  private def writePartInternal(df: DataFrame, partitions: Int, register: Boolean): PartMetadata = {
+    val partId = manifest.version
+    val dir = partDir(partId)
+    val sorted =
+      if (partitions <= 1) df.coalesce(1).sortWithinPartitions("key", "timestamp")
+      else df.repartitionByRange(partitions, col("key"), col("timestamp"))
+        .sortWithinPartitions("key", "timestamp")
+    sorted.write
+      .option("parquet.page.row.count.limit", config.granuleSize)
+      .mode("overwrite")
+      .parquet(dir)
+    // Metadata from a footer-only scan (parquet aggregate pushdown handles
+    // count; min/max over sorted output is one narrow scan).
+    val stats = spark.read.schema(schema).parquet(dir)
+      .agg(
+        min("key").as("minKey"), max("key").as("maxKey"),
+        min("timestamp").as("minTs"), max("timestamp").as("maxTs"),
+        count(lit(1)).as("cnt"))
+      .collect()(0)
+    val diskSize = dirSize(Paths.get(dir))
+    val meta = PartMetadata(
+      partId = partId,
+      minKey = stats.getAs[String]("minKey"),
+      maxKey = stats.getAs[String]("maxKey"),
+      minTimestamp = stats.getAs[Long]("minTs"),
+      maxTimestamp = stats.getAs[Long]("maxTs"),
+      rowCount = stats.getAs[Long]("cnt"),
+      granuleCount = math.max(1L, stats.getAs[Long]("cnt") / config.granuleSize),
+      diskSize = diskSize,
+      creationTime = System.currentTimeMillis())
+    if (register) {
+      val next = Manifest(partId + 1, manifest.parts :+ meta)
+      Manifest.store(path, next)
+      manifest = next
+    }
+    meta
+  }
+
+  private def partDir(id: Long): String = s"$path/part_$id"
+
+  // ------------------------------------------------------------------ stats
+
+  /** Metadata-only total row count (O24, src/merge_tree.cpp:119-135):
+    * manifest sum + memtable size, no scan.
+    */
+  def totalRows: Long = lock.synchronized {
+    manifest.parts.map(_.rowCount).sum + memtable.size
+  }
+
+  def partCount: Int = lock.synchronized { manifest.parts.size }
+
+  def memtableSize: Int = lock.synchronized { memtable.size }
+
+  def diskUsage: Long = lock.synchronized { manifest.parts.map(_.diskSize).sum }
+
+  def parts: Seq[PartMetadata] = lock.synchronized { manifest.parts }
+
+  /** Flush + stop background worker (src/merge_tree.cpp:99-112). */
+  def shutdown(): Unit = {
+    lock.synchronized { triggerFlushIfNeeded(force = memtable.nonEmpty) }
+    closed = true
+    bgThread.foreach(_.interrupt())
+  }
+}
+
+object MergeTreeTable {
+
+  /** `StructType` of the compatibility row (SURVEY §1.4). */
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  /** Create a fresh table (wipes nothing; fails-soft if dir exists). */
+  def create(spark: SparkSession, path: String,
+             config: MergeTreeConfig = MergeTreeConfig()): MergeTreeTable = {
+    Files.createDirectories(Paths.get(path))
+    val t = new MergeTreeTable(spark, path, config)
+    t
+  }
+
+  /** Open an existing table: manifest load == `load_existing_parts`
+    * (O23, src/merge_tree.cpp:164-197).
+    */
+  def open(spark: SparkSession, path: String,
+           config: MergeTreeConfig = MergeTreeConfig()): MergeTreeTable =
+    new MergeTreeTable(spark, path, config)
+
+  private[mergetree] def dirSize(p: Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    finally s.close()
+  }
+
+  private[mergetree] def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try {
+      s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    } finally s.close()
+  }
+}
+
+/** Live-part manifest: tiny JSON doc, written atomically (tmp + rename).
+  * Replaces the reference's per-part `metadata.bin` + directory scan
+  * (src/merge_tree.cpp:164-197) with a single authoritative file — this is
+  * the fix for the reference's merge-leaves-stale-dirs bug (SURVEY §3.3).
+  */
+case class Manifest(version: Long, parts: List[PartMetadata])
+
+object Manifest {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  import org.json4s.jackson.Serialization
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def file(tablePath: String): Path = Paths.get(tablePath, "manifest.json")
+
+  def load(tablePath: String): Option[Manifest] = {
+    val f = file(tablePath)
+    if (!Files.exists(f)) None
+    else Some(JsonMethods.parse(Files.readString(f)).extract[Manifest])
+  }
+
+  def store(tablePath: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(tablePath))
+    val tmp = Paths.get(tablePath, s".manifest.json.tmp")
+    Files.writeString(tmp, Serialization.writePretty(m))
+    Files.move(tmp, file(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
