@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The analytic query surface (SURVEY §2.3 Q9–Q22): the SQL-on-columnar
+  * capability a ClickHouse-class engine exposes over its tables, expressed
+  * as declarative DataFrame plans so Catalyst supplies pushdown, pruning,
+  * partial aggregation, and join strategy selection.
+  *
+  * Every query:
+  *   - has a total ORDER BY (deterministic row order);
+  *   - aliases every computed column identically to its oracle SQL;
+  *   - rounds floating-point aggregates (sum/avg of doubles) so the
+  *     Spark and DuckDB results land on the same IEEE double after
+  *     differing reduction orders.
+  *
+  * Scale notes are per-query; the common ones: filters/projections sit
+  * directly on the parquet scan (pushdown + pruning), aggregations are
+  * hash-based with map-side partial combine, small dimension tables are
+  * broadcast explicitly.
+  */
+object AnalyticQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark reads
+    * as a nanos Long under spark.sql.legacy.parquet.nanosAsLong. Convert to
+    * a micros timestamp with integer division (`div`) — nanos since epoch
+    * (~1.7e18) exceed a double's 53-bit mantissa, so `/ 1000` would corrupt
+    * the value.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Q9 — TPC-H Q1 shape: full-scan hash aggregate.
+    * Scale: partial agg on 6M-row/partition scans; 6-group output, no skew.
+    */
+  def q9Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q9Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 6) AS avg_qty,
+      | round(avg(l_discount), 6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q10 — filter + projection; predicate and 4-column ReadSchema both
+    * reach the parquet scan (verified via explain: PushedFilters).
+    */
+  def q10FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q10Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Q11 — orders ⋈ customer, grouped by nation key.
+    * Scale: customer is the small side at TPC-H ratios (1:10) but not tiny;
+    * we broadcast only genuinely-small dims (nation/region). Here the join
+    * shuffles on custkey — both sides hash-partitioned once, then one
+    * 25-group aggregate.
+    */
+  def q11Join(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders.join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Q12 — TPC-H Q3 shape: 3-way join, filtered, aggregated, top-10.
+    * Scale: filters push into all three scans before the joins; join order
+    * customer→orders→lineitem lets AQE/CBO broadcast the filtered customer
+    * side; final TakeOrderedAndProject avoids a global sort.
+    */
+  def q12Join3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q12Sql: String =
+    """SELECT l_orderkey,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q13 — left-semi + left-anti: customers with / without orders, tagged.
+    * Scale: semi/anti joins shuffle only the distinct keys of the right
+    * side; no row multiplication.
+    */
+  def q13SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("with_orders").as("tag"))
+    val noOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    withOrders.unionByName(noOrders).orderBy(col("c_custkey"), col("tag"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_custkey, 'with_orders' AS tag FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey, tag""".stripMargin
+
+  /** Q14 — top-k by aggregate with deterministic tiebreak.
+    * Scale: orderBy(...).limit(k) plans TakeOrderedAndProject — per-partition
+    * heaps + driver merge of k rows, never a global sort.
+    */
+  def q14TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  val q14Sql: String =
+    """SELECT l_orderkey,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q15 — ranking window: latest order per customer.
+    * Scale: one shuffle on o_custkey; rank computed within partitions.
+    */
+  def q15WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT o_custkey, o_orderkey FROM (
+      | SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      | FROM orders) sub
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Q16 — analytic window: running sum per user over event time.
+    * Frame rowsBetween(unboundedPreceding, currentRow); additions happen in
+    * frame order in both engines, so doubles agree bit-for-bit (rounded
+    * anyway for safety).
+    */
+  def q16RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q16Sql: String =
+    """SELECT user_id, event_id,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Q17 — exact distinct count (oracle-checked); the approx variant is
+    * q17b (rows-only, no SQL oracle — sketch output is engine-specific).
+    */
+  def q17Distinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+
+  val q17Sql: String =
+    "SELECT count(DISTINCT user_id) AS exact_users FROM events"
+
+  /** Q17b — approx_count_distinct (HLL++). No oracle: tolerance-checked by
+    * construction (rsd 5%); driver records a rows-only check.
+    */
+  def q17bApprox(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Q18 — tumbling 1-hour window per event_type. Bucket emitted as epoch
+    * seconds (bigint) so Spark/DuckDB timestamp types can't diverge.
+    */
+  def q18Tumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy(col("hour_ts"), col("event_type"))
+
+  val q18Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+      | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
+
+  /** Q19 — set operators over two event-type key sets, tagged per branch. */
+  def q19SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clickers = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val u = clickers.union(buyers).distinct().select(lit("union").as("op"), col("user_id"))
+    val i = clickers.intersect(buyers).select(lit("intersect").as("op"), col("user_id"))
+    val e = clickers.except(buyers).select(lit("except").as("op"), col("user_id"))
+    u.unionByName(i).unionByName(e).orderBy(col("op"), col("user_id"))
+  }
+
+  val q19Sql: String =
+    """SELECT 'union' AS op, user_id FROM
+      | (SELECT user_id FROM events WHERE event_type = 'click'
+      |  UNION SELECT user_id FROM events WHERE event_type = 'purchase') a
+      |UNION ALL
+      |SELECT 'intersect' AS op, user_id FROM
+      | (SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase') b
+      |UNION ALL
+      |SELECT 'except' AS op, user_id FROM
+      | (SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase') c
+      |ORDER BY op, user_id""".stripMargin
+
+  /** Q20 — scalar-function mix: string, date, math, json. */
+  def q20Scalars(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type").like("%c%"))
+      .select(
+        col("event_id"),
+        substring(col("event_type"), 1, 3).as("et3"),
+        upper(col("event_type")).as("et_upper"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_ts"),
+        round(col("value") * 1.1, 2).as("value_tax"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
+      .orderBy(col("event_id"))
+
+  val q20Sql: String =
+    """SELECT event_id,
+      | substring(event_type, 1, 3) AS et3,
+      | upper(event_type) AS et_upper,
+      | CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+      | round(value * 1.1, 2) AS value_tax,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |FROM events WHERE event_type LIKE '%c%'
+      |ORDER BY event_id""".stripMargin
+
+  /** Q21 — ROLLUP grouping sets; null group keys coalesced to 'ALL' so
+    * Spark/DuckDB null-ordering differences can't matter.
+    */
+  def q21Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q21Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      | coalesce(l_linestatus, 'ALL') AS ls,
+      | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Q22 — keep-latest dedup on (user_id, event_type): the canonical
+    * LLM-pipeline dedup pattern (window + rn=1), deterministic tiebreak on
+    * event_id. Scale: one shuffle on the dedup key; state bounded per key.
+    */
+  def q22DedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q22Sql: String =
+    """SELECT user_id, event_type, event_id FROM (
+      | SELECT user_id, event_type, event_id,
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) sub
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** name → (query fn, oracle SQL or None). */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
+    ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
+    ("q11_join_agg", q11Join _, Some(q11Sql)),
+    ("q12_join3_tpch3", q12Join3 _, Some(q12Sql)),
+    ("q13_semi_anti", q13SemiAnti _, Some(q13Sql)),
+    ("q14_topk", q14TopK _, Some(q14Sql)),
+    ("q15_window_rank", q15WindowRank _, Some(q15Sql)),
+    ("q16_running_sum", q16RunningSum _, Some(q16Sql)),
+    ("q17_count_distinct", q17Distinct _, Some(q17Sql)),
+    ("q17b_approx_distinct", q17bApprox _, None),
+    ("q18_tumbling_window", q18Tumbling _, Some(q18Sql)),
+    ("q19_set_ops", q19SetOps _, Some(q19Sql)),
+    ("q20_scalar_mix", q20Scalars _, Some(q20Sql)),
+    ("q21_rollup", q21Rollup _, Some(q21Sql)),
+    ("q22_dedup_latest", q22DedupLatest _, Some(q22Sql)))
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.mergetree._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+/** Storage-semantics queries (SURVEY §2.3 Q1–Q8): each one runs through the
+  * MergeTree table path — ingest → (flush/compact/reopen) → query — and is
+  * oracle-checked against DuckDB SQL computing the same rows directly from
+  * the source parquet (or from literals, for the scenario queries).
+  *
+  * Ingest mapping (FIXTURES.md §3): events →
+  *   key = event_type || '_' || user_id   (string key, natural duplicates)
+  *   value = props
+  *   timestamp = event_id                  (unique u64 version)
+  * Rows are inserted in event_id order so flush boundaries are
+  * deterministic. event_id uniqueness makes the engine's (key,ts) dedup a
+  * no-op on this data, so the oracle is a plain SELECT — the dedup-active
+  * cases are covered by Q5 with literal rows.
+  */
+object StorageQueries {
+
+  private val FlushThreshold = 750 // guarantees a memtable residue for sf row counts (n % 750 != 0)
+
+  private val cache = TrieMap.empty[(String, String), MergeTreeTable]
+
+  private def eventsAsKV(spark: SparkSession, dir: String): Seq[KVRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(
+        concat(col("event_type"), lit("_"), col("user_id").cast("string")).as("key"),
+        col("props").as("value"),
+        col("event_id").as("timestamp"))
+      .as[KVRow]
+      .orderBy(col("timestamp"))
+      .collect()
+      .toSeq
+  }
+
+  /** Base table: row-at-a-time ingest, automatic threshold flushes, NO final
+    * flush — the tail stays in the memtable so every query exercises the
+    * memtable ∪ parts union (read-your-writes, src/merge_tree.cpp:40-54).
+    */
+  private def baseTable(spark: SparkSession, dir: String): MergeTreeTable =
+    cache.getOrElseUpdate((dir, "base"), {
+      val t = MergeTreeTable.create(spark,
+        Files.createTempDirectory("mt_q_base_").toString,
+        MergeTreeConfig(memtableFlushThreshold = FlushThreshold))
+      t.insertAll(eventsAsKV(spark, dir))
+      t
+    })
+
+  /** Same data, flushed and compacted to ≤ 4 parts (O15–O21). */
+  private def optimizedTable(spark: SparkSession, dir: String): MergeTreeTable =
+    cache.getOrElseUpdate((dir, "optimized"), {
+      val t = MergeTreeTable.create(spark,
+        Files.createTempDirectory("mt_q_opt_").toString,
+        MergeTreeConfig(memtableFlushThreshold = FlushThreshold, maxParts = 4))
+      t.insertAll(eventsAsKV(spark, dir))
+      t.optimize()
+      t
+    })
+
+  /** Same data, flushed + shut down + REOPENED from disk (O23). */
+  private def reopenedTable(spark: SparkSession, dir: String): MergeTreeTable =
+    cache.getOrElseUpdate((dir, "reopened"), {
+      val path = Files.createTempDirectory("mt_q_reopen_").toString
+      val t = MergeTreeTable.create(spark, path,
+        MergeTreeConfig(memtableFlushThreshold = FlushThreshold))
+      t.insertAll(eventsAsKV(spark, dir))
+      t.shutdown() // flushes the residue
+      MergeTreeTable.open(spark, path)
+    })
+
+  private def kvOracle(where: String): String =
+    s"""SELECT event_type || '_' || CAST(user_id AS VARCHAR) AS key,
+       | props AS value, event_id AS "timestamp"
+       |FROM events WHERE $where ORDER BY key, "timestamp"""".stripMargin
+
+  /** Q1 — point lookup: all versions of one key (O12). The key is the one
+    * belonging to event_id = 0, computed identically on both sides.
+    */
+  def q1PointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val row0 = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") === 0)
+      .select(concat(col("event_type"), lit("_"), col("user_id").cast("string")))
+      .collect()(0).getString(0)
+    baseTable(spark, dir).queryKey(row0).toDF()
+  }
+
+  val q1Sql: String = kvOracle(
+    """event_type || '_' || CAST(user_id AS VARCHAR) =
+      | (SELECT event_type || '_' || CAST(user_id AS VARCHAR)
+      |  FROM events WHERE event_id = 0)""".stripMargin)
+
+  /** Q2 — inclusive key-range scan with part pruning (O11, O7/O8). */
+  def q2RangeScan(spark: SparkSession, dir: String): DataFrame =
+    baseTable(spark, dir).query("click_1", "error_5").toDF()
+
+  val q2Sql: String = kvOracle(
+    "event_type || '_' || CAST(user_id AS VARCHAR) BETWEEN 'click_1' AND 'error_5'")
+
+  /** Q3 — range straddling memtable + parts: the base table keeps its tail
+    * unflushed (n mod 750 rows), and this wide range covers keys in both.
+    */
+  def q3MemtableUnion(spark: SparkSession, dir: String): DataFrame = {
+    val t = baseTable(spark, dir)
+    require(t.memtableSize > 0, "Q3 requires an unflushed memtable residue")
+    t.query("purchase_1", "view_3").toDF()
+  }
+
+  val q3Sql: String = kvOracle(
+    "event_type || '_' || CAST(user_id AS VARCHAR) BETWEEN 'purchase_1' AND 'view_3'")
+
+  /** Q4 — identical results after optimize(): same oracle shape as Q2, run
+    * over the compacted table (O15–O21 preserve query semantics).
+    */
+  def q4AfterOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val t = optimizedTable(spark, dir)
+    require(t.partCount <= 4, "Q4 requires compaction to have run")
+    t.query("click_1", "error_5").toDF()
+  }
+
+  val q4Sql: String = q2Sql
+
+  /** Q5 — exact (key,timestamp) duplicate collapses to one row (O14), with
+    * our deterministic max(value) tiebreak. Literal scenario; constant
+    * oracle.
+    */
+  def q5ExactDup(spark: SparkSession, dir: String): DataFrame = {
+    val t = MergeTreeTable.create(spark,
+      Files.createTempDirectory("mt_q5_").toString)
+    t.insert("dup_key", "v_a", 42L)
+    t.flush() // duplicate lands in a *different* part than the original
+    t.insert("dup_key", "v_b", 42L)
+    t.insert("dup_key", "v_a", 42L)
+    t.insert("other_key", "v_c", 7L)
+    t.queryKey("dup_key").toDF()
+  }
+
+  val q5Sql: String =
+    """SELECT 'dup_key' AS key, 'v_b' AS value, CAST(42 AS BIGINT) AS "timestamp""""
+
+  /** Q6 — lexicographic inclusive-bound quirk: query("key1","key3") matches
+    * key10..key29 (src/granule.cpp:57). Literal rows key1..key30.
+    */
+  def q6LexBounds(spark: SparkSession, dir: String): DataFrame = {
+    val t = MergeTreeTable.create(spark,
+      Files.createTempDirectory("mt_q6_").toString)
+    (1 to 30).foreach(i => t.insert(s"key$i", s"v$i", i.toLong))
+    t.flush()
+    t.query("key1", "key3").toDF()
+  }
+
+  val q6Sql: String =
+    """SELECT 'key' || CAST(i AS VARCHAR) AS key,
+      | 'v' || CAST(i AS VARCHAR) AS value, CAST(i AS BIGINT) AS "timestamp"
+      |FROM generate_series(1, 30) t(i)
+      |WHERE 'key' || CAST(i AS VARCHAR) >= 'key1'
+      |  AND 'key' || CAST(i AS VARCHAR) <= 'key3'
+      |ORDER BY key, "timestamp"""".stripMargin
+
+  /** Q7 — full-scan count == metadata-only count (O22 vs O24): the scan
+    * side runs the real distributed count; the meta side sums the manifest
+    * without touching data.
+    */
+  def q7Counts(spark: SparkSession, dir: String): DataFrame = {
+    val t = baseTable(spark, dir)
+    val scanRows = t.fullScan().count()
+    val metaRows = t.totalRows
+    spark.createDataFrame(Seq((scanRows, metaRows)))
+      .toDF("scan_rows", "meta_rows")
+  }
+
+  val q7Sql: String =
+    "SELECT count(*) AS scan_rows, count(*) AS meta_rows FROM events"
+
+  /** Q8 — reopen from disk, re-run a range scan → identical (O23). */
+  def q8Reopen(spark: SparkSession, dir: String): DataFrame = {
+    val t = reopenedTable(spark, dir)
+    require(t.memtableSize == 0 && t.partCount > 0)
+    t.query("signup_1", "view_2").toDF()
+  }
+
+  val q8Sql: String = kvOracle(
+    "event_type || '_' || CAST(user_id AS VARCHAR) BETWEEN 'signup_1' AND 'view_2'")
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
+    ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
+    ("q3_memtable_union", q3MemtableUnion _, Some(q3Sql)),
+    ("q4_after_optimize", q4AfterOptimize _, Some(q4Sql)),
+    ("q5_exact_dup", q5ExactDup _, Some(q5Sql)),
+    ("q6_lex_bounds", q6LexBounds _, Some(q6Sql)),
+    ("q7_counts", q7Counts _, Some(q7Sql)),
+    ("q8_reopen", q8Reopen _, Some(q8Sql)))
+}
