@@ -86,6 +86,10 @@ final class MergeTreeTable private (
   private val memtable = new ArrayBuffer[KVRow]()
   private val lock = new Object
   private var manifest: Manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
+  // Part-id allocator: independent of manifest commits so several parts can
+  // be written before one atomic manifest swap (bin-packed optimize).
+  private var nextId: Long =
+    math.max(manifest.version, manifest.parts.map(_.partId + 1).foldLeft(0L)(math.max))
   @volatile private var closed = false
 
   private val bgThread: Option[Thread] =
@@ -127,9 +131,16 @@ final class MergeTreeTable private (
   /** Distributed batch ingest: writes the dataset straight to a new sorted
     * part, bypassing the driver memtable. This is the 100 TB ingest path —
     * no rows ever transit the driver.
+    *
+    * `partitions` sizes the part's file count (a part is a directory, so one
+    * part can be N files written by N executors); 0 = one file per
+    * `defaultParallelism`-ish slice, callers with a known row count should
+    * pass ceil(rows / targetRowsPerFile).
     */
-  def insertBatch(ds: Dataset[KVRow]): Unit = lock.synchronized {
-    writePart(ds.toDF(), numRangePartitions(ds.toDF()))
+  def insertBatch(ds: Dataset[KVRow], partitions: Int = 0): Unit = lock.synchronized {
+    val df = ds.toDF()
+    val n = if (partitions > 0) partitions else numRangePartitions(df)
+    writePart(df, n)
   }
 
   /** Flush the memtable as one new sorted part (O4,
@@ -212,13 +223,63 @@ final class MergeTreeTable private (
 
   // ----------------------------------------------------------- maintenance
 
-  /** Flush, then merge until ≤ maxParts (O21, src/merge_tree.cpp:199-205). */
+  /** Flush, then merge until ≤ maxParts (O21, src/merge_tree.cpp:199-205).
+    *
+    * The reference's optimize loop merges the single best-scored pair per
+    * round (src/merger.cpp:62-63 caps candidates at 1), i.e. O(n) sequential
+    * rewrites and O(n²) total I/O when n parts must come down to maxParts.
+    * Observable semantics are only the end state — parts ≤ maxParts with
+    * identical query results — so we bin-pack all live parts into ≤ maxParts/2
+    * key-contiguous output parts and merge each bin in ONE Spark job:
+    * O(maxParts) jobs, each data byte rewritten exactly once. The scored
+    * pairwise policy survives as `mergePartsSync` (O17 fidelity).
+    */
   def optimize(): Unit = lock.synchronized {
     triggerFlushIfNeeded(force = memtable.nonEmpty)
-    var guard = 0
-    while (manifest.parts.size > config.maxParts && guard < 1000) {
-      if (!performMerge()) guard = 1000 else guard += 1
+    if (manifest.parts.size <= config.maxParts) return
+    // Sort by minKey so each output part covers a contiguous key range —
+    // keeps part-level pruning (O8) sharp after compaction.
+    val live = manifest.parts.sortBy(p => (p.minKey, p.partId))
+    val nOut = math.max(1, config.maxParts / 2)
+    val groups = binPack(live, nOut)
+    val newMetas = groups.map { group =>
+      if (group.size == 1) group.head // singleton bin: keep as-is, no rewrite
+      else {
+        val inputs = spark.read.schema(schema)
+          .parquet(group.map(p => partDir(p.partId)): _*)
+        val merged = inputs
+          .groupBy(col("key"), col("timestamp"))
+          .agg(max(col("value")).as("value"))
+          .select(col("key"), col("value"), col("timestamp"))
+        writePartInternal(merged,
+          partitionsForRows(group.map(_.rowCount).sum), register = false)
+      }
     }
+    val keptIds = newMetas.map(_.partId).toSet
+    val deadIds = live.map(_.partId).filterNot(keptIds)
+    val next = Manifest(nextId, newMetas.toList)
+    Manifest.store(path, next)
+    manifest = next
+    deadIds.foreach(id => deleteRecursively(Paths.get(partDir(id))))
+  }
+
+  /** Greedy contiguous bin-packing of minKey-sorted parts into ≤ nOut bins,
+    * balanced by row count.
+    */
+  private def binPack(sorted: Seq[PartMetadata], nOut: Int): Seq[Seq[PartMetadata]] = {
+    val total = math.max(1L, sorted.map(_.rowCount).sum)
+    val target = (total + nOut - 1) / nOut
+    val bins = ArrayBuffer(ArrayBuffer.empty[PartMetadata])
+    var acc = 0L
+    sorted.foreach { p =>
+      if (acc >= target && bins.size < nOut) {
+        bins += ArrayBuffer.empty[PartMetadata]
+        acc = 0L
+      }
+      bins.last += p
+      acc += p.rowCount
+    }
+    bins.filter(_.nonEmpty).map(_.toSeq).toSeq
   }
 
   /** Synchronous single merge round (src/merge_tree.cpp:93-97). */
@@ -244,10 +305,11 @@ final class MergeTreeTable private (
       .agg(max(col("value")).as("value"))
       .select(col("key"), col("value"), col("timestamp"))
     val mergedIds = toMerge.map(_.partId).toSet
-    val newMeta = writePartInternal(merged, numRangePartitions(inputs), register = false)
+    val newMeta = writePartInternal(merged,
+      partitionsForRows(toMerge.map(_.rowCount).sum), register = false)
     // Atomic swap: new manifest lists merged part, drops inputs.
     val next = Manifest(
-      math.max(manifest.version + 1, newMeta.partId + 1),
+      nextId,
       manifest.parts.filterNot(p => mergedIds(p.partId)) :+ newMeta)
     Manifest.store(path, next)
     manifest = next
@@ -264,41 +326,49 @@ final class MergeTreeTable private (
     math.max(1, math.min(n, 32))
   }
 
+  /** File count for a known row count: ~1M sorted rows per file, capped at
+    * the session's parallelism. At cluster scale the cap would be lifted —
+    * a part is a directory, so file count scales with executor count.
+    */
+  private def partitionsForRows(rows: Long): Int = {
+    val byRows = ((rows + RowsPerFileTarget - 1) / RowsPerFileTarget).toInt
+    math.max(1, math.min(byRows, spark.sparkContext.defaultParallelism))
+  }
+
   private def writePart(df: DataFrame, partitions: Int): PartMetadata =
     writePartInternal(df, partitions, register = true)
 
   private def writePartInternal(df: DataFrame, partitions: Int, register: Boolean): PartMetadata = {
-    val partId = manifest.version
+    val partId = nextId
+    nextId += 1
     val dir = partDir(partId)
     val sorted =
       if (partitions <= 1) df.coalesce(1).sortWithinPartitions("key", "timestamp")
       else df.repartitionByRange(partitions, col("key"), col("timestamp"))
         .sortWithinPartitions("key", "timestamp")
     sorted.write
-      .option("parquet.page.row.count.limit", config.granuleSize)
+      // Granule fidelity (SURVEY §1.4): row group == granule. This is the
+      // row-group row-count cap (parquet-hadoop ParquetOutputFormat), not
+      // the page-level one round 1 used by mistake.
+      .option("parquet.block.row.count.limit", config.granuleSize)
       .mode("overwrite")
       .parquet(dir)
-    // Metadata from a footer-only scan (parquet aggregate pushdown handles
-    // count; min/max over sorted output is one narrow scan).
-    val stats = spark.read.schema(schema).parquet(dir)
-      .agg(
-        min("key").as("minKey"), max("key").as("maxKey"),
-        min("timestamp").as("minTs"), max("timestamp").as("maxTs"),
-        count(lit(1)).as("cnt"))
-      .collect()(0)
-    val diskSize = dirSize(Paths.get(dir))
+    // Part metadata comes from the parquet footers the write just produced —
+    // no second scan of the data (round 1 re-read every part here, doubling
+    // write-path I/O; see PartStats).
+    val stats = PartStats.readDir(spark.sessionState.newHadoopConf(), dir)
     val meta = PartMetadata(
       partId = partId,
-      minKey = stats.getAs[String]("minKey"),
-      maxKey = stats.getAs[String]("maxKey"),
-      minTimestamp = stats.getAs[Long]("minTs"),
-      maxTimestamp = stats.getAs[Long]("maxTs"),
-      rowCount = stats.getAs[Long]("cnt"),
-      granuleCount = math.max(1L, stats.getAs[Long]("cnt") / config.granuleSize),
-      diskSize = diskSize,
+      minKey = stats.minKey,
+      maxKey = stats.maxKey,
+      minTimestamp = stats.minTs,
+      maxTimestamp = stats.maxTs,
+      rowCount = stats.rows,
+      granuleCount = stats.rowGroups,
+      diskSize = dirSize(Paths.get(dir)),
       creationTime = System.currentTimeMillis())
     if (register) {
-      val next = Manifest(partId + 1, manifest.parts :+ meta)
+      val next = Manifest(nextId, manifest.parts :+ meta)
       Manifest.store(path, next)
       manifest = next
     }
@@ -333,6 +403,9 @@ final class MergeTreeTable private (
 }
 
 object MergeTreeTable {
+
+  /** Target rows per parquet file inside a part (see partitionsForRows). */
+  private val RowsPerFileTarget = 1000000L
 
   /** `StructType` of the compatibility row (SURVEY §1.4). */
   val schema: StructType = StructType(Seq(

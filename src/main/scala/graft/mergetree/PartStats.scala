@@ -1,0 +1,99 @@
+package graft.mergetree
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Aggregated parquet-footer statistics for one part directory.
+  *
+  * This replaces the reference's post-write metadata computation
+  * (src/part.cpp:125-161) AND round 1's second read-scan of every freshly
+  * written part: parquet already persists per-row-group min/max/count in the
+  * file footers, so part metadata is a footer-only read — O(files) tiny I/O
+  * on the driver, no Spark job. At 100 TB this is the difference between
+  * "write path = 1× data I/O" and "write path = 2× data I/O".
+  *
+  * `rowGroups` is the real granule count: with
+  * `parquet.block.row.count.limit = granuleSize` each row group holds at most
+  * granuleSize rows, mirroring the reference's 8192-row granule
+  * (src/granule.h:10); the footer row-group stats ARE the sparse index
+  * (src/sparse_index.h:9-22).
+  */
+case class PartStats(
+    minKey: String,
+    maxKey: String,
+    minTs: Long,
+    maxTs: Long,
+    rows: Long,
+    rowGroups: Long)
+
+object PartStats {
+
+  /** Read footer stats for every parquet file under `dir` (non-recursive). */
+  def readDir(conf: Configuration, dir: String): PartStats = {
+    val files = listParquet(Paths.get(dir))
+    require(files.nonEmpty, s"no parquet files in $dir")
+    var minKey: String = null
+    var maxKey: String = null
+    var minTs = Long.MaxValue
+    var maxTs = Long.MinValue
+    var rows = 0L
+    var groups = 0L
+    files.foreach { f =>
+      val in = HadoopInputFile.fromPath(new HPath(f.toString), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          if (block.getRowCount > 0) {
+            rows += block.getRowCount
+            groups += 1
+            block.getColumns.asScala.foreach { col =>
+              col.getPath.toDotString match {
+                case "key" =>
+                  val s = col.getStatistics
+                  if (s != null && s.hasNonNullValue) {
+                    val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+                    val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                    if (minKey == null || lo < minKey) minKey = lo
+                    if (maxKey == null || hi > maxKey) maxKey = hi
+                  }
+                case "timestamp" =>
+                  val s = col.getStatistics
+                  if (s != null && s.hasNonNullValue) {
+                    val lo = s.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+                    val hi = s.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                    if (lo < minTs) minTs = lo
+                    if (hi > maxTs) maxTs = hi
+                  }
+                case _ => ()
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    require(minKey != null, s"parquet footers in $dir carry no key statistics")
+    PartStats(minKey, maxKey, minTs, maxTs, rows, math.max(1L, groups))
+  }
+
+  /** Per-row-group row counts across the part's files, for granule tests. */
+  def rowGroupSizes(conf: Configuration, dir: String): Seq[Long] = {
+    listParquet(Paths.get(dir)).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f.toString), conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).toSeq
+      finally reader.close()
+    }
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    finally s.close()
+  }
+}

@@ -266,7 +266,14 @@ object AnalyticQueries {
       |  EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase') c
       |ORDER BY op, user_id""".stripMargin
 
-  /** Q20 — scalar-function mix: string, date, math, json. */
+  /** Q20 — scalar-function mix: string, date, math, json.
+    *
+    * value_tax is round-half-up to 2 dp spelled as floor(x*110 + 0.5)/100:
+    * Spark's round(double, 2) goes through BigDecimal's shortest-decimal
+    * representation while DuckDB rounds the raw binary double, so the two
+    * disagree on ties that `value * 1.1` manufactures (round-1 q20 red row).
+    * floor over identical double arithmetic is bit-identical in both engines.
+    */
   def q20Scalars(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .filter(col("event_type").like("%c%"))
@@ -275,7 +282,7 @@ object AnalyticQueries {
         substring(col("event_type"), 1, 3).as("et3"),
         upper(col("event_type")).as("et_upper"),
         unix_timestamp(date_trunc("day", col("ts"))).as("day_ts"),
-        round(col("value") * 1.1, 2).as("value_tax"),
+        (floor(col("value") * lit(110.0) + lit(0.5)).cast("double") / 100.0).as("value_tax"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
       .orderBy(col("event_id"))
 
@@ -284,7 +291,7 @@ object AnalyticQueries {
       | substring(event_type, 1, 3) AS et3,
       | upper(event_type) AS et_upper,
       | CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
-      | round(value * 1.1, 2) AS value_tax,
+      | floor(value * 110.0 + 0.5) / 100.0 AS value_tax,
       | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       |FROM events WHERE event_type LIKE '%c%'
       |ORDER BY event_id""".stripMargin
