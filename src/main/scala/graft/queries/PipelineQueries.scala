@@ -1,0 +1,590 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data pipeline operators (north-star surface, SURVEY §7
+  * Phase 6): deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force top-k + IVF), text
+  * analysis (language-ID, quality scoring, token counting, fingerprinting),
+  * and multimodal binary-column plumbing — all over the driver testdata
+  * `documents.parquet` / `embeddings.parquet` tables.
+  *
+  * Every query is a declarative DataFrame plan (no UDFs — built-in
+  * higher-order functions keep everything inside whole-stage codegen) with a
+  * total ORDER BY, and — wherever the computation is expressible in portable
+  * SQL — a DuckDB oracle computing the identical arithmetic.
+  *
+  * Floating-point discipline: every emitted double goes through
+  * `floor(x*1e6 + 0.5)/1e6` (portable round-half-up; see q20) and every
+  * ranking orders by the ROUNDED value with an integer tiebreak, so Spark and
+  * DuckDB rank identically even when their last-ulp arithmetic differs.
+  *
+  * Scale posture (100 TB):
+  *   - similarity: brute-force top-k is one broadcast of the (small) query
+  *     set against a partitioned scan — no shuffle of the big side; the IVF
+  *     variant prunes the big side to nprobe/nlist of the data per query;
+  *   - MinHash/LSH: per-doc signatures via one hash-aggregate pass (128
+  *     min() partial aggregates — map-side combined), candidate generation
+  *     via an equi-join on (band, signature) — never an all-pairs product;
+  *   - exact n-gram Jaccard joins on the shingle value: at production scale
+  *     ultra-frequent shingles (boilerplate) would be dropped by a frequency
+  *     cap before the join to bound the blow-up — not applied here because
+  *     the oracle must match exhaustively and testdata has no hot shingles;
+  *   - text analysis: embarrassingly parallel scans, no shuffle beyond the
+  *     final small aggregate.
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Portable round-half-up to 6 dp — identical double arithmetic in both
+    * engines (see q20Scalars for why built-in round() diverges).
+    */
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0
+
+  private val R6Sql = "floor(%s * 1000000.0 + 0.5) / 1000000.0"
+
+  /** Sequential-fold cosine over two array<double> columns: dot and norms
+    * accumulate in array order, matching DuckDB's list_cosine_similarity on
+    * DOUBLE[] at 6 dp (validated empirically in the oracle harness).
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  // ------------------------------------------------------- similarity search
+
+  /** Q23 — brute-force cosine top-k: the exact-ANN baseline. Query set =
+    * vec_id < 5, k = 10.
+    *
+    * Scale: the query side is broadcast (a real workload's query batch is
+    * small); the data side streams through a partitioned scan — per-partition
+    * top-k heaps via the rank window would become a TakeOrdered per query at
+    * scale; no shuffle of the embedding corpus.
+    */
+  def q23CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .filter(col("qid") < 5)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), r6(cosine(col("qv"), col("v"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val q23Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qid, vec_id, ${R6Sql.format("list_cosine_similarity(qv, v)")} AS sim
+       |  FROM q, e WHERE vec_id != qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM scored) sub
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** Q28 — IVF (inverted-file) approximate nearest neighbour: the 100 TB
+    * scale path for similarity search. nlist = 8 coarse centroids (vec_id <
+    * 8 — a real build would k-means; centroid choice is orthogonal to the
+    * operator), nprobe = 3: each vector is assigned to its nearest centroid
+    * once (one broadcast pass), and a query scans only the 3/8 of the corpus
+    * in its probed clusters.
+    */
+  def q28IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val c = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("cid"), r6(cosine(col("v"), col("cv"))).as("csim"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    val probe = q.crossJoin(broadcast(c))
+      .select(col("qid"), col("qv"), col("cid"), r6(cosine(col("qv"), col("cv"))).as("psim"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 3)
+      .select(col("qid"), col("qv"), col("cid"))
+    val scored = assign.join(broadcast(probe), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), r6(cosine(col("qv"), col("v"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val q28Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |assign AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${R6Sql.format("list_cosine_similarity(e.v, c.cv)")} DESC, c.cid) AS rn
+       |    FROM e, c) sub WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT q.qid, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${R6Sql.format("list_cosine_similarity(q.qv, c.cv)")} DESC, c.cid) AS rn
+       |    FROM q, c) sub WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${R6Sql.format("list_cosine_similarity(p.qv, a.v)")} AS sim
+       |  FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.vec_id != p.qid)
+       |SELECT qid, rnk, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM scored) sub
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** Q34 — embedding near-duplicate pairs, blocked by label: the
+    * dedup-by-embedding pattern (drop training docs whose vectors nearly
+    * coincide). Blocking on a partition attribute keeps the pair space
+    * per-group instead of corpus²; at 100 TB the blocking key would be an
+    * LSH bucket (random hyperplane signs) — same join shape.
+    */
+  def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        r6(cosine(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  val q34Sql: String =
+    s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${R6Sql.format("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")} AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${R6Sql.format("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")} >= 0.3
+       |ORDER BY a.label, id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------- deduplication
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Distinct 5-gram word shingles per document. */
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens
+    val sh = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
+      i => concat_ws(" ", slice(ws, i, lit(5))))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  private val ShingleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |idx AS (
+      |  SELECT doc_id, ws,
+      |    unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i FROM toks),
+      |dsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle FROM idx),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)""".stripMargin
+
+  private val JaccardPairsSql =
+    s"""$ShingleSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ${R6Sql.format("(shared::DOUBLE / (ca.n + cb.n - shared))")} AS jaccard
+       |FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Q26 — exact n-gram Jaccard near-duplicate pairs (J ≥ 0.8 on distinct
+    * word-5-shingles), via an equi-join on the shingle value — the exhaustive
+    * ground truth the LSH path (q25) approximates. Never an all-pairs
+    * product: only documents sharing at least one shingle ever meet.
+    */
+  def q26JaccardExact(spark: SparkSession, dir: String): DataFrame = {
+    val dsh = shingleDf(spark, dir)
+    val cnt = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = dsh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = dsh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val pairs = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    val j = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared")).cast("double")
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(j >= 0.8)
+      .select(col("doc_a"), col("doc_b"), r6(j).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q26Sql: String = JaccardPairsSql
+
+  /** Q25 — MinHash + LSH near-duplicate detection: 128 xxhash64 min-hashes
+    * per document (one hash-aggregate pass, map-side combined), banded 32×4
+    * into LSH buckets, candidate pairs from an equi-join on (band,
+    * signature), then exact-Jaccard verification of candidates only.
+    *
+    * With J ≥ 0.8 pairs and 32 bands of 4 rows, miss probability per pair is
+    * (1 - J⁴)³² ≤ 6e-13 — the verified output provably equals q26's
+    * exhaustive answer on this data, so it shares the exhaustive oracle.
+    * Scale: signature pass is linear; the band join touches only colliding
+    * buckets; exact verification runs on candidates, not the corpus.
+    */
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 128
+    val bandRows = 4
+    val numBands = numHashes / bandRows // 32
+    val dsh = shingleDf(spark, dir)
+    val sigAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val sigs = dsh.groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      val hs = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // Exact verification of candidates: join to per-doc shingle sets.
+    val sets = dsh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
+    withSets
+      .select(col("doc_a"), col("doc_b"), r6(j).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q25Sql: String = JaccardPairsSql
+
+  /** Q27 — SimHash near-duplicate candidates: 64-bit signature per document
+    * (bit b = sign of Σ_tokens ±1 by bit b of xxhash64(token)), candidate
+    * pairs via 8×8-bit chunk blocking, kept when Hamming distance ≤ 6 —
+    * pigeonhole-complete (8 chunks, ≤6 flipped bits ⇒ one chunk identical).
+    * 8-bit chunks collide more than 16-bit ones; at production scale the
+    * block key would be (chunk, ck, coarse-length-bucket) to bound bucket
+    * sizes — unnecessary here and omitted to keep the demo exact.
+    *
+    * No SQL oracle: the signature depends on xxhash64, which DuckDB cannot
+    * reproduce; output is deterministic (fixed hash seed) and cross-checked
+    * against q26's exact answer in PipelineQueriesSpec.
+    */
+  def q27Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val scored = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    val sigs = scored.select(col("doc_id"), sig.as("sig"))
+    val chunks = (0 until 8).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("ck"))
+    }
+    val blocked = sigs.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("cs"))
+      .select(col("doc_id"), col("sig"), col("cs.chunk").as("chunk"), col("cs.ck").as("ck"))
+    val pairs = blocked
+      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("chunk"), col("ck"))
+      .join(blocked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("chunk"), col("ck")), Seq("chunk", "ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+    pairs
+  }
+
+  /** Q35 — exact content dedup by cryptographic fingerprint: groups per
+    * (lang) of md5-distinct vs raw counts — the "drop byte-identical
+    * documents" pass every training pipeline runs first. One shuffle on the
+    * tiny per-lang aggregate; the md5 is computed scan-side.
+    */
+  def q35ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+      .orderBy(col("lang"))
+
+  val q35Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | count(DISTINCT md5(text)) AS n_distinct,
+      | count(*) - count(DISTINCT md5(text)) AS n_dups
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Q24 — corpus statistics per language: doc/source counts, char and token
+    * means. Ratios are integer-sum quotients (exact in both engines) passed
+    * through the portable 6-dp rounding.
+    */
+  def q24TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("source"),
+        length(col("text")).as("chars"), size(tokens).as("toks"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("toks")).as("tot_tokens"),
+        r6(sum(col("chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        r6(sum(col("toks")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  val q24Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       | count(DISTINCT source) AS n_sources,
+       | sum(len(string_split(text, ' ')))::BIGINT AS tot_tokens,
+       | ${R6Sql.format("(sum(length(text))::DOUBLE / count(*))")} AS avg_chars,
+       | ${R6Sql.format("(sum(len(string_split(text, ' ')))::DOUBLE / count(*))")} AS avg_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  private def stopScore(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, t => t.isin(words: _*)))
+
+  /** Q29 — language identification by stopword-occurrence scoring (the
+    * classic n-gram/wordlist heuristic): score per language = token
+    * occurrences in that language's stopword list, argmax with alphabetical
+    * tiebreak; reported as a (actual, predicted) confusion aggregate.
+    * Embarrassingly parallel scan + tiny aggregate.
+    */
+  def q29LangId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens
+    val scoreCols = col("lang") +:
+      StopwordLists.map { case (l, words) => stopScore(ws, words).as(s"s_$l") }
+    val scored = docs(spark, dir).select(scoreCols: _*)
+    val Seq(de, en, es, fr, zh) = StopwordLists.map { case (l, _) => col(s"s_$l") }
+    val predicted =
+      when(de >= en && de >= es && de >= fr && de >= zh, "de")
+        .when(en >= es && en >= fr && en >= zh, "en")
+        .when(es >= fr && es >= zh, "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    scored.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q29Sql: String = {
+    def score(words: Seq[String]): String = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList)))"
+    }
+    val Seq(de, en, es, fr, zh) = StopwordLists.map { case (_, w) => score(w) }
+    s"""WITH scored AS (
+       |  SELECT lang, $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr, $zh AS s_zh
+       |  FROM documents),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE
+       |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |      WHEN s_fr >= s_zh THEN 'fr'
+       |      ELSE 'zh' END AS predicted
+       |  FROM scored)
+       |SELECT lang, predicted, count(*) AS n FROM pred
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Q30 — document quality scoring per source: token counts, punctuation
+    * ratio, stopword ratio, mean word length — the features a quality
+    * filter thresholds on before training. All ratios are exact-integer-sum
+    * quotients; one scan, one small aggregate.
+    */
+  def q30Quality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens
+    val enStops = StopwordLists.toMap.apply("en")
+    val perDoc = docs(spark, dir).select(
+      col("source"),
+      length(col("text")).as("chars"),
+      size(ws).as("toks"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("punct"),
+      stopScore(ws, enStops).as("stops"),
+      length(regexp_replace(col("text"), " ", "")).as("wchars"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tot_tokens"),
+        r6(sum(col("punct")).cast("double") / sum(col("chars"))).as("punct_ratio"),
+        r6(sum(col("stops")).cast("double") / sum(col("toks"))).as("stop_ratio"),
+        r6(sum(col("wchars")).cast("double") / sum(col("toks"))).as("avg_word_len"))
+      .orderBy(col("source"))
+  }
+
+  val q30Sql: String = {
+    val inList = StopwordLists.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH perdoc AS (
+       |  SELECT source,
+       |    length(text) AS chars,
+       |    len(string_split(text, ' ')) AS toks,
+       |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS stops,
+       |    length(replace(text, ' ', '')) AS wchars
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs, sum(toks)::BIGINT AS tot_tokens,
+       |  ${R6Sql.format("(sum(punct)::DOUBLE / sum(chars))")} AS punct_ratio,
+       |  ${R6Sql.format("(sum(stops)::DOUBLE / sum(toks))")} AS stop_ratio,
+       |  ${R6Sql.format("(sum(wchars)::DOUBLE / sum(toks))")} AS avg_word_len
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Q31 — token counting, two tokenizers: whitespace and a BPE-ish regex
+    * (letter runs | digit runs | single punctuation), per language. The
+    * regex is ASCII-classes-only so Java regex and RE2 agree.
+    */
+  def q31TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    docs(spark, dir)
+      .select(col("lang"),
+        size(tokens).as("ws_toks"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("re_toks"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("ws_toks")).as("tot_ws_tokens"),
+        sum(col("re_toks")).as("tot_re_tokens"),
+        max(col("ws_toks")).as("max_doc_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val q31Sql: String =
+    """SELECT lang,
+      | sum(len(string_split(text, ' ')))::BIGINT AS tot_ws_tokens,
+      | sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS tot_re_tokens,
+      | max(len(string_split(text, ' '))) AS max_doc_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q32 — deterministic document fingerprint: a position-weighted integer
+    * hash over tokens (exact 64-bit arithmetic, order-independent sum so
+    * both engines agree bit-for-bit), the cheap "same content modulo
+    * whitespace" key a pipeline shards on. Output limited to doc_id < 50.
+    */
+  def q32Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        (aggregate(
+          zip_with(
+            sequence(lit(1L), size(tokens).cast("long")),
+            tokens,
+            (i, t) => i * lit(1000003L) + ascii(t).cast("long") * lit(131L) + length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val q32Sql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |        WHERE doc_id < 50) t)
+      |SELECT doc_id,
+      |  (sum(i::BIGINT * 1000003 + ascii(ws[i])::BIGINT * 131 + length(ws[i])::BIGINT)
+      |    % 1000000007)::BIGINT AS fp
+      |FROM idx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ multimodal columns
+
+  /** Q33 — multimodal binary-column plumbing: documents' text bytes stand in
+    * for an opaque media payload (`binary` column + typed metadata — the
+    * schema shape is what matters; real decode is in
+    * graft.multimodal.MediaPipeline). Per source: payload counts, byte
+    * volume, header bytes (hex), content-hash distinct count — the
+    * partition-friendly metadata pass a media pipeline runs before any
+    * expensive decode.
+    */
+  def q33MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        col("text").cast("binary").as("payload"))
+      .select(col("source"),
+        octet_length(col("payload")).as("nbytes"),
+        substring(hex(col("payload")), 1, 8).as("header"),
+        sha2(col("payload"), 256).as("digest"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        sum(col("nbytes")).as("total_bytes"),
+        min(col("header")).as("min_header"),
+        max(col("header")).as("max_header"),
+        countDistinct(col("digest")).as("n_distinct"))
+      .orderBy(col("source"))
+
+  val q33Sql: String =
+    """SELECT source, count(*) AS n_payloads,
+      | sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+      | min(substring(hex(encode(text)), 1, 8)) AS min_header,
+      | max(substring(hex(encode(text)), 1, 8)) AS max_header,
+      | count(DISTINCT sha256(text)) AS n_distinct
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** name → (query fn, oracle SQL or None). */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
+    ("q24_text_stats", q24TextStats _, Some(q24Sql)),
+    ("q25_minhash_lsh", q25MinhashLsh _, Some(q25Sql)),
+    ("q26_jaccard_exact", q26JaccardExact _, Some(q26Sql)),
+    ("q27_simhash", q27Simhash _, None),
+    ("q28_ivf_ann", q28IvfAnn _, Some(q28Sql)),
+    ("q29_langid", q29LangId _, Some(q29Sql)),
+    ("q30_quality", q30Quality _, Some(q30Sql)),
+    ("q31_token_count", q31TokenCount _, Some(q31Sql)),
+    ("q32_fingerprint", q32Fingerprint _, Some(q32Sql)),
+    ("q33_multimodal_meta", q33MultimodalMeta _, Some(q33Sql)),
+    ("q34_embed_neardup", q34EmbedNearDup _, Some(q34Sql)),
+    ("q35_exact_dedup", q35ExactDedup _, Some(q35Sql)))
+}

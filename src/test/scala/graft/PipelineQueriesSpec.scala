@@ -1,0 +1,83 @@
+package graft
+
+import graft.multimodal.{MediaPipeline, MediaRow}
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic self-checks for the LLM-pipeline operators that have no SQL
+  * oracle (SimHash, the multimodal stub pipeline) plus structural invariants
+  * for the approximate ones (LSH vs exhaustive, IVF vs brute force) at
+  * sf0.001.
+  */
+class PipelineQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash+LSH finds exactly the exhaustive-Jaccard near-dup pairs") {
+    val exact = pairs(PipelineQueries.q26JaccardExact(spark, dir))
+    val lsh = pairs(PipelineQueries.q25MinhashLsh(spark, dir))
+    assert(exact.nonEmpty, "testdata must contain planted near-dups")
+    assert(lsh == exact,
+      s"LSH (32 bands x 4) must recover all J>=0.8 pairs; missed ${exact -- lsh}")
+  }
+
+  test("SimHash blocking recovers the planted near-dup pairs") {
+    val exact = pairs(PipelineQueries.q26JaccardExact(spark, dir))
+    val sim = pairs(PipelineQueries.q27Simhash(spark, dir))
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SimHash hamming<=3 recall too low: $recall (found ${sim.size})")
+  }
+
+  test("IVF ANN results are a subset of probed exact scores with sane recall") {
+    val brute = PipelineQueries.q23CosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = PipelineQueries.q28IvfAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.size == brute.size) // both 5 queries x top-10
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // random vectors, nprobe 3/8: recall well above the 3/8 prior means the
+    // probed clusters genuinely concentrate the neighbours
+    assert(recall > 0.15 && recall <= 1.0, s"IVF recall out of range: $recall")
+  }
+
+  test("language-ID confusion matrix covers every document once") {
+    val df = PipelineQueries.q29LangId(spark, dir)
+    val total = df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("multimodal pipeline: deterministic, batch-size independent, distributed") {
+    import spark.implicits._
+    val ds = MediaPipeline.fromDocuments(spark, dir)
+    val a = MediaPipeline.extractFeatures(ds, batchSize = 7)
+      .collect().sortBy(_.media_id)
+    val b = MediaPipeline.extractFeatures(ds.repartition(5), batchSize = 64)
+      .collect().sortBy(_.media_id)
+    assert(a.length == 500)
+    assert(a.map(_.media_id).toSeq == b.map(_.media_id).toSeq)
+    // batch boundaries and partitioning must not change any output
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.n_bytes == y.n_bytes && x.header_hex == y.header_hex &&
+        x.width == y.width && x.n_frames == y.n_frames &&
+        x.feature.toSeq == y.feature.toSeq)
+    }
+    // kinds are routed through the right stub decoders
+    assert(a.filter(_.kind == "audio").forall(f => f.width == 1 && f.n_frames > 1))
+    assert(a.filter(_.kind == "image").forall(f => f.n_frames == 1 && f.width >= 64))
+    assert(a.forall(_.feature.length == MediaPipeline.FeatureDim))
+  }
+
+  test("fingerprints are stable across runs and distinct across distinct docs") {
+    val f1 = PipelineQueries.q32Fingerprint(spark, dir).collect()
+    val f2 = PipelineQueries.q32Fingerprint(spark, dir).collect()
+    assert(f1.map(_.getLong(1)).toSeq == f2.map(_.getLong(1)).toSeq)
+    assert(f1.map(_.getLong(1)).distinct.length > 45) // 50 docs, near-unique
+  }
+}
