@@ -136,8 +136,14 @@ final class MergeTreeTable private (
     * part can be N files written by N executors); 0 = one file per
     * `defaultParallelism`-ish slice, callers with a known row count should
     * pass ceil(rows / targetRowsPerFile).
+    *
+    * Concurrency: the Spark write job runs OUTSIDE the table lock — only
+    * part-id allocation and the manifest append are synchronized — so many
+    * ingest threads (or streaming micro-batches) can land parts in parallel.
+    * The reference serializes all writers behind its memtable mutex
+    * (src/merge_tree.h:34-35); batch writers have no reason to.
     */
-  def insertBatch(ds: Dataset[KVRow], partitions: Int = 0): Unit = lock.synchronized {
+  def insertBatch(ds: Dataset[KVRow], partitions: Int = 0): Unit = {
     val df = ds.toDF()
     val n = if (partitions > 0) partitions else numRangePartitions(df)
     writePart(df, n)
@@ -339,8 +345,7 @@ final class MergeTreeTable private (
     writePartInternal(df, partitions, register = true)
 
   private def writePartInternal(df: DataFrame, partitions: Int, register: Boolean): PartMetadata = {
-    val partId = nextId
-    nextId += 1
+    val partId = lock.synchronized { val id = nextId; nextId += 1; id }
     val dir = partDir(partId)
     val sorted =
       if (partitions <= 1) df.coalesce(1).sortWithinPartitions("key", "timestamp")
@@ -367,7 +372,7 @@ final class MergeTreeTable private (
       granuleCount = stats.rowGroups,
       diskSize = dirSize(Paths.get(dir)),
       creationTime = System.currentTimeMillis())
-    if (register) {
+    if (register) lock.synchronized {
       val next = Manifest(nextId, manifest.parts :+ meta)
       Manifest.store(path, next)
       manifest = next
@@ -435,7 +440,7 @@ object MergeTreeTable {
     finally s.close()
   }
 
-  private[mergetree] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     val s = Files.walk(p)
     try {
