@@ -208,6 +208,25 @@ object StorageQueries {
   val q8Sql: String = kvOracle(
     "event_type || '_' || CAST(user_id AS VARCHAR) BETWEEN 'signup_1' AND 'view_2'")
 
+  /** Q36 — the same storage queried through SQL via the DSv2 `mergetree`
+    * format (SURVEY §7 Phase 3): key-range filter pushed to the connector
+    * (manifest part pruning + parquet row-group predicate), dedup + sort
+    * applied as ordinary relational ops on top — the reference's query
+    * semantics (src/merge_tree.cpp:37-63) spelled in SQL.
+    */
+  def q36Dsv2Scan(spark: SparkSession, dir: String): DataFrame = {
+    val t = reopenedTable(spark, dir)
+    spark.read.format("mergetree").load(t.path)
+      .filter(col("key") >= "click_1" && col("key") <= "purchase_5")
+      .groupBy(col("key"), col("timestamp"))
+      .agg(max(col("value")).as("value"))
+      .select(col("key"), col("value"), col("timestamp"))
+      .orderBy(col("key"), col("timestamp"))
+  }
+
+  val q36Sql: String = kvOracle(
+    "event_type || '_' || CAST(user_id AS VARCHAR) BETWEEN 'click_1' AND 'purchase_5'")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -216,5 +235,6 @@ object StorageQueries {
     ("q5_exact_dup", q5ExactDup _, Some(q5Sql)),
     ("q6_lex_bounds", q6LexBounds _, Some(q6Sql)),
     ("q7_counts", q7Counts _, Some(q7Sql)),
-    ("q8_reopen", q8Reopen _, Some(q8Sql)))
+    ("q8_reopen", q8Reopen _, Some(q8Sql)),
+    ("q36_dsv2_scan", q36Dsv2Scan _, Some(q36Sql)))
 }
