@@ -100,9 +100,18 @@ final class MergeTreeTable private (
         while (!closed) {
           try Thread.sleep(config.mergeIntervalSeconds * 1000L)
           catch { case _: InterruptedException => }
-          if (!closed) lock.synchronized {
-            triggerFlushIfNeeded(force = memtable.nonEmpty)
-            if (shouldTriggerMerge) performMerge()
+          if (!closed) {
+            // Like the reference's worker: flush only at threshold (sub-
+            // threshold rows stay buffered until shutdown), then one merge
+            // round if over maxParts (src/merge_tree.cpp:213-222). A failed
+            // round must not kill the worker — retry next wake.
+            try lock.synchronized {
+              triggerFlushIfNeeded()
+              if (shouldTriggerMerge) performMerge()
+            } catch {
+              case e: Throwable if !closed =>
+                System.err.println(s"[mergetree-bg] merge round failed, retrying: $e")
+            }
           }
         }
       }, s"mergetree-bg-$path")

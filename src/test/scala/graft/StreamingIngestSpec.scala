@@ -1,0 +1,89 @@
+package graft
+
+import graft.mergetree._
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** SURVEY §7 Phase 5 — streaming ingest and watermarked operators:
+  * foreachBatch → insertBatch (one part per micro-batch), tumbling-window
+  * aggregation with late-data drop, dropDuplicatesWithinWatermark.
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("streaming micro-batches land as parts; results match batch ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[KVRow]
+    val t = MergeTreeTable.create(spark,
+      Files.createTempDirectory("mt_stream_").toString)
+    val q = StreamingIngest.start(t, source.toDS(),
+      Files.createTempDirectory("mt_stream_ckpt_").toString)
+    try {
+      source.addData((0 until 100).map(i => KVRow(f"s$i%03d", s"v$i", i.toLong)))
+      q.processAllAvailable()
+      source.addData((100 until 150).map(i => KVRow(f"s$i%03d", s"v$i", i.toLong)))
+      q.processAllAvailable()
+      assert(t.partCount == 2) // one part per non-empty micro-batch
+      assert(t.totalRows == 150)
+      assert(t.query("s010", "s019").collect().map(_.key).toList ==
+        (10 until 20).map(i => f"s$i%03d").toList)
+    } finally q.stop()
+    t.shutdown()
+  }
+
+  test("watermarked tumbling window drops late data and finalizes windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val events = source.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedCounts(events,
+      watermark = "10 minutes", width = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts").start()
+    try {
+      def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+      source.addData((ts(0), "click", 1.0), (ts(30), "click", 2.0), (ts(45), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time past window end + watermark → first hour finalizes
+      source.addData((ts(75), "click", 4.0))
+      q.processAllAvailable()
+      // this event is older than watermark (win already finalized) → dropped
+      source.addData((ts(20), "click", 99.0))
+      q.processAllAvailable()
+      source.addData((ts(150), "click", 5.0)) // push watermark past hour 2
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("win_start", "event_type", "n", "sum_value").collect()
+      // hour-1 windows: the late 99.0 click must NOT be counted; hour-2
+      // window finalized by the 12:30 event
+      assert(rows.map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet ==
+        Set(
+          ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+          ("2024-01-01 10:00:00.0", "view", 1L, 3.0),
+          ("2024-01-01 11:00:00.0", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-window duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, Long, Double)]
+    val events = source.toDF().toDF("ts", "user_id", "event_id", "value")
+    val q = StreamingIngest.dedupWithinWatermark(events, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      source.addData((t0, 1L, 100L, 1.0), (t0, 1L, 100L, 1.0), (t0, 2L, 200L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+      assert(rows.length == 2, s"duplicates must collapse: ${rows.mkString}")
+    } finally q.stop()
+  }
+}
