@@ -51,21 +51,32 @@ object PipelineQueries {
 
   private val R6Sql = "floor(%s * 1000000.0 + 0.5) / 1000000.0"
 
-  /** Sequential-fold cosine over two array<double> columns: dot and norms
-    * accumulate in array order, matching DuckDB's list_cosine_similarity on
-    * DOUBLE[] at 6 dp (validated empirically in the oracle harness).
+  /** Sequential-fold cosine via the native codegen Expression
+    * (graft.functions.ArrayCosineSimilarity — registered by embDouble):
+    * accumulates in array order, bit-identical to the interpreted
+    * higher-order-function formulation (proven in GraftFunctionsSpec) and to
+    * DuckDB's list_cosine_similarity on DOUBLE[] at 6 dp, but stays inside
+    * whole-stage codegen on the hot path.
     */
-  private def cosine(a: Column, b: Column): Column = {
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  /** The interpreted HOF formulation, kept for the cross-check in q23 specs
+    * and as the no-extensions fallback documentation.
+    */
+  private[queries] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
     val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+  private def embDouble(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     emb(spark, dir).select(
       col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
+  }
 
   // ------------------------------------------------------- similarity search
 
@@ -572,9 +583,58 @@ object PipelineQueries {
       | count(DISTINCT sha256(text)) AS n_distinct
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- custom expression / UDAF
+
+  /** Q37 — Q23 re-expressed with the interpreted higher-order-function
+    * cosine (aggregate + zip_with built-ins): identical results — same
+    * sequential accumulation, same oracle — demonstrating that the native
+    * codegen Expression the production path uses (q23 et al.) is a pure
+    * performance substitution, and that the operator works with zero custom
+    * extensions installed.
+    */
+  def q37CosineTopKHof(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .filter(col("qid") < 5)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        r6(cosineHof(col("qv"), col("v"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Q38 — typed UDAF (Aggregator) demonstration: per-event-type numeric
+    * summary in ONE partial-aggregable pass (map-side combine; one buffer
+    * per group crosses the shuffle).
+    */
+  def q38UdafSummary(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(expr("num_summary(value)").as("s"))
+      .select(
+        col("event_type"),
+        col("s.n").as("n"),
+        (floor(col("s.sum") * lit(100.0) + lit(0.5)).cast("double") / 100.0).as("sum_v"),
+        col("s.min").as("min_v"),
+        col("s.max").as("max_v"))
+      .orderBy(col("event_type"))
+  }
+
+  val q38Sql: String =
+    """SELECT event_type, count(value) AS n,
+      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_v,
+      | min(value) AS min_v, max(value) AS max_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** name → (query fn, oracle SQL or None). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
+    ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
+    ("q38_udaf_summary", q38UdafSummary _, Some(q38Sql)),
     ("q24_text_stats", q24TextStats _, Some(q24Sql)),
     ("q25_minhash_lsh", q25MinhashLsh _, Some(q25Sql)),
     ("q26_jaccard_exact", q26JaccardExact _, Some(q26Sql)),

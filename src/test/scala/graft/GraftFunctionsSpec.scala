@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom-function tier (SURVEY §2.2 UDF/UDAF row): the native codegen
+  * cosine Expression agrees bit-for-bit with the interpreted HOF
+  * formulation, survives both eval paths, registers via SQL, and the typed
+  * Aggregator matches built-in aggregates.
+  */
+class GraftFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("native cosine equals the higher-order-function formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val df = spark.range(200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(64)(rnd.nextDouble() - 0.5), Array.fill(64)(rnd.nextDouble() - 0.5))
+    }.toDF("id", "a", "b")
+    val hof = df.select(col("id"),
+      (aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+        (sqrt(aggregate(col("a"), lit(0.0), (s, x) => s + x * x)) *
+         sqrt(aggregate(col("b"), lit(0.0), (s, x) => s + x * x)))).as("sim"))
+    val native = df.select(col("id"),
+      call_function("cosine_similarity", col("a"), col("b")).as("sim"))
+    val h = hof.orderBy("id").collect().map(_.getDouble(1))
+    val n = native.orderBy("id").collect().map(_.getDouble(1))
+    assert(h.toSeq == n.toSeq) // exact double equality, not approximate
+  }
+
+  test("native cosine works from SQL and in interpreted (non-codegen) eval") {
+    GraftFunctions.register(spark)
+    Seq((Array(1.0, 0.0), Array(1.0, 0.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sims = spark.sql("SELECT cosine_similarity(a, b) FROM vecs")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(sims == Seq(1.0, 0.0))
+    // interpreted path: eval via filter on literal arrays inside a CASE that
+    // codegen may constant-fold; also call nullSafeEval directly
+    val e = ArrayCosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("extensions class injects the function at session-build time") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; wiring is shared with register()
+  }
+
+  test("typed Aggregator summary matches built-in aggregates") {
+    GraftFunctions.register(spark)
+    val df = spark.range(1000).map(i => (s"g${i % 3}", (i % 97).toDouble))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("agg_in")
+    val got = spark.sql(
+      """SELECT g, s.n AS n, s.sum AS sum, s.min AS min, s.max AS max
+        |FROM (SELECT g, num_summary(v) AS s FROM agg_in GROUP BY g) t
+        |ORDER BY g""".stripMargin).collect()
+    val exp = df.groupBy("g")
+      .agg(count("v"), sum("v"), min("v"), max("v")).orderBy("g").collect()
+    got.zip(exp).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-9)
+      assert(a.getDouble(3) == b.getDouble(3) && a.getDouble(4) == b.getDouble(4))
+    }
+  }
+}
