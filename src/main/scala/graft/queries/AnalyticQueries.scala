@@ -338,6 +338,166 @@ object AnalyticQueries {
       | FROM events) sub
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------- join variants Spark lacks natively
+
+  /** Q39 — AS-OF join (an operator the reference class of engines ships and
+    * Spark lacks): for each event, the most recent order of the same
+    * customer at or before the event time, composed from an equi-join on the
+    * key plus a per-event ranking window — preference order (a) of the
+    * custom-operator ladder: compose existing ops when semantics allow.
+    * Scale: one shuffle on the join key; per-event state bounded by orders
+    * per customer (skewed keys would get salting, not a different algorithm).
+    */
+  def q39AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ev.join(ord, ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val q39Sql: String =
+    """SELECT event_id, user_id, o_orderkey FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) sub
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Q40 — range (band) join: events of the same user in the preceding
+    * hour, implemented with the bucketize-then-equi-join pattern — the right
+    * side is duplicated into its own and the NEXT hour bucket, so every
+    * band pair meets in exactly one equi-bucket and the O(n·m) inequality
+    * join becomes an equi-join plus a residual band filter. Time compared as
+    * integer epoch-micros on both engines.
+    */
+  def q40RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val left = ev.withColumn("bucket", floor(col("us") / hourUs))
+    val right = ev
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("us").as("r_us"))
+      .withColumn("bucket",
+        explode(array(floor(col("r_us") / hourUs), floor(col("r_us") / hourUs) + 1)))
+    left.join(right,
+        left("user_id") === right("r_user") && left("bucket") === right("bucket") &&
+          col("r_us") >= col("us") - hourUs && col("r_us") < col("us"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("r_id")).as("n_prev_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  val q40Sql: String =
+    """SELECT e.event_id, count(p.event_id) AS n_prev_hour
+      |FROM events e LEFT JOIN events p
+      |  ON p.user_id = e.user_id
+      | AND epoch_us(p.ts) >= epoch_us(e.ts) - 3600000000
+      | AND epoch_us(p.ts) < epoch_us(e.ts)
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  /** Q41 — sessionization (gaps-and-islands): a new session starts after a
+    * 30-minute silence; per user report session count, largest session, and
+    * total events. Two windows over one shuffle on user_id; integer
+    * epoch-micros gaps so both engines agree exactly.
+    */
+  def q41Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sessioned = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("sess_events")).as("max_session_events"),
+        sum(col("sess_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q41Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sessioned AS (
+      |  SELECT user_id, event_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM marked),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, count(*) AS sess_events
+      |  FROM sessioned GROUP BY user_id, sess_id)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  max(sess_events) AS max_session_events,
+      |  sum(sess_events)::BIGINT AS n_events
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q42 — exact interpolated quantiles per group (the ordered-set
+    * aggregate ClickHouse-class engines expose as quantile()): Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the pos = q·(n−1)
+    * linear-interpolation definition; outputs go through the portable
+    * 6-dp rounding.
+    */
+  def q42Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) =
+      (floor(c * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        r6(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val q42Sql: String =
+    """SELECT event_type,
+      | floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+      | floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+      | floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q43 — structured JSON extraction: from_json into a typed struct (vs
+    * q20's path-at-a-time get_json_object), aggregated on the parsed field.
+    */
+  def q43JsonStruct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q43Sql: String =
+    """SELECT event_type, count(CAST(props->>'$.k' AS INT)) AS n,
+      | sum(CAST(props->>'$.k' AS INT))::BIGINT AS sum_k,
+      | min(CAST(props->>'$.k' AS INT)) AS min_k,
+      | max(CAST(props->>'$.k' AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** name → (query fn, oracle SQL or None). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
@@ -354,5 +514,10 @@ object AnalyticQueries {
     ("q19_set_ops", q19SetOps _, Some(q19Sql)),
     ("q20_scalar_mix", q20Scalars _, Some(q20Sql)),
     ("q21_rollup", q21Rollup _, Some(q21Sql)),
-    ("q22_dedup_latest", q22DedupLatest _, Some(q22Sql)))
+    ("q22_dedup_latest", q22DedupLatest _, Some(q22Sql)),
+    ("q39_asof_join", q39AsofJoin _, Some(q39Sql)),
+    ("q40_range_join", q40RangeJoin _, Some(q40Sql)),
+    ("q41_sessionize", q41Sessionize _, Some(q41Sql)),
+    ("q42_quantiles", q42Quantiles _, Some(q42Sql)),
+    ("q43_json_struct", q43JsonStruct _, Some(q43Sql)))
 }
