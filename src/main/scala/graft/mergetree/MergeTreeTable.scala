@@ -442,7 +442,7 @@ object MergeTreeTable {
            config: MergeTreeConfig = MergeTreeConfig()): MergeTreeTable =
     new MergeTreeTable(spark, path, config)
 
-  private[mergetree] def dirSize(p: Path): Long = {
+  private[graft] def dirSize(p: Path): Long = {
     if (!Files.exists(p)) return 0L
     val s = Files.walk(p)
     try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()

@@ -68,13 +68,22 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-class MergeTreeV2Table(path: String) extends Table with SupportsRead {
+class MergeTreeV2Table(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"mergetree:$path"
   override def schema(): StructType = MergeTreeTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MergeTreeScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(info.schema().fieldNames.toSeq == MergeTreeTable.schema.fieldNames.toSeq,
+      s"mergetree write requires columns ${MergeTreeTable.schema.fieldNames.mkString(",")}, " +
+        s"got ${info.schema().fieldNames.mkString(",")}")
+    new MergeTreeWriteBuilder(path)
+  }
 }
 
 class MergeTreeScanBuilder(path: String)
@@ -254,4 +263,136 @@ class MergeTreeRowReader(
   }
 
   override def close(): Unit = reader.close()
+}
+
+// --------------------------------------------------------------- write path
+
+/** DSv2 write: `df.write.format("mergetree").mode("append").save(path)`
+  * appends ONE new part per job — the SQL-addressable twin of
+  * MergeTreeTable.insertBatch.
+  *
+  * RequiresDistributionAndOrdering makes Spark range-partition and locally
+  * sort the incoming rows on (key, timestamp) BEFORE the write (exactly what
+  * the programmatic part write does), so every task emits one sorted parquet
+  * file and the part's footer statistics stay pruning-sharp. Tasks stage
+  * files under a job-unique staging dir; commit moves them into
+  * `part_<id>/`, reads footer stats, and appends to the manifest atomically
+  * (tmp + rename) — abort just deletes the staging dir, so failures never
+  * corrupt the table.
+  */
+class MergeTreeWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    private val sortOrder: Array[SortOrder] = Array(
+      Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("timestamp"), SortDirection.ASCENDING))
+
+    override def requiredDistribution(): Distribution = Distributions.ordered(sortOrder)
+    override def requiredOrdering(): Array[SortOrder] = sortOrder
+
+    override def toBatch: BatchWrite = new MergeTreeBatchWrite(path)
+  }
+}
+
+case class MergeTreeTaskCommit(stagedFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class MergeTreeBatchWrite(path: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingDir = s"$path/.staging_${java.util.UUID.randomUUID().toString}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MergeTreeWriterFactory(stagingDir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case MergeTreeTaskCommit(f) if f.nonEmpty => f }
+    val manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
+    val partId = math.max(manifest.version,
+      manifest.parts.map(_.partId + 1).foldLeft(0L)(math.max))
+    val partDir = Paths.get(path, s"part_$partId")
+    Files.createDirectories(partDir)
+    files.foreach { f =>
+      val src = Paths.get(f)
+      Files.move(src, partDir.resolve(src.getFileName))
+    }
+    MergeTreeTable.deleteRecursively(Paths.get(stagingDir))
+    if (files.isEmpty) { Files.deleteIfExists(partDir); return }
+    val stats = graft.mergetree.PartStats.readDir(new Configuration(), partDir.toString)
+    val meta = graft.mergetree.PartMetadata(
+      partId = partId,
+      minKey = stats.minKey, maxKey = stats.maxKey,
+      minTimestamp = stats.minTs, maxTimestamp = stats.maxTs,
+      rowCount = stats.rows, granuleCount = stats.rowGroups,
+      diskSize = MergeTreeTable.dirSize(partDir),
+      creationTime = System.currentTimeMillis())
+    Manifest.store(path, Manifest(partId + 1, manifest.parts :+ meta))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    MergeTreeTable.deleteRecursively(Paths.get(stagingDir))
+}
+
+class MergeTreeWriterFactory(stagingDir: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new MergeTreeDataWriter(stagingDir, partitionId, taskId)
+}
+
+/** Task-side parquet writer (parquet-mr example API, 8192-row row groups
+  * via the granule cap). Rows arrive already sorted by (key, timestamp).
+  */
+class MergeTreeDataWriter(stagingDir: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+  import org.apache.parquet.schema.MessageTypeParser
+
+  private val schema = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  required binary key (UTF8);
+      |  required binary value (UTF8);
+      |  required int64 timestamp;
+      |}""".stripMargin)
+  private val file = s"$stagingDir/part-$partitionId-$taskId.parquet"
+  private val conf = new Configuration()
+  locally {
+    Files.createDirectories(Paths.get(stagingDir))
+    GroupWriteSupport.setSchema(schema, conf)
+  }
+  private val writer = ExampleParquetWriter.builder(new HPath(file))
+    .withConf(conf)
+    .withRowGroupRowCountLimit(8192) // granule cap, src/granule.h:10
+    .build()
+  private val factory = new SimpleGroupFactory(schema)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    g.append("key", row.getUTF8String(0).toString)
+    g.append("value", row.getUTF8String(1).toString)
+    g.append("timestamp", row.getLong(2))
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    if (rows == 0L) { Files.deleteIfExists(Paths.get(file)); MergeTreeTaskCommit("") }
+    else MergeTreeTaskCommit(file)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    Files.deleteIfExists(Paths.get(file))
+  }
+
+  override def close(): Unit = ()
 }
