@@ -27,7 +27,13 @@ case class MergeTreeConfig(
       * At 100 TB you'd leave parquet's byte-based default; this knob exists
       * for fidelity tests at small scale.
       */
-    granuleSize: Int = 8192)
+    granuleSize: Int = 8192,
+    /** Parquet codec for part files. The reference stores raw bytes
+      * (src/serialization.cpp — no compression); ClickHouse proper defaults
+      * to LZ4/ZSTD, and at 100 TB codec choice dominates storage cost, so
+      * it's a table knob: snappy (default), zstd, lz4, gzip, none.
+      */
+    compression: String = "snappy")
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning
@@ -85,12 +91,13 @@ final class MergeTreeTable private (
 
   private val memtable = new ArrayBuffer[KVRow]()
   private val lock = new Object
-  private var manifest: Manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
+  @volatile private var manifest: Manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
   // Part-id allocator: independent of manifest commits so several parts can
   // be written before one atomic manifest swap (bin-packed optimize).
   private var nextId: Long =
     math.max(manifest.version, manifest.parts.map(_.partId + 1).foldLeft(0L)(math.max))
   @volatile private var closed = false
+  private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private val bgThread: Option[Thread] =
     if (!config.enableBackgroundMerge) None
@@ -105,9 +112,9 @@ final class MergeTreeTable private (
             // threshold rows stay buffered until shutdown), then one merge
             // round if over maxParts (src/merge_tree.cpp:213-222). A failed
             // round must not kill the worker — retry next wake.
-            try lock.synchronized {
-              triggerFlushIfNeeded()
-              if (shouldTriggerMerge) performMerge()
+            try {
+              lock.synchronized(triggerFlushIfNeeded())
+              if (shouldTriggerMerge) mergePartsSync()
             } catch {
               case e: Throwable if !closed =>
                 System.err.println(s"[mergetree-bg] merge round failed, retrying: $e")
@@ -245,38 +252,69 @@ final class MergeTreeTable private (
     * rewrites and O(n²) total I/O when n parts must come down to maxParts.
     * Observable semantics are only the end state — parts ≤ maxParts with
     * identical query results — so we bin-pack all live parts into ≤ maxParts/2
-    * key-contiguous output parts and merge each bin in ONE Spark job:
-    * O(maxParts) jobs, each data byte rewritten exactly once. The scored
-    * pairwise policy survives as `mergePartsSync` (O17 fidelity).
+    * key-contiguous output parts and merge the bins as CONCURRENT Spark
+    * jobs: wall-time is the slowest bin, each data byte rewritten exactly
+    * once. The scored pairwise policy survives as `mergePartsSync` (O17
+    * fidelity).
+    *
+    * Locking: the group snapshot and the final manifest swap hold the table
+    * lock; the merge jobs themselves do not, so batch writers keep landing
+    * parts while compaction runs — those parts survive the swap (the swap
+    * replaces only the snapshotted inputs). `compacting` serializes
+    * concurrent optimize() calls without blocking writers.
     */
-  def optimize(): Unit = lock.synchronized {
-    triggerFlushIfNeeded(force = memtable.nonEmpty)
-    if (manifest.parts.size <= config.maxParts) return
-    // Sort by minKey so each output part covers a contiguous key range —
-    // keeps part-level pruning (O8) sharp after compaction.
-    val live = manifest.parts.sortBy(p => (p.minKey, p.partId))
-    val nOut = math.max(1, config.maxParts / 2)
-    val groups = binPack(live, nOut)
-    val newMetas = groups.map { group =>
-      if (group.size == 1) group.head // singleton bin: keep as-is, no rewrite
-      else {
-        val inputs = spark.read.schema(schema)
-          .parquet(group.map(p => partDir(p.partId)): _*)
-        val merged = inputs
-          .groupBy(col("key"), col("timestamp"))
-          .agg(max(col("value")).as("value"))
-          .select(col("key"), col("value"), col("timestamp"))
-        writePartInternal(merged,
-          partitionsForRows(group.map(_.rowCount).sum), register = false)
+  def optimize(): Unit = {
+    if (!compacting.compareAndSet(false, true)) return
+    try {
+      val live = lock.synchronized {
+        triggerFlushIfNeeded(force = memtable.nonEmpty)
+        if (manifest.parts.size <= config.maxParts) return
+        // Sort by minKey so each output part covers a contiguous key range —
+        // keeps part-level pruning (O8) sharp after compaction.
+        manifest.parts.sortBy(p => (p.minKey, p.partId))
       }
-    }
-    val keptIds = newMetas.map(_.partId).toSet
-    val deadIds = live.map(_.partId).filterNot(keptIds)
-    val next = Manifest(nextId, newMetas.toList)
-    Manifest.store(path, next)
-    manifest = next
-    deadIds.foreach(id => deleteRecursively(Paths.get(partDir(id))))
+      val nOut = math.max(1, config.maxParts / 2)
+      val groups = binPack(live, nOut)
+      val newMetas =
+        if (groups.size <= 1) groups.map(mergeGroup)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(groups.map(g =>
+              scala.concurrent.Future(mergeGroup(g)))),
+            scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
+        }
+      val liveIds = live.map(_.partId).toSet
+      val keptIds = newMetas.map(_.partId).toSet
+      lock.synchronized {
+        // parts registered by concurrent writers during the merge survive
+        val survivors = manifest.parts.filterNot(p => liveIds(p.partId))
+        val next = Manifest(nextId, (survivors ++ newMetas).toList)
+        Manifest.store(path, next)
+        manifest = next
+      }
+      liveIds.filterNot(keptIds).foreach(id => deleteRecursively(Paths.get(partDir(id))))
+    } finally compacting.set(false)
   }
+
+  /** Merge one key-contiguous bin into a single part (singleton bins pass
+    * through unrewritten).
+    */
+  private def mergeGroup(group: Seq[PartMetadata]): PartMetadata =
+    if (group.size == 1) group.head
+    else {
+      val inputs = spark.read.schema(schema)
+        .parquet(group.map(p => partDir(p.partId)): _*)
+      val merged = inputs
+        .groupBy(col("key"), col("timestamp"))
+        .agg(max(col("value")).as("value"))
+        .select(col("key"), col("value"), col("timestamp"))
+      writePartInternal(merged,
+        partitionsForRows(group.map(_.rowCount).sum), register = false)
+    }
 
   /** Greedy contiguous bin-packing of minKey-sorted parts into ≤ nOut bins,
     * balanced by row count.
@@ -297,8 +335,16 @@ final class MergeTreeTable private (
     bins.filter(_.nonEmpty).map(_.toSeq).toSeq
   }
 
-  /** Synchronous single merge round (src/merge_tree.cpp:93-97). */
-  def mergePartsSync(): Boolean = lock.synchronized { performMerge() }
+  /** Synchronous single scored merge round (src/merge_tree.cpp:93-97) if
+    * over maxParts; no-op while an optimize() is compacting (the same
+    * `compacting` flag keeps the two maintenance paths from racing on each
+    * other's input dirs).
+    */
+  def mergePartsSync(): Boolean = {
+    if (!compacting.compareAndSet(false, true)) return false
+    try lock.synchronized { performMerge() }
+    finally compacting.set(false)
+  }
 
   private def shouldTriggerMerge: Boolean =
     // Reference: should_trigger_merge (src/merge_tree.cpp:240-243).
@@ -365,6 +411,7 @@ final class MergeTreeTable private (
       // row-group row-count cap (parquet-hadoop ParquetOutputFormat), not
       // the page-level one round 1 used by mistake.
       .option("parquet.block.row.count.limit", config.granuleSize)
+      .option("compression", config.compression)
       .mode("overwrite")
       .parquet(dir)
     // Part metadata comes from the parquet footers the write just produced —

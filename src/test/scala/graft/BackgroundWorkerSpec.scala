@@ -55,6 +55,26 @@ class BackgroundWorkerSpec extends AnyFunSuite {
     assert(t.memtableSize == 0 && t.partCount == 1) // shutdown flushes
   }
 
+  test("parts landed while optimize() is compacting survive the manifest swap") {
+    val t = MergeTreeTable.create(spark,
+      Files.createTempDirectory("mt_race_").toString,
+      MergeTreeConfig(memtableFlushThreshold = 1000, maxParts = 4))
+    (0 until 8).foreach { b =>
+      t.insertBatch(spark.range(100).map(i => KVRow(f"r${b}_$i%03d", s"v$i", i)), 1)
+    }
+    val opt = new Thread(() => t.optimize())
+    opt.start()
+    // land more parts while compaction may be running
+    (8 until 12).foreach { b =>
+      t.insertBatch(spark.range(100).map(i => KVRow(f"r${b}_$i%03d", s"v$i", i)), 1)
+    }
+    opt.join(60000)
+    assert(!opt.isAlive)
+    assert(t.totalRows == 1200, s"rows lost in the swap: ${t.totalRows}")
+    assert(t.fullScan().count() == 1200)
+    t.shutdown()
+  }
+
   test("concurrent inserts during background merging neither deadlock nor lose rows") {
     val t = MergeTreeTable.create(spark,
       Files.createTempDirectory("mt_bg3_").toString,

@@ -33,4 +33,26 @@ class GranuleFidelitySpec extends AnyFunSuite {
       "manifest granuleCount must equal actual row-group count")
     t.shutdown()
   }
+
+  test("compression codec config reaches the part files") {
+    val t = MergeTreeTable.create(spark,
+      Files.createTempDirectory("mt_zstd_").toString,
+      MergeTreeConfig(compression = "zstd"))
+    t.insertBatch(spark.range(500).map(i => KVRow(f"c$i%04d", s"v$i" * 10, i)), 1)
+    val dir = s"${t.path}/part_${t.parts.head.partId}"
+    import scala.jdk.CollectionConverters._
+    val codecs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString),
+            spark.sessionState.newHadoopConf()))
+        try r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toList
+        finally r.close()
+      }.toSet
+    assert(codecs == Set("ZSTD"), s"expected ZSTD part files, got $codecs")
+    assert(t.query("c0000", "c0499").count() == 500) // still readable
+    t.shutdown()
+  }
 }
