@@ -56,6 +56,24 @@ object Demo {
     println("== compat reader over C++-written fixture data/test_basic:")
     RefFormatReader.readTable(spark, "/root/reference/data/test_basic").show(false)
     t2.shutdown()
+
+    // SQL access through the DSv2 connector (round 2)
+    println("== SQL over the same table via format(\"mergetree\"):")
+    spark.read.format("mergetree").load(dir).createOrReplaceTempView("mt_demo")
+    spark.sql(
+      """SELECT key, max(value) AS value, timestamp FROM mt_demo
+        |WHERE key BETWEEN 'key05' AND 'key08'
+        |GROUP BY key, timestamp ORDER BY key, timestamp""".stripMargin).show(false)
+
+    // LLM-pipeline operators over the driver testdata (round 2)
+    val sf = "/root/testdata/sf0.001"
+    println("== cosine top-3 neighbours of vec_id 0 (native codegen expression):")
+    queries.PipelineQueries.q23CosineTopK(spark, sf)
+      .filter("qid = 0 AND rnk <= 3").show(false)
+    println("== near-duplicate document pairs (MinHash+LSH, exact-verified):")
+    queries.PipelineQueries.q25MinhashLsh(spark, sf).show(5, truncate = false)
+    println("== per-language corpus stats:")
+    queries.PipelineQueries.q24TextStats(spark, sf).show(false)
     spark.stop()
   }
 }

@@ -64,8 +64,17 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("mergetree: path required"))
-    new MergeTreeV2Table(path)
+    new MergeTreeV2Table(MergeTreeTableProvider.localPath(path))
   }
+}
+
+object MergeTreeTableProvider {
+  /** Catalog LOCATIONs arrive as `file:` URIs; the engine works on local
+    * filesystem paths — normalize once at the provider boundary.
+    */
+  private[sources] def localPath(p: String): String =
+    if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
 }
 
 class MergeTreeV2Table(path: String) extends Table

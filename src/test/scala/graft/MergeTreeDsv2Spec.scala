@@ -87,6 +87,24 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().hasNext)
   }
 
+  test("full SQL DDL lifecycle: CREATE TABLE ... USING mergetree, INSERT, SELECT") {
+    val dir = Files.createTempDirectory("mt_ddl_").toString
+    spark.sql("DROP TABLE IF EXISTS mt_ddl")
+    // schema comes from the provider (inferSchema); LOCATION arrives as a
+    // file: URI and is normalized at the provider boundary
+    spark.sql(s"CREATE TABLE mt_ddl USING mergetree LOCATION '$dir'")
+    spark.sql("""INSERT INTO mt_ddl VALUES
+      ('a', 'v1', CAST(1 AS BIGINT)), ('b', 'v2', CAST(2 AS BIGINT))""")
+    spark.sql("INSERT INTO mt_ddl VALUES ('c', 'v3', CAST(3 AS BIGINT))")
+    val rows = spark.sql("SELECT * FROM mt_ddl ORDER BY key").as[KVRow].collect().toList
+    assert(rows == List(KVRow("a", "v1", 1L), KVRow("b", "v2", 2L), KVRow("c", "v3", 3L)))
+    // the SQL table IS a MergeTree table: programmatic open sees the parts
+    val t = MergeTreeTable.open(spark, dir)
+    assert(t.partCount == 2 && t.totalRows == 3)
+    t.shutdown()
+    spark.sql("DROP TABLE mt_ddl")
+  }
+
   test("SQL over the connector matches the programmatic query path") {
     val t = buildTable()
     spark.read.format("mergetree").load(t.path).createOrReplaceTempView("mt")
