@@ -150,10 +150,29 @@ class MergeTreeScan(
     required: StructType,
     lo: Option[String],
     hi: Option[String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Manifest-derived statistics for the pruned scan, so Catalyst can size
+    * joins (broadcast vs shuffle) over mergetree tables without listing
+    * files — the metadata-only stats path of O24.
+    */
+  override def estimateStatistics(): Statistics = {
+    val manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
+    val surviving = (lo, hi) match {
+      case (None, None) => manifest.parts
+      case _ => manifest.parts.filter(p =>
+        p.overlapsRange(lo.getOrElse(p.minKey), hi.getOrElse(p.maxKey)))
+    }
+    val bytes = surviving.map(_.diskSize).sum
+    val rows = surviving.map(_.rowCount).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String = {
     val range = (lo, hi) match {
