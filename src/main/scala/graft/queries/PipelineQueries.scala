@@ -278,14 +278,17 @@ object PipelineQueries {
     val numHashes = 96
     val bandRows = 4
     val numBands = numHashes / bandRows // 24
-    // The distinct-shingle set feeds three subtrees (signatures, counts,
-    // verification sets) — cache it so the explode+distinct shuffle runs
-    // once. Size is bounded by corpus tokens, far below executor memory.
-    val dsh = shingleDf(spark, dir).persist()
+    // ONE aggregation pass per document computes all 96 min-hashes AND the
+    // shingle set used for exact verification — the signature pass and the
+    // verification-set pass share their shuffle. The set is bounded by doc
+    // length (≈ tokens), so the row stays small.
+    val dsh = shingleDf(spark, dir)
     val sigAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")) :+
+      collect_set(col("shingle")).as("sh")
     val sigs = dsh.groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
+      .persist() // feeds the band join (twice) and the verification join
     val bandCols = (0 until numBands).map { b =>
       val hs = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
@@ -298,9 +301,8 @@ object PipelineQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // Exact verification of candidates: join to per-doc shingle sets.
-    val sets = dsh.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("sh"))
+    // Exact verification of candidates: join back to the per-doc sets.
+    val sets = sigs.select(col("doc_id"), col("sh"))
     val withSets = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
