@@ -260,7 +260,8 @@ final class MergeTreeTable private (
     * Locking: the group snapshot and the final manifest swap hold the table
     * lock; the merge jobs themselves do not, so batch writers keep landing
     * parts while compaction runs — those parts survive the swap (the swap
-    * replaces only the snapshotted inputs). `compacting` serializes
+    * replaces only the snapshotted inputs). A concurrent optimize() while
+    * one is in flight is a no-op — `compacting` gates
     * concurrent optimize() calls without blocking writers.
     */
   def optimize(): Unit = {

@@ -330,6 +330,11 @@ class MergeTreeWriteBuilder(path: String)
 case class MergeTreeTaskCommit(stagedFile: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+object MergeTreeBatchWrite {
+  /** JVM-wide commit serialization for connector writes (see commit()). */
+  private[sources] val commitLock = new Object
+}
+
 class MergeTreeBatchWrite(path: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -339,7 +344,13 @@ class MergeTreeBatchWrite(path: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MergeTreeWriterFactory(stagingDir)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // Concurrent jobs writing the same table would both derive the next
+    // part id from the manifest — serialize the (cheap) commit section.
+    // Same single-driver assumption as the engine's coarse lock.
+    MergeTreeBatchWrite.commitLock.synchronized { commitLocked(messages) }
+
+  private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case MergeTreeTaskCommit(f) if f.nonEmpty => f }
     val manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
     val partId = math.max(manifest.version,
