@@ -1,0 +1,259 @@
+package graft.mergetree
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Schema-generic MergeTree table — the generalization SURVEY §1.4 calls
+  * "ClickHouse's real model": an arbitrary `StructType` with a declared
+  * ORDER BY key list, of which `KVRow`'s (key, timestamp) table
+  * (MergeTreeTable) is the fixed-schema compatibility case.
+  *
+  * Same physical design as the compat table: immutable sorted parquet part
+  * directories + an atomic JSON manifest carrying min/max of the LEADING
+  * order-by column for driver-side part pruning (O8); row groups capped at
+  * granuleSize so footer statistics play the sparse index (O6/O7). Batch
+  * ingest only — the row-at-a-time memtable is a compatibility-surface
+  * concern, a generic analytical table ingests micro-batches (streaming
+  * included) as parts.
+  *
+  * Pruning supports string- and integral-typed leading keys (the common
+  * ClickHouse layouts); other leading-key types skip part pruning and rely
+  * on parquet row-group stats — correctness never depends on pruning.
+  */
+final class ColumnarMergeTree private (
+    val spark: SparkSession,
+    val path: String,
+    val schema: StructType,
+    val orderBy: Seq[String],
+    val config: MergeTreeConfig) {
+
+  import ColumnarMergeTree._
+
+  require(orderBy.nonEmpty && orderBy.forall(schema.fieldNames.contains),
+    s"orderBy ${orderBy.mkString(",")} must be columns of the schema")
+
+  private val lock = new Object
+  @volatile private var manifest: GManifest =
+    GManifest.load(path).getOrElse(GManifest(0L, Nil))
+  private var nextId: Long =
+    math.max(manifest.version, manifest.parts.map(_.partId + 1).foldLeft(0L)(math.max))
+
+  private def leadKey: String = orderBy.head
+  private def leadIsNumeric: Boolean = schema(leadKey).dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _                                             => false
+  }
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Append a batch as one sorted part (the only ingest path; concurrent
+    * callers are safe — the write job runs outside the lock).
+    */
+  def insertBatch(df: DataFrame, partitions: Int = 0): Unit = {
+    require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+      s"batch schema ${df.schema.fieldNames.mkString(",")} != table schema")
+    writePart(df, partitions)
+  }
+
+  private def writePart(df: DataFrame, partitions: Int): GPartMeta = {
+    val partId = lock.synchronized { val id = nextId; nextId += 1; id }
+    val dir = s"$path/part_$partId"
+    val sortCols = orderBy.map(col)
+    val n = if (partitions > 0) partitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism, 32))
+    val sorted =
+      if (n <= 1) df.coalesce(1).sortWithinPartitions(sortCols: _*)
+      else df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    sorted.write
+      .option("parquet.block.row.count.limit", config.granuleSize)
+      .option("compression", config.compression)
+      .mode("overwrite")
+      .parquet(dir)
+    val (minK, maxK, rows, groups) = footerBounds(dir, leadKey)
+    val meta = GPartMeta(partId, minK, maxK, leadIsNumeric, rows, groups,
+      MergeTreeTable.dirSize(Paths.get(dir)), System.currentTimeMillis())
+    lock.synchronized {
+      manifest = GManifest(nextId, manifest.parts :+ meta)
+      GManifest.store(path, manifest)
+    }
+    meta
+  }
+
+  private def footerBounds(dir: String, keyCol: String): (String, String, Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    var minS: String = null; var maxS: String = null
+    var minL = Long.MaxValue; var maxL = Long.MinValue
+    var rows = 0L; var groups = 0L
+    val files = Files.list(Paths.get(dir))
+    val parquetFiles =
+      try files.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally files.close()
+    parquetFiles.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f.toString), conf))
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        if (b.getRowCount > 0) {
+          rows += b.getRowCount; groups += 1
+          b.getColumns.asScala.find(_.getPath.toDotString == keyCol).foreach { c =>
+            val s = c.getStatistics
+            if (s != null && s.hasNonNullValue) s.genericGetMin match {
+              case bin: Binary =>
+                val lo = bin.toStringUsingUTF8
+                val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                if (minS == null || lo < minS) minS = lo
+                if (maxS == null || hi > maxS) maxS = hi
+              case n: Number =>
+                minL = math.min(minL, n.longValue())
+                maxL = math.max(maxL, s.genericGetMax.asInstanceOf[Number].longValue())
+              case _ => ()
+            }
+          }
+        }
+      } finally r.close()
+    }
+    if (leadIsNumeric) (minL.toString, maxL.toString, rows, math.max(1, groups))
+    else (Option(minS).getOrElse(""), Option(maxS).getOrElse(""), rows, math.max(1, groups))
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** Full table scan (reads only surviving manifest parts). */
+  def scan(): DataFrame = scanPruned(None, None)
+
+  /** Range scan on the leading order-by key, inclusive both ends like the
+    * reference (src/granule.cpp:57); the predicate is applied in the plan
+    * (pushed to parquet) AND used for driver-side part pruning.
+    */
+  def rangeScan(lo: Any, hi: Any): DataFrame =
+    scanPruned(Some(lo), Some(hi))
+      .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi))
+
+  private def scanPruned(lo: Option[Any], hi: Option[Any]): DataFrame = {
+    val live = manifest.parts
+    val surviving = (lo, hi) match {
+      case (Some(l), Some(h)) => live.filter(_.overlaps(l, h))
+      case _                  => live
+    }
+    lastPruning = (surviving.size, live.size)
+    if (surviving.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(surviving.map(p => s"$path/part_${p.partId}"): _*)
+  }
+
+  /** (planned, total) parts at the last scan — test/diagnostic hook. */
+  @volatile var lastPruning: (Int, Int) = (0, 0)
+
+  // ----------------------------------------------------------- maintenance
+
+  /** Bin-packed compaction to ≤ maxParts, one rewrite per byte (same design
+    * as MergeTreeTable.optimize, without the dedup aggregate — a generic
+    * table has no (key,version) collapse semantics unless the user asks;
+    * compaction preserves rows exactly).
+    */
+  def optimize(): Unit = lock.synchronized {
+    if (manifest.parts.size <= config.maxParts) return
+    val live = manifest.parts.sortBy(p => (p.minKey, p.partId))
+    val nOut = math.max(1, config.maxParts / 2)
+    val target = (live.map(_.rowCount).sum + nOut - 1) / nOut
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[GPartMeta])
+    var acc = 0L
+    live.foreach { p =>
+      if (acc >= target && bins.size < nOut) {
+        bins += scala.collection.mutable.ArrayBuffer.empty[GPartMeta]; acc = 0L
+      }
+      bins.last += p; acc += p.rowCount
+    }
+    val newMetas = bins.filter(_.nonEmpty).map { bin =>
+      if (bin.size == 1) bin.head
+      else {
+        val merged = spark.read.schema(schema)
+          .parquet(bin.map(p => s"$path/part_${p.partId}").toSeq: _*)
+        writePart(merged, 0)
+      }
+    }
+    val liveIds = live.map(_.partId).toSet
+    val keptIds = newMetas.map(_.partId).toSet
+    // writePart already registered the merged parts — drop both the merge
+    // inputs and those just-registered entries, then append the final list
+    // so each output part appears exactly once.
+    manifest = GManifest(nextId,
+      manifest.parts.filterNot(p => liveIds(p.partId) || keptIds(p.partId))
+        .toList ++ newMetas)
+    GManifest.store(path, manifest)
+    liveIds.filterNot(keptIds).foreach(id =>
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+  }
+
+  def partCount: Int = manifest.parts.size
+  def totalRows: Long = manifest.parts.map(_.rowCount).sum
+}
+
+object ColumnarMergeTree {
+
+  def create(spark: SparkSession, path: String, schema: StructType,
+             orderBy: Seq[String],
+             config: MergeTreeConfig = MergeTreeConfig()): ColumnarMergeTree = {
+    Files.createDirectories(Paths.get(path))
+    new ColumnarMergeTree(spark, path, schema, orderBy, config)
+  }
+
+  def open(spark: SparkSession, path: String, schema: StructType,
+           orderBy: Seq[String],
+           config: MergeTreeConfig = MergeTreeConfig()): ColumnarMergeTree =
+    new ColumnarMergeTree(spark, path, schema, orderBy, config)
+
+  /** Part metadata with leading-key bounds kept as strings plus a numeric
+    * flag, so one manifest format serves string and integral keys with
+    * correct comparison semantics.
+    */
+  case class GPartMeta(
+      partId: Long,
+      minKey: String,
+      maxKey: String,
+      numericKey: Boolean,
+      rowCount: Long,
+      granuleCount: Long,
+      diskSize: Long,
+      creationTime: Long) {
+
+    def overlaps(lo: Any, hi: Any): Boolean =
+      if (numericKey) {
+        val l = lo.toString.toLong; val h = hi.toString.toLong
+        !(maxKey.toLong < l || minKey.toLong > h)
+      } else {
+        val l = lo.toString; val h = hi.toString
+        !(maxKey < l || minKey > h)
+      }
+  }
+
+  case class GManifest(version: Long, parts: List[GPartMeta])
+
+  object GManifest {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val formats: Formats = DefaultFormats
+
+    def load(tablePath: String): Option[GManifest] = {
+      val f = Paths.get(tablePath, "gmanifest.json")
+      if (!Files.exists(f)) None
+      else Some(JsonMethods.parse(Files.readString(f)).extract[GManifest])
+    }
+
+    def store(tablePath: String, m: GManifest): Unit = {
+      Files.createDirectories(Paths.get(tablePath))
+      val tmp = Paths.get(tablePath, ".gmanifest.json.tmp")
+      Files.writeString(tmp, Serialization.writePretty(m))
+      Files.move(tmp, Paths.get(tablePath, "gmanifest.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}

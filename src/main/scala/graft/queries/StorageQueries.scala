@@ -227,6 +227,40 @@ object StorageQueries {
   val q36Sql: String = kvOracle(
     "event_type || '_' || CAST(user_id AS VARCHAR) BETWEEN 'click_1' AND 'purchase_5'")
 
+  /** Q44 — the schema-generic MergeTree (arbitrary StructType + declared
+    * ORDER BY, SURVEY §1.4's "ClickHouse's real model"): lineitem stored
+    * ORDER BY (l_orderkey, l_linenumber) across key-range parts, then a
+    * pruned numeric range scan aggregated — results must equal the same
+    * query over the raw parquet.
+    */
+  def q44GenericTable(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir, {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q44_").toString,
+        li.schema, orderBy = Seq("l_orderkey", "l_linenumber"))
+      val cuts = Seq(0L, 500L, 1000L, 1500L, Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        tbl.insertBatch(li.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi))
+      }
+      tbl
+    })
+    t.rangeScan(400L, 1200L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("l_quantity")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val cacheG = TrieMap.empty[String, ColumnarMergeTree]
+
+  val q44Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+      |FROM lineitem WHERE l_orderkey BETWEEN 400 AND 1200
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -236,5 +270,6 @@ object StorageQueries {
     ("q6_lex_bounds", q6LexBounds _, Some(q6Sql)),
     ("q7_counts", q7Counts _, Some(q7Sql)),
     ("q8_reopen", q8Reopen _, Some(q8Sql)),
-    ("q36_dsv2_scan", q36Dsv2Scan _, Some(q36Sql)))
+    ("q36_dsv2_scan", q36Dsv2Scan _, Some(q36Sql)),
+    ("q44_generic_table", q44GenericTable _, Some(q44Sql)))
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Schema-generic MergeTree (SURVEY §1.4 "generalize to arbitrary
+  * StructType with a declared ORDER BY"): numeric and string leading keys,
+  * part pruning with correct per-type comparison, compaction invariance,
+  * reopen.
+  */
+class ColumnarMergeTreeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("numeric leading key: range scan prunes parts and matches direct filter") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = Files.createTempDirectory("cmt_num_").toString
+    val t = ColumnarMergeTree.create(spark, dir, li.schema,
+      orderBy = Seq("l_orderkey", "l_linenumber"))
+    // three key-disjoint parts (numeric ranges where string compare would
+    // mis-prune: 900 < 1000 numerically but "900" > "1000" as strings)
+    t.insertBatch(li.filter(col("l_orderkey") < 500))
+    t.insertBatch(li.filter(col("l_orderkey") >= 500 && col("l_orderkey") < 1000))
+    t.insertBatch(li.filter(col("l_orderkey") >= 1000))
+    assert(t.partCount == 3)
+    val got = t.rangeScan(900L, 1100L)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val exp = li.filter(col("l_orderkey") >= 900 && col("l_orderkey") <= 1100)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(got.toSeq == exp.toSeq)
+    assert(t.lastPruning == (2, 3),
+      s"900..1100 must touch exactly parts 2 and 3: ${t.lastPruning}")
+    assert(t.totalRows == li.count())
+  }
+
+  test("string leading key: pruning respects lexicographic bounds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("cmt_str_").toString
+    val t = ColumnarMergeTree.create(spark, dir, docs.schema,
+      orderBy = Seq("lang", "doc_id"))
+    t.insertBatch(docs.filter(col("lang") < "es"))
+    t.insertBatch(docs.filter(col("lang") >= "es"))
+    val got = t.rangeScan("en", "es").select(countDistinct("lang")).collect()(0).getLong(0)
+    assert(got == 2) // en + es
+    assert(t.lastPruning == (2, 2)) // "en".."es" straddles both parts
+    val deOnly = t.rangeScan("de", "de")
+    assert(deOnly.count() == docs.filter(col("lang") === "de").count())
+    assert(t.lastPruning == (1, 2), "de-only range must prune the es+ part")
+  }
+
+  test("optimize compacts without changing rows; reopen sees the same table") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dir = Files.createTempDirectory("cmt_opt_").toString
+    val t = ColumnarMergeTree.create(spark, dir, orders.schema,
+      orderBy = Seq("o_orderkey"), MergeTreeConfig(maxParts = 2))
+    (0 until 6).foreach(i => t.insertBatch(orders.filter(col("o_orderkey") % 6 === i)))
+    assert(t.partCount == 6)
+    val before = t.scan().orderBy("o_orderkey").collect().toSeq
+    t.optimize()
+    assert(t.partCount <= 2)
+    assert(t.scan().orderBy("o_orderkey").collect().toSeq == before)
+    val t2 = ColumnarMergeTree.open(spark, dir, orders.schema, Seq("o_orderkey"))
+    assert(t2.totalRows == orders.count())
+    assert(t2.scan().orderBy("o_orderkey").collect().toSeq == before)
+  }
+}
