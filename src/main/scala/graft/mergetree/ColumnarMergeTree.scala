@@ -11,6 +11,28 @@ import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
+/** Merge semantics of a generic table — the ClickHouse table-engine family:
+  * Plain appends (MergeTree), keep-latest-version per key
+  * (ReplacingMergeTree), and sum-on-merge per key (SummingMergeTree).
+  * Collapse is applied BOTH at read time (merge-on-read over parts not yet
+  * compacted) and inside compaction merges; both are safe under partial
+  * application because max-of-version and sum are associative — a key
+  * spanning two merge bins re-collapses at read.
+  */
+sealed trait MergeMode
+object MergeMode {
+  case object Plain extends MergeMode
+  /** Keep the row with the greatest `versionCol` per `keyCols` group;
+    * versionCol must be unique within a key group for determinism (like the
+    * reference's unique u64 timestamps).
+    */
+  final case class Replacing(keyCols: Seq[String], versionCol: String) extends MergeMode
+  /** Sum `sumCols` per `keyCols` group; remaining non-key columns collapse
+    * to max() (a deterministic refinement of ClickHouse's "any value").
+    */
+  final case class Summing(keyCols: Seq[String], sumCols: Seq[String]) extends MergeMode
+}
+
 /** Schema-generic MergeTree table — the generalization SURVEY §1.4 calls
   * "ClickHouse's real model": an arbitrary `StructType` with a declared
   * ORDER BY key list, of which `KVRow`'s (key, timestamp) table
@@ -33,12 +55,25 @@ final class ColumnarMergeTree private (
     val path: String,
     val schema: StructType,
     val orderBy: Seq[String],
-    val config: MergeTreeConfig) {
+    val config: MergeTreeConfig,
+    val mode: MergeMode) {
 
   import ColumnarMergeTree._
 
   require(orderBy.nonEmpty && orderBy.forall(schema.fieldNames.contains),
     s"orderBy ${orderBy.mkString(",")} must be columns of the schema")
+  mode match {
+    case MergeMode.Replacing(keys, v) =>
+      require((keys :+ v).forall(schema.fieldNames.contains), "bad Replacing columns")
+      require(keys.contains(orderBy.head),
+        "Replacing keyCols must include the leading order-by key so part " +
+          "pruning commutes with the collapse")
+    case MergeMode.Summing(keys, sums) =>
+      require((keys ++ sums).forall(schema.fieldNames.contains), "bad Summing columns")
+      require(keys.contains(orderBy.head),
+        "Summing keyCols must include the leading order-by key")
+    case MergeMode.Plain => ()
+  }
 
   private val lock = new Object
   @volatile private var manifest: GManifest =
@@ -124,16 +159,39 @@ final class ColumnarMergeTree private (
 
   // ----------------------------------------------------------------- query
 
-  /** Full table scan (reads only surviving manifest parts). */
-  def scan(): DataFrame = scanPruned(None, None)
+  /** Full table scan: surviving manifest parts, with the table's merge-mode
+    * collapse applied (merge-on-read over not-yet-compacted parts).
+    */
+  def scan(): DataFrame = collapse(scanPruned(None, None))
+
+  /** Uncollapsed view of the raw part rows, for diagnostics. */
+  def rawScan(): DataFrame = scanPruned(None, None)
 
   /** Range scan on the leading order-by key, inclusive both ends like the
     * reference (src/granule.cpp:57); the predicate is applied in the plan
-    * (pushed to parquet) AND used for driver-side part pruning.
+    * (pushed to parquet) AND used for driver-side part pruning. The collapse
+    * commutes with the filter because keyCols include the leading key
+    * (enforced in the constructor).
     */
   def rangeScan(lo: Any, hi: Any): DataFrame =
-    scanPruned(Some(lo), Some(hi))
-      .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi))
+    collapse(scanPruned(Some(lo), Some(hi))
+      .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi)))
+
+  /** Apply the table's merge semantics to a row set. */
+  private def collapse(df: DataFrame): DataFrame = mode match {
+    case MergeMode.Plain => df
+    case MergeMode.Replacing(keys, version) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    case MergeMode.Summing(keys, sums) =>
+      val others = schema.fieldNames.filterNot(f => keys.contains(f) || sums.contains(f))
+      val aggs = sums.map(s => sum(col(s)).as(s)) ++ others.map(o => max(col(o)).as(o))
+      df.groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(schema.fieldNames.map(col): _*)
+  }
 
   private def scanPruned(lo: Option[Any], hi: Option[Any]): DataFrame = {
     val live = manifest.parts
@@ -175,8 +233,10 @@ final class ColumnarMergeTree private (
     val newMetas = bins.filter(_.nonEmpty).map { bin =>
       if (bin.size == 1) bin.head
       else {
-        val merged = spark.read.schema(schema)
-          .parquet(bin.map(p => s"$path/part_${p.partId}").toSeq: _*)
+        // collapse inside the merge like the reference's k-way merge dedup
+        // (partial application is safe — see MergeMode)
+        val merged = collapse(spark.read.schema(schema)
+          .parquet(bin.map(p => s"$path/part_${p.partId}").toSeq: _*))
         writePart(merged, 0)
       }
     }
@@ -201,15 +261,17 @@ object ColumnarMergeTree {
 
   def create(spark: SparkSession, path: String, schema: StructType,
              orderBy: Seq[String],
-             config: MergeTreeConfig = MergeTreeConfig()): ColumnarMergeTree = {
+             config: MergeTreeConfig = MergeTreeConfig(),
+             mode: MergeMode = MergeMode.Plain): ColumnarMergeTree = {
     Files.createDirectories(Paths.get(path))
-    new ColumnarMergeTree(spark, path, schema, orderBy, config)
+    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode)
   }
 
   def open(spark: SparkSession, path: String, schema: StructType,
            orderBy: Seq[String],
-           config: MergeTreeConfig = MergeTreeConfig()): ColumnarMergeTree =
-    new ColumnarMergeTree(spark, path, schema, orderBy, config)
+           config: MergeTreeConfig = MergeTreeConfig(),
+           mode: MergeMode = MergeMode.Plain): ColumnarMergeTree =
+    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode)
 
   /** Part metadata with leading-key bounds kept as strings plus a numeric
     * flag, so one manifest format serves string and integral keys with

@@ -255,6 +255,85 @@ object StorageQueries {
 
   private val cacheG = TrieMap.empty[String, ColumnarMergeTree]
 
+  private def eventsSlim(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+
+  private def chunkedInsert(t: ColumnarMergeTree, df: DataFrame, n: Long): Unit =
+    (0 to 3).map(i => (i * n / 4, (i + 1) * n / 4)).foreach { case (lo, hi) =>
+      if (lo < hi) t.insertBatch(
+        df.filter(col("event_id") >= lo && col("event_id") < hi))
+    }
+
+  /** Q45 — ReplacingMergeTree semantics (keep greatest version per key) on
+    * the generic table: versions of a key land in different parts and the
+    * collapse happens at READ time (merge-on-read) — the ClickHouse
+    * table-engine flavor of Q22's keep-latest dedup, pushed into storage.
+    */
+  def q45Replacing(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#replacing", {
+      val ev = eventsSlim(spark, dir)
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q45_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_type", "event_id"),
+        mode = MergeMode.Replacing(Seq("user_id", "event_type"), "event_id"))
+      chunkedInsert(tbl, ev, ev.count())
+      tbl
+    })
+    t.scan()
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+          .as("value_r"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q45Sql: String =
+    """SELECT user_id, event_type, event_id,
+      | floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_r
+      |FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events) sub
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** Q46 — SummingMergeTree semantics (sum value columns per key) on the
+    * generic table: partial sums collapse inside compaction merges
+    * (optimize runs first) AND at read — sum associativity makes partial
+    * application safe even when a key straddles merge bins.
+    */
+  def q46Summing(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#summing", {
+      val ev = eventsSlim(spark, dir).select(
+        col("user_id"), col("event_type"), col("value"))
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q46_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_type"),
+        MergeTreeConfig(maxParts = 2),
+        mode = MergeMode.Summing(Seq("user_id", "event_type"), Seq("value")))
+      val full = eventsSlim(spark, dir)
+      val n = spark.read.parquet(s"$dir/events.parquet").count()
+      (0 to 3).map(i => (i * n / 4, (i + 1) * n / 4)).foreach { case (lo, hi) =>
+        if (lo < hi) tbl.insertBatch(
+          full.filter(col("event_id") >= lo && col("event_id") < hi)
+            .select(col("user_id"), col("event_type"), col("value")))
+      }
+      tbl
+    })
+    t.optimize() // collapse-in-merge path (idempotent once <= maxParts)
+    t.scan()
+      .select(col("user_id"), col("event_type"),
+        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+          .as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q46Sql: String =
+    """SELECT user_id, event_type,
+      | floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val q44Sql: String =
     """SELECT l_returnflag, count(*) AS n,
       | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
@@ -271,5 +350,7 @@ object StorageQueries {
     ("q7_counts", q7Counts _, Some(q7Sql)),
     ("q8_reopen", q8Reopen _, Some(q8Sql)),
     ("q36_dsv2_scan", q36Dsv2Scan _, Some(q36Sql)),
-    ("q44_generic_table", q44GenericTable _, Some(q44Sql)))
+    ("q44_generic_table", q44GenericTable _, Some(q44Sql)),
+    ("q45_replacing_mt", q45Replacing _, Some(q45Sql)),
+    ("q46_summing_mt", q46Summing _, Some(q46Sql)))
 }

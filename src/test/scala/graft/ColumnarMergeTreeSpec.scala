@@ -53,6 +53,44 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(t.lastPruning == (1, 2), "de-only range must prune the es+ part")
   }
 
+  test("Replacing mode keeps the greatest version per key across parts") {
+    import spark.implicits._
+    val schema = Seq(("k1", 1L, "old")).toDF("k", "ver", "payload").schema
+    val dir = Files.createTempDirectory("cmt_repl_").toString
+    val t = ColumnarMergeTree.create(spark, dir, schema,
+      orderBy = Seq("k", "ver"),
+      mode = graft.mergetree.MergeMode.Replacing(Seq("k"), "ver"))
+    t.insertBatch(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "ver", "payload"))
+    t.insertBatch(Seq(("a", 3L, "a3"), ("c", 1L, "c1")).toDF("k", "ver", "payload"))
+    t.insertBatch(Seq(("a", 2L, "a2"), ("b", 5L, "b5")).toDF("k", "ver", "payload"))
+    val got = t.scan().orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List(("a", 3L, "a3"), ("b", 5L, "b5"), ("c", 1L, "c1")))
+    assert(t.rawScan().count() == 6) // raw parts keep all versions
+    t.optimize() // no-op here (parts <= maxParts) but must not change results
+    assert(t.scan().count() == 3)
+  }
+
+  test("Summing mode: partial collapse in merges + merge-on-read agree with direct sum") {
+    import spark.implicits._
+    val df = spark.range(1000)
+      .select((col("id") % 7).cast("long").as("k"), lit(1.5).as("v"))
+    val dir = Files.createTempDirectory("cmt_sum_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 2),
+      mode = graft.mergetree.MergeMode.Summing(Seq("k"), Seq("v")))
+    (0 until 5).foreach(i => t.insertBatch(df.filter(col("id") % 5 === i)
+      .select(col("k"), col("v"))))
+    t.optimize() // collapse inside the bin merges
+    assert(t.partCount <= 2)
+    val got = t.scan().orderBy("k").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100))).toList
+    val exp = df.groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100))).toList
+    assert(got == exp)
+  }
+
   test("optimize compacts without changing rows; reopen sees the same table") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val dir = Files.createTempDirectory("cmt_opt_").toString
