@@ -253,6 +253,37 @@ final class ColumnarMergeTree private (
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
   }
 
+  /** Row deletion by predicate (ClickHouse's ALTER TABLE ... DELETE — the
+    * opt-out / decontamination mutation a training-data pipeline needs):
+    * parts are immutable, so matching parts are REWRITTEN without the
+    * matching rows and swapped atomically; parts with no matches are
+    * untouched (the per-part match count doubles as the prune — at scale a
+    * leading-key predicate prunes via the manifest before even counting).
+    * Returns the number of rows removed.
+    */
+  def deleteWhere(cond: Column): Long = lock.synchronized {
+    var removed = 0L
+    val rewritten = manifest.parts.map { p =>
+      val dir = s"$path/part_${p.partId}"
+      val df = spark.read.schema(schema).parquet(dir)
+      val hits = df.filter(cond).count()
+      if (hits == 0L) (p, None)
+      else {
+        removed += hits
+        if (hits == p.rowCount) (p, Some(Option.empty[GPartMeta])) // drop part
+        else (p, Some(Some(writePart(df.filter(!cond), 0))))
+      }
+    }
+    val toDrop = rewritten.collect { case (old, Some(_)) => old.partId }.toSet
+    val additions = rewritten.collect { case (_, Some(Some(m))) => m.partId }.toSet
+    manifest = GManifest(nextId,
+      manifest.parts.filterNot(p => toDrop(p.partId) || additions(p.partId)).toList ++
+        rewritten.collect { case (_, Some(Some(m))) => m })
+    GManifest.store(path, manifest)
+    toDrop.foreach(id => MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+    removed
+  }
+
   def partCount: Int = manifest.parts.size
   def totalRows: Long = manifest.parts.map(_.rowCount).sum
 }

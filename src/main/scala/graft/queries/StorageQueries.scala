@@ -334,6 +334,35 @@ object StorageQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Q47 — DELETE mutation (ClickHouse ALTER ... DELETE / the pipeline
+    * opt-out pass): click events are deleted from a generic table by
+    * predicate (only matching parts rewritten), then the remaining rows are
+    * aggregated — must equal the oracle computed over events sans clicks.
+    */
+  def q47DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#delete", {
+      val ev = eventsSlim(spark, dir)
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q47_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_id"))
+      chunkedInsert(tbl, ev, ev.count())
+      tbl.deleteWhere(col("event_type") === "click")
+      tbl
+    })
+    t.scan()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q47Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      |FROM events WHERE event_type != 'click'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q44Sql: String =
     """SELECT l_returnflag, count(*) AS n,
       | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
@@ -352,5 +381,6 @@ object StorageQueries {
     ("q36_dsv2_scan", q36Dsv2Scan _, Some(q36Sql)),
     ("q44_generic_table", q44GenericTable _, Some(q44Sql)),
     ("q45_replacing_mt", q45Replacing _, Some(q45Sql)),
-    ("q46_summing_mt", q46Summing _, Some(q46Sql)))
+    ("q46_summing_mt", q46Summing _, Some(q46Sql)),
+    ("q47_delete_where", q47DeleteWhere _, Some(q47Sql)))
 }

@@ -91,6 +91,29 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("deleteWhere rewrites only matching parts and removes exactly the rows") {
+    import spark.implicits._
+    val df = spark.range(300)
+      .select(col("id").as("k"), (col("id") % 3).cast("long").as("grp"))
+    val dir = Files.createTempDirectory("cmt_del_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    t.insertBatch(df.filter(col("k") < 100))         // has grp 0,1,2
+    t.insertBatch(df.filter(col("k") >= 100 && col("k") < 200))
+    t.insertBatch(df.filter(col("k") >= 200))
+    val idsBefore = spark.read.parquet(s"$dir/part_0").inputFiles.toSet
+    val removed = t.deleteWhere(col("grp") === 2L)
+    assert(removed == 100)
+    assert(t.totalRows == 200)
+    assert(t.scan().filter(col("grp") === 2L).count() == 0)
+    assert(t.scan().count() == 200)
+    // deleting a whole part drops it instead of rewriting an empty one
+    val removedAll = t.deleteWhere(col("k") >= 200L)
+    assert(removedAll > 0 && t.scan().filter(col("k") >= 200).count() == 0)
+    // no-match delete leaves every part untouched
+    val partsBefore = t.partCount
+    assert(t.deleteWhere(col("k") < 0L) == 0L && t.partCount == partsBefore)
+  }
+
   test("optimize compacts without changing rows; reopen sees the same table") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val dir = Files.createTempDirectory("cmt_opt_").toString
