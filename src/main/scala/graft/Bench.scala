@@ -61,7 +61,7 @@ object Bench {
     val rows = Array.tabulate(n)(i =>
       KVRow(s"key_${rnd.nextInt(keySpace) + 1}", s"value_$i", i.toLong))
     val per = n / batches
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val ingest = timeSec {
       val fs = (0 until batches).map { b =>
