@@ -295,6 +295,7 @@ object ColumnarMergeTree {
              config: MergeTreeConfig = MergeTreeConfig(),
              mode: MergeMode = MergeMode.Plain): ColumnarMergeTree = {
     Files.createDirectories(Paths.get(path))
+    TableDef.store(path, TableDef(schema.toDDL, orderBy.toList, TableDef.encodeMode(mode)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode)
   }
 
@@ -303,6 +304,66 @@ object ColumnarMergeTree {
            config: MergeTreeConfig = MergeTreeConfig(),
            mode: MergeMode = MergeMode.Plain): ColumnarMergeTree =
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode)
+
+  /** Open a self-describing table: schema, order keys, and merge mode come
+    * from the table definition persisted at create() — the analogue of the
+    * reference's metadata.bin carrying everything needed to reopen
+    * (src/merge_tree.cpp:164-197), generalized to arbitrary schemas.
+    */
+  def open(spark: SparkSession, path: String): ColumnarMergeTree =
+    open(spark, path, config = MergeTreeConfig())
+
+  def open(spark: SparkSession, path: String, config: MergeTreeConfig): ColumnarMergeTree = {
+    val defn = TableDef.load(path).getOrElse(
+      throw new IllegalStateException(s"no table definition at $path"))
+    new ColumnarMergeTree(spark, path,
+      StructType.fromDDL(defn.schemaDdl), defn.orderBy, config,
+      TableDef.decodeMode(defn.mode))
+  }
+
+  /** Persisted table definition (tabledef.json). Mode encoding:
+    * ["plain"] | ["replacing", keys..., versionCol] is ambiguous, so fields
+    * are kept structured instead.
+    */
+  case class TableDef(
+      schemaDdl: String,
+      orderBy: List[String],
+      mode: Map[String, List[String]])
+
+  object TableDef {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val formats: Formats = DefaultFormats
+
+    def encodeMode(m: MergeMode): Map[String, List[String]] = m match {
+      case MergeMode.Plain => Map("type" -> List("plain"))
+      case MergeMode.Replacing(keys, v) =>
+        Map("type" -> List("replacing"), "keys" -> keys.toList, "version" -> List(v))
+      case MergeMode.Summing(keys, sums) =>
+        Map("type" -> List("summing"), "keys" -> keys.toList, "sums" -> sums.toList)
+    }
+
+    def decodeMode(m: Map[String, List[String]]): MergeMode =
+      m.getOrElse("type", List("plain")).head match {
+        case "replacing" => MergeMode.Replacing(m("keys"), m("version").head)
+        case "summing"   => MergeMode.Summing(m("keys"), m("sums"))
+        case _           => MergeMode.Plain
+      }
+
+    def load(tablePath: String): Option[TableDef] = {
+      val f = Paths.get(tablePath, "tabledef.json")
+      if (!Files.exists(f)) None
+      else Some(JsonMethods.parse(Files.readString(f)).extract[TableDef])
+    }
+
+    def store(tablePath: String, d: TableDef): Unit = {
+      Files.createDirectories(Paths.get(tablePath))
+      val tmp = Paths.get(tablePath, ".tabledef.json.tmp")
+      Files.writeString(tmp, Serialization.writePretty(d))
+      Files.move(tmp, Paths.get(tablePath, "tabledef.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** Part metadata with leading-key bounds kept as strings plus a numeric
     * flag, so one manifest format serves string and integral keys with

@@ -125,8 +125,22 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     t.optimize()
     assert(t.partCount <= 2)
     assert(t.scan().orderBy("o_orderkey").collect().toSeq == before)
-    val t2 = ColumnarMergeTree.open(spark, dir, orders.schema, Seq("o_orderkey"))
+    // self-describing open: schema/orderBy/mode come from tabledef.json
+    val t2 = ColumnarMergeTree.open(spark, dir)
+    assert(t2.schema == orders.schema && t2.orderBy == Seq("o_orderkey"))
     assert(t2.totalRows == orders.count())
     assert(t2.scan().orderBy("o_orderkey").collect().toSeq == before)
+  }
+
+  test("self-describing open restores merge mode") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, "x")).toDF("k", "ver", "payload")
+    val dir = Files.createTempDirectory("cmt_def_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, Seq("k", "ver"),
+      mode = graft.mergetree.MergeMode.Replacing(Seq("k"), "ver"))
+    t.insertBatch(Seq(("a", 1L, "old"), ("a", 2L, "new")).toDF("k", "ver", "payload"))
+    val t2 = ColumnarMergeTree.open(spark, dir)
+    assert(t2.mode == graft.mergetree.MergeMode.Replacing(Seq("k"), "ver"))
+    assert(t2.scan().collect().map(_.getString(2)).toList == List("new"))
   }
 }
