@@ -96,7 +96,9 @@ object Bench {
     // so the alphabetically-first query doesn't absorb one-time JVM costs,
     // and pre-build the shared storage-path tables so q1–q8 time the QUERY;
     // ingest cost is reported explicitly by the mt_ingest_* metrics below.
-    for (warm <- Seq("q3_memtable_union", "q4_after_optimize", "q8_reopen")) {
+    for (warm <- Seq("q3_memtable_union", "q4_after_optimize", "q8_reopen",
+        "q44_generic_table", "q45_replacing_mt", "q46_summing_mt",
+        "q47_delete_where")) {
       try SparkEntry.queries(warm)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
