@@ -25,13 +25,14 @@ import org.apache.spark.sql.expressions.Window
   *   - similarity: brute-force top-k is one broadcast of the (small) query
   *     set against a partitioned scan — no shuffle of the big side; the IVF
   *     variant prunes the big side to nprobe/nlist of the data per query;
-  *   - MinHash/LSH: per-doc signatures via one hash-aggregate pass (128
+  *   - MinHash/LSH: per-doc signatures via one hash-aggregate pass (96
   *     min() partial aggregates — map-side combined), candidate generation
   *     via an equi-join on (band, signature) — never an all-pairs product;
   *   - exact n-gram Jaccard joins on the shingle value: at production scale
-  *     ultra-frequent shingles (boilerplate) would be dropped by a frequency
-  *     cap before the join to bound the blow-up — not applied here because
-  *     the oracle must match exhaustively and testdata has no hot shingles;
+  *     ultra-frequent shingles (boilerplate) are dropped by the
+  *     `maxShingleFreq` cap before the join to bound the blow-up — off by
+  *     default because the oracle must match exhaustively and testdata has
+  *     no hot shingles (capped recall pinned in PipelineQueriesSpec);
   *   - text analysis: embarrassingly parallel scans, no shuffle beyond the
   *     final small aggregate.
   */
@@ -240,8 +241,36 @@ object PipelineQueries {
     * ground truth the LSH path (q25) approximates. Never an all-pairs
     * product: only documents sharing at least one shingle ever meet.
     */
-  def q26JaccardExact(spark: SparkSession, dir: String): DataFrame = {
-    val dsh = shingleDf(spark, dir)
+  def q26JaccardExact(spark: SparkSession, dir: String): DataFrame =
+    jaccardExact(spark, dir, maxShingleFreq = None)
+
+  /** The exhaustive-Jaccard pair join, with the optional hot-shingle
+    * frequency cap that makes it scale-safe: shingles appearing in more than
+    * `maxShingleFreq` documents (boilerplate headers, license blurbs — the
+    * one blow-up risk of a shingle equi-join, since a shingle in f docs
+    * contributes f² candidate rows) are dropped from every document's set
+    * BEFORE the join, bounding any shingle's contribution at cap². The cap
+    * removes the shingle from the Jaccard universe entirely (numerator and
+    * denominator), the standard near-dup-dedup semantics: boilerplate shared
+    * by thousands of documents carries no near-duplicate signal.
+    *
+    * Off (None) by default so the DuckDB oracle stays exhaustive; the capped
+    * variant's recall behaviour is pinned in PipelineQueriesSpec.
+    */
+  def jaccardExact(spark: SparkSession, dir: String,
+      maxShingleFreq: Option[Int]): DataFrame = {
+    val dshAll = shingleDf(spark, dir)
+    val dsh = maxShingleFreq match {
+      case None => dshAll
+      case Some(cap) =>
+        // one small aggregate on the shingle key; the anti-join side
+        // (hot shingles) is tiny by construction and broadcasts
+        val hot = dshAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("shingle"))
+        dshAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
     val cnt = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = dsh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = dsh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -270,48 +299,76 @@ object PipelineQueries {
     * exhaustive answer on this data, so it shares the exhaustive oracle.
     * 96 (not 128) hashes keeps the signature aggregate under
     * spark.sql.codegen.maxFields (100), so the whole pass stays inside
-    * whole-stage codegen. Scale: signature pass is linear; the band join
-    * touches only colliding buckets; exact verification runs on candidates,
-    * not the corpus.
+    * whole-stage codegen.
+    *
+    * Everything downstream of the tokenizer runs on 8-byte shingle HASHES,
+    * never shingle strings: each distinct (doc, shingle) is collapsed to
+    * xxhash64(shingle) before the dedup shuffle, the 96 min-aggregates hash
+    * the long (not the string) per seed, and the verification sets are
+    * collect_set of the longs — so the heaviest shuffle carries 8 bytes per
+    * shingle instead of the ~30-byte string, and exact-Jaccard verification
+    * intersects long-arrays. Hashing is collision-safe here: a false shared
+    * shingle needs a 64-bit collision inside one candidate pair's sets
+    * (P < |set|²/2⁶⁴ ≈ 1e-13 at these sizes). Scale: signature pass is
+    * linear; the band join touches only colliding buckets; exact
+    * verification runs on candidates, not the corpus.
     */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 96
     val bandRows = 4
     val numBands = numHashes / bandRows // 24
-    // ONE aggregation pass per document computes all 96 min-hashes AND the
-    // shingle set used for exact verification — the signature pass and the
-    // verification-set pass share their shuffle. The set is bounded by doc
-    // length (≈ tokens), so the row stays small.
-    val dsh = shingleDf(spark, dir)
+    // Distinct (doc_id, shingle-hash) pairs: hash BEFORE the distinct() so
+    // its shuffle moves 16-byte rows, not strings.
+    val ws = tokens
+    val sh = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
+      i => concat_ws(" ", slice(ws, i, lit(5))))
+    val dsh = docs(spark, dir)
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+      .persist() // feeds the signature aggregate and the verification sets
+    // Two aggregates over the persisted hashes, NOT one: mixing collect_set
+    // into the min() aggregate would force the whole pass onto
+    // ObjectHashAggregateExec, dragging the 96 xxhash64+min columns out of
+    // whole-stage codegen — keeping them separate leaves the signature pass
+    // (the expensive one: 96 hash evaluations per shingle) fully codegen'd.
     val sigAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")) :+
-      collect_set(col("shingle")).as("sh")
-    val sigs = dsh.groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
-      .persist() // feeds the band join (twice) and the verification join
+      min(xxhash64(col("h"), lit(i))).as(s"h$i"))
+    val sigs = dsh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until numBands).map { b =>
       val hs = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Near-dup pairs collide in MOST of the 24 bands, so dedup the pair
+    // BEFORE joining the sets back — otherwise the verification join and its
+    // array_intersect run once per colliding band. The dedup shuffle moves
+    // 16-byte (long, long) rows; cheap.
     val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // Exact verification of candidates: join back to the per-doc sets.
-    val sets = sigs.select(col("doc_id"), col("sh"))
+    // Exact verification of candidates: join back to the per-doc hash sets.
+    val sets = dsh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
     val withSets = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
-    withSets
+    val out = withSets
       .select(col("doc_a"), col("doc_b"), r6(j).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
+    // Materialize the (tiny) verified pair set now so the persisted hashes
+    // can be released — repeated invocations must not accrete cached
+    // intermediates (ADVICE r2).
+    val materialized = out.localCheckpoint(true)
+    dsh.unpersist()
+    materialized
   }
 
   val q25Sql: String = JaccardPairsSql

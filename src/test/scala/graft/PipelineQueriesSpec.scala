@@ -24,7 +24,17 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val lsh = pairs(PipelineQueries.q25MinhashLsh(spark, dir))
     assert(exact.nonEmpty, "testdata must contain planted near-dups")
     assert(lsh == exact,
-      s"LSH (32 bands x 4) must recover all J>=0.8 pairs; missed ${exact -- lsh}")
+      s"LSH (24 bands x 4) must recover all J>=0.8 pairs; missed ${exact -- lsh}")
+  }
+
+  test("hot-shingle frequency cap: permissive cap is lossless, cap=1 drops all pairs") {
+    val exact = pairs(PipelineQueries.q26JaccardExact(spark, dir))
+    // A cap above every shingle's document frequency must not change the answer.
+    val capped = pairs(PipelineQueries.jaccardExact(spark, dir, maxShingleFreq = Some(1000)))
+    assert(capped == exact, "permissive cap changed the exhaustive answer")
+    // cap = 1 removes every shingle shared by >=2 docs — no pair can survive.
+    val starved = pairs(PipelineQueries.jaccardExact(spark, dir, maxShingleFreq = Some(1)))
+    assert(starved.isEmpty, s"cap=1 must kill all shared shingles, got $starved")
   }
 
   test("SimHash blocking recovers the planted near-dup pairs") {
