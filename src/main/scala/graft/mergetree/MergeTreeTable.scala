@@ -50,9 +50,14 @@ case class PartMetadata(
     diskSize: Long,
     creationTime: Long) {
 
-  /** Inclusive-range overlap check (reference: src/part.cpp:201-203). */
+  /** Inclusive-range overlap check (reference: src/part.cpp:201-203) in
+    * UTF-8 byte order (Spark/parquet collation, see KeyOrder). Null bounds
+    * mean the part is unbounded (footer stats were incomplete — PartStats):
+    * never pruned.
+    */
   def overlapsRange(start: String, end: String): Boolean =
-    !(maxKey < start || minKey > end)
+    minKey == null || maxKey == null ||
+      !(KeyOrder.lt(maxKey, start) || KeyOrder.gt(minKey, end))
 }
 
 /** A Spark-native MergeTree table: a directory of immutable, sorted,
@@ -92,10 +97,6 @@ final class MergeTreeTable private (
   private val memtable = new ArrayBuffer[KVRow]()
   private val lock = new Object
   @volatile private var manifest: Manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
-  // Part-id allocator: independent of manifest commits so several parts can
-  // be written before one atomic manifest swap (bin-packed optimize).
-  private var nextId: Long =
-    math.max(manifest.version, manifest.parts.map(_.partId + 1).foldLeft(0L)(math.max))
   @volatile private var closed = false
   private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -271,8 +272,10 @@ final class MergeTreeTable private (
         triggerFlushIfNeeded(force = memtable.nonEmpty)
         if (manifest.parts.size <= config.maxParts) return
         // Sort by minKey so each output part covers a contiguous key range —
-        // keeps part-level pruning (O8) sharp after compaction.
-        manifest.parts.sortBy(p => (p.minKey, p.partId))
+        // keeps part-level pruning (O8) sharp after compaction. UTF-8 order
+        // (KeyOrder) to match the pruning comparisons.
+        manifest.parts.sortBy(p => (p.minKey, p.partId))(
+          Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
       }
       val nOut = math.max(1, config.maxParts / 2)
       val groups = binPack(live, nOut)
@@ -291,11 +294,12 @@ final class MergeTreeTable private (
       val liveIds = live.map(_.partId).toSet
       val keptIds = newMetas.map(_.partId).toSet
       lock.synchronized {
-        // parts registered by concurrent writers during the merge survive
-        val survivors = manifest.parts.filterNot(p => liveIds(p.partId))
-        val next = Manifest(nextId, (survivors ++ newMetas).toList)
-        Manifest.store(path, next)
-        manifest = next
+        // read-merge swap: parts registered by concurrent writers (this
+        // instance OR the DSv2 connector) during the merge survive
+        manifest = Manifest.update(path) { cur =>
+          Manifest(cur.version,
+            cur.parts.filterNot(p => liveIds(p.partId)) ++ newMetas.toList)
+        }
       }
       liveIds.filterNot(keptIds).foreach(id => deleteRecursively(Paths.get(partDir(id))))
     } finally compacting.set(false)
@@ -369,12 +373,11 @@ final class MergeTreeTable private (
     val mergedIds = toMerge.map(_.partId).toSet
     val newMeta = writePartInternal(merged,
       partitionsForRows(toMerge.map(_.rowCount).sum), register = false)
-    // Atomic swap: new manifest lists merged part, drops inputs.
-    val next = Manifest(
-      nextId,
-      manifest.parts.filterNot(p => mergedIds(p.partId)) :+ newMeta)
-    Manifest.store(path, next)
-    manifest = next
+    // Atomic read-merge swap: new manifest lists merged part, drops inputs,
+    // keeps anything a concurrent writer registered meanwhile.
+    manifest = Manifest.update(path) { cur =>
+      Manifest(cur.version, cur.parts.filterNot(p => mergedIds(p.partId)) :+ newMeta)
+    }
     // GC the dead dirs — fixing the reference's leak (SURVEY §3.3).
     mergedIds.foreach(id => deleteRecursively(Paths.get(partDir(id))))
     true
@@ -401,8 +404,12 @@ final class MergeTreeTable private (
     writePartInternal(df, partitions, register = true)
 
   private def writePartInternal(df: DataFrame, partitions: Int, register: Boolean): PartMetadata = {
-    val partId = lock.synchronized { val id = nextId; nextId += 1; id }
-    val dir = partDir(partId)
+    // The data write lands in a job-unique staging dir; the final
+    // `part_<id>` name is claimed inside Manifest.register, where id
+    // allocation and the rename are one locked step — so a concurrent DSv2
+    // connector commit (or another instance on the same path) can neither
+    // reuse the id nor have its manifest append clobbered by ours.
+    val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
     val sorted =
       if (partitions <= 1) df.coalesce(1).sortWithinPartitions("key", "timestamp")
       else df.repartitionByRange(partitions, col("key"), col("timestamp"))
@@ -414,27 +421,34 @@ final class MergeTreeTable private (
       .option("parquet.block.row.count.limit", config.granuleSize)
       .option("compression", config.compression)
       .mode("overwrite")
-      .parquet(dir)
+      .parquet(stage.toString)
     // Part metadata comes from the parquet footers the write just produced —
     // no second scan of the data (round 1 re-read every part here, doubling
     // write-path I/O; see PartStats).
-    val stats = PartStats.readDir(spark.sessionState.newHadoopConf(), dir)
-    val meta = PartMetadata(
-      partId = partId,
-      minKey = stats.minKey,
-      maxKey = stats.maxKey,
-      minTimestamp = stats.minTs,
-      maxTimestamp = stats.maxTs,
-      rowCount = stats.rows,
-      granuleCount = stats.rowGroups,
-      diskSize = dirSize(Paths.get(dir)),
-      creationTime = System.currentTimeMillis())
-    if (register) lock.synchronized {
-      val next = Manifest(nextId, manifest.parts :+ meta)
-      Manifest.store(path, next)
-      manifest = next
+    val stats = PartStats.readDir(spark.sessionState.newHadoopConf(), stage.toString)
+    val size = dirSize(stage)
+    val now = System.currentTimeMillis()
+    val meta = Manifest.register(path, stage, append = register) { partId =>
+      PartMetadata(
+        partId = partId,
+        minKey = stats.minKey,
+        maxKey = stats.maxKey,
+        minTimestamp = stats.minTs,
+        maxTimestamp = stats.maxTs,
+        rowCount = stats.rows,
+        granuleCount = stats.rowGroups,
+        diskSize = size,
+        creationTime = now)
     }
+    if (register) refresh()
     meta
+  }
+
+  /** Re-read the on-disk manifest (picks up parts landed by the DSv2
+    * connector or another instance since this instance's last mutation).
+    */
+  def refresh(): Unit = lock.synchronized {
+    manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
   }
 
   private def partDir(id: Long): String = s"$path/part_$id"
@@ -535,5 +549,51 @@ object Manifest {
     Files.writeString(tmp, Serialization.writePretty(m))
     Files.move(tmp, file(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Every mutation of a table's manifest — by a live MergeTreeTable
+    * instance, the DSv2 connector, or both concurrently — goes through
+    * read-merge-store under this per-path lock, so a writer holding a stale
+    * in-memory copy can never clobber another writer's committed parts
+    * (round-3 verdict bug #4). Cross-PROCESS writers remain out of scope
+    * (single-driver posture, SURVEY §8).
+    */
+  def update(tablePath: String)(f: Manifest => Manifest): Manifest =
+    ManifestLocks.locked(tablePath) {
+      val next = f(load(tablePath).getOrElse(Manifest(0L, Nil)))
+      store(tablePath, next)
+      next
+    }
+
+  /** Allocate the next part id and atomically bind it: the staged part
+    * directory is renamed to `part_<id>` INSIDE the lock, so id allocation
+    * and the claim on the directory name are one step — two writers can
+    * never pick the same id or overwrite each other's part dir. The manifest
+    * `version` field is the allocation fence (always bumped past the id);
+    * `append=false` leaves the part unregistered (compaction outputs swap in
+    * later) but still fenced.
+    */
+  def register(tablePath: String, stagedDir: Path, append: Boolean)
+      (metaFor: Long => PartMetadata): PartMetadata =
+    ManifestLocks.locked(tablePath) {
+      val cur = load(tablePath).getOrElse(Manifest(0L, Nil))
+      val id = math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max))
+      Files.move(stagedDir, Paths.get(tablePath, s"part_$id"))
+      val meta = metaFor(id)
+      store(tablePath,
+        Manifest(id + 1, if (append) cur.parts :+ meta else cur.parts))
+      meta
+    }
+}
+
+/** JVM-global per-table-path locks shared by both manifest formats and the
+  * DSv2 connector commit path.
+  */
+private[graft] object ManifestLocks {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def locked[A](tablePath: String)(body: => A): A = {
+    val key = Paths.get(tablePath).toAbsolutePath.normalize.toString
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(body)
   }
 }

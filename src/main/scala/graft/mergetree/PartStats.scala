@@ -24,6 +24,12 @@ import scala.jdk.CollectionConverters._
   * (src/granule.h:10); the footer row-group stats ARE the sparse index
   * (src/sparse_index.h:9-22).
   */
+/** `minKey`/`maxKey` are null when any populated row group lacks key
+  * statistics (parquet-mr omits binary min/max above its 4096-byte footer
+  * stats cap — long string keys trigger this): bounds derived from partial
+  * stats could wrongly prune, so the part is marked unbounded and pruning
+  * treats it as always-overlapping. Correctness never depends on pruning.
+  */
 case class PartStats(
     minKey: String,
     maxKey: String,
@@ -44,6 +50,7 @@ object PartStats {
     var maxTs = Long.MinValue
     var rows = 0L
     var groups = 0L
+    var keyGroups = 0L // row groups that actually carried key statistics
     files.foreach { f =>
       val in = HadoopInputFile.fromPath(new HPath(f.toString), conf)
       val reader = ParquetFileReader.open(in)
@@ -57,10 +64,11 @@ object PartStats {
                 case "key" =>
                   val s = col.getStatistics
                   if (s != null && s.hasNonNullValue) {
+                    keyGroups += 1
                     val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
                     val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
-                    if (minKey == null || lo < minKey) minKey = lo
-                    if (maxKey == null || hi > maxKey) maxKey = hi
+                    if (minKey == null || KeyOrder.lt(lo, minKey)) minKey = lo
+                    if (maxKey == null || KeyOrder.gt(hi, maxKey)) maxKey = hi
                   }
                 case "timestamp" =>
                   val s = col.getStatistics
@@ -77,7 +85,9 @@ object PartStats {
         }
       } finally reader.close()
     }
-    require(minKey != null, s"parquet footers in $dir carry no key statistics")
+    // Bounds from PARTIAL stats would prune rows the stats-less groups hold —
+    // silent data loss. Any gap makes the whole part unbounded (unprunable).
+    if (keyGroups != groups) { minKey = null; maxKey = null }
     PartStats(minKey, maxKey, minTs, maxTs, rows, math.max(1L, groups))
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.mergetree.{Manifest, MergeTreeTable}
+import graft.mergetree.{KeyOrder, Manifest, MergeTreeTable}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
@@ -106,20 +106,22 @@ class MergeTreeScanBuilder(path: String)
   private var pushed: Array[Filter] = Array.empty
 
   /** Extract an inclusive key range from catalyst filters; conservative —
-    * anything not understood is simply not used for pruning.
+    * anything not understood is simply not used for pruning. Bounds combine
+    * in UTF-8 byte order (KeyOrder) — Spark's string comparison semantics —
+    * so tightening two bounds can never widen past either.
     */
   private def collect(f: Filter): Boolean = f match {
     case EqualTo("key", v: String) =>
-      lo = Some(lo.fold(v)(l => if (v > l) v else l))
-      hi = Some(hi.fold(v)(h => if (v < h) v else h)); true
+      lo = Some(lo.fold(v)(KeyOrder.max(v, _)))
+      hi = Some(hi.fold(v)(KeyOrder.min(v, _))); true
     case GreaterThanOrEqual("key", v: String) =>
-      lo = Some(lo.fold(v)(l => if (v > l) v else l)); true
+      lo = Some(lo.fold(v)(KeyOrder.max(v, _))); true
     case GreaterThan("key", v: String) => // inclusive bound is conservative
-      lo = Some(lo.fold(v)(l => if (v > l) v else l)); true
+      lo = Some(lo.fold(v)(KeyOrder.max(v, _))); true
     case LessThanOrEqual("key", v: String) =>
-      hi = Some(hi.fold(v)(h => if (v < h) v else h)); true
+      hi = Some(hi.fold(v)(KeyOrder.min(v, _))); true
     case LessThan("key", v: String) =>
-      hi = Some(hi.fold(v)(h => if (v < h) v else h)); true
+      hi = Some(hi.fold(v)(KeyOrder.min(v, _))); true
     case And(a, b) =>
       val ca = collect(a); val cb = collect(b); ca || cb
     case _ => false
@@ -330,11 +332,6 @@ class MergeTreeWriteBuilder(path: String)
 case class MergeTreeTaskCommit(stagedFile: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-object MergeTreeBatchWrite {
-  /** JVM-wide commit serialization for connector writes (see commit()). */
-  private[sources] val commitLock = new Object
-}
-
 class MergeTreeBatchWrite(path: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -344,34 +341,29 @@ class MergeTreeBatchWrite(path: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MergeTreeWriterFactory(stagingDir)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    // Concurrent jobs writing the same table would both derive the next
-    // part id from the manifest — serialize the (cheap) commit section.
-    // Same single-driver assumption as the engine's coarse lock.
-    MergeTreeBatchWrite.commitLock.synchronized { commitLocked(messages) }
-
-  private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
+  /** Commit = promote the staging dir to `part_<id>` + append to the
+    * manifest, both inside Manifest.register's per-path lock: id allocation,
+    * the directory-name claim, and the manifest append are one atomic step,
+    * so a live MergeTreeTable instance writing the same table concurrently
+    * can neither reuse our part id nor clobber our manifest entry (and vice
+    * versa — its stores are read-merge under the same lock).
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case MergeTreeTaskCommit(f) if f.nonEmpty => f }
-    val manifest = Manifest.load(path).getOrElse(Manifest(0L, Nil))
-    val partId = math.max(manifest.version,
-      manifest.parts.map(_.partId + 1).foldLeft(0L)(math.max))
-    val partDir = Paths.get(path, s"part_$partId")
-    Files.createDirectories(partDir)
-    files.foreach { f =>
-      val src = Paths.get(f)
-      Files.move(src, partDir.resolve(src.getFileName))
+    val staging = Paths.get(stagingDir)
+    if (files.isEmpty) { MergeTreeTable.deleteRecursively(staging); return }
+    val stats = graft.mergetree.PartStats.readDir(new Configuration(), stagingDir)
+    val size = MergeTreeTable.dirSize(staging)
+    val now = System.currentTimeMillis()
+    Manifest.register(path, staging, append = true) { partId =>
+      graft.mergetree.PartMetadata(
+        partId = partId,
+        minKey = stats.minKey, maxKey = stats.maxKey,
+        minTimestamp = stats.minTs, maxTimestamp = stats.maxTs,
+        rowCount = stats.rows, granuleCount = stats.rowGroups,
+        diskSize = size,
+        creationTime = now)
     }
-    MergeTreeTable.deleteRecursively(Paths.get(stagingDir))
-    if (files.isEmpty) { Files.deleteIfExists(partDir); return }
-    val stats = graft.mergetree.PartStats.readDir(new Configuration(), partDir.toString)
-    val meta = graft.mergetree.PartMetadata(
-      partId = partId,
-      minKey = stats.minKey, maxKey = stats.maxKey,
-      minTimestamp = stats.minTs, maxTimestamp = stats.maxTs,
-      rowCount = stats.rows, granuleCount = stats.rowGroups,
-      diskSize = MergeTreeTable.dirSize(partDir),
-      creationTime = System.currentTimeMillis())
-    Manifest.store(path, Manifest(partId + 1, manifest.parts :+ meta))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
