@@ -149,4 +149,31 @@ class CorrectnessRegressionsSpec extends AnyFunSuite {
     assert(reopened.query("a", "z").count() == 300)
     reopened.shutdown(); t.shutdown()
   }
+
+  // ----------------- generic-table maintenance vs concurrent writers race
+
+  test("generic table: parts landed during optimize/deleteWhere survive the swap") {
+    val df0 = spark.range(1000)
+      .select(col("id").as("k"), (col("id") % 10).cast("long").as("grp"))
+    val dir = Files.createTempDirectory("cmt_race_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df0.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 2))
+    (0 until 6).foreach(i => t.insertBatch(df0.filter(col("k") % 6 === i)))
+    @volatile var writerRows = 0L
+    val writer = new Thread(() => (0 until 4).foreach { i =>
+      val extra = spark.range(2000 + i * 100, 2000 + i * 100 + 50)
+        .select(col("id").as("k"), lit(99L).as("grp"))
+      t.insertBatch(extra); writerRows += 50
+    })
+    writer.start()
+    t.optimize()
+    val removed = t.deleteWhere(col("grp") === 3L) // 100 rows from df0, no extras
+    writer.join()
+    t.refresh()
+    assert(removed == 100)
+    assert(t.totalRows == 1000 - 100 + writerRows,
+      s"rows lost across concurrent maintenance: ${t.totalRows}")
+    assert(t.scan().count() == 1000 - 100 + writerRows)
+    assert(t.scan().filter(col("grp") === 3L).count() == 0)
+  }
 }
