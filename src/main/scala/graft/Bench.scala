@@ -21,6 +21,16 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Repetitions per measurement (queries, workloads, AND the reference
+    * binary). Round 3's single-shot numbers swung up to 10× on a noisy host
+    * and flipped the 2× contract at random; min-of-N is the standard damp.
+    */
+  private val reps: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+
+  private def minTimeSec(f: => Unit): Double =
+    (1 to reps).map(_ => timeSec(f)).min
+
   /** Compile (once, cached in target/) and run the reference engine's
     * ingest+scan workload at `n` rows; returns (ingestSec, scanSec).
     * The committed demo binaries are Mach-O, so we rebuild from the C++
@@ -38,18 +48,53 @@ object Bench {
       require(cmd.! == 0, "reference build failed")
     }
     import scala.sys.process._
-    val dir = Files.createTempDirectory("refbench_run_")
-    val out = Process(Seq(bin.toString, n.toString, s"$dir/table")).!!
-    val ingestMs = "INGEST_MS (\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
-    val queryUs = "QUERY_US (\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
-    (ingestMs / 1e3, queryUs / 1e6)
+    // min-of-N like our side: one reference timing per round swung 3.3×
+    // between rounds and alone flipped the contract ratio.
+    val runs = (1 to reps).map { _ =>
+      val dir = Files.createTempDirectory("refbench_run_")
+      val out = Process(Seq(bin.toString, n.toString, s"$dir/table")).!!
+      val ingestMs = "INGEST_MS (\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
+      val queryUs = "QUERY_US (\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
+      (ingestMs / 1e3, queryUs / 1e6)
+    }
+    (runs.map(_._1).min, runs.map(_._2).min)
   }.toOption
 
-  /** Our engine on the same workload shape: `batches` concurrent insertBatch
-    * writers (1000-row parts like the reference's flush threshold produces),
-    * then the committed range scan. The reference is single-writer by
-    * design; our batch path is not — 16 writer threads mirror a multi-core
-    * ingest client.
+  /** The reference client's exact shape (tools/refbench.cpp): ONE writer
+    * inserts n rows through the memtable, flushing every 1000 rows (a
+    * driver-local parquet write — no Spark job per flush), background merge
+    * on, then the committed range scan. This is the contract workload.
+    */
+  private def mtRowWorkload(spark: SparkSession, n: Int): (Double, Double) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mt_bench_row_").toString
+    val t = MergeTreeTable.create(spark, dir,
+      MergeTreeConfig(memtableFlushThreshold = 1000, maxParts = 10,
+        enableBackgroundMerge = true, mergeIntervalSeconds = 5))
+    val rnd = new scala.util.Random(42)
+    val keySpace = math.max(10000, n / 5)
+    val ingest = timeSec {
+      var i = 0
+      while (i < n) {
+        t.insert(s"key_${rnd.nextInt(keySpace) + 1}", s"value_$i", i.toLong)
+        i += 1
+      }
+      t.flush()
+    }
+    val scan = timeSec {
+      t.query("key_1000", "key_2000").toDF()
+        .write.format("noop").mode("overwrite").save()
+    }
+    t.shutdown()
+    MergeTreeTable.deleteRecursively(Paths.get(dir))
+    (ingest, scan)
+  }
+
+  /** The distributed ingest path at a size that amortizes Spark's per-job
+    * overhead: `batches` concurrent insertBatch writers (1000-row parts like
+    * the reference's flush threshold produces), then the committed range
+    * scan. The reference is single-writer by design; our batch path is not —
+    * the writer pool mirrors a multi-core ingest client.
     */
   private def mtWorkload(spark: SparkSession, n: Int, batches: Int): (Double, Double) = {
     import spark.implicits._
@@ -82,15 +127,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("graft-bench")
 
     // Warm up the session (codegen, parquet footer caches, shuffle service)
     // so the alphabetically-first query doesn't absorb one-time JVM costs,
@@ -106,7 +143,7 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = timeSec {
+      val t = minTimeSec {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       }
@@ -116,9 +153,17 @@ object Bench {
     // Demo-mirror workload at the contract size (50k) and at 1M rows, where
     // the reference's single-threaded O(n·merges) ingest meets our parallel
     // batch path at a size that amortizes Spark's per-job overhead.
-    val (ing50, scan50) = mtWorkload(spark, 50000, 50)
+    // Workload runs repeat too (fresh table dir each run, min over runs per
+    // phase) — these were the noisiest recorded numbers in round 3.
+    def minOf(run: => (Double, Double)): (Double, Double) = {
+      val runs = (1 to reps).map(_ => run)
+      (runs.map(_._1).min, runs.map(_._2).min)
+    }
+    // 50k contract size: the reference client's exact single-writer shape.
+    val (ing50, scan50) = minOf(mtRowWorkload(spark, 50000))
     val ref50 = measureReference(50000)
-    val (ing1m, scan1m) = mtWorkload(spark, 1000000, 50)
+    // 1M: the distributed batch-ingest path.
+    val (ing1m, scan1m) = minOf(mtWorkload(spark, 1000000, 50))
     val ref1m = measureReference(1000000)
 
     def ratio(ours: Double, ref: Option[(Double, Double)]): Double =

@@ -11,10 +11,7 @@ object QProfile {
   }
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("graft-qprofile")
     val ws = split(col("text"), " ")
     val sh = transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),

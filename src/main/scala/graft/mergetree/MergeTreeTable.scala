@@ -33,7 +33,17 @@ case class MergeTreeConfig(
       * to LZ4/ZSTD, and at 100 TB codec choice dominates storage cost, so
       * it's a table knob: snappy (default), zstd, lz4, gzip, none.
       */
-    compression: String = "snappy")
+    compression: String = "snappy",
+    /** Small-query short-circuit: when the pruned part set plus memtable
+      * holds at most this many rows, `query`/`fullScan` read the parts
+      * driver-locally (parquet-mr, no Spark job) — a point lookup on a
+      * well-pruned table should not pay a distributed job launch. The
+      * estimate comes from manifest row counts BEFORE any scan. 0 disables.
+      * At 100 TB almost every query exceeds this and takes the distributed
+      * path; the ones that don't are exactly the ones a job launch would
+      * dominate.
+      */
+    localScanMaxRows: Long = 256 * 1024L)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning
@@ -174,11 +184,60 @@ final class MergeTreeTable private (
   private def triggerFlushIfNeeded(force: Boolean = false): Unit = {
     // Reference: trigger_flush_if_needed (src/merge_tree.cpp:228-238).
     if ((force || memtable.size >= config.memtableFlushThreshold) && memtable.nonEmpty) {
-      import spark.implicits._
-      val df = spark.createDataset(memtable.toSeq).toDF()
-      writePart(df, 1)
+      flushLocal(memtable.toSeq)
       memtable.clear()
     }
+  }
+
+  /** Driver-local memtable flush. The memtable is driver-resident and small
+    * by definition (≤ flushThreshold rows), so a full Spark job per flush is
+    * pure fixed cost — one job launch + commit protocol per 1000-row part
+    * dominated the reference-mirror ingest workload. Writing the part with
+    * parquet-mr directly (sorted, granule-sized row groups — same layout the
+    * Spark write path produces) and deriving the metadata from the in-memory
+    * rows skips the job entirely. Distributed ingest (insertBatch) still
+    * goes through Spark — this path only ever sees memtable-sized data.
+    */
+  private def flushLocal(rows: Seq[KVRow]): PartMetadata = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.hadoop.fs.{Path => HPath}
+    // UTF-8 byte order — the same collation Spark sorts and prunes by.
+    val sorted = rows.sortBy(r => (r.key, r.timestamp))(
+      Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
+    val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
+    Files.createDirectories(stage)
+    val file = stage.resolve("part-00000.parquet")
+    val writer = ExampleParquetWriter.builder(new HPath(file.toString))
+      .withConf(MergeTreeTable.localFlushConf)
+      .withRowGroupRowCountLimit(config.granuleSize)
+      .withCompressionCodec(
+        scala.util.Try(CompressionCodecName.valueOf(config.compression.toUpperCase))
+          .getOrElse(CompressionCodecName.SNAPPY))
+      .build()
+    val factory = new SimpleGroupFactory(MergeTreeTable.localFlushSchema)
+    try sorted.foreach { r =>
+      val g = factory.newGroup()
+      g.append("key", r.key); g.append("value", r.value); g.append("timestamp", r.timestamp)
+      writer.write(g)
+    } finally writer.close()
+    val size = Files.size(file)
+    val now = System.currentTimeMillis()
+    val meta = Manifest.register(path, stage, append = true) { partId =>
+      PartMetadata(
+        partId = partId,
+        minKey = sorted.head.key,
+        maxKey = sorted.last.key,
+        minTimestamp = sorted.iterator.map(_.timestamp).min,
+        maxTimestamp = sorted.iterator.map(_.timestamp).max,
+        rowCount = sorted.size.toLong,
+        granuleCount = (sorted.size.toLong + config.granuleSize - 1) / config.granuleSize,
+        diskSize = size,
+        creationTime = now)
+    }
+    refresh()
+    meta
   }
 
   // ----------------------------------------------------------------- query
@@ -188,9 +247,10 @@ final class MergeTreeTable private (
     */
   def query(startKey: String, endKey: String): Dataset[KVRow] = {
     import spark.implicits._
-    dedupSort(unionScan(Some((startKey, endKey)))
-      .filter(col("key") >= lit(startKey) && col("key") <= lit(endKey)))
-      .as[KVRow]
+    localScan(Some((startKey, endKey))).getOrElse(
+      dedupSort(unionScan(Some((startKey, endKey)))
+        .filter(col("key") >= lit(startKey) && col("key") <= lit(endKey)))
+        .as[KVRow])
   }
 
   /** Point lookup = range query with start == end (O12,
@@ -203,11 +263,65 @@ final class MergeTreeTable private (
     */
   def fullScan(): Dataset[KVRow] = {
     import spark.implicits._
-    dedupSort(unionScan(None)).as[KVRow]
+    localScan(None).getOrElse(dedupSort(unionScan(None)).as[KVRow])
   }
 
   /** Raw (pre-dedup) view of parts ∪ memtable, for diagnostics. */
   def rawScan(): DataFrame = unionScan(None)
+
+  /** Small-query short-circuit (see `MergeTreeConfig.localScanMaxRows`):
+    * serve the scan from a driver-local parquet-mr read over the pruned
+    * part set when the manifest says it is tiny. Same observable semantics
+    * as the distributed path — memtable ∪ parts, range filter, (key,ts)
+    * dedup keeping max(value), (key,ts) sort — all in UTF-8 byte order
+    * (KeyOrder), the collation Spark itself sorts strings by. Returns None
+    * when the estimate exceeds the threshold (caller takes the Spark path).
+    */
+  private def localScan(range: Option[(String, String)]): Option[Dataset[KVRow]] = {
+    if (config.localScanMaxRows <= 0) return None
+    val (live, mem) = lock.synchronized {
+      val l = range match {
+        case Some((s, e)) => manifest.parts.filter(_.overlapsRange(s, e))
+        case None         => manifest.parts
+      }
+      (l, memtable.toList)
+    }
+    if (live.map(_.rowCount).sum + mem.size > config.localScanMaxRows) return None
+    val inRange: KVRow => Boolean = range match {
+      case Some((s, e)) => r => !KeyOrder.lt(r.key, s) && !KeyOrder.gt(r.key, e)
+      case None         => _ => true
+    }
+    // Per-part reads in parallel: parquet-mr pays ~15 ms of reader setup
+    // per file, so 50 tiny parts read serially would cost more than the
+    // distributed job the short-circuit avoids.
+    val partRows: Seq[Seq[KVRow]] =
+      if (live.sizeIs <= 1) live.map(p => LocalPartReader.read(partDir(p.partId), range))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(live.size, Runtime.getRuntime.availableProcessors()))
+        try {
+          val futs = live.map(p => pool.submit(
+            new java.util.concurrent.Callable[Seq[KVRow]] {
+              def call(): Seq[KVRow] = LocalPartReader.read(partDir(p.partId), range)
+            }))
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    val rows = partRows.iterator.flatten ++ mem.iterator
+    // (key, ts) dedup keeping max(value) — same UTF-8 max the distributed
+    // path's max() aggregate computes.
+    val best = new java.util.HashMap[(String, Long), String]()
+    rows.filter(inRange).foreach { r =>
+      best.merge((r.key, r.timestamp), r.value,
+        (a, b) => if (KeyOrder.lt(a, b)) b else a)
+    }
+    val out = new ArrayBuffer[KVRow](best.size)
+    best.forEach((k, v) => out += KVRow(k._1, v, k._2))
+    val sorted = out.sortBy(r => (r.key, r.timestamp))(
+      Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
+    import spark.implicits._
+    Some(spark.createDataset(sorted.toSeq))
+  }
 
   private def unionScan(range: Option[(String, String)]): DataFrame = lock.synchronized {
     import spark.implicits._
@@ -482,6 +596,27 @@ object MergeTreeTable {
 
   /** Target rows per parquet file inside a part (see partitionsForRows). */
   private val RowsPerFileTarget = 1000000L
+
+  /** Shared parquet-mr schema + Hadoop conf for the driver-local flush path.
+    * Built once: `new Configuration()` costs milliseconds (XML resource
+    * scan) — per-flush that was a third of the 50k-row ingest workload.
+    * RawLocalFileSystem skips the .crc shadow files ChecksumFileSystem
+    * writes (Spark's own parquet commit protocol does the same).
+    */
+  private[mergetree] val localFlushSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  required binary key (UTF8);
+        |  required binary value (UTF8);
+        |  required int64 timestamp;
+        |}""".stripMargin)
+
+  private[mergetree] val localFlushConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(localFlushSchema, c)
+    c
+  }
 
   /** `StructType` of the compatibility row (SURVEY §1.4). */
   val schema: StructType = StructType(Seq(

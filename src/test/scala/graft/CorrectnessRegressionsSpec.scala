@@ -176,4 +176,52 @@ class CorrectnessRegressionsSpec extends AnyFunSuite {
     assert(t.scan().count() == 1000 - 100 + writerRows)
     assert(t.scan().filter(col("grp") === 3L).count() == 0)
   }
+
+  // ------------------- small-query short-circuit ≡ distributed scan
+
+  test("local-scan short-circuit matches the distributed path exactly") {
+    val dir = Files.createTempDirectory("mt_localscan_").toString
+    val t0 = MergeTreeTable.create(spark, dir,
+      MergeTreeConfig(memtableFlushThreshold = 100))
+    // Several parts with (key, ts) collisions across parts (max(value)
+    // survivor), keys straddling the U+E000 vs supplementary-plane
+    // UTF-16/UTF-8 order divergence, and range-bound keys.
+    val bmp = "prepost"      // U+E000: sorts HIGH in UTF-16, low in UTF-8
+    val supp = "pre😀post" // U+1F600: surrogate pair, high in UTF-8
+    val rnd = new scala.util.Random(7)
+    (0 until 450).foreach { i =>
+      t0.insert(s"k${rnd.nextInt(80)}", s"v$i", (i % 37).toLong)
+    }
+    t0.insert(bmp, "b1", 1L); t0.insert(supp, "s1", 1L)
+    t0.insert("k10", "zz9", 5L); t0.insert("k10", "aa0", 5L) // collision
+    t0.flush(); t0.shutdown()
+
+    val local = MergeTreeTable.open(spark, dir,
+      MergeTreeConfig(localScanMaxRows = 1 << 20))
+    val dist = MergeTreeTable.open(spark, dir,
+      MergeTreeConfig(localScanMaxRows = 0))
+    // identical unflushed memtable rows on both instances, with one more
+    // (key, ts) collision against a flushed part
+    Seq(local, dist).foreach { t =>
+      t.insert("k10", "mm5", 5L)
+      t.insert("k5", "memv", 999L)
+      t.insert(supp, "s2", 2L)
+    }
+    def check(res: (Seq[KVRow], Seq[KVRow])): Unit = {
+      assert(res._1.nonEmpty && res._1 == res._2)
+    }
+    check((local.query("k1", "k5").collect().toSeq,
+      dist.query("k1", "k5").collect().toSeq))
+    check((local.query("a", "z").collect().toSeq,
+      dist.query("a", "z").collect().toSeq))
+    check((local.queryKey("k10").collect().toSeq,
+      dist.queryKey("k10").collect().toSeq))
+    check((local.fullScan().collect().toSeq,
+      dist.fullScan().collect().toSeq))
+    // the collision survivor is the UTF-8 max(value) on both paths
+    assert(local.queryKey("k10").collect()
+      .find(_.timestamp == 5L).get.value == "zz9")
+    local.shutdown(); dist.shutdown()
+    MergeTreeTable.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
