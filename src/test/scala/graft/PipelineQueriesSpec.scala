@@ -51,9 +51,10 @@ class PipelineQueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ivf.size == brute.size) // both 5 queries x top-10
     val recall = (brute & ivf).size.toDouble / brute.size
-    // random vectors, nprobe 3/8: recall well above the 3/8 prior means the
-    // probed clusters genuinely concentrate the neighbours
-    assert(recall > 0.15 && recall <= 1.0, s"IVF recall out of range: $recall")
+    // trained quantizer (2 Lloyd iterations): the probed clusters must
+    // concentrate the true neighbours well beyond the nprobe/nlist = 3/8
+    // prior — the untrained (vec_id < 8) quantizer hovered near it
+    assert(recall >= 0.5 && recall <= 1.0, s"IVF recall out of range: $recall")
   }
 
   test("language-ID confusion matrix covers every document once") {
