@@ -94,6 +94,60 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst dot product over two array<double> columns — the
+  * random-hyperplane LSH hot path (32 sign bits per vector in q34): the HOF
+  * formulation is CodegenFallback, this stays inside whole-stage codegen.
+  * Sequential element-order accumulation over the common prefix, matching
+  * both the HOF fold and DuckDB's list_dot_product at 6 dp.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<double> inputs, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Typed UDAF (SURVEY §2.2 last row): per-group numeric summary as a single
   * Aggregator — partial-aggregable (map-side combine via merge), so it
   * shuffles one small buffer per group, not rows.
@@ -125,10 +179,20 @@ object GraftFunctions {
     ArrayCosineSimilarity(children.head, children(1))
   }
 
+  private val dotInfo = new ExpressionInfo(
+    classOf[ArrayDotProduct].getName, "dot_product")
+
+  private val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "dot_product takes exactly 2 arguments")
+    ArrayDotProduct(children.head, children(1))
+  }
+
   /** Idempotently register SQL-callable functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"), dotInfo, dotBuilder)
     spark.udf.register("num_summary",
       org.apache.spark.sql.functions.udaf(SummaryAggregator))
   }
@@ -145,5 +209,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) =>
         ArrayCosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) =>
+        ArrayDotProduct(children.head, children(1))))
   }
 }

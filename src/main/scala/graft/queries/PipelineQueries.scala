@@ -223,31 +223,96 @@ object PipelineQueries {
        |  FROM scored) sub
        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
-  /** Q34 — embedding near-duplicate pairs, blocked by label: the
-    * dedup-by-embedding pattern (drop training docs whose vectors nearly
-    * coincide). Blocking on a partition attribute keeps the pair space
-    * per-group instead of corpus²; at 100 TB the blocking key would be an
-    * LSH bucket (random hyperplane signs) — same join shape.
+  /** Random-hyperplane constants for q34's LSH blocking: 32 hyperplanes
+    * (8 bands × 4 sign bits) of Rademacher ±1 entries over the 64-dim
+    * embedding space, from a fixed seed. Embedded as literals in BOTH the
+    * Spark plan and the oracle SQL so the engines share the exact planes.
+    * ±1 entries make each dot product a signed sum of vector components —
+    * no multiplication rounding — and the sum is a sequential fold on both
+    * sides, so the sign bits agree.
     */
-  def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embDouble(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("label"), col("id_a"), col("id_b"),
-        r6(cosine(col("va"), col("vb"))).as("sim"))
-      .filter(col("sim") >= 0.3)
-      .orderBy(col("label"), col("id_a"), col("id_b"))
+  private val NearDupBands = 8
+  private val NearDupBitsPerBand = 4
+  private def nearDupPlanes(n: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(20240812L)
+    Seq.fill(n)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  val q34Sql: String =
-    s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-       |  ${R6Sql.format("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")} AS sim
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${R6Sql.format("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")} >= 0.3
-       |ORDER BY a.label, id_a, id_b""".stripMargin
+  /** Q34 — embedding near-duplicate pairs, blocked by random-hyperplane LSH
+    * buckets: the dedup-by-embedding pattern (drop training docs whose
+    * vectors nearly coincide). Each vector gets one 4-bit bucket per band
+    * (sign bits of 4 hyperplane dot products — native codegen dot_product);
+    * candidate pairs come from an equi-join on (band, bucket), deduped, then
+    * exact-cosine verified. Bucket sizes are ~corpus/2^bits per band
+    * regardless of any data attribute — unlike blocking on a label-like
+    * partition column, no single hot group can go quadratic at 100 TB.
+    * Recall vs the exhaustive answer is probabilistic (pinned in
+    * PipelineQueriesSpec); the oracle replays the identical bucketed join.
+    */
+  def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(spark, dir, NearDupBands, NearDupBitsPerBand, 0.3)
+
+  /** Generalized form: `bitsPerBand` is the scale knob — expected bucket
+    * size is n/2^bits, so production sizes it as ~log2(n / targetBucket)
+    * (more bits = fewer random collisions, same true-dup collisions for
+    * genuinely near-identical vectors); `bands` buys recall back
+    * (miss prob = (1 - p^bits)^bands, p = 1 - θ/π).
+    */
+  private[graft] def embedNearDup(spark: SparkSession, dir: String,
+      bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+    val e = embDouble(spark, dir)
+    val planes = nearDupPlanes(bands * bitsPerBand)
+    val dot = (p: Seq[Double]) =>
+      call_function("dot_product", col("v"), typedLit(p))
+    val buckets = array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        when(r6(dot(planes(b * bitsPerBand + j))) >= 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val sigs = e.select(col("vec_id"), col("v"),
+      posexplode(buckets).as(Seq("band", "bucket")))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), r6(cosine(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q34Sql: String = {
+    def planeSql(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
+    val planes = nearDupPlanes(NearDupBands * NearDupBitsPerBand)
+    val bands = (0 until NearDupBands).map { b =>
+      val bucket = (0 until NearDupBitsPerBand).map { j =>
+        val d = R6Sql.format(
+          s"list_dot_product(v, ${planeSql(planes(b * NearDupBitsPerBand + j))})")
+        s"(CASE WHEN $d >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $b AS band, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (
+       |$bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM s a JOIN s b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    ${R6Sql.format("list_cosine_similarity(ea.v, eb.v)")} AS sim
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.id_a
+       |  JOIN e eb ON eb.vec_id = c.id_b) sub
+       |WHERE sim >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ----------------------------------------------------------- deduplication
 

@@ -57,6 +57,46 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(recall >= 0.5 && recall <= 1.0, s"IVF recall out of range: $recall")
   }
 
+  test("embedding near-dup LSH blocking: subset of exhaustive, high recall on strong pairs") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.functions.GraftFunctions.register(spark)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / 1e6
+    val exhaustive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        r6(call_function("cosine_similarity", col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = PipelineQueries.q34EmbedNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair is a true pair with the identical rounded similarity
+    lsh.foreach { case (k, s) =>
+      assert(exhaustive.get(k).contains(s), s"false candidate $k sim=$s")
+    }
+    // Recall on the data's strongest pairs (sim >= 0.4; this table's max is
+    // ~0.48 — planted embedding dups are weak). Theory: per-pair miss
+    // (1 - p^4)^8 ≈ 0.19..0.25 at sim 0.4..0.48 (p = 1 - acos(s)/pi), and
+    // the seeded planes make the realized recall a deterministic number —
+    // the bound pins it just below the measured value.
+    val strong = exhaustive.filter(_._2 >= 0.4).keySet
+    assert(strong.nonEmpty, "testdata must contain sim>=0.4 pairs")
+    val recall = (strong & lsh.keySet).size.toDouble / strong.size
+    assert(recall >= 0.65, s"LSH recall on sim>=0.4 pairs too low: $recall")
+    // the scale knob: more bits per band -> strictly fewer candidates
+    // surviving to verification (narrower buckets), identical pair quality
+    val wide = PipelineQueries.embedNearDup(spark, dir, 8, 4, 0.3).count()
+    val narrow = PipelineQueries.embedNearDup(spark, dir, 8, 8, 0.3).count()
+    assert(narrow < wide, s"8-bit buckets must prune harder: $narrow >= $wide")
+    // blocking must be an equi-join on (band, bucket), never a cross product
+    val plan = PipelineQueries.q34EmbedNearDup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "q34 plan degenerated to cartesian")
+  }
+
   test("language-ID confusion matrix covers every document once") {
     val df = PipelineQueries.q29LangId(spark, dir)
     val total = df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
