@@ -343,21 +343,25 @@ object AnalyticQueries {
   /** Q39 — AS-OF join (an operator the reference class of engines ships and
     * Spark lacks): for each event, the most recent order of the same
     * customer at or before the event time, composed from an equi-join on the
-    * key plus a per-event ranking window — preference order (a) of the
+    * key plus a `max_by` aggregate — preference order (a) of the
     * custom-operator ladder: compose existing ops when semantics allow.
-    * Scale: one shuffle on the join key; per-event state bounded by orders
-    * per customer (skewed keys would get salting, not a different algorithm).
+    * max_by over struct(o_orderdate, o_orderkey) picks the lexicographic max
+    * = ORDER BY date DESC, key DESC LIMIT 1, deterministically (orderkey is
+    * unique), and is partial-aggregable: the multiplied join rows collapse
+    * map-side to one buffer per (event, user) BEFORE the shuffle, where the
+    * previous rank-window formulation shuffled every multiplied row and
+    * sorted per event. Scale: one shuffle on the join key; skewed users get
+    * salting, not a different algorithm.
     */
   def q39AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
     val ord = t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     ev.join(ord, ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max_by(col("o_orderkey"),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("o_orderkey"))
       .select(col("event_id"), col("user_id"), col("o_orderkey"))
       .orderBy(col("event_id"))
   }

@@ -65,6 +65,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"q9 must hash-aggregate with map-side partials:\n$formatted")
   }
 
+  test("q39: as-of join aggregates with map-side partial max_by, no rank window") {
+    val df = AnalyticQueries.q39AsofJoin(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"as-of must not sort multiplied rows per event:\n$p")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("partial_max_by"),
+      s"join output must collapse map-side before the shuffle:\n$formatted")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
