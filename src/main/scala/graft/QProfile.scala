@@ -12,10 +12,7 @@ object QProfile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-qprofile")
-    val ws = split(col("text"), " ")
-    val sh = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
-      i => concat_ws(" ", slice(ws, i, lit(5))))
+    val sh = graft.queries.PipelineQueries.shingles // the one shared definition
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
     t("scan+count")(docsDf.write.format("noop").mode("overwrite").save())
     val exploded = docsDf.select(col("doc_id"), explode(sh).as("shingle"))

@@ -318,16 +318,22 @@ object PipelineQueries {
 
   private def tokens: Column = split(col("text"), " ")
 
-  /** Distinct 5-gram word shingles per document. */
-  private def shingleDf(spark: SparkSession, dir: String): DataFrame = {
+  /** The word-5-gram shingle expression, shared by q25 and q26 (and the dev
+    * profiler): ONE definition so the tokenization the q25 == q26 oracle
+    * equivalence depends on cannot drift between them.
+    */
+  private[graft] def shingles: Column = {
     val ws = tokens
-    val sh = transform(
+    transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
       i => concat_ws(" ", slice(ws, i, lit(5))))
-    docs(spark, dir)
-      .select(col("doc_id"), explode(sh).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct 5-gram word shingles per document. */
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .distinct()
 
   private val ShingleSql =
     """WITH toks AS (
@@ -380,13 +386,16 @@ object PipelineQueries {
     val dsh = maxShingleFreq match {
       case None => dshAll
       case Some(cap) =>
-        // one small aggregate on the shingle key; the anti-join side
-        // (hot shingles) is tiny by construction and broadcasts
+        // One small aggregate on the shingle key. No broadcast hint: at
+        // sensible caps the hot-shingle set is tiny and the planner (AQE)
+        // broadcasts it on its own, but a degenerate cap (cap=1 in the
+        // spec) makes it approach the full distinct-shingle cardinality —
+        // a forced broadcast there would OOM the driver at scale.
         val hot = dshAll.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select(col("shingle"))
-        dshAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+        dshAll.join(hot, Seq("shingle"), "left_anti")
     }
     val cnt = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = dsh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -411,9 +420,11 @@ object PipelineQueries {
     * into LSH buckets, candidate pairs from an equi-join on (band,
     * signature), then exact-Jaccard verification of candidates only.
     *
-    * With J ≥ 0.8 pairs and 24 bands of 4 rows, miss probability per pair is
-    * (1 - J⁴)²⁴ ≤ 7e-10 — the verified output provably equals q26's
-    * exhaustive answer on this data, so it shares the exhaustive oracle.
+    * With 24 bands of 4 rows, per-pair miss probability is (1 - J⁴)²⁴:
+    * ≈ 3.3e-6 at exactly J = 0.8, falling fast with J (1.6e-9 at J = 0.9) —
+    * the planted near-dups sit well above the threshold, and equality with
+    * q26's exhaustive answer is pinned empirically on this data
+    * (PipelineQueriesSpec), so it shares the exhaustive oracle.
     * 96 (not 128) hashes keeps the signature aggregate under
     * spark.sql.codegen.maxFields (100), so the whole pass stays inside
     * whole-stage codegen.
@@ -436,12 +447,8 @@ object PipelineQueries {
     val numBands = numHashes / bandRows // 24
     // Distinct (doc_id, shingle-hash) pairs: hash BEFORE the distinct() so
     // its shuffle moves 16-byte rows, not strings.
-    val ws = tokens
-    val sh = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
-      i => concat_ws(" ", slice(ws, i, lit(5))))
     val dsh = docs(spark, dir)
-      .select(col("doc_id"), explode(sh).as("shingle"))
+      .select(col("doc_id"), explode(shingles).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
       .persist() // feeds the signature aggregate and the verification sets
@@ -476,16 +483,22 @@ object PipelineQueries {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
+    // Threshold on the RAW ratio, rounding only the emitted column — the
+    // identical semantics jaccardExact/q26 use, so the two sides can never
+    // disagree on a value in [0.7999995, 0.8).
     val out = withSets
+      .filter(j >= 0.8)
       .select(col("doc_a"), col("doc_b"), r6(j).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
-    // Materialize the (tiny) verified pair set now so the persisted hashes
-    // can be released — repeated invocations must not accrete cached
-    // intermediates (ADVICE r2).
-    val materialized = out.localCheckpoint(true)
+    // Materialize the verified pair set on the driver so the persisted
+    // hashes can be released — repeated invocations must not accrete cached
+    // intermediates. The pair set is tiny by construction (near-dup pairs,
+    // already exact-verified); collect + createDataFrame keeps the
+    // query-registry contract (a DataFrame) without localCheckpoint's
+    // unrecoverable-on-executor-loss caveat.
+    val rows = java.util.Arrays.asList(out.collect(): _*)
     dsh.unpersist()
-    materialized
+    spark.createDataFrame(rows, out.schema)
   }
 
   val q25Sql: String = JaccardPairsSql
