@@ -228,10 +228,12 @@ object StorageQueries {
     "event_type || '_' || CAST(user_id AS VARCHAR) BETWEEN 'click_1' AND 'purchase_5'")
 
   /** Q44 — the schema-generic MergeTree (arbitrary StructType + declared
-    * ORDER BY, SURVEY §1.4's "ClickHouse's real model"): lineitem stored
-    * ORDER BY (l_orderkey, l_linenumber) across key-range parts, then a
-    * pruned numeric range scan aggregated — results must equal the same
-    * query over the raw parquet.
+    * ORDER BY, SURVEY §1.4's "ClickHouse's real model") through its SQL
+    * face: lineitem stored ORDER BY (l_orderkey, l_linenumber) across
+    * key-range parts, then queried via the DSv2 connector (the tabledef-
+    * self-describing `USING mergetree` path) — the key-range predicate is
+    * pushed through the connector for driver-side part pruning + row-group
+    * skip, and results must equal the same query over the raw parquet.
     */
   def q44GenericTable(spark: SparkSession, dir: String): DataFrame = {
     val t = cacheG.getOrElseUpdate(dir, {
@@ -245,7 +247,8 @@ object StorageQueries {
       }
       tbl
     })
-    t.rangeScan(400L, 1200L)
+    spark.read.format("mergetree").load(t.path)
+      .filter(col("l_orderkey") >= 400L && col("l_orderkey") <= 1200L)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         (floor(sum(col("l_quantity")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)

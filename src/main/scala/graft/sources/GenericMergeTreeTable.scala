@@ -1,0 +1,233 @@
+package graft.sources
+
+import graft.mergetree.{ColumnarMergeTree, KeyOrder}
+import graft.mergetree.ColumnarMergeTree.{GManifest, GPartMeta}
+
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicReference
+import scala.jdk.CollectionConverters._
+
+/** The SQL face of the schema-generic table (SURVEY §1.4's "ClickHouse's
+  * real model"): `CREATE TABLE t USING mergetree OPTIONS (path ...)` over a
+  * directory created by ColumnarMergeTree — schema, ORDER BY, and merge
+  * mode come from the persisted tabledef.json, so the first thing a real
+  * user does (address their own table from SQL) works.
+  *
+  * Reads are vectorized (ParquetColumnarReader) with both pruning layers:
+  * driver-side part pruning from gmanifest leading-key bounds (O8) and
+  * parquet row-group skip via a pushed FilterPredicate (O7). Reads are RAW
+  * part rows — Replacing/Summing collapse is a read-time VIEW concern, like
+  * ClickHouse SELECT without FINAL; `ColumnarMergeTree.scan()` is the
+  * FINAL-applying API.
+  *
+  * Writes go through the DSv2→V1 InsertableRelation shim: the driver hands
+  * the whole DataFrame to `ColumnarMergeTree.insertBatch`, which
+  * range-partitions + sorts on the ORDER BY keys and lands one part under
+  * the same manifest lock as every other writer — SQL `INSERT INTO` and the
+  * Scala API are literally the same write path.
+  */
+class GenericMergeTreeV2Table(
+    path: String,
+    tableSchema: StructType,
+    orderBy: Seq[String]) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"mergetree:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenericScanBuilder(path, tableSchema, orderBy)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.toSeq == tableSchema.fieldNames.toSeq,
+      s"mergetree write requires columns ${tableSchema.fieldNames.mkString(",")}, " +
+        s"got ${info.schema().fieldNames.mkString(",")}")
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              "mergetree: INSERT OVERWRITE is not supported (parts are append-only; use deleteWhere + insert)")
+            ColumnarMergeTree.open(data.sparkSession, path).insertBatch(data)
+          }
+      }
+    }
+  }
+}
+
+/** Test/diagnostic hook: (planned, total) parts at the last generic scan. */
+object GenericMergeTreeScan {
+  val lastPruning: AtomicReference[(Int, Int)] = new AtomicReference((0, 0))
+}
+
+class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[String])
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val leadKey = orderBy.head
+  private val leadType = tableSchema(leadKey).dataType
+  private val leadIsString = leadType == StringType
+  private val leadIsIntegral = leadType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _                                             => false
+  }
+
+  private var required: StructType = tableSchema
+  private var lo: Option[Any] = None
+  private var hi: Option[Any] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  private def narrowLo(v: Any): Unit =
+    lo = Some(lo.fold(v)(cur => if (cmp(v, cur) > 0) v else cur))
+  private def narrowHi(v: Any): Unit =
+    hi = Some(hi.fold(v)(cur => if (cmp(v, cur) < 0) v else cur))
+  private def cmp(a: Any, b: Any): Int =
+    if (leadIsString) KeyOrder.cmp(a.toString, b.toString)
+    else java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
+
+  private def usable(v: Any): Boolean =
+    (leadIsString && v.isInstanceOf[String]) ||
+      (leadIsIntegral && v.isInstanceOf[Number])
+
+  /** Conservative range extraction on the leading ORDER BY key; > / < keep
+    * the inclusive bound (block-level pruning only — Spark re-applies every
+    * filter post-scan).
+    */
+  private def collect(f: Filter): Boolean = f match {
+    case EqualTo(`leadKey`, v) if usable(v)            => narrowLo(v); narrowHi(v); true
+    case GreaterThanOrEqual(`leadKey`, v) if usable(v) => narrowLo(v); true
+    case GreaterThan(`leadKey`, v) if usable(v)        => narrowLo(v); true
+    case LessThanOrEqual(`leadKey`, v) if usable(v)    => narrowHi(v); true
+    case LessThan(`leadKey`, v) if usable(v)           => narrowHi(v); true
+    case And(a, b) =>
+      val ca = collect(a); val cb = collect(b); ca || cb
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(collect)
+    filters // block-level pruning only: Spark re-evaluates every filter
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi)
+}
+
+class GenericMergeTreeScanImpl(
+    path: String,
+    required: StructType,
+    leadKey: String,
+    leadType: org.apache.spark.sql.types.DataType,
+    lo: Option[Any],
+    hi: Option[Any])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def surviving(parts: List[GPartMeta]): List[GPartMeta] =
+    (lo, hi) match {
+      case (None, None) => parts
+      case _ => parts.filter(p =>
+        p.overlaps(lo.getOrElse(p.minKey), hi.getOrElse(p.maxKey)))
+    }
+
+  override def estimateStatistics(): Statistics = {
+    val parts = surviving(GManifest.load(path).map(_.parts).getOrElse(Nil))
+    val bytes = parts.map(_.diskSize).sum
+    val rows = parts.map(_.rowCount).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def description(): String = {
+    val range = (lo, hi) match {
+      case (None, None) => "full"
+      case _            => s"[${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}]"
+    }
+    s"mergetree-generic $path $leadKey=$range cols=${required.fieldNames.mkString(",")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val live = GManifest.load(path).map(_.parts).getOrElse(Nil)
+    val keep = surviving(live)
+    GenericMergeTreeScan.lastPruning.set((keep.size, live.size))
+    keep.flatMap { p =>
+      val dir = Paths.get(path, s"part_${p.partId}")
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => MergeTreePartition(f.toString): InputPartition).toList
+        finally s.close()
+      }
+    }.toArray
+  }
+
+  /** Key range compiled to a parquet FilterPredicate for row-group skip
+    * (O7); only string and integral leading keys are typed here — others
+    * never populated lo/hi (see GenericScanBuilder.usable).
+    */
+  private def rangePredicate: Option[FilterPredicate] = {
+    def one(v: Any, lower: Boolean): FilterPredicate = leadType match {
+      case StringType =>
+        val c = FilterApi.binaryColumn(leadKey)
+        val b = Binary.fromString(v.toString)
+        if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b)
+      case LongType =>
+        val c = FilterApi.longColumn(leadKey)
+        val b = java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+        if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b)
+      case _ =>
+        val c = FilterApi.intColumn(leadKey)
+        val b = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
+        if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b)
+    }
+    (lo.map(one(_, lower = true)), hi.map(one(_, lower = false))) match {
+      case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+      case (a, b)             => a.orElse(b)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenericReaderFactory(required, rangePredicate)
+}
+
+class GenericReaderFactory(
+    required: StructType,
+    filter: Option[FilterPredicate])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new ParquetColumnarReader(
+      partition.asInstanceOf[MergeTreePartition].file, required, filter)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException(
+      "mergetree-generic scan is columnar; row reader is never planned")
+}

@@ -53,18 +53,32 @@ import scala.jdk.CollectionConverters._
   * MergeTreeTable.query which uses Spark's vectorized parquet scan.
   */
 class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
+  import graft.mergetree.ColumnarMergeTree.TableDef
+
   override def shortName(): String = "mergetree"
 
+  /** A path with a persisted tabledef.json (written by
+    * ColumnarMergeTree.create) is a schema-generic table and self-describes;
+    * anything else is the fixed-schema KV compatibility table.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MergeTreeTable.schema
+    Option(options.get("path"))
+      .map(MergeTreeTableProvider.localPath)
+      .flatMap(TableDef.load)
+      .map(d => StructType.fromDDL(d.schemaDdl))
+      .getOrElse(MergeTreeTable.schema)
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val path = Option(properties.get("path"))
-      .getOrElse(throw new IllegalArgumentException("mergetree: path required"))
-    new MergeTreeV2Table(MergeTreeTableProvider.localPath(path))
+    val path = MergeTreeTableProvider.localPath(Option(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("mergetree: path required")))
+    TableDef.load(path) match {
+      case Some(d) =>
+        new GenericMergeTreeV2Table(path, StructType.fromDDL(d.schemaDdl), d.orderBy)
+      case None => new MergeTreeV2Table(path)
+    }
   }
 }
 
@@ -218,6 +232,26 @@ class MergeTreeReaderFactory(
     lo: Option[String],
     hi: Option[String])
     extends PartitionReaderFactory {
+
+  private def rangePredicate: Option[FilterPredicate] = {
+    val loP = lo.map(v => FilterApi.gtEq(FilterApi.binaryColumn("key"), Binary.fromString(v)))
+    val hiP = hi.map(v => FilterApi.ltEq(FilterApi.binaryColumn("key"), Binary.fromString(v)))
+    (loP, hiP) match {
+      case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+      case (a, b)             => a.orElse(b)
+    }
+  }
+
+  /** Vectorized scan (Spark's own parquet reader → ColumnarBatch →
+    * whole-stage codegen); the row reader below survives as the
+    * no-batch-support fallback path.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ParquetColumnarReader(
+      partition.asInstanceOf[MergeTreePartition].file, required, rangePredicate)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new MergeTreeRowReader(

@@ -117,4 +117,82 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(viaSql == viaApi)
     t.shutdown()
   }
+
+  test("reads are columnar: the scan feeds batches into codegen") {
+    val t = buildTable()
+    val df = spark.read.format("mergetree").load(t.path).select("key", "value")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "vectorized DSv2 read must plan a columnar scan")
+    assert(df.count() == 300)
+    t.shutdown()
+  }
+
+  // ------------------------------------------- schema-generic table via SQL
+
+  private def buildGeneric(): (String, ColumnarMergeTree) = {
+    val dir = Files.createTempDirectory("mt_gsql_").toString
+    val df = spark.range(300).select(
+      col("id").as("k"),
+      (col("id") % 7).as("grp"),
+      concat(lit("n"), col("id")).as("name"),
+      (col("id") * 1.5).as("score"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    // three parts with disjoint k ranges -> pruning observable
+    t.insertBatch(df.filter(col("k") < 100))
+    t.insertBatch(df.filter(col("k") >= 100 && col("k") < 200))
+    t.insertBatch(df.filter(col("k") >= 200))
+    (dir, t)
+  }
+
+  test("generic table: CREATE TABLE USING mergetree self-describes from tabledef") {
+    val (dir, t) = buildGeneric()
+    spark.sql("DROP TABLE IF EXISTS g_ddl")
+    spark.sql(s"CREATE TABLE g_ddl USING mergetree LOCATION '$dir'")
+    val df = spark.table("g_ddl")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "grp", "name", "score"))
+    assert(df.count() == 300)
+    // range filter on the leading ORDER BY key prunes parts on the driver
+    val mid = spark.sql("SELECT k, name FROM g_ddl WHERE k BETWEEN 120 AND 150")
+      .collect()
+    assert(mid.length == 31 && mid.forall(r => r.getLong(0) >= 120 && r.getLong(0) <= 150))
+    val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+    assert(total == 3 && planned == 1,
+      s"expected 1/3 parts after manifest pruning, got $planned/$total")
+    // vectorized read path
+    assert(spark.table("g_ddl").queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), "generic scan must be columnar")
+    spark.sql("DROP TABLE g_ddl")
+    t.refresh()
+  }
+
+  test("generic table: SQL INSERT INTO lands a part via the shared write path") {
+    val (dir, t) = buildGeneric()
+    spark.sql("DROP TABLE IF EXISTS g_ins")
+    spark.sql(s"CREATE TABLE g_ins USING mergetree LOCATION '$dir'")
+    spark.sql("""INSERT INTO g_ins VALUES
+      (1000, 3, 'extra1', 0.5), (1001, 4, 'extra2', 1.5)""")
+    assert(spark.table("g_ins").count() == 302)
+    t.refresh()
+    assert(t.partCount == 4 && t.totalRows == 302)
+    // the new part is sorted + bounded like every other part: a filter on
+    // the new range prunes down to it
+    spark.sql("SELECT * FROM g_ins WHERE k >= 1000").collect()
+    val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+    assert(total == 4 && planned == 1, s"got $planned/$total")
+    spark.sql("DROP TABLE g_ins")
+  }
+
+  test("generic table: SQL aggregate matches the Scala-API scan") {
+    val (dir, t) = buildGeneric()
+    spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")
+    val viaSql = spark.sql(
+      """SELECT grp, count(*) AS n, sum(score) AS s FROM g_v
+        |WHERE k BETWEEN 50 AND 250 GROUP BY grp ORDER BY grp""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val viaApi = t.rangeScan(50L, 250L)
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(viaSql == viaApi)
+  }
 }
