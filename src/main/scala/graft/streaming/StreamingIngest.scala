@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.mergetree.{KVRow, MergeTreeTable}
+import graft.mergetree.{ColumnarMergeTree, KVRow, MergeTreeTable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -29,6 +29,23 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[KVRow], _: Long) =>
         if (!batch.isEmpty) table.insertBatch(batch)
+      }
+      .start()
+
+  /** Same for the schema-generic table: a training-data pipeline streams
+    * into arbitrary schemas, not just the KV compatibility row. Each
+    * micro-batch lands as one sorted part under the table's ORDER BY; merge
+    * semantics (Replacing/Summing) apply at read/compaction as usual, so a
+    * streaming upsert feed into a Replacing table is exactly this plus
+    * `scan()`.
+    */
+  def startGeneric(table: ColumnarMergeTree, rows: DataFrame,
+                   checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) table.insertBatch(batch.toDF())
       }
       .start()
 

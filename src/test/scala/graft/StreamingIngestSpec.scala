@@ -38,6 +38,51 @@ class StreamingIngestSpec extends AnyFunSuite {
     t.shutdown()
   }
 
+  test("streaming micro-batches land as parts in a schema-generic table") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Double)]
+    val schema = source.toDF().toDF("k", "name", "score").schema
+    val dir = Files.createTempDirectory("cmt_stream_").toString
+    val t = ColumnarMergeTree.create(spark, dir, schema, orderBy = Seq("k"))
+    val q = StreamingIngest.startGeneric(t, source.toDF().toDF("k", "name", "score"),
+      Files.createTempDirectory("cmt_stream_ckpt_").toString)
+    try {
+      source.addData((0 until 80).map(i => (i.toLong, s"n$i", i * 0.5)))
+      q.processAllAvailable()
+      source.addData((80 until 120).map(i => (i.toLong, s"n$i", i * 0.5)))
+      q.processAllAvailable()
+      t.refresh()
+      assert(t.partCount == 2) // one part per non-empty micro-batch
+      assert(t.totalRows == 120)
+      assert(t.rangeScan(10L, 19L).collect().map(_.getLong(0)).sorted.toList ==
+        (10L to 19L).toList)
+    } finally q.stop()
+  }
+
+  test("streaming upsert feed: Replacing table collapses to latest version at read") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    val schema = source.toDF().toDF("k", "ver", "payload").schema
+    val dir = Files.createTempDirectory("cmt_rstream_").toString
+    val t = ColumnarMergeTree.create(spark, dir, schema, orderBy = Seq("k"),
+      mode = MergeMode.Replacing(Seq("k"), "ver"))
+    val q = StreamingIngest.startGeneric(t, source.toDF().toDF("k", "ver", "payload"),
+      Files.createTempDirectory("cmt_rstream_ckpt_").toString)
+    try {
+      source.addData((0L until 50L).map(k => (k, 1L, s"v1-$k")))
+      q.processAllAvailable()
+      source.addData((0L until 20L).map(k => (k, 2L, s"v2-$k"))) // updates
+      q.processAllAvailable()
+      t.refresh()
+      assert(t.totalRows == 70) // raw rows across 2 parts, pre-collapse
+      val collapsed = t.scan().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(collapsed.size == 50)
+      assert((0L until 20L).forall(k => collapsed(k) == s"v2-$k"),
+        "latest version must win across micro-batch parts")
+      assert((20L until 50L).forall(k => collapsed(k) == s"v1-$k"))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window drops late data and finalizes windows") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String, Double)]
