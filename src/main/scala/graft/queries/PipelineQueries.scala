@@ -232,25 +232,51 @@ object PipelineQueries {
     * sides, so the sign bits agree.
     */
   private val NearDupBands = 8
-  private val NearDupBitsPerBand = 4
+  private val NearDupMinBits = 4
+  private val NearDupMaxBits = 16
+  private val NearDupTargetBucket = 32
   private def nearDupPlanes(n: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(20240812L)
     Seq.fill(n)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Bits per band for a corpus of n vectors: the smallest b with
+    * targetBucket · 2^b ≥ n (expected bucket size ≤ targetBucket), clamped
+    * to [4, 16]. Fixed bits make candidate counts quadratic in n
+    * (b bands × n²/2^(bits+1) random collisions); sizing bits ~ log2(n) holds
+    * the per-bucket width — and with it the join cost — constant as the
+    * corpus grows. Integer comparisons only, so the oracle SQL derives the
+    * IDENTICAL value from count(*) (float log2 could round differently
+    * across engines at exact powers of two).
+    */
+  private[graft] def nearDupBits(n: Long): Int = {
+    var b = NearDupMinBits
+    while (b < NearDupMaxBits && NearDupTargetBucket.toLong * (1L << b) < n) b += 1
+    b
+  }
+
   /** Q34 — embedding near-duplicate pairs, blocked by random-hyperplane LSH
     * buckets: the dedup-by-embedding pattern (drop training docs whose
-    * vectors nearly coincide). Each vector gets one 4-bit bucket per band
-    * (sign bits of 4 hyperplane dot products — native codegen dot_product);
+    * vectors nearly coincide). Each vector gets one bucket per band (sign
+    * bits of hyperplane dot products — native codegen dot_product);
     * candidate pairs come from an equi-join on (band, bucket), deduped, then
-    * exact-cosine verified. Bucket sizes are ~corpus/2^bits per band
-    * regardless of any data attribute — unlike blocking on a label-like
-    * partition column, no single hot group can go quadratic at 100 TB.
-    * Recall vs the exhaustive answer is probabilistic (pinned in
-    * PipelineQueriesSpec); the oracle replays the identical bucketed join.
+    * exact-cosine verified. Bits per band auto-size to the corpus
+    * (nearDupBits: smallest b with 32·2^b ≥ n, so expected bucket width —
+    * and the per-band join cost — stays ~constant as n grows; a FIXED width
+    * is quadratic in n). Bucket population is independent of any data
+    * attribute — unlike blocking on a label-like partition column, no
+    * single hot group can go quadratic at 100 TB. Recall vs the exhaustive
+    * answer is probabilistic (pinned in PipelineQueriesSpec); the oracle
+    * derives the same bit count from count(*) and replays the identical
+    * bucketed join.
     */
-  def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    embedNearDup(spark, dir, NearDupBands, NearDupBitsPerBand, 0.3)
+  def q34EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // One metadata-cheap count sizes the buckets (see nearDupBits); the
+    // oracle derives the same value from count(*) with the same integer
+    // thresholds.
+    val n = emb(spark, dir).count()
+    embedNearDup(spark, dir, NearDupBands, nearDupBits(n), 0.3)
+  }
 
   /** Generalized form: `bitsPerBand` is the scale knob — expected bucket
     * size is n/2^bits, so production sizes it as ~log2(n / targetBucket)
@@ -260,25 +286,36 @@ object PipelineQueries {
     */
   private[graft] def embedNearDup(spark: SparkSession, dir: String,
       bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+    require(bitsPerBand <= NearDupMaxBits, s"bitsPerBand > $NearDupMaxBits")
     val e = embDouble(spark, dir)
-    val planes = nearDupPlanes(bands * bitsPerBand)
+    // Block-aligned plane indexing: band b always draws from the 16-plane
+    // block [b*16, (b+1)*16) and uses its first `bitsPerBand` planes, so the
+    // oracle SQL (which embeds all 16 per band and gates on the derived bit
+    // count) selects the identical planes for every bit width.
+    val planes = nearDupPlanes(bands * NearDupMaxBits)
     val dot = (p: Seq[Double]) =>
       call_function("dot_product", col("v"), typedLit(p))
     val buckets = array((0 until bands).map { b =>
       (0 until bitsPerBand).map { j =>
-        when(r6(dot(planes(b * bitsPerBand + j))) >= 0,
+        when(r6(dot(planes(b * NearDupMaxBits + j))) >= 0,
           lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
-    val sigs = e.select(col("vec_id"), col("v"),
+    // Candidate pairs carry only the two ids until after the dedup — a
+    // near-dup pair collides in most bands, and shuffling the 64-dim
+    // vectors once per colliding band would dominate the query. Vectors
+    // join back onto the (much smaller) deduped pair set for verification.
+    val sigs = e.select(col("vec_id"),
       posexplode(buckets).as(Seq("band", "bucket")))
-    sigs.as("a")
+    val cand = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), r6(cosine(col("va"), col("vb"))).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
@@ -287,16 +324,24 @@ object PipelineQueries {
   val q34Sql: String = {
     def planeSql(p: Seq[Double]): String =
       p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
-    val planes = nearDupPlanes(NearDupBands * NearDupBitsPerBand)
+    val planes = nearDupPlanes(NearDupBands * NearDupMaxBits)
+    // Same integer thresholds as nearDupBits: smallest b with
+    // targetBucket * 2^b >= n, clamped to [min, max].
+    val bitsCase = (NearDupMinBits until NearDupMaxBits)
+      .map(b => s"WHEN cnt <= ${NearDupTargetBucket.toLong * (1L << b)} THEN $b")
+      .mkString(" ")
     val bands = (0 until NearDupBands).map { b =>
-      val bucket = (0 until NearDupBitsPerBand).map { j =>
+      val bucket = (0 until NearDupMaxBits).map { j =>
         val d = R6Sql.format(
-          s"list_dot_product(v, ${planeSql(planes(b * NearDupBitsPerBand + j))})")
-        s"(CASE WHEN $d >= 0 THEN ${1 << j} ELSE 0 END)"
+          s"list_dot_product(v, ${planeSql(planes(b * NearDupMaxBits + j))})")
+        s"(CASE WHEN $j < p.bits AND $d >= 0 THEN ${1 << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, v, $b AS band, $bucket AS bucket FROM e"
+      s"SELECT vec_id, v, $b AS band, $bucket AS bucket FROM e, params p"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |params AS (
+       |  SELECT CASE $bitsCase ELSE $NearDupMaxBits END AS bits
+       |  FROM (SELECT count(*) AS cnt FROM e)),
        |s AS (
        |$bands
        |),

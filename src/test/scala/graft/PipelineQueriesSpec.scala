@@ -91,6 +91,12 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val wide = PipelineQueries.embedNearDup(spark, dir, 8, 4, 0.3).count()
     val narrow = PipelineQueries.embedNearDup(spark, dir, 8, 8, 0.3).count()
     assert(narrow < wide, s"8-bit buckets must prune harder: $narrow >= $wide")
+    // auto-sizing: smallest b in [4,16] with 32*2^b >= n — expected bucket
+    // width (and per-band join cost) stays ~constant as the corpus grows
+    assert(PipelineQueries.nearDupBits(500L) == 4)   // sf0.001
+    assert(PipelineQueries.nearDupBits(5000L) == 8)  // sf0.01
+    assert(PipelineQueries.nearDupBits(50000L) == 11) // sf0.1
+    assert(PipelineQueries.nearDupBits(100L * 1000 * 1000 * 1000) == 16) // clamp
     // blocking must be an equi-join on (band, bucket), never a cross product
     val plan = PipelineQueries.q34EmbedNearDup(spark, dir)
       .queryExecution.executedPlan.toString
