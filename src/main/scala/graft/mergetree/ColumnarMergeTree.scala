@@ -83,6 +83,40 @@ final class ColumnarMergeTree private (
   private val maintenanceLock = new Object
   @volatile private var manifest: GManifest =
     GManifest.load(path).getOrElse(GManifest(0L, Nil))
+  @volatile private var closed = false
+
+  /** Background merge worker (O19 for the generic table, mirroring
+    * MergeTreeTable's): wakes every mergeIntervalSeconds and compacts when
+    * the part count exceeds maxParts. optimize() itself is concurrent-writer
+    * safe, so the worker needs no extra coordination; a failed round must
+    * not kill the worker — retry next wake.
+    */
+  private val bgThread: Option[Thread] =
+    if (!config.enableBackgroundMerge) None
+    else {
+      val t = new Thread(() => {
+        while (!closed) {
+          try Thread.sleep(config.mergeIntervalSeconds * 1000L)
+          catch { case _: InterruptedException => }
+          if (!closed) {
+            try optimize()
+            catch {
+              case e: Throwable if !closed =>
+                System.err.println(s"[cmt-bg] merge round failed, retrying: $e")
+            }
+          }
+        }
+      }, s"cmt-bg-$path")
+      t.setDaemon(true)
+      t.start()
+      Some(t)
+    }
+
+  /** Stop the background worker (if any). Idempotent. */
+  def shutdown(): Unit = {
+    closed = true
+    bgThread.foreach(_.interrupt())
+  }
 
   private def leadKey: String = orderBy.head
   private def leadIsNumeric: Boolean = schema(leadKey).dataType match {

@@ -55,6 +55,24 @@ class BackgroundWorkerSpec extends AnyFunSuite {
     assert(t.memtableSize == 0 && t.partCount == 1) // shutdown flushes
   }
 
+  test("generic table: background worker compacts with writers landing parts") {
+    import org.apache.spark.sql.functions._
+    val df0 = spark.range(0).select(col("id").as("k"), col("id").as("v"))
+    val t = ColumnarMergeTree.create(spark,
+      Files.createTempDirectory("cmt_bg_").toString, df0.schema,
+      orderBy = Seq("k"),
+      MergeTreeConfig(maxParts = 3, enableBackgroundMerge = true,
+        mergeIntervalSeconds = 1))
+    (0 until 7).foreach { b =>
+      t.insertBatch(spark.range(b * 100, b * 100 + 50)
+        .select(col("id").as("k"), col("id").as("v")))
+    }
+    assert(waitUntil(60000) { t.refresh(); t.partCount <= 3 },
+      s"worker never compacted: parts=${t.partCount}")
+    assert(t.scan().count() == 350)
+    t.shutdown()
+  }
+
   test("parts landed while optimize() is compacting survive the manifest swap") {
     val t = MergeTreeTable.create(spark,
       Files.createTempDirectory("mt_race_").toString,
