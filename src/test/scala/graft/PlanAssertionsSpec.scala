@@ -75,6 +75,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"join output must collapse map-side before the shuffle:\n$formatted")
   }
 
+  test("q44: key range and column pruning reach the generic connector scan") {
+    val p = plan(graft.queries.StorageQueries.q44GenericTable(spark, dir))
+    assert(p.contains("mergetree-generic") && p.contains("l_orderkey=[400, 1200]"),
+      s"range must be pushed into the connector for part + row-group pruning:\n$p")
+    assert(p.contains("cols=l_orderkey,l_quantity,l_returnflag"),
+      s"scan must read only the 3 needed columns:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
