@@ -5,9 +5,10 @@ import graft.mergetree.ColumnarMergeTree.{GManifest, GPartMeta}
 
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.io.api.Binary
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -41,12 +42,51 @@ import scala.jdk.CollectionConverters._
 class GenericMergeTreeV2Table(
     path: String,
     tableSchema: StructType,
-    orderBy: Seq[String]) extends Table with SupportsRead with SupportsWrite {
+    orderBy: Seq[String])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"mergetree:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  /** SQL `DELETE FROM t WHERE …` — the standard-SQL face of
+    * ColumnarMergeTree.deleteWhere (ClickHouse's ALTER TABLE … DELETE):
+    * matching parts are rewritten without the matching rows, concurrently,
+    * and swapped atomically; NULL-predicate rows are kept (SQL WHERE
+    * semantics). `canDeleteWhere` rejects filters this translation does not
+    * cover, so Spark fails the statement loudly instead of deleting the
+    * wrong rows.
+    */
+  private def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) => for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+    case Or(l, r)  => for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+    case Not(c)    => filterToColumn(c).map(!_)
+    case AlwaysTrue()  => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(filterToColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ColumnarMergeTree.open(SparkSession.active, path).deleteWhere(cond)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GenericScanBuilder(path, tableSchema, orderBy)

@@ -182,6 +182,21 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE g_ins")
   }
 
+  test("generic table: SQL DELETE FROM rewrites only matching parts") {
+    val (dir, t) = buildGeneric()
+    spark.sql("DROP TABLE IF EXISTS g_del")
+    spark.sql(s"CREATE TABLE g_del USING mergetree LOCATION '$dir'")
+    spark.sql("DELETE FROM g_del WHERE grp = 3 AND k < 150")
+    t.refresh()
+    // grp==3 & k<150: k in {3,10,17,...,147} -> 21 rows gone
+    assert(spark.table("g_del").count() == 300 - 21)
+    assert(spark.sql("SELECT * FROM g_del WHERE grp = 3 AND k < 150").count() == 0)
+    assert(t.totalRows == 279)
+    // the untouched high-range part survives as-is; grp=3 rows above 150 remain
+    assert(spark.sql("SELECT * FROM g_del WHERE grp = 3").count() > 0)
+    spark.sql("DROP TABLE g_del")
+  }
+
   test("generic table: SQL aggregate matches the Scala-API scan") {
     val (dir, t) = buildGeneric()
     spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")
