@@ -197,6 +197,17 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE g_del")
   }
 
+  test("generic table: TRUNCATE TABLE empties it via the delete path") {
+    val (dir, t) = buildGeneric()
+    spark.sql("DROP TABLE IF EXISTS g_tr")
+    spark.sql(s"CREATE TABLE g_tr USING mergetree LOCATION '$dir'")
+    spark.sql("TRUNCATE TABLE g_tr")
+    assert(spark.table("g_tr").count() == 0)
+    t.refresh()
+    assert(t.totalRows == 0 && t.partCount == 0)
+    spark.sql("DROP TABLE g_tr")
+  }
+
   test("generic table: SQL aggregate matches the Scala-API scan") {
     val (dir, t) = buildGeneric()
     spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")
