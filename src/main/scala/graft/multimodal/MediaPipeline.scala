@@ -24,6 +24,13 @@ case class MediaFeatures(
     n_frames: Int,
     feature: Array[Float])
 
+/** One sampled frame of a video/audio payload. */
+case class MediaFrame(
+    media_id: Long,
+    kind: String,
+    frame_idx: Int,
+    frame_bytes: Array[Byte])
+
 /** Multimodal column processing: decode / feature-extract / resize /
   * frame-sample over opaque binary payloads.
   *
@@ -97,6 +104,39 @@ object MediaPipeline {
             n_frames = f,
             feature = featurize(r.payload))
         }
+      }
+    }
+  }
+
+  /** Resize: payload → payload at a declared target geometry. The stub
+    * "resample" is a deterministic byte decimation/repetition to the target
+    * pixel count; a real deployment swaps the inner function for a codec
+    * scale call. Typed MediaRow → MediaRow so resize composes with every
+    * other stage (the meta map records the target geometry, as a real
+    * pipeline's sidecar metadata would).
+    */
+  def resize(ds: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    val target = width * height
+    ds.mapPartitions(_.map { r =>
+      val n = math.max(1, r.payload.length)
+      val out = Array.tabulate(target)(i => r.payload(((i.toLong * n) / target).toInt % n))
+      r.copy(payload = out,
+        meta = r.meta + ("resized_w" -> width.toString, "resized_h" -> height.toString))
+    })
+  }
+
+  /** Frame sampling as a first-class operator: one output row per sampled
+    * frame (every `stride`-th byte window via sampleFrames — stands in for
+    * keyframe extraction). A row's frames stay in its task; output
+    * cardinality is payload/stride, exactly like a flatMap over decoded
+    * frames would behave.
+    */
+  def sampleKeyframes(ds: Dataset[MediaRow], stride: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      sampleFrames(r.payload, stride).zipWithIndex.map { case (b, i) =>
+        MediaFrame(r.media_id, r.kind, i, Array(b))
       }
     }
   }

@@ -131,6 +131,29 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(a.forall(_.feature.length == MediaPipeline.FeatureDim))
   }
 
+  test("multimodal resize and keyframe sampling compose as typed stages") {
+    val ds = MediaPipeline.fromDocuments(spark, dir)
+    // resize: every payload lands at the target geometry, deterministically,
+    // and still flows into feature extraction
+    val resized = MediaPipeline.resize(ds, 32, 24)
+    val rows = resized.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.payload.length == 32 * 24))
+    assert(rows.forall(r =>
+      r.meta("resized_w") == "32" && r.meta("resized_h") == "24"))
+    val again = MediaPipeline.resize(ds.repartition(7), 32, 24).collect()
+      .sortBy(_.media_id).map(_.payload.toSeq)
+    assert(rows.sortBy(_.media_id).map(_.payload.toSeq).toSeq == again.toSeq)
+    val feats = MediaPipeline.extractFeatures(resized).collect()
+    assert(feats.forall(_.n_bytes == 32 * 24))
+    // keyframe sampling: ceil(payload/stride) frames per row, indexed 0..n-1
+    val frames = MediaPipeline.sampleKeyframes(resized, stride = 100).collect()
+    assert(frames.length == 500 * 8) // ceil(768/100) = 8 frames each
+    assert(frames.groupBy(_.media_id).forall { case (_, fs) =>
+      fs.map(_.frame_idx).sorted.toSeq == (0 until 8)
+    })
+  }
+
   test("fingerprints are stable across runs and distinct across distinct docs") {
     val f1 = PipelineQueries.q32Fingerprint(spark, dir).collect()
     val f2 = PipelineQueries.q32Fingerprint(spark, dir).collect()
