@@ -388,6 +388,7 @@ final class ColumnarMergeTree private (
   }
 
   def partCount: Int = manifest.parts.size
+  def parts: Seq[GPartMeta] = manifest.parts
   def totalRows: Long = manifest.parts.map(_.rowCount).sum
 }
 

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
+import graft.queries.PipelineQueries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+
+/** A PERSISTED IVF (inverted-file) ANN index, stored as a MergeTree table:
+  * the marriage of the engine's two halves. q28 demonstrates the IVF query
+  * shape by recomputing assignments per call; a 100 TB corpus builds the
+  * index ONCE — and this class stores it so that the inverted lists ARE the
+  * storage engine's parts:
+  *
+  *   - build: train a spherical-k-means coarse quantizer (the same Lloyd
+  *     machinery as q28), assign every vector to its nearest centroid, and
+  *     land each cluster as its own part of a ColumnarMergeTree ordered by
+  *     cluster id. Centroids persist as a parquet sidecar under the table
+  *     dir (`_centroids/` — invisible to the part manifest).
+  *   - search: rank centroids per query (a broadcast-sized cross join),
+  *     keep nprobe per query, then scan ONLY the probed clusters via
+  *     `rangeScan(cid, cid)` — which is driver-side manifest part pruning,
+  *     so the engine reads nprobe/nlist of the corpus from disk, exactly
+  *     what an inverted file is for. The probed-cid set is ≤ nlist values
+  *     (collected to the driver — bounded by the quantizer size, never by
+  *     the corpus or query count).
+  *
+  * Scale posture: the index table partitions/compacts/recovers like any
+  * other MergeTree table (background merges keep cluster parts healthy as
+  * vectors append); a skewed cluster is visible as a big part and splits
+  * under the normal compaction policy; queries touch only probed parts.
+  */
+final class IvfIndex private (
+    val spark: SparkSession,
+    val table: ColumnarMergeTree,
+    val path: String) {
+
+  import IvfIndex._
+
+  private def centroids: DataFrame =
+    spark.read.parquet(s"$path/_centroids")
+
+  /** Top-k neighbours per query vector, probing `nprobe` clusters.
+    * `queries`: (qid: Long, qv: array<double>). Output:
+    * (qid, rnk, vec_id, sim) — the q23/q28 result shape.
+    */
+  def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val c = centroids
+    val pw = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    val probe = queries.crossJoin(broadcast(c))
+      .select(col("qid"), col("qv"), col("cid"),
+        r6(cosine(col("qv"), col("cv"))).as("psim"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    // Probed clusters across the whole query batch: ≤ nlist values.
+    val cids = probe.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // Each rangeScan prunes to the cluster's own part(s) via the manifest.
+    val probedVectors = cids.map(cid => table.rangeScan(cid, cid))
+      .reduceOption(_ unionByName _)
+      .getOrElse(table.scan().limit(0))
+    val scored = probedVectors
+      .join(probe, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), r6(cosine(col("qv"), col("v"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** (planned, total) parts at the last probed scan — pruning visibility. */
+  def lastPruning: (Int, Int) = table.lastPruning
+}
+
+object IvfIndex {
+
+  private[operators] def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function("cosine_similarity", a, b)
+
+  private[operators] def r6(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / 1e6
+
+  private val indexSchema = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("vec_id", LongType, nullable = false),
+    StructField("v", ArrayType(DoubleType), nullable = true)))
+
+  /** Build the index at `path` from (vec_id, v) vectors: train nlist
+    * centroids (seeded from the first nlist vectors, `lloydIters` spherical
+    * k-means refinements over `trainFraction` of the data), assign every
+    * vector once, and land ONE PART PER CLUSTER so the manifest's
+    * cluster-id bounds make probing a part-pruned scan.
+    */
+  def build(spark: SparkSession, vectors: DataFrame, path: String,
+            nlist: Int, lloydIters: Int = 2, trainMod: Int = 4): IvfIndex = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = vectors.select(col("vec_id"), col("v"))
+    val c0 = e.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val train = e.filter(col("vec_id") % trainMod === 0)
+    val c = (1 to lloydIters).foldLeft(c0)((cc, _) =>
+      PipelineQueries.lloydStep(train, cc))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    // Assignment is one pass over the corpus; persist it so the per-cluster
+    // part writes below don't re-run the crossJoin + rank per cluster.
+    val assigned = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("cid"),
+        r6(cosine(col("v"), col("cv"))).as("csim"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"))
+      .persist()
+    try {
+      val t = ColumnarMergeTree.create(spark, path, indexSchema,
+        orderBy = Seq("cid"), MergeTreeConfig(maxParts = 2 * nlist))
+      // One part per cluster: a part's [minKey, maxKey] is one cid, so a
+      // probe's rangeScan(cid, cid) prunes to exactly that part.
+      val cids = assigned.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      cids.foreach(cid => t.insertBatch(assigned.filter(col("cid") === cid)))
+      c.select(col("cid"), col("cv")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_centroids")
+      new IvfIndex(spark, t, path)
+    } finally assigned.unpersist()
+  }
+
+  /** Reopen a built index (table self-describes via tabledef.json). */
+  def open(spark: SparkSession, path: String): IvfIndex = {
+    graft.functions.GraftFunctions.register(spark)
+    new IvfIndex(spark, ColumnarMergeTree.open(spark, path), path)
+  }
+}

@@ -124,7 +124,7 @@ object PipelineQueries {
     * bit-identical centroids at 6 dp. Centroids that attract no members
     * drop out (k shrinks) — identically in both engines.
     */
-  private def lloydStep(train: DataFrame, c: DataFrame): DataFrame = {
+  private[graft] def lloydStep(train: DataFrame, c: DataFrame): DataFrame = {
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
     train.crossJoin(broadcast(c))
       .select(col("vec_id"), col("v"), col("cid"),

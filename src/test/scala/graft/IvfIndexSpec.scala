@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.IvfIndex
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The persisted IVF index: inverted lists stored as cluster-keyed
+  * MergeTree parts, probes served by manifest part pruning.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vectors = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  private def queries = vectors.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+  test("built index clusters land as one part each and probes prune to them") {
+    val path = Files.createTempDirectory("ivf_").toString
+    val idx = IvfIndex.build(spark, vectors, path, nlist = 8)
+    val parts = idx.table.partCount
+    assert(parts >= 2 && parts <= 8, s"expected one part per live cluster, got $parts")
+    // probing one cluster reads one part
+    idx.table.rangeScan(idx.table.parts.head.minKey.toLong,
+      idx.table.parts.head.minKey.toLong).count()
+    val (planned, total) = idx.table.lastPruning
+    assert(total == parts && planned == 1, s"probe must prune: $planned/$total")
+    idx.table.shutdown()
+  }
+
+  test("index search equals q28 (same quantizer) and survives reopen") {
+    val path = Files.createTempDirectory("ivf2_").toString
+    val idx = IvfIndex.build(spark, vectors, path, nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+    // identical init (vec_id < 8), train sample (mod 4), and 2 Lloyd steps
+    // as q28IvfAnn -> identical centroids, assignment, probes, results
+    val viaIndex = rows(idx.search(queries, k = 10, nprobe = 3))
+    val viaQ28 = rows(PipelineQueries.q28IvfAnn(spark, dir))
+    assert(viaIndex == viaQ28, "persisted index must reproduce q28 exactly")
+    idx.table.shutdown()
+    val reopened = IvfIndex.open(spark, path)
+    assert(rows(reopened.search(queries, k = 10, nprobe = 3)) == viaQ28)
+    reopened.table.shutdown()
+  }
+}
