@@ -67,6 +67,20 @@ object Demo {
     queries.PipelineQueries.q25MinhashLsh(spark, sf).show(5, truncate = false)
     println("== per-language corpus stats:")
     queries.PipelineQueries.q24TextStats(spark, sf).show(false)
+
+    // Persisted ANN index (round 4): inverted lists stored as cluster-keyed
+    // MergeTree parts; a probe is manifest part pruning.
+    println("== persisted IVF index: top-3 for vec_id 0, probing 3/8 clusters:")
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = operators.IvfIndex.build(spark, vecs,
+      java.nio.file.Files.createTempDirectory("ivf_demo_").toString, nlist = 8)
+    val q0 = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    idx.search(q0, k = 3, nprobe = 3).show(false)
+    println(s"== index parts probed (planned/total): ${idx.lastPruning._1}/${idx.lastPruning._2}")
+    idx.table.shutdown()
     spark.stop()
   }
 }
