@@ -387,6 +387,62 @@ final class ColumnarMergeTree private (
     removed
   }
 
+  /** Column mutation by predicate (ClickHouse's ALTER TABLE … UPDATE — the
+    * twin of deleteWhere): rows matching `cond` get each column in `set`
+    * replaced by its expression; parts with no matches are untouched,
+    * matching parts are rewritten concurrently and swapped atomically.
+    * NULL-predicate rows are NOT matched (SQL WHERE semantics, same
+    * coalesce as deleteWhere). ORDER BY columns may not be updated — the
+    * part sort order and manifest bounds would silently break.
+    * Returns the number of rows updated.
+    */
+  def updateWhere(cond: Column, set: Map[String, Column]): Long =
+    maintenanceLock.synchronized {
+      require(set.nonEmpty, "updateWhere: empty SET")
+      require(set.keys.forall(schema.fieldNames.contains),
+        s"updateWhere: unknown columns ${set.keys.filterNot(schema.fieldNames.contains).mkString(",")}")
+      require(!set.keys.exists(orderBy.contains),
+        s"updateWhere: cannot update ORDER BY columns (${orderBy.mkString(",")})")
+      refresh()
+      val live = manifest.parts
+      if (live.isEmpty) return 0L
+      val isHit = coalesce(cond, lit(false))
+      val tagged = live.map(p =>
+        spark.read.schema(schema).parquet(s"$path/part_${p.partId}")
+          .filter(isHit).groupBy().agg(count(lit(1)).as("hits"))
+          .select(lit(p.partId).as("pid"), col("hits")))
+      val hitsByPart: Map[Long, Long] =
+        tagged.reduce(_ unionAll _).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val updated = hitsByPart.values.sum
+      if (updated == 0L) return 0L
+      val touched = live.filter(p => hitsByPart.getOrElse(p.partId, 0L) > 0L)
+      val newMetas = concurrently(touched) { p =>
+        val df = spark.read.schema(schema).parquet(s"$path/part_${p.partId}")
+        // Simultaneous-assignment semantics (like ClickHouse UPDATE): every
+        // SET expression evaluates against the OLD row — stage new values
+        // in temp columns before any target column is replaced, so
+        // SET a = b, b = a swaps instead of aliasing.
+        val staged = set.toSeq.zipWithIndex
+        val withNew = staged.foldLeft(df) { case (acc, ((name, expr), i)) =>
+          acc.withColumn(s"__upd_$i", when(isHit, expr).otherwise(col(name)))
+        }
+        val mutated = staged.foldLeft(withNew) { case (acc, ((name, _), i)) =>
+          acc.withColumn(name, col(s"__upd_$i"))
+        }.select(schema.fieldNames.map(col): _*)
+        writePart(mutated, 0, register = false)
+      }
+      val goneIds = touched.map(_.partId).toSet
+      lock.synchronized {
+        manifest = GManifest.update(path) { cur =>
+          GManifest(cur.version,
+            cur.parts.filterNot(p => goneIds(p.partId)) ++ newMetas)
+        }
+      }
+      goneIds.foreach(id => MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+      updated
+    }
+
   def partCount: Int = manifest.parts.size
   def parts: Seq[GPartMeta] = manifest.parts
   def totalRows: Long = manifest.parts.map(_.rowCount).sum

@@ -114,6 +114,39 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(t.deleteWhere(col("k") < 0L) == 0L && t.partCount == partsBefore)
   }
 
+  test("updateWhere mutates only matching rows with old-row SET semantics") {
+    val df = spark.range(200).select(
+      col("id").as("k"), (col("id") % 4).cast("long").as("a"),
+      (col("id") % 7).cast("long").as("b"),
+      lit("x").as("tag"))
+    val dir = Files.createTempDirectory("cmt_upd_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    t.insertBatch(df.filter(col("k") < 100))
+    t.insertBatch(df.filter(col("k") >= 100))
+    // simultaneous assignment: a<->b swap on matching rows, tag rewritten
+    val updated = t.updateWhere(col("k") < 50,
+      Map("a" -> col("b"), "b" -> col("a"), "tag" -> lit("upd")))
+    assert(updated == 50)
+    val rows = t.scan().orderBy("k").collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      if (k < 50) {
+        assert(r.getLong(1) == k % 7 && r.getLong(2) == k % 4, s"swap failed at k=$k")
+        assert(r.getString(3) == "upd")
+      } else {
+        assert(r.getLong(1) == k % 4 && r.getLong(2) == k % 7)
+        assert(r.getString(3) == "x")
+      }
+    }
+    // NULL predicate rows are not matched; untouched parts stay untouched
+    val partsBefore = t.parts.map(_.partId).toSet
+    assert(t.updateWhere(lit(null).cast("boolean"), Map("tag" -> lit("z"))) == 0L)
+    assert(t.parts.map(_.partId).toSet == partsBefore)
+    // ORDER BY columns are protected
+    intercept[IllegalArgumentException](t.updateWhere(col("a") === 0, Map("k" -> lit(0L))))
+  }
+
   test("optimize compacts without changing rows; reopen sees the same table") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val dir = Files.createTempDirectory("cmt_opt_").toString
