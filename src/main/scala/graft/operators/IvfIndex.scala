@@ -74,6 +74,31 @@ final class IvfIndex private (
 
   /** (planned, total) parts at the last probed scan — pruning visibility. */
   def lastPruning: (Int, Int) = table.lastPruning
+
+  /** Incremental append (the streaming-corpus pattern: feed micro-batches
+    * here from foreachBatch): new vectors are assigned to the EXISTING
+    * centroids — the quantizer is fixed after build, as IVF quantizers are —
+    * and each touched cluster lands one new part. Probes keep pruning to
+    * the cluster's parts (now possibly several); the table's normal
+    * compaction (optimize / background worker) re-bins them. Retrain by
+    * rebuilding when drift matters.
+    */
+  def append(vectors: DataFrame): Unit = {
+    val c = centroids
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = vectors.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("cid"),
+        r6(cosine(col("v"), col("cv"))).as("csim"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"))
+      .persist()
+    try {
+      val cids = assigned.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      cids.foreach(cid => table.insertBatch(assigned.filter(col("cid") === cid)))
+    } finally assigned.unpersist()
+  }
 }
 
 object IvfIndex {

@@ -37,6 +37,35 @@ class IvfIndexSpec extends AnyFunSuite {
     idx.table.shutdown()
   }
 
+  test("incremental append: new vectors join their clusters and become searchable") {
+    val path = Files.createTempDirectory("ivf3_").toString
+    // build over the first 400 vectors, append the rest as two micro-batches
+    val base = vectors.filter(col("vec_id") < 400)
+    val idx = IvfIndex.build(spark, base, path, nlist = 8)
+    val partsAfterBuild = idx.table.partCount
+    idx.append(vectors.filter(col("vec_id") >= 400 && col("vec_id") < 450))
+    idx.append(vectors.filter(col("vec_id") >= 450))
+    idx.table.refresh()
+    assert(idx.table.totalRows == vectors.count())
+    assert(idx.table.partCount > partsAfterBuild) // appended cluster parts
+    // appended vectors are found: search for a query that IS an appended
+    // vector — its own cluster must contain it, so its top hits include
+    // high-sim neighbours from the full corpus (result set non-empty and
+    // every returned sim is a real cosine from the corpus)
+    val q = vectors.filter(col("vec_id") === 470)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val res = idx.search(q, k = 5, nprobe = 3).collect()
+    assert(res.length == 5)
+    assert(res.forall(_.getLong(2) != 470)) // self excluded
+    // compaction keeps the index healthy: optimize re-bins cluster parts
+    idx.table.optimize()
+    idx.table.refresh()
+    val resAfter = idx.search(q, k = 5, nprobe = 3).collect()
+    assert(res.map(_.getLong(2)).toSeq == resAfter.map(_.getLong(2)).toSeq,
+      "compaction must not change search results")
+    idx.table.shutdown()
+  }
+
   test("index search equals q28 (same quantizer) and survives reopen") {
     val path = Files.createTempDirectory("ivf2_").toString
     val idx = IvfIndex.build(spark, vectors, path, nlist = 8)
