@@ -503,6 +503,60 @@ object AnalyticQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** name → (query fn, oracle SQL or None). */
+  /** Q49 — correlated EXISTS / NOT EXISTS spelled in SQL: customers with an
+    * urgent order but no high-value one. Exercises Catalyst's subquery
+    * decorrelation (RewritePredicateSubquery → one semi + one anti join) —
+    * the SQL spelling of q13's explicit join shapes; no per-row subquery
+    * execution survives in the plan.
+    */
+  def q49ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM v_customer c
+        |WHERE EXISTS (SELECT 1 FROM v_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM v_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q49Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q50 — CUBE grouping sets (all 4 combinations of the two dims),
+    * complementing q21's ROLLUP; NULL group keys disambiguated with
+    * coalesce like q21 so the oracle compare is exact.
+    */
+  def q50Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        (floor(sum(col("o_totalprice")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+          .as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("cnt"), col("sum_price"))
+      .orderBy(col("st"), col("pri"))
+
+  val q50Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+      | coalesce(o_orderpriority, 'ALL') AS pri,
+      | count(*) AS cnt,
+      | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY st, pri""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -523,5 +577,7 @@ object AnalyticQueries {
     ("q40_range_join", q40RangeJoin _, Some(q40Sql)),
     ("q41_sessionize", q41Sessionize _, Some(q41Sql)),
     ("q42_quantiles", q42Quantiles _, Some(q42Sql)),
-    ("q43_json_struct", q43JsonStruct _, Some(q43Sql)))
+    ("q43_json_struct", q43JsonStruct _, Some(q43Sql)),
+    ("q49_exists_subquery", q49ExistsSubquery _, Some(q49Sql)),
+    ("q50_cube", q50Cube _, Some(q50Sql)))
 }

@@ -83,6 +83,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"scan must read only the 3 needed columns:\n$p")
   }
 
+  test("q49: EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan(AnalyticQueries.q49ExistsSubquery(spark, dir))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"correlated subqueries must decorrelate to joins:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
