@@ -31,6 +31,17 @@ object MergeMode {
     * to max() (a deterministic refinement of ClickHouse's "any value").
     */
   final case class Summing(keyCols: Seq[String], sumCols: Seq[String]) extends MergeMode
+  /** VersionedCollapsingMergeTree: each state row (`signCol` = 1) is
+    * cancelled by a matching row with the SAME (keyCols, versionCol) and
+    * sign = -1. Collapse keeps the (key, version) groups whose sign sum is
+    * positive and emits one sign=1 row per surviving group — net-sign is a
+    * plain sum, so partial application inside merge bins is safe for the
+    * same associativity reason as Summing. Cancel rows are expected to
+    * repeat the state row's payload (ClickHouse's contract); payload columns
+    * collapse to max() for determinism when they don't.
+    */
+  final case class Collapsing(keyCols: Seq[String], signCol: String,
+                              versionCol: String) extends MergeMode
 }
 
 /** Schema-generic MergeTree table — the generalization SURVEY §1.4 calls
@@ -56,7 +67,22 @@ final class ColumnarMergeTree private (
     val schema: StructType,
     val orderBy: Seq[String],
     val config: MergeTreeConfig,
-    val mode: MergeMode) {
+    val mode: MergeMode,
+    /** ClickHouse PARTITION BY: a SQL expression over the table's columns.
+      * Each ingest batch lands as one part PER distinct partition value,
+      * merges never cross partitions, and a partition predicate prunes whole
+      * parts from the manifest before any file is opened — at 100 TB this is
+      * the first and cheapest pruning layer (a date-partitioned table scans
+      * one day out of a thousand without touching the other 999).
+      */
+    val partitionBy: Option[String] = None,
+    /** ClickHouse TTL: a SQL boolean expression marking EXPIRED rows (the
+      * reference idiom `TTL ts + INTERVAL 90 DAY` is spelled here as the
+      * expiry predicate, e.g. "ts < 1700000000"). Expired rows are dropped
+      * lazily inside compaction merges (like ClickHouse — reads may still
+      * see them until a merge touches the part) or eagerly via applyTtl().
+      */
+    val ttl: Option[String] = None) {
 
   import ColumnarMergeTree._
 
@@ -72,7 +98,18 @@ final class ColumnarMergeTree private (
       require((keys ++ sums).forall(schema.fieldNames.contains), "bad Summing columns")
       require(keys.contains(orderBy.head),
         "Summing keyCols must include the leading order-by key")
+    case MergeMode.Collapsing(keys, sign, version) =>
+      require((keys ++ Seq(sign, version)).forall(schema.fieldNames.contains),
+        "bad Collapsing columns")
+      require(keys.contains(orderBy.head),
+        "Collapsing keyCols must include the leading order-by key")
     case MergeMode.Plain => ()
+  }
+  partitionBy.foreach { p =>
+    // Fail at table construction, not first insert, on an unresolvable
+    // partition expression.
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .select(expr(p))
   }
 
   private val lock = new Object
@@ -126,13 +163,17 @@ final class ColumnarMergeTree private (
 
   // ---------------------------------------------------------------- ingest
 
-  /** Append a batch as one sorted part (the only ingest path; concurrent
-    * callers are safe — the write job runs outside the lock).
+  /** Append a batch: one sorted part per partition value (one part total
+    * when the table is unpartitioned). Concurrent callers are safe — the
+    * write job runs outside the lock.
     */
   def insertBatch(df: DataFrame, partitions: Int = 0): Unit = {
     require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"batch schema ${df.schema.fieldNames.mkString(",")} != table schema")
-    writePart(df, partitions, register = true)
+    partitionBy match {
+      case None    => writePart(df, partitions, register = true, partition = None)
+      case Some(p) => writePartitioned(df, partitions, p)
+    }
   }
 
   /** Write a sorted part into a staging dir; the final `part_<id>` name is
@@ -141,8 +182,11 @@ final class ColumnarMergeTree private (
     * anti-clobber design as MergeTreeTable.writePartInternal).
     * `register=false` leaves the part fenced but unlisted, for maintenance
     * jobs that swap a batch of outputs in atomically at the end.
+    * `partition` is the part's partition value, carried through rewrites
+    * and merges (which never mix partitions).
     */
-  private def writePart(df: DataFrame, partitions: Int, register: Boolean): GPartMeta = {
+  private def writePart(df: DataFrame, partitions: Int, register: Boolean,
+                        partition: Option[String]): GPartMeta = {
     val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
     val sortCols = orderBy.map(col)
     val n = if (partitions > 0) partitions
@@ -155,16 +199,62 @@ final class ColumnarMergeTree private (
       .option("compression", config.compression)
       .mode("overwrite")
       .parquet(stage.toString)
+    registerStaged(stage, register, partition)
+  }
+
+  /** Claim a staged part directory as `part_<id>`, computing its manifest
+    * metadata from the freshly-written footers.
+    */
+  private def registerStaged(stage: java.nio.file.Path, register: Boolean,
+                             partition: Option[String]): GPartMeta = {
     val (minK, maxK, rows, groups) = footerBounds(stage.toString, leadKey)
     val size = MergeTreeTable.dirSize(stage)
     val now = System.currentTimeMillis()
     val meta = GManifest.register(path, stage, append = register) { partId =>
-      GPartMeta(partId, minK, maxK, leadIsNumeric, rows, groups, size, now)
+      GPartMeta(partId, minK, maxK, leadIsNumeric, rows, groups, size, now, partition)
     }
     if (register) lock.synchronized {
       manifest = GManifest.load(path).getOrElse(manifest)
     }
     meta
+  }
+
+  /** Partitioned ingest: ONE distributed write job splits the batch into
+    * `__pv=<value>` subdirectories (Spark's dynamic-partition write), each
+    * of which is then claimed as its own part. The partition column is
+    * derived, so the data files keep exactly the table schema; rows within
+    * each part are sorted by the ORDER BY key as usual. Driver work is
+    * bounded by the number of DISTINCT partition values in the batch (the
+    * ClickHouse posture: a thousand partitions is fine, a million is a
+    * mis-designed partition key).
+    */
+  private def writePartitioned(df: DataFrame, partitions: Int, pexpr: String): Unit = {
+    val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
+    val sortCols = orderBy.map(col)
+    val n = if (partitions > 0) partitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism, 32))
+    val keyed = df.withColumn("__pv", partitionValueExpr(pexpr))
+    val sorted =
+      if (n <= 1) keyed.coalesce(1).sortWithinPartitions(col("__pv") +: sortCols: _*)
+      else keyed.repartitionByRange(n, col("__pv") +: sortCols: _*)
+        .sortWithinPartitions(col("__pv") +: sortCols: _*)
+    sorted.write
+      .partitionBy("__pv")
+      .option("parquet.block.row.count.limit", config.granuleSize)
+      .option("compression", config.compression)
+      .mode("overwrite")
+      .parquet(stage.toString)
+    val subdirs = {
+      val s = Files.list(stage)
+      try s.iterator().asScala.filter(d =>
+        Files.isDirectory(d) && d.getFileName.toString.startsWith("__pv=")).toSeq
+      finally s.close()
+    }
+    try subdirs.foreach { sub =>
+      val value = ColumnarMergeTree.unescapePartitionDir(
+        sub.getFileName.toString.stripPrefix("__pv="))
+      registerStaged(sub, register = true, partition = Some(value))
+    } finally MergeTreeTable.deleteRecursively(stage)
   }
 
   /** Leading-key bounds from the parquet footers the write just produced.
@@ -233,21 +323,83 @@ final class ColumnarMergeTree private (
     collapse(scanPruned(Some(lo), Some(hi))
       .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi)))
 
-  /** Apply the table's merge semantics to a row set. */
-  private def collapse(df: DataFrame): DataFrame = mode match {
-    case MergeMode.Plain => df
-    case MergeMode.Replacing(keys, version) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col(version).desc)
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    case MergeMode.Summing(keys, sums) =>
-      val others = schema.fieldNames.filterNot(f => keys.contains(f) || sums.contains(f))
-      val aggs = sums.map(s => sum(col(s)).as(s)) ++ others.map(o => max(col(o)).as(o))
-      df.groupBy(keys.map(col): _*)
-        .agg(aggs.head, aggs.tail: _*)
-        .select(schema.fieldNames.map(col): _*)
+  /** Scan restricted to the given partition values: every part outside the
+    * requested partitions is pruned from the manifest before any file I/O —
+    * the whole point of PARTITION BY at 100 TB. Requires a partitioned
+    * table. Values are the string form of the partition expression
+    * (NullPartition for SQL NULL).
+    */
+  def scanPartitions(values: Seq[String]): DataFrame = {
+    require(partitionBy.nonEmpty, "scanPartitions on an unpartitioned table")
+    val wanted = values.toSet
+    val live = manifest.parts
+    val surviving = live.filter(_.partition.exists(wanted))
+    lastPruning = (surviving.size, live.size)
+    collapse(readParts(surviving))
   }
+
+  /** Distinct partition values currently present (manifest-only). */
+  def partitions: Seq[String] = manifest.parts.flatMap(_.partition).distinct.sorted
+
+  /** ClickHouse ALTER TABLE ... DROP PARTITION: every part belonging to the
+    * partition is unlinked from the manifest in one atomic swap — no data
+    * file is read or rewritten, which is why partition-aligned retention
+    * (drop last month) is O(manifest) instead of O(data) like deleteWhere.
+    * Returns the number of rows dropped.
+    */
+  def dropPartition(value: String): Long = maintenanceLock.synchronized {
+    require(partitionBy.nonEmpty, "dropPartition on an unpartitioned table")
+    refresh()
+    val gone = manifest.parts.filter(_.partition.contains(value))
+    if (gone.isEmpty) return 0L
+    val goneIds = gone.map(_.partId).toSet
+    lock.synchronized {
+      manifest = GManifest.update(path) { cur =>
+        GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
+      }
+    }
+    goneIds.foreach(id => MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+    gone.map(_.rowCount).sum
+  }
+
+  /** Apply the table's merge semantics to a row set. On a partitioned table
+    * the collapse groups by the (re-derived) partition value too — ClickHouse
+    * merges never cross partitions, so the same key in two partitions stays
+    * two rows (e.g. per-month Summing totals don't sum across months).
+    */
+  private def collapse(df: DataFrame): DataFrame = {
+    val pv: Seq[Column] = partitionBy.toSeq.map(p => partitionValueExpr(p))
+    mode match {
+      case MergeMode.Plain => df
+      case MergeMode.Replacing(keys, version) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col) ++ pv: _*).orderBy(col(version).desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case MergeMode.Summing(keys, sums) =>
+        val others = schema.fieldNames.filterNot(f => keys.contains(f) || sums.contains(f))
+        val aggs = sums.map(s => sum(col(s)).as(s)) ++ others.map(o => max(col(o)).as(o))
+        df.groupBy(keys.map(col) ++ pv: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(schema.fieldNames.map(col): _*)
+      case MergeMode.Collapsing(keys, sign, version) =>
+        val others = schema.fieldNames
+          .filterNot(f => keys.contains(f) || f == sign || f == version)
+        val aggs = sum(col(sign)).as("__net") +: others.map(o => max(col(o)).as(o))
+        df.groupBy((keys :+ version).map(col) ++ pv: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .filter(col("__net") > 0)
+          .withColumn(sign, lit(1).cast(schema(sign).dataType))
+          .select(schema.fieldNames.map(col): _*)
+    }
+  }
+
+  /** The partition value as stored in part metadata: the expression cast to
+    * string, with SQL NULL mapped to the hive default-partition sentinel
+    * (what Spark's partitioned write names the directory).
+    */
+  private def partitionValueExpr(p: String): Column =
+    coalesce(expr(p).cast("string"), lit(ColumnarMergeTree.NullPartition))
 
   private def scanPruned(lo: Option[Any], hi: Option[Any]): DataFrame = {
     val live = manifest.parts
@@ -256,11 +408,14 @@ final class ColumnarMergeTree private (
       case _                  => live
     }
     lastPruning = (surviving.size, live.size)
-    if (surviving.isEmpty) spark.createDataFrame(
+    readParts(surviving)
+  }
+
+  private def readParts(parts: Seq[GPartMeta]): DataFrame =
+    if (parts.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema)
-      .parquet(surviving.map(p => s"$path/part_${p.partId}"): _*)
-  }
+      .parquet(parts.map(p => s"$path/part_${p.partId}"): _*)
 
   /** (planned, total) parts at the last scan — test/diagnostic hook. */
   @volatile var lastPruning: (Int, Int) = (0, 0)
@@ -307,21 +462,32 @@ final class ColumnarMergeTree private (
       Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
     val nOut = math.max(1, config.maxParts / 2)
     val target = (live.map(_.rowCount).sum + nOut - 1) / nOut
-    val bins = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[GPartMeta])
-    var acc = 0L
-    live.foreach { p =>
-      if (acc >= target && bins.size < nOut) {
-        bins += scala.collection.mutable.ArrayBuffer.empty[GPartMeta]; acc = 0L
-      }
-      bins.last += p; acc += p.rowCount
+    // Bins never cross partitions (ClickHouse: merges are per-partition),
+    // so a partitioned table bin-packs each partition's run separately.
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[GPartMeta]]
+    live.groupBy(_.partition).toSeq.sortBy(_._1.getOrElse("")).foreach {
+      case (_, group) =>
+        bins += scala.collection.mutable.ArrayBuffer.empty[GPartMeta]
+        var acc = 0L
+        group.foreach { p =>
+          if (acc >= target) {
+            bins += scala.collection.mutable.ArrayBuffer.empty[GPartMeta]; acc = 0L
+          }
+          bins.last += p; acc += p.rowCount
+        }
     }
     val newMetas = concurrently(bins.filter(_.nonEmpty).toSeq) { bin =>
       if (bin.size == 1) bin.head
       else {
-        val merged = collapse(spark.read.schema(schema)
-          .parquet(bin.map(p => s"$path/part_${p.partId}").toSeq: _*))
-        writePart(merged, 0, register = false)
+        // Compaction is where lazy TTL bites (ClickHouse drops expired rows
+        // when a merge rewrites the part); untouched parts keep theirs until
+        // a merge or applyTtl() reaches them.
+        val raw = spark.read.schema(schema)
+          .parquet(bin.map(p => s"$path/part_${p.partId}").toSeq: _*)
+        val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
+        writePart(collapse(unexpired), 0, register = false,
+          partition = bin.head.partition)
       }
     }
     val liveIds = live.map(_.partId).toSet
@@ -374,7 +540,7 @@ final class ColumnarMergeTree private (
     }
     val newMetas = concurrently(touched) { p =>
       val df = spark.read.schema(schema).parquet(s"$path/part_${p.partId}")
-      writePart(df.filter(!isHit), 0, register = false)
+      writePart(df.filter(!isHit), 0, register = false, partition = p.partition)
     }
     val goneIds = (dropped ++ touched).map(_.partId).toSet
     lock.synchronized {
@@ -430,7 +596,7 @@ final class ColumnarMergeTree private (
         val mutated = staged.foldLeft(withNew) { case (acc, ((name, _), i)) =>
           acc.withColumn(name, col(s"__upd_$i"))
         }.select(schema.fieldNames.map(col): _*)
-        writePart(mutated, 0, register = false)
+        writePart(mutated, 0, register = false, partition = p.partition)
       }
       val goneIds = touched.map(_.partId).toSet
       lock.synchronized {
@@ -443,6 +609,17 @@ final class ColumnarMergeTree private (
       updated
     }
 
+  /** Eager TTL pass: drop every currently-expired row right now (ClickHouse
+    * `ALTER TABLE ... MATERIALIZE TTL` / `OPTIMIZE ... FINAL` with a TTL) —
+    * the lazy path only cleans parts that happen to merge. Returns rows
+    * removed.
+    */
+  def applyTtl(): Long = {
+    val t = ttl.getOrElse(
+      throw new IllegalStateException("applyTtl on a table with no TTL"))
+    deleteWhere(expr(t))
+  }
+
   def partCount: Int = manifest.parts.size
   def parts: Seq[GPartMeta] = manifest.parts
   def totalRows: Long = manifest.parts.map(_.rowCount).sum
@@ -450,20 +627,37 @@ final class ColumnarMergeTree private (
 
 object ColumnarMergeTree {
 
+  /** What Spark names the directory for a NULL dynamic-partition value; we
+    * reuse it as the manifest's null-partition sentinel.
+    */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Undo the `%XX` escaping Spark's dynamic-partition write applies to
+    * path-hostile characters in partition directory names
+    * (ExternalCatalogUtils.escapePathName).
+    */
+  def unescapePartitionDir(name: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(name)
+
   def create(spark: SparkSession, path: String, schema: StructType,
              orderBy: Seq[String],
              config: MergeTreeConfig = MergeTreeConfig(),
-             mode: MergeMode = MergeMode.Plain): ColumnarMergeTree = {
+             mode: MergeMode = MergeMode.Plain,
+             partitionBy: Option[String] = None,
+             ttl: Option[String] = None): ColumnarMergeTree = {
     Files.createDirectories(Paths.get(path))
-    TableDef.store(path, TableDef(schema.toDDL, orderBy.toList, TableDef.encodeMode(mode)))
-    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode)
+    TableDef.store(path, TableDef(schema.toDDL, orderBy.toList,
+      TableDef.encodeMode(mode), partitionBy, ttl))
+    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
   def open(spark: SparkSession, path: String, schema: StructType,
            orderBy: Seq[String],
            config: MergeTreeConfig = MergeTreeConfig(),
-           mode: MergeMode = MergeMode.Plain): ColumnarMergeTree =
-    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode)
+           mode: MergeMode = MergeMode.Plain,
+           partitionBy: Option[String] = None,
+           ttl: Option[String] = None): ColumnarMergeTree =
+    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
 
   /** Open a self-describing table: schema, order keys, and merge mode come
     * from the table definition persisted at create() — the analogue of the
@@ -478,17 +672,20 @@ object ColumnarMergeTree {
       throw new IllegalStateException(s"no table definition at $path"))
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, config,
-      TableDef.decodeMode(defn.mode))
+      TableDef.decodeMode(defn.mode), defn.partitionBy, defn.ttl)
   }
 
   /** Persisted table definition (tabledef.json). Mode encoding:
     * ["plain"] | ["replacing", keys..., versionCol] is ambiguous, so fields
-    * are kept structured instead.
+    * are kept structured instead. partitionBy/ttl are SQL expression
+    * strings; both absent on tables created before the fields existed.
     */
   case class TableDef(
       schemaDdl: String,
       orderBy: List[String],
-      mode: Map[String, List[String]])
+      mode: Map[String, List[String]],
+      partitionBy: Option[String] = None,
+      ttl: Option[String] = None)
 
   object TableDef {
     import org.json4s._
@@ -501,13 +698,17 @@ object ColumnarMergeTree {
         Map("type" -> List("replacing"), "keys" -> keys.toList, "version" -> List(v))
       case MergeMode.Summing(keys, sums) =>
         Map("type" -> List("summing"), "keys" -> keys.toList, "sums" -> sums.toList)
+      case MergeMode.Collapsing(keys, sign, version) =>
+        Map("type" -> List("collapsing"), "keys" -> keys.toList,
+          "sign" -> List(sign), "version" -> List(version))
     }
 
     def decodeMode(m: Map[String, List[String]]): MergeMode =
       m.getOrElse("type", List("plain")).head match {
-        case "replacing" => MergeMode.Replacing(m("keys"), m("version").head)
-        case "summing"   => MergeMode.Summing(m("keys"), m("sums"))
-        case _           => MergeMode.Plain
+        case "replacing"  => MergeMode.Replacing(m("keys"), m("version").head)
+        case "summing"    => MergeMode.Summing(m("keys"), m("sums"))
+        case "collapsing" => MergeMode.Collapsing(m("keys"), m("sign").head, m("version").head)
+        case _            => MergeMode.Plain
       }
 
     def load(tablePath: String): Option[TableDef] = {
@@ -537,7 +738,13 @@ object ColumnarMergeTree {
       rowCount: Long,
       granuleCount: Long,
       diskSize: Long,
-      creationTime: Long) {
+      creationTime: Long,
+      /** Partition value (string form of the PARTITION BY expression; the
+        * hive default-partition sentinel for SQL NULL). None on parts of
+        * unpartitioned tables — and on manifests written before this field
+        * existed, which json4s reads as absent.
+        */
+      partition: Option[String] = None) {
 
     /** Inclusive-range overlap. Null bounds mean the part is unbounded
       * (footer key stats were incomplete — see footerBounds): never pruned.
