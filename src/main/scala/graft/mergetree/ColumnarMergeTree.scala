@@ -331,6 +331,7 @@ final class ColumnarMergeTree private (
     */
   def scanPartitions(values: Seq[String]): DataFrame = {
     require(partitionBy.nonEmpty, "scanPartitions on an unpartitioned table")
+    refresh() // see parts landed by the connector / another instance
     val wanted = values.toSet
     val live = manifest.parts
     val surviving = live.filter(_.partition.exists(wanted))
@@ -358,9 +359,44 @@ final class ColumnarMergeTree private (
         GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
       }
     }
-    goneIds.foreach(id => MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+    retireParts(goneIds)
     gone.map(_.rowCount).sum
   }
+
+  // -------------------------------------------------------- reader-safe GC
+
+  /** Unlink-then-delete with a reader grace window: parts replaced by a
+    * maintenance op are recorded in a persisted GC list instead of deleted
+    * inline, so a scan planned against the pre-op manifest keeps its input
+    * files until gcGraceSeconds pass; each maintenance op purges whatever
+    * has expired. gcGraceSeconds=0 keeps the old eager behavior (purge
+    * happens in the same op that retired the parts).
+    */
+  private def retireParts(ids: Iterable[Long]): Unit = {
+    if (ids.isEmpty) return
+    val now = System.currentTimeMillis()
+    GcList.update(path)(cur => GcList(cur.retired ++ ids.map(GcEntry(_, now))))
+    purgeGc()
+  }
+
+  /** Delete retired part directories whose grace has expired; `force` drops
+    * all of them regardless of age (table teardown). Returns dirs deleted.
+    */
+  def purgeGc(force: Boolean = false): Int = {
+    val cutoff = System.currentTimeMillis() - config.gcGraceSeconds * 1000L
+    var victims: List[GcEntry] = Nil
+    GcList.update(path) { cur =>
+      val (expired, kept) = cur.retired.partition(e => force || e.retiredAt <= cutoff)
+      victims = expired
+      GcList(kept)
+    }
+    victims.foreach(e =>
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${e.partId}")))
+    victims.size
+  }
+
+  /** Part ids retired but not yet purged — diagnostic/test hook. */
+  def gcPending: Seq[Long] = GcList.load(path).retired.map(_.partId)
 
   /** Apply the table's merge semantics to a row set. On a partitioned table
     * the collapse groups by the (re-derived) partition value too — ClickHouse
@@ -498,8 +534,7 @@ final class ColumnarMergeTree private (
           cur.parts.filterNot(p => liveIds(p.partId)) ++ newMetas)
       }
     }
-    liveIds.filterNot(keptIds).foreach(id =>
-      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+    retireParts(liveIds.filterNot(keptIds))
   }
 
   /** Row deletion by predicate (ClickHouse's ALTER TABLE ... DELETE — the
@@ -549,7 +584,7 @@ final class ColumnarMergeTree private (
           cur.parts.filterNot(p => goneIds(p.partId)) ++ newMetas)
       }
     }
-    goneIds.foreach(id => MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+    retireParts(goneIds)
     removed
   }
 
@@ -605,7 +640,7 @@ final class ColumnarMergeTree private (
             cur.parts.filterNot(p => goneIds(p.partId)) ++ newMetas)
         }
       }
-      goneIds.foreach(id => MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+      retireParts(goneIds)
       updated
     }
 
@@ -759,6 +794,39 @@ object ColumnarMergeTree {
       } else {
         val l = lo.toString; val h = hi.toString
         !(KeyOrder.lt(maxKey, l) || KeyOrder.gt(minKey, h))
+      }
+  }
+
+  /** A part unlinked from the manifest, awaiting grace-expired deletion. */
+  case class GcEntry(partId: Long, retiredAt: Long)
+
+  /** Persisted GC list (gclist.json): the set of retired-but-not-yet-deleted
+    * part directories. Updated under the same per-path lock as the manifest
+    * so maintenance ops racing on the same table cannot lose entries (a lost
+    * entry = a leaked directory, never data loss — parts here are already
+    * invisible to new scans).
+    */
+  case class GcList(retired: List[GcEntry])
+
+  object GcList {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val formats: Formats = DefaultFormats
+
+    def load(tablePath: String): GcList = {
+      val f = Paths.get(tablePath, "gclist.json")
+      if (!Files.exists(f)) GcList(Nil)
+      else JsonMethods.parse(Files.readString(f)).extract[GcList]
+    }
+
+    def update(tablePath: String)(f: GcList => GcList): GcList =
+      ManifestLocks.locked(tablePath) {
+        val next = f(load(tablePath))
+        val tmp = Paths.get(tablePath, ".gclist.json.tmp")
+        Files.writeString(tmp, Serialization.writePretty(next))
+        Files.move(tmp, Paths.get(tablePath, "gclist.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        next
       }
   }
 

@@ -43,7 +43,17 @@ case class MergeTreeConfig(
       * path; the ones that don't are exactly the ones a job launch would
       * dominate.
       */
-    localScanMaxRows: Long = 256 * 1024L)
+    localScanMaxRows: Long = 256 * 1024L,
+    /** Reader-safe part GC grace: a maintenance op (optimize / deleteWhere /
+      * updateWhere / dropPartition) unlinks replaced parts from the manifest
+      * immediately but leaves their directories on disk for this many
+      * seconds, so an in-flight scan planned against the old manifest can
+      * still read them; expired directories are purged by the NEXT
+      * maintenance pass (or purgeGc()). ClickHouse's old_parts_lifetime,
+      * same default (480 s). 0 = delete at the end of the op that replaced
+      * them (no reader grace).
+      */
+    gcGraceSeconds: Int = 480)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

@@ -7,10 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import scala.collection.mutable.ArrayBuffer
 
-/** Property-based testing of the schema-generic table across all three
+/** Property-based testing of the schema-generic table across all four
   * merge modes: random interleavings of insertBatch / optimize /
   * deleteWhere / self-describing reopen, checked against an in-memory
-  * model.
+  * model. Collapsing workloads mix fresh state rows (sign=+1, carried in
+  * `amt`) with cancel rows (sign=-1) aimed at currently-net-positive
+  * (key, version) groups — the streaming-update idiom the mode exists for.
   *
   * Delete predicates are KEY-level only (drop whole keys): for
   * Replacing/Summing, a VALUE-level delete observes the collapse state
@@ -43,6 +45,11 @@ class ColumnarMergeTreePropertySpec extends AnyFunSuite {
         raw.groupBy(_.k).map { case (k, rs) =>
           R(k, rs.map(_.ver).max, rs.map(_.payload).max, rs.map(_.amt).sum)
         }.toSeq
+      case MergeMode.Collapsing(_, _, _) =>
+        raw.groupBy(r => (r.k, r.ver)).collect {
+          case ((k, v), rs) if rs.map(_.amt).sum > 0 =>
+            R(k, v, rs.map(_.payload).max, 1L) // net>0 → ONE sign=1 row
+        }.toSeq
     }).map(r => (r.k, r.ver, r.payload, r.amt))
       .toList.sorted
 
@@ -51,12 +58,13 @@ class ColumnarMergeTreePropertySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .toList.sorted
 
-  test("random workloads match the model in all three merge modes") {
+  test("random workloads match the model in all four merge modes") {
     val schema = Seq.empty[R].toDF("k", "ver", "payload", "amt").schema
     val modes: Seq[(String, MergeMode)] = Seq(
       "plain" -> MergeMode.Plain,
       "replacing" -> MergeMode.Replacing(Seq("k"), "ver"),
-      "summing" -> MergeMode.Summing(Seq("k"), Seq("amt")))
+      "summing" -> MergeMode.Summing(Seq("k"), Seq("amt")),
+      "collapsing" -> MergeMode.Collapsing(Seq("k"), "amt", "ver"))
     for ((tag, mode) <- modes; seed <- 1L to 2L) {
       val rnd = new scala.util.Random(seed * 31 + tag.hashCode)
       val path = Files.createTempDirectory(s"cmt_prop_$tag").toString
@@ -68,11 +76,21 @@ class ColumnarMergeTreePropertySpec extends AnyFunSuite {
       (0 until 8).foreach { _ =>
         rnd.nextInt(10) match {
           case d if d < 5 => // insertBatch
-            val rows = (0 until 5 + rnd.nextInt(20)).map { _ =>
+            val states = (0 until 5 + rnd.nextInt(20)).map { _ =>
               nextVer += 1
               R(rnd.nextInt(20).toLong, nextVer,
-                ('a' + rnd.nextInt(4)).toChar.toString, 1L + rnd.nextInt(9))
+                ('a' + rnd.nextInt(4)).toChar.toString,
+                if (tag == "collapsing") 1L else 1L + rnd.nextInt(9))
             }
+            // collapsing: also cancel a few currently-net-positive groups
+            val cancels = if (tag != "collapsing") Nil else {
+              val live = model.groupBy(r => (r.k, r.ver))
+                .filter(_._2.map(_.amt).sum > 0).toSeq
+              rnd.shuffle(live).take(rnd.nextInt(4)).map { case ((k, v), rs) =>
+                R(k, v, rs.map(_.payload).max, -1L)
+              }
+            }
+            val rows = states ++ cancels
             t.insertBatch(rows.toDF("k", "ver", "payload", "amt"))
             model ++= rows
           case d if d < 7 => // optimize: bounded parts, unchanged reads
