@@ -398,44 +398,14 @@ final class ColumnarMergeTree private (
   /** Part ids retired but not yet purged — diagnostic/test hook. */
   def gcPending: Seq[Long] = GcList.load(path).retired.map(_.partId)
 
-  /** Apply the table's merge semantics to a row set. On a partitioned table
-    * the collapse groups by the (re-derived) partition value too — ClickHouse
-    * merges never cross partitions, so the same key in two partitions stays
-    * two rows (e.g. per-month Summing totals don't sum across months).
+  /** Apply the table's merge semantics to a row set (see
+    * ColumnarMergeTree.applyMode).
     */
-  private def collapse(df: DataFrame): DataFrame = {
-    val pv: Seq[Column] = partitionBy.toSeq.map(p => partitionValueExpr(p))
-    mode match {
-      case MergeMode.Plain => df
-      case MergeMode.Replacing(keys, version) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col) ++ pv: _*).orderBy(col(version).desc)
-        df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      case MergeMode.Summing(keys, sums) =>
-        val others = schema.fieldNames.filterNot(f => keys.contains(f) || sums.contains(f))
-        val aggs = sums.map(s => sum(col(s)).as(s)) ++ others.map(o => max(col(o)).as(o))
-        df.groupBy(keys.map(col) ++ pv: _*)
-          .agg(aggs.head, aggs.tail: _*)
-          .select(schema.fieldNames.map(col): _*)
-      case MergeMode.Collapsing(keys, sign, version) =>
-        val others = schema.fieldNames
-          .filterNot(f => keys.contains(f) || f == sign || f == version)
-        val aggs = sum(col(sign)).as("__net") +: others.map(o => max(col(o)).as(o))
-        df.groupBy((keys :+ version).map(col) ++ pv: _*)
-          .agg(aggs.head, aggs.tail: _*)
-          .filter(col("__net") > 0)
-          .withColumn(sign, lit(1).cast(schema(sign).dataType))
-          .select(schema.fieldNames.map(col): _*)
-    }
-  }
+  private def collapse(df: DataFrame): DataFrame =
+    ColumnarMergeTree.applyMode(df, schema, mode, partitionBy)
 
-  /** The partition value as stored in part metadata: the expression cast to
-    * string, with SQL NULL mapped to the hive default-partition sentinel
-    * (what Spark's partitioned write names the directory).
-    */
   private def partitionValueExpr(p: String): Column =
-    coalesce(expr(p).cast("string"), lit(ColumnarMergeTree.NullPartition))
+    ColumnarMergeTree.partitionValueExpr(p)
 
   private def scanPruned(lo: Option[Any], hi: Option[Any]): DataFrame = {
     val live = manifest.parts
@@ -673,6 +643,48 @@ object ColumnarMergeTree {
     */
   def unescapePartitionDir(name: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(name)
+
+  /** Merge-mode collapse as a standalone transformation, so the table's
+    * scan() and the SQL FINAL read (MergeTreeFinalRule) share ONE
+    * implementation of the semantics. On a partitioned table the collapse
+    * groups by the (re-derived) partition value too — ClickHouse merges
+    * never cross partitions, so the same key in two partitions stays two
+    * rows (e.g. per-month Summing totals don't sum across months).
+    */
+  private[graft] def applyMode(df: DataFrame, schema: StructType, mode: MergeMode,
+                               partitionBy: Option[String]): DataFrame = {
+    val pv: Seq[Column] = partitionBy.toSeq.map(p => partitionValueExpr(p))
+    mode match {
+      case MergeMode.Plain => df
+      case MergeMode.Replacing(keys, version) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col) ++ pv: _*).orderBy(col(version).desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case MergeMode.Summing(keys, sums) =>
+        val others = schema.fieldNames.filterNot(f => keys.contains(f) || sums.contains(f))
+        val aggs = sums.map(s => sum(col(s)).as(s)) ++ others.map(o => max(col(o)).as(o))
+        df.groupBy(keys.map(col) ++ pv: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(schema.fieldNames.map(col): _*)
+      case MergeMode.Collapsing(keys, sign, version) =>
+        val others = schema.fieldNames
+          .filterNot(f => keys.contains(f) || f == sign || f == version)
+        val aggs = sum(col(sign)).as("__net") +: others.map(o => max(col(o)).as(o))
+        df.groupBy((keys :+ version).map(col) ++ pv: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .filter(col("__net") > 0)
+          .withColumn(sign, lit(1).cast(schema(sign).dataType))
+          .select(schema.fieldNames.map(col): _*)
+    }
+  }
+
+  /** The partition value as stored in part metadata: the expression cast to
+    * string, with SQL NULL mapped to the hive default-partition sentinel
+    * (what Spark's partitioned write names the directory).
+    */
+  private[graft] def partitionValueExpr(p: String): Column =
+    coalesce(expr(p).cast("string"), lit(ColumnarMergeTree.NullPartition))
 
   def create(spark: SparkSession, path: String, schema: StructType,
              orderBy: Seq[String],

@@ -372,6 +372,114 @@ object StorageQueries {
       |FROM lineitem WHERE l_orderkey BETWEEN 400 AND 1200
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q51 — VersionedCollapsingMergeTree semantics on the generic table:
+    * every event lands as a state row (sign = +1); click events additionally
+    * get a cancel row (sign = −1, same keys + version, payload repeated) in a
+    * LATER part, so the cancellation crosses part boundaries and must happen
+    * at read/merge time (net-sign > 0 refinement of ClickHouse's pairwise
+    * collapse — ColumnarMergeTree.collapse). optimize() runs first so the
+    * collapse is exercised both inside compaction merges and merge-on-read.
+    * The query goes through the SQL FINAL face (`final 'true'` table option →
+    * MergeTreeFinalRule rewrites the DSv2 relation to the collapsed plan), so
+    * this one entry pins Collapsing semantics AND the FINAL-applying SQL read.
+    */
+  def q51Collapsing(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#collapsing", {
+      val ev = eventsSlim(spark, dir).withColumn("sign", lit(1))
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q51_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_type", "event_id"),
+        MergeTreeConfig(maxParts = 2),
+        mode = MergeMode.Collapsing(Seq("user_id", "event_type"), "sign", "event_id"))
+      chunkedInsert(tbl, ev, spark.read.parquet(s"$dir/events.parquet").count())
+      // Cancel batch: one −1 row per click, in its own part.
+      tbl.insertBatch(ev.filter(col("event_type") === "click")
+        .withColumn("sign", lit(-1)))
+      tbl.optimize() // collapse-in-merge path
+      tbl
+    })
+    val view = s"q51_final_${math.abs(dir.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $view")
+    spark.sql(
+      s"CREATE TABLE $view USING mergetree OPTIONS (`final` 'true') LOCATION '${t.path}'")
+    spark.sql(
+      s"""SELECT user_id, event_type, event_id, sign,
+         | floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_r
+         |FROM $view ORDER BY user_id, event_type, event_id""".stripMargin)
+  }
+
+  val q51Sql: String =
+    """SELECT user_id, event_type, event_id, CAST(1 AS INTEGER) AS sign,
+      | floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_r
+      |FROM events WHERE event_type <> 'click'
+      |ORDER BY user_id, event_type, event_id""".stripMargin
+
+  /** Q52 — PARTITION BY: events partitioned by event_type (each ingest batch
+    * lands one part per partition value), queried through scanPartitions so
+    * every part outside the two requested partitions is pruned from the
+    * manifest before any file I/O (the first and cheapest pruning layer at
+    * 100 TB). The pruned-part count is asserted in MergeTreeDsv2Spec.
+    */
+  def q52Partitioned(spark: SparkSession, dir: String): DataFrame = {
+    val t = partitionedTable(spark, dir)
+    t.scanPartitions(Seq("click", "view"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private[graft] def partitionedTable(spark: SparkSession, dir: String): ColumnarMergeTree =
+    cacheG.getOrElseUpdate(dir + "#partitioned", {
+      val ev = eventsSlim(spark, dir)
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q52_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_id"),
+        partitionBy = Some("event_type"))
+      chunkedInsert(tbl, ev, spark.read.parquet(s"$dir/events.parquet").count())
+      tbl
+    })
+
+  val q52Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q53 — TTL retention: the table declares its expiry predicate
+    * (`event_id < 500` — the spelled-out form of ClickHouse
+    * `TTL ts + INTERVAL …`), rows land across parts, and applyTtl()
+    * materializes the retention pass (eager twin of the lazy drop inside
+    * compaction merges, which ColumnarMergeTreeRetentionSpec pins). The
+    * surviving rows must equal the oracle's NOT-expired complement.
+    */
+  def q53Ttl(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#ttl", {
+      val ev = eventsSlim(spark, dir)
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q53_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_id"),
+        ttl = Some("event_id < 500"))
+      chunkedInsert(tbl, ev, spark.read.parquet(s"$dir/events.parquet").count())
+      tbl.applyTtl()
+      tbl
+    })
+    t.scan()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_event_id"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q53Sql: String =
+    """SELECT event_type, count(*) AS n, min(event_id) AS min_event_id,
+      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      |FROM events WHERE event_id >= 500
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -385,5 +493,8 @@ object StorageQueries {
     ("q44_generic_table", q44GenericTable _, Some(q44Sql)),
     ("q45_replacing_mt", q45Replacing _, Some(q45Sql)),
     ("q46_summing_mt", q46Summing _, Some(q46Sql)),
-    ("q47_delete_where", q47DeleteWhere _, Some(q47Sql)))
+    ("q47_delete_where", q47DeleteWhere _, Some(q47Sql)),
+    ("q51_collapsing_mt", q51Collapsing _, Some(q51Sql)),
+    ("q52_partitioned", q52Partitioned _, Some(q52Sql)),
+    ("q53_ttl", q53Ttl _, Some(q53Sql)))
 }

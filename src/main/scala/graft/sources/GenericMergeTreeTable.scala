@@ -40,10 +40,25 @@ import scala.jdk.CollectionConverters._
   * Scala API are literally the same write path.
   */
 class GenericMergeTreeV2Table(
-    path: String,
+    val path: String,
     tableSchema: StructType,
-    orderBy: Seq[String])
+    orderBy: Seq[String],
+    /** `final 'true'` table/read option: MergeTreeFinalRule (registered via
+      * GraftExtensions) rewrites any relation over a finalRead table into the
+      * merge-mode-collapsed plan — ClickHouse `SELECT … FROM t FINAL` for the
+      * SQL face. Raw-parts reads (the default) stay the merge-on-read-less
+      * view, like ClickHouse without FINAL.
+      */
+    val finalRead: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** Partition column when PARTITION BY is a bare column of the schema (the
+    * only shape the connector prunes on; expression partitioning still
+    * prunes through the Scala scanPartitions API).
+    */
+  private val partitionCol: Option[String] =
+    ColumnarMergeTree.TableDef.load(path)
+      .flatMap(_.partitionBy).filter(tableSchema.fieldNames.contains)
 
   override def name(): String = s"mergetree:$path"
   override def schema(): StructType = tableSchema
@@ -82,14 +97,46 @@ class GenericMergeTreeV2Table(
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(filterToColumn(_).isDefined)
 
+  /** Partition values named by a pure partition-equality DELETE (every
+    * filter an EqualTo/In on the partition column), in the manifest's
+    * canonical string form — or None when any filter touches anything else.
+    */
+  private def partitionEqualityValues(filters: Array[Filter]): Option[Seq[String]] = {
+    val pc = partitionCol.getOrElse(return None)
+    def canon(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+                _: java.lang.Byte) => Some(n.asInstanceOf[Number].longValue().toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case _ => None
+    }
+    val perFilter = filters.toSeq.map {
+      case EqualTo(`pc`, v) => canon(v).map(Seq(_))
+      case In(`pc`, vs)     => Some(vs.toSeq.flatMap(canon(_)))
+      case _                => None
+    }
+    if (perFilter.isEmpty || perFilter.exists(_.isEmpty)) None
+    // Conjunct equalities intersect (two different values = empty = no-op).
+    else Some(perFilter.flatten.map(_.toSet).reduce(_ intersect _).toSeq)
+  }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val cond = filters.flatMap(filterToColumn(_))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    ColumnarMergeTree.open(SparkSession.active, path).deleteWhere(cond)
+    val t = ColumnarMergeTree.open(SparkSession.active, path)
+    partitionEqualityValues(filters) match {
+      case Some(values) =>
+        // ClickHouse ALTER TABLE … DROP PARTITION: O(manifest) unlink, no
+        // part is read or rewritten — the decontamination op a pipeline
+        // actually runs ("drop yesterday's crawl") must not cost O(data).
+        values.foreach(t.dropPartition)
+      case None =>
+        val cond = filters.flatMap(filterToColumn(_))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        t.deleteWhere(cond)
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenericScanBuilder(path, tableSchema, orderBy)
+    new GenericScanBuilder(path, tableSchema, orderBy, partitionCol)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.toSeq == tableSchema.fieldNames.toSeq,
@@ -113,7 +160,8 @@ object GenericMergeTreeScan {
   val lastPruning: AtomicReference[(Int, Int)] = new AtomicReference((0, 0))
 }
 
-class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[String])
+class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[String],
+                         partitionCol: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -130,6 +178,23 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
   private var lo: Option[Any] = None
   private var hi: Option[Any] = None
   private var pushed: Array[Filter] = Array.empty
+  /** Partition values a partition-column equality narrows the scan to (None
+    * = unconstrained). Conjuncts intersect; partition pruning is exact on
+    * the stored string form, so EqualTo/In translate completely — but every
+    * filter is still re-applied by Spark (pruning is part-level).
+    */
+  private var wantedPartitions: Option[Set[String]] = None
+
+  private def canonPartition(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+              _: java.lang.Byte) => Some(n.asInstanceOf[Number].longValue().toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  private def narrowPartitions(values: Set[String]): Unit =
+    wantedPartitions = Some(wantedPartitions.fold(values)(_ intersect values))
 
   private def narrowLo(v: Any): Unit =
     lo = Some(lo.fold(v)(cur => if (cmp(v, cur) > 0) v else cur))
@@ -146,9 +211,18 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
 
   /** Conservative range extraction on the leading ORDER BY key; > / < keep
     * the inclusive bound (block-level pruning only — Spark re-applies every
-    * filter post-scan).
+    * filter post-scan). Equality/IN on the partition column additionally
+    * narrows the scanned partition set — at 100 TB the partition predicate
+    * is the first and cheapest pruning layer (one day out of a thousand).
     */
   private def collect(f: Filter): Boolean = f match {
+    case EqualTo(a, v) if partitionCol.contains(a) && canonPartition(v).isDefined =>
+      narrowPartitions(Set(canonPartition(v).get))
+      if (a == leadKey && usable(v)) { narrowLo(v); narrowHi(v) }
+      true
+    case In(a, vs) if partitionCol.contains(a) &&
+        vs.nonEmpty && vs.forall(canonPartition(_).isDefined) =>
+      narrowPartitions(vs.map(canonPartition(_).get).toSet); true
     case EqualTo(`leadKey`, v) if usable(v)            => narrowLo(v); narrowHi(v); true
     case GreaterThanOrEqual(`leadKey`, v) if usable(v) => narrowLo(v); true
     case GreaterThan(`leadKey`, v) if usable(v)        => narrowLo(v); true
@@ -170,7 +244,8 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
     required = requiredSchema
 
   override def build(): Scan =
-    new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi)
+    new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
+      wantedPartitions)
 }
 
 class GenericMergeTreeScanImpl(
@@ -179,18 +254,26 @@ class GenericMergeTreeScanImpl(
     leadKey: String,
     leadType: org.apache.spark.sql.types.DataType,
     lo: Option[Any],
-    hi: Option[Any])
+    hi: Option[Any],
+    wantedPartitions: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private def surviving(parts: List[GPartMeta]): List[GPartMeta] =
+  private def surviving(parts: List[GPartMeta]): List[GPartMeta] = {
+    // Partition pruning first (exact on the stored value; untagged parts are
+    // conservatively kept), then leading-key range pruning.
+    val inPartition = wantedPartitions match {
+      case None         => parts
+      case Some(wanted) => parts.filter(_.partition.forall(wanted))
+    }
     (lo, hi) match {
-      case (None, None) => parts
-      case _ => parts.filter(p =>
+      case (None, None) => inPartition
+      case _ => inPartition.filter(p =>
         p.overlaps(lo.getOrElse(p.minKey), hi.getOrElse(p.maxKey)))
     }
+  }
 
   override def estimateStatistics(): Statistics = {
     val parts = surviving(GManifest.load(path).map(_.parts).getOrElse(Nil))

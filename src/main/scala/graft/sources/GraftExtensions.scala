@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.mergetree.ColumnarMergeTree
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Session extensions for the graft engine (SURVEY §7 Phase 3): registered
+  * via `spark.sql.extensions=graft.sources.GraftExtensions` by GraftSession
+  * and the test session.
+  *
+  * Currently one rule: the FINAL-applying SQL read (MergeTreeFinalRule).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectResolutionRule(session => new MergeTreeFinalRule(session))
+}
+
+/** ClickHouse `SELECT … FROM t FINAL` for the SQL face: a relation over a
+  * mergetree table carrying `final 'true'` (read option or CREATE TABLE
+  * option — both reach the provider's getTable) is rewritten during analysis
+  * into the merge-mode-collapsed plan over the same storage.
+  *
+  * The rewrite re-reads the table WITHOUT the final flag (so the inner
+  * relation keeps the connector's vectorized scan + part pruning) and applies
+  * exactly the collapse `ColumnarMergeTree.scan()` applies —
+  * `ColumnarMergeTree.applyMode` is the single shared implementation, so the
+  * SQL FINAL view and the Scala API can never diverge. Output attributes are
+  * re-bound to the original relation's exprIds (with a cast where an
+  * aggregate widened a type, e.g. Summing an int column) so references in the
+  * enclosing plan stay valid.
+  *
+  * Plain-mode tables are left untouched — FINAL is the identity there, and
+  * skipping the rewrite keeps their plans scan-only.
+  */
+class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case rel: DataSourceV2Relation if isFinalRead(rel) => rewrite(rel)
+  }
+
+  private def isFinalRead(rel: DataSourceV2Relation): Boolean = rel.table match {
+    case t: GenericMergeTreeV2Table => t.finalRead && hasCollapse(t.path)
+    case _                          => false
+  }
+
+  private def hasCollapse(path: String): Boolean =
+    ColumnarMergeTree.TableDef.load(path)
+      .exists(d => ColumnarMergeTree.TableDef.decodeMode(d.mode) !=
+        graft.mergetree.MergeMode.Plain)
+
+  private def rewrite(rel: DataSourceV2Relation): LogicalPlan = {
+    val table = rel.table.asInstanceOf[GenericMergeTreeV2Table]
+    val defn = ColumnarMergeTree.TableDef.load(table.path).getOrElse(
+      throw new IllegalStateException(s"no table definition at ${table.path}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(defn.schemaDdl)
+    // Inner read has NO final option → resolves to a raw-parts relation and
+    // this rule does not fire on it again (analysis stays a fixpoint).
+    val raw = session.read.format("mergetree").load(table.path)
+    val collapsed = ColumnarMergeTree.applyMode(
+      raw, schema, ColumnarMergeTree.TableDef.decodeMode(defn.mode), defn.partitionBy)
+    val inner = collapsed.queryExecution.analyzed
+    val rebind: Seq[NamedExpression] = rel.output.map { old =>
+      val neu = inner.output.find(_.name == old.name).getOrElse(
+        throw new IllegalStateException(
+          s"FINAL rewrite lost column ${old.name} of ${table.path}"))
+      val expr = if (neu.dataType == old.dataType) neu
+        else Cast(neu, old.dataType)
+      Alias(expr, old.name)(exprId = old.exprId)
+    }
+    Project(rebind, inner)
+  }
+}

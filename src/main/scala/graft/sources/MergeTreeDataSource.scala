@@ -72,23 +72,66 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val path = MergeTreeTableProvider.localPath(Option(properties.get("path"))
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = MergeTreeTableProvider.localPath(Option(opts.get("path"))
       .getOrElse(throw new IllegalArgumentException("mergetree: path required")))
+    val finalRead = opts.getBoolean("final", false)
     TableDef.load(path) match {
       case Some(d) =>
-        new GenericMergeTreeV2Table(path, StructType.fromDDL(d.schemaDdl), d.orderBy)
+        new GenericMergeTreeV2Table(path, StructType.fromDDL(d.schemaDdl),
+          d.orderBy, finalRead)
+      case None if opts.containsKey("orderBy") =>
+        // SQL DDL face of ColumnarMergeTree.create: `CREATE TABLE t (cols…)
+        // USING mergetree OPTIONS (orderBy 'a,b' [, mode/keys/version/sums/
+        // sign] [, partitionBy 'expr'] [, ttl 'expr']) LOCATION dir`
+        // persists the same tabledef.json the Scala API writes, so DDL-born
+        // tables are indistinguishable from API-born ones — PARTITION BY and
+        // TTL included (a ClickHouse user's first CREATE TABLE declares both).
+        require(schema.nonEmpty,
+          "mergetree: CREATE TABLE with orderBy needs explicit columns")
+        val d = MergeTreeTableProvider.tableDefFromOptions(schema, opts)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        TableDef.store(path, d)
+        new GenericMergeTreeV2Table(path, schema, d.orderBy, finalRead)
       case None => new MergeTreeV2Table(path)
     }
   }
 }
 
 object MergeTreeTableProvider {
+  import graft.mergetree.ColumnarMergeTree.TableDef
+  import graft.mergetree.MergeMode
+
   /** Catalog LOCATIONs arrive as `file:` URIs; the engine works on local
     * filesystem paths — normalize once at the provider boundary.
     */
   private[sources] def localPath(p: String): String =
     if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p)).toString
     else p
+
+  /** Parse the CREATE TABLE options into the persisted table definition.
+    * Column lists are comma-separated; mode defaults to plain.
+    */
+  private[sources] def tableDefFromOptions(
+      schema: StructType, opts: CaseInsensitiveStringMap): TableDef = {
+    def list(key: String): List[String] =
+      Option(opts.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toList)
+        .getOrElse(Nil)
+    val orderBy = list("orderBy")
+    require(orderBy.nonEmpty && orderBy.forall(schema.fieldNames.contains),
+      s"mergetree: orderBy ${orderBy.mkString(",")} must name table columns")
+    val mode = Option(opts.get("mode")).map(_.toLowerCase).getOrElse("plain") match {
+      case "plain"     => MergeMode.Plain
+      case "replacing" => MergeMode.Replacing(list("keys"), opts.get("version"))
+      case "summing"   => MergeMode.Summing(list("keys"), list("sums"))
+      case "collapsing" =>
+        MergeMode.Collapsing(list("keys"), opts.get("sign"), opts.get("version"))
+      case other => throw new IllegalArgumentException(
+        s"mergetree: unknown mode '$other' (plain|replacing|summing|collapsing)")
+    }
+    TableDef(schema.toDDL, orderBy, TableDef.encodeMode(mode),
+      Option(opts.get("partitionBy")), Option(opts.get("ttl")))
+  }
 }
 
 class MergeTreeV2Table(path: String) extends Table
