@@ -57,6 +57,12 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "mergetree"
 
+  /** CREATE TABLE with explicit columns (the DDL face that declares
+    * orderBy/partitionBy/ttl) hands the user schema to getTable; reads of
+    * existing tables still self-describe via inferSchema.
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   /** A path with a persisted tabledef.json (written by
     * ColumnarMergeTree.create) is a schema-generic table and self-describes;
     * anything else is the fixed-schema KV compatibility table.

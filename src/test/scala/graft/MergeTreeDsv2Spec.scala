@@ -208,6 +208,101 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE g_tr")
   }
 
+  // -------------------------- DDL-declared PARTITION BY / TTL + FINAL reads
+
+  test("SQL DDL declares PARTITION BY + TTL; INSERT lands per-partition parts; partition predicate prunes") {
+    val dir = Files.createTempDirectory("mt_pddl_").toString
+    spark.sql("DROP TABLE IF EXISTS p_ddl")
+    spark.sql(
+      s"""CREATE TABLE p_ddl (k BIGINT, cat STRING, v DOUBLE) USING mergetree
+         |OPTIONS (orderBy 'k', partitionBy 'cat', ttl 'k < 0')
+         |LOCATION '$dir'""".stripMargin)
+    // DDL-born table is indistinguishable from an API-born one: tabledef
+    // carries partitionBy + ttl exactly as ColumnarMergeTree.create writes
+    val defn = ColumnarMergeTree.TableDef.load(dir).get
+    assert(defn.orderBy == List("k") && defn.partitionBy.contains("cat") &&
+      defn.ttl.contains("k < 0"))
+    spark.sql("""INSERT INTO p_ddl VALUES
+      (1, 'a', 0.5), (2, 'b', 1.5), (3, 'a', 2.5), (4, 'c', 3.5)""")
+    spark.sql("INSERT INTO p_ddl VALUES (5, 'a', 4.5), (6, 'b', 5.5)")
+    val t = ColumnarMergeTree.open(spark, dir)
+    // batch 1 → parts {a,b,c}, batch 2 → parts {a,b}
+    assert(t.partCount == 5 && t.partitions == Seq("a", "b", "c"))
+    // partition-equality SELECT prunes parts from the manifest on the driver
+    val aRows = spark.sql("SELECT k FROM p_ddl WHERE cat = 'a' ORDER BY k")
+      .collect().map(_.getLong(0)).toList
+    assert(aRows == List(1L, 3L, 5L))
+    val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+    assert(total == 5 && planned == 2,
+      s"expected 2/5 parts for cat='a', got $planned/$total")
+    // IN-list narrows to the union of named partitions
+    assert(spark.sql("SELECT * FROM p_ddl WHERE cat IN ('b','c')").count() == 3)
+    val (p2, t2) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+    assert(t2 == 5 && p2 == 3, s"expected 3/5 parts for IN ('b','c'), got $p2/$t2")
+    spark.sql("DROP TABLE p_ddl")
+  }
+
+  test("SQL DELETE on pure partition equality maps to dropPartition (no part rewrite)") {
+    val dir = Files.createTempDirectory("mt_pdel_").toString
+    spark.sql("DROP TABLE IF EXISTS p_del")
+    spark.sql(
+      s"""CREATE TABLE p_del (k BIGINT, cat STRING, v DOUBLE) USING mergetree
+         |OPTIONS (orderBy 'k', partitionBy 'cat') LOCATION '$dir'""".stripMargin)
+    spark.sql("""INSERT INTO p_del VALUES
+      (1, 'a', 0.5), (2, 'b', 1.5), (3, 'a', 2.5), (4, 'c', 3.5)""")
+    val t = ColumnarMergeTree.open(spark, dir)
+    val surviving = t.parts.filterNot(_.partition.contains("b")).map(_.partId).toSet
+    spark.sql("DELETE FROM p_del WHERE cat = 'b'")
+    t.refresh()
+    // O(manifest) unlink: the surviving parts keep their EXACT ids — a
+    // predicate-rewrite path would have re-written them under new ids
+    assert(t.parts.map(_.partId).toSet == surviving,
+      "partition-equality DELETE must not rewrite surviving parts")
+    assert(t.partitions == Seq("a", "c"))
+    assert(spark.table("p_del").count() == 3)
+    spark.sql("DROP TABLE p_del")
+  }
+
+  test("FINAL read option collapses a Replacing table exactly like scan()") {
+    val dir = Files.createTempDirectory("mt_final_").toString
+    val df = spark.range(100).select(
+      (col("id") % 20).as("k"), col("id").as("ver"),
+      concat(lit("p"), col("id")).as("payload"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k", "ver"), mode = MergeMode.Replacing(Seq("k"), "ver"))
+    // versions of each k land across two parts → collapse must cross parts
+    t.insertBatch(df.filter(col("ver") < 50))
+    t.insertBatch(df.filter(col("ver") >= 50))
+    val raw = spark.read.format("mergetree").load(dir)
+    assert(raw.count() == 100, "default read stays raw parts (no FINAL)")
+    val fin = spark.read.format("mergetree").option("final", "true").load(dir)
+    val viaFinal = fin.orderBy(col("k")).collect().toList
+    val viaScan = t.scan().orderBy(col("k")).collect().toList
+    assert(viaFinal == viaScan && viaFinal.size == 20)
+    // projection through the rewritten plan stays valid (exprId rebinding)
+    assert(fin.select("payload").count() == 20)
+  }
+
+  test("CREATE TABLE with final 'true' serves collapsed rows to plain SQL") {
+    val dir = Files.createTempDirectory("mt_finddl_").toString
+    val df = spark.range(60).select(
+      (col("id") % 10).as("k"), lit(1L).as("cnt"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), mode = MergeMode.Summing(Seq("k"), Seq("cnt")))
+    t.insertBatch(df.filter(col("id") < 30))
+    t.insertBatch(df.filter(col("id") >= 30))
+    spark.sql("DROP TABLE IF EXISTS g_final")
+    spark.sql(
+      s"CREATE TABLE g_final USING mergetree OPTIONS (`final` 'true') LOCATION '$dir'")
+    val rows = spark.sql("SELECT k, cnt FROM g_final ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(rows == (0L until 10L).map(k => (k, 6L)).toList,
+      s"Summing FINAL must serve one pre-summed row per key: $rows")
+    // a raw-read view of the same storage still sees all 60 rows
+    assert(spark.read.format("mergetree").load(dir).count() == 60)
+    spark.sql("DROP TABLE g_final")
+  }
+
   test("generic table: SQL aggregate matches the Scala-API scan") {
     val (dir, t) = buildGeneric()
     spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")

@@ -59,6 +59,33 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming into a partitioned table lands one part per partition per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Double)]
+    val schema = source.toDF().toDF("k", "cat", "v").schema
+    val dir = Files.createTempDirectory("cmt_pstream_").toString
+    val t = ColumnarMergeTree.create(spark, dir, schema, orderBy = Seq("k"),
+      partitionBy = Some("cat"))
+    val q = StreamingIngest.startGeneric(t, source.toDF().toDF("k", "cat", "v"),
+      Files.createTempDirectory("cmt_pstream_ckpt_").toString)
+    try {
+      // batch 1 spans partitions a,b — batch 2 spans b,c
+      source.addData((0 until 40).map(i =>
+        (i.toLong, if (i % 2 == 0) "a" else "b", i * 0.5)))
+      q.processAllAvailable()
+      source.addData((40 until 60).map(i =>
+        (i.toLong, if (i % 2 == 0) "b" else "c", i * 0.5)))
+      q.processAllAvailable()
+      t.refresh()
+      assert(t.partCount == 4, s"2 + 2 per-partition parts, got ${t.partCount}")
+      assert(t.partitions == Seq("a", "b", "c"))
+      assert(t.totalRows == 60)
+      // partition-scoped read prunes to that partition's parts only
+      assert(t.scanPartitions(Seq("c")).count() == 10)
+      assert(t.lastPruning == (1, 4), s"cat=c is 1/4 parts: ${t.lastPruning}")
+    } finally q.stop()
+  }
+
   test("streaming upsert feed: Replacing table collapses to latest version at read") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Long, String)]
