@@ -149,10 +149,14 @@ final class ColumnarMergeTree private (
       Some(t)
     }
 
-  /** Stop the background worker (if any). Idempotent. */
+  /** Stop the background worker (if any) and purge grace-expired retired
+    * parts — a table that retires parts and then goes idle would otherwise
+    * leak the directories until its next maintenance op. Idempotent.
+    */
   def shutdown(): Unit = {
     closed = true
     bgThread.foreach(_.interrupt())
+    purgeGc()
   }
 
   private def leadKey: String = orderBy.head
@@ -381,17 +385,20 @@ final class ColumnarMergeTree private (
 
   /** Delete retired part directories whose grace has expired; `force` drops
     * all of them regardless of age (table teardown). Returns dirs deleted.
+    *
+    * Dirs are deleted BEFORE their entries leave the persisted list: a crash
+    * between the two just leaves already-deleted entries behind, and
+    * deleteRecursively is idempotent so the next purge unlinks them no-op.
+    * The reverse order would leak the dirs permanently (no record left).
     */
   def purgeGc(force: Boolean = false): Int = {
     val cutoff = System.currentTimeMillis() - config.gcGraceSeconds * 1000L
-    var victims: List[GcEntry] = Nil
-    GcList.update(path) { cur =>
-      val (expired, kept) = cur.retired.partition(e => force || e.retiredAt <= cutoff)
-      victims = expired
-      GcList(kept)
-    }
+    val victims = GcList.load(path).retired.filter(e => force || e.retiredAt <= cutoff)
+    if (victims.isEmpty) return 0
     victims.foreach(e =>
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${e.partId}")))
+    val gone = victims.map(_.partId).toSet
+    GcList.update(path)(cur => GcList(cur.retired.filterNot(e => gone(e.partId))))
     victims.size
   }
 
@@ -408,6 +415,7 @@ final class ColumnarMergeTree private (
     ColumnarMergeTree.partitionValueExpr(p)
 
   private def scanPruned(lo: Option[Any], hi: Option[Any]): DataFrame = {
+    refresh() // scan()/rangeScan() see connector-landed parts, like scanPartitions
     val live = manifest.parts
     val surviving = (lo, hi) match {
       case (Some(l), Some(h)) => live.filter(_.overlaps(l, h))
@@ -628,6 +636,22 @@ final class ColumnarMergeTree private (
   def partCount: Int = manifest.parts.size
   def parts: Seq[GPartMeta] = manifest.parts
   def totalRows: Long = manifest.parts.map(_.rowCount).sum
+  def diskUsage: Long = manifest.parts.map(_.diskSize).sum
+
+  /** Metadata-only operational snapshot (O24 parity for the storage layer
+    * incl. the GC): live parts/rows/bytes from the manifest, plus how many
+    * retired directories await grace expiry — the observable form of "is
+    * this table leaking dirs".
+    */
+  def stats: Map[String, Long] = {
+    val live = manifest.parts
+    Map(
+      "parts" -> live.size.toLong,
+      "rows" -> live.map(_.rowCount).sum,
+      "bytes" -> live.map(_.diskSize).sum,
+      "partitions" -> live.flatMap(_.partition).distinct.size.toLong,
+      "gc_pending" -> gcPending.size.toLong)
+  }
 }
 
 object ColumnarMergeTree {
@@ -694,7 +718,8 @@ object ColumnarMergeTree {
              ttl: Option[String] = None): ColumnarMergeTree = {
     Files.createDirectories(Paths.get(path))
     TableDef.store(path, TableDef(schema.toDDL, orderBy.toList,
-      TableDef.encodeMode(mode), partitionBy, ttl))
+      TableDef.encodeMode(mode), partitionBy, ttl,
+      Some(config.gcGraceSeconds)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -717,8 +742,15 @@ object ColumnarMergeTree {
   def open(spark: SparkSession, path: String, config: MergeTreeConfig): ColumnarMergeTree = {
     val defn = TableDef.load(path).getOrElse(
       throw new IllegalStateException(s"no table definition at $path"))
+    // The creator's grace window is table metadata, not an opener choice:
+    // an opener purging on its own (shorter) clock would defeat the window
+    // other instances' readers rely on.
+    val cfg = defn.gcGraceSeconds match {
+      case Some(g) => config.copy(gcGraceSeconds = g)
+      case None    => config
+    }
     new ColumnarMergeTree(spark, path,
-      StructType.fromDDL(defn.schemaDdl), defn.orderBy, config,
+      StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
       TableDef.decodeMode(defn.mode), defn.partitionBy, defn.ttl)
   }
 
@@ -732,7 +764,12 @@ object ColumnarMergeTree {
       orderBy: List[String],
       mode: Map[String, List[String]],
       partitionBy: Option[String] = None,
-      ttl: Option[String] = None)
+      ttl: Option[String] = None,
+      /** Reader grace window, persisted so EVERY opener of a shared table
+        * honors the creator's value (self-describing open overrides the
+        * passed config); absent on pre-existing tables → opener's config.
+        */
+      gcGraceSeconds: Option[Int] = None)
 
   object TableDef {
     import org.json4s._
@@ -814,9 +851,12 @@ object ColumnarMergeTree {
 
   /** Persisted GC list (gclist.json): the set of retired-but-not-yet-deleted
     * part directories. Updated under the same per-path lock as the manifest
-    * so maintenance ops racing on the same table cannot lose entries (a lost
-    * entry = a leaked directory, never data loss — parts here are already
-    * invisible to new scans).
+    * so SAME-JVM maintenance ops racing on the same table cannot lose
+    * entries (ManifestLocks is a JVM-local monitor map — two processes
+    * doing read-modify-write can still lose one, the same cross-process
+    * caveat gmanifest.json already carries; a lost entry = a leaked
+    * directory, never data loss — parts here are already invisible to new
+    * scans).
     */
   case class GcList(retired: List[GcEntry])
 

@@ -425,7 +425,7 @@ final class MergeTreeTable private (
             cur.parts.filterNot(p => liveIds(p.partId)) ++ newMetas.toList)
         }
       }
-      liveIds.filterNot(keptIds).foreach(id => deleteRecursively(Paths.get(partDir(id))))
+      retireParts(liveIds.filterNot(keptIds))
     } finally compacting.set(false)
   }
 
@@ -502,8 +502,9 @@ final class MergeTreeTable private (
     manifest = Manifest.update(path) { cur =>
       Manifest(cur.version, cur.parts.filterNot(p => mergedIds(p.partId)) :+ newMeta)
     }
-    // GC the dead dirs — fixing the reference's leak (SURVEY §3.3).
-    mergedIds.foreach(id => deleteRecursively(Paths.get(partDir(id))))
+    // GC the dead dirs — fixing the reference's leak (SURVEY §3.3) — via
+    // the reader-grace window, not inline deletion.
+    retireParts(mergedIds)
     true
   }
 
@@ -577,6 +578,42 @@ final class MergeTreeTable private (
 
   private def partDir(id: Long): String = s"$path/part_$id"
 
+  // -------------------------------------------------------- reader-safe GC
+
+  /** Same grace-windowed GC as the generic table (shared gclist.json
+    * format, see ColumnarMergeTree.retireParts): parts replaced by
+    * optimize/merge stay on disk for gcGraceSeconds so a scan planned
+    * against the pre-op manifest keeps its input files.
+    */
+  private def retireParts(ids: Iterable[Long]): Unit = {
+    if (ids.isEmpty) return
+    val now = System.currentTimeMillis()
+    ColumnarMergeTree.GcList.update(path)(cur =>
+      ColumnarMergeTree.GcList(
+        cur.retired ++ ids.map(ColumnarMergeTree.GcEntry(_, now))))
+    purgeGc()
+  }
+
+  /** Delete retired part directories whose grace has expired (`force` = all
+    * of them); dirs go before their list entries so a crash in between only
+    * leaves re-purgeable no-op entries, never an unrecorded leak.
+    */
+  def purgeGc(force: Boolean = false): Int = {
+    val cutoff = System.currentTimeMillis() - config.gcGraceSeconds * 1000L
+    val victims = ColumnarMergeTree.GcList.load(path).retired
+      .filter(e => force || e.retiredAt <= cutoff)
+    if (victims.isEmpty) return 0
+    victims.foreach(e => deleteRecursively(Paths.get(partDir(e.partId))))
+    val gone = victims.map(_.partId).toSet
+    ColumnarMergeTree.GcList.update(path)(cur =>
+      ColumnarMergeTree.GcList(cur.retired.filterNot(e => gone(e.partId))))
+    victims.size
+  }
+
+  /** Part ids retired but not yet purged — diagnostic/test hook. */
+  def gcPending: Seq[Long] =
+    ColumnarMergeTree.GcList.load(path).retired.map(_.partId)
+
   // ------------------------------------------------------------------ stats
 
   /** Metadata-only total row count (O24, src/merge_tree.cpp:119-135):
@@ -594,11 +631,15 @@ final class MergeTreeTable private (
 
   def parts: Seq[PartMetadata] = lock.synchronized { manifest.parts }
 
-  /** Flush + stop background worker (src/merge_tree.cpp:99-112). */
+  /** Flush + stop background worker (src/merge_tree.cpp:99-112), then purge
+    * grace-expired retired parts so an idle table doesn't leak them until
+    * its next maintenance op.
+    */
   def shutdown(): Unit = {
     lock.synchronized { triggerFlushIfNeeded(force = memtable.nonEmpty) }
     closed = true
     bgThread.foreach(_.interrupt())
+    purgeGc()
   }
 }
 

@@ -157,6 +157,9 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
     t.dropPartition("1")
     // retired dirs are in the GC list, not deleted: the old plan still works
     assert(t.gcPending.nonEmpty)
+    // ...and the leak-in-waiting is observable through metadata-only stats
+    assert(t.stats("gc_pending") == t.gcPending.size.toLong)
+    assert(t.stats("parts") == t.partCount.toLong)
     assert(before.count() == 100, "in-flight reader lost its parts to eager GC")
     assert(t.scan().count() == 50) // new scans see the post-drop manifest
     // force-purge deletes the directories and empties the list
@@ -180,6 +183,42 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
     assert(t.gcPending.isEmpty, "grace 0 must purge inside the op")
     assert(oldIds.exists(id => !Files.exists(Paths.get(s"$dir/part_$id"))))
     assert(t.scan().count() == 50)
+  }
+
+  test("gcGraceSeconds is table metadata: self-describing open honors the creator's value") {
+    val df = spark.range(10).select(col("id").as("k"))
+    val dir = Files.createTempDirectory("cmt_gcpersist_").toString
+    ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"),
+      MergeTreeConfig(gcGraceSeconds = 7200))
+    // A default-config opener must not purge on its own (shorter) clock.
+    assert(ColumnarMergeTree.open(spark, dir).config.gcGraceSeconds == 7200)
+    assert(ColumnarMergeTree.open(spark, dir,
+      MergeTreeConfig(gcGraceSeconds = 1)).config.gcGraceSeconds == 7200)
+  }
+
+  test("KV table: optimize/merge retire through the same grace GC (round-7 symmetry)") {
+    // Round 6 left the KV MergeTreeTable hard-deleting replaced part dirs
+    // inline — the exact reader race the grace window exists to close, on
+    // the table the bench and q1-q8 use. Both tables now share gclist.json.
+    val dir = Files.createTempDirectory("kv_gc_").toString
+    val t = MergeTreeTable.create(spark, dir, MergeTreeConfig(
+      memtableFlushThreshold = 5, maxParts = 3, localScanMaxRows = 0,
+      gcGraceSeconds = 3600))
+    (0 until 10).foreach { b =>
+      (0 until 25).foreach(i => t.insert(f"k$b%02d_$i%02d", s"v${b}_$i", (b * 100 + i).toLong))
+    }
+    t.flush()
+    assert(t.partCount > 3)
+    val before = t.fullScan() // lazy plan over the pre-optimize part list
+    t.optimize()
+    assert(t.partCount <= 3)
+    assert(t.gcPending.nonEmpty, "optimize must retire, not delete inline")
+    assert(before.count() == 250, "in-flight reader lost its parts to eager GC")
+    assert(t.fullScan().count() == 250)
+    val purged = t.purgeGc(force = true)
+    assert(purged > 0 && t.gcPending.isEmpty)
+    assert(t.fullScan().count() == 250)
+    t.shutdown()
   }
 
   // ----------------------------------------------------------------- TTL

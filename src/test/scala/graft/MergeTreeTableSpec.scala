@@ -62,10 +62,18 @@ class MergeTreeTableSpec extends AnyFunSuite {
     assert(t.partCount <= 3)
     val after = t.fullScan().collect().toList
     assert(after == before, "merge must not change query results (Q4)")
-    // merged-away dirs are GC'd (our fix for the reference leak, SURVEY §3.3)
-    val dirs = new java.io.File(t.path).listFiles().count(f =>
+    // merged-away dirs enter the reader-grace GC list (our fix for the
+    // reference leak, SURVEY §3.3 — grace-windowed since round 7, same as
+    // the generic table): still on disk for in-flight scans, invisible to
+    // new ones, gone after purge.
+    def partDirs: Int = new java.io.File(t.path).listFiles().count(f =>
       f.isDirectory && f.getName.startsWith("part_"))
-    assert(dirs == t.partCount)
+    assert(partDirs == t.partCount + t.gcPending.size)
+    assert(t.gcPending.nonEmpty, "optimize must retire the merged-away parts")
+    t.purgeGc(force = true)
+    assert(partDirs == t.partCount)
+    assert(t.fullScan().collect().toList == before,
+      "purge after grace must not affect results")
     t.shutdown()
   }
 
