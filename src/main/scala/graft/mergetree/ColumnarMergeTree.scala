@@ -42,6 +42,18 @@ object MergeMode {
     */
   final case class Collapsing(keyCols: Seq[String], signCol: String,
                               versionCol: String) extends MergeMode
+  /** AggregatingMergeTree, restricted to re-collapsible functions: each
+    * aggregated column collapses per `keyCols` group with its declared
+    * function — `sum` | `min` | `max` — all of which RE-apply associatively
+    * to their own output, so collapse-in-merge composes with merge-on-read
+    * across bins exactly like Summing. `count` is spelled as sum over a
+    * 1-valued column and `avg` as two summed columns (the standard
+    * SummingMergeTree idiom); general ClickHouse AggregateFunction states
+    * would need a serialized-state column, out of scope. Remaining non-key
+    * columns collapse to max() (deterministic refinement of "any").
+    */
+  final case class Aggregating(keyCols: Seq[String],
+                               aggCols: Seq[(String, String)]) extends MergeMode
 }
 
 /** Schema-generic MergeTree table — the generalization SURVEY §1.4 calls
@@ -103,6 +115,16 @@ final class ColumnarMergeTree private (
         "bad Collapsing columns")
       require(keys.contains(orderBy.head),
         "Collapsing keyCols must include the leading order-by key")
+    case MergeMode.Aggregating(keys, aggs) =>
+      require((keys ++ aggs.map(_._1)).forall(schema.fieldNames.contains),
+        "bad Aggregating columns")
+      require(keys.contains(orderBy.head),
+        "Aggregating keyCols must include the leading order-by key")
+      require(aggs.nonEmpty && aggs.forall(a => Set("sum", "min", "max")(a._2)),
+        "Aggregating functions must be sum|min|max (count = sum over a " +
+          "1-valued column, avg = two summed columns)")
+      require(aggs.map(_._1).forall(c => !keys.contains(c)),
+        "a column cannot be both an Aggregating key and an aggregate")
     case MergeMode.Plain => ()
   }
   partitionBy.foreach { p =>
@@ -700,6 +722,23 @@ object ColumnarMergeTree {
           .filter(col("__net") > 0)
           .withColumn(sign, lit(1).cast(schema(sign).dataType))
           .select(schema.fieldNames.map(col): _*)
+      case MergeMode.Aggregating(keys, aggSpec) =>
+        val aggCols = aggSpec.map(_._1)
+        val others = schema.fieldNames
+          .filterNot(f => keys.contains(f) || aggCols.contains(f))
+        // Cast back to the declared type: sum() widens (int → long) and a
+        // collapse-in-merge rewrite must land parts in the TABLE's schema.
+        val fns = aggSpec.map { case (c, fn) =>
+          (fn match {
+            case "sum" => sum(col(c))
+            case "min" => min(col(c))
+            case _     => max(col(c))
+          }).cast(schema(c).dataType).as(c)
+        }
+        val aggs = fns ++ others.map(o => max(col(o)).as(o))
+        df.groupBy(keys.map(col) ++ pv: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(schema.fieldNames.map(col): _*)
     }
   }
 
@@ -785,6 +824,9 @@ object ColumnarMergeTree {
       case MergeMode.Collapsing(keys, sign, version) =>
         Map("type" -> List("collapsing"), "keys" -> keys.toList,
           "sign" -> List(sign), "version" -> List(version))
+      case MergeMode.Aggregating(keys, aggs) =>
+        Map("type" -> List("aggregating"), "keys" -> keys.toList,
+          "aggcols" -> aggs.map(_._1).toList, "aggfns" -> aggs.map(_._2).toList)
     }
 
     def decodeMode(m: Map[String, List[String]]): MergeMode =
@@ -792,6 +834,8 @@ object ColumnarMergeTree {
         case "replacing"  => MergeMode.Replacing(m("keys"), m("version").head)
         case "summing"    => MergeMode.Summing(m("keys"), m("sums"))
         case "collapsing" => MergeMode.Collapsing(m("keys"), m("sign").head, m("version").head)
+        case "aggregating" =>
+          MergeMode.Aggregating(m("keys"), m("aggcols").zip(m("aggfns")))
         case _            => MergeMode.Plain
       }
 
@@ -851,12 +895,10 @@ object ColumnarMergeTree {
 
   /** Persisted GC list (gclist.json): the set of retired-but-not-yet-deleted
     * part directories. Updated under the same per-path lock as the manifest
-    * so SAME-JVM maintenance ops racing on the same table cannot lose
-    * entries (ManifestLocks is a JVM-local monitor map — two processes
-    * doing read-modify-write can still lose one, the same cross-process
-    * caveat gmanifest.json already carries; a lost entry = a leaked
-    * directory, never data loss — parts here are already invisible to new
-    * scans).
+    * (JVM monitor + OS file lock, see ManifestLocks) so maintenance ops
+    * racing on the same table — same JVM or another process — cannot lose
+    * entries (a lost entry = a leaked directory, never data loss; parts
+    * here are already invisible to new scans).
     */
   case class GcList(retired: List[GcEntry])
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.collection.mutable.ArrayBuffer
 
 /** The fixed compatibility row of the reference engine.
@@ -772,14 +772,37 @@ object Manifest {
     }
 }
 
-/** JVM-global per-table-path locks shared by both manifest formats and the
-  * DSv2 connector commit path.
+/** Per-table-path mutual exclusion shared by both manifest formats, the GC
+  * list, and the DSv2 connector commit path — TWO layers:
+  *
+  *  - a JVM-global monitor (threads of one process; also required because
+  *    OS file locks are held per-process and overlapping acquisition from
+  *    the same JVM throws), and
+  *  - an OS advisory file lock on `<table>/.manifest.lock`, so a SECOND
+  *    process (e.g. the DSv2 connector in another Spark driver) doing
+  *    read-modify-write on gmanifest.json/gclist.json serializes against
+  *    this one instead of losing updates.
+  *
+  * The file lock makes manifest commits multi-process-safe on any
+  * filesystem with working advisory locks (local disk, NFSv4); object
+  * stores without lock semantics would need a catalog service instead —
+  * documented 100 TB posture (SURVEY §8).
   */
 private[graft] object ManifestLocks {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def locked[A](tablePath: String)(body: => A): A = {
     val key = Paths.get(tablePath).toAbsolutePath.normalize.toString
     val lock = locks.computeIfAbsent(key, _ => new Object)
-    lock.synchronized(body)
+    lock.synchronized {
+      Files.createDirectories(Paths.get(key))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(key, ".manifest.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try body
+        finally fl.release()
+      } finally ch.close()
+    }
   }
 }

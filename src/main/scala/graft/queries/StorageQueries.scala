@@ -480,6 +480,46 @@ object StorageQueries {
       |FROM events WHERE event_id >= 500
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q54 — AggregatingMergeTree semantics on the generic table: per
+    * (user_id, event_type) group, `value` collapses with sum, `event_id`
+    * with max, and `n` (a 1-valued column — the count-as-sum idiom the mode
+    * documents) with sum. Rows land across 4 parts so the collapse is
+    * exercised both inside compaction merges (optimize) and merge-on-read;
+    * sum/min/max re-apply associatively so the two paths agree by
+    * construction, and the oracle is the equivalent GROUP BY over the same
+    * parquet.
+    */
+  def q54Aggregating(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#aggregating", {
+      val ev = eventsSlim(spark, dir).withColumn("n", lit(1L))
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q54_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_type"),
+        MergeTreeConfig(maxParts = 2),
+        mode = MergeMode.Aggregating(Seq("user_id", "event_type"),
+          Seq("event_id" -> "max", "value" -> "sum", "n" -> "sum")))
+      val n = spark.read.parquet(s"$dir/events.parquet").count()
+      (0 to 3).map(i => (i * n / 4, (i + 1) * n / 4)).foreach { case (lo, hi) =>
+        if (lo < hi) tbl.insertBatch(
+          ev.filter(col("event_id") >= lo && col("event_id") < hi))
+      }
+      tbl
+    })
+    t.optimize() // collapse-in-merge path (idempotent once <= maxParts)
+    t.scan()
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("event_id").as("max_event_id"),
+        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+          .as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q54Sql: String =
+    """SELECT user_id, event_type, count(*) AS n, max(event_id) AS max_event_id,
+      | floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -496,5 +536,6 @@ object StorageQueries {
     ("q47_delete_where", q47DeleteWhere _, Some(q47Sql)),
     ("q51_collapsing_mt", q51Collapsing _, Some(q51Sql)),
     ("q52_partitioned", q52Partitioned _, Some(q52Sql)),
-    ("q53_ttl", q53Ttl _, Some(q53Sql)))
+    ("q53_ttl", q53Ttl _, Some(q53Sql)),
+    ("q54_aggregating_mt", q54Aggregating _, Some(q54Sql)))
 }

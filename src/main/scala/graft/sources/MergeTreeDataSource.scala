@@ -132,11 +132,22 @@ object MergeTreeTableProvider {
       case "summing"   => MergeMode.Summing(list("keys"), list("sums"))
       case "collapsing" =>
         MergeMode.Collapsing(list("keys"), opts.get("sign"), opts.get("version"))
+      case "aggregating" =>
+        // `aggs 'col:fn,col:fn'` — fn in sum|min|max (validated by the table)
+        val aggs = list("aggs").map { s =>
+          s.split(":", 2) match {
+            case Array(c, f) => (c.trim, f.trim.toLowerCase)
+            case _ => throw new IllegalArgumentException(
+              s"mergetree: bad aggs entry '$s' (want col:fn)")
+          }
+        }
+        MergeMode.Aggregating(list("keys"), aggs)
       case other => throw new IllegalArgumentException(
-        s"mergetree: unknown mode '$other' (plain|replacing|summing|collapsing)")
+        s"mergetree: unknown mode '$other' (plain|replacing|summing|collapsing|aggregating)")
     }
     TableDef(schema.toDDL, orderBy, TableDef.encodeMode(mode),
-      Option(opts.get("partitionBy")), Option(opts.get("ttl")))
+      Option(opts.get("partitionBy")), Option(opts.get("ttl")),
+      Option(opts.get("gcGraceSeconds")).map(_.toInt))
   }
 }
 

@@ -50,6 +50,10 @@ class ColumnarMergeTreePropertySpec extends AnyFunSuite {
           case ((k, v), rs) if rs.map(_.amt).sum > 0 =>
             R(k, v, rs.map(_.payload).max, 1L) // net>0 → ONE sign=1 row
         }.toSeq
+      case MergeMode.Aggregating(_, _) => // ver:max, amt:sum, payload "other"→max
+        raw.groupBy(_.k).map { case (k, rs) =>
+          R(k, rs.map(_.ver).max, rs.map(_.payload).max, rs.map(_.amt).sum)
+        }.toSeq
     }).map(r => (r.k, r.ver, r.payload, r.amt))
       .toList.sorted
 
@@ -58,13 +62,15 @@ class ColumnarMergeTreePropertySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .toList.sorted
 
-  test("random workloads match the model in all four merge modes") {
+  test("random workloads match the model in all five merge modes") {
     val schema = Seq.empty[R].toDF("k", "ver", "payload", "amt").schema
     val modes: Seq[(String, MergeMode)] = Seq(
       "plain" -> MergeMode.Plain,
       "replacing" -> MergeMode.Replacing(Seq("k"), "ver"),
       "summing" -> MergeMode.Summing(Seq("k"), Seq("amt")),
-      "collapsing" -> MergeMode.Collapsing(Seq("k"), "amt", "ver"))
+      "collapsing" -> MergeMode.Collapsing(Seq("k"), "amt", "ver"),
+      "aggregating" -> MergeMode.Aggregating(Seq("k"),
+        Seq("ver" -> "max", "amt" -> "sum")))
     for ((tag, mode) <- modes; seed <- 1L to 2L) {
       val rnd = new scala.util.Random(seed * 31 + tag.hashCode)
       val path = Files.createTempDirectory(s"cmt_prop_$tag").toString

@@ -303,6 +303,35 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE g_final")
   }
 
+  test("SQL DDL declares an Aggregating table; FINAL serves the collapsed rows") {
+    val dir = Files.createTempDirectory("mt_aggddl_").toString
+    spark.sql("DROP TABLE IF EXISTS g_agg")
+    spark.sql(
+      s"""CREATE TABLE g_agg (k BIGINT, hi BIGINT, amt BIGINT) USING mergetree
+         |OPTIONS (orderBy 'k', mode 'aggregating', keys 'k',
+         |  aggs 'hi:max,amt:sum')
+         |LOCATION '$dir'""".stripMargin)
+    val defn = ColumnarMergeTree.TableDef.load(dir).get
+    assert(ColumnarMergeTree.TableDef.decodeMode(defn.mode) ==
+      MergeMode.Aggregating(Seq("k"), Seq("hi" -> "max", "amt" -> "sum")))
+    spark.sql("INSERT INTO g_agg SELECT id % 5, id, 1 FROM range(0, 30)")
+    spark.sql("INSERT INTO g_agg SELECT id % 5, id + 100, 2 FROM range(0, 30)")
+    // DDL-born mode collapses through the Scala API...
+    val viaApi = ColumnarMergeTree.open(spark, dir).scan()
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val expect = (0L until 5L).map(k => (k, k + 125L, 18L)).toList
+    assert(viaApi == expect, s"aggregating collapse: $viaApi")
+    // ...and through the FINAL SQL face over the same storage
+    spark.sql("DROP TABLE IF EXISTS g_agg_final")
+    spark.sql(
+      s"CREATE TABLE g_agg_final USING mergetree OPTIONS (`final` 'true') LOCATION '$dir'")
+    val viaSql = spark.sql("SELECT k, hi, amt FROM g_agg_final ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(viaSql == expect, s"aggregating FINAL: $viaSql")
+    spark.sql("DROP TABLE g_agg")
+    spark.sql("DROP TABLE g_agg_final")
+  }
+
   test("generic table: SQL aggregate matches the Scala-API scan") {
     val (dir, t) = buildGeneric()
     spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")
