@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -191,7 +191,8 @@ final class ColumnarMergeTree private (
 
   /** Append a batch: one sorted part per partition value (one part total
     * when the table is unpartitioned). Concurrent callers are safe — the
-    * write job runs outside the lock.
+    * write job runs outside the lock. Attached materialized views receive
+    * the same batch (transformed) after the source part lands.
     */
   def insertBatch(df: DataFrame, partitions: Int = 0): Unit = {
     require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
@@ -200,6 +201,83 @@ final class ColumnarMergeTree private (
       case None    => writePart(df, partitions, register = true, partition = None)
       case Some(p) => writePartitioned(df, partitions, p)
     }
+    if (mvDefs.nonEmpty) mvDefs.foreach { d =>
+      val out = applyMvSql(d.sql, df).cache()
+      try if (!out.isEmpty) mvTarget(d).insertBatch(out)
+      finally out.unpersist()
+    }
+  }
+
+  // ------------------------------------------------------ materialized views
+
+  /** Insert-triggered materialized views, ClickHouse semantics: the MV's
+    * SQL (over the `__INPUT__` placeholder relation) transforms EACH
+    * inserted batch and the result lands in the target table — batches
+    * inserted before the MV existed do not flow in unless `populate = true`
+    * (ClickHouse POPULATE). With a Summing/Aggregating target the per-batch
+    * partial aggregates collapse in the target's merges/reads, which is
+    * exactly the ClickHouse AggregatingMergeTree-MV pattern and the reason
+    * this is scale-safe: each ingest pays one map-side partial over its own
+    * batch, never a re-aggregation of the table. Definitions persist in
+    * mvdefs.json, so every opener (API, DSv2 connector, streaming) triggers
+    * them; targets chain (an MV target's own MVs fire on its inserts).
+    *
+    * The transform recomputes the batch plan (the landed part is not
+    * re-read); with a deterministic source df the two are identical.
+    */
+  def createMaterializedView(name: String, targetPath: String, sql: String,
+      targetOrderBy: Seq[String], targetMode: MergeMode = MergeMode.Plain,
+      targetPartitionBy: Option[String] = None,
+      populate: Boolean = false): ColumnarMergeTree = {
+    require(!mvDefs.exists(_.name == name), s"materialized view '$name' exists")
+    require(sql.contains(ColumnarMergeTree.MvInput),
+      s"MV sql must read FROM ${ColumnarMergeTree.MvInput}")
+    val outSchema = applyMvSql(sql,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)).schema
+    val target = ColumnarMergeTree.create(spark, targetPath, outSchema,
+      targetOrderBy, config, targetMode, targetPartitionBy)
+    MvRegistry.update(path)(_ :+ MvDef(name, targetPath, sql))
+    mvDefs = MvRegistry.load(path)
+    mvTargets.put(name, target)
+    if (populate) {
+      val out = applyMvSql(sql, scan()).cache()
+      try if (!out.isEmpty) target.insertBatch(out)
+      finally out.unpersist()
+    }
+    target
+  }
+
+  /** Detach and forget an MV (the target table itself is left in place). */
+  def dropMaterializedView(name: String): Unit = {
+    require(mvDefs.exists(_.name == name), s"no materialized view '$name'")
+    MvRegistry.update(path)(_.filterNot(_.name == name))
+    mvDefs = MvRegistry.load(path)
+    mvTargets.remove(name)
+  }
+
+  def materializedViews: Seq[String] = mvDefs.map(_.name)
+
+  /** The (open) target table of an attached MV. */
+  def materializedViewTarget(name: String): ColumnarMergeTree =
+    mvTarget(mvDefs.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no materialized view '$name'")))
+
+  @volatile private var mvDefs: List[MvDef] = MvRegistry.load(path)
+  private val mvTargets =
+    new scala.collection.concurrent.TrieMap[String, ColumnarMergeTree]()
+
+  private def mvTarget(d: MvDef): ColumnarMergeTree =
+    mvTargets.getOrElseUpdate(d.name, ColumnarMergeTree.open(spark, d.targetPath))
+
+  /** Run the MV SQL over `input`: register it under a unique temp-view
+    * name, substitute the placeholder, analyze (spark.sql analyzes
+    * eagerly, so dropping the view after is safe), return the frame.
+    */
+  private def applyMvSql(sql: String, input: DataFrame): DataFrame = {
+    val v = s"graft_mv_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    input.createOrReplaceTempView(v)
+    try spark.sql(sql.replace(ColumnarMergeTree.MvInput, v))
+    finally spark.catalog.dropTempView(v)
   }
 
   /** Write a sorted part into a staging dir; the final `part_<id>` name is
@@ -887,6 +965,32 @@ object ColumnarMergeTree {
       } else {
         val l = lo.toString; val h = hi.toString
         !(KeyOrder.lt(maxKey, l) || KeyOrder.gt(minKey, h))
+      }
+  }
+
+  /** Placeholder relation name in a materialized view's SQL. */
+  val MvInput = "__INPUT__"
+
+  /** Persisted materialized-view definition (mvdefs.json). */
+  case class MvDef(name: String, targetPath: String, sql: String)
+
+  object MvRegistry {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val formats: Formats = DefaultFormats
+
+    def load(tablePath: String): List[MvDef] = {
+      val f = Paths.get(tablePath, "mvdefs.json")
+      if (!Files.exists(f)) Nil
+      else JsonMethods.parse(Files.readString(f)).extract[List[MvDef]]
+    }
+
+    def update(tablePath: String)(f: List[MvDef] => List[MvDef]): Unit =
+      ManifestLocks.locked(tablePath) {
+        val tmp = Paths.get(tablePath, ".mvdefs.json.tmp")
+        Files.writeString(tmp, Serialization.writePretty(f(load(tablePath))))
+        Files.move(tmp, Paths.get(tablePath, "mvdefs.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
   }
 

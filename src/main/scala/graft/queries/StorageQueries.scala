@@ -520,6 +520,42 @@ object StorageQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Q55 — insert-triggered materialized view (ClickHouse MV pattern):
+    * events stream into a source table in 4 batches; each batch's partial
+    * GROUP BY lands in an Aggregating target, which collapses the partials
+    * at read. The oracle is the same GROUP BY over ALL events — i.e. the MV
+    * pipeline (4 incremental partials + collapse) must equal the one-shot
+    * aggregate, which is the whole point of the pattern at 100 TB: ingest
+    * pays one map-side partial per batch, never a table re-aggregation.
+    */
+  def q55MatView(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = cacheG.getOrElseUpdate(dir + "#matview", {
+      val ev = eventsSlim(spark, dir)
+      val src = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q55s_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_id"))
+      val target = src.createMaterializedView("by_type",
+        Files.createTempDirectory("mt_q55t_").toString,
+        s"""SELECT event_type, count(*) AS n, sum(value) AS sum_value
+           |FROM ${ColumnarMergeTree.MvInput} GROUP BY event_type""".stripMargin,
+        targetOrderBy = Seq("event_type"),
+        targetMode = MergeMode.Aggregating(Seq("event_type"),
+          Seq("n" -> "sum", "sum_value" -> "sum")))
+      chunkedInsert(src, ev, spark.read.parquet(s"$dir/events.parquet").count())
+      target
+    })
+    tgt.scan()
+      .select(col("event_type"), col("n"),
+        (floor(col("sum_value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q55Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -537,5 +573,6 @@ object StorageQueries {
     ("q51_collapsing_mt", q51Collapsing _, Some(q51Sql)),
     ("q52_partitioned", q52Partitioned _, Some(q52Sql)),
     ("q53_ttl", q53Ttl _, Some(q53Sql)),
-    ("q54_aggregating_mt", q54Aggregating _, Some(q54Sql)))
+    ("q54_aggregating_mt", q54Aggregating _, Some(q54Sql)),
+    ("q55_mat_view", q55MatView _, Some(q55Sql)))
 }

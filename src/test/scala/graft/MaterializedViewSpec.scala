@@ -1,0 +1,121 @@
+package graft
+
+import graft.mergetree._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Insert-triggered materialized views (ClickHouse MV semantics): each
+  * inserted batch is transformed by the MV SQL and landed in the target
+  * table; with a Summing/Aggregating target the per-batch partial
+  * aggregates collapse at merge/read — the AggregatingMergeTree-MV pattern.
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def sourceDf = spark.range(200).select(
+    col("id").as("k"),
+    (col("id") % 4).cast("long").as("grp"),
+    (col("id") % 10).cast("double").as("v"))
+
+  private def newSource(): ColumnarMergeTree =
+    ColumnarMergeTree.create(spark,
+      Files.createTempDirectory("mv_src_").toString,
+      sourceDf.schema, orderBy = Seq("k"))
+
+  private val mvSql =
+    s"""SELECT grp, count(*) AS n, sum(v) AS sum_v
+       |FROM ${ColumnarMergeTree.MvInput} GROUP BY grp""".stripMargin
+
+  private def summingTarget(src: ColumnarMergeTree,
+                            populate: Boolean = false): ColumnarMergeTree =
+    src.createMaterializedView("by_grp",
+      Files.createTempDirectory("mv_tgt_").toString, mvSql,
+      targetOrderBy = Seq("grp"),
+      targetMode = MergeMode.Summing(Seq("grp"), Seq("n", "sum_v")),
+      populate = populate)
+
+  private def collapsed(t: ColumnarMergeTree): List[(Long, Long, Double)] =
+    t.scan().orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+
+  private val fullAnswer: List[(Long, Long, Double)] =
+    sourceDf.groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+
+  test("each inserted batch lands one partial-aggregate part; target collapses to the full answer") {
+    val src = newSource()
+    val tgt = summingTarget(src)
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    assert(src.partCount == 2)
+    assert(tgt.partCount == 2, "one partial-agg part per source batch")
+    assert(collapsed(tgt) == fullAnswer)
+    tgt.optimize() // collapse-in-merge agrees with merge-on-read
+    assert(collapsed(tgt) == fullAnswer)
+  }
+
+  test("POPULATE backfills rows inserted before the MV existed") {
+    val src = newSource()
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    val tgt = summingTarget(src, populate = true)
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    assert(collapsed(tgt) == fullAnswer)
+  }
+
+  test("without POPULATE, pre-existing rows do not flow in (ClickHouse semantics)") {
+    val src = newSource()
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    val tgt = summingTarget(src)
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    val expect = sourceDf.filter(col("k") >= 100)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(collapsed(tgt) == expect)
+  }
+
+  test("MV definitions persist: a reopened source instance still triggers the MV") {
+    val src = newSource()
+    val tgt = summingTarget(src)
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    val reopened = ColumnarMergeTree.open(spark, src.path)
+    assert(reopened.materializedViews == Seq("by_grp"))
+    reopened.insertBatch(sourceDf.filter(col("k") >= 100))
+    // both instances' targets read the same storage
+    reopened.materializedViewTarget("by_grp").refresh()
+    assert(collapsed(reopened.materializedViewTarget("by_grp")) == fullAnswer)
+    tgt.refresh()
+    assert(collapsed(tgt) == fullAnswer)
+  }
+
+  test("dropMaterializedView detaches: later inserts stop flowing") {
+    val src = newSource()
+    val tgt = summingTarget(src)
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    src.dropMaterializedView("by_grp")
+    assert(src.materializedViews.isEmpty)
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    tgt.refresh()
+    assert(tgt.totalRows == 4, "only the first batch's 4 partial rows")
+  }
+
+  test("chained MVs: the target's own MV fires on MV inserts") {
+    val src = newSource()
+    val tgt = summingTarget(src)
+    // second hop: global totals over the per-grp partials
+    val hop2 = tgt.createMaterializedView("totals",
+      Files.createTempDirectory("mv_tgt2_").toString,
+      s"SELECT CAST(0 AS BIGINT) AS one, sum(n) AS n FROM ${ColumnarMergeTree.MvInput} GROUP BY 1",
+      targetOrderBy = Seq("one"),
+      targetMode = MergeMode.Summing(Seq("one"), Seq("n")))
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    val total = hop2.scan().collect().map(r => r.getLong(1)).sum
+    assert(total == 200L, s"chained MV must see all rows, got $total")
+  }
+}
