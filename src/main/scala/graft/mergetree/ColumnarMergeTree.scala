@@ -298,11 +298,13 @@ final class ColumnarMergeTree private (
     val sorted =
       if (n <= 1) df.coalesce(1).sortWithinPartitions(sortCols: _*)
       else df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
-    sorted.write
-      .option("parquet.block.row.count.limit", config.granuleSize)
-      .option("compression", config.compression)
-      .mode("overwrite")
-      .parquet(stage.toString)
+    val writer = config.bloomFilterColumns.foldLeft(
+      sorted.write
+        .option("parquet.block.row.count.limit", config.granuleSize)
+        .option("compression", config.compression)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.mode("overwrite").parquet(stage.toString)
     registerStaged(stage, register, partition)
   }
 
@@ -342,12 +344,14 @@ final class ColumnarMergeTree private (
       if (n <= 1) keyed.coalesce(1).sortWithinPartitions(col("__pv") +: sortCols: _*)
       else keyed.repartitionByRange(n, col("__pv") +: sortCols: _*)
         .sortWithinPartitions(col("__pv") +: sortCols: _*)
-    sorted.write
-      .partitionBy("__pv")
-      .option("parquet.block.row.count.limit", config.granuleSize)
-      .option("compression", config.compression)
-      .mode("overwrite")
-      .parquet(stage.toString)
+    val writer = config.bloomFilterColumns.foldLeft(
+      sorted.write
+        .partitionBy("__pv")
+        .option("parquet.block.row.count.limit", config.granuleSize)
+        .option("compression", config.compression)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.mode("overwrite").parquet(stage.toString)
     val subdirs = {
       val s = Files.list(stage)
       try s.iterator().asScala.filter(d =>
@@ -836,7 +840,8 @@ object ColumnarMergeTree {
     Files.createDirectories(Paths.get(path))
     TableDef.store(path, TableDef(schema.toDDL, orderBy.toList,
       TableDef.encodeMode(mode), partitionBy, ttl,
-      Some(config.gcGraceSeconds)))
+      Some(config.gcGraceSeconds),
+      Some(config.bloomFilterColumns.toList).filter(_.nonEmpty)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -859,12 +864,17 @@ object ColumnarMergeTree {
   def open(spark: SparkSession, path: String, config: MergeTreeConfig): ColumnarMergeTree = {
     val defn = TableDef.load(path).getOrElse(
       throw new IllegalStateException(s"no table definition at $path"))
-    // The creator's grace window is table metadata, not an opener choice:
-    // an opener purging on its own (shorter) clock would defeat the window
-    // other instances' readers rely on.
-    val cfg = defn.gcGraceSeconds match {
+    // The creator's grace window and bloom columns are table metadata, not
+    // an opener choice: an opener purging on its own (shorter) clock would
+    // defeat the window other instances' readers rely on, and parts written
+    // without the declared blooms would silently lose the skip index.
+    val cfg0 = defn.gcGraceSeconds match {
       case Some(g) => config.copy(gcGraceSeconds = g)
       case None    => config
+    }
+    val cfg = defn.bloomFilterColumns match {
+      case Some(bs) => cfg0.copy(bloomFilterColumns = bs)
+      case None     => cfg0
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
@@ -886,7 +896,11 @@ object ColumnarMergeTree {
         * honors the creator's value (self-describing open overrides the
         * passed config); absent on pre-existing tables → opener's config.
         */
-      gcGraceSeconds: Option[Int] = None)
+      gcGraceSeconds: Option[Int] = None,
+      /** Bloom-filter columns, persisted so parts written by ANY opener
+        * (SQL INSERT through the connector included) carry the blooms.
+        */
+      bloomFilterColumns: Option[List[String]] = None)
 
   object TableDef {
     import org.json4s._

@@ -53,7 +53,18 @@ case class MergeTreeConfig(
       * same default (480 s). 0 = delete at the end of the op that replaced
       * them (no reader grace).
       */
-    gcGraceSeconds: Int = 480)
+    gcGraceSeconds: Int = 480,
+    /** ClickHouse `bloom_filter` skip index, the parquet-native way: part
+      * files carry a bloom filter for each listed column, so point
+      * predicates on NON-key columns skip row groups the min/max stats
+      * can't (a high-cardinality id scattered across the sort order has
+      * useless min/max but a near-perfect bloom). Spark's vectorized
+      * reader consumes them automatically when
+      * `parquet.filter.bloom.enabled` is on (default). Write-time cost:
+      * one bitset per row group per column — pay it only for columns you
+      * point-query.
+      */
+    bloomFilterColumns: Seq[String] = Nil)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

@@ -147,7 +147,8 @@ object MergeTreeTableProvider {
     }
     TableDef(schema.toDDL, orderBy, TableDef.encodeMode(mode),
       Option(opts.get("partitionBy")), Option(opts.get("ttl")),
-      Option(opts.get("gcGraceSeconds")).map(_.toInt))
+      Option(opts.get("gcGraceSeconds")).map(_.toInt),
+      Some(list("bloomFilterColumns")).filter(_.nonEmpty))
   }
 }
 

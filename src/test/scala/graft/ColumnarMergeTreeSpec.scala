@@ -16,6 +16,44 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   private val sf = "/root/testdata/sf0.001"
 
+  test("bloomFilterColumns: parts carry a bloom for the listed non-key column only") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    // High-cardinality column: parquet-mr only materializes a bloom once
+    // the column abandons dictionary encoding (a fully-dict-encoded column
+    // already gives exact membership) — which is exactly the column class
+    // the knob is for.
+    val ev = spark.range(200000).select(
+      col("id").as("event_id"),
+      md5(col("id").cast("string")).as("tag"),
+      (col("id") % 7).cast("long").as("small"))
+    val dir = Files.createTempDirectory("cmt_bloom_").toString
+    val t = ColumnarMergeTree.create(spark, dir, ev.schema,
+      orderBy = Seq("event_id"),
+      MergeTreeConfig(bloomFilterColumns = Seq("tag")))
+    t.insertBatch(ev, partitions = 1)
+    val file = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .find(p => p.toString.endsWith(".parquet") && p.toString.contains("part_"))
+      .getOrElse(fail("no part file written"))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      spark.sessionState.newHadoopConf()))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(cols("tag"), "listed column must carry a bloom filter")
+      assert(!cols("small"), "unlisted column must not pay for one")
+    } finally reader.close()
+    // point predicate on the bloom column returns exactly the right row
+    val probe = ev.filter(col("event_id") === 123456L).select("tag").head().getString(0)
+    val got = t.scan().filter(col("tag") === probe)
+      .collect().map(_.getLong(0)).toList
+    assert(got == List(123456L))
+    // bloom columns are table metadata: every opener writes them too
+    assert(ColumnarMergeTree.open(spark, dir).config.bloomFilterColumns == Seq("tag"))
+  }
+
   test("numeric leading key: range scan prunes parts and matches direct filter") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val dir = Files.createTempDirectory("cmt_num_").toString
