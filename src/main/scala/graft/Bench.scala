@@ -145,7 +145,8 @@ object Bench {
     // ingest cost is reported explicitly by the mt_ingest_* metrics below.
     for (warm <- Seq("q3_memtable_union", "q4_after_optimize", "q8_reopen",
         "q44_generic_table", "q45_replacing_mt", "q46_summing_mt",
-        "q47_delete_where")) {
+        "q47_delete_where", "q51_collapsing_mt", "q52_partitioned",
+        "q53_ttl", "q54_aggregating_mt", "q55_mat_view")) {
       try SparkEntry.queries(warm)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

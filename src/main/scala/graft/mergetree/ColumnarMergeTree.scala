@@ -208,6 +208,62 @@ final class ColumnarMergeTree private (
     }
   }
 
+  // -------------------------------------------------------- schema evolution
+
+  /** ClickHouse ALTER TABLE … ADD COLUMN, rewrite-free: the column is
+    * appended to the persisted table definition — NO part is touched.
+    * Reads null-fill it for parts written before the ALTER (an explicit
+    * read schema resolves a requested-but-absent parquet column to nulls),
+    * parts rewritten by later merges materialize it physically, so storage
+    * converges without ever paying an O(data) rewrite — the only ALTER
+    * posture that works at 100 TB. Returns the reopened table (an instance
+    * holds its schema immutably; discard the receiver for further use).
+    * Writers still holding the old schema land old-shape parts that read
+    * as nulls — same convergence, no coordination needed.
+    */
+  def addColumn(name: String, dataType: DataType): ColumnarMergeTree = {
+    ManifestLocks.locked(path) {
+      val defn = TableDef.load(path).getOrElse(
+        throw new IllegalStateException(s"no table definition at $path"))
+      val cur = StructType.fromDDL(defn.schemaDdl)
+      require(!cur.fieldNames.contains(name), s"column '$name' already exists")
+      TableDef.store(path, defn.copy(
+        schemaDdl = cur.add(StructField(name, dataType, nullable = true)).toDDL))
+    }
+    ColumnarMergeTree.open(spark, path, config)
+  }
+
+  /** ALTER TABLE … DROP COLUMN, rewrite-free: removed from the definition
+    * only; parts keep the physical column until a merge rewrites them (an
+    * explicit read schema simply never projects it). Columns referenced by
+    * ORDER BY, the merge mode, PARTITION BY, or TTL are protected — the
+    * sort order, collapse, and pruning metadata would silently break.
+    */
+  def dropColumn(name: String): ColumnarMergeTree = {
+    ManifestLocks.locked(path) {
+      val defn = TableDef.load(path).getOrElse(
+        throw new IllegalStateException(s"no table definition at $path"))
+      val cur = StructType.fromDDL(defn.schemaDdl)
+      require(cur.fieldNames.contains(name), s"no column '$name'")
+      val protectedCols = orderBy.toSet ++
+        ColumnarMergeTree.modeColumns(TableDef.decodeMode(defn.mode)) ++
+        defn.partitionBy.toSeq.flatMap(exprRefs) ++
+        defn.ttl.toSeq.flatMap(exprRefs)
+      require(!protectedCols.contains(name),
+        s"column '$name' is referenced by ORDER BY / merge mode / " +
+          "PARTITION BY / TTL and cannot be dropped")
+      TableDef.store(path, defn.copy(
+        schemaDdl = StructType(cur.filterNot(_.name == name)).toDDL))
+    }
+    ColumnarMergeTree.open(spark, path, config)
+  }
+
+  private def exprRefs(e: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(e).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }
+
   // ------------------------------------------------------ materialized views
 
   /** Insert-triggered materialized views, ClickHouse semantics: the MV's
@@ -270,14 +326,18 @@ final class ColumnarMergeTree private (
     mvTargets.getOrElseUpdate(d.name, ColumnarMergeTree.open(spark, d.targetPath))
 
   /** Run the MV SQL over `input`: register it under a unique temp-view
-    * name, substitute the placeholder, analyze (spark.sql analyzes
-    * eagerly, so dropping the view after is safe), return the frame.
+    * name, substitute the placeholder, analyze (sql() analyzes eagerly, so
+    * dropping the view after is safe), return the frame. Everything runs on
+    * INPUT's own session — a streaming foreachBatch hands a frame bound to
+    * a cloned micro-batch session whose temp-view catalog the table's
+    * captured session cannot see.
     */
   private def applyMvSql(sql: String, input: DataFrame): DataFrame = {
+    val s = input.sparkSession
     val v = s"graft_mv_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     input.createOrReplaceTempView(v)
-    try spark.sql(sql.replace(ColumnarMergeTree.MvInput, v))
-    finally spark.catalog.dropTempView(v)
+    try s.sql(sql.replace(ColumnarMergeTree.MvInput, v))
+    finally s.catalog.dropTempView(v)
   }
 
   /** Write a sorted part into a staging dir; the final `part_<id>` name is
@@ -984,6 +1044,15 @@ object ColumnarMergeTree {
 
   /** Placeholder relation name in a materialized view's SQL. */
   val MvInput = "__INPUT__"
+
+  /** Columns a merge mode's collapse reads — protected from DROP COLUMN. */
+  private[mergetree] def modeColumns(m: MergeMode): Set[String] = m match {
+    case MergeMode.Plain                 => Set.empty
+    case MergeMode.Replacing(k, v)       => k.toSet + v
+    case MergeMode.Summing(k, s)         => k.toSet ++ s
+    case MergeMode.Collapsing(k, s, v)   => k.toSet + s + v
+    case MergeMode.Aggregating(k, a)     => k.toSet ++ a.map(_._1)
+  }
 
   /** Persisted materialized-view definition (mvdefs.json). */
   case class MvDef(name: String, targetPath: String, sql: String)

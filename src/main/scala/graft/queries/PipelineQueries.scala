@@ -891,6 +891,35 @@ object PipelineQueries {
   private val cacheIvf =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex]
 
+  /** Q56 — eval-set contamination check (the train/test leakage pass every
+    * LLM pipeline runs before training): a small benchmark-snippet set is
+    * checked for VERBATIM occurrence inside every training document. The
+    * eval set (deterministically derived here: a 30-char window of every
+    * 25th doc) is broadcast; the corpus streams through a
+    * BroadcastNestedLoopJoin with an instr() predicate — scanned once,
+    * never shuffled, never corpus×corpus: the right shape for a benchmark
+    * suite of thousands of snippets against 100 TB of training data. (For
+    * LARGE eval sets, prefilter candidates with the shared-shingle
+    * equi-join machinery of q26 before the verbatim verify.)
+    */
+  def q56Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val evalSet = d
+      .filter(col("doc_id") % 25 === 3 && col("n_chars") >= 60)
+      .select(col("doc_id").as("eval_id"),
+        substring(col("text"), 11, 30).as("snippet"))
+    d.join(broadcast(evalSet), instr(col("text"), col("snippet")) > 0)
+      .select(col("doc_id"), col("eval_id"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  val q56Sql: String =
+    """WITH eval AS (SELECT doc_id AS eval_id, substr(text, 11, 30) AS snippet
+      |  FROM documents WHERE doc_id % 25 = 3 AND n_chars >= 60)
+      |SELECT d.doc_id, e.eval_id FROM documents d, eval e
+      |WHERE instr(d.text, e.snippet) > 0
+      |ORDER BY d.doc_id, e.eval_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -907,5 +936,6 @@ object PipelineQueries {
     ("q32_fingerprint", q32Fingerprint _, Some(q32Sql)),
     ("q33_multimodal_meta", q33MultimodalMeta _, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup _, Some(q34Sql)),
-    ("q35_exact_dedup", q35ExactDedup _, Some(q35Sql)))
+    ("q35_exact_dedup", q35ExactDedup _, Some(q35Sql)),
+    ("q56_contamination", q56Contamination _, Some(q56Sql)))
 }

@@ -89,6 +89,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"correlated subqueries must decorrelate to joins:\n$p")
   }
 
+  test("q56: contamination streams the corpus against a BROADCAST eval set") {
+    val p = plan(PipelineQueries.q56Contamination(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval set must broadcast (corpus scanned once, never shuffled):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.

@@ -110,6 +110,35 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming micro-batches trigger attached materialized views") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Double)]
+    val schema = source.toDF().toDF("k", "grp", "v").schema
+    val src = ColumnarMergeTree.create(spark,
+      Files.createTempDirectory("cmt_mvstream_").toString,
+      schema, orderBy = Seq("k"))
+    val tgt = src.createMaterializedView("by_grp",
+      Files.createTempDirectory("cmt_mvstream_tgt_").toString,
+      s"""SELECT grp, count(*) AS n, sum(v) AS sum_v
+         |FROM ${ColumnarMergeTree.MvInput} GROUP BY grp""".stripMargin,
+      targetOrderBy = Seq("grp"),
+      targetMode = MergeMode.Summing(Seq("grp"), Seq("n", "sum_v")))
+    val q = StreamingIngest.startGeneric(src, source.toDF().toDF("k", "grp", "v"),
+      Files.createTempDirectory("cmt_mvstream_ckpt_").toString)
+    try {
+      source.addData((0 until 50).map(i => (i.toLong, (i % 3).toLong, 1.0)))
+      q.processAllAvailable()
+      source.addData((50 until 80).map(i => (i.toLong, (i % 3).toLong, 1.0)))
+      q.processAllAvailable()
+      tgt.refresh()
+      assert(tgt.partCount == 2, "one partial-agg part per micro-batch")
+      val got = tgt.scan().orderBy("grp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(got == List((0L, 27L), (1L, 27L), (2L, 26L)),
+        s"streaming MV totals: $got")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window drops late data and finalizes windows") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String, Double)]
