@@ -794,8 +794,62 @@ final class ColumnarMergeTree private (
   def applyTtl(): Long = {
     val t = ttl.getOrElse(
       throw new IllegalStateException("applyTtl on a table with no TTL"))
-    deleteWhere(expr(t))
+    partitionBy match {
+      // ClickHouse ttl_only_drop_parts, generalized: when the table is
+      // partitioned BY a bare column and the TTL reads ONLY that column,
+      // the predicate is constant within each partition — retention becomes
+      // dropPartition per expired value: O(#partitions) driver work +
+      // O(manifest) unlinks, NO data file read or rewritten. This is THE
+      // retention shape at 100 TB (drop last month ≠ rewrite the table).
+      case Some(p) if schema.fieldNames.contains(p) && exprRefs(t).toSet == Set(p) =>
+        expiredPartitionValues(t, p).map(dropPartition).sum
+      case _ => deleteWhere(expr(t))
+    }
   }
+
+  /** Partition values whose rows the TTL marks expired, evaluated on the
+    * DISTINCT manifest values (a tiny driver-local job, never the data);
+    * the NULL-partition sentinel evaluates as SQL NULL → kept, matching
+    * row-level TTL semantics.
+    */
+  private def expiredPartitionValues(t: String, pcol: String): Seq[String] = {
+    val vals = partitions
+    if (vals.isEmpty) return Nil
+    import spark.implicits._
+    val typed = when(col("__v") === ColumnarMergeTree.NullPartition, lit(null))
+      .otherwise(col("__v")).cast(schema(pcol).dataType).as(pcol)
+    vals.toDF("__v").select(col("__v"), typed)
+      .filter(coalesce(expr(t), lit(false)))
+      .select("__v").collect().map(_.getString(0)).toSeq
+  }
+
+  /** ClickHouse ALTER TABLE … REPLACE PARTITION — the decontamination +
+    * backfill op: atomically swap one partition's content with `df`. The
+    * replacement lands as a fenced-unregistered part first, then ONE
+    * manifest update unlinks every old part of the partition and links the
+    * new one — a reader plans against wholly-old or wholly-new, never a
+    * mix; old parts retire through the grace GC. Rows are validated to
+    * belong to the partition (limit-1 probe, not a full pass).
+    */
+  def replacePartition(value: String, df: DataFrame): Unit =
+    maintenanceLock.synchronized {
+      val pexpr = partitionBy.getOrElse(
+        throw new IllegalStateException("replacePartition on an unpartitioned table"))
+      require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+        s"batch schema ${df.schema.fieldNames.mkString(",")} != table schema")
+      require(df.filter(partitionValueExpr(pexpr) =!= lit(value)).limit(1).isEmpty,
+        s"replacement rows outside partition '$value'")
+      val newMeta = writePart(df, 0, register = false, partition = Some(value))
+      refresh()
+      val oldIds = manifest.parts.filter(_.partition.contains(value)).map(_.partId).toSet
+      lock.synchronized {
+        manifest = GManifest.update(path) { cur =>
+          GManifest(cur.version,
+            cur.parts.filterNot(p => oldIds(p.partId)) :+ newMeta)
+        }
+      }
+      retireParts(oldIds)
+    }
 
   def partCount: Int = manifest.parts.size
   def parts: Seq[GPartMeta] = manifest.parts

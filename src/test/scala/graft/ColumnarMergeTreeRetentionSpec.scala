@@ -263,6 +263,52 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
     intercept[IllegalStateException](t2.applyTtl())
   }
 
+  test("partition-scoped TTL drops whole partitions without rewriting any part") {
+    // ClickHouse ttl_only_drop_parts: TTL reads only the (bare-column)
+    // partition key, so retention is dropPartition per expired value —
+    // O(manifest), no data I/O. Survivor part ids must be UNCHANGED.
+    val df = spark.range(300).select(
+      col("id").as("k"), (col("id") % 3).cast("long").as("day"))
+    val dir = Files.createTempDirectory("cmt_pttl_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), partitionBy = Some("day"), ttl = Some("day < 1"))
+    t.insertBatch(df)
+    assert(t.partCount == 3)
+    val survivorIds = t.parts.filterNot(_.partition.contains("0")).map(_.partId).toSet
+    val dropped = t.applyTtl()
+    assert(dropped == 100L, s"day=0 rows dropped, got $dropped")
+    assert(t.partitions == Seq("1", "2"))
+    assert(t.parts.map(_.partId).toSet == survivorIds,
+      "surviving parts must not be rewritten (O(manifest) retention)")
+    assert(t.scan().count() == 200)
+  }
+
+  test("REPLACE PARTITION swaps content atomically; foreign rows are rejected") {
+    val df = spark.range(100).select(
+      col("id").as("k"), (col("id") % 2).cast("long").as("bucket"),
+      lit(1L).as("v"))
+    val dir = Files.createTempDirectory("cmt_repl_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(gcGraceSeconds = 3600),
+      partitionBy = Some("bucket"))
+    t.insertBatch(df)
+    val pre = t.scan() // planned against the pre-swap manifest
+    val backfill = spark.range(10).select(
+      (col("id") * 2 + 1).as("k"), lit(1L).as("bucket"), lit(9L).as("v"))
+    t.replacePartition("1", backfill)
+    // new reads: bucket 0 untouched, bucket 1 wholly replaced
+    assert(t.scan().filter(col("bucket") === 0).count() == 50)
+    val b1 = t.scan().filter(col("bucket") === 1)
+    assert(b1.count() == 10 && b1.agg(min(col("v"))).head().getLong(0) == 9L)
+    // the pre-swap plan still reads the retired parts (grace GC)
+    assert(pre.count() == 100)
+    // rows whose partition expression != the named value are refused
+    intercept[IllegalArgumentException] {
+      t.replacePartition("1", spark.range(3).select(
+        col("id").as("k"), lit(0L).as("bucket"), lit(1L).as("v")))
+    }
+  }
+
   test("TTL + PARTITION BY survive the self-describing reopen") {
     val df = spark.range(10).select(col("id").as("k"), (col("id") % 2).as("p"))
     val dir = Files.createTempDirectory("cmt_def2_").toString
