@@ -557,6 +557,36 @@ object AnalyticQueries {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY st, pri""".stripMargin
 
+  /** Q58 — FULL OUTER join with unmatched rows on BOTH sides: a customer
+    * subset (nation < 10) against per-customer order counts. Customers in
+    * the subset without orders null-fill the right side; ordering customers
+    * outside the subset null-fill the left — coalesced to sentinels so the
+    * result is deterministic and hash-comparable. Completes the join-type
+    * family (inner/semi/anti/broadcast/as-of/band already declared).
+    */
+  def q58FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val co = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val cs = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_nationkey") < 10)
+      .select(col("c_custkey"), col("c_nationkey"))
+    cs.join(co, cs("c_custkey") === co("o_custkey"), "full_outer")
+      .select(
+        coalesce(cs("c_custkey"), co("o_custkey")).cast("long").as("custkey"),
+        coalesce(col("c_nationkey"), lit(-1L)).cast("long").as("nationkey"),
+        coalesce(col("n_orders"), lit(0L)).cast("long").as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  val q58Sql: String =
+    """WITH co AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+      |     cs AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 10)
+      |SELECT CAST(coalesce(cs.c_custkey, co.o_custkey) AS BIGINT) AS custkey,
+      |       CAST(coalesce(cs.c_nationkey, -1) AS BIGINT) AS nationkey,
+      |       CAST(coalesce(co.n_orders, 0) AS BIGINT) AS n_orders
+      |FROM cs FULL OUTER JOIN co ON cs.c_custkey = co.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -579,5 +609,6 @@ object AnalyticQueries {
     ("q42_quantiles", q42Quantiles _, Some(q42Sql)),
     ("q43_json_struct", q43JsonStruct _, Some(q43Sql)),
     ("q49_exists_subquery", q49ExistsSubquery _, Some(q49Sql)),
-    ("q50_cube", q50Cube _, Some(q50Sql)))
+    ("q50_cube", q50Cube _, Some(q50Sql)),
+    ("q58_full_outer", q58FullOuter _, Some(q58Sql)))
 }

@@ -920,6 +920,43 @@ object PipelineQueries {
       |WHERE instr(d.text, e.snippet) > 0
       |ORDER BY d.doc_id, e.eval_id""".stripMargin
 
+  /** Q57 — blocklist redaction pass (the contraband-term scrub a training
+    * pipeline runs before the tokenizer): per language, count documents
+    * containing any blocked phrase, total occurrences (exact, via
+    * length-delta / phrase-length — portable integer arithmetic in both
+    * engines), and the corpus size after replacing each occurrence with a
+    * fixed mask. Embarrassingly parallel single scan — no shuffle beyond
+    * the per-lang aggregate.
+    */
+  def q57Blocklist(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = "merge part"; val p2 = "hash scan"
+    val d = docs(spark, dir).select(col("lang"), col("text"),
+      expr(s"replace(replace(text, '$p1', '[X]'), '$p2', '[X]')").as("red"),
+      ((length(col("text")) - length(expr(s"replace(text, '$p1', '')")))
+        / p1.length).cast("long").as("h1"),
+      ((length(col("text")) - length(expr(s"replace(text, '$p2', '')")))
+        / p2.length).cast("long").as("h2"))
+    d.groupBy(col("lang"))
+      .agg(
+        sum(when(col("h1") + col("h2") > 0, 1L).otherwise(0L)).as("docs_flagged"),
+        sum(col("h1") + col("h2")).as("occurrences"),
+        sum(length(col("red"))).cast("long").as("redacted_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q57Sql: String =
+    """SELECT lang,
+      | CAST(sum(CASE WHEN h1 + h2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+      | CAST(sum(h1 + h2) AS BIGINT) AS occurrences,
+      | CAST(sum(length(red)) AS BIGINT) AS redacted_chars
+      |FROM (
+      |  SELECT lang,
+      |    replace(replace(text, 'merge part', '[X]'), 'hash scan', '[X]') AS red,
+      |    CAST((length(text) - length(replace(text, 'merge part', ''))) / 10 AS BIGINT) AS h1,
+      |    CAST((length(text) - length(replace(text, 'hash scan', ''))) / 9 AS BIGINT) AS h2
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -937,5 +974,6 @@ object PipelineQueries {
     ("q33_multimodal_meta", q33MultimodalMeta _, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup _, Some(q34Sql)),
     ("q35_exact_dedup", q35ExactDedup _, Some(q35Sql)),
-    ("q56_contamination", q56Contamination _, Some(q56Sql)))
+    ("q56_contamination", q56Contamination _, Some(q56Sql)),
+    ("q57_blocklist", q57Blocklist _, Some(q57Sql)))
 }
