@@ -71,7 +71,7 @@ object Demo {
     // Persisted ANN index (round 4): inverted lists stored as cluster-keyed
     // MergeTree parts; a probe is manifest part pruning.
     println("== persisted IVF index: top-3 for vec_id 0, probing 3/8 clusters:")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val idx = operators.IvfIndex.build(spark, vecs,
@@ -81,6 +81,27 @@ object Demo {
     idx.search(q0, k = 3, nprobe = 3).show(false)
     println(s"== index parts probed (planned/total): ${idx.lastPruning._1}/${idx.lastPruning._2}")
     idx.table.shutdown()
+
+    // Round 7: materialized view into an Aggregating target + SQL FINAL.
+    println("== materialized view: 2 ingest batches -> partial-agg parts -> FINAL SQL:")
+    val mvDf = spark.range(100).select(
+      col("id").as("k"), (col("id") % 3).cast("long").as("grp"), lit(1L).as("n"))
+    val mvSrc = ColumnarMergeTree.create(spark,
+      java.nio.file.Files.createTempDirectory("mv_demo_src_").toString,
+      mvDf.schema, orderBy = Seq("k"))
+    val mvTgt = mvSrc.createMaterializedView("by_grp",
+      java.nio.file.Files.createTempDirectory("mv_demo_tgt_").toString,
+      s"SELECT grp, sum(n) AS n FROM ${ColumnarMergeTree.MvInput} GROUP BY grp",
+      targetOrderBy = Seq("grp"),
+      targetMode = MergeMode.Summing(Seq("grp"), Seq("n")))
+    mvSrc.insertBatch(mvDf.filter(col("k") < 50))
+    mvSrc.insertBatch(mvDf.filter(col("k") >= 50))
+    spark.sql("DROP TABLE IF EXISTS mv_demo_final")
+    spark.sql("CREATE TABLE mv_demo_final USING mergetree OPTIONS (`final` 'true') " +
+      s"LOCATION '${mvTgt.path}'")
+    println(s"== MV target parts=${mvTgt.partCount} (one partial per batch); FINAL-collapsed:")
+    spark.sql("SELECT grp, n FROM mv_demo_final ORDER BY grp").show(false)
+    spark.sql("DROP TABLE mv_demo_final")
     spark.stop()
   }
 }
