@@ -823,6 +823,37 @@ final class ColumnarMergeTree private (
       .select("__v").collect().map(_.getString(0)).toSeq
   }
 
+  /** SQL INSERT OVERWRITE semantics: unpartitioned → the whole table is
+    * atomically replaced by the batch (one manifest swap; old parts retire
+    * through the grace GC); partitioned → DYNAMIC partition overwrite, only
+    * the partitions present in the batch are replaced (Spark's
+    * partitionOverwriteMode=dynamic posture — the backfill shape at 100 TB:
+    * rewrite yesterday, never touch the other 999 days). Materialized views
+    * do NOT fire — overwrite is a replace, not an append.
+    */
+  def overwriteBatch(df: DataFrame): Unit = maintenanceLock.synchronized {
+    require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+      s"batch schema ${df.schema.fieldNames.mkString(",")} != table schema")
+    partitionBy match {
+      case None =>
+        val newMeta = writePart(df, 0, register = false, partition = None)
+        refresh()
+        val oldIds = manifest.parts.map(_.partId).toSet
+        lock.synchronized {
+          manifest = GManifest.update(path) { cur =>
+            GManifest(cur.version,
+              cur.parts.filterNot(p => oldIds(p.partId)) :+ newMeta)
+          }
+        }
+        retireParts(oldIds)
+      case Some(p) =>
+        val values = df.select(partitionValueExpr(p).as("__v"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        values.foreach(v =>
+          replacePartition(v, df.filter(partitionValueExpr(p) === lit(v))))
+    }
+  }
+
   /** ClickHouse ALTER TABLE … REPLACE PARTITION — the decontamination +
     * backfill op: atomically swap one partition's content with `df`. The
     * replacement lands as a fenced-unregistered part first, then ONE

@@ -63,7 +63,8 @@ class GenericMergeTreeV2Table(
   override def name(): String = s"mergetree:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** SQL `DELETE FROM t WHERE …` — the standard-SQL face of
     * ColumnarMergeTree.deleteWhere (ClickHouse's ALTER TABLE … DELETE):
@@ -142,13 +143,21 @@ class GenericMergeTreeV2Table(
     require(info.schema().fieldNames.toSeq == tableSchema.fieldNames.toSeq,
       s"mergetree write requires columns ${tableSchema.fieldNames.mkString(",")}, " +
         s"got ${info.schema().fieldNames.mkString(",")}")
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwrite: Boolean) => {
-            require(!overwrite,
-              "mergetree: INSERT OVERWRITE is not supported (parts are append-only; use deleteWhere + insert)")
-            ColumnarMergeTree.open(data.sparkSession, path).insertBatch(data)
+            val t = ColumnarMergeTree.open(data.sparkSession, path)
+            // INSERT INTO appends (and fires MVs); INSERT OVERWRITE
+            // atomically replaces — the whole table, or, on a
+            // mergetree-partitioned table, only the partitions present in
+            // the batch (dynamic partition overwrite, the SQL backfill op;
+            // the connector's partitioning lives in tabledef.json, not in
+            // Spark's catalog, so the dynamic scoping happens table-side).
+            if (replace || overwrite) t.overwriteBatch(data)
+            else t.insertBatch(data)
           }
       }
     }

@@ -98,6 +98,7 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
         val d = MergeTreeTableProvider.tableDefFromOptions(schema, opts)
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
         TableDef.store(path, d)
+        MergeTreeTableProvider.attachMvIfRequested(path, opts)
         new GenericMergeTreeV2Table(path, schema, d.orderBy, finalRead)
       case None => new MergeTreeV2Table(path)
     }
@@ -150,6 +151,30 @@ object MergeTreeTableProvider {
       Option(opts.get("gcGraceSeconds")).map(_.toInt),
       Some(list("bloomFilterColumns")).filter(_.nonEmpty))
   }
+
+  /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying
+    * `mvSource 'dir'` + `mvSql 'SELECT … FROM __INPUT__ …'` both creates
+    * the target table AND registers the MV definition on the SOURCE table's
+    * mvdefs.json — from then on every insert into the source (SQL, API, or
+    * streaming) lands its transform here. `mvName` defaults to the target
+    * directory name.
+    */
+  private[sources] def attachMvIfRequested(
+      targetPath: String, opts: CaseInsensitiveStringMap): Unit =
+    Option(opts.get("mvSource")).foreach { src0 =>
+      import graft.mergetree.ColumnarMergeTree.{MvDef, MvRegistry, MvInput}
+      val src = localPath(src0)
+      val sql = Option(opts.get("mvSql")).getOrElse(throw new IllegalArgumentException(
+        "mergetree: mvSource requires mvSql"))
+      require(sql.contains(MvInput), s"mergetree: mvSql must read FROM $MvInput")
+      val name = Option(opts.get("mvName")).getOrElse(
+        java.nio.file.Paths.get(targetPath).getFileName.toString)
+      MvRegistry.update(src) { cur =>
+        require(!cur.exists(_.name == name),
+          s"mergetree: materialized view '$name' already exists on $src")
+        cur :+ MvDef(name, targetPath, sql)
+      }
+    }
 }
 
 class MergeTreeV2Table(path: String) extends Table

@@ -332,6 +332,58 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE g_agg_final")
   }
 
+  test("INSERT OVERWRITE: whole-table replace; dynamic partition overwrite when partitioned") {
+    // unpartitioned: the batch atomically replaces everything
+    val dir = Files.createTempDirectory("mt_ow_").toString
+    spark.sql("DROP TABLE IF EXISTS g_ow")
+    spark.sql(s"CREATE TABLE g_ow (k BIGINT, v BIGINT) USING mergetree " +
+      s"OPTIONS (orderBy 'k') LOCATION '$dir'")
+    spark.sql("INSERT INTO g_ow SELECT id, 1 FROM range(0, 10)")
+    spark.sql("INSERT OVERWRITE TABLE g_ow SELECT id, 2 FROM range(0, 5)")
+    val rows = spark.sql("SELECT k, v FROM g_ow ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(rows == (0L until 5L).map(k => (k, 2L)).toList, s"full replace: $rows")
+    spark.sql("DROP TABLE g_ow")
+    // partitioned: only the partitions PRESENT in the batch are replaced
+    val dir2 = Files.createTempDirectory("mt_owp_").toString
+    spark.sql("DROP TABLE IF EXISTS g_owp")
+    spark.sql(s"CREATE TABLE g_owp (k BIGINT, b BIGINT) USING mergetree " +
+      s"OPTIONS (orderBy 'k', partitionBy 'b') LOCATION '$dir2'")
+    spark.sql("INSERT INTO g_owp SELECT id, id % 2 FROM range(0, 20)")
+    spark.sql("INSERT OVERWRITE TABLE g_owp SELECT id + 100, 1 FROM range(0, 3)")
+    val b0 = spark.sql("SELECT count(*) FROM g_owp WHERE b = 0").head().getLong(0)
+    val b1 = spark.sql("SELECT k FROM g_owp WHERE b = 1 ORDER BY k")
+      .collect().map(_.getLong(0)).toList
+    assert(b0 == 10L, "untouched partition keeps its rows")
+    assert(b1 == List(100L, 101L, 102L), s"named partition replaced: $b1")
+    spark.sql("DROP TABLE g_owp")
+  }
+
+  test("CREATE MATERIALIZED VIEW via DDL options: SQL-born MV fires on SQL INSERT") {
+    val srcDir = Files.createTempDirectory("mt_mvddl_src_").toString
+    val tgtDir = Files.createTempDirectory("mt_mvddl_tgt_").toString
+    spark.sql("DROP TABLE IF EXISTS g_mv_src")
+    spark.sql("DROP TABLE IF EXISTS g_mv_tgt")
+    spark.sql(s"CREATE TABLE g_mv_src (k BIGINT, grp BIGINT, n BIGINT) " +
+      s"USING mergetree OPTIONS (orderBy 'k') LOCATION '$srcDir'")
+    spark.sql(
+      s"""CREATE TABLE g_mv_tgt (grp BIGINT, n BIGINT) USING mergetree
+         |OPTIONS (orderBy 'grp', mode 'summing', keys 'grp', sums 'n',
+         |  mvSource '$srcDir', mvName 'by_grp',
+         |  mvSql 'SELECT grp, sum(n) AS n FROM __INPUT__ GROUP BY grp',
+         |  `final` 'true')
+         |LOCATION '$tgtDir'""".stripMargin)
+    assert(ColumnarMergeTree.MvRegistry.load(srcDir).map(_.name) == List("by_grp"))
+    spark.sql("INSERT INTO g_mv_src SELECT id, id % 3, 1 FROM range(0, 30)")
+    spark.sql("INSERT INTO g_mv_src SELECT id, id % 3, 1 FROM range(30, 60)")
+    // target declared final 'true' → reads come back collapsed
+    val got = spark.sql("SELECT grp, n FROM g_mv_tgt ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((0L, 20L), (1L, 20L), (2L, 20L)), s"SQL-born MV: $got")
+    spark.sql("DROP TABLE g_mv_src")
+    spark.sql("DROP TABLE g_mv_tgt")
+  }
+
   test("generic table: SQL aggregate matches the Scala-API scan") {
     val (dir, t) = buildGeneric()
     spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")
