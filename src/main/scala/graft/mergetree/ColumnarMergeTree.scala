@@ -510,6 +510,23 @@ final class ColumnarMergeTree private (
   /** Distinct partition values currently present (manifest-only). */
   def partitions: Seq[String] = manifest.parts.flatMap(_.partition).distinct.sorted
 
+  /** ClickHouse `SELECT … SAMPLE k`: a deterministic pseudo-random subset —
+    * rows whose 64-bit hash of the ORDER BY key columns falls in the first
+    * `num/den` of the hash space. Deterministic across runs, parts, merges,
+    * and engines reading the same rows (xxhash64 of the key, not of
+    * physical position), and composable: SAMPLE 1/4 ⊂ SAMPLE 1/2, like
+    * ClickHouse's sampling-key contract. Evaluated in the scan (codegen
+    * hash + compare), so it composes with part pruning and the collapse.
+    */
+  def sampleScan(num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"bad sample fraction $num/$den")
+    val h = xxhash64(orderBy.map(col): _*)
+    // threshold computed driver-side in BigInt (num * Long.MaxValue would
+    // overflow); abs folds the hash into [0, 2^63) first
+    val bound = (BigInt(Long.MaxValue) * num / den).toLong
+    scan().filter(abs(h) < lit(bound))
+  }
+
   /** ClickHouse ALTER TABLE ... DROP PARTITION: every part belonging to the
     * partition is unlinked from the manifest in one atomic swap — no data
     * file is read or rewritten, which is why partition-aligned retention
@@ -624,6 +641,35 @@ final class ColumnarMergeTree private (
     */
   def refresh(): Unit = lock.synchronized {
     manifest = GManifest.load(path).getOrElse(GManifest(0L, Nil))
+  }
+
+  /** ClickHouse `OPTIMIZE TABLE … FINAL`: merge ALL parts down to one per
+    * partition regardless of maxParts, fully applying the merge mode and
+    * lazy TTL everywhere — the "make the table fully collapsed on disk"
+    * op (reads no longer pay any merge-on-read until new parts land).
+    */
+  def optimizeFinal(): Unit = maintenanceLock.synchronized {
+    refresh()
+    val groups = manifest.parts.groupBy(_.partition).values.toSeq
+    // With a TTL, even single-part partitions rewrite (MATERIALIZE TTL
+    // semantics); without one, singletons are already final.
+    val toMerge = if (ttl.isDefined) groups else groups.filter(_.size > 1)
+    if (toMerge.isEmpty) return
+    val newMetas = concurrently(toMerge) { bin =>
+      val raw = spark.read.schema(schema)
+        .parquet(bin.map(p => s"$path/part_${p.partId}"): _*)
+      val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
+      writePart(collapse(unexpired), 0, register = false,
+        partition = bin.head.partition)
+    }
+    val oldIds = toMerge.flatten.map(_.partId).toSet
+    lock.synchronized {
+      manifest = GManifest.update(path) { cur =>
+        GManifest(cur.version,
+          cur.parts.filterNot(p => oldIds(p.partId)) ++ newMetas)
+      }
+    }
+    retireParts(oldIds)
   }
 
   /** Bin-packed compaction to ≤ maxParts, one rewrite per byte (same design
@@ -886,6 +932,19 @@ final class ColumnarMergeTree private (
   def parts: Seq[GPartMeta] = manifest.parts
   def totalRows: Long = manifest.parts.map(_.rowCount).sum
   def diskUsage: Long = manifest.parts.map(_.diskSize).sum
+
+  /** ClickHouse `system.parts` as a DataFrame: one row per live part with
+    * its manifest metadata — the operator-facing observability surface
+    * (which partitions are hot, what would a merge touch, is pruning
+    * effective), queryable with the full SQL surface, zero data I/O.
+    */
+  def partsDf: DataFrame = {
+    import spark.implicits._
+    manifest.parts.map(p => (p.partId, p.partition.orNull, p.rowCount,
+        p.granuleCount, p.diskSize, p.minKey, p.maxKey, p.creationTime))
+      .toDF("part_id", "partition", "rows", "granules", "bytes",
+        "min_key", "max_key", "created_ms")
+  }
 
   /** Metadata-only operational snapshot (O24 parity for the storage layer
     * incl. the GC): live parts/rows/bytes from the manifest, plus how many

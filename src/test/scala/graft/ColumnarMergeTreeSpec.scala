@@ -1,6 +1,6 @@
 package graft
 
-import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
+import graft.mergetree.{ColumnarMergeTree, MergeMode, MergeTreeConfig}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -52,6 +52,58 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(got == List(123456L))
     // bloom columns are table metadata: every opener writes them too
     assert(ColumnarMergeTree.open(spark, dir).config.bloomFilterColumns == Seq("tag"))
+  }
+
+  test("SAMPLE: deterministic, nested (1/4 within 1/2), proportional, merge-stable") {
+    val df = spark.range(20000).selectExpr("id AS k", "id * 2 AS v")
+    val dir = Files.createTempDirectory("cmt_sample_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 2))
+    t.insertBatch(df.filter(col("k") < 10000))
+    t.insertBatch(df.filter(col("k") >= 10000))
+    val half = t.sampleScan(1, 2).select("k").collect().map(_.getLong(0)).toSet
+    val quarter = t.sampleScan(1, 4).select("k").collect().map(_.getLong(0)).toSet
+    assert(math.abs(half.size - 10000) < 500, s"~half sampled: ${half.size}")
+    assert(math.abs(quarter.size - 5000) < 400, s"~quarter sampled: ${quarter.size}")
+    assert(quarter.subsetOf(half), "SAMPLE 1/4 must be nested inside SAMPLE 1/2")
+    assert(t.sampleScan(1, 2).select("k").collect().map(_.getLong(0)).toSet == half,
+      "sampling must be deterministic")
+    t.optimize() // hash of key, not physical position: merge-stable
+    assert(t.sampleScan(1, 2).select("k").collect().map(_.getLong(0)).toSet == half,
+      "sample must survive compaction unchanged")
+  }
+
+  test("OPTIMIZE FINAL: one part per partition, mode fully applied on disk") {
+    val df = spark.range(300).select(
+      (col("id") % 30).as("k"), col("id").as("ver"),
+      (col("id") % 3).cast("long").as("b"))
+    val dir = Files.createTempDirectory("cmt_optfinal_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 100),
+      mode = MergeMode.Replacing(Seq("k"), "ver"), partitionBy = Some("b"))
+    (0 until 4).foreach(i => t.insertBatch(
+      df.filter(col("ver") % 4 === i)))
+    assert(t.partCount == 12, "4 batches x 3 partitions")
+    val before = t.scan().orderBy("k").collect().toList
+    t.optimizeFinal()
+    assert(t.partCount == 3, "one part per partition")
+    assert(t.scan().orderBy("k").collect().toList == before)
+    // fully collapsed ON DISK: raw rows == collapsed rows
+    assert(t.rawScan().count() == before.size)
+  }
+
+  test("partsDf: system.parts-style introspection matches the manifest") {
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") % 2).cast("long").as("b"))
+    val dir = Files.createTempDirectory("cmt_partsdf_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), partitionBy = Some("b"))
+    t.insertBatch(df)
+    val rows = t.partsDf.orderBy("partition").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toList == List("0", "1"))
+    assert(rows.map(_.getLong(2)).sum == 100L)
+    assert(t.partsDf.agg(sum(col("bytes"))).head().getLong(0) == t.diskUsage)
   }
 
   test("numeric leading key: range scan prunes parts and matches direct filter") {
