@@ -201,7 +201,10 @@ final class ColumnarMergeTree private (
       case None    => writePart(df, partitions, register = true, partition = None)
       case Some(p) => writePartitioned(df, partitions, p)
     }
-    if (mvDefs.nonEmpty) mvDefs.foreach { d =>
+    // MV defs re-read per batch (one tiny JSON read, like the manifest
+    // refresh per scan): an MV attached AFTER this instance opened — by
+    // DDL or another process — fires on the very next batch.
+    mvDefs.foreach { d =>
       val out = applyMvSql(d.sql, df).cache()
       try if (!out.isEmpty) mvTarget(d).insertBatch(out)
       finally out.unpersist()
@@ -285,15 +288,20 @@ final class ColumnarMergeTree private (
       targetOrderBy: Seq[String], targetMode: MergeMode = MergeMode.Plain,
       targetPartitionBy: Option[String] = None,
       populate: Boolean = false): ColumnarMergeTree = {
-    require(!mvDefs.exists(_.name == name), s"materialized view '$name' exists")
     require(sql.contains(ColumnarMergeTree.MvInput),
       s"MV sql must read FROM ${ColumnarMergeTree.MvInput}")
+    ColumnarMergeTree.requireNoMvCycle(path, targetPath)
     val outSchema = applyMvSql(sql,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)).schema
     val target = ColumnarMergeTree.create(spark, targetPath, outSchema,
       targetOrderBy, config, targetMode, targetPartitionBy)
-    MvRegistry.update(path)(_ :+ MvDef(name, targetPath, sql))
-    mvDefs = MvRegistry.load(path)
+    // Name uniqueness decided INSIDE the registry lock: two racing creators
+    // of 'name' would otherwise both pass a stale pre-check and the target
+    // would receive every batch twice, permanently double-counting.
+    MvRegistry.update(path) { cur =>
+      require(!cur.exists(_.name == name), s"materialized view '$name' exists")
+      cur :+ MvDef(name, targetPath, sql)
+    }
     mvTargets.put(name, target)
     if (populate) {
       val out = applyMvSql(sql, scan()).cache()
@@ -305,9 +313,10 @@ final class ColumnarMergeTree private (
 
   /** Detach and forget an MV (the target table itself is left in place). */
   def dropMaterializedView(name: String): Unit = {
-    require(mvDefs.exists(_.name == name), s"no materialized view '$name'")
-    MvRegistry.update(path)(_.filterNot(_.name == name))
-    mvDefs = MvRegistry.load(path)
+    MvRegistry.update(path) { cur =>
+      require(cur.exists(_.name == name), s"no materialized view '$name'")
+      cur.filterNot(_.name == name)
+    }
     mvTargets.remove(name)
   }
 
@@ -318,7 +327,8 @@ final class ColumnarMergeTree private (
     mvTarget(mvDefs.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no materialized view '$name'")))
 
-  @volatile private var mvDefs: List[MvDef] = MvRegistry.load(path)
+  /** Always the persisted truth — see insertBatch. */
+  private def mvDefs: List[MvDef] = MvRegistry.load(path)
   private val mvTargets =
     new scala.collection.concurrent.TrieMap[String, ColumnarMergeTree]()
 
@@ -394,7 +404,8 @@ final class ColumnarMergeTree private (
     * ClickHouse posture: a thousand partitions is fine, a million is a
     * mis-designed partition key).
     */
-  private def writePartitioned(df: DataFrame, partitions: Int, pexpr: String): Unit = {
+  private def writePartitioned(df: DataFrame, partitions: Int, pexpr: String,
+                               register: Boolean = true): Seq[GPartMeta] = {
     val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
     val sortCols = orderBy.map(col)
     val n = if (partitions > 0) partitions
@@ -418,10 +429,10 @@ final class ColumnarMergeTree private (
         Files.isDirectory(d) && d.getFileName.toString.startsWith("__pv=")).toSeq
       finally s.close()
     }
-    try subdirs.foreach { sub =>
+    try subdirs.map { sub =>
       val value = ColumnarMergeTree.unescapePartitionDir(
         sub.getFileName.toString.stripPrefix("__pv="))
-      registerStaged(sub, register = true, partition = Some(value))
+      registerStaged(sub, register, partition = Some(value))
     } finally MergeTreeTable.deleteRecursively(stage)
   }
 
@@ -520,11 +531,13 @@ final class ColumnarMergeTree private (
     */
   def sampleScan(num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"bad sample fraction $num/$den")
-    val h = xxhash64(orderBy.map(col): _*)
-    // threshold computed driver-side in BigInt (num * Long.MaxValue would
-    // overflow); abs folds the hash into [0, 2^63) first
-    val bound = (BigInt(Long.MaxValue) * num / den).toLong
-    scan().filter(abs(h) < lit(bound))
+    if (num == den) return scan()
+    // Unsigned right shift folds the hash into [0, 2^63) — abs() would map
+    // Long.MinValue to itself (negative: in EVERY sample) or throw under
+    // ANSI mode. Threshold in BigInt: num * 2^63 overflows Long.
+    val h = shiftrightunsigned(xxhash64(orderBy.map(col): _*), 1)
+    val bound = ((BigInt(1) << 63) * num / den).toLong
+    scan().filter(h < lit(bound))
   }
 
   /** ClickHouse ALTER TABLE ... DROP PARTITION: every part belonging to the
@@ -651,17 +664,27 @@ final class ColumnarMergeTree private (
   def optimizeFinal(): Unit = maintenanceLock.synchronized {
     refresh()
     val groups = manifest.parts.groupBy(_.partition).values.toSeq
-    // With a TTL, even single-part partitions rewrite (MATERIALIZE TTL
-    // semantics); without one, singletons are already final.
-    val toMerge = if (ttl.isDefined) groups else groups.filter(_.size > 1)
+    // Singletons rewrite too when a TTL (MATERIALIZE TTL semantics) or a
+    // collapsing merge mode is declared — a single part can still hold
+    // not-yet-collapsed duplicate keys from one raw insertBatch; only a
+    // Plain no-TTL singleton is already final.
+    val toMerge =
+      if (ttl.isDefined || mode != MergeMode.Plain) groups
+      else groups.filter(_.size > 1)
     if (toMerge.isEmpty) return
-    val newMetas = concurrently(toMerge) { bin =>
+    val written = concurrently(toMerge) { bin =>
       val raw = spark.read.schema(schema)
         .parquet(bin.map(p => s"$path/part_${p.partId}"): _*)
       val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
       writePart(collapse(unexpired), 0, register = false,
         partition = bin.head.partition)
     }
+    // A fully-expired / fully-cancelled group yields 0 rows: drop it from
+    // the table (and disk) instead of registering a phantom part with
+    // inverted bounds that keeps its partition listed forever.
+    val (newMetas, empty) = written.partition(_.rowCount > 0)
+    empty.foreach(m =>
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${m.partId}")))
     val oldIds = toMerge.flatten.map(_.partId).toSet
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
@@ -715,11 +738,16 @@ final class ColumnarMergeTree private (
       }
     }
     val liveIds = live.map(_.partId).toSet
-    val keptIds = newMetas.map(_.partId).toSet
+    // A merge bin whose rows all expired (TTL) or cancelled (Collapsing)
+    // yields a 0-row output: exclude it and remove its fresh directory.
+    val (kept, emptyNew) = newMetas.partition(_.rowCount > 0)
+    emptyNew.filterNot(m => liveIds(m.partId)).foreach(m =>
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${m.partId}")))
+    val keptIds = kept.map(_.partId).toSet
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
         GManifest(cur.version,
-          cur.parts.filterNot(p => liveIds(p.partId)) ++ newMetas)
+          cur.parts.filterNot(p => liveIds(p.partId)) ++ kept)
       }
     }
     retireParts(liveIds.filterNot(keptIds))
@@ -874,8 +902,13 @@ final class ColumnarMergeTree private (
     * through the grace GC); partitioned → DYNAMIC partition overwrite, only
     * the partitions present in the batch are replaced (Spark's
     * partitionOverwriteMode=dynamic posture — the backfill shape at 100 TB:
-    * rewrite yesterday, never touch the other 999 days). Materialized views
-    * do NOT fire — overwrite is a replace, not an append.
+    * rewrite yesterday, never touch the other 999 days). NOTE the
+    * deliberate divergence from static overwrite on partitioned tables:
+    * partitions absent from the batch keep their rows, and an EMPTY batch
+    * is a no-op (on an unpartitioned table it IS a truncate) — the same
+    * behavior Spark's own dynamic mode has; full-table replace on a
+    * partitioned table is TRUNCATE + INSERT. Materialized views do NOT
+    * fire — overwrite is a replace, not an append.
     */
   def overwriteBatch(df: DataFrame): Unit = maintenanceLock.synchronized {
     require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
@@ -885,18 +918,35 @@ final class ColumnarMergeTree private (
         val newMeta = writePart(df, 0, register = false, partition = None)
         refresh()
         val oldIds = manifest.parts.map(_.partId).toSet
+        // An empty overwrite IS a truncate: drop everything, register
+        // nothing (and remove the fresh 0-row directory).
+        val add = Seq(newMeta).filter(_.rowCount > 0)
+        if (add.isEmpty)
+          MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${newMeta.partId}"))
         lock.synchronized {
           manifest = GManifest.update(path) { cur =>
             GManifest(cur.version,
-              cur.parts.filterNot(p => oldIds(p.partId)) :+ newMeta)
+              cur.parts.filterNot(p => oldIds(p.partId)) ++ add)
           }
         }
         retireParts(oldIds)
       case Some(p) =>
-        val values = df.select(partitionValueExpr(p).as("__v"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        values.foreach(v =>
-          replacePartition(v, df.filter(partitionValueExpr(p) === lit(v))))
+        // ONE dynamic-partition write job stages every new part (the batch
+        // plan is evaluated exactly once — a non-deterministic source can't
+        // lose rows between a values pass and per-value filters), then ONE
+        // manifest swap replaces all touched partitions together.
+        val newMetas = writePartitioned(df, 0, p, register = false)
+        val values = newMetas.flatMap(_.partition).toSet
+        refresh()
+        val oldIds = manifest.parts
+          .filter(_.partition.exists(values)).map(_.partId).toSet
+        lock.synchronized {
+          manifest = GManifest.update(path) { cur =>
+            GManifest(cur.version,
+              cur.parts.filterNot(q => oldIds(q.partId)) ++ newMetas)
+          }
+        }
+        retireParts(oldIds)
     }
   }
 
@@ -1188,6 +1238,25 @@ object ColumnarMergeTree {
 
   /** Placeholder relation name in a materialized view's SQL. */
   val MvInput = "__INPUT__"
+
+  /** Reject an MV whose target chain leads back to the source: A→A clobbers
+    * the source's own tabledef, and A→B→A recurses insertBatch until stack
+    * overflow mid-insert. BFS over the persisted registries of the proposed
+    * target and everything it already feeds.
+    */
+  private[graft] def requireNoMvCycle(sourcePath: String, targetPath: String): Unit = {
+    val src = Paths.get(sourcePath).toAbsolutePath.normalize.toString
+    val seen = scala.collection.mutable.Set.empty[String]
+    var frontier = List(Paths.get(targetPath).toAbsolutePath.normalize.toString)
+    while (frontier.nonEmpty) {
+      val p = frontier.head; frontier = frontier.tail
+      require(p != src,
+        s"materialized view cycle: $targetPath feeds back into $sourcePath")
+      if (seen.add(p))
+        frontier ++= MvRegistry.load(p).map(d =>
+          Paths.get(d.targetPath).toAbsolutePath.normalize.toString)
+    }
+  }
 
   /** Columns a merge mode's collapse reads — protected from DROP COLUMN. */
   private[mergetree] def modeColumns(m: MergeMode): Set[String] = m match {

@@ -686,20 +686,34 @@ object MergeTreeTable {
     StructField("value", StringType, nullable = false),
     StructField("timestamp", LongType, nullable = false)))
 
-  /** Create a fresh table (wipes nothing; fails-soft if dir exists). */
+  /** Create a fresh table (wipes nothing; fails-soft if dir exists). The
+    * creator's reader-grace window is persisted (kvmeta.json) so every
+    * later opener purges on the SAME clock — an opener with a shorter
+    * default would otherwise delete retired dirs inside another instance's
+    * declared window (same contract as the generic table's tabledef).
+    */
   def create(spark: SparkSession, path: String,
              config: MergeTreeConfig = MergeTreeConfig()): MergeTreeTable = {
     Files.createDirectories(Paths.get(path))
-    val t = new MergeTreeTable(spark, path, config)
-    t
+    val meta = Paths.get(path, "kvmeta.json")
+    if (!Files.exists(meta))
+      Files.writeString(meta, s"""{"gcGraceSeconds": ${config.gcGraceSeconds}}""")
+    new MergeTreeTable(spark, path, config)
   }
 
   /** Open an existing table: manifest load == `load_existing_parts`
-    * (O23, src/merge_tree.cpp:164-197).
+    * (O23, src/merge_tree.cpp:164-197). A persisted grace window overrides
+    * the opener's config (see create).
     */
   def open(spark: SparkSession, path: String,
-           config: MergeTreeConfig = MergeTreeConfig()): MergeTreeTable =
-    new MergeTreeTable(spark, path, config)
+           config: MergeTreeConfig = MergeTreeConfig()): MergeTreeTable = {
+    val meta = Paths.get(path, "kvmeta.json")
+    val cfg =
+      if (!Files.exists(meta)) config
+      else "\"gcGraceSeconds\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(Files.readString(meta))
+        .map(m => config.copy(gcGraceSeconds = m.group(1).toInt)).getOrElse(config)
+    new MergeTreeTable(spark, path, cfg)
+  }
 
   private[graft] def dirSize(p: Path): Long = {
     if (!Files.exists(p)) return 0L

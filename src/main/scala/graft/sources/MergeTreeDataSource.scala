@@ -84,6 +84,11 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
     val finalRead = opts.getBoolean("final", false)
     TableDef.load(path) match {
       case Some(d) =>
+        // mv options attach here too (idempotently): the target LOCATION
+        // may already hold a tabledef (API-born target, or a re-run CREATE
+        // after a catalog DROP — the dir persists), and a CREATE that
+        // silently skipped registration would leave the MV dead.
+        MergeTreeTableProvider.attachMvIfRequested(path, opts)
         new GenericMergeTreeV2Table(path, StructType.fromDDL(d.schemaDdl),
           d.orderBy, finalRead)
       case None if opts.containsKey("orderBy") =>
@@ -169,10 +174,18 @@ object MergeTreeTableProvider {
       require(sql.contains(MvInput), s"mergetree: mvSql must read FROM $MvInput")
       val name = Option(opts.get("mvName")).getOrElse(
         java.nio.file.Paths.get(targetPath).getFileName.toString)
+      graft.mergetree.ColumnarMergeTree.requireNoMvCycle(src, targetPath)
+      // Idempotent: getTable runs on EVERY statement touching the catalog
+      // table (the catalog replays the CREATE options), so re-seeing the
+      // identical definition is a no-op; a DIFFERENT def under the same
+      // name is a real conflict.
       MvRegistry.update(src) { cur =>
-        require(!cur.exists(_.name == name),
-          s"mergetree: materialized view '$name' already exists on $src")
-        cur :+ MvDef(name, targetPath, sql)
+        cur.find(_.name == name) match {
+          case Some(d) if d == MvDef(name, targetPath, sql) => cur
+          case Some(_) => throw new IllegalArgumentException(
+            s"mergetree: materialized view '$name' already exists on $src with a different definition")
+          case None => cur :+ MvDef(name, targetPath, sql)
+        }
       }
     }
 }

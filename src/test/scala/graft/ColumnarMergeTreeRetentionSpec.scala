@@ -196,6 +196,15 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
       MergeTreeConfig(gcGraceSeconds = 1)).config.gcGraceSeconds == 7200)
   }
 
+  test("KV table: grace window is table metadata — openers purge on the creator's clock") {
+    val dir = Files.createTempDirectory("kv_gcpersist_").toString
+    MergeTreeTable.create(spark, dir, MergeTreeConfig(gcGraceSeconds = 7200)).shutdown()
+    // a default-config opener must not purge on its own shorter clock
+    assert(MergeTreeTable.open(spark, dir).config.gcGraceSeconds == 7200)
+    assert(MergeTreeTable.open(spark, dir,
+      MergeTreeConfig(gcGraceSeconds = 1)).config.gcGraceSeconds == 7200)
+  }
+
   test("KV table: optimize/merge retire through the same grace GC (round-7 symmetry)") {
     // Round 6 left the KV MergeTreeTable hard-deleting replaced part dirs
     // inline — the exact reader race the grace window exists to close, on

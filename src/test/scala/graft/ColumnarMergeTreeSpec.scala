@@ -92,6 +92,61 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(t.rawScan().count() == before.size)
   }
 
+  test("OPTIMIZE FINAL collapses even a single not-yet-collapsed part (mode singleton)") {
+    // One raw insertBatch of duplicate keys = ONE part holding uncollapsed
+    // rows; round-7 review: size>1 filtering skipped it, breaking the
+    // "raw rows == collapsed rows after" contract.
+    val df = spark.range(40).select((col("id") % 10).as("k"), col("id").as("ver"))
+    val dir = Files.createTempDirectory("cmt_optf1_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), mode = MergeMode.Replacing(Seq("k"), "ver"))
+    t.insertBatch(df)
+    assert(t.partCount == 1 && t.rawScan().count() == 40)
+    t.optimizeFinal()
+    assert(t.rawScan().count() == 10, "singleton must rewrite fully collapsed")
+    assert(t.scan().count() == 10)
+  }
+
+  test("OPTIMIZE FINAL drops a fully-expired partition instead of a phantom 0-row part") {
+    val df = spark.range(100).select(col("id").as("k"), (col("id") % 2).cast("long").as("day"))
+    val dir = Files.createTempDirectory("cmt_optfttl_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), partitionBy = Some("day"), ttl = Some("day = 0"))
+    t.insertBatch(df)
+    t.optimizeFinal()
+    assert(t.partitions == Seq("1"), s"expired partition must vanish: ${t.partitions}")
+    assert(t.parts.forall(_.rowCount > 0), "no phantom 0-row parts")
+    assert(t.scan().count() == 50)
+  }
+
+  test("SAMPLE 0/d is empty and SAMPLE d/d is the full table") {
+    val df = spark.range(1000).selectExpr("id AS k")
+    val dir = Files.createTempDirectory("cmt_sample0_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    t.insertBatch(df)
+    assert(t.sampleScan(0, 7).count() == 0)
+    assert(t.sampleScan(7, 7).count() == 1000)
+  }
+
+  test("materialized view cycles are rejected at creation") {
+    val df = spark.range(10).selectExpr("id AS k", "id AS n")
+    val aDir = Files.createTempDirectory("cmt_mvcyc_a_").toString
+    val bDir = Files.createTempDirectory("cmt_mvcyc_b_").toString
+    val a = ColumnarMergeTree.create(spark, aDir, df.schema, orderBy = Seq("k"))
+    // self-reference refused outright
+    intercept[IllegalArgumentException] {
+      a.createMaterializedView("self", aDir,
+        s"SELECT k, n FROM ${ColumnarMergeTree.MvInput}", Seq("k"))
+    }
+    // A -> B fine; then B -> A closes a loop and must be refused
+    val b = a.createMaterializedView("a_to_b", bDir,
+      s"SELECT k, n FROM ${ColumnarMergeTree.MvInput}", Seq("k"))
+    intercept[IllegalArgumentException] {
+      b.createMaterializedView("b_to_a", aDir,
+        s"SELECT k, n FROM ${ColumnarMergeTree.MvInput}", Seq("k"))
+    }
+  }
+
   test("partsDf: system.parts-style introspection matches the manifest") {
     val df = spark.range(100).select(col("id").as("k"),
       (col("id") % 2).cast("long").as("b"))

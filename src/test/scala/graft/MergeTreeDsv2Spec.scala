@@ -357,6 +357,16 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(b0 == 10L, "untouched partition keeps its rows")
     assert(b1 == List(100L, 101L, 102L), s"named partition replaced: $b1")
     spark.sql("DROP TABLE g_owp")
+    // empty overwrite of an UNPARTITIONED table is a truncate
+    val dir3 = Files.createTempDirectory("mt_owe_").toString
+    spark.sql("DROP TABLE IF EXISTS g_owe")
+    spark.sql(s"CREATE TABLE g_owe (k BIGINT) USING mergetree " +
+      s"OPTIONS (orderBy 'k') LOCATION '$dir3'")
+    spark.sql("INSERT INTO g_owe SELECT id FROM range(0, 10)")
+    spark.sql("INSERT OVERWRITE TABLE g_owe SELECT id FROM range(0, 0)")
+    assert(spark.sql("SELECT count(*) FROM g_owe").head().getLong(0) == 0L,
+      "empty overwrite must empty the unpartitioned table")
+    spark.sql("DROP TABLE g_owe")
   }
 
   test("CREATE MATERIALIZED VIEW via DDL options: SQL-born MV fires on SQL INSERT") {
