@@ -327,6 +327,66 @@ final class ColumnarMergeTree private (
     mvTarget(mvDefs.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no materialized view '$name'")))
 
+  // ------------------------------------------------------------ projections
+
+  /** ClickHouse ALTER TABLE … ADD PROJECTION, restricted to its common
+    * form (an alternate physical sort order): the projection is an
+    * identity materialized view into a nested table ordered by
+    * `projOrderBy`, kept in sync by the MV machinery on every insert and
+    * by explicit propagation on mutations (see deleteWhere/updateWhere).
+    * `rangeScanAuto` routes a range predicate to whichever copy can prune
+    * parts on that column — the base or a projection — so point/range
+    * queries on a NON-primary column get primary-key pruning economics at
+    * the cost of one extra stored copy (exactly ClickHouse's trade).
+    * Restricted to Plain-mode unpartitioned tables (projections over
+    * collapsing modes need collapse-aware routing; ClickHouse restricts
+    * them similarly).
+    */
+  def addProjection(name: String, projOrderBy: Seq[String]): ColumnarMergeTree = {
+    require(mode == MergeMode.Plain && partitionBy.isEmpty,
+      "projections require a Plain-mode unpartitioned table")
+    require(projOrderBy.nonEmpty && projOrderBy.forall(schema.fieldNames.contains),
+      s"projection order ${projOrderBy.mkString(",")} must name table columns")
+    val cols = schema.fieldNames.map(f => s"`$f`").mkString(", ")
+    createMaterializedView(s"$ProjPrefix$name",
+      Paths.get(path, s"proj_$name").toString,
+      s"SELECT $cols FROM ${ColumnarMergeTree.MvInput}",
+      targetOrderBy = projOrderBy, populate = true)
+  }
+
+  def dropProjection(name: String): Unit =
+    dropMaterializedView(s"$ProjPrefix$name")
+
+  /** Declared projections: name -> ORDER BY of the stored copy. */
+  def projections: Seq[(String, Seq[String])] =
+    mvDefs.filter(_.name.startsWith(ProjPrefix)).map { d =>
+      val ob = TableDef.load(d.targetPath).map(_.orderBy).getOrElse(Nil)
+      d.name.stripPrefix(ProjPrefix) -> ob
+    }
+
+  /** Range scan on ANY column, routed to the copy that can prune on it:
+    * the base table when `column` is the primary leading key, else a
+    * projection whose leading key is `column`, else a filtered full scan
+    * of the base (correct, just unpruned). Results are identical rows in
+    * all three cases — only the I/O differs.
+    */
+  def rangeScanAuto(column: String, lo: Any, hi: Any): DataFrame =
+    if (column == leadKey) rangeScan(lo, hi)
+    else projectionFor(column) match {
+      case Some(p) => p.rangeScan(lo, hi)
+      case None => scan().filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    }
+
+  private def projectionFor(column: String): Option[ColumnarMergeTree] =
+    mvDefs.filter(_.name.startsWith(ProjPrefix))
+      .find(d => TableDef.load(d.targetPath).exists(_.orderBy.headOption.contains(column)))
+      .map(mvTarget)
+
+  private def projectionTargets: Seq[ColumnarMergeTree] =
+    mvDefs.filter(_.name.startsWith(ProjPrefix)).map(mvTarget)
+
+  private val ProjPrefix = "__proj_"
+
   /** Always the persisted truth — see insertBatch. */
   private def mvDefs: List[MvDef] = MvRegistry.load(path)
   private val mvTargets =
@@ -801,6 +861,8 @@ final class ColumnarMergeTree private (
       }
     }
     retireParts(goneIds)
+    // Keep projection copies in sync (see updateWhere).
+    projectionTargets.foreach(_.deleteWhere(cond))
     removed
   }
 
@@ -857,6 +919,16 @@ final class ColumnarMergeTree private (
         }
       }
       retireParts(goneIds)
+      // Projections hold copies of these rows under another sort order —
+      // mutate them with the same predicate or routed reads go stale
+      // (ClickHouse rebuilds projections inside the mutation too). A SET
+      // that touches a projection's OWN sort key cannot rewrite in place
+      // (its part order would break): rebuild that copy from the
+      // already-mutated base wholesale.
+      projectionTargets.foreach { p =>
+        if (set.keys.exists(p.orderBy.contains)) p.overwriteBatch(scan())
+        else p.updateWhere(cond, set)
+      }
       updated
     }
 

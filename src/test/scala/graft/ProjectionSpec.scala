@@ -1,0 +1,76 @@
+package graft
+
+import graft.mergetree._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** ClickHouse-style projections: an alternate physical sort order stored as
+  * an identity-MV copy, kept in sync on inserts (MV machinery) and
+  * mutations (explicit propagation), with range queries routed to whichever
+  * copy can prune parts on the queried column.
+  */
+class ProjectionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def df = spark.range(10000).select(
+    col("id").as("k"),
+    (lit(9999) - col("id")).as("rev"),
+    (col("id") % 100).cast("long").as("v"))
+
+  private def build(): ColumnarMergeTree = {
+    val t = ColumnarMergeTree.create(spark,
+      Files.createTempDirectory("cmt_proj_").toString, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 100))
+    t.insertBatch(df.filter(col("k") < 5000))
+    t.addProjection("by_rev", Seq("rev"))
+    t.insertBatch(df.filter(col("k") >= 5000)) // post-creation inserts flow in
+    t
+  }
+
+  test("projection is populated, synced on insert, and prunes on its own key") {
+    val t = build()
+    assert(t.projections == Seq("by_rev" -> Seq("rev")))
+    // the projection copy holds ALL rows (populate + MV inserts)
+    val proj = t.materializedViewTarget("__proj_by_rev")
+    assert(proj.totalRows == 10000)
+    // routed range scan on the non-primary column returns the right rows...
+    val got = t.rangeScanAuto("rev", 100L, 199L)
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(got == (9800L to 9899L).toList)
+    // ...and actually pruned parts on the projection's manifest
+    assert(proj.lastPruning._1 < proj.lastPruning._2,
+      s"projection must prune: ${proj.lastPruning}")
+    // primary-key route still serves from the base
+    assert(t.rangeScanAuto("k", 10L, 19L).count() == 10)
+    // un-projected column falls back to a filtered full scan, still correct
+    assert(t.rangeScanAuto("v", 0L, 0L).count() == 100)
+  }
+
+  test("mutations propagate: deleteWhere and updateWhere keep the copy honest") {
+    val t = build()
+    t.deleteWhere(col("v") === 7L)
+    assert(t.rangeScanAuto("rev", 0L, 9999L).count() == 9900)
+    t.updateWhere(col("v") === 8L, Map("v" -> lit(800L)))
+    val viaProj = t.rangeScanAuto("rev", 0L, 9999L)
+      .filter(col("v") === 800L).count()
+    assert(viaProj == 100, s"projection must see the update: $viaProj")
+    // a SET touching the projection's own sort key rebuilds the copy
+    t.updateWhere(col("v") === 800L, Map("rev" -> (col("rev") + 100000L)))
+    val high = t.rangeScanAuto("rev", 100000L, 200000L).count()
+    assert(high == 100, s"rebuilt projection must reflect new sort keys: $high")
+  }
+
+  test("projections are refused on mode/partitioned tables; dropProjection detaches") {
+    val base = spark.range(10).select(col("id").as("k"), col("id").as("ver"))
+    val t1 = ColumnarMergeTree.create(spark,
+      Files.createTempDirectory("cmt_projmode_").toString, base.schema,
+      orderBy = Seq("k"), mode = MergeMode.Replacing(Seq("k"), "ver"))
+    intercept[IllegalArgumentException](t1.addProjection("p", Seq("ver")))
+    val t = build()
+    t.dropProjection("by_rev")
+    assert(t.projections.isEmpty)
+  }
+}
