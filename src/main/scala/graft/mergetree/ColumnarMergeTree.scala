@@ -581,6 +581,28 @@ final class ColumnarMergeTree private (
   /** Distinct partition values currently present (manifest-only). */
   def partitions: Seq[String] = manifest.parts.flatMap(_.partition).distinct.sorted
 
+  /** Snapshot ids available for time travel, oldest first (one per
+    * committed manifest state, last 64 kept).
+    */
+  def snapshots: Seq[Long] = SnapshotLog.list(path)
+
+  /** Read the table AS OF snapshot `seq` (time travel): plans against the
+    * manifest committed then. Readable as long as the parts that manifest
+    * lists still exist — parts retired since stay on disk for
+    * gcGraceSeconds, so the grace window IS the time-travel horizon; a
+    * snapshot whose parts were purged fails loudly, never partially.
+    */
+  def scanAt(seq: Long): DataFrame = {
+    val m = SnapshotLog.load(path, seq).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot $seq (available: ${snapshots.mkString(",")})"))
+    val missing = m.parts.filterNot(p =>
+      Files.exists(Paths.get(s"$path/part_${p.partId}")))
+    require(missing.isEmpty,
+      s"snapshot $seq is no longer readable: parts " +
+        s"${missing.map(_.partId).mkString(",")} were purged (GC grace passed)")
+    collapse(readParts(m.parts))
+  }
+
   /** ClickHouse `SELECT … SAMPLE k`: a deterministic pseudo-random subset —
     * rows whose 64-bit hash of the ORDER BY key columns falls in the first
     * `num/den` of the hash space. Deterministic across runs, parts, merges,
@@ -1362,6 +1384,53 @@ object ColumnarMergeTree {
       }
   }
 
+  /** Append-only log of committed manifests (`snapshots/snap_<seq>.json`,
+    * one tiny file per commit, pruned to the last `Keep`): the time-travel
+    * index. A snapshot stays READABLE exactly as long as its retired parts
+    * survive the GC grace window — the grace that protects in-flight
+    * readers is the same budget that bounds how far back `scanAt` reaches,
+    * so time travel costs nothing the reader-safety design wasn't already
+    * paying. Written inside the manifest lock (store is only called under
+    * ManifestLocks), so seq allocation cannot race.
+    */
+  object SnapshotLog {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val formats: Formats = DefaultFormats
+    private val Keep = 64
+
+    def record(tablePath: String, m: GManifest): Unit = {
+      val dir = Paths.get(tablePath, "snapshots")
+      Files.createDirectories(dir)
+      val seq = list(tablePath).lastOption.getOrElse(-1L) + 1
+      val tmp = dir.resolve(s".snap_$seq.json.tmp")
+      Files.writeString(tmp, Serialization.writePretty(m))
+      Files.move(tmp, dir.resolve(s"snap_$seq.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      val all = list(tablePath)
+      all.dropRight(Keep).foreach(s =>
+        Files.deleteIfExists(dir.resolve(s"snap_$s.json")))
+    }
+
+    /** Available snapshot ids, oldest first. */
+    def list(tablePath: String): Seq[Long] = {
+      val dir = Paths.get(tablePath, "snapshots")
+      if (!Files.exists(dir)) return Nil
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snap_") && n.endsWith(".json") =>
+          n.stripPrefix("snap_").stripSuffix(".json").toLong
+        }.toSeq.sorted
+      finally s.close()
+    }
+
+    def load(tablePath: String, seq: Long): Option[GManifest] = {
+      val f = Paths.get(tablePath, "snapshots", s"snap_$seq.json")
+      if (!Files.exists(f)) None
+      else Some(JsonMethods.parse(Files.readString(f)).extract[GManifest])
+    }
+  }
+
   /** A part unlinked from the manifest, awaiting grace-expired deletion. */
   case class GcEntry(partId: Long, retiredAt: Long)
 
@@ -1415,6 +1484,7 @@ object ColumnarMergeTree {
       Files.writeString(tmp, Serialization.writePretty(m))
       Files.move(tmp, Paths.get(tablePath, "gmanifest.json"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      SnapshotLog.record(tablePath, m)
     }
 
     /** Read-merge-store under the per-path lock (shared with the KV-table

@@ -196,6 +196,27 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
       MergeTreeConfig(gcGraceSeconds = 1)).config.gcGraceSeconds == 7200)
   }
 
+  test("time travel: scanAt reads a pre-mutation snapshot within the GC grace; fails loudly after purge") {
+    val df = spark.range(100).select(col("id").as("k"), (col("id") % 4).cast("long").as("v"))
+    val dir = Files.createTempDirectory("cmt_tt_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(gcGraceSeconds = 3600))
+    t.insertBatch(df)
+    val s0 = t.snapshots.last
+    t.deleteWhere(col("v") === 0L)
+    assert(t.scan().count() == 75)
+    // the pre-delete snapshot is still fully readable (retired part on disk)
+    assert(t.scanAt(s0).count() == 100)
+    assert(t.snapshots.last > s0, "each commit adds a snapshot")
+    // purging the retired parts makes the old snapshot unreadable — loudly
+    t.purgeGc(force = true)
+    val e = intercept[IllegalArgumentException](t.scanAt(s0).count())
+    assert(e.getMessage.contains("no longer readable"))
+    // the CURRENT state is of course unaffected
+    assert(t.scan().count() == 75)
+    intercept[IllegalArgumentException](t.scanAt(999999L))
+  }
+
   test("KV table: grace window is table metadata — openers purge on the creator's clock") {
     val dir = Files.createTempDirectory("kv_gcpersist_").toString
     MergeTreeTable.create(spark, dir, MergeTreeConfig(gcGraceSeconds = 7200)).shutdown()
