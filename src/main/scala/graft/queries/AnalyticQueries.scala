@@ -587,6 +587,54 @@ object AnalyticQueries {
       |FROM cs FULL OUTER JOIN co ON cs.c_custkey = co.o_custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Q59 — ARRAY JOIN shape (ClickHouse `ARRAY JOIN` = Spark `explode` =
+    * SQL UNNEST): tokenize documents, explode to one row per token, hash-
+    * aggregate term frequencies, keep the top 100. Scale: explode is
+    * pipelined inside the scan stage (no shuffle), the count is a partial
+    * agg on token, and the top-k is TakeOrderedAndProject — never a global
+    * sort of the full term dictionary.
+    */
+  def q59ArrayJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+
+  val q59Sql: String =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY cnt DESC, token
+      |LIMIT 100""".stripMargin
+
+  /** Q60 — RANGE-frame window: per-user sum of `value` over the trailing
+    * 10 minutes of event time (value-based frame, not row-count — peers at
+    * the same timestamp are all in-frame, so the result is deterministic
+    * even under ts ties). Completes the window-frame family: ROWS (q16),
+    * named frames/rank (q15), sessionize (q41). Scale: one shuffle on
+    * user_id; the frame is evaluated with a sliding aggregate per
+    * partition, O(n) per user.
+    */
+  def q60RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-600L, 0L)
+    events(spark, dir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("sum_10m", round(sum("value").over(w), 2))
+      .select(col("user_id"), col("event_id"), col("ts_sec"), col("sum_10m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q60Sql: String =
+    """SELECT user_id, event_id, ts_sec,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec
+      |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS sum_10m
+      |FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -610,5 +658,7 @@ object AnalyticQueries {
     ("q43_json_struct", q43JsonStruct _, Some(q43Sql)),
     ("q49_exists_subquery", q49ExistsSubquery _, Some(q49Sql)),
     ("q50_cube", q50Cube _, Some(q50Sql)),
-    ("q58_full_outer", q58FullOuter _, Some(q58Sql)))
+    ("q58_full_outer", q58FullOuter _, Some(q58Sql)),
+    ("q59_array_join", q59ArrayJoin _, Some(q59Sql)),
+    ("q60_range_frame", q60RangeFrame _, Some(q60Sql)))
 }

@@ -41,6 +41,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"limit+order must fuse:\n$p")
   }
 
+  test("q59: exploded term top-k plans TakeOrderedAndProject over a partial agg") {
+    val p = plan(AnalyticQueries.q59ArrayJoin(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must fuse, not global-sort:\n$p")
+    assert(p.contains("Generate"), s"explode must appear as Generate:\n$p")
+  }
+
   test("q23: query set is broadcast against the embedding scan") {
     val p = plan(PipelineQueries.q23CosineTopK(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
