@@ -49,7 +49,15 @@ class GenericMergeTreeV2Table(
       * SQL face. Raw-parts reads (the default) stay the merge-on-read-less
       * view, like ClickHouse without FINAL.
       */
-    val finalRead: Boolean = false)
+    val finalRead: Boolean = false,
+    /** `snapshot 'N'` read option: time travel — scans plan against the
+      * manifest committed at snapshot N (SQL face of
+      * ColumnarMergeTree.scanAt). Readable as long as that snapshot's
+      * retired parts survive the GC grace window; a purged snapshot fails
+      * loudly at planning, never partially. Snapshot-pinned tables are
+      * read-only (writes/deletes are rejected).
+      */
+    val snapshotSeq: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** Partition column when PARTITION BY is a bare column of the schema (the
@@ -122,6 +130,7 @@ class GenericMergeTreeV2Table(
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(snapshotSeq.isEmpty, "a snapshot-pinned mergetree table is read-only")
     val t = ColumnarMergeTree.open(SparkSession.active, path)
     partitionEqualityValues(filters) match {
       case Some(values) =>
@@ -137,9 +146,10 @@ class GenericMergeTreeV2Table(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenericScanBuilder(path, tableSchema, orderBy, partitionCol)
+    new GenericScanBuilder(path, tableSchema, orderBy, partitionCol, snapshotSeq)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(snapshotSeq.isEmpty, "a snapshot-pinned mergetree table is read-only")
     require(info.schema().fieldNames.toSeq == tableSchema.fieldNames.toSeq,
       s"mergetree write requires columns ${tableSchema.fieldNames.mkString(",")}, " +
         s"got ${info.schema().fieldNames.mkString(",")}")
@@ -170,7 +180,8 @@ object GenericMergeTreeScan {
 }
 
 class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[String],
-                         partitionCol: Option[String] = None)
+                         partitionCol: Option[String] = None,
+                         snapshotSeq: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -254,7 +265,7 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
 
   override def build(): Scan =
     new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
-      wantedPartitions)
+      wantedPartitions, snapshotSeq)
 }
 
 class GenericMergeTreeScanImpl(
@@ -264,11 +275,31 @@ class GenericMergeTreeScanImpl(
     leadType: org.apache.spark.sql.types.DataType,
     lo: Option[Any],
     hi: Option[Any],
-    wantedPartitions: Option[Set[String]] = None)
+    wantedPartitions: Option[Set[String]] = None,
+    snapshotSeq: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The manifest this scan plans against: live, or — under the `snapshot`
+    * read option — the one committed at that snapshot, validated eagerly
+    * (every listed part directory must still exist) so a GC-purged snapshot
+    * fails the whole query, never silently drops rows.
+    */
+  private def manifestParts: List[GPartMeta] = snapshotSeq match {
+    case None => GManifest.load(path).map(_.parts).getOrElse(Nil)
+    case Some(seq) =>
+      val m = ColumnarMergeTree.SnapshotLog.load(path, seq).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $seq at $path " +
+          s"(available: ${ColumnarMergeTree.SnapshotLog.list(path).mkString(",")})"))
+      val missing = m.parts.filterNot(p =>
+        Files.isDirectory(Paths.get(path, s"part_${p.partId}")))
+      require(missing.isEmpty,
+        s"snapshot $seq is no longer readable: parts " +
+          s"${missing.map(_.partId).mkString(",")} were purged (GC grace passed)")
+      m.parts
+  }
 
   private def surviving(parts: List[GPartMeta]): List[GPartMeta] = {
     // Partition pruning first (exact on the stored value; untagged parts are
@@ -285,7 +316,7 @@ class GenericMergeTreeScanImpl(
   }
 
   override def estimateStatistics(): Statistics = {
-    val parts = surviving(GManifest.load(path).map(_.parts).getOrElse(Nil))
+    val parts = surviving(manifestParts)
     val bytes = parts.map(_.diskSize).sum
     val rows = parts.map(_.rowCount).sum
     new Statistics {
@@ -299,11 +330,12 @@ class GenericMergeTreeScanImpl(
       case (None, None) => "full"
       case _            => s"[${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}]"
     }
-    s"mergetree-generic $path $leadKey=$range cols=${required.fieldNames.mkString(",")}"
+    val snap = snapshotSeq.fold("")(s => s" snapshot=$s")
+    s"mergetree-generic $path$snap $leadKey=$range cols=${required.fieldNames.mkString(",")}"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val live = GManifest.load(path).map(_.parts).getOrElse(Nil)
+    val live = manifestParts
     val keep = surviving(live)
     GenericMergeTreeScan.lastPruning.set((keep.size, live.size))
     keep.flatMap { p =>

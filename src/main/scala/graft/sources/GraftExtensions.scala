@@ -58,8 +58,13 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
       throw new IllegalStateException(s"no table definition at ${table.path}"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(defn.schemaDdl)
     // Inner read has NO final option → resolves to a raw-parts relation and
-    // this rule does not fire on it again (analysis stays a fixpoint).
-    val raw = session.read.format("mergetree").load(table.path)
+    // this rule does not fire on it again (analysis stays a fixpoint). A
+    // snapshot pin is propagated: FINAL over a time-travel read collapses
+    // the parts of THAT snapshot, matching scanAt.
+    val reader = session.read.format("mergetree")
+    val raw = table.snapshotSeq
+      .fold(reader)(s => reader.option("snapshot", s.toString))
+      .load(table.path)
     val collapsed = ColumnarMergeTree.applyMode(
       raw, schema, ColumnarMergeTree.TableDef.decodeMode(defn.mode), defn.partitionBy)
     val inner = collapsed.queryExecution.analyzed

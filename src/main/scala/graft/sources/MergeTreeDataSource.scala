@@ -82,6 +82,9 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
     val path = MergeTreeTableProvider.localPath(Option(opts.get("path"))
       .getOrElse(throw new IllegalArgumentException("mergetree: path required")))
     val finalRead = opts.getBoolean("final", false)
+    // `snapshot 'N'` read option: time travel — plan against the manifest
+    // committed at snapshot N (SQL face of ColumnarMergeTree.scanAt).
+    val snapshotSeq = Option(opts.get("snapshot")).map(_.toLong)
     TableDef.load(path) match {
       case Some(d) =>
         // mv options attach here too (idempotently): the target LOCATION
@@ -90,7 +93,7 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
         // silently skipped registration would leave the MV dead.
         MergeTreeTableProvider.attachMvIfRequested(path, opts)
         new GenericMergeTreeV2Table(path, StructType.fromDDL(d.schemaDdl),
-          d.orderBy, finalRead)
+          d.orderBy, finalRead, snapshotSeq)
       case None if opts.containsKey("orderBy") =>
         // SQL DDL face of ColumnarMergeTree.create: `CREATE TABLE t (cols…)
         // USING mergetree OPTIONS (orderBy 'a,b' [, mode/keys/version/sums/
@@ -104,7 +107,7 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
         TableDef.store(path, d)
         MergeTreeTableProvider.attachMvIfRequested(path, opts)
-        new GenericMergeTreeV2Table(path, schema, d.orderBy, finalRead)
+        new GenericMergeTreeV2Table(path, schema, d.orderBy, finalRead, snapshotSeq)
       case None => new MergeTreeV2Table(path)
     }
   }

@@ -283,6 +283,51 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(fin.select("payload").count() == 20)
   }
 
+  test("snapshot read option time-travels the SQL face; pinned tables are read-only") {
+    val dir = Files.createTempDirectory("mt_snap_").toString
+    val df = spark.range(100).select(col("id").as("k"), (col("id") % 4).as("v"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(gcGraceSeconds = 3600))
+    t.insertBatch(df)
+    val s0 = t.snapshots.last
+    t.deleteWhere(col("v") === 0L)
+    assert(spark.read.format("mergetree").load(dir).count() == 75,
+      "live read sees the delete")
+    val pinned = spark.read.format("mergetree")
+      .option("snapshot", s0.toString).load(dir)
+    assert(pinned.count() == 100, "pinned read serves the pre-delete manifest")
+    // key-range pruning still applies on the pinned manifest
+    assert(pinned.filter(col("k") < 10).count() == 10)
+    // snapshot-pinned tables reject writes
+    intercept[Exception] {
+      df.limit(5).write.format("mergetree")
+        .option("snapshot", s0.toString).mode("append").save(dir)
+    }
+    // purging the retired parts makes the pinned read fail loudly, not partially
+    t.purgeGc(force = true)
+    val e = intercept[Exception](spark.read.format("mergetree")
+      .option("snapshot", s0.toString).load(dir).count())
+    assert(e.getMessage.contains("no longer readable"))
+  }
+
+  test("FINAL composes with snapshot: collapse applies to the pinned parts") {
+    val dir = Files.createTempDirectory("mt_snapfin_").toString
+    val v1 = spark.range(10).select((col("id") % 10).as("k"), col("id").as("ver"))
+    val t = ColumnarMergeTree.create(spark, dir, v1.schema,
+      orderBy = Seq("k", "ver"), MergeTreeConfig(gcGraceSeconds = 3600),
+      mode = MergeMode.Replacing(Seq("k"), "ver"))
+    t.insertBatch(v1)
+    val s0 = t.snapshots.last
+    t.insertBatch(v1.withColumn("ver", col("ver") + 100)) // newer versions
+    val finNow = spark.read.format("mergetree").option("final", "true").load(dir)
+    assert(finNow.agg(max("ver")).head.getLong(0) == 109L,
+      "live FINAL serves the newest versions")
+    val finThen = spark.read.format("mergetree")
+      .option("final", "true").option("snapshot", s0.toString).load(dir)
+    assert(finThen.count() == 10 && finThen.agg(max("ver")).head.getLong(0) == 9L,
+      "FINAL over a snapshot collapses only the parts committed then")
+  }
+
   test("CREATE TABLE with final 'true' serves collapsed rows to plain SQL") {
     val dir = Files.createTempDirectory("mt_finddl_").toString
     val df = spark.range(60).select(
