@@ -635,6 +635,32 @@ object AnalyticQueries {
       |FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Q61 — ClickHouse `LIMIT n BY col`: the 3 most recent orders per
+    * customer (deterministic tiebreak on orderkey). Spark has no LIMIT BY
+    * operator; the equivalent declarative plan is a ranking window +
+    * rank filter — one shuffle on the BY key, then a per-partition sort
+    * and an early-out filter (WindowGroupLimit pushes the limit into the
+    * sort at the exec level, so no group is fully ranked).
+    */
+  def q61LimitBy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q61Sql: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -660,5 +686,6 @@ object AnalyticQueries {
     ("q50_cube", q50Cube _, Some(q50Sql)),
     ("q58_full_outer", q58FullOuter _, Some(q58Sql)),
     ("q59_array_join", q59ArrayJoin _, Some(q59Sql)),
-    ("q60_range_frame", q60RangeFrame _, Some(q60Sql)))
+    ("q60_range_frame", q60RangeFrame _, Some(q60Sql)),
+    ("q61_limit_by", q61LimitBy _, Some(q61Sql)))
 }

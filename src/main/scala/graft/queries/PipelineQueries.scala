@@ -957,6 +957,29 @@ object PipelineQueries {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q62 — deterministic stratified sampling: rebalance a training mix by
+    * downsampling over-represented strata (en → 1/8, everything else →
+    * 1/2) with an md5-of-doc_id keep rule. Hash-based, not rand(): the
+    * sample is reproducible across runs, engines, partitionings, and
+    * retries — the property a 100 TB pipeline needs so a re-run of one
+    * failed task does not change the dataset. Embarrassingly parallel
+    * (scan-side hash + compare, no shuffle before the sample).
+    */
+  def q62StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val keep = substring(md5(col("doc_id").cast("string")), 1, 2) <
+      when(col("lang") === "en", lit("20")).otherwise(lit("80"))
+    docs(spark, dir)
+      .filter(keep)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q62Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -975,5 +998,6 @@ object PipelineQueries {
     ("q34_embed_neardup", q34EmbedNearDup _, Some(q34Sql)),
     ("q35_exact_dedup", q35ExactDedup _, Some(q35Sql)),
     ("q56_contamination", q56Contamination _, Some(q56Sql)),
-    ("q57_blocklist", q57Blocklist _, Some(q57Sql)))
+    ("q57_blocklist", q57Blocklist _, Some(q57Sql)),
+    ("q62_stratified_sample", q62StratifiedSample _, Some(q62Sql)))
 }

@@ -47,6 +47,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"explode must appear as Generate:\n$p")
   }
 
+  test("q61: LIMIT BY plans WindowGroupLimit, never a full per-group ranking") {
+    val p = plan(AnalyticQueries.q61LimitBy(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter must push the limit into the per-group sort:\n$p")
+  }
+
   test("q23: query set is broadcast against the embedding scan") {
     val p = plan(PipelineQueries.q23CosineTopK(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
