@@ -343,8 +343,11 @@ final class ColumnarMergeTree private (
     * them similarly).
     */
   def addProjection(name: String, projOrderBy: Seq[String]): ColumnarMergeTree = {
-    require(mode == MergeMode.Plain && partitionBy.isEmpty,
-      "projections require a Plain-mode unpartitioned table")
+    require(mode == MergeMode.Plain && partitionBy.isEmpty && ttl.isEmpty,
+      // TTL excluded because the base's TTL-in-compaction would drop rows
+      // the projection copy still holds (the target has no TTL and merges
+      // on its own schedule) — a routed scan must NEVER see different rows.
+      "projections require a Plain-mode unpartitioned table without TTL")
     require(projOrderBy.nonEmpty && projOrderBy.forall(schema.fieldNames.contains),
       s"projection order ${projOrderBy.mkString(",")} must name table columns")
     val cols = schema.fieldNames.map(f => s"`$f`").mkString(", ")
@@ -385,7 +388,7 @@ final class ColumnarMergeTree private (
   private def projectionTargets: Seq[ColumnarMergeTree] =
     mvDefs.filter(_.name.startsWith(ProjPrefix)).map(mvTarget)
 
-  private val ProjPrefix = "__proj_"
+  private def ProjPrefix = ColumnarMergeTree.ProjPrefix
 
   /** Always the persisted truth — see insertBatch. */
   private def mvDefs: List[MvDef] = MvRegistry.load(path)
@@ -614,12 +617,7 @@ final class ColumnarMergeTree private (
   def sampleScan(num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"bad sample fraction $num/$den")
     if (num == den) return scan()
-    // Unsigned right shift folds the hash into [0, 2^63) — abs() would map
-    // Long.MinValue to itself (negative: in EVERY sample) or throw under
-    // ANSI mode. Threshold in BigInt: num * 2^63 overflows Long.
-    val h = shiftrightunsigned(xxhash64(orderBy.map(col): _*), 1)
-    val bound = ((BigInt(1) << 63) * num / den).toLong
-    scan().filter(h < lit(bound))
+    scan().filter(ColumnarMergeTree.samplePredicate(orderBy, num, den))
   }
 
   /** ClickHouse ALTER TABLE ... DROP PARTITION: every part belonging to the
@@ -1113,12 +1111,32 @@ object ColumnarMergeTree {
     */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** MV-registry name prefix marking a projection (identity MV kept as an
+    * alternate sort order; see addProjection).
+    */
+  private[graft] val ProjPrefix = "__proj_"
+
   /** Undo the `%XX` escaping Spark's dynamic-partition write applies to
     * path-hostile characters in partition directory names
     * (ExternalCatalogUtils.escapePathName).
     */
   def unescapePartitionDir(name: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(name)
+
+  /** The SAMPLE keep-predicate as a standalone expression, so sampleScan
+    * and the SQL `sample 'n/d'` read option (MergeTreeFinalRule) share ONE
+    * implementation: keep rows whose 64-bit hash of the ORDER BY key
+    * columns falls in the first num/den of the hash space. Deterministic
+    * across runs, parts, merges, and engines reading the same rows
+    * (xxhash64 of the key, not of physical position), and composable:
+    * SAMPLE 1/4 ⊂ SAMPLE 1/2, like ClickHouse's sampling-key contract.
+    * Unsigned right shift folds the hash into [0, 2^63) — abs() would map
+    * Long.MinValue to itself (negative: in EVERY sample) or throw under
+    * ANSI mode. Threshold in BigInt: num * 2^63 overflows Long.
+    */
+  private[graft] def samplePredicate(orderBy: Seq[String], num: Long, den: Long): Column =
+    shiftrightunsigned(xxhash64(orderBy.map(col): _*), 1) <
+      lit(((BigInt(1) << 63) * num / den).toLong)
 
   /** Merge-mode collapse as a standalone transformation, so the table's
     * scan() and the SQL FINAL read (MergeTreeFinalRule) share ONE

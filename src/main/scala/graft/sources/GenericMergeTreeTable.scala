@@ -57,7 +57,15 @@ class GenericMergeTreeV2Table(
       * loudly at planning, never partially. Snapshot-pinned tables are
       * read-only (writes/deletes are rejected).
       */
-    val snapshotSeq: Option[Long] = None)
+    val snapshotSeq: Option[Long] = None,
+    /** `sample 'num/den'` read option: ClickHouse `SELECT … SAMPLE n/d` for
+      * the SQL face — MergeTreeFinalRule rewrites the relation to keep only
+      * rows whose ORDER-BY-key hash falls in the first num/den of the hash
+      * space (shared predicate with ColumnarMergeTree.sampleScan; applied
+      * after the FINAL collapse when both options are set, deterministic
+      * and sample-composable like ClickHouse's sampling-key contract).
+      */
+    val sampleFrac: Option[(Long, Long)] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** Partition column when PARTITION BY is a bare column of the schema (the
@@ -188,15 +196,35 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
 
   private val leadKey = orderBy.head
   private val leadType = tableSchema(leadKey).dataType
-  private val leadIsString = leadType == StringType
-  private val leadIsIntegral = leadType match {
-    case LongType | IntegerType | ShortType | ByteType => true
-    case _                                             => false
-  }
+
+  /** Alternate-sort-order routes: projection leading column → projection
+    * table path (identical rows, different physical order). A range
+    * predicate on a routed column serves the scan from the projection's
+    * parts, where manifest min/max pruning applies — primary-key pruning
+    * economics for non-primary columns, through plain SQL. Disabled under
+    * a snapshot pin (the pin names the BASE table's manifest; a
+    * projection's parts are not covered by it).
+    */
+  private val projRoutes: Map[String, String] =
+    if (snapshotSeq.isDefined) Map.empty
+    else ColumnarMergeTree.MvRegistry.load(path)
+      .filter(_.name.startsWith(ColumnarMergeTree.ProjPrefix))
+      .flatMap(d => ColumnarMergeTree.TableDef.load(d.targetPath)
+        .flatMap(_.orderBy.headOption)
+        .filter(c => c != leadKey && tableSchema.fieldNames.contains(c))
+        .map(_ -> d.targetPath))
+      .toMap
+
+  /** Columns whose range predicates can prune parts somewhere: the primary
+    * leading key (on the base) or a projection's leading key (routed).
+    */
+  private def isRangeCol(c: String): Boolean = c == leadKey || projRoutes.contains(c)
 
   private var required: StructType = tableSchema
-  private var lo: Option[Any] = None
-  private var hi: Option[Any] = None
+  private val los = scala.collection.mutable.Map.empty[String, Any]
+  private val his = scala.collection.mutable.Map.empty[String, Any]
+  private def lo: Option[Any] = los.get(leadKey)
+  private def hi: Option[Any] = his.get(leadKey)
   private var pushed: Array[Filter] = Array.empty
   /** Partition values a partition-column equality narrows the scan to (None
     * = unconstrained). Conjuncts intersect; partition pruning is exact on
@@ -216,38 +244,42 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
   private def narrowPartitions(values: Set[String]): Unit =
     wantedPartitions = Some(wantedPartitions.fold(values)(_ intersect values))
 
-  private def narrowLo(v: Any): Unit =
-    lo = Some(lo.fold(v)(cur => if (cmp(v, cur) > 0) v else cur))
-  private def narrowHi(v: Any): Unit =
-    hi = Some(hi.fold(v)(cur => if (cmp(v, cur) < 0) v else cur))
-  private def cmp(a: Any, b: Any): Int =
-    if (leadIsString) KeyOrder.cmp(a.toString, b.toString)
+  private def narrowLo(c: String, v: Any): Unit =
+    los(c) = los.get(c).fold(v)(cur => if (cmp(c, v, cur) > 0) v else cur)
+  private def narrowHi(c: String, v: Any): Unit =
+    his(c) = his.get(c).fold(v)(cur => if (cmp(c, v, cur) < 0) v else cur)
+  private def cmp(c: String, a: Any, b: Any): Int =
+    if (tableSchema(c).dataType == StringType) KeyOrder.cmp(a.toString, b.toString)
     else java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
       b.asInstanceOf[Number].longValue())
 
-  private def usable(v: Any): Boolean =
-    (leadIsString && v.isInstanceOf[String]) ||
-      (leadIsIntegral && v.isInstanceOf[Number])
+  private def usable(c: String, v: Any): Boolean = tableSchema(c).dataType match {
+    case StringType => v.isInstanceOf[String]
+    case LongType | IntegerType | ShortType | ByteType => v.isInstanceOf[Number]
+    case _ => false
+  }
 
-  /** Conservative range extraction on the leading ORDER BY key; > / < keep
-    * the inclusive bound (block-level pruning only — Spark re-applies every
-    * filter post-scan). Equality/IN on the partition column additionally
-    * narrows the scanned partition set — at 100 TB the partition predicate
-    * is the first and cheapest pruning layer (one day out of a thousand).
+  /** Conservative range extraction on the leading ORDER BY key and on any
+    * projection leading key (routable); > / < keep the inclusive bound
+    * (block-level pruning only — Spark re-applies every filter post-scan).
+    * Equality/IN on the partition column additionally narrows the scanned
+    * partition set — at 100 TB the partition predicate is the first and
+    * cheapest pruning layer (one day out of a thousand).
     */
   private def collect(f: Filter): Boolean = f match {
     case EqualTo(a, v) if partitionCol.contains(a) && canonPartition(v).isDefined =>
       narrowPartitions(Set(canonPartition(v).get))
-      if (a == leadKey && usable(v)) { narrowLo(v); narrowHi(v) }
+      if (a == leadKey && usable(a, v)) { narrowLo(a, v); narrowHi(a, v) }
       true
     case In(a, vs) if partitionCol.contains(a) &&
         vs.nonEmpty && vs.forall(canonPartition(_).isDefined) =>
       narrowPartitions(vs.map(canonPartition(_).get).toSet); true
-    case EqualTo(`leadKey`, v) if usable(v)            => narrowLo(v); narrowHi(v); true
-    case GreaterThanOrEqual(`leadKey`, v) if usable(v) => narrowLo(v); true
-    case GreaterThan(`leadKey`, v) if usable(v)        => narrowLo(v); true
-    case LessThanOrEqual(`leadKey`, v) if usable(v)    => narrowHi(v); true
-    case LessThan(`leadKey`, v) if usable(v)           => narrowHi(v); true
+    case EqualTo(a, v) if isRangeCol(a) && usable(a, v) =>
+      narrowLo(a, v); narrowHi(a, v); true
+    case GreaterThanOrEqual(a, v) if isRangeCol(a) && usable(a, v) => narrowLo(a, v); true
+    case GreaterThan(a, v) if isRangeCol(a) && usable(a, v)        => narrowLo(a, v); true
+    case LessThanOrEqual(a, v) if isRangeCol(a) && usable(a, v)    => narrowHi(a, v); true
+    case LessThan(a, v) if isRangeCol(a) && usable(a, v)           => narrowHi(a, v); true
     case And(a, b) =>
       val ca = collect(a); val cb = collect(b); ca || cb
     case _ => false
@@ -263,9 +295,23 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
-      wantedPartitions, snapshotSeq)
+  override def build(): Scan = {
+    // Prefer the base when its own key is constrained (or nothing is);
+    // otherwise route to a projection whose leading key carries bounds —
+    // identical rows, but the manifest min/max pruning actually bites.
+    val route: Option[(String, String)] =
+      if (lo.isDefined || hi.isDefined) None
+      else projRoutes.toSeq.sortBy(_._1)
+        .find { case (c, _) => los.contains(c) || his.contains(c) }
+    route match {
+      case Some((c, projPath)) =>
+        new GenericMergeTreeScanImpl(projPath, required, c, tableSchema(c).dataType,
+          los.get(c), his.get(c), wantedPartitions, snapshotSeq)
+      case None =>
+        new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
+          wantedPartitions, snapshotSeq)
+    }
+  }
 }
 
 class GenericMergeTreeScanImpl(

@@ -19,32 +19,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(session => new MergeTreeFinalRule(session))
 }
 
-/** ClickHouse `SELECT … FROM t FINAL` for the SQL face: a relation over a
-  * mergetree table carrying `final 'true'` (read option or CREATE TABLE
-  * option — both reach the provider's getTable) is rewritten during analysis
-  * into the merge-mode-collapsed plan over the same storage.
+/** ClickHouse `SELECT … FROM t FINAL` / `SELECT … SAMPLE n/d` for the SQL
+  * face: a relation over a mergetree table carrying `final 'true'` and/or
+  * `sample 'n/d'` (read options or CREATE TABLE options — both reach the
+  * provider's getTable) is rewritten during analysis into the merge-mode-
+  * collapsed and/or hash-sampled plan over the same storage.
   *
-  * The rewrite re-reads the table WITHOUT the final flag (so the inner
+  * The rewrite re-reads the table WITHOUT those flags (so the inner
   * relation keeps the connector's vectorized scan + part pruning) and applies
-  * exactly the collapse `ColumnarMergeTree.scan()` applies —
-  * `ColumnarMergeTree.applyMode` is the single shared implementation, so the
-  * SQL FINAL view and the Scala API can never diverge. Output attributes are
-  * re-bound to the original relation's exprIds (with a cast where an
-  * aggregate widened a type, e.g. Summing an int column) so references in the
-  * enclosing plan stay valid.
+  * exactly what `ColumnarMergeTree.scan()`/`sampleScan()` apply —
+  * `ColumnarMergeTree.applyMode` and `samplePredicate` are the single shared
+  * implementations, so the SQL view and the Scala API can never diverge.
+  * SAMPLE applies AFTER the FINAL collapse (a sample of the collapsed rows,
+  * matching sampleScan; sampling raw parts would double-count unmerged
+  * versions). Output attributes are re-bound to the original relation's
+  * exprIds (with a cast where an aggregate widened a type, e.g. Summing an
+  * int column) so references in the enclosing plan stay valid.
   *
-  * Plain-mode tables are left untouched — FINAL is the identity there, and
-  * skipping the rewrite keeps their plans scan-only.
+  * Plain-mode tables with no sample are left untouched — FINAL is the
+  * identity there, and skipping the rewrite keeps their plans scan-only.
   */
 class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case rel: DataSourceV2Relation if isFinalRead(rel) => rewrite(rel)
+    case rel: DataSourceV2Relation if needsRewrite(rel) => rewrite(rel)
   }
 
-  private def isFinalRead(rel: DataSourceV2Relation): Boolean = rel.table match {
-    case t: GenericMergeTreeV2Table => t.finalRead && hasCollapse(t.path)
-    case _                          => false
+  private def needsRewrite(rel: DataSourceV2Relation): Boolean = rel.table match {
+    case t: GenericMergeTreeV2Table =>
+      (t.finalRead && hasCollapse(t.path)) || t.sampleFrac.exists(f => f._1 != f._2)
+    case _ => false
   }
 
   private def hasCollapse(path: String): Boolean =
@@ -57,17 +61,27 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
     val defn = ColumnarMergeTree.TableDef.load(table.path).getOrElse(
       throw new IllegalStateException(s"no table definition at ${table.path}"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(defn.schemaDdl)
-    // Inner read has NO final option → resolves to a raw-parts relation and
-    // this rule does not fire on it again (analysis stays a fixpoint). A
-    // snapshot pin is propagated: FINAL over a time-travel read collapses
-    // the parts of THAT snapshot, matching scanAt.
+    // Inner read has NO final/sample option → resolves to a raw-parts
+    // relation and this rule does not fire on it again (analysis stays a
+    // fixpoint). A snapshot pin is propagated: FINAL/SAMPLE over a
+    // time-travel read applies to the parts of THAT snapshot, matching
+    // scanAt.
     val reader = session.read.format("mergetree")
     val raw = table.snapshotSeq
       .fold(reader)(s => reader.option("snapshot", s.toString))
       .load(table.path)
-    val collapsed = ColumnarMergeTree.applyMode(
-      raw, schema, ColumnarMergeTree.TableDef.decodeMode(defn.mode), defn.partitionBy)
-    val inner = collapsed.queryExecution.analyzed
+    val collapsed =
+      if (table.finalRead && hasCollapse(table.path))
+        ColumnarMergeTree.applyMode(
+          raw, schema, ColumnarMergeTree.TableDef.decodeMode(defn.mode), defn.partitionBy)
+      else raw
+    val sampled = table.sampleFrac.filter(f => f._1 != f._2) match {
+      case Some((num, den)) =>
+        require(num >= 0 && den > 0 && num <= den, s"bad sample fraction $num/$den")
+        collapsed.filter(ColumnarMergeTree.samplePredicate(defn.orderBy, num, den))
+      case None => collapsed
+    }
+    val inner = sampled.queryExecution.analyzed
     val rebind: Seq[NamedExpression] = rel.output.map { old =>
       val neu = inner.output.find(_.name == old.name).getOrElse(
         throw new IllegalStateException(

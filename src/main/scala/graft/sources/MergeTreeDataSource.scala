@@ -85,6 +85,16 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
     // `snapshot 'N'` read option: time travel — plan against the manifest
     // committed at snapshot N (SQL face of ColumnarMergeTree.scanAt).
     val snapshotSeq = Option(opts.get("snapshot")).map(_.toLong)
+    // `sample 'num/den'` read option: ClickHouse SELECT … SAMPLE (SQL face
+    // of ColumnarMergeTree.sampleScan).
+    val sampleFrac = Option(opts.get("sample")).map { s =>
+      s.split('/') match {
+        case Array(n, d) if n.trim.forall(_.isDigit) && d.trim.forall(_.isDigit) =>
+          (n.trim.toLong, d.trim.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"mergetree: sample must be 'num/den' (e.g. '1/4'), got '$s'")
+      }
+    }
     TableDef.load(path) match {
       case Some(d) =>
         // mv options attach here too (idempotently): the target LOCATION
@@ -92,8 +102,9 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
         // after a catalog DROP — the dir persists), and a CREATE that
         // silently skipped registration would leave the MV dead.
         MergeTreeTableProvider.attachMvIfRequested(path, opts)
+        MergeTreeTableProvider.attachProjectionsIfRequested(path, opts)
         new GenericMergeTreeV2Table(path, StructType.fromDDL(d.schemaDdl),
-          d.orderBy, finalRead, snapshotSeq)
+          d.orderBy, finalRead, snapshotSeq, sampleFrac)
       case None if opts.containsKey("orderBy") =>
         // SQL DDL face of ColumnarMergeTree.create: `CREATE TABLE t (cols…)
         // USING mergetree OPTIONS (orderBy 'a,b' [, mode/keys/version/sums/
@@ -107,7 +118,9 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
         TableDef.store(path, d)
         MergeTreeTableProvider.attachMvIfRequested(path, opts)
-        new GenericMergeTreeV2Table(path, schema, d.orderBy, finalRead, snapshotSeq)
+        MergeTreeTableProvider.attachProjectionsIfRequested(path, opts)
+        new GenericMergeTreeV2Table(path, schema, d.orderBy, finalRead, snapshotSeq,
+          sampleFrac)
       case None => new MergeTreeV2Table(path)
     }
   }
@@ -188,6 +201,36 @@ object MergeTreeTableProvider {
           case Some(_) => throw new IllegalArgumentException(
             s"mergetree: materialized view '$name' already exists on $src with a different definition")
           case None => cur :+ MvDef(name, targetPath, sql)
+        }
+      }
+    }
+
+  /** DDL face of ALTER TABLE … ADD PROJECTION: `projections 'name:col1,col2
+    * [; name2:…]'` as a CREATE TABLE option declares (and backfills)
+    * alternate sort orders. Idempotent like attachMvIfRequested: the catalog
+    * replays CREATE options on every statement, so an identical declaration
+    * is a no-op and a conflicting one fails loudly.
+    */
+  private[sources] def attachProjectionsIfRequested(
+      path: String, opts: CaseInsensitiveStringMap): Unit =
+    Option(opts.get("projections")).foreach { spec =>
+      val t = graft.mergetree.ColumnarMergeTree.open(
+        org.apache.spark.sql.SparkSession.active, path)
+      val existing = t.projections.toMap
+      spec.split(';').map(_.trim).filter(_.nonEmpty).foreach { one =>
+        one.split(':') match {
+          case Array(name0, cols0) =>
+            val name = name0.trim
+            val cols = cols0.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            existing.get(name) match {
+              case Some(ob) if ob == cols => // identical replay — no-op
+              case Some(ob) => throw new IllegalArgumentException(
+                s"mergetree: projection '$name' already exists on $path " +
+                  s"with ORDER BY ${ob.mkString(",")}")
+              case None => t.addProjection(name, cols)
+            }
+          case _ => throw new IllegalArgumentException(
+            s"mergetree: projections must be 'name:col1,col2[; …]', got '$one'")
         }
       }
     }

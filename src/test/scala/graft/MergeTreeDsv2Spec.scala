@@ -310,6 +310,46 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("no longer readable"))
   }
 
+  test("sample read option serves exactly sampleScan's rows; samples nest") {
+    val dir = Files.createTempDirectory("mt_sampddl_").toString
+    val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    t.insertBatch(df)
+    val viaSql = spark.read.format("mergetree").option("sample", "1/4").load(dir)
+    val viaApi = t.sampleScan(1, 4)
+    assert(viaSql.orderBy("k").collect().toList == viaApi.orderBy("k").collect().toList,
+      "SQL sample and sampleScan must pick the identical subset")
+    val n4 = viaSql.count()
+    assert(n4 > 600 && n4 < 1400, s"1/4 of 4000 should be ~1000, got $n4")
+    // composability: SAMPLE 1/4 is a subset of SAMPLE 1/2 (same hash space)
+    val half = spark.read.format("mergetree").option("sample", "1/2").load(dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val quarter = viaSql.select("k").collect().map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(half), "SAMPLE 1/4 must nest inside SAMPLE 1/2")
+    // sample 'n/n' is the identity and stays a plain scan
+    assert(spark.read.format("mergetree").option("sample", "4/4").load(dir)
+      .count() == 4000)
+    intercept[Exception](spark.read.format("mergetree")
+      .option("sample", "quarter").load(dir).count())
+  }
+
+  test("sample composes with FINAL: collapsed rows are sampled, not raw parts") {
+    val dir = Files.createTempDirectory("mt_sampfin_").toString
+    val df = spark.range(2000).select((col("id") % 1000).as("k"), col("id").as("ver"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k", "ver"), mode = MergeMode.Replacing(Seq("k"), "ver"))
+    t.insertBatch(df.filter(col("ver") < 1000))
+    t.insertBatch(df.filter(col("ver") >= 1000)) // same keys, newer versions
+    val fin = spark.read.format("mergetree")
+      .option("final", "true").option("sample", "1/2").load(dir)
+    val rows = fin.collect()
+    // every sampled row is the COLLAPSED (newest) version of its key
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 1000),
+      "sample must apply after the Replacing collapse")
+    assert(rows.length > 300 && rows.length < 700,
+      s"~half of 1000 collapsed keys, got ${rows.length}")
+  }
+
   test("FINAL composes with snapshot: collapse applies to the pinned parts") {
     val dir = Files.createTempDirectory("mt_snapfin_").toString
     val v1 = spark.range(10).select((col("id") % 10).as("k"), col("id").as("ver"))

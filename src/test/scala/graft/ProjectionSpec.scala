@@ -63,14 +63,52 @@ class ProjectionSpec extends AnyFunSuite {
     assert(high == 100, s"rebuilt projection must reflect new sort keys: $high")
   }
 
-  test("projections are refused on mode/partitioned tables; dropProjection detaches") {
+  test("projections are refused on mode/partitioned/TTL tables; dropProjection detaches") {
     val base = spark.range(10).select(col("id").as("k"), col("id").as("ver"))
     val t1 = ColumnarMergeTree.create(spark,
       Files.createTempDirectory("cmt_projmode_").toString, base.schema,
       orderBy = Seq("k"), mode = MergeMode.Replacing(Seq("k"), "ver"))
     intercept[IllegalArgumentException](t1.addProjection("p", Seq("ver")))
+    // TTL tables refuse projections: base TTL-compaction would drop rows the
+    // copy still holds, and a routed scan must never see different rows
+    val t2 = ColumnarMergeTree.create(spark,
+      Files.createTempDirectory("cmt_projttl_").toString, base.schema,
+      orderBy = Seq("k"), ttl = Some("ver < 0"))
+    intercept[IllegalArgumentException](t2.addProjection("p", Seq("ver")))
     val t = build()
     t.dropProjection("by_rev")
     assert(t.projections.isEmpty)
+  }
+
+  test("DDL face: projections option declares + backfills; SQL range scans route") {
+    val dir = Files.createTempDirectory("cmt_projddl_").toString
+    val t0 = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 100))
+    t0.insertBatch(df.filter(col("k") < 5000))
+    spark.sql("DROP TABLE IF EXISTS g_proj")
+    spark.sql(
+      s"CREATE TABLE g_proj USING mergetree OPTIONS (projections 'by_rev:rev') LOCATION '$dir'")
+    // getTable (where the attach runs) fires on the first statement touching
+    // the table; replay on every later statement is idempotent
+    spark.sql("SELECT count(*) FROM g_proj").collect()
+    assert(t0.projections == Seq("by_rev" -> Seq("rev")))
+    // a post-attach insert flows into the copy as its own part (MV sync), so
+    // the projection holds 2 parts with disjoint rev ranges — prunable
+    t0.insertBatch(df.filter(col("k") >= 5000))
+    // SQL range predicate on the NON-primary column routes to the projection:
+    // part pruning bites where a base scan would keep every part
+    val got = spark.sql("SELECT k FROM g_proj WHERE rev >= 100 AND rev <= 199")
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(got == (9800L to 9899L).toList)
+    val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+    assert(planned < total, s"routed scan must prune projection parts: $planned/$total")
+    // primary-key predicates still serve from the base, pruned as before
+    assert(spark.sql("SELECT k FROM g_proj WHERE k >= 10 AND k <= 19").count() == 10)
+    // a conflicting re-declaration fails loudly (read option reaches the
+    // same attach path as CREATE TABLE options)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("mergetree").option("projections", "by_rev:v").load(dir))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql("DROP TABLE g_proj")
   }
 }
