@@ -166,6 +166,70 @@ object SummaryAggregator extends Aggregator[Double, NumSummary, NumSummary] {
   override def outputEncoder: Encoder[NumSummary] = Encoders.product[NumSummary]
 }
 
+/** One heavy-hitter estimate: term and its (possibly over-)counted
+  * frequency.
+  */
+case class TermCount(term: String, cnt: Long)
+
+/** Bounded heavy-hitters sketch state: at most `capacity` counters. */
+case class TopKState(counts: Map[String, Long])
+
+/** ClickHouse `topK(k)`: approximate heavy hitters in bounded memory via a
+  * SpaceSaving summary (Metwally et al. 2005) with the mergeable-summaries
+  * trim for partial aggregation (Agarwal et al. 2012). The buffer is
+  * O(capacity) regardless of input cardinality — the property that makes
+  * per-group top-k feasible at 100 TB, where an exact groupBy(term) would
+  * shuffle the full term dictionary. Partial-aggregable: map-side reduce
+  * per partition, sketch-merge at the exchange — one small buffer crosses
+  * the wire per group.
+  *
+  * Guarantees: any term with true frequency > N/capacity is in the sketch;
+  * estimates overcount by at most the evicted-minimum at insertion time.
+  * When the distinct-term count never exceeds `capacity` on any partial
+  * path, NO eviction occurs anywhere and all counts are exact — with the
+  * deterministic (cnt desc, term asc) ordering the result is then
+  * hash-identical to an exact top-k (how q63's DuckDB oracle can check an
+  * "approximate" operator). Eviction ties break on the term so the sketch
+  * is deterministic under any merge order.
+  */
+class TopKAggregator(k: Int, capacity: Int)
+    extends Aggregator[String, TopKState, Seq[TermCount]] with Serializable {
+  require(k > 0 && capacity >= k, s"need capacity >= k > 0, got k=$k cap=$capacity")
+
+  override def zero: TopKState = TopKState(Map.empty)
+
+  override def reduce(b: TopKState, term: String): TopKState = {
+    val m = b.counts
+    m.get(term) match {
+      case Some(c)                       => TopKState(m.updated(term, c + 1))
+      case None if m.size < capacity     => TopKState(m.updated(term, 1L))
+      case None =>
+        // SpaceSaving eviction: the newcomer inherits the minimum counter
+        // + 1 (it may have been the evicted term all along — overcount,
+        // never undercount).
+        val (mk, mc) = m.minBy { case (t, c) => (c, t) }
+        TopKState(m - mk + (term -> (mc + 1)))
+    }
+  }
+
+  override def merge(a: TopKState, b: TopKState): TopKState = {
+    val summed = b.counts.foldLeft(a.counts) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    if (summed.size <= capacity) TopKState(summed)
+    else TopKState(summed.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(capacity).toMap)
+  }
+
+  override def finish(r: TopKState): Seq[TermCount] =
+    r.counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(k).map { case (t, c) => TermCount(t, c) }
+
+  override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+  override def outputEncoder: Encoder[Seq[TermCount]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
+}
+
 /** Registration: direct (per-session FunctionRegistry) and via
   * SparkSessionExtensions for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -195,6 +259,9 @@ object GraftFunctions {
       FunctionIdentifier("dot_product"), dotInfo, dotBuilder)
     spark.udf.register("num_summary",
       org.apache.spark.sql.functions.udaf(SummaryAggregator))
+    // ClickHouse topK(50): SQL-callable heavy hitters, capacity 4096.
+    spark.udf.register("topk_approx",
+      org.apache.spark.sql.functions.udaf(new TopKAggregator(50, 4096)))
   }
 }
 

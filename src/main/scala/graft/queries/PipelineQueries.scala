@@ -957,6 +957,33 @@ object PipelineQueries {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q63 — ClickHouse `topK(50)`: heavy-hitter terms over the exploded
+    * document tokens via the SpaceSaving UDAF (TopKAggregator). The sketch
+    * buffer is O(capacity), so the shuffle moves ONE 4096-counter map per
+    * partition instead of the term dictionary — the bounded-memory shape
+    * that survives an unbounded vocabulary at 100 TB. On this corpus the
+    * distinct-term count is below capacity on every partial path, so the
+    * sketch is provably exact and the DuckDB exact top-k can oracle-check
+    * it hash-identically (approximation behavior is spec-tested separately
+    * with a tiny capacity; see GraftFunctionsSpec).
+    */
+  def q63TopkTerms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(expr("topk_approx(term)").as("tk"))
+      .select(explode(col("tk")).as("tc"))
+      .select(col("tc.term").as("token"), col("tc.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val q63Sql: String =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY cnt DESC, token
+      |LIMIT 50""".stripMargin
+
   /** Q62 — deterministic stratified sampling: rebalance a training mix by
     * downsampling over-represented strata (en → 1/8, everything else →
     * 1/2) with an md5-of-doc_id keep rule. Hash-based, not rand(): the
@@ -999,5 +1026,6 @@ object PipelineQueries {
     ("q35_exact_dedup", q35ExactDedup _, Some(q35Sql)),
     ("q56_contamination", q56Contamination _, Some(q56Sql)),
     ("q57_blocklist", q57Blocklist _, Some(q57Sql)),
-    ("q62_stratified_sample", q62StratifiedSample _, Some(q62Sql)))
+    ("q62_stratified_sample", q62StratifiedSample _, Some(q62Sql)),
+    ("q63_topk_terms", q63TopkTerms _, Some(q63Sql)))
 }

@@ -74,4 +74,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
       assert(a.getDouble(3) == b.getDouble(3) && a.getDouble(4) == b.getDouble(4))
     }
   }
+
+  test("topK sketch is exact below capacity, under any partitioning") {
+    GraftFunctions.register(spark)
+    // 40 distinct terms, zipf-ish counts, scattered over many partitions
+    val df = spark.range(20000).repartition(17)
+      .map(i => s"t${i % 40}").toDF("term")
+    val got = df.agg(expr("topk_approx(term)").as("tk"))
+      .select(explode(col("tk")).as("tc"))
+      .select(col("tc.term"), col("tc.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val exp = df.groupBy("term").count()
+      .orderBy(col("count").desc, col("term")).limit(50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == exp, "below capacity the sketch must equal the exact top-k")
+  }
+
+  test("topK sketch over capacity: heavy hitters survive, estimates never undercount") {
+    // capacity 8, k 5; one dominant head of 5 terms + a 200-term tail.
+    // SpaceSaving guarantee: any term with freq > N/capacity is kept, and
+    // per-term estimates only overcount (evictee inheritance).
+    val agg = new TopKAggregator(5, 8)
+    val heads = (0 until 5).flatMap(h => Seq.fill(500)(s"head$h"))
+    val tail = (0 until 200).flatMap(t => Seq.fill(3)(s"tail$t"))
+    val rnd = new scala.util.Random(42)
+    val stream = rnd.shuffle(heads ++ tail)
+    // split into 8 "partitions", reduce each, then merge in a random order
+    val states = stream.grouped((stream.size + 7) / 8)
+      .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+    val merged = rnd.shuffle(states).reduce(agg.merge)
+    val top = agg.finish(merged)
+    assert(top.map(_.term).toSet == (0 until 5).map(h => s"head$h").toSet,
+      s"all heavy hitters must be in the top-5: $top")
+    top.foreach(tc => assert(tc.cnt >= 500, s"estimates must never undercount: $tc"))
+  }
 }
