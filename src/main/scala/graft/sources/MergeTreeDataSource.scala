@@ -95,6 +95,11 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
           s"mergetree: sample must be 'num/den' (e.g. '1/4'), got '$s'")
       }
     }
+    // `system 'parts'|'snapshots'` read option: the observability tables
+    // (ClickHouse system.parts) as SQL relations — manifest metadata only,
+    // zero data I/O, served driver-locally.
+    val system = Option(opts.get("system"))
+    if (system.isDefined) return new MergeTreeSystemTable(path, system.get)
     TableDef.load(path) match {
       case Some(d) =>
         // mv options attach here too (idempotently): the target LOCATION

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.mergetree.ColumnarMergeTree
+import graft.mergetree.ColumnarMergeTree.{GManifest, SnapshotLog}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.file.{Files, Paths}
+
+/** ClickHouse's `system.*` observability tables as a SQL face: the
+  * `system 'parts'|'snapshots'` read option on the mergetree format serves
+  * manifest metadata as a relation — `partsDf`/`snapshots` for users who
+  * address the engine from SQL. One row per part (or snapshot), computed
+  * driver-side from the manifest (LocalScan: zero executors, zero data
+  * I/O — the same "metadata-only introspection" contract as
+  * ColumnarMergeTree.stats, O24).
+  *
+  *   SELECT partition, sum(bytes) FROM mergetree.`dir` (system 'parts') …
+  */
+class MergeTreeSystemTable(path: String, kind: String) extends Table with SupportsRead {
+
+  private val tableSchema: StructType = kind match {
+    case "parts" => StructType.fromDDL(
+      "part_id BIGINT, partition STRING, rows BIGINT, granules BIGINT, " +
+        "bytes BIGINT, min_key STRING, max_key STRING, created_ms BIGINT")
+    case "snapshots" => StructType.fromDDL(
+      "seq BIGINT, parts BIGINT, rows BIGINT, readable BOOLEAN")
+    case other => throw new IllegalArgumentException(
+      s"mergetree: unknown system table '$other' (expected parts | snapshots)")
+  }
+
+  override def name(): String = s"mergetree:$path!system.$kind"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def partRows(): Array[InternalRow] =
+    GManifest.load(path).map(_.parts).getOrElse(Nil).map { p =>
+      new GenericInternalRow(Array[Any](p.partId, utf8(p.partition.orNull),
+        p.rowCount, p.granuleCount, p.diskSize, utf8(p.minKey), utf8(p.maxKey),
+        p.creationTime)): InternalRow
+    }.toArray
+
+  /** A snapshot is `readable` while every part it lists is still on disk —
+    * live or retired-within-grace (the time-travel horizon, observable).
+    */
+  private def snapshotRows(): Array[InternalRow] =
+    SnapshotLog.list(path).flatMap(seq => SnapshotLog.load(path, seq).map { m =>
+      val readable = m.parts.forall(p =>
+        Files.isDirectory(Paths.get(path, s"part_${p.partId}")))
+      new GenericInternalRow(Array[Any](
+        seq, m.parts.size.toLong, m.parts.map(_.rowCount).sum, readable)): InternalRow
+    }).toArray
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] =
+          if (kind == "parts") partRows() else snapshotRows()
+        override def description(): String = s"mergetree-system $path $kind"
+      }
+    }
+}

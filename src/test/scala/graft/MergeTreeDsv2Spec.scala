@@ -350,6 +350,30 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
       s"~half of 1000 collapsed keys, got ${rows.length}")
   }
 
+  test("system tables: parts and snapshots metadata readable from SQL") {
+    val dir = Files.createTempDirectory("mt_sys_").toString
+    val df = spark.range(100).select(col("id").as("k"), (col("id") % 4).as("v"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(gcGraceSeconds = 3600))
+    t.insertBatch(df.filter(col("k") < 50))
+    t.insertBatch(df.filter(col("k") >= 50))
+    val parts = spark.read.format("mergetree").option("system", "parts").load(dir)
+    val rows = parts.orderBy("part_id").collect()
+    assert(rows.length == 2 && rows.map(_.getAs[Long]("rows")).toList == List(50L, 50L))
+    // matches the API-facing partsDf exactly (same manifest, same columns)
+    assert(parts.columns.toSeq == t.partsDf.columns.toSeq)
+    assert(parts.agg(sum("bytes")).head.getLong(0) == t.diskUsage)
+    // aggregation over metadata works like any relation — zero data I/O
+    assert(parts.agg(sum("rows")).head.getLong(0) == 100L)
+    val snaps = spark.read.format("mergetree").option("system", "snapshots").load(dir)
+    val s = snaps.orderBy("seq").collect()
+    assert(s.length == 2, "one snapshot per committed manifest state")
+    assert(s.forall(_.getAs[Boolean]("readable")), "no part purged yet")
+    assert(s.last.getAs[Long]("rows") == 100L)
+    intercept[Exception](spark.read.format("mergetree")
+      .option("system", "columns").load(dir))
+  }
+
   test("FINAL composes with snapshot: collapse applies to the pinned parts") {
     val dir = Files.createTempDirectory("mt_snapfin_").toString
     val v1 = spark.range(10).select((col("id") % 10).as("k"), col("id").as("ver"))
