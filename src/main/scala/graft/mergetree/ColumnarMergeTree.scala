@@ -1070,6 +1070,62 @@ final class ColumnarMergeTree private (
       retireParts(oldIds)
     }
 
+  /** ClickHouse ALTER TABLE … DETACH PARTITION: unlink the partition's
+    * parts from the manifest into the persisted detached set — the rows
+    * vanish from every scan, but the part directories stay on disk
+    * indefinitely (in no GC list, never purged), awaiting re-ATTACH or
+    * manual removal. O(manifest), no part read or rewritten. The
+    * quarantine workflow: detach suspect data, inspect it offline (the
+    * parquet files are right there), re-attach or drop.
+    */
+  def detachPartition(value: String): Long = maintenanceLock.synchronized {
+    require(partitionBy.nonEmpty, "detachPartition on an unpartitioned table")
+    refresh()
+    val gone = manifest.parts.filter(_.partition.contains(value))
+    if (gone.isEmpty) return 0L
+    val goneIds = gone.map(_.partId).toSet
+    // Recorded detached BEFORE the manifest unlink: a crash between the two
+    // leaves the part both live and detached, which attachPartition
+    // self-heals (already-linked ids are not re-linked and their records
+    // are dropped) — never a part directory on disk with no record.
+    DetachedSet.update(path)(cur =>
+      (cur ++ gone).groupBy(_.partId).values.map(_.head).toList.sortBy(_.partId))
+    lock.synchronized {
+      manifest = GManifest.update(path) { cur =>
+        GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
+      }
+    }
+    gone.map(_.rowCount).sum
+  }
+
+  /** ClickHouse ALTER TABLE … ATTACH PARTITION: re-link the partition's
+    * detached parts into the manifest in ONE commit (readers see none or
+    * all of them). Fails loudly if a detached directory disappeared.
+    */
+  def attachPartition(value: String): Long = maintenanceLock.synchronized {
+    require(partitionBy.nonEmpty, "attachPartition on an unpartitioned table")
+    refresh()
+    val candidates = DetachedSet.load(path).filter(_.partition.contains(value))
+    if (candidates.isEmpty) return 0L
+    val missing = candidates.filterNot(p =>
+      Files.isDirectory(Paths.get(path, s"part_${p.partId}")))
+    require(missing.isEmpty, s"detached parts ${missing.map(_.partId).mkString(",")} " +
+      s"of partition '$value' are gone from disk")
+    var attached = List.empty[GPartMeta]
+    lock.synchronized {
+      manifest = GManifest.update(path) { cur =>
+        val live = cur.parts.map(_.partId).toSet
+        attached = candidates.filterNot(p => live(p.partId))
+        GManifest(cur.version, cur.parts ++ attached)
+      }
+    }
+    DetachedSet.update(path)(cur => cur.filterNot(_.partition.contains(value)))
+    attached.map(_.rowCount).sum
+  }
+
+  /** Detached part metadata (introspection for the quarantine workflow). */
+  def detachedParts: Seq[GPartMeta] = DetachedSet.load(path)
+
   def partCount: Int = manifest.parts.size
   def parts: Seq[GPartMeta] = manifest.parts
   def totalRows: Long = manifest.parts.map(_.rowCount).sum
@@ -1460,6 +1516,34 @@ object ColumnarMergeTree {
     * here are already invisible to new scans).
     */
   case class GcList(retired: List[GcEntry])
+
+  /** Persisted detached-partition set (`detached.json`): full part metadata
+    * of parts unlinked by DETACH PARTITION — on disk but in no manifest and
+    * in no GC list (never purged), awaiting re-ATTACH. Same lock + atomic-
+    * rename discipline as the manifest.
+    */
+  case class DetachedSet(parts: List[GPartMeta])
+
+  object DetachedSet {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val formats: Formats = DefaultFormats
+
+    def load(tablePath: String): List[GPartMeta] = {
+      val f = Paths.get(tablePath, "detached.json")
+      if (!Files.exists(f)) Nil
+      else JsonMethods.parse(Files.readString(f)).extract[DetachedSet].parts
+    }
+
+    def update(tablePath: String)(f: List[GPartMeta] => List[GPartMeta]): Unit =
+      ManifestLocks.locked(tablePath) {
+        val next = DetachedSet(f(load(tablePath)))
+        val tmp = Paths.get(tablePath, ".detached.json.tmp")
+        Files.writeString(tmp, Serialization.writePretty(next))
+        Files.move(tmp, Paths.get(tablePath, "detached.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
 
   object GcList {
     import org.json4s._

@@ -44,6 +44,52 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
     assert(t.scan().count() == 300)
   }
 
+  test("DETACH/ATTACH PARTITION: quarantine without deletion, one-commit re-link") {
+    val df = spark.range(300).select(
+      col("id").as("k"), (col("id") % 3).cast("long").as("bucket"))
+    val dir = Files.createTempDirectory("cmt_detach_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket"))
+    t.insertBatch(df.filter(col("k") < 150))
+    t.insertBatch(df.filter(col("k") >= 150))
+    val detachedIds = t.parts.filter(_.partition.contains("1")).map(_.partId)
+    assert(t.detachPartition("1") == 100L)
+    // rows vanish from scans; the directories do NOT (no GC involvement)
+    assert(t.scan().count() == 200)
+    assert(t.detachedParts.map(_.partId).sorted == detachedIds.sorted)
+    detachedIds.foreach(id =>
+      assert(Files.isDirectory(Paths.get(dir, s"part_$id")), s"part_$id must survive"))
+    t.purgeGc(force = true) // even a forced purge must not touch detached parts
+    detachedIds.foreach(id =>
+      assert(Files.isDirectory(Paths.get(dir, s"part_$id")),
+        s"GC must never delete a detached part ($id)"))
+    // detach is idempotent on an absent partition
+    assert(t.detachPartition("1") == 0L)
+    // re-attach restores the exact rows in one manifest commit
+    assert(t.attachPartition("1") == 100L)
+    assert(t.scan().count() == 300 && t.detachedParts.isEmpty)
+    val got = t.scanPartitions(Seq("1")).orderBy("k").collect().map(_.getLong(0)).toList
+    assert(got == (1L until 300L by 3).toList)
+  }
+
+  test("attachPartition self-heals a detached record whose part is still live") {
+    val df = spark.range(30).select(col("id").as("k"), lit("a").as("p"))
+    val dir = Files.createTempDirectory("cmt_detheal_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), partitionBy = Some("p"))
+    t.insertBatch(df)
+    // simulate the detach crash window: recorded detached, manifest unlink
+    // never happened — the part is live AND in detached.json
+    ColumnarMergeTree.DetachedSet.update(dir)(_ ++ t.parts.toList)
+    assert(t.attachPartition("a") == 0L, "live parts must not re-link (no double rows)")
+    assert(t.scan().count() == 30 && t.detachedParts.isEmpty)
+    // a detached directory that disappeared fails ATTACH loudly
+    t.detachPartition("a")
+    t.detachedParts.foreach(p =>
+      MergeTreeTable.deleteRecursively(Paths.get(dir, s"part_${p.partId}")))
+    intercept[IllegalArgumentException](t.attachPartition("a"))
+  }
+
   test("scanPartitions sees parts landed by another table instance (manifest refresh)") {
     val df = spark.range(10).select(col("id").as("k"), lit("a").as("p"))
     val dir = Files.createTempDirectory("cmt_part_rf_").toString
