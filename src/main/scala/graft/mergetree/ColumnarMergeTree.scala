@@ -736,27 +736,34 @@ final class ColumnarMergeTree private (
     manifest = GManifest.load(path).getOrElse(GManifest(0L, Nil))
   }
 
-  /** ClickHouse `OPTIMIZE TABLE … FINAL`: merge ALL parts down to one per
-    * partition regardless of maxParts, fully applying the merge mode and
-    * lazy TTL everywhere — the "make the table fully collapsed on disk"
-    * op (reads no longer pay any merge-on-read until new parts land).
+  /** ClickHouse `OPTIMIZE TABLE … FINAL [DEDUPLICATE]`: merge ALL parts
+    * down to one per partition regardless of maxParts, fully applying the
+    * merge mode and lazy TTL everywhere — the "make the table fully
+    * collapsed on disk" op (reads no longer pay any merge-on-read until
+    * new parts land). `deduplicate = true` additionally drops fully
+    * identical rows (all columns equal) during the rewrite, like
+    * ClickHouse DEDUPLICATE — the retroactive cure for an accidentally
+    * re-inserted batch on a Plain table, where no merge mode would ever
+    * collapse the copies.
     */
-  def optimizeFinal(): Unit = maintenanceLock.synchronized {
+  def optimizeFinal(deduplicate: Boolean = false): Unit = maintenanceLock.synchronized {
     refresh()
     val groups = manifest.parts.groupBy(_.partition).values.toSeq
     // Singletons rewrite too when a TTL (MATERIALIZE TTL semantics) or a
     // collapsing merge mode is declared — a single part can still hold
     // not-yet-collapsed duplicate keys from one raw insertBatch; only a
-    // Plain no-TTL singleton is already final.
+    // Plain no-TTL singleton is already final. DEDUPLICATE likewise
+    // rewrites singletons (one part can hold identical rows).
     val toMerge =
-      if (ttl.isDefined || mode != MergeMode.Plain) groups
+      if (deduplicate || ttl.isDefined || mode != MergeMode.Plain) groups
       else groups.filter(_.size > 1)
     if (toMerge.isEmpty) return
     val written = concurrently(toMerge) { bin =>
       val raw = spark.read.schema(schema)
         .parquet(bin.map(p => s"$path/part_${p.partId}"): _*)
       val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
-      writePart(collapse(unexpired), 0, register = false,
+      val deduped = if (deduplicate) unexpired.dropDuplicates() else unexpired
+      writePart(collapse(deduped), 0, register = false,
         partition = bin.head.partition)
     }
     // A fully-expired / fully-cancelled group yields 0 rows: drop it from

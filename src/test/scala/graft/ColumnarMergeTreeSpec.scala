@@ -107,6 +107,21 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(t.scan().count() == 10)
   }
 
+  test("OPTIMIZE FINAL DEDUPLICATE drops fully identical rows; plain FINAL keeps them") {
+    val df = spark.range(50).select((col("id") % 25).as("k"), (col("id") % 25 * 2).as("v"))
+    // df holds every (k, v) row exactly TWICE (id and id+25 map to the same
+    // row) — the accidentally re-inserted batch, on a Plain table where no
+    // merge mode would ever collapse the copies
+    val dir = Files.createTempDirectory("cmt_optdedup_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    t.insertBatch(df)
+    t.optimizeFinal()
+    assert(t.scan().count() == 50, "FINAL without DEDUPLICATE keeps identical rows")
+    t.optimizeFinal(deduplicate = true)
+    assert(t.scan().count() == 25, "DEDUPLICATE drops the re-inserted copies")
+    assert(t.scan().select("k").distinct().count() == 25)
+  }
+
   test("OPTIMIZE FINAL drops a fully-expired partition instead of a phantom 0-row part") {
     val df = spark.range(100).select(col("id").as("k"), (col("id") % 2).cast("long").as("day"))
     val dir = Files.createTempDirectory("cmt_optfttl_").toString
