@@ -261,6 +261,47 @@ final class ColumnarMergeTree private (
     ColumnarMergeTree.open(spark, path, config)
   }
 
+  /** ALTER TABLE … MODIFY COLUMN to a wider type, rewrite-free: only the
+    * persisted definition changes — Spark's vectorized parquet reader
+    * up-converts narrower stored values at scan time (type widening), and
+    * parts rewritten by later merges materialize the wide type physically,
+    * so storage converges without an O(data) rewrite — same posture as
+    * ADD/DROP COLUMN, the only ALTER economics that work at 100 TB.
+    * Restricted to the integer-family upcasts + float→double that the
+    * reader guarantees lossless; ORDER BY/mode/PARTITION BY/TTL columns of
+    * INTEGRAL type are allowed (manifest key bounds compare numerically,
+    * canonical partition values are integer strings — both width-blind),
+    * float→double on them is refused.
+    */
+  def widenColumn(name: String, to: DataType): ColumnarMergeTree = {
+    ManifestLocks.locked(path) {
+      val defn = TableDef.load(path).getOrElse(
+        throw new IllegalStateException(s"no table definition at $path"))
+      val cur = StructType.fromDDL(defn.schemaDdl)
+      require(cur.fieldNames.contains(name), s"no column '$name'")
+      val from = cur(name).dataType
+      val integralRank = Map[DataType, Int](
+        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      val ok = (integralRank.contains(from) && integralRank.contains(to) &&
+        integralRank(to) > integralRank(from)) ||
+        (from == FloatType && to == DoubleType)
+      require(ok, s"cannot widen ${from.simpleString} to ${to.simpleString} " +
+        "(supported: byte<short<int<long upcasts, float->double)")
+      if (from == FloatType) {
+        val structural = orderBy.toSet ++
+          ColumnarMergeTree.modeColumns(TableDef.decodeMode(defn.mode)) ++
+          defn.partitionBy.toSeq.flatMap(exprRefs) ++
+          defn.ttl.toSeq.flatMap(exprRefs)
+        require(!structural.contains(name),
+          s"float column '$name' is referenced by ORDER BY / merge mode / " +
+            "PARTITION BY / TTL and cannot be widened")
+      }
+      TableDef.store(path, defn.copy(schemaDdl = StructType(cur.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)).toDDL))
+    }
+    ColumnarMergeTree.open(spark, path, config)
+  }
+
   private def exprRefs(e: String): Seq[String] =
     spark.sessionState.sqlParser.parseExpression(e).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>

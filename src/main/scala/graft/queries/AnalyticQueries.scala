@@ -661,6 +661,30 @@ object AnalyticQueries {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** Q64 — ClickHouse `GROUP BY … WITH TOTALS`: the per-group aggregate
+    * plus one overall-totals row, in a single pass via GROUPING SETS
+    * ((event_type), ()) — Spark expands the sets inside one hash
+    * aggregate (Expand + partial agg), so the totals row costs no second
+    * scan. The NULL grouping key of the totals row is coalesced to a
+    * sentinel for deterministic ordering/hashing.
+    */
+  def q64WithTotals(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("ev_totals")
+    spark.sql(
+      """SELECT coalesce(event_type, '__totals__') AS event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM ev_totals
+        |GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val q64Sql: String =
+    """SELECT coalesce(event_type, '__totals__') AS event_type,
+      | count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), ())
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -687,5 +711,6 @@ object AnalyticQueries {
     ("q58_full_outer", q58FullOuter _, Some(q58Sql)),
     ("q59_array_join", q59ArrayJoin _, Some(q59Sql)),
     ("q60_range_frame", q60RangeFrame _, Some(q60Sql)),
-    ("q61_limit_by", q61LimitBy _, Some(q61Sql)))
+    ("q61_limit_by", q61LimitBy _, Some(q61Sql)),
+    ("q64_with_totals", q64WithTotals _, Some(q64Sql)))
 }

@@ -3,7 +3,7 @@ package graft
 import graft.mergetree._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -73,5 +73,58 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rows.length == 10)
     // every key's latest version (50..59) is in the new batch, tagged
     assert(rows.forall(r => r.getLong(1) >= 50 && r.getString(2) == "new"))
+  }
+
+  test("MODIFY COLUMN widening: int parts read as long, no rewrite, SQL face follows") {
+    val df = spark.range(100).select(
+      col("id").as("k"), (col("id") % 7).cast("int").as("v"))
+    val dir = Files.createTempDirectory("evo_widen_").toString
+    val t0 = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 1))
+    t0.insertBatch(df.filter(col("k") < 50))
+    val partsBefore = t0.parts.map(_.partId).toSet
+    val t1 = t0.widenColumn("v", LongType)
+    assert(t1.schema("v").dataType == LongType)
+    assert(t1.parts.map(_.partId).toSet == partsBefore, "widening rewrites NO part")
+    // old int32 parts up-convert at scan; values intact
+    val got = t1.scan().orderBy("k").collect()
+    assert(got.forall(r => r.getLong(1) == r.getLong(0) % 7))
+    // new batches land the wide type; both generations scan together
+    t1.insertBatch(df.filter(col("k") >= 50).withColumn("v", col("v").cast("long") + 100L))
+    assert(t1.scan().filter(col("v") >= 100L).count() == 50)
+    assert(t1.scan().agg(max("v")).head.getLong(0) == 106L)
+    // the DSv2/SQL face serves the widened schema (vectorized reader path)
+    val viaSql = spark.read.format("mergetree").load(dir)
+    assert(viaSql.schema("v").dataType == LongType)
+    assert(viaSql.agg(sum("v")).head.getLong(0) ==
+      t1.scan().agg(sum("v")).head.getLong(0))
+    // a merge materializes the wide type physically
+    t1.optimize()
+    assert(t1.scan().count() == 100)
+    // refusals: narrowing, non-numeric, float structural column
+    intercept[IllegalArgumentException](t1.widenColumn("v", IntegerType))
+    intercept[IllegalArgumentException](t1.widenColumn("missing", LongType))
+    val tf = ColumnarMergeTree.create(spark,
+      Files.createTempDirectory("evo_widenf_").toString,
+      spark.range(1).select(col("id").cast("float").as("k")).schema,
+      orderBy = Seq("k"))
+    intercept[IllegalArgumentException](tf.widenColumn("k", DoubleType))
+  }
+
+  test("widening the ORDER BY key keeps part pruning and key bounds working") {
+    val df = spark.range(1000).select(col("id").cast("int").as("k"),
+      col("id").as("v"))
+    val dir = Files.createTempDirectory("evo_widenkey_").toString
+    val t0 = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), MergeTreeConfig(maxParts = 100))
+    t0.insertBatch(df.filter(col("k") < 500))
+    val t1 = t0.widenColumn("k", LongType)
+    t1.insertBatch(df.filter(col("k") >= 500)
+      .withColumn("k", col("k").cast("long")))
+    // manifest bounds are numeric strings — width-blind; range scans prune
+    val got = t1.rangeScan(100L, 109L).orderBy("k").collect().map(_.getLong(0)).toList
+    assert(got == (100L to 109L).toList)
+    assert(t1.lastPruning._1 == 1 && t1.lastPruning._2 == 2,
+      s"pre-widen part must still prune: ${t1.lastPruning}")
   }
 }
