@@ -225,6 +225,17 @@ final class ColumnarMergeTree private (
     * as nulls — same convergence, no coordination needed.
     */
   def addColumn(name: String, dataType: DataType): ColumnarMergeTree = {
+    // Projections are identity copies: widen their surface in lockstep —
+    // target schema first, then the identity-select column list, then the
+    // base. A crash mid-sequence fails the next insert LOUDLY (the MV
+    // select names a column its input doesn't have yet) instead of
+    // silently syncing copies that null-fill a column the base has values
+    // for — which a routed scan would then serve as wrong results.
+    require(!schema.fieldNames.contains(name), s"column '$name' already exists")
+    val projDefs = mvDefs.filter(_.name.startsWith(ProjPrefix))
+    projDefs.foreach(d =>
+      ColumnarMergeTree.open(spark, d.targetPath).addColumn(name, dataType))
+    if (projDefs.nonEmpty) refreshProjectionSelects(extraCol = Some(name))
     ManifestLocks.locked(path) {
       val defn = TableDef.load(path).getOrElse(
         throw new IllegalStateException(s"no table definition at $path"))
@@ -236,6 +247,18 @@ final class ColumnarMergeTree private (
     ColumnarMergeTree.open(spark, path, config)
   }
 
+  /** Rewrite every projection's identity SELECT to the base's current
+    * column list (optionally plus a just-added column not yet persisted).
+    */
+  private def refreshProjectionSelects(extraCol: Option[String] = None,
+                                       dropCol: Option[String] = None): Unit = {
+    val cols = (schema.fieldNames.toSeq ++ extraCol).filterNot(dropCol.contains)
+    val sql = s"SELECT ${cols.map(f => s"`$f`").mkString(", ")} " +
+      s"FROM ${ColumnarMergeTree.MvInput}"
+    MvRegistry.update(path)(_.map(d =>
+      if (d.name.startsWith(ProjPrefix)) d.copy(sql = sql) else d))
+  }
+
   /** ALTER TABLE … DROP COLUMN, rewrite-free: removed from the definition
     * only; parts keep the physical column until a merge rewrites them (an
     * explicit read schema simply never projects it). Columns referenced by
@@ -243,18 +266,34 @@ final class ColumnarMergeTree private (
     * sort order, collapse, and pruning metadata would silently break.
     */
   def dropColumn(name: String): ColumnarMergeTree = {
+    // A projection sorted on this column is as protective as the base's
+    // own ORDER BY (its copy and routing would break); other projections
+    // follow the drop in lockstep — select list first (a crash between
+    // fails the next sync loudly on a schema mismatch, never a silent
+    // divergence), then target schema, then base.
+    val defn0 = TableDef.load(path).getOrElse(
+      throw new IllegalStateException(s"no table definition at $path"))
+    require(StructType.fromDDL(defn0.schemaDdl).fieldNames.contains(name),
+      s"no column '$name'")
+    val protectedCols = orderBy.toSet ++
+      ColumnarMergeTree.modeColumns(TableDef.decodeMode(defn0.mode)) ++
+      defn0.partitionBy.toSeq.flatMap(exprRefs) ++
+      defn0.ttl.toSeq.flatMap(exprRefs)
+    require(!protectedCols.contains(name),
+      s"column '$name' is referenced by ORDER BY / merge mode / " +
+        "PARTITION BY / TTL and cannot be dropped")
+    val projDefs = mvDefs.filter(_.name.startsWith(ProjPrefix))
+    val sortedOnIt = projections.collect { case (n, ob) if ob.contains(name) => n }
+    require(sortedOnIt.isEmpty,
+      s"column '$name' is the sort key of projection(s) " +
+        s"${sortedOnIt.mkString(", ")} — drop them first")
+    if (projDefs.nonEmpty) refreshProjectionSelects(dropCol = Some(name))
+    projDefs.foreach(d =>
+      ColumnarMergeTree.open(spark, d.targetPath).dropColumn(name))
     ManifestLocks.locked(path) {
       val defn = TableDef.load(path).getOrElse(
         throw new IllegalStateException(s"no table definition at $path"))
       val cur = StructType.fromDDL(defn.schemaDdl)
-      require(cur.fieldNames.contains(name), s"no column '$name'")
-      val protectedCols = orderBy.toSet ++
-        ColumnarMergeTree.modeColumns(TableDef.decodeMode(defn.mode)) ++
-        defn.partitionBy.toSeq.flatMap(exprRefs) ++
-        defn.ttl.toSeq.flatMap(exprRefs)
-      require(!protectedCols.contains(name),
-        s"column '$name' is referenced by ORDER BY / merge mode / " +
-          "PARTITION BY / TTL and cannot be dropped")
       TableDef.store(path, defn.copy(
         schemaDdl = StructType(cur.filterNot(_.name == name)).toDDL))
     }
@@ -274,28 +313,47 @@ final class ColumnarMergeTree private (
     * float→double on them is refused.
     */
   def widenColumn(name: String, to: DataType): ColumnarMergeTree = {
+    // A non-projection MV reading this column may transform it arbitrarily
+    // (its target schema was derived from the narrow type): refuse, the
+    // user rebuilds those views. Projections are identity copies — widen
+    // their targets FIRST, then the base: if we crash in between, a wide
+    // target read-schema still reads narrow base-synced parts correctly
+    // (type widening), whereas the reverse order would land wide parts
+    // under a narrow target definition and break the projection's reads.
+    val defn0 = TableDef.load(path).getOrElse(
+      throw new IllegalStateException(s"no table definition at $path"))
+    val cur0 = StructType.fromDDL(defn0.schemaDdl)
+    require(cur0.fieldNames.contains(name), s"no column '$name'")
+    val from = cur0(name).dataType
+    val integralRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val ok = (integralRank.contains(from) && integralRank.contains(to) &&
+      integralRank(to) > integralRank(from)) ||
+      (from == FloatType && to == DoubleType)
+    require(ok, s"cannot widen ${from.simpleString} to ${to.simpleString} " +
+      "(supported: byte<short<int<long upcasts, float->double)")
+    if (from == FloatType) {
+      val structural = orderBy.toSet ++
+        ColumnarMergeTree.modeColumns(TableDef.decodeMode(defn0.mode)) ++
+        defn0.partitionBy.toSeq.flatMap(exprRefs) ++
+        defn0.ttl.toSeq.flatMap(exprRefs) ++
+        projections.flatMap(_._2)
+      require(!structural.contains(name),
+        s"float column '$name' is referenced by ORDER BY / merge mode / " +
+          "PARTITION BY / TTL / a projection sort key and cannot be widened")
+    }
+    val (projDefs, otherMvs) = mvDefs.partition(_.name.startsWith(ProjPrefix))
+    val referencing = otherMvs.filter(d => mvSqlReferences(d.sql, name))
+    require(referencing.isEmpty,
+      s"column '$name' is read by materialized view(s) " +
+        s"${referencing.map(_.name).mkString(", ")} — drop and recreate them " +
+        "after the widen (their target schemas derive from the narrow type)")
+    projDefs.foreach(d =>
+      ColumnarMergeTree.open(spark, d.targetPath).widenColumn(name, to))
     ManifestLocks.locked(path) {
       val defn = TableDef.load(path).getOrElse(
         throw new IllegalStateException(s"no table definition at $path"))
       val cur = StructType.fromDDL(defn.schemaDdl)
-      require(cur.fieldNames.contains(name), s"no column '$name'")
-      val from = cur(name).dataType
-      val integralRank = Map[DataType, Int](
-        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
-      val ok = (integralRank.contains(from) && integralRank.contains(to) &&
-        integralRank(to) > integralRank(from)) ||
-        (from == FloatType && to == DoubleType)
-      require(ok, s"cannot widen ${from.simpleString} to ${to.simpleString} " +
-        "(supported: byte<short<int<long upcasts, float->double)")
-      if (from == FloatType) {
-        val structural = orderBy.toSet ++
-          ColumnarMergeTree.modeColumns(TableDef.decodeMode(defn.mode)) ++
-          defn.partitionBy.toSeq.flatMap(exprRefs) ++
-          defn.ttl.toSeq.flatMap(exprRefs)
-        require(!structural.contains(name),
-          s"float column '$name' is referenced by ORDER BY / merge mode / " +
-            "PARTITION BY / TTL and cannot be widened")
-      }
       TableDef.store(path, defn.copy(schemaDdl = StructType(cur.map(f =>
         if (f.name == name) f.copy(dataType = to) else f)).toDDL))
     }
@@ -307,6 +365,21 @@ final class ColumnarMergeTree private (
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.name
     }
+
+  /** Whether an MV's SQL reads `column` (parsed, not substring-matched);
+    * SELECT * conservatively counts as reading everything.
+    */
+  private def mvSqlReferences(sql: String, column: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    var hit = false
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case a: UnresolvedAttribute if a.nameParts.last.equalsIgnoreCase(column) => hit = true
+      case _: UnresolvedStar => hit = true
+      case _ =>
+    }))
+    hit
+  }
 
   // ------------------------------------------------------ materialized views
 

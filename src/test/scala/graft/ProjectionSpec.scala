@@ -80,6 +80,35 @@ class ProjectionSpec extends AnyFunSuite {
     assert(t.projections.isEmpty)
   }
 
+  test("schema evolution propagates to projections: routed reads never diverge") {
+    val t0 = build() // base ordered by k, projection by_rev on rev, 10000 rows
+    // ADD COLUMN: the copy gains it too, and post-ALTER inserts carry values
+    // into BOTH — a routed read must serve them, not null-fill
+    val t = t0.addColumn("n", org.apache.spark.sql.types.IntegerType)
+    val extra = spark.range(10000, 10100).select(
+      col("id").as("k"), (lit(9999) - col("id")).as("rev"),
+      (col("id") % 100).cast("long").as("v"), lit(7).cast("int").as("n"))
+    t.insertBatch(extra)
+    val routed = t.rangeScanAuto("rev", -101L, -1L).orderBy("k").collect()
+    assert(routed.length == 100 && routed.forall(_.getInt(3) == 7),
+      "routed scan must serve post-ALTER column values from the copy")
+    // dropping the projection's sort key is refused; a plain column drops
+    // everywhere in lockstep
+    intercept[IllegalArgumentException](t.dropColumn("rev"))
+    val t2 = t.dropColumn("v")
+    assert(t2.rangeScanAuto("rev", 0L, 9999L).columns.toSeq == Seq("k", "rev", "n"))
+    // MODIFY COLUMN widening reaches the copy's definition too: the routed
+    // read serves int parts written before the widen AND long parts after
+    val t3 = t2.widenColumn("n", org.apache.spark.sql.types.LongType)
+    t3.insertBatch(spark.range(20000, 20010).select(
+      col("id").as("k"), (lit(9999) - col("id")).as("rev"), lit(900L).as("n")))
+    val wide = t3.rangeScanAuto("rev", -10011L, -10001L)
+    assert(wide.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(wide.count() == 10 && wide.collect().forall(_.getLong(2) == 900L))
+    assert(t3.rangeScanAuto("rev", -101L, -1L).collect().forall(_.getLong(2) == 7L),
+      "pre-widen int values must up-convert through the routed read")
+  }
+
   test("DDL face: projections option declares + backfills; SQL range scans route") {
     val dir = Files.createTempDirectory("cmt_projddl_").toString
     val t0 = ColumnarMergeTree.create(spark, dir, df.schema,
