@@ -199,6 +199,7 @@ class TopKAggregator(k: Int, capacity: Int)
   override def zero: TopKState = TopKState(Map.empty)
 
   override def reduce(b: TopKState, term: String): TopKState = {
+    if (term == null) return b // aggregate semantics: nulls don't count
     val m = b.counts
     m.get(term) match {
       case Some(c)                       => TopKState(m.updated(term, c + 1))

@@ -685,6 +685,58 @@ object AnalyticQueries {
       |GROUP BY GROUPING SETS ((event_type), ())
       |ORDER BY event_type""".stripMargin
 
+  /** Q65 — ClickHouse `argMax`/`argMin` (Spark `max_by`/`min_by`): per
+    * event type, which user produced the highest/lowest value. Partial-
+    * aggregable (each partial keeps one (arg, extreme) pair per group), so
+    * it collapses map-side like any min/max. Ties broken deterministically
+    * by taking the extreme (user_id, value) pair lexicographically via a
+    * struct comparison — ClickHouse's argMax tie behavior is unspecified,
+    * so we pin one.
+    */
+  def q65ArgMax(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max(struct(col("value"), col("user_id"))).getField("user_id").as("top_user"),
+        round(max(col("value")), 2).as("top_value"),
+        min(struct(col("value"), col("user_id"))).getField("user_id").as("bottom_user"),
+        round(min(col("value")), 2).as("bottom_value"))
+      .orderBy(col("event_type"))
+
+  val q65Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, user_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, user_id DESC) AS rt,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, user_id ASC) AS rb
+      |  FROM events)
+      |SELECT t.event_type,
+      | t.user_id AS top_user, round(t.value, 2) AS top_value,
+      | b.user_id AS bottom_user, round(b.value, 2) AS bottom_value
+      |FROM (SELECT * FROM ranked WHERE rt = 1) t
+      |JOIN (SELECT * FROM ranked WHERE rb = 1) b USING (event_type)
+      |ORDER BY t.event_type""".stripMargin
+
+  /** Q66 — ClickHouse `groupArray`/`groupUniqArray`: per event type, the
+    * set of distinct users as ONE value. Emitted sorted and string-joined
+    * so the result is deterministic and engine-portable (array reprs
+    * differ between engines; a joined string hashes identically).
+    */
+  def q66GroupArray(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("user_id")))).as("users"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  val q66Sql: String =
+    """SELECT event_type,
+      | array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
+      | count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -712,5 +764,7 @@ object AnalyticQueries {
     ("q59_array_join", q59ArrayJoin _, Some(q59Sql)),
     ("q60_range_frame", q60RangeFrame _, Some(q60Sql)),
     ("q61_limit_by", q61LimitBy _, Some(q61Sql)),
-    ("q64_with_totals", q64WithTotals _, Some(q64Sql)))
+    ("q64_with_totals", q64WithTotals _, Some(q64Sql)),
+    ("q65_argmax", q65ArgMax _, Some(q65Sql)),
+    ("q66_group_array", q66GroupArray _, Some(q66Sql)))
 }
