@@ -1007,6 +1007,46 @@ object PipelineQueries {
       |  CASE WHEN lang = 'en' THEN '20' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
+  /** Q67 — document packing (training-sequence construction): assign whole
+    * documents to ~2048-token sequences by cumulative-offset binning, per
+    * language shard. seq_id = floor(start_offset / target) over a
+    * deterministic doc order — the distributed analogue of greedy packing:
+    * each shard's running token count is one window (parallel across
+    * shards, which is exactly how a packer shards work at 100 TB — the
+    * global-order variant would funnel everything through one partition).
+    * The plan output (which docs form which sequence, how full each is) is
+    * what a writer materializes into shards.
+    */
+  def q67Packing(spark: SparkSession, dir: String): DataFrame = {
+    val target = 2048
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("seq_id", floor((col("cum") - col("toks")) / target).cast("long"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").cast("long").as("seq_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  val q67Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+      |offs AS (
+      |  SELECT lang, doc_id, toks,
+      |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM toks)
+      |SELECT lang, CAST(floor((cum - toks) / 2048) AS BIGINT) AS seq_id,
+      | count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM offs GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -1027,5 +1067,6 @@ object PipelineQueries {
     ("q56_contamination", q56Contamination _, Some(q56Sql)),
     ("q57_blocklist", q57Blocklist _, Some(q57Sql)),
     ("q62_stratified_sample", q62StratifiedSample _, Some(q62Sql)),
-    ("q63_topk_terms", q63TopkTerms _, Some(q63Sql)))
+    ("q63_topk_terms", q63TopkTerms _, Some(q63Sql)),
+    ("q67_packing", q67Packing _, Some(q67Sql)))
 }
