@@ -737,6 +737,180 @@ object AnalyticQueries {
       | count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q68 — ClickHouse `windowFunnel`: per user, the deepest prefix of the
+    * funnel view → click → purchase completed inside a 24 h window
+    * anchored at the chain's first event, then a histogram of users per
+    * funnel level.
+    *
+    * Chain semantics (pinned, since ClickHouse's same-timestamp order is
+    * unspecified): steps strictly increase in (ts, event_id) order; the
+    * window constraint is last.ts − first.ts ≤ W.
+    *
+    * Implementation is a linear DP over each user's event stream instead
+    * of a k-way self-join: a running max over the preceding frame carries
+    * the latest funnel-prefix start time (the max start dominates — a
+    * later start can only make the window constraint easier), so level-k
+    * reachability for all users costs ONE shuffle (by user) and two
+    * window passes regardless of k or events-per-user. The self-join
+    * formulation would be O(events^k) on hot users; this is O(events)
+    * per user and partial-agg friendly — the 100 TB shape.
+    */
+  def q68Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400000000L // 24 h in microseconds
+    val ev = events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tus"))
+    val prior = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // latest view strictly before this event = best possible chain start
+    val s1 = ev.withColumn("v_prev",
+      max(when(col("event_type") === "view", col("tus"))).over(prior))
+    // latest (view→click) chain start strictly before this event
+    val s2 = s1.withColumn("best2",
+      max(when(col("event_type") === "click", col("v_prev"))).over(prior))
+    val perUser = s2.groupBy("user_id").agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+      max(when(col("event_type") === "click" &&
+        col("tus") - col("v_prev") <= W, 1).otherwise(0)).as("l2"),
+      max(when(col("event_type") === "purchase" &&
+        col("tus") - col("best2") <= W, 1).otherwise(0)).as("l3"))
+    perUser
+      .select(
+        when(col("l3") === 1, 3).when(col("l2") === 1, 2)
+          .when(col("l1") === 1, 1).otherwise(0).as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
+
+  val q68Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+      |  FROM events),
+      |s1 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'view' THEN tus END) OVER
+      |    (PARTITION BY user_id ORDER BY tus, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_prev
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'click' THEN v_prev END) OVER
+      |    (PARTITION BY user_id ORDER BY tus, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best2
+      |  FROM s1),
+      |pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+      |    max(CASE WHEN event_type = 'click'
+      |          AND tus - v_prev <= 86400000000 THEN 1 ELSE 0 END) AS l2,
+      |    max(CASE WHEN event_type = 'purchase'
+      |          AND tus - best2 <= 86400000000 THEN 1 ELSE 0 END) AS l3
+      |  FROM s2 GROUP BY user_id)
+      |SELECT CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
+      |            WHEN l1 = 1 THEN 1 ELSE 0 END AS level,
+      |  count(*) AS n_users
+      |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q69 — ClickHouse `retention(cond1, cond2, …)`: of the users who
+    * signed up in week 1 of the dataset, how many came back with ANY
+    * activity in week 2 / week 3 (each later flag is ANDed with the
+    * anchor, exactly ClickHouse's retention semantics). One groupBy(user)
+    * with conditional flags + one global fold — two shuffles total, both
+    * over tiny aggregates; counts use `count(CASE…)` rather than
+    * `sum(int)` so both engines emit int64 (DuckDB's sum(int) is
+    * int128).
+    */
+  def q69Retention(spark: SparkSession, dir: String): DataFrame = {
+    def in(lo: String, hi: String) =
+      col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")
+    val perUser = events(spark, dir).groupBy("user_id").agg(
+      max(when(col("event_type") === "signup" &&
+        in("2024-01-01", "2024-01-08"), 1).otherwise(0)).as("c1"),
+      max(when(in("2024-01-08", "2024-01-15"), 1).otherwise(0)).as("c2"),
+      max(when(in("2024-01-15", "2024-01-22"), 1).otherwise(0)).as("c3"))
+    perUser.agg(
+      count(when(col("c1") === 1, 1)).as("cohort"),
+      count(when(col("c1") === 1 && col("c2") === 1, 1)).as("retained_w1"),
+      count(when(col("c1") === 1 && col("c3") === 1, 1)).as("retained_w2"),
+      round(count(when(col("c1") === 1 && col("c2") === 1, 1)) /
+        count(when(col("c1") === 1, 1)), 4).as("ratio_w1"),
+      round(count(when(col("c1") === 1 && col("c3") === 1, 1)) /
+        count(when(col("c1") === 1, 1)), 4).as("ratio_w2"))
+  }
+
+  val q69Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'signup'
+      |          AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      |        THEN 1 ELSE 0 END) AS c1,
+      |    max(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      |        THEN 1 ELSE 0 END) AS c2,
+      |    max(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+      |        THEN 1 ELSE 0 END) AS c3
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  count(CASE WHEN c1 = 1 THEN 1 END) AS cohort,
+      |  count(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 END) AS retained_w1,
+      |  count(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 END) AS retained_w2,
+      |  round(count(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 END) /
+      |    count(CASE WHEN c1 = 1 THEN 1 END), 4) AS ratio_w1,
+      |  round(count(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 END) /
+      |    count(CASE WHEN c1 = 1 THEN 1 END), 4) AS ratio_w2
+      |FROM pu""".stripMargin
+
+  /** Q70 — ClickHouse `-If` aggregate combinators (`countIf`, `sumIf`,
+    * `avgIf`, `maxIf`): conditional aggregates folded into ONE hash
+    * aggregate pass instead of per-condition filtered scans. Spark's
+    * `agg(count/sum/avg/max over CASE)` partial-aggregates map-side like
+    * any plain aggregate; the NULL-skipping of avg/max gives -If's
+    * "ignore non-matching rows" for free (sumIf pins ELSE 0 so an empty
+    * match set yields 0, ClickHouse-style, not NULL).
+    */
+  def q70CondAgg(spark: SparkSession, dir: String): DataFrame = {
+    val big = col("value") > 100.0
+    events(spark, dir).groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      count(when(big, 1)).as("n_big"),
+      round(sum(when(big, col("value")).otherwise(0.0)), 2).as("sum_big"),
+      round(avg(when(big, col("value"))), 6).as("avg_big"),
+      round(max(when(!big, col("value"))), 6).as("max_small"))
+      .orderBy("event_type")
+  }
+
+  val q70Sql: String =
+    """SELECT event_type,
+      | count(*) AS n,
+      | count(CASE WHEN value > 100.0 THEN 1 END) AS n_big,
+      | round(sum(CASE WHEN value > 100.0 THEN value ELSE 0 END), 2) AS sum_big,
+      | round(avg(CASE WHEN value > 100.0 THEN value END), 6) AS avg_big,
+      | round(max(CASE WHEN NOT value > 100.0 THEN value END), 6) AS max_small
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q71 — ClickHouse `dictGet`: enrich the customer fact stream with
+    * nation names through a [[graft.functions.Dictionary]] — a plan-
+    * literal map lookup (codegen `element_at` on a constant), NOT a join:
+    * zero shuffle, zero build-side, the plan over the fact table is a
+    * single aggregate. Unknown keys fall back like
+    * `dictGetOrDefault`. The oracle spells the same query as the join it
+    * replaces.
+    */
+  def q71DictGet(spark: SparkSession, dir: String): DataFrame = {
+    val dict = graft.functions.Dictionary.fromDataFrame(
+      t(spark, dir, "nation"), "n_nationkey", "n_name")
+    t(spark, dir, "customer")
+      .groupBy(dict.getOrDefault(col("c_nationkey"), lit("__unknown__"))
+        .as("nation_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("nation_name")
+  }
+
+  val q71Sql: String =
+    """SELECT coalesce(n.n_name, '__unknown__') AS nation_name,
+      | count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS sum_bal
+      |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -766,5 +940,9 @@ object AnalyticQueries {
     ("q61_limit_by", q61LimitBy _, Some(q61Sql)),
     ("q64_with_totals", q64WithTotals _, Some(q64Sql)),
     ("q65_argmax", q65ArgMax _, Some(q65Sql)),
-    ("q66_group_array", q66GroupArray _, Some(q66Sql)))
+    ("q66_group_array", q66GroupArray _, Some(q66Sql)),
+    ("q68_funnel", q68Funnel _, Some(q68Sql)),
+    ("q69_retention", q69Retention _, Some(q69Sql)),
+    ("q70_cond_agg", q70CondAgg _, Some(q70Sql)),
+    ("q71_dict_get", q71DictGet _, Some(q71Sql)))
 }
