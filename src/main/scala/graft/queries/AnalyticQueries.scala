@@ -911,6 +911,159 @@ object AnalyticQueries {
       |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q72 — ClickHouse array-function family (`arrayMap`/`arrayFilter`/
+    * `arrayReduce`/`arrayExists` ≙ Spark `transform`/`filter`/`aggregate`/
+    * `exists`): per embedding vector, component stats computed inside the
+    * row — no explode, no shuffle; the whole query is scan + project +
+    * sort. Elements are cast float→double BEFORE arithmetic and folded
+    * sequentially in array order by both engines, so per-row results are
+    * bit-identical (no cross-row reduction anywhere).
+    */
+  def q72ArrayHof(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").select(
+      col("vec_id"),
+      size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+      round(
+        sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)),
+        6).as("l2"),
+      round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+      exists(col("embedding"), x => x > lit(0.25)).as("has_big"))
+      .orderBy("vec_id")
+
+  val q72Sql: String =
+    """SELECT vec_id,
+      | len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+      | round(sqrt(list_aggregate(
+      |   list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS l2,
+      | round(list_aggregate(embedding, 'max')::DOUBLE, 6) AS mx,
+      | len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_big
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Q73 — ClickHouse `sumMap`: per user, the event_type → Σvalue mapping
+    * as ONE value. Two-level aggregate (pair sums, then map assembly per
+    * user — both partial-agg hash aggregates). The map is emitted as a
+    * sorted `k:v` string with values in fixed-point cents (`bigint`), not
+    * doubles, so the rendering is engine-portable (double→string
+    * formatting differs between engines; int64 doesn't).
+    */
+  def q73SumMap(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(round(sum("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(
+        concat_ws(",", array_sort(collect_list(
+          concat(col("event_type"), lit(":"), col("cents"))))).as("value_map"),
+        count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+
+  val q73Sql: String =
+    """WITH pairs AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(sum(value) * 100) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id, event_type)
+      |SELECT user_id,
+      | array_to_string(list_sort(list(event_type || ':' || cents)), ',') AS value_map,
+      | count(*) AS n_types
+      |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q74 — ClickHouse `ORDER BY … WITH FILL`: daily event counts over
+    * January 2024 with missing days materialized as zero rows. The fill
+    * axis is generated with `sequence()` + explode (a few hundred rows —
+    * driver-free, shuffle-free) and the observed days are left-joined
+    * onto it; at 100 TB the fact side still aggregates to one row per
+    * day before touching the (tiny, broadcast) calendar spine.
+    */
+  def q74WithFill(spark: SparkSession, dir: String): DataFrame = {
+    val days = spark.range(1).select(explode(expr(
+      "sequence(to_date('2024-01-01'), to_date('2024-01-31'), interval 1 day)"))
+      .as("day"))
+    val observed = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    days.join(observed, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day")
+  }
+
+  val q74Sql: String =
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+      |    INTERVAL 1 DAY))::DATE AS day),
+      |observed AS (
+      |  SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1)
+      |SELECT spine.day::VARCHAR AS day, coalesce(observed.n, 0) AS n
+      |FROM spine LEFT JOIN observed USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** Q75 — ClickHouse `sequenceCount('(?1)(?2)')`: per user, how many
+    * non-overlapping view→click sequences occur in time order, matched
+    * greedily left-to-right (ClickHouse's scan semantics).
+    *
+    * The greedy state machine ("open a match on view, close on click")
+    * has a closed form over prefixes: unmatched clicks = the maximum
+    * prefix excess of clicks over views, so
+    *   pairs = total_clicks − max(0, max_j (clicks(j) − views(j))).
+    * That is ONE running-sum window (+1 click / −1 view) and a per-user
+    * aggregate — O(events) per user, one shuffle, no state machine, no
+    * self-join; the same shape as Q68's funnel DP.
+    */
+  def q75SequenceCount(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tus"),
+        when(col("event_type") === "click", 1).otherwise(-1).as("d"))
+    val run = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("excess", sum(col("d")).over(run))
+      .groupBy("user_id")
+      .agg((count(when(col("d") === 1, 1)) -
+        greatest(max(col("excess")), lit(0L))).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val q75Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE -1 END AS d
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |run AS (
+      |  SELECT *, sum(d) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS excess
+      |  FROM ev)
+      |SELECT user_id,
+      |  (count(CASE WHEN d = 1 THEN 1 END)
+      |    - greatest(max(excess), 0))::BIGINT AS n_pairs
+      |FROM run GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q76 — ClickHouse statistical aggregates (`stddevSamp`/`varSamp`/
+    * `covarSamp`/`corr`): per event type, second-moment statistics of
+    * value against user_id. All four are partial-aggregable (Spark merges
+    * per-partition moment sketches); results are rounded because the
+    * merge order of floating moments differs between engines.
+    */
+  def q76StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      round(stddev_samp(col("value")), 6).as("sd"),
+      round(var_samp(col("value")), 6).as("var"),
+      round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar"),
+      round(corr(col("value"), col("user_id").cast("double")), 6).as("corr"))
+      .orderBy("event_type")
+
+  val q76Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | round(stddev_samp(value), 6) AS sd,
+      | round(var_samp(value), 6) AS "var",
+      | round(covar_samp(value, user_id::DOUBLE), 4) AS covar,
+      | round(corr(value, user_id::DOUBLE), 6) AS corr
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -944,5 +1097,10 @@ object AnalyticQueries {
     ("q68_funnel", q68Funnel _, Some(q68Sql)),
     ("q69_retention", q69Retention _, Some(q69Sql)),
     ("q70_cond_agg", q70CondAgg _, Some(q70Sql)),
-    ("q71_dict_get", q71DictGet _, Some(q71Sql)))
+    ("q71_dict_get", q71DictGet _, Some(q71Sql)),
+    ("q72_array_hof", q72ArrayHof _, Some(q72Sql)),
+    ("q73_sum_map", q73SumMap _, Some(q73Sql)),
+    ("q74_with_fill", q74WithFill _, Some(q74Sql)),
+    ("q75_sequence_count", q75SequenceCount _, Some(q75Sql)),
+    ("q76_stats_agg", q76StatsAgg _, Some(q76Sql)))
 }

@@ -108,6 +108,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q68: funnel DP is two windows over ONE user shuffle — no self-joins") {
+    val p = plan(AnalyticQueries.q68Funnel(spark, dir))
+    assert(!p.contains("Join"), s"funnel must not self-join the event stream:\n$p")
+    assert("(?<!WindowGroupLimit)\\bWindow\\b".r.findAllIn(p).size == 2,
+      s"funnel is exactly two window passes:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"both windows and the per-user aggregate must reuse one user shuffle:\n$p")
+  }
+
+  test("q71: dictGet plans a literal map lookup, not a join") {
+    val p = plan(AnalyticQueries.q71DictGet(spark, dir))
+    assert(!p.contains("Join"), s"dictGet must not plan a join:\n$p")
+  }
+
+  test("q74: calendar spine joins broadcast, fact side aggregates first") {
+    val p = plan(AnalyticQueries.q74WithFill(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"day-spine join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join over the spine:\n$p")
+  }
+
+  test("q75: sequenceCount is one running-sum window, no state machine or join") {
+    val p = plan(AnalyticQueries.q75SequenceCount(spark, dir))
+    assert(!p.contains("Join"), s"sequenceCount must not self-join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"window + per-user aggregate share one user shuffle:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
