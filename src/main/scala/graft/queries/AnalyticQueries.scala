@@ -742,43 +742,19 @@ object AnalyticQueries {
     * anchored at the chain's first event, then a histogram of users per
     * funnel level.
     *
-    * Chain semantics (pinned, since ClickHouse's same-timestamp order is
-    * unspecified): steps strictly increase in (ts, event_id) order; the
-    * window constraint is last.ts − first.ts ≤ W.
-    *
-    * Implementation is a linear DP over each user's event stream instead
-    * of a k-way self-join: a running max over the preceding frame carries
-    * the latest funnel-prefix start time (the max start dominates — a
-    * later start can only make the window constraint easier), so level-k
-    * reachability for all users costs ONE shuffle (by user) and two
-    * window passes regardless of k or events-per-user. The self-join
-    * formulation would be O(events^k) on hot users; this is O(events)
-    * per user and partial-agg friendly — the 100 TB shape.
+    * Routed through [[graft.operators.Funnel.levels]] — the linear
+    * per-user DP (one shuffle, k−1 window passes, no self-joins; see the
+    * operator scaladoc for the dominance argument and scale posture).
     */
   def q68Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val W = 86400000000L // 24 h in microseconds
     val ev = events(spark, dir).select(
       col("user_id"), col("event_id"), col("event_type"),
       expr("unix_micros(ts)").as("tus"))
-    val prior = Window.partitionBy("user_id")
-      .orderBy(col("tus"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // latest view strictly before this event = best possible chain start
-    val s1 = ev.withColumn("v_prev",
-      max(when(col("event_type") === "view", col("tus"))).over(prior))
-    // latest (view→click) chain start strictly before this event
-    val s2 = s1.withColumn("best2",
-      max(when(col("event_type") === "click", col("v_prev"))).over(prior))
-    val perUser = s2.groupBy("user_id").agg(
-      max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
-      max(when(col("event_type") === "click" &&
-        col("tus") - col("v_prev") <= W, 1).otherwise(0)).as("l2"),
-      max(when(col("event_type") === "purchase" &&
-        col("tus") - col("best2") <= W, 1).otherwise(0)).as("l3"))
-    perUser
-      .select(
-        when(col("l3") === 1, 3).when(col("l2") === 1, 2)
-          .when(col("l1") === 1, 1).otherwise(0).as("level"))
+    graft.operators.Funnel
+      .levels(ev, "user_id", "tus", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 86400000000L) // 24 h
       .groupBy("level").agg(count(lit(1)).as("n_users"))
       .orderBy("level")
   }
@@ -1003,27 +979,18 @@ object AnalyticQueries {
     * non-overlapping view→click sequences occur in time order, matched
     * greedily left-to-right (ClickHouse's scan semantics).
     *
-    * The greedy state machine ("open a match on view, close on click")
-    * has a closed form over prefixes: unmatched clicks = the maximum
-    * prefix excess of clicks over views, so
-    *   pairs = total_clicks − max(0, max_j (clicks(j) − views(j))).
-    * That is ONE running-sum window (+1 click / −1 view) and a per-user
-    * aggregate — O(events) per user, one shuffle, no state machine, no
-    * self-join; the same shape as Q68's funnel DP.
+    * Routed through [[graft.operators.Funnel.sequenceCount]] — the
+    * prefix-excess closed form (one running-sum window + one aggregate;
+    * see the operator scaladoc).
     */
   def q75SequenceCount(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_id"),
-        expr("unix_micros(ts)").as("tus"),
-        when(col("event_type") === "click", 1).otherwise(-1).as("d"))
-    val run = Window.partitionBy("user_id")
-      .orderBy(col("tus"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("excess", sum(col("d")).over(run))
-      .groupBy("user_id")
-      .agg((count(when(col("d") === 1, 1)) -
-        greatest(max(col("excess")), lit(0L))).as("n_pairs"))
+    val ev = events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tus"))
+    graft.operators.Funnel
+      .sequenceCount(ev, "user_id", "tus", "event_id",
+        first = col("event_type") === "view",
+        second = col("event_type") === "click")
       .orderBy("user_id")
   }
 

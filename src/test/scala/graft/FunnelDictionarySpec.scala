@@ -86,6 +86,35 @@ class FunnelDictionarySpec extends AnyFunSuite {
       == Map(0 -> 1L, 1 -> 1L, 2 -> 1L))
   }
 
+  private def fourStageLevels(rows: Seq[(Long, Long, String, Long)]): Map[Long, Int] = {
+    val ev = rows.toDF("user_id", "event_id", "event_type", "tus")
+    graft.operators.Funnel
+      .levels(ev, "user_id", "tus", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c", col("event_type") === "d"),
+        windowMicros = 24 * H)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("funnel operator: generalizes to 4 stages") {
+    // full 4-chain in window; a 3-chain whose 4th step misses the window;
+    // deepest level wins even when earlier stages also match later
+    assert(fourStageLevels(Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", H), (1L, 3L, "c", 2 * H), (1L, 4L, "d", 3 * H),
+      (2L, 1L, "a", 0L), (2L, 2L, "b", H), (2L, 3L, "c", 2 * H), (2L, 4L, "d", 30 * H),
+      (3L, 1L, "a", 0L), (3L, 2L, "b", H), (3L, 3L, "a", 2 * H)))
+      == Map(1L -> 4, 2L -> 3, 3L -> 2))
+  }
+
+  test("funnel operator: 4-deep window restart (dominance at depth)") {
+    // chain 1 (a@0 … c@20h) stalls: d@30h misses its window; but a second
+    // a@10h,b@12h,c@20h chain reaches d@30h within 24h of ITS start.
+    assert(fourStageLevels(Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", H), (1L, 3L, "a", 10 * H),
+      (1L, 4L, "b", 12 * H), (1L, 5L, "c", 20 * H), (1L, 6L, "d", 30 * H)))
+      == Map(1L -> 4))
+  }
+
   test("dictionary: lookup, default, has; no join in the plan") {
     val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "v")
     val d = Dictionary.fromDataFrame(dim, "k", "v")
