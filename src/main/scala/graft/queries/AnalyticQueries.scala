@@ -1031,6 +1031,79 @@ object AnalyticQueries {
       | round(corr(value, user_id::DOUBLE), 6) AS corr
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q77 — ClickHouse `quantileTDigest`-family: approximate p50/p90/p99
+    * per event type via Spark's `approx_percentile` (KLL-style mergeable
+    * sketch, partial-agg friendly — the only quantile shape that works at
+    * 100 TB without a global sort). No SQL oracle: sketch results are
+    * engine-specific; bounded against exact quantiles (q42's family) in
+    * CorrectnessRegressionsSpec instead, and the driver records a
+    * rows-only check (same posture as q17b).
+    */
+  def q77ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).groupBy("event_type").agg(
+      expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("qs"))
+      .select(col("event_type"),
+        round(element_at(col("qs"), 1), 2).as("p50"),
+        round(element_at(col("qs"), 2), 2).as("p90"),
+        round(element_at(col("qs"), 3), 2).as("p99"))
+      .orderBy("event_type")
+
+  /** Q78 — corpus-level TF-IDF with per-document top terms: tokenize →
+    * per-(doc,term) tf → per-term df over the WHOLE corpus → smoothed
+    * idf = ln((N+1)/(df+1)) → top-3 terms for the first 20 docs.
+    *
+    * Scale: tokenization explodes map-side; tf and df are hash
+    * aggregates; the df side collapses to one row per distinct term
+    * before joining back (never corpus-sized × corpus-sized); the final
+    * top-3 is a WindowGroupLimit over 20 docs. Tokenizer (lowercase,
+    * split on non-letters, length ≥ 3) is spelled identically in both
+    * engines so term sets match exactly; ties in tf·idf break on term
+    * asc.
+    */
+  def q78Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.select(countDistinct("doc_id")).first().getLong(0)
+    val terms = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .filter(col("doc_id") < 20)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q78Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      |  WHERE len(t.term) >= 3),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored WHERE doc_id < 20)
+      |SELECT doc_id, rk, term, tf, df, tfidf
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1069,5 +1142,7 @@ object AnalyticQueries {
     ("q73_sum_map", q73SumMap _, Some(q73Sql)),
     ("q74_with_fill", q74WithFill _, Some(q74Sql)),
     ("q75_sequence_count", q75SequenceCount _, Some(q75Sql)),
-    ("q76_stats_agg", q76StatsAgg _, Some(q76Sql)))
+    ("q76_stats_agg", q76StatsAgg _, Some(q76Sql)),
+    ("q77_approx_quantiles", q77ApproxQuantiles _, None),
+    ("q78_tfidf", q78Tfidf _, Some(q78Sql)))
 }
