@@ -72,4 +72,51 @@ object StreamingIngest {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_id")
+
+  /** Streaming sessionization — the streaming analogue of Q41, using
+    * Spark's native `session_window` (preferred over hand-rolled
+    * flatMapGroupsWithState state: the built-in merges overlapping
+    * session fragments across micro-batches, spills via the state store,
+    * and closes a session only when the watermark passes its gap — all
+    * for free). Append mode: each session emits exactly once, finalized.
+    */
+  def sessionizedStats(events: DataFrame,
+                       gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Cumulative per-user stats over an unbounded stream — the
+    * KeyValueGroupedDataset custom-state tier (`mapGroupsWithState`) for
+    * semantics no built-in aggregate expresses: state survives across
+    * micro-batches forever (no window, no watermark eviction) and each
+    * batch emits the UPDATED running row per active user only.
+    * State is O(1) per user (count/sum/max — mergeable), so a billion-row
+    * stream over a bounded user population holds a tiny state store.
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (user, batch, state) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0, Double.MinValue))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserStats(user, s.n + 1, s.sum_value + e.value, math.max(s.max_value, e.value))
+          }
+          state.update(next)
+          next
+      }
+  }
 }
+
+/** Typed row for the custom-state streaming path. */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Running per-user aggregate state/output of [[StreamingIngest.runningUserStats]]. */
+case class UserStats(user_id: Long, n: Long, sum_value: Double, max_value: Double)

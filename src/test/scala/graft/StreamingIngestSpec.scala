@@ -1,7 +1,7 @@
 package graft
 
 import graft.mergetree._
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingIngest, UserEvent}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -107,6 +107,56 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert((0L until 20L).forall(k => collapsed(k) == s"v2-$k"),
         "latest version must win across micro-batch parts")
       assert((20L until 50L).forall(k => collapsed(k) == s"v1-$k"))
+    } finally q.stop()
+  }
+
+  test("session_window closes a session only after the watermark passes its gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Double)] // (user, epochSec, value)
+    val events = source.toDF().toDF("user_id", "sec", "value")
+      .select(col("user_id"), expr("timestamp_seconds(sec)").as("ts"), col("value"))
+    val out = StreamingIngest.sessionizedStats(events,
+      gap = "30 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000L
+      // user 1: two events 10 min apart (one session), then silence;
+      // user 2: one event. A later batch advances the watermark far past
+      // both gaps, closing and emitting the sessions.
+      source.addData((1L, base, 1.0), (1L, base + 600, 2.0), (2L, base, 5.0))
+      q.processAllAvailable()
+      source.addData((9L, base + 10000, 0.0)) // watermark pusher
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)),
+        s"user 1's two events merge into one closed session: $rows")
+      assert(rows.contains((2L, 1L, 5.0)), s"user 2's singleton session: $rows")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps cumulative per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[UserEvent]
+    val out = StreamingIngest.runningUserStats(source.toDS())
+    val q = out.writeStream.format("memory").queryName("running_stats")
+      .outputMode("update").start()
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      source.addData(UserEvent(1L, t0, 2.0), UserEvent(1L, t0, 3.0),
+        UserEvent(2L, t0, 7.0))
+      q.processAllAvailable()
+      source.addData(UserEvent(1L, t0, 5.0)) // state must carry n=2, sum=5
+      q.processAllAvailable()
+      val latest = spark.table("running_stats")
+        .groupBy("user_id").agg(max(struct(col("n"), col("sum_value"), col("max_value"))).as("s"))
+        .select(col("user_id"), col("s.n"), col("s.sum_value"), col("s.max_value"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(latest(1L) == ((3L, 10.0, 5.0)),
+        s"user 1 accumulates across batches: ${latest(1L)}")
+      assert(latest(2L) == ((1L, 7.0, 7.0)), s"user 2: ${latest(2L)}")
     } finally q.stop()
   }
 
