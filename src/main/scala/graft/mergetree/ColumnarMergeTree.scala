@@ -561,10 +561,12 @@ final class ColumnarMergeTree private (
   private def registerStaged(stage: java.nio.file.Path, register: Boolean,
                              partition: Option[String]): GPartMeta = {
     val (minK, maxK, rows, groups) = footerBounds(stage.toString, leadKey)
+    val stats = footerColStats(stage.toString, config.minmaxColumns)
     val size = MergeTreeTable.dirSize(stage)
     val now = System.currentTimeMillis()
     val meta = GManifest.register(path, stage, append = register) { partId =>
-      GPartMeta(partId, minK, maxK, leadIsNumeric, rows, groups, size, now, partition)
+      GPartMeta(partId, minK, maxK, leadIsNumeric, rows, groups, size, now,
+        partition, colStats = Some(stats).filter(_.nonEmpty))
     }
     if (register) lock.synchronized {
       manifest = GManifest.load(path).getOrElse(manifest)
@@ -659,6 +661,70 @@ final class ColumnarMergeTree private (
     else (minS, maxS, rows, math.max(1, groups))
   }
 
+  /** Minmax skip-index bounds for the declared columns, from the footers of
+    * a freshly-written part. Same partial-stats discipline as footerBounds:
+    * a column whose stats are missing in ANY populated row group gets no
+    * entry (bounds from partial stats would prune rows the stats-less
+    * groups may hold). Integer-family stats → "long", float-family →
+    * "double", binary (UTF-8 strings) → "string"; other types are skipped.
+    */
+  private def footerColStats(dir: String, cols: Seq[String]): List[GColStat] = {
+    if (cols.isEmpty) return Nil
+    val conf = spark.sessionState.newHadoopConf()
+    case class Acc(var minL: Long = Long.MaxValue, var maxL: Long = Long.MinValue,
+                   var minD: Double = Double.MaxValue, var maxD: Double = Double.MinValue,
+                   var minS: String = null, var maxS: String = null,
+                   var kind: String = null, var seen: Long = 0L)
+    val accs = cols.map(c => c -> Acc()).toMap
+    var groups = 0L
+    val files = Files.list(Paths.get(dir))
+    val parquetFiles =
+      try files.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally files.close()
+    parquetFiles.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f.toString), conf))
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        if (b.getRowCount > 0) {
+          groups += 1
+          b.getColumns.asScala.foreach { c =>
+            accs.get(c.getPath.toDotString).foreach { a =>
+              val s = c.getStatistics
+              if (s != null && s.hasNonNullValue) s.genericGetMin match {
+                case bin: Binary =>
+                  a.seen += 1; a.kind = "string"
+                  val lo = bin.toStringUsingUTF8
+                  val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                  if (a.minS == null || KeyOrder.lt(lo, a.minS)) a.minS = lo
+                  if (a.maxS == null || KeyOrder.gt(hi, a.maxS)) a.maxS = hi
+                case n: Number
+                    if n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float] =>
+                  a.seen += 1; a.kind = "double"
+                  a.minD = math.min(a.minD, n.doubleValue())
+                  a.maxD = math.max(a.maxD,
+                    s.genericGetMax.asInstanceOf[Number].doubleValue())
+                case n: Number =>
+                  a.seen += 1; a.kind = "long"
+                  a.minL = math.min(a.minL, n.longValue())
+                  a.maxL = math.max(a.maxL,
+                    s.genericGetMax.asInstanceOf[Number].longValue())
+                case _ => ()
+              }
+            }
+          }
+        }
+      } finally r.close()
+    }
+    cols.flatMap { c =>
+      val a = accs(c)
+      if (a.seen != groups || a.kind == null) None
+      else a.kind match {
+        case "long"   => Some(GColStat(c, a.minL.toString, a.maxL.toString, "long"))
+        case "double" => Some(GColStat(c, a.minD.toString, a.maxD.toString, "double"))
+        case _        => Some(GColStat(c, a.minS, a.maxS, "string"))
+      }
+    }.toList
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Full table scan: surviving manifest parts, with the table's merge-mode
@@ -678,6 +744,32 @@ final class ColumnarMergeTree private (
   def rangeScan(lo: Any, hi: Any): DataFrame =
     collapse(scanPruned(Some(lo), Some(hi))
       .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi)))
+
+  /** Range scan on a minmax skip-index column (ClickHouse `minmax` index,
+    * part-level): parts whose recorded [min, max] for `column` is disjoint
+    * from [lo, hi] are dropped DRIVER-SIDE from the manifest — no footer
+    * read, no task — then the predicate is applied in the plan as usual
+    * (pushed to parquet, which prunes row groups within surviving parts).
+    * Parts without bounds for the column (pre-index parts, incomplete
+    * footer stats) are always read — pruning is an optimization, never a
+    * correctness dependency. `lastPruning` reports (planned, total).
+    *
+    * Collapse caveat: for non-Plain modes a version of a key may live in a
+    * pruned part, so the collapse here runs over the SURVIVING parts only
+    * and the filter is applied before it — same contract as ClickHouse,
+    * where a skip-index read is a raw-parts optimization and FINAL +
+    * skip-index filter on an unrelated column is the user's bet that the
+    * filter column is stable across versions of a key.
+    */
+  def scanWhere(column: String, lo: Any, hi: Any): DataFrame = {
+    require(schema.fieldNames.contains(column), s"no column '$column'")
+    refresh()
+    val live = manifest.parts
+    val surviving = live.filter(_.colAllows(column, lo, hi))
+    lastPruning = (surviving.size, live.size)
+    collapse(readParts(surviving)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi)))
+  }
 
   /** Scan restricted to the given partition values: every part outside the
     * requested partitions is pruned from the manifest before any file I/O —
@@ -1384,7 +1476,8 @@ object ColumnarMergeTree {
     TableDef.store(path, TableDef(schema.toDDL, orderBy.toList,
       TableDef.encodeMode(mode), partitionBy, ttl,
       Some(config.gcGraceSeconds),
-      Some(config.bloomFilterColumns.toList).filter(_.nonEmpty)))
+      Some(config.bloomFilterColumns.toList).filter(_.nonEmpty),
+      Some(config.minmaxColumns.toList).filter(_.nonEmpty)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -1415,9 +1508,13 @@ object ColumnarMergeTree {
       case Some(g) => config.copy(gcGraceSeconds = g)
       case None    => config
     }
-    val cfg = defn.bloomFilterColumns match {
+    val cfg1 = defn.bloomFilterColumns match {
       case Some(bs) => cfg0.copy(bloomFilterColumns = bs)
       case None     => cfg0
+    }
+    val cfg = defn.minmaxColumns match {
+      case Some(ms) => cfg1.copy(minmaxColumns = ms)
+      case None     => cfg1
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
@@ -1443,7 +1540,12 @@ object ColumnarMergeTree {
       /** Bloom-filter columns, persisted so parts written by ANY opener
         * (SQL INSERT through the connector included) carry the blooms.
         */
-      bloomFilterColumns: Option[List[String]] = None)
+      bloomFilterColumns: Option[List[String]] = None,
+      /** Minmax skip-index columns, persisted for the same reason: a part
+        * written by an opener unaware of the index would carry no bounds
+        * and silently become unprunable.
+        */
+      minmaxColumns: Option[List[String]] = None)
 
   object TableDef {
     import org.json4s._
@@ -1507,7 +1609,14 @@ object ColumnarMergeTree {
         * unpartitioned tables — and on manifests written before this field
         * existed, which json4s reads as absent.
         */
-      partition: Option[String] = None) {
+      partition: Option[String] = None,
+      /** Minmax skip-index bounds for the table's declared minmaxColumns.
+        * Absent on parts written before the index existed (or by an opener
+        * predating the field — json4s reads missing as None): such parts
+        * are simply never pruned by the index. A column missing from the
+        * list had incomplete footer stats in this part — same treatment.
+        */
+      colStats: Option[List[GColStat]] = None) {
 
     /** Inclusive-range overlap. Null bounds mean the part is unbounded
       * (footer key stats were incomplete — see footerBounds): never pruned.
@@ -1523,7 +1632,29 @@ object ColumnarMergeTree {
         val l = lo.toString; val h = hi.toString
         !(KeyOrder.lt(maxKey, l) || KeyOrder.gt(minKey, h))
       }
+
+    /** Can rows with `column` in [lo, hi] exist in this part? True when the
+      * part carries no bounds for the column (never prune blind). NULLs
+      * never match a range predicate, so non-null footer bounds are safe.
+      */
+    def colAllows(column: String, lo: Any, hi: Any): Boolean =
+      colStats.flatMap(_.find(_.col == column)) match {
+        case None    => true
+        case Some(s) => s.kind match {
+          case "long" =>
+            !(s.max.toLong < lo.toString.toLong || s.min.toLong > hi.toString.toLong)
+          case "double" =>
+            !(s.max.toDouble < lo.toString.toDouble || s.min.toDouble > hi.toString.toDouble)
+          case _ =>
+            !(KeyOrder.lt(s.max, lo.toString) || KeyOrder.gt(s.min, hi.toString))
+        }
+      }
   }
+
+  /** One minmax skip-index entry: bounds serialized as strings with a kind
+    * tag ("long" | "double" | "string") selecting the comparison.
+    */
+  case class GColStat(col: String, min: String, max: String, kind: String)
 
   /** Placeholder relation name in a materialized view's SQL. */
   val MvInput = "__INPUT__"

@@ -64,7 +64,18 @@ case class MergeTreeConfig(
       * one bitset per row group per column — pay it only for columns you
       * point-query.
       */
-    bloomFilterColumns: Seq[String] = Nil)
+    bloomFilterColumns: Seq[String] = Nil,
+    /** ClickHouse `minmax` skip index, lifted to the PART level: listed
+      * non-key columns get their min/max recorded in the manifest at part
+      * write (one footer pass over freshly-written files), so a range
+      * predicate on them prunes whole parts DRIVER-SIDE — O(manifest),
+      * before any footer read or task launch. Complements parquet's
+      * row-group stats (which still prune within surviving parts) and the
+      * bloom index (point lookups): minmax pays off when the column
+      * correlates with insertion order (timestamps, monotone ids), exactly
+      * like ClickHouse's. Long/double/string columns supported.
+      */
+    minmaxColumns: Seq[String] = Nil)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

@@ -556,6 +556,40 @@ object StorageQueries {
       | floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q79 — part-level minmax skip index (ClickHouse `minmax`): the table
+    * declares `minmaxColumns = event_id, value`; batches land with
+    * disjoint event_id ranges (chunkedInsert splits on event_id
+    * quartiles), so the fixed range below prunes to 1 of 4 parts
+    * driver-side — O(manifest), before any footer read — at every scale
+    * factor (the range sits inside the first quartile for all SFs).
+    * MinmaxIndexSpec pins pruning counts, type coverage (long/double/
+    * string), pre-index-part safety, and merge-recompute; this entry pins
+    * the end-to-end answer against the oracle.
+    */
+  def q79MinmaxScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#minmax", {
+      val ev = eventsSlim(spark, dir)
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q79_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_id"),
+        config = MergeTreeConfig(minmaxColumns = Seq("event_id", "value")))
+      chunkedInsert(tbl, ev, spark.read.parquet(s"$dir/events.parquet").count())
+      tbl
+    })
+    t.scanWhere("event_id", 100L, 220L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q79Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      |FROM events WHERE event_id BETWEEN 100 AND 220
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -574,5 +608,6 @@ object StorageQueries {
     ("q52_partitioned", q52Partitioned _, Some(q52Sql)),
     ("q53_ttl", q53Ttl _, Some(q53Sql)),
     ("q54_aggregating_mt", q54Aggregating _, Some(q54Sql)),
-    ("q55_mat_view", q55MatView _, Some(q55Sql)))
+    ("q55_mat_view", q55MatView _, Some(q55Sql)),
+    ("q79_minmax_scan", q79MinmaxScan _, Some(q79Sql)))
 }

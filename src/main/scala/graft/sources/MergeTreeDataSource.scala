@@ -175,7 +175,8 @@ object MergeTreeTableProvider {
     TableDef(schema.toDDL, orderBy, TableDef.encodeMode(mode),
       Option(opts.get("partitionBy")), Option(opts.get("ttl")),
       Option(opts.get("gcGraceSeconds")).map(_.toInt),
-      Some(list("bloomFilterColumns")).filter(_.nonEmpty))
+      Some(list("bloomFilterColumns")).filter(_.nonEmpty),
+      Some(list("minmaxColumns")).filter(_.nonEmpty))
   }
 
   /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying
