@@ -1638,16 +1638,20 @@ object ColumnarMergeTree {
       * never match a range predicate, so non-null footer bounds are safe.
       */
     def colAllows(column: String, lo: Any, hi: Any): Boolean =
+      colAllowsRange(column, Some(lo), Some(hi))
+
+    /** One-sided variant for pushed SQL predicates (`>= lo` / `<= hi`). */
+    def colAllowsRange(column: String, lo: Option[Any], hi: Option[Any]): Boolean =
       colStats.flatMap(_.find(_.col == column)) match {
-        case None    => true
-        case Some(s) => s.kind match {
-          case "long" =>
-            !(s.max.toLong < lo.toString.toLong || s.min.toLong > hi.toString.toLong)
-          case "double" =>
-            !(s.max.toDouble < lo.toString.toDouble || s.min.toDouble > hi.toString.toDouble)
-          case _ =>
-            !(KeyOrder.lt(s.max, lo.toString) || KeyOrder.gt(s.min, hi.toString))
-        }
+        case None => true
+        case Some(s) =>
+          def cmpK(a: String, b: String): Int = s.kind match {
+            case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+            case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+            case _        => KeyOrder.cmp(a, b)
+          }
+          lo.forall(l => cmpK(s.max, l.toString) >= 0) &&
+            hi.forall(h => cmpK(s.min, h.toString) <= 0)
       }
   }
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -215,10 +215,22 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
         .map(_ -> d.targetPath))
       .toMap
 
-  /** Columns whose range predicates can prune parts somewhere: the primary
-    * leading key (on the base) or a projection's leading key (routed).
+  /** Minmax skip-index columns declared in the tabledef: range predicates
+    * on them prune parts via per-part manifest bounds (no routing — the
+    * bounds live on the base table's own parts). The leading key is
+    * excluded (its pruning path is the primary min/max).
     */
-  private def isRangeCol(c: String): Boolean = c == leadKey || projRoutes.contains(c)
+  private val minmaxCols: Set[String] =
+    ColumnarMergeTree.TableDef.load(path)
+      .flatMap(_.minmaxColumns).getOrElse(Nil)
+      .filter(c => c != leadKey && tableSchema.fieldNames.contains(c)).toSet
+
+  /** Columns whose range predicates can prune parts somewhere: the primary
+    * leading key (on the base), a projection's leading key (routed), or a
+    * minmax skip-index column (per-part bounds).
+    */
+  private def isRangeCol(c: String): Boolean =
+    c == leadKey || projRoutes.contains(c) || minmaxCols(c)
 
   private var required: StructType = tableSchema
   private val los = scala.collection.mutable.Map.empty[String, Any]
@@ -248,14 +260,21 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
     los(c) = los.get(c).fold(v)(cur => if (cmp(c, v, cur) > 0) v else cur)
   private def narrowHi(c: String, v: Any): Unit =
     his(c) = his.get(c).fold(v)(cur => if (cmp(c, v, cur) < 0) v else cur)
-  private def cmp(c: String, a: Any, b: Any): Int =
-    if (tableSchema(c).dataType == StringType) KeyOrder.cmp(a.toString, b.toString)
-    else java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+  private def cmp(c: String, a: Any, b: Any): Int = tableSchema(c).dataType match {
+    case StringType => KeyOrder.cmp(a.toString, b.toString)
+    case DoubleType | FloatType =>
+      java.lang.Double.compare(a.asInstanceOf[Number].doubleValue(),
+        b.asInstanceOf[Number].doubleValue())
+    case _ => java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
       b.asInstanceOf[Number].longValue())
+  }
 
   private def usable(c: String, v: Any): Boolean = tableSchema(c).dataType match {
     case StringType => v.isInstanceOf[String]
     case LongType | IntegerType | ShortType | ByteType => v.isInstanceOf[Number]
+    // float range bounds only feed minmax part pruning (never the typed
+    // parquet row-group predicate, which stays key-only)
+    case DoubleType | FloatType if minmaxCols(c) => v.isInstanceOf[Number]
     case _ => false
   }
 
@@ -303,13 +322,21 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
       if (lo.isDefined || hi.isDefined) None
       else projRoutes.toSeq.sortBy(_._1)
         .find { case (c, _) => los.contains(c) || his.contains(c) }
+    // Minmax bounds prune the BASE table's parts (their manifest carries
+    // the colStats); a projection-routed scan reads the projection's parts
+    // instead, so the bounds are dropped there (its parts carry none —
+    // colAllowsRange would keep everything anyway).
+    val mmBounds: Map[String, (Option[Any], Option[Any])] =
+      minmaxCols.iterator
+        .filter(c => los.contains(c) || his.contains(c))
+        .map(c => c -> (los.get(c), his.get(c))).toMap
     route match {
       case Some((c, projPath)) =>
         new GenericMergeTreeScanImpl(projPath, required, c, tableSchema(c).dataType,
           los.get(c), his.get(c), wantedPartitions, snapshotSeq)
       case None =>
         new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
-          wantedPartitions, snapshotSeq)
+          wantedPartitions, snapshotSeq, mmBounds)
     }
   }
 }
@@ -322,7 +349,8 @@ class GenericMergeTreeScanImpl(
     lo: Option[Any],
     hi: Option[Any],
     wantedPartitions: Option[Set[String]] = None,
-    snapshotSeq: Option[Long] = None)
+    snapshotSeq: Option[Long] = None,
+    colBounds: Map[String, (Option[Any], Option[Any])] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -354,11 +382,17 @@ class GenericMergeTreeScanImpl(
       case None         => parts
       case Some(wanted) => parts.filter(_.partition.forall(wanted))
     }
-    (lo, hi) match {
+    val inKeyRange = (lo, hi) match {
       case (None, None) => inPartition
       case _ => inPartition.filter(p =>
         p.overlaps(lo.getOrElse(p.minKey), hi.getOrElse(p.maxKey)))
     }
+    // Minmax skip-index pruning last: per-part bounds on pushed non-key
+    // range predicates; parts without bounds for a column are kept.
+    if (colBounds.isEmpty) inKeyRange
+    else inKeyRange.filter(p => colBounds.forall { case (c, (l, h)) =>
+      p.colAllowsRange(c, l, h)
+    })
   }
 
   override def estimateStatistics(): Statistics = {
@@ -377,7 +411,11 @@ class GenericMergeTreeScanImpl(
       case _            => s"[${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}]"
     }
     val snap = snapshotSeq.fold("")(s => s" snapshot=$s")
-    s"mergetree-generic $path$snap $leadKey=$range cols=${required.fieldNames.mkString(",")}"
+    val mm = if (colBounds.isEmpty) ""
+      else colBounds.toSeq.sortBy(_._1).map { case (c, (l, h)) =>
+        s"$c=[${l.getOrElse("-inf")}, ${h.getOrElse("+inf")}]"
+      }.mkString(" minmax=", ",", "")
+    s"mergetree-generic $path$snap $leadKey=$range$mm cols=${required.fieldNames.mkString(",")}"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

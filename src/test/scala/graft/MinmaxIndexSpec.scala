@@ -108,6 +108,44 @@ class MinmaxIndexSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE mmx_t")
   }
 
+  test("SQL WHERE on a minmax column prunes parts through the connector") {
+    import graft.sources.GenericMergeTreeScan
+    val dir = Files.createTempDirectory("cmt_minmax_sql2_").toString
+    spark.sql(s"""CREATE TABLE mmx_sql (k BIGINT, ts BIGINT, v DOUBLE)
+      USING mergetree
+      OPTIONS (orderBy 'k', minmaxColumns 'ts,v')
+      LOCATION '$dir'""")
+    try {
+      // three parts, overlapping k but disjoint ts/v ranges
+      spark.sql("INSERT INTO mmx_sql SELECT id, id + 1000,  id * 1.0 FROM range(100)")
+      spark.sql("INSERT INTO mmx_sql SELECT id, id + 50000, id * 1.0 + 1000 FROM range(100)")
+      spark.sql("INSERT INTO mmx_sql SELECT id, id + 90000, id * 1.0 + 2000 FROM range(100)")
+
+      val byTs = spark.sql(
+        "SELECT k, ts FROM mmx_sql WHERE ts BETWEEN 50010 AND 50020").collect()
+      assert(byTs.length == 11)
+      assert(GenericMergeTreeScan.lastPruning.get() == ((1, 3)),
+        s"ts predicate prunes to 1/3 parts: ${GenericMergeTreeScan.lastPruning.get()}")
+
+      val byV = spark.sql(
+        "SELECT k FROM mmx_sql WHERE v >= 2050.0").collect()
+      assert(byV.length == 50)
+      assert(GenericMergeTreeScan.lastPruning.get() == ((1, 3)),
+        s"one-sided double predicate prunes: ${GenericMergeTreeScan.lastPruning.get()}")
+
+      val none = spark.sql(
+        "SELECT k FROM mmx_sql WHERE ts > 200000").collect()
+      assert(none.isEmpty)
+      assert(GenericMergeTreeScan.lastPruning.get() == ((0, 3)))
+
+      // key predicate still prunes via the primary path, composed with minmax
+      val both = spark.sql(
+        "SELECT k FROM mmx_sql WHERE k <= 200 AND ts BETWEEN 1000 AND 1099").collect()
+      assert(both.length == 100)
+      assert(GenericMergeTreeScan.lastPruning.get() == ((1, 3)))
+    } finally spark.sql("DROP TABLE mmx_sql")
+  }
+
   test("merges recompute bounds for the compacted part") {
     val dir = Files.createTempDirectory("cmt_minmax_opt_").toString
     val t = mkTable(dir, Seq("ts"))
