@@ -81,15 +81,23 @@ object Funnel {
     perEntity.select(col(entityCol), level.as("level"))
   }
 
-  /** ClickHouse `sequenceCount('(?1)(?2)')`: greedy non-overlapping
-    * first→second matches per entity, in (timeCol, tieCol) order.
+  /** ClickHouse `sequenceCount('(?1).*(?2)')`: non-overlapping first→second
+    * matches per entity, scanned greedily left-to-right in (timeCol,
+    * tieCol) order — after a match completes, the scan resumes AFTER the
+    * matched second (ClickHouse's restart rule), so V V C C counts ONE
+    * match, not two (the second V precedes the first match's end and is
+    * consumed by the scan). This is NOT maximum matching.
     *
-    * The greedy scan ("open on first, close on second") has a closed form
-    * over prefixes: unmatched seconds = the maximum prefix excess of
-    * seconds over firsts, so
-    *   pairs = total_seconds − max(0, max_prefix(seconds − firsts)).
-    * One running-sum window + one aggregate; cross-validated against a
-    * step-by-step greedy simulation. Returns (entityCol, n_pairs).
+    * The scan automaton ("seeking first → armed; armed + second → fire,
+    * reset") has a closed form over the filtered stream: it is armed at an
+    * event iff the immediately PRECEDING filtered event matched `first`
+    * (a first always arms; a second always resets). So
+    *   matches = count of seconds whose lag-1 filtered event is a first —
+    * one lag window + one aggregate, O(events) per entity, one shuffle;
+    * proven by induction and cross-checked against a step-by-step
+    * simulation in FunnelDictionarySpec. Returns (entityCol, n_pairs).
+    * Events matching neither predicate are skipped (the `.*` in the
+    * pattern); `first && second` rows count as firsts.
     */
   def sequenceCount(
       events: DataFrame,
@@ -98,16 +106,15 @@ object Funnel {
       tieCol: String,
       first: Column,
       second: Column): DataFrame = {
-    val run = Window.partitionBy(entityCol)
+    val order = Window.partitionBy(entityCol)
       .orderBy(col(timeCol), col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .filter(first || second)
       .select(col(entityCol), col(timeCol), col(tieCol),
-        when(second, 1).otherwise(-1).as("__seq_d"))
-      .withColumn("__seq_excess", sum(col("__seq_d")).over(run))
+        when(first, 1).otherwise(0).as("__seq_f"))
+      .withColumn("__seq_armed", lag(col("__seq_f"), 1).over(order))
       .groupBy(entityCol)
-      .agg((count(when(col("__seq_d") === 1, 1)) -
-        greatest(max(col("__seq_excess")), lit(0L))).as("n_pairs"))
+      .agg(count(when(col("__seq_f") === 0 && col("__seq_armed") === 1, 1))
+        .as("n_pairs"))
   }
 }

@@ -976,12 +976,14 @@ object AnalyticQueries {
       |ORDER BY day""".stripMargin
 
   /** Q75 — ClickHouse `sequenceCount('(?1)(?2)')`: per user, how many
-    * non-overlapping view→click sequences occur in time order, matched
-    * greedily left-to-right (ClickHouse's scan semantics).
+    * non-overlapping view→click sequences occur in time order, matched by
+    * ClickHouse's left-to-right scan that RESUMES after each match's end
+    * (so view,view,click,click counts 1, not the max-matching 2).
     *
-    * Routed through [[graft.operators.Funnel.sequenceCount]] — the
-    * prefix-excess closed form (one running-sum window + one aggregate;
-    * see the operator scaladoc).
+    * Routed through [[graft.operators.Funnel.sequenceCount]] — the lag-1
+    * closed form of the scan automaton (one lag window + one aggregate;
+    * see the operator scaladoc). The oracle mirrors it: over the filtered
+    * view/click stream, a click fires iff the previous event is a view.
     */
   def q75SequenceCount(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(
@@ -997,16 +999,15 @@ object AnalyticQueries {
   val q75Sql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
-      |    CASE WHEN event_type = 'click' THEN 1 ELSE -1 END AS d
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS f
       |  FROM events WHERE event_type IN ('view', 'click')),
-      |run AS (
-      |  SELECT *, sum(d) OVER (PARTITION BY user_id ORDER BY tus, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS excess
+      |lagd AS (
+      |  SELECT *, lag(f) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |    AS prev_f
       |  FROM ev)
       |SELECT user_id,
-      |  (count(CASE WHEN d = 1 THEN 1 END)
-      |    - greatest(max(excess), 0))::BIGINT AS n_pairs
-      |FROM run GROUP BY user_id ORDER BY user_id""".stripMargin
+      |  count(CASE WHEN f = 0 AND prev_f = 1 THEN 1 END)::BIGINT AS n_pairs
+      |FROM lagd GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Q76 — ClickHouse statistical aggregates (`stddevSamp`/`varSamp`/
     * `covarSamp`/`corr`): per event type, second-moment statistics of

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
-/** Edge-case pins for Q68 (windowFunnel DP) and Q71 (Dictionary).
+/** Edge-case pins for Q68 (windowFunnel DP), Q75 (sequenceCount scan
+  * automaton), and Q71 (Dictionary).
   *
   * The funnel DP's correctness rests on a dominance argument — "keep the
   * MAX chain-start time per prefix length" — that the oracle comparison
@@ -113,6 +114,77 @@ class FunnelDictionarySpec extends AnyFunSuite {
       (1L, 1L, "a", 0L), (1L, 2L, "b", H), (1L, 3L, "a", 10 * H),
       (1L, 4L, "b", 12 * H), (1L, 5L, "c", 20 * H), (1L, 6L, "d", 30 * H)))
       == Map(1L -> 4))
+  }
+
+  /** Run Funnel.sequenceCount(view→click) over an in-memory event list. */
+  private def seqCount(rows: Seq[(Long, Long, String, Long)]): Map[Long, Long] = {
+    val ev = rows.toDF("user_id", "event_id", "event_type", "tus")
+    graft.operators.Funnel
+      .sequenceCount(ev, "user_id", "tus", "event_id",
+        first = col("event_type") === "view",
+        second = col("event_type") === "click")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference implementation: ClickHouse's literal scan automaton.
+    * seeking-first → (first) → armed → (second) → fire, reset. */
+  private def seqCountSim(types: Seq[String]): Long = {
+    var armed = false
+    var n = 0L
+    types.foreach {
+      case "view" => armed = true
+      case "click" => if (armed) n += 1; armed = false
+      case _ => () // skipped: matches neither condition
+    }
+    n
+  }
+
+  test("sequenceCount: restart rule — V V C C is ONE match, not two") {
+    // Max matching would pair (V1,C1) and (V2,C2) = 2; ClickHouse's scan
+    // consumes V2 inside the first match and resumes after C1.
+    assert(seqCount(Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "view", 1L),
+      (1L, 3L, "click", 2L), (1L, 4L, "click", 3L))) == Map(1L -> 1L))
+  }
+
+  test("sequenceCount: disjoint pairs all count; stray seconds/firsts don't") {
+    // V C V C = 2; C (unarmed) and trailing V add nothing.
+    assert(seqCount(Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "view", 1L), (1L, 3L, "click", 2L),
+      (1L, 4L, "view", 3L), (1L, 5L, "click", 4L), (1L, 6L, "view", 5L)))
+      == Map(1L -> 2L))
+  }
+
+  test("sequenceCount: non-matching events between stages are skipped") {
+    assert(seqCount(Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "error", 1L), (1L, 3L, "click", 2L)))
+      == Map(1L -> 1L))
+  }
+
+  test("sequenceCount: same-timestamp events order by event_id") {
+    // (id1 view, id2 click) at one ts pairs; swapped ids do not.
+    assert(seqCount(Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 0L))) == Map(1L -> 1L))
+    assert(seqCount(Seq(
+      (2L, 2L, "view", 0L), (2L, 1L, "click", 0L))) == Map(2L -> 0L))
+  }
+
+  test("sequenceCount: lag closed form equals the scan automaton on random streams") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = Vector("view", "click", "error", "scroll")
+    val rows = for {
+      user <- 1L to 40L
+      i <- 0 until (1 + rnd.nextInt(20))
+    } yield (user, i.toLong, alphabet(rnd.nextInt(alphabet.length)), i.toLong * 10)
+    // Entities whose events all match neither condition are absent from
+    // the operator's output (the pre-filter drops them) — same as the
+    // DuckDB oracle's WHERE clause. The simulation mirrors that.
+    val expected = rows.groupBy(_._1)
+      .filter(_._2.exists(e => e._3 == "view" || e._3 == "click"))
+      .map { case (u, evs) =>
+        u -> seqCountSim(evs.sortBy(e => (e._4, e._2)).map(_._3))
+      }
+    assert(seqCount(rows) == expected)
   }
 
   test("dictionary: lookup, default, has; no join in the plan") {

@@ -128,7 +128,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join over the spine:\n$p")
   }
 
-  test("q75: sequenceCount is one running-sum window, no state machine or join") {
+  test("q75: sequenceCount is one lag window, no state machine or join") {
     val p = plan(AnalyticQueries.q75SequenceCount(spark, dir))
     assert(!p.contains("Join"), s"sequenceCount must not self-join:\n$p")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
