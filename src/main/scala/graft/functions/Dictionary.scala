@@ -52,6 +52,13 @@ object Dictionary {
       .collect()
     require(rows.length <= MaxEntries,
       s"dictionary source exceeds $MaxEntries entries - use broadcast(dim) join instead")
+    // A NULL key has no slot in a long-keyed dictionary; fail with the
+    // actual cause, not a getLong NPE — and never let several NULLs
+    // masquerade as the duplicate-keys error below. (A non-numeric string
+    // key already fails loudly in the ANSI cast above.)
+    val nullKeys = rows.count(_.isNullAt(0))
+    require(nullKeys == 0,
+      s"dictionary key column '$keyCol' has $nullKeys NULL value(s)")
     val m = rows.iterator.map(r => r.getLong(0) -> r.getString(1)).toMap
     require(m.size == rows.length,
       s"duplicate keys in dictionary source column '$keyCol'")

@@ -197,17 +197,29 @@ final class ColumnarMergeTree private (
   def insertBatch(df: DataFrame, partitions: Int = 0): Unit = {
     require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"batch schema ${df.schema.fieldNames.mkString(",")} != table schema")
-    partitionBy match {
-      case None    => writePart(df, partitions, register = true, partition = None)
+    val landed: Seq[GPartMeta] = partitionBy match {
+      case None    => Seq(writePart(df, partitions, register = true, partition = None))
       case Some(p) => writePartitioned(df, partitions, p)
     }
     // MV defs re-read per batch (one tiny JSON read, like the manifest
     // refresh per scan): an MV attached AFTER this instance opened — by
-    // DDL or another process — fires on the very next batch.
+    // DDL or another process — fires on the very next batch. Only parts
+    // registered at or past the def's id fence flow: older parts were
+    // covered by its POPULATE snapshot (see createMaterializedView).
     mvDefs.foreach { d =>
-      val out = applyMvSql(d.sql, df).cache()
-      try if (!out.isEmpty) mvTarget(d).insertBatch(out)
-      finally out.unpersist()
+      val fresh = landed.filter(_.partId >= d.sinceVersion.getOrElse(0L))
+      if (fresh.nonEmpty) {
+        // A def committed MID-batch (between two partitioned part
+        // registrations) splits it: only the rows of post-fence parts
+        // flow — the pre-fence parts are in the populate snapshot.
+        val input =
+          if (fresh.size == landed.size) df
+          else df.filter(partitionValueExpr(partitionBy.get)
+            .isin(fresh.flatMap(_.partition): _*))
+        val out = applyMvSql(d.sql, input).cache()
+        try if (!out.isEmpty) mvTarget(d).insertBatch(out)
+        finally out.unpersist()
+      }
     }
   }
 
@@ -282,11 +294,19 @@ final class ColumnarMergeTree private (
     require(!protectedCols.contains(name),
       s"column '$name' is referenced by ORDER BY / merge mode / " +
         "PARTITION BY / TTL and cannot be dropped")
-    val projDefs = mvDefs.filter(_.name.startsWith(ProjPrefix))
+    val (projDefs, otherMvs) = mvDefs.partition(_.name.startsWith(ProjPrefix))
     val sortedOnIt = projections.collect { case (n, ob) if ob.contains(name) => n }
     require(sortedOnIt.isEmpty,
       s"column '$name' is the sort key of projection(s) " +
         s"${sortedOnIt.mkString(", ")} — drop them first")
+    // Same guard as widenColumn: a non-projection MV reading this column
+    // would fail per-batch transform AFTER the source part has already
+    // landed — the caller sees an exception although the data committed,
+    // and a retry double-inserts. Refuse up front instead.
+    val referencing = otherMvs.filter(d => mvSqlReferences(d.sql, name))
+    require(referencing.isEmpty,
+      s"column '$name' is read by materialized view(s) " +
+        s"${referencing.map(_.name).mkString(", ")} — drop them first")
     if (projDefs.nonEmpty) refreshProjectionSelects(dropCol = Some(name))
     projDefs.foreach(d =>
       ColumnarMergeTree.open(spark, d.targetPath).dropColumn(name))
@@ -412,13 +432,24 @@ final class ColumnarMergeTree private (
     // Name uniqueness decided INSIDE the registry lock: two racing creators
     // of 'name' would otherwise both pass a stale pre-check and the target
     // would receive every batch twice, permanently double-counting.
+    //
+    // The manifest is snapshotted under the SAME lock acquisition and the
+    // def is fenced at the next part id: a batch registering BEFORE the
+    // fence is covered by the populate snapshot below (and skipped by the
+    // trigger), one registering AFTER flows through the trigger (and is
+    // absent from the snapshot) — never both (double count), never
+    // neither (lost batch). ClickHouse documents this exact POPULATE race
+    // as unsolved; the id fence closes it here.
+    var snapshot = Seq.empty[GPartMeta]
     MvRegistry.update(path) { cur =>
       require(!cur.exists(_.name == name), s"materialized view '$name' exists")
-      cur :+ MvDef(name, targetPath, sql)
+      val man = GManifest.load(path).getOrElse(GManifest(0L, Nil))
+      snapshot = man.parts
+      cur :+ MvDef(name, targetPath, sql, Some(GManifest.nextIdOf(man)))
     }
-    mvTargets.put(name, target)
+    mvTargets.put(targetPath, target)
     if (populate) {
-      val out = applyMvSql(sql, scan()).cache()
+      val out = applyMvSql(sql, collapse(readParts(snapshot))).cache()
       try if (!out.isEmpty) target.insertBatch(out)
       finally out.unpersist()
     }
@@ -427,11 +458,17 @@ final class ColumnarMergeTree private (
 
   /** Detach and forget an MV (the target table itself is left in place). */
   def dropMaterializedView(name: String): Unit = {
+    var dropped: Option[MvDef] = None
     MvRegistry.update(path) { cur =>
-      require(cur.exists(_.name == name), s"no materialized view '$name'")
+      dropped = cur.find(_.name == name)
+      require(dropped.nonEmpty, s"no materialized view '$name'")
       cur.filterNot(_.name == name)
     }
-    mvTargets.remove(name)
+    // Only evict if no surviving MV shares the target path (allowed: two
+    // views may fan into one table; the cache is per-path).
+    dropped.foreach(d =>
+      if (!mvDefs.exists(_.targetPath == d.targetPath))
+        mvTargets.remove(d.targetPath))
   }
 
   def materializedViews: Seq[String] = mvDefs.map(_.name)
@@ -506,11 +543,15 @@ final class ColumnarMergeTree private (
 
   /** Always the persisted truth — see insertBatch. */
   private def mvDefs: List[MvDef] = MvRegistry.load(path)
+  // Keyed by TARGET PATH, not MV name: a drop-and-recreate of 'name' with
+  // a new targetPath (possibly from another process — defs re-read per
+  // batch) must open the new target, not serve the cached old one.
   private val mvTargets =
     new scala.collection.concurrent.TrieMap[String, ColumnarMergeTree]()
 
   private def mvTarget(d: MvDef): ColumnarMergeTree =
-    mvTargets.getOrElseUpdate(d.name, ColumnarMergeTree.open(spark, d.targetPath))
+    mvTargets.getOrElseUpdate(d.targetPath,
+      ColumnarMergeTree.open(spark, d.targetPath))
 
   /** Run the MV SQL over `input`: register it under a unique temp-view
     * name, substitute the placeholder, analyze (sql() analyzes eagerly, so
@@ -665,17 +706,34 @@ final class ColumnarMergeTree private (
     * a freshly-written part. Same partial-stats discipline as footerBounds:
     * a column whose stats are missing in ANY populated row group gets no
     * entry (bounds from partial stats would prune rows the stats-less
-    * groups may hold). Integer-family stats → "long", float-family →
-    * "double", binary (UTF-8 strings) → "string"; other types are skipped.
+    * groups may hold).
+    *
+    * Eligibility is decided by the TABLE SCHEMA type, not the runtime stats
+    * class: pruning compares manifest bounds against LOGICAL predicate
+    * values, so only types whose parquet stats ARE the logical value may
+    * participate — integer family → "long", float family → "double",
+    * strings → "string". Decimal (unscaled-int stats), Timestamp/Date
+    * (epoch encodings) and everything else are skipped: an entry keyed on
+    * the physical encoding would prune parts the predicate matches (e.g.
+    * Decimal(10,2) 100.00 stored as 10000 vs a pushed `price > 200`).
     */
   private def footerColStats(dir: String, cols: Seq[String]): List[GColStat] = {
-    if (cols.isEmpty) return Nil
+    def kindFor(dt: DataType): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case FloatType | DoubleType => Some("double")
+      case StringType => Some("string")
+      case _ => None
+    }
+    val declared: Map[String, String] = cols.flatMap(c =>
+      schema.fields.find(_.name == c)
+        .flatMap(f => kindFor(f.dataType)).map(c -> _)).toMap
+    if (declared.isEmpty) return Nil
     val conf = spark.sessionState.newHadoopConf()
     case class Acc(var minL: Long = Long.MaxValue, var maxL: Long = Long.MinValue,
                    var minD: Double = Double.MaxValue, var maxD: Double = Double.MinValue,
                    var minS: String = null, var maxS: String = null,
                    var kind: String = null, var seen: Long = 0L)
-    val accs = cols.map(c => c -> Acc()).toMap
+    val accs = declared.keys.map(c => c -> Acc()).toMap
     var groups = 0L
     val files = Files.list(Paths.get(dir))
     val parquetFiles =
@@ -714,9 +772,11 @@ final class ColumnarMergeTree private (
         }
       } finally r.close()
     }
-    cols.flatMap { c =>
+    accs.keys.toList.sorted.flatMap { c =>
       val a = accs(c)
-      if (a.seen != groups || a.kind == null) None
+      // Belt-and-braces: the runtime stats class must agree with the
+      // schema-declared kind (it always does for the whitelisted types).
+      if (a.seen != groups || a.kind == null || a.kind != declared(c)) None
       else a.kind match {
         case "long"   => Some(GColStat(c, a.minL.toString, a.maxL.toString, "long"))
         case "double" => Some(GColStat(c, a.minD.toString, a.maxD.toString, "double"))
@@ -834,16 +894,18 @@ final class ColumnarMergeTree private (
     */
   def dropPartition(value: String): Long = maintenanceLock.synchronized {
     require(partitionBy.nonEmpty, "dropPartition on an unpartitioned table")
-    refresh()
-    val gone = manifest.parts.filter(_.partition.contains(value))
-    if (gone.isEmpty) return 0L
-    val goneIds = gone.map(_.partId).toSet
+    // Victims are selected by partition VALUE inside the RMW itself: a
+    // concurrent merge may have replaced this partition's parts with new
+    // ids since any pre-read — an id-based filter would miss the merged
+    // part and the "dropped" rows would survive.
+    var gone = Seq.empty[GPartMeta]
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
-        GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
+        gone = cur.parts.filter(_.partition.contains(value))
+        GManifest(cur.version, cur.parts.filterNot(_.partition.contains(value)))
       }
     }
-    retireParts(goneIds)
+    retireParts(gone.map(_.partId))
     gone.map(_.rowCount).sum
   }
 
@@ -942,6 +1004,34 @@ final class ColumnarMergeTree private (
     manifest = GManifest.load(path).getOrElse(GManifest(0L, Nil))
   }
 
+  /** Compare-and-swap `oldIds` for `add` in the persisted manifest: the
+    * swap applies only if every oldId is still listed. maintenanceLock is
+    * per-INSTANCE, and the cross-process manifest lock serializes only the
+    * read-modify-write — two instances (API + DSv2 connector, or two
+    * processes) can still both rewrite the same parts concurrently. The
+    * loser's filterNot would find its oldIds already gone and append its
+    * outputs anyway, duplicating every rewritten row; instead the loser
+    * detects the conflict inside the RMW, leaves the manifest untouched,
+    * deletes its freshly-written `freshIds` dirs, and returns false.
+    * On success the replaced parts retire through the grace GC.
+    */
+  private[graft] def swapParts(oldIds: Set[Long], add: Seq[GPartMeta],
+                               freshIds: Set[Long]): Boolean = {
+    var applied = false
+    lock.synchronized {
+      manifest = GManifest.update(path) { cur =>
+        if (oldIds.subsetOf(cur.parts.map(_.partId).toSet)) {
+          applied = true
+          GManifest(cur.version, cur.parts.filterNot(p => oldIds(p.partId)) ++ add)
+        } else cur
+      }
+    }
+    if (applied) retireParts(oldIds -- add.map(_.partId))
+    else freshIds.foreach(id =>
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+    applied
+  }
+
   /** ClickHouse `OPTIMIZE TABLE … FINAL [DEDUPLICATE]`: merge ALL parts
     * down to one per partition regardless of maxParts, fully applying the
     * merge mode and lazy TTL everywhere — the "make the table fully
@@ -979,13 +1069,10 @@ final class ColumnarMergeTree private (
     empty.foreach(m =>
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${m.partId}")))
     val oldIds = toMerge.flatten.map(_.partId).toSet
-    lock.synchronized {
-      manifest = GManifest.update(path) { cur =>
-        GManifest(cur.version,
-          cur.parts.filterNot(p => oldIds(p.partId)) ++ newMetas)
-      }
-    }
-    retireParts(oldIds)
+    // CAS-swap: a conflict means another instance already merged these
+    // parts — its result stands, our outputs are discarded (merging is
+    // idempotent work, so losing the race is not an error).
+    swapParts(oldIds, newMetas, newMetas.map(_.partId).toSet)
   }
 
   /** Bin-packed compaction to ≤ maxParts, one rewrite per byte (same design
@@ -1037,13 +1124,9 @@ final class ColumnarMergeTree private (
     emptyNew.filterNot(m => liveIds(m.partId)).foreach(m =>
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${m.partId}")))
     val keptIds = kept.map(_.partId).toSet
-    lock.synchronized {
-      manifest = GManifest.update(path) { cur =>
-        GManifest(cur.version,
-          cur.parts.filterNot(p => liveIds(p.partId)) ++ kept)
-      }
-    }
-    retireParts(liveIds.filterNot(keptIds))
+    // CAS-swap (see swapParts): on conflict only OUR fresh merge outputs
+    // are deleted — pass-through bins are live original parts.
+    swapParts(liveIds, kept, keptIds -- liveIds)
   }
 
   /** Row deletion by predicate (ClickHouse's ALTER TABLE ... DELETE — the
@@ -1087,13 +1170,11 @@ final class ColumnarMergeTree private (
       writePart(df.filter(!isHit), 0, register = false, partition = p.partition)
     }
     val goneIds = (dropped ++ touched).map(_.partId).toSet
-    lock.synchronized {
-      manifest = GManifest.update(path) { cur =>
-        GManifest(cur.version,
-          cur.parts.filterNot(p => goneIds(p.partId)) ++ newMetas)
-      }
-    }
-    retireParts(goneIds)
+    // A mutation that loses the CAS must surface, not silently vanish —
+    // the caller's rows were NOT deleted and a retry re-evaluates cond.
+    if (!swapParts(goneIds, newMetas, newMetas.map(_.partId).toSet))
+      throw new java.util.ConcurrentModificationException(
+        "deleteWhere raced another maintenance op on the same parts; retry")
     // Keep projection copies in sync (see updateWhere).
     projectionTargets.foreach(_.deleteWhere(cond))
     removed
@@ -1145,13 +1226,9 @@ final class ColumnarMergeTree private (
         writePart(mutated, 0, register = false, partition = p.partition)
       }
       val goneIds = touched.map(_.partId).toSet
-      lock.synchronized {
-        manifest = GManifest.update(path) { cur =>
-          GManifest(cur.version,
-            cur.parts.filterNot(p => goneIds(p.partId)) ++ newMetas)
-        }
-      }
-      retireParts(goneIds)
+      if (!swapParts(goneIds, newMetas, newMetas.map(_.partId).toSet))
+        throw new java.util.ConcurrentModificationException(
+          "updateWhere raced another maintenance op on the same parts; retry")
       // Projections hold copies of these rows under another sort order —
       // mutate them with the same predicate or routed reads go stale
       // (ClickHouse rebuilds projections inside the mutation too). A SET
@@ -1221,20 +1298,28 @@ final class ColumnarMergeTree private (
     partitionBy match {
       case None =>
         val newMeta = writePart(df, 0, register = false, partition = None)
-        refresh()
-        val oldIds = manifest.parts.map(_.partId).toSet
         // An empty overwrite IS a truncate: drop everything, register
         // nothing (and remove the fresh 0-row directory).
         val add = Seq(newMeta).filter(_.rowCount > 0)
         if (add.isEmpty)
           MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${newMeta.partId}"))
+        // "Everything" is decided inside the RMW: the batch replaces
+        // whatever is listed at commit time, including parts a concurrent
+        // compaction just produced (an id snapshot would let their rows
+        // survive the overwrite).
+        var gone = Set.empty[Long]
         lock.synchronized {
           manifest = GManifest.update(path) { cur =>
-            GManifest(cur.version,
-              cur.parts.filterNot(p => oldIds(p.partId)) ++ add)
+            gone = cur.parts.map(_.partId).toSet
+            GManifest(cur.version, add.toList)
           }
         }
-        retireParts(oldIds)
+        retireParts(gone)
+        // Projection copies hold the SAME rows under another sort order —
+        // replace them too or routed reads serve the pre-overwrite table
+        // (non-projection MVs deliberately don't fire: an overwrite is a
+        // replace, not an append; but a projection is a copy, not a view).
+        projectionTargets.foreach(_.overwriteBatch(scan()))
       case Some(p) =>
         // ONE dynamic-partition write job stages every new part (the batch
         // plan is evaluated exactly once — a non-deterministic source can't
@@ -1242,16 +1327,17 @@ final class ColumnarMergeTree private (
         // manifest swap replaces all touched partitions together.
         val newMetas = writePartitioned(df, 0, p, register = false)
         val values = newMetas.flatMap(_.partition).toSet
-        refresh()
-        val oldIds = manifest.parts
-          .filter(_.partition.exists(values)).map(_.partId).toSet
+        // Touched partitions are cleared by VALUE inside the RMW (see the
+        // unpartitioned branch: id snapshots race concurrent compaction).
+        var gone = Set.empty[Long]
         lock.synchronized {
           manifest = GManifest.update(path) { cur =>
+            gone = cur.parts.filter(_.partition.exists(values)).map(_.partId).toSet
             GManifest(cur.version,
-              cur.parts.filterNot(q => oldIds(q.partId)) ++ newMetas)
+              cur.parts.filterNot(q => gone(q.partId)) ++ newMetas)
           }
         }
-        retireParts(oldIds)
+        retireParts(gone)
     }
   }
 
@@ -1272,15 +1358,22 @@ final class ColumnarMergeTree private (
       require(df.filter(partitionValueExpr(pexpr) =!= lit(value)).limit(1).isEmpty,
         s"replacement rows outside partition '$value'")
       val newMeta = writePart(df, 0, register = false, partition = Some(value))
-      refresh()
-      val oldIds = manifest.parts.filter(_.partition.contains(value)).map(_.partId).toSet
+      // An empty replacement IS a drop of the partition: register no
+      // phantom 0-row part (its null bounds would dodge pruning forever).
+      val add = Seq(newMeta).filter(_.rowCount > 0)
+      if (add.isEmpty)
+        MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${newMeta.partId}"))
+      // Old parts are selected by partition VALUE inside the RMW (see
+      // dropPartition: id snapshots race concurrent compaction).
+      var gone = Set.empty[Long]
       lock.synchronized {
         manifest = GManifest.update(path) { cur =>
+          gone = cur.parts.filter(_.partition.contains(value)).map(_.partId).toSet
           GManifest(cur.version,
-            cur.parts.filterNot(p => oldIds(p.partId)) :+ newMeta)
+            cur.parts.filterNot(p => gone(p.partId)) ++ add)
         }
       }
-      retireParts(oldIds)
+      retireParts(gone)
     }
 
   /** ClickHouse ALTER TABLE … DETACH PARTITION: unlink the partition's
@@ -1303,10 +1396,23 @@ final class ColumnarMergeTree private (
     // are dropped) — never a part directory on disk with no record.
     DetachedSet.update(path)(cur =>
       (cur ++ gone).groupBy(_.partId).values.map(_.head).toList.sortBy(_.partId))
+    // CAS: if a concurrent maintenance op replaced any of these parts
+    // between our refresh and the RMW, the recorded detached ids no longer
+    // name the partition's live rows — undo the record and surface the
+    // race instead of detaching a stale subset.
+    var applied = false
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
-        GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
+        if (goneIds.subsetOf(cur.parts.map(_.partId).toSet)) {
+          applied = true
+          GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
+        } else cur
       }
+    }
+    if (!applied) {
+      DetachedSet.update(path)(cur => cur.filterNot(p => goneIds(p.partId)))
+      throw new java.util.ConcurrentModificationException(
+        s"detachPartition('$value') raced another maintenance op; retry")
     }
     gone.map(_.rowCount).sum
   }
@@ -1692,7 +1798,18 @@ object ColumnarMergeTree {
   }
 
   /** Persisted materialized-view definition (mvdefs.json). */
-  case class MvDef(name: String, targetPath: String, sql: String)
+  /** `sinceVersion` is the part-id fence stamped at def-commit time (under
+    * the path lock): parts with id < sinceVersion were covered by the
+    * def's POPULATE snapshot, parts with id >= sinceVersion flow through
+    * the per-batch trigger — each row takes exactly one route. None (defs
+    * persisted before the field existed) means fence 0: everything flows
+    * through the trigger, the pre-fence behavior.
+    */
+  case class MvDef(name: String, targetPath: String, sql: String,
+                   sinceVersion: Option[Long] = None) {
+    def sameDefinition(o: MvDef): Boolean =
+      name == o.name && targetPath == o.targetPath && sql == o.sql
+  }
 
   object MvRegistry {
     import org.json4s._
@@ -1863,11 +1980,17 @@ object ColumnarMergeTree {
       * `append=false` leaves the part unregistered (maintenance outputs swap
       * in later) but still fenced against id reuse.
       */
+    /** The part id register() would allocate against this manifest state —
+      * meaningful only while the caller holds the path lock.
+      */
+    def nextIdOf(cur: GManifest): Long =
+      math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max))
+
     def register(tablePath: String, stagedDir: java.nio.file.Path, append: Boolean)
         (metaFor: Long => GPartMeta): GPartMeta =
       ManifestLocks.locked(tablePath) {
         val cur = load(tablePath).getOrElse(GManifest(0L, Nil))
-        val id = math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max))
+        val id = nextIdOf(cur)
         Files.move(stagedDir, Paths.get(tablePath, s"part_$id"))
         val meta = metaFor(id)
         store(tablePath,

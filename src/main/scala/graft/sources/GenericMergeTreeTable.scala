@@ -120,13 +120,7 @@ class GenericMergeTreeV2Table(
     */
   private def partitionEqualityValues(filters: Array[Filter]): Option[Seq[String]] = {
     val pc = partitionCol.getOrElse(return None)
-    def canon(v: Any): Option[String] = v match {
-      case s: String => Some(s)
-      case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-                _: java.lang.Byte) => Some(n.asInstanceOf[Number].longValue().toString)
-      case b: java.lang.Boolean => Some(b.toString)
-      case _ => None
-    }
+    def canon(v: Any): Option[String] = GenericMergeTreeScan.canonPartitionValue(v)
     val perFilter = filters.toSeq.map {
       case EqualTo(`pc`, v) => canon(v).map(Seq(_))
       case In(`pc`, vs)     => Some(vs.toSeq.flatMap(canon(_)))
@@ -184,6 +178,18 @@ class GenericMergeTreeV2Table(
 
 /** Test/diagnostic hook: (planned, total) parts at the last generic scan. */
 object GenericMergeTreeScan {
+  /** Canonical manifest string form of a pushed partition-filter value —
+    * the ONE canonicalizer shared by scan pruning and DELETE-by-partition
+    * (they must agree on which values match the stored form, or a pruned
+    * scan and a partition-drop would disagree about the same predicate).
+    */
+  private[sources] def canonPartitionValue(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+              _: java.lang.Byte) => Some(n.asInstanceOf[Number].longValue().toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None
+  }
   val lastPruning: AtomicReference[(Int, Int)] = new AtomicReference((0, 0))
 }
 
@@ -245,13 +251,8 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
     */
   private var wantedPartitions: Option[Set[String]] = None
 
-  private def canonPartition(v: Any): Option[String] = v match {
-    case s: String => Some(s)
-    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-              _: java.lang.Byte) => Some(n.asInstanceOf[Number].longValue().toString)
-    case b: java.lang.Boolean => Some(b.toString)
-    case _ => None
-  }
+  private def canonPartition(v: Any): Option[String] =
+    GenericMergeTreeScan.canonPartitionValue(v)
 
   private def narrowPartitions(values: Set[String]): Unit =
     wantedPartitions = Some(wantedPartitions.fold(values)(_ intersect values))

@@ -4,7 +4,9 @@ import graft.mergetree.ColumnarMergeTree
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+  InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, UpdateTable,
+  V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -41,8 +43,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case rel: DataSourceV2Relation if needsRewrite(rel) => rewrite(rel)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // FINAL/SAMPLE rewrite READS only. A relation in write position
+    // (INSERT target, DELETE/UPDATE/MERGE target) must keep its writable
+    // relation identity — this rule runs in the same resolution fixpoint
+    // as insert resolution, and replacing the target with a Project over a
+    // fresh read would fail the write's resolution. Targets are collected
+    // by node identity before the transform (relations are leaves, so they
+    // are still the original instances when visited bottom-up).
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case i: InsertIntoStatement => writeTargets.add(i.table)
+      case w: V2WriteCommand      => writeTargets.add(w.table)
+      case d: DeleteFromTable     => writeTargets.add(d.table)
+      case u: UpdateTable         => writeTargets.add(u.table)
+      case m: MergeIntoTable      => writeTargets.add(m.targetTable)
+      case _                      => ()
+    }
+    plan.resolveOperatorsUp {
+      case rel: DataSourceV2Relation
+          if !writeTargets.contains(rel) && needsRewrite(rel) => rewrite(rel)
+    }
   }
 
   private def needsRewrite(rel: DataSourceV2Relation): Boolean = rel.table match {

@@ -189,7 +189,7 @@ object MergeTreeTableProvider {
   private[sources] def attachMvIfRequested(
       targetPath: String, opts: CaseInsensitiveStringMap): Unit =
     Option(opts.get("mvSource")).foreach { src0 =>
-      import graft.mergetree.ColumnarMergeTree.{MvDef, MvRegistry, MvInput}
+      import graft.mergetree.ColumnarMergeTree.{GManifest, MvDef, MvRegistry, MvInput}
       val src = localPath(src0)
       val sql = Option(opts.get("mvSql")).getOrElse(throw new IllegalArgumentException(
         "mergetree: mvSource requires mvSql"))
@@ -199,14 +199,19 @@ object MergeTreeTableProvider {
       graft.mergetree.ColumnarMergeTree.requireNoMvCycle(src, targetPath)
       // Idempotent: getTable runs on EVERY statement touching the catalog
       // table (the catalog replays the CREATE options), so re-seeing the
-      // identical definition is a no-op; a DIFFERENT def under the same
-      // name is a real conflict.
+      // identical definition is a no-op (compared field-wise — the
+      // sinceVersion fence stamped at first attach must not make the
+      // replay look like a conflicting def); a DIFFERENT def under the
+      // same name is a real conflict. No populate here, so the fence just
+      // pins "batches from now on" explicitly.
       MvRegistry.update(src) { cur =>
         cur.find(_.name == name) match {
-          case Some(d) if d == MvDef(name, targetPath, sql) => cur
+          case Some(d) if d.sameDefinition(MvDef(name, targetPath, sql)) => cur
           case Some(_) => throw new IllegalArgumentException(
             s"mergetree: materialized view '$name' already exists on $src with a different definition")
-          case None => cur :+ MvDef(name, targetPath, sql)
+          case None =>
+            val man = GManifest.load(src).getOrElse(GManifest(0L, Nil))
+            cur :+ MvDef(name, targetPath, sql, Some(GManifest.nextIdOf(man)))
         }
       }
     }

@@ -385,6 +385,49 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("REPLACE PARTITION with an empty frame drops the partition (no phantom part)") {
+    val df = spark.range(40).select(
+      col("id").as("k"), (col("id") % 2).cast("long").as("bucket"), lit(1L).as("v"))
+    val dir = Files.createTempDirectory("cmt_replempty_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket"))
+    t.insertBatch(df)
+    t.replacePartition("1", df.filter(lit(false)))
+    assert(t.scan().count() == 20 && t.partitions == Seq("0"),
+      "empty replacement must drop the partition entirely")
+    assert(t.parts.forall(_.rowCount > 0),
+      "no 0-row phantom part may be registered")
+  }
+
+  test("swapParts CAS: a racing maintenance op's rewrite is discarded, not double-applied") {
+    val df = spark.range(100).select(col("id").as("k"), lit(1L).as("v"))
+    val dir = Files.createTempDirectory("cmt_cas_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"),
+      MergeTreeConfig(maxParts = 100, gcGraceSeconds = 0))
+    t.insertBatch(df.filter(col("k") < 50))
+    t.insertBatch(df.filter(col("k") >= 50))
+    val oldIds = t.parts.map(_.partId).toSet
+    // Winner merges the two parts into one.
+    t.optimizeFinal()
+    assert(t.partCount == 1 && t.totalRows == 100)
+    val merged = t.parts.head
+    // Loser: computed the same inputs from a pre-merge manifest read and
+    // finished its rewrite late. Its CAS must refuse (the oldIds are gone),
+    // delete its staged output dir, and leave the manifest untouched —
+    // before the CAS this appended a second copy of every row.
+    val loserMeta = merged.copy(partId = merged.partId + 1000)
+    val loserDir = Paths.get(dir, s"part_${loserMeta.partId}")
+    Files.createDirectories(loserDir)
+    assert(!t.swapParts(oldIds, Seq(loserMeta), Set(loserMeta.partId)),
+      "stale swap must be refused")
+    t.refresh()
+    assert(t.partCount == 1 && t.totalRows == 100,
+      "manifest must be untouched by the losing swap")
+    assert(!Files.exists(loserDir), "loser's staged dir must be cleaned up")
+    // and a VALID swap (current ids) still applies
+    assert(t.swapParts(Set(merged.partId), Seq(merged), Set.empty))
+  }
+
   test("TTL + PARTITION BY survive the self-describing reopen") {
     val df = spark.range(10).select(col("id").as("k"), (col("id") % 2).as("p"))
     val dir = Files.createTempDirectory("cmt_def2_").toString

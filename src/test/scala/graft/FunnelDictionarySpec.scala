@@ -206,4 +206,14 @@ class FunnelDictionarySpec extends AnyFunSuite {
       Dictionary.fromDataFrame(dup, "k", "v")
     }
   }
+
+  test("dictionary: NULL keys fail with the actual cause, not an NPE") {
+    // two NULLs would otherwise collide in the map and trip the misleading
+    // duplicate-keys error; one NULL would NPE at getLong
+    val withNull = Seq((Some(1L), "a"), (None, "b"), (None, "c")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Dictionary.fromDataFrame(withNull, "k", "v")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
 }

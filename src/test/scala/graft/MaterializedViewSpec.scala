@@ -104,6 +104,64 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(tgt.totalRows == 4, "only the first batch's 4 partial rows")
   }
 
+  test("POPULATE id fence: a batch takes exactly one route (snapshot XOR trigger)") {
+    val src = newSource()
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    val tgt = summingTarget(src, populate = true)
+    // The def is fenced at the next part id, stamped under the same lock
+    // acquisition as the populate snapshot.
+    val d = ColumnarMergeTree.MvRegistry.load(src.path).head
+    val fence = d.sinceVersion.getOrElse(fail("def must carry an id fence"))
+    assert(src.parts.forall(_.partId < fence),
+      "pre-populate parts sit below the fence")
+    // A part at/past the fence flows via the trigger (and only there)
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    assert(src.parts.exists(_.partId >= fence))
+    assert(collapsed(tgt) == fullAnswer)
+    // A def fenced ABOVE a batch's part ids must NOT fire for it: this is
+    // the populate-covered route — simulate the interleaving by raising
+    // the persisted fence past all future ids, then inserting.
+    ColumnarMergeTree.MvRegistry.update(src.path)(
+      _.map(x => x.copy(sinceVersion = Some(Long.MaxValue))))
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    tgt.refresh()
+    assert(collapsed(tgt) == fullAnswer,
+      "a batch below the def's fence must not double-flow via the trigger")
+    // Legacy defs (no fence persisted) keep the old always-fire behavior
+    ColumnarMergeTree.MvRegistry.update(src.path)(
+      _.map(x => x.copy(sinceVersion = None)))
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    tgt.refresh()
+    assert(tgt.totalRows > 8, "fence-less def fires on every batch")
+  }
+
+  test("drop-and-recreate with a new target path routes batches to the NEW target") {
+    val src = newSource()
+    val oldTgt = summingTarget(src)
+    src.insertBatch(sourceDf.filter(col("k") < 100))
+    src.dropMaterializedView("by_grp")
+    val newTgt = summingTarget(src) // same name, fresh temp targetPath
+    assert(newTgt.path != oldTgt.path)
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    newTgt.refresh(); oldTgt.refresh()
+    assert(newTgt.totalRows == 4,
+      s"recreated MV's target must receive the batch: ${newTgt.totalRows}")
+    assert(oldTgt.totalRows == 4,
+      s"orphaned old target must stop receiving: ${oldTgt.totalRows}")
+  }
+
+  test("dropColumn refuses while a non-projection MV reads the column") {
+    val src = newSource()
+    summingTarget(src) // mvSql reads grp and v
+    val e = intercept[IllegalArgumentException](src.dropColumn("v"))
+    assert(e.getMessage.contains("by_grp"),
+      s"error must name the referencing view: ${e.getMessage}")
+    // after dropping the view the column drops fine
+    src.dropMaterializedView("by_grp")
+    val slim = src.dropColumn("v")
+    assert(!slim.scan().columns.contains("v"))
+  }
+
   test("chained MVs: the target's own MV fires on MV inserts") {
     val src = newSource()
     val tgt = summingTarget(src)

@@ -409,6 +409,13 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
       s"Summing FINAL must serve one pre-summed row per key: $rows")
     // a raw-read view of the same storage still sees all 60 rows
     assert(spark.read.format("mergetree").load(dir).count() == 60)
+    // the table stays WRITABLE: the FINAL rewrite must skip relations in
+    // write position (the INSERT target resolves in the same fixpoint)
+    spark.sql("INSERT INTO g_final SELECT id % 10, 1 FROM range(0, 10)")
+    val after = spark.sql("SELECT k, cnt FROM g_final ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(after == (0L until 10L).map(k => (k, 7L)).toList,
+      s"SQL INSERT INTO a final-read table must land and collapse: $after")
     spark.sql("DROP TABLE g_final")
   }
 

@@ -52,6 +52,30 @@ class MinmaxIndexSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("physical-encoded types (timestamp/decimal/date) record no bounds and never prune") {
+    // Parquet stats for these types are the PHYSICAL encoding (epoch
+    // micros, unscaled ints) — bounds built from them would compare against
+    // logical predicate values and prune parts the predicate matches, so
+    // eligibility is decided by the schema type: they get no entry at all.
+    val dir = Files.createTempDirectory("cmt_minmax_enc_").toString
+    val df = spark.range(100).select(
+      col("id").as("k"),
+      expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+      col("id").cast("decimal(10,2)").as("price"),
+      expr("date_add(date'2024-01-01', cast(id as int))").as("d"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"),
+      config = MergeTreeConfig(minmaxColumns = Seq("ts", "price", "d")))
+    t.insertBatch(df.filter(col("k") < 50))
+    t.insertBatch(df.filter(col("k") >= 50))
+    assert(t.parts.forall(_.colStats.isEmpty),
+      "no minmax entry may be recorded for physical-encoded types")
+    // scanWhere stays correct — unpruned, never crashing on a cast
+    val hit = t.scanWhere("price",
+      new java.math.BigDecimal("10.00"), new java.math.BigDecimal("19.00"))
+    assert(t.lastPruning == (2, 2), "unsupported type must scan all parts")
+    assert(hit.count() == 10)
+  }
+
   test("results equal an unindexed filter (pruning is only an optimization)") {
     val dir = Files.createTempDirectory("cmt_minmax_eq_").toString
     val t = mkTable(dir, Seq("ts"))

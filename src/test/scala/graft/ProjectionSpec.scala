@@ -63,6 +63,26 @@ class ProjectionSpec extends AnyFunSuite {
     assert(high == 100, s"rebuilt projection must reflect new sort keys: $high")
   }
 
+  test("overwriteBatch replaces the projection copy too (no stale routed reads)") {
+    val t = build() // 10000 rows, projection by_rev
+    val replacement = spark.range(500).select(
+      col("id").as("k"), (lit(499) - col("id")).as("rev"),
+      lit(0L).as("v"))
+    t.overwriteBatch(replacement)
+    val proj = t.materializedViewTarget("__proj_by_rev")
+    assert(proj.totalRows == 500,
+      s"projection copy must be overwritten too: ${proj.totalRows}")
+    // the routed read serves the NEW rows — before the sync fix it served
+    // the 10000 pre-overwrite rows silently
+    val got = t.rangeScanAuto("rev", 0L, 499L).count()
+    assert(got == 500, s"routed scan after overwrite: $got")
+    assert(t.rangeScanAuto("rev", 500L, 9999L).count() == 0,
+      "pre-overwrite rows must be gone from the routed path")
+    // an empty overwrite (truncate) empties the copy as well
+    t.overwriteBatch(replacement.filter(col("k") < 0))
+    assert(t.scan().count() == 0 && t.rangeScanAuto("rev", 0L, 9999L).count() == 0)
+  }
+
   test("projections are refused on mode/partitioned/TTL tables; dropProjection detaches") {
     val base = spark.range(10).select(col("id").as("k"), col("id").as("ver"))
     val t1 = ColumnarMergeTree.create(spark,
