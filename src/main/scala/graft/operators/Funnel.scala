@@ -117,4 +117,20 @@ object Funnel {
       .agg(count(when(col("__seq_f") === 0 && col("__seq_armed") === 1, 1))
         .as("n_pairs"))
   }
+
+  /** ClickHouse `sequenceMatch('(?1).*(?2)')`: does at least one
+    * first→second chain exist per entity? Equivalent to sequenceCount ≥ 1
+    * (a match exists iff the greedy scan fires at least once), so it
+    * shares that closed form. Returns (entityCol, matched: 0/1) — int,
+    * not boolean, for engine-portable output.
+    */
+  def sequenceMatch(
+      events: DataFrame,
+      entityCol: String,
+      timeCol: String,
+      tieCol: String,
+      first: Column,
+      second: Column): DataFrame =
+    sequenceCount(events, entityCol, timeCol, tieCol, first, second)
+      .select(col(entityCol), (col("n_pairs") > 0).cast("int").as("matched"))
 }

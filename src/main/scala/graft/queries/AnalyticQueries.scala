@@ -1105,6 +1105,122 @@ object AnalyticQueries {
       |SELECT doc_id, rk, term, tf, df, tfidf
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Q80 — ClickHouse URL function family (`domain`, `topLevelDomain`,
+    * `path`, `extractURLParameter`, `cutQueryString`) over a
+    * deterministically constructed URL column, aggregated per domain.
+    * Spark's native `parse_url` supplies HOST/PATH/QUERY-param extraction
+    * (codegen'd string ops, embarrassingly parallel — one scan, one tiny
+    * per-domain aggregate); the oracle mirrors each extraction with
+    * regexes over the identically constructed strings.
+    */
+  def q80UrlFunctions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(concat(
+        lit("https://sub"), (col("user_id") % 5).cast("string"),
+        lit(".example.com/"), col("event_type"),
+        lit("/"), col("event_id").cast("string"),
+        lit("?uid="), col("user_id").cast("string"),
+        lit("&page="), (col("event_id") % 7).cast("string")).as("url"))
+      .select(
+        parse_url(col("url"), lit("HOST")).as("domain"),
+        regexp_extract(parse_url(col("url"), lit("HOST")), "([^.]+)$", 1).as("tld"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("uid")).as("uid"),
+        substring_index(col("url"), "?", 1).as("cut"))
+      .groupBy(col("domain"), col("tld"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("path")).as("paths"),
+        countDistinct(col("uid")).as("uids"),
+        min(col("cut")).as("first_cut"))
+      .orderBy(col("domain"))
+
+  val q80Sql: String =
+    """WITH u AS (
+      |  SELECT 'https://sub' || (user_id % 5) || '.example.com/' ||
+      |    event_type || '/' || event_id || '?uid=' || user_id ||
+      |    '&page=' || (event_id % 7) AS url
+      |  FROM events),
+      |parsed AS (
+      |  SELECT
+      |    regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+      |    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+      |      '([^.]+)$', 1) AS tld,
+      |    regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+      |    regexp_extract(url, '[?&]uid=([^&]*)', 1) AS uid,
+      |    split_part(url, '?', 1) AS cut
+      |  FROM u)
+      |SELECT domain, tld, count(*)::BIGINT AS n,
+      |  count(DISTINCT path)::BIGINT AS paths,
+      |  count(DISTINCT uid)::BIGINT AS uids,
+      |  min(cut) AS first_cut
+      |FROM parsed GROUP BY domain, tld ORDER BY domain""".stripMargin
+
+  /** Q81 — ClickHouse `runningDifference` (the sessionization primitive):
+    * per-user inter-event time gaps via one lag window, aggregated to gap
+    * statistics per user. One shuffle (hash by user) shared by the window
+    * and the aggregate; integer micros end-to-end so the engines agree
+    * bit-for-bit (avg is floor-rounded to a bigint).
+    */
+  def q81EventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"),
+        sum(col("gap")).as("sum_gap"),
+        floor(avg(col("gap")) + lit(0.5)).cast("bigint").as("avg_gap"))
+      .orderBy("user_id")
+  }
+
+  val q81Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, count(*)::BIGINT AS n_gaps,
+      |  min(gap)::BIGINT AS min_gap, max(gap)::BIGINT AS max_gap,
+      |  sum(gap)::BIGINT AS sum_gap,
+      |  floor(avg(gap) + 0.5)::BIGINT AS avg_gap
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q82 — ClickHouse `sequenceMatch('(?1)(?2)')`: per user, does at least
+    * one view→click chain exist? Shares q75's lag closed form (match
+    * exists iff the scan fires once); the oracle asks the same EXISTS of
+    * the lag formula.
+    */
+  def q82SequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tus"))
+    graft.operators.Funnel
+      .sequenceMatch(ev, "user_id", "tus", "event_id",
+        first = col("event_type") === "view",
+        second = col("event_type") === "click")
+      .orderBy("user_id")
+  }
+
+  val q82Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS f
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |lagd AS (
+      |  SELECT *, lag(f) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |    AS prev_f
+      |  FROM ev)
+      |SELECT user_id,
+      |  CASE WHEN count(CASE WHEN f = 0 AND prev_f = 1 THEN 1 END) > 0
+      |    THEN 1 ELSE 0 END::INT AS matched
+      |FROM lagd GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1145,5 +1261,8 @@ object AnalyticQueries {
     ("q75_sequence_count", q75SequenceCount _, Some(q75Sql)),
     ("q76_stats_agg", q76StatsAgg _, Some(q76Sql)),
     ("q77_approx_quantiles", q77ApproxQuantiles _, None),
-    ("q78_tfidf", q78Tfidf _, Some(q78Sql)))
+    ("q78_tfidf", q78Tfidf _, Some(q78Sql)),
+    ("q80_url_functions", q80UrlFunctions _, Some(q80Sql)),
+    ("q81_event_gaps", q81EventGaps _, Some(q81Sql)),
+    ("q82_sequence_match", q82SequenceMatch _, Some(q82Sql)))
 }

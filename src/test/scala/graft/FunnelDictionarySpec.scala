@@ -169,6 +169,20 @@ class FunnelDictionarySpec extends AnyFunSuite {
       (2L, 2L, "view", 0L), (2L, 1L, "click", 0L))) == Map(2L -> 0L))
   }
 
+  test("sequenceMatch: exists-a-chain, 0/1 per entity") {
+    val rows = Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 1L),   // chain → 1
+      (2L, 1L, "click", 0L), (2L, 2L, "view", 1L),   // wrong order → 0
+      (3L, 1L, "view", 0L), (3L, 2L, "error", 1L))   // no second → 0
+    val got = graft.operators.Funnel
+      .sequenceMatch(rows.toDF("user_id", "event_id", "event_type", "tus"),
+        "user_id", "tus", "event_id",
+        first = col("event_type") === "view",
+        second = col("event_type") === "click")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
   test("sequenceCount: lag closed form equals the scan automaton on random streams") {
     val rnd = new scala.util.Random(41)
     val alphabet = Vector("view", "click", "error", "scroll")
