@@ -35,6 +35,15 @@ object Funnel {
     * level in 0..stageConds.length. `stageConds(i)` is the boolean row
     * predicate for stage i+1 (e.g. `col("event_type") === "view"`).
     * `timeCol` must be epoch-micros (or any monotone long).
+    *
+    * `strictIncrease = true` is ClickHouse windowFunnel's
+    * `'strict_increase'` mode: consecutive stages must have STRICTLY
+    * increasing timestamps — two same-timestamp events can never chain,
+    * regardless of tie order. Implemented by switching the chain-carry
+    * window from a ROWS frame (everything strictly before in (time, tie)
+    * order) to a RANGE frame on the integer time column ending at
+    * time − 1 (everything strictly earlier in time), so equal-timestamp
+    * events are mutually invisible; same one-shuffle DP otherwise.
     */
   def levels(
       events: DataFrame,
@@ -42,12 +51,17 @@ object Funnel {
       timeCol: String,
       tieCol: String,
       stageConds: Seq[Column],
-      windowMicros: Long): DataFrame = {
+      windowMicros: Long,
+      strictIncrease: Boolean = false): DataFrame = {
     require(stageConds.nonEmpty, "at least one funnel stage")
     val k = stageConds.length
-    val prior = Window.partitionBy(entityCol)
-      .orderBy(col(timeCol), col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior =
+      if (strictIncrease)
+        Window.partitionBy(entityCol).orderBy(col(timeCol))
+          .rangeBetween(Window.unboundedPreceding, -1)
+      else
+        Window.partitionBy(entityCol).orderBy(col(timeCol), col(tieCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
 
     // best_i = latest start time of any i-stage chain ending strictly
     // before this row; built stage by stage (each step is one window pass

@@ -1221,6 +1221,99 @@ object AnalyticQueries {
       |    THEN 1 ELSE 0 END::INT AS matched
       |FROM lagd GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Q83 — ClickHouse `windowFunnel(…, 'strict_increase')`: the q68 funnel
+    * with strictly increasing timestamps between consecutive stages (two
+    * same-timestamp events never chain). Same one-shuffle DP; the chain
+    * carry runs over a RANGE frame on the micros column ending at
+    * time − 1 instead of the ROWS frame (see Funnel.levels scaladoc).
+    */
+  def q83FunnelStrict(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tus"))
+    graft.operators.Funnel
+      .levels(ev, "user_id", "tus", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 86400000000L, strictIncrease = true)
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
+
+  val q83Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+      |  FROM events),
+      |s1 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'view' THEN tus END) OVER
+      |    (PARTITION BY user_id ORDER BY tus
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_prev
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'click' THEN v_prev END) OVER
+      |    (PARTITION BY user_id ORDER BY tus
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best2
+      |  FROM s1),
+      |pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+      |    max(CASE WHEN event_type = 'click'
+      |          AND tus - v_prev <= 86400000000 THEN 1 ELSE 0 END) AS l2,
+      |    max(CASE WHEN event_type = 'purchase'
+      |          AND tus - best2 <= 86400000000 THEN 1 ELSE 0 END) AS l3
+      |  FROM s2 GROUP BY user_id)
+      |SELECT CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
+      |            WHEN l1 = 1 THEN 1 ELSE 0 END AS level,
+      |  count(*) AS n_users
+      |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q84 — ClickHouse `ORDER BY … WITH FILL INTERPOLATE (u AS u)`: the q74
+    * daily spine, but gap days CARRY FORWARD the last observed value
+    * instead of zero-filling. Portable closed form (no IGNORE NULLS
+    * dialect): the carry source day is `max(day-if-observed)` over the
+    * running window (max skips NULLs by definition), then one join back
+    * fetches its value; days before the first observation stay 0 with
+    * filled = 1. Spine-sized frames (31 rows) — the window and joins are
+    * driver-trivial at any corpus scale because the aggregate collapses
+    * first.
+    */
+  def q84WithFillInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val days = spark.range(1).select(explode(expr(
+      "sequence(to_date('2024-01-01'), to_date('2024-01-31'), interval 1 day)"))
+      .as("day"))
+    val observed = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(observed, Seq("day"), "left")
+      .withColumn("src_day", max(when(col("u").isNotNull, col("day"))).over(w))
+      .select(col("day"), col("src_day"), col("u").isNull.cast("int").as("filled"))
+      .join(observed.select(col("day").as("src_day"), col("u")), Seq("src_day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("u"), lit(0L)).as("u"), col("filled"))
+      .orderBy("day")
+  }
+
+  val q84Sql: String =
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+      |    INTERVAL 1 DAY))::DATE AS day),
+      |observed AS (
+      |  SELECT ts::DATE AS day, count(DISTINCT user_id) AS u
+      |  FROM events GROUP BY 1),
+      |joined AS (
+      |  SELECT spine.day, observed.u,
+      |    max(CASE WHEN observed.u IS NOT NULL THEN spine.day END) OVER
+      |      (ORDER BY spine.day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_day,
+      |    (observed.u IS NULL)::INT AS filled
+      |  FROM spine LEFT JOIN observed USING (day))
+      |SELECT joined.day::VARCHAR AS day,
+      |  coalesce(o2.u, 0)::BIGINT AS u, joined.filled
+      |FROM joined LEFT JOIN observed o2 ON o2.day = joined.src_day
+      |ORDER BY day""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1264,5 +1357,7 @@ object AnalyticQueries {
     ("q78_tfidf", q78Tfidf _, Some(q78Sql)),
     ("q80_url_functions", q80UrlFunctions _, Some(q80Sql)),
     ("q81_event_gaps", q81EventGaps _, Some(q81Sql)),
-    ("q82_sequence_match", q82SequenceMatch _, Some(q82Sql)))
+    ("q82_sequence_match", q82SequenceMatch _, Some(q82Sql)),
+    ("q83_funnel_strict", q83FunnelStrict _, Some(q83Sql)),
+    ("q84_with_fill_interpolate", q84WithFillInterpolate _, Some(q84Sql)))
 }

@@ -201,6 +201,28 @@ class FunnelDictionarySpec extends AnyFunSuite {
     assert(seqCount(rows) == expected)
   }
 
+  private def strictLevels(rows: Seq[(Long, Long, String, Long)]): Map[Long, Int] = {
+    val ev = rows.toDF("user_id", "event_id", "event_type", "tus")
+    graft.operators.Funnel
+      .levels(ev, "user_id", "tus", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click"),
+        windowMicros = 24 * H, strictIncrease = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("funnel strict_increase: same-timestamp stages never chain") {
+    // default mode chains (id1 view, id2 click) at one ts (pinned above);
+    // strict_increase refuses — the click must be strictly later
+    assert(strictLevels(Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 0L))) == Map(1L -> 1))
+    assert(strictLevels(Seq(
+      (2L, 1L, "view", 0L), (2L, 2L, "click", 1L))) == Map(2L -> 2))
+    // a later same-ts pair still chains through an EARLIER view
+    assert(strictLevels(Seq(
+      (3L, 1L, "view", 0L), (3L, 2L, "view", 5L), (3L, 3L, "click", 5L)))
+      == Map(3L -> 2))
+  }
+
   test("dictionary: lookup, default, has; no join in the plan") {
     val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "v")
     val d = Dictionary.fromDataFrame(dim, "k", "v")
