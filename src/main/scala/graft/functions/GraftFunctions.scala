@@ -231,6 +231,46 @@ class TopKAggregator(k: Int, capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
 }
 
+/** Two-argument input of [[TopKWeightedAggregator]] — as a case class so
+  * the SQL registration exposes `topk_weighted(term, w)`.
+  */
+case class TermWeight(term: String, w: Long)
+
+/** ClickHouse `topKWeighted(k)(term, weight)`: SpaceSaving generalized to
+  * weighted increments — an arriving term adds its weight; an evicting
+  * newcomer inherits the minimum counter plus its weight (overcount, never
+  * undercount, same as the unit-weight proof: the newcomer may have been
+  * the evicted term all along). Identical merge/trim/finish, exactness and
+  * determinism guarantees as [[TopKAggregator]] (exact when no partial
+  * path ever evicts); non-positive and null-term inputs are ignored.
+  */
+class TopKWeightedAggregator(k: Int, capacity: Int)
+    extends Aggregator[TermWeight, TopKState, Seq[TermCount]] with Serializable {
+  require(k > 0 && capacity >= k, s"need capacity >= k > 0, got k=$k cap=$capacity")
+  private val unit = new TopKAggregator(k, capacity)
+
+  override def zero: TopKState = TopKState(Map.empty)
+
+  override def reduce(b: TopKState, in: TermWeight): TopKState = {
+    if (in == null || in.term == null || in.w <= 0) return b
+    val m = b.counts
+    m.get(in.term) match {
+      case Some(c)                   => TopKState(m.updated(in.term, c + in.w))
+      case None if m.size < capacity => TopKState(m.updated(in.term, in.w))
+      case None =>
+        val (mk, mc) = m.minBy { case (t, c) => (c, t) }
+        TopKState(m - mk + (in.term -> (mc + in.w)))
+    }
+  }
+
+  override def merge(a: TopKState, b: TopKState): TopKState = unit.merge(a, b)
+  override def finish(r: TopKState): Seq[TermCount] = unit.finish(r)
+
+  override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+  override def outputEncoder: Encoder[Seq[TermCount]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
+}
+
 /** Registration: direct (per-session FunctionRegistry) and via
   * SparkSessionExtensions for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -263,6 +303,9 @@ object GraftFunctions {
     // ClickHouse topK(50): SQL-callable heavy hitters, capacity 4096.
     spark.udf.register("topk_approx",
       org.apache.spark.sql.functions.udaf(new TopKAggregator(50, 4096)))
+    // ClickHouse topKWeighted(50)(term, w): weighted heavy hitters.
+    spark.udf.register("topk_weighted",
+      org.apache.spark.sql.functions.udaf(new TopKWeightedAggregator(50, 4096)))
   }
 }
 

@@ -1040,9 +1040,17 @@ final class ColumnarMergeTree private (
     * identical rows (all columns equal) during the rewrite, like
     * ClickHouse DEDUPLICATE — the retroactive cure for an accidentally
     * re-inserted batch on a Plain table, where no merge mode would ever
-    * collapse the copies.
+    * collapse the copies. `dedupBy` is ClickHouse `DEDUPLICATE BY col1,
+    * col2`: rows are duplicates when they agree on JUST those columns;
+    * the survivor is pinned deterministically (the row sorting FIRST on
+    * the remaining columns — ClickHouse keeps an arbitrary one, which
+    * would make re-runs and oracle comparison nondeterministic here).
     */
-  def optimizeFinal(deduplicate: Boolean = false): Unit = maintenanceLock.synchronized {
+  def optimizeFinal(deduplicate: Boolean = false,
+                    dedupBy: Seq[String] = Nil): Unit = maintenanceLock.synchronized {
+    require(dedupBy.forall(schema.fieldNames.contains),
+      s"DEDUPLICATE BY unknown columns ${dedupBy.filterNot(schema.fieldNames.contains).mkString(",")}")
+    val dedup = deduplicate || dedupBy.nonEmpty
     refresh()
     val groups = manifest.parts.groupBy(_.partition).values.toSeq
     // Singletons rewrite too when a TTL (MATERIALIZE TTL semantics) or a
@@ -1051,14 +1059,27 @@ final class ColumnarMergeTree private (
     // Plain no-TTL singleton is already final. DEDUPLICATE likewise
     // rewrites singletons (one part can hold identical rows).
     val toMerge =
-      if (deduplicate || ttl.isDefined || mode != MergeMode.Plain) groups
+      if (dedup || ttl.isDefined || mode != MergeMode.Plain) groups
       else groups.filter(_.size > 1)
     if (toMerge.isEmpty) return
+    val rest = schema.fieldNames.filterNot(dedupBy.contains).map(col).toSeq
     val written = concurrently(toMerge) { bin =>
       val raw = spark.read.schema(schema)
         .parquet(bin.map(p => s"$path/part_${p.partId}"): _*)
       val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
-      val deduped = if (deduplicate) unexpired.dropDuplicates() else unexpired
+      val deduped =
+        if (dedupBy.nonEmpty && rest.nonEmpty) {
+          // One representative per dedupBy group, deterministically: the
+          // row_number window shares the shuffle the part write's range
+          // partition would need anyway.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(dedupBy.map(col): _*).orderBy(rest: _*)
+          unexpired
+            .withColumn("__dd_rn", row_number().over(w))
+            .filter(col("__dd_rn") === 1).drop("__dd_rn")
+        }
+        else if (dedup) unexpired.dropDuplicates()
+        else unexpired
       writePart(collapse(deduped), 0, register = false,
         partition = bin.head.partition)
     }

@@ -984,6 +984,33 @@ object PipelineQueries {
       |ORDER BY cnt DESC, token
       |LIMIT 50""".stripMargin
 
+  /** Q85 — ClickHouse `topKWeighted(50)(term, w)`: heavy hitters where each
+    * occurrence contributes a weight instead of 1 (the "token count scaled
+    * by document importance" shape). Same SpaceSaving sketch and
+    * exactness-when-no-eviction argument as q63 — the DuckDB oracle is the
+    * exact weighted GROUP BY, which the sketch matches because the corpus
+    * dictionary fits the 4096 capacity on every partial path.
+    */
+  def q85TopkWeighted(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"),
+        (col("doc_id") % 3 + 1).cast("long").as("w"))
+      .agg(expr("topk_weighted(term, w)").as("tk"))
+      .select(explode(col("tk")).as("tc"))
+      .select(col("tc.term").as("token"), col("tc.cnt").as("wcnt"))
+      .orderBy(col("wcnt").desc, col("token"))
+  }
+
+  val q85Sql: String =
+    """SELECT token, sum(w)::BIGINT AS wcnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token,
+      |        doc_id % 3 + 1 AS w
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY wcnt DESC, token
+      |LIMIT 50""".stripMargin
+
   /** Q62 — deterministic stratified sampling: rebalance a training mix by
     * downsampling over-represented strata (en → 1/8, everything else →
     * 1/2) with an md5-of-doc_id keep rule. Hash-based, not rand(): the
@@ -1068,5 +1095,6 @@ object PipelineQueries {
     ("q57_blocklist", q57Blocklist _, Some(q57Sql)),
     ("q62_stratified_sample", q62StratifiedSample _, Some(q62Sql)),
     ("q63_topk_terms", q63TopkTerms _, Some(q63Sql)),
-    ("q67_packing", q67Packing _, Some(q67Sql)))
+    ("q67_packing", q67Packing _, Some(q67Sql)),
+    ("q85_topk_weighted", q85TopkWeighted _, Some(q85Sql)))
 }

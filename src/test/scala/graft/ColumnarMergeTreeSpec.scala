@@ -122,6 +122,23 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(t.scan().select("k").distinct().count() == 25)
   }
 
+  test("OPTIMIZE FINAL DEDUPLICATE BY columns keeps the deterministic first survivor") {
+    // three rows per key with distinct v — duplicates by (k) only
+    val df = spark.range(30).select(
+      (col("id") % 10).as("k"), col("id").as("v"))
+    val dir = Files.createTempDirectory("cmt_optdedupby_").toString
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    t.insertBatch(df)
+    t.optimizeFinal(deduplicate = true)
+    assert(t.scan().count() == 30, "full-row DEDUPLICATE keeps distinct-v rows")
+    t.optimizeFinal(dedupBy = Seq("k"))
+    val got = t.scan().orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // survivor = min v per key (the row sorting first on the rest columns)
+    assert(got == (0L until 10L).map(k => (k, k)).toList,
+      s"BY-columns dedup must keep the deterministic min-rest row: $got")
+    intercept[IllegalArgumentException](t.optimizeFinal(dedupBy = Seq("nope")))
+  }
+
   test("OPTIMIZE FINAL drops a fully-expired partition instead of a phantom 0-row part") {
     val df = spark.range(100).select(col("id").as("k"), (col("id") % 2).cast("long").as("day"))
     val dir = Files.createTempDirectory("cmt_optfttl_").toString
