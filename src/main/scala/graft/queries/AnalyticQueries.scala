@@ -1314,6 +1314,67 @@ object AnalyticQueries {
       |FROM joined LEFT JOIN observed o2 ON o2.day = joined.src_day
       |ORDER BY day""".stripMargin
 
+  /** Q86 — GROUP BY GROUPING SETS with `grouping()` markers: the explicit
+    * form completing the rollup (q21) / cube (q50) family — exactly the
+    * requested aggregation levels ((status, priority), (status), ()) in
+    * one pass over the scan (Spark expands to a single Expand + hash
+    * aggregate, not three scans), with grouping() distinguishing a real
+    * NULL from an aggregated-out column.
+    */
+  def q86GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q86_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "orders").createOrReplaceTempView(v)
+    try spark.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+         |  coalesce(o_orderpriority, 'ALL') AS pri,
+         |  cast(grouping(o_orderstatus) AS int) AS g_st,
+         |  cast(grouping(o_orderpriority) AS int) AS g_pri,
+         |  count(*) AS cnt
+         |FROM $v
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), ())
+         |ORDER BY st, pri""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q86Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+      |  coalesce(o_orderpriority, 'ALL') AS pri,
+      |  grouping(o_orderstatus)::INT AS g_st,
+      |  grouping(o_orderpriority)::INT AS g_pri,
+      |  count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), ())
+      |ORDER BY st, pri""".stripMargin
+
+  /** Q87 — ranking-family windows beyond q15's rank/dense_rank: `ntile`
+    * (equi-depth bucketing), `percent_rank`, `cume_dist` per customer
+    * segment by account balance. The divisions are exact IEEE doubles of
+    * small integers, so both engines agree bitwise; one hash-by-segment
+    * shuffle for all three functions.
+    */
+  def q87RankingFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val q87Sql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |  ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1359,5 +1420,7 @@ object AnalyticQueries {
     ("q81_event_gaps", q81EventGaps _, Some(q81Sql)),
     ("q82_sequence_match", q82SequenceMatch _, Some(q82Sql)),
     ("q83_funnel_strict", q83FunnelStrict _, Some(q83Sql)),
-    ("q84_with_fill_interpolate", q84WithFillInterpolate _, Some(q84Sql)))
+    ("q84_with_fill_interpolate", q84WithFillInterpolate _, Some(q84Sql)),
+    ("q86_grouping_sets", q86GroupingSets _, Some(q86Sql)),
+    ("q87_ranking_family", q87RankingFamily _, Some(q87Sql)))
 }
