@@ -135,6 +135,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"window + per-user aggregate share one user shuffle:\n$p")
   }
 
+  test("q81: gap window and per-user aggregate share ONE user shuffle") {
+    val p = plan(AnalyticQueries.q81EventGaps(spark, dir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"lag window + aggregate must reuse the same user partitioning:\n$p")
+  }
+
+  test("q86: grouping sets is one Expand + aggregate pass, one scan") {
+    val p = plan(AnalyticQueries.q86GroupingSets(spark, dir))
+    assert(p.contains("Expand"), s"grouping sets must plan Expand:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"three aggregation levels must share ONE scan:\n$p")
+  }
+
+  test("q87: all three ranking functions share one segment shuffle") {
+    val p = plan(AnalyticQueries.q87RankingFamily(spark, dir))
+    assert("Exchange hashpartitioning\\(c_mktsegment".r.findAllIn(p).size == 1,
+      s"ntile/percent_rank/cume_dist must share the window partitioning:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
