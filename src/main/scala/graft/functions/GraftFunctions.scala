@@ -271,6 +271,44 @@ class TopKWeightedAggregator(k: Int, capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
 }
 
+case class UniqUpToState(seen: Set[String], overflow: Boolean)
+
+/** ClickHouse `uniqUpTo(N)(x)`: exact distinct count while it is ≤ N,
+  * N+1 as the saturation sentinel otherwise — in BOUNDED memory. The
+  * state keeps at most N+1 distinct values and a sticky overflow flag
+  * (the flag, not the set size, carries saturation through merges whose
+  * union would re-shrink under the cap — it can't, but the flag makes
+  * saturation obviously monotone); at 100 TB each partial ships ≤ N+1
+  * values regardless of the column's true cardinality, which is the
+  * whole point of the operator (cheap "are there more than N distinct?"
+  * checks). NULLs don't count, matching count(DISTINCT).
+  */
+class UniqUpToAggregator(n: Int)
+    extends Aggregator[String, UniqUpToState, Long] with Serializable {
+  require(n > 0, s"uniqUpTo needs N > 0, got $n")
+
+  override def zero: UniqUpToState = UniqUpToState(Set.empty, overflow = false)
+
+  override def reduce(b: UniqUpToState, x: String): UniqUpToState =
+    if (x == null || b.overflow || b.seen.contains(x)) b
+    else if (b.seen.size >= n) UniqUpToState(b.seen, overflow = true)
+    else UniqUpToState(b.seen + x, overflow = false)
+
+  override def merge(a: UniqUpToState, b: UniqUpToState): UniqUpToState = {
+    val u = a.seen ++ b.seen
+    if (a.overflow || b.overflow || u.size > n)
+      UniqUpToState(u.take(n), overflow = true)
+    else UniqUpToState(u, overflow = false)
+  }
+
+  override def finish(r: UniqUpToState): Long =
+    if (r.overflow) n + 1L else r.seen.size.toLong
+
+  override def bufferEncoder: Encoder[UniqUpToState] =
+    Encoders.product[UniqUpToState]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
 /** Registration: direct (per-session FunctionRegistry) and via
   * SparkSessionExtensions for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -306,6 +344,9 @@ object GraftFunctions {
     // ClickHouse topKWeighted(50)(term, w): weighted heavy hitters.
     spark.udf.register("topk_weighted",
       org.apache.spark.sql.functions.udaf(new TopKWeightedAggregator(50, 4096)))
+    // ClickHouse uniqUpTo(8)(x): bounded-state distinct-or-saturate.
+    spark.udf.register("uniq_up_to_8",
+      org.apache.spark.sql.functions.udaf(new UniqUpToAggregator(8)))
   }
 }
 

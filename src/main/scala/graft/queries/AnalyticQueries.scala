@@ -1375,6 +1375,27 @@ object AnalyticQueries {
       |  ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** Q88 — ClickHouse `uniqUpTo(8)(x)`: exact distinct while ≤ 8, the
+    * saturation sentinel 9 beyond — in bounded state (each partial ships
+    * at most 9 values however large the true cardinality; see
+    * UniqUpToAggregator). One column stays under the cap, one saturates,
+    * so both regimes are oracle-pinned; the oracle is the unbounded
+    * `least(count(DISTINCT …), 9)` equivalent.
+    */
+  def q88UniqUpTo(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    events(spark, dir).groupBy("event_type").agg(
+      expr("uniq_up_to_8(cast(user_id % 6 as string))").as("u_small"),
+      expr("uniq_up_to_8(cast(user_id as string))").as("u_sat"))
+      .orderBy("event_type")
+  }
+
+  val q88Sql: String =
+    """SELECT event_type,
+      |  least(count(DISTINCT user_id % 6), 9)::BIGINT AS u_small,
+      |  least(count(DISTINCT user_id), 9)::BIGINT AS u_sat
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1422,5 +1443,6 @@ object AnalyticQueries {
     ("q83_funnel_strict", q83FunnelStrict _, Some(q83Sql)),
     ("q84_with_fill_interpolate", q84WithFillInterpolate _, Some(q84Sql)),
     ("q86_grouping_sets", q86GroupingSets _, Some(q86Sql)),
-    ("q87_ranking_family", q87RankingFamily _, Some(q87Sql)))
+    ("q87_ranking_family", q87RankingFamily _, Some(q87Sql)),
+    ("q88_uniq_up_to", q88UniqUpTo _, Some(q88Sql)))
 }

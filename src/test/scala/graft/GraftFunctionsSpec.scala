@@ -90,6 +90,48 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got == exp, "below capacity the sketch must equal the exact top-k")
   }
 
+  test("topKWeighted: weighted counts exact below capacity; never undercounts over it") {
+    GraftFunctions.register(spark)
+    val df = spark.range(6000).repartition(11)
+      .map(i => (s"t${i % 30}", i % 5 + 1)).toDF("term", "w")
+    val got = df.agg(expr("topk_weighted(term, w)").as("tk"))
+      .select(explode(col("tk")).as("tc"))
+      .select(col("tc.term"), col("tc.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val exp = df.groupBy("term").agg(sum("w").as("wc"))
+      .orderBy(col("wc").desc, col("term")).limit(50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == exp, "below capacity the weighted sketch is the exact weighted top-k")
+    // eviction regime: heavy weighted terms survive, never undercounted
+    val agg = new TopKWeightedAggregator(3, 6)
+    val stream = new scala.util.Random(7).shuffle(
+      (0 until 3).flatMap(h => Seq.fill(100)(TermWeight(s"head$h", 10L))) ++
+        (0 until 80).flatMap(t => Seq.fill(2)(TermWeight(s"tail$t", 1L))))
+    val states = stream.grouped(120).map(_.foldLeft(agg.zero)(agg.reduce)).toList
+    val top = agg.finish(states.reduce(agg.merge))
+    assert(top.map(_.term).toSet == Set("head0", "head1", "head2"))
+    top.foreach(tc => assert(tc.cnt >= 1000L, s"never undercount: $tc"))
+  }
+
+  test("uniqUpTo: exact at the cap, saturates one past it, merge keeps saturation") {
+    val agg = new UniqUpToAggregator(8)
+    def run(xs: Seq[String]): Long =
+      agg.finish(xs.grouped(3).map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge))
+    assert(run((1 to 8).map(i => s"v$i")) == 8L, "exactly N distinct stays exact")
+    assert(run((1 to 9).map(i => s"v$i")) == 9L, "N+1 distinct saturates to N+1")
+    assert(run((1 to 100).map(i => s"v${i % 4}")) == 4L, "repeats don't inflate")
+    assert(run((1 to 500).map(i => s"v$i")) == 9L, "saturation is monotone under merges")
+    // the SQL face computes both regimes per group
+    GraftFunctions.register(spark)
+    val df = spark.range(1000).repartition(9)
+      .map(i => (s"g${i % 2}", s"x${i % (if (i % 2 == 0) 5 else 50)}"))
+      .toDF("g", "x")
+    val got = df.groupBy("g").agg(expr("uniq_up_to_8(x)").as("u"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("g0", 5L), ("g1", 9L)), s"got $got")
+  }
+
   test("topK sketch over capacity: heavy hitters survive, estimates never undercount") {
     // capacity 8, k 5; one dominant head of 5 terms + a 200-term tail.
     // SpaceSaving guarantee: any term with freq > N/capacity is kept, and

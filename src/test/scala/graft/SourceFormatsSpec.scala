@@ -6,14 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
 /** SURVEY §2.2 scans/sources/sinks row: the engine's tables interoperate
-  * with the standard columnar/text sources — parquet (native), CSV and JSON
-  * round-trip with schema preserved, so ingest from any of them feeds the
-  * same MergeTree path.
+  * with the standard columnar/text sources — parquet (native), ORC, CSV
+  * and JSON round-trip with schema preserved, so ingest from any of them
+  * feeds the same MergeTree path.
   */
 class SourceFormatsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.session
   private val dir = "/root/testdata/sf0.001"
+
+  test("ORC round-trip preserves rows and schema") {
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+    val out = Files.createTempDirectory("orc_rt_").toString
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      src.orderBy("c_custkey").collect().toSeq)
+  }
 
   test("CSV round-trip preserves rows and schema") {
     val src = spark.read.parquet(s"$dir/customer.parquet")
