@@ -200,17 +200,7 @@ class TopKAggregator(k: Int, capacity: Int)
 
   override def reduce(b: TopKState, term: String): TopKState = {
     if (term == null) return b // aggregate semantics: nulls don't count
-    val m = b.counts
-    m.get(term) match {
-      case Some(c)                       => TopKState(m.updated(term, c + 1))
-      case None if m.size < capacity     => TopKState(m.updated(term, 1L))
-      case None =>
-        // SpaceSaving eviction: the newcomer inherits the minimum counter
-        // + 1 (it may have been the evicted term all along — overcount,
-        // never undercount).
-        val (mk, mc) = m.minBy { case (t, c) => (c, t) }
-        TopKState(m - mk + (term -> (mc + 1)))
-    }
+    TopKState(TopKAggregator.add(b.counts, term, 1L, capacity))
   }
 
   override def merge(a: TopKState, b: TopKState): TopKState = {
@@ -231,10 +221,30 @@ class TopKAggregator(k: Int, capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
 }
 
+object TopKAggregator {
+  /** The ONE SpaceSaving insert both aggregators share: an arriving term
+    * adds `w`; an evicting newcomer inherits the minimum counter + `w`
+    * (it may have been the evicted term all along — overcount, never
+    * undercount). Ties evict the lexicographically smallest term so the
+    * sketch is deterministic under any merge order.
+    */
+  private[functions] def add(m: Map[String, Long], term: String, w: Long,
+                             capacity: Int): Map[String, Long] =
+    m.get(term) match {
+      case Some(c)                   => m.updated(term, c + w)
+      case None if m.size < capacity => m.updated(term, w)
+      case None =>
+        val (mk, mc) = m.minBy { case (t, c) => (c, t) }
+        m - mk + (term -> (mc + w))
+    }
+}
+
 /** Two-argument input of [[TopKWeightedAggregator]] — as a case class so
-  * the SQL registration exposes `topk_weighted(term, w)`.
+  * the SQL registration exposes `topk_weighted(term, w)`. The weight is
+  * an Option so a NULL weight deserializes (to None → row ignored)
+  * instead of crashing the encoder on a non-nullable primitive.
   */
-case class TermWeight(term: String, w: Long)
+case class TermWeight(term: String, w: Option[Long])
 
 /** ClickHouse `topKWeighted(k)(term, weight)`: SpaceSaving generalized to
   * weighted increments — an arriving term adds its weight; an evicting
@@ -252,15 +262,10 @@ class TopKWeightedAggregator(k: Int, capacity: Int)
   override def zero: TopKState = TopKState(Map.empty)
 
   override def reduce(b: TopKState, in: TermWeight): TopKState = {
-    if (in == null || in.term == null || in.w <= 0) return b
-    val m = b.counts
-    m.get(in.term) match {
-      case Some(c)                   => TopKState(m.updated(in.term, c + in.w))
-      case None if m.size < capacity => TopKState(m.updated(in.term, in.w))
-      case None =>
-        val (mk, mc) = m.minBy { case (t, c) => (c, t) }
-        TopKState(m - mk + (in.term -> (mc + in.w)))
-    }
+    if (in == null || in.term == null) return b
+    val w = in.w.getOrElse(0L)
+    if (w <= 0) return b // NULL or non-positive weights don't count
+    TopKState(TopKAggregator.add(b.counts, in.term, w, capacity))
   }
 
   override def merge(a: TopKState, b: TopKState): TopKState = unit.merge(a, b)

@@ -132,11 +132,15 @@ object Funnel {
         .as("n_pairs"))
   }
 
-  /** ClickHouse `sequenceMatch('(?1).*(?2)')`: does at least one
+  /** ClickHouse `sequenceMatch('(?1)(?2)')`: does at least one
     * first→second chain exist per entity? Equivalent to sequenceCount ≥ 1
     * (a match exists iff the greedy scan fires at least once), so it
-    * shares that closed form. Returns (entityCol, matched: 0/1) — int,
-    * not boolean, for engine-portable output.
+    * shares that closed form. Over the FILTERED stream the adjacent
+    * pattern `(?1)(?2)` and the gapped `(?1).*(?2)` coincide for 2-stage
+    * existence (the first second after any first is preceded by a first);
+    * a k>2-stage extension must pick one deliberately. Returns
+    * (entityCol, matched: 0/1) — int, not boolean, for engine-portable
+    * output.
     */
   def sequenceMatch(
       events: DataFrame,

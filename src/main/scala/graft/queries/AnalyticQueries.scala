@@ -1359,7 +1359,9 @@ object AnalyticQueries {
       .orderBy(col("c_acctbal"), col("c_custkey"))
     t(spark, dir, "customer")
       .select(col("c_mktsegment"), col("c_custkey"),
-        ntile(4).over(w).as("quartile"),
+        // DuckDB ntile returns BIGINT, Spark's returns INT — align widths
+        // on the Spark side (same both-sides-cast rule as q61 row_number).
+        ntile(4).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
       .orderBy("c_mktsegment", "c_custkey")

@@ -105,12 +105,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // eviction regime: heavy weighted terms survive, never undercounted
     val agg = new TopKWeightedAggregator(3, 6)
     val stream = new scala.util.Random(7).shuffle(
-      (0 until 3).flatMap(h => Seq.fill(100)(TermWeight(s"head$h", 10L))) ++
-        (0 until 80).flatMap(t => Seq.fill(2)(TermWeight(s"tail$t", 1L))))
+      (0 until 3).flatMap(h => Seq.fill(100)(TermWeight(s"head$h", Some(10L)))) ++
+        (0 until 80).flatMap(t => Seq.fill(2)(TermWeight(s"tail$t", Some(1L)))))
     val states = stream.grouped(120).map(_.foldLeft(agg.zero)(agg.reduce)).toList
     val top = agg.finish(states.reduce(agg.merge))
     assert(top.map(_.term).toSet == Set("head0", "head1", "head2"))
     top.foreach(tc => assert(tc.cnt >= 1000L, s"never undercount: $tc"))
+    // NULL weights are ignored, not a deserialization crash
+    val withNull = Seq(("a", Some(2L)), ("a", None), ("b", Some(1L)))
+      .toDF("term", "w")
+    val nw = withNull.agg(expr("topk_weighted(term, w)").as("tk"))
+      .select(explode(col("tk")).as("tc"))
+      .select(col("tc.term"), col("tc.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(nw == List(("a", 2L), ("b", 1L)), s"got $nw")
   }
 
   test("uniqUpTo: exact at the cap, saturates one past it, merge keeps saturation") {
