@@ -1398,6 +1398,54 @@ object AnalyticQueries {
       |  least(count(DISTINCT user_id), 9)::BIGINT AS u_sat
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q89 — ClickHouse bit aggregates (`groupBitAnd`/`groupBitOr`/
+    * `groupBitXor`): per order-priority AND/OR/XOR folds over order keys —
+    * associative+commutative, so Spark partial-aggregates them map-side
+    * like any algebraic aggregate; exact integers, no rounding concerns.
+    */
+  def q89BitAggregates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bit_and(col("o_orderkey")).as("k_and"),
+        bit_or(col("o_orderkey")).as("k_or"),
+        bit_xor(col("o_orderkey")).as("k_xor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q89Sql: String =
+    """SELECT o_orderpriority,
+      |  bit_and(o_orderkey) AS k_and,
+      |  bit_or(o_orderkey) AS k_or,
+      |  bit_xor(o_orderkey) AS k_xor,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q90 — ClickHouse `entropy(x)`: Shannon entropy (bits) of the
+    * event-type distribution per user bucket. Built from two hash
+    * aggregates (per-(bucket,type) counts → per-bucket −Σ p·log2 p) —
+    * the same partial-aggregable shape DuckDB's native entropy() uses;
+    * rounded to 6 dp because the Σ over doubles is reduction-order
+    * sensitive in the last ulp.
+    */
+  def q90Entropy(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select((col("user_id") % 10).as("bucket"), col("event_type"))
+      .groupBy("bucket", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("bucket")
+      .agg(round(
+        -sum(col("c") * log2(col("c"))).cast("double") / sum(col("c")) +
+          log2(sum(col("c"))), 6).as("h"))
+      .orderBy("bucket")
+
+  val q90Sql: String =
+    """WITH c AS (
+      |  SELECT user_id % 10 AS bucket, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT bucket,
+      |  round(-sum(c * log2(c)) / sum(c) + log2(sum(c)), 6) AS h
+      |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1446,5 +1494,7 @@ object AnalyticQueries {
     ("q84_with_fill_interpolate", q84WithFillInterpolate _, Some(q84Sql)),
     ("q86_grouping_sets", q86GroupingSets _, Some(q86Sql)),
     ("q87_ranking_family", q87RankingFamily _, Some(q87Sql)),
-    ("q88_uniq_up_to", q88UniqUpTo _, Some(q88Sql)))
+    ("q88_uniq_up_to", q88UniqUpTo _, Some(q88Sql)),
+    ("q89_bit_aggregates", q89BitAggregates _, Some(q89Sql)),
+    ("q90_entropy", q90Entropy _, Some(q90Sql)))
 }
