@@ -1123,10 +1123,10 @@ object AnalyticQueries {
         lit("&page="), (col("event_id") % 7).cast("string")).as("url"))
       .select(
         parse_url(col("url"), lit("HOST")).as("domain"),
-        regexp_extract(parse_url(col("url"), lit("HOST")), "([^.]+)$", 1).as("tld"),
         parse_url(col("url"), lit("PATH")).as("path"),
         parse_url(col("url"), lit("QUERY"), lit("uid")).as("uid"),
         substring_index(col("url"), "?", 1).as("cut"))
+      .withColumn("tld", regexp_extract(col("domain"), "([^.]+)$", 1))
       .groupBy(col("domain"), col("tld"))
       .agg(
         count(lit(1)).as("n"),
