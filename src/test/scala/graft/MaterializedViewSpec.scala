@@ -135,6 +135,42 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(tgt.totalRows > 8, "fence-less def fires on every batch")
   }
 
+  test("fence invariant under concurrent ingest: POPULATE mid-stream never double-counts or loses a batch") {
+    // 4 writer threads race 3 batches each against a createMaterializedView
+    // (populate = true) issued mid-stream. Whatever the interleaving, every
+    // row must reach the target exactly once — via the populate snapshot
+    // XOR the per-batch trigger. Before the id fence this failed both ways
+    // (double-count when a batch landed between the registry commit and
+    // the populate scan; lost when it landed after the scan with stale
+    // defs). The assertion is interleaving-independent.
+    val src = newSource()
+    val piece = sourceDf.count() / 12 // 200 rows / (4 writers x 3 batches)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        (0 until 3).foreach { b =>
+          val lo = (t * 3 + b) * piece
+          src.insertBatch(sourceDf.filter(col("k") >= lo && col("k") < lo + piece))
+          Thread.sleep(5)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    Thread.sleep(20) // land somewhere in the middle of the stream
+    val tgt = summingTarget(src, populate = true)
+    threads.foreach(_.join())
+    src.refresh(); tgt.refresh()
+    // 12 equal slices of 200/12=16 rows — the 8-row remainder is never
+    // inserted, so the expected answer aggregates exactly the slices.
+    val inserted = sourceDf.filter(col("k") < 12 * piece)
+    assert(src.totalRows == 12 * piece)
+    val expect = inserted
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(collapsed(tgt) == expect,
+      "target must hold each batch exactly once (populate XOR trigger)")
+  }
+
   test("drop-and-recreate with a new target path routes batches to the NEW target") {
     val src = newSource()
     val oldTgt = summingTarget(src)
