@@ -886,6 +886,23 @@ final class ColumnarMergeTree private (
     scan().filter(ColumnarMergeTree.samplePredicate(orderBy, num, den))
   }
 
+  /** ClickHouse `SELECT … SAMPLE n` (absolute form): approximately n rows
+    * via the SAME hash predicate, the fraction derived from the manifest
+    * row count — metadata only, no counting scan. Keeps sampleScan's
+    * determinism and subset-composability (a larger n is a superset of a
+    * smaller one); n ≥ totalRows degenerates to the full scan. The yield
+    * is approximate exactly like ClickHouse's (hash uniformity, not an
+    * exact limit — a LIMIT would break determinism under parallelism).
+    */
+  def sampleScanRows(n: Long): DataFrame = {
+    require(n >= 0, s"bad sample size $n")
+    refresh()
+    val total = totalRows
+    if (total == 0L || n >= total) return scan()
+    val den = 1L << 20
+    sampleScan(math.max(1L, n * den / total), den)
+  }
+
   /** ClickHouse ALTER TABLE ... DROP PARTITION: every part belonging to the
     * partition is unlinked from the manifest in one atomic swap — no data
     * file is read or rewritten, which is why partition-aligned retention

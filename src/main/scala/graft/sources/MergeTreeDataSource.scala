@@ -85,14 +85,27 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
     // `snapshot 'N'` read option: time travel — plan against the manifest
     // committed at snapshot N (SQL face of ColumnarMergeTree.scanAt).
     val snapshotSeq = Option(opts.get("snapshot")).map(_.toLong)
-    // `sample 'num/den'` read option: ClickHouse SELECT … SAMPLE (SQL face
-    // of ColumnarMergeTree.sampleScan).
+    // `sample 'num/den'` / `sample 'N rows'` read option: ClickHouse
+    // SELECT … SAMPLE, fractional and absolute forms (SQL faces of
+    // ColumnarMergeTree.sampleScan / sampleScanRows). The rows form
+    // resolves to a fraction against the CURRENT manifest row count —
+    // metadata only, re-resolved per statement because the catalog
+    // replays getTable on every statement touching the table.
+    val rowsForm = "(?i)^\\s*(\\d+)\\s+rows\\s*$".r
     val sampleFrac = Option(opts.get("sample")).map { s =>
-      s.split('/') match {
-        case Array(n, d) if n.trim.forall(_.isDigit) && d.trim.forall(_.isDigit) =>
-          (n.trim.toLong, d.trim.toLong)
-        case _ => throw new IllegalArgumentException(
-          s"mergetree: sample must be 'num/den' (e.g. '1/4'), got '$s'")
+      s match {
+        case rowsForm(n) =>
+          val total = graft.mergetree.ColumnarMergeTree.GManifest.load(path)
+            .map(_.parts.map(_.rowCount).sum).getOrElse(0L)
+          val want = n.toLong
+          if (total == 0L || want >= total) (1L, 1L)
+          else { val den = 1L << 20; (math.max(1L, want * den / total), den) }
+        case _ => s.split('/') match {
+          case Array(n, d) if n.trim.forall(_.isDigit) && d.trim.forall(_.isDigit) =>
+            (n.trim.toLong, d.trim.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"mergetree: sample must be 'num/den' (e.g. '1/4') or 'N rows', got '$s'")
+        }
       }
     }
     // `system 'parts'|'snapshots'` read option: the observability tables

@@ -331,6 +331,16 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
       .count() == 4000)
     intercept[Exception](spark.read.format("mergetree")
       .option("sample", "quarter").load(dir).count())
+    // absolute form: SAMPLE 'N rows' ~ N rows via the manifest row count,
+    // identical subset through API and SQL, nesting within larger samples
+    val r500sql = spark.read.format("mergetree").option("sample", "500 rows")
+      .load(dir).select("k").collect().map(_.getLong(0)).toSet
+    val r500api = t.sampleScanRows(500).select("k").collect().map(_.getLong(0)).toSet
+    assert(r500sql == r500api, "SQL rows-sample must equal sampleScanRows")
+    assert(r500sql.size > 300 && r500sql.size < 700,
+      s"~500 of 4000 expected, got ${r500sql.size}")
+    assert(r500sql.subsetOf(half), "SAMPLE 500 rows nests inside SAMPLE 1/2")
+    assert(t.sampleScanRows(4000).count() == 4000, "n >= total is the full scan")
   }
 
   test("sample composes with FINAL: collapsed rows are sampled, not raw parts") {
