@@ -42,21 +42,22 @@ object AnalyticQueries {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        floor(sum("l_quantity") * lit(100.0) + lit(0.5)).as("sum_qty"),
+        floor(sum("l_extendedprice") * lit(100.0) + lit(0.5)).as("sum_base_price"),
+        floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * lit(100.0) + lit(0.5))
+          .as("sum_disc_price"),
+        floor(avg("l_quantity") * lit(1000000.0) + lit(0.5)).as("avg_qty"),
+        floor(avg("l_discount") * lit(1000000.0) + lit(0.5)).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q9Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | round(sum(l_quantity), 2) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      | round(avg(l_quantity), 6) AS avg_qty,
-      | round(avg(l_discount), 6) AS avg_disc,
+      | CAST(floor(sum(l_quantity) * 100.0 + 0.5) AS BIGINT) AS sum_qty,
+      | CAST(floor(sum(l_extendedprice) * 100.0 + 0.5) AS BIGINT) AS sum_base_price,
+      | CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT) AS sum_disc_price,
+      | CAST(floor(avg(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS avg_qty,
+      | CAST(floor(avg(l_discount) * 1000000.0 + 0.5) AS BIGINT) AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -89,13 +90,13 @@ object AnalyticQueries {
     orders.join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total_price"))
+        floor(sum("o_totalprice") * lit(100.0) + lit(0.5)).as("total_price"))
       .orderBy(col("c_nationkey"))
   }
 
   val q11Sql: String =
     """SELECT c_nationkey, count(*) AS n_orders,
-      | round(sum(o_totalprice), 2) AS total_price
+      | CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
@@ -112,14 +113,15 @@ object AnalyticQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q12Sql: String =
     """SELECT l_orderkey,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      | CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT) AS revenue
       |FROM lineitem
       | JOIN orders ON l_orderkey = o_orderkey
       | JOIN customer ON o_custkey = c_custkey
@@ -156,13 +158,14 @@ object AnalyticQueries {
   def q14TopK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
   val q14Sql: String =
     """SELECT l_orderkey,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      | CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT) AS revenue
       |FROM lineitem GROUP BY l_orderkey
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
@@ -197,15 +200,16 @@ object AnalyticQueries {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .withColumn("running_value", round(sum("value").over(w), 2))
+      .withColumn("running_value", floor(sum("value").over(w) * lit(100.0) + lit(0.5)))
       .select(col("user_id"), col("event_id"), col("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
   val q16Sql: String =
     """SELECT user_id, event_id,
-      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+      | CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) AS BIGINT)
+      |   AS running_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   /** Q17 — exact distinct count (oracle-checked); the approx variant is
@@ -233,12 +237,14 @@ object AnalyticQueries {
       .groupBy(
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum("value") * lit(100.0) + lit(0.5)).as("sum_value"))
       .orderBy(col("hour_ts"), col("event_type"))
 
   val q18Sql: String =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
-      | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      | event_type, count(*) AS n,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
 
   /** Q19 — set operators over two event-type key sets, tagged per branch. */
@@ -282,7 +288,7 @@ object AnalyticQueries {
         substring(col("event_type"), 1, 3).as("et3"),
         upper(col("event_type")).as("et_upper"),
         unix_timestamp(date_trunc("day", col("ts"))).as("day_ts"),
-        (floor(col("value") * lit(110.0) + lit(0.5)).cast("double") / 100.0).as("value_tax"),
+        floor(col("value") * lit(110.0) + lit(0.5)).as("value_tax"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
       .orderBy(col("event_id"))
 
@@ -291,7 +297,7 @@ object AnalyticQueries {
       | substring(event_type, 1, 3) AS et3,
       | upper(event_type) AS et_upper,
       | CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
-      | floor(value * 110.0 + 0.5) / 100.0 AS value_tax,
+      | CAST(floor(value * 110.0 + 0.5) AS BIGINT) AS value_tax,
       | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       |FROM events WHERE event_type LIKE '%c%'
       |ORDER BY event_id""".stripMargin
@@ -302,7 +308,8 @@ object AnalyticQueries {
   def q21Rollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("cnt"),
+        floor(sum("l_quantity") * lit(100.0) + lit(0.5)).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -312,7 +319,7 @@ object AnalyticQueries {
   val q21Sql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS rf,
       | coalesce(l_linestatus, 'ALL') AS ls,
-      | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      | count(*) AS cnt, CAST(floor(sum(l_quantity) * 100.0 + 0.5) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
@@ -463,7 +470,7 @@ object AnalyticQueries {
     */
   def q42Quantiles(spark: SparkSession, dir: String): DataFrame = {
     def r6(c: org.apache.spark.sql.Column) =
-      (floor(c * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+      floor(c * lit(1000000.0) + lit(0.5)) // fixed-point micros (BIGINT) — hash-portable
     events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -475,9 +482,9 @@ object AnalyticQueries {
 
   val q42Sql: String =
     """SELECT event_type,
-      | floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
-      | floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90,
-      | floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
+      | CAST(floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS p50,
+      | CAST(floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) AS BIGINT) AS p90,
+      | CAST(floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) AS BIGINT) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Q43 — structured JSON extraction: from_json into a typed struct (vs
@@ -541,8 +548,7 @@ object AnalyticQueries {
     t(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
-        (floor(sum(col("o_totalprice")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
-          .as("sum_price"))
+        floor(sum(col("o_totalprice")) * lit(100.0) + lit(0.5)).as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
@@ -553,7 +559,7 @@ object AnalyticQueries {
     """SELECT coalesce(o_orderstatus, 'ALL') AS st,
       | coalesce(o_orderpriority, 'ALL') AS pri,
       | count(*) AS cnt,
-      | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+      | CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY st, pri""".stripMargin
 
@@ -623,15 +629,15 @@ object AnalyticQueries {
       .rangeBetween(-600L, 0L)
     events(spark, dir)
       .withColumn("ts_sec", unix_timestamp(col("ts")))
-      .withColumn("sum_10m", round(sum("value").over(w), 2))
+      .withColumn("sum_10m", floor(sum("value").over(w) * lit(100.0) + lit(0.5)))
       .select(col("user_id"), col("event_id"), col("ts_sec"), col("sum_10m"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
   val q60Sql: String =
     """SELECT user_id, event_id, ts_sec,
-      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec
-      |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS sum_10m
+      | CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec
+      |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) AS BIGINT) AS sum_10m
       |FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
@@ -672,7 +678,8 @@ object AnalyticQueries {
     events(spark, dir).createOrReplaceTempView("ev_totals")
     spark.sql(
       """SELECT coalesce(event_type, '__totals__') AS event_type,
-        | count(*) AS n, round(sum(value), 2) AS sum_value
+        | count(*) AS n,
+        | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
         |FROM ev_totals
         |GROUP BY GROUPING SETS ((event_type), ())
         |ORDER BY event_type""".stripMargin)
@@ -680,7 +687,8 @@ object AnalyticQueries {
 
   val q64Sql: String =
     """SELECT coalesce(event_type, '__totals__') AS event_type,
-      | count(*) AS n, round(sum(value), 2) AS sum_value
+      | count(*) AS n,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events
       |GROUP BY GROUPING SETS ((event_type), ())
       |ORDER BY event_type""".stripMargin
@@ -698,9 +706,9 @@ object AnalyticQueries {
       .groupBy(col("event_type"))
       .agg(
         max(struct(col("value"), col("user_id"))).getField("user_id").as("top_user"),
-        round(max(col("value")), 2).as("top_value"),
+        floor(max(col("value")) * lit(100.0) + lit(0.5)).as("top_value"),
         min(struct(col("value"), col("user_id"))).getField("user_id").as("bottom_user"),
-        round(min(col("value")), 2).as("bottom_value"))
+        floor(min(col("value")) * lit(100.0) + lit(0.5)).as("bottom_value"))
       .orderBy(col("event_type"))
 
   val q65Sql: String =
@@ -712,8 +720,10 @@ object AnalyticQueries {
       |      ORDER BY value ASC, user_id ASC) AS rb
       |  FROM events)
       |SELECT t.event_type,
-      | t.user_id AS top_user, round(t.value, 2) AS top_value,
-      | b.user_id AS bottom_user, round(b.value, 2) AS bottom_value
+      | t.user_id AS top_user,
+      | CAST(floor(t.value * 100.0 + 0.5) AS BIGINT) AS top_value,
+      | b.user_id AS bottom_user,
+      | CAST(floor(b.value * 100.0 + 0.5) AS BIGINT) AS bottom_value
       |FROM (SELECT * FROM ranked WHERE rt = 1) t
       |JOIN (SELECT * FROM ranked WHERE rb = 1) b USING (event_type)
       |ORDER BY t.event_type""".stripMargin
@@ -807,10 +817,10 @@ object AnalyticQueries {
       count(when(col("c1") === 1, 1)).as("cohort"),
       count(when(col("c1") === 1 && col("c2") === 1, 1)).as("retained_w1"),
       count(when(col("c1") === 1 && col("c3") === 1, 1)).as("retained_w2"),
-      round(count(when(col("c1") === 1 && col("c2") === 1, 1)) /
-        count(when(col("c1") === 1, 1)), 4).as("ratio_w1"),
-      round(count(when(col("c1") === 1 && col("c3") === 1, 1)) /
-        count(when(col("c1") === 1, 1)), 4).as("ratio_w2"))
+      floor(count(when(col("c1") === 1 && col("c2") === 1, 1)) /
+        count(when(col("c1") === 1, 1)) * lit(10000.0) + lit(0.5)).as("ratio_w1"),
+      floor(count(when(col("c1") === 1 && col("c3") === 1, 1)) /
+        count(when(col("c1") === 1, 1)) * lit(10000.0) + lit(0.5)).as("ratio_w2"))
   }
 
   val q69Sql: String =
@@ -828,10 +838,10 @@ object AnalyticQueries {
       |  count(CASE WHEN c1 = 1 THEN 1 END) AS cohort,
       |  count(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 END) AS retained_w1,
       |  count(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 END) AS retained_w2,
-      |  round(count(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 END) /
-      |    count(CASE WHEN c1 = 1 THEN 1 END), 4) AS ratio_w1,
-      |  round(count(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 END) /
-      |    count(CASE WHEN c1 = 1 THEN 1 END), 4) AS ratio_w2
+      |  CAST(floor(count(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 END) /
+      |    count(CASE WHEN c1 = 1 THEN 1 END) * 10000.0 + 0.5) AS BIGINT) AS ratio_w1,
+      |  CAST(floor(count(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 END) /
+      |    count(CASE WHEN c1 = 1 THEN 1 END) * 10000.0 + 0.5) AS BIGINT) AS ratio_w2
       |FROM pu""".stripMargin
 
   /** Q70 — ClickHouse `-If` aggregate combinators (`countIf`, `sumIf`,
@@ -847,9 +857,10 @@ object AnalyticQueries {
     events(spark, dir).groupBy("event_type").agg(
       count(lit(1)).as("n"),
       count(when(big, 1)).as("n_big"),
-      round(sum(when(big, col("value")).otherwise(0.0)), 2).as("sum_big"),
-      round(avg(when(big, col("value"))), 6).as("avg_big"),
-      round(max(when(!big, col("value"))), 6).as("max_small"))
+      floor(sum(when(big, col("value")).otherwise(0.0)) * lit(100.0) + lit(0.5))
+        .as("sum_big"),
+      floor(avg(when(big, col("value"))) * lit(1000000.0) + lit(0.5)).as("avg_big"),
+      floor(max(when(!big, col("value"))) * lit(1000000.0) + lit(0.5)).as("max_small"))
       .orderBy("event_type")
   }
 
@@ -857,9 +868,12 @@ object AnalyticQueries {
     """SELECT event_type,
       | count(*) AS n,
       | count(CASE WHEN value > 100.0 THEN 1 END) AS n_big,
-      | round(sum(CASE WHEN value > 100.0 THEN value ELSE 0 END), 2) AS sum_big,
-      | round(avg(CASE WHEN value > 100.0 THEN value END), 6) AS avg_big,
-      | round(max(CASE WHEN NOT value > 100.0 THEN value END), 6) AS max_small
+      | CAST(floor(sum(CASE WHEN value > 100.0 THEN value ELSE 0 END) * 100.0 + 0.5)
+      |   AS BIGINT) AS sum_big,
+      | CAST(floor(avg(CASE WHEN value > 100.0 THEN value END) * 1000000.0 + 0.5)
+      |   AS BIGINT) AS avg_big,
+      | CAST(floor(max(CASE WHEN NOT value > 100.0 THEN value END) * 1000000.0 + 0.5)
+      |   AS BIGINT) AS max_small
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Q71 — ClickHouse `dictGet`: enrich the customer fact stream with
@@ -877,13 +891,14 @@ object AnalyticQueries {
       .groupBy(dict.getOrDefault(col("c_nationkey"), lit("__unknown__"))
         .as("nation_name"))
       .agg(count(lit(1)).as("n_cust"),
-        round(sum("c_acctbal"), 2).as("sum_bal"))
+        floor(sum("c_acctbal") * lit(100.0) + lit(0.5)).as("sum_bal"))
       .orderBy("nation_name")
   }
 
   val q71Sql: String =
     """SELECT coalesce(n.n_name, '__unknown__') AS nation_name,
-      | count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS sum_bal
+      | count(*) AS n_cust,
+      | CAST(floor(sum(c.c_acctbal) * 100.0 + 0.5) AS BIGINT) AS sum_bal
       |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -899,21 +914,23 @@ object AnalyticQueries {
     t(spark, dir, "embeddings").select(
       col("vec_id"),
       size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
-      round(
+      floor(
         sqrt(aggregate(
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)),
-        6).as("l2"),
-      round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+          lit(0.0), (acc, x) => acc + x)) * lit(1000000.0) + lit(0.5)).as("l2"),
+      floor(array_max(col("embedding")).cast("double") * lit(1000000.0) + lit(0.5))
+        .as("mx"),
       exists(col("embedding"), x => x > lit(0.25)).as("has_big"))
       .orderBy("vec_id")
 
   val q72Sql: String =
     """SELECT vec_id,
       | len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
-      | round(sqrt(list_aggregate(
-      |   list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS l2,
-      | round(list_aggregate(embedding, 'max')::DOUBLE, 6) AS mx,
+      | CAST(floor(sqrt(list_aggregate(
+      |   list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+      |   * 1000000.0 + 0.5) AS BIGINT) AS l2,
+      | CAST(floor(list_aggregate(embedding, 'max')::DOUBLE * 1000000.0 + 0.5)
+      |   AS BIGINT) AS mx,
       | len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_big
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
@@ -927,7 +944,7 @@ object AnalyticQueries {
   def q73SumMap(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy("user_id", "event_type")
-      .agg(round(sum("value") * 100).cast("long").as("cents"))
+      .agg(floor(sum("value") * lit(100.0) + lit(0.5)).as("cents"))
       .groupBy("user_id")
       .agg(
         concat_ws(",", array_sort(collect_list(
@@ -938,7 +955,7 @@ object AnalyticQueries {
   val q73Sql: String =
     """WITH pairs AS (
       |  SELECT user_id, event_type,
-      |    CAST(round(sum(value) * 100) AS BIGINT) AS cents
+      |    CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS cents
       |  FROM events GROUP BY user_id, event_type)
       |SELECT user_id,
       | array_to_string(list_sort(list(event_type || ':' || cents)), ',') AS value_map,
@@ -1018,18 +1035,20 @@ object AnalyticQueries {
   def q76StatsAgg(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      round(stddev_samp(col("value")), 6).as("sd"),
-      round(var_samp(col("value")), 6).as("var"),
-      round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar"),
-      round(corr(col("value"), col("user_id").cast("double")), 6).as("corr"))
+      floor(stddev_samp(col("value")) * lit(1000000.0) + lit(0.5)).as("sd"),
+      floor(var_samp(col("value")) * lit(1000000.0) + lit(0.5)).as("var"),
+      floor(covar_samp(col("value"), col("user_id").cast("double")) * lit(10000.0) + lit(0.5))
+        .as("covar"),
+      floor(corr(col("value"), col("user_id").cast("double")) * lit(1000000.0) + lit(0.5))
+        .as("corr"))
       .orderBy("event_type")
 
   val q76Sql: String =
     """SELECT event_type, count(*) AS n,
-      | round(stddev_samp(value), 6) AS sd,
-      | round(var_samp(value), 6) AS "var",
-      | round(covar_samp(value, user_id::DOUBLE), 4) AS covar,
-      | round(corr(value, user_id::DOUBLE), 6) AS corr
+      | CAST(floor(stddev_samp(value) * 1000000.0 + 0.5) AS BIGINT) AS sd,
+      | CAST(floor(var_samp(value) * 1000000.0 + 0.5) AS BIGINT) AS "var",
+      | CAST(floor(covar_samp(value, user_id::DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS covar,
+      | CAST(floor(corr(value, user_id::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS corr
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Q77 — ClickHouse `quantileTDigest`-family: approximate p50/p90/p99
@@ -1072,7 +1091,8 @@ object AnalyticQueries {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf",
-        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+        floor(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0))
+          * lit(1000000.0) + lit(0.5)))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
     scored
@@ -1096,7 +1116,8 @@ object AnalyticQueries {
       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
       |scored AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-      |    round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      |    CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS tfidf
       |  FROM tf JOIN df USING (term) CROSS JOIN n),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1433,9 +1454,9 @@ object AnalyticQueries {
       .select((col("user_id") % 10).as("bucket"), col("event_type"))
       .groupBy("bucket", "event_type").agg(count(lit(1)).as("c"))
       .groupBy("bucket")
-      .agg(round(
-        -sum(col("c") * log2(col("c"))).cast("double") / sum(col("c")) +
-          log2(sum(col("c"))), 6).as("h"))
+      .agg(floor(
+        (-sum(col("c") * log2(col("c"))).cast("double") / sum(col("c")) +
+          log2(sum(col("c")))) * lit(1000000.0) + lit(0.5)).as("h"))
       .orderBy("bucket")
 
   val q90Sql: String =
@@ -1443,7 +1464,8 @@ object AnalyticQueries {
       |  SELECT user_id % 10 AS bucket, event_type, count(*) AS c
       |  FROM events GROUP BY 1, 2)
       |SELECT bucket,
-      |  round(-sum(c * log2(c)) / sum(c) + log2(sum(c)), 6) AS h
+      |  CAST(floor((-sum(c * log2(c)) / sum(c) + log2(sum(c)))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS h
       |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

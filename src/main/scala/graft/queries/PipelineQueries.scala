@@ -46,6 +46,16 @@ object PipelineQueries {
 
   /** Portable round-half-up to 6 dp — identical double arithmetic in both
     * engines (see q20Scalars for why built-in round() diverges).
+    *
+    * Contract (hash-portability): r6 doubles may be EMITTED only when the
+    * rounded value is a per-row fold over identical inputs (sequential array
+    * cosine, single int/int division) — those are bit-identical across
+    * engines, so the driver's hash of the double is stable. Cross-row DOUBLE
+    * reductions (sum/percentile of doubles) must instead emit fixed-point
+    * BIGINT (floor(x*scale+0.5) with no divide) on BOTH sides — summation
+    * order differs between engines and the last-ulp wobble makes hashed
+    * doubles flaky (q51 in round 7). r6 stays double here because it also
+    * feeds downstream ranking/centroid math that expects the 6-dp value.
     */
   private def r6(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0
@@ -858,7 +868,7 @@ object PipelineQueries {
       .select(
         col("event_type"),
         col("s.n").as("n"),
-        (floor(col("s.sum") * lit(100.0) + lit(0.5)).cast("double") / 100.0).as("sum_v"),
+        floor(col("s.sum") * lit(100.0) + lit(0.5)).as("sum_v"),
         col("s.min").as("min_v"),
         col("s.max").as("max_v"))
       .orderBy(col("event_type"))
@@ -866,7 +876,7 @@ object PipelineQueries {
 
   val q38Sql: String =
     """SELECT event_type, count(value) AS n,
-      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_v,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_v,
       | min(value) AS min_v, max(value) AS max_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

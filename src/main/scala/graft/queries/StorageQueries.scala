@@ -251,7 +251,7 @@ object StorageQueries {
       .filter(col("l_orderkey") >= 400L && col("l_orderkey") <= 1200L)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        (floor(sum(col("l_quantity")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+        floor(sum(col("l_quantity")) * lit(100.0) + lit(0.5))
           .as("sum_qty"))
       .orderBy(col("l_returnflag"))
   }
@@ -285,14 +285,14 @@ object StorageQueries {
     })
     t.scan()
       .select(col("user_id"), col("event_type"), col("event_id"),
-        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+        floor(col("value") * lit(1000000.0) + lit(0.5))
           .as("value_r"))
       .orderBy(col("user_id"), col("event_type"))
   }
 
   val q45Sql: String =
     """SELECT user_id, event_type, event_id,
-      | floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_r
+      | CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_r
       |FROM (
       |  SELECT user_id, event_type, event_id, value,
       |    row_number() OVER (PARTITION BY user_id, event_type
@@ -326,14 +326,14 @@ object StorageQueries {
     t.optimize() // collapse-in-merge path (idempotent once <= maxParts)
     t.scan()
       .select(col("user_id"), col("event_type"),
-        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+        floor(col("value") * lit(1000000.0) + lit(0.5))
           .as("sum_value"))
       .orderBy(col("user_id"), col("event_type"))
   }
 
   val q46Sql: String =
     """SELECT user_id, event_type,
-      | floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      | CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
@@ -355,20 +355,20 @@ object StorageQueries {
     t.scan()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+        floor(sum(col("value")) * lit(100.0) + lit(0.5))
           .as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val q47Sql: String =
     """SELECT event_type, count(*) AS n,
-      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events WHERE event_type != 'click'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val q44Sql: String =
     """SELECT l_returnflag, count(*) AS n,
-      | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+      | CAST(floor(sum(l_quantity) * 100.0 + 0.5) AS BIGINT) AS sum_qty
       |FROM lineitem WHERE l_orderkey BETWEEN 400 AND 1200
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -404,13 +404,13 @@ object StorageQueries {
       s"CREATE TABLE $view USING mergetree OPTIONS (`final` 'true') LOCATION '${t.path}'")
     spark.sql(
       s"""SELECT user_id, event_type, event_id, sign,
-         | floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_r
+         | CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_micros
          |FROM $view ORDER BY user_id, event_type, event_id""".stripMargin)
   }
 
   val q51Sql: String =
     """SELECT user_id, event_type, event_id, CAST(1 AS INTEGER) AS sign,
-      | floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_r
+      | CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_micros
       |FROM events WHERE event_type <> 'click'
       |ORDER BY user_id, event_type, event_id""".stripMargin
 
@@ -425,7 +425,7 @@ object StorageQueries {
     t.scanPartitions(Seq("click", "view"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+        floor(sum(col("value")) * lit(100.0) + lit(0.5))
           .as("sum_value"))
       .orderBy(col("event_type"))
   }
@@ -443,7 +443,7 @@ object StorageQueries {
 
   val q52Sql: String =
     """SELECT event_type, count(*) AS n,
-      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events WHERE event_type IN ('click', 'view')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -469,14 +469,14 @@ object StorageQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         min(col("event_id")).as("min_event_id"),
-        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+        floor(sum(col("value")) * lit(100.0) + lit(0.5))
           .as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val q53Sql: String =
     """SELECT event_type, count(*) AS n, min(event_id) AS min_event_id,
-      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events WHERE event_id >= 500
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -509,14 +509,14 @@ object StorageQueries {
     t.scan()
       .select(col("user_id"), col("event_type"), col("n"),
         col("event_id").as("max_event_id"),
-        (floor(col("value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+        floor(col("value") * lit(1000000.0) + lit(0.5))
           .as("sum_value"))
       .orderBy(col("user_id"), col("event_type"))
   }
 
   val q54Sql: String =
     """SELECT user_id, event_type, count(*) AS n, max(event_id) AS max_event_id,
-      | floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      | CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
@@ -546,14 +546,14 @@ object StorageQueries {
     })
     tgt.scan()
       .select(col("event_type"), col("n"),
-        (floor(col("sum_value") * lit(1000000.0) + lit(0.5)).cast("double") / 1000000.0)
+        floor(col("sum_value") * lit(1000000.0) + lit(0.5))
           .as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val q55Sql: String =
     """SELECT event_type, count(*) AS n,
-      | floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      | CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Q79 — part-level minmax skip index (ClickHouse `minmax`): the table
@@ -579,14 +579,14 @@ object StorageQueries {
     t.scanWhere("event_id", 100L, 220L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("double") / 100.0)
+        floor(sum(col("value")) * lit(100.0) + lit(0.5))
           .as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val q79Sql: String =
     """SELECT event_type, count(*) AS n,
-      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
       |FROM events WHERE event_id BETWEEN 100 AND 220
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
