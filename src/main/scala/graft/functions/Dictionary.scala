@@ -20,15 +20,26 @@ import org.apache.spark.sql.functions._
   */
 final class Dictionary private (entries: Map[Long, String]) extends Serializable {
 
+  // A plan-literal map (typedLit → element_at/GetMapValue) scans the literal
+  // LINEARLY per row — ~1M comparisons per fact row at the size cap. These
+  // UDFs close over the immutable HashMap instead (shipped once per task
+  // with the closure, the same distribution story), probing in O(1).
+  private val lookupUdf = udf((k: java.lang.Long) =>
+    if (k == null) null else entries.getOrElse(k.longValue, null))
+  private val hasUdf = udf((k: java.lang.Long) =>
+    k != null && entries.contains(k.longValue))
+
   /** `dictGet(dict, key)`: the mapped value, or NULL for unknown keys. */
-  def get(key: Column): Column = element_at(typedLit(entries), key.cast("long"))
+  def get(key: Column): Column = lookupUdf(key.cast("long"))
 
   /** `dictGetOrDefault(dict, key, default)`. */
   def getOrDefault(key: Column, default: Column): Column =
     coalesce(get(key), default)
 
-  /** `dictHas(dict, key)`. */
-  def has(key: Column): Column = get(key).isNotNull
+  /** `dictHas(dict, key)`: key membership — true even when the key maps to
+    * a NULL value (get().isNotNull would misreport those as absent).
+    */
+  def has(key: Column): Column = hasUdf(key.cast("long"))
 
   def size: Int = entries.size
 }

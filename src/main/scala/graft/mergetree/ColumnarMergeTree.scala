@@ -756,10 +756,20 @@ final class ColumnarMergeTree private (
                   if (a.maxS == null || KeyOrder.gt(hi, a.maxS)) a.maxS = hi
                 case n: Number
                     if n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float] =>
-                  a.seen += 1; a.kind = "double"
-                  a.minD = math.min(a.minD, n.doubleValue())
-                  a.maxD = math.max(a.maxD,
-                    s.genericGetMax.asInstanceOf[Number].doubleValue())
+                  // NaN bounds (all-NaN row group, or NaN-propagating writer
+                  // stats) poison min/max — math.min/max would carry the NaN
+                  // into the stored stat and colAllowsRange's Double.compare
+                  // would then prune parts that hold real in-range rows in
+                  // their other row groups. Leave `seen` behind instead: the
+                  // seen != groups check below drops the stat, so the part
+                  // stays unbounded (never pruned) for this column.
+                  val lo = n.doubleValue()
+                  val hi = s.genericGetMax.asInstanceOf[Number].doubleValue()
+                  if (!lo.isNaN && !hi.isNaN) {
+                    a.seen += 1; a.kind = "double"
+                    a.minD = math.min(a.minD, lo)
+                    a.maxD = math.max(a.maxD, hi)
+                  }
                 case n: Number =>
                   a.seen += 1; a.kind = "long"
                   a.minL = math.min(a.minL, n.longValue())
@@ -900,7 +910,9 @@ final class ColumnarMergeTree private (
     val total = totalRows
     if (total == 0L || n >= total) return scan()
     val den = 1L << 20
-    sampleScan(math.max(1L, n * den / total), den)
+    // BigInt: n * den overflows Long for n > ~8.8e12 requested rows —
+    // trillion-row asks are real at 100 TB. Driver-side, once per call.
+    sampleScan(math.max(1L, (BigInt(n) * den / total).toLong), den)
   }
 
   /** ClickHouse ALTER TABLE ... DROP PARTITION: every part belonging to the
@@ -1188,15 +1200,7 @@ final class ColumnarMergeTree private (
     val live = manifest.parts
     if (live.isEmpty) return 0L
     val isHit = coalesce(cond, lit(false))
-    // One job: per-part hit counts via a union tagged with the part id.
-    // Collected rows are bounded by the part count.
-    val tagged = live.map(p =>
-      spark.read.schema(schema).parquet(s"$path/part_${p.partId}")
-        .filter(isHit).groupBy().agg(count(lit(1)).as("hits"))
-        .select(lit(p.partId).as("pid"), col("hits")))
-    val hitsByPart: Map[Long, Long] =
-      tagged.reduce(_ unionAll _).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hitsByPart = hitCountsByPart(live, isHit)
     val removed = hitsByPart.values.sum
     if (removed == 0L) return 0L
     val dropped = live.filter(p => hitsByPart.getOrElse(p.partId, 0L) == p.rowCount)
@@ -1218,6 +1222,31 @@ final class ColumnarMergeTree private (
     removed
   }
 
+  /** ONE distributed job computing per-part predicate hit counts: a single
+    * multi-path scan of every candidate part, grouped by the part id parsed
+    * back out of `input_file_name()`. The shape this replaces — one
+    * scan+aggregate subtree per part, `reduce(_ unionAll _)` — builds an
+    * O(parts)-operator plan whose driver-side analysis/codegen stalls at
+    * 10⁴–10⁵ parts long before the data volume matters. Here the plan is a
+    * constant five operators regardless of part count, and the collected
+    * result is bounded by the number of parts with ≥1 hit.
+    */
+  private[graft] def hitCountPlan(parts: Seq[GPartMeta], isHit: Column): DataFrame =
+    spark.read.schema(schema)
+      .parquet(parts.map(p => s"$path/part_${p.partId}"): _*)
+      .filter(isHit)
+      // Parts are directories `part_<id>/<file>.parquet`; anchoring the
+      // match to the file's parent segment keeps a `part_`-ish substring
+      // earlier in the table path from hijacking the extraction.
+      .groupBy(regexp_extract(input_file_name(), "/part_([0-9]+)/[^/]*$", 1)
+        .cast("long").as("pid"))
+      .agg(count(lit(1)).as("hits"))
+
+  private def hitCountsByPart(parts: Seq[GPartMeta], isHit: Column): Map[Long, Long] =
+    if (parts.isEmpty) Map.empty
+    else hitCountPlan(parts, isHit).collect().iterator
+      .filterNot(_.isNullAt(0)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Column mutation by predicate (ClickHouse's ALTER TABLE … UPDATE — the
     * twin of deleteWhere): rows matching `cond` get each column in `set`
     * replaced by its expression; parts with no matches are untouched,
@@ -1238,13 +1267,7 @@ final class ColumnarMergeTree private (
       val live = manifest.parts
       if (live.isEmpty) return 0L
       val isHit = coalesce(cond, lit(false))
-      val tagged = live.map(p =>
-        spark.read.schema(schema).parquet(s"$path/part_${p.partId}")
-          .filter(isHit).groupBy().agg(count(lit(1)).as("hits"))
-          .select(lit(p.partId).as("pid"), col("hits")))
-      val hitsByPart: Map[Long, Long] =
-        tagged.reduce(_ unionAll _).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hitsByPart = hitCountsByPart(live, isHit)
       val updated = hitsByPart.values.sum
       if (updated == 0L) return 0L
       val touched = live.filter(p => hitsByPart.getOrElse(p.partId, 0L) > 0L)
@@ -1789,12 +1812,19 @@ object ColumnarMergeTree {
       colStats.flatMap(_.find(_.col == column)) match {
         case None => true
         case Some(s) =>
+          // A NaN anywhere (stored bound from an old manifest, or a NaN
+          // probe value) makes Double.compare order it above +Inf, which
+          // would wrongly prune; treat any NaN as "can't decide" = keep.
+          def anyNaN(v: String) =
+            s.kind == "double" && (try v.toDouble.isNaN catch { case _: Throwable => true })
           def cmpK(a: String, b: String): Int = s.kind match {
             case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
             case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
             case _        => KeyOrder.cmp(a, b)
           }
-          lo.forall(l => cmpK(s.max, l.toString) >= 0) &&
+          if (anyNaN(s.min) || anyNaN(s.max) ||
+            lo.exists(l => anyNaN(l.toString)) || hi.exists(h => anyNaN(h.toString))) true
+          else lo.forall(l => cmpK(s.max, l.toString) >= 0) &&
             hi.forall(h => cmpK(s.min, h.toString) <= 0)
       }
   }

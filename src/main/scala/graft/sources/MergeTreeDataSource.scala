@@ -99,7 +99,11 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
             .map(_.parts.map(_.rowCount).sum).getOrElse(0L)
           val want = n.toLong
           if (total == 0L || want >= total) (1L, 1L)
-          else { val den = 1L << 20; (math.max(1L, want * den / total), den) }
+          else {
+            // BigInt: want * den overflows Long past ~8.8e12 rows.
+            val den = 1L << 20
+            (math.max(1L, (BigInt(want) * den / total).toLong), den)
+          }
         case _ => s.split('/') match {
           case Array(n, d) if n.trim.forall(_.isDigit) && d.trim.forall(_.isDigit) =>
             (n.trim.toLong, d.trim.toLong)

@@ -231,6 +231,29 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
     assert(t.scan().count() == 50)
   }
 
+  test("mutation hit-counting plans ONE scan regardless of part count") {
+    // The pre-round-8 shape — one scan+aggregate subtree per part,
+    // reduce(_ unionAll _) — builds an O(parts)-operator plan: driver
+    // analysis/codegen stalls at 10⁴–10⁵ parts long before data volume
+    // matters. The plan must stay constant-size as parts grow.
+    val dir = Files.createTempDirectory("cmt_hitplan_").toString
+    val proto = spark.range(1).select(col("id").as("k"), col("id").as("v"))
+    val t = ColumnarMergeTree.create(spark, dir, proto.schema, orderBy = Seq("k"))
+    (0 until 24).foreach(i => t.insertBatch(
+      spark.range(i * 10L, i * 10L + 10L)
+        .select(col("id").as("k"), col("id").as("v"))))
+    assert(t.partCount == 24)
+    val plan = t.hitCountPlan(t.parts, col("v") % 2 === 0)
+      .queryExecution.executedPlan.toString()
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"expected ONE scan node over 24 parts:\n$plan")
+    // and the counts it feeds still drive the mutation correctly
+    assert(t.deleteWhere(col("v") >= 200L) == 40L)
+    assert(t.scan().count() == 200)
+    assert(t.updateWhere(col("v") < 5L, Map("v" -> lit(-1L))) == 5L)
+    assert(t.scan().filter(col("v") === -1L).count() == 5)
+  }
+
   test("gcGraceSeconds is table metadata: self-describing open honors the creator's value") {
     val df = spark.range(10).select(col("id").as("k"))
     val dir = Files.createTempDirectory("cmt_gcpersist_").toString

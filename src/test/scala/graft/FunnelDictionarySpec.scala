@@ -236,6 +236,17 @@ class FunnelDictionarySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), s"dictGet must not plan a join:\n$plan")
   }
 
+  test("dictionary: has() is key membership, even for NULL-valued keys") {
+    val dim = Seq((1L, Some("one")), (2L, None)).toDF("k", "v")
+    val d = Dictionary.fromDataFrame(dim, "k", "v")
+    val facts = Seq(1L, 2L, 9L).toDF("k")
+    val out = facts.select(col("k"), d.has(col("k")).as("hit"),
+      d.get(col("k")).as("v")).collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ==
+      Seq((1L, true), (2L, true), (9L, false)))
+    assert(out.map(_.isNullAt(2)).toSeq == Seq(false, true, true))
+  }
+
   test("dictionary: duplicate keys are rejected loudly") {
     val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
     assertThrows[IllegalArgumentException] {

@@ -87,6 +87,27 @@ class MinmaxIndexSpec extends AnyFunSuite {
     assert(idx.toSeq == raw.toSeq)
   }
 
+  test("a NaN in a double column never causes pruning of real in-range rows") {
+    // NaN poisons math.min/max folds (min(x, NaN) = NaN) and orders above
+    // +Inf under Double.compare, so a NaN-tainted bound would prune a part
+    // for ANY upper-bounded predicate — silently dropping the part's real
+    // in-range rows. The part must stay unbounded (read) instead.
+    val dir = Files.createTempDirectory("cmt_minmax_nan_").toString
+    val t = mkTable(dir, Seq("score"))
+    // one part mixing a NaN with genuinely in-range scores
+    t.insertBatch(Seq(
+      (1L, 1000L, 10.0, "n1"),
+      (2L, 1001L, Double.NaN, "n2"),
+      (3L, 1002L, 20.0, "n3")).toDF("k", "ts", "score", "tag"))
+    // and one far-away part that legitimately prunes
+    t.insertBatch(batch(100 until 110, 2000L, 5000.0, "far"))
+
+    val hit = t.scanWhere("score", 0.0, 100.0) // upper-bounded range
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "real in-range rows in the NaN part must survive")
+    assert(t.lastPruning._1 >= 1, s"NaN part was read: ${t.lastPruning}")
+  }
+
   test("pre-index parts are never pruned; config persists across reopen") {
     val dir = Files.createTempDirectory("cmt_minmax_pre_").toString
     val schema = Seq((1L, 1L, 1.0, "a")).toDF("k", "ts", "score", "tag").schema
