@@ -590,6 +590,48 @@ object StorageQueries {
       |FROM events WHERE event_id BETWEEN 100 AND 220
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q91 — rewrite-free schema evolution through the PURE SQL face: a
+    * catalog-addressed mergetree table (GraftCatalog, `gq91.q91.<t>`) is
+    * created, filled, ALTERed (ADD COLUMN), filled again, and aggregated —
+    * every step a spark.sql statement, no Scala table handle. Pre-ALTER
+    * parts null-fill the added column at read time (no part rewritten —
+    * the only ALTER economics that hold at 100 TB), so grouping on the
+    * added column must reproduce the even/odd split the two INSERTs
+    * encoded. Oracle: the same aggregation from the raw parquet.
+    */
+  def q91AlterSql(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = cacheSqlAlter.getOrElseUpdate(dir, {
+      val wh = Files.createTempDirectory("mt_q91_wh_").toString
+      spark.conf.set("spark.sql.catalog.gq91",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gq91.warehouse", wh)
+      // unique table name per dir: the catalog maps names to directories
+      // under one warehouse conf, and Verify may run several SFs in-process
+      val n = "t" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("q91_orders")
+      spark.sql(s"CREATE TABLE gq91.q91.$n (o_orderkey BIGINT, " +
+        "o_custkey BIGINT) USING mergetree OPTIONS (orderBy 'o_orderkey')")
+      spark.sql(s"INSERT INTO gq91.q91.$n SELECT o_orderkey, o_custkey " +
+        "FROM q91_orders WHERE o_orderkey % 2 = 0")
+      spark.sql(s"ALTER TABLE gq91.q91.$n ADD COLUMN odd_flag BIGINT")
+      spark.sql(s"INSERT INTO gq91.q91.$n SELECT o_orderkey, o_custkey, 1 " +
+        "FROM q91_orders WHERE o_orderkey % 2 = 1")
+      s"gq91.q91.$n"
+    })
+    spark.sql(
+      s"""SELECT coalesce(odd_flag, 0) AS flag, count(*) AS n,
+         | sum(o_custkey) AS sum_cust
+         |FROM $tblName GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val cacheSqlAlter = TrieMap.empty[String, String]
+
+  val q91Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS flag,
+      | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -609,5 +651,6 @@ object StorageQueries {
     ("q53_ttl", q53Ttl _, Some(q53Sql)),
     ("q54_aggregating_mt", q54Aggregating _, Some(q54Sql)),
     ("q55_mat_view", q55MatView _, Some(q55Sql)),
-    ("q79_minmax_scan", q79MinmaxScan _, Some(q79Sql)))
+    ("q79_minmax_scan", q79MinmaxScan _, Some(q79Sql)),
+    ("q91_alter_sql", q91AlterSql _, Some(q91Sql)))
 }

@@ -1,0 +1,241 @@
+package graft.sources
+
+import graft.mergetree.{ColumnarMergeTree, MergeTreeTable}
+import graft.mergetree.ColumnarMergeTree.TableDef
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Name-addressed DSv2 catalog over a directory of mergetree tables — the
+  * ClickHouse-database face of the engine (a ClickHouse user says
+  * `db.table`, not a filesystem path). Register with:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  * }}}
+  *
+  * `graft.ns.t` maps to directory `<warehouse>/ns/t`; the tables are the
+  * SAME self-describing tabledef.json directories the path-based
+  * `format("mergetree")` face reads, so the two faces interoperate on
+  * identical storage. Everything the path face supports (INSERT/SELECT/
+  * DELETE, FINAL via read option, MVs, projections) works on catalog
+  * identifiers too — plus the catalog-only verbs:
+  *
+  *   - `CREATE TABLE graft.ns.t (…) OPTIONS (orderBy 'k', …)` — DDL-born
+  *     tables, same tabledef as the Scala API writes;
+  *   - `ALTER TABLE graft.ns.t ADD COLUMN c BIGINT` /
+  *     `DROP COLUMN c` / `ALTER COLUMN c TYPE BIGINT` — the SQL face of
+  *     the rewrite-free schema evolution (ColumnarMergeTree.addColumn /
+  *     dropColumn / widenColumn): metadata-only, no part rewritten, the
+  *     only ALTER economics that hold at 100 TB;
+  *   - DROP/RENAME TABLE, namespaces as directories.
+  *
+  * Catalog state is the filesystem — no extra metastore to drift from the
+  * table directories (the declared single-driver posture of SURVEY §8; a
+  * multi-driver deployment would swap this class for one backed by a
+  * shared store, the interface is the seam).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.warehouse to a directory")))
+    Files.createDirectories(warehouse)
+  }
+
+  /** Identifier → directory. Segments are validated as plain names so an
+    * identifier can never traverse outside the warehouse.
+    */
+  private def dirOf(ident: Identifier): Path = {
+    val segs = ident.namespace.toSeq :+ ident.name
+    segs.foreach(s => require(
+      s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != ".." && s != ".",
+      s"catalog $catalogName: illegal identifier segment '$s'"))
+    segs.foldLeft(warehouse)(_.resolve(_))
+  }
+
+  private def isTableDir(p: Path): Boolean = TableDef.load(p.toString).isDefined
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    TableDef.load(dir.toString) match {
+      case Some(d) => new GenericMergeTreeV2Table(
+        dir.toString, StructType.fromDDL(d.schemaDdl), d.orderBy)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "mergetree: use OPTIONS (partitionBy '…'), not PARTITIONED BY — " +
+        "partitioning is table metadata, parts stay mergetree-managed")
+    // OPTIONS arrive with TableCatalog.OPTION_PREFIX ("option.") — strip it;
+    // bare keys (provider/location/owner bookkeeping) pass through so
+    // tableDefFromOptions sees one flat namespace either way.
+    val opts = new CaseInsensitiveStringMap(properties.asScala.map {
+      case (k, v) if k.toLowerCase.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.substring(TableCatalog.OPTION_PREFIX.length) -> v
+      case kv => kv
+    }.asJava)
+    require(schema.nonEmpty, "mergetree: CREATE TABLE needs explicit columns")
+    require(opts.containsKey("orderBy"),
+      "mergetree: CREATE TABLE needs OPTIONS (orderBy 'col[,col…]')")
+    val defn = MergeTreeTableProvider.tableDefFromOptions(schema, opts)
+    // LOCATION overrides the warehouse layout (external table).
+    val dir = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(l => Paths.get(MergeTreeTableProvider.localPath(l)))
+      .getOrElse(dirOf(ident))
+    Files.createDirectories(dir)
+    require(TableDef.load(dir.toString).isEmpty,
+      s"mergetree: $dir already holds a table definition")
+    TableDef.store(dir.toString, defn)
+    MergeTreeTableProvider.attachMvIfRequested(dir.toString, opts)
+    MergeTreeTableProvider.attachProjectionsIfRequested(dir.toString, opts)
+    new GenericMergeTreeV2Table(dir.toString, schema, defn.orderBy)
+  }
+
+  /** The SQL face of rewrite-free schema evolution. Each change maps to the
+    * corresponding ColumnarMergeTree API, which carries ALL the invariants
+    * (protected ORDER BY/mode/TTL columns, projection lockstep, MV guards,
+    * widen-only type changes) — the catalog adds no second implementation
+    * that could drift.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"mergetree: cannot add nested column ${add.fieldNames.mkString(".")}")
+        ColumnarMergeTree.open(spark, dir.toString)
+          .addColumn(add.fieldNames.head, add.dataType)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"mergetree: cannot drop nested column ${del.fieldNames.mkString(".")}")
+        ColumnarMergeTree.open(spark, dir.toString).dropColumn(del.fieldNames.head)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"mergetree: cannot retype nested column ${upd.fieldNames.mkString(".")}")
+        ColumnarMergeTree.open(spark, dir.toString)
+          .widenColumn(upd.fieldNames.head, upd.newDataType)
+      case other => throw new UnsupportedOperationException(
+        s"mergetree: unsupported ALTER ${other.getClass.getSimpleName} " +
+          "(supported: ADD COLUMN, DROP COLUMN, ALTER COLUMN … TYPE)")
+    }
+    loadTable(ident)
+  }
+
+  /** DROP TABLE deletes the data, like ClickHouse (these are managed
+    * tables; the catalog IS the storage layout).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) false
+    else { MergeTreeTable.deleteRecursively(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = dirOf(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTableDir(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  // ------------------------------------------------- namespaces = directories
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val s = Files.list(warehouse)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally s.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "mergetree: namespaces carry no mutable metadata")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) false
+    else {
+      if (!cascade) {
+        val s = Files.list(dir)
+        val empty = try !s.iterator().hasNext finally s.close()
+        require(empty, s"namespace ${namespace.mkString(".")} is not empty")
+      }
+      MergeTreeTable.deleteRecursively(dir)
+      true
+    }
+  }
+}

@@ -44,6 +44,48 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(viaSql.filter(col("score").isNull).count() == 50)
   }
 
+  test("catalog SQL face: CREATE / INSERT / ALTER ADD,DROP,TYPE / SHOW / RENAME / DROP, pure SQL") {
+    // The whole lifecycle driven by spark.sql(...) against the name-addressed
+    // GraftCatalog — no Scala table handle anywhere. The catalog maps
+    // gsql.evo.t -> <warehouse>/evo/t holding the same tabledef.json the
+    // API writes, and ALTER delegates to the rewrite-free evolution.
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    spark.conf.set("spark.sql.catalog.gsql", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    spark.sql("CREATE TABLE gsql.evo.t (k BIGINT, grp BIGINT) USING mergetree " +
+      "OPTIONS (orderBy 'k')")
+    spark.sql("INSERT INTO gsql.evo.t SELECT id, id % 5 FROM range(50)")
+    spark.sql("ALTER TABLE gsql.evo.t ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO gsql.evo.t SELECT id, id % 5, id * 0.5 FROM range(50, 100)")
+    val rows = spark.sql("SELECT * FROM gsql.evo.t ORDER BY k").collect()
+    assert(rows.length == 100)
+    assert(rows.take(50).forall(_.isNullAt(2)), "pre-ALTER parts null-fill via SQL read")
+    assert(rows.drop(50).forall(r => r.getDouble(2) == r.getLong(0) * 0.5))
+    // widen INT -> BIGINT purely from SQL
+    spark.sql("CREATE TABLE gsql.evo.w (k BIGINT, n INT) USING mergetree " +
+      "OPTIONS (orderBy 'k')")
+    spark.sql("INSERT INTO gsql.evo.w VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE gsql.evo.w ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table("gsql.evo.w").schema("n").dataType == LongType)
+    assert(spark.sql("SELECT sum(n) AS s FROM gsql.evo.w").first().getLong(0) == 30L)
+    // BIGINT->DOUBLE passes Spark's own up-cast check but is lossy for the
+    // engine (>2^53 keys) — the API's widen guard must refuse through SQL too.
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gsql.evo.w ALTER COLUMN n TYPE DOUBLE"))
+    assert(e.getMessage.contains("widen"))
+    spark.sql("ALTER TABLE gsql.evo.t DROP COLUMN score")
+    assert(spark.table("gsql.evo.t").columns.toSeq == Seq("k", "grp"))
+    assert(spark.sql("SELECT count(*) FROM gsql.evo.t").first().getLong(0) == 100L)
+    // catalog bookkeeping verbs
+    assert(spark.sql("SHOW TABLES IN gsql.evo").collect()
+      .map(_.getString(1)).toSet == Set("t", "w"))
+    spark.sql("ALTER TABLE gsql.evo.w RENAME TO evo.w2")
+    assert(spark.sql("SELECT count(*) FROM gsql.evo.w2").first().getLong(0) == 2L)
+    spark.sql("DROP TABLE gsql.evo.w2")
+    assert(spark.sql("SHOW TABLES IN gsql.evo").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+  }
+
   test("DROP COLUMN: stops being projected; protected columns are refused") {
     val dir = Files.createTempDirectory("evo_drop_").toString
     val df = baseDf.withColumn("note", concat(lit("n"), col("k")))
