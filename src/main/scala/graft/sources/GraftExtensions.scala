@@ -14,11 +14,15 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * via `spark.sql.extensions=graft.sources.GraftExtensions` by GraftSession
   * and the test session.
   *
-  * Currently one rule: the FINAL-applying SQL read (MergeTreeFinalRule).
+  * Two injections: the FINAL-applying SQL read (MergeTreeFinalRule) and
+  * the ClickHouse maintenance-verb parser (GraftSqlParser — OPTIMIZE
+  * TABLE, DETACH/ATTACH/DROP/REPLACE PARTITION, MATERIALIZE TTL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => new MergeTreeFinalRule(session))
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+  }
 }
 
 /** ClickHouse `SELECT … FROM t FINAL` / `SELECT … SAMPLE n/d` for the SQL

@@ -1,0 +1,200 @@
+package graft.sources
+
+import graft.mergetree.ColumnarMergeTree
+import graft.mergetree.ColumnarMergeTree.TableDef
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import java.nio.file.Paths
+
+/** ClickHouse's maintenance verbs for the SQL face, as a delegating parser
+  * (registered by GraftExtensions via injectParser):
+  *
+  * {{{
+  *   OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY c1, c2]]
+  *   ALTER TABLE t DETACH PARTITION 'v'
+  *   ALTER TABLE t ATTACH PARTITION 'v'
+  *   ALTER TABLE t DROP PARTITION 'v'
+  *   ALTER TABLE t REPLACE PARTITION 'v' FROM t2
+  *   ALTER TABLE t MATERIALIZE TTL
+  * }}}
+  *
+  * `t` is either a GraftCatalog identifier (`graft.ns.tbl`) or a quoted
+  * table directory (`'/data/tbl'`) — the same two addressing modes the rest
+  * of the SQL face supports. Anything not matching these exact shapes
+  * falls through to Spark's parser untouched, so no standard SQL changes
+  * meaning. Each verb delegates to the corresponding ColumnarMergeTree
+  * API, which owns the locking, atomic manifest swap, and GC semantics —
+  * the SQL face adds syntax, never a second implementation.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(q, id, fin, dedup, cols) =>
+      val by = Option(cols).toSeq
+        .flatMap(_.split(',')).map(c => stripTicks(c.trim)).filter(_.nonEmpty)
+      OptimizeTableCommand(target(q, id), fin != null, dedup != null, by)
+    case PartitionVerbRe(q, id, verb, vq, vb) =>
+      PartitionVerbCommand(target(q, id), verb.toUpperCase, value(vq, vb))
+    case ReplacePartitionRe(q, id, vq, vb, q2, id2) =>
+      ReplacePartitionCommand(target(q, id), value(vq, vb), target(q2, id2))
+    case MaterializeTtlRe(q, id) =>
+      MaterializeTtlCommand(target(q, id))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** The delegate parses identifier text so backticked segments keep their
+    * exact dotted/quoted semantics — no second identifier grammar here.
+    */
+  private def target(quoted: String, id: String): MtTarget =
+    if (quoted != null) PathTarget(quoted)
+    else IdentTarget(delegate.parseMultipartIdentifier(id))
+
+  private def value(quoted: String, bare: String): String =
+    if (quoted != null) quoted else bare
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // Target: quoted directory path | dotted (possibly backticked) identifier.
+  private val T = "(?:'([^']+)'|([`\\w][\\w.`]*))"
+  // Partition value: quoted string | bare token (numbers, canonical forms).
+  private val V = "(?:'([^']*)'|(\\S+))"
+
+  private[sources] val OptimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+TABLE\\s+" + T +
+      "(?:\\s+(FINAL))?(?:\\s+(DEDUPLICATE)(?:\\s+BY\\s+(.+?))?)?\\s*;?\\s*$").r
+  private[sources] val PartitionVerbRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
+      "\\s+(DETACH|ATTACH|DROP)\\s+PARTITION\\s+" + V + "\\s*;?\\s*$").r
+  private[sources] val ReplacePartitionRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
+      "\\s+REPLACE\\s+PARTITION\\s+" + V + "\\s+FROM\\s+" + T + "\\s*;?\\s*$").r
+  private[sources] val MaterializeTtlRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+MATERIALIZE\\s+TTL\\s*;?\\s*$").r
+
+  private def stripTicks(s: String): String = s.replace("`", "")
+
+  sealed trait MtTarget
+  final case class PathTarget(path: String) extends MtTarget
+  final case class IdentTarget(parts: Seq[String]) extends MtTarget
+
+  /** Resolve a target to its table directory. Catalog identifiers resolve
+    * through the session conf (the catalog's state IS its warehouse
+    * layout), so maintenance works even before Spark has instantiated the
+    * catalog plugin.
+    */
+  private[sources] def resolveDir(spark: SparkSession, t: MtTarget): String = {
+    val dir = t match {
+      case PathTarget(p) => MergeTreeTableProvider.localPath(p)
+      case IdentTarget(parts) =>
+        require(parts.length >= 2,
+          s"maintenance target '${parts.mkString(".")}' must be " +
+            "catalog.[ns.]table or a quoted directory path")
+        val cat = parts.head
+        val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+        require(impl.contains(classOf[GraftCatalog].getName),
+          s"'$cat' is not a registered graft catalog " +
+            s"(spark.sql.catalog.$cat=${impl.getOrElse("<unset>")})")
+        val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+          .getOrElse(throw new IllegalArgumentException(
+            s"spark.sql.catalog.$cat.warehouse is not set"))
+        parts.tail.foreach(s => require(
+          s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != ".." && s != ".",
+          s"illegal identifier segment '$s'"))
+        parts.tail.foldLeft(Paths.get(wh))(_.resolve(_)).toString
+    }
+    require(TableDef.load(dir).isDefined, s"no mergetree table at $dir")
+    dir
+  }
+
+  private def open(spark: SparkSession, t: MtTarget): ColumnarMergeTree =
+    ColumnarMergeTree.open(spark, resolveDir(spark, t))
+
+  private def affected: Seq[Attribute] =
+    Seq(AttributeReference("rows_affected", LongType, nullable = false)())
+
+  /** `OPTIMIZE TABLE … [FINAL [DEDUPLICATE [BY …]]]` → optimize() /
+    * optimizeFinal(): bin-packed concurrent compaction, or the
+    * one-part-per-partition full rewrite with optional row dedup.
+    */
+  final case class OptimizeTableCommand(
+      t: MtTarget, finalMode: Boolean, dedup: Boolean, dedupBy: Seq[String])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tbl = open(spark, t)
+      if (finalMode || dedup) tbl.optimizeFinal(dedup, dedupBy)
+      else tbl.optimize()
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … DETACH/ATTACH/DROP PARTITION v` — O(manifest) partition
+    * quarantine / re-link / unlink; returns the row count moved.
+    */
+  final case class PartitionVerbCommand(t: MtTarget, verb: String, value: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = affected
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tbl = open(spark, t)
+      val n = verb match {
+        case "DETACH" => tbl.detachPartition(value)
+        case "ATTACH" => tbl.attachPartition(value)
+        case "DROP"   => tbl.dropPartition(value)
+      }
+      Seq(Row(n))
+    }
+  }
+
+  /** `ALTER TABLE … REPLACE PARTITION v FROM src` — atomically swap the
+    * partition's content with the source table's same-partition rows
+    * (ClickHouse's backfill op). The source is read through its
+    * partition-pruned scan; for a merge-mode source that is the collapsed
+    * view — equivalent at read time, and the only sane copy semantics
+    * across tables that may collapse on different schedules.
+    */
+  final case class ReplacePartitionCommand(t: MtTarget, value: String, src: MtTarget)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dst = open(spark, t)
+      val from = open(spark, src)
+      dst.replacePartition(value, from.scanPartitions(Seq(value)))
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … MATERIALIZE TTL` → applyTtl(): eagerly drop every
+    * currently-expired row (the lazy path only cleans parts that merge).
+    */
+  final case class MaterializeTtlCommand(t: MtTarget)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = affected
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(open(spark, t).applyTtl()))
+  }
+}

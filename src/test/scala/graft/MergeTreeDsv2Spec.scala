@@ -520,6 +520,87 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE g_mv_tgt")
   }
 
+  // ------------------------------------ ClickHouse maintenance verbs, pure SQL
+
+  test("OPTIMIZE TABLE via SQL: compaction, then FINAL DEDUPLICATE drops row copies") {
+    val (dir, t) = buildGeneric() // 3 parts, 300 rows
+    // below the maxParts trigger a plain OPTIMIZE is (correctly) a no-op
+    spark.sql(s"OPTIMIZE TABLE '$dir'")
+    t.refresh()
+    assert(t.partCount == 3 && t.totalRows == 300)
+    spark.sql(s"OPTIMIZE TABLE '$dir' FINAL")
+    t.refresh()
+    assert(t.partCount == 1 && t.totalRows == 300,
+      s"FINAL must compact to one part: parts=${t.partCount}")
+    // re-ingest an identical batch -> full-row duplicates a Plain table
+    // would never collapse; FINAL DEDUPLICATE is the retroactive cure
+    val dup = spark.range(100).select(
+      col("id").as("k"), (col("id") % 7).as("grp"),
+      concat(lit("n"), col("id")).as("name"), (col("id") * 1.5).as("score"))
+    ColumnarMergeTree.open(spark, dir).insertBatch(dup)
+    assert(ColumnarMergeTree.open(spark, dir).totalRows == 400)
+    spark.sql(s"OPTIMIZE TABLE '$dir' FINAL DEDUPLICATE")
+    t.refresh()
+    assert(t.totalRows == 300 && t.partCount == 1,
+      s"FINAL DEDUPLICATE: rows=${t.totalRows} parts=${t.partCount}")
+  }
+
+  test("DETACH/ATTACH/DROP PARTITION via SQL on a catalog identifier") {
+    val wh = Files.createTempDirectory("mnt_wh_").toString
+    spark.conf.set("spark.sql.catalog.gmnt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmnt.warehouse", wh)
+    spark.sql("CREATE TABLE gmnt.m.t (k BIGINT, b BIGINT) USING mergetree " +
+      "OPTIONS (orderBy 'k', partitionBy 'b')")
+    spark.sql("INSERT INTO gmnt.m.t SELECT id, id % 3 FROM range(300)")
+    val det = spark.sql("ALTER TABLE gmnt.m.t DETACH PARTITION '1'")
+    assert(det.columns.toSeq == Seq("rows_affected"))
+    assert(det.first().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM gmnt.m.t").first().getLong(0) == 200L)
+    assert(spark.sql("ALTER TABLE gmnt.m.t ATTACH PARTITION '1'")
+      .first().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM gmnt.m.t").first().getLong(0) == 300L)
+    // bare (unquoted) partition value parses too
+    assert(spark.sql("ALTER TABLE gmnt.m.t DROP PARTITION 2")
+      .first().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM gmnt.m.t").first().getLong(0) == 200L)
+    // a standard ALTER still reaches Spark's parser through the delegate
+    spark.sql("ALTER TABLE gmnt.m.t ADD COLUMN extra BIGINT")
+    assert(spark.table("gmnt.m.t").columns.toSeq == Seq("k", "b", "extra"))
+  }
+
+  test("REPLACE PARTITION ... FROM via SQL swaps exactly one partition's content") {
+    val wh = Files.createTempDirectory("mnt_wh2_").toString
+    spark.conf.set("spark.sql.catalog.grp2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grp2.warehouse", wh)
+    for (n <- Seq("dst", "src"))
+      spark.sql(s"CREATE TABLE grp2.m.$n (k BIGINT, b BIGINT, v BIGINT) " +
+        "USING mergetree OPTIONS (orderBy 'k', partitionBy 'b')")
+    spark.sql("INSERT INTO grp2.m.dst SELECT id, id % 2, 0 FROM range(100)")
+    spark.sql("INSERT INTO grp2.m.src SELECT id, id % 2, 9 FROM range(10)")
+    spark.sql("ALTER TABLE grp2.m.dst REPLACE PARTITION '0' FROM grp2.m.src")
+    // partition 0 now holds src's 5 rows (v=9); partition 1 is untouched
+    val p0 = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM grp2.m.dst WHERE b = 0").first()
+    assert(p0.getLong(0) == 5L && p0.getLong(1) == 45L, s"p0: $p0")
+    val p1 = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM grp2.m.dst WHERE b = 1").first()
+    assert(p1.getLong(0) == 50L && p1.getLong(1) == 0L, s"p1: $p1")
+  }
+
+  test("MATERIALIZE TTL via SQL eagerly drops expired rows") {
+    val dir = Files.createTempDirectory("mnt_ttl_").toString
+    spark.sql("DROP TABLE IF EXISTS m_ttl")
+    spark.sql(
+      s"""CREATE TABLE m_ttl (k BIGINT, v BIGINT) USING mergetree
+         |OPTIONS (orderBy 'k', ttl 'k >= 250') LOCATION '$dir'""".stripMargin)
+    spark.sql("INSERT INTO m_ttl SELECT id, id FROM range(300)")
+    // lazy TTL: rows are still there until a merge or an eager pass
+    assert(spark.table("m_ttl").count() == 300)
+    assert(spark.sql(s"ALTER TABLE '$dir' MATERIALIZE TTL").first().getLong(0) == 50L)
+    assert(spark.table("m_ttl").count() == 250)
+    spark.sql("DROP TABLE m_ttl")
+  }
+
   test("generic table: SQL aggregate matches the Scala-API scan") {
     val (dir, t) = buildGeneric()
     spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")
