@@ -198,7 +198,11 @@ object Bench {
         s""","baseline":{"ref_ingest_50k":$i5,"ref_scan_50k":$q5,"ref_ingest_1m":$i1,"ref_scan_1m":$q1}"""
       case _ => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m}"""
+    println(line)
+    // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the
+    // 2 KB cap): persist the full line in-repo so rounds stay comparable.
+    Try(Files.writeString(Paths.get("bench_full.json"), line + "\n"))
     spark.stop()
   }
 }

@@ -37,10 +37,12 @@ case class MediaFrame(
   * The Spark-side plumbing here is real and tested — typed schema, batched
   * per-partition iteration (the JVM mirror of a `mapInPandas` batch loop),
   * deterministic output, partition-preserving execution with no driver
-  * materialization. The codec itself is a STUB (`decodeStub`): this
-  * container has no image/audio libraries, so decode derives deterministic
-  * pseudo-dimensions from the payload bytes; a real deployment swaps
-  * `decodeStub` for a JNI/codec call without touching any of the plumbing.
+  * materialization. IMAGE payloads use a REAL codec (javax.imageio:
+  * PNG/JPEG/GIF/BMP decode, bilinear resize, PNG re-encode — spec'd against
+  * in-test-generated fixtures); audio/video payloads, which no JDK codec
+  * covers, fall back to a deterministic stub (`decodeStub`) so the pipeline
+  * shape is identical — a deployment swaps the stub for a JNI/codec call
+  * without touching any of the plumbing.
   *
   * Scale posture: payloads stay distributed end-to-end; the batch size
   * bounds peak per-task memory (batch × avg payload) exactly like an Arrow
@@ -52,10 +54,37 @@ object MediaPipeline {
 
   val FeatureDim = 16
 
-  /** STUB decoder — deterministic fake standing in for the real codec.
-    * Derives (width, height, frames) from payload bytes so tests are exact.
+  // Decode stays in-memory on executors: ImageIO's default disk cache would
+  // write a temp file per payload — a pure per-task CPU op must not do I/O.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real JDK codec (javax.imageio): decodes PNG/JPEG/GIF/BMP payloads to
+    * an actual image. None for undecodable bytes — callers fall back to the
+    * deterministic stub, so the pipeline shape is identical whether a
+    * payload is a real image or fixture text bytes. Audio/video have no
+    * JDK codec; a deployment swaps in one without touching the plumbing.
     */
-  private[multimodal] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+  private[multimodal] def decodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload.length < 8) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Throwable => None }
+
+  /** Dimensions/frames for a payload: the REAL codec for decodable images,
+    * the deterministic stub otherwise.
+    */
+  private[multimodal] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+    (if (kind == "image")
+       decodeImage(payload).map(i => (i.getWidth, i.getHeight, 1))
+     else None)
+      .getOrElse(decodeStub(kind, payload))
+
+  /** STUB decoder — deterministic fallback standing in for codecs this JVM
+    * lacks. Derives (width, height, frames) from payload bytes so tests are
+    * exact.
+    */
+  private[graft] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     val b0 = if (n > 0) payload(0) & 0xff else 0
     val b1 = if (n > 1) payload(1) & 0xff else 0
@@ -93,7 +122,7 @@ object MediaPipeline {
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val (w, h, f) = decodeStub(r.kind, r.payload)
+          val (w, h, f) = decode(r.kind, r.payload)
           MediaFeatures(
             media_id = r.media_id,
             kind = r.kind,
@@ -108,19 +137,43 @@ object MediaPipeline {
     }
   }
 
-  /** Resize: payload → payload at a declared target geometry. The stub
-    * "resample" is a deterministic byte decimation/repetition to the target
-    * pixel count; a real deployment swaps the inner function for a codec
-    * scale call. Typed MediaRow → MediaRow so resize composes with every
-    * other stage (the meta map records the target geometry, as a real
-    * pipeline's sidecar metadata would).
+  /** Real raster resize via the JDK: bilinear-draw into the target
+    * geometry, re-encoded as PNG bytes.
+    */
+  private[multimodal] def scaleImage(
+      img: java.awt.image.BufferedImage, width: Int, height: Int): Array[Byte] = {
+    val out = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, width, height, null)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Resize: payload → payload at a declared target geometry. Decodable
+    * image payloads go through the REAL raster path (decode → bilinear
+    * scale → PNG re-encode); everything else falls back to a deterministic
+    * byte decimation/repetition to the target pixel count. Typed MediaRow →
+    * MediaRow so resize composes with every other stage (the meta map
+    * records the target geometry, as a real pipeline's sidecar metadata
+    * would).
     */
   def resize(ds: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
     import ds.sparkSession.implicits._
     val target = width * height
     ds.mapPartitions(_.map { r =>
-      val n = math.max(1, r.payload.length)
-      val out = Array.tabulate(target)(i => r.payload(((i.toLong * n) / target).toInt % n))
+      val real = if (r.kind == "image") decodeImage(r.payload) else None
+      val out = real match {
+        case Some(img) => scaleImage(img, width, height)
+        case None =>
+          val n = math.max(1, r.payload.length)
+          Array.tabulate(target)(i => r.payload(((i.toLong * n) / target).toInt % n))
+      }
       r.copy(payload = out,
         meta = r.meta + ("resized_w" -> width.toString, "resized_h" -> height.toString))
     })

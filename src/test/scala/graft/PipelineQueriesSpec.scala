@@ -154,6 +154,46 @@ class PipelineQueriesSpec extends AnyFunSuite {
     })
   }
 
+  test("real image codec: PNG fixtures decode to exact dimensions; resize re-rasterizes") {
+    import spark.implicits._
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rnd.nextInt())
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", png(40, 30, 1), Map.empty),
+      MediaRow(2L, "image", png(17, 23, 2), Map.empty),
+      MediaRow(3L, "image", "not an image at all, just text".getBytes("UTF-8"), Map.empty),
+      MediaRow(4L, "video", png(40, 30, 3), Map.empty))
+    val ds = spark.createDataset(rows).repartition(2)
+    val feats = MediaPipeline.extractFeatures(ds).collect().sortBy(_.media_id)
+    // real codec: actual pixel dimensions, not byte-derived pseudo-dims
+    assert((feats(0).width, feats(0).height, feats(0).n_frames) == ((40, 30, 1)))
+    assert((feats(1).width, feats(1).height) == ((17, 23)))
+    // undecodable image bytes fall back to the deterministic stub
+    assert((feats(2).width, feats(2).height, feats(2).n_frames) ==
+      MediaPipeline.decodeStub("image", rows(2).payload))
+    // non-image kinds never enter the raster path (no JDK codec for them)
+    assert((feats(3).width, feats(3).height, feats(3).n_frames) ==
+      MediaPipeline.decodeStub("video", rows(3).payload))
+    // resize re-rasterizes decodable payloads into a REAL 16x12 PNG
+    val resized = MediaPipeline.resize(ds, 16, 12).collect().sortBy(_.media_id)
+    val r0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0).payload))
+    assert(r0.getWidth == 16 && r0.getHeight == 12)
+    // the resized image round-trips through the codec-aware feature pass
+    val ref = MediaPipeline.extractFeatures(
+      spark.createDataset(Seq(resized(0)))).collect().head
+    assert(ref.width == 16 && ref.height == 12)
+    // undecodable payloads keep the decimation fallback (target pixel count)
+    assert(resized(2).payload.length == 16 * 12)
+  }
+
   test("fingerprints are stable across runs and distinct across distinct docs") {
     val f1 = PipelineQueries.q32Fingerprint(spark, dir).collect()
     val f2 = PipelineQueries.q32Fingerprint(spark, dir).collect()
