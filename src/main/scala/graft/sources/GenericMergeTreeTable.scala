@@ -148,7 +148,11 @@ class GenericMergeTreeV2Table(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenericScanBuilder(path, tableSchema, orderBy, partitionCol, snapshotSeq)
+    // Per-read `snapshot` option: catalog-name reads time-travel via
+    // `spark.read.option("snapshot", n).table(...)` — the path face bakes
+    // the pin into the table instance instead (orElse: never both).
+    new GenericScanBuilder(path, tableSchema, orderBy, partitionCol,
+      snapshotSeq.orElse(Option(options.get("snapshot")).map(_.toLong)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshotSeq.isEmpty, "a snapshot-pinned mergetree table is read-only")

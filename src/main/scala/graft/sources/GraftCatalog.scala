@@ -71,13 +71,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def isTableDir(p: Path): Boolean = TableDef.load(p.toString).isDefined
 
+  /** Sidecar for catalog-level table properties the tabledef doesn't carry
+    * (today just `final`): a catalog-born table can declare collapsed-by-
+    * default reads like the path face's `final 'true'` option. Lives in the
+    * table directory, so RENAME moves it and DROP deletes it for free.
+    */
+  private def propsPath(dir: Path): Path = dir.resolve("catprops.json")
+  private def finalProp(dir: Path): Boolean =
+    Files.exists(propsPath(dir)) &&
+      Files.readString(propsPath(dir)).contains("\"final\":true")
+
   override def tableExists(ident: Identifier): Boolean = isTableDir(dirOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     TableDef.load(dir.toString) match {
       case Some(d) => new GenericMergeTreeV2Table(
-        dir.toString, StructType.fromDDL(d.schemaDdl), d.orderBy)
+        dir.toString, StructType.fromDDL(d.schemaDdl), d.orderBy,
+        finalRead = finalProp(dir))
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -111,9 +122,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(TableDef.load(dir.toString).isEmpty,
       s"mergetree: $dir already holds a table definition")
     TableDef.store(dir.toString, defn)
+    if (opts.getBoolean("final", false))
+      Files.writeString(propsPath(dir), "{\"final\":true}\n")
     MergeTreeTableProvider.attachMvIfRequested(dir.toString, opts)
     MergeTreeTableProvider.attachProjectionsIfRequested(dir.toString, opts)
-    new GenericMergeTreeV2Table(dir.toString, schema, defn.orderBy)
+    new GenericMergeTreeV2Table(dir.toString, schema, defn.orderBy,
+      finalRead = finalProp(dir))
   }
 
   /** The SQL face of rewrite-free schema evolution. Each change maps to the

@@ -71,9 +71,28 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Effective (final, sample, snapshot) for a relation: the table's own
+    * flags (path-face read options consumed by getTable, or the catalog's
+    * persisted `final` property) merged with PER-READ options on the
+    * relation itself — `spark.read.option("final", "true").table("g.ns.t")`
+    * reaches here as rel.options, giving catalog-name reads the same
+    * option surface as path reads. orElse keeps a path-face option that
+    * appears in BOTH places from double-applying.
+    */
+  private def effective(rel: DataSourceV2Relation, t: GenericMergeTreeV2Table)
+      : (Boolean, Option[(Long, Long)], Option[Long]) = {
+    val o = rel.options
+    val fin = t.finalRead || o.getBoolean("final", false)
+    val snap = t.snapshotSeq.orElse(Option(o.get("snapshot")).map(_.toLong))
+    val samp = t.sampleFrac.orElse(Option(o.get("sample"))
+      .map(MergeTreeTableProvider.parseSampleOption(_, t.path)))
+    (fin, samp, snap)
+  }
+
   private def needsRewrite(rel: DataSourceV2Relation): Boolean = rel.table match {
     case t: GenericMergeTreeV2Table =>
-      (t.finalRead && hasCollapse(t.path)) || t.sampleFrac.exists(f => f._1 != f._2)
+      val (fin, samp, _) = effective(rel, t)
+      (fin && hasCollapse(t.path)) || samp.exists(f => f._1 != f._2)
     case _ => false
   }
 
@@ -84,6 +103,7 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(rel: DataSourceV2Relation): LogicalPlan = {
     val table = rel.table.asInstanceOf[GenericMergeTreeV2Table]
+    val (fin, sampleFrac, snapshotSeq) = effective(rel, table)
     val defn = ColumnarMergeTree.TableDef.load(table.path).getOrElse(
       throw new IllegalStateException(s"no table definition at ${table.path}"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(defn.schemaDdl)
@@ -93,15 +113,15 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
     // time-travel read applies to the parts of THAT snapshot, matching
     // scanAt.
     val reader = session.read.format("mergetree")
-    val raw = table.snapshotSeq
+    val raw = snapshotSeq
       .fold(reader)(s => reader.option("snapshot", s.toString))
       .load(table.path)
     val collapsed =
-      if (table.finalRead && hasCollapse(table.path))
+      if (fin && hasCollapse(table.path))
         ColumnarMergeTree.applyMode(
           raw, schema, ColumnarMergeTree.TableDef.decodeMode(defn.mode), defn.partitionBy)
       else raw
-    val sampled = table.sampleFrac.filter(f => f._1 != f._2) match {
+    val sampled = sampleFrac.filter(f => f._1 != f._2) match {
       case Some((num, den)) =>
         require(num >= 0 && den > 0 && num <= den, s"bad sample fraction $num/$den")
         collapsed.filter(ColumnarMergeTree.samplePredicate(defn.orderBy, num, den))

@@ -42,7 +42,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val by = Option(cols).toSeq
         .flatMap(_.split(',')).map(c => stripTicks(c.trim)).filter(_.nonEmpty)
       OptimizeTableCommand(target(q, id), fin != null, dedup != null, by)
-    case PartitionVerbRe(q, id, verb, vq, vb) =>
+    // Spark's own Hive-style `DROP PARTITION (col=val, …)` spec must fall
+    // through to the delegate — ClickHouse values are scalars, never
+    // parenthesized.
+    case PartitionVerbRe(q, id, verb, vq, vb) if vq != null || !vb.startsWith("(") =>
       PartitionVerbCommand(target(q, id), verb.toUpperCase, value(vq, vb))
     case ReplacePartitionRe(q, id, vq, vb, q2, id2) =>
       ReplacePartitionCommand(target(q, id), value(vq, vb), target(q2, id2))

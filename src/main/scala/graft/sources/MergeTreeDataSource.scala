@@ -91,27 +91,8 @@ class MergeTreeTableProvider extends TableProvider with DataSourceRegister {
     // resolves to a fraction against the CURRENT manifest row count —
     // metadata only, re-resolved per statement because the catalog
     // replays getTable on every statement touching the table.
-    val rowsForm = "(?i)^\\s*(\\d+)\\s+rows\\s*$".r
-    val sampleFrac = Option(opts.get("sample")).map { s =>
-      s match {
-        case rowsForm(n) =>
-          val total = graft.mergetree.ColumnarMergeTree.GManifest.load(path)
-            .map(_.parts.map(_.rowCount).sum).getOrElse(0L)
-          val want = n.toLong
-          if (total == 0L || want >= total) (1L, 1L)
-          else {
-            // BigInt: want * den overflows Long past ~8.8e12 rows.
-            val den = 1L << 20
-            (math.max(1L, (BigInt(want) * den / total).toLong), den)
-          }
-        case _ => s.split('/') match {
-          case Array(n, d) if n.trim.forall(_.isDigit) && d.trim.forall(_.isDigit) =>
-            (n.trim.toLong, d.trim.toLong)
-          case _ => throw new IllegalArgumentException(
-            s"mergetree: sample must be 'num/den' (e.g. '1/4') or 'N rows', got '$s'")
-        }
-      }
-    }
+    val sampleFrac = Option(opts.get("sample"))
+      .map(MergeTreeTableProvider.parseSampleOption(_, path))
     // `system 'parts'|'snapshots'` read option: the observability tables
     // (ClickHouse system.parts) as SQL relations — manifest metadata only,
     // zero data I/O, served driver-locally.
@@ -158,6 +139,34 @@ object MergeTreeTableProvider {
   private[sources] def localPath(p: String): String =
     if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p)).toString
     else p
+
+  /** Parse the `sample` read option — fractional `'n/d'` or absolute
+    * `'N rows'` (resolved to a fraction against the CURRENT manifest row
+    * count: metadata only, re-resolved per statement). ONE parser for the
+    * path face's getTable and the catalog face's per-read options, so the
+    * two can never drift.
+    */
+  private[sources] def parseSampleOption(s: String, path: String): (Long, Long) = {
+    val rowsForm = "(?i)^\\s*(\\d+)\\s+rows\\s*$".r
+    s match {
+      case rowsForm(n) =>
+        val total = graft.mergetree.ColumnarMergeTree.GManifest.load(path)
+          .map(_.parts.map(_.rowCount).sum).getOrElse(0L)
+        val want = n.toLong
+        if (total == 0L || want >= total) (1L, 1L)
+        else {
+          // BigInt: want * den overflows Long past ~8.8e12 rows.
+          val den = 1L << 20
+          (math.max(1L, (BigInt(want) * den / total).toLong), den)
+        }
+      case _ => s.split('/') match {
+        case Array(n, d) if n.trim.forall(_.isDigit) && d.trim.forall(_.isDigit) =>
+          (n.trim.toLong, d.trim.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"mergetree: sample must be 'num/den' (e.g. '1/4') or 'N rows', got '$s'")
+      }
+    }
+  }
 
   /** Parse the CREATE TABLE options into the persisted table definition.
     * Column lists are comma-separated; mode defaults to plain.

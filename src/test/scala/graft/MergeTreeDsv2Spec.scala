@@ -587,6 +587,58 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(p1.getLong(0) == 50L && p1.getLong(1) == 0L, s"p1: $p1")
   }
 
+  test("catalog table with final 'true': collapsed reads through the catalog name") {
+    val wh = Files.createTempDirectory("fin_wh_").toString
+    spark.conf.set("spark.sql.catalog.gfin",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfin.warehouse", wh)
+    spark.sql("CREATE TABLE gfin.m.r (k BIGINT, ver BIGINT, v STRING) " +
+      "USING mergetree OPTIONS (orderBy 'k', mode 'replacing', keys 'k', " +
+      "version 'ver', final 'true')")
+    spark.sql("INSERT INTO gfin.m.r VALUES (1, 1, 'old'), (2, 1, 'two')")
+    spark.sql("INSERT INTO gfin.m.r VALUES (1, 2, 'new')")
+    // reads by catalog name come back collapsed (greatest version per key)
+    val got = spark.sql("SELECT k, v FROM gfin.m.r ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got == List((1L, "new"), (2L, "two")), s"collapsed read: $got")
+    // the sidecar travels with RENAME
+    spark.sql("ALTER TABLE gfin.m.r RENAME TO m.r2")
+    val got2 = spark.sql("SELECT k, v FROM gfin.m.r2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got2 == got)
+  }
+
+  test("per-read options on catalog names: final, snapshot, sample via spark.read.table") {
+    val wh = Files.createTempDirectory("opt_wh_").toString
+    spark.conf.set("spark.sql.catalog.gopt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gopt.warehouse", wh)
+    spark.sql("CREATE TABLE gopt.m.r (k BIGINT, ver BIGINT, v STRING) " +
+      "USING mergetree OPTIONS (orderBy 'k', mode 'replacing', keys 'k', " +
+      "version 'ver')")
+    spark.sql("INSERT INTO gopt.m.r VALUES (1, 1, 'old'), (2, 1, 'two')")
+    val dirR = s"$wh/m/r"
+    val s0 = ColumnarMergeTree.open(spark, dirR).snapshots.last
+    spark.sql("INSERT INTO gopt.m.r VALUES (1, 2, 'new')")
+    // default read: raw parts (3 rows); final option: collapsed (2)
+    assert(spark.read.table("gopt.m.r").count() == 3)
+    val fin = spark.read.option("final", "true").table("gopt.m.r")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2))).toList
+    assert(fin == List((1L, "new"), (2L, "two")), s"final read: $fin")
+    // snapshot option time-travels the catalog name
+    assert(spark.read.option("snapshot", s0.toString).table("gopt.m.r")
+      .count() == 2)
+    // sample option matches the path face exactly (one shared predicate)
+    spark.sql("CREATE TABLE gopt.m.p (k BIGINT, v BIGINT) USING mergetree " +
+      "OPTIONS (orderBy 'k')")
+    spark.sql("INSERT INTO gopt.m.p SELECT id, id FROM range(400)")
+    val viaCat = spark.read.option("sample", "1/4").table("gopt.m.p")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaPath = spark.read.format("mergetree").option("sample", "1/4")
+      .load(s"$wh/m/p").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaCat == viaPath && viaCat.nonEmpty && viaCat.length < 400)
+  }
+
   test("MATERIALIZE TTL via SQL eagerly drops expired rows") {
     val dir = Files.createTempDirectory("mnt_ttl_").toString
     spark.sql("DROP TABLE IF EXISTS m_ttl")
