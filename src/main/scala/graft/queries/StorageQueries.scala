@@ -627,6 +627,50 @@ object StorageQueries {
 
   private val cacheSqlAlter = TrieMap.empty[String, String]
 
+  /** Q92 — the SQL maintenance verbs end-to-end: a catalog table is
+    * double-filled with the same batch (full-row duplicates a Plain table
+    * would never collapse), then `OPTIMIZE TABLE … FINAL DEDUPLICATE` — the
+    * parser-extension verb — rewrites it to one deduplicated part, and a
+    * DETACH/ATTACH round-trip proves the quarantine path preserves content
+    * exactly. Oracle: the single-copy aggregation from the raw parquet
+    * (o_orderkey is unique in orders, so DEDUPLICATE restores exactly one
+    * copy per key).
+    */
+  def q92OptimizeSql(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = cacheSqlOptimize.getOrElseUpdate(dir, {
+      val wh = Files.createTempDirectory("mt_q92_wh_").toString
+      spark.conf.set("spark.sql.catalog.gq92",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gq92.warehouse", wh)
+      val n = "t" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("q92_orders")
+      spark.sql(s"CREATE TABLE gq92.q92.$n (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, bucket BIGINT) USING mergetree " +
+        "OPTIONS (orderBy 'o_orderkey', partitionBy 'bucket')")
+      val ins = s"INSERT INTO gq92.q92.$n SELECT o_orderkey, o_custkey, " +
+        "o_orderkey % 2 FROM q92_orders WHERE o_orderkey % 3 = 0"
+      spark.sql(ins)
+      spark.sql(ins) // identical second copy of every row
+      spark.sql(s"OPTIMIZE TABLE gq92.q92.$n FINAL DEDUPLICATE")
+      // quarantine round-trip must be content-preserving
+      spark.sql(s"ALTER TABLE gq92.q92.$n DETACH PARTITION '1'")
+      spark.sql(s"ALTER TABLE gq92.q92.$n ATTACH PARTITION '1'")
+      s"gq92.q92.$n"
+    })
+    spark.sql(
+      s"""SELECT bucket, count(*) AS n, sum(o_custkey) AS sum_cust
+         |FROM $tblName GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  private val cacheSqlOptimize = TrieMap.empty[String, String]
+
+  val q92Sql: String =
+    """SELECT o_orderkey % 2 AS bucket, count(*) AS n,
+      | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q91Sql: String =
     """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS flag,
       | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
@@ -652,5 +696,6 @@ object StorageQueries {
     ("q54_aggregating_mt", q54Aggregating _, Some(q54Sql)),
     ("q55_mat_view", q55MatView _, Some(q55Sql)),
     ("q79_minmax_scan", q79MinmaxScan _, Some(q79Sql)),
-    ("q91_alter_sql", q91AlterSql _, Some(q91Sql)))
+    ("q91_alter_sql", q91AlterSql _, Some(q91Sql)),
+    ("q92_optimize_sql", q92OptimizeSql _, Some(q92Sql)))
 }

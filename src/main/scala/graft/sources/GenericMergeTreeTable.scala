@@ -78,6 +78,24 @@ class GenericMergeTreeV2Table(
 
   override def name(): String = s"mergetree:$path"
   override def schema(): StructType = tableSchema
+
+  /** Surface the engine-defining metadata to `DESCRIBE TABLE EXTENDED` /
+    * `SHOW TBLPROPERTIES` — a ClickHouse user's first questions about a
+    * table are its ORDER BY, engine mode, partitioning, and TTL.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    ColumnarMergeTree.TableDef.load(path).foreach { d =>
+      m.put("orderBy", d.orderBy.mkString(","))
+      m.put("mode", ColumnarMergeTree.TableDef.decodeMode(d.mode).toString)
+      d.partitionBy.foreach(m.put("partitionBy", _))
+      d.ttl.foreach(m.put("ttl", _))
+      d.bloomFilterColumns.foreach(c => m.put("bloomFilterColumns", c.mkString(",")))
+      d.minmaxColumns.foreach(c => m.put("minmaxColumns", c.mkString(",")))
+      d.gcGraceSeconds.foreach(g => m.put("gcGraceSeconds", g.toString))
+    }
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)

@@ -653,6 +653,23 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE m_ttl")
   }
 
+  test("DESCRIBE TABLE EXTENDED surfaces orderBy/mode/partitionBy/ttl properties") {
+    val dir = Files.createTempDirectory("mt_desc_").toString
+    spark.sql("DROP TABLE IF EXISTS d_props")
+    spark.sql(
+      s"""CREATE TABLE d_props (k BIGINT, cat STRING, ver BIGINT) USING mergetree
+         |OPTIONS (orderBy 'k', mode 'replacing', keys 'k', version 'ver',
+         |  partitionBy 'cat', ttl 'k < 0')
+         |LOCATION '$dir'""".stripMargin)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED d_props").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val props = desc.getOrElse("Table Properties", "")
+    assert(props.contains("orderBy=k") && props.contains("partitionBy=cat") &&
+      props.contains("ttl=k < 0") && props.toLowerCase.contains("replacing"),
+      s"DESCRIBE must carry the engine metadata: $props")
+    spark.sql("DROP TABLE d_props")
+  }
+
   test("generic table: SQL aggregate matches the Scala-API scan") {
     val (dir, t) = buildGeneric()
     spark.read.format("mergetree").load(dir).createOrReplaceTempView("g_v")
