@@ -436,6 +436,15 @@ object PipelineQueries {
     * variant's recall behaviour is pinned in PipelineQueriesSpec.
     */
   def jaccardExact(spark: SparkSession, dir: String,
+      maxShingleFreq: Option[Int]): DataFrame =
+    jaccardPairs(spark, dir, maxShingleFreq)
+      .select(col("doc_a"), col("doc_b"), r6(col("raw_j")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unsorted J ≥ 0.8 pair set with the raw (unrounded) ratio — shared by
+    * q26 (rounds + orders it) and q93 (feeds it to connected components).
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String,
       maxShingleFreq: Option[Int]): DataFrame = {
     val dshAll = shingleDf(spark, dir)
     val dsh = maxShingleFreq match {
@@ -464,11 +473,62 @@ object PipelineQueries {
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .filter(j >= 0.8)
-      .select(col("doc_a"), col("doc_b"), r6(j).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), j.as("raw_j"))
   }
 
   val q26Sql: String = JaccardPairsSql
+
+  /** Q93 — near-duplicate CLUSTER resolution: the q26 pair set is only half
+    * of dedup — if A~B and B~C then {A,B,C} must dedup to ONE survivor even
+    * though A~C was never emitted. Connected components over the pair graph
+    * (distributed large-star/small-star, graft.operators.ConnectedComponents)
+    * assigns every involved document its component's minimum doc_id as
+    * cluster_id; the canonical survivor is the minimum itself. Output is one
+    * row per clustered document with its cluster id, cluster size, and a
+    * keep-marker — exactly the table a 100 TB dedup job anti-joins against
+    * the corpus to drop redundant documents.
+    *
+    * Oracle: DuckDB recursive CTE computing the same closure (min label
+    * reachable over the symmetrised pair edges).
+    */
+  def q93DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(spark, dir, maxShingleFreq = None)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val cc = graft.operators.ConnectedComponents.run(edges)
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("component")).cast("int").as("is_canonical"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val q93Sql: String = {
+    val recShingle = ShingleSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$recShingle,
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM pr
+       |    JOIN cnt ca ON ca.doc_id = doc_a
+       |    JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM jp
+       |  UNION SELECT doc_b, doc_a FROM jp),
+       |walk(u, lbl) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |  CAST(c.doc_id = c.cluster_id AS INTEGER) AS is_canonical
+       |FROM cc c JOIN sz s USING (cluster_id)
+       |ORDER BY c.cluster_id, c.doc_id""".stripMargin
+  }
 
   /** Q25 — MinHash + LSH near-duplicate detection: 96 xxhash64 min-hashes
     * per document (one hash-aggregate pass, map-side combined), banded 24×4
@@ -1093,6 +1153,7 @@ object PipelineQueries {
     ("q25_minhash_lsh", q25MinhashLsh _, Some(q25Sql)),
     ("q26_jaccard_exact", q26JaccardExact _, Some(q26Sql)),
     ("q27_simhash", q27Simhash _, None),
+    ("q93_dedup_clusters", q93DedupClusters _, Some(q93Sql)),
     ("q28_ivf_ann", q28IvfAnn _, Some(q28Sql)),
     ("q29_langid", q29LangId _, Some(q29Sql)),
     ("q30_quality", q30Quality _, Some(q30Sql)),

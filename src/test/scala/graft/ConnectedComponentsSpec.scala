@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the large-star/small-star closure against a driver-side union-find
+  * ground truth on adversarial shapes (long chains — worst case for label
+  * propagation — plus random graphs), and the structural invariants q93
+  * depends on (cluster id = component minimum, full node coverage).
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // Canonicalise to component minimum (find() roots are already minima
+    // because unions always point the larger root at the smaller).
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  private def ccResult(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain of 200 nodes collapses to one component rooted at the minimum") {
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = ccResult(edges)
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(0L), "every node must label to the chain minimum")
+  }
+
+  test("random graphs match driver-side union-find exactly") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 60 + trial * 30
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val expect = unionFind(n, edges)
+      val got = ccResult(edges)
+      assert(got == expect, s"trial $trial: distributed CC diverged from union-find")
+    }
+  }
+
+  test("duplicate, reversed, and self-loop edges are tolerated") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L), (9L, 8L))
+    val got = ccResult(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("already-star input is a fixed point (converges immediately)") {
+    val edges = (1L to 50L).map(i => (0L, i))
+    val got = ccResult(edges)
+    assert(got.size == 51 && got.values.toSet == Set(0L))
+  }
+}
