@@ -972,15 +972,69 @@ object PipelineQueries {
     * LARGE eval sets, prefilter candidates with the shared-shingle
     * equi-join machinery of q26 before the verbatim verify.)
     */
-  def q56Contamination(spark: SparkSession, dir: String): DataFrame = {
+  def q56Contamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(spark, dir, prefilter = true)
+
+  /** Contamination check (does any corpus document contain an eval-set
+    * snippet verbatim?) in two shapes sharing one exact verification:
+    *
+    * `prefilter = false` — the direct form: one corpus scan against the
+    * BROADCAST eval set, `instr` per (doc, snippet). O(corpus × evalSet)
+    * substring searches; right only while the eval set is tiny.
+    *
+    * `prefilter = true` (the default, and the 100 TB path) — a word-bigram
+    * anchor prefilter in front of the same `instr` verification. If a doc
+    * contains a snippet as a substring, every INTERIOR token of the snippet
+    * (not the first or last, which the fixed-offset cut may truncate
+    * mid-word) appears space-delimited in the doc, and consecutive interior
+    * tokens stay consecutive — so the doc's word-bigram stream must contain
+    * the snippet's first interior bigram. Candidate generation is therefore
+    * a BROADCAST equi-join of the exploded corpus bigrams against the
+    * per-snippet anchor: the corpus is scanned once, never shuffled, and
+    * per-doc work is O(tokens) instead of O(evalSet) substring searches.
+    * Candidates (tiny) are exact-verified with the same `instr`, so the
+    * prefilter can only lose rows, never invent them — and it loses none,
+    * proven against the direct form in PipelineQueriesSpec. Snippets with
+    * fewer than 4 tokens (no 2 interior tokens to anchor on) fall back to
+    * the direct form; a boilerplate-heavy corpus would additionally cap
+    * hot anchors exactly as q26's maxShingleFreq does.
+    */
+  def contamination(spark: SparkSession, dir: String,
+      prefilter: Boolean): DataFrame = {
     val d = docs(spark, dir)
     val evalSet = d
       .filter(col("doc_id") % 25 === 3 && col("n_chars") >= 60)
       .select(col("doc_id").as("eval_id"),
         substring(col("text"), 11, 30).as("snippet"))
-    d.join(broadcast(evalSet), instr(col("text"), col("snippet")) > 0)
+    def direct(es: DataFrame): DataFrame =
+      d.join(broadcast(es), instr(col("text"), col("snippet")) > 0)
+        .select(col("doc_id"), col("eval_id"))
+    if (!prefilter) return direct(evalSet).orderBy(col("doc_id"), col("eval_id"))
+
+    val toks = split(col("snippet"), " ")
+    val anchored = evalSet.withColumn("nt", size(toks))
+    val withAnchor = anchored.filter(col("nt") >= 4)
+      .select(col("eval_id"), col("snippet"),
+        concat_ws(" ", toks.getItem(1), toks.getItem(2)).as("anchor"))
+    // Corpus bigrams stay map-side: explode feeds the broadcast join
+    // directly (no distinct — dedup happens on the tiny candidate pairs).
+    val ws = tokens
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    val cand = d.select(col("doc_id"), explode(bigrams).as("anchor"))
+      .join(broadcast(withAnchor), Seq("anchor"))
+      .select(col("doc_id"), col("eval_id"), col("snippet"))
+      .distinct()
+    val verified = cand
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(instr(col("text"), col("snippet")) > 0)
       .select(col("doc_id"), col("eval_id"))
-      .orderBy(col("doc_id"), col("eval_id"))
+    // Short snippets (< 4 tokens) can't anchor; route the few through the
+    // direct form. The count is one scalar over the (small) eval set.
+    val short = anchored.filter(col("nt") < 4).select(col("eval_id"), col("snippet"))
+    val result = if (short.isEmpty) verified else verified.union(direct(short))
+    result.orderBy(col("doc_id"), col("eval_id"))
   }
 
   val q56Sql: String =

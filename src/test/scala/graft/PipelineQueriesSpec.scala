@@ -37,6 +37,16 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(starved.isEmpty, s"cap=1 must kill all shared shingles, got $starved")
   }
 
+  test("contamination anchor prefilter finds exactly the direct-scan pairs") {
+    def set(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = set(PipelineQueries.contamination(spark, dir, prefilter = false))
+    val pre = set(PipelineQueries.contamination(spark, dir, prefilter = true))
+    assert(direct.nonEmpty, "eval snippets must self-match at minimum")
+    assert(pre == direct,
+      s"prefilter must be lossless; missed ${direct -- pre}, invented ${pre -- direct}")
+  }
+
   test("SimHash blocking recovers the planted near-dup pairs") {
     val exact = pairs(PipelineQueries.q26JaccardExact(spark, dir))
     val sim = pairs(PipelineQueries.q27Simhash(spark, dir))

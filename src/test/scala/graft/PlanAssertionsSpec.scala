@@ -101,8 +101,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"correlated subqueries must decorrelate to joins:\n$p")
   }
 
-  test("q56: contamination streams the corpus against a BROADCAST eval set") {
+  test("q56: contamination prefilter equi-joins corpus bigrams vs BROADCAST anchors") {
     val p = plan(PipelineQueries.q56Contamination(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"anchor prefilter must be a broadcast equi-join (corpus never shuffled):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // The O(corpus x evalSet) nested-loop scan is only legal on the
+    // short-snippet fallback, which this eval set never takes.
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"full corpus must not take the nested-loop path:\n$p")
+  }
+
+  test("q56: direct (no-prefilter) form streams the corpus against a BROADCAST eval set") {
+    val p = plan(PipelineQueries.contamination(spark, dir, prefilter = false))
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"eval set must broadcast (corpus scanned once, never shuffled):\n$p")
     assert(!p.contains("CartesianProduct"))
