@@ -1044,6 +1044,123 @@ object PipelineQueries {
       |WHERE instr(d.text, e.snippet) > 0
       |ORDER BY d.doc_id, e.eval_id""".stripMargin
 
+  /** Q94 — PII detection + redaction (the scrub every training pipeline runs
+    * before release): regex-match emails and phone-like numbers, count
+    * per-document hits, and measure the corpus after masking. The synthetic
+    * corpus contains no PII, so a deterministic planting step (same
+    * expression in both engines: every 7th doc gains one email + one phone)
+    * makes the detector measurable — the operator under test is the regex
+    * scan/mask itself, a single embarrassingly-parallel pass with only the
+    * tiny per-lang aggregate shuffled. Patterns use the conservative
+    * character-class subset that parses identically in Java regex (Spark)
+    * and RE2 (DuckDB); DuckDB's regexp_replace needs the explicit 'g' flag
+    * to match Spark's replace-all.
+    */
+  def q94PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val planted = docs(spark, dir).select(col("lang"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" now")))
+        .otherwise(col("text")).as("text2"))
+    val per = planted.select(col("lang"),
+      regexp_count(col("text2"), lit(emailRe)).cast("long").as("ne"),
+      regexp_count(col("text2"), lit(phoneRe)).cast("long").as("np"),
+      length(regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).cast("long").as("len_red"))
+    per.groupBy(col("lang"))
+      .agg(sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L)).as("docs_flagged"),
+        sum(col("ne")).as("emails"),
+        sum(col("np")).as("phones"),
+        sum(col("len_red")).as("redacted_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q94Sql: String =
+    """WITH planted AS (
+      |  SELECT lang, CASE WHEN doc_id % 7 = 0 THEN
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |      '@example.com or 555-01' ||
+      |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now'
+      |    ELSE text END AS text2
+      |  FROM documents),
+      |per AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+      |    len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{4}')) AS np,
+      |    length(regexp_replace(regexp_replace(text2,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS len_red
+      |  FROM planted)
+      |SELECT lang,
+      |  CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+      |  CAST(sum(ne) AS BIGINT) AS emails,
+      |  CAST(sum(np) AS BIGINT) AS phones,
+      |  CAST(sum(len_red) AS BIGINT) AS redacted_chars
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q95 — repetition quality signals (the Gopher/MassiveText-style filters
+    * that drop degenerate machine-generated text): per document, total vs
+    * distinct tokens and the most-repeated word bigram's share of all
+    * bigrams. Aggregated per language as EXACT integer sums plus the
+    * worst-document top-bigram share in parts-per-million via integer
+    * division — no cross-row double reduction anywhere, so the oracle hash
+    * is stable by construction. One explode + two hash aggregates; the
+    * bigram counting shuffles (doc_id, bigram) once and everything above
+    * the per-lang rollup is map-side combinable.
+    */
+  def q95Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ws = tokens
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    val bg = d.select(col("lang"), col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("lang"), col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(max(col("c")).as("tb"), sum(col("c")).as("bt"))
+    val tk = d.select(col("lang"), col("doc_id"),
+      size(ws).cast("long").as("n"),
+      size(array_distinct(ws)).cast("long").as("dn"))
+    tk.join(bg, Seq("lang", "doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n")).as("tokens"),
+        sum(col("dn")).as("distinct_tokens"),
+        sum(col("bt")).as("bigrams"),
+        sum(col("tb")).as("top_bigram_hits"),
+        max(expr("(tb * 1000000L) div bt")).as("worst_top_bigram_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q95Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bgx AS (
+      |  SELECT lang, doc_id,
+      |    array_to_string(ws[i:i+1], ' ') AS bg
+      |  FROM (SELECT lang, doc_id, ws,
+      |          unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i
+      |        FROM toks)),
+      |bgc AS (
+      |  SELECT lang, doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2, 3),
+      |bgd AS (
+      |  SELECT lang, doc_id, max(c) AS tb, sum(c) AS bt FROM bgc GROUP BY 1, 2),
+      |tkd AS (
+      |  SELECT lang, doc_id, len(ws) AS n, len(list_distinct(ws)) AS dn FROM toks)
+      |SELECT t.lang,
+      |  CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(sum(t.n) AS BIGINT) AS tokens,
+      |  CAST(sum(t.dn) AS BIGINT) AS distinct_tokens,
+      |  CAST(sum(b.bt) AS BIGINT) AS bigrams,
+      |  CAST(sum(b.tb) AS BIGINT) AS top_bigram_hits,
+      |  CAST(max((b.tb * 1000000) // b.bt) AS BIGINT) AS worst_top_bigram_ppm
+      |FROM tkd t JOIN bgd b USING (lang, doc_id)
+      |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+
   /** Q57 — blocklist redaction pass (the contraband-term scrub a training
     * pipeline runs before the tokenizer): per language, count documents
     * containing any blocked phrase, total occurrences (exact, via
@@ -1218,6 +1335,8 @@ object PipelineQueries {
     ("q35_exact_dedup", q35ExactDedup _, Some(q35Sql)),
     ("q56_contamination", q56Contamination _, Some(q56Sql)),
     ("q57_blocklist", q57Blocklist _, Some(q57Sql)),
+    ("q94_pii_redaction", q94PiiRedaction _, Some(q94Sql)),
+    ("q95_repetition", q95Repetition _, Some(q95Sql)),
     ("q62_stratified_sample", q62StratifiedSample _, Some(q62Sql)),
     ("q63_topk_terms", q63TopkTerms _, Some(q63Sql)),
     ("q67_packing", q67Packing _, Some(q67Sql)),
