@@ -6,7 +6,7 @@ import graft.mergetree.ColumnarMergeTree.TableDef
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
@@ -23,6 +23,8 @@ import java.nio.file.Paths
   *   ALTER TABLE t DROP PARTITION 'v'
   *   ALTER TABLE t REPLACE PARTITION 'v' FROM t2
   *   ALTER TABLE t MATERIALIZE TTL
+  *   ALTER TABLE t UPDATE c1 = expr1, c2 = expr2 WHERE pred
+  *   ALTER TABLE t DELETE WHERE pred
   * }}}
   *
   * `t` is either a GraftCatalog identifier (`graft.ns.tbl`) or a quoted
@@ -51,6 +53,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       ReplacePartitionCommand(target(q, id), value(vq, vb), target(q2, id2))
     case MaterializeTtlRe(q, id) =>
       MaterializeTtlCommand(target(q, id))
+    case AlterUpdateRe(q, id, assigns, cond) =>
+      val sets = splitTopLevel(assigns).map {
+        case AssignRe(c, e) => stripTicks(c.trim) -> e.trim
+        case bad => throw new IllegalArgumentException(
+          s"malformed UPDATE assignment '$bad' in: $sqlText")
+      }
+      MutationUpdateCommand(target(q, id), sets, cond.trim)
+    case AlterDeleteRe(q, id, cond) =>
+      MutationDeleteCommand(target(q, id), cond.trim)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -100,6 +111,36 @@ object GraftSqlParser {
       "\\s+REPLACE\\s+PARTITION\\s+" + V + "\\s+FROM\\s+" + T + "\\s*;?\\s*$").r
   private[sources] val MaterializeTtlRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+MATERIALIZE\\s+TTL\\s*;?\\s*$").r
+  // Greedy assignment group + final WHERE: the LAST top-level WHERE splits
+  // assignments from the predicate (mutation predicates carry no subqueries —
+  // updateWhere/deleteWhere conditions are scalar row predicates by contract).
+  private[sources] val AlterUpdateRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
+      "\\s+UPDATE\\s+(.+)\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
+  private[sources] val AlterDeleteRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+DELETE\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
+  private[sources] val AssignRe = "(?s)^\\s*([`\\w.]+)\\s*=\\s*(.+)$".r
+
+  /** Split an assignment list on top-level commas only — commas inside
+    * function calls, array literals, or string literals stay put.
+    */
+  private[sources] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { c =>
+      c match {
+        case '\'' => inStr = !inStr; cur += c
+        case '(' | '[' if !inStr => depth += 1; cur += c
+        case ')' | ']' if !inStr => depth -= 1; cur += c
+        case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq
+  }
 
   private def stripTicks(s: String): String = s.replace("`", "")
 
@@ -199,5 +240,35 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = affected
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(open(spark, t).applyTtl()))
+  }
+
+  /** ClickHouse's mutation spelling `ALTER TABLE … UPDATE c = e, … WHERE p`
+    * → updateWhere(): only hit parts are rewritten, ORDER BY columns are
+    * rejected (a key change is a delete+insert, as in ClickHouse).
+    * Assignment and predicate text parse through Catalyst (`expr`), so the
+    * full scalar expression surface is available on both sides of `=`.
+    */
+  final case class MutationUpdateCommand(
+      t: MtTarget, sets: Seq[(String, String)], cond: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = affected
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.expr
+      val tbl = open(spark, t)
+      Seq(Row(tbl.updateWhere(expr(cond), sets.map { case (c, e) => c -> expr(e) }.toMap)))
+    }
+  }
+
+  /** ClickHouse's mutation spelling `ALTER TABLE … DELETE WHERE p` →
+    * deleteWhere(): whole-match parts drop O(manifest), partial-match parts
+    * rewrite. (Standard SQL `DELETE FROM … WHERE` also works, via DSv2.)
+    */
+  final case class MutationDeleteCommand(t: MtTarget, cond: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = affected
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.expr
+      Seq(Row(open(spark, t).deleteWhere(expr(cond))))
+    }
   }
 }

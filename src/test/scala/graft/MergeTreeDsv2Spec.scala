@@ -545,6 +545,31 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
       s"FINAL DEDUPLICATE: rows=${t.totalRows} parts=${t.partCount}")
   }
 
+  test("ALTER TABLE UPDATE/DELETE mutations via ClickHouse SQL spelling") {
+    val (dir, t) = buildGeneric() // 300 rows, k ordered
+    // multi-assignment with a function call holding a top-level-looking comma
+    val upd = spark.sql(
+      s"ALTER TABLE '$dir' UPDATE score = score * 2, name = concat(name, '!') " +
+        "WHERE k < 50")
+    assert(upd.columns.toSeq == Seq("rows_affected"))
+    assert(upd.first().getLong(0) == 50L)
+    val after = spark.read.format("mergetree").load(dir)
+    assert(after.filter(col("k") === 10).select("score", "name")
+      .first().toSeq == Seq(30.0, "n10!"))
+    assert(after.filter(col("k") === 100).select("score", "name")
+      .first().toSeq == Seq(150.0, "n100"))
+    // ORDER BY columns must be rejected, as in ClickHouse
+    val err = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE '$dir' UPDATE k = k + 1 WHERE k = 0")
+    }
+    assert(err.getMessage.contains("ORDER BY"))
+    // ClickHouse delete-mutation spelling
+    assert(spark.sql(s"ALTER TABLE '$dir' DELETE WHERE k >= 250")
+      .first().getLong(0) == 50L)
+    t.refresh()
+    assert(t.totalRows == 250)
+  }
+
   test("DETACH/ATTACH/DROP PARTITION via SQL on a catalog identifier") {
     val wh = Files.createTempDirectory("mnt_wh_").toString
     spark.conf.set("spark.sql.catalog.gmnt",
