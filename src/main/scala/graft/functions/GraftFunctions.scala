@@ -336,7 +336,29 @@ object GraftFunctions {
   }
 
   /** Idempotently register SQL-callable functions on an existing session. */
+  private val hasTokenInfo = new ExpressionInfo(
+    "org.apache.spark.sql.catalyst.expressions.ArrayContains", "has_token")
+
+  /** ClickHouse `hasToken(haystack, token)`: whole-token membership under
+    * the tokenbf tokenizer (alphanumeric runs). Composes built-in codegen
+    * expressions — no UDF — and uses the SAME split regex as the token
+    * bloom sidecars, so `WHERE has_token(...)` results always agree with a
+    * `scanHasToken` pruned scan.
+    */
+  private val hasTokenBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "has_token takes exactly 2 arguments")
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Cast, Literal, StringSplit}
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    ArrayContains(
+      StringSplit(Cast(children.head, StringType),
+        Literal(graft.mergetree.ColumnarMergeTree.TokenSplitRe),
+        Literal(-1, IntegerType)),
+      children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("has_token"), hasTokenInfo, hasTokenBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(

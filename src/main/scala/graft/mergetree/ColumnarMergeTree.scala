@@ -601,6 +601,7 @@ final class ColumnarMergeTree private (
     */
   private def registerStaged(stage: java.nio.file.Path, register: Boolean,
                              partition: Option[String]): GPartMeta = {
+    buildTokenBlooms(stage)
     val (minK, maxK, rows, groups) = footerBounds(stage.toString, leadKey)
     val stats = footerColStats(stage.toString, config.minmaxColumns)
     val size = MergeTreeTable.dirSize(stage)
@@ -994,6 +995,61 @@ final class ColumnarMergeTree private (
     }
     lastPruning = (surviving.size, live.size)
     readParts(surviving)
+  }
+
+  /** Build the tokenbf sidecars for a freshly-staged part: one distributed
+    * distinct-token pass per indexed column, bits written INTO the stage dir
+    * so the manifest claim carries data + index atomically (underscore
+    * files are invisible to parquet reads). Sized for ~100k distinct tokens
+    * at 1% fpp (~120 KB/part/column): real-text parts hold vocabularies,
+    * not token streams, and a saturated bloom only costs pruning, never
+    * correctness.
+    */
+  private def buildTokenBlooms(stage: java.nio.file.Path): Unit =
+    config.tokenBloomColumns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"tokenBloomColumns: unknown column $c")
+      val toks = spark.read.schema(schema).parquet(stage.toString)
+        .select(explode(split(col(c).cast("string"),
+          ColumnarMergeTree.TokenSplitRe)).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val bf = toks.stat.bloomFilter("tok",
+        ColumnarMergeTree.TokenBloomExpectedTokens, ColumnarMergeTree.TokenBloomFpp)
+      val out = Files.newOutputStream(stage.resolve(s"_tokenbf_$c"))
+      try bf.writeTo(out) finally out.close()
+    }
+
+  /** Parts whose token bloom may contain `token` — the sidecar probe behind
+    * [[scanHasToken]]. Parts without a sidecar (written before the index
+    * was declared) are kept: the index accelerates, never filters.
+    */
+  private[graft] def tokenBloomParts(column: String, token: String): Seq[GPartMeta] = {
+    refresh()
+    manifest.parts.filter { p =>
+      val f = Paths.get(path, s"part_${p.partId}", s"_tokenbf_$column")
+      !Files.exists(f) || {
+        val in = Files.newInputStream(f)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        bf.mightContainString(token)
+      }
+    }
+  }
+
+  /** `hasToken(column, token)` scan: ClickHouse's tokenbf-indexed text
+    * search. Probes each live part's token bloom DRIVER-SIDE (O(manifest)
+    * sidecar reads, no task launch for excluded parts), then applies the
+    * exact whole-token residual filter on the survivors. Only whole-token
+    * equality may consult the index — substring search must full-scan.
+    */
+  def scanHasToken(column: String, token: String): DataFrame = {
+    require(token.nonEmpty && !ColumnarMergeTree.TokenSplitRe.r.findFirstIn(token).isDefined,
+      s"hasToken: '$token' is not a single token")
+    val live = { refresh(); manifest.parts }
+    val surviving = tokenBloomParts(column, token)
+    lastPruning = (surviving.size, live.size)
+    collapse(readParts(surviving))
+      .filter(array_contains(
+        split(col(column).cast("string"), ColumnarMergeTree.TokenSplitRe), token))
   }
 
   private def readParts(parts: Seq[GPartMeta]): DataFrame =
@@ -1547,6 +1603,15 @@ object ColumnarMergeTree {
     */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** tokenbf tokenizer: alphanumeric runs, everything else is a separator
+    * (ClickHouse tokenbf_v1's definition). Must match the residual filter
+    * in scanHasToken and the has_token SQL function exactly.
+    */
+  val TokenSplitRe = "[^A-Za-z0-9]+"
+  /** tokenbf sizing: ~100k distinct tokens at 1% fpp ≈ 120 KB/part/column. */
+  val TokenBloomExpectedTokens = 100000L
+  val TokenBloomFpp = 0.01
+
   /** MV-registry name prefix marking a projection (identity MV kept as an
     * alternate sort order; see addProjection).
     */
@@ -1644,7 +1709,8 @@ object ColumnarMergeTree {
       TableDef.encodeMode(mode), partitionBy, ttl,
       Some(config.gcGraceSeconds),
       Some(config.bloomFilterColumns.toList).filter(_.nonEmpty),
-      Some(config.minmaxColumns.toList).filter(_.nonEmpty)))
+      Some(config.minmaxColumns.toList).filter(_.nonEmpty),
+      Some(config.tokenBloomColumns.toList).filter(_.nonEmpty)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -1679,9 +1745,13 @@ object ColumnarMergeTree {
       case Some(bs) => cfg0.copy(bloomFilterColumns = bs)
       case None     => cfg0
     }
-    val cfg = defn.minmaxColumns match {
+    val cfg2 = defn.minmaxColumns match {
       case Some(ms) => cfg1.copy(minmaxColumns = ms)
       case None     => cfg1
+    }
+    val cfg = defn.tokenBloomColumns match {
+      case Some(ts) => cfg2.copy(tokenBloomColumns = ts)
+      case None     => cfg2
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
@@ -1712,7 +1782,12 @@ object ColumnarMergeTree {
         * written by an opener unaware of the index would carry no bounds
         * and silently become unprunable.
         */
-      minmaxColumns: Option[List[String]] = None)
+      minmaxColumns: Option[List[String]] = None,
+      /** Token-bloom skip-index columns (tokenbf), persisted so every
+        * writer builds the sidecar — a part without one is kept by every
+        * hasToken probe (correct, just unprunable).
+        */
+      tokenBloomColumns: Option[List[String]] = None)
 
   object TableDef {
     import org.json4s._

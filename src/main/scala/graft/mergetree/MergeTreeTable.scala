@@ -75,7 +75,20 @@ case class MergeTreeConfig(
       * correlates with insertion order (timestamps, monotone ids), exactly
       * like ClickHouse's. Long/double/string columns supported.
       */
-    minmaxColumns: Seq[String] = Nil)
+    minmaxColumns: Seq[String] = Nil,
+    /** ClickHouse `tokenbf_v1` skip index, lifted to the PART level: each
+      * listed TEXT column gets a bloom filter over its alphanumeric tokens
+      * built at part write (one distributed pass over the freshly-staged
+      * files) and stored as a `_tokenbf_<col>` sidecar inside the part
+      * directory — claimed atomically with the part, recomputed by merges
+      * through the same write path. `hasToken(col, 'term')` scans probe the
+      * sidecars driver-side and skip every part whose bloom excludes the
+      * term — O(manifest) part pruning for text search, the thing min/max
+      * stats can never give an unsorted text column. Substring `contains`
+      * must NOT use this index (a substring match needn't be a token
+      * match); only whole-token lookups may prune, as in ClickHouse.
+      */
+    tokenBloomColumns: Seq[String] = Nil)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

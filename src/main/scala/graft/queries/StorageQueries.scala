@@ -671,6 +671,40 @@ object StorageQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q97 — tokenbf-indexed text search: documents land in a MergeTree table
+    * with a token-bloom sidecar per part (tokenBloomColumns), and the query
+    * runs through `scanHasToken` — the driver probes each part's bloom
+    * before any task launches, then applies the exact whole-token residual.
+    * On this corpus every part contains the common token, so pruning keeps
+    * all parts (the pruning behaviour itself is pinned on a synthetic
+    * disjoint-vocabulary table in TokenBloomSpec); the oracle pins the
+    * whole-token-match SEMANTICS against DuckDB's split-and-contains.
+    */
+  def q97HasToken(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#tokenbf", {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q97_").toString,
+        d.schema, orderBy = Seq("doc_id"),
+        MergeTreeConfig(tokenBloomColumns = Seq("text")))
+      val n = d.count()
+      tbl.insertBatch(d.filter(col("doc_id") < n / 3))
+      tbl.insertBatch(d.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3))
+      tbl.insertBatch(d.filter(col("doc_id") >= 2 * n / 3))
+      tbl
+    })
+    t.scanHasToken("text", "customer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q97Sql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE list_contains(string_split_regex(text, '[^A-Za-z0-9]+'), 'customer')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val q91Sql: String =
     """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS flag,
       | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
@@ -697,5 +731,6 @@ object StorageQueries {
     ("q55_mat_view", q55MatView _, Some(q55Sql)),
     ("q79_minmax_scan", q79MinmaxScan _, Some(q79Sql)),
     ("q91_alter_sql", q91AlterSql _, Some(q91Sql)),
-    ("q92_optimize_sql", q92OptimizeSql _, Some(q92Sql)))
+    ("q92_optimize_sql", q92OptimizeSql _, Some(q92Sql)),
+    ("q97_has_token", q97HasToken _, Some(q97Sql)))
 }

@@ -92,6 +92,7 @@ class GenericMergeTreeV2Table(
       d.ttl.foreach(m.put("ttl", _))
       d.bloomFilterColumns.foreach(c => m.put("bloomFilterColumns", c.mkString(",")))
       d.minmaxColumns.foreach(c => m.put("minmaxColumns", c.mkString(",")))
+      d.tokenBloomColumns.foreach(c => m.put("tokenBloomColumns", c.mkString(",")))
       d.gcGraceSeconds.foreach(g => m.put("gcGraceSeconds", g.toString))
     }
     m

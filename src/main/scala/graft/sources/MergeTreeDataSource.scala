@@ -202,7 +202,8 @@ object MergeTreeTableProvider {
       Option(opts.get("partitionBy")), Option(opts.get("ttl")),
       Option(opts.get("gcGraceSeconds")).map(_.toInt),
       Some(list("bloomFilterColumns")).filter(_.nonEmpty),
-      Some(list("minmaxColumns")).filter(_.nonEmpty))
+      Some(list("minmaxColumns")).filter(_.nonEmpty),
+      Some(list("tokenBloomColumns")).filter(_.nonEmpty))
   }
 
   /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying
