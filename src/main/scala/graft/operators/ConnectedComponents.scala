@@ -97,6 +97,14 @@ object ConnectedComponents {
     // its root as v; roots appear only on the v side.
     val labels = edges.select(F.col("u").as("node"), F.col("v").as("component"))
       .union(edges.select(F.col("v").as("node"), F.col("v").as("component")).distinct())
-    labels
+    // Honour the full contract: nodes whose only edges were self-loops (or
+    // duplicates thereof) vanished in the initial cleanup but still
+    // "appear in an edge" — they are their own singleton components.
+    val inputNodes = edgesIn.toDF("u", "v")
+      .select(F.explode(F.array(F.col("u"), F.col("v"))).as("node"))
+      .distinct()
+    inputNodes.join(labels, Seq("node"), "left")
+      .select(F.col("node"),
+        F.coalesce(F.col("component"), F.col("node")).as("component"))
   }
 }

@@ -706,7 +706,7 @@ object StorageQueries {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val q91Sql: String =
-    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS flag,
+    """SELECT CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS flag,
       | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -58,15 +58,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(warehouse)
   }
 
-  /** Identifier → directory. Segments are validated as plain names so an
-    * identifier can never traverse outside the warehouse.
+  /** The init-time warehouse — the catalog's layout root for its whole
+    * lifetime (re-pointing the conf after instantiation does NOT move a
+    * cached catalog; resolveDir in GraftSqlParser reads this, not the conf,
+    * so the SQL maintenance verbs can never disagree with name resolution).
     */
-  private def dirOf(ident: Identifier): Path = {
-    val segs = ident.namespace.toSeq :+ ident.name
+  private[sources] def warehousePath: Path = warehouse
+
+  /** Segment-validated resolve under the warehouse — EVERY identifier and
+    * namespace path goes through here, so neither a table name nor a
+    * namespace like `..` can traverse outside the warehouse (dropNamespace
+    * CASCADE recursively deletes; an unvalidated segment would let it
+    * delete the warehouse's parent).
+    */
+  private def resolveSegs(segs: Seq[String]): Path = {
     segs.foreach(s => require(
       s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != ".." && s != ".",
       s"catalog $catalogName: illegal identifier segment '$s'"))
     segs.foldLeft(warehouse)(_.resolve(_))
+  }
+
+  /** Identifier → warehouse slot (before following any external-location
+    * pointer).
+    */
+  private def dirOf(ident: Identifier): Path =
+    resolveSegs(ident.namespace.toSeq :+ ident.name)
+
+  /** External tables (CREATE TABLE … LOCATION) keep their data at the given
+    * path; the warehouse slot holds a one-line pointer file so the
+    * identifier remains resolvable. RENAME moves the pointer, DROP follows
+    * it (managed semantics: data goes too, as ClickHouse drops data).
+    */
+  private def extlocPath(slot: Path): Path = slot.resolve("extloc")
+
+  /** Identifier → the directory actually holding the table definition. */
+  private def tableDir(ident: Identifier): Path = {
+    val slot = dirOf(ident)
+    if (Files.exists(extlocPath(slot)))
+      Paths.get(Files.readString(extlocPath(slot)).trim)
+    else slot
   }
 
   private def isTableDir(p: Path): Boolean = TableDef.load(p.toString).isDefined
@@ -81,10 +111,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.exists(propsPath(dir)) &&
       Files.readString(propsPath(dir)).contains("\"final\":true")
 
-  override def tableExists(ident: Identifier): Boolean = isTableDir(dirOf(ident))
+  override def tableExists(ident: Identifier): Boolean = isTableDir(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    val dir = dirOf(ident)
+    val dir = tableDir(ident)
     TableDef.load(dir.toString) match {
       case Some(d) => new GenericMergeTreeV2Table(
         dir.toString, StructType.fromDDL(d.schemaDdl), d.orderBy,
@@ -114,11 +144,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(opts.containsKey("orderBy"),
       "mergetree: CREATE TABLE needs OPTIONS (orderBy 'col[,col…]')")
     val defn = MergeTreeTableProvider.tableDefFromOptions(schema, opts)
-    // LOCATION overrides the warehouse layout (external table).
-    val dir = Option(properties.get(TableCatalog.PROP_LOCATION))
+    // LOCATION overrides the warehouse layout (external table): data lives
+    // at the location, the warehouse slot holds a pointer file so loadTable/
+    // DROP/RENAME keep resolving the identifier.
+    val external = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(l => Paths.get(MergeTreeTableProvider.localPath(l)))
-      .getOrElse(dirOf(ident))
+    val dir = external.getOrElse(dirOf(ident))
     Files.createDirectories(dir)
+    external.foreach { loc =>
+      val slot = dirOf(ident)
+      Files.createDirectories(slot)
+      Files.writeString(extlocPath(slot), loc.toString + "\n")
+    }
     require(TableDef.load(dir.toString).isEmpty,
       s"mergetree: $dir already holds a table definition")
     TableDef.store(dir.toString, defn)
@@ -137,7 +174,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * that could drift.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = dirOf(ident)
+    val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     changes.foreach {
@@ -166,27 +203,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * tables; the catalog IS the storage layout).
     */
   override def dropTable(ident: Identifier): Boolean = {
-    val dir = dirOf(ident)
+    val dir = tableDir(ident)
     if (!isTableDir(dir)) false
-    else { MergeTreeTable.deleteRecursively(dir); true }
+    else {
+      MergeTreeTable.deleteRecursively(dir)
+      val slot = dirOf(ident) // external table: also remove the pointer slot
+      if (slot != dir && Files.exists(slot)) MergeTreeTable.deleteRecursively(slot)
+      true
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = dirOf(oldIdent)
-    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    // Move the warehouse SLOT: for a managed table that is the data, for an
+    // external one just the pointer — either way the data location holding
+    // parts is undisturbed mid-rename.
+    val from = dirOf(oldIdent)
     val to = dirOf(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to)
   }
 
+  /** A directory is a catalog entry if it holds a tabledef (managed) or an
+    * external-location pointer.
+    */
+  private def isTableSlot(p: Path): Boolean =
+    isTableDir(p) || Files.exists(extlocPath(p))
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    val dir = resolveSegs(namespace.toSeq)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
       catalogName +: namespace.toSeq)
     val s = Files.list(dir)
     try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) && isTableDir(p))
+      .filter(p => Files.isDirectory(p) && isTableSlot(p))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
     finally s.close()
@@ -197,7 +248,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     val s = Files.list(warehouse)
     try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .filter(p => Files.isDirectory(p) && !isTableSlot(p))
       .map(p => Array(p.getFileName.toString))
       .toArray
     finally s.close()
@@ -205,20 +256,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
-    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    val dir = resolveSegs(namespace.toSeq)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
       catalogName +: namespace.toSeq)
     val s = Files.list(dir)
     try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .filter(p => Files.isDirectory(p) && !isTableSlot(p))
       .map(p => namespace :+ p.getFileName.toString)
       .toArray
     finally s.close()
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty ||
-      Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+    namespace.isEmpty || Files.isDirectory(resolveSegs(namespace.toSeq))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] = {
@@ -230,7 +280,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(
       namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
-    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+    Files.createDirectories(resolveSegs(namespace.toSeq))
   }
 
   override def alterNamespace(
@@ -240,7 +290,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(
       namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    require(namespace.nonEmpty,
+      s"catalog $catalogName: refusing to drop the warehouse root")
+    val dir = resolveSegs(namespace.toSeq)
     if (!Files.isDirectory(dir)) false
     else {
       if (!cascade) {

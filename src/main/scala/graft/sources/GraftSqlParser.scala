@@ -53,7 +53,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       ReplacePartitionCommand(target(q, id), value(vq, vb), target(q2, id2))
     case MaterializeTtlRe(q, id) =>
       MaterializeTtlCommand(target(q, id))
-    case AlterUpdateRe(q, id, assigns, cond) =>
+    case AlterUpdateRe(q, id, tail) =>
+      val (assigns, cond) = splitLastTopLevelWhere(tail).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE … UPDATE requires a WHERE predicate: $sqlText"))
       val sets = splitTopLevel(assigns).map {
         case AssignRe(c, e) => stripTicks(c.trim) -> e.trim
         case bad => throw new IllegalArgumentException(
@@ -98,7 +101,9 @@ object GraftSqlParser {
   // Target: quoted directory path | dotted (possibly backticked) identifier.
   private val T = "(?:'([^']+)'|([`\\w][\\w.`]*))"
   // Partition value: quoted string | bare token (numbers, canonical forms).
-  private val V = "(?:'([^']*)'|(\\S+))"
+  // The bare form excludes ';' so a statement-terminating semicolon is
+  // stripped by the grammar's ;? instead of silently joining the value.
+  private val V = "(?:'([^']*)'|([^\\s;]+))"
 
   private[sources] val OptimizeRe =
     ("(?is)^\\s*OPTIMIZE\\s+TABLE\\s+" + T +
@@ -111,15 +116,44 @@ object GraftSqlParser {
       "\\s+REPLACE\\s+PARTITION\\s+" + V + "\\s+FROM\\s+" + T + "\\s*;?\\s*$").r
   private[sources] val MaterializeTtlRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+MATERIALIZE\\s+TTL\\s*;?\\s*$").r
-  // Greedy assignment group + final WHERE: the LAST top-level WHERE splits
-  // assignments from the predicate (mutation predicates carry no subqueries —
-  // updateWhere/deleteWhere conditions are scalar row predicates by contract).
+  // Captures everything after UPDATE; the assignments/predicate split
+  // happens in splitLastTopLevelWhere (quote-aware — a regex split would
+  // mis-handle ' WHERE ' inside a string literal).
   private[sources] val AlterUpdateRe =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
-      "\\s+UPDATE\\s+(.+)\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+UPDATE\\s+(.+?)\\s*;?\\s*$").r
   private[sources] val AlterDeleteRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+DELETE\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private[sources] val AssignRe = "(?s)^\\s*([`\\w.]+)\\s*=\\s*(.+)$".r
+
+  /** Split `assignments WHERE predicate` at the LAST `WHERE` keyword that
+    * sits outside string literals and parentheses — `' WHERE '` inside a
+    * string literal must not split, and the last-match rule keeps an
+    * assignment expression like `CASE … END` intact. Returns None when no
+    * splittable WHERE exists.
+    */
+  private[sources] def splitLastTopLevelWhere(s: String): Option[(String, String)] = {
+    var inStr = false
+    var depth = 0
+    var idx = -1
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && (c == 'w' || c == 'W') &&
+          s.regionMatches(true, i, "WHERE", 0, 5) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + 5 >= s.length || !isWordChar(s.charAt(i + 5)))) idx = i
+      }
+      i += 1
+    }
+    if (idx <= 0) None
+    else Some((s.substring(0, idx).trim, s.substring(idx + 5).trim))
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+  }
 
   /** Split an assignment list on top-level commas only — commas inside
     * function calls, array literals, or string literals stay put.
@@ -165,13 +199,19 @@ object GraftSqlParser {
         require(impl.contains(classOf[GraftCatalog].getName),
           s"'$cat' is not a registered graft catalog " +
             s"(spark.sql.catalog.$cat=${impl.getOrElse("<unset>")})")
-        val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
-          .getOrElse(throw new IllegalArgumentException(
-            s"spark.sql.catalog.$cat.warehouse is not set"))
+        // Resolve through the INSTANTIATED catalog: its warehouse is pinned
+        // at initialize, and a conf re-pointed afterwards must not make the
+        // maintenance verbs target a different directory than name
+        // resolution does (catalogManager caches the plugin).
+        val wh = spark.sessionState.catalogManager.catalog(cat) match {
+          case g: GraftCatalog => g.warehousePath
+          case other => throw new IllegalArgumentException(
+            s"'$cat' resolved to ${other.getClass.getName}, not a graft catalog")
+        }
         parts.tail.foreach(s => require(
           s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != ".." && s != ".",
           s"illegal identifier segment '$s'"))
-        parts.tail.foldLeft(Paths.get(wh))(_.resolve(_)).toString
+        parts.tail.foldLeft(wh)(_.resolve(_)).toString
     }
     require(TableDef.load(dir).isDefined, s"no mergetree table at $dir")
     dir

@@ -59,9 +59,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   test("duplicate, reversed, and self-loop edges are tolerated") {
-    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L), (9L, 8L))
+    // node 7 has ONLY a self-loop: it must still label as its own singleton
+    // component (the "covers every node that appears in any edge" contract)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L), (9L, 8L), (7L, 7L))
     val got = ccResult(edges)
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L, 7L -> 7L))
   }
 
   test("already-star input is a fixed point (converges immediately)") {

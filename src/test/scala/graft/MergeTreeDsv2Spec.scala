@@ -570,6 +570,58 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(t.totalRows == 250)
   }
 
+  test("catalog rejects traversal segments; external LOCATION resolves and drops") {
+    val wh = Files.createTempDirectory("cat_sec_wh_").toString
+    spark.conf.set("spark.sql.catalog.gsec",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsec.warehouse", wh)
+    // namespace ops must validate segments — `..` would resolve OUTSIDE the
+    // warehouse and CASCADE-delete its parent
+    val e = intercept[Exception] {
+      spark.sql("DROP NAMESPACE gsec.`..` CASCADE")
+    }
+    assert(e.getMessage.contains("illegal identifier segment"), e.getMessage)
+    intercept[Exception] { spark.sql("CREATE NAMESPACE gsec.`..`") }
+    // external LOCATION: data lands at the location, the identifier keeps
+    // resolving (pointer slot), and DROP removes both
+    val ext = Files.createTempDirectory("cat_ext_").toString
+    spark.sql("CREATE TABLE gsec.ns.ext (k BIGINT) USING mergetree " +
+      s"OPTIONS (orderBy 'k') LOCATION '$ext'")
+    spark.sql("INSERT INTO gsec.ns.ext SELECT id FROM range(10)")
+    assert(spark.sql("SELECT count(*) FROM gsec.ns.ext").first().getLong(0) == 10L)
+    assert(Files.exists(java.nio.file.Paths.get(ext, "tabledef.json")),
+      "data must live at the external location")
+    assert(spark.sql("SHOW TABLES IN gsec.ns").collect()
+      .exists(_.getString(1) == "ext"), "external table must be listed")
+    spark.sql("DROP TABLE gsec.ns.ext")
+    assert(!Files.exists(java.nio.file.Paths.get(ext, "tabledef.json")),
+      "DROP must delete the external data (managed semantics)")
+    assert(!spark.sql("SHOW TABLES IN gsec.ns").collect()
+      .exists(_.getString(1) == "ext"), "pointer slot must be gone")
+  }
+
+  test("maintenance verbs tolerate trailing semicolons and WHERE inside literals") {
+    val (dir, t) = buildGeneric()
+    // bare partition value must not swallow the statement terminator
+    val wh = Files.createTempDirectory("mnt_semi_wh_").toString
+    spark.conf.set("spark.sql.catalog.gsemi",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsemi.warehouse", wh)
+    spark.sql("CREATE TABLE gsemi.m.t (k BIGINT, b BIGINT) USING mergetree " +
+      "OPTIONS (orderBy 'k', partitionBy 'b')")
+    spark.sql("INSERT INTO gsemi.m.t SELECT id, id % 2 FROM range(100)")
+    assert(spark.sql("ALTER TABLE gsemi.m.t DROP PARTITION 1;").first().getLong(0) == 50L)
+    // a string literal containing ' WHERE ' must not confuse the
+    // assignment/predicate split
+    assert(spark.sql(
+      s"ALTER TABLE '$dir' UPDATE name = 'see WHERE clause' WHERE k < 10")
+      .first().getLong(0) == 10L)
+    val got = spark.read.format("mergetree").load(dir)
+      .filter(col("k") === 5).select("name").first().getString(0)
+    assert(got == "see WHERE clause", s"got '$got'")
+    t.refresh()
+  }
+
   test("DETACH/ATTACH/DROP PARTITION via SQL on a catalog identifier") {
     val wh = Files.createTempDirectory("mnt_wh_").toString
     spark.conf.set("spark.sql.catalog.gmnt",
