@@ -30,10 +30,17 @@ object ConnectedComponents {
 
   /** @param edgesIn two numeric columns (renamed to u,v); undirected, self
     *                loops and duplicates tolerated.
+    * @param smallGraphThreshold dedup'd edge counts at or below this solve
+    *                driver-side with union-find in ONE pass instead of
+    *                O(log n) distributed rounds — near-dup pair graphs are
+    *                typically tiny relative to the corpus, and ~4M edges
+    *                (≈64 MB) is a bounded, safe driver collect. Pass 0 to
+    *                force the distributed path.
     * @return DataFrame(node, component) covering every node that appears in
     *         any edge; component = min node id of its connected component.
     */
-  def run(edgesIn: DataFrame, maxIterations: Int = 30): DataFrame = {
+  def run(edgesIn: DataFrame, maxIterations: Int = 30,
+          smallGraphThreshold: Long = 1L << 22): DataFrame = {
     val spark = edgesIn.sparkSession
     // Canonical big→small orientation; dedup so round cost is edge-bounded.
     // Each round's result is localCheckpoint'ed: without truncation the
@@ -62,6 +69,38 @@ object ConnectedComponents {
     }
 
     var fp = fingerprint(edges)
+
+    // Small-graph fast path: the whole (dedup'd) edge set fits comfortably
+    // on the driver, so one collect + union-find replaces ~2 log n Spark
+    // jobs of round overhead. The distributed rounds below remain the path
+    // for graphs that don't fit (and are what the property specs pin).
+    if (fp._1 <= smallGraphThreshold) {
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = collected.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val rows = nodes.iterator.map(n => org.apache.spark.sql.Row(n, find(n))).toSeq
+      val schemaOut = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schemaOut)
+      return withSelfLoopSingletons(edgesIn, labels)
+    }
+
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -97,9 +136,14 @@ object ConnectedComponents {
     // its root as v; roots appear only on the v side.
     val labels = edges.select(F.col("u").as("node"), F.col("v").as("component"))
       .union(edges.select(F.col("v").as("node"), F.col("v").as("component")).distinct())
-    // Honour the full contract: nodes whose only edges were self-loops (or
-    // duplicates thereof) vanished in the initial cleanup but still
-    // "appear in an edge" — they are their own singleton components.
+    withSelfLoopSingletons(edgesIn, labels)
+  }
+
+  /** Honour the full contract: nodes whose only edges were self-loops (or
+    * duplicates thereof) vanished in the initial cleanup but still "appear
+    * in an edge" — they are their own singleton components.
+    */
+  private def withSelfLoopSingletons(edgesIn: DataFrame, labels: DataFrame): DataFrame = {
     val inputNodes = edgesIn.toDF("u", "v")
       .select(F.explode(F.array(F.col("u"), F.col("v"))).as("node"))
       .distinct()

@@ -32,9 +32,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     nodes.map(x => x -> find(x)).toMap
   }
 
-  private def ccResult(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** threshold 0 forces the DISTRIBUTED large-star/small-star path — the
+    * algorithm under test here; the driver fast path is checked against it
+    * separately.
+    */
+  private def ccResult(edges: Seq[(Long, Long)], threshold: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.run(edges.toDF("u", "v"))
+    ConnectedComponents.run(edges.toDF("u", "v"), smallGraphThreshold = threshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -70,5 +74,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = (1L to 50L).map(i => (0L, i))
     val got = ccResult(edges)
     assert(got.size == 51 && got.values.toSet == Set(0L))
+  }
+
+  test("driver fast path agrees with the distributed rounds") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) :+ (200L, 200L)
+    val viaDriver = ccResult(edges, threshold = 1L << 22)
+    val viaRounds = ccResult(edges, threshold = 0L)
+    assert(viaDriver == viaRounds,
+      "small-graph union-find must produce the identical labelling")
   }
 }
