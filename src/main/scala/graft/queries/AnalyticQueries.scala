@@ -1476,6 +1476,30 @@ object AnalyticQueries {
       |    * 1000000.0 + 0.5) AS BIGINT) AS h
       |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Q100 — ClickHouse `histogram` (fixed-width flavor): per-event-type
+    * value histograms with width-50 buckets, each bucket carrying its count
+    * and exact mass. bucket = floor(value/50) is one IEEE double divide +
+    * floor — bit-identical across engines; the per-bucket mass is summed in
+    * fixed-point CENTS (the source values are 2-dp) because cross-row
+    * double summation order is engine-specific (the q51 lesson) while int64
+    * sums are exact. Map-side partial aggregation; output is |types|×|buckets|
+    * rows however large the fact table.
+    */
+  def q100Histogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / lit(50.0)).cast("long").as("bucket"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  val q100Sql: String =
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1526,5 +1550,6 @@ object AnalyticQueries {
     ("q87_ranking_family", q87RankingFamily _, Some(q87Sql)),
     ("q88_uniq_up_to", q88UniqUpTo _, Some(q88Sql)),
     ("q89_bit_aggregates", q89BitAggregates _, Some(q89Sql)),
-    ("q90_entropy", q90Entropy _, Some(q90Sql)))
+    ("q90_entropy", q90Entropy _, Some(q90Sql)),
+    ("q100_histogram", q100Histogram _, Some(q100Sql)))
 }

@@ -1315,6 +1315,164 @@ object PipelineQueries {
       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM offs GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
 
+  /** Q96 — quality-filter VERDICTS (the actual keep/drop decision a
+    * FineWeb/Gopher-style cleaning pass makes): q30/q95 compute signals;
+    * this fuses them through calibrated thresholds into a per-document
+    * reason BITMASK (1 = too short, 2 = mean word length out of band,
+    * 4 = low token diversity, 8 = repeated top bigram, 16 = no stopwords
+    * for the document's own language), then reports corpus composition per
+    * (lang, reasons) — reasons = 0 is the surviving training set. Every
+    * ratio is integer parts-per-million via int64 division, so both engines
+    * compare identical integers (no double thresholds anywhere). One
+    * explode for the bigram profile + two hash aggregates; everything else
+    * is a single embarrassingly-parallel scan.
+    */
+  def q96QualityVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ws = tokens
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    val bg = d.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("tb"), sum(col("c")).as("bt"))
+    // The document is scored against ITS OWN language's stopword list —
+    // an en-threshold applied to zh text would flag the whole shard.
+    val stops = StopwordLists.foldRight(lit(0): Column) {
+      case ((l, words), acc) => when(col("lang") === l, stopScore(ws, words)).otherwise(acc)
+    }
+    val sig = d.select(col("lang"), col("doc_id"),
+      size(ws).cast("long").as("n"),
+      size(array_distinct(ws)).cast("long").as("dn"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("wchars"),
+      stops.cast("long").as("stops"))
+    val reasons =
+      when(col("n") < 25, 1).otherwise(0) +
+      when(expr("wchars * 1000000 div n") < 4000000L ||
+           expr("wchars * 1000000 div n") > 5000000L, 2).otherwise(0) +
+      when(expr("dn * 1000000 div n") < 350000L, 4).otherwise(0) +
+      when(expr("tb * 1000000 div bt") > 80000L, 8).otherwise(0) +
+      when(col("stops") === 0L, 16).otherwise(0)
+    sig.join(bg, "doc_id")
+      .select(col("lang"), reasons.as("reasons"), col("n"))
+      .groupBy(col("lang"), col("reasons"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+      .orderBy(col("lang"), col("reasons"))
+  }
+
+  val q96Sql: String = {
+    val stopCase = StopwordLists.map { case (l, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"WHEN '$l' THEN len(list_filter(ws, x -> x IN ($inList)))"
+    }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, string_split(text, ' ') AS ws,
+       |    length(replace(text, ' ', '')) AS wchars FROM documents),
+       |bgx AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i
+       |        FROM toks)),
+       |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+       |bgd AS (SELECT doc_id, max(c) AS tb, sum(c) AS bt FROM bgc GROUP BY 1),
+       |sig AS (
+       |  SELECT lang, doc_id, len(ws) AS n, len(list_distinct(ws)) AS dn,
+       |    wchars, CASE lang $stopCase ELSE 0 END AS stops
+       |  FROM toks),
+       |r AS (
+       |  SELECT lang, n,
+       |    (CASE WHEN n < 25 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN wchars * 1000000 // n < 4000000
+       |       OR wchars * 1000000 // n > 5000000 THEN 2 ELSE 0 END) +
+       |    (CASE WHEN dn * 1000000 // n < 350000 THEN 4 ELSE 0 END) +
+       |    (CASE WHEN tb * 1000000 // bt > 80000 THEN 8 ELSE 0 END) +
+       |    (CASE WHEN stops = 0 THEN 16 ELSE 0 END) AS reasons
+       |  FROM sig JOIN bgd USING (doc_id))
+       |SELECT lang, CAST(reasons AS INTEGER) AS reasons,
+       |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+       |FROM r GROUP BY lang, reasons ORDER BY lang, reasons""".stripMargin
+  }
+
+  /** Q98 — per-source quota sampling (domain capping): keep at most 10
+    * documents per source, chosen by md5(doc_id) order — the standard
+    * web-corpus defense against a single domain dominating the training
+    * mix. The hash order makes the sample deterministic under retries and
+    * independent of physical row order (same property as q62's stratified
+    * sampler); the doc_id tiebreak pins md5 collisions. One hash-partition
+    * shuffle on source; `WindowGroupLimit` pushes rk <= 10 into the
+    * per-group sort, so no group is ever fully sorted at scale.
+    */
+  def q98DomainQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q98Sql: String =
+    """WITH rnk AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+      |FROM rnk WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
+  /** Q99 — chunk-level exact deduplication (the paragraph/line-dedup pass
+    * of a CCNet-style pipeline, on this corpus's 10-token non-overlapping
+    * chunks): every chunk instance after the globally FIRST occurrence
+    * (ordered by doc_id, then chunk position) is removable boilerplate.
+    * Reports per language how many chunk instances exist, how many
+    * dedup away, and the characters saved. The heavy operation is ONE
+    * shuffle of (chunk → instances) for the first-occurrence ranking —
+    * at 100 TB the chunk string would be replaced by its xxhash64 (the
+    * q25 trick) to shuffle 8-byte keys; kept as text here so DuckDB
+    * reproduces it exactly.
+    */
+  def q99ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens
+    val nch = (size(ws) / lit(10)).cast("int")
+    // sequence(1, 0) would yield the DESCENDING [1, 0] in Spark, not an
+    // empty array (DuckDB's generate_series(1, 0) IS empty) — guard short
+    // documents explicitly.
+    val chunks = when(nch >= 1,
+      transform(sequence(lit(1), nch),
+        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
+      .otherwise(array())
+    val inst = docs(spark, dir)
+      .select(col("lang"), col("doc_id"), posexplode(chunks).as(Seq("pos", "c")))
+    val w = Window.partitionBy(col("c")).orderBy(col("doc_id"), col("pos"))
+    inst.withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed_chunks"),
+        sum(when(col("rn") > 1, length(col("c")).cast("long")).otherwise(0L))
+          .as("removed_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q99Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, string_split(text, ' ') AS ws FROM documents),
+      |inst AS (
+      |  SELECT lang, doc_id, i AS pos,
+      |    array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS c
+      |  FROM (SELECT lang, doc_id, ws,
+      |          unnest(generate_series(1, len(ws) // 10)) AS i
+      |        FROM toks)),
+      |mk AS (
+      |  SELECT lang, c,
+      |    row_number() OVER (PARTITION BY c ORDER BY doc_id, pos) AS rn
+      |  FROM inst)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS chunks,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_chunks,
+      |  CAST(sum(CASE WHEN rn > 1 THEN length(c) ELSE 0 END) AS BIGINT) AS removed_chars
+      |FROM mk GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -1340,5 +1498,8 @@ object PipelineQueries {
     ("q62_stratified_sample", q62StratifiedSample _, Some(q62Sql)),
     ("q63_topk_terms", q63TopkTerms _, Some(q63Sql)),
     ("q67_packing", q67Packing _, Some(q67Sql)),
-    ("q85_topk_weighted", q85TopkWeighted _, Some(q85Sql)))
+    ("q85_topk_weighted", q85TopkWeighted _, Some(q85Sql)),
+    ("q96_quality_verdicts", q96QualityVerdicts _, Some(q96Sql)),
+    ("q98_domain_quota", q98DomainQuota _, Some(q98Sql)),
+    ("q99_chunk_dedup", q99ChunkDedup _, Some(q99Sql)))
 }

@@ -210,4 +210,52 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(f1.map(_.getLong(1)).toSeq == f2.map(_.getLong(1)).toSeq)
     assert(f1.map(_.getLong(1)).distinct.length > 45) // 50 docs, near-unique
   }
+
+  test("quality verdicts partition the corpus; the keep set is non-empty") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val v = PipelineQueries.q96QualityVerdicts(spark, dir).collect()
+    assert(v.map(_.getLong(2)).sum == docs,
+      "every document must land in exactly one (lang, reasons) cell")
+    val kept = v.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val dropped = docs - kept
+    assert(kept > 0, "thresholds must not drop the whole corpus")
+    assert(dropped > 0, "thresholds must actually fire on this corpus")
+    // every emitted mask uses only the five defined reason bits
+    assert(v.forall(r => (r.getInt(1) & ~31) == 0))
+  }
+
+  test("domain quota keeps at most 10 docs per source, deterministically") {
+    val q = PipelineQueries.q98DomainQuota(spark, dir)
+    val rows = q.collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.values.forall(_.length <= 10))
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => math.min(10L, r.getLong(1))).sum
+    assert(rows.length == total, "quota must keep min(10, |source|) per source")
+    // same sample on a re-run (hash order, not physical order)
+    val again = PipelineQueries.q98DomainQuota(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("chunk dedup: instance totals reconcile and removals are first-kept") {
+    import org.apache.spark.sql.functions._
+    val out = PipelineQueries.q99ChunkDedup(spark, dir).collect()
+    val totalChunks = out.map(_.getLong(1)).sum
+    val removed = out.map(_.getLong(2)).sum
+    // direct recount of non-overlapping 10-token chunk instances
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(floor(size(split(col("text"), " ")) / 10).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(totalChunks == direct)
+    // removed = instances minus distinct chunk values (first of each kept)
+    val distinctChunks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(when(size(split(col("text"), " ")) >= 10,
+        transform(sequence(lit(1), (size(split(col("text"), " ")) / lit(10)).cast("int")),
+          i => concat_ws(" ", slice(split(col("text"), " "), (i - lit(1)) * lit(10) + lit(1), lit(10)))))
+        .otherwise(array())).as("c"))
+      .agg(countDistinct("c")).collect()(0).getLong(0)
+    assert(removed == totalChunks - distinctChunks)
+  }
 }

@@ -53,6 +53,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"rank<=k filter must push the limit into the per-group sort:\n$p")
   }
 
+  test("q98: domain quota pushes rk<=10 into the per-group sort") {
+    val p = plan(PipelineQueries.q98DomainQuota(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"quota filter must plan WindowGroupLimit, not a full per-source sort:\n$p")
+  }
+
   test("q23: query set is broadcast against the embedding scan") {
     val p = plan(PipelineQueries.q23CosineTopK(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
