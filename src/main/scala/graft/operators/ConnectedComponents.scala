@@ -42,6 +42,12 @@ object ConnectedComponents {
   def run(edgesIn: DataFrame, maxIterations: Int = 30,
           smallGraphThreshold: Long = 1L << 22): DataFrame = {
     val spark = edgesIn.sparkSession
+    // Materialize the INPUT edge list once: it is referenced again at the
+    // end (singleton recovery needs the pre-cleanup node set), and the
+    // upstream plan producing it is typically the expensive half of a dedup
+    // job (q93 feeds the whole shingle-Jaccard pipeline in here) — without
+    // this checkpoint that plan would execute twice.
+    val base = edgesIn.toDF("u", "v").localCheckpoint(true)
     // Canonical big→small orientation; dedup so round cost is edge-bounded.
     // Each round's result is localCheckpoint'ed: without truncation the
     // logical plan grows ~8× per round (self-union + two joins over the
@@ -49,7 +55,7 @@ object ConnectedComponents {
     // any data pressure. Lineage truncation is the standard requirement of
     // iterative Spark graph algorithms (a durable checkpoint dir is the
     // cluster-grade variant when executor loss must be survivable mid-run).
-    var edges = edgesIn.toDF("u", "v")
+    var edges = base
       .select(F.greatest(F.col("u"), F.col("v")).as("u"),
         F.least(F.col("u"), F.col("v")).as("v"))
       .filter(F.col("u") =!= F.col("v"))
@@ -98,7 +104,7 @@ object ConnectedComponents {
           org.apache.spark.sql.types.LongType, nullable = false)))
       val labels = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schemaOut)
-      return withSelfLoopSingletons(edgesIn, labels)
+      return withSelfLoopSingletons(base, labels)
     }
 
     var iter = 0
@@ -136,7 +142,7 @@ object ConnectedComponents {
     // its root as v; roots appear only on the v side.
     val labels = edges.select(F.col("u").as("node"), F.col("v").as("component"))
       .union(edges.select(F.col("v").as("node"), F.col("v").as("component")).distinct())
-    withSelfLoopSingletons(edgesIn, labels)
+    withSelfLoopSingletons(base, labels)
   }
 
   /** Honour the full contract: nodes whose only edges were self-loops (or
