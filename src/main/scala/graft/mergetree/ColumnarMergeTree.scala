@@ -602,6 +602,7 @@ final class ColumnarMergeTree private (
   private def registerStaged(stage: java.nio.file.Path, register: Boolean,
                              partition: Option[String]): GPartMeta = {
     buildTokenBlooms(stage)
+    buildNgramBlooms(stage)
     val (minK, maxK, rows, groups) = footerBounds(stage.toString, leadKey)
     val stats = footerColStats(stage.toString, config.minmaxColumns)
     val size = MergeTreeTable.dirSize(stage)
@@ -1017,6 +1018,66 @@ final class ColumnarMergeTree private (
       val out = Files.newOutputStream(stage.resolve(s"_tokenbf_$c"))
       try bf.writeTo(out) finally out.close()
     }
+
+  /** Build the ngrambf sidecars for a freshly-staged part: one distributed
+    * pass per indexed column collecting character 3-grams, bits written
+    * into the stage dir so the manifest claim carries data + index
+    * atomically (same contract as the tokenbf sidecar). Rows shorter than
+    * 3 chars contribute their whole (short) value — harmless extra bits,
+    * and probes never ask about them (needles < 3 chars full-scan).
+    */
+  private def buildNgramBlooms(stage: java.nio.file.Path): Unit =
+    config.ngramBloomColumns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"ngramBloomColumns: unknown column $c")
+      val str = col(c).cast("string")
+      val grams = transform(
+        sequence(lit(1), greatest(lit(1), length(str) - lit(ColumnarMergeTree.NgramSize - 1))),
+        i => str.substr(i, lit(ColumnarMergeTree.NgramSize)))
+      val g = spark.read.schema(schema).parquet(stage.toString)
+        .select(explode(grams).as("g"))
+        .filter(length(col("g")) > 0)
+      val bf = g.stat.bloomFilter("g",
+        ColumnarMergeTree.NgramBloomExpectedNgrams, ColumnarMergeTree.NgramBloomFpp)
+      val out = Files.newOutputStream(stage.resolve(s"_ngrambf_$c"))
+      try bf.writeTo(out) finally out.close()
+    }
+
+  /** Parts whose ngram bloom may contain EVERY 3-gram of `needle` — a part
+    * missing any one of them cannot contain the substring. Sidecar-less
+    * parts are kept (index accelerates, never filters).
+    */
+  private[graft] def ngramBloomParts(column: String, needle: String): Seq[GPartMeta] = {
+    val probes = needle.sliding(ColumnarMergeTree.NgramSize)
+      .filter(_.length == ColumnarMergeTree.NgramSize).toSet
+    refresh()
+    manifest.parts.filter { p =>
+      val f = Paths.get(path, s"part_${p.partId}", s"_ngrambf_$column")
+      !Files.exists(f) || {
+        val in = Files.newInputStream(f)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        probes.forall(bf.mightContainString)
+      }
+    }
+  }
+
+  /** `contains(column, needle)` scan: ClickHouse's ngrambf-indexed
+    * substring search. Probes each live part's 3-gram bloom DRIVER-SIDE
+    * (all of the needle's 3-grams must be present for a part to survive),
+    * then applies the exact substring residual. Needles under 3 chars have
+    * no complete 3-gram to probe and scan everything — the index can only
+    * ever accelerate.
+    */
+  def scanContains(column: String, needle: String): DataFrame = {
+    require(needle.nonEmpty, "contains: empty needle")
+    val live = { refresh(); manifest.parts }
+    val surviving =
+      if (needle.length < ColumnarMergeTree.NgramSize) live
+      else ngramBloomParts(column, needle)
+    lastPruning = (surviving.size, live.size)
+    collapse(readParts(surviving))
+      .filter(col(column).cast("string").contains(needle))
+  }
 
   /** Parts whose token bloom may contain `token` — the sidecar probe behind
     * [[scanHasToken]]. Parts without a sidecar (written before the index
@@ -1612,6 +1673,15 @@ object ColumnarMergeTree {
   val TokenBloomExpectedTokens = 100000L
   val TokenBloomFpp = 0.01
 
+  /** ngrambf gram width (ClickHouse ngrambf_v1's default n=3) and sizing:
+    * 3-gram vocabularies saturate far below token vocabularies (≤ ~256³
+    * possible ASCII grams, real text uses a fraction), so a smaller bloom
+    * suffices at the same fpp.
+    */
+  val NgramSize = 3
+  val NgramBloomExpectedNgrams = 50000L
+  val NgramBloomFpp = 0.01
+
   /** MV-registry name prefix marking a projection (identity MV kept as an
     * alternate sort order; see addProjection).
     */
@@ -1710,7 +1780,8 @@ object ColumnarMergeTree {
       Some(config.gcGraceSeconds),
       Some(config.bloomFilterColumns.toList).filter(_.nonEmpty),
       Some(config.minmaxColumns.toList).filter(_.nonEmpty),
-      Some(config.tokenBloomColumns.toList).filter(_.nonEmpty)))
+      Some(config.tokenBloomColumns.toList).filter(_.nonEmpty),
+      Some(config.ngramBloomColumns.toList).filter(_.nonEmpty)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -1749,9 +1820,13 @@ object ColumnarMergeTree {
       case Some(ms) => cfg1.copy(minmaxColumns = ms)
       case None     => cfg1
     }
-    val cfg = defn.tokenBloomColumns match {
+    val cfg3 = defn.tokenBloomColumns match {
       case Some(ts) => cfg2.copy(tokenBloomColumns = ts)
       case None     => cfg2
+    }
+    val cfg = defn.ngramBloomColumns match {
+      case Some(ns) => cfg3.copy(ngramBloomColumns = ns)
+      case None     => cfg3
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
@@ -1787,7 +1862,11 @@ object ColumnarMergeTree {
         * writer builds the sidecar — a part without one is kept by every
         * hasToken probe (correct, just unprunable).
         */
-      tokenBloomColumns: Option[List[String]] = None)
+      tokenBloomColumns: Option[List[String]] = None,
+      /** N-gram-bloom skip-index columns (ngrambf) — substring-search
+        * complement to tokenbf, same persistence rationale.
+        */
+      ngramBloomColumns: Option[List[String]] = None)
 
   object TableDef {
     import org.json4s._

@@ -88,7 +88,19 @@ case class MergeTreeConfig(
       * must NOT use this index (a substring match needn't be a token
       * match); only whole-token lookups may prune, as in ClickHouse.
       */
-    tokenBloomColumns: Seq[String] = Nil)
+    tokenBloomColumns: Seq[String] = Nil,
+    /** ClickHouse `ngrambf_v1` skip index, lifted to the PART level: each
+      * listed TEXT column gets a bloom over its character 3-grams built at
+      * part write and stored as a `_ngrambf_<col>` sidecar — the SUBSTRING
+      * complement to tokenbf (which may only serve whole-token equality).
+      * `scanContains(col, needle)` derives the needle's own 3-grams and
+      * skips every part whose bloom excludes ANY of them — a substring
+      * can't occur in a part missing one of its 3-grams — then applies the
+      * exact contains() residual on survivors. Needles shorter than 3
+      * chars can't consult the index (no complete 3-gram to probe) and
+      * full-scan, as in ClickHouse.
+      */
+    ngramBloomColumns: Seq[String] = Nil)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning
