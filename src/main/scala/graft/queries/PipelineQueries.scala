@@ -591,11 +591,25 @@ object PipelineQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // Exact verification of candidates: join back to the per-doc hash sets.
-    val sets = dsh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+      .persist() // read 3× below (id set + both verify joins); tiny by construction
+    // Materialize cand (and transitively dsh) BEFORE the verify subtree:
+    // broadcast exchanges below are kicked off eagerly and in parallel, and
+    // without this barrier they race the main plan into computing the whole
+    // signature+band chain two or three times before either cache fills.
+    cand.count()
+    // Exact verification of candidates: build the per-doc hash sets ONLY for
+    // docs that appear in a candidate pair (broadcast semi-filter), not the
+    // whole corpus — at scale the collect_set shuffle is then proportional
+    // to the near-dup population, not the corpus, and the verify joins
+    // broadcast the small set side instead of shuffling the corpus.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
     val withSets = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
     // Threshold on the RAW ratio, rounding only the emitted column — the
@@ -613,6 +627,7 @@ object PipelineQueries {
     // unrecoverable-on-executor-loss caveat.
     val rows = java.util.Arrays.asList(out.collect(): _*)
     dsh.unpersist()
+    cand.unpersist()
     spark.createDataFrame(rows, out.schema)
   }
 
