@@ -26,14 +26,24 @@ object AnalyticQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark reads
-    * as a nanos Long under spark.sql.legacy.parquet.nanosAsLong. Convert to
-    * a micros timestamp with integer division (`div`) — nanos since epoch
-    * (~1.7e18) exceed a double's 53-bit mantissa, so `/ 1000` would corrupt
-    * the value.
+  /** events.parquet has stored ts two ways across testdata generations:
+    * INT64 TIMESTAMP(NANOS) — which Spark reads as a nanos Long under
+    * spark.sql.legacy.parquet.nanosAsLong — and plain TIMESTAMP(MICROS),
+    * which Spark reads as TIMESTAMP_NTZ. Normalize both to a session-TZ
+    * (UTC) timestamp. For the nanos Long, integer division (`div`) is
+    * load-bearing: nanos since epoch (~1.7e18) exceed a double's 53-bit
+    * mantissa, so `/ 1000` would corrupt the value. For NTZ, the cast is
+    * epoch-preserving because every Graft session pins timeZone=UTC.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Q9 — TPC-H Q1 shape: full-scan hash aggregate.
     * Scale: partial agg on 6M-row/partition scans; 6-group output, no skew.
