@@ -373,6 +373,30 @@ object PipelineQueries {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** Count of the most-repeated element of `arr`, computed entirely
+    * map-side: hash each element to a long, sort, then take the longest run
+    * of equal adjacent values with one `aggregate` fold. Equivalent to
+    * `explode → groupBy(doc, elem).count → groupBy(doc).max` but without
+    * ever shuffling a per-(doc, element) row — the repetition/quality
+    * signals built on this (q95/q96) stay embarrassingly parallel at
+    * corpus scale, with only their final tiny rollup crossing a shuffle.
+    * Hashing first keeps the per-row O(k log k) sort and the k equality
+    * probes on fixed-width longs instead of strings; a within-document
+    * xxhash64 collision (~k²/2⁶⁵ per doc) is the accepted trade.
+    */
+  private def topBigramRun(arr: Column): Column =
+    aggregate(
+      array_sort(transform(arr, b => xxhash64(b))),
+      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        // first element: x === null-prev is NULL → otherwise branch → run=1
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** The word-5-gram shingle expression, shared by q25 and q26 (and the dev
     * profiler): ONE definition so the tokenization the q25 == q26 oracle
     * equivalence depends on cannot drift between them.
@@ -1122,9 +1146,10 @@ object PipelineQueries {
     * bigrams. Aggregated per language as EXACT integer sums plus the
     * worst-document top-bigram share in parts-per-million via integer
     * division — no cross-row double reduction anywhere, so the oracle hash
-    * is stable by construction. One explode + two hash aggregates; the
-    * bigram counting shuffles (doc_id, bigram) once and everything above
-    * the per-lang rollup is map-side combinable.
+    * is stable by construction. The top-bigram count is computed map-side
+    * ([[topBigramRun]]): per-(doc, bigram) rows never cross a shuffle, so
+    * the only shuffle in the whole query is the 5-group per-lang rollup —
+    * at corpus scale the signal extraction is embarrassingly parallel.
     */
   def q95Repetition(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -1132,15 +1157,13 @@ object PipelineQueries {
     val bigrams = transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(2))))
-    val bg = d.select(col("lang"), col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("lang"), col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("lang"), col("doc_id"))
-      .agg(max(col("c")).as("tb"), sum(col("c")).as("bt"))
-    val tk = d.select(col("lang"), col("doc_id"),
-      size(ws).cast("long").as("n"),
-      size(array_distinct(ws)).cast("long").as("dn"))
-    tk.join(bg, Seq("lang", "doc_id"))
+    // bt = |bigrams| = max(1, n-1) by construction — derived arithmetically
+    // so the bigram array is built once (inside topBigramRun), not twice.
+    d.select(col("lang"),
+        size(ws).cast("long").as("n"),
+        size(array_distinct(ws)).cast("long").as("dn"),
+        topBigramRun(bigrams).as("tb"),
+        greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"),
         sum(col("n")).as("tokens"),
@@ -1338,9 +1361,10 @@ object PipelineQueries {
     * for the document's own language), then reports corpus composition per
     * (lang, reasons) — reasons = 0 is the surviving training set. Every
     * ratio is integer parts-per-million via int64 division, so both engines
-    * compare identical integers (no double thresholds anywhere). One
-    * explode for the bigram profile + two hash aggregates; everything else
-    * is a single embarrassingly-parallel scan.
+    * compare identical integers (no double thresholds anywhere). The bigram
+    * profile is computed map-side ([[topBigramRun]]), so the whole verdict
+    * pass is a single embarrassingly-parallel scan feeding one tiny
+    * (lang, reasons) aggregate.
     */
   def q96QualityVerdicts(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -1348,9 +1372,6 @@ object PipelineQueries {
     val bigrams = transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(2))))
-    val bg = d.select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("tb"), sum(col("c")).as("bt"))
     // The document is scored against ITS OWN language's stopword list —
     // an en-threshold applied to zh text would flag the whole shard.
     val stops = StopwordLists.foldRight(lit(0): Column) {
@@ -1360,7 +1381,9 @@ object PipelineQueries {
       size(ws).cast("long").as("n"),
       size(array_distinct(ws)).cast("long").as("dn"),
       length(regexp_replace(col("text"), " ", "")).cast("long").as("wchars"),
-      stops.cast("long").as("stops"))
+      stops.cast("long").as("stops"),
+      topBigramRun(bigrams).as("tb"),
+      greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
     val reasons =
       when(col("n") < 25, 1).otherwise(0) +
       when(expr("wchars * 1000000 div n") < 4000000L ||
@@ -1368,8 +1391,7 @@ object PipelineQueries {
       when(expr("dn * 1000000 div n") < 350000L, 4).otherwise(0) +
       when(expr("tb * 1000000 div bt") > 80000L, 8).otherwise(0) +
       when(col("stops") === 0L, 16).otherwise(0)
-    sig.join(bg, "doc_id")
-      .select(col("lang"), reasons.as("reasons"), col("n"))
+    sig.select(col("lang"), reasons.as("reasons"), col("n"))
       .groupBy(col("lang"), col("reasons"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
       .orderBy(col("lang"), col("reasons"))
