@@ -694,8 +694,10 @@ object PipelineQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // threshold BEFORE the pair-dedup: colliding-but-distant pairs are
+      // the bulk of chunk collisions and need not cross the distinct shuffle
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
     pairs
   }
