@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted banded-MinHash signature store for CROSS-SNAPSHOT near-duplicate
+  * deduplication — the operator a crawl pipeline actually runs: each new
+  * batch must be deduped against EVERYTHING ingested before it, and
+  * recomputing signatures for the historical corpus per batch is infeasible
+  * at 100 TB. The store persists each document's banded signatures
+  * (`doc_id, band, sig` — [[NumBands]] rows per document) once, at ingest
+  * time; a new batch then costs:
+  *
+  *   1. shingle-hash + signature ONLY the new batch (map-side, corpus never
+  *      re-read),
+  *   2. one equi-join of the batch's signatures against the store on
+  *      `(band, sig)` — the store side is ~[[NumBands]] rows × 8 bytes per
+  *      historical document, orders of magnitude smaller than the corpus
+  *      text it summarizes, and the join is a plain shuffled hash join that
+  *      scales out (no all-pairs step anywhere),
+  *   3. exact Jaccard verification of the (tiny) candidate pair set, for
+  *      which the caller re-reads original text for CANDIDATE historical
+  *      docs only (semi-join on the candidate ids),
+  *   4. `append` of the batch's signatures, so the store grows with the
+  *      corpus and the next batch sees this one.
+  *
+  * The signature math is shared verbatim with the single-snapshot LSH dedup
+  * (q25, `queries/PipelineQueries.scala`) via [[bandSignatures]], so the
+  * two paths can never drift: b bands of r rows with (b, r) = (24, 4) give
+  * the standard S-curve with ~50% collision at J ≈ (1/b)^(1/r) ≈ 0.45 —
+  * near-complete recall at the J ≥ 0.8 dedup threshold (Broder's MinHash;
+  * Leskovec/Rajaraman/Ullman ch. 3 banding analysis).
+  *
+  * Storage is plain parquet: the store is itself just a table, so it can be
+  * read, compacted, or partition-pruned like any other — and `append` is an
+  * atomic directory-level parquet append (each batch lands as new files;
+  * concurrent readers see a consistent listing).
+  */
+final class MinHashStore private (val path: String, spark: SparkSession) {
+
+  /** The persisted `(doc_id, band, sig)` relation. */
+  def signatures: DataFrame = spark.read.parquet(path)
+
+  /** Append a batch's signatures (input: distinct `(doc_id, h)` shingle
+    * hashes of the NEW documents only). Run AFTER deduping the batch, so
+    * the next batch dedups against this one too.
+    */
+  def append(batchShingleHashes: DataFrame): Unit =
+    MinHashStore.bandSignatures(batchShingleHashes)
+      .write.mode("append").parquet(path)
+
+  /** LSH candidate pairs of a new batch against the store: distinct
+    * `(store_id, batch_id)` colliding in at least one band. Self-pairs are
+    * excluded so a batch can be safely re-checked after its own `append`.
+    */
+  def candidatePairs(batchSignatures: DataFrame): DataFrame =
+    signatures.select(col("doc_id").as("store_id"), col("band"), col("sig"))
+      .join(batchSignatures.select(col("doc_id").as("batch_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("store_id") =!= col("batch_id"))
+      .select(col("store_id"), col("batch_id"))
+      .distinct()
+}
+
+object MinHashStore {
+
+  /** Signature geometry — shared with q25 so the persisted store and the
+    * in-memory single-snapshot dedup agree bit-for-bit.
+    */
+  val NumHashes = 96
+  val BandRows = 4
+  val NumBands: Int = NumHashes / BandRows // 24
+
+  /** Banded signatures from distinct `(doc_id, h)` shingle hashes: 96
+    * min-hashes per document (one hash-aggregate, fully codegen'd), banded
+    * 4-at-a-time into 24 `(doc_id, band, sig)` rows.
+    */
+  def bandSignatures(shingleHashes: DataFrame): DataFrame = {
+    val sigAggs = (0 until NumHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h$i"))
+    val sigs = shingleHashes.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      val hs = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Build a store at `path` from the corpus's distinct `(doc_id, h)`
+    * shingle hashes — the one-time historical backfill.
+    */
+  def create(spark: SparkSession, path: String, shingleHashes: DataFrame): MinHashStore = {
+    bandSignatures(shingleHashes).write.mode("overwrite").parquet(path)
+    new MinHashStore(path, spark)
+  }
+
+  /** Open an existing store. */
+  def open(spark: SparkSession, path: String): MinHashStore =
+    new MinHashStore(path, spark)
+}

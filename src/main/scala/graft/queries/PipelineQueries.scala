@@ -581,9 +581,6 @@ object PipelineQueries {
     * verification runs on candidates, not the corpus.
     */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val numHashes = 96
-    val bandRows = 4
-    val numBands = numHashes / bandRows // 24
     // Distinct (doc_id, shingle-hash) pairs: hash BEFORE the distinct() so
     // its shuffle moves 16-byte rows, not strings.
     val dsh = docs(spark, dir)
@@ -591,20 +588,13 @@ object PipelineQueries {
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
       .persist() // feeds the signature aggregate and the verification sets
-    // Two aggregates over the persisted hashes, NOT one: mixing collect_set
-    // into the min() aggregate would force the whole pass onto
-    // ObjectHashAggregateExec, dragging the 96 xxhash64+min columns out of
-    // whole-stage codegen — keeping them separate leaves the signature pass
-    // (the expensive one: 96 hash evaluations per shingle) fully codegen'd.
-    val sigAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    val sigs = dsh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val bandCols = (0 until numBands).map { b =>
-      val hs = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
-    }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Signature math is shared with the persisted cross-snapshot store
+    // (operators/MinHashStore, q101) — ONE definition of the 96-hash/24-band
+    // geometry. The signature aggregate is kept separate from the
+    // collect_set verification aggregate below: mixing them would force the
+    // pass onto ObjectHashAggregateExec, dragging the 96 xxhash64+min
+    // columns out of whole-stage codegen.
+    val banded = graft.operators.MinHashStore.bandSignatures(dsh)
     // Near-dup pairs collide in MOST of the 24 bands, so dedup the pair
     // BEFORE joining the sets back — otherwise the verification join and its
     // array_intersect run once per colliding band. The dedup shuffle moves
@@ -656,6 +646,80 @@ object PipelineQueries {
   }
 
   val q25Sql: String = JaccardPairsSql
+
+  /** Q101 — CROSS-SNAPSHOT incremental dedup via the persisted MinHash
+    * signature store (operators/MinHashStore): the corpus is split into a
+    * historical slice (doc_id % 10 ≠ 0, signed into the store once, cached
+    * per scale dir) and an incoming batch (doc_id % 10 = 0); the batch is
+    * deduped against the STORE, never against historical text. Per-batch
+    * cost at scale: shingle-hash the batch, one (band, sig) equi-join
+    * against the store (~24 rows × 8 B per historical doc — orders of
+    * magnitude smaller than the corpus), then exact-Jaccard verification
+    * that re-reads historical TEXT only for candidate docs (semi-join on
+    * the candidate ids). Emits verified (new_id, old_id, J ≥ 0.8) pairs —
+    * the batch rows a pipeline would drop before training. Same signature
+    * geometry as q25, so the store path inherits q25's recall analysis.
+    */
+  def q101IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MinHashStore
+    val d = docs(spark, dir)
+    val isNew = col("doc_id") % 10 === 0
+    def dshOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+    val store = cacheMinhash.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("minhash_q101_").toString
+      MinHashStore.create(spark, p, dshOf(d.filter(!isNew)))
+    })
+    // Only the incoming batch is shingle-hashed on the steady-state path.
+    val newDsh = dshOf(d.filter(isNew)).persist()
+    val cand = store.candidatePairs(MinHashStore.bandSignatures(newDsh)).persist()
+    cand.count() // barrier: materialize before the broadcast-racing verify subtree
+    // Exact verification — historical text re-read for CANDIDATE docs only.
+    val oldCandIds = cand.select(col("store_id").as("doc_id")).distinct()
+    val oldSets = dshOf(d.join(broadcast(oldCandIds), Seq("doc_id"), "left_semi"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+    val newCandIds = cand.select(col("batch_id").as("doc_id")).distinct()
+    val newSets = newDsh.join(broadcast(newCandIds), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+    val withSets = cand
+      .join(broadcast(oldSets.select(col("doc_id").as("store_id"), col("sh").as("sho"))),
+        Seq("store_id"))
+      .join(broadcast(newSets.select(col("doc_id").as("batch_id"), col("sh").as("shn"))),
+        Seq("batch_id"))
+    val inter = size(array_intersect(col("sho"), col("shn"))).cast("double")
+    val j = inter / (size(col("sho")) + size(col("shn")) - inter).cast("double")
+    val out = withSets
+      .filter(j >= 0.8)
+      .select(col("batch_id").as("new_id"), col("store_id").as("old_id"),
+        r6(j).as("jaccard"))
+      .orderBy(col("new_id"), col("old_id"))
+    // Same materialize-and-release discipline as q25: the verified pair set
+    // is tiny by construction; repeated invocations must not accrete caches.
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    newDsh.unpersist()
+    cand.unpersist()
+    spark.createDataFrame(rows, out.schema)
+  }
+
+  private val cacheMinhash =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.MinHashStore]
+
+  val q101Sql: String =
+    s"""$ShingleSql,
+       |pairs AS (
+       |  SELECT o.doc_id AS old_id, n.doc_id AS new_id, count(*) AS shared
+       |  FROM dsh o JOIN dsh n ON o.shingle = n.shingle
+       |  WHERE o.doc_id % 10 <> 0 AND n.doc_id % 10 = 0
+       |  GROUP BY 1, 2)
+       |SELECT new_id, old_id,
+       |  ${R6Sql.format("(shared::DOUBLE / (co.n + cn.n - shared))")} AS jaccard
+       |FROM pairs
+       |  JOIN cnt co ON co.doc_id = old_id
+       |  JOIN cnt cn ON cn.doc_id = new_id
+       |WHERE shared::DOUBLE / (co.n + cn.n - shared) >= 0.8
+       |ORDER BY new_id, old_id""".stripMargin
 
   /** Q27 — SimHash near-duplicate candidates: 64-bit signature per document
     * (bit b = sign of Σ_tokens ±1 by bit b of xxhash64(token)), candidate
@@ -1540,5 +1604,6 @@ object PipelineQueries {
     ("q85_topk_weighted", q85TopkWeighted _, Some(q85Sql)),
     ("q96_quality_verdicts", q96QualityVerdicts _, Some(q96Sql)),
     ("q98_domain_quota", q98DomainQuota _, Some(q98Sql)),
-    ("q99_chunk_dedup", q99ChunkDedup _, Some(q99Sql)))
+    ("q99_chunk_dedup", q99ChunkDedup _, Some(q99Sql)),
+    ("q101_incremental_dedup", q101IncrementalDedup _, Some(q101Sql)))
 }
