@@ -1524,6 +1524,63 @@ object PipelineQueries {
       |SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
       |FROM rnk WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
+  /** Q102 — weighted MIXTURE RESAMPLING (the data-mixing pass that turns a
+    * cleaned corpus into the training distribution — Pile/LLaMA-style
+    * per-domain weights): each language carries a mixture weight w; every
+    * document is emitted floor(w) times plus one more with probability
+    * frac(w), decided by a DETERMINISTIC md5 coin (the q62 trick) so the
+    * resample is identical under task retries and across runs — no rand()
+    * anywhere. en is downsampled (w=0.5), de/es upsampled (2.25/1.5), fr
+    * passes through (1.0), zh is tripled (3.0). The replicated corpus is
+    * produced map-side (explode of a per-row sequence, no shuffle); only
+    * the per-language audit rollup reported here crosses one. Weights are
+    * plan literals; at 100 TB the emitted corpus streams straight to the
+    * packer (q67) without materializing.
+    */
+  def q102MixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val floorW = when(col("lang") === "en", 0L).when(col("lang") === "de", 2L)
+      .when(col("lang") === "es", 1L).when(col("lang") === "fr", 1L).otherwise(3L)
+    val thr = when(col("lang") === "en", "800000").when(col("lang") === "de", "400000")
+      .when(col("lang") === "es", "800000").otherwise("000000")
+    val copies = floorW +
+      when(substring(md5(col("doc_id").cast("string")), 1, 6) < thr, 1L).otherwise(0L)
+    val c = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), copies.as("copies"))
+    // copies = 0 must be filtered BEFORE the explode: Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0], not an empty array.
+    val emitted = c.filter(col("copies") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1L), col("copies"))).as("rep"))
+    val agg = emitted.groupBy(col("lang")).agg(
+      countDistinct(col("doc_id")).as("kept_docs"),
+      count(lit(1)).as("emitted_docs"),
+      sum(col("n_chars")).as("emitted_chars"))
+    c.groupBy(col("lang")).agg(count(lit(1)).as("docs_in"))
+      .join(agg, Seq("lang"), "left")
+      .select(col("lang"), col("docs_in"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("emitted_docs"), lit(0L)).as("emitted_docs"),
+        coalesce(col("emitted_chars"), lit(0L)).as("emitted_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q102Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+      |      WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 3 END)
+      |    + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+      |        (CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
+      |          WHEN 'es' THEN '800000' ELSE '000000' END)
+      |      THEN 1 ELSE 0 END) AS copies
+      |  FROM documents)
+      |SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS docs_in,
+      |  CAST(sum(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  CAST(sum(copies) AS BIGINT) AS emitted_docs,
+      |  CAST(sum(n_chars * copies) AS BIGINT) AS emitted_chars
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Q99 — chunk-level exact deduplication (the paragraph/line-dedup pass
     * of a CCNet-style pipeline, on this corpus's 10-token non-overlapping
     * chunks): every chunk instance after the globally FIRST occurrence
@@ -1605,5 +1662,6 @@ object PipelineQueries {
     ("q96_quality_verdicts", q96QualityVerdicts _, Some(q96Sql)),
     ("q98_domain_quota", q98DomainQuota _, Some(q98Sql)),
     ("q99_chunk_dedup", q99ChunkDedup _, Some(q99Sql)),
-    ("q101_incremental_dedup", q101IncrementalDedup _, Some(q101Sql)))
+    ("q101_incremental_dedup", q101IncrementalDedup _, Some(q101Sql)),
+    ("q102_mixture_resample", q102MixtureResample _, Some(q102Sql)))
 }
