@@ -49,6 +49,59 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming CORPUS ingest with cross-batch near-duplicate filtering —
+    * the streaming face of the persisted-signature dedup (q101,
+    * operators/MinHashStore): each micro-batch of documents is LSH-checked
+    * against the store, batch docs colliding with any stored signature
+    * band are dropped, survivors are handed to `sink` and their signatures
+    * appended — so every batch dedups against ALL prior batches with
+    * per-batch cost proportional to the batch, never the corpus.
+    *
+    * Filtering is LSH-candidate-based (collision in ≥1 of 24 four-row
+    * bands): at the q25 geometry that drops J ≳ 0.8 near-dups with
+    * near-certain recall and admits a small false-drop rate from chance
+    * band collisions — the standard trade for an online filter, where the
+    * exact-verify pass (q101) would need historical TEXT the store
+    * deliberately does not retain. State is the store itself (parquet on
+    * shared storage), not the state-store — restarts resume from the
+    * checkpoint with the signatures already durable; a batch replayed
+    * after a sink-side failure re-filters against signatures it may
+    * already have appended, and self-pairs are excluded by doc_id so the
+    * replay emits the same rows (idempotent under retry).
+    */
+  def dedupedCorpusIngest(docsStream: DataFrame,
+                          store: graft.operators.MinHashStore,
+                          sink: DataFrame => Unit,
+                          checkpointDir: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().persist()
+          // the q25/q26/q101 shingle definition — ONE tokenization everywhere
+          val dsh = b
+            .select(col("doc_id"),
+              explode(graft.queries.PipelineQueries.shingles).as("shingle"))
+            .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+            .distinct()
+            .persist()
+          val dupIds = store
+            .candidatePairs(graft.operators.MinHashStore.bandSignatures(dsh))
+            .select(col("batch_id").as("doc_id"))
+            .distinct()
+          val fresh = b.join(dupIds, Seq("doc_id"), "left_anti")
+          sink(fresh)
+          // append signatures of KEPT docs only: a dropped dup's signatures
+          // are already represented by the stored doc it collided with
+          store.append(dsh.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+          dsh.unpersist()
+          b.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregate per event_type — the streaming
     * analogue of Q18: late data beyond the watermark is dropped, state is
     * bounded, windows emit once finalized (append mode).

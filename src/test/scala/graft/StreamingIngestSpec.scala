@@ -237,4 +237,40 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(rows.length == 2, s"duplicates must collapse: ${rows.mkString}")
     } finally q.stop()
   }
+
+  test("streaming corpus ingest drops cross-batch near-dups via the signature store") {
+    import graft.operators.MinHashStore
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val docsStream = source.toDF().toDF("doc_id", "text")
+    val emptyDsh = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("h", LongType))))
+    val store = MinHashStore.create(spark,
+      Files.createTempDirectory("mhs_stream_").toString, emptyDsh)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingIngest.dedupedCorpusIngest(docsStream, store,
+      fresh => got.synchronized {
+        got ++= fresh.select("doc_id").collect().map(_.getLong(0))
+      },
+      Files.createTempDirectory("mhs_stream_ckpt_").toString)
+    try {
+      val docA = (1 to 60).map(i => s"tok$i").mkString(" ")
+      val docB = (100 to 160).map(i => s"other$i").mkString(" ")
+      source.addData((1L, docA), (2L, docB))
+      q.processAllAvailable()
+      assert(got.sorted.toList == List(1L, 2L), "empty store: batch 1 passes through")
+      // batch 2: a one-token edit of docA (J ≈ 0.84 on 5-shingles — LSH
+      // collision with doc 1's stored bands) plus a genuinely novel doc
+      val docA2 = docA.replace("tok30 ", "edited ")
+      val docC = (200 to 260).map(i => s"novel$i").mkString(" ")
+      source.addData((3L, docA2), (4L, docC))
+      q.processAllAvailable()
+      assert(got.sorted.toList == List(1L, 2L, 4L),
+        s"near-dup 3 dropped, novel 4 kept: $got")
+      assert(store.signatures.select("doc_id").distinct().count() == 3,
+        "store holds signatures of the three KEPT docs only")
+    } finally q.stop()
+  }
 }
