@@ -100,7 +100,19 @@ case class MergeTreeConfig(
       * chars can't consult the index (no complete 3-gram to probe) and
       * full-scan, as in ClickHouse.
       */
-    ngramBloomColumns: Seq[String] = Nil)
+    ngramBloomColumns: Seq[String] = Nil,
+    /** Per-part HyperLogLog `uniq` sketches (the ClickHouse
+      * uniqState-in-part idea): each listed column gets a 2 KB HLL register
+      * sidecar (`_hll_<col>`) built at part write — one distributed pass
+      * over the freshly-staged files, rebuilt by merges through the same
+      * path. `approxDistinct(col)` then folds the live parts' sidecars
+      * DRIVER-SIDE (position-wise max, O(manifest), zero data I/O) into a
+      * table-wide distinct estimate at ~2.3% standard error — the
+      * 100 TB answer to "how many distinct users/urls/keys" that
+      * count(DISTINCT) would pay a full scan + shuffle for. Estimates
+      * count STORED rows (pre-FINAL-collapse), like every metadata path.
+      */
+    hllColumns: Seq[String] = Nil)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

@@ -93,6 +93,8 @@ class GenericMergeTreeV2Table(
       d.bloomFilterColumns.foreach(c => m.put("bloomFilterColumns", c.mkString(",")))
       d.minmaxColumns.foreach(c => m.put("minmaxColumns", c.mkString(",")))
       d.tokenBloomColumns.foreach(c => m.put("tokenBloomColumns", c.mkString(",")))
+      d.ngramBloomColumns.foreach(c => m.put("ngramBloomColumns", c.mkString(",")))
+      d.hllColumns.foreach(c => m.put("hllColumns", c.mkString(",")))
       d.gcGraceSeconds.foreach(g => m.put("gcGraceSeconds", g.toString))
     }
     m

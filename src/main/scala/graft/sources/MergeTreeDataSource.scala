@@ -203,7 +203,9 @@ object MergeTreeTableProvider {
       Option(opts.get("gcGraceSeconds")).map(_.toInt),
       Some(list("bloomFilterColumns")).filter(_.nonEmpty),
       Some(list("minmaxColumns")).filter(_.nonEmpty),
-      Some(list("tokenBloomColumns")).filter(_.nonEmpty))
+      Some(list("tokenBloomColumns")).filter(_.nonEmpty),
+      Some(list("ngramBloomColumns")).filter(_.nonEmpty),
+      Some(list("hllColumns")).filter(_.nonEmpty))
   }
 
   /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying

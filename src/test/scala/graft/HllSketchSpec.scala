@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.HllSketch
+import graft.mergetree._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Per-part HLL `uniq` sketches: 2 KB sidecars at part write, table-wide
+  * approximate distinct folded driver-side — the metadata answer to
+  * count(DISTINCT) at scale.
+  */
+class HllSketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def tolerance(exact: Long): Double = math.max(0.08 * exact, 8.0)
+
+  test("raw sketch tracks exact cardinalities across magnitudes") {
+    for (n <- Seq(10, 1000, 100000)) {
+      val regs = HllSketch.empty
+      // xxhash-free deterministic 64-bit mix (splitmix64) as the hash source
+      var i = 0L
+      while (i < n) {
+        var z = i + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        HllSketch.add(regs, z ^ (z >>> 31))
+        i += 1
+      }
+      val e = HllSketch.estimate(regs)
+      assert(math.abs(e - n) <= tolerance(n), s"n=$n estimate=$e")
+    }
+  }
+
+  test("approxDistinct folds part sidecars; merges rebuild them") {
+    val dir = Files.createTempDirectory("hll_cmt_").toString
+    val df = (0 until 4000).map(i => (i.toLong, s"u${i % 997}", i * 0.5))
+      .toDF("id", "user", "v")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("id"),
+      config = MergeTreeConfig(hllColumns = Seq("user", "id")))
+    // 4 separate inserts → 4 parts, each with its own sidecars
+    (0 until 4).foreach { k =>
+      t.insertBatch(df.filter(col("id") % 4 === k))
+    }
+    t.refresh()
+    assert(t.partsDf.count() == 4)
+    t.parts.map(_.partId).foreach { pid =>
+      assert(Files.exists(Paths.get(dir, s"part_$pid", "_hll_user")), s"part $pid sidecar")
+    }
+    val eUser = t.approxDistinct("user")
+    assert(math.abs(eUser - 997) <= tolerance(997), s"user estimate $eUser")
+    val eId = t.approxDistinct("id")
+    assert(math.abs(eId - 4000) <= tolerance(4000), s"id estimate $eId")
+    // compaction rewrites parts through the same path → sidecars rebuilt,
+    // estimate unchanged within tolerance (same value set)
+    t.optimizeFinal()
+    val eAfter = t.approxDistinct("user")
+    assert(math.abs(eAfter - 997) <= tolerance(997), s"post-optimize $eAfter")
+    assert(t.partsDf.count() == 1)
+  }
+
+  test("sidecar-less parts are sketched on the fly, then heal on merge") {
+    val dir = Files.createTempDirectory("hll_heal_").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"k${i % 321}")).toDF("id", "k")
+    // created WITHOUT the sketch: parts carry no sidecars
+    val t0 = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("id"))
+    t0.insertBatch(df)
+    // reopen with the sketch declared (simulates declaring the index later)
+    val t = ColumnarMergeTree.open(spark, dir,
+      MergeTreeConfig(hllColumns = Seq("k")))
+    val e = t.approxDistinct("k") // no sidecar anywhere → on-the-fly path
+    assert(math.abs(e - 321) <= tolerance(321), s"fallback estimate $e")
+    t.insertBatch(df.limit(10)) // new part written WITH a sidecar
+    t.optimizeFinal()           // rewrite → single part, sidecar present
+    t.refresh()
+    t.parts.map(_.partId).foreach { pid =>
+      assert(Files.exists(Paths.get(dir, s"part_$pid", "_hll_k")))
+    }
+    val e2 = t.approxDistinct("k")
+    assert(math.abs(e2 - 321) <= tolerance(321), s"healed estimate $e2")
+  }
+
+  test("hllColumns persists through tabledef; SQL-born parts carry sidecars") {
+    val dir = Files.createTempDirectory("hll_sql_").toString
+    spark.sql(
+      s"""CREATE TABLE hll_sql_t (id BIGINT, tag STRING) USING mergetree
+         |OPTIONS (orderBy 'id', hllColumns 'tag')
+         |LOCATION '$dir'""".stripMargin)
+    try {
+      spark.sql(
+        "INSERT INTO hll_sql_t SELECT id, concat('t', CAST(id % 57 AS STRING)) FROM range(2000)")
+      val t = ColumnarMergeTree.open(spark, dir)
+      t.refresh()
+      t.parts.map(_.partId).foreach { pid =>
+        assert(Files.exists(Paths.get(dir, s"part_$pid", "_hll_tag")),
+          s"SQL-written part $pid must carry the declared sketch")
+      }
+      val e = t.approxDistinct("tag")
+      assert(math.abs(e - 57) <= tolerance(57), s"estimate $e")
+    } finally spark.sql("DROP TABLE hll_sql_t")
+  }
+
+  test("undeclared column is rejected loudly") {
+    val dir = Files.createTempDirectory("hll_rej_").toString
+    val df = Seq((1L, "a")).toDF("id", "k")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("id"),
+      config = MergeTreeConfig(hllColumns = Seq("k")))
+    t.insertBatch(df)
+    intercept[IllegalArgumentException](t.approxDistinct("id"))
+  }
+}
