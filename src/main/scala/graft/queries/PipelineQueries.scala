@@ -1581,6 +1581,59 @@ object PipelineQueries {
       |  CAST(sum(n_chars * copies) AS BIGINT) AS emitted_chars
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q103 — N-GRAM-OVERLAP decontamination (the GPT-3/PaLM-style fuzzy
+    * check, vs q56's verbatim-substring form): a training doc is flagged
+    * against an eval item when they share ≥ 5 distinct token-13-grams —
+    * catching paraphrase-adjacent leakage that whitespace or punctuation
+    * edits would hide from `instr`. Eval items are token spans [6, 45] of
+    * every 25th doc (derived deterministically, like q56's snippets).
+    * Scale shape: the eval side's 13-grams are BROADCAST; the corpus's are
+    * produced by a map-side explode feeding the broadcast hash join
+    * directly — the corpus is scanned once and never shuffled; only the
+    * (tiny) colliding (doc, eval) pairs reach the count-distinct
+    * aggregate. A boilerplate-heavy corpus would cap hot grams exactly as
+    * q26's maxShingleFreq does.
+    */
+  def q103NgramContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ws = tokens
+    val G = 13
+    // Spark's sequence(1, n) is DESCENDING for n < 1 (the q99 trap) —
+    // short docs must yield an empty gram set explicitly.
+    def grams(arr: Column): Column =
+      when(size(arr) >= G,
+        transform(sequence(lit(1), size(arr) - lit(G - 1)),
+          i => concat_ws(" ", slice(arr, i, lit(G)))))
+        .otherwise(array().cast("array<string>"))
+    val evalGrams = d.filter(col("doc_id") % 25 === 3)
+      .select(col("doc_id").as("eval_id"),
+        explode(grams(slice(ws, 6, 40))).as("g"))
+      .distinct()
+    d.select(col("doc_id"), explode(grams(ws)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(countDistinct(col("g")).as("shared_grams"))
+      .filter(col("shared_grams") >= 5)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  val q103Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |eg AS (
+      |  SELECT DISTINCT t.eval_id, array_to_string(t.sp[i:i+12], ' ') AS g
+      |  FROM (SELECT doc_id AS eval_id, ws[6:45] AS sp FROM toks
+      |        WHERE doc_id % 25 = 3) t,
+      |    UNNEST(generate_series(1, len(t.sp) - 12)) AS u(i)),
+      |cg AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(ws) - 12)) AS u(i))
+      |SELECT c.doc_id, e.eval_id,
+      |  CAST(count(DISTINCT c.g) AS BIGINT) AS shared_grams
+      |FROM cg c JOIN eg e USING (g)
+      |GROUP BY 1, 2 HAVING count(DISTINCT c.g) >= 5
+      |ORDER BY doc_id, eval_id""".stripMargin
+
   /** Q99 — chunk-level exact deduplication (the paragraph/line-dedup pass
     * of a CCNet-style pipeline, on this corpus's 10-token non-overlapping
     * chunks): every chunk instance after the globally FIRST occurrence
@@ -1663,5 +1716,6 @@ object PipelineQueries {
     ("q98_domain_quota", q98DomainQuota _, Some(q98Sql)),
     ("q99_chunk_dedup", q99ChunkDedup _, Some(q99Sql)),
     ("q101_incremental_dedup", q101IncrementalDedup _, Some(q101Sql)),
-    ("q102_mixture_resample", q102MixtureResample _, Some(q102Sql)))
+    ("q102_mixture_resample", q102MixtureResample _, Some(q102Sql)),
+    ("q103_ngram_contamination", q103NgramContamination _, Some(q103Sql)))
 }
