@@ -171,6 +171,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"ntile/percent_rank/cume_dist must share the window partitioning:\n$p")
   }
 
+  test("q95/q96: repetition signals are map-side — one shuffle, the rollup's") {
+    for ((name, df) <- Seq(
+        "q95" -> PipelineQueries.q95Repetition(spark, dir),
+        "q96" -> PipelineQueries.q96QualityVerdicts(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Generate"),
+        s"$name: per-bigram explode must not exist (topBigramRun is map-side):\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$name: only the final per-lang/verdict rollup may shuffle:\n$p")
+    }
+  }
+
+  test("q102: mixture replication is map-side; only the audit rollup shuffles") {
+    val p = plan(PipelineQueries.q102MixtureResample(spark, dir))
+    assert(p.contains("Generate"), s"copy replication must plan a Generate:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the docs_in/emitted join is on a 5-row aggregate — never a shuffle join:\n$p")
+  }
+
+  test("q103: eval 13-grams broadcast; the corpus is never shuffle-joined") {
+    val p = plan(PipelineQueries.q103NgramContamination(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"corpus grams must meet the eval grams via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the join:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
