@@ -102,6 +102,33 @@ object Demo {
     println(s"== MV target parts=${mvTgt.partCount} (one partial per batch); FINAL-collapsed:")
     spark.sql("SELECT grp, n FROM mv_demo_final ORDER BY grp").show(false)
     spark.sql("DROP TABLE mv_demo_final")
+
+    // Round 8: per-part HLL uniq sketches — distinct counts from metadata.
+    println("== per-part HLL sketches: approxDistinct vs exact (zero data I/O):")
+    val hllDf = spark.range(5000).select(
+      col("id").as("k"), (col("id") % 1234).cast("string").as("user"))
+    val hllT = ColumnarMergeTree.create(spark,
+      java.nio.file.Files.createTempDirectory("hll_demo_").toString,
+      hllDf.schema, orderBy = Seq("k"),
+      config = MergeTreeConfig(hllColumns = Seq("user")))
+    (0 until 3).foreach(i => hllT.insertBatch(hllDf.filter(col("k") % 3 === i)))
+    println(s"== approxDistinct(user) = ${hllT.approxDistinct("user")} (exact 1234, " +
+      s"${hllT.partCount} part sidecars folded driver-side)")
+
+    // Round 8: cross-snapshot incremental dedup via the signature store.
+    println("== MinHash signature store: new batch deduped against history:")
+    import org.apache.spark.sql.functions.{explode, xxhash64}
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    def dsh(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(queries.PipelineQueries.shingles).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+    val store = operators.MinHashStore.create(spark,
+      java.nio.file.Files.createTempDirectory("mhs_demo_").toString,
+      dsh(corpus.filter(col("doc_id") % 10 =!= 0)))
+    val newBatch = dsh(corpus.filter(col("doc_id") % 10 === 0))
+    val candidates = store.candidatePairs(operators.MinHashStore.bandSignatures(newBatch))
+    println(s"== store holds ${store.signatures.count()} signature rows; " +
+      s"batch candidates vs history: ${candidates.count()} pairs")
     spark.stop()
   }
 }
