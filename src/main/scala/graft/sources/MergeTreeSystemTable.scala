@@ -31,8 +31,10 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
         "bytes BIGINT, min_key STRING, max_key STRING, created_ms BIGINT")
     case "snapshots" => StructType.fromDDL(
       "seq BIGINT, parts BIGINT, rows BIGINT, readable BOOLEAN")
+    case "uniq" => StructType.fromDDL(
+      "column STRING, approx_distinct BIGINT, covered_parts BIGINT, parts BIGINT")
     case other => throw new IllegalArgumentException(
-      s"mergetree: unknown system table '$other' (expected parts | snapshots)")
+      s"mergetree: unknown system table '$other' (expected parts | snapshots | uniq)")
   }
 
   override def name(): String = s"mergetree:$path!system.$kind"
@@ -61,12 +63,42 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
         seq, m.parts.size.toLong, m.parts.map(_.rowCount).sum, readable)): InternalRow
     }).toArray
 
+  /** `system 'uniq'`: the per-part HLL sidecars folded into table-wide
+    * distinct estimates, one row per declared hllColumn. Strictly
+    * metadata-only (LocalScan discipline: no Spark job may launch), so
+    * parts written before the sketch was declared contribute nothing —
+    * `covered_parts` vs `parts` makes partial coverage explicit; the API
+    * (`approxDistinct`) is the face that scans stragglers on the fly.
+    */
+  private def uniqRows(): Array[InternalRow] = {
+    val cols = ColumnarMergeTree.TableDef.load(path)
+      .flatMap(_.hllColumns).getOrElse(Nil)
+    val parts = GManifest.load(path).map(_.parts).getOrElse(Nil)
+    cols.map { c =>
+      val regs = graft.functions.HllSketch.empty
+      var covered = 0L
+      parts.foreach { p =>
+        val f = Paths.get(path, s"part_${p.partId}", s"_hll_$c")
+        if (Files.exists(f)) {
+          graft.functions.HllSketch.mergeInto(regs, Files.readAllBytes(f))
+          covered += 1
+        }
+      }
+      new GenericInternalRow(Array[Any](utf8(c),
+        graft.functions.HllSketch.estimate(regs), covered,
+        parts.size.toLong)): InternalRow
+    }.toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = tableSchema
-        override def rows(): Array[InternalRow] =
-          if (kind == "parts") partRows() else snapshotRows()
+        override def rows(): Array[InternalRow] = kind match {
+          case "parts" => partRows()
+          case "uniq"  => uniqRows()
+          case _       => snapshotRows()
+        }
         override def description(): String = s"mergetree-system $path $kind"
       }
     }

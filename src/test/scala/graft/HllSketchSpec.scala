@@ -103,6 +103,21 @@ class HllSketchSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE hll_sql_t")
   }
 
+  test("system 'uniq' serves the folded estimates as a SQL relation") {
+    val dir = Files.createTempDirectory("hll_sys_").toString
+    val df = (0 until 3000).map(i => (i.toLong, s"v${i % 444}")).toDF("id", "tag")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("id"),
+      config = MergeTreeConfig(hllColumns = Seq("tag")))
+    (0 until 3).foreach(k => t.insertBatch(df.filter(col("id") % 3 === k)))
+    val rows = spark.read.format("mergetree").option("system", "uniq").load(dir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "tag")
+    assert(math.abs(r.getLong(1) - 444) <= tolerance(444), s"estimate ${r.getLong(1)}")
+    assert(r.getLong(2) == 3 && r.getLong(3) == 3, "all parts covered")
+  }
+
   test("undeclared column is rejected loudly") {
     val dir = Files.createTempDirectory("hll_rej_").toString
     val df = Seq((1L, "a")).toDF("id", "k")
