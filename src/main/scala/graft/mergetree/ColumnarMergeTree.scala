@@ -604,6 +604,7 @@ final class ColumnarMergeTree private (
     buildTokenBlooms(stage)
     buildNgramBlooms(stage)
     buildHllSketches(stage)
+    buildTopKSketches(stage)
     val (minK, maxK, rows, groups) = footerBounds(stage.toString, leadKey)
     val stats = footerColStats(stage.toString, config.minmaxColumns)
     val size = MergeTreeTable.dirSize(stage)
@@ -1060,6 +1061,72 @@ final class ColumnarMergeTree private (
         .head().getAs[Array[Byte]](0)
       Files.write(stage.resolve(s"_hll_$c"), regs)
     }
+
+  /** Build the per-part SpaceSaving top-K sidecars: one distributed
+    * aggregate per listed column (k = capacity, so the FULL summary is
+    * emitted), persisted as a JSON term→count map. The summary is
+    * mergeable (Agarwal et al. 2012), which is what makes the driver-side
+    * fold in [[approxTopK]] legitimate.
+    */
+  private def buildTopKSketches(stage: java.nio.file.Path): Unit =
+    config.topKColumns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"topKColumns: unknown column $c")
+      val cap = ColumnarMergeTree.TopKSidecarCapacity
+      val agg = udaf(new graft.functions.TopKAggregator(cap, cap))
+      val rows = spark.read.schema(schema).parquet(stage.toString)
+        .select(col(c).cast("string").as("t"))
+        .agg(agg(col("t")).as("s"))
+        .selectExpr("inline(s)")
+        .collect() // ≤ capacity rows by construction
+      val m: Map[String, Long] =
+        rows.iterator.map(r => r.getString(0) -> r.getLong(1)).toMap
+      import org.json4s.DefaultFormats
+      import org.json4s.jackson.Serialization
+      Files.write(stage.resolve(s"_topk_$c"),
+        Serialization.write(m)(DefaultFormats).getBytes("UTF-8"))
+    }
+
+  /** Table-wide approximate heavy hitters for `column` from the per-part
+    * sidecars: O(manifest) driver-side summary merges, ZERO data I/O for
+    * covered parts; sidecar-less parts are summarized on the fly (scan
+    * bounded to exactly those parts) and heal on the next merge. Exact in
+    * the no-eviction regime (per-part distinct ≤ 4096), SpaceSaving
+    * guarantees otherwise. Counts stored rows, pre-FINAL-collapse.
+    */
+  def approxTopK(column: String, k: Int): Seq[(String, Long)] = {
+    require(config.topKColumns.contains(column),
+      s"approxTopK: '$column' is not in topKColumns ${config.topKColumns}")
+    require(k > 0 && k <= ColumnarMergeTree.TopKSidecarCapacity,
+      s"approxTopK: need 0 < k <= ${ColumnarMergeTree.TopKSidecarCapacity}")
+    refresh()
+    val cap = ColumnarMergeTree.TopKSidecarCapacity
+    val agg = new graft.functions.TopKAggregator(k, cap)
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    var state = agg.zero
+    val uncovered = manifest.parts.filter { p =>
+      val f = Paths.get(path, s"part_${p.partId}", s"_topk_$column")
+      if (Files.exists(f)) {
+        val m = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
+          .extract[Map[String, Long]]
+        state = agg.merge(state, graft.functions.TopKState(m))
+        false
+      } else true
+    }
+    if (uncovered.nonEmpty) {
+      val dagg = udaf(new graft.functions.TopKAggregator(cap, cap))
+      val rows = readParts(uncovered)
+        .select(col(column).cast("string").as("t"))
+        .agg(dagg(col("t")).as("s"))
+        .selectExpr("inline(s)")
+        .collect()
+      state = agg.merge(state,
+        graft.functions.TopKState(
+          rows.iterator.map(r => r.getString(0) -> r.getLong(1)).toMap))
+    }
+    agg.finish(state).map(tc => tc.term -> tc.cnt)
+  }
 
   /** Table-wide approximate distinct count of `column`, answered from the
     * per-part HLL sidecars: O(manifest) driver-side register merges, ZERO
@@ -1723,6 +1790,13 @@ object ColumnarMergeTree {
     * in scanHasToken and the has_token SQL function exactly.
     */
   val TokenSplitRe = "[^A-Za-z0-9]+"
+  /** topK sidecar capacity: matches the SQL registration's SpaceSaving
+    * capacity (graft.functions topk(50) / capacity 4096) — exact whenever
+    * a part holds ≤ 4096 distinct values of the column; ~50-150 KB of JSON
+    * per part per column otherwise.
+    */
+  val TopKSidecarCapacity = 4096
+
   /** tokenbf sizing: ~100k distinct tokens at 1% fpp ≈ 120 KB/part/column. */
   val TokenBloomExpectedTokens = 100000L
   val TokenBloomFpp = 0.01
@@ -1836,7 +1910,8 @@ object ColumnarMergeTree {
       Some(config.minmaxColumns.toList).filter(_.nonEmpty),
       Some(config.tokenBloomColumns.toList).filter(_.nonEmpty),
       Some(config.ngramBloomColumns.toList).filter(_.nonEmpty),
-      Some(config.hllColumns.toList).filter(_.nonEmpty)))
+      Some(config.hllColumns.toList).filter(_.nonEmpty),
+      Some(config.topKColumns.toList).filter(_.nonEmpty)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -1883,9 +1958,13 @@ object ColumnarMergeTree {
       case Some(ns) => cfg3.copy(ngramBloomColumns = ns)
       case None     => cfg3
     }
-    val cfg = defn.hllColumns match {
+    val cfg5 = defn.hllColumns match {
       case Some(hs) => cfg4.copy(hllColumns = hs)
       case None     => cfg4
+    }
+    val cfg = defn.topKColumns match {
+      case Some(ts) => cfg5.copy(topKColumns = ts)
+      case None     => cfg5
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
@@ -1930,7 +2009,11 @@ object ColumnarMergeTree {
         * builds the sidecar — a part without one degrades approxDistinct
         * to an on-the-fly scan of that part (correct, just not free).
         */
-      hllColumns: Option[List[String]] = None)
+      hllColumns: Option[List[String]] = None,
+      /** Per-part SpaceSaving top-K sketch columns — same persistence
+        * rationale as hllColumns, for approxTopK.
+        */
+      topKColumns: Option[List[String]] = None)
 
   object TableDef {
     import org.json4s._

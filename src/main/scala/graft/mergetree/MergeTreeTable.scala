@@ -112,7 +112,18 @@ case class MergeTreeConfig(
       * count(DISTINCT) would pay a full scan + shuffle for. Estimates
       * count STORED rows (pre-FINAL-collapse), like every metadata path.
       */
-    hllColumns: Seq[String] = Nil)
+    hllColumns: Seq[String] = Nil,
+    /** Per-part SpaceSaving top-K sketch sidecars (`_topk_<col>`): each
+      * listed column gets a capacity-4096 heavy-hitter summary at part
+      * write (the q63 topK machinery, persisted). `approxTopK(col, k)`
+      * merges the live parts' summaries DRIVER-SIDE — mergeable-summaries
+      * composition, O(manifest), zero data I/O — into table-wide heavy
+      * hitters: "top domains/langs/terms across 100 TB" from metadata.
+      * Exact whenever per-part distinct values stay ≤ capacity (no
+      * eviction anywhere); otherwise the standard SpaceSaving guarantee
+      * (true frequency > N/capacity ⇒ present; counts never undercount).
+      */
+    topKColumns: Seq[String] = Nil)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

@@ -95,6 +95,7 @@ class GenericMergeTreeV2Table(
       d.tokenBloomColumns.foreach(c => m.put("tokenBloomColumns", c.mkString(",")))
       d.ngramBloomColumns.foreach(c => m.put("ngramBloomColumns", c.mkString(",")))
       d.hllColumns.foreach(c => m.put("hllColumns", c.mkString(",")))
+      d.topKColumns.foreach(c => m.put("topKColumns", c.mkString(",")))
       d.gcGraceSeconds.foreach(g => m.put("gcGraceSeconds", g.toString))
     }
     m

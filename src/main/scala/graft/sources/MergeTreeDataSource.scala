@@ -205,7 +205,8 @@ object MergeTreeTableProvider {
       Some(list("minmaxColumns")).filter(_.nonEmpty),
       Some(list("tokenBloomColumns")).filter(_.nonEmpty),
       Some(list("ngramBloomColumns")).filter(_.nonEmpty),
-      Some(list("hllColumns")).filter(_.nonEmpty))
+      Some(list("hllColumns")).filter(_.nonEmpty),
+      Some(list("topKColumns")).filter(_.nonEmpty))
   }
 
   /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying

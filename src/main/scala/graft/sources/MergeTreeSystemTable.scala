@@ -33,8 +33,11 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
       "seq BIGINT, parts BIGINT, rows BIGINT, readable BOOLEAN")
     case "uniq" => StructType.fromDDL(
       "column STRING, approx_distinct BIGINT, covered_parts BIGINT, parts BIGINT")
+    case "topk" => StructType.fromDDL(
+      "column STRING, rank BIGINT, term STRING, cnt BIGINT, " +
+        "covered_parts BIGINT, parts BIGINT")
     case other => throw new IllegalArgumentException(
-      s"mergetree: unknown system table '$other' (expected parts | snapshots | uniq)")
+      s"mergetree: unknown system table '$other' (expected parts | snapshots | uniq | topk)")
   }
 
   override def name(): String = s"mergetree:$path!system.$kind"
@@ -90,6 +93,38 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
     }.toArray
   }
 
+  /** `system 'topk'`: the per-part SpaceSaving sidecars merged into
+    * table-wide top-50 heavy hitters per declared column. Same
+    * metadata-only discipline (and coverage columns) as `uniq`.
+    */
+  private def topkRows(): Array[InternalRow] = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val cols = ColumnarMergeTree.TableDef.load(path)
+      .flatMap(_.topKColumns).getOrElse(Nil)
+    val parts = GManifest.load(path).map(_.parts).getOrElse(Nil)
+    cols.flatMap { c =>
+      val agg = new graft.functions.TopKAggregator(
+        50, ColumnarMergeTree.TopKSidecarCapacity)
+      var state = agg.zero
+      var covered = 0L
+      parts.foreach { p =>
+        val f = Paths.get(path, s"part_${p.partId}", s"_topk_$c")
+        if (Files.exists(f)) {
+          val m = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
+            .extract[Map[String, Long]]
+          state = agg.merge(state, graft.functions.TopKState(m))
+          covered += 1
+        }
+      }
+      agg.finish(state).zipWithIndex.map { case (tc, i) =>
+        new GenericInternalRow(Array[Any](utf8(c), (i + 1).toLong,
+          utf8(tc.term), tc.cnt, covered, parts.size.toLong)): InternalRow
+      }
+    }.toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -97,6 +132,7 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
         override def rows(): Array[InternalRow] = kind match {
           case "parts" => partRows()
           case "uniq"  => uniqRows()
+          case "topk"  => topkRows()
           case _       => snapshotRows()
         }
         override def description(): String = s"mergetree-system $path $kind"
