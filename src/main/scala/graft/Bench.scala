@@ -1,7 +1,8 @@
 package graft
 
-import graft.mergetree.{KVRow, MergeTreeConfig, MergeTreeTable}
+import graft.mergetree.{ColumnarMergeTree, KVRow, MergeTreeConfig, MergeTreeTable}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 import java.nio.file.{Files, Paths}
 import scala.concurrent.{Await, ExecutionContext, Future}
@@ -184,9 +185,29 @@ object Bench {
     val vs50med = ratio(ing50._2 + scan50._2, ref50)
     val vs1m = ratio(ing1m._1 + scan1m._1, ref1m)
 
+    // Metadata-sketch workload: a 1M-row, 8-part table with a declared HLL
+    // column — approxDistinct folds 8 sidecars driver-side (zero data I/O)
+    // where the exact form pays a scan + count(DISTINCT) shuffle. The gap
+    // IS the feature; at 100 TB the left number stays O(parts).
+    val (uniqMeta, uniqExact) = {
+      val dir = Files.createTempDirectory("mt_bench_sketch_").toString
+      val sdf = spark.range(1000000L)
+        .selectExpr("id AS k", "CAST(id % 100000 AS STRING) AS user")
+      val st = ColumnarMergeTree.create(spark, dir, sdf.schema, orderBy = Seq("k"),
+        config = MergeTreeConfig(hllColumns = Seq("user")))
+      (0 until 8).foreach(i => st.insertBatch(sdf.filter(col("k") % 8 === i)))
+      val meta = statTimeSec { st.approxDistinct("user"); () }
+      val exact = statTimeSec {
+        st.scan().agg(countDistinct(col("user"))).collect(); ()
+      }
+      MergeTreeTable.deleteRecursively(Paths.get(dir))
+      (meta, exact)
+    }
+
     val mt = Seq(
       "mt_ingest_50k" -> ing50, "mt_scan_50k" -> scan50,
-      "mt_ingest_1m" -> ing1m, "mt_scan_1m" -> scan1m)
+      "mt_ingest_1m" -> ing1m, "mt_scan_1m" -> scan1m,
+      "mt_uniq_meta_1m" -> uniqMeta, "mt_uniq_exact_1m" -> uniqExact)
     def jsonMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap((results ++ mt).map { case (k, (mn, _)) => k -> mn })
