@@ -605,6 +605,7 @@ final class ColumnarMergeTree private (
     buildNgramBlooms(stage)
     buildHllSketches(stage)
     buildTopKSketches(stage)
+    buildQuantileSketches(stage)
     val (minK, maxK, rows, groups) = footerBounds(stage.toString, leadKey)
     val stats = footerColStats(stage.toString, config.minmaxColumns)
     val size = MergeTreeTable.dirSize(stage)
@@ -1126,6 +1127,89 @@ final class ColumnarMergeTree private (
           rows.iterator.map(r => r.getString(0) -> r.getLong(1)).toMap))
     }
     agg.finish(state).map(tc => tc.term -> tc.cnt)
+  }
+
+  /** Build the per-part quantile sidecars: one percentile_approx aggregate
+    * per listed numeric column over the freshly-staged files — 257
+    * order-statistic knots (i/256) + the non-null count, persisted as
+    * JSON. Knots of different parts pool as a weighted empirical
+    * distribution, which is what makes the driver-side quantile in
+    * [[approxQuantiles]] legitimate.
+    */
+  private def buildQuantileSketches(stage: java.nio.file.Path): Unit =
+    config.quantileColumns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"quantileColumns: unknown column $c")
+      val probs = ColumnarMergeTree.QuantileKnots
+      val r = spark.read.schema(schema).parquet(stage.toString)
+        .agg(
+          count(col(c)).as("n"),
+          percentile_approx(col(c).cast("double"), typedLit(probs), lit(10000)).as("qs"))
+        .head()
+      val n = r.getLong(0)
+      val qs: Seq[Double] =
+        if (n == 0L || r.isNullAt(1)) Nil else r.getSeq[Double](1)
+      import org.json4s.DefaultFormats
+      import org.json4s.jackson.Serialization
+      Files.write(stage.resolve(s"_quant_$c"),
+        Serialization.write(Map("n" -> n, "qs" -> qs))(DefaultFormats)
+          .getBytes("UTF-8"))
+    }
+
+  /** Table-wide approximate quantiles of `column` from the per-part
+    * sidecars: each part contributes its 257 knots weighted n/257, the
+    * pooled distribution is sorted once driver-side and walked for the
+    * requested probabilities — O(manifest) work, ZERO data I/O for covered
+    * parts; sidecar-less parts are summarized on the fly (scan bounded to
+    * exactly those parts) and heal on the next merge. Rank error ≤ ~0.4%
+    * per part (knot spacing) + 10⁻⁴ (percentile_approx accuracy). Values
+    * are stored rows, pre-FINAL-collapse.
+    */
+  def approxQuantiles(column: String, probs: Seq[Double]): Seq[Double] = {
+    require(config.quantileColumns.contains(column),
+      s"approxQuantiles: '$column' is not in quantileColumns ${config.quantileColumns}")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"approxQuantiles: probabilities must be in [0, 1]: $probs")
+    refresh()
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val pooled = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val uncovered = manifest.parts.filter { p =>
+      val f = Paths.get(path, s"part_${p.partId}", s"_quant_$column")
+      if (Files.exists(f)) {
+        val j = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
+        val n = (j \ "n").extract[Long]
+        val qs = (j \ "qs").extract[Seq[Double]]
+        if (n > 0 && qs.nonEmpty)
+          pooled ++= qs.map(v => v -> n.toDouble / qs.length)
+        false
+      } else true
+    }
+    if (uncovered.nonEmpty) {
+      val r = readParts(uncovered)
+        .agg(
+          count(col(column)).as("n"),
+          percentile_approx(col(column).cast("double"),
+            typedLit(ColumnarMergeTree.QuantileKnots), lit(10000)).as("qs"))
+        .head()
+      if (r.getLong(0) > 0 && !r.isNullAt(1)) {
+        val qs = r.getSeq[Double](1)
+        pooled ++= qs.map(v => v -> r.getLong(0).toDouble / qs.length)
+      }
+    }
+    require(pooled.nonEmpty, s"approxQuantiles: no non-null values for '$column'")
+    val sorted = pooled.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    probs.map { p =>
+      val target = p * total
+      var cum = 0.0
+      var i = 0
+      while (i < sorted.length - 1 && cum + sorted(i)._2 < target) {
+        cum += sorted(i)._2
+        i += 1
+      }
+      sorted(i)._1
+    }
   }
 
   /** Table-wide approximate distinct count of `column`, answered from the
@@ -1790,6 +1874,11 @@ object ColumnarMergeTree {
     * in scanHasToken and the has_token SQL function exactly.
     */
   val TokenSplitRe = "[^A-Za-z0-9]+"
+  /** Quantile sidecar knots: order statistics at i/256 for i in 0..256 —
+    * rank resolution 1/256 per part, ~4 KB of JSON per part per column.
+    */
+  val QuantileKnots: Seq[Double] = (0 to 256).map(_ / 256.0)
+
   /** topK sidecar capacity: matches the SQL registration's SpaceSaving
     * capacity (graft.functions topk(50) / capacity 4096) — exact whenever
     * a part holds ≤ 4096 distinct values of the column; ~50-150 KB of JSON
@@ -1911,7 +2000,8 @@ object ColumnarMergeTree {
       Some(config.tokenBloomColumns.toList).filter(_.nonEmpty),
       Some(config.ngramBloomColumns.toList).filter(_.nonEmpty),
       Some(config.hllColumns.toList).filter(_.nonEmpty),
-      Some(config.topKColumns.toList).filter(_.nonEmpty)))
+      Some(config.topKColumns.toList).filter(_.nonEmpty),
+      Some(config.quantileColumns.toList).filter(_.nonEmpty)))
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -1962,9 +2052,13 @@ object ColumnarMergeTree {
       case Some(hs) => cfg4.copy(hllColumns = hs)
       case None     => cfg4
     }
-    val cfg = defn.topKColumns match {
+    val cfg6 = defn.topKColumns match {
       case Some(ts) => cfg5.copy(topKColumns = ts)
       case None     => cfg5
+    }
+    val cfg = defn.quantileColumns match {
+      case Some(qs) => cfg6.copy(quantileColumns = qs)
+      case None     => cfg6
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
@@ -2013,7 +2107,11 @@ object ColumnarMergeTree {
       /** Per-part SpaceSaving top-K sketch columns — same persistence
         * rationale as hllColumns, for approxTopK.
         */
-      topKColumns: Option[List[String]] = None)
+      topKColumns: Option[List[String]] = None,
+      /** Per-part quantile summary columns — same persistence rationale,
+        * for approxQuantiles.
+        */
+      quantileColumns: Option[List[String]] = None)
 
   object TableDef {
     import org.json4s._

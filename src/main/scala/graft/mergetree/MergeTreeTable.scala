@@ -123,7 +123,17 @@ case class MergeTreeConfig(
       * eviction anywhere); otherwise the standard SpaceSaving guarantee
       * (true frequency > N/capacity ⇒ present; counts never undercount).
       */
-    topKColumns: Seq[String] = Nil)
+    topKColumns: Seq[String] = Nil,
+    /** Per-part quantile summary sidecars (`_quant_<col>`): each listed
+      * NUMERIC column gets 257 order-statistic knots (percentile_approx at
+      * i/256, accuracy 10⁴) + its non-null count at part write.
+      * `approxQuantiles(col, probs)` pools the live parts' knots as a
+      * weighted empirical distribution DRIVER-SIDE — O(manifest), zero
+      * data I/O — for table-wide percentiles at ≤ ~0.4% rank error per
+      * part: "p99 over 100 TB" from metadata. Completes the per-part
+      * sketch family (hllColumns `uniq`, topKColumns heavy hitters).
+      */
+    quantileColumns: Seq[String] = Nil)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

@@ -96,6 +96,7 @@ class GenericMergeTreeV2Table(
       d.ngramBloomColumns.foreach(c => m.put("ngramBloomColumns", c.mkString(",")))
       d.hllColumns.foreach(c => m.put("hllColumns", c.mkString(",")))
       d.topKColumns.foreach(c => m.put("topKColumns", c.mkString(",")))
+      d.quantileColumns.foreach(c => m.put("quantileColumns", c.mkString(",")))
       d.gcGraceSeconds.foreach(g => m.put("gcGraceSeconds", g.toString))
     }
     m

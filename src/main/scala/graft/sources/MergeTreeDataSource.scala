@@ -206,7 +206,8 @@ object MergeTreeTableProvider {
       Some(list("tokenBloomColumns")).filter(_.nonEmpty),
       Some(list("ngramBloomColumns")).filter(_.nonEmpty),
       Some(list("hllColumns")).filter(_.nonEmpty),
-      Some(list("topKColumns")).filter(_.nonEmpty))
+      Some(list("topKColumns")).filter(_.nonEmpty),
+      Some(list("quantileColumns")).filter(_.nonEmpty))
   }
 
   /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying

@@ -36,8 +36,12 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
     case "topk" => StructType.fromDDL(
       "column STRING, rank BIGINT, term STRING, cnt BIGINT, " +
         "covered_parts BIGINT, parts BIGINT")
+    case "quantiles" => StructType.fromDDL(
+      "column STRING, p50 DOUBLE, p90 DOUBLE, p99 DOUBLE, " +
+        "covered_parts BIGINT, parts BIGINT")
     case other => throw new IllegalArgumentException(
-      s"mergetree: unknown system table '$other' (expected parts | snapshots | uniq | topk)")
+      s"mergetree: unknown system table '$other' " +
+        "(expected parts | snapshots | uniq | topk | quantiles)")
   }
 
   override def name(): String = s"mergetree:$path!system.$kind"
@@ -125,15 +129,57 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
     }.toArray
   }
 
+  /** `system 'quantiles'`: the per-part knot sidecars pooled into
+    * table-wide p50/p90/p99 per declared column. Same metadata-only
+    * discipline (and coverage columns) as `uniq`/`topk`.
+    */
+  private def quantileRows(): Array[InternalRow] = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val cols = ColumnarMergeTree.TableDef.load(path)
+      .flatMap(_.quantileColumns).getOrElse(Nil)
+    val parts = GManifest.load(path).map(_.parts).getOrElse(Nil)
+    cols.map { c =>
+      val pooled = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      var covered = 0L
+      parts.foreach { p =>
+        val f = Paths.get(path, s"part_${p.partId}", s"_quant_$c")
+        if (Files.exists(f)) {
+          val j = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
+          val n = (j \ "n").extract[Long]
+          val qs = (j \ "qs").extract[Seq[Double]]
+          if (n > 0 && qs.nonEmpty) pooled ++= qs.map(v => v -> n.toDouble / qs.length)
+          covered += 1
+        }
+      }
+      def q(p: Double): Any =
+        if (pooled.isEmpty) null
+        else {
+          val sorted = pooled.sortBy(_._1)
+          val target = p * sorted.iterator.map(_._2).sum
+          var cum = 0.0
+          var i = 0
+          while (i < sorted.length - 1 && cum + sorted(i)._2 < target) {
+            cum += sorted(i)._2; i += 1
+          }
+          sorted(i)._1
+        }
+      new GenericInternalRow(Array[Any](utf8(c), q(0.5), q(0.9), q(0.99),
+        covered, parts.size.toLong)): InternalRow
+    }.toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = tableSchema
         override def rows(): Array[InternalRow] = kind match {
-          case "parts" => partRows()
-          case "uniq"  => uniqRows()
-          case "topk"  => topkRows()
-          case _       => snapshotRows()
+          case "parts"     => partRows()
+          case "uniq"      => uniqRows()
+          case "topk"      => topkRows()
+          case "quantiles" => quantileRows()
+          case _           => snapshotRows()
         }
         override def description(): String = s"mergetree-system $path $kind"
       }
