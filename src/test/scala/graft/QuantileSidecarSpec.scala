@@ -38,6 +38,27 @@ class QuantileSidecarSpec extends AnyFunSuite {
     assert(math.abs(q50b - 0.50 * n) <= tol, s"post-merge p50=$q50b")
   }
 
+  test("rank error stays bounded on a skewed (heavy-tailed) distribution") {
+    // lognormal-ish: v = exp(z/2000) spreads over ~e^10 — value-space
+    // tolerances are meaningless here, so assert in RANK space: the
+    // empirical CDF at the estimate must sit within 2% of the requested p.
+    val n = 30000
+    val dir = Files.createTempDirectory("quant_skew_").toString
+    val df = (0 until n).map { i =>
+      val z = ((i * 2654435761L) % n + n) % n // deterministic shuffle
+      (i.toLong, math.exp(z.toDouble / 2000.0))
+    }.toDF("id", "v")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("id"),
+      config = MergeTreeConfig(quantileColumns = Seq("v")))
+    (0 until 3).foreach(k => t.insertBatch(df.filter(col("id") % 3 === k)))
+    val values = df.select("v").collect().map(_.getDouble(0)).sorted
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val Seq(est) = t.approxQuantiles("v", Seq(p))
+      val rank = values.count(_ <= est).toDouble / n
+      assert(math.abs(rank - p) <= 0.02, s"p=$p est=$est lands at rank $rank")
+    }
+  }
+
   test("sidecar-less parts are summarized on the fly") {
     val n = 10000
     val dir = Files.createTempDirectory("quant_heal_").toString
