@@ -103,17 +103,23 @@ object Demo {
     spark.sql("SELECT grp, n FROM mv_demo_final ORDER BY grp").show(false)
     spark.sql("DROP TABLE mv_demo_final")
 
-    // Round 8: per-part HLL uniq sketches — distinct counts from metadata.
-    println("== per-part HLL sketches: approxDistinct vs exact (zero data I/O):")
+    // Round 8: per-part sketch family — distinct counts, heavy hitters, and
+    // percentiles answered from part sidecars (metadata only, no scan).
+    println("== per-part sketches: uniq / topK / quantiles from metadata:")
     val hllDf = spark.range(5000).select(
-      col("id").as("k"), (col("id") % 1234).cast("string").as("user"))
+      col("id").as("k"), (col("id") % 1234).cast("string").as("user"),
+      (col("id") % 97).cast("double").as("v"))
     val hllT = ColumnarMergeTree.create(spark,
       java.nio.file.Files.createTempDirectory("hll_demo_").toString,
       hllDf.schema, orderBy = Seq("k"),
-      config = MergeTreeConfig(hllColumns = Seq("user")))
+      config = MergeTreeConfig(hllColumns = Seq("user"),
+        topKColumns = Seq("user"), quantileColumns = Seq("v")))
     (0 until 3).foreach(i => hllT.insertBatch(hllDf.filter(col("k") % 3 === i)))
     println(s"== approxDistinct(user) = ${hllT.approxDistinct("user")} (exact 1234, " +
       s"${hllT.partCount} part sidecars folded driver-side)")
+    println(s"== approxTopK(user, 3) = ${hllT.approxTopK("user", 3).mkString(", ")}")
+    println(s"== approxQuantiles(v, p50/p90) = " +
+      hllT.approxQuantiles("v", Seq(0.5, 0.9)).map(q => f"$q%.1f").mkString(", "))
 
     // Round 8: cross-snapshot incremental dedup via the signature store.
     println("== MinHash signature store: new batch deduped against history:")
