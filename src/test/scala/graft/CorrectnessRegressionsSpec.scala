@@ -224,4 +224,30 @@ class CorrectnessRegressionsSpec extends AnyFunSuite {
     local.shutdown(); dist.shutdown()
     MergeTreeTable.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  // -------------------------- 5. (round 8) events ts type changed generation
+
+  test("events queries agree across both testdata ts encodings (nanos Long / timestamp)") {
+    // The round-8 driver regenerated events.parquet with ts as
+    // TIMESTAMP(MICROS) where earlier generations stored INT64 nanos (read
+    // as Long under nanosAsLong) — which broke every `ts div 1000` query.
+    // The events() reader now adapts on the stored type; pin that both
+    // encodings of the SAME data produce identical query results.
+    val base = (0 until 500).map { i =>
+      (i.toLong, 1700000000000000000L + i.toLong * 137000000000L,
+        (i % 7).toLong, s"et${i % 3}", i * 0.25, s"p$i")
+    }
+    val dirNanos = Files.createTempDirectory("ev_nanos_").toString
+    base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirNanos/events.parquet")
+    val dirMicros = Files.createTempDirectory("ev_micros_").toString
+    base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dirMicros/events.parquet")
+    val a = graft.queries.AnalyticQueries.q16RunningSum(spark, dirNanos).collect().toSeq
+    val b = graft.queries.AnalyticQueries.q16RunningSum(spark, dirMicros).collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"ts-encoding must not change results: ${a.take(3)} vs ${b.take(3)}")
+  }
 }
