@@ -185,29 +185,43 @@ object Bench {
     val vs50med = ratio(ing50._2 + scan50._2, ref50)
     val vs1m = ratio(ing1m._1 + scan1m._1, ref1m)
 
-    // Metadata-sketch workload: a 1M-row, 8-part table with a declared HLL
-    // column — approxDistinct folds 8 sidecars driver-side (zero data I/O)
-    // where the exact form pays a scan + count(DISTINCT) shuffle. The gap
-    // IS the feature; at 100 TB the left number stays O(parts).
-    val (uniqMeta, uniqExact) = {
+    // Metadata-sketch workload: a 1M-row, 8-part table with the sketch
+    // family declared — approxDistinct / approxTopK / approxQuantiles fold
+    // 8 part sidecars driver-side (zero data I/O) where each exact form
+    // pays a scan (+ shuffle). The gap IS the feature; at 100 TB the left
+    // numbers stay O(parts). topK is declared on a ≤-capacity column
+    // (2000 distinct) so its sidecars stay in the exact no-eviction regime.
+    val (uniqMeta, uniqExact, topkMeta, topkExact, quantMeta, quantExact) = {
       val dir = Files.createTempDirectory("mt_bench_sketch_").toString
-      val sdf = spark.range(1000000L)
-        .selectExpr("id AS k", "CAST(id % 100000 AS STRING) AS user")
+      val sdf = spark.range(1000000L).selectExpr("id AS k",
+        "CAST(id % 100000 AS STRING) AS user",
+        "CAST(id % 2000 AS STRING) AS cat",
+        "CAST(id % 9973 AS DOUBLE) AS v")
       val st = ColumnarMergeTree.create(spark, dir, sdf.schema, orderBy = Seq("k"),
-        config = MergeTreeConfig(hllColumns = Seq("user")))
+        config = MergeTreeConfig(hllColumns = Seq("user"),
+          topKColumns = Seq("cat"), quantileColumns = Seq("v")))
       (0 until 8).foreach(i => st.insertBatch(sdf.filter(col("k") % 8 === i)))
-      val meta = statTimeSec { st.approxDistinct("user"); () }
-      val exact = statTimeSec {
+      val um = statTimeSec { st.approxDistinct("user"); () }
+      val ue = statTimeSec {
         st.scan().agg(countDistinct(col("user"))).collect(); ()
       }
+      val tm = statTimeSec { st.approxTopK("cat", 10); () }
+      val te = statTimeSec {
+        st.scan().groupBy(col("cat")).count()
+          .orderBy(col("count").desc, col("cat")).limit(10).collect(); ()
+      }
+      val qm = statTimeSec { st.approxQuantiles("v", Seq(0.5, 0.99)); () }
+      val qe = statTimeSec { st.scan().stat.approxQuantile("v", Array(0.5, 0.99), 1e-4); () }
       MergeTreeTable.deleteRecursively(Paths.get(dir))
-      (meta, exact)
+      (um, ue, tm, te, qm, qe)
     }
 
     val mt = Seq(
       "mt_ingest_50k" -> ing50, "mt_scan_50k" -> scan50,
       "mt_ingest_1m" -> ing1m, "mt_scan_1m" -> scan1m,
-      "mt_uniq_meta_1m" -> uniqMeta, "mt_uniq_exact_1m" -> uniqExact)
+      "mt_uniq_meta_1m" -> uniqMeta, "mt_uniq_exact_1m" -> uniqExact,
+      "mt_topk_meta_1m" -> topkMeta, "mt_topk_exact_1m" -> topkExact,
+      "mt_quant_meta_1m" -> quantMeta, "mt_quant_exact_1m" -> quantExact)
     def jsonMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap((results ++ mt).map { case (k, (mn, _)) => k -> mn })
