@@ -1195,6 +1195,55 @@ object AnalyticQueries {
       |  min(cut) AS first_cut
       |FROM parsed GROUP BY domain, tld ORDER BY domain""".stripMargin
 
+  /** Q104 — canonical-URL (crawl-frontier) dedup: the URL-level dedup stage
+    * a crawler runs BEFORE fetching — strip the query string and lowercase,
+    * then collapse repeat hits of the same canonical page. Sits between
+    * exact-content dedup (q35, post-fetch) and chunk dedup (q99) in a
+    * pipeline. URLs are synthesized deterministically from events (session
+    * params vary per hit; the page path repeats), canonicalization and the
+    * per-domain rollup are pure string ops — one scan, map-side, only the
+    * tiny (domain) aggregate shuffles. `first_seen` (min event_id per
+    * domain's canonical set is order-free) keeps the output deterministic.
+    */
+  def q104UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://Sub"), (col("user_id") % 5).cast("string"),
+      lit(".Example.com/"), col("event_type"),
+      lit("/page"), (col("event_id") % 50).cast("string"),
+      lit("?session="), col("event_id").cast("string"))
+    t(spark, dir, "events")
+      .select(col("event_id"), lower(substring_index(url, "?", 1)).as("curl"))
+      .select(col("event_id"), col("curl"),
+        substring_index(substring_index(col("curl"), "//", -1), "/", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("hits"),
+        countDistinct(col("curl")).as("pages"),
+        (count(lit(1)) - countDistinct(col("curl"))).as("dup_fetches"),
+        min(col("event_id")).as("first_seen"),
+        min(col("curl")).as("first_page"))
+      .orderBy(col("domain"))
+  }
+
+  val q104Sql: String =
+    """WITH c AS (
+      |  SELECT event_id,
+      |    lower(split_part('https://Sub' || (user_id % 5) || '.Example.com/' ||
+      |      event_type || '/page' || (event_id % 50) ||
+      |      '?session=' || event_id, '?', 1)) AS curl
+      |  FROM events),
+      |d AS (
+      |  SELECT event_id, curl,
+      |    split_part(split_part(curl, '//', 2), '/', 1) AS domain
+      |  FROM c)
+      |SELECT domain,
+      |  count(*)::BIGINT AS hits,
+      |  count(DISTINCT curl)::BIGINT AS pages,
+      |  (count(*) - count(DISTINCT curl))::BIGINT AS dup_fetches,
+      |  min(event_id) AS first_seen,
+      |  min(curl) AS first_page
+      |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+
   /** Q81 — ClickHouse `runningDifference` (the sessionization primitive):
     * per-user inter-event time gaps via one lag window, aggregated to gap
     * statistics per user. One shuffle (hash by user) shared by the window
@@ -1552,6 +1601,7 @@ object AnalyticQueries {
     ("q77_approx_quantiles", q77ApproxQuantiles _, None),
     ("q78_tfidf", q78Tfidf _, Some(q78Sql)),
     ("q80_url_functions", q80UrlFunctions _, Some(q80Sql)),
+    ("q104_url_dedup", q104UrlDedup _, Some(q104Sql)),
     ("q81_event_gaps", q81EventGaps _, Some(q81Sql)),
     ("q82_sequence_match", q82SequenceMatch _, Some(q82Sql)),
     ("q83_funnel_strict", q83FunnelStrict _, Some(q83Sql)),
