@@ -37,10 +37,19 @@ object Bench {
     */
   private def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-  private def statTimeSec(f: => Unit): (Double, Double) = {
-    val runs = (1 to reps).map(_ => timeSec(f))
+  /** Raw per-rep timings for every metric, persisted in bench_full.json —
+    * round-8 verdict: min≪median alone can't distinguish a real regression
+    * from bench-context contention; the rep array makes it self-evident.
+    */
+  private val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+
+  private def record(name: String, runs: Seq[Double]): (Double, Double) = {
+    rawRuns(name) = runs
     (runs.min, medianOf(runs))
   }
+
+  private def statTimeSec(name: String)(f: => Unit): (Double, Double) =
+    record(name, (1 to reps).map(_ => timeSec(f)))
 
   /** Compile (once, cached in target/) and run the reference engine's
     * ingest+scan workload at `n` rows; returns (ingestSec, scanSec).
@@ -68,6 +77,8 @@ object Bench {
       val queryUs = "QUERY_US (\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
       (ingestMs / 1e3, queryUs / 1e6)
     }
+    rawRuns(s"ref_ingest_${n}") = runs.map(_._1)
+    rawRuns(s"ref_scan_${n}") = runs.map(_._2)
     (runs.map(_._1).min, runs.map(_._2).min)
   }.toOption
 
@@ -154,30 +165,34 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = statTimeSec {
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      }
-      name -> t
-    }
-
     // Demo-mirror workload at the contract size (50k) and at 1M rows, where
     // the reference's single-threaded O(n·merges) ingest meets our parallel
     // batch path at a size that amortizes Spark's per-job overhead.
     // Workload runs repeat too (fresh table dir each run, min over runs per
     // phase) — these were the noisiest recorded numbers in round 3.
-    def statOf(run: => (Double, Double)): ((Double, Double), (Double, Double)) = {
+    // These run BEFORE the 105-query sweep (round-8 verdict: the contract
+    // 50k workload is the most allocation-sensitive metric and ran last,
+    // absorbing heap/codegen-cache pressure from the whole sweep — the
+    // median drifted 0.66→1.04 s with no change to the insert path).
+    def statOf(iname: String, sname: String)(run: => (Double, Double))
+        : ((Double, Double), (Double, Double)) = {
       val runs = (1 to reps).map(_ => run)
-      ((runs.map(_._1).min, medianOf(runs.map(_._1))),
-        (runs.map(_._2).min, medianOf(runs.map(_._2))))
+      (record(iname, runs.map(_._1)), record(sname, runs.map(_._2)))
     }
     // 50k contract size: the reference client's exact single-writer shape.
-    val (ing50, scan50) = statOf(mtRowWorkload(spark, 50000))
+    val (ing50, scan50) = statOf("mt_ingest_50k", "mt_scan_50k")(mtRowWorkload(spark, 50000))
     val ref50 = measureReference(50000)
     // 1M: the distributed batch-ingest path.
-    val (ing1m, scan1m) = statOf(mtWorkload(spark, 1000000, 50))
+    val (ing1m, scan1m) = statOf("mt_ingest_1m", "mt_scan_1m")(mtWorkload(spark, 1000000, 50))
     val ref1m = measureReference(1000000)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = statTimeSec(name) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      }
+      name -> t
+    }
 
     def ratio(ours: Double, ref: Option[(Double, Double)]): Double =
       ref.map { case (ri, rq) => (ours / (ri + rq)) }.getOrElse(-1.0)
@@ -201,17 +216,17 @@ object Bench {
         config = MergeTreeConfig(hllColumns = Seq("user"),
           topKColumns = Seq("cat"), quantileColumns = Seq("v")))
       (0 until 8).foreach(i => st.insertBatch(sdf.filter(col("k") % 8 === i)))
-      val um = statTimeSec { st.approxDistinct("user"); () }
-      val ue = statTimeSec {
+      val um = statTimeSec("mt_uniq_meta_1m") { st.approxDistinct("user"); () }
+      val ue = statTimeSec("mt_uniq_exact_1m") {
         st.scan().agg(countDistinct(col("user"))).collect(); ()
       }
-      val tm = statTimeSec { st.approxTopK("cat", 10); () }
-      val te = statTimeSec {
+      val tm = statTimeSec("mt_topk_meta_1m") { st.approxTopK("cat", 10); () }
+      val te = statTimeSec("mt_topk_exact_1m") {
         st.scan().groupBy(col("cat")).count()
           .orderBy(col("count").desc, col("cat")).limit(10).collect(); ()
       }
-      val qm = statTimeSec { st.approxQuantiles("v", Seq(0.5, 0.99)); () }
-      val qe = statTimeSec { st.scan().stat.approxQuantile("v", Array(0.5, 0.99), 1e-4); () }
+      val qm = statTimeSec("mt_quant_meta_1m") { st.approxQuantiles("v", Seq(0.5, 0.99)); () }
+      val qe = statTimeSec("mt_quant_exact_1m") { st.scan().stat.approxQuantile("v", Array(0.5, 0.99), 1e-4); () }
       MergeTreeTable.deleteRecursively(Paths.get(dir))
       (um, ue, tm, te, qm, qe)
     }
@@ -237,7 +252,13 @@ object Bench {
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the
     // 2 KB cap): persist the full line in-repo so rounds stay comparable.
-    Try(Files.writeString(Paths.get("bench_full.json"), line + "\n"))
+    // bench_full.json additionally carries the raw per-rep arrays (stdout
+    // stays compact for the driver's tail cap).
+    val rawJson = rawRuns.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fullLine = line.dropRight(1) + s""","queries_raw":$rawJson}"""
+    Try(Files.writeString(Paths.get("bench_full.json"), fullLine + "\n"))
     spark.stop()
   }
 }

@@ -38,8 +38,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object PipelineQueries {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+  /** documents.parquet, spread across the session's cores when the file's
+    * own split count can't feed them. Per-document CPU (shingling, bigram
+    * runs, regex scans) dominates the scan cost of every pipeline query
+    * here, and a corpus arriving as a single parquet row group runs all of
+    * that CPU on ONE task (parquet can't split inside a row group — the
+    * local sf files are exactly this shape, and profiling showed every doc
+    * pipeline single-threaded behind one 2–3 s task). At 100 TB the corpus
+    * arrives in thousands of row groups, the scan's split count exceeds the
+    * core count, and the guard makes this a no-op; when it does fire, the
+    * round-robin exchange moves only bytes ONE task would otherwise process
+    * serially — strictly cheaper than the serialized CPU it unlocks.
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -502,6 +517,62 @@ object PipelineQueries {
 
   val q26Sql: String = JaccardPairsSql
 
+  /** The SCALE path to the same J ≥ 0.8 pair set: candidate pairs from an
+    * equi-join on 8-byte shingle HASHES (strings never cross a shuffle)
+    * with hot shingles (df > `maxShingleFreq`) excluded from candidate
+    * generation only, then EXACT Jaccard verification of each candidate via
+    * set intersection over the full (uncapped) shingle-hash sets — q25's
+    * verify machinery. Because the cap touches only candidate generation and
+    * the verify step is exact, the output is identical to the exhaustive
+    * jaccardPairs unless a true pair shares *exclusively* hot shingles —
+    * which requires a near-dup cluster larger than the cap itself; equality
+    * with q26's exhaustive answer is spec-pinned on this data
+    * (PipelineQueriesSpec). Versus jaccardPairs this trades the
+    * string-shingle join + O(pairs) shared-count aggregate + two count
+    * joins for a long-keyed join + per-candidate array_intersect, and its
+    * candidate join is df-bounded at the cap — the shape q93 feeds into
+    * connected components.
+    *
+    * Returns a driver-materialized DataFrame (the verified near-dup pair
+    * set is tiny by construction), releasing the persisted intermediates —
+    * the same discipline as q25.
+    */
+  private[graft] def verifiedJaccardEdges(spark: SparkSession, dir: String,
+      maxShingleFreq: Int): DataFrame = {
+    val dsh = docs(spark, dir)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+      .persist() // feeds candidate generation AND the exact verify sets
+    val hot = dsh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleFreq)
+      .select(col("h"))
+    val rare = dsh.join(hot, Seq("h"), "left_anti")
+    val cand = rare.select(col("doc_id").as("doc_a"), col("h"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .persist()
+    cand.count() // barrier: materialize before the broadcast-racing verify subtree
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+    val withSets = cand
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
+    val out = withSets.filter(j >= 0.8)
+      .select(col("doc_a"), col("doc_b"), j.as("raw_j"))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    dsh.unpersist()
+    cand.unpersist()
+    spark.createDataFrame(rows, out.schema)
+  }
+
   /** Q93 — near-duplicate CLUSTER resolution: the q26 pair set is only half
     * of dedup — if A~B and B~C then {A,B,C} must dedup to ONE survivor even
     * though A~C was never emitted. Connected components over the pair graph
@@ -512,11 +583,15 @@ object PipelineQueries {
     * keep-marker — exactly the table a 100 TB dedup job anti-joins against
     * the corpus to drop redundant documents.
     *
+    * The edge set comes from verifiedJaccardEdges (hashed-shingle capped
+    * candidates + exact verify), not the exhaustive string join — same
+    * pairs, scale-safe shape.
+    *
     * Oracle: DuckDB recursive CTE computing the same closure (min label
     * reachable over the symmetrised pair edges).
     */
   def q93DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = jaccardPairs(spark, dir, maxShingleFreq = None)
+    val edges = verifiedJaccardEdges(spark, dir, maxShingleFreq = 1000)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val cc = graft.operators.ConnectedComponents.run(edges)
     val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))

@@ -37,6 +37,14 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(starved.isEmpty, s"cap=1 must kill all shared shingles, got $starved")
   }
 
+  test("q93 edge path (capped candidates + exact verify) matches exhaustive jaccard pairs") {
+    val exact = pairs(PipelineQueries.q26JaccardExact(spark, dir))
+    val verified = pairs(PipelineQueries.verifiedJaccardEdges(spark, dir, maxShingleFreq = 1000))
+    assert(exact.nonEmpty, "testdata must contain planted near-dups")
+    assert(verified == exact,
+      s"verify-path pair set drifted; missed ${exact -- verified}, invented ${verified -- exact}")
+  }
+
   test("contamination anchor prefilter finds exactly the direct-scan pairs") {
     def set(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
