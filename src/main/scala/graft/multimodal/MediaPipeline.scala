@@ -38,11 +38,13 @@ case class MediaFrame(
   * per-partition iteration (the JVM mirror of a `mapInPandas` batch loop),
   * deterministic output, partition-preserving execution with no driver
   * materialization. IMAGE payloads use a REAL codec (javax.imageio:
-  * PNG/JPEG/GIF/BMP decode, bilinear resize, PNG re-encode — spec'd against
-  * in-test-generated fixtures); audio/video payloads, which no JDK codec
-  * covers, fall back to a deterministic stub (`decodeStub`) so the pipeline
-  * shape is identical — a deployment swaps the stub for a JNI/codec call
-  * without touching any of the plumbing.
+  * PNG/JPEG/GIF/BMP decode, bilinear resize, PNG re-encode) and AUDIO
+  * payloads a REAL codec too (javax.sound.sampled: WAV/AIFF/AU PCM decode,
+  * per-channel linear resample, WAV re-encode) — both spec'd against
+  * in-test-generated fixtures. VIDEO payloads, which no JDK codec covers,
+  * fall back to a deterministic stub (`decodeStub`) so the pipeline shape
+  * is identical — a deployment swaps the stub for a JNI/codec call without
+  * touching any of the plumbing.
   *
   * Scale posture: payloads stay distributed end-to-end; the batch size
   * bounds peak per-task memory (batch × avg payload) exactly like an Arrow
@@ -71,14 +73,52 @@ object MediaPipeline {
       new java.io.ByteArrayInputStream(payload)))
     catch { case _: Throwable => None }
 
-  /** Dimensions/frames for a payload: the REAL codec for decodable images,
-    * the deterministic stub otherwise.
+  /** Decoded PCM audio: interleaved 16-bit samples + geometry. */
+  private[graft] final case class AudioClip(
+      sampleRate: Float, channels: Int, samples: Array[Short]) {
+    def frames: Int = samples.length / channels
+    def durationSec: Double = frames / sampleRate.toDouble
+  }
+
+  /** Real JDK audio codec (javax.sound.sampled): decodes WAV/AIFF/AU PCM
+    * payloads, normalized to interleaved 16-bit signed samples at the
+    * source rate/channel count. None for undecodable bytes — callers fall
+    * back to the deterministic stub, exactly like the image path.
+    */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[AudioClip] =
+    if (payload.length < 12) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+          src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        val bytes = pcm.readAllBytes()
+        val samples = new Array[Short](bytes.length / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some(AudioClip(fmt.getSampleRate, fmt.getChannels, samples))
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** Dimensions/frames for a payload: the REAL codec for decodable images
+    * and audio, the deterministic stub otherwise. Audio maps its geometry
+    * into the shared (width, height, n_frames) shape as (sample rate,
+    * channels, per-channel frame count) — duration is frames/rate.
     */
   private[multimodal] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
-    (if (kind == "image")
-       decodeImage(payload).map(i => (i.getWidth, i.getHeight, 1))
-     else None)
-      .getOrElse(decodeStub(kind, payload))
+    (kind match {
+      case "image" => decodeImage(payload).map(i => (i.getWidth, i.getHeight, 1))
+      case "audio" => decodeAudio(payload).map(a => (a.sampleRate.toInt, a.channels, a.frames))
+      case _ => None
+    }).getOrElse(decodeStub(kind, payload))
 
   /** STUB decoder — deterministic fallback standing in for codecs this JVM
     * lacks. Derives (width, height, frames) from payload bytes so tests are
@@ -176,6 +216,81 @@ object MediaPipeline {
       }
       r.copy(payload = out,
         meta = r.meta + ("resized_w" -> width.toString, "resized_h" -> height.toString))
+    })
+  }
+
+  /** Real per-channel linear-interpolation resample to `targetHz`. */
+  private[multimodal] def resampleClip(c: AudioClip, targetHz: Int): AudioClip =
+    if (targetHz == c.sampleRate.toInt || c.frames == 0) c
+    else {
+      val inFrames = c.frames
+      val outFrames = math.max(1,
+        math.round(inFrames * targetHz / c.sampleRate.toDouble).toInt)
+      val out = new Array[Short](outFrames * c.channels)
+      var f = 0
+      while (f < outFrames) {
+        val pos =
+          if (outFrames == 1) 0.0
+          else f * (inFrames - 1).toDouble / (outFrames - 1).toDouble
+        val i0 = pos.toInt
+        val i1 = math.min(inFrames - 1, i0 + 1)
+        val frac = pos - i0
+        var ch = 0
+        while (ch < c.channels) {
+          val s = (1.0 - frac) * c.samples(i0 * c.channels + ch) +
+            frac * c.samples(i1 * c.channels + ch)
+          out(f * c.channels + ch) = math.round(s).toShort
+          ch += 1
+        }
+        f += 1
+      }
+      AudioClip(targetHz.toFloat, c.channels, out)
+    }
+
+  /** PCM clip → WAV bytes (16-bit little-endian) via the JDK writer. */
+  private[multimodal] def encodeWav(c: AudioClip): Array[Byte] = {
+    val bytes = new Array[Byte](c.samples.length * 2)
+    var i = 0
+    while (i < c.samples.length) {
+      bytes(2 * i) = (c.samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((c.samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      c.sampleRate, 16, c.channels, 2 * c.channels, c.sampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, c.frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Stub "sample rate" assumed for non-decodable audio payloads, so the
+    * fallback decimation scales the byte count by the same ratio a real
+    * resample would scale the frame count.
+    */
+  private val StubAudioHz = 16000
+
+  /** Audio resample as a typed stage: decodable payloads take the REAL
+    * path (PCM decode → per-channel linear interpolation → WAV re-encode);
+    * non-decodable audio falls back to a deterministic byte re-sampling at
+    * the same ratio, so the pipeline shape is uniform. MediaRow → MediaRow,
+    * composing with every other stage; meta records the target rate.
+    */
+  def resampleAudio(ds: Dataset[MediaRow], targetHz: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val real = if (r.kind == "audio") decodeAudio(r.payload) else None
+      val out = real match {
+        case Some(clip) => encodeWav(resampleClip(clip, targetHz))
+        case None =>
+          val n = math.max(1, r.payload.length)
+          val m = math.max(1, math.round(n * targetHz / StubAudioHz.toDouble).toInt)
+          Array.tabulate(m)(i => r.payload(((i.toLong * n) / m).toInt % n))
+      }
+      r.copy(payload = out, meta = r.meta + ("resampled_hz" -> targetHz.toString))
     })
   }
 

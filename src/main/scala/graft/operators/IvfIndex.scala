@@ -42,6 +42,9 @@ final class IvfIndex private (
   private def centroids: DataFrame =
     spark.read.parquet(s"$path/_centroids")
 
+  /** Quantizer size (centroid count) — one read of the tiny sidecar. */
+  lazy val nlist: Int = centroids.count().toInt
+
   /** Top-k neighbours per query vector, probing `nprobe` clusters.
     * `queries`: (qid: Long, qv: array<double>). Output:
     * (qid, rnk, vec_id, sim) — the q23/q28 result shape.
@@ -103,6 +106,25 @@ final class IvfIndex private (
 
 object IvfIndex {
 
+  /** Default quantizer size for an n-vector corpus: the smallest power of
+    * two ≥ √n/4, floored at 8. IVF per-query cost is ~nlist (centroid
+    * ranking) + nprobe·n/nlist (probed-list scan), minimized at
+    * nlist ∝ √n — a fixed nlist stops pruning as the corpus grows (at
+    * 100 TB, nlist = 8 would scan 3/8 of everything). The /4 constant and
+    * the floor of 8 reproduce the pinned 8-centroid quantizer at the local
+    * testdata scale (500 vectors → 8); the power-of-two rounding keeps
+    * sizes stable across small corpus drift.
+    */
+  def autoNlist(n: Long): Int = {
+    val target = math.ceil(math.sqrt(math.max(0L, n).toDouble) / 4.0).toLong
+    var p = 8
+    while (p < target) p <<= 1
+    p
+  }
+
+  /** Probe count preserving the pinned 3-of-8 probe fraction. */
+  def autoNprobe(nlist: Int): Int = math.max(3, (3 * nlist) / 8)
+
   private[operators] def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("cosine_similarity", a, b)
 
@@ -119,12 +141,16 @@ object IvfIndex {
     * k-means refinements over `trainFraction` of the data), assign every
     * vector once, and land ONE PART PER CLUSTER so the manifest's
     * cluster-id bounds make probing a part-pruned scan.
+    *
+    * `nlist` ≤ 0 (the default) auto-sizes the quantizer from the corpus
+    * count via [[autoNlist]] (~√n, one count job at build time).
     */
   def build(spark: SparkSession, vectors: DataFrame, path: String,
-            nlist: Int, lloydIters: Int = 2, trainMod: Int = 4): IvfIndex = {
+            nlist: Int = 0, lloydIters: Int = 2, trainMod: Int = 4): IvfIndex = {
     graft.functions.GraftFunctions.register(spark)
     val e = vectors.select(col("vec_id"), col("v"))
-    val c0 = e.orderBy(col("vec_id")).limit(nlist)
+    val nl = if (nlist > 0) nlist else autoNlist(e.count())
+    val c0 = e.orderBy(col("vec_id")).limit(nl)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val train = e.filter(col("vec_id") % trainMod === 0)
     val c = (1 to lloydIters).foldLeft(c0)((cc, _) =>
@@ -140,7 +166,7 @@ object IvfIndex {
       .persist()
     try {
       val t = ColumnarMergeTree.create(spark, path, indexSchema,
-        orderBy = Seq("cid"), MergeTreeConfig(maxParts = 2 * nlist))
+        orderBy = Seq("cid"), MergeTreeConfig(maxParts = 2 * nl))
       // One part per cluster: a part's [minKey, maxKey] is one cid, so a
       // probe's rangeScan(cid, cid) prunes to exactly that part.
       val cids = assigned.select(col("cid")).distinct()

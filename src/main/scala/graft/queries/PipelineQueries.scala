@@ -165,17 +165,25 @@ object PipelineQueries {
 
   /** Q28 — IVF (inverted-file) approximate nearest neighbour: the 100 TB
     * scale path for similarity search. The coarse quantizer is trained:
-    * nlist = 8 centroids seeded from vec_id < 8, refined by two Lloyd
+    * nlist centroids seeded from vec_id < nlist, refined by two Lloyd
     * iterations of spherical k-means over a deterministic 25% sample
     * (vec_id % 4 == 0) — at production scale the sample is what makes
-    * training affordable (centroids stay broadcast-tiny either way). Then
-    * nprobe = 3: each corpus vector is assigned to its nearest centroid
-    * once (one broadcast pass), and a query scans only the ~3/8 of the
-    * corpus in its probed clusters.
+    * training affordable (centroids stay broadcast-tiny either way). Each
+    * corpus vector is assigned to its nearest centroid once (one broadcast
+    * pass), and a query scans only the nprobe/nlist of the corpus in its
+    * probed clusters.
+    *
+    * nlist auto-sizes from the corpus count (IvfIndex.autoNlist, ~√n with
+    * a power-of-two step and a floor of 8 — a fixed quantizer stops
+    * pruning as the corpus grows); nprobe keeps the 3-of-8 probe fraction
+    * (IvfIndex.autoNprobe). At the oracle's scale (500 vectors) these
+    * reproduce exactly the 8/3 quantizer the pinned SQL encodes.
     */
   def q28IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir)
-    val c0 = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val nlist = graft.operators.IvfIndex.autoNlist(e.count())
+    val nprobe = graft.operators.IvfIndex.autoNprobe(nlist)
+    val c0 = e.filter(col("vec_id") < nlist).select(col("vec_id").as("cid"), col("v").as("cv"))
     val train = e.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("v"))
     val c = lloydStep(train, lloydStep(train, c0))
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -187,7 +195,7 @@ object PipelineQueries {
     val pw = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
     val probe = q.crossJoin(broadcast(c))
       .select(col("qid"), col("qv"), col("cid"), r6(cosine(col("qv"), col("cv"))).as("psim"))
-      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 3)
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
     val scored = assign.join(broadcast(probe), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -1130,12 +1138,14 @@ object PipelineQueries {
   def q48IvfIndex(spark: SparkSession, dir: String): DataFrame = {
     val idx = cacheIvf.getOrElseUpdate(dir, {
       val vecs = embDouble(spark, dir).select(col("vec_id"), col("v"))
+      // nlist auto-sizes from the corpus count (IvfIndex.autoNlist ~ √n;
+      // 500 vectors → the pinned 8-centroid quantizer the oracle expects).
       graft.operators.IvfIndex.build(spark, vecs,
-        java.nio.file.Files.createTempDirectory("ivf_q48_").toString, nlist = 8)
+        java.nio.file.Files.createTempDirectory("ivf_q48_").toString)
     })
     val q = embDouble(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    idx.search(q, k = 10, nprobe = 3)
+    idx.search(q, k = 10, nprobe = graft.operators.IvfIndex.autoNprobe(idx.nlist))
   }
 
   private val cacheIvf =

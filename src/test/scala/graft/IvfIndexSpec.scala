@@ -24,6 +24,30 @@ class IvfIndexSpec extends AnyFunSuite {
   private def queries = vectors.filter(col("vec_id") < 5)
     .select(col("vec_id").as("qid"), col("v").as("qv"))
 
+  test("quantizer auto-sizing: ~sqrt(n), power-of-two, floored at 8") {
+    // testdata scales reproduce the pinned 8-centroid/3-probe quantizer
+    assert(IvfIndex.autoNlist(500) == 8)
+    assert(IvfIndex.autoNlist(0) == 8)
+    assert(IvfIndex.autoNprobe(8) == 3)
+    // growth: within a factor of 2 of sqrt(n)/4, always a power of two
+    for (n <- Seq(1L << 16, 1L << 20, 1L << 26, 1L << 30, 1L << 40)) {
+      val nl = IvfIndex.autoNlist(n)
+      val target = math.sqrt(n.toDouble) / 4.0
+      assert(nl >= target && nl < 2 * target,
+        s"autoNlist($n)=$nl outside [sqrt(n)/4, sqrt(n)/2)")
+      assert(Integer.bitCount(nl) == 1, s"autoNlist($n)=$nl not a power of two")
+    }
+    // monotone in n; probe fraction stays 3/8
+    assert(IvfIndex.autoNlist(1L << 30) <= IvfIndex.autoNlist(1L << 34))
+    assert(IvfIndex.autoNprobe(IvfIndex.autoNlist(1L << 30)) ==
+      3 * IvfIndex.autoNlist(1L << 30) / 8)
+    // auto build at the local scale picks 8 (same as the explicit builds below)
+    val path = Files.createTempDirectory("ivf_auto_").toString
+    val idx = IvfIndex.build(spark, vectors, path)
+    assert(idx.nlist == 8, s"auto build at 500 vectors must pick 8, got ${idx.nlist}")
+    idx.table.shutdown()
+  }
+
   test("built index clusters land as one part each and probes prune to them") {
     val path = Files.createTempDirectory("ivf_").toString
     val idx = IvfIndex.build(spark, vectors, path, nlist = 8)

@@ -212,6 +212,63 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(resized(2).payload.length == 16 * 12)
   }
 
+  test("real audio codec: WAV fixtures decode to exact geometry; resample is real") {
+    import spark.implicits._
+    // In-test WAV fixture: 16-bit PCM sine, built with the JDK writer.
+    def wav(hz: Float, channels: Int, frames: Int, freq: Double): Array[Byte] = {
+      val bytes = new Array[Byte](frames * channels * 2)
+      for (f <- 0 until frames; ch <- 0 until channels) {
+        val s = (math.sin(2 * math.Pi * freq * f / hz) * 12000).toInt.toShort
+        val i = (f * channels + ch) * 2
+        bytes(i) = (s & 0xff).toByte
+        bytes(i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        hz, 16, channels, 2 * channels, hz, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(8000f, 1, 1600, 440.0), Map.empty),
+      MediaRow(2L, "audio", wav(11025f, 2, 2205, 220.0), Map.empty),
+      MediaRow(3L, "audio", "not audio, just text bytes here".getBytes("UTF-8"), Map.empty),
+      MediaRow(4L, "video", wav(8000f, 1, 1600, 440.0), Map.empty))
+    val ds = spark.createDataset(rows).repartition(2)
+    val feats = MediaPipeline.extractFeatures(ds).collect().sortBy(_.media_id)
+    // real codec: (sample rate, channels, per-channel frame count) — exact
+    assert((feats(0).width, feats(0).height, feats(0).n_frames) == ((8000, 1, 1600)))
+    assert((feats(1).width, feats(1).height, feats(1).n_frames) == ((11025, 2, 2205)))
+    // undecodable audio bytes fall back to the deterministic stub
+    assert((feats(2).width, feats(2).height, feats(2).n_frames) ==
+      MediaPipeline.decodeStub("audio", rows(2).payload))
+    // non-audio kinds never enter the PCM path (video has no JDK codec)
+    assert((feats(3).width, feats(3).height, feats(3).n_frames) ==
+      MediaPipeline.decodeStub("video", rows(3).payload))
+    // real resample: 8000 Hz / 1600 frames → 4000 Hz / exactly 800 frames,
+    // and the output is itself a decodable WAV (round-trips the codec path)
+    val down = MediaPipeline.resampleAudio(ds, 4000).collect().sortBy(_.media_id)
+    val clip0 = MediaPipeline.decodeAudio(down(0).payload).get
+    assert(clip0.sampleRate == 4000f && clip0.channels == 1 && clip0.frames == 800)
+    assert(down(0).meta("resampled_hz") == "4000")
+    // upsample: 11025 → 22050 doubles the stereo frame count exactly
+    val up = MediaPipeline.resampleAudio(ds, 22050).collect().sortBy(_.media_id)
+    val clip1 = MediaPipeline.decodeAudio(up(1).payload).get
+    assert(clip1.sampleRate == 22050f && clip1.channels == 2 && clip1.frames == 4410)
+    // interpolation preserves the waveform: peak amplitude within 5%
+    val srcPeak = MediaPipeline.decodeAudio(rows(0).payload).get.samples.map(math.abs(_)).max
+    val dstPeak = clip0.samples.map(math.abs(_)).max
+    assert(math.abs(srcPeak - dstPeak) <= srcPeak * 0.05,
+      s"resample mangled amplitude: $srcPeak -> $dstPeak")
+    // undecodable audio keeps the deterministic ratio fallback (16 kHz stub rate)
+    val n3 = rows(2).payload.length
+    assert(down(2).payload.length == math.max(1, math.round(n3 * 4000 / 16000.0).toInt))
+  }
+
   test("fingerprints are stable across runs and distinct across distinct docs") {
     val f1 = PipelineQueries.q32Fingerprint(spark, dir).collect()
     val f2 = PipelineQueries.q32Fingerprint(spark, dir).collect()
