@@ -120,8 +120,13 @@ case class MergeTreeConfig(
       * composition, O(manifest), zero data I/O — into table-wide heavy
       * hitters: "top domains/langs/terms across 100 TB" from metadata.
       * Exact whenever per-part distinct values stay ≤ capacity (no
-      * eviction anywhere); otherwise the standard SpaceSaving guarantee
-      * (true frequency > N/capacity ⇒ present; counts never undercount).
+      * eviction anywhere). Beyond that, a SINGLE part's sketch keeps the
+      * SpaceSaving overcount-only guarantee, but the cross-part merge is
+      * truncation-based: a term evicted from one part's sidecar loses that
+      * part's mass, so merged counts can over- OR under-count, with error
+      * bounded by the merged residual mass ~Σᵢ Nᵢ/capacity (the mergeable-
+      * summaries bound, Agarwal et al., PODS'12). Heavy hitters with true
+      * frequency > that bound still surface.
       */
     topKColumns: Seq[String] = Nil,
     /** Per-part quantile summary sidecars (`_quant_<col>`): each listed

@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   * Leskovec/Rajaraman/Ullman ch. 3 banding analysis).
   *
   * Storage is plain parquet: the store is itself just a table, so it can be
-  * read, compacted, or partition-pruned like any other — and `append` is an
-  * atomic directory-level parquet append (each batch lands as new files;
-  * concurrent readers see a consistent listing).
+  * read, compacted, or partition-pruned like any other. `append` lands each
+  * batch as new files under SINGLE-WRITER semantics (the only usage in this
+  * repo — one ingest feed owns a store): Spark commits parquet appends as
+  * per-file renames, not one directory-level swap, so a reader planning a
+  * scan mid-append could list a partially-committed batch. Concurrent
+  * multi-reader/writer consistency would need a manifest/commit protocol
+  * like the MergeTree tables' (mergetree/ColumnarMergeTree manifest CAS).
   */
 final class MinHashStore private (val path: String, spark: SparkSession) {
 

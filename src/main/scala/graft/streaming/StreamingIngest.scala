@@ -64,10 +64,19 @@ object StreamingIngest {
     * exact-verify pass (q101) would need historical TEXT the store
     * deliberately does not retain. State is the store itself (parquet on
     * shared storage), not the state-store — restarts resume from the
-    * checkpoint with the signatures already durable; a batch replayed
-    * after a sink-side failure re-filters against signatures it may
-    * already have appended, and self-pairs are excluded by doc_id so the
-    * replay emits the same rows (idempotent under retry).
+    * checkpoint with the signatures already durable.
+    *
+    * Replay determinism: the kept set is a pure function of (batch
+    * content, store state EXCLUDING this batch's own ids). Two pieces make
+    * that hold — (1) near-dups WITHIN the batch are resolved first
+    * (intra-batch band collisions, drop every doc with a smaller-id
+    * candidate neighbour), and (2) the store check ignores stored
+    * signatures whose id is in the current batch, so a replay that
+    * already appended this batch's signatures cannot collide the batch
+    * with itself and emit a different row set than the first attempt. A
+    * replayed append can duplicate signature rows in the store —
+    * candidate generation dedups pairs, so that costs bytes, not
+    * correctness.
     */
   def dedupedCorpusIngest(docsStream: DataFrame,
                           store: graft.operators.MinHashStore,
@@ -86,15 +95,32 @@ object StreamingIngest {
             .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
             .distinct()
             .persist()
+          val banded = graft.operators.MinHashStore.bandSignatures(dsh).persist()
+          // (1) intra-batch dedup: a doc colliding with a SMALLER batch id
+          // is dropped (min id per candidate cluster survives) — resolved
+          // before the store check so the kept set never depends on
+          // whether a prior attempt already signed this batch.
+          val intraDropped = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+            .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+              Seq("band", "sig"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_b").as("doc_id"))
+            .distinct()
+          // (2) store check, blind to this batch's own ids: a replayed
+          // batch must see exactly the store state the first attempt saw.
           val dupIds = store
-            .candidatePairs(graft.operators.MinHashStore.bandSignatures(dsh))
+            .candidatePairs(banded)
+            .join(b.select(col("doc_id").as("store_id")), Seq("store_id"), "left_anti")
             .select(col("batch_id").as("doc_id"))
             .distinct()
-          val fresh = b.join(dupIds, Seq("doc_id"), "left_anti")
+          val fresh = b
+            .join(intraDropped, Seq("doc_id"), "left_anti")
+            .join(dupIds, Seq("doc_id"), "left_anti")
           sink(fresh)
           // append signatures of KEPT docs only: a dropped dup's signatures
           // are already represented by the stored doc it collided with
           store.append(dsh.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+          banded.unpersist()
           dsh.unpersist()
           b.unpersist()
           ()

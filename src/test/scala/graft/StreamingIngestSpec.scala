@@ -273,4 +273,48 @@ class StreamingIngestSpec extends AnyFunSuite {
         "store holds signatures of the three KEPT docs only")
     } finally q.stop()
   }
+
+  test("deduped ingest is replay-stable: intra-batch dups resolve before the store check") {
+    import graft.operators.MinHashStore
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    implicit val sqlCtx = spark.sqlContext
+    val emptyDsh = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("h", LongType))))
+    val store = MinHashStore.create(spark,
+      Files.createTempDirectory("mhs_replay_").toString, emptyDsh)
+    val docA = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docA2 = docA.replace("tok30 ", "edited ") // J ≈ 0.84 vs docA
+    val docC = (200 to 260).map(i => s"novel$i").mkString(" ")
+    val batch = Seq((1L, docA), (2L, docA2), (7L, docC))
+
+    def runBatch(): List[Long] = {
+      val source = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamingIngest.dedupedCorpusIngest(
+        source.toDF().toDF("doc_id", "text"), store,
+        fresh => got.synchronized {
+          got ++= fresh.select("doc_id").collect().map(_.getLong(0))
+        },
+        Files.createTempDirectory("mhs_replay_ckpt_").toString)
+      try {
+        source.addData(batch: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      got.sorted.toList
+    }
+
+    // first attempt: the intra-batch near-dup pair {1, 2} resolves to its
+    // min id BEFORE the (empty) store is consulted
+    assert(runBatch() == List(1L, 7L),
+      "intra-batch near-dup must keep the min doc_id")
+    // replay (fresh checkpoint, same batch, store now holding the first
+    // attempt's appended signatures): the store check must ignore the
+    // batch's own stored ids — the ADVICE r8 failure mode was 1 and 2
+    // colliding with each other's stored bands and BOTH vanishing
+    assert(runBatch() == List(1L, 7L),
+      "replay after append must emit exactly the first attempt's rows")
+    assert(store.signatures.select("doc_id").distinct().count() == 2,
+      "store holds the kept ids only (duplicated signature rows allowed)")
+  }
 }
