@@ -120,6 +120,10 @@ object Demo {
     println(s"== approxTopK(user, 3) = ${hllT.approxTopK("user", 3).mkString(", ")}")
     println(s"== approxQuantiles(v, p50/p90) = " +
       hllT.approxQuantiles("v", Seq(0.5, 0.9)).map(q => f"$q%.1f").mkString(", "))
+    // Round 9: the same folds from pure SQL via the injected table functions.
+    val sqlUniq = spark.sql(
+      s"SELECT approx_distinct FROM uniq_meta('${hllT.path}')").head.getLong(0)
+    println(s"== SQL face: SELECT approx_distinct FROM uniq_meta(dir) = $sqlUniq")
 
     // Round 8: cross-snapshot incremental dedup via the signature store.
     println("== MinHash signature store: new batch deduped against history:")

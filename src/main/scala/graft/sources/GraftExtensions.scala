@@ -14,14 +14,70 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * via `spark.sql.extensions=graft.sources.GraftExtensions` by GraftSession
   * and the test session.
   *
-  * Two injections: the FINAL-applying SQL read (MergeTreeFinalRule) and
-  * the ClickHouse maintenance-verb parser (GraftSqlParser — OPTIMIZE
-  * TABLE, DETACH/ATTACH/DROP/REPLACE PARTITION, MATERIALIZE TTL).
+  * Three injections: the FINAL-applying SQL read (MergeTreeFinalRule), the
+  * ClickHouse maintenance-verb parser (GraftSqlParser — OPTIMIZE TABLE,
+  * DETACH/ATTACH/DROP/REPLACE PARTITION, MATERIALIZE TTL), and the
+  * metadata table functions (`uniq_meta` family below).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => new MergeTreeFinalRule(session))
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    GraftExtensions.MetaFunctions.foreach { case (kind, fname) =>
+      e.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          GraftExtensions.getClass.getCanonicalName, fname),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          GraftExtensions.metaRelation(kind, fname, args)))
+    }
+  }
+}
+
+/** SQL table-function faces over the part-sidecar sketch folds: a pure-SQL
+  * user gets the O(manifest), zero-data-I/O answers without the Scala API —
+  *
+  * {{{
+  *   SELECT * FROM uniq_meta('graft.ns.tbl')       -- approxDistinct per hllColumn
+  *   SELECT * FROM topk_meta('/data/tbl')          -- heavy hitters per topKColumn
+  *   SELECT * FROM quantiles_meta('graft.ns.tbl')  -- p50/p90/p99 per quantileColumn
+  *   SELECT * FROM parts_meta('…') / snapshots_meta('…')
+  * }}}
+  *
+  * The argument is the same dual addressing the maintenance verbs accept: a
+  * catalog identifier (`graft.ns.tbl`) or a table directory path. Rows come
+  * from the shared MergeTreeSystemTable folds (one implementation with the
+  * `system '<kind>'` relations) and materialize as a LocalRelation at
+  * ANALYSIS time — metadata-as-of-planning, the LocalScan discipline.
+  */
+object GraftExtensions {
+
+  private val MetaFunctions = Seq(
+    "uniq" -> "uniq_meta", "topk" -> "topk_meta",
+    "quantiles" -> "quantiles_meta", "parts" -> "parts_meta",
+    "snapshots" -> "snapshots_meta")
+
+  private def metaRelation(
+      kind: String, fname: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    require(args.length == 1 && args.head.foldable &&
+      args.head.dataType == org.apache.spark.sql.types.StringType,
+      s"$fname(table) takes exactly one string argument " +
+        "(catalog identifier or table directory)")
+    val target = String.valueOf(args.head.eval())
+    val spark = SparkSession.active
+    val t =
+      if (target.contains('/')) GraftSqlParser.PathTarget(target)
+      else GraftSqlParser.IdentTarget(
+        spark.sessionState.sqlParser.parseMultipartIdentifier(target))
+    val dir = GraftSqlParser.resolveDir(spark, t)
+    val attrs = MergeTreeSystemTable.schemaFor(kind).fields.toIndexedSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    LocalRelation(attrs,
+      MergeTreeSystemTable.rowsFor(dir, kind).toIndexedSeq, isStreaming = false)
   }
 }
 

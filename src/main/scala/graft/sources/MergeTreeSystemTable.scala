@@ -24,8 +24,33 @@ import java.nio.file.{Files, Paths}
   *   SELECT partition, sum(bytes) FROM mergetree.`dir` (system 'parts') …
   */
 class MergeTreeSystemTable(path: String, kind: String) extends Table with SupportsRead {
+  import MergeTreeSystemTable.{schemaFor, utf8}
 
-  private val tableSchema: StructType = kind match {
+  private val tableSchema: StructType = schemaFor(kind)
+
+  override def name(): String = s"mergetree:$path!system.$kind"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] =
+          MergeTreeSystemTable.rowsFor(path, kind)
+        override def description(): String = s"mergetree-system $path $kind"
+      }
+    }
+}
+
+/** Row/schema builders shared by the DSv2 `system '<kind>'` relations above
+  * and the SQL table functions (`uniq_meta('t')` etc., GraftExtensions) —
+  * ONE implementation of every metadata fold.
+  */
+object MergeTreeSystemTable {
+
+  def schemaFor(kind: String): StructType = kind match {
     case "parts" => StructType.fromDDL(
       "part_id BIGINT, partition STRING, rows BIGINT, granules BIGINT, " +
         "bytes BIGINT, min_key STRING, max_key STRING, created_ms BIGINT")
@@ -44,15 +69,18 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
         "(expected parts | snapshots | uniq | topk | quantiles)")
   }
 
-  override def name(): String = s"mergetree:$path!system.$kind"
-  override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  def rowsFor(path: String, kind: String): Array[InternalRow] = kind match {
+    case "parts"     => partRows(path)
+    case "uniq"      => uniqRows(path)
+    case "topk"      => topkRows(path)
+    case "quantiles" => quantileRows(path)
+    case _           => snapshotRows(path)
+  }
 
   private def utf8(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
 
-  private def partRows(): Array[InternalRow] =
+  private def partRows(path: String): Array[InternalRow] =
     GManifest.load(path).map(_.parts).getOrElse(Nil).map { p =>
       new GenericInternalRow(Array[Any](p.partId, utf8(p.partition.orNull),
         p.rowCount, p.granuleCount, p.diskSize, utf8(p.minKey), utf8(p.maxKey),
@@ -62,7 +90,7 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
   /** A snapshot is `readable` while every part it lists is still on disk —
     * live or retired-within-grace (the time-travel horizon, observable).
     */
-  private def snapshotRows(): Array[InternalRow] =
+  private def snapshotRows(path: String): Array[InternalRow] =
     SnapshotLog.list(path).flatMap(seq => SnapshotLog.load(path, seq).map { m =>
       val readable = m.parts.forall(p =>
         Files.isDirectory(Paths.get(path, s"part_${p.partId}")))
@@ -77,7 +105,7 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
     * `covered_parts` vs `parts` makes partial coverage explicit; the API
     * (`approxDistinct`) is the face that scans stragglers on the fly.
     */
-  private def uniqRows(): Array[InternalRow] = {
+  private def uniqRows(path: String): Array[InternalRow] = {
     val cols = ColumnarMergeTree.TableDef.load(path)
       .flatMap(_.hllColumns).getOrElse(Nil)
     val parts = GManifest.load(path).map(_.parts).getOrElse(Nil)
@@ -101,7 +129,7 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
     * table-wide top-50 heavy hitters per declared column. Same
     * metadata-only discipline (and coverage columns) as `uniq`.
     */
-  private def topkRows(): Array[InternalRow] = {
+  private def topkRows(path: String): Array[InternalRow] = {
     import org.json4s.DefaultFormats
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = DefaultFormats
@@ -133,7 +161,7 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
     * table-wide p50/p90/p99 per declared column. Same metadata-only
     * discipline (and coverage columns) as `uniq`/`topk`.
     */
-  private def quantileRows(): Array[InternalRow] = {
+  private def quantileRows(path: String): Array[InternalRow] = {
     import org.json4s.DefaultFormats
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = DefaultFormats
@@ -169,19 +197,4 @@ class MergeTreeSystemTable(path: String, kind: String) extends Table with Suppor
         covered, parts.size.toLong)): InternalRow
     }.toArray
   }
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new LocalScan {
-        override def readSchema(): StructType = tableSchema
-        override def rows(): Array[InternalRow] = kind match {
-          case "parts"     => partRows()
-          case "uniq"      => uniqRows()
-          case "topk"      => topkRows()
-          case "quantiles" => quantileRows()
-          case _           => snapshotRows()
-        }
-        override def description(): String = s"mergetree-system $path $kind"
-      }
-    }
 }

@@ -118,6 +118,52 @@ class HllSketchSpec extends AnyFunSuite {
     assert(r.getLong(2) == 3 && r.getLong(3) == 3, "all parts covered")
   }
 
+  test("uniq_meta/topk_meta/quantiles_meta: the sketch folds from pure SQL over a catalog ident") {
+    val wh = Files.createTempDirectory("meta_fn_wh_").toString
+    spark.conf.set("spark.sql.catalog.gmeta",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmeta.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.ns")
+    spark.sql(
+      """CREATE TABLE gmeta.ns.m (id BIGINT, tag STRING, cat STRING, v DOUBLE)
+        |USING mergetree
+        |OPTIONS (orderBy 'id', hllColumns 'tag', topKColumns 'cat',
+        |  quantileColumns 'v')""".stripMargin)
+    try {
+      // two parts, so the functions exercise the cross-part merge
+      spark.sql(
+        """INSERT INTO gmeta.ns.m SELECT id, concat('t', id % 400),
+          |concat('c', id % 7), CAST(id % 1000 AS DOUBLE) FROM range(5000)""".stripMargin)
+      spark.sql(
+        """INSERT INTO gmeta.ns.m SELECT id, concat('t', id % 400),
+          |concat('c', id % 7), CAST(id % 1000 AS DOUBLE)
+          |FROM range(5000, 10000)""".stripMargin)
+      val u = spark.sql("SELECT * FROM uniq_meta('gmeta.ns.m')").collect()
+      assert(u.length == 1 && u.head.getString(0) == "tag")
+      assert(math.abs(u.head.getLong(1) - 400) <= tolerance(400),
+        s"estimate ${u.head.getLong(1)}")
+      assert(u.head.getLong(2) == 2 && u.head.getLong(3) == 2, "both parts covered")
+      // 7 categories of ~1429 each, counts exact in the no-eviction regime
+      val tk = spark.sql(
+        "SELECT term, cnt FROM topk_meta('gmeta.ns.m') WHERE rank <= 7 ORDER BY term")
+        .collect()
+      assert(tk.length == 7 && tk.map(_.getLong(1)).sum == 10000)
+      val q = spark.sql("SELECT p50, p90, p99 FROM quantiles_meta('gmeta.ns.m')")
+        .collect().head
+      assert(math.abs(q.getDouble(0) - 500.0) <= 25, s"p50 ${q.getDouble(0)}")
+      assert(math.abs(q.getDouble(1) - 900.0) <= 25, s"p90 ${q.getDouble(1)}")
+      // the directory-path spelling resolves to the same table
+      val byPath = spark.sql(
+        s"SELECT approx_distinct FROM uniq_meta('$wh/ns/m')").collect().head
+      assert(byPath.getLong(0) == u.head.getLong(1), "path and ident forms agree")
+      // metadata-only discipline: the folds run at analysis, no scan of data
+      val plan = spark.sql("SELECT * FROM uniq_meta('gmeta.ns.m')")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan") && !plan.contains("BatchScan"),
+        s"meta function must not scan data:\n$plan")
+    } finally spark.sql("DROP TABLE gmeta.ns.m")
+  }
+
   test("undeclared column is rejected loudly") {
     val dir = Files.createTempDirectory("hll_rej_").toString
     val df = Seq((1L, "a")).toDF("id", "k")
