@@ -2002,6 +2002,7 @@ object ColumnarMergeTree {
       Some(config.hllColumns.toList).filter(_.nonEmpty),
       Some(config.topKColumns.toList).filter(_.nonEmpty),
       Some(config.quantileColumns.toList).filter(_.nonEmpty)))
+    if (config.manifestLog) GManifest.enableLogLayout(path)
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
 
@@ -2326,8 +2327,13 @@ object ColumnarMergeTree {
         Files.deleteIfExists(dir.resolve(s"snap_$s.json")))
     }
 
-    /** Available snapshot ids, oldest first. */
+    /** Available snapshot ids, oldest first. In manifest-log mode the
+      * commit log IS the snapshot log (every commit is a full immutable
+      * state — put-if-absent published, so concurrent writers can never
+      * clobber one), and time travel reads it directly.
+      */
     def list(tablePath: String): Seq[Long] = {
+      if (GManifest.logMode(tablePath)) return GManifest.logSeqs(tablePath).sorted
       val dir = Paths.get(tablePath, "snapshots")
       if (!Files.exists(dir)) return Nil
       val s = Files.list(dir)
@@ -2339,6 +2345,7 @@ object ColumnarMergeTree {
     }
 
     def load(tablePath: String, seq: Long): Option[GManifest] = {
+      if (GManifest.logMode(tablePath)) return GManifest.loadLogAt(tablePath, seq)
       val f = Paths.get(tablePath, "snapshots", s"snap_$seq.json")
       if (!Files.exists(f)) None
       else Some(JsonMethods.parse(Files.readString(f)).extract[GManifest])
@@ -2414,11 +2421,106 @@ object ColumnarMergeTree {
     import org.json4s.jackson.{JsonMethods, Serialization}
     private implicit val formats: Formats = DefaultFormats
 
-    def load(tablePath: String): Option[GManifest] = {
-      val f = Paths.get(tablePath, "gmanifest.json")
+    // ----- append-only manifest LOG layout (object-store posture) -----
+    //
+    // The default layout commits by read-modify-write of gmanifest.json
+    // under a POSIX advisory file lock (ManifestLocks) — correct on local
+    // disk and NFSv4, meaningless on object stores, which have no locks.
+    // Log mode (flagged by the presence of `_manifest_log/`, enabled via
+    // MergeTreeConfig.manifestLog or enableLogLayout) replaces the lock
+    // with the one primitive object stores DO offer, atomic put-if-absent:
+    // every commit publishes the FULL manifest state as its own immutable
+    // numbered file, losers of a sequence number detect the conflict and
+    // retry on the fresh state (optimistic CAS, the delta-log commit
+    // shape). Local put-if-absent is Files.createLink (atomic, EEXIST on
+    // conflict); an object-store deployment swaps in conditional-put.
+    // Commits double as the snapshot log (each file IS a full snapshot —
+    // SnapshotLog serves time travel straight from it); compaction deletes
+    // commits older than the latest LogKeep, bounding the directory.
+    private val LogDirName = "_manifest_log"
+    private val LogKeep = 64
+
+    def logMode(tablePath: String): Boolean =
+      Files.isDirectory(Paths.get(tablePath, LogDirName))
+
+    /** Migrate a table to the log layout (idempotent): current state
+      * becomes the first commit. New tables get it via
+      * MergeTreeConfig.manifestLog at create(). Migration of a LIVE legacy
+      * table takes the advisory lock once (a writer mid-commit on the old
+      * layout must not race the cutover); commits after the cutover never
+      * touch the lock again.
+      */
+    def enableLogLayout(tablePath: String): Unit =
+      ManifestLocks.locked(tablePath) {
+        if (!logMode(tablePath)) {
+          val cur = load(tablePath).getOrElse(GManifest(0L, Nil))
+          Files.createDirectories(Paths.get(tablePath, LogDirName))
+          require(tryPublish(tablePath, cur, 1L),
+            s"fresh manifest log at $tablePath rejected its first commit")
+        }
+      }
+
+    private def commitFile(tablePath: String, seq: Long) =
+      Paths.get(tablePath, LogDirName, f"$seq%020d.json")
+
+    private[mergetree] def logSeqs(tablePath: String): Seq[Long] = {
+      val d = Paths.get(tablePath, LogDirName)
+      if (!Files.isDirectory(d)) Nil
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".json") && !n.startsWith("."))
+          .map(_.stripSuffix(".json").toLong).toList
+        finally s.close()
+      }
+    }
+
+    private[mergetree] def loadLogAt(tablePath: String, seq: Long): Option[GManifest] = {
+      val f = commitFile(tablePath, seq)
       if (!Files.exists(f)) None
       else Some(JsonMethods.parse(Files.readString(f)).extract[GManifest])
     }
+
+    /** Latest (seq, state); (0, empty) on a fresh log. Re-lists if the
+      * chosen commit is compacted away mid-read (only ever an OLD one).
+      */
+    private def loadLog(tablePath: String): (Long, GManifest) = {
+      while (true) {
+        val seqs = logSeqs(tablePath)
+        if (seqs.isEmpty) return (0L, GManifest(0L, Nil))
+        val mx = seqs.max
+        try return (mx, JsonMethods.parse(
+          Files.readString(commitFile(tablePath, mx))).extract[GManifest])
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Atomic put-if-absent of commit `seq`: true iff WE published it. */
+    private def tryPublish(tablePath: String, m: GManifest, seq: Long): Boolean = {
+      val dir = Paths.get(tablePath, LogDirName)
+      val tmp = Files.createTempFile(dir, ".commit_", ".tmp")
+      try {
+        Files.writeString(tmp, Serialization.writePretty(m))
+        Files.createLink(commitFile(tablePath, seq), tmp)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    }
+
+    private def compactLog(tablePath: String, latest: Long): Unit =
+      logSeqs(tablePath).filter(_ <= latest - LogKeep)
+        .foreach(s => Files.deleteIfExists(commitFile(tablePath, s)))
+
+    def load(tablePath: String): Option[GManifest] =
+      if (logMode(tablePath)) {
+        val (seq, m) = loadLog(tablePath)
+        if (seq == 0L) None else Some(m)
+      } else {
+        val f = Paths.get(tablePath, "gmanifest.json")
+        if (!Files.exists(f)) None
+        else Some(JsonMethods.parse(Files.readString(f)).extract[GManifest])
+      }
 
     def store(tablePath: String, m: GManifest): Unit = {
       Files.createDirectories(Paths.get(tablePath))
@@ -2431,10 +2533,24 @@ object ColumnarMergeTree {
 
     /** Read-merge-store under the per-path lock (shared with the KV-table
       * Manifest and the DSv2 connector): no writer holding a stale in-memory
-      * copy can clobber another writer's committed parts.
+      * copy can clobber another writer's committed parts. In log mode the
+      * lock is replaced by the optimistic CAS loop — `f` re-applies on the
+      * fresh state after a lost race, so it must be a pure function of the
+      * manifest (every in-repo caller is).
       */
     def update(tablePath: String)(f: GManifest => GManifest): GManifest =
-      ManifestLocks.locked(tablePath) {
+      if (logMode(tablePath)) {
+        var out: GManifest = null
+        while (out == null) {
+          val (seq, cur) = loadLog(tablePath)
+          val next = f(cur)
+          if (tryPublish(tablePath, next, seq + 1)) {
+            compactLog(tablePath, seq + 1)
+            out = next
+          }
+        }
+        out
+      } else ManifestLocks.locked(tablePath) {
         val next = f(load(tablePath).getOrElse(GManifest(0L, Nil)))
         store(tablePath, next)
         next
@@ -2455,7 +2571,8 @@ object ColumnarMergeTree {
 
     def register(tablePath: String, stagedDir: java.nio.file.Path, append: Boolean)
         (metaFor: Long => GPartMeta): GPartMeta =
-      ManifestLocks.locked(tablePath) {
+      if (logMode(tablePath)) registerLog(tablePath, stagedDir, append)(metaFor)
+      else ManifestLocks.locked(tablePath) {
         val cur = load(tablePath).getOrElse(GManifest(0L, Nil))
         val id = nextIdOf(cur)
         Files.move(stagedDir, Paths.get(tablePath, s"part_$id"))
@@ -2464,5 +2581,47 @@ object ColumnarMergeTree {
           GManifest(id + 1, if (append) cur.parts :+ meta else cur.parts))
         meta
       }
+
+    /** Log-mode register: the part id is claimed by atomically claiming its
+      * DIRECTORY NAME (rename fails on an existing target), then the
+      * manifest append retries the publish CAS on the fresh state — the id
+      * stays exclusively ours across retries because the name claim
+      * preceded them. A writer dying between claim and publish orphans a
+      * part directory and stalls same-id claimants until GC; a production
+      * object-store layout sidesteps this with unique (uuid) part names —
+      * accepted prototype trade, matching the staged-rename the default
+      * layout already relies on.
+      */
+    private def registerLog(tablePath: String, stagedDir: java.nio.file.Path,
+        append: Boolean)(metaFor: Long => GPartMeta): GPartMeta = {
+      var id = -1L
+      while (id < 0) {
+        val (_, cur) = loadLog(tablePath)
+        val want = nextIdOf(cur)
+        val target = Paths.get(tablePath, s"part_$want")
+        try {
+          Files.move(stagedDir, target)
+          id = want
+        } catch {
+          // a racer claimed the name but hasn't published yet — wait for
+          // its commit to bump nextIdOf past the contested id. rename(2)
+          // reports the taken name as EEXIST for files but ENOTEMPTY for
+          // non-empty directories, hence the existence re-check.
+          case e: java.nio.file.FileSystemException
+              if e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+                Files.exists(target) => Thread.sleep(2)
+        }
+      }
+      val meta = metaFor(id)
+      var done = false
+      while (!done) {
+        val (seq, cur) = loadLog(tablePath)
+        val next = GManifest(math.max(cur.version, id + 1),
+          if (append) cur.parts :+ meta else cur.parts)
+        done = tryPublish(tablePath, next, seq + 1)
+        if (done) compactLog(tablePath, seq + 1)
+      }
+      meta
+    }
   }
 }

@@ -138,7 +138,14 @@ case class MergeTreeConfig(
       * part: "p99 over 100 TB" from metadata. Completes the per-part
       * sketch family (hllColumns `uniq`, topKColumns heavy hitters).
       */
-    quantileColumns: Seq[String] = Nil)
+    quantileColumns: Seq[String] = Nil,
+    /** Commit the manifest through the append-only log layout
+      * (`_manifest_log/`, one immutable full-state file per commit,
+      * put-if-absent CAS instead of the POSIX advisory lock) — the
+      * object-store posture; see GManifest's log-mode docs. Existing
+      * tables migrate via GManifest.enableLogLayout.
+      */
+    manifestLog: Boolean = false)
 
 /** Per-part metadata, mirroring `PartMetadata` (reference: src/part.h:12-26).
   * Persisted in the table manifest; used for driver-side part pruning

@@ -4,7 +4,7 @@ import graft.mergetree.{ColumnarMergeTree, MergeMode, MergeTreeConfig}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** Schema-generic MergeTree (SURVEY §1.4 "generalize to arbitrary
   * StructType with a declared ORDER BY"): numeric and string leading keys,
@@ -340,6 +340,33 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(t2.schema == orders.schema && t2.orderBy == Seq("o_orderkey"))
     assert(t2.totalRows == orders.count())
     assert(t2.scan().orderBy("o_orderkey").collect().toSeq == before)
+  }
+
+  test("manifestLog table: full lifecycle (ingest, compact, reopen, time travel) on the log layout") {
+    import graft.mergetree.ColumnarMergeTree.{GManifest, SnapshotLog}
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dir = Files.createTempDirectory("cmt_log_").toString
+    val t = ColumnarMergeTree.create(spark, dir, orders.schema,
+      orderBy = Seq("o_orderkey"),
+      MergeTreeConfig(maxParts = 2, manifestLog = true))
+    assert(GManifest.logMode(dir), "create(manifestLog = true) must cut over")
+    assert(!Files.exists(Paths.get(dir, "gmanifest.json")),
+      "log-mode commits must not write the legacy manifest file")
+    (0 until 4).foreach(i => t.insertBatch(orders.filter(col("o_orderkey") % 4 === i)))
+    val seqAfterIngest = SnapshotLog.list(dir).last
+    val before = t.scan().orderBy("o_orderkey").collect().toSeq
+    t.optimize()
+    assert(t.partCount <= 2)
+    assert(t.scan().orderBy("o_orderkey").collect().toSeq == before)
+    // reopen reads the latest log commit
+    val t2 = ColumnarMergeTree.open(spark, dir)
+    assert(t2.totalRows == orders.count())
+    assert(t2.scan().orderBy("o_orderkey").collect().toSeq == before)
+    // time travel serves straight from the commit log: the pre-optimize
+    // snapshot still lists 4 parts and (within gc grace) still reads
+    val snap = SnapshotLog.load(dir, seqAfterIngest).get
+    assert(snap.parts.size == 4, s"pre-optimize snapshot: ${snap.parts.size} parts")
+    assert(t2.scanAt(seqAfterIngest).orderBy("o_orderkey").collect().toSeq == before)
   }
 
   test("self-describing open restores merge mode") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.mergetree.ColumnarMergeTree.{GcEntry, GcList}
+import graft.mergetree.ColumnarMergeTree.{GcEntry, GcList, GManifest, GPartMeta, SnapshotLog}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Paths}
@@ -16,6 +16,25 @@ object LockStressMain {
     val off = offStr.toLong
     (0 until nStr.toInt).foreach { i =>
       GcList.update(path)(cur => GcList(cur.retired :+ GcEntry(off + i, 0L)))
+    }
+  }
+}
+
+/** Helper main for the manifest-LOG variant: append part entries through
+  * GManifest.update on a log-mode table from a separate JVM — the
+  * put-if-absent CAS, not the advisory file lock, is the serializer there.
+  */
+object LogStressMain {
+  def main(args: Array[String]): Unit = {
+    val Array(path, nStr, offStr) = args
+    val off = offStr.toLong
+    (0 until nStr.toInt).foreach { i =>
+      val id = off + i
+      GManifest.update(path) { cur =>
+        GManifest(math.max(cur.version, id + 1),
+          cur.parts :+ GPartMeta(id, s"k$id", s"k$id", numericKey = false,
+            rowCount = 1L, granuleCount = 1L, diskSize = 0L, creationTime = 0L))
+      }
     }
   }
 }
@@ -49,5 +68,78 @@ class CrossProcessLockSpec extends AnyFunSuite {
     assert(got.size == 3 * perWriter,
       s"lost ${3 * perWriter - got.size} of ${3 * perWriter} cross-process updates")
     assert(got.distinct.size == got.size)
+  }
+
+  test("manifest LOG commits: two processes + this one race, no lost commits, no lock") {
+    val dir = Files.createTempDirectory("xproc_log_").toString
+    GManifest.enableLogLayout(dir)
+    // migration itself serializes via the advisory lock; COMMITS must not —
+    // delete its lock file and assert no commit path recreates it
+    Files.deleteIfExists(Paths.get(dir, ".manifest.lock"))
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val perWriter = 40
+    val procs = (1 to 2).map { p =>
+      new ProcessBuilder(java, "-cp", cp, "graft.LogStressMain",
+        dir, perWriter.toString, (p * 100000).toString)
+        .inheritIO().start()
+    }
+    (0 until perWriter).foreach { i =>
+      GManifest.update(dir) { cur =>
+        GManifest(math.max(cur.version, i + 1L),
+          cur.parts :+ GPartMeta(i.toLong, s"k$i", s"k$i", numericKey = false,
+            rowCount = 1L, granuleCount = 1L, diskSize = 0L, creationTime = 0L))
+      }
+    }
+    procs.foreach { p =>
+      assert(p.waitFor(180, TimeUnit.SECONDS), "child JVM did not finish")
+      assert(p.exitValue() == 0, "child JVM failed")
+    }
+    val parts = GManifest.load(dir).get.parts.map(_.partId)
+    assert(parts.size == 3 * perWriter,
+      s"lost ${3 * perWriter - parts.size} of ${3 * perWriter} log-mode commits")
+    assert(parts.distinct.size == parts.size, "duplicate part entries")
+    // the lock file was never the serializer here
+    assert(!Files.exists(Paths.get(dir, ".manifest.lock")),
+      "log mode must not touch the advisory lock")
+    // snapshot reads stay consistent: every commit the log retains is a
+    // complete readable state, and part counts grow monotonically with seq
+    val seqs = SnapshotLog.list(dir)
+    assert(seqs.nonEmpty && seqs.size <= 64, s"compaction bound: ${seqs.size}")
+    val sizes = seqs.map(s => SnapshotLog.load(dir, s)
+      .getOrElse(fail(s"snapshot $s vanished")).parts.size)
+    assert(sizes == sizes.sorted, s"append-only history must be monotone: $sizes")
+    assert(sizes.last == 3 * perWriter)
+  }
+
+  test("log-mode register: concurrent part claims get distinct ids and all commit") {
+    val dir = Files.createTempDirectory("xlog_reg_").toString
+    GManifest.enableLogLayout(dir)
+    val writers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val fs = (0 until writers).map { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val staged = Files.createTempDirectory(Paths.get(dir), s".stage_$w")
+          Files.writeString(staged.resolve("data.bin"), s"writer $w")
+          val meta = GManifest.register(dir, staged, append = true)(id =>
+            GPartMeta(id, s"w$w", s"w$w", numericKey = false,
+              rowCount = 1L, granuleCount = 1L, diskSize = 0L, creationTime = 0L))
+          ids.add(meta.partId)
+        }
+      })
+    }
+    fs.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(ids.size == writers, s"id collision: $ids")
+    val man = GManifest.load(dir).get
+    assert(man.parts.size == writers, "every claimed part must be committed")
+    ids.forEach { id =>
+      assert(Files.isDirectory(Paths.get(dir, s"part_$id")),
+        s"claimed directory part_$id must exist")
+    }
+    assert(man.version > man.parts.map(_.partId).max,
+      "version fence must outrun every allocated id")
   }
 }
