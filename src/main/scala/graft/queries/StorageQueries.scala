@@ -710,6 +710,40 @@ object StorageQueries {
       | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q105 — the append-only manifest-LOG layout (object-store commit
+    * posture, round 9) through the full table lifecycle: a `manifestLog`
+    * table takes four ingest commits and a compaction — every one a
+    * put-if-absent CAS on `_manifest_log/`, no advisory lock on the commit
+    * path — then serves the aggregate through the DSv2 SQL face reading
+    * the latest log commit. Oracle: the same aggregate over the raw
+    * parquet; equality proves no commit was lost or doubled across the
+    * ingest/compaction CAS sequence.
+    */
+  def q105LogManifest(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#logmanifest", {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q105_").toString,
+        o.schema, orderBy = Seq("o_orderkey"),
+        MergeTreeConfig(maxParts = 2, manifestLog = true))
+      (0 until 4).foreach(i => tbl.insertBatch(o.filter(col("o_orderkey") % 4 === i)))
+      tbl.optimize()
+      tbl
+    })
+    spark.read.format("mergetree").load(t.path)
+      .filter(col("o_orderkey") % 3 === 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("o_totalprice")) * lit(100.0) + lit(0.5)).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q105Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      | CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS sum_price
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -732,5 +766,6 @@ object StorageQueries {
     ("q79_minmax_scan", q79MinmaxScan _, Some(q79Sql)),
     ("q91_alter_sql", q91AlterSql _, Some(q91Sql)),
     ("q92_optimize_sql", q92OptimizeSql _, Some(q92Sql)),
-    ("q97_has_token", q97HasToken _, Some(q97Sql)))
+    ("q97_has_token", q97HasToken _, Some(q97Sql)),
+    ("q105_log_manifest", q105LogManifest _, Some(q105Sql)))
 }
