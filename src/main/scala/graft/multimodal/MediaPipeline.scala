@@ -37,13 +37,15 @@ case class MediaFrame(
   * The Spark-side plumbing here is real and tested — typed schema, batched
   * per-partition iteration (the JVM mirror of a `mapInPandas` batch loop),
   * deterministic output, partition-preserving execution with no driver
-  * materialization. IMAGE payloads use a REAL codec (javax.imageio:
-  * PNG/JPEG/GIF/BMP decode, bilinear resize, PNG re-encode) and AUDIO
-  * payloads a REAL codec too (javax.sound.sampled: WAV/AIFF/AU PCM decode,
-  * per-channel linear resample, WAV re-encode) — both spec'd against
-  * in-test-generated fixtures. VIDEO payloads, which no JDK codec covers,
-  * fall back to a deterministic stub (`decodeStub`) so the pipeline shape
-  * is identical — a deployment swaps the stub for a JNI/codec call without
+  * materialization. All three modalities have a REAL JDK-only codec path,
+  * each spec'd against in-test-generated fixtures: IMAGE via javax.imageio
+  * (PNG/JPEG/GIF/BMP decode, bilinear resize, PNG re-encode), AUDIO via
+  * javax.sound.sampled (WAV/AIFF/AU PCM decode, per-channel linear
+  * resample, WAV re-encode), and VIDEO for MJPEG-in-AVI (hand-walked RIFF
+  * container, per-frame JPEG decode, real keyframe extraction). Payloads
+  * outside those formats (e.g. H.264/MP4, which no JDK codec covers) fall
+  * back to a deterministic stub (`decodeStub`) so the pipeline shape is
+  * identical — a deployment swaps the stub for a JNI/codec call without
   * touching any of the plumbing.
   *
   * Scale posture: payloads stay distributed end-to-end; the batch size
@@ -108,15 +110,72 @@ object MediaPipeline {
       } finally in.close()
     } catch { case _: Throwable => None }
 
-  /** Dimensions/frames for a payload: the REAL codec for decodable images
-    * and audio, the deterministic stub otherwise. Audio maps its geometry
-    * into the shared (width, height, n_frames) shape as (sample rate,
-    * channels, per-channel frame count) — duration is frames/rate.
+  /** Decoded MJPEG-AVI video: geometry + the per-frame JPEG payloads
+    * (each independently decodable by the image codec).
+    */
+  private[graft] final case class VideoClip(
+      width: Int, height: Int, microSecPerFrame: Long,
+      frames: IndexedSeq[Array[Byte]]) {
+    def fps: Double = if (microSecPerFrame <= 0) 0.0 else 1e6 / microSecPerFrame
+    def durationSec: Double =
+      if (microSecPerFrame <= 0) 0.0 else frames.length * microSecPerFrame / 1e6
+  }
+
+  /** Real video decode for the one container+codec pair the JDK can fully
+    * handle: MJPEG-in-AVI — a hand-walked RIFF parse (fourcc + u32-LE
+    * sizes, LIST recursion) collecting the `avih` main header (frame
+    * period, raster geometry) and every `##dc`/`##db` stream chunk, each
+    * of which is a standalone JPEG that javax.imageio decodes. None for
+    * anything that isn't a well-formed AVI — callers fall back to the
+    * deterministic stub, same contract as the image and audio codecs.
+    */
+  private[graft] def decodeVideo(payload: Array[Byte]): Option[VideoClip] = {
+    def u32(off: Int): Long =
+      if (off + 4 > payload.length) -1L
+      else (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    def cc(off: Int): String =
+      if (off + 4 > payload.length) ""
+      else new String(payload, off, 4, "US-ASCII")
+    if (payload.length < 24 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    try {
+      var header: Option[(Int, Int, Long)] = None
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = cc(off)
+          val size = u32(off + 4)
+          if (size < 0 || off + 8 + size > end) return
+          val data = off + 8
+          if (id == "LIST") walk(data + 4, data + size.toInt)
+          else if (id == "avih" && size >= 40)
+            header = Some((u32(data + 32).toInt, u32(data + 36).toInt, u32(data)))
+          else if (id.endsWith("dc") || id.endsWith("db"))
+            frames += java.util.Arrays.copyOfRange(payload, data, data + size.toInt)
+          off = data + size.toInt + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(payload.length, 8 + u32(4).toInt))
+      val fs = frames.result()
+      header.filter(_ => fs.nonEmpty).flatMap { case (w, h, usPerFrame) =>
+        // the frames must really be JPEGs the raster codec can decode
+        decodeImage(fs.head).map(_ => VideoClip(w, h, usPerFrame, fs))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Dimensions/frames for a payload: the REAL codec for decodable images,
+    * audio, and MJPEG-AVI video; the deterministic stub otherwise. Audio
+    * maps its geometry into the shared (width, height, n_frames) shape as
+    * (sample rate, channels, per-channel frame count) — duration is
+    * frames/rate.
     */
   private[multimodal] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
     (kind match {
       case "image" => decodeImage(payload).map(i => (i.getWidth, i.getHeight, 1))
       case "audio" => decodeAudio(payload).map(a => (a.sampleRate.toInt, a.channels, a.frames))
+      case "video" => decodeVideo(payload).map(v => (v.width, v.height, v.frames.length))
       case _ => None
     }).getOrElse(decodeStub(kind, payload))
 
@@ -295,16 +354,28 @@ object MediaPipeline {
   }
 
   /** Frame sampling as a first-class operator: one output row per sampled
-    * frame (every `stride`-th byte window via sampleFrames — stands in for
-    * keyframe extraction). A row's frames stay in its task; output
-    * cardinality is payload/stride, exactly like a flatMap over decoded
-    * frames would behave.
+    * frame. Decodable MJPEG-AVI video payloads take the REAL path — every
+    * `stride`-th container frame, emitted as its standalone JPEG bytes
+    * (directly decodable downstream by the image codec); everything else
+    * keeps the deterministic byte-stride fallback (every `stride`-th byte
+    * via sampleFrames). A row's frames stay in its task; output
+    * cardinality is frames/stride, exactly like a flatMap over decoded
+    * frames behaves.
     */
   def sampleKeyframes(ds: Dataset[MediaRow], stride: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      sampleFrames(r.payload, stride).zipWithIndex.map { case (b, i) =>
-        MediaFrame(r.media_id, r.kind, i, Array(b))
+      val real = if (r.kind == "video") decodeVideo(r.payload) else None
+      real match {
+        case Some(clip) =>
+          clip.frames.zipWithIndex.collect {
+            case (jpeg, i) if i % stride == 0 =>
+              MediaFrame(r.media_id, r.kind, i, jpeg)
+          }
+        case None =>
+          sampleFrames(r.payload, stride).zipWithIndex.map { case (b, i) =>
+            MediaFrame(r.media_id, r.kind, i, Array(b))
+          }.toIndexedSeq
       }
     }
   }

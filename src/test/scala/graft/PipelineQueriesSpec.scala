@@ -269,6 +269,70 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(down(2).payload.length == math.max(1, math.round(n3 * 4000 / 16000.0).toInt))
   }
 
+  test("real video codec: MJPEG-AVI fixtures decode to exact geometry; keyframes are real JPEGs") {
+    import spark.implicits._
+    def jpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rnd.nextInt())
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    // In-test AVI fixture: minimal RIFF('AVI ') with an avih main header
+    // and one 00dc chunk per MJPEG frame.
+    def avi(w: Int, h: Int, usPerFrame: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+        val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+        id.getBytes("US-ASCII") ++ u32(data.length.toLong) ++ data ++ pad
+      }
+      val avih = u32(usPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(frames.length.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(w.toLong) ++ u32(h.toLong) ++ Array.fill(16)(0.toByte)
+      val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih))
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      out.write("RIFF".getBytes("US-ASCII")); out.write(u32(body.length.toLong))
+      out.write(body)
+      out.toByteArray
+    }
+    val fr = (0 until 10).map(i => jpeg(32, 24, i))
+    val clip = avi(32, 24, 40000L, fr) // 25 fps, 10 frames
+    val rows = Seq(
+      MediaRow(1L, "video", clip, Map.empty),
+      MediaRow(2L, "video", "definitely not a RIFF container".getBytes("UTF-8"), Map.empty),
+      MediaRow(3L, "audio", clip, Map.empty))
+    val ds = spark.createDataset(rows).repartition(2)
+    val feats = MediaPipeline.extractFeatures(ds).collect().sortBy(_.media_id)
+    // real codec: container geometry + exact frame count
+    assert((feats(0).width, feats(0).height, feats(0).n_frames) == ((32, 24, 10)))
+    // undecodable video bytes fall back to the deterministic stub
+    assert((feats(1).width, feats(1).height, feats(1).n_frames) ==
+      MediaPipeline.decodeStub("video", rows(1).payload))
+    // an AVI under kind=audio never enters the RIFF path (no JDK codec match)
+    assert((feats(2).width, feats(2).height, feats(2).n_frames) ==
+      MediaPipeline.decodeStub("audio", rows(2).payload))
+    val v = MediaPipeline.decodeVideo(clip).get
+    assert(v.fps == 25.0 && math.abs(v.durationSec - 0.4) < 1e-9)
+    // keyframe extraction: every 3rd container frame, each a REAL JPEG the
+    // image codec decodes at the clip's raster geometry
+    val kf = MediaPipeline.sampleKeyframes(ds, stride = 3).collect()
+      .filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(kf.map(_.frame_idx).toList == List(0, 3, 6, 9))
+    kf.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+    }
+    // sampled frames are the container's frames, byte-for-byte
+    assert(java.util.Arrays.equals(kf(1).frame_bytes, fr(3)))
+  }
+
   test("fingerprints are stable across runs and distinct across distinct docs") {
     val f1 = PipelineQueries.q32Fingerprint(spark, dir).collect()
     val f2 = PipelineQueries.q32Fingerprint(spark, dir).collect()
