@@ -213,7 +213,13 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  val q28Sql: String =
+  /** The q28 quantizer + full-corpus assignment as a DuckDB CTE chain
+    * (seed from vec_id < 8, 2 Lloyd refinements over the mod-4 sample,
+    * nearest-centroid assignment) — shared verbatim by q28 (and through
+    * it q48) and q106, so the engines can never disagree on the
+    * clustering itself.
+    */
+  private val QuantizerAssignSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
        |train AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
@@ -239,13 +245,16 @@ object PipelineQueries {
        |    SELECT cid, dim, avg(x) AS m FROM (
        |      SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2) u
        |    GROUP BY cid, dim) g GROUP BY cid),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
        |assign AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${R6Sql.format("list_cosine_similarity(e.v, c.cv)")} DESC, c.cid) AS rn
-       |    FROM e, c) sub WHERE rn = 1),
+       |    FROM e, c) sub WHERE rn = 1)""".stripMargin
+
+  val q28Sql: String =
+    s"""$QuantizerAssignSql,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
        |probe AS (
        |  SELECT qid, qv, cid FROM (
        |    SELECT q.qid, q.qv, c.cid,
@@ -261,6 +270,70 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
        |  FROM scored) sub
        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** Q106 — SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): corpus-wide
+    * embedding near-dup removal made tractable by restricting the pairwise
+    * search to k-means clusters — duplicates are near-identical vectors, so
+    * they land in the same cluster, and the O(n²) cosine pass shrinks to
+    * Σ|cluster|², the paper's core trick. Reuses the q28 quantizer verbatim
+    * (seed, sample, 2 Lloyd steps — QuantizerAssignSql on the oracle side),
+    * pairs within each cluster at cosine ≥ 0.3 (this corpus's planted
+    * near-dup band, as q34), and applies the deterministic min-id keep rule
+    * (a vector with any smaller-id near-dup in its cluster is dropped —
+    * the same survivor rule the streaming dedup uses). Emits the
+    * per-cluster dedup accounting a pipeline reports: cluster size, dup
+    * pairs, dropped count. At 100 TB: k scales ~√n (IvfIndex.autoNlist,
+    * fixed at the oracle's 8 here), assignment is one broadcast pass, and
+    * the per-cluster quadratic is bounded by cluster width — never corpus-
+    * wide (and a skewed cluster is visible in this very output).
+    */
+  def q106SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val c0 = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val train = e.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("v"))
+    val c = lloydStep(train, lloydStep(train, c0))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("cid"), r6(cosine(col("v"), col("cv"))).as("csim"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"))
+      .persist() // both pair sides + the size rollup read it
+    val pairs = assign.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"))
+      .join(assign.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb")), Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .filter(r6(cosine(col("va"), col("vb"))) >= 0.3)
+      .select(col("cid"), col("ia"), col("ib"))
+    val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+    val pc = pairs.groupBy(col("cid")).agg(count(lit(1)).as("dup_pairs"))
+    val dc = pairs.select(col("cid"), col("ib")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+    val out = sizes
+      .join(pc, Seq("cid"), "left")
+      .join(dc, Seq("cid"), "left")
+      .select(col("cid"), col("n_vectors"),
+        coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cid"))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    assign.unpersist()
+    spark.createDataFrame(rows, out.schema)
+  }
+
+  val q106Sql: String =
+    s"""$QuantizerAssignSql,
+       |pairs AS (
+       |  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${R6Sql.format("list_cosine_similarity(a.v, b.v)")} >= 0.3),
+       |sizes AS (SELECT cid, count(*) AS n_vectors FROM assign GROUP BY cid),
+       |pc AS (SELECT cid, count(*) AS dup_pairs FROM pairs GROUP BY cid),
+       |dc AS (SELECT cid, count(*) AS n_dropped
+       |       FROM (SELECT DISTINCT cid, ib FROM pairs) GROUP BY cid)
+       |SELECT s.cid, s.n_vectors,
+       |  coalesce(pc.dup_pairs, 0) AS dup_pairs,
+       |  coalesce(dc.n_dropped, 0) AS n_dropped
+       |FROM sizes s LEFT JOIN pc USING (cid) LEFT JOIN dc USING (cid)
+       |ORDER BY s.cid""".stripMargin
 
   /** Random-hyperplane constants for q34's LSH blocking: 32 hyperplanes
     * (8 bands × 4 sign bits) of Rademacher ±1 entries over the 64-dim
@@ -1788,6 +1861,7 @@ object PipelineQueries {
     ("q27_simhash", q27Simhash _, None),
     ("q93_dedup_clusters", q93DedupClusters _, Some(q93Sql)),
     ("q28_ivf_ann", q28IvfAnn _, Some(q28Sql)),
+    ("q106_semantic_dedup", q106SemanticDedup _, Some(q106Sql)),
     ("q29_langid", q29LangId _, Some(q29Sql)),
     ("q30_quality", q30Quality _, Some(q30Sql)),
     ("q31_token_count", q31TokenCount _, Some(q31Sql)),
