@@ -518,6 +518,147 @@ final class ColumnarMergeTree private (
       d.name.stripPrefix(ProjPrefix) -> ob
     }
 
+  // ------------------------------------------- aggregate projections
+
+  /** ClickHouse AGGREGATE projection (`ALTER TABLE … ADD PROJECTION p
+    * (SELECT keys…, aggs… GROUP BY keys…)`): a pre-aggregated copy of the
+    * table, one partial-aggregate batch per insert (the MV trigger),
+    * partials collapsed by the target's Aggregating merges — so a matching
+    * aggregate query reads Σ|groups per part| rows instead of the table.
+    * That is the feature's entire 100 TB economics: a daily-rollup query
+    * over a petabyte table touches megabytes of projection parts.
+    *
+    * Supported aggregates are the re-collapsible set the Aggregating mode
+    * documents — `sum` | `min` | `max` | `count` (count merges as sum) —
+    * because the routed read must be able to RE-aggregate stored partials,
+    * including rolling them up to a coarser key set (see aggScanAuto).
+    * Output columns are named canonically (`sum_<col>`, `count_all`), which
+    * makes the stored copy self-describing: routing introspects the target's
+    * persisted merge mode, no extra registry entry needed. Same table
+    * restrictions as sort projections, same reasons.
+    */
+  def addAggProjection(name: String, groupBy: Seq[String],
+      aggs: Seq[(String, String)]): ColumnarMergeTree = {
+    require(mode == MergeMode.Plain && partitionBy.isEmpty && ttl.isEmpty,
+      "aggregate projections require a Plain-mode unpartitioned table without TTL")
+    require(groupBy.nonEmpty && groupBy.forall(schema.fieldNames.contains),
+      s"projection GROUP BY ${groupBy.mkString(",")} must name table columns")
+    require(aggs.nonEmpty, "aggregate projection needs at least one aggregate")
+    aggs.foreach { case (fn, c) =>
+      require(Set("sum", "min", "max", "count")(fn),
+        s"unsupported projection aggregate '$fn' (sum|min|max|count)")
+      require(fn == "count" || schema.fieldNames.contains(c),
+        s"projection aggregate column '$c' is not a table column")
+    }
+    val aliases = aggs.map { case (fn, c) => aggProjAlias(fn, c) }
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate projection aggregates: ${aliases.mkString(",")}")
+    val selects = groupBy.map(g => s"`$g`") ++ aggs.map {
+      case ("count", _) => s"COUNT(*) AS `${aggProjAlias("count", "*")}`"
+      case (fn, c)      => s"${fn.toUpperCase}(`$c`) AS `${aggProjAlias(fn, c)}`"
+    }
+    val sql = s"SELECT ${selects.mkString(", ")} FROM ${ColumnarMergeTree.MvInput} " +
+      s"GROUP BY ${groupBy.map(g => s"`$g`").mkString(", ")}"
+    val mergeSpec = aggs.map { case (fn, c) =>
+      aggProjAlias(fn, c) -> (if (fn == "count") "sum" else fn)
+    }
+    createMaterializedView(s"$AggProjPrefix$name",
+      Paths.get(path, s"aggproj_$name").toString, sql,
+      targetOrderBy = groupBy,
+      targetMode = MergeMode.Aggregating(groupBy, mergeSpec),
+      populate = true)
+  }
+
+  def dropAggProjection(name: String): Unit =
+    dropMaterializedView(s"$AggProjPrefix$name")
+
+  /** Declared aggregate projections: name -> (GROUP BY keys, agg columns). */
+  def aggProjections: Seq[(String, Seq[String], Seq[String])] =
+    aggProjDefs.map { d =>
+      mvTarget(d).mode match {
+        case MergeMode.Aggregating(keys, spec) =>
+          (d.name.stripPrefix(AggProjPrefix), keys, spec.map(_._1))
+        case _ => (d.name.stripPrefix(AggProjPrefix), Nil, Nil)
+      }
+    }
+
+  /** Aggregate query with ClickHouse's projection routing: answered from a
+    * projection whose keys cover `groupBy` (a SUPERSET — sum/min/max/count
+    * all re-aggregate associatively, so a coarser rollup folds the finer
+    * partials) and whose stored aggregates cover every requested one; falls
+    * back to aggregating the base scan otherwise. Both routes produce
+    * identical rows and identical canonical column names (`groupBy` cols,
+    * then `sum_<col>`/`count_all`/…), so callers never see which copy
+    * answered — only the bytes read differ. `groupBy = Nil` is the global
+    * aggregate. The routed read takes the target's rawScan — ONE
+    * aggregation both merges uncompacted partials and rolls up to the
+    * requested keys (every non-key projection column is an agg column, so
+    * skipping the intermediate collapse loses nothing).
+    */
+  def aggScanAuto(groupBy: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    require(groupBy.forall(schema.fieldNames.contains),
+      s"groupBy ${groupBy.mkString(",")} must name table columns")
+    require(aggs.nonEmpty, "aggScanAuto needs at least one aggregate")
+    val outCols = groupBy.map(col) ++
+      aggs.map { case (fn, c) => col(aggProjAlias(fn, c)) }
+    aggProjectionFor(groupBy, aggs) match {
+      case Some(d) =>
+        val t = mvTarget(d)
+        val merged = aggs.map { case (fn, c) =>
+          val a = aggProjAlias(fn, c)
+          (fn match {
+            case "count" | "sum" => sum(col(a))
+            case "min"           => min(col(a))
+            case _               => max(col(a))
+          }).cast(t.schema(a).dataType).as(a)
+        }
+        t.rawScan().groupBy(groupBy.map(col): _*)
+          .agg(merged.head, merged.tail: _*)
+          .select(outCols: _*)
+      case None =>
+        val direct = aggs.map { case (fn, c) =>
+          (fn match {
+            case "count" => count(lit(1))
+            case "sum"   => sum(col(c))
+            case "min"   => min(col(c))
+            case _       => max(col(c))
+          }).as(aggProjAlias(fn, c))
+        }
+        scan().groupBy(groupBy.map(col): _*)
+          .agg(direct.head, direct.tail: _*)
+          .select(outCols: _*)
+    }
+  }
+
+  private[graft] def aggProjectionFor(groupBy: Seq[String],
+      aggs: Seq[(String, String)]): Option[MvDef] =
+    aggProjDefs.find { d =>
+      mvTarget(d).mode match {
+        case MergeMode.Aggregating(keys, spec) =>
+          groupBy.toSet.subsetOf(keys.toSet) &&
+            aggs.forall { case (fn, c) => spec.exists(_._1 == aggProjAlias(fn, c)) }
+        case _ => false
+      }
+    }
+
+  private def aggProjDefs: List[MvDef] =
+    mvDefs.filter(_.name.startsWith(AggProjPrefix))
+
+  /** A row-level mutation cannot be replayed against stored partial
+    * aggregates (a deleted row's contribution to `sum_v` is unrecoverable
+    * from the partials) — rebuild each copy from the already-mutated base,
+    * which is what ClickHouse's mutations do to projection parts too.
+    */
+  private def rebuildAggProjections(): Unit =
+    aggProjDefs.foreach { d =>
+      mvTarget(d).overwriteBatch(applyMvSql(d.sql, scan()))
+    }
+
+  private def aggProjAlias(fn: String, c: String): String =
+    if (fn == "count") "count_all" else s"${fn}_$c"
+
+  private def AggProjPrefix = ColumnarMergeTree.AggProjPrefix
+
   /** Range scan on ANY column, routed to the copy that can prune on it:
     * the base table when `column` is the primary leading key, else a
     * projection whose leading key is `column`, else a filtered full scan
@@ -1445,6 +1586,15 @@ final class ColumnarMergeTree private (
     // parts — its result stands, our outputs are discarded (merging is
     // idempotent work, so losing the race is not an error).
     swapParts(oldIds, newMetas, newMetas.map(_.partId).toSet)
+    // A plain merge preserves the row set, but DEDUPLICATE is a row-level
+    // mutation: projection copies must drop the same rows (dedupBy picks
+    // its representative by column VALUES, so the differently-sorted copy
+    // elects the same one) and aggregate partials must be rebuilt —
+    // ClickHouse's OPTIMIZE … DEDUPLICATE rewrites projection parts too.
+    if (dedup) {
+      projectionTargets.foreach(_.optimizeFinal(deduplicate, dedupBy))
+      rebuildAggProjections()
+    }
   }
 
   /** Bin-packed compaction to ≤ maxParts, one rewrite per byte (same design
@@ -1541,6 +1691,7 @@ final class ColumnarMergeTree private (
         "deleteWhere raced another maintenance op on the same parts; retry")
     // Keep projection copies in sync (see updateWhere).
     projectionTargets.foreach(_.deleteWhere(cond))
+    rebuildAggProjections()
     removed
   }
 
@@ -1622,6 +1773,7 @@ final class ColumnarMergeTree private (
         if (set.keys.exists(p.orderBy.contains)) p.overwriteBatch(scan())
         else p.updateWhere(cond, set)
       }
+      rebuildAggProjections()
       updated
     }
 
@@ -1701,8 +1853,10 @@ final class ColumnarMergeTree private (
         // Projection copies hold the SAME rows under another sort order —
         // replace them too or routed reads serve the pre-overwrite table
         // (non-projection MVs deliberately don't fire: an overwrite is a
-        // replace, not an append; but a projection is a copy, not a view).
+        // replace, not an append; but a projection is a copy, not a view —
+        // and an aggregate projection is a derived copy, rebuilt the same).
         projectionTargets.foreach(_.overwriteBatch(scan()))
+        rebuildAggProjections()
       case Some(p) =>
         // ONE dynamic-partition write job stages every new part (the batch
         // plan is evaluated exactly once — a non-deterministic source can't
@@ -1903,6 +2057,7 @@ object ColumnarMergeTree {
     * alternate sort order; see addProjection).
     */
   private[graft] val ProjPrefix = "__proj_"
+  private[graft] val AggProjPrefix = "__aggproj_"
 
   /** Undo the `%XX` escaping Spark's dynamic-partition write applies to
     * path-hostile characters in partition directory names

@@ -744,6 +744,49 @@ object StorageQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q107 — AGGREGATE projection (ClickHouse `ADD PROJECTION … GROUP BY`,
+    * round 9): the table keeps a per-(user_id, event_type) pre-aggregated
+    * copy — two batches covered by POPULATE, two by the insert trigger —
+    * and the query asks for a COARSER rollup (by event_type alone), which
+    * aggScanAuto answers by re-aggregating the projection's partials
+    * instead of the table. At 100 TB that is the feature: the rollup reads
+    * Σ|groups per part| projection rows, never the fact rows. `value` is
+    * fixed-pointed BEFORE summation so both engines add exact int64s (the
+    * sum-of-floors vs floor-of-sum trap). Oracle: the same rollup over the
+    * raw parquet — equality proves populate + trigger partials + the merge
+    * fold reconstruct the table-wide aggregate exactly.
+    */
+  def q107AggProjection(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#aggproj", {
+      val ev = eventsSlim(spark, dir)
+        .withColumn("value_fp",
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+        .drop("value")
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q107_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_id"),
+        MergeTreeConfig(maxParts = 4))
+      val n = spark.read.parquet(s"$dir/events.parquet").count()
+      (0 to 1).foreach(i => tbl.insertBatch(
+        ev.filter(col("event_id") >= i * n / 4 && col("event_id") < (i + 1) * n / 4)))
+      tbl.addAggProjection("by_user_type", Seq("user_id", "event_type"),
+        Seq("sum" -> "value_fp", "count" -> "*", "max" -> "event_id"))
+      (2 to 3).foreach(i => tbl.insertBatch(
+        ev.filter(col("event_id") >= i * n / 4 && col("event_id") < (i + 1) * n / 4)))
+      tbl
+    })
+    t.aggScanAuto(Seq("event_type"),
+        Seq("sum" -> "value_fp", "count" -> "*", "max" -> "event_id"))
+      .orderBy(col("event_type"))
+  }
+
+  val q107Sql: String =
+    """SELECT event_type,
+      | CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS sum_value_fp,
+      | count(*) AS count_all, max(event_id) AS max_event_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -767,5 +810,6 @@ object StorageQueries {
     ("q91_alter_sql", q91AlterSql _, Some(q91Sql)),
     ("q92_optimize_sql", q92OptimizeSql _, Some(q92Sql)),
     ("q97_has_token", q97HasToken _, Some(q97Sql)),
-    ("q105_log_manifest", q105LogManifest _, Some(q105Sql)))
+    ("q105_log_manifest", q105LogManifest _, Some(q105Sql)),
+    ("q107_agg_projection", q107AggProjection _, Some(q107Sql)))
 }
