@@ -1850,6 +1850,61 @@ object PipelineQueries {
       |  CAST(sum(CASE WHEN rn > 1 THEN length(c) ELSE 0 END) AS BIGINT) AS removed_chars
       |FROM mk GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q108 — BOILERPLATE removal (C4/CCNet line-dedup semantics): chunks
+    * whose document frequency reaches 3 are removed from EVERY document —
+    * including the first occurrence, which is what distinguishes this from
+    * q99's keep-one dedup (a license blurb on 10k pages is noise in all 10k
+    * copies, not 9,999 of them). Same 10-word segmentation as q99 (the
+    * testdata's documents are single-line, so fixed word windows play the
+    * role newline-split paragraphs do on real web text). Shape: map-side
+    * chunking → ONE groupBy(chunk) for df (count of DISTINCT docs — a
+    * within-doc repeat is not boilerplate evidence) → one equi-join back on
+    * the chunk → per-lang rollup. No broadcast of the hot set (it is
+    * unbounded at corpus scale) and no driver collection; at 100 TB both
+    * shuffles key on the chunk text — production would key them on a
+    * 16-byte chunk digest instead and carry ~50 bytes/row, the same
+    * hash-through-shuffle trade q25 makes for signatures.
+    */
+  def q108Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens
+    val nch = (size(ws) / lit(10)).cast("int")
+    val chunks = when(nch >= 1,
+      transform(sequence(lit(1), nch),
+        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
+      .otherwise(array())
+    val inst = docsSpread(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(chunks).as("c"))
+    val dfc = inst.groupBy(col("c"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    inst.join(dfc.withColumn("boiler", col("df") >= 3).drop("df"), Seq("c"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("boiler_chunks"),
+        sum(when(col("boiler"), length(col("c")).cast("long")).otherwise(0L))
+          .as("removed_chars"),
+        countDistinct(when(col("boiler"), col("doc_id"))).as("docs_affected"))
+      .orderBy(col("lang"))
+  }
+
+  val q108Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, string_split(text, ' ') AS ws FROM documents),
+      |inst AS (
+      |  SELECT lang, doc_id,
+      |    array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS c
+      |  FROM (SELECT lang, doc_id, ws,
+      |          unnest(generate_series(1, len(ws) // 10)) AS i
+      |        FROM toks)),
+      |dfc AS (SELECT c, count(DISTINCT doc_id) >= 3 AS boiler
+      |        FROM inst GROUP BY c)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS chunks,
+      |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS boiler_chunks,
+      |  CAST(sum(CASE WHEN boiler THEN length(c) ELSE 0 END) AS BIGINT) AS removed_chars,
+      |  CAST(count(DISTINCT CASE WHEN boiler THEN doc_id END) AS BIGINT) AS docs_affected
+      |FROM inst JOIN dfc USING (c)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -1882,5 +1937,6 @@ object PipelineQueries {
     ("q99_chunk_dedup", q99ChunkDedup _, Some(q99Sql)),
     ("q101_incremental_dedup", q101IncrementalDedup _, Some(q101Sql)),
     ("q102_mixture_resample", q102MixtureResample _, Some(q102Sql)),
-    ("q103_ngram_contamination", q103NgramContamination _, Some(q103Sql)))
+    ("q103_ngram_contamination", q103NgramContamination _, Some(q103Sql)),
+    ("q108_boilerplate", q108Boilerplate _, Some(q108Sql)))
 }
