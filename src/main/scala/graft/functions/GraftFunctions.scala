@@ -148,6 +148,213 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared plumbing for the product-quantization expressions: the codebooks
+  * arrive as a FOLDABLE nested-array literal child (`typedLit(cb)`) and are
+  * converted to a primitive double[][][] exactly once per expression
+  * instance — the HOF formulation these expressions replace re-walked the
+  * literal's ArrayData through interpreted lambdas per row and per centroid,
+  * which made a 500-row encode cost seconds.
+  */
+trait PqCodebookChild { self: BinaryExpression =>
+  protected lazy val cbArr: Array[Array[Array[Double]]] = {
+    require(right.foldable, "codebooks must be a literal")
+    right.eval(null).asInstanceOf[ArrayData].toArray[ArrayData](
+      ArrayType(ArrayType(DoubleType))).map(
+      _.toArray[ArrayData](ArrayType(DoubleType)).map(_.toDoubleArray()))
+  }
+  protected def cbTypeOk: Boolean = right.dataType match {
+    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+    case _ => false
+  }
+}
+
+/** `pq_encode(v, codebooks)` → array<int>[m]: L2-normalize `v`, then per
+  * subspace emit the id of the nearest codebook centroid (squared-L2
+  * argmin, lowest id wins ties). One fused codegen loop per row — the
+  * map-side, shuffle-free shape that encodes a petabyte corpus as a scan
+  * (ProductQuantizer Scaladoc has the full design).
+  */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression with PqCodebookChild {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(DoubleType) ||
+        left.dataType == ArrayType(DoubleType, containsNull = false)) {
+      if (cbTypeOk) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("codebooks must be array<array<array<double>>>")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<double> vector, got ${left.dataType.simpleString}")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cb = cbArr
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    var nrm = 0.0
+    var i = 0
+    while (i < v.numElements()) { val x = v.getDouble(i); nrm += x * x; i += 1 }
+    nrm = math.sqrt(nrm)
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * dsub
+      var best = 0; var bd = Double.MaxValue
+      var j = 0
+      while (j < cb(mi).length) {
+        val cent = cb(mi)(j)
+        var d = 0.0; var t = 0
+        while (t < dsub) {
+          val diff = v.getDouble(base + t) / nrm - cent(t)
+          d += diff * diff; t += 1
+        }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val nrm = ctx.freshName("nrm"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val dsub = ctx.freshName("dsub")
+      val codes = ctx.freshName("codes"); val mi = ctx.freshName("mi")
+      val base = ctx.freshName("base"); val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd"); val j = ctx.freshName("j")
+      val cent = ctx.freshName("cent"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t"); val diff = ctx.freshName("diff")
+      s"""
+         |int $m = $cbRef.length;
+         |int $dsub = $cbRef[0][0].length;
+         |double $nrm = 0.0;
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  double __x = $v.getDouble($i); $nrm += __x * __x;
+         |}
+         |$nrm = java.lang.Math.sqrt($nrm);
+         |int[] $codes = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $base = $mi * $dsub;
+         |  int $best = 0; double $bd = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $cbRef[$mi].length; $j++) {
+         |    double[] $cent = $cbRef[$mi][$j];
+         |    double $d = 0.0;
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      double $diff = $v.getDouble($base + $t) / $nrm - $cent[$t];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bd) { $bd = $d; $best = $j; }
+         |  }
+         |  $codes[$mi] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_lut(qv, codebooks)` → array<array<double>>[m][k]: the ADC lookup
+  * table of one (normalized) query against every codebook centroid —
+  * partial inner products, so a row's approximate cosine is the sum of m
+  * table lookups. Runs once per QUERY (broadcast side, a handful of rows),
+  * so interpreted eval is fine; the per-corpus-row hot path is PqAdc.
+  */
+case class PqLut(left: Expression, right: Expression)
+    extends BinaryExpression with PqCodebookChild
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (cbTypeOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("codebooks must be array<array<array<double>>>")
+
+  override def dataType: DataType = ArrayType(ArrayType(DoubleType))
+
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cb = cbArr
+    val dsub = cb(0)(0).length
+    var nrm = 0.0
+    var i = 0
+    while (i < v.numElements()) { val x = v.getDouble(i); nrm += x * x; i += 1 }
+    nrm = math.sqrt(nrm)
+    val lut = cb.zipWithIndex.map { case (cents, mi) =>
+      val base = mi * dsub
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(cents.map { cent =>
+        var s = 0.0; var t = 0
+        while (t < dsub) { s += v.getDouble(base + t) / nrm * cent(t); t += 1 }
+        s
+      })
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      lut.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_adc(code, lut)` → double: the asymmetric-distance score — m array
+  * lookups per corpus row, zero arithmetic on the original vector. This is
+  * THE per-row cost of PQ search, so it gets a fused codegen loop.
+  */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+          ArrayType(ArrayType(DoubleType, _), _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (array<int>, array<array<double>>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val code = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    var s = 0.0
+    var mi = 0
+    while (mi < code.numElements()) {
+      s += lut.getArray(mi).getDouble(code.getInt(mi))
+      mi += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, lut) => {
+      val s = ctx.freshName("s"); val mi = ctx.freshName("mi")
+      s"""
+         |double $s = 0.0;
+         |for (int $mi = 0; $mi < $code.numElements(); $mi++) {
+         |  $s += $lut.getArray($mi).getDouble($code.getInt($mi));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Typed UDAF (SURVEY §2.2 last row): per-group numeric summary as a single
   * Aggregator — partial-aggregable (map-side combine via merge), so it
   * shuffles one small buffer per group, not rows.
@@ -335,6 +542,27 @@ object GraftFunctions {
     ArrayDotProduct(children.head, children(1))
   }
 
+  private val pqEncodeInfo = new ExpressionInfo(
+    classOf[PqEncode].getName, "pq_encode")
+  private val pqEncodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "pq_encode takes (vector, codebooks)")
+    PqEncode(children.head, children(1))
+  }
+
+  private val pqLutInfo = new ExpressionInfo(
+    classOf[PqLut].getName, "pq_lut")
+  private val pqLutBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "pq_lut takes (query_vector, codebooks)")
+    PqLut(children.head, children(1))
+  }
+
+  private val pqAdcInfo = new ExpressionInfo(
+    classOf[PqAdc].getName, "pq_adc")
+  private val pqAdcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "pq_adc takes (code, lut)")
+    PqAdc(children.head, children(1))
+  }
+
   /** Idempotently register SQL-callable functions on an existing session. */
   private val hasTokenInfo = new ExpressionInfo(
     "org.apache.spark.sql.catalyst.expressions.ArrayContains", "has_token")
@@ -363,6 +591,12 @@ object GraftFunctions {
       FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder)
     spark.udf.register("num_summary",
       org.apache.spark.sql.functions.udaf(SummaryAggregator))
     // ClickHouse topK(50): SQL-callable heavy hitters, capacity 4096.

@@ -1905,6 +1905,36 @@ object PipelineQueries {
       |FROM inst JOIN dfc USING (c)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q109 — PQ-compressed ANN (Jégou et al. 2011 ADC, the second half of
+    * the IVFADC pair q28/q48 started): per-subspace codebooks trained on a
+    * deterministic sample, the corpus encoded to m=8 4-bit-ish codes by a
+    * PURE MAP-SIDE expression (no shuffle — the property that encodes 10¹¹
+    * rows as a scan), queries ranked by ADC table lookups, and the top-20%
+    * shortlist re-ranked EXACTLY so the output carries true cosines.
+    * Rows-only like q27 (an ANN shortlist is engine-specific); recall vs
+    * exact q23 is bounded in ProductQuantizerSpec instead (≥0.8@10), and
+    * the shortlist=corpus degenerate case is proven EQUAL to exact there.
+    */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.operators.ProductQuantizer.PqCodebooks, Int)]
+
+  def q109PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val e = embDouble(spark, dir).select(col("vec_id"), col("v"))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .filter(col("qid") < 5)
+    // Codebooks train once per corpus (the q48 persisted-index economics —
+    // an ANN index is built once, queried forever); the shortlist scales
+    // with the corpus (20%, floored): a fixed shortlist stops recalling as
+    // n grows — the same rule autoNlist documents.
+    val (cb, shortlist) = pqCache.getOrElseUpdate(dir, {
+      (ProductQuantizer.train(e, m = 8, k = 16, iters = 2),
+        math.max(50L, e.count() / 5).toInt)
+    })
+    val codes = ProductQuantizer.encode(e, cb)
+    ProductQuantizer.adcSearch(q, codes, e, cb, k = 10, shortlist = shortlist)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -1938,5 +1968,6 @@ object PipelineQueries {
     ("q101_incremental_dedup", q101IncrementalDedup _, Some(q101Sql)),
     ("q102_mixture_resample", q102MixtureResample _, Some(q102Sql)),
     ("q103_ngram_contamination", q103NgramContamination _, Some(q103Sql)),
-    ("q108_boilerplate", q108Boilerplate _, Some(q108Sql)))
+    ("q108_boilerplate", q108Boilerplate _, Some(q108Sql)),
+    ("q109_pq_ann", q109PqAnn _, None))
 }
