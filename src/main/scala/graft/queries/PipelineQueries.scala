@@ -1935,6 +1935,115 @@ object PipelineQueries {
     ProductQuantizer.adcSearch(q, codes, e, cb, k = 10, shortlist = shortlist)
   }
 
+  /** Q110 — BM25 full-text relevance ranking (Robertson/Spärck Jones, the
+    * Lucene-default non-negative idf; k1 = 1.2, b = 0.75): top-15 documents
+    * for the query `dup vector merge` (one rare term — df ≈ 5% — against
+    * two near-stopwords, so the ranking exercises the idf spread).
+    *
+    * Shape: groupBy(doc_id) computes the document length AND each query
+    * term's tf as conditional aggregates in one pass (no corpus-sized
+    * doc-length join); one driver-side stats job folds avgdl and the
+    * per-term df out of that same aggregate (≤|terms|+1 scalars — bounded
+    * by the query, never the corpus) and inlines them as literals, so the
+    * scoring job is scan → tokenize → ONE doc_id exchange → map-side
+    * contributions → a score sum that reuses the same partitioning →
+    * distributed top-15 (plan-pinned: one hash exchange end to end).
+    * Per-term contributions round to integer micro-units BEFORE the sum so
+    * the order-sensitive double addition becomes order-independent integer
+    * addition (the q20 float discipline, applied to a sum).
+    *
+    * This is the on-the-fly semantics demo; q111 is the 100 TB path — the
+    * same arithmetic served from a persisted inverted index that reads
+    * only the query terms' posting lists. Both share this oracle.
+    */
+  private val bm25Terms = Seq("dup", "vector", "merge")
+
+  def q110Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val d = docs(spark, dir)
+    val nDocs = d.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val terms = InvertedIndex.tokenize(d)
+    val perDoc = terms.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      bm25Terms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val statsRow = perDoc.agg(
+      avg(col("dl")).as("avgdl"),
+      bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*).first()
+    val avgdl = statsRow.getDouble(0)
+    val dfs = bm25Terms.zipWithIndex
+      .map { case (t, i) => t -> statsRow.getLong(i + 1) }.toMap
+    val melted = perDoc.select(col("doc_id"), col("dl"),
+        explode(map(bm25Terms.flatMap(t =>
+          Seq(lit(t), col(s"tf_$t"))): _*)).as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
+    val dfCol = bm25Terms.tail.foldLeft(
+        when(col("term") === bm25Terms.head, lit(dfs(bm25Terms.head)))) {
+      (acc, t) => acc.when(col("term") === t, lit(dfs(t)))
+    }
+    val contrib = melted
+      .select(col("doc_id"),
+        InvertedIndex.bm25Micro(col("tf"), dfCol, col("dl"),
+          nDocs, avgdl, k1 = 1.2, b = 0.75).as("c"))
+    val scored = contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(15)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  val q110Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      |  WHERE len(t.term) >= 3),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms
+      |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+      |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |contrib AS (
+      |  SELECT tf.doc_id, CAST(floor(
+      |      ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |        * (tf.tf * (1.2 + 1.0))
+      |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |        * 1000000.0 + 0.5) AS BIGINT) AS c
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |    CROSS JOIN stats CROSS JOIN n),
+      |scored AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(c) AS BIGINT) AS score
+      |  FROM contrib GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score
+      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+
+  /** Q111 — the q110 BM25 query served from the PERSISTED inverted index
+    * ([[graft.operators.InvertedIndex]]): postings live as MergeTree parts
+    * keyed by term-hash bucket, the probe rangeScans only the query terms'
+    * buckets (manifest part pruning — the engine reads |query buckets| of
+    * nbuckets lists), df comes from the matched lists themselves, and the
+    * denormalized per-posting document length kills the corpus-sized
+    * doc-length join q110 tokenizes around. Same oracle as q110: the index
+    * must reproduce the on-the-fly ranking bit for bit.
+    */
+  def q111Bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val idx = cacheInv.getOrElseUpdate(dir,
+      graft.operators.InvertedIndex.build(spark, docs(spark, dir),
+        java.nio.file.Files.createTempDirectory("inv_q111_").toString))
+    idx.search(bm25Terms, k = 15)
+  }
+
+  private val cacheInv =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.InvertedIndex]
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -1969,5 +2078,7 @@ object PipelineQueries {
     ("q102_mixture_resample", q102MixtureResample _, Some(q102Sql)),
     ("q103_ngram_contamination", q103NgramContamination _, Some(q103Sql)),
     ("q108_boilerplate", q108Boilerplate _, Some(q108Sql)),
-    ("q109_pq_ann", q109PqAnn _, None))
+    ("q109_pq_ann", q109PqAnn _, None),
+    ("q110_bm25", q110Bm25 _, Some(q110Sql)),
+    ("q111_bm25_index", q111Bm25Index _, Some(q110Sql)))
 }

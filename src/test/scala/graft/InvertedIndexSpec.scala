@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.InvertedIndex
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted BM25 inverted index: index-vs-brute-force equivalence on
+  * the real testdata (the property q110/q111 sharing one oracle relies
+  * on), manifest part pruning at probe time, reopen, and the
+  * bucket-auto-sizing rule.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val idx: InvertedIndex = InvertedIndex.build(
+    spark,
+    spark.read.parquet(s"$sf/documents.parquet"),
+    java.nio.file.Files.createTempDirectory("inv_spec_").toString)
+
+  test("index search reproduces the brute-force BM25 ranking bit for bit") {
+    val brute = PipelineQueries.q110Bm25(spark, sf).collect().toSeq
+    val served = idx.search(Seq("dup", "vector", "merge"), k = 15).collect().toSeq
+    assert(served == brute)
+    assert(brute.size == 15)
+    // The rare term should dominate: every top-ranked doc matched ≥2 terms
+    // and rank 1 carries the highest score.
+    assert(brute.head.getLong(3) >= brute.last.getLong(3))
+  }
+
+  test("a probe reads only the query terms' buckets (manifest pruning)") {
+    val one = idx.search(Seq("dup"), k = 5)
+    assert(one.count() == 5)
+    val (planned, total) = idx.lastPruning
+    assert(total > 1, s"index should hold multiple bucket parts, had $total")
+    assert(planned < total,
+      s"single-term probe should prune parts: planned $planned of $total")
+  }
+
+  test("multi-term ranking is stable for a single common term") {
+    // A one-term query is a pure tf/dl ranking; every returned doc matched
+    // exactly that term.
+    val r = idx.search(Seq("merge"), k = 10).collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getLong(2) == 1L))
+    assert(r.map(_.getLong(0)).toSeq == (1L to 10L))
+  }
+
+  test("reopen serves the identical ranking from disk") {
+    val reopened = InvertedIndex.open(spark, idx.path)
+    val a = idx.search(Seq("dup", "vector", "merge"), k = 15).collect().toSeq
+    val b = reopened.search(Seq("dup", "vector", "merge"), k = 15).collect().toSeq
+    assert(a == b)
+  }
+
+  test("bucket count auto-sizes with the vocabulary (√V rule)") {
+    assert(InvertedIndex.autoNbuckets(30) == 8)
+    assert(InvertedIndex.autoNbuckets(10000) == 32)
+    assert(InvertedIndex.autoNbuckets(100000000) == 4096)
+    // The local corpus (~30 terms) lands the floor.
+    assert(idx.nbuckets == 8)
+  }
+
+  test("postings carry the denormalized document length") {
+    val p = idx.table.scan()
+      .filter(col("term") === "dup")
+      .select(col("doc_id"), col("dl"))
+    val dl = InvertedIndex.tokenize(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val joined = p.as("p").join(dl.as("d"), "doc_id")
+      .filter(col("p.dl") =!= col("d.dl"))
+    assert(joined.count() == 0)
+  }
+}

@@ -198,6 +198,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the corpus side must not shuffle for the join:\n$p")
   }
 
+  test("q110: BM25 scoring is one doc_id exchange end to end") {
+    val p = plan(PipelineQueries.q110Bm25(spark, dir))
+    // One hash exchange only — the per-doc tf/dl aggregate; the melt and
+    // the per-document score sum preserve its doc_id partitioning, and df
+    // arrives as driver-folded literals, not a join.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"score sum must reuse the doc_id partitioning:\n$p")
+    assert(!p.contains("Join"), s"df must be literals, never a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
