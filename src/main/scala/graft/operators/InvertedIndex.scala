@@ -5,7 +5,7 @@ import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** A PERSISTED full-text inverted index with BM25 ranking, stored as a
   * MergeTree table — the text twin of [[IvfIndex]] (same marriage of the
@@ -32,6 +32,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   *     denormalized into the posting row at build time — like nDocs and
   *     avgdl, df is frozen until a rebuild); the only shuffle is the
   *     per-document score sum. No corpus access at all.
+  *   - phrase search: postings are POSITIONAL (each carries its term's
+  *     sorted in-document positions), so exact phrase queries resolve by
+  *     folding position-list intersections — see [[phraseSearch]].
   *
   * BM25 (Robertson/Spärck Jones; the Lucene-style non-negative idf):
   *   idf(t)  = ln((N - df + 0.5)/(df + 0.5) + 1)
@@ -97,6 +100,48 @@ final class InvertedIndex private (
       .orderBy(col("rk"))
   }
 
+  /** Exact PHRASE search from the positional postings: top-k documents by
+    * occurrence count of `phrase` as CONSECUTIVE tokens (raw-split-array
+    * adjacency — equals text adjacency, since the split eats every
+    * non-letter run whole). Output: (rk, doc_id, n_occ).
+    *
+    * Shape: each phrase term's posting list arrives bucket-pruned exactly
+    * like [[search]]; term i+1's positions fold into the accumulator via
+    * `array_intersect(positions_so_far + 1, positions_i)` — after the
+    * fold the accumulator holds the phrase END positions, so n_occ is its
+    * size. The per-term lists meet in doc_id equi-joins sized by the
+    * phrase's own posting lists (the classic positional-query cost),
+    * never by the corpus; the corpus text is never read.
+    */
+  def phraseSearch(phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val nb = stats._3
+    val buckets = phrase.distinct.map(t => bucketOf(spark, t, nb)).distinct.sorted
+    val postings = buckets.map(bk => table.rangeScan(bk, bk))
+      .reduceOption(_ unionByName _)
+      .getOrElse(table.scan().limit(0))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val byTerm = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    }
+    val folded = byTerm.zipWithIndex.tail.foldLeft(
+        byTerm.head.select(col("doc_id"), col("p0").as("occ"))) {
+      case (acc, (next, i)) =>
+        acc.join(next, "doc_id")
+          .select(col("doc_id"),
+            array_intersect(transform(col("occ"), _ + 1), col(s"p$i")).as("occ"))
+    }
+    val counted = folded
+      .select(col("doc_id"), size(col("occ")).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+    val top = counted.orderBy(col("n_occ").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("n_occ").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_occ"))
+      .orderBy(col("rk"))
+  }
+
   /** (planned, total) parts at the last probed scan — pruning visibility. */
   def lastPruning: (Int, Int) = table.lastPruning
 }
@@ -114,8 +159,15 @@ object InvertedIndex {
     * share: lowercase, split on non-letters, keep length ≥ 3.
     */
   def tokenize(docs: DataFrame): DataFrame =
+    tokenizeWithPos(docs).select(col("doc_id"), col("term"))
+
+  /** [[tokenize]] plus each surviving term's position in the RAW split
+    * array (0-based, before the length filter) — token-space adjacency
+    * equals text adjacency, which is what phrase matching needs.
+    */
+  def tokenizeWithPos(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "term")))
       .filter(length(col("term")) >= 3)
 
   /** Per-(doc,term) BM25 contribution in integer micro-units. Spelled
@@ -139,7 +191,8 @@ object InvertedIndex {
     StructField("doc_id", LongType, nullable = false),
     StructField("tf", LongType, nullable = false),
     StructField("dl", LongType, nullable = false),
-    StructField("df", LongType, nullable = false)))
+    StructField("df", LongType, nullable = false),
+    StructField("positions", ArrayType(IntegerType), nullable = true)))
 
   /** Build the index at `path` from (doc_id, text) documents. `nbuckets`
     * ≤ 0 (the default) auto-sizes from the distinct-term count via
@@ -147,8 +200,14 @@ object InvertedIndex {
     */
   def build(spark: SparkSession, docs: DataFrame, path: String,
             nbuckets: Int = 0): InvertedIndex = {
-    val terms = tokenize(docs)
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val terms = tokenizeWithPos(docs)
+    // Positional postings (the Lucene prox layout): each posting carries
+    // its term's sorted in-document positions, so tf = |positions| and
+    // phrase queries resolve adjacency without touching the corpus. A
+    // pathologically repeated term makes a long list — the classic
+    // positional-index cost, bounded by that document's own length.
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"),
+      sort_array(collect_list(col("pos"))).as("positions"))
     // Build-time only: the dl and df joins re-shuffle once per build;
     // queries never pay them again (both ride inside every posting row —
     // the posting-list denormalization that makes search one shuffle).
@@ -158,7 +217,8 @@ object InvertedIndex {
       else autoNbuckets(dfc.count())
     val postings = tf.join(dl, "doc_id").join(dfc, "term")
       .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"),
-        col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+        col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("positions"))
       .persist()
     try {
       val t = ColumnarMergeTree.create(spark, path, indexSchema,

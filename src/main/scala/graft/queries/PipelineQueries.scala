@@ -2037,12 +2037,50 @@ object PipelineQueries {
   def q111Bm25Index(spark: SparkSession, dir: String): DataFrame = {
     val idx = cacheInv.getOrElseUpdate(dir,
       graft.operators.InvertedIndex.build(spark, docs(spark, dir),
-        java.nio.file.Files.createTempDirectory("inv_q111_").toString))
+        java.nio.file.Files.createTempDirectory("inv_idx_").toString))
     idx.search(bm25Terms, k = 15)
   }
 
   private val cacheInv =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.InvertedIndex]
+
+  /** Q112 — exact PHRASE search over the positional inverted index: top
+    * documents by occurrence count of the consecutive-token phrase
+    * `table scan merge`. Adjacency is defined on the raw split array
+    * (token-space adjacency == text adjacency — the split eats every
+    * non-letter run whole), which is exactly what the oracle recomputes
+    * from the corpus text with generate_subscripts; the engine instead
+    * folds position-list intersections over bucket-pruned postings and
+    * never reads the corpus. Three terms on purpose: the fold must chain,
+    * not just pairwise-join.
+    */
+  def q112PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = cacheInv.getOrElseUpdate(dir,
+      graft.operators.InvertedIndex.build(spark, docs(spark, dir),
+        java.nio.file.Files.createTempDirectory("inv_idx_").toString))
+    idx.phraseSearch(Seq("table", "scan", "merge"), k = 15)
+  }
+
+  val q112Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(lst, 1) AS pos, unnest(lst) AS term
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(text), '[^a-z]+') AS lst
+      |        FROM documents) s),
+      |t0 AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+      |t1 AS (SELECT doc_id, pos FROM toks WHERE term = 'scan'),
+      |t2 AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'),
+      |occ AS (
+      |  SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM t0
+      |    JOIN t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      |    JOIN t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+      |  GROUP BY t0.doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY n_occ DESC, doc_id) AS rk
+      |  FROM occ)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_occ
+      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
@@ -2080,5 +2118,6 @@ object PipelineQueries {
     ("q108_boilerplate", q108Boilerplate _, Some(q108Sql)),
     ("q109_pq_ann", q109PqAnn _, None),
     ("q110_bm25", q110Bm25 _, Some(q110Sql)),
-    ("q111_bm25_index", q111Bm25Index _, Some(q110Sql)))
+    ("q111_bm25_index", q111Bm25Index _, Some(q110Sql)),
+    ("q112_phrase_search", q112PhraseSearch _, Some(q112Sql)))
 }

@@ -65,6 +65,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(idx.nbuckets == 8)
   }
 
+  test("phrase search matches positions recomputed from the corpus") {
+    for (phrase <- Seq(Seq("fast", "merge"), Seq("batch", "batch"),
+        Seq("table", "scan", "merge"))) {
+      val toks = InvertedIndex.tokenizeWithPos(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      def pos(t: String, i: Int) =
+        toks.filter(col("term") === t)
+          .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
+      val expected = phrase.zipWithIndex.tail.foldLeft(pos(phrase.head, 0)) {
+        case (acc, (t, i)) =>
+          acc.join(pos(t, i),
+            col("d0") === col(s"d$i") && col(s"p$i") === col("p0") + i)
+      }.groupBy(col("d0").as("doc_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = idx.phraseSearch(phrase, k = 100000).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == expected, s"phrase $phrase")
+    }
+  }
+
   test("postings carry the denormalized document length") {
     val p = idx.table.scan()
       .filter(col("term") === "dup")
