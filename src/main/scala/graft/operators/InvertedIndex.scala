@@ -7,34 +7,42 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
 
-/** A PERSISTED full-text inverted index with BM25 ranking, stored as a
-  * MergeTree table — the text twin of [[IvfIndex]] (same marriage of the
-  * engine's two halves: the inverted lists ARE the storage engine's parts).
+/** A PERSISTED full-text inverted index with BM25 ranking and positional
+  * phrase search, stored as a MergeTree table — the text twin of
+  * [[IvfIndex]] (same marriage of the engine's two halves: the inverted
+  * lists ARE the storage engine's parts).
   *
   * q110 demonstrates BM25 semantics by scanning the corpus per query; a
   * 100 TB corpus tokenizes ONCE — and this class stores the postings so a
   * query touches only the lists of its own terms:
   *
   *   - build: tokenize (the q78 tokenizer — lowercase, split on
-  *     non-letters, length ≥ 3), aggregate per-(doc,term) term frequencies,
+  *     non-letters, length ≥ 3), aggregate per-(doc,term) term frequencies
+  *     WITH raw-split-array positions (the Lucene prox layout),
   *     DENORMALIZE each document's token count `dl` into its posting rows
   *     (killing the query-time join against a corpus-sized doc-length
-  *     table — the classic posting-list layout), hash every term into one
-  *     of `nbuckets` lists, and land ONE PART PER BUCKET of a
-  *     ColumnarMergeTree ordered by bucket id. Corpus constants
-  *     (document count, average document length) persist as a one-row
-  *     parquet sidecar under the table dir (`_stats/`).
+  *     table — dl is a per-document fact, so it can never go stale), hash
+  *     every term into one of `nbuckets` lists, and land ONE PART PER
+  *     BUCKET of a ColumnarMergeTree ordered by bucket id. Corpus totals
+  *     (document count, total token count — exact integers, so avgdl is
+  *     reproducible bit for bit) persist as a one-row parquet sidecar
+  *     under the table dir (`_stats/`).
   *   - search: the query's terms hash to ≤ |terms| buckets; each
   *     `rangeScan(b, b)` prunes to that bucket's own part(s) via the
   *     manifest — the engine reads |query buckets|/nbuckets of the index
   *     from disk — and the `term IN (…)` filter pushes into the parquet
-  *     scan below that. Scoring is pure map-side (tf, dl AND df are all
-  *     denormalized into the posting row at build time — like nDocs and
-  *     avgdl, df is frozen until a rebuild); the only shuffle is the
-  *     per-document score sum. No corpus access at all.
-  *   - phrase search: postings are POSITIONAL (each carries its term's
-  *     sorted in-document positions), so exact phrase queries resolve by
-  *     folding position-list intersections — see [[phraseSearch]].
+  *     scan below that. Per-term document frequencies come from the
+  *     matched lists themselves (a term's bucket holds EVERY posting of
+  *     that term across all parts, so the count is exact — including
+  *     parts landed by [[append]]); they collapse to ≤ |terms| rows and
+  *     broadcast back onto the postings. No corpus access at all.
+  *   - phrase search: postings are POSITIONAL, so exact phrase queries
+  *     resolve by folding position-list intersections — [[phraseSearch]].
+  *   - append: a new batch of documents lands one new part per touched
+  *     bucket and bumps the corpus totals — per-batch cost ∝ batch, and
+  *     because df/avgdl/nDocs are all derived (never frozen into posting
+  *     rows), a search after append equals a search over a from-scratch
+  *     rebuild exactly (spec-pinned, the MinHashStore discipline).
   *
   * BM25 (Robertson/Spärck Jones; the Lucene-style non-negative idf):
   *   idf(t)  = ln((N - df + 0.5)/(df + 0.5) + 1)
@@ -45,9 +53,10 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType,
   * float discipline applied to an order-sensitive sum).
   *
   * Scale posture: the index table partitions/compacts/recovers like any
-  * other MergeTree table; appends land new per-bucket parts that normal
-  * compaction re-bins (df/avgdl then come from the merged lists); a query
-  * never shuffles anything bigger than the matched postings.
+  * other MergeTree table (append-grown bucket parts re-bin under normal
+  * compaction); a query never shuffles anything bigger than the matched
+  * postings. Stats updates are single-writer (the MinHashStore contract);
+  * multi-writer appends would need the manifest-log commit protocol.
   */
 final class InvertedIndex private (
     val spark: SparkSession,
@@ -56,17 +65,35 @@ final class InvertedIndex private (
 
   import InvertedIndex._
 
-  private lazy val stats: (Long, Double, Int) = {
+  /** (n_docs, n_dl_docs, total_dl, nbuckets) — re-read per query (tiny
+    * one-row parquet), so searches observe appends immediately. n_docs
+    * counts EVERY indexed document (the idf denominator); n_dl_docs only
+    * those with ≥ 1 surviving token (the avgdl denominator — exactly the
+    * doc set the oracle's dl CTE averages over).
+    */
+  private def stats: (Long, Long, Long, Int) = {
     val r = spark.read.parquet(s"$path/_stats")
-      .select(col("n_docs"), col("avgdl"), col("nbuckets")).first()
-    (r.getLong(0), r.getDouble(1), r.getInt(2))
+      .select(col("n_docs"), col("n_dl_docs"), col("total_dl"), col("nbuckets"))
+      .first()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
   }
 
   /** Bucket count the build hashed with (persisted — it can NOT be
     * re-derived from occupied buckets: an empty top bucket would shrink
     * the modulus and re-hash every query term wrong).
     */
-  def nbuckets: Int = stats._3
+  def nbuckets: Int = stats._4
+
+  /** The postings of `terms`, read through bucket part pruning. */
+  private def postingsOf(terms: Seq[String], nb: Int): DataFrame = {
+    // The query's buckets: ≤ |terms| values, computed driver-side with the
+    // same hash the build used (bounded by the query, never the corpus).
+    val buckets = terms.distinct.map(t => bucketOf(spark, t, nb)).distinct.sorted
+    buckets.map(bk => table.rangeScan(bk, bk))
+      .reduceOption(_ unionByName _)
+      .getOrElse(table.scan().limit(0))
+      .filter(col("term").isin(terms.distinct: _*))
+  }
 
   /** BM25 top-k documents for `terms`. Output: (rk, doc_id, n_terms,
     * score) — n_terms is the number of distinct query terms the document
@@ -74,18 +101,15 @@ final class InvertedIndex private (
     */
   def search(terms: Seq[String], k: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (nDocs, avgdl, nb) = stats
-    // The query's buckets: ≤ |terms| values, computed driver-side with the
-    // same hash the build used (bounded by the query, never the corpus).
-    val buckets = terms.map(t => bucketOf(spark, t, nb)).distinct.sorted
-    val postings = buckets.map(bk => table.rangeScan(bk, bk))
-      .reduceOption(_ unionByName _)
-      .getOrElse(table.scan().limit(0))
-      .filter(col("term").isin(terms: _*))
-    // tf, dl AND df all ride inside the posting row — scoring is pure
-    // map-side; the only shuffle in the whole query is the per-document
-    // score sum below.
-    val contrib = postings
+    val (nDocs, nDlDocs, totalDl, nb) = stats
+    // Exact integer ratio — identical to avg(dl) in any engine.
+    val avgdl = totalDl.toDouble / nDlDocs.toDouble
+    val postings = postingsOf(terms, nb)
+    // df per term from the matched lists themselves — exact by
+    // construction, appended parts included; ≤ |terms| rows broadcast
+    // back onto the postings.
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = postings.join(broadcast(df), "term")
       .select(col("doc_id"),
         bm25Micro(col("tf"), col("df"), col("dl"), nDocs, avgdl, k1, b).as("c"))
     val scored = contrib.groupBy("doc_id")
@@ -115,12 +139,8 @@ final class InvertedIndex private (
     */
   def phraseSearch(phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val nb = stats._3
-    val buckets = phrase.distinct.map(t => bucketOf(spark, t, nb)).distinct.sorted
-    val postings = buckets.map(bk => table.rangeScan(bk, bk))
-      .reduceOption(_ unionByName _)
-      .getOrElse(table.scan().limit(0))
-      .filter(col("term").isin(phrase.distinct: _*))
+    val nb = stats._4
+    val postings = postingsOf(phrase, nb)
     val byTerm = phrase.zipWithIndex.map { case (t, i) =>
       postings.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
@@ -140,6 +160,27 @@ final class InvertedIndex private (
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_occ"))
       .orderBy(col("rk"))
+  }
+
+  /** Incremental append of NEW documents (doc_ids not already indexed —
+    * the IvfIndex/MinHashStore contract): each touched bucket lands one
+    * new part, corpus totals bump, and — since df/avgdl/nDocs are all
+    * derived at query time — subsequent searches equal a from-scratch
+    * rebuild exactly. Per-batch cost ∝ batch size; the table's normal
+    * compaction re-bins the accumulated bucket parts.
+    */
+  def append(docs: DataFrame): Unit = {
+    val (nDocs, nDlDocs, totalDl, nb) = stats
+    val postings = buildPostings(docs, nb).persist()
+    try {
+      val occupied = postings.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      occupied.foreach(bk => table.insertBatch(postings.filter(col("bucket") === bk)))
+      val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+      val (batchDlDocs, batchDl) = postingTotals(postings)
+      writeStats(spark, path, nDocs + batchDocs, nDlDocs + batchDlDocs,
+        totalDl + batchDl, nb)
+    } finally postings.unpersist()
   }
 
   /** (planned, total) parts at the last probed scan — pruning visibility. */
@@ -191,8 +232,41 @@ object InvertedIndex {
     StructField("doc_id", LongType, nullable = false),
     StructField("tf", LongType, nullable = false),
     StructField("dl", LongType, nullable = false),
-    StructField("df", LongType, nullable = false),
     StructField("positions", ArrayType(IntegerType), nullable = true)))
+
+  /** (bucket, term, doc_id, tf, dl, positions) rows for a document set —
+    * per-document facts only, so build and append share it verbatim.
+    * Positional postings (the Lucene prox layout): tf = |positions|; a
+    * pathologically repeated term makes a long list — the classic
+    * positional-index cost, bounded by that document's own length.
+    */
+  private def buildPostings(docs: DataFrame, nb: Int): DataFrame = {
+    val terms = tokenizeWithPos(docs)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"),
+      sort_array(collect_list(col("pos"))).as("positions"))
+    // Build-time only: the dl join re-shuffles on doc_id once per batch;
+    // queries never pay it again (dl rides inside every posting row).
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"),
+        col("term"), col("doc_id"), col("tf"), col("dl"), col("positions"))
+  }
+
+  private def writeStats(spark: SparkSession, path: String, nDocs: Long,
+      nDlDocs: Long, totalDl: Long, nb: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, nDlDocs, totalDl, nb))
+      .toDF("n_docs", "n_dl_docs", "total_dl", "nbuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** (docs with ≥1 surviving token, Σ dl) of a posting set — exact longs. */
+  private def postingTotals(postings: DataFrame): (Long, Long) = {
+    val r = postings.agg(
+      countDistinct(col("doc_id")).as("n"),
+      coalesce(sum(col("tf")), lit(0L)).as("t")).first()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Build the index at `path` from (doc_id, text) documents. `nbuckets`
     * ≤ 0 (the default) auto-sizes from the distinct-term count via
@@ -200,26 +274,9 @@ object InvertedIndex {
     */
   def build(spark: SparkSession, docs: DataFrame, path: String,
             nbuckets: Int = 0): InvertedIndex = {
-    val terms = tokenizeWithPos(docs)
-    // Positional postings (the Lucene prox layout): each posting carries
-    // its term's sorted in-document positions, so tf = |positions| and
-    // phrase queries resolve adjacency without touching the corpus. A
-    // pathologically repeated term makes a long list — the classic
-    // positional-index cost, bounded by that document's own length.
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"),
-      sort_array(collect_list(col("pos"))).as("positions"))
-    // Build-time only: the dl and df joins re-shuffle once per build;
-    // queries never pay them again (both ride inside every posting row —
-    // the posting-list denormalization that makes search one shuffle).
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nb = if (nbuckets > 0) nbuckets
-      else autoNbuckets(dfc.count())
-    val postings = tf.join(dl, "doc_id").join(dfc, "term")
-      .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"),
-        col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
-        col("positions"))
-      .persist()
+      else autoNbuckets(tokenize(docs).select(col("term")).distinct().count())
+    val postings = buildPostings(docs, nb).persist()
     try {
       val t = ColumnarMergeTree.create(spark, path, indexSchema,
         orderBy = Seq("bucket"), MergeTreeConfig(maxParts = 2 * nb))
@@ -228,13 +285,11 @@ object InvertedIndex {
       val occupied = postings.select(col("bucket")).distinct()
         .collect().map(_.getLong(0)).sorted
       occupied.foreach(bk => t.insertBatch(postings.filter(col("bucket") === bk)))
-      // avg(dl): a ratio of exact integers, so both engines (and any
-      // partitioning) reproduce the identical double.
+      // Exact integer totals: avgdl = total_dl/n_dl_docs reproduces
+      // avg(dl) bit for bit in any engine, and appends bump them exactly.
       val nDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
-      dl.agg(avg(col("dl")).as("avgdl"))
-        .select(lit(nDocs).as("n_docs"), col("avgdl"), lit(nb).as("nbuckets"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/_stats")
+      val (nDlDocs, totalDl) = postingTotals(postings)
+      writeStats(spark, path, nDocs, nDlDocs, totalDl, nb)
       new InvertedIndex(spark, t, path)
     } finally postings.unpersist()
   }

@@ -85,6 +85,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append == rebuild: searches after append equal a from-scratch index") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val half1 = d.filter(col("doc_id") % 2 === 0)
+    val half2 = d.filter(col("doc_id") % 2 === 1)
+    val grown = InvertedIndex.build(spark, half1,
+      java.nio.file.Files.createTempDirectory("inv_grow_").toString)
+    grown.append(half2)
+    val full = InvertedIndex.build(spark, d,
+      java.nio.file.Files.createTempDirectory("inv_full_").toString)
+    val q = Seq("dup", "vector", "merge")
+    assert(grown.search(q, k = 15).collect().toSeq ==
+      full.search(q, k = 15).collect().toSeq)
+    assert(grown.phraseSearch(Seq("table", "scan", "merge"), k = 15)
+        .collect().toSeq ==
+      full.phraseSearch(Seq("table", "scan", "merge"), k = 15)
+        .collect().toSeq)
+    // The appended buckets landed as ADDITIONAL parts of the same table.
+    assert(grown.table.scan().count() == full.table.scan().count())
+  }
+
   test("postings carry the denormalized document length") {
     val p = idx.table.scan()
       .filter(col("term") === "dup")
