@@ -139,6 +139,18 @@ object Demo {
     val candidates = store.candidatePairs(operators.MinHashStore.bandSignatures(newBatch))
     println(s"== store holds ${store.signatures.count()} signature rows; " +
       s"batch candidates vs history: ${candidates.count()} pairs")
+
+    // Round 9: full-text search from a persisted positional inverted index.
+    println("== inverted index: BM25 top-3 for 'dup vector merge' + phrase search:")
+    val inv = operators.InvertedIndex.build(spark, corpus,
+      java.nio.file.Files.createTempDirectory("inv_demo_").toString)
+    inv.search(Seq("dup", "vector", "merge"), k = 3).show(false)
+    println(s"== last probed bucket's parts (planned/total): " +
+      s"${inv.lastPruning._1}/${inv.lastPruning._2}")
+    val phr = inv.phraseSearch(Seq("table", "scan", "merge"), k = 3)
+    println(s"== docs containing the exact phrase 'table scan merge': " +
+      s"${phr.count()} (top by occurrences)")
+    phr.show(false)
     spark.stop()
   }
 }
