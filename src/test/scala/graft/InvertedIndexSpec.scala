@@ -105,6 +105,25 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(grown.table.scan().count() == full.table.scan().count())
   }
 
+  test("compaction of append-grown parts leaves every query unchanged") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val t = InvertedIndex.build(spark, d.filter(col("doc_id") % 2 === 0),
+      java.nio.file.Files.createTempDirectory("inv_opt_").toString)
+    t.append(d.filter(col("doc_id") % 2 === 1))
+    val q = Seq("dup", "vector", "merge")
+    val before = t.search(q, k = 15).collect().toSeq
+    val beforePhrase = t.phraseSearch(Seq("table", "scan", "merge"), k = 15)
+      .collect().toSeq
+    val partsBefore = t.table.partCount
+    t.table.optimizeFinal()
+    // Merged parts may span several buckets (coarser pruning bounds), but
+    // min/max part pruning stays CORRECT — results must be identical.
+    assert(t.table.partCount < partsBefore)
+    assert(t.search(q, k = 15).collect().toSeq == before)
+    assert(t.phraseSearch(Seq("table", "scan", "merge"), k = 15)
+      .collect().toSeq == beforePhrase)
+  }
+
   test("postings carry the denormalized document length") {
     val p = idx.table.scan()
       .filter(col("term") === "dup")
