@@ -86,9 +86,10 @@ final class InvertedIndex private (
 
   /** The postings of `terms`, read through bucket part pruning. */
   private def postingsOf(terms: Seq[String], nb: Int): DataFrame = {
-    // The query's buckets: ≤ |terms| values, computed driver-side with the
-    // same hash the build used (bounded by the query, never the corpus).
-    val buckets = terms.distinct.map(t => bucketOf(spark, t, nb)).distinct.sorted
+    // The query's buckets: ≤ |terms| values, computed with the same hash
+    // expression the build used, in ONE tiny job (bounded by the query,
+    // never the corpus).
+    val buckets = bucketsOf(spark, terms.distinct, nb)
     buckets.map(bk => table.rangeScan(bk, bk))
       .reduceOption(_ unionByName _)
       .getOrElse(table.scan().limit(0))
@@ -222,9 +223,15 @@ object InvertedIndex {
     floor(idf * (tf * lit(k1 + 1.0)) / denom * lit(1e6) + lit(0.5)).cast("long")
   }
 
-  private def bucketOf(spark: SparkSession, term: String, nb: Int): Long =
-    spark.range(1).select(pmod(xxhash64(lit(term)), lit(nb.toLong)))
-      .first().getLong(0)
+  /** Distinct sorted bucket ids of `terms` — one 1-row job for the whole
+    * set, evaluating the identical Catalyst xxhash64 the build hashed
+    * with (no driver-side reimplementation to drift).
+    */
+  private def bucketsOf(spark: SparkSession, terms: Seq[String],
+      nb: Int): Seq[Long] =
+    spark.range(1)
+      .select(terms.map(t => pmod(xxhash64(lit(t)), lit(nb.toLong))): _*)
+      .first().toSeq.map(_.asInstanceOf[Long]).distinct.sorted
 
   private val indexSchema = StructType(Seq(
     StructField("bucket", LongType, nullable = false),
