@@ -210,6 +210,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
   }
 
+  test("q111: term filter pushes into the postings scan; df broadcasts") {
+    val p = plan(PipelineQueries.q111Bm25Index(spark, dir))
+    assert(p.contains("In(term"),
+      s"the term IN filter must reach the postings parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"df (<= |terms| rows) must broadcast onto the postings:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
