@@ -2082,6 +2082,87 @@ object PipelineQueries {
       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_occ
       |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
 
+  /** Q113 — LM-perplexity quality scoring (the CCNet-style filter every
+    * production corpus pipeline runs): an add-one-smoothed bigram language
+    * model is trained on the corpus itself (real CCNet trains on a clean
+    * reference corpus — same machinery, different training input) and
+    * every document is scored by its average per-bigram log-probability;
+    * the worst 15 (most "surprising" = junk candidates) rank out.
+    *
+    *   lp(w1,w2) = ln((c(w1,w2) + 1) / (c(w1·) + V))
+    *
+    * with c(w1·) = Σ_w2 c(w1,w2) (derived FROM the bigram table, no second
+    * corpus aggregate) and V = |distinct w1| — both spelled identically in
+    * the oracle. Per-bigram lps round to integer micro-units before the
+    * per-doc sum (the q110 order-independence discipline), and the per-doc
+    * average is an integer floor of an exact-long-over-long division.
+    *
+    * Shape: bigram instances are built MAP-SIDE from the filtered token
+    * array (no position join); the LM tables are corpus-REDUCED aggregates
+    * (vocab²-bounded) that AQE broadcasts when small — at 100 TB the
+    * instance-side lookup becomes the standard sort-merge LM-scoring join,
+    * still aggregate-sized on the build side, never corpus × corpus.
+    */
+  def q113LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(spark, dir)
+    val arr = filter(split(lower(col("text")), "[^a-z]+"),
+      t => length(t) >= 3)
+    // size >= 2 BEFORE sequence: Spark's sequence(1, 0) counts DOWN.
+    val inst = d.select(col("doc_id"), arr.as("lst"))
+      .filter(size(col("lst")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("lst")) - 1),
+          i => struct(element_at(col("lst"), i).as("w1"),
+            element_at(col("lst"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c2 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val v = c2.select(col("w1")).distinct().count()
+    val scored = inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log((col("c2") + lit(1.0)) / (col("c1") + lit(v)))
+          * lit(1e6) + lit(0.5)).cast("long").as("lp"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("total_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("total_lp").cast("double") / col("n_bigrams") + lit(0.5))
+          .cast("long").as("avg_lp_micro"))
+    val top = perDoc.orderBy(col("avg_lp_micro").asc, col("doc_id")).limit(15)
+    val w = Window.orderBy(col("avg_lp_micro").asc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_bigrams"), col("avg_lp_micro"))
+      .orderBy(col("rk"))
+  }
+
+  val q113Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      t -> len(t) >= 3) AS lst
+      |  FROM documents),
+      |inst AS (
+      |  SELECT doc_id, lst[i] AS w1, lst[i+1] AS w2
+      |  FROM d, unnest(generate_series(1, len(lst)-1)) AS s(i)
+      |  WHERE len(lst) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w1) AS v FROM c2),
+      |scored AS (
+      |  SELECT inst.doc_id, CAST(floor(
+      |      ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000.0 + 0.5)
+      |    AS BIGINT) AS lp
+      |  FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |      AS avg_lp_micro
+      |  FROM scored GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY avg_lp_micro, doc_id) AS rk
+      |  FROM per_doc)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_bigrams, avg_lp_micro
+      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -2119,5 +2200,6 @@ object PipelineQueries {
     ("q109_pq_ann", q109PqAnn _, None),
     ("q110_bm25", q110Bm25 _, Some(q110Sql)),
     ("q111_bm25_index", q111Bm25Index _, Some(q110Sql)),
-    ("q112_phrase_search", q112PhraseSearch _, Some(q112Sql)))
+    ("q112_phrase_search", q112PhraseSearch _, Some(q112Sql)),
+    ("q113_lm_score", q113LmScore _, Some(q113Sql)))
 }
