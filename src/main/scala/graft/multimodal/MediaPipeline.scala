@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** An opaque media payload row: binary column + typed metadata — the schema
@@ -211,6 +211,103 @@ object MediaPipeline {
       i += 1
     }
     acc
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash — the standard perceptual image
+    * fingerprint): the raster average-pools to a 9×8 luminance grid
+    * (Rec.601 weights, integer block bounds — fully deterministic, no
+    * Graphics2D resampling to vary), and each bit records whether a cell
+    * is darker than its right neighbour. Near-identical images (noise,
+    * re-encode, rescale) land within a few bits of Hamming distance;
+    * unrelated images differ in ~32.
+    */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Double](gw, gh)
+    var gx = 0
+    while (gx < gw) {
+      var gy = 0
+      while (gy < gh) {
+        val x0 = (gx.toLong * w / gw).toInt
+        val x1 = math.min(w, math.max(x0 + 1, ((gx + 1).toLong * w / gw).toInt))
+        val y0 = (gy.toLong * h / gh).toInt
+        val y1 = math.min(h, math.max(y0 + 1, ((gy + 1).toLong * h / gh).toInt))
+        var s = 0.0; var n = 0
+        var x = x0
+        while (x < x1) {
+          var y = y0
+          while (y < y1) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; y += 1
+          }
+          x += 1
+        }
+        lum(gx)(gy) = if (n == 0) 0.0 else s / n
+        gy += 1
+      }
+      gx += 1
+    }
+    var bits = 0L; var i = 0; var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (lum(x)(y) < lum(x + 1)(y)) bits |= (1L << i)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-payload perceptual hash column: real dHash for decodable images,
+    * a deterministic byte-fold for everything else (exact-dup-only
+    * semantics for stubs — the same honest-fallback shape as decode).
+    * One map-side pass; output (media_id, kind, phash).
+    */
+  def imageHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val h = (if (r.kind == "image") decodeImage(r.payload) else None) match {
+        case Some(img) => dHash(img)
+        case None => r.payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+      }
+      (r.media_id, r.kind, h)
+    }).toDF("media_id", "kind", "phash")
+  }
+
+  /** Image NEAR-DUP pairs by perceptual hash: SimHash-style chunk blocking
+    * (the q27 trick) — the 64-bit dHash splits into four 16-bit chunks;
+    * by pigeonhole, any pair within Hamming ≤ 3 shares at least one chunk
+    * verbatim, so candidates come from an EQUI-JOIN on (chunk index,
+    * chunk value) — never an all-pairs product — and only candidates pay
+    * the exact `bit_count(xor)` verify. The corpus is decoded ONCE
+    * map-side; at 100 TB this is one scan + one bounded equi-join, the
+    * image twin of the text SimHash dedup.
+    */
+  def nearDupImagePairs(ds: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking only guarantees recall to Hamming 3")
+    import org.apache.spark.sql.functions._
+    val hashes = imageHashes(ds)
+    val chunks = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("idx"),
+          shiftrightunsigned(col("phash"), i * 16)
+            .bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
+      .select(col("media_id"), col("phash"), col("c.idx"), col("c.chunk"))
+    val a = chunks.select(col("idx"), col("chunk"),
+      col("media_id").as("id_a"), col("phash").as("h_a"))
+    val b = chunks.select(col("idx"), col("chunk"),
+      col("media_id").as("id_b"), col("phash").as("h_b"))
+    a.join(b, Seq("idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Batched per-partition decode + featurize. `batchSize` bounds peak task

@@ -212,6 +212,59 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(resized(2).payload.length == 16 * 12)
   }
 
+  test("image near-dup dedup: dHash survives noise and rescale, separates strangers") {
+    import spark.implicits._
+    // Deterministic gradient image — structure dHash can latch onto.
+    def gradient(w: Int, h: Int, noiseSeed: Int, noiseAmp: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(noiseSeed)
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = ((x * 255) / w + (y * 127) / h) & 0xff
+        val v = math.min(255, math.max(0,
+          base + (if (noiseAmp == 0) 0 else rnd.nextInt(2 * noiseAmp) - noiseAmp)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def noise(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rnd.nextInt())
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", gradient(40, 30, 0, 0), Map.empty),   // base
+      MediaRow(2L, "image", gradient(40, 30, 7, 6), Map.empty),   // noisy copy
+      MediaRow(3L, "image", gradient(80, 60, 0, 0), Map.empty),   // 2x rescale
+      MediaRow(4L, "image", noise(40, 30, 99), Map.empty),        // stranger
+      MediaRow(5L, "image", noise(40, 30, 123), Map.empty))       // stranger
+    val ds = spark.createDataset(rows).repartition(3)
+    val pairs = MediaPipeline.nearDupImagePairs(ds, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "noisy re-encode must be a near-dup")
+    assert(pairs.contains((1L, 3L)), "rescaled copy must be a near-dup")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      s"random images must not pair with anything: $pairs")
+    // Determinism across partitionings.
+    val again = MediaPipeline.nearDupImagePairs(
+      spark.createDataset(rows).repartition(5), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs)
+    // Identical bytes hash identically (Hamming 0) even via the stub path.
+    val stubRows = Seq(
+      MediaRow(10L, "video", "exactly the same bytes".getBytes, Map.empty),
+      MediaRow(11L, "video", "exactly the same bytes".getBytes, Map.empty))
+    val stubPairs = MediaPipeline.nearDupImagePairs(
+      spark.createDataset(stubRows), maxHamming = 0).collect()
+    assert(stubPairs.length == 1 && stubPairs.head.getInt(2) == 0)
+  }
+
   test("real audio codec: WAV fixtures decode to exact geometry; resample is real") {
     import spark.implicits._
     // In-test WAV fixture: 16-bit PCM sine, built with the JDK writer.
