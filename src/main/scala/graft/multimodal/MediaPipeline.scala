@@ -262,46 +262,89 @@ object MediaPipeline {
     bits
   }
 
-  /** Per-payload perceptual hash column: real dHash for decodable images,
-    * a deterministic byte-fold for everything else (exact-dup-only
-    * semantics for stubs — the same honest-fallback shape as decode).
-    * One map-side pass; output (media_id, kind, phash).
+  /** 64-bit ENERGY-ENVELOPE difference hash for audio — dHash's twin over
+    * time instead of space: the decoded clip pools into 65 equal-duration
+    * windows of RMS energy (mono-folded), and each bit records whether a
+    * window is quieter than its successor. Pooling by duration FRACTION
+    * makes the hash sample-rate-invariant (a resampled copy hashes the
+    * same), and the difference SIGN makes it volume-invariant (uniform
+    * gain scales every window's RMS equally).
     */
-  def imageHashes(ds: Dataset[MediaRow]): DataFrame = {
+  private[graft] def aHashAudio(clip: AudioClip): Long = {
+    val gw = 65
+    val n = clip.frames
+    if (n < gw) return 0L
+    val energy = new Array[Double](gw)
+    var w = 0
+    while (w < gw) {
+      val f0 = (w.toLong * n / gw).toInt
+      val f1 = math.min(n, math.max(f0 + 1, ((w + 1).toLong * n / gw).toInt))
+      var s = 0.0; var f = f0
+      while (f < f1) {
+        var c = 0; var m = 0.0
+        while (c < clip.channels) { m += clip.samples(f * clip.channels + c); c += 1 }
+        val v = m / clip.channels
+        s += v * v
+        f += 1
+      }
+      energy(w) = s / (f1 - f0)
+      w += 1
+    }
+    var bits = 0L; var i = 0
+    while (i < gw - 1) {
+      if (energy(i) < energy(i + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-payload perceptual hash column: real dHash for decodable images,
+    * the energy-envelope hash for decodable audio, a deterministic
+    * byte-fold for everything else (exact-dup-only semantics for stubs —
+    * the same honest-fallback shape as decode). One map-side pass; output
+    * (media_id, kind, phash).
+    */
+  def perceptualHashes(ds: Dataset[MediaRow]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      val h = (if (r.kind == "image") decodeImage(r.payload) else None) match {
-        case Some(img) => dHash(img)
-        case None => r.payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+      val real: Option[Long] = r.kind match {
+        case "image" => decodeImage(r.payload).map(dHash)
+        case "audio" => decodeAudio(r.payload).map(aHashAudio)
+        case _ => None
       }
+      val h = real.getOrElse(
+        r.payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b))
       (r.media_id, r.kind, h)
     }).toDF("media_id", "kind", "phash")
   }
 
-  /** Image NEAR-DUP pairs by perceptual hash: SimHash-style chunk blocking
-    * (the q27 trick) — the 64-bit dHash splits into four 16-bit chunks;
+  /** Media NEAR-DUP pairs by perceptual hash (images AND audio — each
+    * modality hashes in its own space, and `kind` is part of the blocking
+    * key so modalities never cross-pair): SimHash-style chunk blocking
+    * (the q27 trick) — the 64-bit hash splits into four 16-bit chunks;
     * by pigeonhole, any pair within Hamming ≤ 3 shares at least one chunk
-    * verbatim, so candidates come from an EQUI-JOIN on (chunk index,
-    * chunk value) — never an all-pairs product — and only candidates pay
-    * the exact `bit_count(xor)` verify. The corpus is decoded ONCE
-    * map-side; at 100 TB this is one scan + one bounded equi-join, the
-    * image twin of the text SimHash dedup.
+    * verbatim, so candidates come from an EQUI-JOIN on (kind, chunk
+    * index, chunk value) — never an all-pairs product — and only
+    * candidates pay the exact `bit_count(xor)` verify. The corpus is
+    * decoded ONCE map-side; at 100 TB this is one scan + one bounded
+    * equi-join, the media twin of the text SimHash dedup.
     */
-  def nearDupImagePairs(ds: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  def nearDupMediaPairs(ds: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking only guarantees recall to Hamming 3")
     import org.apache.spark.sql.functions._
-    val hashes = imageHashes(ds)
-    val chunks = hashes.select(col("media_id"), col("phash"),
+    val hashes = perceptualHashes(ds)
+    val chunks = hashes.select(col("media_id"), col("kind"), col("phash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("idx"),
           shiftrightunsigned(col("phash"), i * 16)
             .bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
-      .select(col("media_id"), col("phash"), col("c.idx"), col("c.chunk"))
-    val a = chunks.select(col("idx"), col("chunk"),
+      .select(col("media_id"), col("kind"), col("phash"),
+        col("c.idx"), col("c.chunk"))
+    val a = chunks.select(col("kind"), col("idx"), col("chunk"),
       col("media_id").as("id_a"), col("phash").as("h_a"))
-    val b = chunks.select(col("idx"), col("chunk"),
+    val b = chunks.select(col("kind"), col("idx"), col("chunk"),
       col("media_id").as("id_b"), col("phash").as("h_b"))
-    a.join(b, Seq("idx", "chunk"))
+    a.join(b, Seq("kind", "idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))

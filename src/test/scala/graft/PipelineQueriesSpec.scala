@@ -245,14 +245,14 @@ class PipelineQueriesSpec extends AnyFunSuite {
       MediaRow(4L, "image", noise(40, 30, 99), Map.empty),        // stranger
       MediaRow(5L, "image", noise(40, 30, 123), Map.empty))       // stranger
     val ds = spark.createDataset(rows).repartition(3)
-    val pairs = MediaPipeline.nearDupImagePairs(ds, maxHamming = 3)
+    val pairs = MediaPipeline.nearDupMediaPairs(ds, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), "noisy re-encode must be a near-dup")
     assert(pairs.contains((1L, 3L)), "rescaled copy must be a near-dup")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
       s"random images must not pair with anything: $pairs")
     // Determinism across partitionings.
-    val again = MediaPipeline.nearDupImagePairs(
+    val again = MediaPipeline.nearDupMediaPairs(
       spark.createDataset(rows).repartition(5), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == pairs)
@@ -260,9 +260,54 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val stubRows = Seq(
       MediaRow(10L, "video", "exactly the same bytes".getBytes, Map.empty),
       MediaRow(11L, "video", "exactly the same bytes".getBytes, Map.empty))
-    val stubPairs = MediaPipeline.nearDupImagePairs(
+    val stubPairs = MediaPipeline.nearDupMediaPairs(
       spark.createDataset(stubRows), maxHamming = 0).collect()
     assert(stubPairs.length == 1 && stubPairs.head.getInt(2) == 0)
+  }
+
+  test("audio near-dup dedup: envelope hash survives resample and gain, separates envelopes") {
+    import spark.implicits._
+    // 440 Hz sine under a time-varying amplitude envelope, encoded as WAV.
+    def wav(hz: Int, secs: Double, env: Double => Double): Array[Byte] = {
+      val frames = (hz * secs).toInt
+      val bytes = new Array[Byte](frames * 2)
+      for (f <- 0 until frames) {
+        val t = f.toDouble / hz
+        val v = (math.sin(2 * math.Pi * 440 * t) * 8000 * env(t / secs)).toInt
+        bytes(2 * f) = (v & 0xff).toByte
+        bytes(2 * f + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        hz, 16, 1, 2, hz, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val rising: Double => Double = u => 0.1 + 0.9 * u
+    val falling: Double => Double = u => 1.0 - 0.9 * u
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(8000, 1.0, rising), Map.empty),            // base
+      MediaRow(2L, "audio", wav(16000, 1.0, rising), Map.empty),           // resampled
+      MediaRow(3L, "audio", wav(8000, 1.0, u => rising(u) * 0.5), Map.empty), // quieter
+      MediaRow(4L, "audio", wav(8000, 1.0, falling), Map.empty))           // stranger
+    val ds = spark.createDataset(rows).repartition(2)
+    val pairs = MediaPipeline.nearDupMediaPairs(ds, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"resampled copy must be a near-dup: $pairs")
+    assert(pairs.contains((1L, 3L)), s"gain-scaled copy must be a near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"a different envelope must not pair: $pairs")
+    // Modalities never cross-pair: an image whose stub/byte path could
+    // collide still blocks under a different kind.
+    val mixed = rows :+ MediaRow(9L, "image", wav(8000, 1.0, rising), Map.empty)
+    val mp = MediaPipeline.nearDupMediaPairs(spark.createDataset(mixed), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!mp.exists(p => p._1 == 9L || p._2 == 9L),
+      s"kind must partition the blocking key: $mp")
   }
 
   test("real audio codec: WAV fixtures decode to exact geometry; resample is real") {
