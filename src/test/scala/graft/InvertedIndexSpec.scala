@@ -124,6 +124,54 @@ class InvertedIndexSpec extends AnyFunSuite {
       .collect().toSeq == beforePhrase)
   }
 
+  test("randomized corpora: index search == brute-force q110 arithmetic") {
+    // Synthetic corpora with a seeded vocabulary — the index must agree
+    // with an independent brute-force scoring for query terms spanning
+    // rare/common/absent, on shapes the real testdata doesn't cover
+    // (single-token docs, empty-after-filter docs, absent query terms).
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "rarissimus")
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 60L).map { id =>
+        val n = rnd.nextInt(12) // 0-token docs included on purpose
+        val ws = Seq.fill(n)(vocab(
+          if (rnd.nextInt(20) == 0) 7 else rnd.nextInt(7)))
+        (id, (ws ++ (if (rnd.nextBoolean()) Seq("xy") else Nil)) // short token: filtered
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val idx = InvertedIndex.build(spark, docs,
+        java.nio.file.Files.createTempDirectory(s"inv_rand$trial").toString)
+      val q = Seq("rarissimus", "alpha", "absentterm")
+      val got = idx.search(q, k = 60).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+      // Independent brute force straight from the corpus (the q110 shape).
+      val toks = InvertedIndex.tokenize(docs)
+      val tf = toks.filter(col("term").isin(q: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val nDocs = docs.count()
+      val dlRows = dl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val avgdl = dlRows.values.sum.toDouble / dlRows.size.toDouble
+      val dfm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = tf.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1).map { case (doc, rows) =>
+          val score = rows.map { case (_, t, f) =>
+            val df = dfm(t); val d = dlRows(doc)
+            val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+            math.floor(idf * (f * (1.2 + 1.0)) /
+              (f + 1.2 * (1.0 - 0.75 + 0.75 * d / avgdl)) * 1e6 + 0.5).toLong
+          }.sum
+          (doc, rows.length.toLong, score)
+        }.toSet
+      assert(got == expected, s"trial $trial: index diverged from brute force")
+    }
+  }
+
   test("postings carry the denormalized document length") {
     val p = idx.table.scan()
       .filter(col("term") === "dup")

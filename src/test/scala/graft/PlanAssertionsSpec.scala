@@ -220,6 +220,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
   }
 
+  test("q113: bigram instances are map-side; LM tables broadcast at this scale") {
+    val p = plan(PipelineQueries.q113LmScore(spark, dir))
+    assert(p.contains("Generate"),
+      s"bigram construction must be a map-side explode, not a position join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-bounded LM count tables must broadcast onto instances:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"worst-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
