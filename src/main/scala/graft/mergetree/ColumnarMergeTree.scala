@@ -193,13 +193,22 @@ final class ColumnarMergeTree private (
     * when the table is unpartitioned). Concurrent callers are safe — the
     * write job runs outside the lock. Attached materialized views receive
     * the same batch (transformed) after the source part lands.
+    *
+    * A partitioned batch is CRASH-ATOMIC: every part lands unregistered
+    * first, then ONE manifest update publishes them all — a reader (or a
+    * writer dying mid-batch) observes the whole batch or none of it, never
+    * a partition-by-partition prefix. (The index classes lean on this:
+    * an InvertedIndex.append is all-or-nothing across its bucket parts.)
     */
   def insertBatch(df: DataFrame, partitions: Int = 0): Unit = {
     require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"batch schema ${df.schema.fieldNames.mkString(",")} != table schema")
     val landed: Seq[GPartMeta] = partitionBy match {
       case None    => Seq(writePart(df, partitions, register = true, partition = None))
-      case Some(p) => writePartitioned(df, partitions, p)
+      case Some(p) =>
+        val metas = writePartitioned(df, partitions, p, register = false)
+        swapParts(Set.empty, metas, metas.map(_.partId).toSet)
+        metas
     }
     // MV defs re-read per batch (one tiny JSON read, like the manifest
     // refresh per scan): an MV attached AFTER this instance opened — by

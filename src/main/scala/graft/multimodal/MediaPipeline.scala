@@ -269,11 +269,16 @@ object MediaPipeline {
     * makes the hash sample-rate-invariant (a resampled copy hashes the
     * same), and the difference SIGN makes it volume-invariant (uniform
     * gain scales every window's RMS equally).
+    *
+    * Clips shorter than 65 frames pool into min(frames, 65) windows —
+    * every unrelated short clip hashing to a shared sentinel would make
+    * them all Hamming-0 "near-dups" of each other. Callers must not hash
+    * clips with < 2 frames (no difference bit exists); perceptualHashes
+    * routes those to the exact-dup byte-fold instead.
     */
   private[graft] def aHashAudio(clip: AudioClip): Long = {
-    val gw = 65
     val n = clip.frames
-    if (n < gw) return 0L
+    val gw = math.min(65, n)
     val energy = new Array[Double](gw)
     var w = 0
     while (w < gw) {
@@ -309,7 +314,9 @@ object MediaPipeline {
     ds.mapPartitions(_.map { r =>
       val real: Option[Long] = r.kind match {
         case "image" => decodeImage(r.payload).map(dHash)
-        case "audio" => decodeAudio(r.payload).map(aHashAudio)
+        // < 2 frames: no envelope difference exists — byte-fold fallback
+        // (exact-dup-only), never a shared sentinel.
+        case "audio" => decodeAudio(r.payload).filter(_.frames >= 2).map(aHashAudio)
         case _ => None
       }
       val h = real.getOrElse(

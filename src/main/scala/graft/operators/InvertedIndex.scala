@@ -65,24 +65,19 @@ final class InvertedIndex private (
 
   import InvertedIndex._
 
-  /** (n_docs, n_dl_docs, total_dl, nbuckets) — re-read per query (tiny
-    * one-row parquet), so searches observe appends immediately. n_docs
-    * counts EVERY indexed document (the idf denominator); n_dl_docs only
-    * those with ≥ 1 surviving token (the avgdl denominator — exactly the
-    * doc set the oracle's dl CTE averages over).
+  /** Corpus stats — re-read per query (one tiny driver-side JSON read, no
+    * Spark job), so searches observe appends immediately. n_docs counts
+    * EVERY indexed document (the idf denominator); n_dl_docs only those
+    * with ≥ 1 surviving token (the avgdl denominator — exactly the doc set
+    * the oracle's dl CTE averages over).
     */
-  private def stats: (Long, Long, Long, Int) = {
-    val r = spark.read.parquet(s"$path/_stats")
-      .select(col("n_docs"), col("n_dl_docs"), col("total_dl"), col("nbuckets"))
-      .first()
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
-  }
+  private def stats: InvStats = InvertedIndex.readStats(path)
 
   /** Bucket count the build hashed with (persisted — it can NOT be
     * re-derived from occupied buckets: an empty top bucket would shrink
     * the modulus and re-hash every query term wrong).
     */
-  def nbuckets: Int = stats._4
+  def nbuckets: Int = stats.nbuckets
 
   /** The postings of `terms`, read through bucket part pruning. */
   private def postingsOf(terms: Seq[String], nb: Int): DataFrame = {
@@ -102,17 +97,18 @@ final class InvertedIndex private (
     */
   def search(terms: Seq[String], k: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (nDocs, nDlDocs, totalDl, nb) = stats
+    require(terms.nonEmpty, "empty query: search needs at least one term")
+    val st = stats
     // Exact integer ratio — identical to avg(dl) in any engine.
-    val avgdl = totalDl.toDouble / nDlDocs.toDouble
-    val postings = postingsOf(terms, nb)
+    val avgdl = st.total_dl.toDouble / st.n_dl_docs.toDouble
+    val postings = postingsOf(terms, st.nbuckets)
     // df per term from the matched lists themselves — exact by
     // construction, appended parts included; ≤ |terms| rows broadcast
     // back onto the postings.
     val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = postings.join(broadcast(df), "term")
       .select(col("doc_id"),
-        bm25Micro(col("tf"), col("df"), col("dl"), nDocs, avgdl, k1, b).as("c"))
+        bm25Micro(col("tf"), col("df"), col("dl"), st.n_docs, avgdl, k1, b).as("c"))
     val scored = contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score"))
     // Distributed top-k (TakeOrderedAndProject) BEFORE the rank window:
@@ -140,8 +136,7 @@ final class InvertedIndex private (
     */
   def phraseSearch(phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val nb = stats._4
-    val postings = postingsOf(phrase, nb)
+    val postings = postingsOf(phrase, stats.nbuckets)
     val byTerm = phrase.zipWithIndex.map { case (t, i) =>
       postings.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
@@ -168,19 +163,28 @@ final class InvertedIndex private (
     * new part, corpus totals bump, and — since df/avgdl/nDocs are all
     * derived at query time — subsequent searches equal a from-scratch
     * rebuild exactly. Per-batch cost ∝ batch size; the table's normal
-    * compaction re-bins the accumulated bucket parts.
+    * compaction re-bins the accumulated bucket parts (bucket-local: the
+    * table partitions by bucket, so merges never widen a part's probe
+    * bounds).
+    *
+    * Crash posture: the bucket parts publish in ONE manifest update (the
+    * partitioned insertBatch is all-or-nothing), and the stats sidecar is
+    * an atomic file swap — a failure leaves either the old index state or
+    * the complete new one, except for the window between the two steps,
+    * where the batch's postings are visible with the previous totals.
+    * Results in that window are COMPLETE (df and the matched postings come
+    * from the lists themselves); only nDocs/avgdl lag one batch, and
+    * re-running the append's stats bump (or a rebuild) repairs it.
     */
   def append(docs: DataFrame): Unit = {
-    val (nDocs, nDlDocs, totalDl, nb) = stats
-    val postings = buildPostings(docs, nb).persist()
+    val st = stats
+    val postings = buildPostings(docs, st.nbuckets).persist()
     try {
-      val occupied = postings.select(col("bucket")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      occupied.foreach(bk => table.insertBatch(postings.filter(col("bucket") === bk)))
+      table.insertBatch(postings)
       val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (batchDlDocs, batchDl) = postingTotals(postings)
-      writeStats(spark, path, nDocs + batchDocs, nDlDocs + batchDlDocs,
-        totalDl + batchDl, nb)
+      writeStats(path, InvStats(st.n_docs + batchDocs, st.n_dl_docs + batchDlDocs,
+        st.total_dl + batchDl, st.nbuckets))
     } finally postings.unpersist()
   }
 
@@ -259,12 +263,33 @@ object InvertedIndex {
         col("term"), col("doc_id"), col("tf"), col("dl"), col("positions"))
   }
 
-  private def writeStats(spark: SparkSession, path: String, nDocs: Long,
-      nDlDocs: Long, totalDl: Long, nb: Int): Unit = {
-    import spark.implicits._
-    Seq((nDocs, nDlDocs, totalDl, nb))
-      .toDF("n_docs", "n_dl_docs", "total_dl", "nbuckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  /** Corpus-stats sidecar (`_stats.json`). A case class so json4s
+    * round-trips it; field names are the on-disk contract.
+    */
+  final case class InvStats(n_docs: Long, n_dl_docs: Long, total_dl: Long,
+      nbuckets: Int)
+
+  /** Atomic stats swap: temp file + ATOMIC_MOVE, so a reader mid-append
+    * sees the old stats or the new — never a missing or partial file (the
+    * delete-then-write race the parquet sidecar this replaced had).
+    */
+  private def writeStats(path: String, st: InvStats): Unit = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.Serialization
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(path), ".stats_", ".tmp")
+    java.nio.file.Files.writeString(tmp, Serialization.write(st)(DefaultFormats))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "_stats.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[operators] def readStats(path: String): InvStats = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_stats.json"))).extract[InvStats]
   }
 
   /** (docs with ≥1 surviving token, Σ dl) of a posting set — exact longs. */
@@ -278,6 +303,16 @@ object InvertedIndex {
   /** Build the index at `path` from (doc_id, text) documents. `nbuckets`
     * ≤ 0 (the default) auto-sizes from the distinct-term count via
     * [[autoNbuckets]] (one count job at build time).
+    *
+    * The table is PARTITION BY bucket, so the whole posting set lands in
+    * ONE Spark job — the partitioned-ingest write splits the batch into
+    * one sorted part per occupied bucket (a part's [minKey, maxKey] is one
+    * bucket id, so a probe's rangeScan(b, b) prunes to exactly it). The
+    * driver-sequenced job-per-bucket loop this replaced was O(nbuckets)
+    * round-trips per build — with nbuckets ~ √V, thousands of jobs on a
+    * real vocabulary regardless of cluster size. Partitioning also makes
+    * compaction bucket-local (merges never mix partitions), so OPTIMIZE
+    * can never widen a part's probe bounds across buckets.
     */
   def build(spark: SparkSession, docs: DataFrame, path: String,
             nbuckets: Int = 0): InvertedIndex = {
@@ -286,22 +321,27 @@ object InvertedIndex {
     val postings = buildPostings(docs, nb).persist()
     try {
       val t = ColumnarMergeTree.create(spark, path, indexSchema,
-        orderBy = Seq("bucket"), MergeTreeConfig(maxParts = 2 * nb))
-      // One part per occupied bucket: a part's [minKey, maxKey] is one
-      // bucket id, so a probe's rangeScan(b, b) prunes to exactly it.
-      val occupied = postings.select(col("bucket")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      occupied.foreach(bk => t.insertBatch(postings.filter(col("bucket") === bk)))
+        orderBy = Seq("bucket"), MergeTreeConfig(maxParts = 2 * nb),
+        partitionBy = Some("bucket"))
+      t.insertBatch(postings)
       // Exact integer totals: avgdl = total_dl/n_dl_docs reproduces
       // avg(dl) bit for bit in any engine, and appends bump them exactly.
       val nDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (nDlDocs, totalDl) = postingTotals(postings)
-      writeStats(spark, path, nDocs, nDlDocs, totalDl, nb)
+      writeStats(path, InvStats(nDocs, nDlDocs, totalDl, nb))
       new InvertedIndex(spark, t, path)
     } finally postings.unpersist()
   }
 
-  /** Reopen a built index (table self-describes via tabledef.json). */
-  def open(spark: SparkSession, path: String): InvertedIndex =
-    new InvertedIndex(spark, ColumnarMergeTree.open(spark, path), path)
+  /** Reopen a built index (table self-describes via tabledef.json). The
+    * build-time maxParts = 2·nbuckets rides back in from the stats sidecar
+    * — a default-config reopen would let a later OPTIMIZE bin-pack far
+    * below the bucket count (pruning stays CORRECT either way: partitioned
+    * merges are bucket-local, this just keeps the merge-trigger budget the
+    * build chose).
+    */
+  def open(spark: SparkSession, path: String): InvertedIndex = {
+    val cfg = MergeTreeConfig(maxParts = 2 * readStats(path).nbuckets)
+    new InvertedIndex(spark, ColumnarMergeTree.open(spark, path, cfg), path)
+  }
 }

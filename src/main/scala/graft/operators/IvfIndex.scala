@@ -95,12 +95,9 @@ final class IvfIndex private (
         r6(cosine(col("v"), col("cv"))).as("csim"))
       .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
       .select(col("cid"), col("vec_id"), col("v"))
-      .persist()
-    try {
-      val cids = assigned.select(col("cid")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      cids.foreach(cid => table.insertBatch(assigned.filter(col("cid") === cid)))
-    } finally assigned.unpersist()
+    // ONE partitioned-ingest job lands one part per touched cluster, and
+    // the batch publishes in one manifest update (all-or-nothing).
+    table.insertBatch(assigned)
   }
 }
 
@@ -156,26 +153,25 @@ object IvfIndex {
     val c = (1 to lloydIters).foldLeft(c0)((cc, _) =>
       PipelineQueries.lloydStep(train, cc))
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    // Assignment is one pass over the corpus; persist it so the per-cluster
-    // part writes below don't re-run the crossJoin + rank per cluster.
     val assigned = e.crossJoin(broadcast(c))
       .select(col("vec_id"), col("v"), col("cid"),
         r6(cosine(col("v"), col("cv"))).as("csim"))
       .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
       .select(col("cid"), col("vec_id"), col("v"))
-      .persist()
-    try {
-      val t = ColumnarMergeTree.create(spark, path, indexSchema,
-        orderBy = Seq("cid"), MergeTreeConfig(maxParts = 2 * nl))
-      // One part per cluster: a part's [minKey, maxKey] is one cid, so a
-      // probe's rangeScan(cid, cid) prunes to exactly that part.
-      val cids = assigned.select(col("cid")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      cids.foreach(cid => t.insertBatch(assigned.filter(col("cid") === cid)))
-      c.select(col("cid"), col("cv")).coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/_centroids")
-      new IvfIndex(spark, t, path)
-    } finally assigned.unpersist()
+    // PARTITION BY cid: ONE partitioned-ingest job lands one part per live
+    // cluster (a part's [minKey, maxKey] is one cid, so a probe's
+    // rangeScan(cid, cid) prunes to exactly that part). The per-cluster
+    // insertBatch loop this replaced was O(nlist) driver-sequenced jobs
+    // per build — with nlist ~ √n, hundreds of round-trips on a real
+    // corpus. Partitioning also keeps compaction cluster-local (merges
+    // never mix partitions), so OPTIMIZE can't widen probe bounds.
+    val t = ColumnarMergeTree.create(spark, path, indexSchema,
+      orderBy = Seq("cid"), MergeTreeConfig(maxParts = 2 * nl),
+      partitionBy = Some("cid"))
+    t.insertBatch(assigned)
+    c.select(col("cid"), col("cv")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    new IvfIndex(spark, t, path)
   }
 
   /** Reopen a built index (table self-describes via tabledef.json). */

@@ -116,8 +116,9 @@ class InvertedIndexSpec extends AnyFunSuite {
       .collect().toSeq
     val partsBefore = t.table.partCount
     t.table.optimizeFinal()
-    // Merged parts may span several buckets (coarser pruning bounds), but
-    // min/max part pruning stays CORRECT — results must be identical.
+    // Merges are bucket-local (PARTITION BY bucket): compaction re-bins
+    // append-grown parts of the SAME bucket, so probe bounds never widen
+    // across buckets — and results must be identical.
     assert(t.table.partCount < partsBefore)
     assert(t.search(q, k = 15).collect().toSeq == before)
     assert(t.phraseSearch(Seq("table", "scan", "merge"), k = 15)
@@ -170,6 +171,48 @@ class InvertedIndexSpec extends AnyFunSuite {
         }.toSet
       assert(got == expected, s"trial $trial: index diverged from brute force")
     }
+  }
+
+  test("build and append issue O(1) Spark jobs, not one per bucket") {
+    // 64 explicit buckets over a ~900-term vocabulary: the per-bucket
+    // insertBatch loop this pins against would launch ≥ 64 driver-
+    // sequenced jobs; the partitioned-ingest build lands every bucket
+    // part in ONE write job (plus a handful of stats/sampling jobs).
+    import spark.implicits._
+    // letter-only tokens (digits split under [^a-z]+): base-26-ish suffix
+    def word(n: Long): String = {
+      val a = ('a' + n % 26).toChar; val b = ('a' + (n / 26) % 26).toChar
+      val c = ('a' + (n / 676) % 26).toChar
+      s"tok$a$b$c"
+    }
+    def corpus(lo: Long, hi: Long) = (lo until hi).map(id =>
+      (id, (0 until 30).map(j => word((id * 31 + j * 7) % 900))
+        .mkString(" "))).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val idx = InvertedIndex.build(spark, corpus(0, 300),
+        java.nio.file.Files.createTempDirectory("inv_jobs_").toString,
+        nbuckets = 64)
+      Thread.sleep(500) // listener events post asynchronously
+      val buildJobs = jobs.get()
+      assert(idx.table.partCount > 32,
+        s"expected ~64 occupied bucket parts, got ${idx.table.partCount}")
+      assert(buildJobs <= 20,
+        s"build must be O(1) jobs (got $buildJobs for 64 buckets)")
+      jobs.set(0)
+      idx.append(corpus(300, 400))
+      Thread.sleep(500)
+      val appendJobs = jobs.get()
+      assert(appendJobs <= 20,
+        s"append must be O(1) jobs (got $appendJobs for 64 buckets)")
+    } finally spark.sparkContext.removeSparkListener(counter)
   }
 
   test("postings carry the denormalized document length") {

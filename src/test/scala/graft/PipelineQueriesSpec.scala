@@ -310,6 +310,43 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"kind must partition the blocking key: $mp")
   }
 
+  test("short audio clips (< 65 frames) pool, not collapse to a sentinel") {
+    import spark.implicits._
+    // Regression: clips shorter than the 65-window grid used to all hash
+    // to 0L, making every pair of unrelated short clips a Hamming-0
+    // "near-dup". They now pool into min(frames, 65) windows, so distinct
+    // envelopes separate while identical clips still pair.
+    def wav(frames: Int, env: Int => Double): Array[Byte] = {
+      val hz = 8000
+      val bytes = new Array[Byte](frames * 2)
+      for (f <- 0 until frames) {
+        val v = (math.sin(2 * math.Pi * 440 * f / hz) * 8000 * env(f)).toInt
+        bytes(2 * f) = (v & 0xff).toByte
+        bytes(2 * f + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        hz, 16, 1, 2, hz, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val short1 = wav(40, f => 0.1 + 0.02 * f)          // rising, 40 frames
+    val short2 = wav(40, f => 0.9 - 0.02 * f)          // falling, 40 frames
+    val rows = Seq(
+      MediaRow(1L, "audio", short1, Map.empty),
+      MediaRow(2L, "audio", short2, Map.empty),
+      MediaRow(3L, "audio", short1.clone(), Map.empty)) // identical copy of 1
+    val pairs = MediaPipeline.nearDupMediaPairs(spark.createDataset(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"identical short clips must pair: $pairs")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)),
+      s"unrelated short clips must NOT pair: $pairs")
+  }
+
   test("real audio codec: WAV fixtures decode to exact geometry; resample is real") {
     import spark.implicits._
     // In-test WAV fixture: 16-bit PCM sine, built with the JDK writer.
