@@ -1860,10 +1860,13 @@ object PipelineQueries {
     * chunking → ONE groupBy(chunk) for df (count of DISTINCT docs — a
     * within-doc repeat is not boilerplate evidence) → one equi-join back on
     * the chunk → per-lang rollup. No broadcast of the hot set (it is
-    * unbounded at corpus scale) and no driver collection; at 100 TB both
-    * shuffles key on the chunk text — production would key them on a
-    * 16-byte chunk digest instead and carry ~50 bytes/row, the same
-    * hash-through-shuffle trade q25 makes for signatures.
+    * unbounded at corpus scale) and no driver collection. Both shuffles key
+    * on an 8-byte xxhash64 CHUNK DIGEST, never the chunk text — the text's
+    * only surviving use (removed_chars) is folded to a length map-side
+    * before the exchange, so a shuffled row carries ~30 bytes instead of
+    * the ~60-char chunk (the q25 hash-through-shuffle trade). A digest
+    * collision would conflate two distinct chunks' document frequencies —
+    * ~n²/2⁶⁵ odds, the standard content-digest dedup posture.
     */
   def q108Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val ws = tokens
@@ -1874,14 +1877,16 @@ object PipelineQueries {
       .otherwise(array())
     val inst = docsSpread(spark, dir)
       .select(col("lang"), col("doc_id"), explode(chunks).as("c"))
-    val dfc = inst.groupBy(col("c"))
+      .select(col("lang"), col("doc_id"),
+        xxhash64(col("c")).as("ch"), length(col("c")).cast("long").as("clen"))
+    val dfc = inst.groupBy(col("ch"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    inst.join(dfc.withColumn("boiler", col("df") >= 3).drop("df"), Seq("c"))
+    inst.join(dfc.withColumn("boiler", col("df") >= 3).drop("df"), Seq("ch"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("chunks"),
         sum(when(col("boiler"), 1L).otherwise(0L)).as("boiler_chunks"),
-        sum(when(col("boiler"), length(col("c")).cast("long")).otherwise(0L))
+        sum(when(col("boiler"), col("clen")).otherwise(0L))
           .as("removed_chars"),
         countDistinct(when(col("boiler"), col("doc_id"))).as("docs_affected"))
       .orderBy(col("lang"))

@@ -198,6 +198,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the corpus side must not shuffle for the join:\n$p")
   }
 
+  test("q108: shuffles key on the chunk digest, never the chunk text") {
+    val p = plan(PipelineQueries.q108Boilerplate(spark, dir))
+    // Both the df aggregate and the join back shuffle on xxhash64(c); the
+    // chunk text itself is dropped map-side (only its length survives), so
+    // no exchange carries the ~60-char chunk string.
+    assert("Exchange hashpartitioning\\(ch".r.findAllIn(p).nonEmpty,
+      s"df aggregate and join must exchange on the 8-byte digest:\n$p")
+    assert(!"Exchange hashpartitioning\\(c[#,]".r.findAllIn(p).hasNext,
+      s"no exchange may key on the raw chunk text:\n$p")
+  }
+
   test("q110: BM25 scoring is one doc_id exchange end to end") {
     val p = plan(PipelineQueries.q110Bm25(spark, dir))
     // One hash exchange only — the per-doc tf/dl aggregate; the melt and
