@@ -186,12 +186,49 @@ object Bench {
     val (ing1m, scan1m) = statOf("mt_ingest_1m", "mt_scan_1m")(mtWorkload(spark, 1000000, 50))
     val ref1m = measureReference(1000000)
 
+    // One-time index/table builds, timed EXPLICITLY before the sweep (r9
+    // verdict: cacheInv/pqCache/cacheG construction happened on rep 1 of
+    // the first touching entry and appeared in NO metric — a 10-55 s build
+    // was invisible). Each *_build number is the first invocation: the
+    // build plus one served query (the serve is the per-query min below,
+    // ~2 orders smaller). The sweep entries then time the steady state.
+    for (b <- Seq("q48_ivf_index", "q105_log_manifest", "q107_agg_projection",
+        "q109_pq_ann", "q111_bm25_index", "q115_ivfadc")) {
+      val t = timeSec {
+        try SparkEntry.queries(b)(spark, sfDir).write.format("noop")
+          .mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $b build: $e") }
+      }
+      record(s"${b}_build", Seq(t))
+    }
+
+    // Between entries: System.gc() lets Spark's ContextCleaner release
+    // accumulated shuffle files / broadcasts (r9 verdict: ~124 entries of
+    // same-JVM state inflated the heavy tail 10-30× vs isolated probes —
+    // q108 read 14.9 s in-sweep, 1.1 s isolated).
+    def cleared(): Unit = { System.gc(); Thread.sleep(50) }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      cleared()
       val t = statTimeSec(name) {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       }
       name -> t
+    }
+
+    // Isolated re-probe of the heavy tail: the 10 slowest sweep entries
+    // re-measure after a full GC quiesce — `<name>_iso` in the raw arrays
+    // is the steady-state number to read regressions from; a sweep median
+    // far above its _iso says context contamination, not a slow operator.
+    val heavy = results.sortBy(-_._2._2).take(10).map(_._1)
+    heavy.foreach { name =>
+      System.gc(); Thread.sleep(500)
+      statTimeSec(s"${name}_iso") {
+        try SparkEntry.queries(name)(spark, sfDir).write.format("noop")
+          .mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name iso: $e") }
+      }
     }
 
     def ratio(ours: Double, ref: Option[(Double, Double)]): Double =
@@ -239,8 +276,16 @@ object Bench {
       "mt_quant_meta_1m" -> quantMeta, "mt_quant_exact_1m" -> quantExact)
     def jsonMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap((results ++ mt).map { case (k, (mn, _)) => k -> mn })
-    val qsMed = jsonMap((results ++ mt).map { case (k, (_, md)) => k -> md })
+    // *_build (one-time index/table construction) and *_iso (post-sweep
+    // isolated re-probes of the 10 slowest entries) ride along in the
+    // queries maps; neither contributes to `total` (builds are one-time
+    // economics, _iso re-measures entries already summed).
+    val extras = rawRuns.toSeq.collect {
+      case (k, vs) if k.endsWith("_build") || k.endsWith("_iso") =>
+        k -> (vs.min, medianOf(vs))
+    }
+    val qs = jsonMap((results ++ mt ++ extras).map { case (k, (mn, _)) => k -> mn })
+    val qsMed = jsonMap((results ++ mt ++ extras).map { case (k, (_, md)) => k -> md })
     val total = results.map(_._2._1).sum
     val totalMed = results.map(_._2._2).sum
     val base = (ref50, ref1m) match {
@@ -248,7 +293,10 @@ object Bench {
         s""","baseline":{"ref_ingest_50k":$i5,"ref_scan_50k":$q5,"ref_ingest_1m":$i1,"ref_scan_1m":$q1}"""
       case _ => ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m}"""
+    val notes = "sweep entries run after a System.gc() quiesce; *_iso = " +
+      "post-sweep isolated re-probe of the 10 slowest (read regressions " +
+      "there); *_build = one-time index/table construction incl. one serve"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"notes":"$notes"}"""
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the
     // 2 KB cap): persist the full line in-repo so rounds stay comparable.

@@ -207,7 +207,7 @@ final class ColumnarMergeTree private (
       case None    => Seq(writePart(df, partitions, register = true, partition = None))
       case Some(p) =>
         val metas = writePartitioned(df, partitions, p, register = false)
-        swapParts(Set.empty, metas, metas.map(_.partId).toSet)
+        swapParts(Set.empty, metas, metas)
         metas
     }
     // MV defs re-read per batch (one tiny JSON read, like the manifest
@@ -1030,7 +1030,7 @@ final class ColumnarMergeTree private (
     val m = SnapshotLog.load(path, seq).getOrElse(throw new IllegalArgumentException(
       s"no snapshot $seq (available: ${snapshots.mkString(",")})"))
     val missing = m.parts.filterNot(p =>
-      Files.exists(Paths.get(s"$path/part_${p.partId}")))
+      Files.exists(Paths.get(s"$path/${p.dir}")))
     require(missing.isEmpty,
       s"snapshot $seq is no longer readable: parts " +
         s"${missing.map(_.partId).mkString(",")} were purged (GC grace passed)")
@@ -1089,7 +1089,7 @@ final class ColumnarMergeTree private (
         GManifest(cur.version, cur.parts.filterNot(_.partition.contains(value)))
       }
     }
-    retireParts(gone.map(_.partId))
+    retireParts(gone)
     gone.map(_.rowCount).sum
   }
 
@@ -1102,10 +1102,11 @@ final class ColumnarMergeTree private (
     * has expired. gcGraceSeconds=0 keeps the old eager behavior (purge
     * happens in the same op that retired the parts).
     */
-  private def retireParts(ids: Iterable[Long]): Unit = {
-    if (ids.isEmpty) return
+  private def retireParts(gone: Iterable[GPartMeta]): Unit = {
+    if (gone.isEmpty) return
     val now = System.currentTimeMillis()
-    GcList.update(path)(cur => GcList(cur.retired ++ ids.map(GcEntry(_, now))))
+    GcList.update(path)(cur =>
+      GcList(cur.retired ++ gone.map(p => GcEntry(p.partId, now, p.dirName))))
     purgeGc()
   }
 
@@ -1116,16 +1117,48 @@ final class ColumnarMergeTree private (
     * between the two just leaves already-deleted entries behind, and
     * deleteRecursively is idempotent so the next purge unlinks them no-op.
     * The reverse order would leak the dirs permanently (no record left).
+    *
+    * Each purge also sweeps ORPHANED part directories: dirs on disk that no
+    * manifest entry, GC entry, or detached part references — a writer that
+    * died between staging-rename and manifest publish (log-mode uuid claim,
+    * or a maintenance output that never swapped in) leaves exactly this.
+    * Orphans are deleted only past a conservative age floor (≥ 10 min AND
+    * the table's grace window, even under `force`), so an IN-FLIGHT
+    * maintenance op's just-written unregistered outputs are never swept.
     */
   def purgeGc(force: Boolean = false): Int = {
     val cutoff = System.currentTimeMillis() - config.gcGraceSeconds * 1000L
     val victims = GcList.load(path).retired.filter(e => force || e.retiredAt <= cutoff)
-    if (victims.isEmpty) return 0
     victims.foreach(e =>
-      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${e.partId}")))
-    val gone = victims.map(_.partId).toSet
-    GcList.update(path)(cur => GcList(cur.retired.filterNot(e => gone(e.partId))))
-    victims.size
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/${e.dir}")))
+    if (victims.nonEmpty) {
+      val gone = victims.map(_.partId).toSet
+      GcList.update(path)(cur => GcList(cur.retired.filterNot(e => gone(e.partId))))
+    }
+    victims.size + purgeOrphans()
+  }
+
+  /** See purgeGc: delete aged part dirs referenced by nothing persisted. */
+  private def purgeOrphans(): Int = {
+    val floorMs = math.max(600L, config.gcGraceSeconds.toLong) * 1000L
+    val cutoff = System.currentTimeMillis() - floorMs
+    val referenced: Set[String] =
+      (GManifest.load(path).map(_.parts).getOrElse(Nil).map(_.dir) ++
+        GcList.load(path).retired.map(_.dir) ++
+        DetachedSet.load(path).map(_.dir)).toSet
+    val dirs = {
+      val s = Files.list(Paths.get(path))
+      try s.iterator().asScala.filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("part_")).toList
+      finally s.close()
+    }
+    val orphans = dirs.filter { d =>
+      !referenced(d.getFileName.toString) &&
+        (try Files.getLastModifiedTime(d).toMillis <= cutoff
+         catch { case _: java.io.IOException => false })
+    }
+    orphans.foreach(MergeTreeTable.deleteRecursively)
+    orphans.size
   }
 
   /** Part ids retired but not yet purged — diagnostic/test hook. */
@@ -1257,7 +1290,7 @@ final class ColumnarMergeTree private (
     implicit val fmts: org.json4s.Formats = DefaultFormats
     var state = agg.zero
     val uncovered = manifest.parts.filter { p =>
-      val f = Paths.get(path, s"part_${p.partId}", s"_topk_$column")
+      val f = Paths.get(path, p.dir, s"_topk_$column")
       if (Files.exists(f)) {
         val m = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
           .extract[Map[String, Long]]
@@ -1325,7 +1358,7 @@ final class ColumnarMergeTree private (
     implicit val fmts: org.json4s.Formats = DefaultFormats
     val pooled = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val uncovered = manifest.parts.filter { p =>
-      val f = Paths.get(path, s"part_${p.partId}", s"_quant_$column")
+      val f = Paths.get(path, p.dir, s"_quant_$column")
       if (Files.exists(f)) {
         val j = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
         val n = (j \ "n").extract[Long]
@@ -1379,7 +1412,7 @@ final class ColumnarMergeTree private (
     val live = manifest.parts
     val merged = graft.functions.HllSketch.empty
     val uncovered = live.filter { p =>
-      val f = Paths.get(path, s"part_${p.partId}", s"_hll_$column")
+      val f = Paths.get(path, p.dir, s"_hll_$column")
       if (Files.exists(f)) {
         graft.functions.HllSketch.mergeInto(merged, Files.readAllBytes(f))
         false
@@ -1406,7 +1439,7 @@ final class ColumnarMergeTree private (
       .filter(_.length == ColumnarMergeTree.NgramSize).toSet
     refresh()
     manifest.parts.filter { p =>
-      val f = Paths.get(path, s"part_${p.partId}", s"_ngrambf_$column")
+      val f = Paths.get(path, p.dir, s"_ngrambf_$column")
       !Files.exists(f) || {
         val in = Files.newInputStream(f)
         val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
@@ -1441,7 +1474,7 @@ final class ColumnarMergeTree private (
   private[graft] def tokenBloomParts(column: String, token: String): Seq[GPartMeta] = {
     refresh()
     manifest.parts.filter { p =>
-      val f = Paths.get(path, s"part_${p.partId}", s"_tokenbf_$column")
+      val f = Paths.get(path, p.dir, s"_tokenbf_$column")
       !Files.exists(f) || {
         val in = Files.newInputStream(f)
         val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
@@ -1472,7 +1505,7 @@ final class ColumnarMergeTree private (
     if (parts.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema)
-      .parquet(parts.map(p => s"$path/part_${p.partId}"): _*)
+      .parquet(parts.map(p => s"$path/${p.dir}"): _*)
 
   /** (planned, total) parts at the last scan — test/diagnostic hook. */
   @volatile var lastPruning: (Int, Int) = (0, 0)
@@ -1513,23 +1546,26 @@ final class ColumnarMergeTree private (
     * loser's filterNot would find its oldIds already gone and append its
     * outputs anyway, duplicating every rewritten row; instead the loser
     * detects the conflict inside the RMW, leaves the manifest untouched,
-    * deletes its freshly-written `freshIds` dirs, and returns false.
+    * deletes its freshly-written `fresh` part dirs, and returns false.
     * On success the replaced parts retire through the grace GC.
     */
   private[graft] def swapParts(oldIds: Set[Long], add: Seq[GPartMeta],
-                               freshIds: Set[Long]): Boolean = {
+                               fresh: Seq[GPartMeta]): Boolean = {
     var applied = false
+    var gone = Seq.empty[GPartMeta]
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
         if (oldIds.subsetOf(cur.parts.map(_.partId).toSet)) {
           applied = true
+          gone = cur.parts.filter(p => oldIds(p.partId))
           GManifest(cur.version, cur.parts.filterNot(p => oldIds(p.partId)) ++ add)
         } else cur
       }
     }
-    if (applied) retireParts(oldIds -- add.map(_.partId))
-    else freshIds.foreach(id =>
-      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_$id")))
+    val addIds = add.map(_.partId).toSet
+    if (applied) retireParts(gone.filterNot(p => addIds(p.partId)))
+    else fresh.foreach(m =>
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
     applied
   }
 
@@ -1566,7 +1602,7 @@ final class ColumnarMergeTree private (
     val rest = schema.fieldNames.filterNot(dedupBy.contains).map(col).toSeq
     val written = concurrently(toMerge) { bin =>
       val raw = spark.read.schema(schema)
-        .parquet(bin.map(p => s"$path/part_${p.partId}"): _*)
+        .parquet(bin.map(p => s"$path/${p.dir}"): _*)
       val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
       val deduped =
         if (dedupBy.nonEmpty && rest.nonEmpty) {
@@ -1589,12 +1625,12 @@ final class ColumnarMergeTree private (
     // inverted bounds that keeps its partition listed forever.
     val (newMetas, empty) = written.partition(_.rowCount > 0)
     empty.foreach(m =>
-      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${m.partId}")))
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
     val oldIds = toMerge.flatten.map(_.partId).toSet
     // CAS-swap: a conflict means another instance already merged these
     // parts — its result stands, our outputs are discarded (merging is
     // idempotent work, so losing the race is not an error).
-    swapParts(oldIds, newMetas, newMetas.map(_.partId).toSet)
+    swapParts(oldIds, newMetas, newMetas)
     // A plain merge preserves the row set, but DEDUPLICATE is a row-level
     // mutation: projection copies must drop the same rows (dedupBy picks
     // its representative by column VALUES, so the differently-sorted copy
@@ -1642,7 +1678,7 @@ final class ColumnarMergeTree private (
         // when a merge rewrites the part); untouched parts keep theirs until
         // a merge or applyTtl() reaches them.
         val raw = spark.read.schema(schema)
-          .parquet(bin.map(p => s"$path/part_${p.partId}").toSeq: _*)
+          .parquet(bin.map(p => s"$path/${p.dir}").toSeq: _*)
         val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
         writePart(collapse(unexpired), 0, register = false,
           partition = bin.head.partition)
@@ -1653,11 +1689,11 @@ final class ColumnarMergeTree private (
     // yields a 0-row output: exclude it and remove its fresh directory.
     val (kept, emptyNew) = newMetas.partition(_.rowCount > 0)
     emptyNew.filterNot(m => liveIds(m.partId)).foreach(m =>
-      MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${m.partId}")))
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
     val keptIds = kept.map(_.partId).toSet
     // CAS-swap (see swapParts): on conflict only OUR fresh merge outputs
     // are deleted — pass-through bins are live original parts.
-    swapParts(liveIds, kept, keptIds -- liveIds)
+    swapParts(liveIds, kept, kept.filterNot(m => liveIds(m.partId)))
   }
 
   /** Row deletion by predicate (ClickHouse's ALTER TABLE ... DELETE — the
@@ -1689,13 +1725,13 @@ final class ColumnarMergeTree private (
       val h = hitsByPart.getOrElse(p.partId, 0L); h > 0L && h < p.rowCount
     }
     val newMetas = concurrently(touched) { p =>
-      val df = spark.read.schema(schema).parquet(s"$path/part_${p.partId}")
+      val df = spark.read.schema(schema).parquet(s"$path/${p.dir}")
       writePart(df.filter(!isHit), 0, register = false, partition = p.partition)
     }
     val goneIds = (dropped ++ touched).map(_.partId).toSet
     // A mutation that loses the CAS must surface, not silently vanish —
     // the caller's rows were NOT deleted and a retry re-evaluates cond.
-    if (!swapParts(goneIds, newMetas, newMetas.map(_.partId).toSet))
+    if (!swapParts(goneIds, newMetas, newMetas))
       throw new java.util.ConcurrentModificationException(
         "deleteWhere raced another maintenance op on the same parts; retry")
     // Keep projection copies in sync (see updateWhere).
@@ -1715,7 +1751,7 @@ final class ColumnarMergeTree private (
     */
   private[graft] def hitCountPlan(parts: Seq[GPartMeta], isHit: Column): DataFrame =
     spark.read.schema(schema)
-      .parquet(parts.map(p => s"$path/part_${p.partId}"): _*)
+      .parquet(parts.map(p => s"$path/${p.dir}"): _*)
       .filter(isHit)
       // Parts are directories `part_<id>/<file>.parquet`; anchoring the
       // match to the file's parent segment keeps a `part_`-ish substring
@@ -1754,7 +1790,7 @@ final class ColumnarMergeTree private (
       if (updated == 0L) return 0L
       val touched = live.filter(p => hitsByPart.getOrElse(p.partId, 0L) > 0L)
       val newMetas = concurrently(touched) { p =>
-        val df = spark.read.schema(schema).parquet(s"$path/part_${p.partId}")
+        val df = spark.read.schema(schema).parquet(s"$path/${p.dir}")
         // Simultaneous-assignment semantics (like ClickHouse UPDATE): every
         // SET expression evaluates against the OLD row — stage new values
         // in temp columns before any target column is replaced, so
@@ -1769,7 +1805,7 @@ final class ColumnarMergeTree private (
         writePart(mutated, 0, register = false, partition = p.partition)
       }
       val goneIds = touched.map(_.partId).toSet
-      if (!swapParts(goneIds, newMetas, newMetas.map(_.partId).toSet))
+      if (!swapParts(goneIds, newMetas, newMetas))
         throw new java.util.ConcurrentModificationException(
           "updateWhere raced another maintenance op on the same parts; retry")
       // Projections hold copies of these rows under another sort order —
@@ -1846,15 +1882,15 @@ final class ColumnarMergeTree private (
         // nothing (and remove the fresh 0-row directory).
         val add = Seq(newMeta).filter(_.rowCount > 0)
         if (add.isEmpty)
-          MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${newMeta.partId}"))
+          MergeTreeTable.deleteRecursively(Paths.get(s"$path/${newMeta.dir}"))
         // "Everything" is decided inside the RMW: the batch replaces
         // whatever is listed at commit time, including parts a concurrent
         // compaction just produced (an id snapshot would let their rows
         // survive the overwrite).
-        var gone = Set.empty[Long]
+        var gone = Seq.empty[GPartMeta]
         lock.synchronized {
           manifest = GManifest.update(path) { cur =>
-            gone = cur.parts.map(_.partId).toSet
+            gone = cur.parts
             GManifest(cur.version, add.toList)
           }
         }
@@ -1875,12 +1911,13 @@ final class ColumnarMergeTree private (
         val values = newMetas.flatMap(_.partition).toSet
         // Touched partitions are cleared by VALUE inside the RMW (see the
         // unpartitioned branch: id snapshots race concurrent compaction).
-        var gone = Set.empty[Long]
+        var gone = Seq.empty[GPartMeta]
         lock.synchronized {
           manifest = GManifest.update(path) { cur =>
-            gone = cur.parts.filter(_.partition.exists(values)).map(_.partId).toSet
+            gone = cur.parts.filter(_.partition.exists(values))
+            val goneIds = gone.map(_.partId).toSet
             GManifest(cur.version,
-              cur.parts.filterNot(q => gone(q.partId)) ++ newMetas)
+              cur.parts.filterNot(q => goneIds(q.partId)) ++ newMetas)
           }
         }
         retireParts(gone)
@@ -1908,15 +1945,16 @@ final class ColumnarMergeTree private (
       // phantom 0-row part (its null bounds would dodge pruning forever).
       val add = Seq(newMeta).filter(_.rowCount > 0)
       if (add.isEmpty)
-        MergeTreeTable.deleteRecursively(Paths.get(s"$path/part_${newMeta.partId}"))
+        MergeTreeTable.deleteRecursively(Paths.get(s"$path/${newMeta.dir}"))
       // Old parts are selected by partition VALUE inside the RMW (see
       // dropPartition: id snapshots race concurrent compaction).
-      var gone = Set.empty[Long]
+      var gone = Seq.empty[GPartMeta]
       lock.synchronized {
         manifest = GManifest.update(path) { cur =>
-          gone = cur.parts.filter(_.partition.contains(value)).map(_.partId).toSet
+          gone = cur.parts.filter(_.partition.contains(value))
+          val goneIds = gone.map(_.partId).toSet
           GManifest(cur.version,
-            cur.parts.filterNot(p => gone(p.partId)) ++ add)
+            cur.parts.filterNot(p => goneIds(p.partId)) ++ add)
         }
       }
       retireParts(gone)
@@ -1973,7 +2011,7 @@ final class ColumnarMergeTree private (
     val candidates = DetachedSet.load(path).filter(_.partition.contains(value))
     if (candidates.isEmpty) return 0L
     val missing = candidates.filterNot(p =>
-      Files.isDirectory(Paths.get(path, s"part_${p.partId}")))
+      Files.isDirectory(Paths.get(path, p.dir)))
     require(missing.isEmpty, s"detached parts ${missing.map(_.partId).mkString(",")} " +
       s"of partition '$value' are gone from disk")
     var attached = List.empty[GPartMeta]
@@ -2347,7 +2385,18 @@ object ColumnarMergeTree {
         * are simply never pruned by the index. A column missing from the
         * list had incomplete footer stats in this part — same treatment.
         */
-      colStats: Option[List[GColStat]] = None) {
+      colStats: Option[List[GColStat]] = None,
+      /** On-disk directory name when it differs from `part_<partId>` —
+        * log-mode registration claims UNIQUE (uuid) names so a crashed
+        * writer can never stall a concurrent claimant on a rename (and no
+        * rename-claim needs to exist, the object-store posture); the
+        * manifest CAS is the only claim. None (json4s reads missing as
+        * absent) on default-layout parts and all pre-existing manifests.
+        */
+      dirName: Option[String] = None) {
+
+    /** The part's directory name under the table path. */
+    def dir: String = dirName.getOrElse(s"part_$partId")
 
     /** Inclusive-range overlap. Null bounds mean the part is unbounded
       * (footer key stats were incomplete — see footerBounds): never pruned.
@@ -2517,7 +2566,10 @@ object ColumnarMergeTree {
   }
 
   /** A part unlinked from the manifest, awaiting grace-expired deletion. */
-  case class GcEntry(partId: Long, retiredAt: Long)
+  case class GcEntry(partId: Long, retiredAt: Long,
+      dirName: Option[String] = None) {
+    def dir: String = dirName.getOrElse(s"part_$partId")
+  }
 
   /** Persisted GC list (gclist.json): the set of retired-but-not-yet-deleted
     * part directories. Updated under the same per-path lock as the manifest
@@ -2746,46 +2798,40 @@ object ColumnarMergeTree {
         meta
       }
 
-    /** Log-mode register: the part id is claimed by atomically claiming its
-      * DIRECTORY NAME (rename fails on an existing target), then the
-      * manifest append retries the publish CAS on the fresh state — the id
-      * stays exclusively ours across retries because the name claim
-      * preceded them. A writer dying between claim and publish orphans a
-      * part directory and stalls same-id claimants until GC; a production
-      * object-store layout sidesteps this with unique (uuid) part names —
-      * accepted prototype trade, matching the staged-rename the default
-      * layout already relies on.
+    /** Log-mode register with UNIQUE (uuid) part names: the staged dir
+      * renames to `part_u<uuid>` — a name no other writer can hold, so the
+      * rename never contends and needs no retry — and the manifest CAS is
+      * the ONLY claim. The part id is allocated INSIDE the CAS loop (each
+      * retry recomputes it against the fresh state, and the publish that
+      * wins both binds the id and fences it via the version bump — one
+      * atomic step). A writer dying between rename and publish leaves an
+      * orphaned uuid dir that purgeGc's orphan sweep ages out; it can
+      * never stall a concurrent claimant (the rename-claim this replaced
+      * slept same-id claimants in a loop until GC) and never consumes an
+      * id. This is also the only layout that works on a real object store,
+      * where atomic rename-onto-existing doesn't exist — uuid names need
+      * only put-if-absent on the commit object (tryPublish).
       */
     private def registerLog(tablePath: String, stagedDir: java.nio.file.Path,
         append: Boolean)(metaFor: Long => GPartMeta): GPartMeta = {
-      var id = -1L
-      while (id < 0) {
-        val (_, cur) = loadLog(tablePath)
-        val want = nextIdOf(cur)
-        val target = Paths.get(tablePath, s"part_$want")
-        try {
-          Files.move(stagedDir, target)
-          id = want
-        } catch {
-          // a racer claimed the name but hasn't published yet — wait for
-          // its commit to bump nextIdOf past the contested id. rename(2)
-          // reports the taken name as EEXIST for files but ENOTEMPTY for
-          // non-empty directories, hence the existence re-check.
-          case e: java.nio.file.FileSystemException
-              if e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-                Files.exists(target) => Thread.sleep(2)
-        }
-      }
-      val meta = metaFor(id)
-      var done = false
-      while (!done) {
+      val name = s"part_u${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Files.move(stagedDir, Paths.get(tablePath, name))
+      var out: GPartMeta = null
+      while (out == null) {
         val (seq, cur) = loadLog(tablePath)
+        val id = nextIdOf(cur)
+        // append=false still publishes the version fence: a maintenance
+        // output's id must stay unique for the later swap-in (two metas
+        // sharing a partId would corrupt retire/swap bookkeeping).
+        val meta = metaFor(id).copy(dirName = Some(name))
         val next = GManifest(math.max(cur.version, id + 1),
           if (append) cur.parts :+ meta else cur.parts)
-        done = tryPublish(tablePath, next, seq + 1)
-        if (done) compactLog(tablePath, seq + 1)
+        if (tryPublish(tablePath, next, seq + 1)) {
+          compactLog(tablePath, seq + 1)
+          out = meta
+        }
       }
-      meta
+      out
     }
   }
 }

@@ -216,6 +216,33 @@ object InvertedIndex {
         posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "term")))
       .filter(length(col("term")) >= 3)
 
+  /** CJK-AWARE token array for one text column: the latin tokens above
+    * PLUS Han-script character bigrams — the standard cheap CJK answer
+    * (CJK text has no spaces, so word-split tokenization sees zero tokens;
+    * overlapping character bigrams give retrieval/dedup signals without a
+    * dictionary segmenter, the approach CJKAnalyzer-style tokenizers use).
+    * Bigrams never cross a non-Han separator (runs are extracted first,
+    * each run bigrammed on its own); an isolated single Han character
+    * emits itself (a run of length 1 has no bigram — dropping it would
+    * make that character unsearchable). Pure map-side expressions, and
+    * spelled operation-for-operation like the q114 oracle SQL.
+    */
+  def mixedTokens(text: Column): Column = {
+    val latin = filter(split(lower(text), "[^a-z]+"), t => length(t) >= 3)
+    val runs = regexp_extract_all(text, lit("[\\p{IsHan}]+"), lit(0))
+    val han = flatten(transform(runs, r =>
+      when(length(r) === 1, array(r))
+        .otherwise(transform(sequence(lit(1), length(r) - 1),
+          i => r.substr(i, lit(2))))))
+    concat(latin, han)
+  }
+
+  /** (doc_id, term) rows under the multilingual tokenizer — the CJK-aware
+    * twin of [[tokenize]].
+    */
+  def tokenizeMixed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(mixedTokens(col("text"))).as("term"))
+
   /** Per-(doc,term) BM25 contribution in integer micro-units. Spelled
     * operation-for-operation like the q110 oracle SQL so both engines walk
     * the identical IEEE-double expression tree before the rounding.

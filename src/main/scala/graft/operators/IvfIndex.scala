@@ -6,7 +6,7 @@ import graft.queries.PipelineQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** A PERSISTED IVF (inverted-file) ANN index, stored as a MergeTree table:
   * the marriage of the engine's two halves. q28 demonstrates the IVF query
@@ -78,6 +78,74 @@ final class IvfIndex private (
   /** (planned, total) parts at the last probed scan — pruning visibility. */
   def lastPruning: (Int, Int) = table.lastPruning
 
+  /** PQ codebooks sidecar — present iff this index was built with
+    * [[IvfIndex.buildAdc]]. Re-read per call (tiny driver-side JSON).
+    */
+  def pqCodebooks: Option[graft.operators.ProductQuantizer.PqCodebooks] =
+    IvfIndex.readPq(path)
+
+  /** IVFADC search (Jégou et al. 2011 — the composition the IVF and PQ
+    * halves were built for): rank centroids and probe `nprobe` lists
+    * exactly like [[search]], ADC-score ONLY the probed lists' rows via
+    * the m-lookup table expression (no vector arithmetic on the corpus
+    * side), keep the per-query top-`shortlist`, and exact-re-rank just
+    * those — so per query the engine reads nprobe/nlist of the corpus,
+    * does m table lookups per read row, and pays true cosines on
+    * `shortlist` rows only. Output (qid, rnk, vec_id, sim), exact sims —
+    * approximation costs recall, never garbage scores.
+    */
+  def searchAdc(queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val short = adcShortlist(queries, nprobe, shortlist)
+    // Exact cosine is evaluated HERE and only here — on shortlist rows
+    // (adcShortlist's output is capped at |queries|·shortlist by its
+    // row_number filter; the spec pins that bound).
+    val exact = short.select(col("qid"), col("vec_id"),
+      r6(cosine(col("qv"), col("v"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** The ADC stage of [[searchAdc]]: (qid, qv, vec_id, v) of the
+    * per-query top-`shortlist` rows by approximate (table-lookup) score
+    * over the probed lists. Exposed so the spec can pin the exact-re-rank
+    * input bound structurally.
+    */
+  private[graft] def adcShortlist(queries: DataFrame, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val cb = pqCodebooks.getOrElse(throw new IllegalStateException(
+      s"no PQ codebooks at $path — build with IvfIndex.buildAdc"))
+    val c = centroids
+    val pw = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    val probe = queries.crossJoin(broadcast(c))
+      .select(col("qid"), col("qv"), col("cid"),
+        r6(cosine(col("qv"), col("cv"))).as("psim"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val cids = probe.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // Part pruning: each rangeScan plans only the probed cluster's parts.
+    val probed = cids.map(cid => table.rangeScan(cid, cid))
+      .reduceOption(_ unionByName _)
+      .getOrElse(table.scan().limit(0))
+    // The query's m×k lookup table is computed ONCE on the broadcast side;
+    // per probed row the approximate score is m array lookups (pq_adc).
+    val qlut = queries.select(col("qid"),
+      call_function("pq_lut", col("qv"), typedLit(cb.cb)).as("lut"))
+    val scored = probed.join(probe, Seq("cid"))
+      .join(broadcast(qlut), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"),
+        call_function("pq_adc", col("code"), col("lut")).as("asim"))
+    val sw = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+  }
+
   /** Incremental append (the streaming-corpus pattern: feed micro-batches
     * here from foreachBatch): new vectors are assigned to the EXISTING
     * centroids — the quantizer is fixed after build, as IVF quantizers are —
@@ -95,9 +163,17 @@ final class IvfIndex private (
         r6(cosine(col("v"), col("cv"))).as("csim"))
       .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
       .select(col("cid"), col("vec_id"), col("v"))
+    // An ADC index also encodes the batch against the FIXED codebooks
+    // (quantizers don't retrain on append — the IVF contract above), so
+    // appended rows ADC-score exactly like built ones.
+    val rows = pqCodebooks match {
+      case Some(cb) => assigned.withColumn("code",
+        call_function("pq_encode", col("v"), typedLit(cb.cb)))
+      case None => assigned
+    }
     // ONE partitioned-ingest job lands one part per touched cluster, and
     // the batch publishes in one manifest update (all-or-nothing).
-    table.insertBatch(assigned)
+    table.insertBatch(rows)
   }
 }
 
@@ -133,6 +209,9 @@ object IvfIndex {
     StructField("vec_id", LongType, nullable = false),
     StructField("v", ArrayType(DoubleType), nullable = true)))
 
+  private val adcSchema = indexSchema
+    .add(StructField("code", ArrayType(IntegerType), nullable = true))
+
   /** Build the index at `path` from (vec_id, v) vectors: train nlist
     * centroids (seeded from the first nlist vectors, `lloydIters` spherical
     * k-means refinements over `trainFraction` of the data), assign every
@@ -143,7 +222,29 @@ object IvfIndex {
     * count via [[autoNlist]] (~√n, one count job at build time).
     */
   def build(spark: SparkSession, vectors: DataFrame, path: String,
-            nlist: Int = 0, lloydIters: Int = 2, trainMod: Int = 4): IvfIndex = {
+            nlist: Int = 0, lloydIters: Int = 2, trainMod: Int = 4): IvfIndex =
+    buildImpl(spark, vectors, path, nlist, lloydIters, trainMod, pq = None)
+
+  /** Build an IVFADC index (Jégou et al. 2011): [[build]]'s coarse
+    * quantizer and one-part-per-cluster layout, with every stored row
+    * additionally carrying its `m`-byte PQ code (encoded MAP-SIDE by the
+    * native pq_encode expression — one fused pass, the property that
+    * encodes a petabyte corpus as a scan) and the trained codebooks
+    * persisted as a `_pq.json` sidecar. Serve with [[IvfIndex.searchAdc]]:
+    * probe prunes parts, ADC scores probed rows by table lookups, exact
+    * re-rank touches only the shortlist.
+    */
+  def buildAdc(spark: SparkSession, vectors: DataFrame, path: String,
+               nlist: Int = 0, m: Int = 8, kcb: Int = 16,
+               lloydIters: Int = 2, trainMod: Int = 4): IvfIndex = {
+    val cb = ProductQuantizer.train(
+      vectors.select(col("vec_id"), col("v")), m = m, k = kcb)
+    buildImpl(spark, vectors, path, nlist, lloydIters, trainMod, pq = Some(cb))
+  }
+
+  private def buildImpl(spark: SparkSession, vectors: DataFrame, path: String,
+      nlist: Int, lloydIters: Int, trainMod: Int,
+      pq: Option[ProductQuantizer.PqCodebooks]): IvfIndex = {
     graft.functions.GraftFunctions.register(spark)
     val e = vectors.select(col("vec_id"), col("v"))
     val nl = if (nlist > 0) nlist else autoNlist(e.count())
@@ -158,6 +259,11 @@ object IvfIndex {
         r6(cosine(col("v"), col("cv"))).as("csim"))
       .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
       .select(col("cid"), col("vec_id"), col("v"))
+    val rows = pq match {
+      case Some(cb) => assigned.withColumn("code",
+        call_function("pq_encode", col("v"), typedLit(cb.cb)))
+      case None => assigned
+    }
     // PARTITION BY cid: ONE partitioned-ingest job lands one part per live
     // cluster (a part's [minKey, maxKey] is one cid, so a probe's
     // rangeScan(cid, cid) prunes to exactly that part). The per-cluster
@@ -165,13 +271,47 @@ object IvfIndex {
     // per build — with nlist ~ √n, hundreds of round-trips on a real
     // corpus. Partitioning also keeps compaction cluster-local (merges
     // never mix partitions), so OPTIMIZE can't widen probe bounds.
-    val t = ColumnarMergeTree.create(spark, path, indexSchema,
+    val t = ColumnarMergeTree.create(spark, path,
+      if (pq.isDefined) adcSchema else indexSchema,
       orderBy = Seq("cid"), MergeTreeConfig(maxParts = 2 * nl),
       partitionBy = Some("cid"))
-    t.insertBatch(assigned)
+    t.insertBatch(rows)
     c.select(col("cid"), col("cv")).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
+    pq.foreach(cb => writePq(path, cb))
     new IvfIndex(spark, t, path)
+  }
+
+  /** Codebooks sidecar I/O (`_pq.json`) — atomic swap like the inverted
+    * index's stats file.
+    */
+  private def writePq(path: String,
+      cb: ProductQuantizer.PqCodebooks): Unit = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.Serialization
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(path), ".pq_", ".tmp")
+    java.nio.file.Files.writeString(tmp, Serialization.write(
+      Map("m" -> cb.m, "k" -> cb.k, "dsub" -> cb.dsub,
+        "cb" -> cb.cb))(DefaultFormats))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "_pq.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[operators] def readPq(path: String)
+      : Option[ProductQuantizer.PqCodebooks] = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val f = java.nio.file.Paths.get(path, "_pq.json")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val j = JsonMethods.parse(java.nio.file.Files.readString(f))
+      Some(ProductQuantizer.PqCodebooks(
+        (j \ "m").extract[Int], (j \ "k").extract[Int],
+        (j \ "dsub").extract[Int], (j \ "cb").extract[Seq[Seq[Seq[Double]]]]))
+    }
   }
 
   /** Reopen a built index (table self-describes via tabledef.json). */

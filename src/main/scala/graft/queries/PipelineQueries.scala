@@ -1230,6 +1230,36 @@ object PipelineQueries {
   private val cacheIvf =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex]
 
+  /** Q115 — IVFADC ANN serve (Jégou et al. 2011 — the composition of the
+    * q28/q48 IVF half and the q109 PQ half, which each cite it): the
+    * coarse quantizer prunes WHICH rows are read (nprobe/nlist of the
+    * parts, via manifest pruning), the per-row PQ code shrinks what each
+    * read row COSTS (m table lookups instead of d multiplies), and exact
+    * cosines touch only the ADC shortlist. Rows-only like q109 (an ANN
+    * shortlist is engine-specific); IvfIndexSpec bounds recall ≥ 0.8@10
+    * against exact, proves the full-probe/full-shortlist degenerate case
+    * EQUAL to exact search, and pins both the part pruning and the
+    * exact-rerank row bound.
+    */
+  def q115IvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val idx = cacheIvfAdc.getOrElseUpdate(dir, {
+      val vecs = embDouble(spark, dir).select(col("vec_id"), col("v"))
+      graft.operators.IvfIndex.buildAdc(spark, vecs,
+        java.nio.file.Files.createTempDirectory("ivfadc_q115_").toString)
+    })
+    val e = embDouble(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // Shortlist scales with the probed fraction of the corpus (20%,
+    // floored) — the q109 rule applied to the probed subset.
+    val shortlist = math.max(50L, e.count() / 5).toInt
+    idx.searchAdc(q, k = 10,
+      nprobe = graft.operators.IvfIndex.autoNprobe(idx.nlist), shortlist)
+  }
+
+  private val cacheIvfAdc =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex]
+
   /** Q56 — eval-set contamination check (the train/test leakage pass every
     * LLM pipeline runs before training): a small benchmark-snippet set is
     * checked for VERBATIM occurrence inside every training document. The
@@ -1963,28 +1993,34 @@ object PipelineQueries {
     */
   private val bm25Terms = Seq("dup", "vector", "merge")
 
-  def q110Bm25(spark: SparkSession, dir: String): DataFrame = {
+  /** The q110 BM25 brute-force shape over an arbitrary (doc_id, term) set:
+    * per-doc dl + per-query-term tf in one aggregate, stats folded to
+    * driver literals (≤ |terms|+1 scalars), map-side contributions, score
+    * sum on the reused doc_id partitioning, distributed top-k. Shared by
+    * q110 (latin tokenizer, whole corpus) and q114 (multilingual
+    * tokenizer, zh slice).
+    */
+  private def bm25Brute(d: DataFrame, terms: DataFrame,
+      queryTerms: Seq[String], k: Int): DataFrame = {
     import graft.operators.InvertedIndex
-    val d = docs(spark, dir)
     val nDocs = d.select(countDistinct(col("doc_id"))).first().getLong(0)
-    val terms = InvertedIndex.tokenize(d)
     val perDoc = terms.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),
-      bm25Terms.map(t =>
+      queryTerms.map(t =>
         sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
     val statsRow = perDoc.agg(
       avg(col("dl")).as("avgdl"),
-      bm25Terms.map(t =>
+      queryTerms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*).first()
     val avgdl = statsRow.getDouble(0)
-    val dfs = bm25Terms.zipWithIndex
+    val dfs = queryTerms.zipWithIndex
       .map { case (t, i) => t -> statsRow.getLong(i + 1) }.toMap
     val melted = perDoc.select(col("doc_id"), col("dl"),
-        explode(map(bm25Terms.flatMap(t =>
+        explode(map(queryTerms.flatMap(t =>
           Seq(lit(t), col(s"tf_$t"))): _*)).as(Seq("term", "tf")))
       .filter(col("tf") > 0)
-    val dfCol = bm25Terms.tail.foldLeft(
-        when(col("term") === bm25Terms.head, lit(dfs(bm25Terms.head)))) {
+    val dfCol = queryTerms.tail.foldLeft(
+        when(col("term") === queryTerms.head, lit(dfs(queryTerms.head)))) {
       (acc, t) => acc.when(col("term") === t, lit(dfs(t)))
     }
     val contrib = melted
@@ -1993,11 +2029,16 @@ object PipelineQueries {
           nDocs, avgdl, k1 = 1.2, b = 0.75).as("c"))
     val scored = contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score"))
-    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(15)
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy(col("rk"))
+  }
+
+  def q110Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    bm25Brute(d, graft.operators.InvertedIndex.tokenize(d), bm25Terms, k = 15)
   }
 
   val q110Sql: String =
@@ -2168,6 +2209,66 @@ object PipelineQueries {
       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_bigrams, avg_lp_micro
       |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
 
+  /** Q114 — MULTILINGUAL BM25 over the zh document slice: the q110
+    * arithmetic under the CJK-aware tokenizer
+    * ([[graft.operators.InvertedIndex.mixedTokens]] — latin words PLUS
+    * Han-script character bigrams, runs bigrammed independently so a
+    * bigram never crosses a separator). A real training-data pipeline is
+    * multilingual before it is anything else; the latin-only `[^a-z]+`
+    * tokenizer every other text operator shares sees zero tokens in
+    * space-free CJK text.
+    *
+    * NOTE on the testdata: the synthetic corpus is 100% ASCII — even the
+    * lang='zh' documents carry English words — so on THIS input the Han
+    * branch contributes zero tokens and the oracle exercises the
+    * engine/DuckDB parity of the full mixed expression tree (both spell
+    * the Han-run extraction + bigramming and concat). Real CJK behavior
+    * (bigrams, run boundaries, isolated chars, mixed-script docs) is
+    * pinned against hand-computed expectations in InvertedIndexSpec.
+    */
+  def q114MultilingualBm25(spark: SparkSession, dir: String): DataFrame = {
+    val zh = docs(spark, dir).filter(col("lang") === "zh")
+    bm25Brute(zh, graft.operators.InvertedIndex.tokenizeMixed(zh),
+      bm25Terms, k = 15)
+  }
+
+  val q114Sql: String =
+    """WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
+      |terms AS (
+      |  SELECT doc_id, t.term FROM (
+      |    SELECT doc_id, flatten([
+      |        list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |          t -> len(t) >= 3),
+      |        flatten([CASE WHEN length(r) = 1 THEN [r]
+      |                 ELSE [substr(r, i, 2)
+      |                       for i in generate_series(1, length(r) - 1)] END
+      |                 for r in regexp_extract_all(text, '\p{Han}+')])
+      |      ]) AS toks FROM zh) s, unnest(s.toks) AS t(term)),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms
+      |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+      |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM zh),
+      |contrib AS (
+      |  SELECT tf.doc_id, CAST(floor(
+      |      ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |        * (tf.tf * (1.2 + 1.0))
+      |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |        * 1000000.0 + 0.5) AS BIGINT) AS c
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |    CROSS JOIN stats CROSS JOIN n),
+      |scored AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(c) AS BIGINT) AS score
+      |  FROM contrib GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score
+      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -2206,5 +2307,7 @@ object PipelineQueries {
     ("q110_bm25", q110Bm25 _, Some(q110Sql)),
     ("q111_bm25_index", q111Bm25Index _, Some(q110Sql)),
     ("q112_phrase_search", q112PhraseSearch _, Some(q112Sql)),
-    ("q113_lm_score", q113LmScore _, Some(q113Sql)))
+    ("q113_lm_score", q113LmScore _, Some(q113Sql)),
+    ("q114_multilingual_bm25", q114MultilingualBm25 _, Some(q114Sql)),
+    ("q115_ivfadc", q115IvfAdc _, None))
 }

@@ -396,7 +396,7 @@ class GenericMergeTreeScanImpl(
         throw new IllegalArgumentException(s"no snapshot $seq at $path " +
           s"(available: ${ColumnarMergeTree.SnapshotLog.list(path).mkString(",")})"))
       val missing = m.parts.filterNot(p =>
-        Files.isDirectory(Paths.get(path, s"part_${p.partId}")))
+        Files.isDirectory(Paths.get(path, p.dir)))
       require(missing.isEmpty,
         s"snapshot $seq is no longer readable: parts " +
           s"${missing.map(_.partId).mkString(",")} were purged (GC grace passed)")
@@ -451,7 +451,7 @@ class GenericMergeTreeScanImpl(
     val keep = surviving(live)
     GenericMergeTreeScan.lastPruning.set((keep.size, live.size))
     keep.flatMap { p =>
-      val dir = Paths.get(path, s"part_${p.partId}")
+      val dir = Paths.get(path, p.dir)
       if (!Files.isDirectory(dir)) Nil
       else {
         val s = Files.list(dir)

@@ -93,7 +93,7 @@ object MergeTreeSystemTable {
   private def snapshotRows(path: String): Array[InternalRow] =
     SnapshotLog.list(path).flatMap(seq => SnapshotLog.load(path, seq).map { m =>
       val readable = m.parts.forall(p =>
-        Files.isDirectory(Paths.get(path, s"part_${p.partId}")))
+        Files.isDirectory(Paths.get(path, p.dir)))
       new GenericInternalRow(Array[Any](
         seq, m.parts.size.toLong, m.parts.map(_.rowCount).sum, readable)): InternalRow
     }).toArray
@@ -113,7 +113,7 @@ object MergeTreeSystemTable {
       val regs = graft.functions.HllSketch.empty
       var covered = 0L
       parts.foreach { p =>
-        val f = Paths.get(path, s"part_${p.partId}", s"_hll_$c")
+        val f = Paths.get(path, p.dir, s"_hll_$c")
         if (Files.exists(f)) {
           graft.functions.HllSketch.mergeInto(regs, Files.readAllBytes(f))
           covered += 1
@@ -142,7 +142,7 @@ object MergeTreeSystemTable {
       var state = agg.zero
       var covered = 0L
       parts.foreach { p =>
-        val f = Paths.get(path, s"part_${p.partId}", s"_topk_$c")
+        val f = Paths.get(path, p.dir, s"_topk_$c")
         if (Files.exists(f)) {
           val m = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
             .extract[Map[String, Long]]
@@ -172,7 +172,7 @@ object MergeTreeSystemTable {
       val pooled = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       var covered = 0L
       parts.foreach { p =>
-        val f = Paths.get(path, s"part_${p.partId}", s"_quant_$c")
+        val f = Paths.get(path, p.dir, s"_quant_$c")
         if (Files.exists(f)) {
           val j = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
           val n = (j \ "n").extract[Long]

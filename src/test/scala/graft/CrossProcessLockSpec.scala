@@ -117,7 +117,7 @@ class CrossProcessLockSpec extends AnyFunSuite {
     GManifest.enableLogLayout(dir)
     val writers = 8
     val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
-    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val metas = java.util.concurrent.ConcurrentHashMap.newKeySet[GPartMeta]()
     val fs = (0 until writers).map { w =>
       pool.submit(new Runnable {
         override def run(): Unit = {
@@ -126,20 +126,67 @@ class CrossProcessLockSpec extends AnyFunSuite {
           val meta = GManifest.register(dir, staged, append = true)(id =>
             GPartMeta(id, s"w$w", s"w$w", numericKey = false,
               rowCount = 1L, granuleCount = 1L, diskSize = 0L, creationTime = 0L))
-          ids.add(meta.partId)
+          metas.add(meta)
         }
       })
     }
     fs.foreach(_.get(120, TimeUnit.SECONDS))
     pool.shutdown()
-    assert(ids.size == writers, s"id collision: $ids")
+    assert(metas.size == writers)
+    val ids = {
+      val b = Seq.newBuilder[Long]; metas.forEach(m => b += m.partId); b.result()
+    }
+    assert(ids.distinct.size == writers, s"id collision: $ids")
     val man = GManifest.load(dir).get
     assert(man.parts.size == writers, "every claimed part must be committed")
-    ids.forEach { id =>
-      assert(Files.isDirectory(Paths.get(dir, s"part_$id")),
-        s"claimed directory part_$id must exist")
+    metas.forEach { m =>
+      // uuid naming: the dir name is unique, never the contended part_<id>
+      assert(m.dirName.exists(_.startsWith("part_u")),
+        s"log-mode parts must claim uuid dir names, got ${m.dirName}")
+      assert(Files.isDirectory(Paths.get(dir, m.dir)),
+        s"claimed directory ${m.dir} must exist")
     }
     assert(man.version > man.parts.map(_.partId).max,
       "version fence must outrun every allocated id")
+  }
+
+  test("log mode: a writer killed between claim and publish neither stalls nor leaks") {
+    import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = TestSpark.session
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlog_orphan_").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val t = ColumnarMergeTree.create(spark, dir, schema, orderBy = Seq("k"),
+      MergeTreeConfig(manifestLog = true, gcGraceSeconds = 0))
+    t.insertBatch(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .select(col("k"), col("v")))
+    // Simulate a writer dying between the uuid rename and the manifest
+    // publish: an orphaned part_u* directory appears, referenced by nothing.
+    val orphan = Paths.get(dir, "part_udeadbeefdeadbeefdeadbeefdeadbeef")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "not really parquet")
+    // A subsequent writer must register promptly — no same-id rename stall
+    // exists to wait on (the uuid name can't contend).
+    val t0 = System.nanoTime()
+    t.insertBatch(Seq((3L, "c")).toDF("k", "v").select(col("k"), col("v")))
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "register must not stall")
+    // The orphan never leaks into the manifest…
+    val man = GManifest.load(dir).get
+    assert(!man.parts.exists(_.dir == orphan.getFileName.toString))
+    assert(t.scan().count() == 3)
+    // …and the orphan sweep ages it out (mtime floor is ≥ 10 min: a young
+    // orphan — possibly an in-flight writer — survives, an old one goes).
+    assert(t.purgeGc(force = true) == 0, "young orphan must survive the sweep")
+    assert(Files.isDirectory(orphan))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 20 * 60 * 1000L))
+    assert(t.purgeGc() == 1, "aged orphan must be swept")
+    assert(!Files.exists(orphan), "orphan dir must be deleted")
+    assert(t.scan().count() == 3, "registered parts must be untouched")
   }
 }

@@ -215,6 +215,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
+  test("multilingual tokenizer: Han bigrams per run, isolated chars, mixed script") {
+    import spark.implicits._
+    // REAL CJK fixtures (the parquet testdata is 100% ASCII — even its
+    // lang='zh' rows — so the CJK behavior must pin here, not there).
+    val docs = Seq(
+      (1L, "中文分词 很好"),                   // two Han runs: 4-char + 2-char
+      (2L, "spark 任务 runs on 集群 fast"),    // mixed latin + two 2-char runs
+      (3L, "孤"),                              // isolated single Han char
+      (4L, "no cjk here at all"),              // latin only
+      (5L, "")).toDF("doc_id", "text")
+    val got = InvertedIndex.tokenizeMixed(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSeq.sorted }
+    // bigrams stay inside their run: no 词很 crossing the space
+    assert(got(1L) == Seq("中文", "文分", "分词", "很好").sorted)
+    assert(got(2L) == Seq("spark", "runs", "fast", "任务", "集群").sorted)
+    // a single-char run emits itself (else the char is unsearchable)
+    assert(got(3L) == Seq("孤"))
+    assert(got(4L) == Seq("cjk", "here", "all").sorted) // len>=3 filter holds
+    assert(!got.contains(5L))
+  }
+
+  test("q114 ranks only zh-slice documents and matches its own arithmetic") {
+    val out = PipelineQueries.q114MultilingualBm25(spark, sf).collect()
+    assert(out.nonEmpty, "q114 must return rows (zh docs tokenize)")
+    val zhIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "zh")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => zhIds(r.getLong(1))),
+      "every ranked doc must come from the zh slice")
+  }
+
   test("postings carry the denormalized document length") {
     val p = idx.table.scan()
       .filter(col("term") === "dup")

@@ -90,6 +90,65 @@ class IvfIndexSpec extends AnyFunSuite {
     idx.table.shutdown()
   }
 
+  test("IVFADC: recall >= 0.8@10 vs exact; probe prunes; rerank bound holds") {
+    val path = Files.createTempDirectory("ivfadc_").toString
+    val idx = IvfIndex.buildAdc(spark, vectors, path, nlist = 8)
+    val n = vectors.count().toInt
+    val shortlist = math.max(50, n / 5)
+    val got = idx.searchAdc(queries, k = 10, nprobe = 3, shortlist).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, vs) => q -> vs.map(_._2).toSet }
+    // exact brute force = search with every cluster probed (exact re-rank)
+    val exact = idx.search(queries, k = 10, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val recalls = exact.map { case (q, e) =>
+      got.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"IVFADC recall@10 $mean < 0.8 (per-query: $recalls)")
+    // part pruning: the probed scan planned a strict subset of the parts
+    val (planned, total) = idx.lastPruning
+    assert(planned < total, s"ADC probe must prune parts: $planned/$total")
+    // the exact re-rank input is capped at |queries|·shortlist rows —
+    // searchAdc computes true cosines on adcShortlist's output ONLY
+    // (structural: same DataFrame), so this bound IS the rerank bound.
+    val shortRows = idx.adcShortlist(queries, nprobe = 3, shortlist = 20).count()
+    assert(shortRows == 5L * 20,
+      s"shortlist must cap the exact-rerank input, got $shortRows")
+    idx.table.shutdown()
+  }
+
+  test("IVFADC degenerate case (full probe, full shortlist) equals exact search") {
+    val path = Files.createTempDirectory("ivfadc_deg_").toString
+    val idx = IvfIndex.buildAdc(spark, vectors, path, nlist = 8)
+    val n = vectors.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+    // probing all lists + a corpus-sized shortlist re-ranks everything
+    // exactly — ADC ordering can't drop a true neighbour from a full list
+    val adc = rows(idx.searchAdc(queries, k = 10, nprobe = 8, shortlist = n))
+    val exact = rows(idx.search(queries, k = 10, nprobe = 8))
+    assert(adc == exact, "full-probe/full-shortlist IVFADC must equal exact")
+    idx.table.shutdown()
+  }
+
+  test("IVFADC append encodes against the fixed codebooks and stays searchable") {
+    val path = Files.createTempDirectory("ivfadc_app_").toString
+    val idx = IvfIndex.buildAdc(spark, vectors.filter(col("vec_id") < 400),
+      path, nlist = 8)
+    idx.append(vectors.filter(col("vec_id") >= 400))
+    idx.table.refresh()
+    assert(idx.table.totalRows == vectors.count())
+    // appended rows carry codes (schema-complete) and rank via ADC
+    val res = idx.searchAdc(queries, k = 10, nprobe = 8,
+      shortlist = vectors.count().toInt).collect()
+    assert(res.length == 50)
+    assert(res.map(_.getLong(2)).exists(_ >= 400),
+      "appended vectors must be reachable through the ADC path")
+    idx.table.shutdown()
+  }
+
   test("index search equals q28 (same quantizer) and survives reopen") {
     val path = Files.createTempDirectory("ivf2_").toString
     val idx = IvfIndex.build(spark, vectors, path, nlist = 8)
