@@ -79,6 +79,43 @@ final class InvertedIndex private (
     */
   def nbuckets: Int = stats.nbuckets
 
+  /** The tokenizer this index was built with ("latin" | "mixed") —
+    * persisted so appends and [[searchText]] tokenize consistently.
+    */
+  def tokenizer: String = stats.tokenizer.getOrElse(Latin)
+
+  /** [[search]] over a raw query STRING, tokenized with the index's own
+    * tokenizer — the natural entry point for CJK queries, where the user
+    * types `中文分词` and the bigram terms are an indexing detail. The
+    * tokenization is one 1-row Spark job (the identical Catalyst
+    * expression the build used — no driver reimplementation to drift).
+    */
+  def searchText(query: String, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms(spark, query, tokenizer)
+    require(terms.nonEmpty, s"query '$query' has no indexable terms")
+    search(terms, k, k1, b)
+  }
+
+  /** [[phraseSearch]] over a raw SINGLE-SCRIPT query string: a CJK phrase
+    * becomes its consecutive bigrams (exact within a Han run — the per-run
+    * position space guarantees no match across separators), a latin phrase
+    * its split tokens. Mixed-script phrases are rejected: latin and Han
+    * positions live in disjoint spaces by design, so cross-script
+    * adjacency is undefined (and would silently return nothing).
+    */
+  def phraseSearchText(query: String, k: Int): DataFrame = {
+    val hasHan = query.exists(ch =>
+      Character.UnicodeScript.of(ch) == Character.UnicodeScript.HAN)
+    val hasLatin = query.exists(ch => ch >= 'a' && ch <= 'z' ||
+      ch >= 'A' && ch <= 'Z')
+    require(!(hasHan && hasLatin),
+      "phrase queries must be single-script (latin and Han positions are disjoint)")
+    val terms = queryTerms(spark, query, tokenizer)
+    require(terms.nonEmpty, s"phrase '$query' has no indexable terms")
+    phraseSearch(terms, k)
+  }
+
   /** The postings of `terms`, read through bucket part pruning. */
   private def postingsOf(terms: Seq[String], nb: Int): DataFrame = {
     // The query's buckets: ≤ |terms| values, computed with the same hash
@@ -178,13 +215,16 @@ final class InvertedIndex private (
     */
   def append(docs: DataFrame): Unit = {
     val st = stats
-    val postings = buildPostings(docs, st.nbuckets).persist()
+    // The batch tokenizes with the BUILD's tokenizer (persisted), so
+    // appended postings are indistinguishable from built ones.
+    val postings = buildPostings(docs, st.nbuckets,
+      st.tokenizer.getOrElse(Latin)).persist()
     try {
       table.insertBatch(postings)
       val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (batchDlDocs, batchDl) = postingTotals(postings)
       writeStats(path, InvStats(st.n_docs + batchDocs, st.n_dl_docs + batchDlDocs,
-        st.total_dl + batchDl, st.nbuckets))
+        st.total_dl + batchDl, st.nbuckets, st.tokenizer))
     } finally postings.unpersist()
   }
 
@@ -243,6 +283,44 @@ object InvertedIndex {
   def tokenizeMixed(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(mixedTokens(col("text"))).as("term"))
 
+  /** [[tokenizeMixed]] with POSITIONS, for a mixed-tokenizer index's
+    * postings: latin terms keep their raw-split-array positions (identical
+    * to [[tokenizeWithPos]] — latin phrase semantics are unchanged), and
+    * each Han run's bigrams get consecutive positions offset into a
+    * PER-RUN space ((run+1)·1e6 + i), so consecutive bigrams = consecutive
+    * characters WITHIN a run, and bigrams of different runs (or a latin
+    * word and a bigram) are never phrase-adjacent — a phrase can't
+    * silently match across a separator or across scripts. (Assumes < 1e6
+    * raw-split words per document; a longer doc would need a wider run
+    * stride.)
+    */
+  def tokenizeMixedWithPos(docs: DataFrame): DataFrame = {
+    val latin = tokenizeWithPos(docs)
+    val runs = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(col("text"), lit("[\\p{IsHan}]+"), lit(0)))
+        .as(Seq("run", "r")))
+    val han = runs.select(col("doc_id"), col("run"),
+        posexplode(when(length(col("r")) === 1, array(col("r")))
+          .otherwise(transform(sequence(lit(1), length(col("r")) - 1),
+            i => col("r").substr(i, lit(2))))).as(Seq("i", "term")))
+      .select(col("doc_id"),
+        ((col("run") + 1) * lit(1000000) + col("i")).cast("int").as("pos"),
+        col("term"))
+    latin.select(col("doc_id"), col("pos"), col("term")) unionByName han
+  }
+
+  /** Tokenize a raw query string with the given tokenizer, in array order
+    * (split order for latin; per-run bigram order for Han — what
+    * [[InvertedIndex.phraseSearch]] needs). One 1-row Spark job evaluating
+    * the IDENTICAL Catalyst expressions the build used.
+    */
+  private[graft] def queryTerms(spark: SparkSession, query: String,
+      tokenizer: String): Seq[String] = {
+    val toks = if (tokenizer == Mixed) mixedTokens(lit(query))
+      else filter(split(lower(lit(query)), "[^a-z]+"), t => length(t) >= 3)
+    spark.range(1).select(toks.as("t")).first().getSeq[String](0).toList
+  }
+
   /** Per-(doc,term) BM25 contribution in integer micro-units. Spelled
     * operation-for-operation like the q110 oracle SQL so both engines walk
     * the identical IEEE-double expression tree before the rounding.
@@ -278,8 +356,10 @@ object InvertedIndex {
     * pathologically repeated term makes a long list — the classic
     * positional-index cost, bounded by that document's own length.
     */
-  private def buildPostings(docs: DataFrame, nb: Int): DataFrame = {
-    val terms = tokenizeWithPos(docs)
+  private def buildPostings(docs: DataFrame, nb: Int,
+      tokenizer: String): DataFrame = {
+    val terms = if (tokenizer == Mixed) tokenizeMixedWithPos(docs)
+      else tokenizeWithPos(docs)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"),
       sort_array(collect_list(col("pos"))).as("positions"))
     // Build-time only: the dl join re-shuffles on doc_id once per batch;
@@ -290,11 +370,16 @@ object InvertedIndex {
         col("term"), col("doc_id"), col("tf"), col("dl"), col("positions"))
   }
 
+  /** Tokenizer names persisted in the stats sidecar. */
+  val Latin = "latin"
+  val Mixed = "mixed"
+
   /** Corpus-stats sidecar (`_stats.json`). A case class so json4s
-    * round-trips it; field names are the on-disk contract.
+    * round-trips it; field names are the on-disk contract. `tokenizer` is
+    * absent (= latin) on indexes built before the mixed path existed.
     */
   final case class InvStats(n_docs: Long, n_dl_docs: Long, total_dl: Long,
-      nbuckets: Int)
+      nbuckets: Int, tokenizer: Option[String] = None)
 
   /** Atomic stats swap: temp file + ATOMIC_MOVE, so a reader mid-append
     * sees the old stats or the new — never a missing or partial file (the
@@ -342,10 +427,14 @@ object InvertedIndex {
     * can never widen a part's probe bounds across buckets.
     */
   def build(spark: SparkSession, docs: DataFrame, path: String,
-            nbuckets: Int = 0): InvertedIndex = {
+            nbuckets: Int = 0, tokenizer: String = Latin): InvertedIndex = {
+    require(tokenizer == Latin || tokenizer == Mixed,
+      s"unknown tokenizer '$tokenizer' (use '$Latin' or '$Mixed')")
+    val termsOf: DataFrame => DataFrame =
+      if (tokenizer == Mixed) tokenizeMixed else tokenize
     val nb = if (nbuckets > 0) nbuckets
-      else autoNbuckets(tokenize(docs).select(col("term")).distinct().count())
-    val postings = buildPostings(docs, nb).persist()
+      else autoNbuckets(termsOf(docs).select(col("term")).distinct().count())
+    val postings = buildPostings(docs, nb, tokenizer).persist()
     try {
       val t = ColumnarMergeTree.create(spark, path, indexSchema,
         orderBy = Seq("bucket"), MergeTreeConfig(maxParts = 2 * nb),
@@ -355,7 +444,7 @@ object InvertedIndex {
       // avg(dl) bit for bit in any engine, and appends bump them exactly.
       val nDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (nDlDocs, totalDl) = postingTotals(postings)
-      writeStats(path, InvStats(nDocs, nDlDocs, totalDl, nb))
+      writeStats(path, InvStats(nDocs, nDlDocs, totalDl, nb, Some(tokenizer)))
       new InvertedIndex(spark, t, path)
     } finally postings.unpersist()
   }

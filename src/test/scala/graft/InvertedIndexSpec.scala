@@ -237,6 +237,41 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(!got.contains(5L))
   }
 
+  test("mixed-tokenizer index: CJK BM25, phrase run-boundaries, tokenizer persists") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "中文分词是基础"),            // one 6-char run containing 中文分词
+      (2L, "我们做分词处理"),            // has 分词, not the phrase 中文分词
+      (3L, "中文 分词"),                 // TWO runs: phrase must not cross the space
+      (4L, "irrelevant latin text only"),
+      (5L, "混合 mixed doc 中文分词 here")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(spark, docs,
+      java.nio.file.Files.createTempDirectory("inv_cjk_").toString,
+      tokenizer = InvertedIndex.Mixed)
+    assert(idx.tokenizer == InvertedIndex.Mixed)
+    // BM25 via a raw CJK query string: 中文分词 → bigrams [中文, 文分, 分词]
+    val byDoc = idx.searchText("中文分词", k = 10).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byDoc(1L) == 3 && byDoc(5L) == 3, s"full-phrase docs match all bigrams: $byDoc")
+    assert(byDoc(2L) == 1, s"分词-only doc matches one bigram: $byDoc")
+    assert(byDoc(3L) == 2, s"no 文分 bigram across the space: $byDoc")
+    assert(!byDoc.contains(4L))
+    // CJK phrase search: exact consecutive bigrams WITHIN one run only
+    val ph = idx.phraseSearchText("中文分词", k = 10).collect()
+      .map(_.getLong(1)).toSet
+    assert(ph == Set(1L, 5L), s"phrase must respect run boundaries: $ph")
+    // latin phrase semantics are unchanged on a mixed index
+    val lat = idx.phraseSearchText("mixed doc", k = 10).collect()
+      .map(_.getLong(1)).toSet
+    assert(lat == Set(5L), s"latin phrase on mixed index: $lat")
+    // cross-script phrases are rejected loudly, not silently empty
+    intercept[IllegalArgumentException](idx.phraseSearchText("mixed 中文", 5))
+    // append tokenizes with the persisted tokenizer
+    idx.append(Seq((6L, "再来一个分词")).toDF("doc_id", "text"))
+    assert(idx.searchText("分词", k = 10).collect()
+      .map(_.getLong(1)).toSet.contains(6L))
+  }
+
   test("q114 ranks only zh-slice documents and matches its own arithmetic") {
     val out = PipelineQueries.q114MultilingualBm25(spark, sf).collect()
     assert(out.nonEmpty, "q114 must return rows (zh docs tokenize)")
