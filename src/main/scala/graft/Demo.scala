@@ -151,6 +151,30 @@ object Demo {
     println(s"== docs containing the exact phrase 'table scan merge': " +
       s"${phr.count()} (top by occurrences)")
     phr.show(false)
+
+    // Round 10: IVFADC — probe prunes which parts are read, PQ codes
+    // shrink what each read row costs, exact cosines only on the shortlist.
+    println("== IVFADC index: top-3 for vec_id 0 (ADC scan of probed lists):")
+    val adcIdx = operators.IvfIndex.buildAdc(spark, vecs,
+      java.nio.file.Files.createTempDirectory("ivfadc_demo_").toString, nlist = 8)
+    adcIdx.searchAdc(q0, k = 3, nprobe = 3, shortlist = 100).show(false)
+    println(s"== ADC parts probed (planned/total): " +
+      s"${adcIdx.lastPruning._1}/${adcIdx.lastPruning._2}")
+    adcIdx.table.shutdown()
+
+    // Round 10: CJK-aware index — Han character bigrams per run, raw-string
+    // query faces.
+    println("== multilingual index: CJK BM25 + phrase over mixed-script docs:")
+    import spark.implicits._
+    val cjk = Seq((1L, "中文分词是检索的基础"), (2L, "我们做分词处理"),
+      (3L, "中文 分词"), (4L, "latin only text here"))
+      .toDF("doc_id", "text")
+    val minv = operators.InvertedIndex.build(spark, cjk,
+      java.nio.file.Files.createTempDirectory("inv_cjk_demo_").toString,
+      tokenizer = operators.InvertedIndex.Mixed)
+    minv.searchText("中文分词", k = 4).show(false)
+    println(s"== docs with the exact CJK phrase 中文分词 (run-bounded): " +
+      s"${minv.phraseSearchText("中文分词", k = 4).count()}")
     spark.stop()
   }
 }

@@ -1146,10 +1146,16 @@ final class ColumnarMergeTree private (
       (GManifest.load(path).map(_.parts).getOrElse(Nil).map(_.dir) ++
         GcList.load(path).retired.map(_.dir) ++
         DetachedSet.load(path).map(_.dir)).toSet
+    // `.part_stage_*` covers the other crash window: a writer dying
+    // between the distributed write and the staging rename. Staged dirs
+    // are referenced by nothing persisted, so only the age floor guards
+    // an in-flight write.
     val dirs = {
       val s = Files.list(Paths.get(path))
-      try s.iterator().asScala.filter(d => Files.isDirectory(d) &&
-        d.getFileName.toString.startsWith("part_")).toList
+      try s.iterator().asScala.filter { d =>
+        val n = d.getFileName.toString
+        Files.isDirectory(d) && (n.startsWith("part_") || n.startsWith(".part_stage_"))
+      }.toList
       finally s.close()
     }
     val orphans = dirs.filter { d =>

@@ -64,8 +64,12 @@ final class IvfIndex private (
     val probedVectors = cids.map(cid => table.rangeScan(cid, cid))
       .reduceOption(_ unionByName _)
       .getOrElse(table.scan().limit(0))
+    // The probe set is query-batch-sized (|queries| · nprobe rows) while
+    // the probed vectors side scales with the corpus: broadcast the small
+    // side explicitly — stats-blind estimation must never shuffle the
+    // corpus rows into a sort-merge join here.
     val scored = probedVectors
-      .join(probe, Seq("cid"))
+      .join(broadcast(probe), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), r6(cosine(col("qv"), col("v"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
@@ -135,7 +139,7 @@ final class IvfIndex private (
     // per probed row the approximate score is m array lookups (pq_adc).
     val qlut = queries.select(col("qid"),
       call_function("pq_lut", col("qv"), typedLit(cb.cb)).as("lut"))
-    val scored = probed.join(probe, Seq("cid"))
+    val scored = probed.join(broadcast(probe), Seq("cid"))
       .join(broadcast(qlut), Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("vec_id"), col("v"),

@@ -241,6 +241,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"worst-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
   }
 
+  test("q48/q115: probed corpus rows meet the query-batch probe via broadcast") {
+    // The probe set is |queries|·nprobe rows; the probed vectors scale
+    // with the corpus. A sort-merge join here would shuffle corpus rows.
+    for (name <- Seq("q48_ivf_index", "q115_ivfadc")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: probe side must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: corpus side must never shuffle for the probe join:\n$p")
+    }
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
