@@ -2269,6 +2269,98 @@ object PipelineQueries {
       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score
       |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
 
+  /** Q116 — VERBATIM duplicated-span accounting (the ExactSubstr-dedup
+    * signal of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): every 15-token sliding window that occurs
+    * verbatim in ≥ 2 DISTINCT documents marks its token positions as
+    * duplicated; per document the query reports window counts and the
+    * number of token positions covered by at least one duplicated window
+    * (overlapping windows counted once — the "how much of this doc is
+    * verbatim-shared text" number a span-removal pass would cut). Top 15
+    * docs by coverage.
+    *
+    * Differs from q99/q108 (disjoint fixed chunks, keep-one vs remove-all)
+    * in being OVERLAPPING-window based: a shifted copy of a passage still
+    * matches, which is what makes ExactSubstr the strongest verbatim-dedup
+    * signal. A true suffix array doesn't distribute; the k-token-window
+    * formulation is the standard cluster-scale approximation (it finds
+    * every duplicated span of length ≥ k).
+    *
+    * Shape: windows explode MAP-SIDE; both shuffles key on the 8-byte
+    * xxhash64 window digest (the q108 trade — the window TEXT never
+    * shuffles); coverage positions explode map-side from matched windows
+    * only (≤ dup_windows·k rows); the per-doc rollups reuse one doc_id
+    * partitioning. No broadcast of the duplicated set (unbounded at
+    * corpus scale), no driver collection.
+    */
+  def q116SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 15
+    val ws = tokens
+    val nw = size(ws) - lit(k) + 1
+    val wnd = docsSpread(spark, dir)
+      .select(col("doc_id"),
+        explode(when(nw >= 1, transform(sequence(lit(1), nw),
+            i => struct(i.as("start"),
+              concat_ws(" ", slice(ws, i, lit(k))).as("w"))))
+          .otherwise(array())).as("s"))
+      .select(col("doc_id"), col("s.start"), xxhash64(col("s.w")).as("h"))
+    val dfc = wnd.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).drop("ndocs")
+    val dup = wnd.join(dfc, Seq("h"))
+    val cov = dup
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("covered_tokens"))
+    val per = wnd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(dup.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows")),
+        Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+    val top = per.orderBy(col("covered_tokens").desc, col("doc_id")).limit(15)
+    val w = Window.orderBy(col("covered_tokens").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_windows"), col("dup_windows"),
+        col("covered_tokens"))
+      .orderBy(col("rk"))
+  }
+
+  val q116Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wnd AS (
+      |  SELECT doc_id, i AS start,
+      |    array_to_string(ws[i:i+14], ' ') AS w
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 14)) AS i
+      |        FROM toks)),
+      |dupw AS (SELECT w FROM wnd GROUP BY w
+      |         HAVING count(DISTINCT doc_id) >= 2),
+      |dup AS (SELECT wnd.doc_id, wnd.start FROM wnd JOIN dupw USING (w)),
+      |cov AS (
+      |  SELECT doc_id, count(DISTINCT pos) AS covered_tokens
+      |  FROM (SELECT doc_id, unnest(generate_series(start, start + 14)) AS pos
+      |        FROM dup) GROUP BY doc_id),
+      |per AS (
+      |  SELECT w.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(coalesce(any_value(d.dup_windows), 0) AS BIGINT) AS dup_windows,
+      |    CAST(coalesce(any_value(cov.covered_tokens), 0) AS BIGINT) AS covered_tokens
+      |  FROM wnd w
+      |    LEFT JOIN (SELECT doc_id, count(*) AS dup_windows
+      |               FROM dup GROUP BY doc_id) d ON d.doc_id = w.doc_id
+      |    LEFT JOIN cov ON cov.doc_id = w.doc_id
+      |  GROUP BY w.doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY covered_tokens DESC, doc_id) AS rk
+      |  FROM per)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_windows, dup_windows,
+      |  covered_tokens
+      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -2309,5 +2401,6 @@ object PipelineQueries {
     ("q112_phrase_search", q112PhraseSearch _, Some(q112Sql)),
     ("q113_lm_score", q113LmScore _, Some(q113Sql)),
     ("q114_multilingual_bm25", q114MultilingualBm25 _, Some(q114Sql)),
-    ("q115_ivfadc", q115IvfAdc _, None))
+    ("q115_ivfadc", q115IvfAdc _, None),
+    ("q116_span_dedup", q116SpanDedup _, Some(q116Sql)))
 }

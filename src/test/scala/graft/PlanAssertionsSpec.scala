@@ -209,6 +209,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no exchange may key on the raw chunk text:\n$p")
   }
 
+  test("q116: shuffles key on the window digest, never the window text") {
+    val p = plan(PipelineQueries.q116SpanDedup(spark, dir))
+    assert("Exchange hashpartitioning\\(h".r.findAllIn(p).nonEmpty,
+      s"window df and join-back must exchange on the 8-byte digest:\n$p")
+    assert(!"Exchange hashpartitioning\\(w[#,]".r.findAllIn(p).hasNext,
+      s"no exchange may key on the raw 15-token window text:\n$p")
+  }
+
   test("q110: BM25 scoring is one doc_id exchange end to end") {
     val p = plan(PipelineQueries.q110Bm25(spark, dir))
     // One hash exchange only — the per-doc tf/dl aggregate; the melt and
