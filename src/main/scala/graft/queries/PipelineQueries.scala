@@ -2304,16 +2304,24 @@ object PipelineQueries {
               concat_ws(" ", slice(ws, i, lit(k))).as("w"))))
           .otherwise(array())).as("s"))
       .select(col("doc_id"), col("s.start"), xxhash64(col("s.w")).as("h"))
+    // ">= 2 distinct docs" == "min(doc_id) != max(doc_id)": two plain
+    // min/max partials instead of a distinct expansion on the hot
+    // window-digest aggregate (identical predicate, the oracle spells it
+    // as count(DISTINCT) — same result by definition).
     val dfc = wnd.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2).drop("ndocs")
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("multi"))
+      .filter(col("multi")).drop("multi")
     val dup = wnd.join(dfc, Seq("h"))
     val cov = dup
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("pos")).as("covered_tokens"))
-    val per = wnd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    // n_windows is a per-doc SCALAR (size - k + 1) — computing it from the
+    // doc row skips a third full window-explode pass over the corpus.
+    val per = docsSpread(spark, dir)
+      .select(col("doc_id"), nw.cast("long").as("n_windows"))
+      .filter(col("n_windows") >= 1)
       .join(dup.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows")),
         Seq("doc_id"), "left")
       .join(cov, Seq("doc_id"), "left")
