@@ -1135,21 +1135,43 @@ final class ColumnarMergeTree private (
       val gone = victims.map(_.partId).toSet
       GcList.update(path)(cur => GcList(cur.retired.filterNot(e => gone(e.partId))))
     }
-    victims.size + purgeOrphans()
+    victims.size + purgeOrphans(force)
   }
 
-  /** See purgeGc: delete aged part dirs referenced by nothing persisted. */
-  private def purgeOrphans(): Int = {
+  /** See purgeGc: delete aged part dirs referenced by nothing persisted.
+    *
+    * "Referenced" includes every part of every RETAINED SNAPSHOT, not just
+    * the live manifest: a part unlinked by the latest commit but not yet
+    * recorded in the GC list (the instant between swapParts' publish and
+    * retireParts' GcList append) is still listed in the previous snapshot,
+    * so a concurrent purger cannot bypass the grace window — and parts a
+    * scanAt within the time-travel horizon may still read are protected
+    * for the same reason. The age check uses the NEWEST mtime of the dir
+    * and its immediate children (a long distributed write keeps bumping
+    * its `_temporary` subtree; the top-level stage-dir mtime alone is
+    * frozen at job start). Sweeps are throttled to one per table per
+    * minute — they list the table dir and read the retained snapshots,
+    * which must not tax every small maintenance op (retireParts calls
+    * purgeGc on each).
+    */
+  private def purgeOrphans(force: Boolean): Int = {
+    val now = System.currentTimeMillis()
+    val proceed = force || ColumnarMergeTree.orphanSweepAt.synchronized {
+      val last = ColumnarMergeTree.orphanSweepAt.getOrElse(path, 0L)
+      if (now - last < 60000L) false
+      else { ColumnarMergeTree.orphanSweepAt.put(path, now); true }
+    }
+    if (!proceed) return 0
     val floorMs = math.max(600L, config.gcGraceSeconds.toLong) * 1000L
-    val cutoff = System.currentTimeMillis() - floorMs
+    val cutoff = now - floorMs
+    val snapshotParts = SnapshotLog.list(path).flatMap(seq =>
+      SnapshotLog.load(path, seq).map(_.parts.map(_.dir)).getOrElse(Nil))
     val referenced: Set[String] =
       (GManifest.load(path).map(_.parts).getOrElse(Nil).map(_.dir) ++
         GcList.load(path).retired.map(_.dir) ++
-        DetachedSet.load(path).map(_.dir)).toSet
+        DetachedSet.load(path).map(_.dir) ++ snapshotParts).toSet
     // `.part_stage_*` covers the other crash window: a writer dying
-    // between the distributed write and the staging rename. Staged dirs
-    // are referenced by nothing persisted, so only the age floor guards
-    // an in-flight write.
+    // between the distributed write and the staging rename.
     val dirs = {
       val s = Files.list(Paths.get(path))
       try s.iterator().asScala.filter { d =>
@@ -1158,11 +1180,17 @@ final class ColumnarMergeTree private (
       }.toList
       finally s.close()
     }
-    val orphans = dirs.filter { d =>
-      !referenced(d.getFileName.toString) &&
-        (try Files.getLastModifiedTime(d).toMillis <= cutoff
-         catch { case _: java.io.IOException => false })
-    }
+    def newestMtime(d: java.nio.file.Path): Long =
+      try {
+        val top = Files.getLastModifiedTime(d).toMillis
+        val s = Files.list(d)
+        val kids = try s.iterator().asScala
+          .map(c => Files.getLastModifiedTime(c).toMillis).toList
+        finally s.close()
+        (top :: kids).max
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    val orphans = dirs.filter(d =>
+      !referenced(d.getFileName.toString) && newestMtime(d) <= cutoff)
     orphans.foreach(MergeTreeTable.deleteRecursively)
     orphans.size
   }
@@ -1561,11 +1589,16 @@ final class ColumnarMergeTree private (
     var gone = Seq.empty[GPartMeta]
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
-        if (oldIds.subsetOf(cur.parts.map(_.partId).toSet)) {
-          applied = true
-          gone = cur.parts.filter(p => oldIds(p.partId))
+        // Assigned UNCONDITIONALLY on every run: the log-mode CAS loop
+        // re-runs this closure on retries, and a retry whose subset check
+        // flips false must not inherit applied=true/gone from a lost
+        // attempt (the final run is the one whose result published — its
+        // assignments are the ones that stick).
+        applied = oldIds.subsetOf(cur.parts.map(_.partId).toSet)
+        gone = if (applied) cur.parts.filter(p => oldIds(p.partId)) else Nil
+        if (applied)
           GManifest(cur.version, cur.parts.filterNot(p => oldIds(p.partId)) ++ add)
-        } else cur
+        else cur
       }
     }
     val addIds = add.map(_.partId).toSet
@@ -2452,6 +2485,9 @@ object ColumnarMergeTree {
     * tag ("long" | "double" | "string") selecting the comparison.
     */
   case class GColStat(col: String, min: String, max: String, kind: String)
+
+  /** Last orphan-sweep wall-clock per table path (sweep throttle). */
+  private[mergetree] val orphanSweepAt = scala.collection.mutable.Map.empty[String, Long]
 
   /** Placeholder relation name in a materialized view's SQL. */
   val MvInput = "__INPUT__"

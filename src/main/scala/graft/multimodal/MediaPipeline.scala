@@ -272,9 +272,16 @@ object MediaPipeline {
     *
     * Clips shorter than 65 frames pool into min(frames, 65) windows —
     * every unrelated short clip hashing to a shared sentinel would make
-    * them all Hamming-0 "near-dups" of each other. Callers must not hash
-    * clips with < 2 frames (no difference bit exists); perceptualHashes
-    * routes those to the exact-dup byte-fold instead.
+    * them all Hamming-0 "near-dups" of each other. Two caveats on the
+    * short-clip regime: (1) with g windows only g−1 bits carry signal, so
+    * callers must not hash clips with < 16 frames (≤ 14 signal bits would
+    * let unrelated clips slip under a small Hamming budget — at < 5
+    * frames EVERY pair would pass ≤ 3); perceptualHashes routes those to
+    * the exact-dup byte-fold. (2) the documented sample-rate invariance
+    * holds only at ≥ 65 frames, where the window count is
+    * frame-count-independent; below that a resampled copy pools on a
+    * different grid and may MISS (a false negative on a < 8 ms clip —
+    * never a false positive).
     */
   private[graft] def aHashAudio(clip: AudioClip): Long = {
     val n = clip.frames
@@ -314,9 +321,10 @@ object MediaPipeline {
     ds.mapPartitions(_.map { r =>
       val real: Option[Long] = r.kind match {
         case "image" => decodeImage(r.payload).map(dHash)
-        // < 2 frames: no envelope difference exists — byte-fold fallback
-        // (exact-dup-only), never a shared sentinel.
-        case "audio" => decodeAudio(r.payload).filter(_.frames >= 2).map(aHashAudio)
+        // < 16 frames: too few difference bits for the Hamming verify to
+        // separate unrelated clips — byte-fold fallback (exact-dup-only),
+        // never a shared sentinel.
+        case "audio" => decodeAudio(r.payload).filter(_.frames >= 16).map(aHashAudio)
         case _ => None
       }
       val h = real.getOrElse(

@@ -5,7 +5,7 @@ import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** A PERSISTED full-text inverted index with BM25 ranking and positional
   * phrase search, stored as a MergeTree table — the text twin of
@@ -25,8 +25,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType,
   *     every term into one of `nbuckets` lists, and land ONE PART PER
   *     BUCKET of a ColumnarMergeTree ordered by bucket id. Corpus totals
   *     (document count, total token count — exact integers, so avgdl is
-  *     reproducible bit for bit) persist as a one-row parquet sidecar
-  *     under the table dir (`_stats/`).
+  *     reproducible bit for bit) persist as an atomically-swapped JSON
+  *     sidecar under the table dir (`_stats.json`; indexes persisted by
+  *     the earlier parquet `_stats/` layout still open — see readStats).
   *   - search: the query's terms hash to ≤ |terms| buckets; each
   *     `rangeScan(b, b)` prunes to that bucket's own part(s) via the
   *     manifest — the engine reads |query buckets|/nbuckets of the index
@@ -100,9 +101,14 @@ final class InvertedIndex private (
   /** [[phraseSearch]] over a raw SINGLE-SCRIPT query string: a CJK phrase
     * becomes its consecutive bigrams (exact within a Han run — the per-run
     * position space guarantees no match across separators), a latin phrase
-    * its split tokens. Mixed-script phrases are rejected: latin and Han
-    * positions live in disjoint spaces by design, so cross-script
-    * adjacency is undefined (and would silently return nothing).
+    * its split tokens. Queries whose tokenization would SILENTLY change
+    * the phrase are rejected loudly instead of searching something else:
+    * mixed-script phrases (latin and Han positions live in disjoint spaces
+    * — cross-script adjacency is undefined), latin phrases containing a
+    * sub-3-char word (the tokenizer drops it, so [big, a, cat] would
+    * search [big, cat] ADJACENT — a different phrase), and CJK phrases
+    * spanning more than one Han run (run positions are disjoint, so the
+    * fold could never match — always-empty would masquerade as "no hits").
     */
   def phraseSearchText(query: String, k: Int): DataFrame = {
     val hasHan = query.exists(ch =>
@@ -111,6 +117,19 @@ final class InvertedIndex private (
       ch >= 'A' && ch <= 'Z')
     require(!(hasHan && hasLatin),
       "phrase queries must be single-script (latin and Han positions are disjoint)")
+    if (hasLatin) {
+      val raw = query.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      require(raw.forall(_.length >= 3),
+        s"phrase '$query' contains a word under 3 chars, which the tokenizer " +
+          "drops — the remaining words would be treated as adjacent and a " +
+          "DIFFERENT phrase searched; rephrase without the short word")
+    }
+    if (hasHan) {
+      val runs = "[\\p{IsHan}]+".r.findAllIn(query).size
+      require(runs == 1,
+        s"CJK phrase '$query' spans $runs Han runs; per-run positions are " +
+          "disjoint so a multi-run phrase can never match — query one run")
+    }
     val terms = queryTerms(spark, query, tokenizer)
     require(terms.nonEmpty, s"phrase '$query' has no indexable terms")
     phraseSearch(terms, k)
@@ -255,6 +274,7 @@ object InvertedIndex {
     docs.select(col("doc_id"),
         posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "term")))
       .filter(length(col("term")) >= 3)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
 
   /** CJK-AWARE token array for one text column: the latin tokens above
     * PLUS Han-script character bigrams — the standard cheap CJK answer
@@ -287,12 +307,12 @@ object InvertedIndex {
     * postings: latin terms keep their raw-split-array positions (identical
     * to [[tokenizeWithPos]] — latin phrase semantics are unchanged), and
     * each Han run's bigrams get consecutive positions offset into a
-    * PER-RUN space ((run+1)·1e6 + i), so consecutive bigrams = consecutive
-    * characters WITHIN a run, and bigrams of different runs (or a latin
-    * word and a bigram) are never phrase-adjacent — a phrase can't
-    * silently match across a separator or across scripts. (Assumes < 1e6
-    * raw-split words per document; a longer doc would need a wider run
-    * stride.)
+    * PER-RUN space ((run+1)·1e6 + i, 64-bit — no run-count
+    * overflow for any realistic document), so consecutive bigrams =
+    * consecutive characters WITHIN a run, and bigrams of different runs
+    * (or a latin word and a bigram) are never phrase-adjacent — a phrase
+    * can't silently match across a separator or across scripts. (Assumes
+    * < 1e6 raw-split words per document, so the two spaces stay disjoint.)
     */
   def tokenizeMixedWithPos(docs: DataFrame): DataFrame = {
     val latin = tokenizeWithPos(docs)
@@ -304,7 +324,7 @@ object InvertedIndex {
           .otherwise(transform(sequence(lit(1), length(col("r")) - 1),
             i => col("r").substr(i, lit(2))))).as(Seq("i", "term")))
       .select(col("doc_id"),
-        ((col("run") + 1) * lit(1000000) + col("i")).cast("int").as("pos"),
+        ((col("run") + lit(1L)) * lit(1000000L) + col("i")).as("pos"),
         col("term"))
     latin.select(col("doc_id"), col("pos"), col("term")) unionByName han
   }
@@ -348,7 +368,7 @@ object InvertedIndex {
     StructField("doc_id", LongType, nullable = false),
     StructField("tf", LongType, nullable = false),
     StructField("dl", LongType, nullable = false),
-    StructField("positions", ArrayType(IntegerType), nullable = true)))
+    StructField("positions", ArrayType(LongType), nullable = true)))
 
   /** (bucket, term, doc_id, tf, dl, positions) rows for a document set —
     * per-document facts only, so build and append share it verbatim.
@@ -400,8 +420,22 @@ object InvertedIndex {
     import org.json4s.DefaultFormats
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = DefaultFormats
-    JsonMethods.parse(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_stats.json"))).extract[InvStats]
+    val f = java.nio.file.Paths.get(path, "_stats.json")
+    if (java.nio.file.Files.exists(f))
+      JsonMethods.parse(java.nio.file.Files.readString(f)).extract[InvStats]
+    else {
+      // Legacy layout: indexes persisted before the JSON sidecar stored a
+      // one-row parquet under `_stats/` (and predate the mixed tokenizer
+      // — tokenizer=None reads as latin). One driver-side parquet read.
+      val d = java.nio.file.Paths.get(path, "_stats")
+      require(java.nio.file.Files.isDirectory(d),
+        s"no _stats.json or legacy _stats/ sidecar at $path")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val r = spark.read.parquet(d.toString)
+        .select(col("n_docs"), col("n_dl_docs"), col("total_dl"), col("nbuckets"))
+        .first()
+      InvStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    }
   }
 
   /** (docs with ≥1 surviving token, Σ dl) of a posting set — exact longs. */

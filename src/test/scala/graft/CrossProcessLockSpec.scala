@@ -182,10 +182,13 @@ class CrossProcessLockSpec extends AnyFunSuite {
     // orphan — possibly an in-flight writer — survives, an old one goes).
     assert(t.purgeGc(force = true) == 0, "young orphan must survive the sweep")
     assert(Files.isDirectory(orphan))
-    Files.setLastModifiedTime(orphan,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 20 * 60 * 1000L))
-    assert(t.purgeGc() == 1, "aged orphan must be swept")
+    // age the dir AND its children: the sweep uses the newest mtime of
+    // the dir's immediate subtree (an in-flight write keeps bumping its)
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 20 * 60 * 1000L)
+    Files.setLastModifiedTime(orphan.resolve("junk.parquet"), aged)
+    Files.setLastModifiedTime(orphan, aged)
+    assert(t.purgeGc(force = true) == 1, "aged orphan must be swept")
     assert(!Files.exists(orphan), "orphan dir must be deleted")
     assert(t.scan().count() == 3, "registered parts must be untouched")
   }

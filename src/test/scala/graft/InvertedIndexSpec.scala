@@ -264,8 +264,11 @@ class InvertedIndexSpec extends AnyFunSuite {
     val lat = idx.phraseSearchText("mixed doc", k = 10).collect()
       .map(_.getLong(1)).toSet
     assert(lat == Set(5L), s"latin phrase on mixed index: $lat")
-    // cross-script phrases are rejected loudly, not silently empty
+    // phrases the tokenizer would SILENTLY alter are rejected loudly:
+    // cross-script, dropped short latin words, multi-run CJK
     intercept[IllegalArgumentException](idx.phraseSearchText("mixed 中文", 5))
+    intercept[IllegalArgumentException](idx.phraseSearchText("mixed a doc", 5))
+    intercept[IllegalArgumentException](idx.phraseSearchText("中文 分词", 5))
     // append tokenizes with the persisted tokenizer
     idx.append(Seq((6L, "再来一个分词")).toDF("doc_id", "text"))
     assert(idx.searchText("分词", k = 10).collect()

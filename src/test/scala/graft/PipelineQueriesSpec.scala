@@ -336,15 +336,25 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
     val short1 = wav(40, f => 0.1 + 0.02 * f)          // rising, 40 frames
     val short2 = wav(40, f => 0.9 - 0.02 * f)          // falling, 40 frames
+    // 4-frame clips: an envelope hash would carry <= 3 signal bits, so ANY
+    // two would pass Hamming <= 3 — they must route to the byte-fold.
+    val tiny1 = wav(4, f => 0.2 + 0.2 * f)
+    val tiny2 = wav(4, f => 0.9 - 0.2 * f)
     val rows = Seq(
       MediaRow(1L, "audio", short1, Map.empty),
       MediaRow(2L, "audio", short2, Map.empty),
-      MediaRow(3L, "audio", short1.clone(), Map.empty)) // identical copy of 1
+      MediaRow(3L, "audio", short1.clone(), Map.empty), // identical copy of 1
+      MediaRow(4L, "audio", tiny1, Map.empty),
+      MediaRow(5L, "audio", tiny2, Map.empty),
+      MediaRow(6L, "audio", tiny1.clone(), Map.empty))  // identical copy of 4
     val pairs = MediaPipeline.nearDupMediaPairs(spark.createDataset(rows))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)), s"identical short clips must pair: $pairs")
     assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)),
       s"unrelated short clips must NOT pair: $pairs")
+    assert(pairs.contains((4L, 6L)), s"identical tiny clips must pair: $pairs")
+    assert(!pairs.contains((4L, 5L)) && !pairs.contains((5L, 6L)),
+      s"unrelated sub-16-frame clips must NOT pair (byte-fold): $pairs")
   }
 
   test("real audio codec: WAV fixtures decode to exact geometry; resample is real") {
