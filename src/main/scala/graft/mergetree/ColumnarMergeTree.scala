@@ -1180,14 +1180,19 @@ final class ColumnarMergeTree private (
       }.toList
       finally s.close()
     }
+    // RECURSIVE newest mtime: Spark's FileOutputCommitter does its task
+    // activity several levels deep (stage/_temporary/0/_temporary/
+    // attempt_*/…), so a shallow check would see an in-flight write's
+    // top levels frozen at job start and sweep a LIVE staging dir. An
+    // unreadable entry reads as "active" (Long.MaxValue) — never swept.
     def newestMtime(d: java.nio.file.Path): Long =
       try {
-        val top = Files.getLastModifiedTime(d).toMillis
-        val s = Files.list(d)
-        val kids = try s.iterator().asScala
-          .map(c => Files.getLastModifiedTime(c).toMillis).toList
+        val s = Files.walk(d)
+        try s.iterator().asScala
+          .map(c => try Files.getLastModifiedTime(c).toMillis
+                    catch { case _: java.io.IOException => Long.MaxValue })
+          .foldLeft(0L)(math.max)
         finally s.close()
-        (top :: kids).max
       } catch { case _: java.io.IOException => Long.MaxValue }
     val orphans = dirs.filter(d =>
       !referenced(d.getFileName.toString) && newestMtime(d) <= cutoff)
@@ -2026,10 +2031,13 @@ final class ColumnarMergeTree private (
     var applied = false
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
-        if (goneIds.subsetOf(cur.parts.map(_.partId).toSet)) {
-          applied = true
+        // Assigned unconditionally: the log-mode CAS loop re-runs this
+        // closure, and a retry whose subset check flips false must not
+        // inherit applied=true from a lost attempt (the swapParts rule).
+        applied = goneIds.subsetOf(cur.parts.map(_.partId).toSet)
+        if (applied)
           GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
-        } else cur
+        else cur
       }
     }
     if (!applied) {

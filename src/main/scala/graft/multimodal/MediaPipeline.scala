@@ -272,16 +272,21 @@ object MediaPipeline {
     *
     * Clips shorter than 65 frames pool into min(frames, 65) windows —
     * every unrelated short clip hashing to a shared sentinel would make
-    * them all Hamming-0 "near-dups" of each other. Two caveats on the
+    * them all Hamming-0 "near-dups" of each other. Caveats on the
     * short-clip regime: (1) with g windows only g−1 bits carry signal, so
-    * callers must not hash clips with < 16 frames (≤ 14 signal bits would
-    * let unrelated clips slip under a small Hamming budget — at < 5
-    * frames EVERY pair would pass ≤ 3); perceptualHashes routes those to
-    * the exact-dup byte-fold. (2) the documented sample-rate invariance
-    * holds only at ≥ 65 frames, where the window count is
-    * frame-count-independent; below that a resampled copy pools on a
-    * different grid and may MISS (a false negative on a < 8 ms clip —
-    * never a false positive).
+    * callers must not hash clips with < 48 frames — at 15 signal bits the
+    * chance of two unrelated clips passing Hamming ≤ 3 is ~1.8%, real
+    * false merges in a dedup pass; at ≥ 47 signal bits it is ~2e-9.
+    * perceptualHashes routes sub-48-frame clips (< 6 ms at 8 kHz — below
+    * any real audio) to the exact-dup byte-fold. (2) clips of 48-64
+    * frames leave the top 16-bit chunk all-zero, so they all share one
+    * blocking bucket — candidate pairs among them are quadratic, pruned
+    * only by the exact verify (fine at these corpus-fraction sizes,
+    * another reason real audio should clear 65 frames). (3) the
+    * documented sample-rate invariance holds only at ≥ 65 frames, where
+    * the window count is frame-count-independent; below that a resampled
+    * copy pools on a different grid and may MISS (a false negative on a
+    * sub-8 ms clip — never a false positive).
     */
   private[graft] def aHashAudio(clip: AudioClip): Long = {
     val n = clip.frames
@@ -321,10 +326,10 @@ object MediaPipeline {
     ds.mapPartitions(_.map { r =>
       val real: Option[Long] = r.kind match {
         case "image" => decodeImage(r.payload).map(dHash)
-        // < 16 frames: too few difference bits for the Hamming verify to
-        // separate unrelated clips — byte-fold fallback (exact-dup-only),
-        // never a shared sentinel.
-        case "audio" => decodeAudio(r.payload).filter(_.frames >= 16).map(aHashAudio)
+        // < 48 frames: too few difference bits for the Hamming verify to
+        // separate unrelated clips (~1.8% false-pair odds at 15 bits) —
+        // byte-fold fallback (exact-dup-only), never a shared sentinel.
+        case "audio" => decodeAudio(r.payload).filter(_.frames >= 48).map(aHashAudio)
         case _ => None
       }
       val h = real.getOrElse(

@@ -118,7 +118,8 @@ final class InvertedIndex private (
     require(!(hasHan && hasLatin),
       "phrase queries must be single-script (latin and Han positions are disjoint)")
     if (hasLatin) {
-      val raw = query.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val raw = query.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z]+").filter(_.nonEmpty)
       require(raw.forall(_.length >= 3),
         s"phrase '$query' contains a word under 3 chars, which the tokenizer " +
           "drops — the remaining words would be treated as adjacent and a " +
@@ -236,8 +237,16 @@ final class InvertedIndex private (
     val st = stats
     // The batch tokenizes with the BUILD's tokenizer (persisted), so
     // appended postings are indistinguishable from built ones.
-    val postings = buildPostings(docs, st.nbuckets,
-      st.tokenizer.getOrElse(Latin)).persist()
+    // Align the positions type to the PERSISTED schema: a legacy index
+    // stores array<int> positions, and landing array<bigint> parts into it
+    // would make every later read (phrase search, compaction) fail on the
+    // parquet INT64-vs-int mismatch. Int positions saturate legacy mixed
+    // appends only in theory — legacy indexes predate the mixed tokenizer,
+    // so their positions are raw-split word indices, far below 2^31.
+    val postings0 = buildPostings(docs, st.nbuckets,
+      st.tokenizer.getOrElse(Latin))
+    val postings = postings0.withColumn("positions",
+      col("positions").cast(table.schema("positions").dataType)).persist()
     try {
       table.insertBatch(postings)
       val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
@@ -426,7 +435,9 @@ object InvertedIndex {
     else {
       // Legacy layout: indexes persisted before the JSON sidecar stored a
       // one-row parquet under `_stats/` (and predate the mixed tokenizer
-      // — tokenizer=None reads as latin). One driver-side parquet read.
+      // — tokenizer=None reads as latin). Read once, then MIGRATE to the
+      // JSON sidecar so the per-query stats read stays a driver-side file
+      // read (the documented contract), not a Spark job per search.
       val d = java.nio.file.Paths.get(path, "_stats")
       require(java.nio.file.Files.isDirectory(d),
         s"no _stats.json or legacy _stats/ sidecar at $path")
@@ -434,7 +445,9 @@ object InvertedIndex {
       val r = spark.read.parquet(d.toString)
         .select(col("n_docs"), col("n_dl_docs"), col("total_dl"), col("nbuckets"))
         .first()
-      InvStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val st = InvStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      writeStats(path, st)
+      st
     }
   }
 

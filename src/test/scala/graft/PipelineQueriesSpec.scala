@@ -334,10 +334,11 @@ class PipelineQueriesSpec extends AnyFunSuite {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
       baos.toByteArray
     }
-    val short1 = wav(40, f => 0.1 + 0.02 * f)          // rising, 40 frames
-    val short2 = wav(40, f => 0.9 - 0.02 * f)          // falling, 40 frames
-    // 4-frame clips: an envelope hash would carry <= 3 signal bits, so ANY
-    // two would pass Hamming <= 3 — they must route to the byte-fold.
+    val short1 = wav(60, f => 0.1 + 0.015 * f)         // rising, 60 frames
+    val short2 = wav(60, f => 0.9 - 0.015 * f)         // falling, 60 frames
+    // sub-48-frame clips: an envelope hash would carry too few signal
+    // bits for the Hamming verify (at 4 frames ANY two clips would pass
+    // <= 3) — they must route to the byte-fold.
     val tiny1 = wav(4, f => 0.2 + 0.2 * f)
     val tiny2 = wav(4, f => 0.9 - 0.2 * f)
     val rows = Seq(
@@ -354,7 +355,7 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"unrelated short clips must NOT pair: $pairs")
     assert(pairs.contains((4L, 6L)), s"identical tiny clips must pair: $pairs")
     assert(!pairs.contains((4L, 5L)) && !pairs.contains((5L, 6L)),
-      s"unrelated sub-16-frame clips must NOT pair (byte-fold): $pairs")
+      s"unrelated sub-48-frame clips must NOT pair (byte-fold): $pairs")
   }
 
   test("real audio codec: WAV fixtures decode to exact geometry; resample is real") {
