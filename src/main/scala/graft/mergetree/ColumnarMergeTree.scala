@@ -181,6 +181,19 @@ final class ColumnarMergeTree private (
     purgeGc()
   }
 
+  /** Stop THIS instance's background merge worker without purging — the
+    * schema-evolution methods return a REOPENED table and the receiver is
+    * to be discarded; its worker still running would compact with the
+    * STALE schema and physically drop a just-added column's data from
+    * every part it rewrites. (A worker in another process holding the old
+    * schema has the same hazard — coordinate ALTERs with background
+    * merging across processes, as ClickHouse does via replication queues.)
+    */
+  private def stopBackgroundWorker(): Unit = {
+    closed = true
+    bgThread.foreach(_.interrupt())
+  }
+
   private def leadKey: String = orderBy.head
   private def leadIsNumeric: Boolean = schema(leadKey).dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -203,6 +216,16 @@ final class ColumnarMergeTree private (
   def insertBatch(df: DataFrame, partitions: Int = 0): Unit = {
     require(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"batch schema ${df.schema.fieldNames.mkString(",")} != table schema")
+    // Types too (nullability aside — at every nesting level, since parquet
+    // encodes int-vs-long etc., not containsNull): a same-named wrong-typed
+    // batch would land parts whose physical encoding the table's read
+    // schema can never decode — fail the insert, not every later scan.
+    val mismatched = df.schema.fields.zip(schema.fields).collect {
+      case (b, t) if !ColumnarMergeTree.sameTypeIgnoreNull(b.dataType, t.dataType) =>
+        s"${b.name}: ${b.dataType} != ${t.dataType}"
+    }
+    require(mismatched.isEmpty,
+      s"batch column types differ from the table schema (${mismatched.mkString("; ")})")
     val landed: Seq[GPartMeta] = partitionBy match {
       case None    => Seq(writePart(df, partitions, register = true, partition = None))
       case Some(p) =>
@@ -216,7 +239,9 @@ final class ColumnarMergeTree private (
     // registered at or past the def's id fence flow: older parts were
     // covered by its POPULATE snapshot (see createMaterializedView).
     mvDefs.foreach { d =>
-      val fresh = landed.filter(_.partId >= d.sinceVersion.getOrElse(0L))
+      val fresh = landed.filter(p =>
+        p.partId >= d.sinceVersion.getOrElse(0L) ||
+          d.populatedIds.exists(ids => !ids.contains(p.partId)))
       if (fresh.nonEmpty) {
         // A def committed MID-batch (between two partitioned part
         // registrations) splits it: only the rows of post-fence parts
@@ -246,6 +271,7 @@ final class ColumnarMergeTree private (
     * as nulls — same convergence, no coordination needed.
     */
   def addColumn(name: String, dataType: DataType): ColumnarMergeTree = {
+    stopBackgroundWorker()
     // Projections are identity copies: widen their surface in lockstep —
     // target schema first, then the identity-select column list, then the
     // base. A crash mid-sequence fails the next insert LOUDLY (the MV
@@ -287,6 +313,7 @@ final class ColumnarMergeTree private (
     * sort order, collapse, and pruning metadata would silently break.
     */
   def dropColumn(name: String): ColumnarMergeTree = {
+    stopBackgroundWorker()
     // A projection sorted on this column is as protective as the base's
     // own ORDER BY (its copy and routing would break); other projections
     // follow the drop in lockstep — select list first (a crash between
@@ -342,6 +369,7 @@ final class ColumnarMergeTree private (
     * float→double on them is refused.
     */
   def widenColumn(name: String, to: DataType): ColumnarMergeTree = {
+    stopBackgroundWorker()
     // A non-projection MV reading this column may transform it arbitrarily
     // (its target schema was derived from the narrow type): refuse, the
     // user rebuilds those views. Projections are identity copies — widen
@@ -436,25 +464,47 @@ final class ColumnarMergeTree private (
     ColumnarMergeTree.requireNoMvCycle(path, targetPath)
     val outSchema = applyMvSql(sql,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)).schema
-    val target = ColumnarMergeTree.create(spark, targetPath, outSchema,
-      targetOrderBy, config, targetMode, targetPartitionBy)
+    // The target inherits only the per-column sketch/skip configs whose
+    // columns its OWN schema carries — inheriting the source's verbatim
+    // would make every target insert throw on a declared column the
+    // transformed schema lacks.
+    val outNames = outSchema.fieldNames.toSet
+    val targetCfg = config.copy(
+      bloomFilterColumns = config.bloomFilterColumns.filter(outNames),
+      minmaxColumns = config.minmaxColumns.filter(outNames),
+      tokenBloomColumns = config.tokenBloomColumns.filter(outNames),
+      ngramBloomColumns = config.ngramBloomColumns.filter(outNames),
+      hllColumns = config.hllColumns.filter(outNames),
+      topKColumns = config.topKColumns.filter(outNames),
+      quantileColumns = config.quantileColumns.filter(outNames))
     // Name uniqueness decided INSIDE the registry lock: two racing creators
     // of 'name' would otherwise both pass a stale pre-check and the target
-    // would receive every batch twice, permanently double-counting.
+    // would receive every batch twice, permanently double-counting. The
+    // target table is created only AFTER that check passes — a failed
+    // duplicate call must not clobber the existing target's persisted
+    // definition (mode/order/schema) while the registry keeps routing
+    // batches to it.
     //
     // The manifest is snapshotted under the SAME lock acquisition and the
-    // def is fenced at the next part id: a batch registering BEFORE the
-    // fence is covered by the populate snapshot below (and skipped by the
-    // trigger), one registering AFTER flows through the trigger (and is
-    // absent from the snapshot) — never both (double count), never
-    // neither (lost batch). ClickHouse documents this exact POPULATE race
-    // as unsolved; the id fence closes it here.
+    // def is fenced at the next part id AND at the snapshot's part-id set:
+    // a published part before the fence is covered by the populate
+    // snapshot below (trigger skips it), one after flows through the
+    // trigger — and a batch IN FLIGHT during this create (its ids
+    // allocated, so < fence, but unpublished, so absent from the
+    // snapshot) still flows via the not-in-snapshot condition. Never both
+    // (double count), never neither (lost batch). ClickHouse documents
+    // this exact POPULATE race as unsolved; the fence + snapshot set
+    // close it here.
     var snapshot = Seq.empty[GPartMeta]
+    var target: ColumnarMergeTree = null
     MvRegistry.update(path) { cur =>
       require(!cur.exists(_.name == name), s"materialized view '$name' exists")
+      target = ColumnarMergeTree.create(spark, targetPath, outSchema,
+        targetOrderBy, targetCfg, targetMode, targetPartitionBy)
       val man = GManifest.load(path).getOrElse(GManifest(0L, Nil))
       snapshot = man.parts
-      cur :+ MvDef(name, targetPath, sql, Some(GManifest.nextIdOf(man)))
+      cur :+ MvDef(name, targetPath, sql, Some(GManifest.nextIdOf(man)),
+        Some(man.parts.map(_.partId).toList))
     }
     mvTargets.put(targetPath, target)
     if (populate) {
@@ -1061,6 +1111,7 @@ final class ColumnarMergeTree private (
     */
   def sampleScanRows(n: Long): DataFrame = {
     require(n >= 0, s"bad sample size $n")
+    if (n == 0L) return scan().limit(0) // max(1, ...) below would keep ~total/2^20 rows
     refresh()
     val total = totalRows
     if (total == 0L || n >= total) return scan()
@@ -1797,17 +1848,26 @@ final class ColumnarMergeTree private (
     spark.read.schema(schema)
       .parquet(parts.map(p => s"$path/${p.dir}"): _*)
       .filter(isHit)
-      // Parts are directories `part_<id>/<file>.parquet`; anchoring the
-      // match to the file's parent segment keeps a `part_`-ish substring
-      // earlier in the table path from hijacking the extraction.
-      .groupBy(regexp_extract(input_file_name(), "/part_([0-9]+)/[^/]*$", 1)
-        .cast("long").as("pid"))
+      // Group by the part DIRECTORY NAME segment (anchored to the file's
+      // parent, so a part-ish substring earlier in the table path can't
+      // hijack it). The NAME, not a digits-extract: log-mode uuid dirs
+      // (`part_u<hex>`) carry no numeric id — a digits regex would group
+      // their hits under NULL and deleteWhere/updateWhere would silently
+      // skip every row in them. The driver maps name → partId from the
+      // manifest metas it already holds.
+      .groupBy(regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1)
+        .as("pdir"))
       .agg(count(lit(1)).as("hits"))
 
   private def hitCountsByPart(parts: Seq[GPartMeta], isHit: Column): Map[Long, Long] =
     if (parts.isEmpty) Map.empty
-    else hitCountPlan(parts, isHit).collect().iterator
-      .filterNot(_.isNullAt(0)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    else {
+      val byDir = parts.map(p => p.dir -> p.partId).toMap
+      hitCountPlan(parts, isHit).collect().iterator
+        .filterNot(_.isNullAt(0))
+        .flatMap(r => byDir.get(r.getString(0)).map(_ -> r.getLong(1)))
+        .toMap
+    }
 
   /** Column mutation by predicate (ClickHouse's ALTER TABLE … UPDATE — the
     * twin of deleteWhere): rows matching `cond` get each column in `set`
@@ -1825,6 +1885,13 @@ final class ColumnarMergeTree private (
         s"updateWhere: unknown columns ${set.keys.filterNot(schema.fieldNames.contains).mkString(",")}")
       require(!set.keys.exists(orderBy.contains),
         s"updateWhere: cannot update ORDER BY columns (${orderBy.mkString(",")})")
+      // Updating a PARTITION BY-referenced column would strand rows under
+      // stale part partition metadata (partition scans, dropPartition, and
+      // partition-pruned TTL would all disagree with the data) — ClickHouse
+      // forbids updating partition-key columns for the same reason.
+      val partCols = partitionBy.toSeq.flatMap(exprRefs).toSet
+      require(!set.keys.exists(partCols.contains),
+        s"updateWhere: cannot update PARTITION BY columns (${partCols.mkString(",")})")
       refresh()
       val live = manifest.parts
       if (live.isEmpty) return 0L
@@ -2194,7 +2261,12 @@ object ColumnarMergeTree {
           .filter(col("__rn") === 1).drop("__rn")
       case MergeMode.Summing(keys, sums) =>
         val others = schema.fieldNames.filterNot(f => keys.contains(f) || sums.contains(f))
-        val aggs = sums.map(s => sum(col(s)).as(s)) ++ others.map(o => max(col(o)).as(o))
+        // Cast back to the declared type (the Aggregating rule): sum()
+        // widens int → long, and a collapse-in-merge rewrite landing an
+        // INT64 part into an int-declared column would make every later
+        // schema'd read of the table fail.
+        val aggs = sums.map(s => sum(col(s)).cast(schema(s).dataType).as(s)) ++
+          others.map(o => max(col(o)).as(o))
         df.groupBy(keys.map(col) ++ pv: _*)
           .agg(aggs.head, aggs.tail: _*)
           .select(schema.fieldNames.map(col): _*)
@@ -2453,8 +2525,13 @@ object ColumnarMergeTree {
     def overlaps(lo: Any, hi: Any): Boolean =
       if (minKey == null || maxKey == null) true
       else if (numericKey) {
-        val l = lo.toString.toLong; val h = hi.toString.toLong
-        !(maxKey.toLong < l || minKey.toLong > h)
+        // A probe that doesn't parse as the key's integer type (e.g. a
+        // fractional literal against a long key) must KEEP the part, not
+        // crash pruning — correctness never depends on pruning.
+        try {
+          val l = lo.toString.toLong; val h = hi.toString.toLong
+          !(maxKey.toLong < l || minKey.toLong > h)
+        } catch { case _: NumberFormatException => true }
       } else {
         val l = lo.toString; val h = hi.toString
         !(KeyOrder.lt(maxKey, l) || KeyOrder.gt(minKey, h))
@@ -2484,8 +2561,10 @@ object ColumnarMergeTree {
           }
           if (anyNaN(s.min) || anyNaN(s.max) ||
             lo.exists(l => anyNaN(l.toString)) || hi.exists(h => anyNaN(h.toString))) true
-          else lo.forall(l => cmpK(s.max, l.toString) >= 0) &&
+          else try lo.forall(l => cmpK(s.max, l.toString) >= 0) &&
             hi.forall(h => cmpK(s.min, h.toString) <= 0)
+          // unparseable probe (fractional vs "long" stats) -> can't decide, keep
+          catch { case _: NumberFormatException => true }
       }
   }
 
@@ -2493,6 +2572,23 @@ object ColumnarMergeTree {
     * tag ("long" | "double" | "string") selecting the comparison.
     */
   case class GColStat(col: String, min: String, max: String, kind: String)
+
+  /** Type equality ignoring nullability at every nesting level (the
+    * parquet-physical view: containsNull never changes the encoding).
+    */
+  private[mergetree] def sameTypeIgnoreNull(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeIgnoreNull(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeIgnoreNull(x.keyType, y.keyType) &&
+          sameTypeIgnoreNull(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f, g) =>
+            f.name == g.name && sameTypeIgnoreNull(f.dataType, g.dataType) }
+      case _ => a == b
+    }
 
   /** Last orphan-sweep wall-clock per table path (sweep throttle). */
   private[mergetree] val orphanSweepAt = scala.collection.mutable.Map.empty[String, Long]
@@ -2537,7 +2633,13 @@ object ColumnarMergeTree {
     * through the trigger, the pre-fence behavior.
     */
   case class MvDef(name: String, targetPath: String, sql: String,
-                   sinceVersion: Option[Long] = None) {
+                   sinceVersion: Option[Long] = None,
+                   /** Part ids of the manifest snapshot the def's POPULATE
+                     * covered (absent on defs persisted before the field):
+                     * a landed part below the fence but NOT in this set was
+                     * in flight during the create and must still trigger.
+                     */
+                   populatedIds: Option[List[Long]] = None) {
     def sameDefinition(o: MvDef): Boolean =
       name == o.name && targetPath == o.targetPath && sql == o.sql
   }

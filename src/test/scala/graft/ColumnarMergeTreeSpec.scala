@@ -369,6 +369,58 @@ class ColumnarMergeTreeSpec extends AnyFunSuite {
     assert(t2.scanAt(seqAfterIngest).orderBy("o_orderkey").collect().toSeq == before)
   }
 
+  test("deleteWhere/updateWhere mutate uuid-named parts on a log-mode table") {
+    // Regression: hit counting grouped parts by a part_<digits> regex, so
+    // log-mode uuid part dirs grouped under NULL and mutations silently
+    // skipped every row in them.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cmt_logmut_").toString
+    val df = (0L until 100L).map(i => (i, i % 10)).toDF("k", "v")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"),
+      MergeTreeConfig(manifestLog = true, gcGraceSeconds = 0))
+    t.insertBatch(df.select(col("k"), col("v")))
+    assert(t.parts.forall(_.dirName.exists(_.startsWith("part_u"))),
+      "log-mode parts must be uuid-named for this regression to bite")
+    assert(t.deleteWhere(col("v") === 0L) == 10L,
+      "deleteWhere must see hits inside uuid-named parts")
+    assert(t.scan().count() == 90)
+    assert(t.updateWhere(col("v") === 1L, Map("v" -> lit(99L))) == 10L)
+    assert(t.scan().filter(col("v") === 99L).count() == 10)
+  }
+
+  test("Summing with an int sum column survives its own compaction") {
+    // Regression: sum(int) widens to long and the merged part landed INT64
+    // under an int-declared column — every later schema'd read failed.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cmt_sumint_").toString
+    val df = (0L until 100L).map(i => (i % 10, (i % 7).toInt)).toDF("k", "n")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"),
+      mode = MergeMode.Summing(Seq("k"), Seq("n")))
+    (0 until 3).foreach(_ => t.insertBatch(df.select(col("k"), col("n"))))
+    val before = t.scan().orderBy(col("k")).collect().map(r => (r.getLong(0), r.getInt(1)))
+    t.optimizeFinal()
+    val after = t.scan().orderBy(col("k")).collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(after.toSeq == before.toSeq, "compaction changed Summing results")
+  }
+
+  test("updateWhere refuses PARTITION BY columns; sampleScanRows(0) is empty; fractional probes keep parts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cmt_guard_").toString
+    val df = (0L until 50L).map(i => (i, s"r${i % 3}", i * 2)).toDF("k", "region", "v")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"),
+      partitionBy = Some("region"),
+      config = MergeTreeConfig(minmaxColumns = Seq("v")))
+    t.insertBatch(df.select(col("k"), col("region"), col("v")))
+    // partition-column update would strand rows under stale part metadata
+    intercept[IllegalArgumentException](
+      t.updateWhere(col("k") < 10, Map("region" -> lit("rX"))))
+    // SAMPLE 0 means none, not ~total/2^20
+    assert(t.sampleScanRows(0).count() == 0)
+    // a fractional probe against integer stats must keep parts, not crash
+    assert(t.scanWhere("v", 0.5, 10.5).count() ==
+      t.scan().filter(col("v") >= 0.5 && col("v") <= 10.5).count())
+  }
+
   test("self-describing open restores merge mode") {
     import spark.implicits._
     val df = Seq(("a", 1L, "x")).toDF("k", "ver", "payload")

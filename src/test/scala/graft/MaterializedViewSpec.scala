@@ -118,15 +118,28 @@ class MaterializedViewSpec extends AnyFunSuite {
     src.insertBatch(sourceDf.filter(col("k") >= 100))
     assert(src.parts.exists(_.partId >= fence))
     assert(collapsed(tgt) == fullAnswer)
-    // A def fenced ABOVE a batch's part ids must NOT fire for it: this is
-    // the populate-covered route — simulate the interleaving by raising
-    // the persisted fence past all future ids, then inserting.
+    // A def fenced ABOVE a batch's part ids must NOT fire for it when the
+    // def carries no snapshot set (legacy fence-only form): this is the
+    // populate-covered route — simulate the interleaving by raising the
+    // persisted fence past all future ids, then inserting.
     ColumnarMergeTree.MvRegistry.update(src.path)(
-      _.map(x => x.copy(sinceVersion = Some(Long.MaxValue))))
+      _.map(x => x.copy(sinceVersion = Some(Long.MaxValue), populatedIds = None)))
     src.insertBatch(sourceDf.filter(col("k") < 100))
     tgt.refresh()
     assert(collapsed(tgt) == fullAnswer,
       "a batch below the def's fence must not double-flow via the trigger")
+    // The IN-FLIGHT route (round 10): a part below the fence but ABSENT
+    // from the def's recorded populate snapshot was being written while
+    // the MV was created — it must STILL flow, or the batch is lost from
+    // the target forever.
+    ColumnarMergeTree.MvRegistry.update(src.path)(
+      _.map(x => x.copy(sinceVersion = Some(Long.MaxValue),
+        populatedIds = Some(src.parts.map(_.partId).toList))))
+    val beforeInflight = { tgt.refresh(); tgt.totalRows }
+    src.insertBatch(sourceDf.filter(col("k") >= 100))
+    tgt.refresh()
+    assert(tgt.totalRows > beforeInflight,
+      "an in-flight (below-fence, not-in-snapshot) batch must trigger")
     // Legacy defs (no fence persisted) keep the old always-fire behavior
     ColumnarMergeTree.MvRegistry.update(src.path)(
       _.map(x => x.copy(sinceVersion = None)))
