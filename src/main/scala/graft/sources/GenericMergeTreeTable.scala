@@ -146,7 +146,12 @@ class GenericMergeTreeV2Table(
     def canon(v: Any): Option[String] = GenericMergeTreeScan.canonPartitionValue(v)
     val perFilter = filters.toSeq.map {
       case EqualTo(`pc`, v) => canon(v).map(Seq(_))
-      case In(`pc`, vs)     => Some(vs.toSeq.flatMap(canon(_)))
+      // EVERY value must canonicalize or the route falls back to the
+      // rewrite path — flatMap would silently drop unconvertible values
+      // (date/decimal partitions) and "delete" an empty partition set.
+      case In(`pc`, vs) =>
+        val cs = vs.toSeq.map(canon(_))
+        if (cs.forall(_.isDefined)) Some(cs.flatten) else None
       case _                => None
     }
     if (perFilter.isEmpty || perFilter.exists(_.isEmpty)) None
@@ -157,7 +162,12 @@ class GenericMergeTreeV2Table(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(snapshotSeq.isEmpty, "a snapshot-pinned mergetree table is read-only")
     val t = ColumnarMergeTree.open(SparkSession.active, path)
-    partitionEqualityValues(filters) match {
+    // The dropPartition fast path requires every live part to carry a
+    // partition tag: parts from pre-tag manifests (partition = None) stay
+    // VISIBLE to reads but invisible to a tag-filtered drop — their
+    // matching rows would silently survive. Untagged parts ⇒ rewrite path.
+    val allTagged = t.parts.forall(_.partition.isDefined)
+    partitionEqualityValues(filters).filter(_ => allTagged) match {
       case Some(values) =>
         // ClickHouse ALTER TABLE … DROP PARTITION: O(manifest) unlink, no
         // part is read or rewritten — the decontamination op a pipeline
@@ -389,7 +399,10 @@ class GenericMergeTreeScanImpl(
     * (every listed part directory must still exist) so a GC-purged snapshot
     * fails the whole query, never silently drops rows.
     */
-  private def manifestParts: List[GPartMeta] = snapshotSeq match {
+  // lazy val: a Scan instance is per-query, and estimateStatistics +
+  // planInputPartitions each need the part list — one manifest load (and
+  // one snapshot-validation sweep) per query, not one per call.
+  private lazy val manifestParts: List[GPartMeta] = snapshotSeq match {
     case None => GManifest.load(path).map(_.parts).getOrElse(Nil)
     case Some(seq) =>
       val m = ColumnarMergeTree.SnapshotLog.load(path, seq).getOrElse(
@@ -468,21 +481,36 @@ class GenericMergeTreeScanImpl(
     * never populated lo/hi (see GenericScanBuilder.usable).
     */
   private def rangePredicate: Option[FilterPredicate] = {
-    def one(v: Any, lower: Boolean): FilterPredicate = leadType match {
+    // Only types whose parquet physical encoding this can name get a
+    // pushed row-group predicate; anything else (decimal, date, …) returns
+    // None — an int-column fallback would compare MISMATCHED types in the
+    // parquet stats filter (crash, or a truncated bound misprune when a
+    // projection routes a double column here). Pruning is an optimization;
+    // correctness never depends on it.
+    def one(v: Any, lower: Boolean): Option[FilterPredicate] = leadType match {
       case StringType =>
         val c = FilterApi.binaryColumn(leadKey)
         val b = Binary.fromString(v.toString)
-        if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b)
+        Some(if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b))
       case LongType =>
         val c = FilterApi.longColumn(leadKey)
         val b = java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
-        if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b)
-      case _ =>
+        Some(if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b))
+      case IntegerType | ShortType | ByteType =>
         val c = FilterApi.intColumn(leadKey)
         val b = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
-        if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b)
+        Some(if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b))
+      case DoubleType =>
+        val c = FilterApi.doubleColumn(leadKey)
+        val b = java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+        Some(if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b))
+      case FloatType =>
+        val c = FilterApi.floatColumn(leadKey)
+        val b = java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())
+        Some(if (lower) FilterApi.gtEq(c, b) else FilterApi.ltEq(c, b))
+      case _ => None
     }
-    (lo.map(one(_, lower = true)), hi.map(one(_, lower = false))) match {
+    (lo.flatMap(one(_, lower = true)), hi.flatMap(one(_, lower = false))) match {
       case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
       case (a, b)             => a.orElse(b)
     }

@@ -92,8 +92,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def extlocPath(slot: Path): Path = slot.resolve("extloc")
 
   /** Identifier → the directory actually holding the table definition. */
-  private def tableDir(ident: Identifier): Path = {
-    val slot = dirOf(ident)
+  private def tableDir(ident: Identifier): Path =
+    resolveTableDir(ident.namespace.toSeq :+ ident.name)
+
+  /** Segment-validated slot resolve that FOLLOWS an external-location
+    * pointer — shared with the SQL maintenance verbs (GraftSqlParser.
+    * resolveDir), so the path-traversal check and the extloc semantics
+    * cannot drift between name resolution and the maintenance path
+    * (previously the verbs re-implemented the check inline and never
+    * followed extloc, so OPTIMIZE, ALTER, and the meta table functions failed on every
+    * external-LOCATION catalog table).
+    */
+  private[sources] def resolveTableDir(segs: Seq[String]): Path = {
+    val slot = resolveSegs(segs)
     if (Files.exists(extlocPath(slot)))
       Paths.get(Files.readString(extlocPath(slot)).trim)
     else slot
@@ -151,13 +162,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(l => Paths.get(MergeTreeTableProvider.localPath(l)))
     val dir = external.getOrElse(dirOf(ident))
     Files.createDirectories(dir)
+    // Validate the target BEFORE writing the external-location pointer: a
+    // failed CREATE that left a dangling extloc would make a later DROP
+    // TABLE follow it and delete a FOREIGN table's data.
+    require(TableDef.load(dir.toString).isEmpty,
+      s"mergetree: $dir already holds a table definition")
     external.foreach { loc =>
       val slot = dirOf(ident)
       Files.createDirectories(slot)
       Files.writeString(extlocPath(slot), loc.toString + "\n")
     }
-    require(TableDef.load(dir.toString).isEmpty,
-      s"mergetree: $dir already holds a table definition")
     TableDef.store(dir.toString, defn)
     if (opts.getBoolean("final", false))
       Files.writeString(propsPath(dir), "{\"final\":true}\n")

@@ -139,7 +139,10 @@ object GraftSqlParser {
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      // same escape handling as splitTopLevel: \x and '' inside a literal
+      if (inStr && c == '\\' && i + 1 < s.length) i += 1
+      else if (inStr && c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+      else if (c == '\'') inStr = !inStr
       else if (!inStr) {
         if (c == '(' || c == '[') depth += 1
         else if (c == ')' || c == ']') depth -= 1
@@ -163,13 +166,25 @@ object GraftSqlParser {
     val cur = new StringBuilder
     var depth = 0
     var inStr = false
-    s.foreach { c =>
-      c match {
-        case '\'' => inStr = !inStr; cur += c
-        case '(' | '[' if !inStr => depth += 1; cur += c
-        case ')' | ']' if !inStr => depth -= 1; cur += c
-        case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // Escapes INSIDE a literal must not toggle the tracker: Spark
+      // accepts both backslash ('don\'t') and doubled-quote ('don''t')
+      // escaping — either would desync the scanner and mis-split.
+      if (inStr && c == '\\' && i + 1 < s.length) {
+        cur += c; cur += s.charAt(i + 1); i += 2
+      } else if (inStr && c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        cur += c; cur += '\''; i += 2
+      } else {
+        c match {
+          case '\'' => inStr = !inStr; cur += c
+          case '(' | '[' if !inStr => depth += 1; cur += c
+          case ')' | ']' if !inStr => depth -= 1; cur += c
+          case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
+          case _ => cur += c
+        }
+        i += 1
       }
     }
     out += cur.toString
@@ -203,15 +218,14 @@ object GraftSqlParser {
         // at initialize, and a conf re-pointed afterwards must not make the
         // maintenance verbs target a different directory than name
         // resolution does (catalogManager caches the plugin).
-        val wh = spark.sessionState.catalogManager.catalog(cat) match {
-          case g: GraftCatalog => g.warehousePath
+        val g = spark.sessionState.catalogManager.catalog(cat) match {
+          case g: GraftCatalog => g
           case other => throw new IllegalArgumentException(
             s"'$cat' resolved to ${other.getClass.getName}, not a graft catalog")
         }
-        parts.tail.foreach(s => require(
-          s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != ".." && s != ".",
-          s"illegal identifier segment '$s'"))
-        parts.tail.foldLeft(wh)(_.resolve(_)).toString
+        // Shared resolve: same segment validation AND extloc following as
+        // name resolution — external-LOCATION tables are maintainable.
+        g.resolveTableDir(parts.tail).toString
     }
     require(TableDef.load(dir).isDefined, s"no mergetree table at $dir")
     dir

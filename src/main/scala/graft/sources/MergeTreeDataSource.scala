@@ -573,6 +573,18 @@ class MergeTreeBatchWrite(path: String)
     val files = messages.collect { case MergeTreeTaskCommit(f) if f.nonEmpty => f }
     val staging = Paths.get(stagingDir)
     if (files.isEmpty) { MergeTreeTable.deleteRecursively(staging); return }
+    // Promote ONLY the files of COMMITTED tasks: a task attempt that died
+    // after writing (before its abort could clean up) or a speculative
+    // duplicate leaves extra parquet files in the staging dir — moving
+    // the whole dir would register the orphan's rows as table data and
+    // double-count the batch.
+    val committed = files.map(f => Paths.get(f).getFileName.toString).toSet
+    val s = Files.list(staging)
+    try s.iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet") &&
+        !committed(f.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
+    finally s.close()
     val stats = graft.mergetree.PartStats.readDir(new Configuration(), stagingDir)
     val size = MergeTreeTable.dirSize(staging)
     val now = System.currentTimeMillis()

@@ -622,6 +622,60 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     t.refresh()
   }
 
+  test("external-LOCATION catalog tables: verbs follow the pointer; failed CREATE leaves none") {
+    val wh = Files.createTempDirectory("ext_wh2_").toString
+    spark.conf.set("spark.sql.catalog.gext2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gext2.warehouse", wh)
+    val loc = Files.createTempDirectory("ext_loc2_").toString
+    spark.sql("CREATE TABLE gext2.m.t (k BIGINT, b BIGINT) USING mergetree " +
+      s"OPTIONS (orderBy 'k', partitionBy 'b') LOCATION '$loc'")
+    spark.sql("INSERT INTO gext2.m.t SELECT id, id % 2 FROM range(100)")
+    // Maintenance verbs resolve THROUGH the extloc pointer (round 10:
+    // previously they resolved the bare warehouse slot and threw).
+    assert(spark.sql("ALTER TABLE gext2.m.t DROP PARTITION 1")
+      .first().getLong(0) == 50L)
+    spark.sql("OPTIMIZE TABLE gext2.m.t").collect()
+    assert(spark.sql("SELECT count(*) FROM gext2.m.t").first().getLong(0) == 50L)
+    // A CREATE failing validation (target already holds a table) must not
+    // leave a dangling pointer — a later DROP of the phantom identifier
+    // would follow it and delete the FOREIGN table's data.
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gext2.m.clash (k BIGINT) USING mergetree " +
+        s"OPTIONS (orderBy 'k') LOCATION '$loc'"))
+    assert(!spark.sql("SHOW TABLES IN gext2.m").collect()
+      .map(_.getString(1)).contains("clash"), "no phantom identifier")
+    assert(spark.sql("SELECT count(*) FROM gext2.m.t").first().getLong(0) == 50L,
+      "foreign table data intact after the failed CREATE")
+  }
+
+  test("escaped quotes inside UPDATE literals don't desync the WHERE splitter") {
+    val (dir, t) = buildGeneric()
+    assert(spark.sql(
+      s"""ALTER TABLE '$dir' UPDATE name = 'don\\'t rock' WHERE k < 5""")
+      .first().getLong(0) == 5L)
+    val got = spark.read.format("mergetree").load(dir)
+      .filter(col("k") === 1).select("name").first().getString(0)
+    assert(got == "don't rock", s"got '$got'")
+    t.refresh()
+  }
+
+  test("DELETE ... IN on a date partition falls back to rewrite and deletes") {
+    // canonPartitionValue has no date form: the dropPartition fast path
+    // must decline (fall back to the predicate rewrite), not silently
+    // drop an EMPTY partition set and leave every matching row alive.
+    val dir = Files.createTempDirectory("mt_dpdel_").toString
+    spark.sql("DROP TABLE IF EXISTS d_del")
+    spark.sql(s"CREATE TABLE d_del (k BIGINT, d DATE, v DOUBLE) USING mergetree " +
+      s"OPTIONS (orderBy 'k', partitionBy 'd') LOCATION '$dir'")
+    spark.sql("INSERT INTO d_del VALUES (1, DATE'2024-01-01', 0.5), " +
+      "(2, DATE'2024-01-02', 1.5), (3, DATE'2024-01-01', 2.5)")
+    spark.sql("DELETE FROM d_del WHERE d IN (DATE'2024-01-01')")
+    assert(spark.table("d_del").count() == 1,
+      "rows of the named date partition must actually be deleted")
+    spark.sql("DROP TABLE d_del")
+  }
+
   test("DETACH/ATTACH/DROP PARTITION via SQL on a catalog identifier") {
     val wh = Files.createTempDirectory("mnt_wh_").toString
     spark.conf.set("spark.sql.catalog.gmnt",
