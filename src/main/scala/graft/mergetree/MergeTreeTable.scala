@@ -311,12 +311,15 @@ final class MergeTreeTable private (
     val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
     Files.createDirectories(stage)
     val file = stage.resolve("part-00000.parquet")
-    val writer = ExampleParquetWriter.builder(new HPath(file.toString))
-      .withConf(MergeTreeTable.localFlushConf)
-      .withRowGroupRowCountLimit(config.granuleSize)
-      .withCompressionCodec(
-        scala.util.Try(CompressionCodecName.valueOf(config.compression.toUpperCase))
-          .getOrElse(CompressionCodecName.SNAPPY))
+    val writer = config.bloomFilterColumns.foldLeft(
+      ExampleParquetWriter.builder(new HPath(file.toString))
+        .withConf(MergeTreeTable.localFlushConf)
+        .withRowGroupRowCountLimit(config.granuleSize)
+        .withCompressionCodec(
+          scala.util.Try(CompressionCodecName.valueOf(config.compression.toUpperCase))
+            .getOrElse(CompressionCodecName.SNAPPY))) { (b, c) =>
+      b.withBloomFilterEnabled(c, true) // see writePartInternal
+    }
       .build()
     val factory = new SimpleGroupFactory(MergeTreeTable.localFlushSchema)
     try sorted.foreach { r =>
@@ -495,18 +498,31 @@ final class MergeTreeTable private (
       }
       val nOut = math.max(1, config.maxParts / 2)
       val groups = binPack(live, nOut)
-      val newMetas =
-        if (groups.size <= 1) groups.map(mergeGroup)
+      val liveIdsPre = live.map(_.partId).toSet
+      val attempts: Seq[scala.util.Try[PartMetadata]] =
+        if (groups.size <= 1) groups.map(g => scala.util.Try(mergeGroup(g)))
         else {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(pool)
           try scala.concurrent.Await.result(
             scala.concurrent.Future.sequence(groups.map(g =>
-              scala.concurrent.Future(mergeGroup(g)))),
+              scala.concurrent.Future(scala.util.Try(mergeGroup(g))))),
             scala.concurrent.duration.Duration.Inf)
           finally pool.shutdown()
         }
+      // One failed bin must not leak the other bins' already-renamed
+      // outputs (register=false parts live in no manifest and no GC list):
+      // delete every NEW output and rethrow. Singleton pass-through bins
+      // return a LIVE part — never delete those.
+      attempts.collectFirst { case scala.util.Failure(e) =>
+        attempts.collect {
+          case scala.util.Success(m) if !liveIdsPre(m.partId) => m
+        }.foreach(m =>
+          MergeTreeTable.deleteRecursively(Paths.get(partDir(m.partId))))
+        throw e
+      }
+      val newMetas = attempts.map(_.get)
       val liveIds = live.map(_.partId).toSet
       val keptIds = newMetas.map(_.partId).toSet
       lock.synchronized {
@@ -563,7 +579,12 @@ final class MergeTreeTable private (
     */
   def mergePartsSync(): Boolean = {
     if (!compacting.compareAndSet(false, true)) return false
-    try lock.synchronized { performMerge() }
+    // The merge's Spark job runs OUTSIDE the table lock (optimize()'s
+    // pattern): `compacting` already excludes the other maintenance path,
+    // and performMerge takes the lock only for the manifest swap — holding
+    // it across the whole rewrite blocked every insert/flush/query for
+    // the merge's duration.
+    try performMerge()
     finally compacting.set(false)
   }
 
@@ -590,9 +611,12 @@ final class MergeTreeTable private (
     val newMeta = writePartInternal(merged,
       partitionsForRows(toMerge.map(_.rowCount).sum), register = false)
     // Atomic read-merge swap: new manifest lists merged part, drops inputs,
-    // keeps anything a concurrent writer registered meanwhile.
-    manifest = Manifest.update(path) { cur =>
-      Manifest(cur.version, cur.parts.filterNot(p => mergedIds(p.partId)) :+ newMeta)
+    // keeps anything a concurrent writer registered meanwhile. Only the
+    // swap holds the table lock (see mergePartsSync).
+    lock.synchronized {
+      manifest = Manifest.update(path) { cur =>
+        Manifest(cur.version, cur.parts.filterNot(p => mergedIds(p.partId)) :+ newMeta)
+      }
     }
     // GC the dead dirs — fixing the reference's leak (SURVEY §3.3) — via
     // the reader-grace window, not inline deletion.
@@ -631,12 +655,17 @@ final class MergeTreeTable private (
       if (partitions <= 1) df.coalesce(1).sortWithinPartitions("key", "timestamp")
       else df.repartitionByRange(partitions, col("key"), col("timestamp"))
         .sortWithinPartitions("key", "timestamp")
-    sorted.write
-      // Granule fidelity (SURVEY §1.4): row group == granule. This is the
-      // row-group row-count cap (parquet-hadoop ParquetOutputFormat), not
-      // the page-level one round 1 used by mistake.
-      .option("parquet.block.row.count.limit", config.granuleSize)
-      .option("compression", config.compression)
+    // Honor declared bloom columns (previously silently inert on the KV
+    // writers — compare ColumnarMergeTree's writers).
+    config.bloomFilterColumns.foldLeft(
+      sorted.write
+        // Granule fidelity (SURVEY §1.4): row group == granule. This is the
+        // row-group row-count cap (parquet-hadoop ParquetOutputFormat), not
+        // the page-level one round 1 used by mistake.
+        .option("parquet.block.row.count.limit", config.granuleSize)
+        .option("compression", config.compression)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
       .mode("overwrite")
       .parquet(stage.toString)
     // Part metadata comes from the parquet footers the write just produced —
@@ -869,8 +898,22 @@ object Manifest {
       (metaFor: Long => PartMetadata): PartMetadata =
     ManifestLocks.locked(tablePath) {
       val cur = load(tablePath).getOrElse(Manifest(0L, Nil))
-      val id = math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max))
-      Files.move(stagedDir, Paths.get(tablePath, s"part_$id"))
+      var id = math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max))
+      var moved = false
+      while (!moved) {
+        val target = Paths.get(tablePath, s"part_$id")
+        try { Files.move(stagedDir, target); moved = true }
+        catch {
+          // A writer crashed between ITS rename and manifest store: the
+          // claimed dir exists but its id was never fenced, so this id
+          // collides forever. Skip past it (the store below fences) —
+          // without this every subsequent ingest failed on the same name
+          // until the dir was removed by hand. The orphan dir itself is
+          // an inert leak (in no manifest, never read).
+          case e: java.nio.file.FileSystemException if Files.exists(target) =>
+            id += 1
+        }
+      }
       val meta = metaFor(id)
       store(tablePath,
         Manifest(id + 1, if (append) cur.parts :+ meta else cur.parts))

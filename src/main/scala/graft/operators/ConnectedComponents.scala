@@ -98,7 +98,12 @@ object ConnectedComponents {
           org.apache.spark.sql.types.LongType, nullable = false)))
       val labels = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schemaOut)
-      return withSelfLoopSingletons(base, labels)
+      // Materialize the (small) label set, then RELEASE the checkpointed
+      // edge input — without this every run() pinned the full edge list in
+      // block-manager storage for the session's lifetime.
+      val out = withSelfLoopSingletons(base, labels).localCheckpoint(true)
+      base.unpersist()
+      return out
     }
 
     // Distributed path: each round's result is localCheckpoint'ed — without
@@ -145,7 +150,12 @@ object ConnectedComponents {
     // its root as v; roots appear only on the v side.
     val labels = edges.select(F.col("u").as("node"), F.col("v").as("component"))
       .union(edges.select(F.col("v").as("node"), F.col("v").as("component")).distinct())
-    withSelfLoopSingletons(base, labels)
+    // Labels are node→component pairs (≤ 2·|edges| rows, usually far
+    // fewer): materialize them, then release the checkpointed inputs.
+    val out = withSelfLoopSingletons(base, labels).localCheckpoint(true)
+    edges.unpersist()
+    base.unpersist()
+    out
   }
 
   /** Honour the full contract: nodes whose only edges were self-loops (or

@@ -49,7 +49,8 @@ final class IvfIndex private (
     * `queries`: (qid: Long, qv: array<double>). Output:
     * (qid, rnk, vec_id, sim) — the q23/q28 result shape.
     */
-  def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+             excludeSelf: Boolean = true): DataFrame = {
     val c = centroids
     val pw = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
     val probe = queries.crossJoin(broadcast(c))
@@ -70,7 +71,11 @@ final class IvfIndex private (
     // corpus rows into a sort-merge join here.
     val scored = probedVectors
       .join(broadcast(probe), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
+      // excludeSelf compares qid against vec_id — correct when queries ARE
+      // corpus rows (the q23/q28 workload); pass false when query ids live
+      // in their OWN id space, or the corpus row that merely shares the
+      // number silently vanishes from that query's results.
+      .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
       .select(col("qid"), col("vec_id"), r6(cosine(col("qv"), col("v"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -99,8 +104,8 @@ final class IvfIndex private (
     * approximation costs recall, never garbage scores.
     */
   def searchAdc(queries: DataFrame, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
-    val short = adcShortlist(queries, nprobe, shortlist)
+      shortlist: Int, excludeSelf: Boolean = true): DataFrame = {
+    val short = adcShortlist(queries, nprobe, shortlist, excludeSelf)
     // Exact cosine is evaluated HERE and only here — on shortlist rows
     // (adcShortlist's output is capped at |queries|·shortlist by its
     // row_number filter; the spec pins that bound).
@@ -119,7 +124,7 @@ final class IvfIndex private (
     * input bound structurally.
     */
   private[graft] def adcShortlist(queries: DataFrame, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, excludeSelf: Boolean = true): DataFrame = {
     val cb = pqCodebooks.getOrElse(throw new IllegalStateException(
       s"no PQ codebooks at $path — build with IvfIndex.buildAdc"))
     val c = centroids
@@ -141,7 +146,9 @@ final class IvfIndex private (
       call_function("pq_lut", col("qv"), typedLit(cb.cb)).as("lut"))
     val scored = probed.join(broadcast(probe), Seq("cid"))
       .join(broadcast(qlut), Seq("qid"))
-      .filter(col("vec_id") =!= col("qid"))
+      // see search(): self-exclusion is only meaningful when query ids
+      // share the corpus id space
+      .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
       .select(col("qid"), col("qv"), col("vec_id"), col("v"),
         call_function("pq_adc", col("code"), col("lut")).as("asim"))
     val sw = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("vec_id"))

@@ -53,6 +53,14 @@ final class MinHashStore private (val path: String, spark: SparkSession) {
     MinHashStore.bandSignatures(batchShingleHashes)
       .write.mode("append").parquet(path)
 
+  /** Append PRE-COMPUTED band signatures (a [[MinHashStore.bandSignatures]]
+    * output). The streaming path already holds the batch's signatures
+    * persisted — re-running the 96-min-hash aggregate inside [[append]]
+    * would double the dominant per-batch cost.
+    */
+  def appendSignatures(sigs: DataFrame): Unit =
+    sigs.write.mode("append").parquet(path)
+
   /** LSH candidate pairs of a new batch against the store: distinct
     * `(store_id, batch_id)` colliding in at least one band. Self-pairs are
     * excluded so a batch can be safely re-checked after its own `append`.

@@ -125,14 +125,18 @@ object ProductQuantizer {
     * tables are computed once on the broadcast side.
     */
   def adcSearch(queries: DataFrame, codes: DataFrame, vectors: DataFrame,
-      q: PqCodebooks, k: Int, shortlist: Int): DataFrame = {
+      q: PqCodebooks, k: Int, shortlist: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val qs = queries.select(col("qid"),
       call_function("pq_lut", col("qv"), typedLit(q.cb)).as("lut"))
     // Per corpus row: m table lookups, no arithmetic on the vector at all.
     val approx = call_function("pq_adc", col("code"), col("lut"))
     val sw = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("vec_id"))
-    val short = codes.join(broadcast(qs), col("vec_id") =!= col("qid"))
+    // excludeSelf: only meaningful when query ids share the corpus id
+    // space (the q23/q109 workload); false = rank every coded row.
+    val short = codes.join(broadcast(qs),
+      if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
       .select(col("qid"), col("vec_id"), approx.as("asim"))
       .withColumn("rn", row_number().over(sw)).filter(col("rn") <= shortlist)
       .select(col("qid"), col("vec_id"))

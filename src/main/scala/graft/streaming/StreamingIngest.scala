@@ -11,9 +11,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * memtable (src/merge_tree.cpp:207-226); the Spark-native equivalent of a
   * continuous ingest feed is a streaming query where EACH micro-batch lands
   * as one distributed sorted part via `insertBatch` — no rows transit the
-  * driver, checkpointing gives exactly-once part commits per batch, and the
-  * background merge worker (O19) compacts independently, exactly like the
-  * reference's writer/merger split.
+  * driver, replayed micro-batches are skipped via a per-stream
+  * applied-batch record (effectively-once; see notYetApplied for the
+  * residual window), and the background merge worker (O19) compacts
+  * independently, exactly like the reference's writer/merger split.
   *
   * Scale posture: micro-batch size controls part size (tune trigger
   * interval so parts land near the target part bytes); concurrent batch
@@ -22,13 +23,45 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingIngest {
 
-  /** Start a stream writing every micro-batch as one part. */
+  /** foreachBatch is AT-LEAST-ONCE: a driver crash between the sink action
+    * and Spark's checkpoint commit replays the micro-batch with the SAME
+    * batchId. Recording the last applied id (atomic file swap under the
+    * stream's own checkpoint dir) and skipping replays narrows the
+    * duplicate window to the instant between the insert and this record —
+    * the Spark-side replay window (sink-to-checkpoint-commit, covering the
+    * whole batch duration) was the one that mattered. Not transactional
+    * exactly-once (that needs the sink and the offset commit in ONE
+    * atomic step); honest posture documented per entry point.
+    */
+  private def notYetApplied(checkpointDir: String, batchId: Long): Boolean = {
+    val f = java.nio.file.Paths.get(checkpointDir, "_graft_applied_batch")
+    !java.nio.file.Files.exists(f) ||
+      java.nio.file.Files.readString(f).trim.toLong < batchId
+  }
+
+  private def recordApplied(checkpointDir: String, batchId: Long): Unit = {
+    val dir = java.nio.file.Paths.get(checkpointDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".applied_", ".tmp")
+    java.nio.file.Files.writeString(tmp, batchId.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("_graft_applied_batch"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Start a stream writing every micro-batch as one part. Replayed
+    * batches (crash after insert, before checkpoint commit) are skipped
+    * via the applied-batch record — see [[notYetApplied]].
+    */
   def start(table: MergeTreeTable, rows: Dataset[KVRow], checkpointDir: String): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[KVRow], _: Long) =>
-        if (!batch.isEmpty) table.insertBatch(batch)
+      .foreachBatch { (batch: Dataset[KVRow], batchId: Long) =>
+        if (!batch.isEmpty && notYetApplied(checkpointDir, batchId)) {
+          table.insertBatch(batch)
+          recordApplied(checkpointDir, batchId)
+        }
       }
       .start()
 
@@ -37,15 +70,20 @@ object StreamingIngest {
     * micro-batch lands as one sorted part under the table's ORDER BY; merge
     * semantics (Replacing/Summing) apply at read/compaction as usual, so a
     * streaming upsert feed into a Replacing table is exactly this plus
-    * `scan()`.
+    * `scan()`. Replayed batches are skipped (see [[notYetApplied]]) —
+    * without the record, a replay would land a duplicate part: doubled
+    * rows on a Plain table, doubled sums on a Summing one.
     */
   def startGeneric(table: ColumnarMergeTree, rows: DataFrame,
                    checkpointDir: String): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) table.insertBatch(batch.toDF())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty && notYetApplied(checkpointDir, batchId)) {
+          table.insertBatch(batch.toDF())
+          recordApplied(checkpointDir, batchId)
+        }
       }
       .start()
 
@@ -69,8 +107,10 @@ object StreamingIngest {
     * Replay determinism: the kept set is a pure function of (batch
     * content, store state EXCLUDING this batch's own ids). Two pieces make
     * that hold — (1) near-dups WITHIN the batch are resolved first
-    * (intra-batch band collisions, drop every doc with a smaller-id
-    * candidate neighbour), and (2) the store check ignores stored
+    * (greedy by ascending id over the intra-batch collision graph: a doc
+    * drops iff it collides with a KEPT smaller doc — deterministic, and
+    * every dropped doc keeps a stored representative), and (2) the store
+    * check ignores stored
     * signatures whose id is in the current batch, so a replay that
     * already appended this batch's signatures cannot collide the batch
     * with itself and emit a different row set than the first attempt. A
@@ -85,8 +125,8 @@ object StreamingIngest {
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty && notYetApplied(checkpointDir, batchId)) {
           val b = batch.toDF().persist()
           // the q25/q26/q101 shingle definition — ONE tokenization everywhere
           val dsh = b
@@ -96,33 +136,60 @@ object StreamingIngest {
             .distinct()
             .persist()
           val banded = graft.operators.MinHashStore.bandSignatures(dsh).persist()
-          // (1) intra-batch dedup: a doc colliding with a SMALLER batch id
-          // is dropped (min id per candidate cluster survives) — resolved
-          // before the store check so the kept set never depends on
-          // whether a prior attempt already signed this batch.
-          val intraDropped = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-            .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
-              Seq("band", "sig"))
-            .filter(col("doc_a") < col("doc_b"))
-            .select(col("doc_b").as("doc_id"))
-            .distinct()
-          // (2) store check, blind to this batch's own ids: a replayed
-          // batch must see exactly the store state the first attempt saw.
-          val dupIds = store
-            .candidatePairs(banded)
-            .join(b.select(col("doc_id").as("store_id")), Seq("store_id"), "left_anti")
-            .select(col("batch_id").as("doc_id"))
-            .distinct()
-          val fresh = b
-            .join(intraDropped, Seq("doc_id"), "left_anti")
-            .join(dupIds, Seq("doc_id"), "left_anti")
-          sink(fresh)
-          // append signatures of KEPT docs only: a dropped dup's signatures
-          // are already represented by the stored doc it collided with
-          store.append(dsh.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-          banded.unpersist()
-          dsh.unpersist()
-          b.unpersist()
+          try {
+            // (1) intra-batch dedup by GREEDY id order: ascending through
+            // the batch's collision graph, a doc drops iff it collides
+            // with a smaller doc that is itself KEPT. This (not "any
+            // smaller neighbour") preserves the invariant the store check
+            // relies on — every dropped doc has a KEPT collide-partner
+            // whose signatures land, so its future near-dups still
+            // collide with something stored. A chain 1~2, 2~3 keeps
+            // {1, 3}: 2 drops against kept 1, but 3's only collision is
+            // the DROPPED 2 — dropping 3 too would leave its content
+            // unrepresented forever (and 3 may not be a near-dup of 1 at
+            // all). Collision pairs within one micro-batch are a bounded
+            // driver collect (pairs of colliding docs, not the batch).
+            val pairRows = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+              .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+                Seq("band", "sig"))
+              .filter(col("doc_a") < col("doc_b"))
+              .select(col("doc_a"), col("doc_b"))
+              .distinct()
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val smaller: Map[Long, Seq[Long]] =
+              pairRows.groupBy(_._2).map { case (b2, ps) => b2 -> ps.map(_._1).toSeq }
+            val dropped = scala.collection.mutable.Set.empty[Long]
+            pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct.sorted
+              .foreach { d =>
+                if (smaller.getOrElse(d, Seq.empty).exists(a => !dropped(a))) dropped += d
+              }
+            val intraDropped = b.sparkSession
+              .createDataset(dropped.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+              .toDF("doc_id")
+            // (2) store check, blind to this batch's own ids: a replayed
+            // batch must see exactly the store state the first attempt saw.
+            val dupIds = store
+              .candidatePairs(banded)
+              .join(b.select(col("doc_id").as("store_id")), Seq("store_id"), "left_anti")
+              .select(col("batch_id").as("doc_id"))
+              .distinct()
+            val fresh = b
+              .join(intraDropped, Seq("doc_id"), "left_anti")
+              .join(dupIds, Seq("doc_id"), "left_anti")
+            sink(fresh)
+            // append signatures of KEPT docs only, reusing the PERSISTED
+            // band signatures (recomputing the 96-hash aggregate inside
+            // store.append would double the dominant per-batch cost)
+            store.appendSignatures(
+              banded.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+            recordApplied(checkpointDir, batchId)
+          } finally {
+            // finally: a sink/store failure must not leave three persisted
+            // frames cached across foreachBatch retries
+            banded.unpersist()
+            dsh.unpersist()
+            b.unpersist()
+          }
           ()
         }
       }

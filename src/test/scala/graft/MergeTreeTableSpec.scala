@@ -124,6 +124,28 @@ class MergeTreeTableSpec extends AnyFunSuite {
     t.shutdown()
   }
 
+  test("ingest self-heals a crashed writer's claimed-but-unfenced part dir") {
+    // Regression: a crash between the staged rename and the manifest store
+    // left a part_<id> dir whose id was never fenced — every later ingest
+    // picked the same id and failed on the existing name forever.
+    val dir = Files.createTempDirectory("mt_claim_").toString
+    val t = MergeTreeTable.create(spark, dir,
+      MergeTreeConfig(memtableFlushThreshold = 2))
+    t.insert("k1", "v1", 1L); t.insert("k2", "v2", 2L) // flushes part
+    // simulate the crashed claim at the NEXT id
+    val m = graft.mergetree.Manifest.load(dir).get
+    val nextId = math.max(m.version, m.parts.map(_.partId + 1).max)
+    val orphan = java.nio.file.Paths.get(dir, s"part_$nextId")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("stale.parquet"), "crashed writer junk")
+    // the next flush must skip past the collided id, not fail
+    t.insert("k3", "v3", 3L); t.insert("k4", "v4", 4L)
+    t.flush()
+    assert(t.query("k1", "k4").count() == 4, "all rows ingested despite the orphan")
+    assert(java.nio.file.Files.isDirectory(orphan), "orphan dir left inert")
+    t.shutdown()
+  }
+
   test("merge candidate scoring matches reference formula") {
     def pm(id: Long, rows: Long, size: Long) =
       PartMetadata(id, "a", "z", 0, 1, rows, 1, size, 0)
