@@ -195,10 +195,24 @@ case class PqEncode(left: Expression, right: Expression)
     val cb = cbArr
     val m = cb.length
     val dsub = cb(0)(0).length
+    val n = v.numElements()
+    // Unsafe array reads are UNCHECKED: a vector whose length doesn't
+    // match the codebooks would silently read adjacent memory and emit
+    // plausible-looking garbage codes. Fail loudly instead.
+    if (n != m * dsub) throw new IllegalArgumentException(
+      s"pq_encode: vector length $n != m*dsub = ${m * dsub}")
     var nrm = 0.0
     var i = 0
-    while (i < v.numElements()) { val x = v.getDouble(i); nrm += x * x; i += 1 }
-    nrm = math.sqrt(nrm)
+    while (i < n) { val x = v.getDouble(i); nrm += x * x; i += 1 }
+    // Zero vector: inv = 0 normalizes to the all-zero vector (a
+    // deterministic nearest centroid), never NaN distances that would
+    // silently encode to centroid 0 via "NaN < bd is always false".
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    // Normalize ONCE into a local array: the innermost loop otherwise
+    // redoes the division (and the ArrayData read) k times per element.
+    val u = new Array[Double](n)
+    i = 0
+    while (i < n) { u(i) = v.getDouble(i) * inv; i += 1 }
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -209,7 +223,7 @@ case class PqEncode(left: Expression, right: Expression)
         val cent = cb(mi)(j)
         var d = 0.0; var t = 0
         while (t < dsub) {
-          val diff = v.getDouble(base + t) / nrm - cent(t)
+          val diff = u(base + t) - cent(t)
           d += diff * diff; t += 1
         }
         if (d < bd) { bd = d; best = j }
@@ -232,14 +246,23 @@ case class PqEncode(left: Expression, right: Expression)
       val bd = ctx.freshName("bd"); val j = ctx.freshName("j")
       val cent = ctx.freshName("cent"); val d = ctx.freshName("d")
       val t = ctx.freshName("t"); val diff = ctx.freshName("diff")
+      val n = ctx.freshName("n"); val inv = ctx.freshName("inv")
+      val u = ctx.freshName("u")
+      // mirrors nullSafeEval: shape check (unchecked unsafe reads),
+      // zero-norm guard (no NaN), one-pass normalization into a local
       s"""
          |int $m = $cbRef.length;
          |int $dsub = $cbRef[0][0].length;
+         |int $n = $v.numElements();
+         |if ($n != $m * $dsub) throw new IllegalArgumentException(
+         |  "pq_encode: vector length " + $n + " != m*dsub = " + ($m * $dsub));
          |double $nrm = 0.0;
-         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  double __x = $v.getDouble($i); $nrm += __x * __x;
          |}
-         |$nrm = java.lang.Math.sqrt($nrm);
+         |double $inv = $nrm == 0.0 ? 0.0 : 1.0 / java.lang.Math.sqrt($nrm);
+         |double[] $u = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $u[$i] = $v.getDouble($i) * $inv; }
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  int $base = $mi * $dsub;
@@ -248,7 +271,7 @@ case class PqEncode(left: Expression, right: Expression)
          |    double[] $cent = $cbRef[$mi][$j];
          |    double $d = 0.0;
          |    for (int $t = 0; $t < $dsub; $t++) {
-         |      double $diff = $v.getDouble($base + $t) / $nrm - $cent[$t];
+         |      double $diff = $u[$base + $t] - $cent[$t];
          |      $d += $diff * $diff;
          |    }
          |    if ($d < $bd) { $bd = $d; $best = $j; }
@@ -277,7 +300,11 @@ case class PqLut(left: Expression, right: Expression)
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (cbTypeOk) TypeCheckResult.TypeCheckSuccess
+    if (!(left.dataType == ArrayType(DoubleType) ||
+        left.dataType == ArrayType(DoubleType, containsNull = false)))
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_lut requires array<double> query vector, got ${left.dataType.simpleString}")
+    else if (cbTypeOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("codebooks must be array<array<array<double>>>")
 
   override def dataType: DataType = ArrayType(ArrayType(DoubleType))
@@ -288,15 +315,20 @@ case class PqLut(left: Expression, right: Expression)
     val v = l.asInstanceOf[ArrayData]
     val cb = cbArr
     val dsub = cb(0)(0).length
+    val n = v.numElements()
+    if (n != cb.length * dsub) throw new IllegalArgumentException(
+      s"pq_lut: query vector length $n != m*dsub = ${cb.length * dsub}")
     var nrm = 0.0
     var i = 0
-    while (i < v.numElements()) { val x = v.getDouble(i); nrm += x * x; i += 1 }
-    nrm = math.sqrt(nrm)
+    while (i < n) { val x = v.getDouble(i); nrm += x * x; i += 1 }
+    // zero query → all-zero LUT (ADC scores 0), never an all-NaN LUT that
+    // ranks FIRST under a descending sort (NaN > any double in Spark)
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
     val lut = cb.zipWithIndex.map { case (cents, mi) =>
       val base = mi * dsub
       new org.apache.spark.sql.catalyst.util.GenericArrayData(cents.map { cent =>
         var s = 0.0; var t = 0
-        while (t < dsub) { s += v.getDouble(base + t) / nrm * cent(t); t += 1 }
+        while (t < dsub) { s += v.getDouble(base + t) * inv * cent(t); t += 1 }
         s
       })
     }
@@ -329,10 +361,22 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val code = l.asInstanceOf[ArrayData]
     val lut = r.asInstanceOf[ArrayData]
+    val m = code.numElements()
+    // Shape/bounds checks: unchecked unsafe reads would return garbage
+    // partial sums on a code/lut mismatch (codes from one quantizer
+    // scored against another's LUT) — corrupt top-k, no error.
+    if (m != lut.numElements()) throw new IllegalArgumentException(
+      s"pq_adc: code has $m subspaces, lut has ${lut.numElements()}")
     var s = 0.0
     var mi = 0
-    while (mi < code.numElements()) {
-      s += lut.getArray(mi).getDouble(code.getInt(mi))
+    while (mi < m) {
+      if (code.isNullAt(mi)) throw new IllegalArgumentException(
+        s"pq_adc: null code at subspace $mi")
+      val row = lut.getArray(mi)
+      val c = code.getInt(mi)
+      if (c < 0 || c >= row.numElements()) throw new IllegalArgumentException(
+        s"pq_adc: code id $c out of range [0, ${row.numElements()}) at subspace $mi")
+      s += row.getDouble(c)
       mi += 1
     }
     s
@@ -341,10 +385,22 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (code, lut) => {
       val s = ctx.freshName("s"); val mi = ctx.freshName("mi")
+      val m = ctx.freshName("m"); val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      // mirrors nullSafeEval's shape/bounds checks
       s"""
+         |int $m = $code.numElements();
+         |if ($m != $lut.numElements()) throw new IllegalArgumentException(
+         |  "pq_adc: code has " + $m + " subspaces, lut has " + $lut.numElements());
          |double $s = 0.0;
-         |for (int $mi = 0; $mi < $code.numElements(); $mi++) {
-         |  $s += $lut.getArray($mi).getDouble($code.getInt($mi));
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  if ($code.isNullAt($mi)) throw new IllegalArgumentException(
+         |    "pq_adc: null code at subspace " + $mi);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $lut.getArray($mi);
+         |  int $c = $code.getInt($mi);
+         |  if ($c < 0 || $c >= $row.numElements()) throw new IllegalArgumentException(
+         |    "pq_adc: code id " + $c + " out of range at subspace " + $mi);
+         |  $s += $row.getDouble($c);
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -584,19 +640,28 @@ object GraftFunctions {
       children(1))
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("has_token"), hasTokenInfo, hasTokenBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_product"), dotInfo, dotBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder)
+  /** One shared list of every native EXPRESSION function: both
+    * registration faces — [[register]] on a live session and the
+    * [[GraftExtensions]] spark.sql.extensions deployment path — iterate
+    * THIS list, so they cannot drift. (The extensions path used to
+    * re-declare two of the eight functions by hand and silently omitted
+    * pq_encode/pq_lut/pq_adc and has_token: tests, which call register(),
+    * passed; a deployment via --conf spark.sql.extensions failed on the
+    * first pq_* call.)
+    */
+  private[functions] val expressionFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("has_token"), hasTokenInfo, hasTokenBuilder),
+    (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
+    (FunctionIdentifier("dot_product"), dotInfo, dotBuilder),
+    (FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder),
+    (FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder),
+    (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder))
+
+  /** The UDAF family needs a live session (spark.udf); shared by
+    * register() and GraftExtensions' analyzer hook. Idempotent.
+    */
+  private[functions] def registerUdafs(spark: SparkSession): Unit = {
     spark.udf.register("num_summary",
       org.apache.spark.sql.functions.udaf(SummaryAggregator))
     // ClickHouse topK(50): SQL-callable heavy hitters, capacity 4096.
@@ -609,6 +674,13 @@ object GraftFunctions {
     spark.udf.register("uniq_up_to_8",
       org.apache.spark.sql.functions.udaf(new UniqUpToAggregator(8)))
   }
+
+  def register(spark: SparkSession): Unit = {
+    expressionFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    registerUdafs(spark)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -617,15 +689,14 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) =>
-        ArrayCosineSimilarity(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[ArrayDotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) =>
-        ArrayDotProduct(children.head, children(1))))
+    // The SAME list register() iterates — the two faces cannot drift.
+    GraftFunctions.expressionFunctions.foreach(ext.injectFunction)
+    // UDAFs need a live session (spark.udf); the check-rule hook hands us
+    // one at analyzer build — registration is idempotent, so re-running
+    // per analyzer construction is harmless.
+    ext.injectCheckRule { session =>
+      GraftFunctions.registerUdafs(session)
+      _ => ()
+    }
   }
 }

@@ -15,6 +15,40 @@ class GraftFunctionsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
 
+  test("pq expressions fail safe: zero vectors, shape mismatches, bounds") {
+    GraftFunctions.register(spark)
+    // m=2 subspaces, k=4 centroids, dsub=2 -> vectors of dim 4
+    val cb = Seq.tabulate(2)(mi => Seq.tabulate(4)(j =>
+      Seq.tabulate(2)(t => 0.1 * (j + 1) + 0.01 * mi + 0.001 * t)))
+    val df = Seq((1L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+    // zero vector encodes DETERMINISTICALLY (inv=0 path), never via
+    // NaN-distance comparisons; all codes stay in [0, k)
+    val enc = df.select(call_function("pq_encode", col("v"), typedLit(cb)).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(enc.forall(_.forall(c => c >= 0 && c < 4)))
+    // a zero QUERY yields an all-zero LUT -> ADC 0.0, not NaN (NaN would
+    // rank FIRST under ORDER BY ... DESC)
+    val lutRow = spark.range(1).select(
+      call_function("pq_lut", typedLit(Seq(0.0, 0.0, 0.0, 0.0)), typedLit(cb)).as("lut"),
+      typedLit(Seq(0, 0)).as("code"))
+    val sc = lutRow.select(call_function("pq_adc", col("code"), col("lut")))
+      .head.getDouble(0)
+    assert(!sc.isNaN && sc == 0.0, s"zero-query ADC must be 0.0, got $sc")
+    // wrong-length vectors fail LOUDLY instead of reading out of bounds
+    intercept[Exception](spark.range(1)
+      .select(call_function("pq_encode", typedLit(Seq(1.0, 2.0)), typedLit(cb)))
+      .collect())
+    intercept[Exception](spark.range(1)
+      .select(call_function("pq_lut", typedLit(Seq(1.0, 2.0)), typedLit(cb)))
+      .collect())
+    // code/lut shape and id-range mismatches fail loudly too
+    intercept[Exception](lutRow
+      .select(call_function("pq_adc", typedLit(Seq(0, 0, 0)), col("lut"))).collect())
+    intercept[Exception](lutRow
+      .select(call_function("pq_adc", typedLit(Seq(9, 0)), col("lut"))).collect())
+  }
+
   test("native cosine equals the higher-order-function formulation bit-for-bit") {
     GraftFunctions.register(spark)
     val df = spark.range(200).map { i =>
