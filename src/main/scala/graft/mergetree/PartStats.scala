@@ -51,6 +51,7 @@ object PartStats {
     var rows = 0L
     var groups = 0L
     var keyGroups = 0L // row groups that actually carried key statistics
+    var tsGroups = 0L
     files.foreach { f =>
       val in = HadoopInputFile.fromPath(new HPath(f.toString), conf)
       val reader = ParquetFileReader.open(in)
@@ -73,6 +74,7 @@ object PartStats {
                 case "timestamp" =>
                   val s = col.getStatistics
                   if (s != null && s.hasNonNullValue) {
+                    tsGroups += 1
                     val lo = s.genericGetMin.asInstanceOf[java.lang.Long].longValue()
                     val hi = s.genericGetMax.asInstanceOf[java.lang.Long].longValue()
                     if (lo < minTs) minTs = lo
@@ -87,7 +89,11 @@ object PartStats {
     }
     // Bounds from PARTIAL stats would prune rows the stats-less groups hold —
     // silent data loss. Any gap makes the whole part unbounded (unprunable).
+    // Timestamps get the same guard: a subset-derived (or inverted-sentinel)
+    // ts range persisted as exact would exclude real rows from any consumer
+    // of the bounds; widen to the full range instead.
     if (keyGroups != groups) { minKey = null; maxKey = null }
+    if (tsGroups != groups) { minTs = Long.MinValue; maxTs = Long.MaxValue }
     PartStats(minKey, maxKey, minTs, maxTs, rows, math.max(1L, groups))
   }
 

@@ -76,12 +76,16 @@ object RefFormatReader {
   /** All rows of one reference part directory, granule by granule. */
   def readPartRows(partDir: String): Seq[KVRow] = {
     val dir = Paths.get(partDir)
-    val granuleIds = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("granule_") && s.endsWith("_keys.bin") =>
-        s.stripPrefix("granule_").stripSuffix("_keys.bin").toInt
-      }
-      .toSeq.sorted
+    val granuleIds = {
+      val st = Files.list(dir)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("granule_") && s.endsWith("_keys.bin") =>
+          s.stripPrefix("granule_").stripSuffix("_keys.bin").toInt
+        }
+        .toSeq.sorted
+      finally st.close() // Files.list leaks an FD until closed
+    }
     val rows = new ArrayBuffer[KVRow]()
     granuleIds.foreach { g =>
       val keys = readStringVector(dir.resolve(s"granule_${g}_keys.bin"))
@@ -102,9 +106,13 @@ object RefFormatReader {
     */
   def readTable(spark: SparkSession, tableDir: String): Dataset[KVRow] = {
     import spark.implicits._
-    val partDirs = Files.list(Paths.get(tableDir)).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("part_"))
-      .map(_.toString).toSeq.sorted
+    val partDirs = {
+      val st = Files.list(Paths.get(tableDir))
+      try st.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("part_"))
+        .map(_.toString).toSeq.sorted
+      finally st.close()
+    }
     spark.createDataset(partDirs.flatMap(readPartRows))
   }
 }

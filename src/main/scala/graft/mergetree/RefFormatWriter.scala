@@ -55,7 +55,12 @@ object RefFormatWriter {
     require(rows.nonEmpty, "reference format has no empty-part representation")
     val dir = Paths.get(partDir)
     Files.createDirectories(dir)
-    val sorted = rows.sortBy(r => (r.key, r.timestamp))
+    // UTF-8 BYTE order (KeyOrder), not Java's UTF-16 String order: the C++
+    // engine sorts std::string keys byte-wise (src/row.h:18), and the two
+    // orders diverge on supplementary-plane characters — a mis-sorted part
+    // would break the engine's sparse-index pruning on these fixtures.
+    val sorted = rows.sortBy(r => (r.key, r.timestamp))(
+      Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
     val granules = sorted.grouped(GranuleSize).toIndexedSeq
 
     granules.zipWithIndex.foreach { case (g, i) =>

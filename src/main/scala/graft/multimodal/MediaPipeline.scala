@@ -429,8 +429,9 @@ object MediaPipeline {
       val real = if (r.kind == "image") decodeImage(r.payload) else None
       val out = real match {
         case Some(img) => scaleImage(img, width, height)
+        case None if r.payload.isEmpty => Array.empty[Byte] // nothing to stretch
         case None =>
-          val n = math.max(1, r.payload.length)
+          val n = r.payload.length
           Array.tabulate(target)(i => r.payload(((i.toLong * n) / target).toInt % n))
       }
       r.copy(payload = out,
@@ -443,8 +444,11 @@ object MediaPipeline {
     if (targetHz == c.sampleRate.toInt || c.frames == 0) c
     else {
       val inFrames = c.frames
+      // Long product: inFrames * targetHz overflows Int for ~1 s of
+      // 44.1 kHz audio resampled to 48 kHz (wrapped negative -> a clip
+      // silently collapsed to one frame).
       val outFrames = math.max(1,
-        math.round(inFrames * targetHz / c.sampleRate.toDouble).toInt)
+        math.round(inFrames.toLong * targetHz / c.sampleRate.toDouble).toInt)
       val out = new Array[Short](outFrames * c.channels)
       var f = 0
       while (f < outFrames) {
@@ -504,9 +508,11 @@ object MediaPipeline {
       val real = if (r.kind == "audio") decodeAudio(r.payload) else None
       val out = real match {
         case Some(clip) => encodeWav(resampleClip(clip, targetHz))
+        case None if r.payload.isEmpty => Array.empty[Byte]
         case None =>
-          val n = math.max(1, r.payload.length)
-          val m = math.max(1, math.round(n * targetHz / StubAudioHz.toDouble).toInt)
+          val n = r.payload.length
+          // Long product: n * targetHz wraps Int for payloads > ~44 KB
+          val m = math.max(1, math.round(n.toLong * targetHz / StubAudioHz.toDouble).toInt)
           Array.tabulate(m)(i => r.payload(((i.toLong * n) / m).toInt % n))
       }
       r.copy(payload = out, meta = r.meta + ("resampled_hz" -> targetHz.toString))
@@ -523,6 +529,7 @@ object MediaPipeline {
     * frames behaves.
     */
   def sampleKeyframes(ds: Dataset[MediaRow], stride: Int): Dataset[MediaFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       val real = if (r.kind == "video") decodeVideo(r.payload) else None
