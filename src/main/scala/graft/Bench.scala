@@ -194,12 +194,17 @@ object Bench {
     // ~2 orders smaller). The sweep entries then time the steady state.
     for (b <- Seq("q48_ivf_index", "q105_log_manifest", "q107_agg_projection",
         "q109_pq_ann", "q111_bm25_index", "q115_ivfadc")) {
+      // A failed build records the -1.0 sentinel, never its elapsed time —
+      // the artifact must not report a crashed build as a fast one.
+      var ok = true
       val t = timeSec {
         try SparkEntry.queries(b)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $b build: $e") }
+        catch { case e: Throwable =>
+          ok = false; System.err.println(s"[bench] $b build: $e")
+        }
       }
-      record(s"${b}_build", Seq(t))
+      record(s"${b}_build", Seq(if (ok) t else -1.0))
     }
 
     // Between entries: System.gc() lets Spark's ContextCleaner release

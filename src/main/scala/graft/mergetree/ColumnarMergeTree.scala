@@ -816,7 +816,7 @@ final class ColumnarMergeTree private (
     }
     if (register) lock.synchronized {
       manifest = GManifest.load(path).getOrElse(manifest)
-    }
+    } else intentAdd(meta.dir)
     meta
   }
 
@@ -1161,6 +1161,25 @@ final class ColumnarMergeTree private (
     purgeGc()
   }
 
+  /** Record a register=false staged output in the persisted intent set —
+    * called right after the staging rename, so the unprotected window is
+    * the rename-to-record gap (milliseconds, far inside the orphan mtime
+    * floor), not the whole stage-to-swap span of the maintenance op.
+    */
+  private def intentAdd(dir: String): Unit =
+    IntentSet.update(path)(cur =>
+      IntentSet(IntentEntry(dir, System.currentTimeMillis()) :: cur.staged))
+
+  /** Release intent entries once their dirs are published (manifest),
+    * retired (GC list), or deleted — one batched RMW per maintenance op.
+    */
+  private def intentDrop(dirs: Seq[String]): Unit =
+    if (dirs.nonEmpty) {
+      val gone = dirs.toSet
+      IntentSet.update(path)(cur =>
+        IntentSet(cur.staged.filterNot(e => gone(e.dir))))
+    }
+
   /** Delete retired part directories whose grace has expired; `force` drops
     * all of them regardless of age (table teardown). Returns dirs deleted.
     *
@@ -1217,37 +1236,78 @@ final class ColumnarMergeTree private (
     val cutoff = now - floorMs
     val snapshotParts = SnapshotLog.list(path).flatMap(seq =>
       SnapshotLog.load(path, seq).map(_.parts.map(_.dir)).getOrElse(Nil))
+    // In-flight maintenance outputs (register=false, pre-swap) are
+    // protected by the persisted intent set regardless of age — the mtime
+    // floor alone can't cover a rewrite whose stage-to-swap gap exceeds it
+    // (a concurrent purger in ANOTHER process isn't throttled by our
+    // per-JVM sweep map). Entries past IntentTtlMs belong to a crashed op:
+    // they stop protecting and are pruned, as are entries whose dir is
+    // already gone (the op's own drop lost a race or crashed mid-cleanup).
+    val intents = IntentSet.load(path).staged
+    val liveIntents = intents.filter(_.createdAt > now - ColumnarMergeTree.IntentTtlMs)
+    val staleIntents = intents.filterNot(liveIntents.contains).map(_.dir) ++
+      liveIntents.filterNot(e => Files.exists(Paths.get(path, e.dir))).map(_.dir)
+    if (staleIntents.nonEmpty) {
+      val gone = staleIntents.toSet
+      IntentSet.update(path)(cur =>
+        IntentSet(cur.staged.filterNot(e => gone(e.dir))))
+    }
     val referenced: Set[String] =
       (GManifest.load(path).map(_.parts).getOrElse(Nil).map(_.dir) ++
         GcList.load(path).retired.map(_.dir) ++
-        DetachedSet.load(path).map(_.dir) ++ snapshotParts).toSet
+        DetachedSet.load(path).map(_.dir) ++ snapshotParts ++
+        liveIntents.map(_.dir)).toSet
     // `.part_stage_*` covers the other crash window: a writer dying
     // between the distributed write and the staging rename.
-    val dirs = {
+    val dirs = try {
       val s = Files.list(Paths.get(path))
       try s.iterator().asScala.filter { d =>
         val n = d.getFileName.toString
         Files.isDirectory(d) && (n.startsWith("part_") || n.startsWith(".part_stage_"))
       }.toList
       finally s.close()
+    } catch {
+      // Entries vanishing under a concurrent purger surface as
+      // UncheckedIOException from the stream iterator — skip this sweep
+      // rather than fail the maintenance op that triggered it.
+      case _: java.io.IOException => Nil
+      case _: java.io.UncheckedIOException => Nil
     }
     // RECURSIVE newest mtime: Spark's FileOutputCommitter does its task
     // activity several levels deep (stage/_temporary/0/_temporary/
     // attempt_*/…), so a shallow check would see an in-flight write's
     // top levels frozen at job start and sweep a LIVE staging dir. An
     // unreadable entry reads as "active" (Long.MaxValue) — never swept.
+    // The walk's ITERATOR throws UncheckedIOException (not IOException)
+    // when an entry vanishes mid-iteration — e.g. a concurrent purger
+    // deleting the same orphan. Treat both as "active" (never swept); an
+    // escape here would fail the calling maintenance op AFTER its manifest
+    // commit already succeeded.
     def newestMtime(d: java.nio.file.Path): Long =
       try {
         val s = Files.walk(d)
         try s.iterator().asScala
           .map(c => try Files.getLastModifiedTime(c).toMillis
-                    catch { case _: java.io.IOException => Long.MaxValue })
+                    catch {
+                      case _: java.io.IOException => Long.MaxValue
+                      case _: java.io.UncheckedIOException => Long.MaxValue
+                    })
           .foldLeft(0L)(math.max)
         finally s.close()
-      } catch { case _: java.io.IOException => Long.MaxValue }
+      } catch {
+        case _: java.io.IOException => Long.MaxValue
+        case _: java.io.UncheckedIOException => Long.MaxValue
+      }
     val orphans = dirs.filter(d =>
       !referenced(d.getFileName.toString) && newestMtime(d) <= cutoff)
-    orphans.foreach(MergeTreeTable.deleteRecursively)
+    // Same rationale per-delete: losing a delete race to another purger
+    // must not fail this op.
+    orphans.foreach(d =>
+      try MergeTreeTable.deleteRecursively(d)
+      catch {
+        case _: java.io.IOException => ()
+        case _: java.io.UncheckedIOException => ()
+      })
     orphans.size
   }
 
@@ -1661,6 +1721,9 @@ final class ColumnarMergeTree private (
     if (applied) retireParts(gone.filterNot(p => addIds(p.partId)))
     else fresh.foreach(m =>
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
+    // Published (or deleted-on-conflict) outputs leave the intent set —
+    // they're now referenced by the manifest / GC list / nothing at all.
+    intentDrop((add ++ fresh).map(_.dir).distinct)
     applied
   }
 
@@ -1721,6 +1784,7 @@ final class ColumnarMergeTree private (
     val (newMetas, empty) = written.partition(_.rowCount > 0)
     empty.foreach(m =>
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
+    intentDrop(empty.map(_.dir))
     val oldIds = toMerge.flatten.map(_.partId).toSet
     // CAS-swap: a conflict means another instance already merged these
     // parts — its result stands, our outputs are discarded (merging is
@@ -1785,6 +1849,7 @@ final class ColumnarMergeTree private (
     val (kept, emptyNew) = newMetas.partition(_.rowCount > 0)
     emptyNew.filterNot(m => liveIds(m.partId)).foreach(m =>
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
+    intentDrop(emptyNew.filterNot(m => liveIds(m.partId)).map(_.dir))
     val keptIds = kept.map(_.partId).toSet
     // CAS-swap (see swapParts): on conflict only OUR fresh merge outputs
     // are deleted — pass-through bins are live original parts.
@@ -2006,6 +2071,7 @@ final class ColumnarMergeTree private (
           }
         }
         retireParts(gone)
+        intentDrop(Seq(newMeta.dir))
         // Projection copies hold the SAME rows under another sort order —
         // replace them too or routed reads serve the pre-overwrite table
         // (non-projection MVs deliberately don't fire: an overwrite is a
@@ -2032,6 +2098,7 @@ final class ColumnarMergeTree private (
           }
         }
         retireParts(gone)
+        intentDrop(newMetas.map(_.dir))
     }
   }
 
@@ -2069,6 +2136,7 @@ final class ColumnarMergeTree private (
         }
       }
       retireParts(gone)
+      intentDrop(Seq(newMeta.dir))
     }
 
   /** ClickHouse ALTER TABLE … DETACH PARTITION: unlink the partition's
@@ -2779,6 +2847,53 @@ object ColumnarMergeTree {
         Files.move(tmp, Paths.get(tablePath, "gclist.json"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         next
+      }
+  }
+
+  /** One in-flight maintenance output: a `part_<id>` dir staged with
+    * register=false, named in no manifest/GC/detached/snapshot record until
+    * its op's final swap publishes (or deletes) it.
+    */
+  case class IntentEntry(dir: String, createdAt: Long)
+
+  /** Persisted in-flight-intent set (`intents.json`): the staged
+    * register=false maintenance outputs currently awaiting their swap.
+    * purgeOrphans treats listed dirs as referenced, so a long rewrite
+    * (multi-bin OPTIMIZE, big updateWhere) whose stage-to-swap gap exceeds
+    * the orphan mtime floor can't have its completed outputs swept by a
+    * concurrent purger in ANOTHER process (the per-JVM sweep throttle
+    * doesn't serialize those). Entries are dropped by the op's swap; a
+    * crashed op's entries age out after [[ColumnarMergeTree.IntentTtlMs]]
+    * (or as soon as their dir is gone), after which the ordinary orphan
+    * sweep reclaims the dirs. Same lock + atomic-rename discipline as the
+    * manifest.
+    */
+  case class IntentSet(staged: List[IntentEntry])
+
+  /** Protection horizon for a crashed op's intent entries: long enough
+    * that no real maintenance rewrite outlives it, short enough that a
+    * dead op's outputs don't leak disk for days.
+    */
+  val IntentTtlMs: Long = 6L * 3600 * 1000
+
+  object IntentSet {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val formats: Formats = DefaultFormats
+
+    def load(tablePath: String): IntentSet = {
+      val f = Paths.get(tablePath, "intents.json")
+      if (!Files.exists(f)) IntentSet(Nil)
+      else JsonMethods.parse(Files.readString(f)).extract[IntentSet]
+    }
+
+    def update(tablePath: String)(f: IntentSet => IntentSet): Unit =
+      ManifestLocks.locked(tablePath) {
+        val next = f(load(tablePath))
+        val tmp = Paths.get(tablePath, ".intents.json.tmp")
+        Files.writeString(tmp, Serialization.writePretty(next))
+        Files.move(tmp, Paths.get(tablePath, "intents.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
   }
 

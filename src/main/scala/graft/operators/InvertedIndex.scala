@@ -316,12 +316,14 @@ object InvertedIndex {
     * postings: latin terms keep their raw-split-array positions (identical
     * to [[tokenizeWithPos]] — latin phrase semantics are unchanged), and
     * each Han run's bigrams get consecutive positions offset into a
-    * PER-RUN space ((run+1)·1e6 + i, 64-bit — no run-count
-    * overflow for any realistic document), so consecutive bigrams =
+    * PER-RUN space ((run+1)·2³¹ + i), so consecutive bigrams =
     * consecutive characters WITHIN a run, and bigrams of different runs
     * (or a latin word and a bigram) are never phrase-adjacent — a phrase
-    * can't silently match across a separator or across scripts. (Assumes
-    * < 1e6 raw-split words per document, so the two spaces stay disjoint.)
+    * can't silently match across a separator or across scripts. The 2³¹
+    * stride is ENFORCED by JVM string physics, not assumed: a String holds
+    * < 2³¹ chars, so raw-split positions (latin space) and within-run
+    * offsets (i < run length) are both < 2³¹ — the spaces can never alias
+    * for any representable document (max pos ≈ 2⁶² fits a long).
     */
   def tokenizeMixedWithPos(docs: DataFrame): DataFrame = {
     val latin = tokenizeWithPos(docs)
@@ -333,7 +335,7 @@ object InvertedIndex {
           .otherwise(transform(sequence(lit(1), length(col("r")) - 1),
             i => col("r").substr(i, lit(2))))).as(Seq("i", "term")))
       .select(col("doc_id"),
-        ((col("run") + lit(1L)) * lit(1000000L) + col("i")).as("pos"),
+        ((col("run") + lit(1L)) * lit(1L << 31) + col("i")).as("pos"),
         col("term"))
     latin.select(col("doc_id"), col("pos"), col("term")) unionByName han
   }

@@ -325,9 +325,18 @@ object IvfIndex {
     }
   }
 
-  /** Reopen a built index (table self-describes via tabledef.json). */
+  /** Reopen a built index (table self-describes via tabledef.json). The
+    * build-time maxParts = 2·nlist rides back in from the centroid sidecar
+    * (the [[InvertedIndex.open]] discipline) — a default-config reopen
+    * would let a later OPTIMIZE bin-pack far below the cluster count
+    * (pruning stays CORRECT either way: partitioned merges are
+    * cluster-local, this just keeps the merge-trigger budget the build
+    * chose).
+    */
   def open(spark: SparkSession, path: String): IvfIndex = {
     graft.functions.GraftFunctions.register(spark)
-    new IvfIndex(spark, ColumnarMergeTree.open(spark, path), path)
+    val nl = spark.read.parquet(s"$path/_centroids").count().toInt
+    val cfg = MergeTreeConfig(maxParts = 2 * math.max(1, nl))
+    new IvfIndex(spark, ColumnarMergeTree.open(spark, path, cfg), path)
   }
 }

@@ -192,4 +192,64 @@ class CrossProcessLockSpec extends AnyFunSuite {
     assert(!Files.exists(orphan), "orphan dir must be deleted")
     assert(t.scan().count() == 3, "registered parts must be untouched")
   }
+
+  test("intent-listed maintenance outputs survive the orphan sweep until their swap") {
+    import graft.mergetree.ColumnarMergeTree.{IntentEntry, IntentSet}
+    import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    val spark = TestSpark.session
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlog_intent_").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val t = ColumnarMergeTree.create(spark, dir, schema, orderBy = Seq("k"),
+      MergeTreeConfig(gcGraceSeconds = 0))
+    t.insertBatch(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .select(col("k"), col("v")))
+    // Simulate a LONG maintenance rewrite: a register=false output staged
+    // >10 min ago (past the mtime floor), swap not yet run. Without the
+    // intent record a concurrent purger would sweep it — then the swap
+    // would publish metas pointing at deleted dirs (the data-loss race).
+    val staged = Paths.get(dir, "part_777")
+    Files.createDirectories(staged)
+    Files.writeString(staged.resolve("data.parquet"), "output of a slow rewrite")
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 20 * 60 * 1000L)
+    Files.setLastModifiedTime(staged.resolve("data.parquet"), aged)
+    Files.setLastModifiedTime(staged, aged)
+    IntentSet.update(dir)(cur =>
+      IntentSet(IntentEntry("part_777", System.currentTimeMillis()) :: cur.staged))
+    assert(t.purgeGc(force = true) == 0,
+      "an intent-listed output must survive the sweep regardless of age")
+    assert(Files.isDirectory(staged))
+    // The op's swap releases the intent; the (never-published) dir is now
+    // an ordinary aged orphan and sweeps.
+    IntentSet.update(dir)(cur =>
+      IntentSet(cur.staged.filterNot(_.dir == "part_777")))
+    assert(t.purgeGc(force = true) == 1, "released dir must sweep as an orphan")
+    assert(!Files.exists(staged))
+    // An entry past the TTL belongs to a CRASHED op: it stops protecting
+    // (and is pruned), so dead outputs don't leak disk forever.
+    val staged2 = Paths.get(dir, "part_778")
+    Files.createDirectories(staged2)
+    Files.writeString(staged2.resolve("data.parquet"), "crashed op output")
+    Files.setLastModifiedTime(staged2.resolve("data.parquet"), aged)
+    Files.setLastModifiedTime(staged2, aged)
+    IntentSet.update(dir)(cur => IntentSet(IntentEntry("part_778",
+      System.currentTimeMillis() - ColumnarMergeTree.IntentTtlMs - 1000L) :: cur.staged))
+    assert(t.purgeGc(force = true) == 1, "expired intent must not protect")
+    assert(!Files.exists(staged2))
+    assert(!IntentSet.load(dir).staged.exists(_.dir == "part_778"),
+      "expired entries must be pruned")
+    // Real maintenance ops leave no intent residue behind their swap.
+    t.updateWhere(col("k") === 1L, Map("v" -> lit("z")))
+    assert(t.scan().filter(col("v") === "z").count() == 1)
+    t.deleteWhere(col("k") === 2L)
+    t.optimizeFinal()
+    assert(IntentSet.load(dir).staged.isEmpty,
+      s"maintenance swaps must drop their intents: ${IntentSet.load(dir).staged}")
+    assert(t.scan().count() == 1)
+  }
 }

@@ -162,6 +162,11 @@ class IvfIndexSpec extends AnyFunSuite {
     idx.table.shutdown()
     val reopened = IvfIndex.open(spark, path)
     assert(rows(reopened.search(queries, k = 10, nprobe = 3)) == viaQ28)
+    // The build-time merge budget (maxParts = 2·nlist) must survive reopen
+    // — a default-config reopen would let a later OPTIMIZE bin-pack far
+    // below the cluster count (the InvertedIndex.open discipline).
+    assert(reopened.table.config.maxParts == 16,
+      s"reopened ADC/IVF index lost its merge budget: ${reopened.table.config.maxParts}")
     reopened.table.shutdown()
   }
 }
