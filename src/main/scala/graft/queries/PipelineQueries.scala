@@ -2269,6 +2269,193 @@ object PipelineQueries {
       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score
       |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
 
+  /** DuckDB spelling of [[graft.operators.InvertedIndex.mixedTokens]] over
+    * the `text` column — ONE definition shared by every multilingual
+    * cleaning oracle (q118–q120), so the tokenizer the cross-engine parity
+    * depends on cannot drift between them (q114 predates this constant and
+    * spells the identical expression inline).
+    */
+  private val MixedToksSql =
+    """flatten([
+      |        list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |          t -> len(t) >= 3),
+      |        flatten([CASE WHEN length(r) = 1 THEN [r]
+      |                 ELSE [substr(r, i, 2)
+      |                       for i in generate_series(1, length(r) - 1)] END
+      |                 for r in regexp_extract_all(text, '\p{Han}+')])
+      |      ])""".stripMargin
+
+  /** Q118 — MULTILINGUAL TF-IDF (q78's cleaning arithmetic under the
+    * CJK-aware tokenizer, over the zh slice): per document, the single
+    * most characteristic term by tf·idf. The round-10 gap this closes: the
+    * search family spoke CJK (q114) but every CLEANING operator was still
+    * `[^a-z]+`-blind — on real zh text the latin tokenizer sees zero
+    * tokens, so quality signals silently evaporate for the slice that
+    * needs them most. Same q114 testdata caveat: the synthetic corpus is
+    * 100% ASCII, so the oracle pins cross-engine parity of the FULL mixed
+    * expression tree (both engines spell the Han-run extraction +
+    * bigramming); real-CJK behavior is pinned in PipelineQueriesSpec
+    * fixtures.
+    *
+    * Scale shape (inherited from q78): tokenization explodes map-side; tf
+    * and df are hash aggregates; df collapses to one row per distinct term
+    * before joining back; the per-doc top-1 is a WindowGroupLimit on the
+    * reused doc_id partitioning.
+    */
+  def q118MultilingualTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val zh = docsSpread(spark, dir).filter(col("lang") === "zh")
+    val nDocs = docs(spark, dir).filter(col("lang") === "zh")
+      .select(countDistinct(col("doc_id"))).first().getLong(0)
+    val terms = zh.select(col("doc_id"),
+      explode(graft.operators.InvertedIndex.mixedTokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        floor(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0))
+          * lit(1000000.0) + lit(0.5)))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q118Sql: String =
+    s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
+      |terms AS (
+      |  SELECT doc_id, t.term FROM (
+      |    SELECT doc_id, $MixedToksSql AS toks FROM zh) s,
+      |    unnest(s.toks) AS t(term)),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM zh),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rk FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf
+      |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Q119 — MULTILINGUAL repetition scoring (q95's shape under the mixed
+    * tokenizer, zh slice, per-source): token/distinct-token counts and the
+    * worst top-bigram share, where "bigram" means consecutive entries of
+    * the MIXED token array — on real CJK text those are consecutive
+    * character-bigram pairs, exactly the repeated-phrase signal the latin
+    * tokenizer can't see. Docs under 2 tokens carry no bigram evidence and
+    * are excluded (spelled identically in the oracle).
+    *
+    * Engine side measures the top run via sorted xxhash64 run-length (the
+    * q95 trade: fixed-width longs through the sort instead of strings);
+    * the oracle computes the exact max count — identical modulo the
+    * documented ~k²/2⁶⁵ within-doc collision odds.
+    */
+  def q119MultilingualRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws0 = graft.operators.InvertedIndex.mixedTokens(col("text"))
+    val d = docsSpread(spark, dir).filter(col("lang") === "zh")
+      .select(col("source"), ws0.as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val ws = col("ws")
+    val bigrams = transform(sequence(lit(1), size(ws) - lit(1)),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    d.select(col("source"),
+        size(ws).cast("long").as("n"),
+        size(array_distinct(ws)).cast("long").as("dn"),
+        topBigramRun(bigrams).as("tb"),
+        (size(ws).cast("long") - lit(1L)).as("bt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n")).as("tokens"),
+        sum(col("dn")).as("distinct_tokens"),
+        sum(col("bt")).as("bigrams"),
+        sum(col("tb")).as("top_bigram_hits"),
+        max(expr("(tb * 1000000L) div bt")).as("worst_top_bigram_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q119Sql: String =
+    s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
+      |toks AS (
+      |  SELECT source, doc_id, $MixedToksSql AS ws FROM zh),
+      |tk AS (SELECT * FROM toks WHERE len(ws) >= 2),
+      |bgx AS (
+      |  SELECT source, doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+      |  FROM (SELECT source, doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 1)) AS i FROM tk)),
+      |bgc AS (
+      |  SELECT source, doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2, 3),
+      |bgd AS (
+      |  SELECT source, doc_id, max(c) AS tb, sum(c) AS bt FROM bgc GROUP BY 1, 2),
+      |tkd AS (
+      |  SELECT source, doc_id, len(ws) AS n, len(list_distinct(ws)) AS dn FROM tk)
+      |SELECT t.source,
+      |  CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(sum(t.n) AS BIGINT) AS tokens,
+      |  CAST(sum(t.dn) AS BIGINT) AS distinct_tokens,
+      |  CAST(sum(b.bt) AS BIGINT) AS bigrams,
+      |  CAST(sum(b.tb) AS BIGINT) AS top_bigram_hits,
+      |  CAST(max((b.tb * 1000000) // b.bt) AS BIGINT) AS worst_top_bigram_ppm
+      |FROM tkd t JOIN bgd b USING (source, doc_id)
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
+  /** Q120 — MULTILINGUAL chunk dedup (q99's keep-one semantics under the
+    * mixed tokenizer, zh slice, per-source): 10-token chunks of the MIXED
+    * token array, first occurrence kept, repeats counted as removed. On
+    * real CJK text a chunk is ~11 consecutive Han characters (10
+    * overlapping bigrams) — the duplicated-passage granularity the latin
+    * chunker reduces to zero chunks.
+    *
+    * Improves on q99's shuffle shape per the q108 lesson: BOTH the dedup
+    * window and its exchange key on the 8-byte xxhash64 chunk digest, not
+    * the chunk text — removed_chars folds each chunk to its length
+    * map-side, so a shuffled row carries ~30 bytes. A digest collision
+    * would misattribute a first-occurrence (~n²/2⁶⁵ odds — the standard
+    * content-digest posture, and the oracle's text-keyed window agrees
+    * because no collision occurs on checked inputs).
+    */
+  def q120MultilingualChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.InvertedIndex.mixedTokens(col("text"))
+    val nch = (size(ws) / lit(10)).cast("int")
+    val chunks = when(nch >= 1,
+      transform(sequence(lit(1), nch),
+        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
+      .otherwise(array())
+    val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
+      .select(col("source"), col("doc_id"), posexplode(chunks).as(Seq("pos", "c")))
+      .select(col("source"), col("doc_id"), col("pos"),
+        xxhash64(col("c")).as("h"), length(col("c")).cast("long").as("clen"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    inst.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed_chunks"),
+        sum(when(col("rn") > 1, col("clen")).otherwise(0L)).as("removed_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q120Sql: String =
+    s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
+      |toks AS (
+      |  SELECT source, doc_id, $MixedToksSql AS ws FROM zh),
+      |inst AS (
+      |  SELECT source, doc_id, i AS pos,
+      |    array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS c
+      |  FROM (SELECT source, doc_id, ws,
+      |          unnest(generate_series(1, len(ws) // 10)) AS i FROM toks)),
+      |mk AS (
+      |  SELECT source, c,
+      |    row_number() OVER (PARTITION BY c ORDER BY doc_id, pos) AS rn
+      |  FROM inst)
+      |SELECT source, CAST(count(*) AS BIGINT) AS chunks,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_chunks,
+      |  CAST(sum(CASE WHEN rn > 1 THEN length(c) ELSE 0 END) AS BIGINT) AS removed_chars
+      |FROM mk GROUP BY source ORDER BY source""".stripMargin
+
   /** Q116 — VERBATIM duplicated-span accounting (the ExactSubstr-dedup
     * signal of Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better"): every 15-token sliding window that occurs
@@ -2410,5 +2597,8 @@ object PipelineQueries {
     ("q113_lm_score", q113LmScore _, Some(q113Sql)),
     ("q114_multilingual_bm25", q114MultilingualBm25 _, Some(q114Sql)),
     ("q115_ivfadc", q115IvfAdc _, None),
-    ("q116_span_dedup", q116SpanDedup _, Some(q116Sql)))
+    ("q116_span_dedup", q116SpanDedup _, Some(q116Sql)),
+    ("q118_multilingual_tfidf", q118MultilingualTfidf _, Some(q118Sql)),
+    ("q119_multilingual_repetition", q119MultilingualRepetition _, Some(q119Sql)),
+    ("q120_multilingual_chunk_dedup", q120MultilingualChunkDedup _, Some(q120Sql)))
 }

@@ -533,4 +533,54 @@ class PipelineQueriesSpec extends AnyFunSuite {
       .agg(countDistinct("c")).collect()(0).getLong(0)
     assert(removed == totalChunks - distinctChunks)
   }
+
+  test("multilingual cleaning (q118-q120) on REAL CJK text: tfidf, repetition, chunk dedup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The parquet testdata is 100% ASCII (even lang='zh' rows), so the
+    // oracle there pins only cross-engine parity of the mixed expression
+    // tree; actual CJK semantics pin HERE, on hand-computed fixtures.
+    // doc 1/2: identical 11-char Han run -> 10 bigrams (one 10-token chunk,
+    //          duplicated across docs); doc 3: the same 2-char run three
+    //          times (max repetition); doc 4: mixed latin + one run.
+    val fixDir = java.nio.file.Files.createTempDirectory("ml_clean_").toString
+    Seq(
+      (1L, "深度学习模型训练数据集", "zh", "s1"),
+      (2L, "深度学习模型训练数据集", "zh", "s1"),
+      (3L, "数据 数据 数据", "zh", "s1"),
+      (4L, "spark 集群 job", "zh", "s2"),
+      (5L, "latin only english filler", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$fixDir/documents.parquet")
+
+    // q118: per-doc top tf-idf term under the mixed tokenizer.
+    val tfidf = PipelineQueries.q118MultilingualTfidf(spark, fixDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the en doc is outside the zh slice entirely
+    assert(tfidf.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 3's only term is its repeated bigram, tf=3 (latin split saw 0 tokens)
+    assert(tfidf(3L) == ("数据", 3L), s"got ${tfidf(3L)}")
+    // doc 4: all terms tf=1,df=1 -> tie broken by term asc; latin sorts below Han
+    assert(tfidf(4L)._1 == "job", s"got ${tfidf(4L)}")
+    // identical docs elect the identical top term
+    assert(tfidf(1L) == tfidf(2L))
+
+    // q119: per-source repetition stats over the mixed token array.
+    val rep = PipelineQueries.q119MultilingualRepetition(spark, fixDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // s1: docs 1,2 -> 10 distinct bigrams each (9 array-bigrams, all runs 1);
+    //     doc 3 -> n=3, dn=1, bt=2, tb=2 -> ppm = 1_000_000
+    assert(rep("s1") == ((3L, 23L, 21L, 20L, 4L, 1000000L)), s"s1: ${rep("s1")}")
+    // s2: doc 4 -> tokens [spark, job, 集群] (short 'on'-style words dropped)
+    assert(rep("s2") == ((1L, 3L, 3L, 2L, 1L, 500000L)), s"s2: ${rep("s2")}")
+
+    // q120: 10-token chunks of the mixed array; docs 1/2 share their chunk.
+    val chunks = PipelineQueries.q120MultilingualChunkDedup(spark, fixDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // chunk = 10 bigrams x 2 chars + 9 spaces = 29 chars, removed once
+    assert(chunks("s1") == ((2L, 1L, 29L)), s"s1: ${chunks("s1")}")
+    // doc 4 has 3 tokens -> no chunk -> s2 absent
+    assert(!chunks.contains("s2"), s"got $chunks")
+  }
 }
