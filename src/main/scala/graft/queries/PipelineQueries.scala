@@ -625,8 +625,17 @@ object PipelineQueries {
     * the same discipline as q25.
     */
   private[graft] def verifiedJaccardEdges(spark: SparkSession, dir: String,
+      maxShingleFreq: Int): DataFrame =
+    verifiedJaccardEdgesOf(docsSpread(spark, dir), maxShingleFreq)
+
+  /** [[verifiedJaccardEdges]] over an arbitrary (doc_id, text) frame — the
+    * q117 composition feeds it the mid-pipeline survivor set instead of the
+    * raw corpus.
+    */
+  private[graft] def verifiedJaccardEdgesOf(d: DataFrame,
       maxShingleFreq: Int): DataFrame = {
-    val dsh = docsSpread(spark, dir)
+    val spark = d.sparkSession
+    val dsh = d
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
@@ -1626,6 +1635,39 @@ object PipelineQueries {
     * pass is a single embarrassingly-parallel scan feeding one tiny
     * (lang, reasons) aggregate.
     */
+  /** The q96 keep/drop reason bitmask over the signal columns
+    * (n, dn, wchars, stops, tb, bt) — ONE definition shared by q96 and the
+    * q117 composition, so the thresholds the two oracles depend on cannot
+    * drift. All integer ppm arithmetic; reasons = 0 is the training set.
+    */
+  private def verdictReasons: Column =
+    when(col("n") < 25, 1).otherwise(0) +
+    when(expr("wchars * 1000000 div n") < 4000000L ||
+         expr("wchars * 1000000 div n") > 5000000L, 2).otherwise(0) +
+    when(expr("dn * 1000000 div n") < 350000L, 4).otherwise(0) +
+    when(expr("tb * 1000000 div bt") > 80000L, 8).otherwise(0) +
+    when(col("stops") === 0L, 16).otherwise(0)
+
+  /** The q96 per-document signal columns over a documents frame — shared
+    * with q117. Emits (lang, doc_id, text, n, dn, wchars, stops, tb, bt).
+    */
+  private def verdictSignals(d: DataFrame): DataFrame = {
+    val ws = tokens
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    val stops = StopwordLists.foldRight(lit(0): Column) {
+      case ((l, words), acc) => when(col("lang") === l, stopScore(ws, words)).otherwise(acc)
+    }
+    d.select(col("lang"), col("doc_id"), col("text"),
+      size(ws).cast("long").as("n"),
+      size(array_distinct(ws)).cast("long").as("dn"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("wchars"),
+      stops.cast("long").as("stops"),
+      topBigramRun(bigrams).as("tb"),
+      greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
+  }
+
   def q96QualityVerdicts(spark: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(spark, dir)
     val ws = tokens
@@ -1644,14 +1686,7 @@ object PipelineQueries {
       stops.cast("long").as("stops"),
       topBigramRun(bigrams).as("tb"),
       greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
-    val reasons =
-      when(col("n") < 25, 1).otherwise(0) +
-      when(expr("wchars * 1000000 div n") < 4000000L ||
-           expr("wchars * 1000000 div n") > 5000000L, 2).otherwise(0) +
-      when(expr("dn * 1000000 div n") < 350000L, 4).otherwise(0) +
-      when(expr("tb * 1000000 div bt") > 80000L, 8).otherwise(0) +
-      when(col("stops") === 0L, 16).otherwise(0)
-    sig.select(col("lang"), reasons.as("reasons"), col("n"))
+    sig.select(col("lang"), verdictReasons.as("reasons"), col("n"))
       .groupBy(col("lang"), col("reasons"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
       .orderBy(col("lang"), col("reasons"))
@@ -1731,15 +1766,21 @@ object PipelineQueries {
     * plan literals; at 100 TB the emitted corpus streams straight to the
     * packer (q67) without materializing.
     */
-  def q102MixtureResample(spark: SparkSession, dir: String): DataFrame = {
+  /** The q102 per-document copy count (floor(w) + deterministic md5 coin
+    * for frac(w)) — ONE definition shared by q102 and the q117 composition.
+    */
+  private def mixtureCopies: Column = {
     val floorW = when(col("lang") === "en", 0L).when(col("lang") === "de", 2L)
       .when(col("lang") === "es", 1L).when(col("lang") === "fr", 1L).otherwise(3L)
     val thr = when(col("lang") === "en", "800000").when(col("lang") === "de", "400000")
       .when(col("lang") === "es", "800000").otherwise("000000")
-    val copies = floorW +
+    floorW +
       when(substring(md5(col("doc_id").cast("string")), 1, 6) < thr, 1L).otherwise(0L)
+  }
+
+  def q102MixtureResample(spark: SparkSession, dir: String): DataFrame = {
     val c = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"), copies.as("copies"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), mixtureCopies.as("copies"))
     // copies = 0 must be filtered BEFORE the explode: Spark's
     // sequence(1, 0) is the DESCENDING [1, 0], not an empty array.
     val emitted = c.filter(col("copies") > 0)
@@ -1788,22 +1829,31 @@ object PipelineQueries {
     * aggregate. A boilerplate-heavy corpus would cap hot grams exactly as
     * q26's maxShingleFreq does.
     */
+  /** Token 13-grams of an array, empty for short docs (Spark's
+    * sequence(1, n) is DESCENDING for n < 1 — the q99 trap). Shared by
+    * q103 and the q117 composition.
+    */
+  private def grams13(arr: Column): Column =
+    when(size(arr) >= 13,
+      transform(sequence(lit(1), size(arr) - lit(12)),
+        i => concat_ws(" ", slice(arr, i, lit(13)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The q103 eval-item 13-gram side (token spans [6, 45] of every 25th
+    * doc, distinct per item) — derived from the FULL corpus, because eval
+    * benchmarks are external fixed sets, not part of the cleaned stream.
+    */
+  private def evalGrams13(spark: SparkSession, dir: String): DataFrame =
+    docsSpread(spark, dir).filter(col("doc_id") % 25 === 3)
+      .select(col("doc_id").as("eval_id"),
+        explode(grams13(slice(tokens, 6, 40))).as("g"))
+      .distinct()
+
   def q103NgramContamination(spark: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(spark, dir)
     val ws = tokens
-    val G = 13
-    // Spark's sequence(1, n) is DESCENDING for n < 1 (the q99 trap) —
-    // short docs must yield an empty gram set explicitly.
-    def grams(arr: Column): Column =
-      when(size(arr) >= G,
-        transform(sequence(lit(1), size(arr) - lit(G - 1)),
-          i => concat_ws(" ", slice(arr, i, lit(G)))))
-        .otherwise(array().cast("array<string>"))
-    val evalGrams = d.filter(col("doc_id") % 25 === 3)
-      .select(col("doc_id").as("eval_id"),
-        explode(grams(slice(ws, 6, 40))).as("g"))
-      .distinct()
-    d.select(col("doc_id"), explode(grams(ws)).as("g"))
+    val evalGrams = evalGrams13(spark, dir)
+    d.select(col("doc_id"), explode(grams13(ws)).as("g"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(countDistinct(col("g")).as("shared_grams"))
@@ -2456,6 +2506,226 @@ object PipelineQueries {
       |  CAST(sum(CASE WHEN rn > 1 THEN length(c) ELSE 0 END) AS BIGINT) AS removed_chars
       |FROM mk GROUP BY source ORDER BY source""".stripMargin
 
+  /** Q117 — END-TO-END PIPELINE COMPOSITION: the real production sequence
+    * a training-data engine exists to run, chained as ONE DataFrame
+    * program over the corpus with per-stage accounting rows:
+    *
+    *   1 input           → raw corpus
+    *   2 quality         → q96 verdicts, reasons = 0 survivors
+    *   3 exact_dedup     → first doc per md5(text) among (2) (q35's digest)
+    *   4 neardup_dedup   → drop non-canonical members of q93's J ≥ 0.8
+    *                       clusters, computed among (3)'s survivors
+    *   5 decontaminated  → drop docs sharing ≥ 5 distinct 13-grams with
+    *                       any q103 eval item (eval side from the FULL
+    *                       corpus — benchmarks are external fixed sets)
+    *   6 resampled       → q102 mixture weights over (5), emitted instances
+    *   7 packed          → q67's 2048-token sequence packing of (6)'s
+    *                       stream (docs = sequence count)
+    *
+    * The registry proves each operator alone; THIS entry proves they
+    * compose — survivor-set mismatches, column collisions, and threshold
+    * drift between stages are invisible to per-operator checks. Every
+    * stage reuses the exact shared definition its standalone query uses
+    * ([[verdictReasons]], [[verifiedJaccardEdgesOf]], [[grams13]]/
+    * [[evalGrams13]], [[mixtureCopies]], the q67 window), so the
+    * composition cannot drift from the parts; the oracle chains the same
+    * stages as CTEs.
+    *
+    * Scale shape: no stage adds an exchange beyond its standalone query's
+    * own (plan-pinned) — verdicts are map-side; exact dedup is one window
+    * over the content digest; near-dup edges are the capped-candidate +
+    * exact-verify join (driver-materialized pair set, bounded by the
+    * near-dup rate); contamination joins a BROADCAST eval-gram set;
+    * resampling explodes map-side; packing windows by lang. Survivor
+    * frames are persisted across their two readers (accounting + next
+    * stage) and released before return — at 100 TB these become
+    * checkpoint tables between stages; the STRUCTURE is identical.
+    */
+  def q117PipelineCompose(spark: SparkSession, dir: String): DataFrame = {
+    val (out, persisted) = q117Build(spark, dir)
+    try {
+      // 7 accounting rows — materialize, then release the staged survivors.
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally persisted.foreach(_.unpersist())
+  }
+
+  /** The lazy q117 tree plus its persisted stage frames — split out so
+    * PlanAssertionsSpec can pin the composition's physical plan before the
+    * accounting rows collapse to a LocalRelation. Callers unpersist the
+    * returned frames when done.
+    */
+  private[graft] def q117Build(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+    {
+      val base = keep(verdictSignals(docsSpread(spark, dir))
+        .withColumn("q_pass", verdictReasons === 0)
+        .select(col("doc_id"), col("lang"), col("text"), col("n"), col("q_pass")))
+      val quality = base.filter(col("q_pass"))
+      val exw = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val exKeep = keep(quality.withColumn("rn", row_number().over(exw))
+        .filter(col("rn") === 1).drop("rn"))
+      // Near-dup clusters among the exact survivors: capped candidates +
+      // exact verify (the q93 edge path), components via large-star/
+      // small-star. The edge set is driver-materialized and tiny.
+      val edges = verifiedJaccardEdgesOf(
+          exKeep.select(col("doc_id"), col("text")), maxShingleFreq = 1000)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val losers = graft.operators.ConnectedComponents.run(edges)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val ndKeep = keep(exKeep.join(losers, Seq("doc_id"), "left_anti"))
+      val contaminated = ndKeep
+        .select(col("doc_id"), explode(grams13(tokens)).as("g"))
+        .join(broadcast(evalGrams13(spark, dir)), Seq("g"))
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(countDistinct(col("g")).as("shared_grams"))
+        .filter(col("shared_grams") >= 5)
+        .select(col("doc_id")).distinct()
+      val dcKeep = keep(ndKeep.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("copies", mixtureCopies))
+      val emitted = dcKeep.filter(col("copies") > 0)
+        .select(col("lang"), col("doc_id"), col("n"),
+          explode(sequence(lit(1L), col("copies"))).as("rep"))
+      val pw = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("rep"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = emitted.withColumn("cum", sum(col("n")).over(pw))
+        .withColumn("seq_id", floor((col("cum") - col("n")) / 2048).cast("long"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("st"))
+      def acct(stage: Long, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("docs"),
+            coalesce(sum(col("n")), lit(0L)).as("tokens"))
+          .select(lit(stage).as("stage"), lit(name).as("name"),
+            col("docs"), col("tokens"))
+      val acct7 = packed.agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("st")), lit(0L)).as("tokens"))
+        .select(lit(7L).as("stage"), lit("packed").as("name"),
+          col("docs"), col("tokens"))
+      val out = Seq(
+          acct(1L, "input", base),
+          acct(2L, "quality", quality),
+          acct(3L, "exact_dedup", exKeep),
+          acct(4L, "neardup_dedup", ndKeep),
+          acct(5L, "decontaminated", dcKeep),
+          acct(6L, "resampled", emitted))
+        .reduce(_ unionByName _)
+        .unionByName(acct7)
+        .orderBy(col("stage"))
+      (out, persisted.toList)
+    }
+  }
+
+  val q117Sql: String = {
+    val stopCase = StopwordLists.map { case (l, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"WHEN '$l' THEN len(list_filter(ws, x -> x IN ($inList)))"
+    }.mkString(" ")
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws,
+       |        length(replace(text, ' ', '')) AS wchars FROM documents),
+       |bgx AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i FROM d)),
+       |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+       |bgd AS (SELECT doc_id, max(c) AS tb, sum(c) AS bt FROM bgc GROUP BY 1),
+       |base AS (
+       |  SELECT d.doc_id, d.lang, d.text, d.ws, len(ws) AS n,
+       |    (CASE WHEN len(ws) < 25 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN wchars * 1000000 // len(ws) < 4000000
+       |       OR wchars * 1000000 // len(ws) > 5000000 THEN 2 ELSE 0 END) +
+       |    (CASE WHEN len(list_distinct(ws)) * 1000000 // len(ws) < 350000
+       |       THEN 4 ELSE 0 END) +
+       |    (CASE WHEN b.tb * 1000000 // b.bt > 80000 THEN 8 ELSE 0 END) +
+       |    (CASE WHEN (CASE lang $stopCase ELSE 0 END) = 0 THEN 16 ELSE 0 END)
+       |      AS reasons
+       |  FROM d JOIN bgd b USING (doc_id)),
+       |q AS (SELECT * FROM base WHERE reasons = 0),
+       |exk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+       |sidx AS (
+       |  SELECT doc_id, ws,
+       |    unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i FROM exk),
+       |dsh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+       |  FROM sidx),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM pr
+       |    JOIN cnt ca ON ca.doc_id = doc_a
+       |    JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM jp
+       |  UNION SELECT doc_b, doc_a FROM jp),
+       |walk(u, lbl) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+       |ndk AS (SELECT * FROM exk WHERE doc_id NOT IN
+       |          (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)),
+       |egi AS (SELECT doc_id AS eval_id, ws[6:45] AS sp FROM d
+       |        WHERE doc_id % 25 = 3),
+       |eg AS (
+       |  SELECT DISTINCT eval_id, array_to_string(sp[i:i+12], ' ') AS g
+       |  FROM egi, UNNEST(generate_series(1, len(sp) - 12)) AS u(i)),
+       |cg AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+       |  FROM ndk, UNNEST(generate_series(1, len(ws) - 12)) AS u(i)),
+       |flag AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT c.doc_id, e.eval_id FROM cg c JOIN eg e USING (g)
+       |    GROUP BY c.doc_id, e.eval_id HAVING count(DISTINCT c.g) >= 5)),
+       |dck AS (
+       |  SELECT *,
+       |    (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+       |      WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 3 END)
+       |    + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+       |        (CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
+       |          WHEN 'es' THEN '800000' ELSE '000000' END)
+       |      THEN 1 ELSE 0 END) AS copies
+       |  FROM ndk WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+       |em AS (
+       |  SELECT lang, doc_id, n, u.rep
+       |  FROM dck, UNNEST(generate_series(1, copies)) AS u(rep)
+       |  WHERE copies > 0),
+       |offs AS (
+       |  SELECT lang, doc_id, rep, n,
+       |    sum(n) OVER (PARTITION BY lang ORDER BY doc_id, rep
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM em),
+       |pk AS (
+       |  SELECT lang, CAST(floor((cum - n) / 2048) AS BIGINT) AS seq_id,
+       |    count(*) AS nd, sum(n) AS st
+       |  FROM offs GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'input' AS name,
+       |    CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) AS tokens FROM base
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM q
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM exk
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'neardup_dedup', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM ndk
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontaminated', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM dck
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'resampled', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM em
+       |  UNION ALL SELECT CAST(7 AS BIGINT), 'packed', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(st), 0) AS BIGINT) FROM pk
+       |) ORDER BY stage""".stripMargin
+  }
+
   /** Q116 — VERBATIM duplicated-span accounting (the ExactSubstr-dedup
     * signal of Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better"): every 15-token sliding window that occurs
@@ -2598,6 +2868,7 @@ object PipelineQueries {
     ("q114_multilingual_bm25", q114MultilingualBm25 _, Some(q114Sql)),
     ("q115_ivfadc", q115IvfAdc _, None),
     ("q116_span_dedup", q116SpanDedup _, Some(q116Sql)),
+    ("q117_pipeline_compose", q117PipelineCompose _, Some(q117Sql)),
     ("q118_multilingual_tfidf", q118MultilingualTfidf _, Some(q118Sql)),
     ("q119_multilingual_repetition", q119MultilingualRepetition _, Some(q119Sql)),
     ("q120_multilingual_chunk_dedup", q120MultilingualChunkDedup _, Some(q120Sql)))
