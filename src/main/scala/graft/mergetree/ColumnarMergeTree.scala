@@ -1087,6 +1087,27 @@ final class ColumnarMergeTree private (
     collapse(readParts(m.parts))
   }
 
+  /** [[rangeScan]] AS OF snapshot `seq`: plans against the manifest
+    * committed then, with the same driver-side lead-key part pruning as
+    * the live scan (and [[scanAt]]'s loud-failure contract for purged
+    * parts). The inverted index's snapshot-pinned search reads posting
+    * buckets through this, so a search racing an append observes one
+    * consistent part list — never new postings under old corpus totals.
+    */
+  def rangeScanAt(seq: Long, lo: Any, hi: Any): DataFrame = {
+    val m = SnapshotLog.load(path, seq).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot $seq (available: ${snapshots.mkString(",")})"))
+    val missing = m.parts.filterNot(p =>
+      Files.exists(Paths.get(s"$path/${p.dir}")))
+    require(missing.isEmpty,
+      s"snapshot $seq is no longer readable: parts " +
+        s"${missing.map(_.partId).mkString(",")} were purged (GC grace passed)")
+    val surviving = m.parts.filter(_.overlaps(lo, hi))
+    lastPruning = (surviving.size, m.parts.size)
+    collapse(readParts(surviving)
+      .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi)))
+  }
+
   /** ClickHouse `SELECT … SAMPLE k`: a deterministic pseudo-random subset —
     * rows whose 64-bit hash of the ORDER BY key columns falls in the first
     * `num/den` of the hash space. Deterministic across runs, parts, merges,

@@ -136,13 +136,30 @@ final class InvertedIndex private (
     phraseSearch(terms, k)
   }
 
-  /** The postings of `terms`, read through bucket part pruning. */
-  private def postingsOf(terms: Seq[String], nb: Int): DataFrame = {
+  /** The postings of `terms`, read through bucket part pruning — PINNED to
+    * the snapshot the stats sidecar names (`st.seq`), so the postings a
+    * search scores and the nDocs/avgdl it scores them with describe the
+    * SAME corpus state: a search racing an [[append]] sees wholly-old or
+    * wholly-new, never the batch's postings under the previous totals
+    * (the lag window the pre-pinning design documented).
+    *
+    * Fallback: a pre-pinning index (no seq persisted), a snapshot aged out
+    * of the log, or pinned parts already GC'd (a later compaction plus an
+    * expired grace window) reads the LIVE manifest — the pre-pinning
+    * behavior, correct except for the one-batch stats lag.
+    */
+  private def postingsOf(terms: Seq[String], st: InvStats): DataFrame = {
     // The query's buckets: ≤ |terms| values, computed with the same hash
     // expression the build used, in ONE tiny job (bounded by the query,
     // never the corpus).
-    val buckets = bucketsOf(spark, terms.distinct, nb)
-    buckets.map(bk => table.rangeScan(bk, bk))
+    val buckets = bucketsOf(spark, terms.distinct, st.nbuckets)
+    def scanBucket(bk: Long): DataFrame = st.seq match {
+      case Some(q) =>
+        try table.rangeScanAt(q, bk, bk)
+        catch { case _: IllegalArgumentException => table.rangeScan(bk, bk) }
+      case None => table.rangeScan(bk, bk)
+    }
+    buckets.map(scanBucket)
       .reduceOption(_ unionByName _)
       .getOrElse(table.scan().limit(0))
       .filter(col("term").isin(terms.distinct: _*))
@@ -155,10 +172,12 @@ final class InvertedIndex private (
   def search(terms: Seq[String], k: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query: search needs at least one term")
+    // ONE stats read per search: the seq it names pins the posting scan,
+    // so totals and postings can never describe different corpus states.
     val st = stats
     // Exact integer ratio — identical to avg(dl) in any engine.
     val avgdl = st.total_dl.toDouble / st.n_dl_docs.toDouble
-    val postings = postingsOf(terms, st.nbuckets)
+    val postings = postingsOf(terms, st)
     // df per term from the matched lists themselves — exact by
     // construction, appended parts included; ≤ |terms| rows broadcast
     // back onto the postings.
@@ -193,7 +212,7 @@ final class InvertedIndex private (
     */
   def phraseSearch(phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val postings = postingsOf(phrase, stats.nbuckets)
+    val postings = postingsOf(phrase, stats)
     val byTerm = phrase.zipWithIndex.map { case (t, i) =>
       postings.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
@@ -224,14 +243,22 @@ final class InvertedIndex private (
     * table partitions by bucket, so merges never widen a part's probe
     * bounds).
     *
+    * MULTI-WRITER safe: the parts-publish + totals-bump run under a
+    * per-index cross-process lock (a dedicated lock file — NOT the
+    * manifest lock, which insertBatch takes internally), and the totals
+    * bump is a read-modify-write of the CURRENT sidecar, so two
+    * concurrent appends serialize and neither bump is lost (the
+    * CrossProcessLockSpec discipline applied to the index). The lock also
+    * makes the persisted seq honest: it always names the snapshot whose
+    * part set the accumulated totals describe.
+    *
     * Crash posture: the bucket parts publish in ONE manifest update (the
     * partitioned insertBatch is all-or-nothing), and the stats sidecar is
     * an atomic file swap — a failure leaves either the old index state or
-    * the complete new one, except for the window between the two steps,
-    * where the batch's postings are visible with the previous totals.
-    * Results in that window are COMPLETE (df and the matched postings come
-    * from the lists themselves); only nDocs/avgdl lag one batch, and
-    * re-running the append's stats bump (or a rebuild) repairs it.
+    * the complete new one. A crash BETWEEN the two steps leaves the
+    * batch's parts on disk but the stats naming the PREVIOUS snapshot:
+    * searches stay pinned to the wholly-old state (complete and
+    * consistent), and a retried append or rebuild repairs the index.
     */
   def append(docs: DataFrame): Unit = {
     val st = stats
@@ -248,11 +275,18 @@ final class InvertedIndex private (
     val postings = postings0.withColumn("positions",
       col("positions").cast(table.schema("positions").dataType)).persist()
     try {
-      table.insertBatch(postings)
       val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (batchDlDocs, batchDl) = postingTotals(postings)
-      writeStats(path, InvStats(st.n_docs + batchDocs, st.n_dl_docs + batchDlDocs,
-        st.total_dl + batchDl, st.nbuckets, st.tokenizer))
+      InvertedIndex.appendLocked(path) {
+        table.insertBatch(postings)
+        // Inside the lock, the latest snapshot IS this append's commit
+        // (possibly post-compaction — content-identical), so the pinned
+        // seq and the bumped totals describe the same corpus state.
+        val seq = table.snapshots.lastOption
+        updateStats(path)(cur =>
+          InvStats(cur.n_docs + batchDocs, cur.n_dl_docs + batchDlDocs,
+            cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq))
+      }
     } finally postings.unpersist()
   }
 
@@ -407,10 +441,42 @@ object InvertedIndex {
 
   /** Corpus-stats sidecar (`_stats.json`). A case class so json4s
     * round-trips it; field names are the on-disk contract. `tokenizer` is
-    * absent (= latin) on indexes built before the mixed path existed.
+    * absent (= latin) on indexes built before the mixed path existed;
+    * `seq` (the table snapshot these totals describe — what pins
+    * searches) is absent on indexes persisted before snapshot pinning.
     */
   final case class InvStats(n_docs: Long, n_dl_docs: Long, total_dl: Long,
-      nbuckets: Int, tokenizer: Option[String] = None)
+      nbuckets: Int, tokenizer: Option[String] = None,
+      seq: Option[Long] = None)
+
+  /** Per-index cross-process append lock (`.index_append.lock`): held
+    * across parts-publish + totals-bump so concurrent appends serialize.
+    * A DEDICATED file — insertBatch takes the manifest lock internally,
+    * and nesting the same file's FileChannel lock in one JVM throws.
+    */
+  private def appendLocked[A](path: String)(body: => A): A = {
+    val key = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    val mon = appendMonitors.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(key, ".index_append.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try body finally fl.release()
+      } finally ch.close()
+    }
+  }
+  private val appendMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Read-modify-write of the stats sidecar under the append lock's
+    * serialization point is the caller's job; this helper just applies
+    * `f` to the CURRENT on-disk stats and swaps atomically.
+    */
+  private[operators] def updateStats(path: String)(f: InvStats => InvStats): Unit =
+    writeStats(path, f(readStats(path)))
 
   /** Atomic stats swap: temp file + ATOMIC_MOVE, so a reader mid-append
     * sees the old stats or the new — never a missing or partial file (the
@@ -427,7 +493,7 @@ object InvertedIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private[operators] def readStats(path: String): InvStats = {
+  private[graft] def readStats(path: String): InvStats = {
     import org.json4s.DefaultFormats
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = DefaultFormats
@@ -491,9 +557,11 @@ object InvertedIndex {
       t.insertBatch(postings)
       // Exact integer totals: avgdl = total_dl/n_dl_docs reproduces
       // avg(dl) bit for bit in any engine, and appends bump them exactly.
+      // seq pins searches to the snapshot these totals describe.
       val nDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (nDlDocs, totalDl) = postingTotals(postings)
-      writeStats(path, InvStats(nDocs, nDlDocs, totalDl, nb, Some(tokenizer)))
+      writeStats(path, InvStats(nDocs, nDlDocs, totalDl, nb, Some(tokenizer),
+        t.snapshots.lastOption))
       new InvertedIndex(spark, t, path)
     } finally postings.unpersist()
   }

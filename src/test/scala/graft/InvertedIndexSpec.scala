@@ -105,6 +105,63 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(grown.table.scan().count() == full.table.scan().count())
   }
 
+  test("snapshot-pinned search: postings landing without a stats bump stay invisible") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val t = InvertedIndex.build(spark, d,
+      java.nio.file.Files.createTempDirectory("inv_pin_").toString)
+    val q = Seq("dup", "vector", "merge")
+    val before = t.search(q, k = 15).collect().toSeq
+    // Simulate the crash window of an append: parts published, stats not
+    // yet bumped — craft a heavy 'dup' posting in its correct bucket and
+    // land it directly in the index table.
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(lit("dup")), lit(t.nbuckets.toLong)))
+      .first().getLong(0)
+    val row = Seq((bucket, "dup", 999999L, 50L, 50L, (1L to 50L)))
+      .toDF("bucket", "term", "doc_id", "tf", "dl", "positions")
+      .withColumn("positions",
+        col("positions").cast(t.table.schema("positions").dataType))
+    t.table.insertBatch(row)
+    // The orphan posting IS in the live table...
+    assert(t.table.scan().filter(col("doc_id") === 999999L).count() == 1)
+    // ...but searches stay pinned to the snapshot the stats name: a racing
+    // reader sees the WHOLLY-OLD state, never new postings + old totals.
+    val after = t.search(q, k = 15).collect().toSeq
+    assert(after == before, "search must not see postings newer than its stats")
+    assert(!after.exists(_.getLong(1) == 999999L))
+  }
+
+  test("concurrent appends: both totals land; search == rebuild (multi-writer index)") {
+    val dir1 = java.nio.file.Files.createTempDirectory("inv_mw_").toString
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val grown = InvertedIndex.build(spark, d.filter(col("doc_id") % 3 === 0), dir1)
+    // Two appenders race on the same index: the per-index append lock
+    // serializes parts-publish + totals-RMW, so neither bump is lost.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(1, 2).map { m =>
+      new Thread(() =>
+        try grown.append(d.filter(col("doc_id") % 3 === m))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must both succeed: ${errs.peek()}")
+    val full = InvertedIndex.build(spark, d,
+      java.nio.file.Files.createTempDirectory("inv_mw_full_").toString)
+    // Exact totals equality with a from-scratch rebuild — a lost bump
+    // would shift n_docs/total_dl and every idf/avgdl with it.
+    val a = InvertedIndex.readStats(dir1)
+    val b = InvertedIndex.readStats(full.path)
+    assert((a.n_docs, a.n_dl_docs, a.total_dl) ==
+      ((b.n_docs, b.n_dl_docs, b.total_dl)),
+      s"totals after racing appends must equal the rebuild: $a vs $b")
+    // and the seq the stats pin is the index's latest snapshot
+    assert(a.seq.contains(grown.table.snapshots.last))
+    val q = Seq("dup", "vector", "merge")
+    assert(grown.search(q, k = 15).collect().toSeq ==
+      full.search(q, k = 15).collect().toSeq)
+  }
+
   test("compaction of append-grown parts leaves every query unchanged") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val t = InvertedIndex.build(spark, d.filter(col("doc_id") % 2 === 0),
