@@ -15,6 +15,14 @@ object QTime {
     // crashed every events-backed query (round-3 verdict bug #5)
     val spark = GraftSession.local("graft-qtime")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // Optional bench-context repro: run the demo-mirror workloads first, the
+    // way Bench does before its sweep (they were the round-11 contamination
+    // suspect for early-sweep entries).
+    if (sys.env.get("SPARK_GRAFT_PRE_WORKLOAD").contains("1")) {
+      (1 to 3).foreach { _ => Bench.mtRowWorkload(spark, 50000) }
+      (1 to 3).foreach { _ => Bench.mtWorkload(spark, 1000000, 50) }
+      println("QTIME pre-workload done")
+    }
     // warm-up: first query pays codegen/JIT; run the first name once untimed
     names.headOption.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
