@@ -51,6 +51,23 @@ object Bench {
   private def statTimeSec(name: String)(f: => Unit): (Double, Double) =
     record(name, (1 to reps).map(_ => timeSec(f)))
 
+  /** statTimeSec for thunks that may fail: a crashed rep poisons the whole
+    * metric to the -1.0 sentinel (the *_build discipline) — time-to-crash
+    * must never read as a fast run, in the entry itself, in `total`, or in
+    * the sweep/iso contamination ratio.
+    */
+  private def statTimeSecChecked(name: String)(f: => Unit): (Double, Double) = {
+    var ok = true
+    val runs = (1 to reps).map { _ =>
+      timeSec {
+        try f catch { case e: Throwable =>
+          ok = false; System.err.println(s"[bench] $name: $e")
+        }
+      }
+    }
+    record(name, if (ok) runs else runs.map(_ => -1.0))
+  }
+
   /** Compile (once, cached in target/) and run the reference engine's
     * ingest+scan workload at `n` rows; returns (ingestSec, scanSec).
     * The committed demo binaries are Mach-O, so we rebuild from the C++
@@ -222,9 +239,8 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       cleared()
-      val t = statTimeSec(name) {
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      val t = statTimeSecChecked(name) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       name -> t
     }
@@ -243,10 +259,9 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop")
         .mode("overwrite").save()
       catch { case _: Throwable => () }
-      statTimeSec(s"${name}_iso") {
-        try SparkEntry.queries(name)(spark, sfDir).write.format("noop")
+      statTimeSecChecked(s"${name}_iso") {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name iso: $e") }
       }
     }
 
@@ -305,8 +320,10 @@ object Bench {
     }
     val qs = jsonMap((results ++ mt ++ extras).map { case (k, (mn, _)) => k -> mn })
     val qsMed = jsonMap((results ++ mt ++ extras).map { case (k, (_, md)) => k -> md })
-    val total = results.map(_._2._1).sum
-    val totalMed = results.map(_._2._2).sum
+    // Crashed entries carry the -1.0 sentinel: visible per-entry, excluded
+    // from the headline totals (a crash must not LOWER the total).
+    val total = results.map(_._2._1).filter(_ > 0).sum
+    val totalMed = results.map(_._2._2).filter(_ > 0).sum
     val base = (ref50, ref1m) match {
       case (Some((i5, q5)), Some((i1, q1))) =>
         s""","baseline":{"ref_ingest_50k":$i5,"ref_scan_50k":$q5,"ref_ingest_1m":$i1,"ref_scan_1m":$q1}"""
@@ -320,7 +337,7 @@ object Bench {
       for {
         sw <- results.toMap.get(name).map(_._2)
         iso <- rawRuns.get(s"${name}_iso").map(medianOf)
-        if iso > 0
+        if iso > 0 && sw > 0 // crashed entries (sentinel -1) never ratio
       } yield name -> sw / iso
     }
     val worstIso = if (isoRatios.isEmpty) ("none", 0.0)
@@ -328,7 +345,8 @@ object Bench {
     val notes = "sweep entries run after a System.gc() quiesce; *_iso = " +
       "post-sweep isolated re-probe of the 10 slowest, WARMED once before " +
       "timing (steady state both columns); *_build = one-time index/table " +
-      "construction incl. one serve; " +
+      "construction incl. one serve; -1.0 = crashed entry (excluded from " +
+      "totals and ratios); " +
       f"worst sweep/iso median ratio: ${worstIso._1} ${worstIso._2}%.2f"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"notes":"$notes"}"""
     println(line)

@@ -810,13 +810,17 @@ final class ColumnarMergeTree private (
     val stats = footerColStats(stage.toString, config.minmaxColumns)
     val size = MergeTreeTable.dirSize(stage)
     val now = System.currentTimeMillis()
-    val meta = GManifest.register(path, stage, append = register) { partId =>
+    // register=false outputs are intent-recorded by register() itself —
+    // inside the manifest lock's critical section in lock mode, so the
+    // dir is protected from the instant it exists under its final name.
+    val meta = GManifest.register(path, stage, append = register,
+      intent = !register) { partId =>
       GPartMeta(partId, minK, maxK, leadIsNumeric, rows, groups, size, now,
         partition, colStats = Some(stats).filter(_.nonEmpty))
     }
     if (register) lock.synchronized {
       manifest = GManifest.load(path).getOrElse(manifest)
-    } else intentAdd(meta.dir)
+    }
     meta
   }
 
@@ -1087,26 +1091,40 @@ final class ColumnarMergeTree private (
     collapse(readParts(m.parts))
   }
 
-  /** [[rangeScan]] AS OF snapshot `seq`: plans against the manifest
-    * committed then, with the same driver-side lead-key part pruning as
-    * the live scan (and [[scanAt]]'s loud-failure contract for purged
-    * parts). The inverted index's snapshot-pinned search reads posting
-    * buckets through this, so a search racing an append observes one
-    * consistent part list — never new postings under old corpus totals.
+  /** Snapshot `seq`'s part list, loaded and validated ONCE — `None` when
+    * the snapshot is gone from the log or any of its parts was purged. A
+    * caller issuing several pinned range scans (the inverted index scans
+    * one bucket per query term) resolves the pinned-vs-live decision here
+    * a single time, so one search can never mix two corpus states across
+    * buckets — and pays one snapshot parse + one existence sweep per
+    * search instead of one per bucket.
     */
-  def rangeScanAt(seq: Long, lo: Any, hi: Any): DataFrame = {
-    val m = SnapshotLog.load(path, seq).getOrElse(throw new IllegalArgumentException(
-      s"no snapshot $seq (available: ${snapshots.mkString(",")})"))
-    val missing = m.parts.filterNot(p =>
-      Files.exists(Paths.get(s"$path/${p.dir}")))
-    require(missing.isEmpty,
-      s"snapshot $seq is no longer readable: parts " +
-        s"${missing.map(_.partId).mkString(",")} were purged (GC grace passed)")
-    val surviving = m.parts.filter(_.overlaps(lo, hi))
-    lastPruning = (surviving.size, m.parts.size)
+  def snapshotPartsOption(seq: Long): Option[Seq[GPartMeta]] =
+    SnapshotLog.load(path, seq).map(_.parts)
+      .filter(_.forall(p => Files.exists(Paths.get(s"$path/${p.dir}"))))
+
+  /** [[rangeScan]] over an explicit part list (from
+    * [[snapshotPartsOption]]): same driver-side lead-key pruning as the
+    * live scan, planned against the pinned parts.
+    */
+  def rangeScanOf(parts: Seq[GPartMeta], lo: Any, hi: Any): DataFrame = {
+    val surviving = parts.filter(_.overlaps(lo, hi))
+    lastPruning = (surviving.size, parts.size)
     collapse(readParts(surviving)
       .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi)))
   }
+
+  /** [[rangeScan]] AS OF snapshot `seq`: plans against the manifest
+    * committed then, with the same driver-side lead-key part pruning as
+    * the live scan (and [[scanAt]]'s loud-failure contract for purged
+    * parts). Multi-scan callers should load once via
+    * [[snapshotPartsOption]] + [[rangeScanOf]] instead.
+    */
+  def rangeScanAt(seq: Long, lo: Any, hi: Any): DataFrame =
+    rangeScanOf(snapshotPartsOption(seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $seq is unavailable or no longer readable " +
+          s"(available: ${snapshots.mkString(",")})")), lo, hi)
 
   /** ClickHouse `SELECT … SAMPLE k`: a deterministic pseudo-random subset —
     * rows whose 64-bit hash of the ORDER BY key columns falls in the first
@@ -1181,15 +1199,6 @@ final class ColumnarMergeTree private (
       GcList(cur.retired ++ gone.map(p => GcEntry(p.partId, now, p.dirName))))
     purgeGc()
   }
-
-  /** Record a register=false staged output in the persisted intent set —
-    * called right after the staging rename, so the unprotected window is
-    * the rename-to-record gap (milliseconds, far inside the orphan mtime
-    * floor), not the whole stage-to-swap span of the maintenance op.
-    */
-  private def intentAdd(dir: String): Unit =
-    IntentSet.update(path)(cur =>
-      IntentSet(IntentEntry(dir, System.currentTimeMillis()) :: cur.staged))
 
   /** Release intent entries once their dirs are published (manifest),
     * retired (GC list), or deleted — one batched RMW per maintenance op.
@@ -2910,12 +2919,19 @@ object ColumnarMergeTree {
 
     def update(tablePath: String)(f: IntentSet => IntentSet): Unit =
       ManifestLocks.locked(tablePath) {
-        val next = f(load(tablePath))
-        val tmp = Paths.get(tablePath, ".intents.json.tmp")
-        Files.writeString(tmp, Serialization.writePretty(next))
-        Files.move(tmp, Paths.get(tablePath, "intents.json"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        storeUnlocked(tablePath, f(load(tablePath)))
       }
+
+    /** Atomic-swap write WITHOUT acquiring the path lock — for callers
+      * already inside a ManifestLocks critical section (the lock is not
+      * reentrant: a nested FileChannel lock on the same file throws).
+      */
+    def storeUnlocked(tablePath: String, next: IntentSet): Unit = {
+      val tmp = Paths.get(tablePath, ".intents.json.tmp")
+      Files.writeString(tmp, Serialization.writePretty(next))
+      Files.move(tmp, Paths.get(tablePath, "intents.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   case class GManifest(version: Long, parts: List[GPartMeta])
@@ -3073,9 +3089,23 @@ object ColumnarMergeTree {
     def nextIdOf(cur: GManifest): Long =
       math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max))
 
-    def register(tablePath: String, stagedDir: java.nio.file.Path, append: Boolean)
+    /** `intent=true` (used with append=false) also records the claimed dir
+      * in the intent set. In lock mode the entry is written INSIDE the
+      * already-held critical section — zero extra lock acquisitions on the
+      * partitioned-ingest hot path and NO rename-to-record window at all;
+      * in log mode (no lock exists) the entry lands in its own RMW right
+      * after the uuid rename (milliseconds — far inside the orphan mtime
+      * floor).
+      */
+    def register(tablePath: String, stagedDir: java.nio.file.Path, append: Boolean,
+                 intent: Boolean = false)
         (metaFor: Long => GPartMeta): GPartMeta =
-      if (logMode(tablePath)) registerLog(tablePath, stagedDir, append)(metaFor)
+      if (logMode(tablePath)) {
+        val meta = registerLog(tablePath, stagedDir, append)(metaFor)
+        if (intent && !append) IntentSet.update(tablePath)(cur =>
+          IntentSet(IntentEntry(meta.dir, System.currentTimeMillis()) :: cur.staged))
+        meta
+      }
       else ManifestLocks.locked(tablePath) {
         val cur = load(tablePath).getOrElse(GManifest(0L, Nil))
         val id = nextIdOf(cur)
@@ -3083,6 +3113,9 @@ object ColumnarMergeTree {
         val meta = metaFor(id)
         store(tablePath,
           GManifest(id + 1, if (append) cur.parts :+ meta else cur.parts))
+        if (intent && !append) IntentSet.storeUnlocked(tablePath,
+          IntentSet(IntentEntry(meta.dir, System.currentTimeMillis())
+            :: IntentSet.load(tablePath).staged))
         meta
       }
 

@@ -153,10 +153,13 @@ final class InvertedIndex private (
     // expression the build used, in ONE tiny job (bounded by the query,
     // never the corpus).
     val buckets = bucketsOf(spark, terms.distinct, st.nbuckets)
-    def scanBucket(bk: Long): DataFrame = st.seq match {
-      case Some(q) =>
-        try table.rangeScanAt(q, bk, bk)
-        catch { case _: IllegalArgumentException => table.rangeScan(bk, bk) }
+    // The pinned-vs-live decision is made ONCE per search (snapshot loaded
+    // and validated a single time): a per-bucket fallback could mix the
+    // pinned state for one term's bucket with the live state for another —
+    // exactly the cross-state inconsistency pinning exists to prevent.
+    val pinned = st.seq.flatMap(table.snapshotPartsOption)
+    def scanBucket(bk: Long): DataFrame = pinned match {
+      case Some(parts) => table.rangeScanOf(parts, bk, bk)
       case None => table.rangeScan(bk, bk)
     }
     buckets.map(scanBucket)

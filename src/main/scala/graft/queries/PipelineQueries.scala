@@ -1668,29 +1668,15 @@ object PipelineQueries {
       greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
   }
 
-  def q96QualityVerdicts(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsSpread(spark, dir)
-    val ws = tokens
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(2))))
-    // The document is scored against ITS OWN language's stopword list —
-    // an en-threshold applied to zh text would flag the whole shard.
-    val stops = StopwordLists.foldRight(lit(0): Column) {
-      case ((l, words), acc) => when(col("lang") === l, stopScore(ws, words)).otherwise(acc)
-    }
-    val sig = d.select(col("lang"), col("doc_id"),
-      size(ws).cast("long").as("n"),
-      size(array_distinct(ws)).cast("long").as("dn"),
-      length(regexp_replace(col("text"), " ", "")).cast("long").as("wchars"),
-      stops.cast("long").as("stops"),
-      topBigramRun(bigrams).as("tb"),
-      greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
-    sig.select(col("lang"), verdictReasons.as("reasons"), col("n"))
+  def q96QualityVerdicts(spark: SparkSession, dir: String): DataFrame =
+    // THE shared signal + bitmask definitions (verdictSignals /
+    // verdictReasons) — q117's stage 2 calls the identical code, so the
+    // composition's survivor set can never drift from these verdicts.
+    verdictSignals(docsSpread(spark, dir))
+      .select(col("lang"), verdictReasons.as("reasons"), col("n"))
       .groupBy(col("lang"), col("reasons"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
       .orderBy(col("lang"), col("reasons"))
-  }
 
   val q96Sql: String = {
     val stopCase = StopwordLists.map { case (l, words) =>
@@ -2559,7 +2545,10 @@ object PipelineQueries {
       : (DataFrame, Seq[DataFrame]) = {
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
-    {
+    // Construction is partially EAGER (the near-dup edge set collects at
+    // build time): a mid-build failure must release what it already
+    // persisted, or two corpus-sized cached frames outlive the call.
+    try {
       val base = keep(verdictSignals(docsSpread(spark, dir))
         .withColumn("q_pass", verdictReasons === 0)
         .select(col("doc_id"), col("lang"), col("text"), col("n"), col("q_pass")))
@@ -2615,6 +2604,10 @@ object PipelineQueries {
         .unionByName(acct7)
         .orderBy(col("stage"))
       (out, persisted.toList)
+    } catch {
+      case e: Throwable =>
+        persisted.foreach(df => scala.util.Try(df.unpersist()))
+        throw e
     }
   }
 
