@@ -38,7 +38,11 @@ case class MergeTreeConfig(
       * holds at most this many rows, `query`/`fullScan` read the parts
       * driver-locally (parquet-mr, no Spark job) — a point lookup on a
       * well-pruned table should not pay a distributed job launch. The
-      * estimate comes from manifest row counts BEFORE any scan. 0 disables.
+      * estimate comes from manifest row counts BEFORE any scan, refined by
+      * the sparse index (cached footer row-group key bounds) when the
+      * part-level sum exceeds the threshold — so a point lookup on a big
+      * table whose every part spans the key space still short-circuits on
+      * its true granule footprint. 0 disables.
       * At 100 TB almost every query exceeds this and takes the distributed
       * path; the ones that don't are exactly the ones a job launch would
       * dominate.
@@ -383,6 +387,7 @@ final class MergeTreeTable private (
     * when the estimate exceeds the threshold (caller takes the Spark path).
     */
   private def localScan(range: Option[(String, String)]): Option[Dataset[KVRow]] = {
+    lastScanLocal = false
     if (config.localScanMaxRows <= 0) return None
     val (live, mem) = lock.synchronized {
       val l = range match {
@@ -391,7 +396,28 @@ final class MergeTreeTable private (
       }
       (l, memtable.toList)
     }
-    if (live.map(_.rowCount).sum + mem.size > config.localScanMaxRows) return None
+    if (live.map(_.rowCount).sum + mem.size > config.localScanMaxRows) {
+      // Part-level bounds overestimate badly when every part spans the
+      // key space (each randomly-keyed ingest batch does): refine with the
+      // SPARSE INDEX — per-row-group key bounds from the parquet footers
+      // (O6; footer-only driver I/O, cached per immutable part) — before
+      // surrendering a narrow range or point lookup to a full Spark job.
+      // Row groups without key stats count fully (never under-estimate);
+      // LocalPartReader's pushed FilterPredicate then skips them for real.
+      val refined = range match {
+        case Some((s, e)) =>
+          live.map { p =>
+            granuleBoundsOf(p.partId).iterator.map { case (lo, hi, rows) =>
+              val overlaps = lo == null || hi == null ||
+                !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
+              if (overlaps) rows else 0L
+            }.sum
+          }.sum
+        case None => Long.MaxValue
+      }
+      if (refined + mem.size > config.localScanMaxRows) return None
+    }
+    lastScanLocal = true
     val inRange: KVRow => Boolean = range match {
       case Some((s, e)) => r => !KeyOrder.lt(r.key, s) && !KeyOrder.gt(r.key, e)
       case None         => _ => true
@@ -427,6 +453,25 @@ final class MergeTreeTable private (
     import spark.implicits._
     Some(spark.createDataset(sorted.toSeq))
   }
+
+  /** Whether the LAST query/fullScan was served by the driver-local
+    * short-circuit — observability for tests and tuning.
+    */
+  @volatile var lastScanLocal: Boolean = false
+
+  /** Row-group key bounds of one immutable part, cached per part id (the
+    * map only grows with parts this instance ever ESTIMATED — bounded by
+    * part churn, entries a few hundred bytes each).
+    */
+  private val granuleBoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String, Long)]]()
+  private def granuleBoundsOf(partId: Long): Seq[(String, String, Long)] =
+    granuleBoundsCache.computeIfAbsent(partId, _ =>
+      try PartStats.keyRanges(spark.sessionState.newHadoopConf(), partDir(partId))
+      // An unreadable footer must not fail the query — report one
+      // unbounded pseudo-group larger than any threshold so the caller
+      // simply takes the distributed path.
+      catch { case _: Exception => Seq((null, null, Long.MaxValue / 4)) })
 
   private def unionScan(range: Option[(String, String)]): DataFrame = lock.synchronized {
     import spark.implicits._

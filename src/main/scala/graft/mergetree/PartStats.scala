@@ -97,6 +97,34 @@ object PartStats {
     PartStats(minKey, maxKey, minTs, maxTs, rows, math.max(1L, groups))
   }
 
+  /** Per-row-group (minKey, maxKey, rows) across the part's files — the
+    * sparse index itself, for granule-level in-range row estimates. Groups
+    * without key statistics report null bounds (callers must treat them as
+    * always-overlapping: an estimate from partial stats must never
+    * UNDER-count). Footer-only driver I/O; parts are immutable, so callers
+    * may cache the result per part id.
+    */
+  def keyRanges(conf: Configuration, dir: String): Seq[(String, String, Long)] = {
+    listParquet(Paths.get(dir)).flatMap { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(f.toString), conf))
+      try reader.getFooter.getBlocks.asScala.toSeq
+        .filter(_.getRowCount > 0)
+        .map { block =>
+          val ks = block.getColumns.asScala
+            .find(_.getPath.toDotString == "key").map(_.getStatistics)
+          ks match {
+            case Some(s) if s != null && s.hasNonNullValue =>
+              (s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8,
+                block.getRowCount)
+            case _ => (null, null, block.getRowCount)
+          }
+        }
+      finally reader.close()
+    }
+  }
+
   /** Per-row-group row counts across the part's files, for granule tests. */
   def rowGroupSizes(conf: Configuration, dir: String): Seq[Long] = {
     listParquet(Paths.get(dir)).flatMap { f =>

@@ -269,4 +269,44 @@ class CorrectnessRegressionsSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getString(0) == r.getString(1),
       s"host extraction diverged: ${r.getString(0)} vs ${r.getString(1)}"))
   }
+
+  // ------------- 7. (round 11) granule-refined small-query short-circuit
+
+  test("narrow queries on a big table short-circuit via the sparse index; wide ones don't") {
+    import graft.mergetree.{KVRow, MergeTreeConfig, MergeTreeTable}
+    val dir = java.nio.file.Files.createTempDirectory("mt_granule_gate_").toString
+    // Three sorted parts, EACH spanning the whole key space (the shape
+    // randomly-keyed ingest produces): part-level bounds say every part
+    // overlaps every range, so the old row-count gate pushed even point
+    // lookups to a Spark job once the table outgrew the threshold. The
+    // row-group bounds are narrow (granuleSize 128), so the refined
+    // estimate lets narrow ranges stay driver-local.
+    val t0 = MergeTreeTable.create(spark, dir, MergeTreeConfig(
+      localScanMaxRows = 500, granuleSize = 128))
+    (0 until 3).foreach { b =>
+      val rows = (0 until 2000).map(i =>
+        KVRow(f"k${(i * 3 + b) % 6000}%05d", s"v${b}_$i", b.toLong))
+      t0.insertBatch(spark.createDataset(rows), partitions = 1)
+    }
+    t0.shutdown()
+    val local = MergeTreeTable.open(spark, dir, MergeTreeConfig(
+      localScanMaxRows = 500, granuleSize = 128))
+    val dist = MergeTreeTable.open(spark, dir, MergeTreeConfig(localScanMaxRows = 0))
+    assert(local.fullScan().count() == 6000)
+    assert(!local.lastScanLocal, "6000-row full scan must take the Spark path")
+    // Point lookup: overlaps ~1 row group per part -> refined ~384 <= 500.
+    val viaLocal = local.queryKey("k00500").collect().toSeq
+    assert(local.lastScanLocal,
+      "point lookup on a big table must short-circuit via granule bounds")
+    assert(viaLocal == dist.queryKey("k00500").collect().toSeq && viaLocal.nonEmpty)
+    // Narrow range: same story.
+    val nr = local.query("k00100", "k00140").collect().toSeq
+    assert(local.lastScanLocal, "narrow range must short-circuit")
+    assert(nr == dist.query("k00100", "k00140").collect().toSeq && nr.nonEmpty)
+    // A range matching most granules must fall back to the Spark path.
+    local.query("k00000", "k05999").collect()
+    assert(!local.lastScanLocal, "wide range must take the Spark path")
+    local.shutdown(); dist.shutdown()
+    MergeTreeTable.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
