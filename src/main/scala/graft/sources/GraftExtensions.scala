@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           GraftExtensions.metaRelation(kind, fname, args)))
     }
+    GraftExtensions.SearchFunctions.foreach { fname =>
+      e.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          GraftExtensions.getClass.getCanonicalName, fname),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          GraftExtensions.searchRelation(fname, args)))
+    }
   }
 }
 
@@ -78,6 +86,61 @@ object GraftExtensions {
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     LocalRelation(attrs,
       MergeTreeSystemTable.rowsFor(dir, kind).toIndexedSeq, isStreaming = false)
+  }
+
+  /** SQL table-function faces over the PERSISTED inverted index — a
+    * pure-SQL user gets snapshot-pinned, bucket-pruned full-text search
+    * without the Scala API:
+    *
+    * {{{
+    *   SELECT * FROM bm25_search('/data/inv_idx', 'dup vector merge', 10)
+    *   SELECT * FROM phrase_search('graft.ns.idx', 'table scan merge', 10)
+    * }}}
+    *
+    * The first argument takes the maintenance verbs' dual addressing
+    * (catalog identifier or table directory); the query string tokenizes
+    * with the index's own persisted tokenizer (CJK queries work against a
+    * mixed-tokenizer index). The k-row result materializes as a
+    * LocalRelation at analysis time — the metaRelation discipline; the
+    * search itself is the k-bounded index probe, which reads only the
+    * query terms' buckets.
+    */
+  private val SearchFunctions = Seq("bm25_search", "phrase_search")
+
+  private def searchRelation(fname: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+    require(args.length == 3 && args.forall(_.foldable) &&
+      args(0).dataType == StringType && args(1).dataType == StringType &&
+      (args(2).dataType == IntegerType || args(2).dataType == LongType),
+      s"$fname(index, query, k) takes (string, string, int) literals " +
+        "(index = catalog identifier or table directory)")
+    val target = String.valueOf(args(0).eval())
+    val query = String.valueOf(args(1).eval())
+    val k = args(2).eval().asInstanceOf[Number].intValue()
+    require(k > 0, s"$fname: k must be positive, got $k")
+    val spark = SparkSession.active
+    val t =
+      if (target.contains('/')) GraftSqlParser.PathTarget(target)
+      else GraftSqlParser.IdentTarget(
+        spark.sessionState.sqlParser.parseMultipartIdentifier(target))
+    val dir = GraftSqlParser.resolveDir(spark, t)
+    val idx = graft.operators.InvertedIndex.open(spark, dir)
+    val df = if (fname == "bm25_search") idx.searchText(query, k)
+      else idx.phraseSearchText(query, k)
+    val schema = if (fname == "bm25_search")
+      StructType.fromDDL("rk BIGINT, doc_id BIGINT, n_terms BIGINT, score BIGINT")
+    else StructType.fromDDL("rk BIGINT, doc_id BIGINT, n_occ BIGINT")
+    val rows = df.collect().map(r =>
+      new GenericInternalRow(
+        (0 until schema.length).map(i => r.getLong(i): Any).toArray): InternalRow)
+    val attrs = schema.fields.toIndexedSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    LocalRelation(attrs, rows.toIndexedSeq, isStreaming = false)
   }
 }
 

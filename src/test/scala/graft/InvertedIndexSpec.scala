@@ -105,6 +105,28 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(grown.table.scan().count() == full.table.scan().count())
   }
 
+  test("SQL table functions bm25_search / phrase_search serve the persisted index") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM bm25_search('${idx.path}', 'dup vector merge', 15)")
+      .collect().toSeq
+    val viaApi = idx.searchText("dup vector merge", 15).collect().toSeq
+    assert(viaSql.map(_.toSeq) == viaApi.map(_.toSeq) && viaSql.size == 15)
+    val pSql = spark.sql(
+      s"SELECT doc_id FROM phrase_search('${idx.path}', 'table scan merge', 15)")
+      .collect().map(_.getLong(0)).toSet
+    val pApi = idx.phraseSearchText("table scan merge", 15)
+      .collect().map(_.getLong(1)).toSet
+    assert(pSql == pApi && pSql.nonEmpty)
+    // the SQL face composes like any relation
+    assert(spark.sql(s"SELECT count(*) FROM bm25_search('${idx.path}', 'dup', 5) " +
+      "WHERE score > 0").collect().head.getLong(0) == 5)
+    // bad arguments fail loudly at analysis
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM bm25_search('${idx.path}', 'dup', 0)").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM bm25_search('${idx.path}', '', 5)").collect())
+  }
+
   test("snapshot-pinned search: postings landing without a stats bump stay invisible") {
     import spark.implicits._
     val d = spark.read.parquet(s"$sf/documents.parquet")
