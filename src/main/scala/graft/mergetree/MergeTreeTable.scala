@@ -404,18 +404,22 @@ final class MergeTreeTable private (
       // surrendering a narrow range or point lookup to a full Spark job.
       // Row groups without key stats count fully (never under-estimate);
       // LocalPartReader's pushed FilterPredicate then skips them for real.
-      val refined = range match {
-        case Some((s, e)) =>
-          live.map { p =>
-            granuleBoundsOf(p.partId).iterator.map { case (lo, hi, rows) =>
-              val overlaps = lo == null || hi == null ||
-                !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
-              if (overlaps) rows else 0L
-            }.sum
-          }.sum
-        case None => Long.MaxValue
-      }
-      if (refined + mem.size > config.localScanMaxRows) return None
+      // A full scan, or ANY part whose footers can't be read, goes
+      // distributed — no sentinel values enter the sum (a summed sentinel
+      // can overflow negative and wrongly pass the gate).
+      if (range.isEmpty) return None
+      val (s, e) = range.get
+      val ests = live.map(p => granuleBoundsOf(p.partId).map {
+        _.iterator.map { case (lo, hi, rows) =>
+          val overlaps = lo == null || hi == null ||
+            !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
+          if (overlaps) rows else 0L
+        }.sum
+      })
+      if (ests.exists(_.isEmpty)) return None
+      // Each estimate ≤ its part's rowCount, so the sum is bounded by the
+      // part-level sum above — no overflow.
+      if (ests.flatten.sum + mem.size > config.localScanMaxRows) return None
     }
     lastScanLocal = true
     val inRange: KVRow => Boolean = range match {
@@ -465,13 +469,18 @@ final class MergeTreeTable private (
     */
   private val granuleBoundsCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String, Long)]]()
-  private def granuleBoundsOf(partId: Long): Seq[(String, String, Long)] =
-    granuleBoundsCache.computeIfAbsent(partId, _ =>
-      try PartStats.keyRanges(spark.sessionState.newHadoopConf(), partDir(partId))
-      // An unreadable footer must not fail the query — report one
-      // unbounded pseudo-group larger than any threshold so the caller
-      // simply takes the distributed path.
-      catch { case _: Exception => Seq((null, null, Long.MaxValue / 4)) })
+  private def granuleBoundsOf(partId: Long): Option[Seq[(String, String, Long)]] =
+    Option(granuleBoundsCache.get(partId)).orElse {
+      // An unreadable footer must not fail the query — the caller takes
+      // the distributed path. TRANSIENT failures are not cached (a one-off
+      // I/O blip must not disable the short-circuit for the part forever);
+      // only successful reads are, and parts are immutable.
+      try {
+        val r = PartStats.keyRanges(spark.sessionState.newHadoopConf(), partDir(partId))
+        granuleBoundsCache.put(partId, r)
+        Some(r)
+      } catch { case _: Exception => None }
+    }
 
   private def unionScan(range: Option[(String, String)]): DataFrame = lock.synchronized {
     import spark.implicits._

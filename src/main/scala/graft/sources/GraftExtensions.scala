@@ -75,13 +75,8 @@ object GraftExtensions {
       args.head.dataType == org.apache.spark.sql.types.StringType,
       s"$fname(table) takes exactly one string argument " +
         "(catalog identifier or table directory)")
-    val target = String.valueOf(args.head.eval())
     val spark = SparkSession.active
-    val t =
-      if (target.contains('/')) GraftSqlParser.PathTarget(target)
-      else GraftSqlParser.IdentTarget(
-        spark.sessionState.sqlParser.parseMultipartIdentifier(target))
-    val dir = GraftSqlParser.resolveDir(spark, t)
+    val dir = resolveTarget(spark, fname, args.head.eval())
     val attrs = MergeTreeSystemTable.schemaFor(kind).fields.toIndexedSeq
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     LocalRelation(attrs,
@@ -107,6 +102,23 @@ object GraftExtensions {
     */
   private val SearchFunctions = Seq("bm25_search", "phrase_search")
 
+  /** The dual addressing every graft table function accepts — ONE
+    * implementation (a path-vs-identifier heuristic fixed here applies to
+    * the meta AND search families alike). Rejects NULL loudly: a null
+    * would otherwise stringify to the literal identifier "null" and fail
+    * with a misleading table-not-found.
+    */
+  private def resolveTarget(spark: SparkSession, fname: String,
+      evaled: Any): String = {
+    require(evaled != null, s"$fname: the table argument must not be NULL")
+    val target = String.valueOf(evaled)
+    val t =
+      if (target.contains('/')) GraftSqlParser.PathTarget(target)
+      else GraftSqlParser.IdentTarget(
+        spark.sessionState.sqlParser.parseMultipartIdentifier(target))
+    GraftSqlParser.resolveDir(spark, t)
+  }
+
   private def searchRelation(fname: String,
       args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : LogicalPlan = {
@@ -119,16 +131,15 @@ object GraftExtensions {
       (args(2).dataType == IntegerType || args(2).dataType == LongType),
       s"$fname(index, query, k) takes (string, string, int) literals " +
         "(index = catalog identifier or table directory)")
-    val target = String.valueOf(args(0).eval())
-    val query = String.valueOf(args(1).eval())
-    val k = args(2).eval().asInstanceOf[Number].intValue()
+    val qEval = args(1).eval()
+    val kEval = args(2).eval()
+    require(qEval != null && kEval != null,
+      s"$fname: the query and k arguments must not be NULL")
+    val query = String.valueOf(qEval)
+    val k = kEval.asInstanceOf[Number].intValue()
     require(k > 0, s"$fname: k must be positive, got $k")
     val spark = SparkSession.active
-    val t =
-      if (target.contains('/')) GraftSqlParser.PathTarget(target)
-      else GraftSqlParser.IdentTarget(
-        spark.sessionState.sqlParser.parseMultipartIdentifier(target))
-    val dir = GraftSqlParser.resolveDir(spark, t)
+    val dir = resolveTarget(spark, fname, args(0).eval())
     val idx = graft.operators.InvertedIndex.open(spark, dir)
     val df = if (fname == "bm25_search") idx.searchText(query, k)
       else idx.phraseSearchText(query, k)

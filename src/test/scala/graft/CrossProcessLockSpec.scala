@@ -193,6 +193,33 @@ class CrossProcessLockSpec extends AnyFunSuite {
     assert(t.scan().count() == 3, "registered parts must be untouched")
   }
 
+  test("lock-mode register skips a crashed writer's stale part claim") {
+    import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = TestSpark.session
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlock_stale_").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val t = ColumnarMergeTree.create(spark, dir, schema, orderBy = Seq("k"))
+    t.insertBatch(Seq((1L, "a")).toDF("k", "v").select(col("k"), col("v")))
+    // Simulate a writer that died between its part_<id> rename and the
+    // manifest store: the NEXT id's dir exists but was never fenced.
+    val nextId = GManifest.load(dir).get.version
+    val stale = Paths.get(dir, s"part_$nextId")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("junk"), "crashed claim")
+    // Registration must skip past the collision (not fail every later
+    // ingest until the dir is removed by hand).
+    t.insertBatch(Seq((2L, "b")).toDF("k", "v").select(col("k"), col("v")))
+    assert(t.scan().count() == 2)
+    assert(GManifest.load(dir).get.parts.forall(_.partId != nextId),
+      "the stale id must never be fenced into the manifest")
+    assert(Files.isDirectory(stale), "the stale dir is inert, not clobbered")
+  }
+
   test("intent-listed maintenance outputs survive the orphan sweep until their swap") {
     import graft.mergetree.ColumnarMergeTree.{IntentEntry, IntentSet}
     import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig}

@@ -120,11 +120,16 @@ class InvertedIndexSpec extends AnyFunSuite {
     // the SQL face composes like any relation
     assert(spark.sql(s"SELECT count(*) FROM bm25_search('${idx.path}', 'dup', 5) " +
       "WHERE score > 0").collect().head.getLong(0) == 5)
-    // bad arguments fail loudly at analysis
+    // bad arguments fail loudly at analysis — including foldable NULLs,
+    // which must not NPE or resolve the identifier "null"
     intercept[Exception](spark.sql(
       s"SELECT * FROM bm25_search('${idx.path}', 'dup', 0)").collect())
     intercept[Exception](spark.sql(
       s"SELECT * FROM bm25_search('${idx.path}', '', 5)").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM bm25_search('${idx.path}', 'dup', CAST(NULL AS INT))").collect())
+    intercept[Exception](spark.sql(
+      "SELECT * FROM bm25_search(CAST(NULL AS STRING), 'dup', 5)").collect())
   }
 
   test("snapshot-pinned search: postings landing without a stats bump stay invisible") {
