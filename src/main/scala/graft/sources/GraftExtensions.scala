@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           GraftExtensions.searchRelation(fname, args)))
     }
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ann_search"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftExtensions.getClass.getCanonicalName, "ann_search"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.annRelation(args)))
   }
 }
 
@@ -149,6 +155,68 @@ object GraftExtensions {
     val rows = df.collect().map(r =>
       new GenericInternalRow(
         (0 until schema.length).map(i => r.getLong(i): Any).toArray): InternalRow)
+    val attrs = schema.fields.toIndexedSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    LocalRelation(attrs, rows.toIndexedSeq, isStreaming = false)
+  }
+
+  /** SQL face over the PERSISTED IVF/IVFADC ANN index:
+    *
+    * {{{
+    *   SELECT * FROM ann_search('/data/ivf_idx', array(0.1D, 0.3D, …), 10)
+    * }}}
+    *
+    * → (rnk, vec_id, sim) of the top-k neighbours of the literal query
+    * vector, probing autoNprobe(nlist) clusters. An ADC-built index
+    * (`_pq.json` present) serves through searchAdc (table-lookup scoring
+    * over the probed lists, exact re-rank on the shortlist); a plain IVF
+    * index through exact-cosine search. Self-exclusion is off — a SQL
+    * literal query lives in its own id space.
+    */
+  private def annRelation(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    require(args.length == 3 && args.forall(_.foldable) &&
+      args(0).dataType == StringType &&
+      args(1).dataType.isInstanceOf[ArrayType] &&
+      args(1).dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[NumericType] &&
+      (args(2).dataType == IntegerType || args(2).dataType == LongType),
+      "ann_search(index, query_vector, k) takes (string, array<numeric>, int) " +
+        "literals (index = catalog identifier or table directory)")
+    val vEval = args(1).eval()
+    val kEval = args(2).eval()
+    require(vEval != null && kEval != null,
+      "ann_search: the vector and k arguments must not be NULL")
+    val elemType = args(1).dataType.asInstanceOf[ArrayType].elementType
+    val vec = vEval.asInstanceOf[ArrayData].toObjectArray(elemType)
+      .map {
+        case null => throw new IllegalArgumentException(
+          "ann_search: query vector must not contain NULLs")
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+      }.toSeq
+    val k = kEval.asInstanceOf[Number].intValue()
+    require(k > 0, s"ann_search: k must be positive, got $k")
+    val spark = SparkSession.active
+    val dir = resolveTarget(spark, "ann_search", args(0).eval())
+    val idx = graft.operators.IvfIndex.open(spark, dir)
+    val nprobe = graft.operators.IvfIndex.autoNprobe(idx.nlist)
+    import org.apache.spark.sql.functions.col
+    val queries = spark.createDataFrame(Seq((0L, vec)))
+      .select(col("_1").as("qid"), col("_2").as("qv"))
+    val df = (if (idx.pqCodebooks.isDefined)
+        idx.searchAdc(queries, k, nprobe, shortlist = 4 * k, excludeSelf = false)
+      else idx.search(queries, k, nprobe, excludeSelf = false))
+      .select(col("rnk"), col("vec_id"), col("sim"))
+    val schema = StructType.fromDDL("rnk INT, vec_id BIGINT, sim DOUBLE")
+    val rows = df.collect().map(r => new GenericInternalRow(
+      Array[Any](r.getInt(0), r.getLong(1), r.getDouble(2))): InternalRow)
     val attrs = schema.fields.toIndexedSeq
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     LocalRelation(attrs, rows.toIndexedSeq, isStreaming = false)

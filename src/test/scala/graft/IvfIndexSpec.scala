@@ -167,6 +167,20 @@ class IvfIndexSpec extends AnyFunSuite {
     // below the cluster count (the InvertedIndex.open discipline).
     assert(reopened.table.config.maxParts == 16,
       s"reopened ADC/IVF index lost its merge budget: ${reopened.table.config.maxParts}")
-    reopened.table.shutdown()
+    // The SQL face serves the same index: a literal query vector (vec 0's
+    // own embedding) must return vec 0 at rank 1 with sim 1.0 (self-match:
+    // the SQL face never self-excludes — a literal lives in its own id
+    // space) followed by its API neighbours shifted one rank.
+    val qv = vectors.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Double](1)
+    val lit = qv.map(d => s"${d}D").mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+      s"SELECT * FROM ann_search('$path', $lit, 4)").collect()
+    assert(viaSql.head.getInt(0) == 1 && viaSql.head.getLong(1) == 0L &&
+      viaSql.head.getDouble(2) == 1.0, s"rank 1 must be the vector itself")
+    assert(viaSql.map(_.getLong(1)).drop(1).toSeq == viaQ28.take(3).map(_._3),
+      "SQL neighbours must match the API ranking")
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_search('$path', $lit, 0)").collect())
   }
 }
