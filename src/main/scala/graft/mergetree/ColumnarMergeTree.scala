@@ -3108,24 +3108,9 @@ object ColumnarMergeTree {
       }
       else ManifestLocks.locked(tablePath) {
         val cur = load(tablePath).getOrElse(GManifest(0L, Nil))
-        var id = nextIdOf(cur)
-        var moved = false
-        while (!moved) {
-          val target = Paths.get(tablePath, s"part_$id")
-          try { Files.move(stagedDir, target); moved = true }
-          catch {
-            // A writer crashed between ITS rename and manifest store: the
-            // claimed dir exists but its id was never fenced, so this id
-            // collides forever. Skip past it (the store below fences) —
-            // the MergeTreeTable.Manifest.register discipline; without it
-            // every later register on the table fails on the same name
-            // until the dir is removed by hand. The orphan dir itself is
-            // inert (in no manifest, never read) and ages out of the
-            // orphan sweep.
-            case _: java.nio.file.FileSystemException if Files.exists(target) =>
-              id += 1
-          }
-        }
+        // PartClaims skips past a crashed writer's unfenced same-id claim;
+        // the store below fences past the id it returns.
+        val id = PartClaims.claim(tablePath, stagedDir, nextIdOf(cur))
         val meta = metaFor(id)
         store(tablePath,
           GManifest(id + 1, if (append) cur.parts :+ meta else cur.parts))

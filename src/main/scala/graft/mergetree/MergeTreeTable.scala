@@ -469,17 +469,28 @@ final class MergeTreeTable private (
     */
   private val granuleBoundsCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String, Long)]]()
+  private val granuleBoundsRetryAt =
+    new java.util.concurrent.ConcurrentHashMap[Long, Long]()
   private def granuleBoundsOf(partId: Long): Option[Seq[(String, String, Long)]] =
     Option(granuleBoundsCache.get(partId)).orElse {
       // An unreadable footer must not fail the query — the caller takes
-      // the distributed path. TRANSIENT failures are not cached (a one-off
-      // I/O blip must not disable the short-circuit for the part forever);
-      // only successful reads are, and parts are immutable.
-      try {
+      // the distributed path. Failures NEGATIVE-CACHE for 60 s: a one-off
+      // I/O blip must not disable the short-circuit for the part forever
+      // (the sticky-sentinel bug), but a permanently corrupt footer must
+      // not pay footer I/O + exception construction on EVERY query either.
+      // Successful reads cache indefinitely (parts are immutable).
+      val now = System.currentTimeMillis()
+      if (granuleBoundsRetryAt.getOrDefault(partId, 0L) > now) None
+      else try {
         val r = PartStats.keyRanges(spark.sessionState.newHadoopConf(), partDir(partId))
         granuleBoundsCache.put(partId, r)
+        granuleBoundsRetryAt.remove(partId)
         Some(r)
-      } catch { case _: Exception => None }
+      } catch {
+        case _: Exception =>
+          granuleBoundsRetryAt.put(partId, now + 60000L)
+          None
+      }
     }
 
   private def unionScan(range: Option[(String, String)]): DataFrame = lock.synchronized {
@@ -952,22 +963,8 @@ object Manifest {
       (metaFor: Long => PartMetadata): PartMetadata =
     ManifestLocks.locked(tablePath) {
       val cur = load(tablePath).getOrElse(Manifest(0L, Nil))
-      var id = math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max))
-      var moved = false
-      while (!moved) {
-        val target = Paths.get(tablePath, s"part_$id")
-        try { Files.move(stagedDir, target); moved = true }
-        catch {
-          // A writer crashed between ITS rename and manifest store: the
-          // claimed dir exists but its id was never fenced, so this id
-          // collides forever. Skip past it (the store below fences) —
-          // without this every subsequent ingest failed on the same name
-          // until the dir was removed by hand. The orphan dir itself is
-          // an inert leak (in no manifest, never read).
-          case e: java.nio.file.FileSystemException if Files.exists(target) =>
-            id += 1
-        }
-      }
+      val id = PartClaims.claim(tablePath, stagedDir,
+        math.max(cur.version, cur.parts.map(_.partId + 1).foldLeft(0L)(math.max)))
       val meta = metaFor(id)
       store(tablePath,
         Manifest(id + 1, if (append) cur.parts :+ meta else cur.parts))
@@ -991,6 +988,32 @@ object Manifest {
   * stores without lock semantics would need a catalog service instead —
   * documented 100 TB posture (SURVEY §8).
   */
+/** Claim a staged directory as `part_<id>`, starting at `startId` and
+  * skipping past unfenced same-id dirs left by crashed writers (a writer
+  * that died between ITS rename and manifest store leaves a claimed dir
+  * whose id was never fenced — without the skip every later register on
+  * the table fails on the same name until the dir is removed by hand).
+  * ONE implementation shared by both manifest formats' lock-mode
+  * registers; caller must hold the table's manifest lock and must fence
+  * PAST the returned id in the store that follows. The skipped orphan dir
+  * is inert (in no manifest, never read) and ages out of the orphan sweep.
+  */
+private[mergetree] object PartClaims {
+  def claim(tablePath: String, stagedDir: Path, startId: Long): Long = {
+    var id = startId
+    var moved = false
+    while (!moved) {
+      val target = Paths.get(tablePath, s"part_$id")
+      try { Files.move(stagedDir, target); moved = true }
+      catch {
+        case _: java.nio.file.FileSystemException if Files.exists(target) =>
+          id += 1
+      }
+    }
+    id
+  }
+}
+
 private[graft] object ManifestLocks {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def locked[A](tablePath: String)(body: => A): A = {

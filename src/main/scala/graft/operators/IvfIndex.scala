@@ -45,6 +45,13 @@ final class IvfIndex private (
   /** Quantizer size (centroid count) — one read of the tiny sidecar. */
   lazy val nlist: Int = centroids.count().toInt
 
+  /** Vector dimensionality the index was built on — one centroid row.
+    * Serve faces validate query vectors against it: the cosine expression
+    * documents equal lengths as the embedding pipeline's contract, which
+    * ad-hoc (SQL-literal) queries don't get for free.
+    */
+  lazy val dim: Int = centroids.select(col("cv")).first().getSeq[Double](0).size
+
   /** Top-k neighbours per query vector, probing `nprobe` clusters.
     * `queries`: (qid: Long, qv: array<double>). Output:
     * (qid, rnk, vec_id, sim) — the q23/q28 result shape.

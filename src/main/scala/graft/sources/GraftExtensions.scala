@@ -142,8 +142,12 @@ object GraftExtensions {
     require(qEval != null && kEval != null,
       s"$fname: the query and k arguments must not be NULL")
     val query = String.valueOf(qEval)
-    val k = kEval.asInstanceOf[Number].intValue()
-    require(k > 0, s"$fname: k must be positive, got $k")
+    // Range-check BEFORE truncating: Number.intValue silently wraps a
+    // BIGINT k (2^32+5 would run as k=5).
+    val kLong = kEval.asInstanceOf[Number].longValue()
+    require(kLong > 0 && kLong <= Int.MaxValue,
+      s"$fname: k must be in [1, ${Int.MaxValue}], got $kLong")
+    val k = kLong.toInt
     val spark = SparkSession.active
     val dir = resolveTarget(spark, fname, args(0).eval())
     val idx = graft.operators.InvertedIndex.open(spark, dir)
@@ -201,17 +205,32 @@ object GraftExtensions {
         case d: Decimal => d.toDouble
         case n: Number => n.doubleValue()
       }.toSeq
-    val k = kEval.asInstanceOf[Number].intValue()
-    require(k > 0, s"ann_search: k must be positive, got $k")
+    val kLong = kEval.asInstanceOf[Number].longValue()
+    require(kLong > 0 && kLong <= Int.MaxValue,
+      s"ann_search: k must be in [1, ${Int.MaxValue}], got $kLong")
+    val k = kLong.toInt
+    // A SQL-literal vector doesn't get the embedding pipeline's implicit
+    // guarantees: validate dimension (the cosine expression scores the
+    // common PREFIX of unequal arrays — silently wrong neighbours) and
+    // finiteness/norm (a zero or NaN query makes every sim NaN, and NaN
+    // ranks FIRST under a descending sort).
+    require(vec.forall(java.lang.Double.isFinite),
+      "ann_search: query vector must contain only finite values")
+    require(vec.exists(_ != 0.0),
+      "ann_search: query vector must not be all-zero (cosine undefined)")
     val spark = SparkSession.active
     val dir = resolveTarget(spark, "ann_search", args(0).eval())
     val idx = graft.operators.IvfIndex.open(spark, dir)
+    require(vec.length == idx.dim,
+      s"ann_search: query vector has ${vec.length} dims, index was built on ${idx.dim}")
     val nprobe = graft.operators.IvfIndex.autoNprobe(idx.nlist)
+    // The q109/q115 shortlist floor (never below 50), overflow-safe.
+    val shortlist = math.min(Int.MaxValue.toLong, math.max(50L, 4L * k)).toInt
     import org.apache.spark.sql.functions.col
     val queries = spark.createDataFrame(Seq((0L, vec)))
       .select(col("_1").as("qid"), col("_2").as("qv"))
     val df = (if (idx.pqCodebooks.isDefined)
-        idx.searchAdc(queries, k, nprobe, shortlist = 4 * k, excludeSelf = false)
+        idx.searchAdc(queries, k, nprobe, shortlist, excludeSelf = false)
       else idx.search(queries, k, nprobe, excludeSelf = false))
       .select(col("rnk"), col("vec_id"), col("sim"))
     val schema = StructType.fromDDL("rnk INT, vec_id BIGINT, sim DOUBLE")

@@ -182,5 +182,14 @@ class IvfIndexSpec extends AnyFunSuite {
       "SQL neighbours must match the API ranking")
     intercept[Exception](spark.sql(
       s"SELECT * FROM ann_search('$path', $lit, 0)").collect())
+    // ad-hoc SQL vectors don't get the embedding pipeline's guarantees:
+    // wrong dimension, zero vector, and a BIGINT k that would wrap to a
+    // small int must all fail loudly, never return plausible garbage
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_search('$path', array(1.0D, 2.0D), 3)").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_search('$path', array(${qv.map(_ => "0.0D").mkString(", ")}), 3)").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_search('$path', $lit, 4294967301)").collect())
   }
 }
