@@ -2492,6 +2492,121 @@ object PipelineQueries {
       |  CAST(sum(CASE WHEN rn > 1 THEN length(c) ELSE 0 END) AS BIGINT) AS removed_chars
       |FROM mk GROUP BY source ORDER BY source""".stripMargin
 
+  /** Q121 — MULTILINGUAL boilerplate removal (q108's remove-from-EVERY-doc
+    * semantics under the mixed tokenizer, zh slice, per-source): 10-token
+    * chunks of the mixed array whose document frequency reaches 2 are
+    * boilerplate everywhere they appear (threshold 2, not q108's 3 — the
+    * per-slice df distribution is thinner than the whole corpus's, and a
+    * threshold that fires keeps the oracle comparison meaningful). Same
+    * digest-keyed shuffle shape as q108/q120: both the df aggregate and
+    * the join back key on the 8-byte chunk digest, removed_chars folds to
+    * a length map-side, the chunk text never crosses an exchange.
+    */
+  def q121MultilingualBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.operators.InvertedIndex.mixedTokens(col("text"))
+    val nch = (size(ws) / lit(10)).cast("int")
+    val chunks = when(nch >= 1,
+      transform(sequence(lit(1), nch),
+        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
+      .otherwise(array())
+    val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
+      .select(col("source"), col("doc_id"), explode(chunks).as("c"))
+      .select(col("source"), col("doc_id"),
+        xxhash64(col("c")).as("ch"), length(col("c")).cast("long").as("clen"))
+    val dfc = inst.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    inst.join(dfc.withColumn("boiler", col("df") >= 2).drop("df"), Seq("ch"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("boiler_chunks"),
+        sum(when(col("boiler"), col("clen")).otherwise(0L)).as("removed_chars"),
+        countDistinct(when(col("boiler"), col("doc_id"))).as("docs_affected"))
+      .orderBy(col("source"))
+  }
+
+  val q121Sql: String =
+    s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
+      |toks AS (
+      |  SELECT source, doc_id, $MixedToksSql AS ws FROM zh),
+      |inst AS (
+      |  SELECT source, doc_id,
+      |    array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS c
+      |  FROM (SELECT source, doc_id, ws,
+      |          unnest(generate_series(1, len(ws) // 10)) AS i FROM toks)),
+      |dfc AS (SELECT c, count(DISTINCT doc_id) >= 2 AS boiler
+      |        FROM inst GROUP BY c)
+      |SELECT source, CAST(count(*) AS BIGINT) AS chunks,
+      |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS boiler_chunks,
+      |  CAST(sum(CASE WHEN boiler THEN length(c) ELSE 0 END) AS BIGINT) AS removed_chars,
+      |  CAST(count(DISTINCT CASE WHEN boiler THEN doc_id END) AS BIGINT) AS docs_affected
+      |FROM inst JOIN dfc USING (c)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Q122 — MULTILINGUAL LM-perplexity scoring (q113's CCNet filter under
+    * the mixed tokenizer, zh slice): the add-one-smoothed bigram LM trains
+    * on the slice's own mixed token stream — on real CJK text a "bigram"
+    * is a pair of consecutive character-bigrams, the natural CJK LM unit
+    * without a segmenter — and the worst 15 docs by average per-bigram
+    * log-probability rank out. Same float discipline and map-side bigram
+    * construction as q113; the LM tables are slice-reduced aggregates.
+    */
+  def q122MultilingualLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val arr = graft.operators.InvertedIndex.mixedTokens(col("text"))
+    // size >= 2 BEFORE sequence: Spark's sequence(1, 0) counts DOWN.
+    val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
+      .select(col("doc_id"), arr.as("lst"))
+      .filter(size(col("lst")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("lst")) - 1),
+          i => struct(element_at(col("lst"), i).as("w1"),
+            element_at(col("lst"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c2 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val v = c2.select(col("w1")).distinct().count()
+    val scored = inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log((col("c2") + lit(1.0)) / (col("c1") + lit(v)))
+          * lit(1e6) + lit(0.5)).cast("long").as("lp"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("total_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("total_lp").cast("double") / col("n_bigrams") + lit(0.5))
+          .cast("long").as("avg_lp_micro"))
+    val top = perDoc.orderBy(col("avg_lp_micro").asc, col("doc_id")).limit(15)
+    val w = Window.orderBy(col("avg_lp_micro").asc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_bigrams"), col("avg_lp_micro"))
+      .orderBy(col("rk"))
+  }
+
+  val q122Sql: String =
+    s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
+      |d AS (SELECT doc_id, $MixedToksSql AS lst FROM zh),
+      |inst AS (
+      |  SELECT doc_id, lst[i] AS w1, lst[i+1] AS w2
+      |  FROM d, unnest(generate_series(1, len(lst)-1)) AS s(i)
+      |  WHERE len(lst) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w1) AS v FROM c2),
+      |scored AS (
+      |  SELECT inst.doc_id, CAST(floor(
+      |      ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000.0 + 0.5)
+      |    AS BIGINT) AS lp
+      |  FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |      AS avg_lp_micro
+      |  FROM scored GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY avg_lp_micro, doc_id) AS rk
+      |  FROM per_doc)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_bigrams, avg_lp_micro
+      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+
   /** Q117 — END-TO-END PIPELINE COMPOSITION: the real production sequence
     * a training-data engine exists to run, chained as ONE DataFrame
     * program over the corpus with per-stage accounting rows:
@@ -2864,5 +2979,7 @@ object PipelineQueries {
     ("q117_pipeline_compose", q117PipelineCompose _, Some(q117Sql)),
     ("q118_multilingual_tfidf", q118MultilingualTfidf _, Some(q118Sql)),
     ("q119_multilingual_repetition", q119MultilingualRepetition _, Some(q119Sql)),
-    ("q120_multilingual_chunk_dedup", q120MultilingualChunkDedup _, Some(q120Sql)))
+    ("q120_multilingual_chunk_dedup", q120MultilingualChunkDedup _, Some(q120Sql)),
+    ("q121_multilingual_boilerplate", q121MultilingualBoilerplate _, Some(q121Sql)),
+    ("q122_multilingual_lm_score", q122MultilingualLmScore _, Some(q122Sql)))
 }

@@ -534,7 +534,7 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(removed == totalChunks - distinctChunks)
   }
 
-  test("multilingual cleaning (q118-q120) on REAL CJK text: tfidf, repetition, chunk dedup") {
+  test("multilingual cleaning (q118-q122) on REAL CJK text: tfidf, repetition, dedup, boilerplate, LM") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // The parquet testdata is 100% ASCII (even lang='zh' rows), so the
@@ -582,5 +582,28 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(chunks("s1") == ((2L, 1L, 29L)), s"s1: ${chunks("s1")}")
     // doc 4 has 3 tokens -> no chunk -> s2 absent
     assert(!chunks.contains("s2"), s"got $chunks")
+
+    // q121: boilerplate (df >= 2) removes BOTH copies of the shared chunk
+    // (vs q120's keep-one), 29 chars each.
+    val boiler = PipelineQueries.q121MultilingualBoilerplate(spark, fixDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(boiler("s1") == ((2L, 2L, 58L, 2L)), s"s1: ${boiler("s1")}")
+    assert(!boiler.contains("s2"), s"got $boiler")
+
+    // q122: the mixed-bigram LM scores every zh doc with >= 2 tokens;
+    // identical docs score identically and BEST (every bigram seen twice,
+    // small c1 denominators); the repeated-bigram doc 3 beats the
+    // all-unique mixed-latin doc 4. Exact micro-values hand-checked:
+    // doc1/2 avg = (8·ln(3/13) + ln(3/15))/9, doc3 = ln(3/15) (its c1
+    // folds doc1/2's 数据-prefixed bigrams too), doc4 = ln(2/12).
+    val lm = PipelineQueries.q122MultilingualLmScore(spark, fixDir).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(lm.keySet == Set(1L, 2L, 3L, 4L), s"got ${lm.keySet}")
+    assert(lm(1L) == lm(2L), "identical docs must score identically")
+    assert(lm(1L) == -1482237L && lm(3L) == -1609438L && lm(4L) == -1791759L,
+      s"hand-computed micro-lps must hold: $lm")
+    assert(lm(1L) > lm(3L) && lm(3L) > lm(4L),
+      s"duplicated > repeated-bigram > all-unique ordering: $lm")
   }
 }
