@@ -1875,16 +1875,23 @@ object PipelineQueries {
     * q25 trick) to shuffle 8-byte keys; kept as text here so DuckDB
     * reproduces it exactly.
     */
-  def q99ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ws = tokens
+  /** The non-overlapping 10-token chunk array of a token array — ONE
+    * definition shared by every chunk-granularity operator (q99/q108
+    * latin, q120/q121 mixed), so the segmentation their oracles spell
+    * can never drift between them. sequence(1, 0) would yield the
+    * DESCENDING [1, 0] in Spark, not an empty array (DuckDB's
+    * generate_series(1, 0) IS empty) — short docs are guarded explicitly.
+    */
+  private def chunks10(ws: Column): Column = {
     val nch = (size(ws) / lit(10)).cast("int")
-    // sequence(1, 0) would yield the DESCENDING [1, 0] in Spark, not an
-    // empty array (DuckDB's generate_series(1, 0) IS empty) — guard short
-    // documents explicitly.
-    val chunks = when(nch >= 1,
+    when(nch >= 1,
       transform(sequence(lit(1), nch),
         i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
       .otherwise(array())
+  }
+
+  def q99ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunks10(tokens)
     val inst = docsSpread(spark, dir)
       .select(col("lang"), col("doc_id"), posexplode(chunks).as(Seq("pos", "c")))
     val w = Window.partitionBy(col("c")).orderBy(col("doc_id"), col("pos"))
@@ -1935,12 +1942,7 @@ object PipelineQueries {
     * ~n²/2⁶⁵ odds, the standard content-digest dedup posture.
     */
   def q108Boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val ws = tokens
-    val nch = (size(ws) / lit(10)).cast("int")
-    val chunks = when(nch >= 1,
-      transform(sequence(lit(1), nch),
-        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
-      .otherwise(array())
+    val chunks = chunks10(tokens)
     val inst = docsSpread(spark, dir)
       .select(col("lang"), col("doc_id"), explode(chunks).as("c"))
       .select(col("lang"), col("doc_id"),
@@ -2185,10 +2187,17 @@ object PipelineQueries {
     * instance-side lookup becomes the standard sort-merge LM-scoring join,
     * still aggregate-sized on the build side, never corpus × corpus.
     */
-  def q113LmScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsSpread(spark, dir)
-    val arr = filter(split(lower(col("text")), "[^a-z]+"),
-      t => length(t) >= 3)
+  def q113LmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreWorst15(docsSpread(spark, dir),
+      filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 3))
+
+  /** The q113 add-one-smoothed bigram-LM worst-15 scoring over an
+    * arbitrary documents frame and token-array expression — ONE definition
+    * shared by q113 (latin tokenizer, whole corpus) and q122 (mixed
+    * tokenizer, zh slice), so the smoothing arithmetic and micro-lp
+    * rounding their oracles depend on cannot drift between them.
+    */
+  private def lmScoreWorst15(d: DataFrame, arr: Column): DataFrame = {
     // size >= 2 BEFORE sequence: Spark's sequence(1, 0) counts DOWN.
     val inst = d.select(col("doc_id"), arr.as("lst"))
       .filter(size(col("lst")) >= 2)
@@ -2455,12 +2464,7 @@ object PipelineQueries {
     * because no collision occurs on checked inputs).
     */
   def q120MultilingualChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ws = graft.operators.InvertedIndex.mixedTokens(col("text"))
-    val nch = (size(ws) / lit(10)).cast("int")
-    val chunks = when(nch >= 1,
-      transform(sequence(lit(1), nch),
-        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
-      .otherwise(array())
+    val chunks = chunks10(graft.operators.InvertedIndex.mixedTokens(col("text")))
     val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
       .select(col("source"), col("doc_id"), posexplode(chunks).as(Seq("pos", "c")))
       .select(col("source"), col("doc_id"), col("pos"),
@@ -2503,12 +2507,7 @@ object PipelineQueries {
     * a length map-side, the chunk text never crosses an exchange.
     */
   def q121MultilingualBoilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val ws = graft.operators.InvertedIndex.mixedTokens(col("text"))
-    val nch = (size(ws) / lit(10)).cast("int")
-    val chunks = when(nch >= 1,
-      transform(sequence(lit(1), nch),
-        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
-      .otherwise(array())
+    val chunks = chunks10(graft.operators.InvertedIndex.mixedTokens(col("text")))
     val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
       .select(col("source"), col("doc_id"), explode(chunks).as("c"))
       .select(col("source"), col("doc_id"),
@@ -2551,35 +2550,9 @@ object PipelineQueries {
     * log-probability rank out. Same float discipline and map-side bigram
     * construction as q113; the LM tables are slice-reduced aggregates.
     */
-  def q122MultilingualLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val arr = graft.operators.InvertedIndex.mixedTokens(col("text"))
-    // size >= 2 BEFORE sequence: Spark's sequence(1, 0) counts DOWN.
-    val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
-      .select(col("doc_id"), arr.as("lst"))
-      .filter(size(col("lst")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("lst")) - 1),
-          i => struct(element_at(col("lst"), i).as("w1"),
-            element_at(col("lst"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val c2 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val v = c2.select(col("w1")).distinct().count()
-    val scored = inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col("doc_id"),
-        floor(log((col("c2") + lit(1.0)) / (col("c1") + lit(v)))
-          * lit(1e6) + lit(0.5)).cast("long").as("lp"))
-    val perDoc = scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("total_lp"))
-      .select(col("doc_id"), col("n_bigrams"),
-        floor(col("total_lp").cast("double") / col("n_bigrams") + lit(0.5))
-          .cast("long").as("avg_lp_micro"))
-    val top = perDoc.orderBy(col("avg_lp_micro").asc, col("doc_id")).limit(15)
-    val w = Window.orderBy(col("avg_lp_micro").asc, col("doc_id"))
-    top.withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("rk"), col("doc_id"), col("n_bigrams"), col("avg_lp_micro"))
-      .orderBy(col("rk"))
-  }
+  def q122MultilingualLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreWorst15(docsSpread(spark, dir).filter(col("lang") === "zh"),
+      graft.operators.InvertedIndex.mixedTokens(col("text")))
 
   val q122Sql: String =
     s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
