@@ -2831,11 +2831,19 @@ object PipelineQueries {
     * partitioning. No broadcast of the duplicated set (unbounded at
     * corpus scale), no driver collection.
     */
-  def q116SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q116SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup15(docsSpread(spark, dir), tokens)
+
+  /** The q116 overlapping-window span-dedup accounting over an arbitrary
+    * documents frame and token-array expression — ONE definition shared by
+    * q116 (whitespace tokens, whole corpus) and q123 (mixed tokenizer, zh
+    * slice), so the window geometry and coverage arithmetic their oracles
+    * depend on cannot drift between them.
+    */
+  private def spanDedup15(d: DataFrame, ws: Column): DataFrame = {
     val k = 15
-    val ws = tokens
     val nw = size(ws) - lit(k) + 1
-    val wnd = docsSpread(spark, dir)
+    val wnd = d
       .select(col("doc_id"),
         explode(when(nw >= 1, transform(sequence(lit(1), nw),
             i => struct(i.as("start"),
@@ -2857,7 +2865,7 @@ object PipelineQueries {
       .agg(countDistinct(col("pos")).as("covered_tokens"))
     // n_windows is a per-doc SCALAR (size - k + 1) — computing it from the
     // doc row skips a third full window-explode pass over the corpus.
-    val per = docsSpread(spark, dir)
+    val per = d
       .select(col("doc_id"), nw.cast("long").as("n_windows"))
       .filter(col("n_windows") >= 1)
       .join(dup.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows")),
@@ -2877,6 +2885,52 @@ object PipelineQueries {
   val q116Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wnd AS (
+      |  SELECT doc_id, i AS start,
+      |    array_to_string(ws[i:i+14], ' ') AS w
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 14)) AS i
+      |        FROM toks)),
+      |dupw AS (SELECT w FROM wnd GROUP BY w
+      |         HAVING count(DISTINCT doc_id) >= 2),
+      |dup AS (SELECT wnd.doc_id, wnd.start FROM wnd JOIN dupw USING (w)),
+      |cov AS (
+      |  SELECT doc_id, count(DISTINCT pos) AS covered_tokens
+      |  FROM (SELECT doc_id, unnest(generate_series(start, start + 14)) AS pos
+      |        FROM dup) GROUP BY doc_id),
+      |per AS (
+      |  SELECT w.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(coalesce(any_value(d.dup_windows), 0) AS BIGINT) AS dup_windows,
+      |    CAST(coalesce(any_value(cov.covered_tokens), 0) AS BIGINT) AS covered_tokens
+      |  FROM wnd w
+      |    LEFT JOIN (SELECT doc_id, count(*) AS dup_windows
+      |               FROM dup GROUP BY doc_id) d ON d.doc_id = w.doc_id
+      |    LEFT JOIN cov ON cov.doc_id = w.doc_id
+      |  GROUP BY w.doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY covered_tokens DESC, doc_id) AS rk
+      |  FROM per)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_windows, dup_windows,
+      |  covered_tokens
+      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+
+  /** Q123 — MULTILINGUAL span dedup (q116's ExactSubstr signal under the
+    * mixed tokenizer, zh slice): overlapping 15-token windows of the mixed
+    * array occurring verbatim in ≥ 2 docs mark their positions. On real
+    * CJK text a window is 15 consecutive character-bigrams ≈ a 16-char
+    * verbatim span — the shifted-copy-resistant dedup granularity the
+    * latin windower reduces to nothing. Same digest-keyed shuffles and
+    * map-side coverage explosion as q116 (shared [[spanDedup15]]).
+    */
+  def q123MultilingualSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup15(docsSpread(spark, dir).filter(col("lang") === "zh"),
+      graft.operators.InvertedIndex.mixedTokens(col("text")))
+
+  val q123Sql: String =
+    s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
+      |toks AS (
+      |  SELECT doc_id, $MixedToksSql AS ws FROM zh),
       |wnd AS (
       |  SELECT doc_id, i AS start,
       |    array_to_string(ws[i:i+14], ' ') AS w
@@ -2954,5 +3008,6 @@ object PipelineQueries {
     ("q119_multilingual_repetition", q119MultilingualRepetition _, Some(q119Sql)),
     ("q120_multilingual_chunk_dedup", q120MultilingualChunkDedup _, Some(q120Sql)),
     ("q121_multilingual_boilerplate", q121MultilingualBoilerplate _, Some(q121Sql)),
-    ("q122_multilingual_lm_score", q122MultilingualLmScore _, Some(q122Sql)))
+    ("q122_multilingual_lm_score", q122MultilingualLmScore _, Some(q122Sql)),
+    ("q123_multilingual_span_dedup", q123MultilingualSpanDedup _, Some(q123Sql)))
 }

@@ -534,7 +534,7 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(removed == totalChunks - distinctChunks)
   }
 
-  test("multilingual cleaning (q118-q122) on REAL CJK text: tfidf, repetition, dedup, boilerplate, LM") {
+  test("multilingual cleaning (q118-q123) on REAL CJK text: tfidf, repetition, dedup, boilerplate, LM, spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // The parquet testdata is 100% ASCII (even lang='zh' rows), so the
@@ -605,5 +605,23 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"hand-computed micro-lps must hold: $lm")
     assert(lm(1L) > lm(3L) && lm(3L) > lm(4L),
       s"duplicated > repeated-bigram > all-unique ordering: $lm")
+
+    // q123 span dedup needs >= 15-token windows — a SEPARATE fixture with
+    // an 18-char Han run (17 bigrams -> 3 windows) duplicated across two
+    // docs, so the exact-LM fixtures above stay hand-checkable.
+    val spanDir = java.nio.file.Files.createTempDirectory("ml_span_").toString
+    Seq(
+      (6L, "人工智能模型在大规模数据集上训练良好", "zh", "s3"),
+      (7L, "人工智能模型在大规模数据集上训练良好", "zh", "s3"),
+      (8L, "短文", "zh", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$spanDir/documents.parquet")
+    val spans = PipelineQueries.q123MultilingualSpanDedup(spark, spanDir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 17 bigrams -> 3 overlapping windows, all duplicated verbatim in the
+    // twin doc -> every one of the 17 positions covered; the 2-char doc
+    // has no window and is absent.
+    assert(spans == Map(6L -> ((3L, 3L, 17L)), 7L -> ((3L, 3L, 17L))),
+      s"got $spans")
   }
 }
