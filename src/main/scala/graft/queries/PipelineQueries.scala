@@ -2316,7 +2316,7 @@ object PipelineQueries {
 
   /** DuckDB spelling of [[graft.operators.InvertedIndex.mixedTokens]] over
     * the `text` column — ONE definition shared by every multilingual
-    * cleaning oracle (q118–q120), so the tokenizer the cross-engine parity
+    * cleaning oracle (q118–q123), so the tokenizer the cross-engine parity
     * depends on cannot drift between them (q114 predates this constant and
     * spells the identical expression inline).
     */
@@ -2882,10 +2882,13 @@ object PipelineQueries {
       .orderBy(col("rk"))
   }
 
-  val q116Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |wnd AS (
+  /** The q116 window/dup/coverage SQL downstream of a `toks(doc_id, ws)`
+    * CTE — ONE spelling shared by q116Sql (whitespace tokens, whole
+    * corpus) and q123Sql (mixed tokenizer, zh slice), the SQL twin of
+    * [[spanDedup15]]: the k=15 geometry can't drift between the oracles.
+    */
+  private val SpanDedupSqlSuffix: String =
+    """wnd AS (
       |  SELECT doc_id, i AS start,
       |    array_to_string(ws[i:i+14], ' ') AS w
       |  FROM (SELECT doc_id, ws,
@@ -2914,6 +2917,11 @@ object PipelineQueries {
       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_windows, dup_windows,
       |  covered_tokens
       |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+
+  val q116Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |""".stripMargin + SpanDedupSqlSuffix
 
   /** Q123 — MULTILINGUAL span dedup (q116's ExactSubstr signal under the
     * mixed tokenizer, zh slice): overlapping 15-token windows of the mixed
@@ -2931,35 +2939,7 @@ object PipelineQueries {
     s"""WITH zh AS (SELECT * FROM documents WHERE lang = 'zh'),
       |toks AS (
       |  SELECT doc_id, $MixedToksSql AS ws FROM zh),
-      |wnd AS (
-      |  SELECT doc_id, i AS start,
-      |    array_to_string(ws[i:i+14], ' ') AS w
-      |  FROM (SELECT doc_id, ws,
-      |          unnest(generate_series(1, len(ws) - 14)) AS i
-      |        FROM toks)),
-      |dupw AS (SELECT w FROM wnd GROUP BY w
-      |         HAVING count(DISTINCT doc_id) >= 2),
-      |dup AS (SELECT wnd.doc_id, wnd.start FROM wnd JOIN dupw USING (w)),
-      |cov AS (
-      |  SELECT doc_id, count(DISTINCT pos) AS covered_tokens
-      |  FROM (SELECT doc_id, unnest(generate_series(start, start + 14)) AS pos
-      |        FROM dup) GROUP BY doc_id),
-      |per AS (
-      |  SELECT w.doc_id,
-      |    CAST(count(*) AS BIGINT) AS n_windows,
-      |    CAST(coalesce(any_value(d.dup_windows), 0) AS BIGINT) AS dup_windows,
-      |    CAST(coalesce(any_value(cov.covered_tokens), 0) AS BIGINT) AS covered_tokens
-      |  FROM wnd w
-      |    LEFT JOIN (SELECT doc_id, count(*) AS dup_windows
-      |               FROM dup GROUP BY doc_id) d ON d.doc_id = w.doc_id
-      |    LEFT JOIN cov ON cov.doc_id = w.doc_id
-      |  GROUP BY w.doc_id),
-      |ranked AS (
-      |  SELECT *, row_number() OVER (ORDER BY covered_tokens DESC, doc_id) AS rk
-      |  FROM per)
-      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_windows, dup_windows,
-      |  covered_tokens
-      |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
+      |""".stripMargin + SpanDedupSqlSuffix
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
