@@ -15,6 +15,16 @@ object QCheck {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       println(f"QCHECK $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
+    // Dump the requested names' oracle SQL so tools/oracle_check.py can
+    // compare a QCheck subset directly (same artifact Verify writes).
+    locally {
+      import org.json4s.DefaultFormats
+      import org.json4s.jackson.Serialization
+      val oj = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, "oracle_sql.json"),
+        Serialization.write(oj)(DefaultFormats))
+    }
     spark.stop()
   }
 }

@@ -2349,15 +2349,19 @@ object PipelineQueries {
     */
   def q118MultilingualTfidf(spark: SparkSession, dir: String): DataFrame = {
     val zh = docsSpread(spark, dir).filter(col("lang") === "zh")
-    val nDocs = docs(spark, dir).filter(col("lang") === "zh")
-      .select(countDistinct(col("doc_id"))).first().getLong(0)
     val terms = zh.select(col("doc_id"),
       explode(graft.operators.InvertedIndex.mixedTokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+    // nDocs folds out of the SAME tf aggregate (a 1-row broadcast, deduped
+    // against tf's exchange by ReuseExchange) instead of a second driver
+    // scan of the corpus slice — the q110 stats-job discipline. Semantics:
+    // nDocs counts documents with ≥ 1 surviving token (the docs idf can
+    // ever rank); spelled identically in the oracle's `n` CTE.
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
-        floor(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0))
+        floor(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))
           * lit(1000000.0) + lit(0.5)))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rk", row_number().over(w))
@@ -2375,7 +2379,7 @@ object PipelineQueries {
       |tf AS (
       |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM zh),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
       |scored AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
       |    CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))
