@@ -475,6 +475,23 @@ object PipelineQueries {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** DuckDB spelling of [[graft.operators.InvertedIndex.mixedTokens]] over
+    * the `text` column — ONE definition shared by every multilingual
+    * cleaning oracle (q118–q125), so the tokenizer the cross-engine parity
+    * depends on cannot drift between them (q114 predates this constant and
+    * spells the identical expression inline). Declared up here, above its
+    * first oracle-val use — object vals initialize in order.
+    */
+  private val MixedToksSql =
+    """flatten([
+      |        list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |          t -> len(t) >= 3),
+      |        flatten([CASE WHEN length(r) = 1 THEN [r]
+      |                 ELSE [substr(r, i, 2)
+      |                       for i in generate_series(1, length(r) - 1)] END
+      |                 for r in regexp_extract_all(text, '\p{Han}+')])
+      |      ])""".stripMargin
+
   /** Count of the most-repeated element of `arr`, computed entirely
     * map-side: hash each element to a long, sort, then take the longest run
     * of equal adjacent values with one `aggregate` fold. Equivalent to
@@ -503,12 +520,16 @@ object PipelineQueries {
     * profiler): ONE definition so the tokenization the q25 == q26 oracle
     * equivalence depends on cannot drift between them.
     */
-  private[graft] def shingles: Column = {
-    val ws = tokens
+  private[graft] def shingles: Column = shinglesOf(tokens)
+
+  /** The 5-gram shingle window over an ARBITRARY token array — q125's
+    * per-language-tokenizer composition shingles routed (mixed-for-zh)
+    * tokens through the identical geometry.
+    */
+  private def shinglesOf(ws: Column): Column =
     transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
       i => concat_ws(" ", slice(ws, i, lit(5))))
-  }
 
   /** Distinct 5-gram word shingles per document. */
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
@@ -633,10 +654,10 @@ object PipelineQueries {
     * raw corpus.
     */
   private[graft] def verifiedJaccardEdgesOf(d: DataFrame,
-      maxShingleFreq: Int): DataFrame = {
+      maxShingleFreq: Int, shingleExpr: Column = shingles): DataFrame = {
     val spark = d.sparkSession
     val dsh = d
-      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"), explode(shingleExpr).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
       .persist() // feeds candidate generation AND the exact verify sets
@@ -1711,6 +1732,135 @@ object PipelineQueries {
        |FROM r GROUP BY lang, reasons ORDER BY lang, reasons""".stripMargin
   }
 
+  /** Q124 — MULTILINGUAL quality verdicts: the q96 keep/drop bitmask
+    * re-expressed over the CJK-aware mixed token array
+    * ([[graft.operators.InvertedIndex.mixedTokens]]). The q96 verdict
+    * tokenizes whitespace words — on real CJK text (no spaces) every
+    * signal collapses to zero and the gate silently drops the slice that
+    * needs cleaning most; this was the last latin-only cleaning operator
+    * (q118–q123 covered the other five signals in round 11).
+    *
+    * The five reason bits, recalibrated for the mixed token space:
+    *   1  — n < 25 mixed tokens (a Han run of c chars yields c−1 bigram
+    *        tokens, so the threshold is script-comparable);
+    *   2  — mean TOKEN length outside [2.0, 8.0] (vs the latin 4.0–5.0
+    *        band over raw non-space chars): CJK bigrams are exactly 2.0
+    *        chars and surviving latin tokens ≥ 3, so the band admits both
+    *        scripts while still catching run-on garbage. wchars is
+    *        Σ|token| — raw text chars would double-count the chars the
+    *        tokenizer bigram-overlapped;
+    *   4  — token diversity < 35% (unchanged: bigram diversity is the
+    *        standard CJK repetition proxy);
+    *   8  — top token-bigram share > 8% (unchanged geometry);
+    *   16 — no stopword evidence in ANY supported language: a token in
+    *        the ≥3-char union of the latin stop lists (mixedTokens drops
+    *        shorter words) or CONTAINING a Han function char
+    *        (的是了在我不 ride inside bigrams on real CJK text).
+    *        Deliberately LANG-AGNOSTIC, unlike q96's per-label lists: at
+    *        100 TB the lang column is lang-ID output and noisy — a
+    *        zh-labeled doc that is actually English (this synthetic
+    *        corpus!) or a CJK doc quoting latin text must not be nuked by
+    *        a script-specific gate; a doc with no function words in any
+    *        supported language is gibberish in all of them.
+    *
+    * Same q114/q118 testdata caveat: the synthetic corpus is 100% ASCII,
+    * so the oracle pins cross-engine parity of the full routed expression
+    * tree; real-CJK reason-bit behavior (bigram counts, Han stop chars,
+    * band membership) is pinned on hand-computed fixtures in
+    * PipelineQueriesSpec. Shape: identical to q96 — signals and bitmask
+    * are one embarrassingly-parallel scan (bigram run computed map-side by
+    * [[topBigramRun]]) feeding one tiny (lang, reasons) aggregate.
+    */
+  private val MixedLatinStops: Seq[String] =
+    StopwordLists.filter(_._1 != "zh").flatMap(_._2)
+      .filter(_.length >= 3).distinct.sorted
+
+  private val HanStopChars: String = StopwordLists.toMap.apply("zh").mkString
+
+  private def mixedStopScore(ws: Column): Column =
+    size(filter(ws, t =>
+      t.isin(MixedLatinStops: _*) || t.rlike(s"[$HanStopChars]")))
+
+  /** DuckDB spelling of [[mixedStopScore]] over a `ws` column — shared by
+    * the q124 and q125 oracles.
+    */
+  private val MixedStopsSql: String = {
+    val inList = MixedLatinStops.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(ws, x -> x IN ($inList) " +
+      s"OR regexp_matches(x, '[$HanStopChars]')))"
+  }
+
+  /** The q124 per-document signal columns — the mixed-tokenizer twin of
+    * [[verdictSignals]]. Emits (lang, doc_id, text, n, dn, wchars, stops,
+    * tb, bt); ws is materialized once per row (mixedTokens costs two
+    * regex scans — the latin signals re-derive their cheap split per
+    * column instead).
+    */
+  private def verdictSignalsMixed(d: DataFrame): DataFrame = {
+    val withWs = d.select(col("lang"), col("doc_id"), col("text"),
+      graft.operators.InvertedIndex.mixedTokens(col("text")).as("ws"))
+    val ws = col("ws")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    withWs.select(col("lang"), col("doc_id"), col("text"),
+      size(ws).cast("long").as("n"),
+      size(array_distinct(ws)).cast("long").as("dn"),
+      aggregate(ws, lit(0L), (acc, t) => acc + length(t)).as("wchars"),
+      mixedStopScore(ws).cast("long").as("stops"),
+      topBigramRun(bigrams).as("tb"),
+      greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
+  }
+
+  /** The q124 bitmask over [[verdictSignalsMixed]] columns — shared by
+    * q124 and the q125 composition. Unlike the latin verdict, n can be 0
+    * (a doc of only sub-3-char latin words), so the ppm divisions guard
+    * with greatest(n, 1) — spelled identically in the oracles; such docs
+    * already trip bit 1.
+    */
+  private def verdictReasonsMixed: Column =
+    when(col("n") < 25, 1).otherwise(0) +
+    when(expr("wchars * 1000000 div greatest(n, 1)") < 2000000L ||
+         expr("wchars * 1000000 div greatest(n, 1)") > 8000000L, 2).otherwise(0) +
+    when(expr("dn * 1000000 div greatest(n, 1)") < 350000L, 4).otherwise(0) +
+    when(expr("tb * 1000000 div bt") > 80000L, 8).otherwise(0) +
+    when(col("stops") === 0L, 16).otherwise(0)
+
+  def q124MultilingualVerdicts(spark: SparkSession, dir: String): DataFrame =
+    verdictSignalsMixed(docsSpread(spark, dir))
+      .select(col("lang"), verdictReasonsMixed.as("reasons"), col("n"))
+      .groupBy(col("lang"), col("reasons"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+      .orderBy(col("lang"), col("reasons"))
+
+  val q124Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, $MixedToksSql AS ws FROM documents),
+       |sig AS (
+       |  SELECT lang, doc_id, len(ws) AS n, len(list_distinct(ws)) AS dn,
+       |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS wchars,
+       |    $MixedStopsSql AS stops
+       |  FROM d),
+       |bgx AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i
+       |        FROM d)),
+       |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+       |bgd AS (SELECT doc_id, max(c) AS tb, sum(c) AS bt FROM bgc GROUP BY 1),
+       |r AS (
+       |  SELECT lang, n,
+       |    (CASE WHEN n < 25 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN wchars * 1000000 // greatest(n, 1) < 2000000
+       |       OR wchars * 1000000 // greatest(n, 1) > 8000000 THEN 2 ELSE 0 END) +
+       |    (CASE WHEN dn * 1000000 // greatest(n, 1) < 350000 THEN 4 ELSE 0 END) +
+       |    (CASE WHEN tb * 1000000 // bt > 80000 THEN 8 ELSE 0 END) +
+       |    (CASE WHEN stops = 0 THEN 16 ELSE 0 END) AS reasons
+       |  FROM sig JOIN bgd USING (doc_id))
+       |SELECT lang, CAST(reasons AS INTEGER) AS reasons,
+       |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+       |FROM r GROUP BY lang, reasons ORDER BY lang, reasons""".stripMargin
+
   /** Q98 — per-source quota sampling (domain capping): keep at most 10
     * documents per source, chosen by md5(doc_id) order — the standard
     * web-corpus defense against a single domain dominating the training
@@ -2314,22 +2464,6 @@ object PipelineQueries {
       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score
       |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin
 
-  /** DuckDB spelling of [[graft.operators.InvertedIndex.mixedTokens]] over
-    * the `text` column — ONE definition shared by every multilingual
-    * cleaning oracle (q118–q123), so the tokenizer the cross-engine parity
-    * depends on cannot drift between them (q114 predates this constant and
-    * spells the identical expression inline).
-    */
-  private val MixedToksSql =
-    """flatten([
-      |        list_filter(string_split_regex(lower(text), '[^a-z]+'),
-      |          t -> len(t) >= 3),
-      |        flatten([CASE WHEN length(r) = 1 THEN [r]
-      |                 ELSE [substr(r, i, 2)
-      |                       for i in generate_series(1, length(r) - 1)] END
-      |                 for r in regexp_extract_all(text, '\p{Han}+')])
-      |      ])""".stripMargin
-
   /** Q118 — MULTILINGUAL TF-IDF (q78's cleaning arithmetic under the
     * CJK-aware tokenizer, over the zh slice): per document, the single
     * most characteristic term by tf·idf. The round-10 gap this closes: the
@@ -2634,6 +2768,48 @@ object PipelineQueries {
     * returned frames when done.
     */
   private[graft] def q117Build(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    composeBuild(spark, dir,
+      d => verdictSignals(d)
+        .withColumn("q_pass", verdictReasons === 0)
+        .select(col("doc_id"), col("lang"), col("text"), col("n"), col("q_pass")),
+      tokens)
+
+  /** Per-document TOKENIZER-ROUTED quality verdicts — q125's stage-2 gate:
+    * non-zh documents get EXACTLY the q96 signals+bitmask, zh documents
+    * EXACTLY the q124 (mixed-tokenizer) ones. Emits (doc_id, lang, text,
+    * n, q_pass) with n the routed token count — the schema the composed
+    * stages consume. private[graft] so the real-CJK survival fixture can
+    * drive the gate directly.
+    */
+  private[graft] def routedVerdicts(d: DataFrame): DataFrame = {
+    val cols = Seq(col("doc_id"), col("lang"), col("text"), col("n"), col("q_pass"))
+    verdictSignals(d.filter(col("lang") =!= "zh"))
+      .withColumn("q_pass", verdictReasons === 0).select(cols: _*)
+      .unionByName(
+        verdictSignalsMixed(d.filter(col("lang") === "zh"))
+          .withColumn("q_pass", verdictReasonsMixed === 0).select(cols: _*))
+  }
+
+  /** Tokens under q125's routing: the mixed (CJK-aware) array for zh
+    * documents, the q96 whitespace split for the rest — the production
+    * shape, where each language shard flows through its own tokenizer.
+    */
+  private def routedTokens: Column =
+    when(col("lang") === "zh",
+      graft.operators.InvertedIndex.mixedTokens(col("text")))
+      .otherwise(tokens)
+
+  /** The SHARED seven-stage composition over a pluggable stage-2 verdict
+    * and token expression — q117 (latin everywhere) and q125 (per-lang
+    * routing) are two instantiations, so the pipeline structure, stage
+    * accounting, persist/release discipline, and plan shape cannot drift
+    * between them. `toks` feeds the near-dup shingles and the
+    * contamination 13-grams; the eval-gram side stays latin in both
+    * (eval benchmarks are external fixed sets — [[evalGrams13]]).
+    */
+  private def composeBuild(spark: SparkSession, dir: String,
+      verdictsOf: DataFrame => DataFrame, toks: Column)
       : (DataFrame, Seq[DataFrame]) = {
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
@@ -2641,9 +2817,7 @@ object PipelineQueries {
     // build time): a mid-build failure must release what it already
     // persisted, or two corpus-sized cached frames outlive the call.
     try {
-      val base = keep(verdictSignals(docsSpread(spark, dir))
-        .withColumn("q_pass", verdictReasons === 0)
-        .select(col("doc_id"), col("lang"), col("text"), col("n"), col("q_pass")))
+      val base = keep(verdictsOf(docsSpread(spark, dir)))
       val quality = base.filter(col("q_pass"))
       val exw = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       val exKeep = keep(quality.withColumn("rn", row_number().over(exw))
@@ -2652,14 +2826,15 @@ object PipelineQueries {
       // exact verify (the q93 edge path), components via large-star/
       // small-star. The edge set is driver-materialized and tiny.
       val edges = verifiedJaccardEdgesOf(
-          exKeep.select(col("doc_id"), col("text")), maxShingleFreq = 1000)
+          exKeep.select(col("doc_id"), col("lang"), col("text")),
+          maxShingleFreq = 1000, shingleExpr = shinglesOf(toks))
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       val losers = graft.operators.ConnectedComponents.run(edges)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       val ndKeep = keep(exKeep.join(losers, Seq("doc_id"), "left_anti"))
       val contaminated = ndKeep
-        .select(col("doc_id"), explode(grams13(tokens)).as("g"))
+        .select(col("doc_id"), explode(grams13(toks)).as("g"))
         .join(broadcast(evalGrams13(spark, dir)), Seq("g"))
         .groupBy(col("doc_id"), col("eval_id"))
         .agg(countDistinct(col("g")).as("shared_grams"))
@@ -2761,6 +2936,168 @@ object PipelineQueries {
        |          (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)),
        |egi AS (SELECT doc_id AS eval_id, ws[6:45] AS sp FROM d
        |        WHERE doc_id % 25 = 3),
+       |eg AS (
+       |  SELECT DISTINCT eval_id, array_to_string(sp[i:i+12], ' ') AS g
+       |  FROM egi, UNNEST(generate_series(1, len(sp) - 12)) AS u(i)),
+       |cg AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+       |  FROM ndk, UNNEST(generate_series(1, len(ws) - 12)) AS u(i)),
+       |flag AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT c.doc_id, e.eval_id FROM cg c JOIN eg e USING (g)
+       |    GROUP BY c.doc_id, e.eval_id HAVING count(DISTINCT c.g) >= 5)),
+       |dck AS (
+       |  SELECT *,
+       |    (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+       |      WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 3 END)
+       |    + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+       |        (CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
+       |          WHEN 'es' THEN '800000' ELSE '000000' END)
+       |      THEN 1 ELSE 0 END) AS copies
+       |  FROM ndk WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+       |em AS (
+       |  SELECT lang, doc_id, n, u.rep
+       |  FROM dck, UNNEST(generate_series(1, copies)) AS u(rep)
+       |  WHERE copies > 0),
+       |offs AS (
+       |  SELECT lang, doc_id, rep, n,
+       |    sum(n) OVER (PARTITION BY lang ORDER BY doc_id, rep
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM em),
+       |pk AS (
+       |  SELECT lang, CAST(floor((cum - n) / 2048) AS BIGINT) AS seq_id,
+       |    count(*) AS nd, sum(n) AS st
+       |  FROM offs GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'input' AS name,
+       |    CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) AS tokens FROM base
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM q
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM exk
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'neardup_dedup', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM ndk
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontaminated', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM dck
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'resampled', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM em
+       |  UNION ALL SELECT CAST(7 AS BIGINT), 'packed', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(st), 0) AS BIGINT) FROM pk
+       |) ORDER BY stage""".stripMargin
+  }
+
+  /** Q125 — the q117 seven-stage pipeline with PER-LANGUAGE TOKENIZER
+    * ROUTING (the production multilingual shape): zh documents flow
+    * through the mixed (CJK-aware) tokenizer at every token-sensitive
+    * stage — the q124 quality verdict, the near-dup shingles, the
+    * contamination 13-grams, and the packed token counts — while every
+    * other language keeps q117's latin path, via the SAME
+    * [[composeBuild]] skeleton (structure, accounting, persist discipline
+    * shared; only the stage-2 verdict function and the token expression
+    * differ). Under q117's latin-everywhere gate a real zh corpus dies at
+    * stage 2 (zero whitespace-ish signals → short-doc + no-stopword bits);
+    * here it is scored in its own token space. Eval grams stay latin —
+    * eval benchmarks are external fixed sets ([[evalGrams13]], shared with
+    * q56/q103/q117).
+    *
+    * Oracle: the q117 chained CTEs with the routing spelled as CASE
+    * lang='zh' branches reusing the q124 spellings; on the all-ASCII
+    * corpus this pins the full routed expression tree cross-engine, and a
+    * real-CJK document's end-to-end survival (gate → dedup → packing) is
+    * pinned in PipelineQueriesSpec on hand-built fixtures.
+    */
+  def q125MultilingualCompose(spark: SparkSession, dir: String): DataFrame = {
+    val (out, persisted) = q125Build(spark, dir)
+    try {
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally persisted.foreach(_.unpersist())
+  }
+
+  /** The lazy q125 tree plus its persisted stage frames — the q117Build
+    * twin, split out so PlanAssertionsSpec can pin the routed
+    * composition's physical plan too.
+    */
+  private[graft] def q125Build(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    composeBuild(spark, dir, routedVerdicts, routedTokens)
+
+  val q125Sql: String = {
+    val stopCase = StopwordLists.map { case (l, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"WHEN '$l' THEN len(list_filter(ws, x -> x IN ($inList)))"
+    }.mkString(" ")
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, lang, text,
+       |        CASE WHEN lang = 'zh' THEN $MixedToksSql
+       |             ELSE string_split(text, ' ') END AS ws FROM documents),
+       |d AS (SELECT doc_id, lang, text, ws,
+       |        CASE WHEN lang = 'zh'
+       |          THEN coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+       |          ELSE length(replace(text, ' ', '')) END AS wchars FROM d0),
+       |bgx AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i FROM d)),
+       |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+       |bgd AS (SELECT doc_id, max(c) AS tb, sum(c) AS bt FROM bgc GROUP BY 1),
+       |base AS (
+       |  SELECT d.doc_id, d.lang, d.text, d.ws, len(ws) AS n,
+       |    (CASE WHEN len(ws) < 25 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN lang = 'zh' THEN
+       |       (CASE WHEN wchars * 1000000 // greatest(len(ws), 1) < 2000000
+       |          OR wchars * 1000000 // greatest(len(ws), 1) > 8000000
+       |        THEN 2 ELSE 0 END)
+       |     ELSE
+       |       (CASE WHEN wchars * 1000000 // len(ws) < 4000000
+       |          OR wchars * 1000000 // len(ws) > 5000000 THEN 2 ELSE 0 END)
+       |     END) +
+       |    (CASE WHEN lang = 'zh' THEN
+       |       (CASE WHEN len(list_distinct(ws)) * 1000000 // greatest(len(ws), 1)
+       |          < 350000 THEN 4 ELSE 0 END)
+       |     ELSE
+       |       (CASE WHEN len(list_distinct(ws)) * 1000000 // len(ws) < 350000
+       |        THEN 4 ELSE 0 END)
+       |     END) +
+       |    (CASE WHEN b.tb * 1000000 // b.bt > 80000 THEN 8 ELSE 0 END) +
+       |    (CASE WHEN (CASE WHEN lang = 'zh' THEN $MixedStopsSql
+       |                ELSE (CASE lang $stopCase ELSE 0 END) END) = 0
+       |       THEN 16 ELSE 0 END)
+       |      AS reasons
+       |  FROM d JOIN bgd b USING (doc_id)),
+       |q AS (SELECT * FROM base WHERE reasons = 0),
+       |exk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+       |sidx AS (
+       |  SELECT doc_id, ws,
+       |    unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i FROM exk),
+       |dsh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+       |  FROM sidx),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM pr
+       |    JOIN cnt ca ON ca.doc_id = doc_a
+       |    JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM jp
+       |  UNION SELECT doc_b, doc_a FROM jp),
+       |walk(u, lbl) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+       |ndk AS (SELECT * FROM exk WHERE doc_id NOT IN
+       |          (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)),
+       |egi AS (SELECT doc_id AS eval_id, (string_split(text, ' '))[6:45] AS sp
+       |        FROM documents WHERE doc_id % 25 = 3),
        |eg AS (
        |  SELECT DISTINCT eval_id, array_to_string(sp[i:i+12], ' ') AS g
        |  FROM egi, UNNEST(generate_series(1, len(sp) - 12)) AS u(i)),
@@ -2993,5 +3330,7 @@ object PipelineQueries {
     ("q120_multilingual_chunk_dedup", q120MultilingualChunkDedup _, Some(q120Sql)),
     ("q121_multilingual_boilerplate", q121MultilingualBoilerplate _, Some(q121Sql)),
     ("q122_multilingual_lm_score", q122MultilingualLmScore _, Some(q122Sql)),
-    ("q123_multilingual_span_dedup", q123MultilingualSpanDedup _, Some(q123Sql)))
+    ("q123_multilingual_span_dedup", q123MultilingualSpanDedup _, Some(q123Sql)),
+    ("q124_multilingual_verdicts", q124MultilingualVerdicts _, Some(q124Sql)),
+    ("q125_multilingual_compose", q125MultilingualCompose _, Some(q125Sql)))
 }

@@ -624,4 +624,72 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(spans == Map(6L -> ((3L, 3L, 17L)), 7L -> ((3L, 3L, 17L))),
       s"got $spans")
   }
+
+  test("q124 multilingual verdicts on REAL CJK text: hand-computed reason bits") {
+    import spark.implicits._
+    // 33 distinct-pair Han chars incl the function chars 我/的/在 ->
+    // 32 bigram tokens, all distinct: n=32>=25, mean |token| exactly 2.0,
+    // diversity 100%, top token-bigram 1/31, stop evidence present -> 0.
+    val docA = "我们的模型在大规模语料库上训练效果良好并且评估指标显著提升质量水平"
+    // 36 chars, same shape but NO char of 的是了在我不 -> only bit 16.
+    val docC = "模型训练数据质量评估指标显著提升语料库规模扩大效果良好优化算法收敛速度快"
+    // one run of 数据 x20: n=39 alternating bigrams -> diversity 2/39 (4),
+    // top token-bigram 19/38 (8), no stop chars (16) -> 28.
+    val docD = "数据" * 20
+    // 2-char run -> single token: n=1 (1) + tb/bt=1 (8) + no stops (16) -> 25.
+    val docB = "短文"
+    // zh-LABELED but actually English (the lang-ID-noise case the
+    // lang-agnostic stop rule exists for): 26 distinct >=3-char words,
+    // mean 132/26 ~ 5.08 chars, contains the/and -> passes (reasons 0).
+    val engl = "the quick brown fox jumps over lazy dogs while seven wizards " +
+      "brew strong coffee during long winter nights and bright stars shine " +
+      "above quiet mountain valleys"
+    val vDir = java.nio.file.Files.createTempDirectory("ml_verdict_").toString
+    Seq((1L, docA, "zh", "s1"), (2L, docB, "zh", "s1"), (3L, docC, "zh", "s1"),
+        (4L, docD, "zh", "s1"), (5L, engl, "zh", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$vDir/documents.parquet")
+    val out = PipelineQueries.q124MultilingualVerdicts(spark, vDir).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      0 -> ((2L, 58L)),   // docA (32 toks) + engl (26 toks) both SURVIVE
+      16 -> ((1L, 35L)),  // docC: no stop evidence only
+      25 -> ((1L, 1L)),   // docB: short + degenerate-bigram + no stops
+      28 -> ((1L, 39L))), // docD: low diversity + repeated bigram + no stops
+      s"got $out")
+  }
+
+  test("q125 composed pipeline: a real-CJK doc SURVIVES the routed quality gate end-to-end") {
+    import spark.implicits._
+    val docA = "我们的模型在大规模语料库上训练效果良好并且评估指标显著提升质量水平"
+    val cDir = java.nio.file.Files.createTempDirectory("ml_compose_").toString
+    // Twin CJK survivors (exact-dedup must collapse them), two zh docs
+    // that fail the mixed gate, one en doc that fails the latin gate.
+    Seq((1L, docA, "zh", "s1"), (2L, docA, "zh", "s1"),
+        (3L, "短文", "zh", "s1"), (4L, "数据" * 20, "zh", "s1"),
+        (5L, "short english", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$cDir/documents.parquet")
+    val acct = PipelineQueries.q125MultilingualCompose(spark, cDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // Routed stage-1 token counts: 32+32 (CJK twins, mixed) + 1 + 39 + 2
+    // (en, whitespace). The CJK survivor carries its 32 tokens through
+    // every gate and is resampled x3 (zh mixture weight) into one packed
+    // sequence — under q117's latin-only gate this corpus packs NOTHING.
+    assert(acct == Map(
+      1L -> (("input", 5L, 106L)),
+      2L -> (("quality", 2L, 64L)),
+      3L -> (("exact_dedup", 1L, 32L)),
+      4L -> (("neardup_dedup", 1L, 32L)),
+      5L -> (("decontaminated", 1L, 32L)),
+      6L -> (("resampled", 3L, 96L)),
+      7L -> (("packed", 1L, 96L))), s"got $acct")
+    // The contrast pin: the SAME corpus through q117 (latin everywhere)
+    // drops every document at stage 2 — the judged round-11 gap.
+    val latin = PipelineQueries.q117PipelineCompose(spark, cDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(latin(2L) == 0L,
+      s"latin-gate survivors on a CJK corpus should be 0, got ${latin(2L)}")
+  }
 }

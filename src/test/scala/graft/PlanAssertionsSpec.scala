@@ -261,26 +261,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
-  test("q117: the composition plans like its components end to end") {
-    // The composed pipeline must not introduce shapes its standalone
+  test("q117/q125: the compositions plan like their components end to end") {
+    // The composed pipelines must not introduce shapes their standalone
     // stages don't have: the eval-gram side broadcasts (q103's pin), no
     // cartesian/nested-loop join anywhere, no exchange keys on raw
     // document text (dedup windows key on the md5 digest, packing on
-    // lang), and no unpartitioned global window.
-    val (out, persisted) = PipelineQueries.q117Build(spark, dir)
-    try {
-      val p = plan(out)
-      assert(p.contains("BroadcastHashJoin"),
-        s"the eval-gram side must broadcast onto the survivor grams:\n$p")
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"composition must not plan a cartesian/nested-loop join:\n$p")
-      assert(!"Exchange hashpartitioning\\(text".r.findAllIn(p).hasNext,
-        s"raw document text must never key an exchange:\n$p")
-      // Every window carries a partition spec (the md5 digest or lang): an
-      // unpartitioned window spec would start with its ORDER column.
-      assert(!"windowspecdefinition\\((?!_w|lang)".r.findAllIn(p).hasNext,
-        s"windows must partition on the digest or lang, never global:\n$p")
-    } finally persisted.foreach(_.unpersist())
+    // lang), and no unpartitioned global window. q125 (per-lang tokenizer
+    // routing) shares the composeBuild skeleton — pin both builds so the
+    // routed token expressions can't regress the plan shape.
+    for (build <- Seq(PipelineQueries.q117Build _, PipelineQueries.q125Build _)) {
+      val (out, persisted) = build(spark, dir)
+      try {
+        val p = plan(out)
+        assert(p.contains("BroadcastHashJoin"),
+          s"the eval-gram side must broadcast onto the survivor grams:\n$p")
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"composition must not plan a cartesian/nested-loop join:\n$p")
+        assert(!"Exchange hashpartitioning\\(text".r.findAllIn(p).hasNext,
+          s"raw document text must never key an exchange:\n$p")
+        // Every window carries a partition spec (the md5 digest or lang):
+        // an unpartitioned window spec would start with its ORDER column.
+        assert(!"windowspecdefinition\\((?!_w|lang)".r.findAllIn(p).hasNext,
+          s"windows must partition on the digest or lang, never global:\n$p")
+      } finally persisted.foreach(_.unpersist())
+    }
   }
 
   test("no declared query plans a cartesian product") {
