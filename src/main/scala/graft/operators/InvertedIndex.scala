@@ -295,6 +295,53 @@ final class InvertedIndex private (
 
   /** (planned, total) parts at the last probed scan — pruning visibility. */
   def lastPruning: (Int, Int) = table.lastPruning
+
+  /** Remove documents from the index — the mutation a corpus
+    * `deleteWhere`/TTL/opt-out flow must propagate, or searches keep
+    * serving expunged text forever (rebuilds are the 100 TB-corpus
+    * non-answer). `docIds` is the set of PREVIOUSLY INDEXED ids being
+    * removed from the corpus — the exact mirror of [[append]]'s
+    * new-ids-only contract (ids never indexed would skew n_docs; the
+    * posting rows simply won't exist).
+    *
+    * Because df/avgdl/nDocs are all DERIVED at query time (never frozen
+    * into posting rows), deletion is just: drop the ids' posting rows
+    * (deleteWhere — whole-part drops are O(manifest), partial parts
+    * rewrite concurrently) and decrement the exact-integer totals; every
+    * subsequent search then equals a from-scratch rebuild over the
+    * surviving corpus, bit for bit (spec-pinned). Runs under the same
+    * per-index cross-process lock as [[append]], so concurrent appends
+    * and deletes serialize and the pinned seq always names the snapshot
+    * the totals describe.
+    *
+    * The id set is driver-held (an `isInCollection` predicate): right for
+    * the decontamination/opt-out deletes this serves (bounded by the
+    * flagged set, not the corpus). A corpus-sized purge should rebuild
+    * instead — cheaper than rewriting every part.
+    */
+  def delete(docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "empty delete: pass the removed doc ids")
+    val ids = docIds.distinct
+    InvertedIndex.appendLocked(path) {
+      val st = stats
+      require(ids.size <= st.n_docs,
+        s"deleting ${ids.size} ids from an index of ${st.n_docs} docs — " +
+          "delete() takes previously indexed ids only (the append contract's mirror)")
+      // Totals decrement from the index's OWN postings (one scan of the
+      // posting table — the corpus is never read; a doc indexed with zero
+      // surviving tokens has no rows and decrements only n_docs).
+      val hit = col("doc_id").isInCollection(ids)
+      val r = table.scan().filter(hit).agg(
+        countDistinct(col("doc_id")).as("n"),
+        coalesce(sum(col("tf")), lit(0L)).as("t")).first()
+      val (goneDlDocs, goneDl) = (r.getLong(0), r.getLong(1))
+      table.deleteWhere(hit)
+      val seq = table.snapshots.lastOption
+      updateStats(path)(cur =>
+        InvStats(cur.n_docs - ids.size, cur.n_dl_docs - goneDlDocs,
+          cur.total_dl - goneDl, cur.nbuckets, cur.tokenizer, seq))
+    }
+  }
 }
 
 object InvertedIndex {

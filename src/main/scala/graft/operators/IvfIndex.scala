@@ -193,6 +193,22 @@ final class IvfIndex private (
     // the batch publishes in one manifest update (all-or-nothing).
     table.insertBatch(rows)
   }
+
+  /** Remove vectors from the index — the [[InvertedIndex.delete]] twin for
+    * corpus deletions (deleteWhere/TTL/opt-out must reach the ANN index or
+    * searches keep returning expunged embeddings). The quantizer (and any
+    * PQ codebooks) stay FIXED — the same contract as [[append]]: centroids
+    * never retrain on mutation, so a delete is purely dropping the ids'
+    * rows (whole-part drops O(manifest), partial parts rewrite). Search
+    * equality with a survivors-rebuild is exact whenever every relevant
+    * cluster is probed (sims are true cosines; approximation only moves
+    * recall) — spec-pinned with nprobe = nlist. Driver-held id predicate:
+    * right for bounded opt-out sets; rebuild for corpus-sized purges.
+    */
+  def delete(vecIds: Seq[Long]): Unit = {
+    require(vecIds.nonEmpty, "empty delete: pass the removed vec ids")
+    table.deleteWhere(col("vec_id").isInCollection(vecIds.distinct))
+  }
 }
 
 object IvfIndex {

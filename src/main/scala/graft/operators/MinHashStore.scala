@@ -61,6 +61,35 @@ final class MinHashStore private (val path: String, spark: SparkSession) {
   def appendSignatures(sigs: DataFrame): Unit =
     sigs.write.mode("append").parquet(path)
 
+  /** Remove documents' signatures from the store — the corpus-deletion
+    * mirror of [[append]] (a deleted doc must stop generating candidate
+    * pairs, or the dedup pipeline keeps "colliding" new batches with
+    * expunged text). Signatures are per-document and deterministic, so
+    * dropping a doc's 24 band rows IS a rebuild from the surviving corpus,
+    * exactly (spec-pinned).
+    *
+    * Same SINGLE-WRITER semantics as append (one ingest feed owns a
+    * store): survivors are written to a staging dir, then the store
+    * directory is swapped via two renames. A crash between the renames
+    * leaves the old store at `<path>.delete-old` and the survivors at
+    * either location — both complete and recoverable by hand; a
+    * mid-rename torn state cannot occur (dir renames are atomic on one
+    * filesystem). Multi-writer stores need the MergeTree manifest
+    * protocol, as documented on the class.
+    */
+  def delete(docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "empty delete: pass the removed doc ids")
+    import java.nio.file.{Files, Paths}
+    val staged = path + ".delete-tmp"
+    val old = path + ".delete-old"
+    signatures.filter(!col("doc_id").isInCollection(docIds.distinct))
+      .write.mode("overwrite").parquet(staged)
+    graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(old))
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(staged), Paths.get(path))
+    graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(old))
+  }
+
   /** LSH candidate pairs of a new batch against the store: distinct
     * `(store_id, batch_id)` colliding in at least one band. Self-pairs are
     * excluded so a batch can be safely re-checked after its own `append`.
