@@ -33,13 +33,13 @@ object StreamingIngest {
     * exactly-once (that needs the sink and the offset commit in ONE
     * atomic step); honest posture documented per entry point.
     */
-  private def notYetApplied(checkpointDir: String, batchId: Long): Boolean = {
+  private[graft] def notYetApplied(checkpointDir: String, batchId: Long): Boolean = {
     val f = java.nio.file.Paths.get(checkpointDir, "_graft_applied_batch")
     !java.nio.file.Files.exists(f) ||
       java.nio.file.Files.readString(f).trim.toLong < batchId
   }
 
-  private def recordApplied(checkpointDir: String, batchId: Long): Unit = {
+  private[graft] def recordApplied(checkpointDir: String, batchId: Long): Unit = {
     val dir = java.nio.file.Paths.get(checkpointDir)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, ".applied_", ".tmp")
@@ -191,6 +191,36 @@ object StreamingIngest {
             b.unpersist()
           }
           ()
+        }
+      }
+      .start()
+
+  /** Streaming TEXT-INDEX ingest — the streaming face of the persisted
+    * inverted index (the one store [[dedupedCorpusIngest]]'s family didn't
+    * feed): each micro-batch of NEW documents (doc_id, text — the
+    * [[graft.operators.InvertedIndex.append]] new-ids-only contract)
+    * lands one part per touched bucket plus an exact totals bump, all
+    * under the index's per-index cross-process append lock — the
+    * multi-writer discipline is exactly what makes a streaming feed safe
+    * next to ad-hoc appenders or a second stream. Because df/avgdl/nDocs
+    * are derived at query time, a search after N micro-batches equals a
+    * one-shot build over the same documents bit for bit (spec-pinned).
+    *
+    * Replayed batches are SKIPPED via the applied-batch record
+    * ([[notYetApplied]]): unlike the signature store, an index append is
+    * not harmlessly duplicable — a replay would double the batch's
+    * postings and its totals, corrupting every later ranking.
+    */
+  def indexedCorpusIngest(docsStream: DataFrame,
+                          index: graft.operators.InvertedIndex,
+                          checkpointDir: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty && notYetApplied(checkpointDir, batchId)) {
+          index.append(batch.toDF())
+          recordApplied(checkpointDir, batchId)
         }
       }
       .start()

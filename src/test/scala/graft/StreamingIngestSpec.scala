@@ -274,6 +274,66 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index ingest: search after N micro-batches == one-shot build; replays skipped") {
+    import graft.operators.InvertedIndex
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("dup", "vector", "merge")
+
+    // One-shot reference: the whole corpus in a single build.
+    val oneShotPath = Files.createTempDirectory("inv_oneshot_").toString
+    val oneShot = InvertedIndex.build(spark, corpus, oneShotPath, nbuckets = 8)
+
+    // Streamed: build over the first slice, then feed the rest through
+    // indexedCorpusIngest in three micro-batches.
+    val streamedPath = Files.createTempDirectory("inv_stream_").toString
+    val idx = InvertedIndex.build(spark,
+      corpus.filter(col("doc_id") < 20), streamedPath, nbuckets = 8)
+    val rest = corpus.filter(col("doc_id") >= 20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ckpt = Files.createTempDirectory("inv_stream_ckpt_").toString
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingIngest.indexedCorpusIngest(
+      source.toDF().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      rest.grouped((rest.length + 2) / 3).foreach { batch =>
+        source.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // Equality is exact: per-doc postings are deterministic and
+    // df/avgdl/nDocs derive from totals, which appends bump exactly.
+    val a = idx.search(terms, k = 15).collect().toSeq
+    val b = oneShot.search(terms, k = 15).collect().toSeq
+    assert(a == b, s"streamed index must equal one-shot build:\n$a\nvs\n$b")
+    val (sa, sb) = (InvertedIndex.readStats(streamedPath),
+      InvertedIndex.readStats(oneShotPath))
+    assert((sa.n_docs, sa.n_dl_docs, sa.total_dl) ==
+      ((sb.n_docs, sb.n_dl_docs, sb.total_dl)),
+      s"streamed totals must equal one-shot totals: $sa vs $sb")
+
+    // Replay posture: an index append is NOT harmlessly duplicable (a
+    // replay would double postings and totals), so the sink records the
+    // applied batch id and skips replays. Simulate the crash-replay of
+    // the last micro-batch exactly as foreachBatch would re-deliver it.
+    val lastBatch = 2L
+    assert(!StreamingIngest.notYetApplied(ckpt, lastBatch),
+      "processed batches must be recorded as applied")
+    if (StreamingIngest.notYetApplied(ckpt, lastBatch)) {
+      idx.append(corpus.filter(col("doc_id") >= 20)) // would corrupt
+      StreamingIngest.recordApplied(ckpt, lastBatch)
+    }
+    val sa2 = InvertedIndex.readStats(streamedPath)
+    assert((sa2.n_docs, sa2.n_dl_docs, sa2.total_dl) ==
+      ((sa.n_docs, sa.n_dl_docs, sa.total_dl)),
+      "a replayed batch must not change the index")
+    assert(StreamingIngest.notYetApplied(ckpt, lastBatch + 1),
+      "a genuinely new batch id must still pass the guard")
+    idx.table.shutdown(); oneShot.table.shutdown()
+  }
+
   test("deduped ingest is replay-stable: intra-batch dups resolve before the store check") {
     import graft.operators.MinHashStore
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
