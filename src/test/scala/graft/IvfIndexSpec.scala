@@ -149,6 +149,45 @@ class IvfIndexSpec extends AnyFunSuite {
     idx.table.shutdown()
   }
 
+  test("concurrent ADC appends: both batches land; search == rebuild (multi-writer index)") {
+    // The InvertedIndex twin spec: two appenders race on one index. The
+    // IVF index has NO stats sidecar to read-modify-write — everything
+    // derived lives in the rows and the manifest — so the manifest CAS
+    // alone must make both batches land (a lost batch would shrink
+    // totalRows and drop vectors from every later search).
+    val path = Files.createTempDirectory("ivf_mw_").toString
+    val idx = IvfIndex.buildAdc(spark, vectors.filter(col("vec_id") % 3 === 0),
+      path, nlist = 8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(1, 2).map { m =>
+      new Thread(() =>
+        try idx.append(vectors.filter(col("vec_id") % 3 === m))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must both succeed: ${errs.peek()}")
+    idx.table.refresh()
+    val n = vectors.count()
+    assert(idx.table.totalRows == n,
+      s"both racing batches must land: ${idx.table.totalRows} of $n rows")
+
+    // Search equality with a from-scratch rebuild: nprobe = nlist makes
+    // the IVF path exact brute-force, and a corpus-sized shortlist makes
+    // the ADC re-rank total — quantizer/codebook drift between the two
+    // builds cannot move either answer.
+    val rebuilt = IvfIndex.buildAdc(spark, vectors,
+      Files.createTempDirectory("ivf_mw_full_").toString, nlist = 8)
+    val a = idx.search(queries, k = 5, nprobe = 8).collect().toSeq
+    val b = rebuilt.search(queries, k = 5, nprobe = 8).collect().toSeq
+    assert(a == b, s"post-race IVF search must equal rebuild:\n$a\nvs\n$b")
+    val aa = idx.searchAdc(queries, k = 5, nprobe = 8, shortlist = n.toInt)
+      .collect().toSeq
+    val bb = rebuilt.searchAdc(queries, k = 5, nprobe = 8, shortlist = n.toInt)
+      .collect().toSeq
+    assert(aa == bb, s"post-race ADC search must equal rebuild:\n$aa\nvs\n$bb")
+    idx.table.shutdown(); rebuilt.table.shutdown()
+  }
+
   test("index search equals q28 (same quantizer) and survives reopen") {
     val path = Files.createTempDirectory("ivf2_").toString
     val idx = IvfIndex.build(spark, vectors, path, nlist = 8)
