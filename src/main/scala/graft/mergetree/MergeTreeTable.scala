@@ -356,9 +356,10 @@ final class MergeTreeTable private (
     */
   def query(startKey: String, endKey: String): Dataset[KVRow] = {
     import spark.implicits._
-    localScan(Some((startKey, endKey))).getOrElse(
-      dedupSort(unionScan(Some((startKey, endKey)))
-        .filter(col("key") >= lit(startKey) && col("key") <= lit(endKey)))
+    val range = Some((startKey, endKey))
+    localScan(range).getOrElse(
+      dedupSort(unionScan(range)
+        .filter(col("key") >= lit(startKey) && col("key") <= lit(endKey)), range)
         .as[KVRow])
   }
 
@@ -372,7 +373,7 @@ final class MergeTreeTable private (
     */
   def fullScan(): Dataset[KVRow] = {
     import spark.implicits._
-    localScan(None).getOrElse(dedupSort(unionScan(None)).as[KVRow])
+    localScan(None).getOrElse(dedupSort(unionScan(None), None).as[KVRow])
   }
 
   /** Raw (pre-dedup) view of parts ∪ memtable, for diagnostics. */
@@ -522,11 +523,63 @@ final class MergeTreeTable private (
     * max() is a partial-aggregable function → map-side combine, no skew
     * hazard beyond the natural key distribution.
     */
-  private def dedupSort(df: DataFrame): DataFrame =
-    df.groupBy(col("key"), col("timestamp"))
+  /** (key,ts) dedup keeping max(value), globally (key,ts)-sorted — in ONE
+    * exchange. The naive `groupBy …; orderBy …` pays TWO exchanges over the
+    * same rows (hash for the agg, then range for the sort, the latter with
+    * a sampling pass that re-executes the scan). Instead: range-partition
+    * FIRST — `RangePartitioning(key, ts)` co-locates equal (key,ts) tuples
+    * just as well as hashing does and satisfies the aggregate's clustering
+    * requirement, so the `groupBy` planner inserts no second exchange —
+    * then a partition-local sort restores the global (key,ts) order the
+    * range partitioning already established across partitions. The whole
+    * pipeline stays in Tungsten codegen; each range partition dedups and
+    * sorts independently at any scale. Partition count comes from the
+    * sparse index (cached footer row-group bounds — `rangeSplits`), sizing
+    * each sort to ~128k rows instead of fixing 32 tasks; when footers are
+    * unreadable the stock two-exchange shape serves as fallback (rare, and
+    * small results take `localScan` anyway).
+    */
+  private def dedupSort(df: DataFrame, range: Option[(String, String)]): DataFrame = {
+    val nParts = rangePartitionCount(range)
+    if (nParts <= 0)
+      return df.groupBy(col("key"), col("timestamp"))
+        .agg(max(col("value")).as("value"))
+        .select(col("key"), col("value"), col("timestamp"))
+        .orderBy(col("key"), col("timestamp"))
+    df.repartitionByRange(nParts, col("key"), col("timestamp"))
+      .groupBy(col("key"), col("timestamp"))
       .agg(max(col("value")).as("value"))
       .select(col("key"), col("value"), col("timestamp"))
-      .orderBy(col("key"), col("timestamp"))
+      .sortWithinPartitions(col("key"), col("timestamp"))
+  }
+
+  /** Range-exchange partition count sized from the sparse index (cached
+    * footer row-group bounds over the pruned part set) — O(row groups)
+    * driver work, zero data reads — so each range partition dedups and
+    * sorts ~128k rows instead of spreading a medium scan over a fixed 32
+    * tasks (or cramming a huge one into them). Row groups without key
+    * stats count fully (never under-size). 0 when any live part's footers
+    * are unreadable: the caller falls back to the stock shape rather than
+    * guess.
+    */
+  private def rangePartitionCount(range: Option[(String, String)]): Int = {
+    val live = lock.synchronized(range match {
+      case Some((s, e)) => manifest.parts.filter(_.overlapsRange(s, e))
+      case None         => manifest.parts
+    })
+    if (live.isEmpty) return 1
+    val bounds = live.map(p => granuleBoundsOf(p.partId))
+    if (bounds.exists(_.isEmpty)) return 0
+    val total = bounds.iterator.flatMap(_.get).map { case (lo, hi, rows) =>
+      val overlaps = lo == null || hi == null || (range match {
+        case Some((s, e)) => !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
+        case None         => true
+      })
+      if (overlaps) rows else 0L
+    }.sum
+    val targetPer = 128 * 1024L
+    math.min(math.max(1L, (total + targetPer - 1) / targetPer), 1 << 20).toInt
+  }
 
   // ----------------------------------------------------------- maintenance
 
