@@ -224,11 +224,21 @@ object Bench {
       record(s"${b}_build", Seq(if (ok) t else -1.0))
     }
 
-    // Between entries: System.gc() lets Spark's ContextCleaner release
-    // accumulated shuffle files / broadcasts (r9 verdict: ~124 entries of
-    // same-JVM state inflated the heavy tail 10-30× vs isolated probes —
-    // q108 read 14.9 s in-sweep, 1.1 s isolated).
-    def cleared(): Unit = { System.gc(); Thread.sleep(50) }
+    // Between entries: drop every cached plan an entry may have left behind
+    // (clearCache is cheap when nothing is cached), then System.gc() so
+    // Spark's ContextCleaner can release accumulated shuffle files /
+    // broadcasts (r9 verdict: ~124 entries of same-JVM state inflated the
+    // heavy tail 10-30× vs isolated probes — q108 read 14.9 s in-sweep,
+    // 1.1 s isolated). The r11 driver re-run showed the one-gc+50ms drain
+    // works on a quiet host and fails on a contended one (q25 4.7×
+    // sweep/iso): under contention the cleaner thread falls behind and the
+    // backlog compounds across entries. Hence the periodic deep quiesce
+    // below — a longer drain every 16 entries bounds the backlog instead
+    // of hoping one short one keeps up.
+    def cleared(): Unit = {
+      Try(spark.catalog.clearCache())
+      System.gc(); Thread.sleep(50)
+    }
 
     // Deep quiesce between the workloads/builds and the sweep: the 1M
     // workload and six index builds leave old-gen garbage + async cleaner
@@ -237,24 +247,31 @@ object Bench {
     // q101 sweep median 4.4× its iso probe).
     (1 to 3).foreach { _ => System.gc(); Thread.sleep(300) }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      cleared()
-      val t = statTimeSecChecked(name) {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      name -> t
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i > 0 && i % 16 == 0) (1 to 2).foreach { _ => System.gc(); Thread.sleep(300) }
+        cleared()
+        val t = statTimeSecChecked(name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        name -> t
     }
 
-    // Isolated re-probe of the heavy tail: the 10 slowest sweep entries
-    // re-measure after a full GC quiesce — `<name>_iso` in the raw arrays
-    // is the steady-state number to read regressions from; a sweep median
-    // far above its _iso says context contamination, not a slow operator.
-    // Each probe is WARMED with one untimed run first (r10 verdict task 7:
-    // cold iso probes read HIGHER than their sweep medians — q26/q39 — so
-    // the two columns weren't comparable in either direction; with the
-    // warm-up both measure steady state and sweep≫iso means contamination).
-    val heavy = results.sortBy(-_._2._2).take(10).map(_._1)
+    // Isolated re-probe of the heavy tail: every sweep entry with a median
+    // over 1 s (at minimum the 10 slowest, at most 20 — those dominate the
+    // total) re-measures after a full GC quiesce — `<name>_iso` in the raw
+    // arrays is the steady-state number to read regressions from; a sweep
+    // median far above its _iso says context contamination, not a slow
+    // operator. Each probe is WARMED with one untimed run first (r10
+    // verdict task 7: cold iso probes read HIGHER than their sweep medians
+    // — q26/q39 — so the two columns weren't comparable in either
+    // direction; with the warm-up both measure steady state and sweep≫iso
+    // means contamination).
+    val bySweep = results.filter(_._2._2 > 0).sortBy(-_._2._2)
+    val heavy = bySweep.take(math.min(20,
+      math.max(10, bySweep.count(_._2._2 > 1.0)))).map(_._1)
     heavy.foreach { name =>
+      Try(spark.catalog.clearCache())
       System.gc(); Thread.sleep(500)
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop")
         .mode("overwrite").save()
@@ -324,6 +341,16 @@ object Bench {
     // from the headline totals (a crash must not LOWER the total).
     val total = results.map(_._2._1).filter(_ > 0).sum
     val totalMed = results.map(_._2._2).filter(_ > 0).sum
+    // Steady-state total: the round-over-round comparison number. Each
+    // heavy entry contributes its warmed ISOLATED median (immune to sweep
+    // context: the r11 driver re-run moved the sweep total 67→87 s on
+    // quiesce-failure noise alone while every iso median held); light
+    // entries (sub-second, never contaminated enough to matter) contribute
+    // their sweep median. Compare total_steady across rounds; treat
+    // total/total_median as the smoke-test columns.
+    val totalSteady = results.map { case (name, (_, md)) =>
+      rawRuns.get(s"${name}_iso").map(medianOf).filter(_ > 0).getOrElse(md)
+    }.filter(_ > 0).sum
     val base = (ref50, ref1m) match {
       case (Some((i5, q5)), Some((i1, q1))) =>
         s""","baseline":{"ref_ingest_50k":$i5,"ref_scan_50k":$q5,"ref_ingest_1m":$i1,"ref_scan_1m":$q1}"""
@@ -342,13 +369,17 @@ object Bench {
     }
     val worstIso = if (isoRatios.isEmpty) ("none", 0.0)
       else isoRatios.maxBy(_._2)
-    val notes = "sweep entries run after a System.gc() quiesce; *_iso = " +
-      "post-sweep isolated re-probe of the 10 slowest, WARMED once before " +
-      "timing (steady state both columns); *_build = one-time index/table " +
-      "construction incl. one serve; -1.0 = crashed entry (excluded from " +
-      "totals and ratios); " +
+    val notes = "sweep entries run after a clearCache+System.gc() quiesce " +
+      "(deep quiesce every 16 entries); *_iso = post-sweep isolated " +
+      "re-probe of every >1s entry (min 10, max 20), WARMED once before " +
+      "timing (steady state both columns); total_steady = iso medians for " +
+      "probed entries + sweep medians for the rest — the round-over-round " +
+      "HEADLINE (sweep totals are the smoke test; they move on quiesce " +
+      "luck under host contention, iso medians do not); *_build = one-time " +
+      "index/table construction incl. one serve; -1.0 = crashed entry " +
+      "(excluded from totals and ratios); " +
       f"worst sweep/iso median ratio: ${worstIso._1} ${worstIso._2}%.2f"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"notes":"$notes"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_steady":$totalSteady,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"notes":"$notes"}"""
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the
     // 2 KB cap): persist the full line in-repo so rounds stay comparable.
