@@ -258,18 +258,22 @@ object Bench {
     }
 
     // Isolated re-probe of the heavy tail: every sweep entry with a median
-    // over 1 s (at minimum the 10 slowest, at most 20 — those dominate the
-    // total) re-measures after a full GC quiesce — `<name>_iso` in the raw
-    // arrays is the steady-state number to read regressions from; a sweep
-    // median far above its _iso says context contamination, not a slow
-    // operator. Each probe is WARMED with one untimed run first (r10
-    // verdict task 7: cold iso probes read HIGHER than their sweep medians
-    // — q26/q39 — so the two columns weren't comparable in either
+    // over 0.5 s (at minimum the 10 slowest, at most 32) re-measures after
+    // a full GC quiesce — `<name>_iso` in the raw arrays is the
+    // steady-state number to read regressions from; a sweep median far
+    // above its _iso says context contamination, not a slow operator. The
+    // 0.5 s threshold bounds total_steady's probe-set churn: an entry
+    // flapping in/out of the probe set contributes iso one round and sweep
+    // the next, so the flap magnitude is capped by how contaminated a
+    // sub-threshold entry can be — small in absolute seconds at 0.5 s,
+    // material at 1 s+. Each probe is WARMED with one untimed run first
+    // (r10 verdict task 7: cold iso probes read HIGHER than their sweep
+    // medians — q26/q39 — so the two columns weren't comparable in either
     // direction; with the warm-up both measure steady state and sweep≫iso
     // means contamination).
     val bySweep = results.filter(_._2._2 > 0).sortBy(-_._2._2)
-    val heavy = bySweep.take(math.min(20,
-      math.max(10, bySweep.count(_._2._2 > 1.0)))).map(_._1)
+    val heavy = bySweep.take(math.min(32,
+      math.max(10, bySweep.count(_._2._2 > 0.5)))).map(_._1)
     heavy.foreach { name =>
       Try(spark.catalog.clearCache())
       System.gc(); Thread.sleep(500)
@@ -371,7 +375,7 @@ object Bench {
       else isoRatios.maxBy(_._2)
     val notes = "sweep entries run after a clearCache+System.gc() quiesce " +
       "(deep quiesce every 16 entries); *_iso = post-sweep isolated " +
-      "re-probe of every >1s entry (min 10, max 20), WARMED once before " +
+      "re-probe of every >0.5s entry (min 10, max 32), WARMED once before " +
       "timing (steady state both columns); total_steady = iso medians for " +
       "probed entries + sweep medians for the rest — the round-over-round " +
       "HEADLINE (sweep totals are the smoke test; they move on quiesce " +

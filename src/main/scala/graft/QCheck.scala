@@ -16,15 +16,9 @@ object QCheck {
       println(f"QCHECK $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
     // Dump the requested names' oracle SQL so tools/oracle_check.py can
-    // compare a QCheck subset directly (same artifact Verify writes).
-    locally {
-      import org.json4s.DefaultFormats
-      import org.json4s.jackson.Serialization
-      val oj = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outDir, "oracle_sql.json"),
-        Serialization.write(oj)(DefaultFormats))
-    }
+    // compare a QCheck subset directly — through Verify's writer, so the
+    // subset artifact is byte-compatible with the driver's full sweep.
+    Verify.writeOracleSql(outDir, Some(names))
     spark.stop()
   }
 }

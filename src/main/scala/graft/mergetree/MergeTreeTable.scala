@@ -568,15 +568,20 @@ final class MergeTreeTable private (
       case None         => manifest.parts
     })
     if (live.isEmpty) return 1
-    val bounds = live.map(p => granuleBoundsOf(p.partId))
-    if (bounds.exists(_.isEmpty)) return 0
-    val total = bounds.iterator.flatMap(_.get).map { case (lo, hi, rows) =>
-      val overlaps = lo == null || hi == null || (range match {
-        case Some((s, e)) => !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
-        case None         => true
-      })
-      if (overlaps) rows else 0L
-    }.sum
+    val total = range match {
+      // Full scan: every row group qualifies, so the manifest row counts
+      // ARE the answer — no footer I/O (O(parts) serial driver reads on a
+      // cold cache) and no footer-readability dependence.
+      case None => live.map(_.rowCount).sum
+      case Some((s, e)) =>
+        val bounds = live.map(p => granuleBoundsOf(p.partId))
+        if (bounds.exists(_.isEmpty)) return 0
+        bounds.iterator.flatMap(_.get).map { case (lo, hi, rows) =>
+          val overlaps = lo == null || hi == null ||
+            !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
+          if (overlaps) rows else 0L
+        }.sum
+    }
     val targetPer = 128 * 1024L
     math.min(math.max(1L, (total + targetPer - 1) / targetPer), 1 << 20).toInt
   }

@@ -288,7 +288,83 @@ final class InvertedIndex private (
         val seq = table.snapshots.lastOption
         updateStats(path)(cur =>
           InvStats(cur.n_docs + batchDocs, cur.n_dl_docs + batchDlDocs,
-            cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq))
+            cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq,
+            cur.stream_batch))
+      }
+    } finally postings.unpersist()
+  }
+
+  /** EXACTLY-ONCE streaming append: [[append]] with a replay guard that
+    * commits ATOMICALLY with the totals bump — the applied batch id rides
+    * inside the stats sidecar's atomic swap (`stream_batch`), which is
+    * already the append's commit point. A guard recorded in a SEPARATE
+    * file (the checkpoint-record pattern the MergeTree sinks use) cannot
+    * be atomic with the append: a crash between the two writes replays a
+    * committed batch and silently doubles its postings and totals — and
+    * unlike a duplicate table part, a doubled posting set is invisible
+    * and unrepairable after the fact.
+    *
+    * Torn-attempt repair: an `_stream_intent` marker (written before the
+    * parts publish, cleared after the stats swap) scopes the one crash
+    * window the guard alone can't classify — parts landed, stats not yet
+    * stamped. On replay with the intent still naming this batch, the
+    * batch's rows are scrubbed (totals were never bumped, so they stay
+    * untouched) and the append redoes cleanly. Steady state pays two tiny
+    * driver file ops per batch, never a verification scan.
+    *
+    * Returns true if the batch was applied, false for an already-applied
+    * replay. One streaming feed per index (batch ids from one checkpoint
+    * lineage — the MinHashStore single-feed posture); ad-hoc [[append]]/
+    * [[delete]] calls interleave safely (they hold the same lock and
+    * PRESERVE `stream_batch`). The scrub holds the batch's doc ids
+    * driver-side — bounded by micro-batch size by construction.
+    */
+  def appendStream(docs: DataFrame, batchId: Long): Boolean = {
+    val st0 = stats
+    if (st0.stream_batch.exists(_ >= batchId)) return false
+    // Posting construction runs OUTSIDE the lock (Spark jobs — don't
+    // serialize them across writers); the lock holder re-checks the guard.
+    val postings0 = buildPostings(docs, st0.nbuckets,
+      st0.tokenizer.getOrElse(Latin))
+    val postings = postings0.withColumn("positions",
+      col("positions").cast(table.schema("positions").dataType)).persist()
+    try {
+      val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+      val (batchDlDocs, batchDl) = postingTotals(postings)
+      InvertedIndex.appendLocked(path) {
+        val st = stats
+        if (st.stream_batch.exists(_ >= batchId)) false
+        else {
+          val dir = java.nio.file.Paths.get(path)
+          val intent = dir.resolve("_stream_intent")
+          if (java.nio.file.Files.exists(intent) && scala.util.Try(
+              java.nio.file.Files.readString(intent).trim.toLong)
+              .toOption.contains(batchId)) {
+            // A prior attempt of THIS batch crashed after possibly landing
+            // its parts but before the stats stamp (stream_batch is still
+            // below batchId): scrub the rows; totals stay untouched.
+            val ids = docs.select(col("doc_id")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            if (ids.nonEmpty)
+              table.deleteWhere(col("doc_id").isInCollection(ids))
+          }
+          val tmp = java.nio.file.Files.createTempFile(dir, ".intent_", ".tmp")
+          java.nio.file.Files.writeString(tmp, batchId.toString)
+          java.nio.file.Files.move(tmp, intent,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          table.insertBatch(postings)
+          val seq = table.snapshots.lastOption
+          updateStats(path)(cur =>
+            InvStats(cur.n_docs + batchDocs, cur.n_dl_docs + batchDlDocs,
+              cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq,
+              Some(batchId)))
+          // Commit happened at the stats swap; a crash before this cleanup
+          // leaves a stale intent the guard neutralizes (applied replays
+          // never reach the repair path).
+          java.nio.file.Files.deleteIfExists(intent)
+          true
+        }
       }
     } finally postings.unpersist()
   }
@@ -339,7 +415,8 @@ final class InvertedIndex private (
       val seq = table.snapshots.lastOption
       updateStats(path)(cur =>
         InvStats(cur.n_docs - ids.size, cur.n_dl_docs - goneDlDocs,
-          cur.total_dl - goneDl, cur.nbuckets, cur.tokenizer, seq))
+          cur.total_dl - goneDl, cur.nbuckets, cur.tokenizer, seq,
+          cur.stream_batch))
     }
   }
 }
@@ -494,10 +571,14 @@ object InvertedIndex {
     * absent (= latin) on indexes built before the mixed path existed;
     * `seq` (the table snapshot these totals describe — what pins
     * searches) is absent on indexes persisted before snapshot pinning.
+    * `stream_batch` is the highest streaming batch id whose append has
+    * COMMITTED (see [[InvertedIndex.appendStream]]) — riding inside the
+    * stats swap makes the totals bump and the replay guard one atomic
+    * write; absent on non-streamed indexes.
     */
   final case class InvStats(n_docs: Long, n_dl_docs: Long, total_dl: Long,
       nbuckets: Int, tokenizer: Option[String] = None,
-      seq: Option[Long] = None)
+      seq: Option[Long] = None, stream_batch: Option[Long] = None)
 
   /** Per-index cross-process append lock (`.index_append.lock`): held
     * across parts-publish + totals-bump so concurrent appends serialize.

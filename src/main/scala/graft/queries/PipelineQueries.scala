@@ -2777,18 +2777,48 @@ object PipelineQueries {
 
   /** Per-document TOKENIZER-ROUTED quality verdicts — q125's stage-2 gate:
     * non-zh documents get EXACTLY the q96 signals+bitmask, zh documents
-    * EXACTLY the q124 (mixed-tokenizer) ones. Emits (doc_id, lang, text,
-    * n, q_pass) with n the routed token count — the schema the composed
-    * stages consume. private[graft] so the real-CJK survival fixture can
-    * drive the gate directly.
+    * EXACTLY the q124 (mixed-tokenizer) ones, in ONE corpus scan: the
+    * routing is per-COLUMN `when(is_zh, …)` over a routed token array, the
+    * same shape the DuckDB oracle spells — not a union of two filtered
+    * scans, which would read the pipeline's most expensive input twice at
+    * the 100 TB posture AND silently drop NULL-lang rows (both
+    * `lang =!= "zh"` and `lang === "zh"` are NULL on them, failing both
+    * filters; `<=>` routes them down the latin path like the oracle's
+    * CASE … ELSE and like q96/q117, which have no lang filter at all —
+    * NULL lang is routine lang-ID output). The n/dn/tb/bt formulas are
+    * identical in both verdicts, so one spelling over the routed array
+    * serves both branches; only wchars and the stop rule route. Emits
+    * (doc_id, lang, text, n, q_pass) with n the routed token count — the
+    * schema the composed stages consume. private[graft] so the real-CJK
+    * survival fixture can drive the gate directly.
     */
   private[graft] def routedVerdicts(d: DataFrame): DataFrame = {
-    val cols = Seq(col("doc_id"), col("lang"), col("text"), col("n"), col("q_pass"))
-    verdictSignals(d.filter(col("lang") =!= "zh"))
-      .withColumn("q_pass", verdictReasons === 0).select(cols: _*)
-      .unionByName(
-        verdictSignalsMixed(d.filter(col("lang") === "zh"))
-          .withColumn("q_pass", verdictReasonsMixed === 0).select(cols: _*))
+    val isZh = col("lang") <=> lit("zh")
+    val withWs = d.select(col("lang"), col("doc_id"), col("text"),
+      isZh.as("is_zh"),
+      when(isZh, graft.operators.InvertedIndex.mixedTokens(col("text")))
+        .otherwise(tokens).as("ws"))
+    val ws = col("ws")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    val latinStops = StopwordLists.foldRight(lit(0): Column) {
+      case ((l, words), acc) =>
+        when(col("lang") === l, stopScore(ws, words)).otherwise(acc)
+    }
+    withWs.select(col("lang"), col("doc_id"), col("text"), col("is_zh"),
+        size(ws).cast("long").as("n"),
+        size(array_distinct(ws)).cast("long").as("dn"),
+        when(col("is_zh"), aggregate(ws, lit(0L), (acc, t) => acc + length(t)))
+          .otherwise(length(regexp_replace(col("text"), " ", "")).cast("long"))
+          .as("wchars"),
+        when(col("is_zh"), mixedStopScore(ws).cast("long"))
+          .otherwise(latinStops.cast("long")).as("stops"),
+        topBigramRun(bigrams).as("tb"),
+        greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n"),
+        when(col("is_zh"), verdictReasonsMixed === 0)
+          .otherwise(verdictReasons === 0).as("q_pass"))
   }
 
   /** Tokens under q125's routing: the mixed (CJK-aware) array for zh

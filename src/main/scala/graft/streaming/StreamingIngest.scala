@@ -206,10 +206,13 @@ object StreamingIngest {
     * are derived at query time, a search after N micro-batches equals a
     * one-shot build over the same documents bit for bit (spec-pinned).
     *
-    * Replayed batches are SKIPPED via the applied-batch record
-    * ([[notYetApplied]]): unlike the signature store, an index append is
-    * not harmlessly duplicable — a replay would double the batch's
-    * postings and its totals, corrupting every later ranking.
+    * Replayed batches are SKIPPED EXACTLY-ONCE via
+    * [[graft.operators.InvertedIndex.appendStream]]: the applied batch id
+    * commits inside the same atomic stats swap as the totals bump, so no
+    * crash point can replay a committed batch (a doubled posting set is
+    * invisible and unrepairable) — unlike the applied-batch FILE record
+    * the MergeTree sinks use, which is only at-least-once-with-visible-
+    * duplicates and is NOT safe for an index append.
     */
   def indexedCorpusIngest(docsStream: DataFrame,
                           index: graft.operators.InvertedIndex,
@@ -218,10 +221,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty && notYetApplied(checkpointDir, batchId)) {
-          index.append(batch.toDF())
-          recordApplied(checkpointDir, batchId)
-        }
+        if (!batch.isEmpty) { index.appendStream(batch.toDF(), batchId); () }
       }
       .start()
 

@@ -315,22 +315,68 @@ class StreamingIngestSpec extends AnyFunSuite {
       s"streamed totals must equal one-shot totals: $sa vs $sb")
 
     // Replay posture: an index append is NOT harmlessly duplicable (a
-    // replay would double postings and totals), so the sink records the
-    // applied batch id and skips replays. Simulate the crash-replay of
-    // the last micro-batch exactly as foreachBatch would re-deliver it.
+    // replay would double postings and totals). The applied batch id
+    // commits INSIDE the stats swap (stream_batch), so replaying the last
+    // micro-batch exactly as foreachBatch would re-deliver it is a no-op
+    // — no crash point between an append and a separate record file can
+    // exist, because there is no separate record file.
     val lastBatch = 2L
-    assert(!StreamingIngest.notYetApplied(ckpt, lastBatch),
-      "processed batches must be recorded as applied")
-    if (StreamingIngest.notYetApplied(ckpt, lastBatch)) {
-      idx.append(corpus.filter(col("doc_id") >= 20)) // would corrupt
-      StreamingIngest.recordApplied(ckpt, lastBatch)
-    }
+    assert(InvertedIndex.readStats(streamedPath).stream_batch.contains(lastBatch),
+      "processed batches must be recorded as applied in the stats sidecar")
+    assert(!idx.appendStream(corpus.filter(col("doc_id") >= 20), lastBatch),
+      "a replayed batch id must be skipped")
     val sa2 = InvertedIndex.readStats(streamedPath)
     assert((sa2.n_docs, sa2.n_dl_docs, sa2.total_dl) ==
       ((sa.n_docs, sa.n_dl_docs, sa.total_dl)),
       "a replayed batch must not change the index")
-    assert(StreamingIngest.notYetApplied(ckpt, lastBatch + 1),
-      "a genuinely new batch id must still pass the guard")
+    idx.table.shutdown(); oneShot.table.shutdown()
+  }
+
+  test("streaming index ingest: torn append attempt repairs on replay (exactly-once)") {
+    import graft.operators.InvertedIndex
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("dup", "vector", "merge")
+
+    // Reference: one-shot build over the full corpus.
+    val oneShotPath = Files.createTempDirectory("inv_torn_ref_").toString
+    val oneShot = InvertedIndex.build(spark, corpus, oneShotPath, nbuckets = 8)
+
+    // Index over the first slice; batch 0 streams in the rest — but a
+    // prior attempt of batch 0 "crashed" after publishing (some of) its
+    // parts and before the stats stamp: simulate by landing posting-shaped
+    // rows for the batch's doc ids straight into the table and leaving the
+    // intent marker behind. The rows' content doesn't matter — the repair
+    // scrubs by doc_id before redoing the batch.
+    val tornPath = Files.createTempDirectory("inv_torn_").toString
+    val idx = InvertedIndex.build(spark,
+      corpus.filter(col("doc_id") < 20), tornPath, nbuckets = 8)
+    val batch = corpus.filter(col("doc_id") >= 20)
+    import spark.implicits._
+    val fakeRows = batch.select(col("doc_id")).distinct().as[Long].collect()
+      .map(id => (id % 8, "torn_garbage", id, 1L, 1L, Seq(0L)))
+    idx.table.insertBatch(spark.createDataset(fakeRows.toSeq)
+      .toDF("bucket", "term", "doc_id", "tf", "dl", "positions"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tornPath, "_stream_intent"), "0")
+
+    // The replay: guard passes (stream_batch absent), intent names batch 0
+    // -> scrub the torn rows, then append cleanly.
+    assert(idx.appendStream(batch, 0L), "the torn batch must re-apply")
+    val a = idx.search(terms, k = 15).collect().toSeq
+    val b = oneShot.search(terms, k = 15).collect().toSeq
+    assert(a == b, s"repaired index must equal one-shot build:\n$a\nvs\n$b")
+    val leftover = idx.table.scan()
+      .filter(col("term") === "torn_garbage").count()
+    assert(leftover == 0L, "torn rows must be scrubbed, not merged")
+    val (sa, sb) = (InvertedIndex.readStats(tornPath),
+      InvertedIndex.readStats(oneShotPath))
+    assert((sa.n_docs, sa.n_dl_docs, sa.total_dl) ==
+      ((sb.n_docs, sb.n_dl_docs, sb.total_dl)),
+      s"repaired totals must equal one-shot totals: $sa vs $sb")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tornPath, "_stream_intent")),
+      "a committed append clears its intent marker")
     idx.table.shutdown(); oneShot.table.shutdown()
   }
 
