@@ -533,11 +533,12 @@ final class MergeTreeTable private (
     * then a partition-local sort restores the global (key,ts) order the
     * range partitioning already established across partitions. The whole
     * pipeline stays in Tungsten codegen; each range partition dedups and
-    * sorts independently at any scale. Partition count comes from the
-    * sparse index (cached footer row-group bounds — `rangeSplits`), sizing
-    * each sort to ~128k rows instead of fixing 32 tasks; when footers are
-    * unreadable the stock two-exchange shape serves as fallback (rare, and
-    * small results take `localScan` anyway).
+    * sorts independently at any scale. Partition count comes from
+    * `rangePartitionCount` (manifest row counts for full scans, sparse-
+    * index bounds for ranged ones), sizing each sort to ~128k rows
+    * instead of fixing 32 tasks; when a ranged scan's footers are
+    * unreadable the stock two-exchange shape serves as fallback (rare,
+    * and small results take `localScan` anyway).
     */
   private def dedupSort(df: DataFrame, range: Option[(String, String)]): DataFrame = {
     val nParts = rangePartitionCount(range)
@@ -553,14 +554,15 @@ final class MergeTreeTable private (
       .sortWithinPartitions(col("key"), col("timestamp"))
   }
 
-  /** Range-exchange partition count sized from the sparse index (cached
-    * footer row-group bounds over the pruned part set) — O(row groups)
-    * driver work, zero data reads — so each range partition dedups and
+  /** Range-exchange partition count: each range partition dedups and
     * sorts ~128k rows instead of spreading a medium scan over a fixed 32
-    * tasks (or cramming a huge one into them). Row groups without key
-    * stats count fully (never under-size). 0 when any live part's footers
-    * are unreadable: the caller falls back to the stock shape rather than
-    * guess.
+    * tasks (or cramming a huge one into them). Full scans (range=None)
+    * answer from manifest row counts — zero I/O, no footer dependence.
+    * Ranged scans size from the sparse index (cached footer row-group
+    * bounds over the pruned part set; O(row groups) driver work, zero
+    * data reads); row groups without key stats count fully (never
+    * under-size), and an unreadable footer returns 0 so the caller falls
+    * back to the stock two-exchange shape rather than guess.
     */
   private def rangePartitionCount(range: Option[(String, String)]): Int = {
     val live = lock.synchronized(range match {

@@ -289,7 +289,7 @@ final class InvertedIndex private (
         updateStats(path)(cur =>
           InvStats(cur.n_docs + batchDocs, cur.n_dl_docs + batchDlDocs,
             cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq,
-            cur.stream_batch))
+            cur.stream_batch, cur.stream_lineage))
       }
     } finally postings.unpersist()
   }
@@ -312,16 +312,25 @@ final class InvertedIndex private (
     * untouched) and the append redoes cleanly. Steady state pays two tiny
     * driver file ops per batch, never a verification scan.
     *
+    * `lineage` names the checkpoint LINEAGE the batch ids come from (the
+    * stable query id in `<checkpoint>/metadata` — NOT the dir path, which
+    * survives a lost-and-recreated checkpoint whose batch ids restart at
+    * 0). The guard only classifies a batch as a replay when the lineage
+    * matches; a new lineage feeding an existing index applies from its
+    * own batch 0 instead of silently discarding every batch below the old
+    * high-water mark. One streaming feed at a time per index (the
+    * MinHashStore single-feed posture); ad-hoc [[append]]/[[delete]]
+    * calls interleave safely (they hold the same lock and PRESERVE the
+    * stream guard fields).
+    *
     * Returns true if the batch was applied, false for an already-applied
-    * replay. One streaming feed per index (batch ids from one checkpoint
-    * lineage — the MinHashStore single-feed posture); ad-hoc [[append]]/
-    * [[delete]] calls interleave safely (they hold the same lock and
-    * PRESERVE `stream_batch`). The scrub holds the batch's doc ids
-    * driver-side — bounded by micro-batch size by construction.
+    * replay.
     */
-  def appendStream(docs: DataFrame, batchId: Long): Boolean = {
+  def appendStream(docs: DataFrame, batchId: Long, lineage: String): Boolean = {
+    def applied(st: InvStats): Boolean =
+      st.stream_lineage.contains(lineage) && st.stream_batch.exists(_ >= batchId)
     val st0 = stats
-    if (st0.stream_batch.exists(_ >= batchId)) return false
+    if (applied(st0)) return false
     // Posting construction runs OUTSIDE the lock (Spark jobs — don't
     // serialize them across writers); the lock holder re-checks the guard.
     val postings0 = buildPostings(docs, st0.nbuckets,
@@ -332,24 +341,32 @@ final class InvertedIndex private (
       val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (batchDlDocs, batchDl) = postingTotals(postings)
       InvertedIndex.appendLocked(path) {
-        val st = stats
-        if (st.stream_batch.exists(_ >= batchId)) false
+        if (applied(stats)) false
         else {
           val dir = java.nio.file.Paths.get(path)
           val intent = dir.resolve("_stream_intent")
+          val marker = s"$lineage:$batchId"
           if (java.nio.file.Files.exists(intent) && scala.util.Try(
-              java.nio.file.Files.readString(intent).trim.toLong)
-              .toOption.contains(batchId)) {
+              java.nio.file.Files.readString(intent).trim)
+              .toOption.contains(marker)) {
             // A prior attempt of THIS batch crashed after possibly landing
-            // its parts but before the stats stamp (stream_batch is still
-            // below batchId): scrub the rows; totals stay untouched.
+            // its parts but before the stats stamp (the guard above says
+            // the stamp never happened): scrub the rows; totals stay
+            // untouched. The scrub holds the batch's doc ids driver-side —
+            // right for trigger-bounded micro-batches; the cap turns a
+            // backlog-sized batch into a diagnosable error instead of a
+            // driver OOM mid-recovery (repair by rebuilding the index).
             val ids = docs.select(col("doc_id")).distinct()
-              .collect().map(_.getLong(0)).toSeq
+              .limit(1000001).collect().map(_.getLong(0)).toSeq
+            require(ids.size <= 1000000,
+              s"torn-batch repair of $marker holds >1e6 doc ids driver-side; " +
+                "rebuild the index from the corpus instead (or bound the " +
+                "stream's batches with maxOffsetsPerTrigger)")
             if (ids.nonEmpty)
               table.deleteWhere(col("doc_id").isInCollection(ids))
           }
           val tmp = java.nio.file.Files.createTempFile(dir, ".intent_", ".tmp")
-          java.nio.file.Files.writeString(tmp, batchId.toString)
+          java.nio.file.Files.writeString(tmp, marker)
           java.nio.file.Files.move(tmp, intent,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -358,7 +375,7 @@ final class InvertedIndex private (
           updateStats(path)(cur =>
             InvStats(cur.n_docs + batchDocs, cur.n_dl_docs + batchDlDocs,
               cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq,
-              Some(batchId)))
+              Some(batchId), Some(lineage)))
           // Commit happened at the stats swap; a crash before this cleanup
           // leaves a stale intent the guard neutralizes (applied replays
           // never reach the repair path).
@@ -416,7 +433,7 @@ final class InvertedIndex private (
       updateStats(path)(cur =>
         InvStats(cur.n_docs - ids.size, cur.n_dl_docs - goneDlDocs,
           cur.total_dl - goneDl, cur.nbuckets, cur.tokenizer, seq,
-          cur.stream_batch))
+          cur.stream_batch, cur.stream_lineage))
     }
   }
 }
@@ -571,14 +588,16 @@ object InvertedIndex {
     * absent (= latin) on indexes built before the mixed path existed;
     * `seq` (the table snapshot these totals describe — what pins
     * searches) is absent on indexes persisted before snapshot pinning.
-    * `stream_batch` is the highest streaming batch id whose append has
-    * COMMITTED (see [[InvertedIndex.appendStream]]) — riding inside the
-    * stats swap makes the totals bump and the replay guard one atomic
-    * write; absent on non-streamed indexes.
+    * `stream_batch`/`stream_lineage` are the highest streaming batch id
+    * whose append has COMMITTED and the checkpoint lineage it belongs to
+    * (see [[InvertedIndex.appendStream]]) — riding inside the stats swap
+    * makes the totals bump and the replay guard one atomic write; absent
+    * on non-streamed indexes.
     */
   final case class InvStats(n_docs: Long, n_dl_docs: Long, total_dl: Long,
       nbuckets: Int, tokenizer: Option[String] = None,
-      seq: Option[Long] = None, stream_batch: Option[Long] = None)
+      seq: Option[Long] = None, stream_batch: Option[Long] = None,
+      stream_lineage: Option[String] = None)
 
   /** Per-index cross-process append lock (`.index_append.lock`): held
     * across parts-publish + totals-bump so concurrent appends serialize.

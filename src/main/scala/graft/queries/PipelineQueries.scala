@@ -1669,24 +1669,43 @@ object PipelineQueries {
     when(expr("tb * 1000000 div bt") > 80000L, 8).otherwise(0) +
     when(col("stops") === 0L, 16).otherwise(0)
 
+  /** THE verdict signal spellings, shared by the latin (q96/q117), mixed
+    * (q124), and routed (q125) verdict paths — the tokenizer-independent
+    * four (n, dn, tb, bt) over any token array plus the per-branch wchars
+    * and stop-rule columns, in the (n, dn, wchars, stops, tb, bt) order
+    * [[verdictReasons]]/[[verdictReasonsMixed]] consume. One spelling:
+    * a threshold-critical tweak lands in every verdict path at once.
+    */
+  private def signalCols(ws: Column, wchars: Column, stops: Column): Seq[Column] = {
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    Seq(size(ws).cast("long").as("n"),
+      size(array_distinct(ws)).cast("long").as("dn"),
+      wchars.cast("long").as("wchars"),
+      stops.cast("long").as("stops"),
+      topBigramRun(bigrams).as("tb"),
+      greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
+  }
+
+  /** Latin wchars: raw non-space chars of the text (the q96 spelling). */
+  private def latinWchars: Column =
+    length(regexp_replace(col("text"), " ", ""))
+
+  /** Latin stop rule: the document's OWN language's stop list (q96). */
+  private def latinStopsOf(ws: Column): Column =
+    StopwordLists.foldRight(lit(0): Column) {
+      case ((l, words), acc) =>
+        when(col("lang") === l, stopScore(ws, words)).otherwise(acc)
+    }
+
   /** The q96 per-document signal columns over a documents frame — shared
     * with q117. Emits (lang, doc_id, text, n, dn, wchars, stops, tb, bt).
     */
   private def verdictSignals(d: DataFrame): DataFrame = {
     val ws = tokens
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(2))))
-    val stops = StopwordLists.foldRight(lit(0): Column) {
-      case ((l, words), acc) => when(col("lang") === l, stopScore(ws, words)).otherwise(acc)
-    }
-    d.select(col("lang"), col("doc_id"), col("text"),
-      size(ws).cast("long").as("n"),
-      size(array_distinct(ws)).cast("long").as("dn"),
-      length(regexp_replace(col("text"), " ", "")).cast("long").as("wchars"),
-      stops.cast("long").as("stops"),
-      topBigramRun(bigrams).as("tb"),
-      greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
+    d.select(Seq(col("lang"), col("doc_id"), col("text")) ++
+      signalCols(ws, latinWchars, latinStopsOf(ws)): _*)
   }
 
   def q96QualityVerdicts(spark: SparkSession, dir: String): DataFrame =
@@ -1790,26 +1809,24 @@ object PipelineQueries {
       s"OR regexp_matches(x, '[$HanStopChars]')))"
   }
 
+  /** Mixed wchars: Σ|token| over the mixed array — raw text chars would
+    * double-count the chars the tokenizer bigram-overlapped (q124).
+    */
+  private def mixedWcharsOf(ws: Column): Column =
+    aggregate(ws, lit(0L), (acc, t) => acc + length(t))
+
   /** The q124 per-document signal columns — the mixed-tokenizer twin of
-    * [[verdictSignals]]. Emits (lang, doc_id, text, n, dn, wchars, stops,
-    * tb, bt); ws is materialized once per row (mixedTokens costs two
-    * regex scans — the latin signals re-derive their cheap split per
-    * column instead).
+    * [[verdictSignals]], through the same [[signalCols]] spellings. Emits
+    * (lang, doc_id, text, n, dn, wchars, stops, tb, bt); ws is
+    * materialized once per row (mixedTokens costs two regex scans — the
+    * latin signals re-derive their cheap split per column instead).
     */
   private def verdictSignalsMixed(d: DataFrame): DataFrame = {
     val withWs = d.select(col("lang"), col("doc_id"), col("text"),
       graft.operators.InvertedIndex.mixedTokens(col("text")).as("ws"))
     val ws = col("ws")
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(2))))
-    withWs.select(col("lang"), col("doc_id"), col("text"),
-      size(ws).cast("long").as("n"),
-      size(array_distinct(ws)).cast("long").as("dn"),
-      aggregate(ws, lit(0L), (acc, t) => acc + length(t)).as("wchars"),
-      mixedStopScore(ws).cast("long").as("stops"),
-      topBigramRun(bigrams).as("tb"),
-      greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
+    withWs.select(Seq(col("lang"), col("doc_id"), col("text")) ++
+      signalCols(ws, mixedWcharsOf(ws), mixedStopScore(ws)): _*)
   }
 
   /** The q124 bitmask over [[verdictSignalsMixed]] columns — shared by
@@ -2799,23 +2816,10 @@ object PipelineQueries {
       when(isZh, graft.operators.InvertedIndex.mixedTokens(col("text")))
         .otherwise(tokens).as("ws"))
     val ws = col("ws")
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(2))))
-    val latinStops = StopwordLists.foldRight(lit(0): Column) {
-      case ((l, words), acc) =>
-        when(col("lang") === l, stopScore(ws, words)).otherwise(acc)
-    }
-    withWs.select(col("lang"), col("doc_id"), col("text"), col("is_zh"),
-        size(ws).cast("long").as("n"),
-        size(array_distinct(ws)).cast("long").as("dn"),
-        when(col("is_zh"), aggregate(ws, lit(0L), (acc, t) => acc + length(t)))
-          .otherwise(length(regexp_replace(col("text"), " ", "")).cast("long"))
-          .as("wchars"),
-        when(col("is_zh"), mixedStopScore(ws).cast("long"))
-          .otherwise(latinStops.cast("long")).as("stops"),
-        topBigramRun(bigrams).as("tb"),
-        greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
+    withWs.select(Seq(col("lang"), col("doc_id"), col("text"), col("is_zh")) ++
+        signalCols(ws,
+          when(col("is_zh"), mixedWcharsOf(ws)).otherwise(latinWchars),
+          when(col("is_zh"), mixedStopScore(ws)).otherwise(latinStopsOf(ws))): _*)
       .select(col("doc_id"), col("lang"), col("text"), col("n"),
         when(col("is_zh"), verdictReasonsMixed === 0)
           .otherwise(verdictReasons === 0).as("q_pass"))

@@ -212,18 +212,30 @@ object StreamingIngest {
     * crash point can replay a committed batch (a doubled posting set is
     * invisible and unrepairable) — unlike the applied-batch FILE record
     * the MergeTree sinks use, which is only at-least-once-with-visible-
-    * duplicates and is NOT safe for an index append.
+    * duplicates and is NOT safe for an index append. The replay guard is
+    * scoped to the checkpoint's stable query id (`<checkpoint>/metadata`),
+    * so a NEW checkpoint lineage pointed at an existing index applies
+    * from its own batch 0 instead of silently discarding batches below
+    * the previous feed's high-water mark.
     */
   def indexedCorpusIngest(docsStream: DataFrame,
                           index: graft.operators.InvertedIndex,
-                          checkpointDir: String): StreamingQuery =
+                          checkpointDir: String): StreamingQuery = {
+    // The metadata file exists before the first batch fires (the stream
+    // writes it at start); read it lazily so the sink closure serializes.
+    lazy val lineage: String = scala.util.Try {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(checkpointDir, "metadata"))
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).get.group(1)
+    }.getOrElse(checkpointDir)
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) { index.appendStream(batch.toDF(), batchId); () }
+        if (!batch.isEmpty) { index.appendStream(batch.toDF(), batchId, lineage); () }
       }
       .start()
+  }
 
   /** Watermarked tumbling-window aggregate per event_type — the streaming
     * analogue of Q18: late data beyond the watermark is dropped, state is

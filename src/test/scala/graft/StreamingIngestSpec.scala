@@ -321,9 +321,11 @@ class StreamingIngestSpec extends AnyFunSuite {
     // — no crash point between an append and a separate record file can
     // exist, because there is no separate record file.
     val lastBatch = 2L
-    assert(InvertedIndex.readStats(streamedPath).stream_batch.contains(lastBatch),
+    val saStats = InvertedIndex.readStats(streamedPath)
+    assert(saStats.stream_batch.contains(lastBatch),
       "processed batches must be recorded as applied in the stats sidecar")
-    assert(!idx.appendStream(corpus.filter(col("doc_id") >= 20), lastBatch),
+    val lin = saStats.stream_lineage.getOrElse(fail("lineage must be recorded"))
+    assert(!idx.appendStream(corpus.filter(col("doc_id") >= 20), lastBatch, lin),
       "a replayed batch id must be skipped")
     val sa2 = InvertedIndex.readStats(streamedPath)
     assert((sa2.n_docs, sa2.n_dl_docs, sa2.total_dl) ==
@@ -351,18 +353,26 @@ class StreamingIngestSpec extends AnyFunSuite {
     val tornPath = Files.createTempDirectory("inv_torn_").toString
     val idx = InvertedIndex.build(spark,
       corpus.filter(col("doc_id") < 20), tornPath, nbuckets = 8)
-    val batch = corpus.filter(col("doc_id") >= 20)
+    val batch = corpus.filter(col("doc_id") >= 20 && col("doc_id") < 40)
     import spark.implicits._
     val fakeRows = batch.select(col("doc_id")).distinct().as[Long].collect()
       .map(id => (id % 8, "torn_garbage", id, 1L, 1L, Seq(0L)))
     idx.table.insertBatch(spark.createDataset(fakeRows.toSeq)
       .toDF("bucket", "term", "doc_id", "tf", "dl", "positions"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tornPath, "_stream_intent"), "0")
+      java.nio.file.Paths.get(tornPath, "_stream_intent"), "feedA:0")
 
-    // The replay: guard passes (stream_batch absent), intent names batch 0
-    // -> scrub the torn rows, then append cleanly.
-    assert(idx.appendStream(batch, 0L), "the torn batch must re-apply")
+    // The replay: guard passes (stream_batch absent), intent names this
+    // lineage's batch 0 -> scrub the torn rows, then append cleanly.
+    assert(idx.appendStream(batch, 0L, "feedA"), "the torn batch must re-apply")
+
+    // A NEW checkpoint lineage pointed at the same index starts at ITS
+    // batch 0 — same number as feedA's committed high-water mark, so a
+    // lineage-blind guard would silently discard it.
+    assert(idx.appendStream(corpus.filter(col("doc_id") >= 40), 0L, "feedB"),
+      "a new lineage's batch 0 must apply, not read as a replay")
+    assert(!idx.appendStream(corpus.filter(col("doc_id") >= 40), 0L, "feedB"),
+      "the new lineage's own replays must still be skipped")
     val a = idx.search(terms, k = 15).collect().toSeq
     val b = oneShot.search(terms, k = 15).collect().toSeq
     assert(a == b, s"repaired index must equal one-shot build:\n$a\nvs\n$b")
