@@ -410,6 +410,7 @@ final class MergeTreeTable private (
       // can overflow negative and wrongly pass the gate).
       if (range.isEmpty) return None
       val (s, e) = range.get
+      prefetchGranuleBounds(live)
       val ests = live.map(p => granuleBoundsOf(p.partId).map {
         _.iterator.map { case (lo, hi, rows) =>
           val overlaps = lo == null || hi == null ||
@@ -472,6 +473,25 @@ final class MergeTreeTable private (
     new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String, Long)]]()
   private val granuleBoundsRetryAt =
     new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  /** Warm the granule-bounds cache for `parts` in PARALLEL before a
+    * serial consumer walks it — a footer read is milliseconds of driver
+    * I/O, so at tens-to-thousands of parts a serial walk puts O(parts)
+    * sequential latency on the query path (both the local-scan gate and
+    * the range-exchange sizing consult this cache; on a fresh table it
+    * starts cold). Same pool idiom as the local part reads below.
+    */
+  private def prefetchGranuleBounds(parts: Seq[PartMetadata]): Unit = {
+    val missing = parts.filter(p => !granuleBoundsCache.containsKey(p.partId))
+    if (missing.sizeIs <= 1) { missing.foreach(p => granuleBoundsOf(p.partId)); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(missing.size, Runtime.getRuntime.availableProcessors()))
+    try {
+      missing.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { granuleBoundsOf(p.partId); () }
+      })).foreach(_.get())
+    } finally pool.shutdown()
+  }
+
   private def granuleBoundsOf(partId: Long): Option[Seq[(String, String, Long)]] =
     Option(granuleBoundsCache.get(partId)).orElse {
       // An unreadable footer must not fail the query — the caller takes
@@ -576,6 +596,7 @@ final class MergeTreeTable private (
       // cold cache) and no footer-readability dependence.
       case None => live.map(_.rowCount).sum
       case Some((s, e)) =>
+        prefetchGranuleBounds(live)
         val bounds = live.map(p => granuleBoundsOf(p.partId))
         if (bounds.exists(_.isEmpty)) return 0
         bounds.iterator.flatMap(_.get).map { case (lo, hi, rows) =>
