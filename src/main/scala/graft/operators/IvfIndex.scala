@@ -194,6 +194,69 @@ final class IvfIndex private (
     table.insertBatch(rows)
   }
 
+  /** EXACTLY-ONCE streaming append — [[InvertedIndex.appendStream]]'s
+    * twin for the ANN index. The data commit is [[append]]'s single
+    * manifest CAS; the replay guard (`_stream_guard`, the "lineage:batch"
+    * of the last committed batch) is its own atomic file write AFTER it —
+    * this index has no stats sidecar to ride (totals derive from rows),
+    * so unlike the text index the guard and the data are two commits, and
+    * the `_stream_intent` marker (written before the CAS, cleared after
+    * the guard advances) scopes the torn window: rows landed, guard not
+    * yet advanced. Replay with the intent naming this batch scrubs the
+    * batch's (new-ids-only) rows and redoes — no crash point double-lands
+    * a batch or loses one.
+    *
+    * The guard is LINEAGE-scoped (the checkpoint's stable query id): a
+    * new checkpoint feeding an existing index applies from its own batch
+    * 0 instead of silently discarding below the old high-water mark. ONE
+    * streaming feed per index: the guard/intent files have a single
+    * writer by contract (a lineage's batches arrive serially from
+    * foreachBatch); ad-hoc [[append]]/[[delete]] calls never touch these
+    * files and stay safe under the manifest CAS (spec-pinned). Returns
+    * true if applied, false for an already-applied replay.
+    */
+  def appendStream(vectors: DataFrame, batchId: Long, lineage: String): Boolean = {
+    val dir = java.nio.file.Paths.get(path)
+    val guard = dir.resolve("_stream_guard")
+    val intent = dir.resolve("_stream_intent")
+    val marker = s"$lineage:$batchId"
+    def atomicWrite(target: java.nio.file.Path, content: String): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(dir, ".stream_", ".tmp")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val applied = java.nio.file.Files.exists(guard) && {
+      val s = scala.util.Try(
+        java.nio.file.Files.readString(guard).trim).getOrElse("")
+      s.startsWith(lineage + ":") && scala.util.Try(
+        s.substring(lineage.length + 1).toLong).toOption.exists(_ >= batchId)
+    }
+    if (applied) return false
+    if (java.nio.file.Files.exists(intent) && scala.util.Try(
+        java.nio.file.Files.readString(intent).trim).toOption.contains(marker)) {
+      // A prior attempt of THIS batch crashed after possibly committing
+      // its rows but before advancing the guard: scrub them (new-ids-only
+      // means these rows can only be that attempt's). Driver-held id set,
+      // capped like the text index's repair — rebuild past the cap.
+      val ids = vectors.select(col("vec_id")).distinct()
+        .limit(1000001).collect().map(_.getLong(0)).toSeq
+      require(ids.size <= 1000000,
+        s"torn-batch repair of $marker holds >1e6 vec ids driver-side; " +
+          "rebuild the index instead (or bound the stream's batches)")
+      if (ids.nonEmpty)
+        table.deleteWhere(col("vec_id").isInCollection(ids))
+    }
+    atomicWrite(intent, marker)
+    append(vectors)
+    atomicWrite(guard, marker)
+    // Guard advanced = committed; a crash before this cleanup leaves a
+    // stale intent the guard neutralizes.
+    java.nio.file.Files.deleteIfExists(intent)
+    true
+  }
+
   /** Remove vectors from the index — the [[InvertedIndex.delete]] twin for
     * corpus deletions (deleteWhere/TTL/opt-out must reach the ANN index or
     * searches keep returning expunged embeddings). The quantizer (and any

@@ -221,14 +221,45 @@ object StreamingIngest {
   def indexedCorpusIngest(docsStream: DataFrame,
                           index: graft.operators.InvertedIndex,
                           checkpointDir: String): StreamingQuery = {
-    // The metadata file exists before the first batch fires (the stream
-    // writes it at start); read it lazily so the sink closure serializes.
-    lazy val lineage: String = scala.util.Try {
-      val s = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(checkpointDir, "metadata"))
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).get.group(1)
-    }.getOrElse(checkpointDir)
+    lazy val lineage = checkpointLineage(checkpointDir)
     docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) { index.appendStream(batch.toDF(), batchId, lineage); () }
+      }
+      .start()
+  }
+
+  /** The checkpoint's stable query id — the LINEAGE the exactly-once
+    * index sinks scope their replay guards by. Stable across restarts of
+    * the same checkpoint; fresh when a checkpoint is lost and recreated
+    * (exactly when batch ids restart at 0 — the dir path alone can't tell
+    * the two apart). The metadata file exists before the first batch
+    * fires (the stream writes it at start); callers read it lazily so the
+    * sink closure serializes.
+    */
+  private def checkpointLineage(checkpointDir: String): String = scala.util.Try {
+    val s = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(checkpointDir, "metadata"))
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).get.group(1)
+  }.getOrElse(checkpointDir)
+
+  /** Streaming ANN-INDEX ingest — [[indexedCorpusIngest]]'s twin for the
+    * IVF/IVFADC index: each micro-batch of NEW vectors (vec_id, v — the
+    * append new-ids-only contract) is assigned to the FIXED centroids and
+    * lands one part per touched cluster in one manifest CAS, with the
+    * replay guard advanced exactly-once by
+    * [[graft.operators.IvfIndex.appendStream]] (lineage-scoped guard file
+    * + torn-attempt intent repair). With this, every persisted index —
+    * signatures, text, ANN — has batch, streaming, delete, and
+    * concurrent-writer faces.
+    */
+  def annCorpusIngest(vecsStream: DataFrame,
+                      index: graft.operators.IvfIndex,
+                      checkpointDir: String): StreamingQuery = {
+    lazy val lineage = checkpointLineage(checkpointDir)
+    vecsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

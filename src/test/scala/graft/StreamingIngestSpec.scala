@@ -390,6 +390,68 @@ class StreamingIngestSpec extends AnyFunSuite {
     idx.table.shutdown(); oneShot.table.shutdown()
   }
 
+  test("streaming ANN ingest: torn attempt repairs, lineages scope, stream == rebuild") {
+    import graft.operators.IvfIndex
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = vectors.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+    val path = Files.createTempDirectory("ivf_stream_").toString
+    val idx = IvfIndex.build(spark,
+      vectors.filter(col("vec_id") < 100), path, nlist = 8)
+
+    // Torn prior attempt of feedA's batch 0 (vec_ids [100, 300)): its
+    // rows "landed" (fake dim-1 rows stand in — the repair scrubs by
+    // vec_id, content never read) but the guard never advanced; the
+    // intent marker names the batch.
+    val batchA = vectors.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+    val fakeIds = batchA.select(col("vec_id")).as[Long].collect()
+    idx.table.insertBatch(
+      spark.createDataset(fakeIds.toSeq.map(id => (id % 8, id, Seq(9.9))))
+        .toDF("cid", "vec_id", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_stream_intent"), "feedA:0")
+    assert(idx.appendStream(batchA, 0L, "feedA"), "the torn batch must re-apply")
+    assert(!idx.appendStream(batchA, 0L, "feedA"), "feedA's replay must skip")
+
+    // The rest arrives through the streaming sink — a DIFFERENT lineage
+    // (the stream's own checkpoint id) whose batch ids also start at 0:
+    // a lineage-blind guard would discard every one of them.
+    val rest = vectors.filter(col("vec_id") >= 300)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val ckpt = Files.createTempDirectory("ivf_stream_ckpt_").toString
+    val source = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingIngest.annCorpusIngest(
+      source.toDF().toDF("vec_id", "v"), idx, ckpt)
+    try {
+      rest.grouped(math.max(1, (rest.length + 1) / 2)).foreach { batch =>
+        source.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    idx.table.refresh()
+    val n = vectors.count()
+    assert(idx.table.totalRows == n,
+      s"every vector must land exactly once: ${idx.table.totalRows} of $n")
+    assert(idx.table.scan().filter(size(col("v")) === 1).count() == 0L,
+      "torn fake rows must be scrubbed, not merged")
+    // nprobe = nlist makes the IVF path exact brute-force, so quantizer
+    // drift between the two builds cannot move either answer.
+    val rebuilt = IvfIndex.build(spark, vectors,
+      Files.createTempDirectory("ivf_stream_full_").toString, nlist = 8)
+    val a = idx.search(queries, k = 5, nprobe = 8).collect().toSeq
+    val b = rebuilt.search(queries, k = 5, nprobe = 8).collect().toSeq
+    assert(a == b, s"streamed index must equal rebuild:\n$a\nvs\n$b")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_stream_intent")),
+      "a committed append clears its intent marker")
+    idx.table.shutdown(); rebuilt.table.shutdown()
+  }
+
   test("deduped ingest is replay-stable: intra-batch dups resolve before the store check") {
     import graft.operators.MinHashStore
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
