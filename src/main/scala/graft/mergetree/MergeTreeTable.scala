@@ -432,18 +432,7 @@ final class MergeTreeTable private (
     // per file, so 50 tiny parts read serially would cost more than the
     // distributed job the short-circuit avoids.
     val partRows: Seq[Seq[KVRow]] =
-      if (live.sizeIs <= 1) live.map(p => LocalPartReader.read(partDir(p.partId), range))
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(live.size, Runtime.getRuntime.availableProcessors()))
-        try {
-          val futs = live.map(p => pool.submit(
-            new java.util.concurrent.Callable[Seq[KVRow]] {
-              def call(): Seq[KVRow] = LocalPartReader.read(partDir(p.partId), range)
-            }))
-          futs.map(_.get())
-        } finally pool.shutdown()
-      }
+      inParallel(live)(p => LocalPartReader.read(partDir(p.partId), range))
     val rows = partRows.iterator.flatten ++ mem.iterator
     // (key, ts) dedup keeping max(value) — same UTF-8 max the distributed
     // path's max() aggregate computes.
@@ -473,23 +462,32 @@ final class MergeTreeTable private (
     new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String, Long)]]()
   private val granuleBoundsRetryAt =
     new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  /** Run `f` over `items` on a bounded pool, results in order — the
+    * driver-side parallel-I/O idiom the local part reads and the footer
+    * prefetch share (parquet-mr reader setup and footer reads are ~ms
+    * each; a serial walk puts O(parts) sequential latency on the query
+    * path).
+    */
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, Runtime.getRuntime.availableProcessors()))
+      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      })).map(_.get())
+      finally pool.shutdown()
+    }
+
   /** Warm the granule-bounds cache for `parts` in PARALLEL before a
-    * serial consumer walks it — a footer read is milliseconds of driver
-    * I/O, so at tens-to-thousands of parts a serial walk puts O(parts)
-    * sequential latency on the query path (both the local-scan gate and
-    * the range-exchange sizing consult this cache; on a fresh table it
-    * starts cold). Same pool idiom as the local part reads below.
+    * serial consumer walks it (both the local-scan gate and the
+    * range-exchange sizing consult this cache; on a fresh table it
+    * starts cold).
     */
   private def prefetchGranuleBounds(parts: Seq[PartMetadata]): Unit = {
     val missing = parts.filter(p => !granuleBoundsCache.containsKey(p.partId))
-    if (missing.sizeIs <= 1) { missing.foreach(p => granuleBoundsOf(p.partId)); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(missing.size, Runtime.getRuntime.availableProcessors()))
-    try {
-      missing.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = { granuleBoundsOf(p.partId); () }
-      })).foreach(_.get())
-    } finally pool.shutdown()
+    inParallel(missing)(p => { granuleBoundsOf(p.partId); () })
+    ()
   }
 
   private def granuleBoundsOf(partId: Long): Option[Seq[(String, String, Long)]] =

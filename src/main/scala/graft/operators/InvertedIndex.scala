@@ -289,7 +289,7 @@ final class InvertedIndex private (
         updateStats(path)(cur =>
           InvStats(cur.n_docs + batchDocs, cur.n_dl_docs + batchDlDocs,
             cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq,
-            cur.stream_batch, cur.stream_lineage))
+            cur.stream_feeds))
       }
     } finally postings.unpersist()
   }
@@ -315,20 +315,25 @@ final class InvertedIndex private (
     * `lineage` names the checkpoint LINEAGE the batch ids come from (the
     * stable query id in `<checkpoint>/metadata` — NOT the dir path, which
     * survives a lost-and-recreated checkpoint whose batch ids restart at
-    * 0). The guard only classifies a batch as a replay when the lineage
-    * matches; a new lineage feeding an existing index applies from its
-    * own batch 0 instead of silently discarding every batch below the old
-    * high-water mark. One streaming feed at a time per index (the
-    * MinHashStore single-feed posture); ad-hoc [[append]]/[[delete]]
-    * calls interleave safely (they hold the same lock and PRESERVE the
-    * stream guard fields).
+    * 0). The guard keeps a PER-LINEAGE high-water mark: a new lineage
+    * feeding an existing index applies from its own batch 0, while an old
+    * lineage's crash-replay after a new feed took over is still
+    * recognized as applied (a single-slot guard would double-apply it).
+    * File reads FAIL CLOSED: an existing-but-unreadable intent or stats
+    * read aborts the batch (foreachBatch retries) rather than risk a
+    * skipped scrub or a double-apply, and a stale intent from a lineage
+    * whose marked batch never committed refuses loudly — that torn
+    * attempt's ids are unknowable here, so the honest repair is a
+    * rebuild. One streaming feed AT A TIME per index (the MinHashStore
+    * single-feed posture); ad-hoc [[append]]/[[delete]] calls interleave
+    * safely (they hold the same lock and PRESERVE the feed map).
     *
     * Returns true if the batch was applied, false for an already-applied
     * replay.
     */
   def appendStream(docs: DataFrame, batchId: Long, lineage: String): Boolean = {
     def applied(st: InvStats): Boolean =
-      st.stream_lineage.contains(lineage) && st.stream_batch.exists(_ >= batchId)
+      st.stream_feeds.exists(_.get(lineage).exists(_ >= batchId))
     val st0 = stats
     if (applied(st0)) return false
     // Posting construction runs OUTSIDE the lock (Spark jobs — don't
@@ -341,29 +346,50 @@ final class InvertedIndex private (
       val batchDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
       val (batchDlDocs, batchDl) = postingTotals(postings)
       InvertedIndex.appendLocked(path) {
-        if (applied(stats)) false
+        val st = stats
+        if (applied(st)) false
         else {
           val dir = java.nio.file.Paths.get(path)
           val intent = dir.resolve("_stream_intent")
           val marker = s"$lineage:$batchId"
-          if (java.nio.file.Files.exists(intent) && scala.util.Try(
-              java.nio.file.Files.readString(intent).trim)
-              .toOption.contains(marker)) {
-            // A prior attempt of THIS batch crashed after possibly landing
-            // its parts but before the stats stamp (the guard above says
-            // the stamp never happened): scrub the rows; totals stay
-            // untouched. The scrub holds the batch's doc ids driver-side —
-            // right for trigger-bounded micro-batches; the cap turns a
-            // backlog-sized batch into a diagnosable error instead of a
-            // driver OOM mid-recovery (repair by rebuilding the index).
-            val ids = docs.select(col("doc_id")).distinct()
-              .limit(1000001).collect().map(_.getLong(0)).toSeq
-            require(ids.size <= 1000000,
-              s"torn-batch repair of $marker holds >1e6 doc ids driver-side; " +
-                "rebuild the index from the corpus instead (or bound the " +
-                "stream's batches with maxOffsetsPerTrigger)")
-            if (ids.nonEmpty)
-              table.deleteWhere(col("doc_id").isInCollection(ids))
+          // NO Try around the read: an existing-but-unreadable intent
+          // must abort the batch (fail closed), never skip the scrub.
+          if (java.nio.file.Files.exists(intent)) {
+            val found = java.nio.file.Files.readString(intent).trim
+            if (found == marker) {
+              // A prior attempt of THIS batch crashed after possibly
+              // landing its parts but before the stats stamp (the guard
+              // above says the stamp never happened): scrub the rows;
+              // totals stay untouched. The scrub holds the batch's doc
+              // ids driver-side — right for trigger-bounded micro-
+              // batches; the cap turns a backlog-sized batch into a
+              // diagnosable error instead of a driver OOM mid-recovery.
+              val ids = docs.select(col("doc_id")).distinct()
+                .limit(1000001).collect().map(_.getLong(0)).toSeq
+              require(ids.size <= 1000000,
+                s"torn-batch repair of $marker holds >1e6 doc ids driver-" +
+                  "side; rebuild the index from the corpus instead (or " +
+                  "bound the stream's batches with maxOffsetsPerTrigger)")
+              if (ids.nonEmpty)
+                table.deleteWhere(col("doc_id").isInCollection(ids))
+            } else {
+              // A DIFFERENT attempt's intent. Covered by the feed map =
+              // stale leftover of a committed batch (crash between the
+              // stats swap and the cleanup) — safe to overwrite. NOT
+              // covered = some other feed's attempt tore and ITS batch
+              // contents are unknowable here: refuse loudly rather than
+              // bury phantom rows under this append.
+              val ci = found.lastIndexOf(':')
+              val covered = ci > 0 && scala.util.Try(
+                  found.substring(ci + 1).toLong).toOption.exists { b =>
+                st.stream_feeds.exists(
+                  _.get(found.substring(0, ci)).exists(_ >= b))
+              }
+              require(covered,
+                s"stale stream intent '$found' names a batch never " +
+                  "committed — a previous feed's append tore and its ids " +
+                  "are unknowable; rebuild the index from the corpus")
+            }
           }
           val tmp = java.nio.file.Files.createTempFile(dir, ".intent_", ".tmp")
           java.nio.file.Files.writeString(tmp, marker)
@@ -375,10 +401,10 @@ final class InvertedIndex private (
           updateStats(path)(cur =>
             InvStats(cur.n_docs + batchDocs, cur.n_dl_docs + batchDlDocs,
               cur.total_dl + batchDl, cur.nbuckets, cur.tokenizer, seq,
-              Some(batchId), Some(lineage)))
+              Some(cur.stream_feeds.getOrElse(Map.empty)
+                .updated(lineage, batchId))))
           // Commit happened at the stats swap; a crash before this cleanup
-          // leaves a stale intent the guard neutralizes (applied replays
-          // never reach the repair path).
+          // leaves a stale intent the feed map marks as covered.
           java.nio.file.Files.deleteIfExists(intent)
           true
         }
@@ -433,7 +459,7 @@ final class InvertedIndex private (
       updateStats(path)(cur =>
         InvStats(cur.n_docs - ids.size, cur.n_dl_docs - goneDlDocs,
           cur.total_dl - goneDl, cur.nbuckets, cur.tokenizer, seq,
-          cur.stream_batch, cur.stream_lineage))
+          cur.stream_feeds))
     }
   }
 }
@@ -588,16 +614,19 @@ object InvertedIndex {
     * absent (= latin) on indexes built before the mixed path existed;
     * `seq` (the table snapshot these totals describe — what pins
     * searches) is absent on indexes persisted before snapshot pinning.
-    * `stream_batch`/`stream_lineage` are the highest streaming batch id
-    * whose append has COMMITTED and the checkpoint lineage it belongs to
-    * (see [[InvertedIndex.appendStream]]) — riding inside the stats swap
-    * makes the totals bump and the replay guard one atomic write; absent
-    * on non-streamed indexes.
+    * `stream_feeds` maps each checkpoint lineage that has ever streamed
+    * into this index to its highest COMMITTED batch id (see
+    * [[InvertedIndex.appendStream]]) — riding inside the stats swap makes
+    * the totals bump and the replay guard one atomic write, and keeping
+    * EVERY lineage's high-water mark (not a single slot) means an old
+    * feed's crash-replay after a new feed took over is still recognized
+    * as applied. Bounded by the number of feeds ever pointed at the
+    * index; absent on non-streamed indexes.
     */
   final case class InvStats(n_docs: Long, n_dl_docs: Long, total_dl: Long,
       nbuckets: Int, tokenizer: Option[String] = None,
-      seq: Option[Long] = None, stream_batch: Option[Long] = None,
-      stream_lineage: Option[String] = None)
+      seq: Option[Long] = None,
+      stream_feeds: Option[Map[String, Long]] = None)
 
   /** Per-index cross-process append lock (`.index_append.lock`): held
     * across parts-publish + totals-bump so concurrent appends serialize.

@@ -206,16 +206,22 @@ final class IvfIndex private (
     * batch's (new-ids-only) rows and redoes — no crash point double-lands
     * a batch or loses one.
     *
-    * The guard is LINEAGE-scoped (the checkpoint's stable query id): a
-    * new checkpoint feeding an existing index applies from its own batch
-    * 0 instead of silently discarding below the old high-water mark. ONE
-    * streaming feed per index: the guard/intent files have a single
-    * writer by contract (a lineage's batches arrive serially from
+    * The guard keeps a PER-LINEAGE high-water-mark map (the checkpoint's
+    * stable query id → last committed batch): a new checkpoint feeding an
+    * existing index applies from its own batch 0, and an old feed's
+    * crash-replay after a new feed took over is still recognized as
+    * applied. File reads fail CLOSED (unreadable guard/intent aborts the
+    * batch; a foreign torn intent refuses with rebuild guidance). ONE
+    * streaming feed AT A TIME per index: the guard/intent files have a
+    * single writer by contract (a lineage's batches arrive serially from
     * foreachBatch); ad-hoc [[append]]/[[delete]] calls never touch these
     * files and stay safe under the manifest CAS (spec-pinned). Returns
     * true if applied, false for an already-applied replay.
     */
   def appendStream(vectors: DataFrame, batchId: Long, lineage: String): Boolean = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    implicit val fmts: org.json4s.Formats = DefaultFormats
     val dir = java.nio.file.Paths.get(path)
     val guard = dir.resolve("_stream_guard")
     val intent = dir.resolve("_stream_intent")
@@ -227,32 +233,50 @@ final class IvfIndex private (
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val applied = java.nio.file.Files.exists(guard) && {
-      val s = scala.util.Try(
-        java.nio.file.Files.readString(guard).trim).getOrElse("")
-      s.startsWith(lineage + ":") && scala.util.Try(
-        s.substring(lineage.length + 1).toLong).toOption.exists(_ >= batchId)
-    }
-    if (applied) return false
-    if (java.nio.file.Files.exists(intent) && scala.util.Try(
-        java.nio.file.Files.readString(intent).trim).toOption.contains(marker)) {
-      // A prior attempt of THIS batch crashed after possibly committing
-      // its rows but before advancing the guard: scrub them (new-ids-only
-      // means these rows can only be that attempt's). Driver-held id set,
-      // capped like the text index's repair — rebuild past the cap.
-      val ids = vectors.select(col("vec_id")).distinct()
-        .limit(1000001).collect().map(_.getLong(0)).toSeq
-      require(ids.size <= 1000000,
-        s"torn-batch repair of $marker holds >1e6 vec ids driver-side; " +
-          "rebuild the index instead (or bound the stream's batches)")
-      if (ids.nonEmpty)
-        table.deleteWhere(col("vec_id").isInCollection(ids))
+    // The guard is a PER-LINEAGE high-water-mark map (a single slot would
+    // double-apply an old feed's crash-replay after a new feed took
+    // over). NO Try-swallow anywhere: an existing-but-unreadable or
+    // unparsable guard/intent aborts the batch (foreachBatch retries) —
+    // fail-open here means a skipped scrub or a double-apply.
+    val feeds: Map[String, Long] =
+      if (!java.nio.file.Files.exists(guard)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(guard))
+        .extract[Map[String, Long]]
+    if (feeds.get(lineage).exists(_ >= batchId)) return false
+    if (java.nio.file.Files.exists(intent)) {
+      val found = java.nio.file.Files.readString(intent).trim
+      if (found == marker) {
+        // A prior attempt of THIS batch crashed after possibly committing
+        // its rows but before advancing the guard: scrub them (new-ids-
+        // only means these rows can only be that attempt's). Driver-held
+        // id set, capped like the text index's repair.
+        val ids = vectors.select(col("vec_id")).distinct()
+          .limit(1000001).collect().map(_.getLong(0)).toSeq
+        require(ids.size <= 1000000,
+          s"torn-batch repair of $marker holds >1e6 vec ids driver-side; " +
+            "rebuild the index instead (or bound the stream's batches)")
+        if (ids.nonEmpty)
+          table.deleteWhere(col("vec_id").isInCollection(ids))
+      } else {
+        // Another attempt's intent: committed per the feed map = stale
+        // leftover, safe to overwrite; uncommitted = a foreign torn
+        // attempt whose ids are unknowable here — refuse loudly.
+        val ci = found.lastIndexOf(':')
+        val covered = ci > 0 && scala.util.Try(
+            found.substring(ci + 1).toLong).toOption.exists(b =>
+          feeds.get(found.substring(0, ci)).exists(_ >= b))
+        require(covered,
+          s"stale stream intent '$found' names a batch never committed — " +
+            "a previous feed's append tore and its ids are unknowable; " +
+            "rebuild the index")
+      }
     }
     atomicWrite(intent, marker)
     append(vectors)
-    atomicWrite(guard, marker)
+    atomicWrite(guard,
+      Serialization.write(feeds.updated(lineage, batchId)))
     // Guard advanced = committed; a crash before this cleanup leaves a
-    // stale intent the guard neutralizes.
+    // stale intent the feed map marks as covered.
     java.nio.file.Files.deleteIfExists(intent)
     true
   }

@@ -221,12 +221,16 @@ object StreamingIngest {
   def indexedCorpusIngest(docsStream: DataFrame,
                           index: graft.operators.InvertedIndex,
                           checkpointDir: String): StreamingQuery = {
-    lazy val lineage = checkpointLineage(checkpointDir)
+    var lineage: String = null
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) { index.appendStream(batch.toDF(), batchId, lineage); () }
+        if (!batch.isEmpty) {
+          if (lineage == null)
+            lineage = checkpointLineage(batch.sparkSession, checkpointDir)
+          index.appendStream(batch.toDF(), batchId, lineage); ()
+        }
       }
       .start()
   }
@@ -235,15 +239,29 @@ object StreamingIngest {
     * index sinks scope their replay guards by. Stable across restarts of
     * the same checkpoint; fresh when a checkpoint is lost and recreated
     * (exactly when batch ids restart at 0 — the dir path alone can't tell
-    * the two apart). The metadata file exists before the first batch
-    * fires (the stream writes it at start); callers read it lazily so the
-    * sink closure serializes.
+    * the two apart, which is why the path is NEVER a fallback identity:
+    * it would re-arm the old high-water mark against the restarted ids).
+    * Resolved through the checkpoint's own Hadoop filesystem (checkpoints
+    * routinely live on file:/hdfs:/s3a: URIs a raw java.nio read can't
+    * open), and a missing or unreadable metadata file is a HARD error —
+    * the batch aborts and the stream retries; guessing an identity risks
+    * the silent double-apply/discard the lineage exists to prevent. The
+    * metadata file is written at stream start, before the first batch
+    * fires; callers resolve on first batch so the sink closure
+    * serializes.
     */
-  private def checkpointLineage(checkpointDir: String): String = scala.util.Try {
-    val s = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(checkpointDir, "metadata"))
-    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).get.group(1)
-  }.getOrElse(checkpointDir)
+  private def checkpointLineage(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes,
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse(
+      throw new IllegalStateException(
+        s"no query id in $checkpointDir/metadata — cannot derive the " +
+          "stream lineage the exactly-once guard is scoped by"))
+  }
 
   /** Streaming ANN-INDEX ingest — [[indexedCorpusIngest]]'s twin for the
     * IVF/IVFADC index: each micro-batch of NEW vectors (vec_id, v — the
@@ -258,12 +276,16 @@ object StreamingIngest {
   def annCorpusIngest(vecsStream: DataFrame,
                       index: graft.operators.IvfIndex,
                       checkpointDir: String): StreamingQuery = {
-    lazy val lineage = checkpointLineage(checkpointDir)
+    var lineage: String = null
     vecsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) { index.appendStream(batch.toDF(), batchId, lineage); () }
+        if (!batch.isEmpty) {
+          if (lineage == null)
+            lineage = checkpointLineage(batch.sparkSession, checkpointDir)
+          index.appendStream(batch.toDF(), batchId, lineage); ()
+        }
       }
       .start()
   }

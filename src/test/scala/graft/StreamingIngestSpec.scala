@@ -322,9 +322,10 @@ class StreamingIngestSpec extends AnyFunSuite {
     // exist, because there is no separate record file.
     val lastBatch = 2L
     val saStats = InvertedIndex.readStats(streamedPath)
-    assert(saStats.stream_batch.contains(lastBatch),
-      "processed batches must be recorded as applied in the stats sidecar")
-    val lin = saStats.stream_lineage.getOrElse(fail("lineage must be recorded"))
+    val feeds = saStats.stream_feeds.getOrElse(fail("feed map must be recorded"))
+    assert(feeds.size == 1 && feeds.head._2 == lastBatch,
+      s"the feed's high-water mark must be $lastBatch: $feeds")
+    val lin = feeds.head._1
     assert(!idx.appendStream(corpus.filter(col("doc_id") >= 20), lastBatch, lin),
       "a replayed batch id must be skipped")
     val sa2 = InvertedIndex.readStats(streamedPath)
@@ -379,6 +380,18 @@ class StreamingIngestSpec extends AnyFunSuite {
     val leftover = idx.table.scan()
       .filter(col("term") === "torn_garbage").count()
     assert(leftover == 0L, "torn rows must be scrubbed, not merged")
+
+    // A FOREIGN lineage's torn intent (a batch the feed map has never
+    // committed) must refuse loudly — its ids are unknowable, and
+    // appending over it would bury phantom rows.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tornPath, "_stream_intent"), "ghost:7")
+    val ex = intercept[IllegalArgumentException] {
+      idx.appendStream(corpus.filter(col("doc_id") >= 40), 1L, "feedB")
+    }
+    assert(ex.getMessage.contains("rebuild"), s"got: ${ex.getMessage}")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(tornPath, "_stream_intent"))
     val (sa, sb) = (InvertedIndex.readStats(tornPath),
       InvertedIndex.readStats(oneShotPath))
     assert((sa.n_docs, sa.n_dl_docs, sa.total_dl) ==
