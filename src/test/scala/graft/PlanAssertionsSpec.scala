@@ -21,6 +21,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  test("mt scans: (key,ts) dedup + global order in ONE range exchange") {
+    // The dedup-sort shape: range-partition FIRST satisfies the
+    // aggregate's clustering requirement, so groupBy plans no second
+    // (hash) exchange and the partition-local sort restores global
+    // order. A hash exchange appearing here means the one-exchange
+    // optimization regressed to the stock two-exchange shape.
+    import graft.mergetree.{KVRow, MergeTreeConfig, MergeTreeTable}
+    import spark.implicits._
+    val tdir = java.nio.file.Files.createTempDirectory("mt_plan_").toString
+    val t = MergeTreeTable.create(spark, tdir,
+      MergeTreeConfig(memtableFlushThreshold = 1000000, localScanMaxRows = 0))
+    // 300k rows -> ~3 range partitions from the ~128k/task sizing (a
+    // smaller table sizes to 1 and the exchange degenerates to
+    // SinglePartition — legal, but then the shape under test isn't
+    // exercised).
+    val rows = (0 until 300000).map(i => KVRow(f"key_${i % 2000}%05d", s"v$i", i.toLong))
+    t.insertBatch(spark.createDataset(rows), partitions = 2)
+    for (df <- Seq(t.query("key_00100", "key_01000").toDF(), t.fullScan().toDF())) {
+      val p = plan(df)
+      assert("Exchange rangepartitioning\\(key".r.findAllIn(p).size == 1,
+        s"exactly one range exchange on (key, ts):\n$p")
+      assert("Exchange ".r.findAllIn(p).size == 1,
+        s"no second exchange of any kind in the dedup path:\n$p")
+    }
+    t.shutdown()
+  }
+
   test("q10: filter and projection are pushed into the parquet scan") {
     val p = plan(AnalyticQueries.q10FilterProject(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
