@@ -3316,6 +3316,220 @@ object PipelineQueries {
       |  SELECT doc_id, $MixedToksSql AS ws FROM zh),
       |""".stripMargin + SpanDedupSqlSuffix
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of per-query
+    * ranked lists: each retriever contributes floor(10⁹ / (60 + rank)) —
+    * the standard RRF with k = 60, held in integer NANO-units so the
+    * cross-list sum is order-independent int64 addition (the q20/q110
+    * float discipline; 10⁹ div is EXACT — no double ever exists). A doc
+    * absent from a list contributes 0 from it (the full-outer-join
+    * semantics every RRF implementation uses). Both inputs are k-bounded
+    * (≤ topN rows per query) by construction, so the fusion joins move
+    * query-sized frames — the corpus never reaches this operator.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame, topN: Int): DataFrame = {
+    // `div` (not `/`) — long division on longs; `/` would make a double.
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("1000000000L div (60L + lrk)"), lit(0L))
+          + coalesce(expr("1000000000L div (60L + vrk)"), lit(0L))).as("rrf"),
+        coalesce(col("lrk"), lit(0L)).as("lrk"),
+        coalesce(col("vrk"), lit(0L)).as("vrk"))
+    val fw = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("frk", row_number().over(fw).cast("long"))
+      .filter(col("frk") <= topN)
+      .select(col("qid"), col("frk"), col("doc_id"), col("rrf"),
+        col("lrk"), col("vrk"))
+      .orderBy(col("qid"), col("frk"))
+  }
+
+  /** Q126 — HYBRID retrieval: reciprocal-rank fusion of the lexical (BM25,
+    * served from the PERSISTED inverted index — the q111 path: only the
+    * query terms' bucket parts are read) and vector (exact cosine top-k —
+    * the q23 path: query side broadcast, corpus streamed) retrievers, the
+    * standard RAG/retrieval-stack shape (Cormack et al. 2009's RRF is what
+    * production hybrid search ships because it needs no score calibration
+    * between BM25 and cosine — only ranks).
+    *
+    * Query set: the five qid < 5 embedding queries, each fused against its
+    * own vector top-20 and the shared lexical top-20 for `dup vector
+    * merge`. Both lists are k-bounded before fusion, so the fusion cost is
+    * |queries| × topN rows REGARDLESS of corpus size: the 100 TB posture
+    * is entirely inherited from the two retrievers (bucket-pruned postings
+    * scan; broadcast-query vector scan / IVF probe), and the fused join
+    * would be a broadcast at any scale.
+    */
+  def q126HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val idx = cacheInv.getOrElseUpdate(dir,
+      graft.operators.InvertedIndex.build(spark, docs(spark, dir),
+        java.nio.file.Files.createTempDirectory("inv_idx_").toString))
+    val lex0 = idx.search(bm25Terms, k = 20)
+      .select(col("doc_id"), col("rk").as("lrk"))
+    val e = embDouble(spark, dir)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .filter(col("qid") < 5)
+    val vscored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        r6(cosine(col("qv"), col("v"))).as("sim"))
+    val vw = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))
+    val vec = vscored.withColumn("vrk", row_number().over(vw).cast("long"))
+      .filter(col("vrk") <= 20).select(col("qid"), col("doc_id"), col("vrk"))
+    // The lexical list is query-independent here (one term set), so it
+    // replicates across qids — a broadcast of ≤ 20 rows.
+    val lex = q.select(col("qid")).crossJoin(broadcast(lex0))
+    rrfFuse(lex, vec, topN = 10)
+  }
+
+  val q126Sql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, t.term FROM documents,
+       |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+       |  WHERE len(t.term) >= 3),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms
+       |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+       |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |contrib AS (
+       |  SELECT tf.doc_id, CAST(floor(
+       |      ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |        * (tf.tf * (1.2 + 1.0))
+       |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       |        * 1000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |    CROSS JOIN stats CROSS JOIN n),
+       |lexscore AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+       |lex0 AS (
+       |  SELECT doc_id, CAST(lrk AS BIGINT) AS lrk FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrk
+       |    FROM lexscore) s WHERE lrk <= 20),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |vscored AS (
+       |  SELECT qid, vec_id AS doc_id,
+       |    ${R6Sql.format("list_cosine_similarity(qv, v)")} AS sim
+       |  FROM qv, e WHERE vec_id != qid),
+       |vec AS (
+       |  SELECT qid, doc_id, CAST(vrk AS BIGINT) AS vrk FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS vrk
+       |    FROM vscored) s WHERE vrk <= 20),
+       |lex AS (SELECT q.qid, l.doc_id, l.lrk
+       |        FROM (SELECT DISTINCT qid FROM qv) q CROSS JOIN lex0 l),
+       |fused AS (
+       |  SELECT coalesce(lex.qid, vec.qid) AS qid,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    coalesce(1000000000 // (60 + lrk), 0)
+       |      + coalesce(1000000000 // (60 + vrk), 0) AS rrf,
+       |    coalesce(lrk, 0) AS lrk, coalesce(vrk, 0) AS vrk
+       |  FROM lex FULL JOIN vec
+       |    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fused)
+       |SELECT qid, CAST(frk AS BIGINT) AS frk, doc_id, CAST(rrf AS BIGINT) AS rrf,
+       |  CAST(lrk AS BIGINT) AS lrk, CAST(vrk AS BIGINT) AS vrk
+       |FROM ranked WHERE frk <= 10 ORDER BY qid, frk""".stripMargin
+
+  /** The DSIR raw→target importance ranking over an arbitrary corpus frame
+    * — extracted so specs can drive hand-built corpora through the exact
+    * production arithmetic. See [[q127DsirSelect]].
+    */
+  private[graft] def dsirRank(d: DataFrame, target: String, topN: Int): DataFrame = {
+    val toks = d.select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+    // Unigram LM table for BOTH distributions in one corpus-reduced
+    // aggregate (cnt_t is a conditional sum — the target slice is never
+    // re-scanned). Vocabulary-sized, the frame every later step joins.
+    val lm = toks.groupBy("term").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("cnt_t"))
+    // Totals fold out of the SAME aggregate as driver scalars (the q110
+    // stats-job discipline — 3 numbers, never a second corpus aggregate)
+    // and inline as literals below.
+    val st = lm.agg(sum(col("cnt_r")), sum(col("cnt_t")), count(lit(1))).first()
+    val (nr, nt, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    // Per-TERM add-one-smoothed log-ratio in integer micro-units: rounding
+    // happens per term, BEFORE any cross-row summation, so the per-doc
+    // fold is order-independent int64 addition (the q113 LM discipline).
+    val lp = lm.select(col("term"),
+      floor((log((col("cnt_t") + lit(1.0)) / lit((nt + v).toDouble))
+        - log((col("cnt_r") + lit(1.0)) / lit((nr + v).toDouble)))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("lp"))
+    val per = toks.join(lp, "term")
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"), max(col("source")).as("source"),
+        count(lit(1)).as("n_toks"), sum(col("lp")).as("w"))
+    // Selection pool = everything OUTSIDE the target slice (DSIR selects
+    // raw docs that look like the target; the target itself is the
+    // exemplar, not a candidate). Rank by the per-token average — an
+    // exact long-over-long division (both engines truncate toward zero),
+    // which removes the length bias a raw sum of negative lps carries.
+    val sel = per.filter(col("source") =!= target)
+      .withColumn("avg_lp", expr("w div n_toks"))
+    val rw = Window.partitionBy(col("lang")).orderBy(col("avg_lp").desc, col("doc_id"))
+    sel.withColumn("rk", row_number().over(rw).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"),
+        col("n_toks"), col("w"), col("avg_lp"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Q127 — DSIR-style data selection by importance ranking (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw-pool document by how much more likely
+    * its tokens are under a TARGET-domain unigram LM than under the raw
+    * LM — log w(x) = Σ_tokens [ln p̂_target(tok) − ln p̂_raw(tok)], add-one
+    * smoothing over the shared vocabulary — and keep the per-lang top-5
+    * lookalikes. The paper samples ∝ w with Gumbel noise; the engine keeps
+    * the deterministic top-k variant (rank by per-token average) so the
+    * selection is reproducible and oracle-checkable — the ranking is the
+    * operator; the noise is a one-line addition a user owns.
+    *
+    * Target slice: source = 'src0' stands in for the curated exemplar
+    * corpus (DSIR's Wikipedia+books); the pool is everything else.
+    *
+    * Shape at 100 TB: tokens explode map-side; the LM table is a
+    * vocabulary-sized corpus-reduced aggregate (both distributions from
+    * ONE pass — cnt_t is a conditional sum); totals fold to 3 driver
+    * scalars from that same aggregate (q110 stats-job pattern); scoring is
+    * the standard tokens⋈LM sort-merge join (AQE broadcasts the LM side
+    * when small); per-term lps micro-round before the per-doc sum. The
+    * final per-lang top-5 is a WindowGroupLimit, never a full sort.
+    */
+  def q127DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirRank(docsSpread(spark, dir), target = "src0", topN = 5)
+
+  val q127Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, t.term FROM documents,
+      |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      |  WHERE len(t.term) >= 3),
+      |lm AS (
+      |  SELECT term, count(*) AS cnt_r,
+      |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cnt_t
+      |  FROM toks GROUP BY term),
+      |st AS (SELECT sum(cnt_r) AS nr, sum(cnt_t) AS nt, count(*) AS v FROM lm),
+      |lp AS (
+      |  SELECT term, CAST(floor(
+      |      (ln((cnt_t + 1.0) / (nt + v)) - ln((cnt_r + 1.0) / (nr + v)))
+      |        * 1000000.0 + 0.5) AS BIGINT) AS lp
+      |  FROM lm CROSS JOIN st),
+      |per AS (
+      |  SELECT doc_id, max(lang) AS lang, max(source) AS source,
+      |    CAST(count(*) AS BIGINT) AS n_toks, CAST(sum(lp) AS BIGINT) AS w
+      |  FROM toks JOIN lp USING (term) GROUP BY doc_id),
+      |sel AS (
+      |  SELECT *, CAST(w // n_toks AS BIGINT) AS avg_lp
+      |  FROM per WHERE source != 'src0'),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS rk
+      |  FROM sel)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source, n_toks, w, avg_lp
+      |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -3366,5 +3580,7 @@ object PipelineQueries {
     ("q122_multilingual_lm_score", q122MultilingualLmScore _, Some(q122Sql)),
     ("q123_multilingual_span_dedup", q123MultilingualSpanDedup _, Some(q123Sql)),
     ("q124_multilingual_verdicts", q124MultilingualVerdicts _, Some(q124Sql)),
-    ("q125_multilingual_compose", q125MultilingualCompose _, Some(q125Sql)))
+    ("q125_multilingual_compose", q125MultilingualCompose _, Some(q125Sql)),
+    ("q126_hybrid_rrf", q126HybridRrf _, Some(q126Sql)),
+    ("q127_dsir_select", q127DsirSelect _, Some(q127Sql)))
 }

@@ -692,4 +692,61 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(latin(2L) == 0L,
       s"latin-gate survivors on a CJK corpus should be 0, got ${latin(2L)}")
   }
+
+  test("q126 RRF fusion: hand-computed scores, both-list docs outrank single-list docs") {
+    import spark.implicits._
+    // qid 1: lexical ranks doc 10 first, doc 11 second; vector ranks
+    // doc 11 first, doc 12 second. RRF nano-units (k = 60):
+    //   doc 11: 10^9 div 62 + 10^9 div 61 = 16129032 + 16393442 = 32522474
+    //   doc 10: 10^9 div 61                = 16393442
+    //   doc 12: 10^9 div 62                = 16129032
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "doc_id", "lrk")
+    val vec = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("qid", "doc_id", "vrk")
+    val out = PipelineQueries.rrfFuse(lex, vec, topN = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 11L, 32522474L), (2L, 10L, 16393442L),
+      (3L, 12L, 16129032L)), s"got $out")
+    // Invariants on the real entry: ranks contiguous from 1 per query,
+    // every score reconciles with its own rank columns, and at least one
+    // doc fused evidence from BOTH retrievers.
+    val full = PipelineQueries.q126HybridRrf(spark, dir).collect()
+    val byQ = full.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"qid $q ranks not contiguous")
+    }
+    full.foreach { r =>
+      val (rrf, lrk, vrk) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val expect = (if (lrk > 0) 1000000000L / (60L + lrk) else 0L) +
+        (if (vrk > 0) 1000000000L / (60L + vrk) else 0L)
+      assert(rrf == expect, s"row $r score != recomputed $expect")
+    }
+    assert(full.exists(r => r.getLong(4) > 0 && r.getLong(5) > 0),
+      "no doc was retrieved by both BM25 and cosine — fusion untested")
+  }
+
+  test("q127 DSIR: target lookalikes rank above off-target docs; the exemplar slice is excluded") {
+    import spark.implicits._
+    // Target exemplars speak alpha/beta/gamma. Pool doc 10 speaks the
+    // target's language; doc 11 speaks tokens the target never uses (but
+    // which dominate the raw pool, so their raw probability is HIGH and
+    // the log-ratio strongly negative); doc 12 mixes both.
+    val tgt = "alpha beta gamma alpha beta gamma alpha beta gamma"
+    val rows = Seq(
+      (1L, tgt, "en", "tgt"), (2L, tgt, "en", "tgt"),
+      (10L, "alpha beta gamma alpha beta gamma", "en", "pool"),
+      (11L, "zulu yankee xray zulu yankee xray zulu yankee xray " +
+        "zulu yankee xray zulu yankee xray zulu yankee xray", "en", "pool"),
+      (12L, "alpha beta zulu yankee", "en", "pool")).toDF(
+      "doc_id", "text", "lang", "source")
+    val out = PipelineQueries.dsirRank(rows, target = "tgt", topN = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(6))).toSeq
+    // Exactly the 3 pool docs, ranked 10 (pure target-like) > 12 (mixed)
+    // > 11 (pure off-target); exemplar ids 1/2 never appear.
+    assert(out.map(_._2) == Seq(10L, 12L, 11L), s"got $out")
+    val avg = out.map(t => t._2 -> t._3).toMap
+    assert(avg(10L) > avg(12L) && avg(12L) > avg(11L),
+      s"importance order violated: $avg")
+  }
 }
