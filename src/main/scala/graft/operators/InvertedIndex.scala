@@ -462,6 +462,49 @@ final class InvertedIndex private (
           cur.stream_feeds))
     }
   }
+
+  /** Re-index CHANGED documents (corpus `updateWhere` must reach the text
+    * index or searches keep ranking the pre-edit text): `docs` carries the
+    * NEW text of PREVIOUSLY INDEXED ids — [[delete]] of the ids' posting
+    * rows composed with [[append]] of the re-tokenized text, under ONE
+    * acquisition of the per-index lock so no concurrent writer (or
+    * search snapshot-pin) ever observes the doc half-gone. n_docs is
+    * unchanged by construction; dl/tf totals swap the old text's
+    * contribution for the new one's, so search-after-update equals a
+    * from-scratch rebuild over the edited corpus exactly (spec-pinned —
+    * the same derived-stats argument as delete). Batch-bounded like both
+    * parents: ids are driver-held, postings build in one partitioned job.
+    */
+  def update(docs: DataFrame): Unit = {
+    val st = stats
+    val ids = docs.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.nonEmpty, "empty update: pass the re-written docs")
+    val postings0 = buildPostings(docs, st.nbuckets,
+      st.tokenizer.getOrElse(Latin))
+    val postings = postings0.withColumn("positions",
+      col("positions").cast(table.schema("positions").dataType)).persist()
+    try {
+      val (newDlDocs, newDl) = postingTotals(postings)
+      InvertedIndex.appendLocked(path) {
+        require(ids.size <= stats.n_docs,
+          s"updating ${ids.size} ids in an index of ${stats.n_docs} docs — " +
+            "update() takes previously indexed ids only")
+        val hit = col("doc_id").isInCollection(ids)
+        val r = table.scan().filter(hit).agg(
+          countDistinct(col("doc_id")).as("n"),
+          coalesce(sum(col("tf")), lit(0L)).as("t")).first()
+        val (goneDlDocs, goneDl) = (r.getLong(0), r.getLong(1))
+        table.deleteWhere(hit)
+        table.insertBatch(postings)
+        val seq = table.snapshots.lastOption
+        updateStats(path)(cur =>
+          InvStats(cur.n_docs, cur.n_dl_docs - goneDlDocs + newDlDocs,
+            cur.total_dl - goneDl + newDl, cur.nbuckets, cur.tokenizer, seq,
+            cur.stream_feeds))
+      }
+    } finally postings.unpersist()
+  }
 }
 
 object InvertedIndex {

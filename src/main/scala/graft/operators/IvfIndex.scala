@@ -296,6 +296,25 @@ final class IvfIndex private (
     require(vecIds.nonEmpty, "empty delete: pass the removed vec ids")
     table.deleteWhere(col("vec_id").isInCollection(vecIds.distinct))
   }
+
+  /** Re-embed CHANGED vectors (a corpus update that re-encodes documents
+    * must reach the ANN index or searches keep ranking stale embeddings):
+    * [[delete]] of the ids' rows + [[append]] of the new vectors, with the
+    * quantizer and any PQ codebooks FIXED throughout (the append
+    * contract), so an updated row is assigned/encoded exactly like an
+    * appended one and search-after-update equals a survivors+new rebuild
+    * whenever every relevant cluster is probed (spec-pinned with
+    * nprobe = nlist). Two manifest CAS commits (drop, then land) — a
+    * reader between them misses the updated ids, never sees both
+    * versions; single-logical-writer per id set, like append.
+    */
+  def update(vectors: DataFrame): Unit = {
+    val ids = vectors.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.nonEmpty, "empty update: pass the re-embedded vectors")
+    delete(ids)
+    append(vectors)
+  }
 }
 
 object IvfIndex {

@@ -90,6 +90,22 @@ final class MinHashStore private (val path: String, spark: SparkSession) {
     graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(old))
   }
 
+  /** Re-sign CHANGED documents (a corpus edit changes a doc's shingle set,
+    * so its persisted signatures are stale — candidate pairs would keep
+    * reflecting the pre-edit text): [[delete]] of the ids' band rows +
+    * [[append]] of the new texts' shingle hashes. Signatures are
+    * per-document and deterministic, so the result IS a rebuild over the
+    * edited corpus, exactly (spec-pinned). Same single-writer semantics
+    * as both parents.
+    */
+  def update(batchShingleHashes: DataFrame): Unit = {
+    val ids = batchShingleHashes.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.nonEmpty, "empty update: pass the re-written docs' shingle hashes")
+    delete(ids)
+    append(batchShingleHashes)
+  }
+
   /** LSH candidate pairs of a new batch against the store: distinct
     * `(store_id, batch_id)` colliding in at least one band. Self-pairs are
     * excluded so a batch can be safely re-checked after its own `append`.

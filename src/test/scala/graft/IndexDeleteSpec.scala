@@ -167,4 +167,136 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(!a.exists(r => doomed.contains(r.getLong(1))))
     idx.table.shutdown(); rebuilt.table.shutdown(); t.shutdown()
   }
+
+  test("inverted index: update (re-indexed text) == rebuild over the edited corpus") {
+    import spark.implicits._
+    val terms = Seq("dup", "vector", "merge")
+    val path = Files.createTempDirectory("inv_upd_").toString
+    val idx = InvertedIndex.build(spark, corpus, path, nbuckets = 8)
+    val before = idx.search(terms, k = 15).collect().toSeq
+
+    // New text that MUST shoot the edited ids to the top of this ranking —
+    // an index that silently kept the old postings fails loudly.
+    val editedIds = Seq(200L, 201L)
+    val newText = "dup vector merge dup vector merge dup vector merge"
+    val edited = editedIds.map(id => (id, newText)).toDF("doc_id", "text")
+    idx.update(edited)
+
+    val editedCorpus = corpus.withColumn("text",
+      when(col("doc_id").isInCollection(editedIds), lit(newText))
+        .otherwise(col("text")))
+    val rebuiltPath = Files.createTempDirectory("inv_upd_rebuild_").toString
+    val rebuilt = InvertedIndex.build(spark, editedCorpus, rebuiltPath, nbuckets = 8)
+
+    val a = idx.search(terms, k = 15).collect().toSeq
+    val b = rebuilt.search(terms, k = 15).collect().toSeq
+    assert(a == b, s"post-update search must equal rebuild:\n$a\nvs\n$b")
+    assert(a != before, "re-indexing all-query-term docs must change the top-k")
+    assert(editedIds.forall(id => a.exists(_.getLong(1) == id)),
+      s"the edited docs must now rank in the top-k: $a")
+
+    val sa = InvertedIndex.readStats(path)
+    val sb = InvertedIndex.readStats(rebuiltPath)
+    assert((sa.n_docs, sa.n_dl_docs, sa.total_dl) ==
+      ((sb.n_docs, sb.n_dl_docs, sb.total_dl)),
+      s"totals after update must equal rebuild totals: $sa vs $sb")
+
+    // The new text is phrase-searchable and the old text's phrases are gone.
+    val pa = idx.phraseSearch(Seq("dup", "vector", "merge"), k = 10).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(editedIds.forall(id => pa.get(id).contains(3L)),
+      s"updated docs must carry the new positional postings: $pa")
+    idx.table.shutdown(); rebuilt.table.shutdown()
+  }
+
+  test("IVF/ADC and MinHash store: update == rebuild over the edited rows") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = vectors.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+    // Re-embed the pinned top neighbours of vec 0 to their NEGATION —
+    // cosine flips sign, so a stale index keeps serving them and fails.
+    val editedV = Seq(12L, 17L, 225L)
+    val newVecs = vectors.filter(col("vec_id").isInCollection(editedV))
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+    val path = Files.createTempDirectory("ivf_upd_").toString
+    val idx = IvfIndex.buildAdc(spark, vectors, path, nlist = 8)
+    val before = idx.search(queries, k = 3, nprobe = 8).collect().toSeq
+    idx.update(newVecs)
+
+    val editedVectors = vectors.filter(!col("vec_id").isInCollection(editedV))
+      .unionByName(newVecs)
+    val rebuiltPath = Files.createTempDirectory("ivf_upd_rebuild_").toString
+    val rebuilt = IvfIndex.buildAdc(spark, editedVectors, rebuiltPath, nlist = 8)
+    val a = idx.search(queries, k = 3, nprobe = 8).collect().toSeq
+    val b = rebuilt.search(queries, k = 3, nprobe = 8).collect().toSeq
+    assert(a == b, s"post-update IVF search must equal rebuild:\n$a\nvs\n$b")
+    assert(a != before, "negating the top neighbours must change the top-k")
+    idx.table.shutdown(); rebuilt.table.shutdown()
+
+    // MinHash store: re-signed docs must match a rebuild exactly.
+    def dsh(df: DataFrame) = {
+      val ws = split(col("text"), " ")
+      val sh = transform(sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
+        i => concat_ws(" ", slice(ws, i, lit(5))))
+      df.select(col("doc_id"), explode(sh).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+    }
+    val storePath = Files.createTempDirectory("mh_upd_").toString + "/store"
+    val store = MinHashStore.create(spark, storePath, dsh(corpus))
+    val editedIds = Seq(200L, 201L)
+    val newText = "entirely new rewritten content with fresh shingle material here"
+    val editedDocs = editedIds.map(id => (id, newText)).toDF("doc_id", "text")
+    store.update(dsh(editedDocs))
+
+    val editedCorpus = corpus.withColumn("text",
+      when(col("doc_id").isInCollection(editedIds), lit(newText))
+        .otherwise(col("text")))
+    val rebuiltStore = MinHashStore.create(spark,
+      Files.createTempDirectory("mh_upd_rebuild_").toString + "/store",
+      dsh(editedCorpus))
+    def sigSet(s: MinHashStore) = s.signatures.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sigSet(store) == sigSet(rebuiltStore),
+      "updated signatures must equal a rebuild over the edited corpus")
+  }
+
+  test("TTL lifecycle: corpus applyTtl + index.delete of the expired ids == rebuild") {
+    // The retention flow end to end: the corpus table declares a TTL, the
+    // eager pass expires rows, and the SAME id set the table expired
+    // drives the index mutation — afterwards the index serves exactly
+    // what an index built from the post-TTL corpus would.
+    val tableDir = Files.createTempDirectory("ttl_corpus_").toString
+    val t = ColumnarMergeTree.create(spark, tableDir,
+      corpus.select(col("doc_id"), col("lang"), col("text")).schema,
+      orderBy = Seq("doc_id"), ttl = Some("doc_id % 10 = 3"))
+    t.insertBatch(corpus.select(col("doc_id"), col("lang"), col("text")))
+
+    val idxPath = Files.createTempDirectory("ttl_idx_").toString
+    val idx = InvertedIndex.build(spark, t.scan(), idxPath, nbuckets = 8)
+
+    // Capture the expiring ids BEFORE the eager pass (after it they are
+    // unreadable — the same order of operations a retention job uses).
+    val expiring = t.scan().filter(expr("doc_id % 10 = 3"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(expiring.nonEmpty)
+    val removed = t.applyTtl()
+    assert(removed == expiring.size,
+      s"applyTtl removed $removed rows, captured ${expiring.size} ids")
+    idx.delete(expiring)
+
+    val rebuiltPath = Files.createTempDirectory("ttl_idx_rebuild_").toString
+    val rebuilt = InvertedIndex.build(spark,
+      ColumnarMergeTree.open(spark, tableDir).scan(), rebuiltPath, nbuckets = 8)
+    val terms = Seq("dup", "vector", "merge")
+    val a = idx.search(terms, k = 15).collect().toSeq
+    val b = rebuilt.search(terms, k = 15).collect().toSeq
+    assert(a == b, s"TTL flow must equal rebuild:\n$a\nvs\n$b")
+    assert(!a.exists(r => expiring.contains(r.getLong(1))),
+      "expired docs must never be served")
+    idx.table.shutdown(); rebuilt.table.shutdown(); t.shutdown()
+  }
 }
