@@ -476,7 +476,8 @@ final class ColumnarMergeTree private (
       ngramBloomColumns = config.ngramBloomColumns.filter(outNames),
       hllColumns = config.hllColumns.filter(outNames),
       topKColumns = config.topKColumns.filter(outNames),
-      quantileColumns = config.quantileColumns.filter(outNames))
+      quantileColumns = config.quantileColumns.filter(outNames),
+      setIndexColumns = config.setIndexColumns.filter(outNames))
     // Name uniqueness decided INSIDE the registry lock: two racing creators
     // of 'name' would otherwise both pass a stale pre-check and the target
     // would receive every batch twice, permanently double-counting. The
@@ -803,6 +804,7 @@ final class ColumnarMergeTree private (
                              partition: Option[String]): GPartMeta = {
     buildTokenBlooms(stage)
     buildNgramBlooms(stage)
+    buildSetIndexes(stage)
     buildHllSketches(stage)
     buildTopKSketches(stage)
     buildQuantileSketches(stage)
@@ -1408,6 +1410,38 @@ final class ColumnarMergeTree private (
       try bf.writeTo(out) finally out.close()
     }
 
+  /** Build the set(N) sidecars for a freshly-staged part: one distributed
+    * distinct pass per indexed column; ≤ [[ColumnarMergeTree.SetIndexMaxValues]]
+    * distinct non-null values are persisted (canonical cast-to-string
+    * form — the probe encodes its values identically), more records a
+    * SATURATED sidecar that never prunes (ClickHouse set(max_rows)
+    * overflow). Only integral/string/boolean columns are eligible — their
+    * string form is unambiguous; a float's is not ("1.0" vs "1") and an
+    * equality probe on one is a smell anyway. NULLs are excluded: an
+    * equality/IN probe never matches NULL, so a part of only NULLs is
+    * correctly prunable via its (empty) set.
+    */
+  private def buildSetIndexes(stage: java.nio.file.Path): Unit =
+    config.setIndexColumns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"setIndexColumns: unknown column $c")
+      if (ColumnarMergeTree.setIndexEligible(schema(c).dataType)) {
+        val cap = ColumnarMergeTree.SetIndexMaxValues
+        val vals = spark.read.schema(schema).parquet(stage.toString)
+          .select(col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull)
+          .distinct().limit(cap + 1)
+          .collect().map(_.getString(0))
+        val payload =
+          if (vals.length > cap) """{"saturated":true}"""
+          else {
+            import org.json4s.DefaultFormats
+            import org.json4s.jackson.Serialization
+            Serialization.write(Map("values" -> vals.sorted.toList))(DefaultFormats)
+          }
+        Files.write(stage.resolve(s"_set_$c"), payload.getBytes("UTF-8"))
+      }
+    }
+
   /** Build the per-part HLL `uniq` sidecars: one distributed hash+aggregate
     * pass per listed column over the freshly-staged files, 2 KB of
     * registers written into the stage dir so the manifest claim carries
@@ -1679,6 +1713,38 @@ final class ColumnarMergeTree private (
     collapse(readParts(surviving))
       .filter(array_contains(
         split(col(column).cast("string"), ColumnarMergeTree.TokenSplitRe), token))
+  }
+
+  /** Parts whose set(N) sidecar may hold ANY of the canonical-string probe
+    * values — the probe behind [[scanIn]] and the connector's equality
+    * pruning. Sidecar-less and saturated parts are kept: the index
+    * accelerates, never filters.
+    */
+  private[graft] def setIndexParts(column: String, values: Set[String]): Seq[GPartMeta] = {
+    refresh()
+    manifest.parts.filter(p =>
+      ColumnarMergeTree.setIndexAllows(path, p.dir, column, values))
+  }
+
+  /** Equality/IN scan on a set(N) skip-index column (ClickHouse `set`,
+    * part-level): each live part's persisted distinct-value set is probed
+    * DRIVER-SIDE and parts containing none of the requested values are
+    * skipped before any file I/O — the pruning minmax bounds can't give a
+    * low-cardinality column whose values interleave across every part's
+    * [min, max]. The exact residual filter applies on survivors as usual
+    * (pushed to parquet, where the row-group dictionary/stats prune
+    * further). Same collapse caveat as [[scanWhere]].
+    */
+  def scanIn(column: String, values: Seq[Any]): DataFrame = {
+    require(schema.fieldNames.contains(column), s"no column '$column'")
+    require(values.nonEmpty, "scanIn: empty value set")
+    val live = { refresh(); manifest.parts }
+    val canon = values.map(ColumnarMergeTree.setIndexCanon).toSet
+    val surviving = live.filter(p =>
+      ColumnarMergeTree.setIndexAllows(path, p.dir, column, canon))
+    lastPruning = (surviving.size, live.size)
+    collapse(readParts(surviving)
+      .filter(col(column).isInCollection(values)))
   }
 
   private def readParts(parts: Seq[GPartMeta]): DataFrame =
@@ -2312,6 +2378,47 @@ object ColumnarMergeTree {
   val NgramBloomExpectedNgrams = 50000L
   val NgramBloomFpp = 0.01
 
+  /** set(N) sidecar cap — ClickHouse's set(max_rows) knob with a fixed
+    * default: a part holding more distinct values than this records a
+    * saturated sidecar (never prunes). 256 covers the enum/status/lang
+    * columns the index exists for while bounding the sidecar at a few KB.
+    */
+  val SetIndexMaxValues = 256
+
+  /** Types whose canonical string form is unambiguous — the set(N)
+    * eligibility rule (floats excluded: "1.0" vs "1").
+    */
+  private[graft] def setIndexEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** Canonical probe-value encoding — must match the build job's
+    * cast-to-string exactly (Spark's cast and JVM toString agree for the
+    * eligible types).
+    */
+  private[graft] def setIndexCanon(v: Any): String = String.valueOf(v)
+
+  /** Does `partDir`'s set(N) sidecar for `column` allow any of `values`?
+    * Missing sidecar, saturated sidecar, or an unreadable/garbled one → keep
+    * (the index accelerates, never filters). Shared by the Scala scanIn
+    * and the DSv2 connector's equality pruning.
+    */
+  private[graft] def setIndexAllows(path: String, partDir: String,
+      column: String, values: Set[String]): Boolean = {
+    val f = Paths.get(path, partDir, s"_set_$column")
+    if (!Files.exists(f)) return true
+    try {
+      import org.json4s.DefaultFormats
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: org.json4s.Formats = DefaultFormats
+      val j = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
+      (j \ "saturated").extractOpt[Boolean].getOrElse(false) ||
+        (j \ "values").extractOpt[List[String]]
+          .fold(true)(vs => vs.exists(values))
+    } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
   /** MV-registry name prefix marking a projection (identity MV kept as an
     * alternate sort order; see addProjection).
     */
@@ -2420,7 +2527,8 @@ object ColumnarMergeTree {
       Some(config.ngramBloomColumns.toList).filter(_.nonEmpty),
       Some(config.hllColumns.toList).filter(_.nonEmpty),
       Some(config.topKColumns.toList).filter(_.nonEmpty),
-      Some(config.quantileColumns.toList).filter(_.nonEmpty)))
+      Some(config.quantileColumns.toList).filter(_.nonEmpty),
+      Some(config.setIndexColumns.toList).filter(_.nonEmpty)))
     if (config.manifestLog) GManifest.enableLogLayout(path)
     new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
   }
@@ -2476,9 +2584,13 @@ object ColumnarMergeTree {
       case Some(ts) => cfg5.copy(topKColumns = ts)
       case None     => cfg5
     }
-    val cfg = defn.quantileColumns match {
+    val cfg7 = defn.quantileColumns match {
       case Some(qs) => cfg6.copy(quantileColumns = qs)
       case None     => cfg6
+    }
+    val cfg = defn.setIndexColumns match {
+      case Some(ss) => cfg7.copy(setIndexColumns = ss)
+      case None     => cfg7
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
@@ -2531,7 +2643,12 @@ object ColumnarMergeTree {
       /** Per-part quantile summary columns — same persistence rationale,
         * for approxQuantiles.
         */
-      quantileColumns: Option[List[String]] = None)
+      quantileColumns: Option[List[String]] = None,
+      /** set(N) skip-index columns — same persistence rationale as the
+        * other skip indexes: a part written without the sidecar is kept
+        * by every probe (correct, just unprunable).
+        */
+      setIndexColumns: Option[List[String]] = None)
 
   object TableDef {
     import org.json4s._

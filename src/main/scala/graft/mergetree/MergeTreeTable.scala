@@ -143,6 +143,22 @@ case class MergeTreeConfig(
       * sketch family (hllColumns `uniq`, topKColumns heavy hitters).
       */
     quantileColumns: Seq[String] = Nil,
+    /** ClickHouse `set(N)` skip index, lifted to the PART level: each
+      * listed LOW-CARDINALITY column (integral/string/boolean) gets its
+      * distinct-value set recorded as a `_set_<col>` sidecar at part write
+      * (one distributed distinct pass over the freshly-staged files,
+      * capped at [[ColumnarMergeTree.SetIndexMaxValues]] values — beyond
+      * the cap the sidecar records SATURATED and never prunes, exactly
+      * ClickHouse's max_rows overflow behavior). `scanIn(col, values)`
+      * probes the sidecars driver-side and skips every part whose set
+      * contains NONE of the probe values — the equality/IN pruning minmax
+      * bounds can't give a column whose few values interleave across the
+      * whole range (status/enum/lang columns: every part spans
+      * 'a'..'z' in min/max terms but holds only 3 actual values).
+      * Sidecar-less parts are always read; merges rebuild through the
+      * same write path.
+      */
+    setIndexColumns: Seq[String] = Nil,
     /** Commit the manifest through the append-only log layout
       * (`_manifest_log/`, one immutable full-state file per commit,
       * put-if-absent CAS instead of the POSIX advisory lock) — the

@@ -705,6 +705,42 @@ object StorageQueries {
       |WHERE list_contains(string_split_regex(text, '[^A-Za-z0-9]+'), 'customer')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q128 — part-level set(N) skip index (ClickHouse `set`): the table
+    * declares `setIndexColumns = event_type`; each ingest batch carries
+    * ONE event type (the kafka-topic-per-type / per-source-feed ingest
+    * shape), so every part's minmax on event_type is useless to a
+    * different type's probe only by luck — but its distinct-value SET is
+    * exactly one value, and `scanIn` prunes 3 of 5 parts driver-side
+    * before any file I/O. This is the pruning minmax can never give a
+    * low-cardinality column whose values interleave in sort order.
+    * SetIndexSpec pins pruning counts, saturation fallback, sidecar-less
+    * safety, merge rebuild, and the SQL = / IN faces; this entry pins the
+    * end-to-end answer against the oracle.
+    */
+  def q128SetIndexScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cacheG.getOrElseUpdate(dir + "#setidx", {
+      val ev = eventsSlim(spark, dir)
+      val tbl = ColumnarMergeTree.create(spark,
+        Files.createTempDirectory("mt_q128_").toString,
+        ev.schema, orderBy = Seq("user_id", "event_id"),
+        config = MergeTreeConfig(setIndexColumns = Seq("event_type")))
+      Seq("click", "error", "purchase", "signup", "view").foreach(et =>
+        tbl.insertBatch(ev.filter(col("event_type") === et)))
+      tbl
+    })
+    t.scanIn("event_type", Seq("purchase", "signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("value")) * lit(100.0) + lit(0.5)).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q128Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
+      |FROM events WHERE event_type IN ('purchase', 'signup')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q91Sql: String =
     """SELECT CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS flag,
       | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
@@ -811,5 +847,6 @@ object StorageQueries {
     ("q92_optimize_sql", q92OptimizeSql _, Some(q92Sql)),
     ("q97_has_token", q97HasToken _, Some(q97Sql)),
     ("q105_log_manifest", q105LogManifest _, Some(q105Sql)),
-    ("q107_agg_projection", q107AggProjection _, Some(q107Sql)))
+    ("q107_agg_projection", q107AggProjection _, Some(q107Sql)),
+    ("q128_set_index_scan", q128SetIndexScan _, Some(q128Sql)))
 }

@@ -97,6 +97,7 @@ class GenericMergeTreeV2Table(
       d.hllColumns.foreach(c => m.put("hllColumns", c.mkString(",")))
       d.topKColumns.foreach(c => m.put("topKColumns", c.mkString(",")))
       d.quantileColumns.foreach(c => m.put("quantileColumns", c.mkString(",")))
+      d.setIndexColumns.foreach(c => m.put("setIndexColumns", c.mkString(",")))
       d.gcGraceSeconds.foreach(g => m.put("gcGraceSeconds", g.toString))
     }
     m
@@ -268,6 +269,18 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
       .flatMap(_.minmaxColumns).getOrElse(Nil)
       .filter(c => c != leadKey && tableSchema.fieldNames.contains(c)).toSet
 
+  /** set(N) skip-index columns declared in the tabledef: equality/IN
+    * predicates on them prune parts via the per-part `_set_` sidecars —
+    * the pruning minmax bounds can't give a low-cardinality column whose
+    * values interleave across every part's range. Leading key excluded
+    * (its equality prunes via the primary min/max path).
+    */
+  private val setIdxCols: Set[String] =
+    ColumnarMergeTree.TableDef.load(path)
+      .flatMap(_.setIndexColumns).getOrElse(Nil)
+      .filter(c => c != leadKey && tableSchema.fieldNames.contains(c) &&
+        ColumnarMergeTree.setIndexEligible(tableSchema(c).dataType)).toSet
+
   /** Columns whose range predicates can prune parts somewhere: the primary
     * leading key (on the base), a projection's leading key (routed), or a
     * minmax skip-index column (per-part bounds).
@@ -298,6 +311,14 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
     los(c) = los.get(c).fold(v)(cur => if (cmp(c, v, cur) > 0) v else cur)
   private def narrowHi(c: String, v: Any): Unit =
     his(c) = his.get(c).fold(v)(cur => if (cmp(c, v, cur) < 0) v else cur)
+
+  /** Canonical probe values per set(N)-indexed column; conjuncts intersect
+    * (x = 'a' AND x IN ('a','b') probes {'a'}).
+    */
+  private val setEquals = scala.collection.mutable.Map.empty[String, Set[String]]
+  private def setUsable(c: String, v: Any): Boolean = setIdxCols(c) && v != null
+  private def narrowSet(c: String, vs: Set[String]): Unit =
+    setEquals(c) = setEquals.get(c).fold(vs)(_ intersect vs)
   private def cmp(c: String, a: Any, b: Any): Int = tableSchema(c).dataType match {
     case StringType => KeyOrder.cmp(a.toString, b.toString)
     case DoubleType | FloatType =>
@@ -331,8 +352,12 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
     case In(a, vs) if partitionCol.contains(a) &&
         vs.nonEmpty && vs.forall(canonPartition(_).isDefined) =>
       narrowPartitions(vs.map(canonPartition(_).get).toSet); true
-    case EqualTo(a, v) if isRangeCol(a) && usable(a, v) =>
-      narrowLo(a, v); narrowHi(a, v); true
+    case EqualTo(a, v) if (isRangeCol(a) && usable(a, v)) || setUsable(a, v) =>
+      if (isRangeCol(a) && usable(a, v)) { narrowLo(a, v); narrowHi(a, v) }
+      if (setUsable(a, v)) narrowSet(a, Set(ColumnarMergeTree.setIndexCanon(v)))
+      true
+    case In(a, vs) if vs.nonEmpty && vs.forall(setUsable(a, _)) =>
+      narrowSet(a, vs.map(ColumnarMergeTree.setIndexCanon).toSet); true
     case GreaterThanOrEqual(a, v) if isRangeCol(a) && usable(a, v) => narrowLo(a, v); true
     case GreaterThan(a, v) if isRangeCol(a) && usable(a, v)        => narrowLo(a, v); true
     case LessThanOrEqual(a, v) if isRangeCol(a) && usable(a, v)    => narrowHi(a, v); true
@@ -374,7 +399,7 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
           los.get(c), his.get(c), wantedPartitions, snapshotSeq)
       case None =>
         new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
-          wantedPartitions, snapshotSeq, mmBounds)
+          wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap)
     }
   }
 }
@@ -388,7 +413,8 @@ class GenericMergeTreeScanImpl(
     hi: Option[Any],
     wantedPartitions: Option[Set[String]] = None,
     snapshotSeq: Option[Long] = None,
-    colBounds: Map[String, (Option[Any], Option[Any])] = Map.empty)
+    colBounds: Map[String, (Option[Any], Option[Any])] = Map.empty,
+    setEquals: Map[String, Set[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -428,11 +454,18 @@ class GenericMergeTreeScanImpl(
       case _ => inPartition.filter(p =>
         p.overlaps(lo.getOrElse(p.minKey), hi.getOrElse(p.maxKey)))
     }
-    // Minmax skip-index pruning last: per-part bounds on pushed non-key
-    // range predicates; parts without bounds for a column are kept.
-    if (colBounds.isEmpty) inKeyRange
-    else inKeyRange.filter(p => colBounds.forall { case (c, (l, h)) =>
-      p.colAllowsRange(c, l, h)
+    // Minmax skip-index pruning: per-part bounds on pushed non-key range
+    // predicates; parts without bounds for a column are kept.
+    val inBounds =
+      if (colBounds.isEmpty) inKeyRange
+      else inKeyRange.filter(p => colBounds.forall { case (c, (l, h)) =>
+        p.colAllowsRange(c, l, h)
+      })
+    // set(N) skip-index pruning last: per-part distinct-value sidecars on
+    // pushed equality/IN predicates; sidecar-less/saturated parts are kept.
+    if (setEquals.isEmpty) inBounds
+    else inBounds.filter(p => setEquals.forall { case (c, vs) =>
+      ColumnarMergeTree.setIndexAllows(path, p.dir, c, vs)
     })
   }
 

@@ -207,7 +207,8 @@ object MergeTreeTableProvider {
       Some(list("ngramBloomColumns")).filter(_.nonEmpty),
       Some(list("hllColumns")).filter(_.nonEmpty),
       Some(list("topKColumns")).filter(_.nonEmpty),
-      Some(list("quantileColumns")).filter(_.nonEmpty))
+      Some(list("quantileColumns")).filter(_.nonEmpty),
+      Some(list("setIndexColumns")).filter(_.nonEmpty))
   }
 
   /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying

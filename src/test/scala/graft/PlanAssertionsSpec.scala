@@ -314,6 +314,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q126: lexical side reads only pruned index buckets; fusion is WindowGroupLimit") {
+    val p = plan(PipelineQueries.q126HybridRrf(spark, dir))
+    // The BM25 list must be served from the persisted index: term IN (...)
+    // pushed into the posting scan, each scanned file a bucket part.
+    assert(p.contains("In(term"), s"query terms must reach the posting scan:\n$p")
+    assert(p.contains("inv_idx_"), s"lexical side must read the persisted index:\n$p")
+    // Top-10-per-query fuses through WindowGroupLimit, never a full sort.
+    assert(p.contains("WindowGroupLimit"), s"fusion top-k must group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+  }
+
+  test("q127: LM table broadcasts into the token join; per-lang top-k group-limits") {
+    val p = plan(PipelineQueries.q127DsirSelect(spark, dir))
+    // The vocabulary-sized LM side must broadcast (AQE does at this SF; at
+    // 100 TB it legitimately grows into a sort-merge join — the pin is
+    // that the CORPUS side is never the built/broadcast side).
+    assert(p.contains("BroadcastHashJoin"), s"LM side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-lang top-5 must group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // No exchange may be keyed on the raw text column (tokens explode
+    // map-side; only doc_id/term/lang key shuffles).
+    assert(!"hashpartitioning\\(text".r.findAllIn(p).hasNext,
+      s"no text-keyed exchange:\n$p")
+  }
+
   test("no declared query plans a cartesian product") {
     // IVF/top-k queries intentionally broadcast tiny sides (nested-loop with
     // a broadcast side is fine); an unbroadcast CartesianProduct is not.
