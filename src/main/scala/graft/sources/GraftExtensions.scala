@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.getClass.getCanonicalName, "ann_search"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.annRelation(args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hybrid_search"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftExtensions.getClass.getCanonicalName, "hybrid_search"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.hybridRelation(args)))
   }
 }
 
@@ -236,6 +242,106 @@ object GraftExtensions {
     val schema = StructType.fromDDL("rnk INT, vec_id BIGINT, sim DOUBLE")
     val rows = df.collect().map(r => new GenericInternalRow(
       Array[Any](r.getInt(0), r.getLong(1), r.getDouble(2))): InternalRow)
+    val attrs = schema.fields.toIndexedSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    LocalRelation(attrs, rows.toIndexedSeq, isStreaming = false)
+  }
+
+  /** SQL face over HYBRID retrieval — the q126 reciprocal-rank fusion of
+    * both persisted indexes for pure-SQL users:
+    *
+    * {{{
+    *   SELECT * FROM hybrid_search('/data/inv_idx', '/data/ivf_idx',
+    *                               'dup vector merge', array(0.1D, …), 10)
+    * }}}
+    *
+    * → (frk, doc_id, rrf, lrk, vrk): the top-k documents by RRF (k = 60,
+    * exact integer nano-units — floor(10⁹ div (60 + rank)), summed over
+    * the retrievers that returned the doc) of the BM25 top-max(20, 2k)
+    * (bucket-pruned posting probe, the index's own tokenizer) against the
+    * ANN top-max(20, 2k) (IVF probe; ADC-scored when the index carries PQ
+    * codes) for the literal query vector. CONTRACT: the two indexes must
+    * share one document id space (an inverted index and an ANN index built
+    * over the same corpus — doc_id == vec_id), which is what a RAG stack
+    * maintains anyway. Both candidate lists are k-bounded, so the fusion
+    * is a driver-side merge of ≤ 2·max(20, 2k) rows — never a Spark job.
+    */
+  private def hybridRelation(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    require(args.length == 5 && args.forall(_.foldable) &&
+      args(0).dataType == StringType && args(1).dataType == StringType &&
+      args(2).dataType == StringType &&
+      args(3).dataType.isInstanceOf[ArrayType] &&
+      args(3).dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[NumericType] &&
+      (args(4).dataType == IntegerType || args(4).dataType == LongType),
+      "hybrid_search(text_index, ann_index, query, query_vector, k) takes " +
+        "(string, string, string, array<numeric>, int) literals")
+    val qEval = args(2).eval()
+    val vEval = args(3).eval()
+    val kEval = args(4).eval()
+    require(qEval != null && vEval != null && kEval != null,
+      "hybrid_search: the query, vector, and k arguments must not be NULL")
+    val query = String.valueOf(qEval)
+    val elemType = args(3).dataType.asInstanceOf[ArrayType].elementType
+    val vec = vEval.asInstanceOf[ArrayData].toObjectArray(elemType)
+      .map {
+        case null => throw new IllegalArgumentException(
+          "hybrid_search: query vector must not contain NULLs")
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+      }.toSeq
+    require(vec.forall(java.lang.Double.isFinite),
+      "hybrid_search: query vector must contain only finite values")
+    require(vec.exists(_ != 0.0),
+      "hybrid_search: query vector must not be all-zero (cosine undefined)")
+    val kLong = kEval.asInstanceOf[Number].longValue()
+    require(kLong > 0 && kLong <= Int.MaxValue / 2,
+      s"hybrid_search: k must be in [1, ${Int.MaxValue / 2}], got $kLong")
+    val k = kLong.toInt
+    val nCand = math.max(20, 2 * k)
+    val spark = SparkSession.active
+    val invDir = resolveTarget(spark, "hybrid_search", args(0).eval())
+    val ivfDir = resolveTarget(spark, "hybrid_search", args(1).eval())
+    // Lexical candidates: doc_id -> BM25 rank (the index's own tokenizer).
+    val inv = graft.operators.InvertedIndex.open(spark, invDir)
+    val lex: Map[Long, Long] = inv.searchText(query, nCand).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // Vector candidates: vec_id -> ANN rank (ADC when PQ codes exist).
+    val ivf = graft.operators.IvfIndex.open(spark, ivfDir)
+    require(vec.length == ivf.dim,
+      s"hybrid_search: query vector has ${vec.length} dims, " +
+        s"ann index was built on ${ivf.dim}")
+    val nprobe = graft.operators.IvfIndex.autoNprobe(ivf.nlist)
+    val shortlist = math.max(50, 4 * nCand)
+    import org.apache.spark.sql.functions.col
+    val queries = spark.createDataFrame(Seq((0L, vec)))
+      .select(col("_1").as("qid"), col("_2").as("qv"))
+    val vdf = (if (ivf.pqCodebooks.isDefined)
+        ivf.searchAdc(queries, nCand, nprobe, shortlist, excludeSelf = false)
+      else ivf.search(queries, nCand, nprobe, excludeSelf = false))
+      .select(col("rnk"), col("vec_id"))
+    val vrk: Map[Long, Long] = vdf.collect()
+      .map(r => r.getLong(1) -> r.getInt(0).toLong).toMap
+    // Driver-side RRF over two k-bounded lists (the q126 arithmetic —
+    // exact int64, missing source contributes 0, ties broken by doc_id).
+    def part(rank: Option[Long]): Long = rank.fold(0L)(r => 1000000000L / (60L + r))
+    val fused = (lex.keySet ++ vrk.keySet).toSeq
+      .map(id => (id, part(lex.get(id)) + part(vrk.get(id)),
+        lex.getOrElse(id, 0L), vrk.getOrElse(id, 0L)))
+      .sortBy { case (id, s, _, _) => (-s, id) }
+      .take(k)
+    val rows = fused.zipWithIndex.map { case ((id, s, l, v), i) =>
+      new GenericInternalRow(Array[Any](i + 1L, id, s, l, v)): InternalRow
+    }
+    val schema = StructType.fromDDL(
+      "frk BIGINT, doc_id BIGINT, rrf BIGINT, lrk BIGINT, vrk BIGINT")
     val attrs = schema.fields.toIndexedSeq
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     LocalRelation(attrs, rows.toIndexedSeq, isStreaming = false)

@@ -231,4 +231,46 @@ class IvfIndexSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       s"SELECT * FROM ann_search('$path', $lit, 4294967301)").collect())
   }
+
+  test("SQL hybrid_search fuses the two index faces with exact RRF") {
+    import graft.operators.InvertedIndex
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val invPath = Files.createTempDirectory("hyb_inv_").toString
+    InvertedIndex.build(spark, docs, invPath, nbuckets = 8)
+    val ivfPath = Files.createTempDirectory("hyb_ivf_").toString
+    IvfIndex.build(spark, vectors, ivfPath, nlist = 8)
+    val qv = vectors.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    val lit = qv.map(d => s"${d}D").mkString("array(", ", ", ")")
+    val (k, nCand) = (10, 20)
+
+    // Hand-fuse the two standalone faces with the q126 RRF arithmetic —
+    // hybrid_search must reproduce it exactly (same candidate depths).
+    val lex = spark.sql(
+      s"SELECT rk, doc_id FROM bm25_search('$invPath', 'dup vector merge', $nCand)")
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val vr = spark.sql(
+      s"SELECT rnk, vec_id FROM ann_search('$ivfPath', $lit, $nCand)")
+      .collect().map(r => r.getLong(1) -> r.getInt(0).toLong).toMap
+    assert(lex.nonEmpty && vr.nonEmpty)
+    def part(o: Option[Long]) = o.fold(0L)(r => 1000000000L / (60L + r))
+    val expect = (lex.keySet ++ vr.keySet).toSeq
+      .map(id => (id, part(lex.get(id)) + part(vr.get(id)),
+        lex.getOrElse(id, 0L), vr.getOrElse(id, 0L)))
+      .sortBy { case (id, s, _, _) => (-s, id) }.take(k)
+
+    val got = spark.sql(s"SELECT * FROM hybrid_search('$invPath', '$ivfPath', " +
+      s"'dup vector merge', $lit, $k)").collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to k).toSeq, "frk contiguous")
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      == expect, s"hybrid fusion must equal the hand-fused faces")
+    // At least one doc must carry evidence from BOTH retrievers, or the
+    // fusion is vacuous on this corpus.
+    assert(got.exists(r => r.getLong(3) > 0 && r.getLong(4) > 0))
+
+    // Bad arguments fail loudly at analysis.
+    intercept[Exception](spark.sql(s"SELECT * FROM hybrid_search('$invPath', " +
+      s"'$ivfPath', 'dup', array(1.0D, 2.0D), 3)").collect()) // wrong dim
+    intercept[Exception](spark.sql(s"SELECT * FROM hybrid_search('$invPath', " +
+      s"'$ivfPath', 'dup', $lit, 0)").collect())
+  }
 }
