@@ -3530,6 +3530,75 @@ object PipelineQueries {
       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source, n_toks, w, avg_lp
       |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** Overlapping token-window chunking over an arbitrary corpus frame —
+    * extracted so specs drive hand-built docs through the exact production
+    * arithmetic. See [[q129RagChunks]].
+    */
+  private[graft] def ragChunks(d: DataFrame, w: Int, o: Int): DataFrame = {
+    require(w > o && o >= 0, s"need window > overlap >= 0, got ($w, $o)")
+    val s = w - o
+    val t = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      // ceil(max(1, n - o) / stride) in pure integer arithmetic — spelled
+      // identically in the oracle so chunk counts can't drift.
+      .withColumn("n_chunks",
+        expr(s"(greatest(1L, n - $o) + ${s - 1}) div $s"))
+    t.select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * s)
+      .withColumn("txt", concat_ws(" ",
+        slice(col("ws"), (col("start_tok") + 1).cast("int"), lit(w))))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(w.toLong), col("n") - col("start_tok")).as("n_toks"),
+        md5(col("txt")).as("digest"),
+        length(col("txt")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Q129 — RAG chunking (retrieval-ingest document splitting): every doc
+    * becomes overlapping token windows of W = 16 tokens with O = 4 tokens
+    * of overlap (stride 12) — the standard chunk-for-embedding shape
+    * (production deployments use W ≈ 256–512 with the same arithmetic;
+    * the knobs are scaled to this corpus's ~55-token docs so multiple
+    * chunks and the tail-clamp actually exercise). Each chunk carries its
+    * token span (chunk_idx, start_tok, n_toks), its md5 digest (the
+    * downstream dedup/embedding-cache key), and its char length; every
+    * token lands in ≥ 1 chunk and consecutive chunks share exactly O
+    * tokens (spec-pinned on hand-sized fixtures).
+    *
+    * Shape at 100 TB: chunking is ONE map-side explode off the corpus
+    * scan — no join, no aggregate; the only exchange is the output sort.
+    * A downstream embedding/dedup stage inherits chunk-level parallelism
+    * for free.
+    */
+  def q129RagChunks(spark: SparkSession, dir: String): DataFrame =
+    ragChunks(docs(spark, dir), w = 16, o = 4)
+
+  val q129Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, ws, n,
+      |    CAST((greatest(1, n - 4) + 11) // 12 AS BIGINT) AS n_chunks FROM t),
+      |ch0 AS (
+      |  SELECT doc_id, ws, n,
+      |    CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
+      |  FROM c),
+      |ch AS (
+      |  SELECT doc_id, ws, n, chunk_idx,
+      |    CAST(chunk_idx * 12 AS BIGINT) AS start_tok
+      |  FROM ch0),
+      |cut AS (
+      |  SELECT doc_id, chunk_idx, start_tok, n,
+      |    array_to_string(ws[CAST(start_tok + 1 AS INT) :
+      |                       CAST(start_tok + 16 AS INT)], ' ') AS txt
+      |  FROM ch)
+      |SELECT doc_id, chunk_idx, start_tok,
+      |  CAST(least(16, n - start_tok) AS BIGINT) AS n_toks,
+      |  md5(txt) AS digest, CAST(len(txt) AS BIGINT) AS n_chars
+      |FROM cut ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -3582,5 +3651,6 @@ object PipelineQueries {
     ("q124_multilingual_verdicts", q124MultilingualVerdicts _, Some(q124Sql)),
     ("q125_multilingual_compose", q125MultilingualCompose _, Some(q125Sql)),
     ("q126_hybrid_rrf", q126HybridRrf _, Some(q126Sql)),
-    ("q127_dsir_select", q127DsirSelect _, Some(q127Sql)))
+    ("q127_dsir_select", q127DsirSelect _, Some(q127Sql)),
+    ("q129_rag_chunks", q129RagChunks _, Some(q129Sql)))
 }

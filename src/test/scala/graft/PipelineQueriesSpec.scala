@@ -749,4 +749,40 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(avg(10L) > avg(12L) && avg(12L) > avg(11L),
       s"importance order violated: $avg")
   }
+
+  test("q129 RAG chunking: hand-computed spans, full coverage, exact overlap") {
+    import spark.implicits._
+    // 30 tokens, W=16 O=4 stride=12: ceil(26/12) = 3 chunks at starts
+    // 0/12/24 with 16/16/6 tokens; every token covered; consecutive
+    // chunks share exactly 4 token positions.
+    val words = (0 until 30).map(i => s"w$i")
+    val d = Seq((1L, words.mkString(" ")), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = PipelineQueries.ragChunks(d, w = 16, o = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 0L, 16L), (1L, 1L, 12L, 16L), (1L, 2L, 24L, 6L)),
+      s"got ${out.toSeq}")
+    // A 1-token doc and an empty doc each produce exactly one chunk
+    // (split("") = [""], so n = 1 — identical in DuckDB).
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+    // Coverage + overlap invariants on the real corpus.
+    val corpus = PipelineQueries.q129RagChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    corpus.foreach { case (docId, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $docId first chunk must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 12, s"doc $docId stride drift")
+          assert(a._3 + a._4 >= b._3 + 4 || a._4 < 16,
+            s"doc $docId consecutive chunks must overlap")
+        case _ => ()
+      }
+      // the last chunk reaches the final token
+      val last = sorted.last
+      assert(last._4 >= 1, s"doc $docId empty tail chunk")
+    }
+  }
 }
