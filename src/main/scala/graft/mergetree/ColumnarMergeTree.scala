@@ -1738,11 +1738,9 @@ final class ColumnarMergeTree private (
   def scanIn(column: String, values: Seq[Any]): DataFrame = {
     require(schema.fieldNames.contains(column), s"no column '$column'")
     require(values.nonEmpty, "scanIn: empty value set")
-    val live = { refresh(); manifest.parts }
     val canon = values.map(ColumnarMergeTree.setIndexCanon).toSet
-    val surviving = live.filter(p =>
-      ColumnarMergeTree.setIndexAllows(path, p.dir, column, canon))
-    lastPruning = (surviving.size, live.size)
+    val surviving = setIndexParts(column, canon)
+    lastPruning = (surviving.size, manifest.parts.size)
     collapse(readParts(surviving)
       .filter(col(column).isInCollection(values)))
   }
@@ -2399,6 +2397,16 @@ object ColumnarMergeTree {
     */
   private[graft] def setIndexCanon(v: Any): String = String.valueOf(v)
 
+  /** Parsed set(N) sidecars, keyed by (file, mtime): sidecars are
+    * write-once with the part dir, so repeat probes (every planned scan
+    * touches every live part) cost one stat instead of a read + JSON
+    * parse per part per query. None = keep-always (saturated, garbled, or
+    * value-less); bounded by parts-ever-probed × indexed columns, a few
+    * KB each.
+    */
+  private val setSidecarCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Set[String]]]
+
   /** Does `partDir`'s set(N) sidecar for `column` allow any of `values`?
     * Missing sidecar, saturated sidecar, or an unreadable/garbled one → keep
     * (the index accelerates, never filters). Shared by the Scala scanIn
@@ -2408,15 +2416,19 @@ object ColumnarMergeTree {
       column: String, values: Set[String]): Boolean = {
     val f = Paths.get(path, partDir, s"_set_$column")
     if (!Files.exists(f)) return true
-    try {
-      import org.json4s.DefaultFormats
-      import org.json4s.jackson.JsonMethods
-      implicit val fmts: org.json4s.Formats = DefaultFormats
-      val j = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
-      (j \ "saturated").extractOpt[Boolean].getOrElse(false) ||
-        (j \ "values").extractOpt[List[String]]
-          .fold(true)(vs => vs.exists(values))
-    } catch { case scala.util.control.NonFatal(_) => true }
+    val mtime = try Files.getLastModifiedTime(f).toMillis
+      catch { case scala.util.control.NonFatal(_) => return true }
+    val parsed = setSidecarCache.getOrElseUpdate((f.toString, mtime), {
+      try {
+        import org.json4s.DefaultFormats
+        import org.json4s.jackson.JsonMethods
+        implicit val fmts: org.json4s.Formats = DefaultFormats
+        val j = JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8"))
+        if ((j \ "saturated").extractOpt[Boolean].getOrElse(false)) None
+        else (j \ "values").extractOpt[List[String]].map(_.toSet)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+    parsed.fold(true)(vs => vs.exists(values))
   }
 
   /** MV-registry name prefix marking a projection (identity MV kept as an

@@ -474,6 +474,13 @@ final class InvertedIndex private (
     * from-scratch rebuild over the edited corpus exactly (spec-pinned —
     * the same derived-stats argument as delete). Batch-bounded like both
     * parents: ids are driver-held, postings build in one partitioned job.
+    *
+    * CALLER CONTRACT (delete's mirror, and like delete not exactly
+    * checkable): every id must be PREVIOUSLY INDEXED. A never-indexed id
+    * would land postings while n_docs stays put — permanently skewing
+    * every idf — and the index cannot distinguish it from a legally
+    * indexed zero-token document (those have no posting rows either), so
+    * the require below bounds, not proves. Use [[append]] for new docs.
     */
   def update(docs: DataFrame): Unit = {
     val st = stats

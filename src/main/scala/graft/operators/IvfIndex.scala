@@ -307,13 +307,31 @@ final class IvfIndex private (
     * nprobe = nlist). Two manifest CAS commits (drop, then land) — a
     * reader between them misses the updated ids, never sees both
     * versions; single-logical-writer per id set, like append.
+    *
+    * Crash posture: an `_update_intent` marker (the appendStream intent
+    * discipline) brackets the two commits — written atomically before the
+    * delete, cleared after the append lands. A crash in between would
+    * otherwise leave the index PERMANENTLY missing the updated ids with
+    * nothing detecting it; instead [[IvfIndex.open]] refuses to serve an
+    * index carrying a torn intent (the replacement vectors are
+    * unknowable post-crash, so redo is impossible — the caller re-runs
+    * the update from its own inputs, or rebuilds, then removes the
+    * marker).
     */
   def update(vectors: DataFrame): Unit = {
     val ids = vectors.select(col("vec_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     require(ids.nonEmpty, "empty update: pass the re-embedded vectors")
+    val dir = java.nio.file.Paths.get(path)
+    val intent = dir.resolve(IvfIndex.UpdateIntentFile)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".upd_", ".tmp")
+    java.nio.file.Files.writeString(tmp, ids.sorted.mkString(","))
+    java.nio.file.Files.move(tmp, intent,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     delete(ids)
     append(vectors)
+    java.nio.file.Files.deleteIfExists(intent)
   }
 }
 
@@ -464,8 +482,20 @@ object IvfIndex {
     */
   def open(spark: SparkSession, path: String): IvfIndex = {
     graft.functions.GraftFunctions.register(spark)
+    // A torn update (crash between its delete and append commits) leaves
+    // the index missing the updated ids — fail loudly instead of serving
+    // silently wrong neighbours forever (see update's crash posture).
+    val intent = java.nio.file.Paths.get(path, UpdateIntentFile)
+    if (java.nio.file.Files.exists(intent))
+      throw new IllegalStateException(
+        s"ANN index at $path has a torn update (ids: " +
+          s"${java.nio.file.Files.readString(intent)}): re-run the update " +
+          s"from its inputs or rebuild, then remove $UpdateIntentFile")
     val nl = spark.read.parquet(s"$path/_centroids").count().toInt
     val cfg = MergeTreeConfig(maxParts = 2 * math.max(1, nl))
     new IvfIndex(spark, ColumnarMergeTree.open(spark, path, cfg), path)
   }
+
+  /** Marker bracketing update's two manifest commits; see [[IvfIndex.update]]. */
+  val UpdateIntentFile = "_update_intent"
 }

@@ -79,11 +79,20 @@ final class MinHashStore private (val path: String, spark: SparkSession) {
     */
   def delete(docIds: Seq[Long]): Unit = {
     require(docIds.nonEmpty, "empty delete: pass the removed doc ids")
+    swapStore(signatures.filter(!col("doc_id").isInCollection(docIds.distinct)))
+  }
+
+  /** Replace the whole store with `next` via stage + two-rename swap — the
+    * one commit point delete and update share. A crash between the renames
+    * leaves the old store at `<path>.delete-old` and the survivors at
+    * either location — both complete and recoverable by hand; a mid-rename
+    * torn state cannot occur (dir renames are atomic on one filesystem).
+    */
+  private def swapStore(next: DataFrame): Unit = {
     import java.nio.file.{Files, Paths}
     val staged = path + ".delete-tmp"
     val old = path + ".delete-old"
-    signatures.filter(!col("doc_id").isInCollection(docIds.distinct))
-      .write.mode("overwrite").parquet(staged)
+    next.write.mode("overwrite").parquet(staged)
     graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(old))
     Files.move(Paths.get(path), Paths.get(old))
     Files.move(Paths.get(staged), Paths.get(path))
@@ -92,18 +101,21 @@ final class MinHashStore private (val path: String, spark: SparkSession) {
 
   /** Re-sign CHANGED documents (a corpus edit changes a doc's shingle set,
     * so its persisted signatures are stale — candidate pairs would keep
-    * reflecting the pre-edit text): [[delete]] of the ids' band rows +
-    * [[append]] of the new texts' shingle hashes. Signatures are
-    * per-document and deterministic, so the result IS a rebuild over the
-    * edited corpus, exactly (spec-pinned). Same single-writer semantics
-    * as both parents.
+    * reflecting the pre-edit text): survivors minus the edited ids UNION
+    * the new texts' signatures, committed through the SAME single
+    * stage+swap as [[delete]] — one atomic commit, so no crash point can
+    * leave the edited docs signature-less (a separate delete-then-append
+    * would). Signatures are per-document and deterministic, so the result
+    * IS a rebuild over the edited corpus, exactly (spec-pinned). Same
+    * single-writer semantics as append.
     */
   def update(batchShingleHashes: DataFrame): Unit = {
     val ids = batchShingleHashes.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     require(ids.nonEmpty, "empty update: pass the re-written docs' shingle hashes")
-    delete(ids)
-    append(batchShingleHashes)
+    swapStore(
+      signatures.filter(!col("doc_id").isInCollection(ids))
+        .unionByName(MinHashStore.bandSignatures(batchShingleHashes)))
   }
 
   /** LSH candidate pairs of a new batch against the store: distinct

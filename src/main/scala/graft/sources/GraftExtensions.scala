@@ -183,13 +183,60 @@ object GraftExtensions {
     * index through exact-cosine search. Self-exclusion is off — a SQL
     * literal query lives in its own id space.
     */
+  /** Decode + validate a foldable SQL query-vector literal — shared by
+    * ann_search and hybrid_search so the two faces cannot drift (a SQL
+    * literal doesn't get the embedding pipeline's implicit guarantees:
+    * no NULL elements, finite values, non-zero norm).
+    */
+  private def evalVector(fname: String,
+      arg: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, Decimal}
+    val vEval = arg.eval()
+    require(vEval != null, s"$fname: the vector argument must not be NULL")
+    val elemType = arg.dataType.asInstanceOf[ArrayType].elementType
+    val vec = vEval.asInstanceOf[ArrayData].toObjectArray(elemType)
+      .map {
+        case null => throw new IllegalArgumentException(
+          s"$fname: query vector must not contain NULLs")
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+      }.toSeq
+    require(vec.forall(java.lang.Double.isFinite),
+      s"$fname: query vector must contain only finite values")
+    require(vec.exists(_ != 0.0),
+      s"$fname: query vector must not be all-zero (cosine undefined)")
+    vec
+  }
+
+  /** Range-check a foldable k literal BEFORE truncating (Number.intValue
+    * silently wraps a BIGINT k — 2^32+5 would run as k=5). Shared by every
+    * search face.
+    */
+  private def evalK(fname: String,
+      arg: org.apache.spark.sql.catalyst.expressions.Expression,
+      max: Long = Int.MaxValue): Int = {
+    val kEval = arg.eval()
+    require(kEval != null, s"$fname: the k argument must not be NULL")
+    val kLong = kEval.asInstanceOf[Number].longValue()
+    require(kLong > 0 && kLong <= max,
+      s"$fname: k must be in [1, $max], got $kLong")
+    kLong.toInt
+  }
+
+  /** ADC re-rank shortlist for a candidate depth — overflow-safe (4×nCand
+    * wraps Int for the large k the require range permits).
+    */
+  private def adcShortlist(nCand: Int): Int =
+    math.min(Int.MaxValue.toLong, math.max(50L, 4L * nCand)).toInt
+
   private def annRelation(
       args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-    import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types._
     require(args.length == 3 && args.forall(_.foldable) &&
       args(0).dataType == StringType &&
@@ -198,32 +245,11 @@ object GraftExtensions {
       (args(2).dataType == IntegerType || args(2).dataType == LongType),
       "ann_search(index, query_vector, k) takes (string, array<numeric>, int) " +
         "literals (index = catalog identifier or table directory)")
-    val vEval = args(1).eval()
-    val kEval = args(2).eval()
-    require(vEval != null && kEval != null,
-      "ann_search: the vector and k arguments must not be NULL")
-    val elemType = args(1).dataType.asInstanceOf[ArrayType].elementType
-    val vec = vEval.asInstanceOf[ArrayData].toObjectArray(elemType)
-      .map {
-        case null => throw new IllegalArgumentException(
-          "ann_search: query vector must not contain NULLs")
-        case d: java.math.BigDecimal => d.doubleValue()
-        case d: Decimal => d.toDouble
-        case n: Number => n.doubleValue()
-      }.toSeq
-    val kLong = kEval.asInstanceOf[Number].longValue()
-    require(kLong > 0 && kLong <= Int.MaxValue,
-      s"ann_search: k must be in [1, ${Int.MaxValue}], got $kLong")
-    val k = kLong.toInt
-    // A SQL-literal vector doesn't get the embedding pipeline's implicit
-    // guarantees: validate dimension (the cosine expression scores the
-    // common PREFIX of unequal arrays — silently wrong neighbours) and
-    // finiteness/norm (a zero or NaN query makes every sim NaN, and NaN
-    // ranks FIRST under a descending sort).
-    require(vec.forall(java.lang.Double.isFinite),
-      "ann_search: query vector must contain only finite values")
-    require(vec.exists(_ != 0.0),
-      "ann_search: query vector must not be all-zero (cosine undefined)")
+    // Validate the literal vector (dimension checked against the index
+    // below — the cosine expression scores the common PREFIX of unequal
+    // arrays, silently wrong neighbours) and k (shared helpers).
+    val vec = evalVector("ann_search", args(1))
+    val k = evalK("ann_search", args(2))
     val spark = SparkSession.active
     val dir = resolveTarget(spark, "ann_search", args(0).eval())
     val idx = graft.operators.IvfIndex.open(spark, dir)
@@ -231,7 +257,7 @@ object GraftExtensions {
       s"ann_search: query vector has ${vec.length} dims, index was built on ${idx.dim}")
     val nprobe = graft.operators.IvfIndex.autoNprobe(idx.nlist)
     // The q109/q115 shortlist floor (never below 50), overflow-safe.
-    val shortlist = math.min(Int.MaxValue.toLong, math.max(50L, 4L * k)).toInt
+    val shortlist = adcShortlist(k)
     import org.apache.spark.sql.functions.col
     val queries = spark.createDataFrame(Seq((0L, vec)))
       .select(col("_1").as("qid"), col("_2").as("qv"))
@@ -283,28 +309,11 @@ object GraftExtensions {
       "hybrid_search(text_index, ann_index, query, query_vector, k) takes " +
         "(string, string, string, array<numeric>, int) literals")
     val qEval = args(2).eval()
-    val vEval = args(3).eval()
-    val kEval = args(4).eval()
-    require(qEval != null && vEval != null && kEval != null,
-      "hybrid_search: the query, vector, and k arguments must not be NULL")
+    require(qEval != null, "hybrid_search: the query argument must not be NULL")
     val query = String.valueOf(qEval)
-    val elemType = args(3).dataType.asInstanceOf[ArrayType].elementType
-    val vec = vEval.asInstanceOf[ArrayData].toObjectArray(elemType)
-      .map {
-        case null => throw new IllegalArgumentException(
-          "hybrid_search: query vector must not contain NULLs")
-        case d: java.math.BigDecimal => d.doubleValue()
-        case d: Decimal => d.toDouble
-        case n: Number => n.doubleValue()
-      }.toSeq
-    require(vec.forall(java.lang.Double.isFinite),
-      "hybrid_search: query vector must contain only finite values")
-    require(vec.exists(_ != 0.0),
-      "hybrid_search: query vector must not be all-zero (cosine undefined)")
-    val kLong = kEval.asInstanceOf[Number].longValue()
-    require(kLong > 0 && kLong <= Int.MaxValue / 2,
-      s"hybrid_search: k must be in [1, ${Int.MaxValue / 2}], got $kLong")
-    val k = kLong.toInt
+    val vec = evalVector("hybrid_search", args(3))
+    // k capped at IntMax/2 so nCand = 2k below cannot overflow.
+    val k = evalK("hybrid_search", args(4), max = Int.MaxValue / 2)
     val nCand = math.max(20, 2 * k)
     val spark = SparkSession.active
     val invDir = resolveTarget(spark, "hybrid_search", args(0).eval())
@@ -319,7 +328,7 @@ object GraftExtensions {
       s"hybrid_search: query vector has ${vec.length} dims, " +
         s"ann index was built on ${ivf.dim}")
     val nprobe = graft.operators.IvfIndex.autoNprobe(ivf.nlist)
-    val shortlist = math.max(50, 4 * nCand)
+    val shortlist = adcShortlist(nCand)
     import org.apache.spark.sql.functions.col
     val queries = spark.createDataFrame(Seq((0L, vec)))
       .select(col("_1").as("qid"), col("_2").as("qv"))

@@ -264,6 +264,28 @@ class IndexDeleteSpec extends AnyFunSuite {
       "updated signatures must equal a rebuild over the edited corpus")
   }
 
+  test("a torn ANN update (crash between its two commits) fails open() loudly") {
+    graft.functions.GraftFunctions.register(spark)
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = Files.createTempDirectory("ivf_torn_").toString
+    val idx = IvfIndex.build(spark, vectors, path, nlist = 8)
+    idx.table.shutdown()
+    // Simulate the crash window: the intent written, the append never
+    // landed. The index now silently misses the updated ids — open()
+    // must refuse rather than serve wrong neighbours forever.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, IvfIndex.UpdateIntentFile), "12,17")
+    val e = intercept[IllegalStateException](IvfIndex.open(spark, path))
+    assert(e.getMessage.contains("torn update") && e.getMessage.contains("12,17"))
+    // Clearing the marker (the documented repair) restores service.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, IvfIndex.UpdateIntentFile))
+    val reopened = IvfIndex.open(spark, path)
+    assert(reopened.table.scan().count() == 500)
+    reopened.table.shutdown()
+  }
+
   test("TTL lifecycle: corpus applyTtl + index.delete of the expired ids == rebuild") {
     // The retention flow end to end: the corpus table declares a TTL, the
     // eager pass expires rows, and the SAME id set the table expired
