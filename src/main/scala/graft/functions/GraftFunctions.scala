@@ -577,6 +577,70 @@ class UniqUpToAggregator(n: Int)
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
+/** `bpe_encode(text, merges)` → array<string>: tokenize `text` into BPE
+  * subword units under a TRAINED merge list (BpeTokenizer.train —
+  * Sennrich 2016), `merges` a foldable array<string> of "left right"
+  * pairs in rank order (BpeTokenizer.Merges.encoded — typically a few
+  * hundred entries riding as a plan literal, the pq_encode codebook
+  * discipline). Words split with the shared corpus tokenizer (lowercase,
+  * `[^a-z]+`), each greedily merged lowest-rank-first, token streams
+  * concatenated.
+  *
+  * The merge table parses ONCE per expression instance (transient lazy —
+  * never per row), and the generated code calls [[encodeRow]] through a
+  * ctx.addReferenceObj handle: one virtual call per row inside
+  * whole-stage codegen, with the interpreted path sharing the identical
+  * implementation (no two-path drift to test for).
+  */
+case class BpeEncode(left: Expression, right: Expression) extends BinaryExpression {
+
+  @transient private lazy val merges: graft.operators.BpeTokenizer.Merges = {
+    require(right.foldable, "bpe_encode: merges must be a literal")
+    graft.operators.BpeTokenizer.Merges.decode(
+      right.eval(null).asInstanceOf[ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode requires (string, array<string>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "bpe_encode"
+
+  /** Row entry point shared VERBATIM by nullSafeEval and the generated
+    * code (public: the generated class lives outside this package).
+    */
+  def encodeRow(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = graft.operators.BpeTokenizer.encodeText(text.toString, merges)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        .asInstanceOf[Any]))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    encodeRow(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $ref.encodeRow($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeEncode =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: direct (per-session FunctionRegistry) and via
   * SparkSessionExtensions for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -649,6 +713,13 @@ object GraftFunctions {
     * passed; a deployment via --conf spark.sql.extensions failed on the
     * first pq_* call.)
     */
+  private val bpeEncodeInfo = new ExpressionInfo(
+    classOf[BpeEncode].getName, "bpe_encode")
+  private val bpeEncodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "bpe_encode takes (text, merges)")
+    BpeEncode(children.head, children(1))
+  }
+
   private[functions] val expressionFunctions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("has_token"), hasTokenInfo, hasTokenBuilder),
@@ -656,7 +727,8 @@ object GraftFunctions {
     (FunctionIdentifier("dot_product"), dotInfo, dotBuilder),
     (FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder),
     (FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder),
-    (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder))
+    (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder),
+    (FunctionIdentifier("bpe_encode"), bpeEncodeInfo, bpeEncodeBuilder))
 
   /** The UDAF family needs a live session (spark.udf); shared by
     * register() and GraftExtensions' analyzer hook. Idempotent.

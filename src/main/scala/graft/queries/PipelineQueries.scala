@@ -3599,6 +3599,46 @@ object PipelineQueries {
       |  md5(txt) AS digest, CAST(len(txt) AS BIGINT) AS n_chars
       |FROM cut ORDER BY doc_id, chunk_idx""".stripMargin
 
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.BpeTokenizer.Merges]
+
+  /** Q130 — BPE subword tokenization (Sennrich et al. 2016): merge rules
+    * TRAINED on this corpus (200 merges over the word-frequency dictionary
+    * — the corpus-sized work is one vocabulary-reduced aggregate, the
+    * training loop runs driver-side over word counts exactly like the
+    * reference implementation), then every document encoded by the native
+    * `bpe_encode` codegen expression (greedy lowest-rank-first merges, the
+    * rank table a plan literal). Output: per-lang corpus tokenization
+    * stats — docs, BPE tokens, distinct subword vocabulary, and payload
+    * chars per token in ppm (marker-stripped) — all exact integers.
+    *
+    * Rows-only by design (like q27/q109: DuckDB cannot apply trained BPE
+    * merges); BpeTokenizerSpec pins the canonical hand-training example,
+    * expression≡driver-implementation parity, determinism, and the
+    * lossless round-trip instead.
+    */
+  def q130BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val m = bpeCache.getOrElseUpdate(dir,
+      graft.operators.BpeTokenizer.train(docs(spark, dir), numMerges = 200))
+    val toks = docsSpread(spark, dir).select(col("doc_id"), col("lang"),
+      call_function("bpe_encode", col("text"), typedLit(m.encoded)).as("toks"))
+    val perDoc = toks.select(col("doc_id"), col("lang"), col("toks"),
+      size(col("toks")).cast("long").as("n"),
+      expr("aggregate(transform(toks, t -> " +
+        "length(replace(t, '</w>', ''))), 0L, (a, x) -> a + x)").as("payload"))
+    val vocab = perDoc.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vocab"))
+    val stats = perDoc.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n")).as("total_tokens"),
+      sum(col("payload")).as("total_payload"))
+    stats.join(vocab, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("vocab"),
+        expr("total_payload * 1000000L div total_tokens").as("chars_per_token_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -3652,5 +3692,6 @@ object PipelineQueries {
     ("q125_multilingual_compose", q125MultilingualCompose _, Some(q125Sql)),
     ("q126_hybrid_rrf", q126HybridRrf _, Some(q126Sql)),
     ("q127_dsir_select", q127DsirSelect _, Some(q127Sql)),
-    ("q129_rag_chunks", q129RagChunks _, Some(q129Sql)))
+    ("q129_rag_chunks", q129RagChunks _, Some(q129Sql)),
+    ("q130_bpe_tokenize", q130BpeTokenize _, None))
 }
