@@ -175,6 +175,42 @@ object Demo {
     minv.searchText("中文分词", k = 4).show(false)
     println(s"== docs with the exact CJK phrase 中文分词 (run-bounded): " +
       s"${minv.phraseSearchText("中文分词", k = 4).count()}")
+
+    // Round 12: hybrid retrieval — RRF fusion of both persisted indexes
+    // from pure SQL (text query against the inverted index, vec 0's
+    // embedding against the ADC index).
+    println("== hybrid_search: RRF fusion of BM25 + ANN from SQL, top-5:")
+    val qvLit = q0.collect()(0).getSeq[Double](1)
+      .map(d => s"${d}D").mkString("array(", ", ", ")")
+    spark.sql(s"SELECT * FROM hybrid_search('${inv.path}', '${adcIdx.path}', " +
+      s"'dup vector merge', $qvLit, 5)").show(false)
+
+    // Round 12: set(N) skip index — equality pruning minmax can't give a
+    // low-cardinality column whose values interleave across every part.
+    println("== set(N) skip index: per-type ingest batches, scanIn prunes:")
+    val setT = mergetree.ColumnarMergeTree.create(spark,
+      java.nio.file.Files.createTempDirectory("set_demo_").toString,
+      corpus.select(col("doc_id"), col("lang"), col("n_chars")).schema,
+      orderBy = Seq("doc_id"),
+      config = mergetree.MergeTreeConfig(setIndexColumns = Seq("lang")))
+    Seq("en", "de", "fr", "es", "zh").foreach(l =>
+      setT.insertBatch(corpus.select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("lang") === l)))
+    val zhRows = setT.scanIn("lang", Seq("zh")).count()
+    println(s"== scanIn(lang = 'zh'): ${setT.lastPruning._1}/" +
+      s"${setT.lastPruning._2} parts read, $zhRows rows")
+    setT.shutdown()
+
+    // Round 12: trained BPE subword tokenizer — corpus-trained merges,
+    // native codegen encode expression.
+    println("== BPE tokenizer: 100 corpus-trained merges, sample encoding:")
+    val bpe = operators.BpeTokenizer.train(corpus, numMerges = 100)
+    // "vectorization" is out-of-dictionary — it must SEGMENT into learned
+    // subword units, while the frequent words encode whole.
+    val sample = Seq((1L, "the merge table vectorization")).toDF("doc_id", "text")
+    sample.select(org.apache.spark.sql.functions.call_function("bpe_encode",
+        col("text"), org.apache.spark.sql.functions.typedLit(bpe.encoded))
+        .as("tokens")).show(false)
     spark.stop()
   }
 }
