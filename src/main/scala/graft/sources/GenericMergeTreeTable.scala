@@ -393,13 +393,21 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
       minmaxCols.iterator
         .filter(c => los.contains(c) || his.contains(c))
         .map(c => c -> (los.get(c), his.get(c))).toMap
+    // Storage-partitioned-join eligibility: a bare-column PARTITION BY of
+    // a type whose canonical string form round-trips exactly (the same
+    // family the set index trusts). The projection-routed branch reads a
+    // DIFFERENT table whose parts carry no partition tags — never SPJ.
+    val spjCol: Option[(String, org.apache.spark.sql.types.DataType)] =
+      partitionCol.map(c => (c, tableSchema(c).dataType)).filter {
+        case (_, dt) => ColumnarMergeTree.setIndexEligible(dt)
+      }
     route match {
       case Some((c, projPath)) =>
         new GenericMergeTreeScanImpl(projPath, required, c, tableSchema(c).dataType,
           los.get(c), his.get(c), wantedPartitions, snapshotSeq)
       case None =>
         new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
-          wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap)
+          wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap, spjCol)
     }
   }
 }
@@ -414,8 +422,10 @@ class GenericMergeTreeScanImpl(
     wantedPartitions: Option[Set[String]] = None,
     snapshotSeq: Option[Long] = None,
     colBounds: Map[String, (Option[Any], Option[Any])] = Map.empty,
-    setEquals: Map[String, Set[String]] = Map.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    setEquals: Map[String, Set[String]] = Map.empty,
+    spjCol: Option[(String, org.apache.spark.sql.types.DataType)] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -492,21 +502,95 @@ class GenericMergeTreeScanImpl(
     s"mergetree-generic $path$snap $leadKey=$range$mm cols=${required.fieldNames.mkString(",")}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val live = manifestParts
-    val keep = surviving(live)
-    GenericMergeTreeScan.lastPruning.set((keep.size, live.size))
-    keep.flatMap { p =>
-      val dir = Paths.get(path, p.dir)
-      if (!Files.isDirectory(dir)) Nil
+  /** Storage-partitioned-join groups: one (typed key, parts) bucket per
+    * live partition value — computed ONCE (outputPartitioning and
+    * planInputPartitions must describe the same layout) and only when the
+    * user opted into SPJ via Spark's own gate
+    * (`spark.sql.sources.v2.bucketing.enabled`, false by default, so
+    * nothing changes for existing plans). Untagged parts (pre-partitioning
+    * legacy) disable SPJ for the scan — every row must belong to exactly
+    * one reported group or the join silently drops matches.
+    */
+  private lazy val spjGroups: Option[Seq[(InternalRow, List[GPartMeta])]] =
+    spjCol.flatMap { case (_, dt) =>
+      val enabled = try SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      catch { case scala.util.control.NonFatal(_) => false }
+      if (!enabled) None
       else {
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(f => MergeTreePartition(f.toString): InputPartition).toList
-        finally s.close()
+        val keep = surviving(manifestParts)
+        if (keep.isEmpty || keep.exists(_.partition.isEmpty)) None
+        else Some(keep.groupBy(_.partition.get).toSeq.sortBy(_._1)
+          .map { case (v, ps) => (typedPartitionKey(v, dt), ps) })
       }
-    }.toArray
+    }
+
+  private def typedPartitionKey(
+      v: String, dt: org.apache.spark.sql.types.DataType): InternalRow = {
+    import org.apache.spark.sql.types._
+    val x: Any =
+      if (v == ColumnarMergeTree.NullPartition) null
+      else dt match {
+        case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+        case LongType    => v.toLong
+        case IntegerType => v.toInt
+        case ShortType   => v.toShort
+        case ByteType    => v.toByte
+        case BooleanType => v.toBoolean
+        case _           => null // unreachable: spjCol is setIndexEligible-gated
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](x))
+  }
+
+  /** Spark's storage-partitioned join (SPARK-37375): report the physical
+    * layout so a join of two mergetree tables PARTITION BY the same column
+    * plans with NO shuffle on either side — the co-located-join shape that
+    * matters at 100 TB (the exchange this removes is the corpus-sized
+    * one). Inactive (UnknownPartitioning) unless the v2-bucketing conf is
+    * on AND every live part is partition-tagged.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(spjCol.get._1)), gs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  private def parquetFiles(p: GPartMeta): List[String] = {
+    val dir = Paths.get(path, p.dir)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList
+      finally s.close()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    spjGroups match {
+      case Some(gs) =>
+        GenericMergeTreeScan.lastPruning.set(
+          (gs.map(_._2.size).sum, manifestParts.size))
+        // ONE InputPartition per partition value (all its parts' files
+        // chained in a single reader) — the simplest layout every SPJ
+        // planner version accepts.
+        gs.map { case (key, ps) =>
+          MergeTreeGroupedPartition(ps.flatMap(parquetFiles).toArray, key)
+            : InputPartition
+        }.toArray
+      case None =>
+        val live = manifestParts
+        val keep = surviving(live)
+        GenericMergeTreeScan.lastPruning.set((keep.size, live.size))
+        keep.flatMap(p => parquetFiles(p).map(f =>
+          MergeTreePartition(f): InputPartition)).toArray
+    }
   }
 
   /** Key range compiled to a parquet FilterPredicate for row-group skip
@@ -561,10 +645,44 @@ class GenericReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new ParquetColumnarReader(
-      partition.asInstanceOf[MergeTreePartition].file, required, filter)
+    partition match {
+      case MergeTreePartition(f) => new ParquetColumnarReader(f, required, filter)
+      case MergeTreeGroupedPartition(files, _) =>
+        new ChainedColumnarReader(files, required, filter)
+    }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException(
       "mergetree-generic scan is columnar; row reader is never planned")
+}
+
+/** Sequential chain of per-file columnar readers — the reader behind a
+  * [[MergeTreeGroupedPartition]] (one storage partition value = one split,
+  * possibly many part files). Empty file lists yield an empty partition.
+  */
+private[sources] class ChainedColumnarReader(
+    files: Array[String],
+    required: StructType,
+    filter: Option[FilterPredicate])
+    extends PartitionReader[ColumnarBatch] {
+
+  private var i = 0
+  private var cur: ParquetColumnarReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (i >= files.length) return false
+        cur = new ParquetColumnarReader(files(i), required, filter)
+        i += 1
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): ColumnarBatch = cur.get()
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }

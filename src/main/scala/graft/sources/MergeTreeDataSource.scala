@@ -415,6 +415,17 @@ class MergeTreeScan(
 
 case class MergeTreePartition(file: String) extends InputPartition
 
+/** One storage partition VALUE's whole file set as a single split, carrying
+  * its typed key for Spark's storage-partitioned join (HasPartitionKey).
+  */
+case class MergeTreeGroupedPartition(
+    files: Array[String],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 class MergeTreeReaderFactory(
     required: StructType,
     lo: Option[String],
