@@ -741,6 +741,82 @@ object StorageQueries {
       |FROM events WHERE event_type IN ('purchase', 'signup')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q131 — STORAGE-PARTITIONED JOIN end to end (Spark SPJ, SPARK-37375):
+    * customer and supplier live as mergetree tables PARTITION BY their
+    * nation key; the per-nation join + aggregate then plans with ZERO
+    * exchanges — both the join and the groupBy ride the reported
+    * KeyGroupedPartitioning (at 100 TB this is the fact join neither
+    * broadcast nor shuffle should pay for). The SPJ confs are scoped to
+    * this entry, so the query EXECUTES inside it (the result is ≤ 25
+    * aggregate rows) — and the zero-exchange claim is SELF-ENFORCED: a
+    * plan that regressed to shuffling fails the entry rather than
+    * silently passing on the same rows. pushPartValues handles the
+    * partition-set mismatch (small SFs have supplier-less nations).
+    * Acctbals fixed-point per row BEFORE the sum (exact int64 both
+    * engines).
+    */
+  def q131SpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, pb) = cacheSpjDirs.getOrElseUpdate(dir, {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val supp = spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      val da = Files.createTempDirectory("mt_q131_c_").toString
+      val db = Files.createTempDirectory("mt_q131_s_").toString
+      ColumnarMergeTree.create(spark, da, cust.schema,
+        orderBy = Seq("c_custkey"), partitionBy = Some("c_nationkey"))
+        .insertBatch(cust)
+      ColumnarMergeTree.create(spark, db, supp.schema,
+        orderBy = Seq("s_suppkey"), partitionBy = Some("s_nationkey"))
+        .insertBatch(supp)
+      (da, db)
+    })
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.read.format("mergetree").load(pa)
+      val b = spark.read.format("mergetree").load(pb)
+      val out = a.join(b, col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+            + floor(col("s_acctbal") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_bal"))
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("n_pairs"), col("sum_bal"))
+        .orderBy(col("nation"))
+      val rows = out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      // Join AND aggregate ride the reported partitioning: no hash or
+      // broadcast exchange anywhere (the one remaining exchange is the
+      // output ORDER BY's range partitioning — unavoidable for a global
+      // sort and sized by the 25-row aggregate, not the corpus).
+      require(!plan.contains("Exchange hashpartitioning")
+          && !plan.contains("BroadcastExchange")
+          && !plan.contains("Exchange SinglePartition"),
+        s"q131: the join/aggregate must not shuffle or broadcast:\n$plan")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val cacheSpjDirs = TrieMap.empty[String, (String, String)]
+
+  val q131Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_pairs,
+      | CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+      |        + CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS sum_bal
+      |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |GROUP BY c_nationkey ORDER BY nation""".stripMargin
+
   val q91Sql: String =
     """SELECT CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS flag,
       | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
@@ -848,5 +924,6 @@ object StorageQueries {
     ("q97_has_token", q97HasToken _, Some(q97Sql)),
     ("q105_log_manifest", q105LogManifest _, Some(q105Sql)),
     ("q107_agg_projection", q107AggProjection _, Some(q107Sql)),
-    ("q128_set_index_scan", q128SetIndexScan _, Some(q128Sql)))
+    ("q128_set_index_scan", q128SetIndexScan _, Some(q128Sql)),
+    ("q131_spj_join", q131SpjJoin _, Some(q131Sql)))
 }
