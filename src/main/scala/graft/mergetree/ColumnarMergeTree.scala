@@ -1653,13 +1653,8 @@ final class ColumnarMergeTree private (
       .filter(_.length == ColumnarMergeTree.NgramSize).toSet
     refresh()
     manifest.parts.filter { p =>
-      val f = Paths.get(path, p.dir, s"_ngrambf_$column")
-      !Files.exists(f) || {
-        val in = Files.newInputStream(f)
-        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-          finally in.close()
-        probes.forall(bf.mightContainString)
-      }
+      ColumnarMergeTree.loadBloom(Paths.get(path, p.dir, s"_ngrambf_$column"))
+        .forall(bf => probes.forall(bf.mightContainString))
     }
   }
 
@@ -1688,13 +1683,8 @@ final class ColumnarMergeTree private (
   private[graft] def tokenBloomParts(column: String, token: String): Seq[GPartMeta] = {
     refresh()
     manifest.parts.filter { p =>
-      val f = Paths.get(path, p.dir, s"_tokenbf_$column")
-      !Files.exists(f) || {
-        val in = Files.newInputStream(f)
-        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-          finally in.close()
-        bf.mightContainString(token)
-      }
+      ColumnarMergeTree.loadBloom(Paths.get(path, p.dir, s"_tokenbf_$column"))
+        .forall(_.mightContainString(token))
     }
   }
 
@@ -2406,6 +2396,27 @@ object ColumnarMergeTree {
     */
   private val setSidecarCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Set[String]]]
+
+  /** Parsed token/ngram bloom sidecars, same (file, mtime) key discipline
+    * as [[setSidecarCache]]: a hasToken/contains probe otherwise re-reads
+    * ~120 KB per part per query. None = no sidecar (keep the part);
+    * BloomFilter reads are thread-safe (immutable bitset after load).
+    * Read errors propagate, as the uncached probes always did.
+    */
+  private val bloomSidecarCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), org.apache.spark.util.sketch.BloomFilter]
+
+  private[mergetree] def loadBloom(
+      f: java.nio.file.Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    if (!Files.exists(f)) return None
+    val mtime = try Files.getLastModifiedTime(f).toMillis
+      catch { case scala.util.control.NonFatal(_) => return None }
+    Some(bloomSidecarCache.getOrElseUpdate((f.toString, mtime), {
+      val in = Files.newInputStream(f)
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }))
+  }
 
   /** Does `partDir`'s set(N) sidecar for `column` allow any of `values`?
     * Missing sidecar, saturated sidecar, or an unreadable/garbled one → keep

@@ -772,6 +772,7 @@ object StorageQueries {
       (da, db)
     })
     val confs = Seq(
+      "spark.graft.preserveDataGrouping" -> "true",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")

@@ -504,18 +504,26 @@ class GenericMergeTreeScanImpl(
 
   /** Storage-partitioned-join groups: one (typed key, parts) bucket per
     * live partition value — computed ONCE (outputPartitioning and
-    * planInputPartitions must describe the same layout) and only when the
-    * user opted into SPJ via Spark's own gate
-    * (`spark.sql.sources.v2.bucketing.enabled`, false by default, so
-    * nothing changes for existing plans). Untagged parts (pre-partitioning
-    * legacy) disable SPJ for the scan — every row must belong to exactly
-    * one reported group or the join silently drops matches.
+    * planInputPartitions must describe the same layout) and only when BOTH
+    * gates are on: Spark's `spark.sql.sources.v2.bucketing.enabled` (its
+    * own SPJ switch — default TRUE on Spark 4) AND the source-side opt-in
+    * `spark.graft.preserveDataGrouping` (default FALSE — the Iceberg
+    * `preserve-data-grouping` pattern). The source gate exists because
+    * grouped splits trade scan parallelism (one task per partition VALUE)
+    * for shuffle-free joins: right when you're joining co-partitioned
+    * tables, wrong as a default for every probe of a bucket-partitioned
+    * index. Untagged parts (pre-partitioning legacy) disable SPJ for the
+    * scan — every row must belong to exactly one reported group or the
+    * join silently drops matches.
     */
   private lazy val spjGroups: Option[Seq[(InternalRow, List[GPartMeta])]] =
     spjCol.flatMap { case (_, dt) =>
-      val enabled = try SparkSession.active.conf
-        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-      catch { case scala.util.control.NonFatal(_) => false }
+      val enabled = try {
+        val s = SparkSession.active
+        s.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) &&
+          s.conf.get("spark.graft.preserveDataGrouping", "false").toBoolean
+      } catch { case scala.util.control.NonFatal(_) => false }
       if (!enabled) None
       else {
         val keep = surviving(manifestParts)

@@ -75,7 +75,7 @@ object GraftExtensions {
   private val MetaFunctions = Seq(
     "uniq" -> "uniq_meta", "topk" -> "topk_meta",
     "quantiles" -> "quantiles_meta", "parts" -> "parts_meta",
-    "snapshots" -> "snapshots_meta")
+    "snapshots" -> "snapshots_meta", "columns" -> "columns_meta")
 
   private def metaRelation(
       kind: String, fname: String,

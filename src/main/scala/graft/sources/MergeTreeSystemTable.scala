@@ -64,9 +64,12 @@ object MergeTreeSystemTable {
     case "quantiles" => StructType.fromDDL(
       "column STRING, p50 DOUBLE, p90 DOUBLE, p99 DOUBLE, " +
         "covered_parts BIGINT, parts BIGINT")
+    case "columns" => StructType.fromDDL(
+      "position INT, name STRING, type STRING, is_order_by BOOLEAN, " +
+        "is_partition BOOLEAN, indexes STRING")
     case other => throw new IllegalArgumentException(
       s"mergetree: unknown system table '$other' " +
-        "(expected parts | snapshots | uniq | topk | quantiles)")
+        "(expected parts | snapshots | columns | uniq | topk | quantiles)")
   }
 
   def rowsFor(path: String, kind: String): Array[InternalRow] = kind match {
@@ -74,7 +77,34 @@ object MergeTreeSystemTable {
     case "uniq"      => uniqRows(path)
     case "topk"      => topkRows(path)
     case "quantiles" => quantileRows(path)
+    case "columns"   => columnRows(path)
     case _           => snapshotRows(path)
+  }
+
+  /** `system 'columns'` (ClickHouse system.columns): one row per schema
+    * column with its ORDER BY / PARTITION BY membership and every
+    * skip-index / sketch family it participates in — the first question
+    * about an unfamiliar table ("what can this table prune on?"),
+    * answered from the tabledef alone.
+    */
+  private def columnRows(path: String): Array[InternalRow] = {
+    val d = ColumnarMergeTree.TableDef.load(path).getOrElse(
+      throw new IllegalArgumentException(s"no table definition at $path"))
+    val schema = StructType.fromDDL(d.schemaDdl)
+    val families: Seq[(String, Option[List[String]])] = Seq(
+      "bloom" -> d.bloomFilterColumns, "minmax" -> d.minmaxColumns,
+      "tokenbf" -> d.tokenBloomColumns, "ngrambf" -> d.ngramBloomColumns,
+      "set" -> d.setIndexColumns, "hll" -> d.hllColumns,
+      "topk" -> d.topKColumns, "quantiles" -> d.quantileColumns)
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val inIdx = families.collect {
+        case (n, Some(cs)) if cs.contains(f.name) => n
+      }
+      new GenericInternalRow(Array[Any](i, utf8(f.name),
+        utf8(f.dataType.simpleString), d.orderBy.contains(f.name),
+        d.partitionBy.contains(f.name),
+        utf8(inIdx.mkString(",")))): InternalRow
+    }
   }
 
   private def utf8(s: String): UTF8String =

@@ -380,8 +380,15 @@ class MergeTreeDsv2Spec extends AnyFunSuite {
     assert(s.length == 2, "one snapshot per committed manifest state")
     assert(s.forall(_.getAs[Boolean]("readable")), "no part purged yet")
     assert(s.last.getAs[Long]("rows") == 100L)
+    // system 'columns': schema + ORDER BY/PARTITION BY/index membership
+    // straight from the tabledef (ClickHouse system.columns).
+    val cols = spark.read.format("mergetree").option("system", "columns")
+      .load(dir).orderBy("position").collect()
+    assert(cols.map(_.getAs[String]("name")).toSeq ==
+      t.schema.fieldNames.toSeq)
+    assert(cols.count(_.getAs[Boolean]("is_order_by")) == t.orderBy.size)
     intercept[Exception](spark.read.format("mergetree")
-      .option("system", "columns").load(dir))
+      .option("system", "nope").load(dir))
   }
 
   test("FINAL composes with snapshot: collapse applies to the pinned parts") {

@@ -8,8 +8,11 @@ import java.nio.file.Files
   * PARTITION BY the same bare column report KeyGroupedPartitioning, so a
   * join on that column plans with NO shuffle on either side — the
   * co-located-join shape at 100 TB. Gated behind Spark's own
-  * `spark.sql.sources.v2.bucketing.enabled` (false by default): nothing
-  * changes for existing plans unless the user opts in.
+  * `spark.sql.sources.v2.bucketing.enabled` AND the source-side
+  * `spark.graft.preserveDataGrouping` opt-in (default false — Iceberg's
+  * preserve-data-grouping pattern): grouped splits trade scan parallelism
+  * for shuffle-free joins, so nothing changes for existing plans unless
+  * the user asks for the trade.
   */
 class StoragePartitionJoinSpec extends AnyFunSuite {
 
@@ -47,9 +50,9 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
         .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)).toSet
       assert(offRows == expect)
       assert(off.queryExecution.executedPlan.toString.contains("Exchange"),
-        "without the v2-bucketing opt-in the join shuffles as before")
+        "without the preserve-data-grouping opt-in the join shuffles as before")
 
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.graft.preserveDataGrouping", "true")
       val on = spark.sql(q)
       val onRows = on.collect()
         .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)).toSet
@@ -61,7 +64,7 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
         s"a real join must still be planned:\n$p")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.graft.preserveDataGrouping")
       spark.sql("DROP TABLE IF EXISTS spj_a")
       spark.sql("DROP TABLE IF EXISTS spj_b")
     }
@@ -70,7 +73,7 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
   test("partition pruning and single-table reads are unchanged under SPJ") {
     mkTables()
     try {
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.graft.preserveDataGrouping", "true")
       // A plain filtered read still prunes partitions and returns the
       // same rows (the grouped splits chain each value's part files).
       val one = spark.sql("SELECT k FROM spj_a WHERE grp = 2 ORDER BY k")
@@ -82,7 +85,7 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(agg == Seq((0L, 50L), (1L, 50L), (2L, 50L), (3L, 50L)))
     } finally {
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.graft.preserveDataGrouping")
       spark.sql("DROP TABLE IF EXISTS spj_a")
       spark.sql("DROP TABLE IF EXISTS spj_b")
     }
