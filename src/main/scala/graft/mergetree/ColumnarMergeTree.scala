@@ -2399,10 +2399,16 @@ object ColumnarMergeTree {
 
   /** Parsed token/ngram bloom sidecars, same (file, mtime) key discipline
     * as [[setSidecarCache]]: a hasToken/contains probe otherwise re-reads
-    * ~120 KB per part per query. None = no sidecar (keep the part);
-    * BloomFilter reads are thread-safe (immutable bitset after load).
-    * Read errors propagate, as the uncached probes always did.
+    * ~120 KB per part per query. BloomFilter reads are thread-safe
+    * (immutable bitset after load); read errors propagate, as the
+    * uncached probes always did. Unlike the few-KB set entries, blooms
+    * are ~120 KB each — the cache is BOUNDED: past
+    * [[BloomCacheMaxEntries]] (~30 MB) it clears wholesale (epoch
+    * eviction — crude but O(1), and a miss only costs the read it was
+    * saving; compaction churn therefore cannot grow the driver without
+    * bound).
     */
+  private val BloomCacheMaxEntries = 256
   private val bloomSidecarCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), org.apache.spark.util.sketch.BloomFilter]
 
@@ -2411,6 +2417,7 @@ object ColumnarMergeTree {
     if (!Files.exists(f)) return None
     val mtime = try Files.getLastModifiedTime(f).toMillis
       catch { case scala.util.control.NonFatal(_) => return None }
+    if (bloomSidecarCache.size > BloomCacheMaxEntries) bloomSidecarCache.clear()
     Some(bloomSidecarCache.getOrElseUpdate((f.toString, mtime), {
       val in = Files.newInputStream(f)
       try org.apache.spark.util.sketch.BloomFilter.readFrom(in)

@@ -3621,21 +3621,32 @@ object PipelineQueries {
     graft.functions.GraftFunctions.register(spark)
     val m = bpeCache.getOrElseUpdate(dir,
       graft.operators.BpeTokenizer.train(docs(spark, dir), numMerges = 200))
-    val toks = docsSpread(spark, dir).select(col("doc_id"), col("lang"),
-      call_function("bpe_encode", col("text"), typedLit(m.encoded)).as("toks"))
-    val perDoc = toks.select(col("doc_id"), col("lang"), col("toks"),
-      size(col("toks")).cast("long").as("n"),
-      expr("aggregate(transform(toks, t -> " +
-        "length(replace(t, '</w>', ''))), 0L, (a, x) -> a + x)").as("payload"))
-    val vocab = perDoc.select(col("lang"), explode(col("toks")).as("tok"))
-      .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vocab"))
-    val stats = perDoc.groupBy(col("lang")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("n")).as("total_tokens"),
-      sum(col("payload")).as("total_payload"))
-    stats.join(vocab, Seq("lang"))
-      .select(col("lang"), col("n_docs"), col("total_tokens"), col("vocab"),
-        expr("total_payload * 1000000L div total_tokens").as("chars_per_token_ppm"))
+    // ONE tokenization pass (the dominant CPU cost): token/vocab/payload
+    // stats all fold out of a single exploded (lang, token) aggregate —
+    // per-token payload is a property of the TOKEN string, so summing
+    // cnt × |token| at the vocabulary level equals the per-doc sum.
+    val tokEx = docsSpread(spark, dir).select(col("lang"),
+        explode(call_function("bpe_encode", col("text"),
+          typedLit(m.encoded))).as("tok"))
+    val stats = tokEx.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("total_tokens"),
+        sum(col("cnt") *
+          length(replace(col("tok"), lit("</w>"), lit(""))).cast("long"))
+          .as("total_payload"))
+    // Doc counts come from a tokenize-free scan (an all-CJK/latin-free
+    // slice has zero tokens but still counts its docs).
+    val nd = docs(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    nd.join(stats, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        expr("coalesce(total_payload, 0L) * 1000000L " +
+          "div greatest(coalesce(total_tokens, 0L), 1L)")
+          .as("chars_per_token_ppm"))
       .orderBy(col("lang"))
   }
 

@@ -80,17 +80,29 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(Merges.decode(m.encoded).pairs == m.pairs)
   }
 
-  test("q130 per-lang stats: consistent totals, stable across runs") {
+  test("q130 per-lang stats: payload conserved exactly, stable across runs") {
     val a = graft.queries.PipelineQueries.q130BpeTokenize(spark, dir).collect()
     val b = graft.queries.PipelineQueries.q130BpeTokenize(spark, dir).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "unstable output")
     assert(a.nonEmpty)
+    a.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0))
+    // Lossless round-trip at the CORPUS level: the marker-stripped payload
+    // chars per lang must equal the corpus's own latin-word chars — a
+    // tokenizer-independent conservation law (any split/merge choice that
+    // gained or lost a character would break it). Recomputed from raw
+    // text, no BPE involved.
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val expect = d.select(col("lang"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang").agg(sum(length(col("w")).cast("long")).as("chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     a.foreach { r =>
-      assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
-      // BPE tokens average at least one payload char (the marker-only
-      // token doesn't exist: words are non-empty).
-      assert(r.getLong(4) >= 1000000L,
-        s"chars/token below 1.0 for ${r.getString(0)}: ${r.getLong(4)}")
+      val payload = r.getLong(4) * r.getLong(2) / 1000000L // ppm x tokens ~ payload
+      val exact = expect(r.getString(0))
+      // ppm floor loses < 1 char per token of precision; compare within it.
+      assert(math.abs(payload - exact) <= r.getLong(2),
+        s"payload not conserved for ${r.getString(0)}: ~$payload vs $exact")
     }
   }
 }
