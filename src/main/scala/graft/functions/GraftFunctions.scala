@@ -595,7 +595,6 @@ class UniqUpToAggregator(n: Int)
 case class BpeEncode(left: Expression, right: Expression) extends BinaryExpression {
 
   @transient private lazy val merges: graft.operators.BpeTokenizer.Merges = {
-    require(right.foldable, "bpe_encode: merges must be a literal")
     graft.operators.BpeTokenizer.Merges.decode(
       right.eval(null).asInstanceOf[ArrayData]
         .toArray[org.apache.spark.unsafe.types.UTF8String](
@@ -607,7 +606,13 @@ case class BpeEncode(left: Expression, right: Expression) extends BinaryExpressi
     (left.dataType, right.dataType) match {
       case (org.apache.spark.sql.types.StringType,
             ArrayType(org.apache.spark.sql.types.StringType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+        // Foldability is an ANALYSIS requirement, not an eval-time one: a
+        // non-foldable merges argument must fail the query here, not as a
+        // mid-job task failure at the first row an executor evaluates.
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "bpe_encode: merges must be a foldable array<string> literal " +
+            "(the trained rank table rides as a plan constant)")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"bpe_encode requires (string, array<string>), got " +
           s"(${l.simpleString}, ${r.simpleString})")

@@ -2391,9 +2391,14 @@ object ColumnarMergeTree {
     * write-once with the part dir, so repeat probes (every planned scan
     * touches every live part) cost one stat instead of a read + JSON
     * parse per part per query. None = keep-always (saturated, garbled, or
-    * value-less); bounded by parts-ever-probed × indexed columns, a few
-    * KB each.
+    * value-less). BOUNDED like [[bloomSidecarCache]]: compacted-away
+    * parts' entries are never re-keyed, so compaction churn on a
+    * long-lived driver would grow this without bound — past
+    * [[SetCacheMaxEntries]] (entries are ≤256 short strings, so the
+    * threshold is higher than the bloom cache's) it clears wholesale;
+    * a miss only costs the JSON parse it was saving.
     */
+  private val SetCacheMaxEntries = 4096
   private val setSidecarCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Set[String]]]
 
@@ -2436,6 +2441,7 @@ object ColumnarMergeTree {
     if (!Files.exists(f)) return true
     val mtime = try Files.getLastModifiedTime(f).toMillis
       catch { case scala.util.control.NonFatal(_) => return true }
+    if (setSidecarCache.size > SetCacheMaxEntries) setSidecarCache.clear()
     val parsed = setSidecarCache.getOrElseUpdate((f.toString, mtime), {
       try {
         import org.json4s.DefaultFormats

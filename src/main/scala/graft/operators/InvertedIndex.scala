@@ -484,8 +484,7 @@ final class InvertedIndex private (
     */
   def update(docs: DataFrame): Unit = {
     val st = stats
-    val ids = docs.select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val ids = BoundedIds.collect(docs, "doc_id", "InvertedIndex.update")
     require(ids.nonEmpty, "empty update: pass the re-written docs")
     val postings0 = buildPostings(docs, st.nbuckets,
       st.tokenizer.getOrElse(Latin))

@@ -319,8 +319,20 @@ final class IvfIndex private (
     * marker).
     */
   def update(vectors: DataFrame): Unit = {
-    val ids = vectors.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // Validate the replacement frame BEFORE the intent/delete: a caller
+    // error (missing column, wrong embedding dimension) must fail here,
+    // while the index is still intact — not mid-mutation, where append's
+    // failure would leave a torn intent that open() refuses to serve.
+    // Only a genuine crash may leave the torn state the intent protects.
+    require(vectors.columns.contains("vec_id") && vectors.columns.contains("v"),
+      s"update() needs (vec_id, v) columns; got ${vectors.columns.mkString(", ")}")
+    val badDim = vectors
+      .select(org.apache.spark.sql.functions.size(col("v")).as("d"))
+      .filter(col("d") =!= dim).limit(1).collect()
+    require(badDim.isEmpty,
+      s"update() vector dimension ${badDim.headOption.map(_.getInt(0)).getOrElse(-1)} " +
+        s"does not match the index's quantizer dimension $dim")
+    val ids = BoundedIds.collect(vectors, "vec_id", "IvfIndex.update")
     require(ids.nonEmpty, "empty update: pass the re-embedded vectors")
     val dir = java.nio.file.Paths.get(path)
     val intent = dir.resolve(IvfIndex.UpdateIntentFile)

@@ -110,8 +110,7 @@ final class MinHashStore private (val path: String, spark: SparkSession) {
     * single-writer semantics as append.
     */
   def update(batchShingleHashes: DataFrame): Unit = {
-    val ids = batchShingleHashes.select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val ids = BoundedIds.collect(batchShingleHashes, "doc_id", "MinHashStore.update")
     require(ids.nonEmpty, "empty update: pass the re-written docs' shingle hashes")
     swapStore(
       signatures.filter(!col("doc_id").isInCollection(ids))

@@ -3442,10 +3442,16 @@ object PipelineQueries {
       .filter(length(col("term")) >= 3)
     // Unigram LM table for BOTH distributions in one corpus-reduced
     // aggregate (cnt_t is a conditional sum — the target slice is never
-    // re-scanned). Vocabulary-sized, the frame every later step joins.
+    // re-scanned). Vocabulary-sized, the frame every later step joins —
+    // PERSISTED across its two readers (the stats fold below and the
+    // scoring join), so the corpus is tokenized ONCE, not once per
+    // reader; released in the finally after the tiny result collapses
+    // to a LocalRelation (the q117 stage-frame discipline).
     val lm = toks.groupBy("term").agg(
       count(lit(1)).as("cnt_r"),
       sum(when(col("source") === target, 1L).otherwise(0L)).as("cnt_t"))
+      .persist()
+    try {
     // Totals fold out of the SAME aggregate as driver scalars (the q110
     // stats-job discipline — 3 numbers, never a second corpus aggregate)
     // and inline as literals below.
@@ -3470,11 +3476,18 @@ object PipelineQueries {
     val sel = per.filter(col("source") =!= target)
       .withColumn("avg_lp", expr("w div n_toks"))
     val rw = Window.partitionBy(col("lang")).orderBy(col("avg_lp").desc, col("doc_id"))
-    sel.withColumn("rk", row_number().over(rw).cast("long"))
+    val out = sel.withColumn("rk", row_number().over(rw).cast("long"))
       .filter(col("rk") <= topN)
       .select(col("lang"), col("rk"), col("doc_id"), col("source"),
         col("n_toks"), col("w"), col("avg_lp"))
       .orderBy(col("lang"), col("rk"))
+    // topN × |langs| rows — collapse eagerly so the lm cache can be
+    // released before returning (callers re-executing the frame must
+    // not silently re-tokenize the corpus twice).
+    val rows = out.collect()
+    d.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+    } finally lm.unpersist()
   }
 
   /** Q127 — DSIR-style data selection by importance ranking (Xie et al.

@@ -728,16 +728,19 @@ object StorageQueries {
         tbl.insertBatch(ev.filter(col("event_type") === et)))
       tbl
     })
+    // Fixed-point PER ROW before the sum (the r6/q51 contract): summing
+    // doubles and rounding after the reduction is exactly the
+    // cross-engine .5-boundary wobble the repo bans — int64 end to end.
     t.scanIn("event_type", Seq("purchase", "signup"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        floor(sum(col("value")) * lit(100.0) + lit(0.5)).as("sum_value"))
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val q128Sql: String =
     """SELECT event_type, count(*) AS n,
-      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
+      | CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
       |FROM events WHERE event_type IN ('purchase', 'signup')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -321,4 +321,81 @@ class IndexDeleteSpec extends AnyFunSuite {
       "expired docs must never be served")
     idx.table.shutdown(); rebuilt.table.shutdown(); t.shutdown()
   }
+
+  test("update faces cap their driver-side id collect (over-cap fails with " +
+    "rebuild guidance; under-cap unchanged; index left intact)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("inv_cap_").toString
+    val idx = InvertedIndex.build(spark, corpus, path, nbuckets = 8)
+    val terms = Seq("dup", "vector", "merge")
+    val before = idx.search(terms, k = 15).collect().toSeq
+
+    // 7 edited docs against a cap of 3: the collect itself must refuse —
+    // BEFORE any posting row moves — with the rebuild message.
+    val edited = (200L to 206L).map(id => (id, "dup vector merge"))
+      .toDF("doc_id", "text")
+    spark.conf.set(graft.operators.BoundedIds.MaxIdsConf, "3")
+    try {
+      val e = intercept[IllegalArgumentException](idx.update(edited))
+      assert(e.getMessage.contains("rebuild the index"), e.getMessage)
+      assert(idx.search(terms, k = 15).collect().toSeq == before,
+        "an over-cap update must leave the index untouched")
+      // Same discipline on the ANN and MinHash faces.
+      graft.functions.GraftFunctions.register(spark)
+      val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val ivfPath = Files.createTempDirectory("ivf_cap_").toString
+      val ivf = IvfIndex.build(spark, vectors, ivfPath, nlist = 8)
+      val e2 = intercept[IllegalArgumentException](
+        ivf.update(vectors.filter(col("vec_id") < 7)))
+      assert(e2.getMessage.contains("rebuild the index"), e2.getMessage)
+      assert(!Files.exists(java.nio.file.Paths.get(ivfPath, "_update_intent")),
+        "an over-cap ANN update must refuse before writing the intent")
+      ivf.table.shutdown()
+
+      def dsh(df: DataFrame) =
+        df.select(col("doc_id"), xxhash64(col("text")).as("h"))
+      val store = MinHashStore.create(spark,
+        Files.createTempDirectory("mh_cap_").toString + "/store", dsh(corpus))
+      val e3 = intercept[IllegalArgumentException](store.update(
+        dsh((200L to 206L).map(id => (id, "x")).toDF("doc_id", "text"))))
+      assert(e3.getMessage.contains("rebuild the index"), e3.getMessage)
+    } finally spark.conf.unset(graft.operators.BoundedIds.MaxIdsConf)
+
+    // Under the (restored default) cap the same update applies normally.
+    idx.update(edited)
+    assert(idx.search(terms, k = 15).collect().toSeq != before,
+      "an under-cap update of all-query-term docs must change the top-k")
+    idx.table.shutdown()
+  }
+
+  test("ANN update validates the replacement frame BEFORE the intent/delete " +
+    "(a caller error must not leave a torn index)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = Files.createTempDirectory("ivf_val_").toString
+    val idx = IvfIndex.build(spark, vectors, path, nlist = 8)
+    val queries = vectors.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val before = idx.search(queries, k = 3, nprobe = 8).collect().toSeq
+
+    // Wrong dimension: must fail while the index is still intact — no
+    // intent marker, ids still present, open() still serves.
+    val wrongDim = Seq((12L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException](idx.update(wrongDim))
+    assert(e.getMessage.contains("dimension"), e.getMessage)
+    // Missing column: same posture.
+    val noV = Seq((12L, "oops")).toDF("vec_id", "w")
+    val e2 = intercept[IllegalArgumentException](idx.update(noV))
+    assert(e2.getMessage.contains("vec_id, v"), e2.getMessage)
+
+    assert(!Files.exists(java.nio.file.Paths.get(path, "_update_intent")),
+      "a validation failure must never write the update intent")
+    val reopened = IvfIndex.open(spark, path)
+    assert(reopened.search(queries, k = 3, nprobe = 8).collect().toSeq == before,
+      "the index must be untouched after a rejected update")
+    idx.table.shutdown()
+  }
 }
