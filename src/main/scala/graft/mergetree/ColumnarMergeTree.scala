@@ -129,9 +129,11 @@ final class ColumnarMergeTree private (
   }
   partitionBy.foreach { p =>
     // Fail at table construction, not first insert, on an unresolvable
-    // partition expression.
+    // partition expression (partitionValueExpr, not raw expr(p): the
+    // bucket(N, col) transform is table metadata, not a SQL function —
+    // validating it raw would reject every bucket-partitioned table).
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .select(expr(p))
+      .select(ColumnarMergeTree.partitionValueExpr(p))
   }
 
   private val lock = new Object
@@ -2540,12 +2542,45 @@ object ColumnarMergeTree {
     }
   }
 
+  /** `PARTITION BY bucket(N, col)` — the Iceberg-style bucket transform
+    * spelled as table metadata. Returns (numBuckets, column) when the
+    * partition expression is exactly that shape.
+    */
+  private val BucketPartitionRe =
+    """(?i)^\s*bucket\s*\(\s*(\d+)\s*,\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)\s*$""".r
+
+  private[graft] def bucketPartition(p: String): Option[(Int, String)] = p match {
+    case BucketPartitionRe(n, c) if n.toInt > 0 => Some((n.toInt, c))
+    case _                                      => None
+  }
+
+  /** The bucket transform's DEFINITION: pmod(xxhash64(col), n) — Spark's
+    * public xxhash64 builtin (seed 42), so the write side is ordinary
+    * Spark SQL and a user can reproduce a row's bucket with one
+    * expression. bucket(NULL) is the NULL partition (Iceberg semantics —
+    * xxhash64's own null handling would silently fold nulls into bucket
+    * pmod(42, n)). GraftBucketFunction.produceResult MUST compute the
+    * same arithmetic — it is the scan-side identity of this transform
+    * for storage-partitioned joins.
+    */
+  private[graft] def bucketValueColumn(n: Int, c: String): Column =
+    when(col(c).isNull, lit(null))
+      .otherwise(pmod(xxhash64(col(c)), lit(n.toLong)))
+
   /** The partition value as stored in part metadata: the expression cast to
     * string, with SQL NULL mapped to the hive default-partition sentinel
-    * (what Spark's partitioned write names the directory).
+    * (what Spark's partitioned write names the directory). `bucket(N, col)`
+    * is recognized as the bucket transform (it is not a SQL function Spark
+    * can resolve); anything else is an ordinary SQL expression.
     */
   private[graft] def partitionValueExpr(p: String): Column =
-    coalesce(expr(p).cast("string"), lit(ColumnarMergeTree.NullPartition))
+    bucketPartition(p) match {
+      case Some((n, c)) =>
+        coalesce(bucketValueColumn(n, c).cast("string"),
+          lit(ColumnarMergeTree.NullPartition))
+      case None =>
+        coalesce(expr(p).cast("string"), lit(ColumnarMergeTree.NullPartition))
+    }
 
   def create(spark: SparkSession, path: String, schema: StructType,
              orderBy: Seq[String],

@@ -813,6 +813,89 @@ object StorageQueries {
 
   private val cacheSpjDirs = TrieMap.empty[String, (String, String)]
 
+  /** Q133 — SPJ over the bucket(N, col) TRANSFORM (task: expression
+    * partitioning, not just bare columns — ClickHouse PARTITION BY is
+    * usually an expression, and the engine's own index layouts are
+    * bucket-partitioned): customer and orders land as mergetree tables
+    * PARTITION BY bucket(16, custkey), read through the graft CATALOG
+    * (bucket SPJ requires a FunctionCatalog — Spark resolves the scan's
+    * reported `bucket` transform to GraftBucketFunction on the relation's
+    * catalog; the path-based face has no catalog, which is why q131 stops
+    * at identity). The customer⋈orders fact join — the shape neither
+    * broadcast (orders is corpus-sized) nor shuffle should pay for at
+    * 100 TB — then plans with ZERO exchanges on either side, and the
+    * per-custkey aggregate rides the same grouping. Zero-exchange is
+    * SELF-ENFORCED like q131: a regression to hash/broadcast exchanges
+    * fails the entry, not just a spec. Prices fixed-point per row BEFORE
+    * the sum (exact int64 both engines).
+    */
+  def q133BucketSpj(spark: SparkSession, dir: String): DataFrame = {
+    val (custTbl, ordTbl) = cacheBucketSpj.getOrElseUpdate(dir, {
+      val wh = bucketSpjWarehouse
+      spark.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_spj.warehouse", wh)
+      val h = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val (cn, on) = (s"cust_$h", s"ord_$h")
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ColumnarMergeTree.create(spark, s"$wh/$cn", cust.schema,
+        orderBy = Seq("c_custkey"),
+        partitionBy = Some("bucket(16, c_custkey)")).insertBatch(cust)
+      ColumnarMergeTree.create(spark, s"$wh/$on", ord.schema,
+        orderBy = Seq("o_orderkey"),
+        partitionBy = Some("bucket(16, o_custkey)")).insertBatch(ord)
+      (cn, on)
+    })
+    val confs = Seq(
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.table(s"graft_spj.$custTbl")
+      val b = spark.table(s"graft_spj.$ordTbl")
+      val out = a.join(b, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_price"))
+        .select(col("c_custkey").cast("long").as("custkey"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("custkey"))
+      val rows = out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning")
+          && !plan.contains("BroadcastExchange")
+          && !plan.contains("Exchange SinglePartition"),
+        s"q133: the bucket-SPJ join/aggregate must not shuffle or broadcast:\n$plan")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** One catalog warehouse per JVM (the catalog instance is cached by Spark
+    * at first use with its init-time warehouse — never re-point it).
+    */
+  private lazy val bucketSpjWarehouse: String =
+    Files.createTempDirectory("graft_spj_wh_").toString
+  private val cacheBucketSpj = TrieMap.empty[String, (String, String)]
+
+  val q133Sql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS custkey, count(*) AS n_orders,
+      | CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS sum_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY custkey""".stripMargin
+
   val q131Sql: String =
     """SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_pairs,
       | CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
@@ -929,5 +1012,6 @@ object StorageQueries {
     ("q105_log_manifest", q105LogManifest _, Some(q105Sql)),
     ("q107_agg_projection", q107AggProjection _, Some(q107Sql)),
     ("q128_set_index_scan", q128SetIndexScan _, Some(q128Sql)),
-    ("q131_spj_join", q131SpjJoin _, Some(q131Sql)))
+    ("q131_spj_join", q131SpjJoin _, Some(q131Sql)),
+    ("q133_bucket_spj", q133BucketSpj _, Some(q133Sql)))
 }

@@ -69,12 +69,25 @@ class GenericMergeTreeV2Table(
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** Partition column when PARTITION BY is a bare column of the schema (the
-    * only shape the connector prunes on; expression partitioning still
-    * prunes through the Scala scanPartitions API).
+    * only shape value-equality pruning and partition-drop DELETEs act on;
+    * expression partitioning still prunes through the Scala scanPartitions
+    * API).
     */
   private val partitionCol: Option[String] =
     ColumnarMergeTree.TableDef.load(path)
       .flatMap(_.partitionBy).filter(tableSchema.fieldNames.contains)
+
+  /** PARTITION BY bucket(N, col): parts carry the BUCKET id, not the value,
+    * so this deliberately does NOT feed [[partitionCol]] (an equality on
+    * the column must never be mistaken for an equality on the stored tag —
+    * a DELETE WHERE col = v routed to dropPartition would drop the value's
+    * whole bucket). The scan builder prunes equalities by HASHING them to
+    * their bucket instead, and reports the transform for SPJ.
+    */
+  private val bucketSpec: Option[(Int, String)] =
+    ColumnarMergeTree.TableDef.load(path)
+      .flatMap(_.partitionBy).flatMap(ColumnarMergeTree.bucketPartition)
+      .filter { case (_, c) => tableSchema.fieldNames.contains(c) }
 
   override def name(): String = s"mergetree:$path"
   override def schema(): StructType = tableSchema
@@ -186,7 +199,8 @@ class GenericMergeTreeV2Table(
     // `spark.read.option("snapshot", n).table(...)` — the path face bakes
     // the pin into the table instance instead (orElse: never both).
     new GenericScanBuilder(path, tableSchema, orderBy, partitionCol,
-      snapshotSeq.orElse(Option(options.get("snapshot")).map(_.toLong)))
+      snapshotSeq.orElse(Option(options.get("snapshot")).map(_.toLong)),
+      bucketSpec)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshotSeq.isEmpty, "a snapshot-pinned mergetree table is read-only")
@@ -233,7 +247,8 @@ object GenericMergeTreeScan {
 
 class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[String],
                          partitionCol: Option[String] = None,
-                         snapshotSeq: Option[Long] = None)
+                         snapshotSeq: Option[Long] = None,
+                         bucketSpec: Option[(Int, String)] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -304,6 +319,15 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
   private def canonPartition(v: Any): Option[String] =
     GenericMergeTreeScan.canonPartitionValue(v)
 
+  /** The bucket a pushed equality value lands in, when `a` is the bucket
+    * partition column — the same pmod(xxhash64, n) the write side stamped.
+    */
+  private def bucketOf(a: String, v: Any): Option[Int] = bucketSpec match {
+    case Some((n, c)) if c == a && v != null =>
+      GraftBucketFunction.bucketIdOfValue(n, tableSchema(a).dataType, v)
+    case _ => None
+  }
+
   private def narrowPartitions(values: Set[String]): Unit =
     wantedPartitions = Some(wantedPartitions.fold(values)(_ intersect values))
 
@@ -352,6 +376,18 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
     case In(a, vs) if partitionCol.contains(a) &&
         vs.nonEmpty && vs.forall(canonPartition(_).isDefined) =>
       narrowPartitions(vs.map(canonPartition(_).get).toSet); true
+    // bucket(N, col) partitioning: an equality on the column prunes to the
+    // value's bucket (all rows holding v live in exactly one bucket part
+    // set; EqualTo never matches NULL rows, so the NULL partition is
+    // safely skipped). The DELETE dropPartition fast path deliberately
+    // does NOT get this — dropping v's bucket would drop its neighbors.
+    case EqualTo(a, v) if bucketOf(a, v).isDefined =>
+      narrowPartitions(Set(bucketOf(a, v).get.toString))
+      if (a == leadKey && usable(a, v)) { narrowLo(a, v); narrowHi(a, v) }
+      true
+    case In(a, vs) if bucketSpec.exists(_._2 == a) && vs.nonEmpty &&
+        vs.forall(bucketOf(a, _).isDefined) =>
+      narrowPartitions(vs.map(bucketOf(a, _).get.toString).toSet); true
     case EqualTo(a, v) if (isRangeCol(a) && usable(a, v)) || setUsable(a, v) =>
       if (isRangeCol(a) && usable(a, v)) { narrowLo(a, v); narrowHi(a, v) }
       if (setUsable(a, v)) narrowSet(a, Set(ColumnarMergeTree.setIndexCanon(v)))
@@ -395,22 +431,38 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
         .map(c => c -> (los.get(c), his.get(c))).toMap
     // Storage-partitioned-join eligibility: a bare-column PARTITION BY of
     // a type whose canonical string form round-trips exactly (the same
-    // family the set index trusts). The projection-routed branch reads a
-    // DIFFERENT table whose parts carry no partition tags — never SPJ.
-    val spjCol: Option[(String, org.apache.spark.sql.types.DataType)] =
-      partitionCol.map(c => (c, tableSchema(c).dataType)).filter {
-        case (_, dt) => ColumnarMergeTree.setIndexEligible(dt)
-      }
+    // family the set index trusts), or a bucket(N, col) transform over an
+    // eligible column. The projection-routed branch reads a DIFFERENT
+    // table whose parts carry no partition tags — never SPJ.
+    val spjSpec: Option[SpjSpec] =
+      partitionCol.map(c => (c, tableSchema(c).dataType))
+        .filter { case (_, dt) => ColumnarMergeTree.setIndexEligible(dt) }
+        .map { case (c, dt) => IdentitySpj(c, dt): SpjSpec }
+        .orElse(bucketSpec.collect {
+          case (n, c) if GraftBucketFunction.eligible(tableSchema(c).dataType) =>
+            BucketSpj(n, c): SpjSpec
+        })
     route match {
       case Some((c, projPath)) =>
         new GenericMergeTreeScanImpl(projPath, required, c, tableSchema(c).dataType,
           los.get(c), his.get(c), wantedPartitions, snapshotSeq)
       case None =>
         new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
-          wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap, spjCol)
+          wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap, spjSpec)
     }
   }
 }
+
+/** How a scan reports its storage layout for Spark's storage-partitioned
+  * join: PARTITION BY a bare column (keys are the column values) or the
+  * bucket(N, col) transform (keys are the int bucket ids — the function
+  * identity lives in [[GraftBucketFunction]], resolved through
+  * [[GraftCatalog]]).
+  */
+private[sources] sealed trait SpjSpec
+private[sources] final case class IdentitySpj(
+    col: String, dt: org.apache.spark.sql.types.DataType) extends SpjSpec
+private[sources] final case class BucketSpj(n: Int, col: String) extends SpjSpec
 
 class GenericMergeTreeScanImpl(
     path: String,
@@ -423,7 +475,7 @@ class GenericMergeTreeScanImpl(
     snapshotSeq: Option[Long] = None,
     colBounds: Map[String, (Option[Any], Option[Any])] = Map.empty,
     setEquals: Map[String, Set[String]] = Map.empty,
-    spjCol: Option[(String, org.apache.spark.sql.types.DataType)] = None)
+    spjSpec: Option[SpjSpec] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -517,7 +569,7 @@ class GenericMergeTreeScanImpl(
     * join silently drops matches.
     */
   private lazy val spjGroups: Option[Seq[(InternalRow, List[GPartMeta])]] =
-    spjCol.flatMap { case (_, dt) =>
+    spjSpec.flatMap { spec =>
       val enabled = try {
         val s = SparkSession.active
         s.sessionState.conf.getConf(
@@ -529,23 +581,27 @@ class GenericMergeTreeScanImpl(
         val keep = surviving(manifestParts)
         if (keep.isEmpty || keep.exists(_.partition.isEmpty)) None
         else Some(keep.groupBy(_.partition.get).toSeq.sortBy(_._1)
-          .map { case (v, ps) => (typedPartitionKey(v, dt), ps) })
+          .map { case (v, ps) => (typedPartitionKey(v, spec), ps) })
       }
     }
 
-  private def typedPartitionKey(
-      v: String, dt: org.apache.spark.sql.types.DataType): InternalRow = {
+  private def typedPartitionKey(v: String, spec: SpjSpec): InternalRow = {
     import org.apache.spark.sql.types._
     val x: Any =
       if (v == ColumnarMergeTree.NullPartition) null
-      else dt match {
-        case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-        case LongType    => v.toLong
-        case IntegerType => v.toInt
-        case ShortType   => v.toShort
-        case ByteType    => v.toByte
-        case BooleanType => v.toBoolean
-        case _           => null // unreachable: spjCol is setIndexEligible-gated
+      else spec match {
+        // Bucket keys are the TRANSFORM's results — int bucket ids —
+        // regardless of the column's own type.
+        case BucketSpj(_, _) => v.toInt
+        case IdentitySpj(_, dt) => dt match {
+          case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+          case LongType    => v.toLong
+          case IntegerType => v.toInt
+          case ShortType   => v.toShort
+          case ByteType    => v.toByte
+          case BooleanType => v.toBoolean
+          case _           => null // unreachable: spjSpec is setIndexEligible-gated
+        }
       }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](x))
   }
@@ -561,9 +617,16 @@ class GenericMergeTreeScanImpl(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjGroups match {
       case Some(gs) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val key = spjSpec.get match {
+          case IdentitySpj(c, _) => Expressions.identity(c)
+          // The bucket transform: Spark resolves the name "bucket" through
+          // the relation's FunctionCatalog (GraftCatalog) — two scans whose
+          // bound functions share canonicalName + N join exchange-free.
+          case BucketSpj(n, c)   => Expressions.bucket(n, c)
+        }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(spjCol.get._1)), gs.size)
+          Array(key), gs.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }

@@ -43,7 +43,8 @@ import scala.jdk.CollectionConverters._
   * multi-driver deployment would swap this class for one backed by a
   * shared store, the interface is the seam).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -256,6 +257,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
     finally s.close()
   }
+
+  // ---------------------------------------------------------- functions
+  // FunctionCatalog is what lets Spark resolve the `bucket(N, col)`
+  // partition transform a scan reports in its KeyGroupedPartitioning
+  // (V2ScanPartitioningAndOrdering looks up the literal name "bucket" on
+  // the RELATION'S catalog) — without it, bucket-partitioned tables could
+  // never storage-partition-join. The catalog is stateless here: one
+  // built-in function, no filesystem entries.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def loadFunction(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket")
 
   // ------------------------------------------------- namespaces = directories
 

@@ -105,4 +105,125 @@ class BpeTokenizerSpec extends AnyFunSuite {
         s"payload not conserved for ${r.getString(0)}: ~$payload vs $exact")
     }
   }
+
+  test("byte table is the GPT-2 bijection: 256 distinct chars, visible " +
+    "latin-1 maps to itself") {
+    val t = BpeTokenizer.ByteChar
+    assert(t.length == 256 && t.distinct.length == 256)
+    assert(t('a'.toInt) == 'a' && t('Z'.toInt) == 'Z' && t('#'.toInt) == '#')
+    assert(t(0xC3) == 0xC3.toChar, "visible latin-1 bytes stay themselves")
+    assert(t(' '.toInt) != ' ', "space must shift (symbols stay space-free)")
+    assert(t(0) >= 0x100.toChar, "control bytes shift into U+0100..")
+  }
+
+  test("byte-level BPE segments every script and round-trips CJK exactly") {
+    val mixed = Seq(
+      ("机器学习", 6L), ("机器翻译", 4L), ("данные", 5L), ("qualität", 3L))
+    val m = BpeTokenizer.trainOnCountsByteLevel(mixed, numMerges = 12)
+    assert(m.byteLevel && m.pairs.nonEmpty)
+    // The shared 机器 prefix must yield a shared LEARNED leading unit in
+    // both CJK words (count-10 pairs dominate training), and merging must
+    // actually compress (unmerged = 12 byte symbols + marker = 13).
+    val a = BpeTokenizer.encodeWord("机器学习", m)
+    val b = BpeTokenizer.encodeWord("机器翻译", m)
+    assert(a.head == b.head && BpeTokenizer.bytesOf(a.head).length >= 2,
+      s"shared CJK prefix must merge: ${a.toSeq} vs ${b.toSeq}")
+    assert(a.length < 13 && b.length < 13, "merges must compress CJK words")
+    // Lossless round-trip for every script, including an UNSEEN CJK word.
+    for (w <- Seq("机器学习", "机器智能", "данные", "qualität", "plain")) {
+      val toks = BpeTokenizer.encodeWord(w, m)
+      assert(BpeTokenizer.decodeTokens(toks.toSeq, m) == w,
+        s"byte-level round-trip broke for $w: ${toks.toSeq}")
+    }
+    // Mixed-script text: the word split keeps all scripts; decode restores
+    // the normalized word stream.
+    val text = "Qualität 机器学习 data 123"
+    assert(BpeTokenizer.decodeTokens(
+      BpeTokenizer.encodeText(text, m).toSeq, m) ==
+      "qualität 机器学习 data 123")
+    // The latin-only char-level tokenizer drops all of the CJK — the gap
+    // this mode closes.
+    assert(BpeTokenizer.encodeText("中文分词",
+      BpeTokenizer.trainOnCounts(sennrich, 5)).isEmpty)
+    assert(BpeTokenizer.encodeText("中文分词", m).nonEmpty)
+  }
+
+  test("byte-level wire form round-trips through the expression literal " +
+    "and stays backward compatible") {
+    val m = BpeTokenizer.trainOnCountsByteLevel(
+      Seq(("机器学习", 6L), ("机器翻译", 4L)), numMerges = 8)
+    val back = Merges.decode(m.encoded)
+    assert(back == m, "wire round-trip must preserve mode and pairs")
+    // A pre-existing char-level wire (no header) decodes unchanged.
+    val charM = BpeTokenizer.trainOnCounts(sennrich, 5)
+    assert(!Merges.decode(charM.encoded).byteLevel)
+    assert(Merges.decode(charM.encoded).pairs == charM.pairs)
+    // The expression applies byte-level merges identically to the driver.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq("机器学习 and qualität", "机器智能 data")
+      .toDF("text")
+      .select(call_function("bpe_encode", col("text"),
+        typedLit(m.encoded)).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val expect = Seq("机器学习 and qualität", "机器智能 data")
+      .map(t => BpeTokenizer.encodeText(t, m).toSeq)
+    assert(rows.toSeq == expect, "expression drifted from driver impl")
+  }
+
+  test("save/open: encode-after-reopen is bit-exact; train == retrain; " +
+    "corrupt artifact fails loudly") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val m = BpeTokenizer.trainByteLevel(d, numMerges = 60)
+    assert(m.byteLevel && m.pairs.size == 60)
+    // Determinism: retraining the same corpus is bit-identical.
+    assert(BpeTokenizer.trainByteLevel(d, numMerges = 60) == m)
+
+    val art = java.nio.file.Files.createTempDirectory("bpe_save_").toString
+    BpeTokenizer.save(m, art)
+    val opened = BpeTokenizer.open(art)
+    assert(opened == m, "open(save(m)) must be bit-exact")
+    val sample = "Müller trains 机器学习 tokenizers"
+    assert(BpeTokenizer.encodeText(sample, opened).toSeq ==
+      BpeTokenizer.encodeText(sample, m).toSeq)
+    // Char-level artifacts persist their mode too.
+    val cm = BpeTokenizer.trainOnCounts(sennrich, 5)
+    val art2 = java.nio.file.Files.createTempDirectory("bpe_save2_").toString
+    BpeTokenizer.save(cm, art2)
+    assert(BpeTokenizer.open(art2) == cm)
+    // Missing / corrupt artifacts fail loudly, never return garbage.
+    intercept[IllegalArgumentException](BpeTokenizer.open(
+      java.nio.file.Files.createTempDirectory("bpe_none_").toString))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(art, BpeTokenizer.MergesFile), "{\"version\":9}")
+    intercept[Exception](BpeTokenizer.open(art))
+  }
+
+  test("q132 serves from the persisted artifact: per-lang stats stable, " +
+    "zh tokenizes (the latin q130 gap)") {
+    val a = graft.queries.PipelineQueries.q132BpePersisted(spark, dir).collect()
+    val b = graft.queries.PipelineQueries.q132BpePersisted(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "unstable output")
+    assert(a.nonEmpty)
+    // EVERY lang — including zh — now has tokens and vocabulary.
+    a.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0,
+        s"lang ${r.getString(0)} must tokenize under byte-level BPE: $r")
+    }
+    // Byte-payload conservation per lang: tokens' byte payload must equal
+    // the corpus's own UTF-8 word bytes (tokenizer-independent law).
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val expect = d.select(col("lang"),
+        explode(split(lower(col("text")), "(?U)[^\\p{L}\\p{N}]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang")
+      .agg(sum(length(encode(col("w"), "UTF-8")).cast("long")).as("bytes"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      val payload = r.getLong(4) * r.getLong(2) / 1000000L
+      val exact = expect(r.getString(0))
+      assert(math.abs(payload - exact) <= r.getLong(2),
+        s"byte payload not conserved for ${r.getString(0)}: ~$payload vs $exact")
+    }
+  }
 }

@@ -90,4 +90,123 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS spj_b")
     }
   }
+
+  // ---------------------------------------------- bucket(N, col) transform
+
+  test("bucket function == pmod(xxhash64(col), n) for every eligible type; " +
+    "NULL-preserving") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    def call(dt: DataType, v: Any, n: Int): Integer =
+      new graft.sources.GraftBucketBound(dt).produceResult(
+        new GenericInternalRow(Array[Any](n, v)))
+    // The definition, from the builtin itself: one row through Spark SQL.
+    def viaSql(sqlLit: String, n: Int): Int =
+      spark.sql(s"SELECT pmod(xxhash64($sqlLit), $n)").first().getLong(0).toInt
+    for (v <- Seq(0L, 1L, -17L, 123456789L); n <- Seq(4, 16)) {
+      assert(call(LongType, v, n) == viaSql(s"CAST($v AS BIGINT)", n))
+      assert(call(IntegerType, v.toInt, n) == viaSql(s"CAST(${v.toInt} AS INT)", n))
+    }
+    for (s <- Seq("", "a", "key_123", "机器"); n <- Seq(8)) {
+      assert(call(StringType, UTF8String.fromString(s), n) == viaSql(s"'$s'", n))
+    }
+    assert(call(LongType, null, 16) == null, "bucket(NULL) is NULL")
+    // Bound identity: same canonicalName regardless of column type — the
+    // cross-table SPJ match key.
+    assert(new graft.sources.GraftBucketBound(LongType).canonicalName() ==
+      new graft.sources.GraftBucketBound(StringType).canonicalName())
+  }
+
+  private def mkBucketTables(): Unit = {
+    val wh = Files.createTempDirectory("spj_bucket_wh_").toString
+    spark.conf.set("spark.sql.catalog.spj_bkt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj_bkt.warehouse", wh)
+    import spark.implicits._
+    val a = (0 until 200).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val b = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("k", "w")
+    graft.mergetree.ColumnarMergeTree.create(spark, s"$wh/ba", a.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(8, k)")).insertBatch(a)
+    graft.mergetree.ColumnarMergeTree.create(spark, s"$wh/bb", b.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(8, k)")).insertBatch(b)
+  }
+
+  test("bucket-partitioned tables join exchange-free through the catalog; " +
+    "default-off still shuffles; answer unchanged") {
+    mkBucketTables()
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val q = "SELECT a.k, b.w FROM spj_bkt.ba a JOIN spj_bkt.bb b ON a.k = b.k"
+      val expect = (0 until 100).map(i => (i.toLong, i * 2.0)).toSet
+
+      // Default: preserveDataGrouping off → ordinary shuffled join.
+      val off = spark.sql(q)
+      assert(off.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == expect)
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket SPJ must stay opt-in")
+
+      spark.conf.set("spark.graft.preserveDataGrouping", "true")
+      val on = spark.sql(q)
+      assert(on.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == expect,
+        "bucket SPJ must not change the answer")
+      val p = on.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucket-co-partitioned join must plan with ZERO exchanges:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"a real join must still be planned:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.graft.preserveDataGrouping")
+    }
+  }
+
+  test("bucket equality prunes to the value's bucket; DELETE by value " +
+    "rewrites, never drops the bucket") {
+    val dir = Files.createTempDirectory("spj_bucket_prune_").toString
+    import spark.implicits._
+    val a = (0 until 160).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    graft.mergetree.ColumnarMergeTree.create(spark, dir, a.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(8, k)")).insertBatch(a)
+    spark.sql(s"CREATE TABLE spj_bkt_prune USING mergetree LOCATION '$dir'")
+    try {
+      // Equality on the bucketed column prunes driver-side to ONE bucket's
+      // parts (of the 8 live) before any file I/O.
+      val one = spark.sql("SELECT v FROM spj_bkt_prune WHERE k = 42").collect()
+      assert(one.map(_.getDouble(0)).toSeq == Seq(42.0))
+      val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+      assert(total == 8, s"expected 8 bucket parts, saw $total")
+      assert(planned < total,
+        s"k = 42 must prune to its bucket: planned $planned of $total")
+      // DELETE WHERE k = 42 must remove exactly that row — the bucket-id
+      // partition tag must never be mistaken for a value tag (a
+      // dropPartition fast path would delete 42's whole bucket).
+      spark.sql("DELETE FROM spj_bkt_prune WHERE k = 42")
+      val left = spark.sql("SELECT count(*) FROM spj_bkt_prune").first().getLong(0)
+      assert(left == 159, s"DELETE k=42 must drop exactly one row, left=$left")
+      assert(spark.sql("SELECT * FROM spj_bkt_prune WHERE k = 42").isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS spj_bkt_prune")
+  }
+
+  test("q133 bucket-SPJ entry: answer == first principles over raw parquet") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.StorageQueries.q133BucketSpj(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"))
+      .groupBy("c_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.floor(
+            org.apache.spark.sql.functions.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")).as("s"))
+      .orderBy("c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.toSeq == expect.toSeq)
+  }
 }
