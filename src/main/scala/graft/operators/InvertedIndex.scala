@@ -174,6 +174,28 @@ final class InvertedIndex private (
     */
   def search(terms: Seq[String], k: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = searchScores(terms, k1, b)
+    // Distributed top-k (TakeOrderedAndProject) BEFORE the rank window:
+    // the window then numbers k rows, never a global single partition of
+    // every matched document.
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** The full scored frame behind [[search]] — (doc_id, n_terms, score),
+    * every matched document, no top-k. For retrieval at a FINER
+    * granularity than the ranking unit (chunk-indexed RAG: the index's
+    * "documents" are chunks; the caller folds chunk scores to a parent
+    * key, then ranks) the fold must see every matched chunk's score —
+    * a pre-folded top-k could silently drop a parent's best evidence.
+    * Still postings-bounded (only matching ids, never the corpus) and
+    * fully distributed; callers aggregate before any collect.
+    */
+  def searchScores(terms: Seq[String],
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query: search needs at least one term")
     // ONE stats read per search: the seq it names pins the posting scan,
     // so totals and postings can never describe different corpus states.
@@ -188,16 +210,8 @@ final class InvertedIndex private (
     val contrib = postings.join(broadcast(df), "term")
       .select(col("doc_id"),
         bm25Micro(col("tf"), col("df"), col("dl"), st.n_docs, avgdl, k1, b).as("c"))
-    val scored = contrib.groupBy("doc_id")
+    contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score"))
-    // Distributed top-k (TakeOrderedAndProject) BEFORE the rank window:
-    // the window then numbers k rows, never a global single partition of
-    // every matched document.
-    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
-      .orderBy(col("rk"))
   }
 
   /** Exact PHRASE search from the positional postings: top-k documents by

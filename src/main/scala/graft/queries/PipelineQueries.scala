@@ -3351,19 +3351,34 @@ object PipelineQueries {
     * between BM25 and cosine — only ranks).
     *
     * Query set: the five qid < 5 embedding queries, each fused against its
-    * own vector top-20 and the shared lexical top-20 for `dup vector
-    * merge`. Both lists are k-bounded before fusion, so the fusion cost is
-    * |queries| × topN rows REGARDLESS of corpus size: the 100 TB posture
-    * is entirely inherited from the two retrievers (bucket-pruned postings
-    * scan; broadcast-query vector scan / IVF probe), and the fused join
-    * would be a broadcast at any scale.
+    * own vector top-20 and its OWN lexical top-20 (per-query term sets —
+    * the real fusion shape; a query-independent lexical list would test
+    * only the join plumbing). Both lists are k-bounded before fusion, so
+    * the fusion cost is |queries| × topN rows REGARDLESS of corpus size:
+    * the 100 TB posture is entirely inherited from the two retrievers
+    * (bucket-pruned postings scan; broadcast-query vector scan / IVF
+    * probe), and the fused join would be a broadcast at any scale. The
+    * lexical side runs one bucket-pruned index probe per DISTINCT query
+    * term set — right for an interactive query batch; a corpus-sized
+    * query log would batch them as one terms⋈postings join instead.
     */
+  private[graft] val hybridQueryTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "vector", "merge"),
+    1L -> Seq("join", "hash"),
+    2L -> Seq("scan", "filter", "column"),
+    3L -> Seq("stream", "window"),
+    4L -> Seq("sort", "query", "fast"))
+
   def q126HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val idx = cacheInv.getOrElseUpdate(dir,
       graft.operators.InvertedIndex.build(spark, docs(spark, dir),
         java.nio.file.Files.createTempDirectory("inv_idx_").toString))
-    val lex0 = idx.search(bm25Terms, k = 20)
-      .select(col("doc_id"), col("rk").as("lrk"))
+    // Per-query lexical lists: each ≤ 20 rows BEFORE the union, each probe
+    // reading only its terms' bucket parts.
+    val lex = hybridQueryTerms.map { case (qid, ts) =>
+      idx.search(ts, k = 20)
+        .select(lit(qid).as("qid"), col("doc_id"), col("rk").as("lrk"))
+    }.reduce(_ unionByName _)
     val e = embDouble(spark, dir)
     val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
       .filter(col("qid") < 5)
@@ -3373,36 +3388,45 @@ object PipelineQueries {
     val vw = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))
     val vec = vscored.withColumn("vrk", row_number().over(vw).cast("long"))
       .filter(col("vrk") <= 20).select(col("qid"), col("doc_id"), col("vrk"))
-    // The lexical list is query-independent here (one term set), so it
-    // replicates across qids — a broadcast of ≤ 20 rows.
-    val lex = q.select(col("qid")).crossJoin(broadcast(lex0))
     rrfFuse(lex, vec, topN = 10)
   }
+
+  /** The per-qid query-term table, spelled once for the oracle (must match
+    * [[hybridQueryTerms]] exactly).
+    */
+  private def hybridQtSql: String = hybridQueryTerms.flatMap { case (q, ts) =>
+    ts.map(t => s"($q, '$t')")
+  }.mkString(", ")
 
   val q126Sql: String =
     s"""WITH terms AS (
        |  SELECT doc_id, t.term FROM documents,
        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
        |  WHERE len(t.term) >= 3),
+       |qt AS (SELECT CAST(q AS BIGINT) AS qid, t AS term
+       |       FROM (VALUES $hybridQtSql) v(q, t)),
        |tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM terms
-       |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY doc_id, term),
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
        |stats AS (SELECT avg(dl) AS avgdl FROM dl),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
        |contrib AS (
-       |  SELECT tf.doc_id, CAST(floor(
+       |  SELECT tf.doc_id, tf.term, CAST(floor(
        |      ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
        |        * (tf.tf * (1.2 + 1.0))
        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
        |        * 1000000.0 + 0.5) AS BIGINT) AS c
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
        |    CROSS JOIN stats CROSS JOIN n),
-       |lexscore AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
-       |lex0 AS (
-       |  SELECT doc_id, CAST(lrk AS BIGINT) AS lrk FROM (
-       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrk
+       |lexscore AS (
+       |  SELECT qt.qid, contrib.doc_id, sum(c) AS score
+       |  FROM contrib JOIN qt USING (term) GROUP BY qt.qid, contrib.doc_id),
+       |lex AS (
+       |  SELECT qid, doc_id, CAST(lrk AS BIGINT) AS lrk FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lrk
        |    FROM lexscore) s WHERE lrk <= 20),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -3415,8 +3439,6 @@ object PipelineQueries {
        |    SELECT qid, doc_id,
        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS vrk
        |    FROM vscored) s WHERE vrk <= 20),
-       |lex AS (SELECT q.qid, l.doc_id, l.lrk
-       |        FROM (SELECT DISTINCT qid FROM qv) q CROSS JOIN lex0 l),
        |fused AS (
        |  SELECT coalesce(lex.qid, vec.qid) AS qid,
        |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
@@ -3452,6 +3474,23 @@ object PipelineQueries {
       sum(when(col("source") === target, 1L).otherwise(0L)).as("cnt_t"))
       .persist()
     try {
+      val out = dsirRankOn(toks, lm, target, topN)
+      // topN × |langs| rows — collapse eagerly so the lm cache can be
+      // released before returning (callers re-executing the frame must
+      // not silently re-tokenize the corpus twice).
+      val rows = out.collect()
+      d.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally lm.unpersist()
+  }
+
+  /** The LAZY scoring plan behind [[dsirRank]] — split out so the plan
+    * pins (broadcast LM side, WindowGroupLimit top-k) can still read the
+    * executed plan; dsirRank itself collapses to a LocalRelation to
+    * release the lm persist.
+    */
+  private[graft] def dsirRankOn(toks: DataFrame, lm: DataFrame,
+      target: String, topN: Int): DataFrame = {
     // Totals fold out of the SAME aggregate as driver scalars (the q110
     // stats-job discipline — 3 numbers, never a second corpus aggregate)
     // and inline as literals below.
@@ -3476,18 +3515,11 @@ object PipelineQueries {
     val sel = per.filter(col("source") =!= target)
       .withColumn("avg_lp", expr("w div n_toks"))
     val rw = Window.partitionBy(col("lang")).orderBy(col("avg_lp").desc, col("doc_id"))
-    val out = sel.withColumn("rk", row_number().over(rw).cast("long"))
+    sel.withColumn("rk", row_number().over(rw).cast("long"))
       .filter(col("rk") <= topN)
       .select(col("lang"), col("rk"), col("doc_id"), col("source"),
         col("n_toks"), col("w"), col("avg_lp"))
       .orderBy(col("lang"), col("rk"))
-    // topN × |langs| rows — collapse eagerly so the lm cache can be
-    // released before returning (callers re-executing the frame must
-    // not silently re-tokenize the corpus twice).
-    val rows = out.collect()
-    d.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
-    } finally lm.unpersist()
   }
 
   /** Q127 — DSIR-style data selection by importance ranking (Xie et al.
@@ -3547,7 +3579,17 @@ object PipelineQueries {
     * extracted so specs drive hand-built docs through the exact production
     * arithmetic. See [[q129RagChunks]].
     */
-  private[graft] def ragChunks(d: DataFrame, w: Int, o: Int): DataFrame = {
+  private[graft] def ragChunks(d: DataFrame, w: Int, o: Int): DataFrame =
+    ragChunksText(d, w, o)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_toks"), col("digest"), col("n_chars"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** [[ragChunks]] with the chunk TEXT kept — the frame a chunk-granular
+    * index builds from (q134); q129's stats face drops `txt` (column
+    * pruning makes the two plans identical up to the projection).
+    */
+  private[graft] def ragChunksText(d: DataFrame, w: Int, o: Int): DataFrame = {
     require(w > o && o >= 0, s"need window > overlap >= 0, got ($w, $o)")
     val s = w - o
     val t = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -3564,8 +3606,8 @@ object PipelineQueries {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         least(lit(w.toLong), col("n") - col("start_tok")).as("n_toks"),
         md5(col("txt")).as("digest"),
-        length(col("txt")).cast("long").as("n_chars"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+        length(col("txt")).cast("long").as("n_chars"),
+        col("txt"))
   }
 
   /** Q129 — RAG chunking (retrieval-ingest document splitting): every doc
@@ -3747,6 +3789,185 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Chunk-granular inverted index per corpus dir: the q129 chunk table,
+    * indexed with each chunk as its own "document". The chunk key packs
+    * (doc_id, chunk_idx) into one long — doc_id · 64 + chunk_idx — so the
+    * parent doc and the evidence chunk both unpack from the index's id.
+    */
+  private val cacheInvChunks =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.InvertedIndex]
+
+  private[graft] val ChunkKeySpan = 64L
+
+  private[graft] def chunkIndexOf(spark: SparkSession, dir: String)
+      : graft.operators.InvertedIndex =
+    cacheInvChunks.getOrElseUpdate(dir, {
+      val ch = ragChunksText(docs(spark, dir), w = 16, o = 4)
+      // The pack needs chunk_idx < span (~5 chunks/doc at these knobs;
+      // W=256-class production chunks keep even book-length docs under
+      // 64). Checked at build, not assumed.
+      val maxIdx = ch.agg(max(col("chunk_idx"))).first().getLong(0)
+      require(maxIdx < ChunkKeySpan,
+        s"chunk_idx up to $maxIdx overflows the $ChunkKeySpan-chunk key span")
+      graft.operators.InvertedIndex.build(spark,
+        ch.select((col("doc_id") * ChunkKeySpan + col("chunk_idx")).as("doc_id"),
+          col("txt").as("text")),
+        java.nio.file.Files.createTempDirectory("inv_chunks_").toString)
+    })
+
+  /** Per-query lexical doc list at CHUNK granularity: every matched
+    * chunk's BM25 score (searchScores — no pre-fold top-k, a parent's
+    * best evidence must never be dropped), folded to the parent doc as
+    * MAX-CHUNK score in ONE aggregate via the composite key
+    * score·span + chunk_idx (score ≥ 0 in integer micro-units, so the
+    * composite orders by score first and breaks ties on the highest
+    * chunk index — deterministic, and both halves unpack exactly).
+    */
+  private[graft] def chunkLexTopDocs(idx: graft.operators.InvertedIndex,
+      qid: Long, terms: Seq[String], k: Int): DataFrame = {
+    val span = ChunkKeySpan
+    val perDoc = idx.searchScores(terms)
+      .select(expr(s"doc_id div $span").as("doc_id"),
+        (col("score") * span + expr(s"doc_id % $span")).as("sk"))
+      .groupBy("doc_id")
+      .agg(max(col("sk")).as("bk"), count(lit(1)).as("n_chunks_hit"))
+    val best = expr(s"bk div $span")
+    val top = perDoc.orderBy(best.desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(best.desc, col("doc_id"))
+    top.withColumn("lrk", row_number().over(w).cast("long"))
+      .select(lit(qid).as("qid"), col("doc_id"), col("lrk"),
+        expr(s"bk % $span").as("best_chunk"), col("n_chunks_hit"))
+  }
+
+  /** Q134 — CHUNK-LEVEL hybrid retrieval (the production RAG serve shape:
+    * the retrieval unit is the CHUNK, not the doc — a doc whose evidence
+    * lives in its 2nd chunk must be found and must say WHICH chunk): the
+    * q129 chunk table indexed in the persisted inverted index (chunk =
+    * index document, key = doc_id·64 + chunk_idx), per-query BM25 over
+    * chunks folded to per-doc max-chunk scores, RRF-fused (q126
+    * arithmetic, exact int64 nano-units) with the doc-level exact-cosine
+    * top-20, carrying the evidence chunk (best_chunk) and per-doc chunk
+    * hit count through the fusion.
+    *
+    * Shape at 100 TB: chunking is the q129 map-side explode; the index
+    * probe reads only the query terms' bucket parts; the chunk→doc fold
+    * is one hash aggregate on the matched postings (never the corpus);
+    * both lists are k-bounded before the fusion join.
+    */
+  def q134ChunkHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val idx = chunkIndexOf(spark, dir)
+    val lex = hybridQueryTerms.map { case (qid, ts) =>
+      chunkLexTopDocs(idx, qid, ts, k = 20)
+    }.reduce(_ unionByName _)
+    val e = embDouble(spark, dir)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .filter(col("qid") < 5)
+    val vscored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        r6(cosine(col("qv"), col("v"))).as("sim"))
+    val vw = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))
+    val vec = vscored.withColumn("vrk", row_number().over(vw).cast("long"))
+      .filter(col("vrk") <= 20).select(col("qid"), col("doc_id"), col("vrk"))
+    // rrfFuse's arithmetic inlined so the chunk-evidence columns ride the
+    // SAME full-outer join (a post-fusion join back to the lexical frame
+    // would re-run all five index probes as a second plan subtree).
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("1000000000L div (60L + lrk)"), lit(0L))
+          + coalesce(expr("1000000000L div (60L + vrk)"), lit(0L))).as("rrf"),
+        coalesce(col("lrk"), lit(0L)).as("lrk"),
+        coalesce(col("vrk"), lit(0L)).as("vrk"),
+        coalesce(col("best_chunk"), lit(-1L)).as("best_chunk"),
+        coalesce(col("n_chunks_hit"), lit(0L)).as("n_chunks_hit"))
+    val fw = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("frk", row_number().over(fw).cast("long"))
+      .filter(col("frk") <= 10)
+      .select(col("qid"), col("frk"), col("doc_id"), col("rrf"),
+        col("lrk"), col("vrk"), col("best_chunk"), col("n_chunks_hit"))
+      .orderBy(col("qid"), col("frk"))
+  }
+
+  val q134Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (SELECT doc_id, ws, n,
+       |    CAST((greatest(1, n - 4) + 11) // 12 AS BIGINT) AS n_chunks FROM t),
+       |ch0 AS (
+       |  SELECT doc_id, ws, n,
+       |    CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
+       |  FROM c),
+       |ch AS (
+       |  SELECT doc_id * 64 + chunk_idx AS chunk_id,
+       |    array_to_string(ws[CAST(chunk_idx * 12 + 1 AS INT) :
+       |                       CAST(chunk_idx * 12 + 16 AS INT)], ' ') AS txt
+       |  FROM ch0),
+       |cterms AS (
+       |  SELECT chunk_id, t.term FROM ch,
+       |    unnest(string_split_regex(lower(txt), '[^a-z]+')) AS t(term)
+       |  WHERE len(t.term) >= 3),
+       |qt AS (SELECT CAST(q AS BIGINT) AS qid, t AS term
+       |       FROM (VALUES $hybridQtSql) v(q, t)),
+       |tf AS (
+       |  SELECT chunk_id, term, count(*) AS tf FROM cterms
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY chunk_id, term),
+       |dl AS (SELECT chunk_id, count(*) AS dl FROM cterms GROUP BY chunk_id),
+       |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM ch),
+       |contrib AS (
+       |  SELECT tf.chunk_id, tf.term, CAST(floor(
+       |      ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |        * (tf.tf * (1.2 + 1.0))
+       |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       |        * 1000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM tf JOIN df USING (term) JOIN dl USING (chunk_id)
+       |    CROSS JOIN stats CROSS JOIN n),
+       |cscore AS (
+       |  SELECT qt.qid, contrib.chunk_id, sum(c) AS score
+       |  FROM contrib JOIN qt USING (term) GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT qid, chunk_id // 64 AS doc_id,
+       |    max(score * 64 + chunk_id % 64) AS bk,
+       |    CAST(count(*) AS BIGINT) AS n_chunks_hit
+       |  FROM cscore GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, doc_id, CAST(lrk AS BIGINT) AS lrk,
+       |    CAST(bk % 64 AS BIGINT) AS best_chunk, n_chunks_hit FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY bk // 64 DESC, doc_id) AS lrk
+       |    FROM perdoc) s WHERE lrk <= 20),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |vscored AS (
+       |  SELECT qid, vec_id AS doc_id,
+       |    ${R6Sql.format("list_cosine_similarity(qv, v)")} AS sim
+       |  FROM qv, e WHERE vec_id != qid),
+       |vec AS (
+       |  SELECT qid, doc_id, CAST(vrk AS BIGINT) AS vrk FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS vrk
+       |    FROM vscored) s WHERE vrk <= 20),
+       |fused AS (
+       |  SELECT coalesce(lex.qid, vec.qid) AS qid,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    coalesce(1000000000 // (60 + lrk), 0)
+       |      + coalesce(1000000000 // (60 + vrk), 0) AS rrf,
+       |    coalesce(lrk, 0) AS lrk, coalesce(vrk, 0) AS vrk,
+       |    coalesce(best_chunk, -1) AS best_chunk,
+       |    coalesce(n_chunks_hit, 0) AS n_chunks_hit
+       |  FROM lex FULL JOIN vec
+       |    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fused)
+       |SELECT qid, CAST(frk AS BIGINT) AS frk, doc_id, CAST(rrf AS BIGINT) AS rrf,
+       |  CAST(lrk AS BIGINT) AS lrk, CAST(vrk AS BIGINT) AS vrk,
+       |  CAST(best_chunk AS BIGINT) AS best_chunk,
+       |  CAST(n_chunks_hit AS BIGINT) AS n_chunks_hit
+       |FROM ranked WHERE frk <= 10 ORDER BY qid, frk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -3802,5 +4023,6 @@ object PipelineQueries {
     ("q127_dsir_select", q127DsirSelect _, Some(q127Sql)),
     ("q129_rag_chunks", q129RagChunks _, Some(q129Sql)),
     ("q130_bpe_tokenize", q130BpeTokenize _, None),
-    ("q132_bpe_persisted", q132BpePersisted _, None))
+    ("q132_bpe_persisted", q132BpePersisted _, None),
+    ("q134_chunk_hybrid", q134ChunkHybrid _, Some(q134Sql)))
 }

@@ -290,6 +290,67 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming RAG ingest — ONE micro-batch feed advances BOTH retrieval
+    * indexes of the hybrid serve path together: each batch of NEW
+    * documents (doc_id, text, v — text plus its embedding, the append
+    * new-ids-only contract of both indexes) is CHUNKED (the q129
+    * window/overlap arithmetic, chunk key = doc_id·span + chunk_idx) into
+    * the text index and its doc vectors appended to the ANN index, both
+    * under the SAME checkpoint lineage and batch id. Each index's own
+    * exactly-once guard ([[graft.operators.InvertedIndex.appendStream]] /
+    * [[graft.operators.IvfIndex.appendStream]]) advances with that
+    * (lineage, batchId), so a crash BETWEEN the two appends self-heals on
+    * foreachBatch's replay: the index that committed skips (its guard
+    * covers the id), the torn one repairs and applies — after the retry
+    * both indexes describe the same corpus prefix, and the chunk-hybrid
+    * serve over them equals a one-shot build of both (spec-pinned).
+    */
+  def ragCorpusIngest(docsStream: DataFrame,
+                      textIndex: graft.operators.InvertedIndex,
+                      annIndex: graft.operators.IvfIndex,
+                      checkpointDir: String,
+                      window: Int = 16, overlap: Int = 4,
+                      chunkSpan: Long = 64L): StreamingQuery = {
+    var lineage: String = null
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (lineage == null)
+            lineage = checkpointLineage(batch.sparkSession, checkpointDir)
+          // The batch frame feeds BOTH sinks — persist so a streaming
+          // source that can't be re-read (or is expensive to) is
+          // materialized once per batch.
+          val b = batch.toDF().persist()
+          try {
+            val raw = graft.queries.PipelineQueries.ragChunksText(
+                b.select(col("doc_id"), col("text")), window, overlap)
+              .select(col("doc_id"), col("chunk_idx"), col("txt"))
+              .persist()
+            try {
+              // The packed key needs chunk_idx < span — checked BEFORE
+              // packing (a wrapped index would alias two chunks of
+              // different docs and the packed value could never tell).
+              val maxIdx = raw.agg(org.apache.spark.sql.functions
+                .max(col("chunk_idx"))).first().getLong(0)
+              require(maxIdx < chunkSpan,
+                s"chunk_idx up to $maxIdx overflows the $chunkSpan-chunk key span")
+              textIndex.appendStream(
+                raw.select(
+                  (col("doc_id") * chunkSpan + col("chunk_idx")).as("doc_id"),
+                  col("txt").as("text")),
+                batchId, lineage)
+              annIndex.appendStream(
+                b.select(col("doc_id").as("vec_id"), col("v")), batchId, lineage)
+              ()
+            } finally raw.unpersist()
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregate per event_type — the streaming
     * analogue of Q18: late data beyond the watermark is dropped, state is
     * bounded, windows emit once finalized (append mode).

@@ -726,6 +726,53 @@ class PipelineQueriesSpec extends AnyFunSuite {
       "no doc was retrieved by both BM25 and cosine — fusion untested")
   }
 
+  test("q134 chunk retrieval: a doc whose evidence lives ONLY in its 2nd " +
+    "chunk is found, with the chunk attributed") {
+    import spark.implicits._
+    // W=16 O=4 (stride 12): chunk 0 = tokens [0,16), chunk 1 = [12,28),
+    // chunk 2 = [24,40). 'needle' at 0-based token 20 is inside chunk 1
+    // and ONLY chunk 1 — a doc-granular index would find the doc too, but
+    // could never say WHICH span carries the evidence (the RAG serve
+    // needs the chunk, not the doc).
+    val d7 = ((1 to 20).map(i => s"pad$i") ++ Seq("needle") ++
+      (22 to 40).map(i => s"pad$i")).mkString(" ")
+    val d9 = (Seq("needle") ++ (2 to 40).map(i => s"pad$i")).mkString(" ")
+    val dull = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val corpus = Seq((1L, dull), (2L, dull), (7L, d7), (9L, d9))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{col => c}
+    val ch = PipelineQueries.ragChunksText(corpus, 16, 4)
+      .select((c("doc_id") * PipelineQueries.ChunkKeySpan + c("chunk_idx"))
+        .as("doc_id"), c("txt").as("text"))
+    val idx = graft.operators.InvertedIndex.build(spark, ch,
+      java.nio.file.Files.createTempDirectory("inv_chunk_spec_").toString)
+    val got = PipelineQueries.chunkLexTopDocs(idx, 0L, Seq("needle"), 10)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(7L, 9L), s"needle docs wrong: $got")
+    assert(got(7L) == ((1L, 1L)),
+      s"doc 7's evidence is its 2nd chunk (idx 1), exactly one hit: ${got(7L)}")
+    assert(got(9L)._1 == 0L, s"doc 9's evidence is its 1st chunk: ${got(9L)}")
+
+    // Invariants on the real entry: contiguous ranks per query, rrf
+    // reconciles from its own rank columns, and chunk evidence is
+    // attributed exactly when the lexical retriever contributed.
+    val full = PipelineQueries.q134ChunkHybrid(spark, dir).collect()
+    assert(full.nonEmpty)
+    full.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"qid $q ranks not contiguous")
+    }
+    full.foreach { r =>
+      val (rrf, lrk, vrk, bc) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val expect = (if (lrk > 0) 1000000000L / (60L + lrk) else 0L) +
+        (if (vrk > 0) 1000000000L / (60L + vrk) else 0L)
+      assert(rrf == expect, s"row $r score != recomputed $expect")
+      assert((lrk > 0) == (bc >= 0),
+        s"best_chunk attributed iff the lexical list contributed: $r")
+    }
+  }
+
   test("q127 DSIR: target lookalikes rank above off-target docs; the exemplar slice is excluded") {
     import spark.implicits._
     // Target exemplars speak alpha/beta/gamma. Pool doc 10 speaks the

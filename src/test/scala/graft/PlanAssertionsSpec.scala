@@ -325,8 +325,34 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
   }
 
+  test("q134: chunk-lexical side reads only pruned chunk-index buckets; " +
+    "chunk→doc fold is one hash aggregate; fusion group-limits") {
+    val p = plan(PipelineQueries.q134ChunkHybrid(spark, dir))
+    assert(p.contains("In(term"), s"query terms must reach the posting scan:\n$p")
+    assert(p.contains("inv_chunks_"),
+      s"lexical side must read the persisted CHUNK index:\n$p")
+    // Per-query top-10 through WindowGroupLimit, never a full sort.
+    assert(p.contains("WindowGroupLimit"), s"fusion top-k must group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    // The chunk→doc max-chunk fold and the fusion never shuffle on text.
+    assert(!"hashpartitioning\\(te?xt".r.findAllIn(p).hasNext,
+      s"no text-keyed exchange:\n$p")
+  }
+
   test("q127: LM table broadcasts into the token join; per-lang top-k group-limits") {
-    val p = plan(PipelineQueries.q127DsirSelect(spark, dir))
+    // The entry collapses its topN×|langs| result to a LocalRelation (so
+    // the lm persist can be released) — the plan pins read the LAZY
+    // scoring frame the entry executes internally.
+    import org.apache.spark.sql.functions.{col, count, explode, length,
+      lit, lower, split, sum, when}
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = d.select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val lm = toks.groupBy("term").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("cnt_t"))
+    val p = plan(PipelineQueries.dsirRankOn(toks, lm, "src0", 5))
     // The vocabulary-sized LM side must broadcast (AQE does at this SF; at
     // 100 TB it legitimately grows into a sort-merge join — the pin is
     // that the CORPUS side is never the built/broadcast side).

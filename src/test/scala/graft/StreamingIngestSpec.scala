@@ -508,4 +508,87 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(store.signatures.select("doc_id").distinct().count() == 2,
       "store holds the kept ids only (duplicated signature rows allowed)")
   }
+
+  test("composed RAG ingest: one stream advances chunk-text + ANN indexes " +
+    "together; hybrid serve == one-shot build of both") {
+    import graft.operators.{InvertedIndex, IvfIndex}
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    // 10 docs, ~30 tokens each (3 chunks at W=16 O=4); every 3rd doc
+    // carries 'needle' at token 20 — evidence ONLY in its 2nd chunk — and
+    // a deterministic 4-dim embedding.
+    def doc(i: Long): (Long, String, Seq[Double]) = {
+      val ws = (0 until 30).map(j => s"word${(i * 7 + j) % 40}")
+      val txt = (if (i % 3 == 0) ws.updated(20, "needle") else ws).mkString(" ")
+      (i, txt, (0 until 4).map(d => math.sin(i.toDouble * 4 + d)))
+    }
+    val docsAll = (0L until 10L).map(doc)
+    val span = PipelineQueries.ChunkKeySpan
+    def chunksOf(ds: Seq[(Long, String, Seq[Double])]) =
+      PipelineQueries.ragChunksText(
+          ds.map(d => (d._1, d._2)).toDF("doc_id", "text"), 16, 4)
+        .select((col("doc_id") * span + col("chunk_idx")).as("doc_id"),
+          col("txt").as("text"))
+    def vecsOf(ds: Seq[(Long, String, Seq[Double])]) =
+      ds.map(d => (d._1, d._3)).toDF("vec_id", "v")
+
+    // Streamed pair: seed build on the first 4 docs, the remaining 6
+    // arrive in 3 micro-batches through ONE composed stream.
+    val (seed, rest) = docsAll.splitAt(4)
+    val textIdx = InvertedIndex.build(spark, chunksOf(seed),
+      Files.createTempDirectory("rag_text_").toString, nbuckets = 8)
+    val annIdx = IvfIndex.build(spark, vecsOf(seed),
+      Files.createTempDirectory("rag_ann_").toString, nlist = 4)
+    val ckpt = Files.createTempDirectory("rag_ckpt_").toString
+    val source = MemoryStream[(Long, String, Seq[Double])]
+    val q = StreamingIngest.ragCorpusIngest(
+      source.toDF().toDF("doc_id", "text", "v"), textIdx, annIdx, ckpt)
+    try {
+      rest.grouped(2).foreach { b =>
+        source.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // One-shot twins over the full corpus (nprobe = nlist keeps the ANN
+    // comparison exact despite quantizer drift between the two builds).
+    val oneText = InvertedIndex.build(spark, chunksOf(docsAll),
+      Files.createTempDirectory("rag_text_one_").toString, nbuckets = 8)
+    val oneAnn = IvfIndex.build(spark, vecsOf(docsAll),
+      Files.createTempDirectory("rag_ann_one_").toString, nlist = 4)
+
+    // Lexical face at chunk granularity: identical fold, identical ranks,
+    // and the 2nd-chunk-only docs are found with the chunk attributed.
+    val lexS = PipelineQueries.chunkLexTopDocs(textIdx, 0L, Seq("needle"), 10)
+      .collect().toSeq
+    val lexO = PipelineQueries.chunkLexTopDocs(oneText, 0L, Seq("needle"), 10)
+      .collect().toSeq
+    assert(lexS == lexO, s"streamed chunk-lexical != one-shot:\n$lexS\nvs\n$lexO")
+    assert(lexS.map(_.getLong(1)).toSet == Set(0L, 3L, 6L, 9L),
+      s"every needle doc (incl. streamed ones) must be found: $lexS")
+    assert(lexS.forall(_.getLong(3) == 1L),
+      s"the evidence chunk is chunk 1 for every needle doc: $lexS")
+
+    // ANN face: exact search equal after streaming.
+    val queries = vecsOf(docsAll.take(2)).select(col("vec_id").as("qid"),
+      col("v").as("qv"))
+    val annS = annIdx.search(queries, k = 5, nprobe = 4).collect().toSeq
+    val annO = oneAnn.search(queries, k = 5, nprobe = 4).collect().toSeq
+    assert(annS == annO, s"streamed ANN != one-shot:\n$annS\nvs\n$annO")
+
+    // The HYBRID serve — RRF fusion of the two lists — is therefore equal
+    // too; pin it end to end through the shared fusion arithmetic.
+    def fused(ti: InvertedIndex, ai: IvfIndex) = PipelineQueries.rrfFuse(
+      PipelineQueries.chunkLexTopDocs(ti, 0L, Seq("needle"), 10)
+        .select(col("qid"), col("doc_id"), col("lrk")),
+      ai.search(queries, k = 5, nprobe = 4)
+        .filter(col("qid") === 0L)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vrk")),
+      topN = 10).collect().toSeq
+    assert(fused(textIdx, annIdx) == fused(oneText, oneAnn),
+      "hybrid serve after N batches must equal the one-shot build of both")
+
+    textIdx.table.shutdown(); annIdx.table.shutdown()
+    oneText.table.shutdown(); oneAnn.table.shutdown()
+  }
 }
