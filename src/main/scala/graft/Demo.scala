@@ -211,6 +211,57 @@ object Demo {
     sample.select(org.apache.spark.sql.functions.call_function("bpe_encode",
         col("text"), org.apache.spark.sql.functions.typedLit(bpe.encoded))
         .as("tokens")).show(false)
+
+    // Round 13: PERSISTED byte-level BPE — one merge list tokenizes every
+    // script (GPT-2 byte bijection), saved and reopened as an artifact.
+    println("== byte-level BPE: persisted artifact, CJK sample reopens + encodes:")
+    val bbpe = operators.BpeTokenizer.trainByteLevel(corpus, numMerges = 100)
+    val bpeDir = java.nio.file.Files.createTempDirectory("bpe_demo_").toString
+    operators.BpeTokenizer.save(bbpe, bpeDir)
+    val reopenedBpe = operators.BpeTokenizer.open(bpeDir)
+    val cjkSample = "merge 中文分词 vectorization"
+    println(s"== encode('$cjkSample') after reopen: " +
+      operators.BpeTokenizer.encodeText(cjkSample, reopenedBpe)
+        .mkString("[", ", ", "]"))
+
+    // Round 13: CHUNK-granular hybrid retrieval — the q129 chunks indexed
+    // as index documents, served from SQL with the evidence chunk.
+    println("== chunk_hybrid_search: per-doc max-chunk BM25 + ANN, evidence chunk:")
+    val spanD = 64L
+    val chunksD = graft.queries.PipelineQueries
+      .ragChunksText(corpus.select(col("doc_id"), col("text")), 16, 4)
+      .select((col("doc_id") * spanD + col("chunk_idx")).as("doc_id"),
+        col("txt").as("text"))
+    val cinv = operators.InvertedIndex.build(spark, chunksD,
+      java.nio.file.Files.createTempDirectory("inv_chunks_demo_").toString)
+    spark.sql(s"SELECT * FROM chunk_hybrid_search('${cinv.path}', " +
+      s"'${adcIdx.path}', 'dup vector merge', $qvLit, 5)").show(false)
+    cinv.table.shutdown()
+
+    // Round 13: storage-partitioned join over the bucket(N, col) transform
+    // — two bucket-co-partitioned tables fact-join with ZERO exchanges
+    // through the catalog (FunctionCatalog resolves the transform).
+    println("== bucket(8, k) SPJ: co-partitioned join plans with no exchange:")
+    val wh = java.nio.file.Files.createTempDirectory("spj_demo_wh_").toString
+    spark.conf.set("spark.sql.catalog.demo_spj", classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.demo_spj.warehouse", wh)
+    val aDf = (0 until 200).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val bDf = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("k", "w")
+    mergetree.ColumnarMergeTree.create(spark, s"$wh/ba", aDf.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(8, k)")).insertBatch(aDf)
+    mergetree.ColumnarMergeTree.create(spark, s"$wh/bb", bDf.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(8, k)")).insertBatch(bDf)
+    spark.conf.set("spark.graft.preserveDataGrouping", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spjJoin = spark.sql(
+      "SELECT a.k FROM demo_spj.ba a JOIN demo_spj.bb b ON a.k = b.k")
+    // Execute FIRST: under AQE the final (exchange-free) plan only exists
+    // after the query ran.
+    val pairs = spjJoin.collect().length
+    val noExchange = !spjJoin.queryExecution.executedPlan.toString.contains("Exchange")
+    println(s"== pairs = $pairs, zero-exchange plan = $noExchange")
+    spark.conf.unset("spark.graft.preserveDataGrouping")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
   }
 }

@@ -98,6 +98,17 @@ final class InvertedIndex private (
     search(terms, k, k1, b)
   }
 
+  /** [[searchScores]] over a raw query string — [[searchText]]'s twin for
+    * callers that fold scores to a coarser key before ranking (the
+    * chunk-granular serve path).
+    */
+  def searchScoresText(query: String,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms(spark, query, tokenizer)
+    require(terms.nonEmpty, s"query '$query' has no indexable terms")
+    searchScores(terms, k1, b)
+  }
+
   /** [[phraseSearch]] over a raw SINGLE-SCRIPT query string: a CJK phrase
     * becomes its consecutive bigrams (exact within a Han run — the per-run
     * position space guarantees no match across separators), a latin phrase
@@ -806,6 +817,24 @@ object InvertedIndex {
         t.snapshots.lastOption))
       new InvertedIndex(spark, t, path)
     } finally postings.unpersist()
+  }
+
+  /** Fold a CHUNK-granular scored frame (ids packed as parent·span +
+    * chunk_idx) to PARENT documents by max-chunk score, in ONE aggregate:
+    * the composite key score·span + chunk_idx orders by score first and
+    * breaks ties on the highest chunk index (score ≥ 0 in integer
+    * micro-units), and both halves unpack exactly. Output: (doc_id,
+    * score, best_chunk, n_chunks_hit). Shared by the q134 entry and the
+    * chunk_hybrid_search SQL face so the fold cannot drift.
+    */
+  def foldChunkScores(scored: DataFrame, span: Long): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    scored.select(expr(s"doc_id div $span").as("doc_id"),
+        (col("score") * span + expr(s"doc_id % $span")).as("sk"))
+      .groupBy("doc_id")
+      .agg(max(col("sk")).as("bk"), count(lit(1)).as("n_chunks_hit"))
+      .select(col("doc_id"), expr(s"bk div $span").as("score"),
+        expr(s"bk % $span").as("best_chunk"), col("n_chunks_hit"))
   }
 
   /** Reopen a built index (table self-describes via tabledef.json). The

@@ -3825,18 +3825,13 @@ object PipelineQueries {
     */
   private[graft] def chunkLexTopDocs(idx: graft.operators.InvertedIndex,
       qid: Long, terms: Seq[String], k: Int): DataFrame = {
-    val span = ChunkKeySpan
-    val perDoc = idx.searchScores(terms)
-      .select(expr(s"doc_id div $span").as("doc_id"),
-        (col("score") * span + expr(s"doc_id % $span")).as("sk"))
-      .groupBy("doc_id")
-      .agg(max(col("sk")).as("bk"), count(lit(1)).as("n_chunks_hit"))
-    val best = expr(s"bk div $span")
-    val top = perDoc.orderBy(best.desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(best.desc, col("doc_id"))
+    val perDoc = graft.operators.InvertedIndex.foldChunkScores(
+      idx.searchScores(terms), ChunkKeySpan)
+    val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
     top.withColumn("lrk", row_number().over(w).cast("long"))
       .select(lit(qid).as("qid"), col("doc_id"), col("lrk"),
-        expr(s"bk % $span").as("best_chunk"), col("n_chunks_hit"))
+        col("best_chunk"), col("n_chunks_hit"))
   }
 
   /** Q134 — CHUNK-LEVEL hybrid retrieval (the production RAG serve shape:

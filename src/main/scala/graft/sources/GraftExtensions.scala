@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.getClass.getCanonicalName, "hybrid_search"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.hybridRelation(args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("chunk_hybrid_search"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftExtensions.getClass.getCanonicalName, "chunk_hybrid_search"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.chunkHybridRelation(args)))
   }
 }
 
@@ -351,6 +357,97 @@ object GraftExtensions {
     }
     val schema = StructType.fromDDL(
       "frk BIGINT, doc_id BIGINT, rrf BIGINT, lrk BIGINT, vrk BIGINT")
+    val attrs = schema.fields.toIndexedSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    LocalRelation(attrs, rows.toIndexedSeq, isStreaming = false)
+  }
+
+  /** [[hybridRelation]]'s CHUNK-granular twin — the SQL face of q134's
+    * RAG serve shape, where the text index holds CHUNKS (ids packed as
+    * doc_id·64 + chunk_idx, the q134/ragCorpusIngest key) and the ANN
+    * index holds doc-level vectors:
+    *
+    * {{{
+    *   SELECT * FROM chunk_hybrid_search('/data/inv_chunks', '/data/ivf_idx',
+    *                                     'dup vector merge', array(0.1D, …), 10)
+    * }}}
+    *
+    * → (frk, doc_id, rrf, lrk, vrk, best_chunk, n_chunks_hit): chunk BM25
+    * scores fold to per-doc max-chunk (InvertedIndex.foldChunkScores —
+    * the one fold the q134 entry uses, distributed, on the matched
+    * postings only), the doc list fuses with the ANN list by the same
+    * exact-integer RRF, and each lexical hit carries its EVIDENCE chunk
+    * (best_chunk; −1 when only the vector retriever found the doc) and
+    * chunk hit count — the row a RAG stack needs to fetch the right span.
+    */
+  private def chunkHybridRelation(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types._
+    require(args.length == 5 && args.forall(_.foldable) &&
+      args(0).dataType == StringType && args(1).dataType == StringType &&
+      args(2).dataType == StringType &&
+      args(3).dataType.isInstanceOf[ArrayType] &&
+      args(3).dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[NumericType] &&
+      (args(4).dataType == IntegerType || args(4).dataType == LongType),
+      "chunk_hybrid_search(chunk_text_index, ann_index, query, query_vector, k) " +
+        "takes (string, string, string, array<numeric>, int) literals")
+    val qEval = args(2).eval()
+    require(qEval != null, "chunk_hybrid_search: the query argument must not be NULL")
+    val query = String.valueOf(qEval)
+    val vec = evalVector("chunk_hybrid_search", args(3))
+    val k = evalK("chunk_hybrid_search", args(4), max = Int.MaxValue / 2)
+    val nCand = math.max(20, 2 * k)
+    val spark = SparkSession.active
+    val invDir = resolveTarget(spark, "chunk_hybrid_search", args(0).eval())
+    val ivfDir = resolveTarget(spark, "chunk_hybrid_search", args(1).eval())
+    import org.apache.spark.sql.functions.col
+    // Lexical candidates at chunk granularity, folded to parent docs by
+    // max-chunk IN SPARK (the matched-postings frame can be corpus-scale
+    // for a common term — only the nCand-bounded doc list is collected).
+    val inv = graft.operators.InvertedIndex.open(spark, invDir)
+    val span = graft.queries.PipelineQueries.ChunkKeySpan
+    val perDoc = graft.operators.InvertedIndex.foldChunkScores(
+      inv.searchScoresText(query), span)
+    val lexRows = perDoc.orderBy(col("score").desc, col("doc_id"))
+      .limit(nCand).collect()
+    // doc -> (rank, best_chunk, n_chunks_hit)
+    val lex: Map[Long, (Long, Long, Long)] = lexRows.zipWithIndex.map {
+      case (r, i) => r.getLong(0) -> ((i + 1L, r.getLong(2), r.getLong(3)))
+    }.toMap
+    // Vector candidates: doc-level ANN ranks (ADC when PQ codes exist).
+    val ivf = graft.operators.IvfIndex.open(spark, ivfDir)
+    require(vec.length == ivf.dim,
+      s"chunk_hybrid_search: query vector has ${vec.length} dims, " +
+        s"ann index was built on ${ivf.dim}")
+    val nprobe = graft.operators.IvfIndex.autoNprobe(ivf.nlist)
+    val queries = spark.createDataFrame(Seq((0L, vec)))
+      .select(col("_1").as("qid"), col("_2").as("qv"))
+    val vdf = (if (ivf.pqCodebooks.isDefined)
+        ivf.searchAdc(queries, nCand, nprobe, adcShortlist(nCand), excludeSelf = false)
+      else ivf.search(queries, nCand, nprobe, excludeSelf = false))
+      .select(col("rnk"), col("vec_id"))
+    val vrk: Map[Long, Long] = vdf.collect()
+      .map(r => r.getLong(1) -> r.getInt(0).toLong).toMap
+    def part(rank: Option[Long]): Long = rank.fold(0L)(r => 1000000000L / (60L + r))
+    val fused = (lex.keySet ++ vrk.keySet).toSeq
+      .map { id =>
+        val (lr, bc, nh) = lex.get(id).map(t => (t._1, t._2, t._3))
+          .getOrElse((0L, -1L, 0L))
+        (id, part(lex.get(id).map(_._1)) + part(vrk.get(id)),
+          lr, vrk.getOrElse(id, 0L), bc, nh)
+      }
+      .sortBy { case (id, s, _, _, _, _) => (-s, id) }
+      .take(k)
+    val rows = fused.zipWithIndex.map { case ((id, s, l, v, bc, nh), i) =>
+      new GenericInternalRow(Array[Any](i + 1L, id, s, l, v, bc, nh)): InternalRow
+    }
+    val schema = StructType.fromDDL(
+      "frk BIGINT, doc_id BIGINT, rrf BIGINT, lrk BIGINT, vrk BIGINT, " +
+        "best_chunk BIGINT, n_chunks_hit BIGINT")
     val attrs = schema.fields.toIndexedSeq
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     LocalRelation(attrs, rows.toIndexedSeq, isStreaming = false)

@@ -273,4 +273,57 @@ class IvfIndexSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"SELECT * FROM hybrid_search('$invPath', " +
       s"'$ivfPath', 'dup', $lit, 0)").collect())
   }
+
+  test("SQL chunk_hybrid_search serves at chunk granularity with the " +
+    "evidence chunk attributed") {
+    import graft.operators.InvertedIndex
+    import graft.queries.PipelineQueries
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val span = PipelineQueries.ChunkKeySpan
+    val chunks = PipelineQueries.ragChunksText(docs, 16, 4)
+      .select((col("doc_id") * span + col("chunk_idx")).as("doc_id"),
+        col("txt").as("text"))
+    val invPath = Files.createTempDirectory("chyb_inv_").toString
+    val cidx = InvertedIndex.build(spark, chunks, invPath, nbuckets = 8)
+    val ivfPath = Files.createTempDirectory("chyb_ivf_").toString
+    IvfIndex.build(spark, vectors, ivfPath, nlist = 8)
+    val qv = vectors.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    val lit = qv.map(d => s"${d}D").mkString("array(", ", ", ")")
+    val (k, nCand) = (10, 20)
+
+    // Hand-fuse: the q134 chunk→doc fold (shared chunkLexTopDocs) against
+    // the ANN face — the SQL function must reproduce it exactly.
+    val lexRows = PipelineQueries.chunkLexTopDocs(
+        cidx, 0L, Seq("dup", "vector", "merge"), nCand).collect()
+    val lex = lexRows.map(r =>
+      r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val vr = spark.sql(
+      s"SELECT rnk, vec_id FROM ann_search('$ivfPath', $lit, $nCand)")
+      .collect().map(r => r.getLong(1) -> r.getInt(0).toLong).toMap
+    assert(lex.nonEmpty && vr.nonEmpty)
+    def part(o: Option[Long]) = o.fold(0L)(r => 1000000000L / (60L + r))
+    val expect = (lex.keySet ++ vr.keySet).toSeq
+      .map { id =>
+        val (lr, bc, nh) = lex.getOrElse(id, (0L, -1L, 0L))
+        (id, part(lex.get(id).map(_._1)) + part(vr.get(id)),
+          lr, vr.getOrElse(id, 0L), bc, nh)
+      }
+      .sortBy { case (id, s, _, _, _, _) => (-s, id) }.take(k)
+
+    val got = spark.sql(s"SELECT * FROM chunk_hybrid_search('$invPath', " +
+      s"'$ivfPath', 'dup vector merge', $lit, $k)").collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to k).toSeq, "frk contiguous")
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq == expect,
+      "chunk hybrid fusion must equal the hand-fused q134 fold + ANN face")
+    // Evidence contract: best_chunk attributed exactly when the lexical
+    // retriever contributed; a vector-only doc carries -1/0.
+    got.foreach { r =>
+      assert((r.getLong(3) > 0) == (r.getLong(5) >= 0), s"bad evidence row: $r")
+      assert((r.getLong(3) > 0) == (r.getLong(6) > 0), s"bad hit count: $r")
+    }
+    intercept[Exception](spark.sql(s"SELECT * FROM chunk_hybrid_search(" +
+      s"'$invPath', '$ivfPath', 'dup', $lit, 0)").collect())
+    cidx.table.shutdown()
+  }
 }
