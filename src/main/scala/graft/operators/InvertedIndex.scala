@@ -196,6 +196,56 @@ final class InvertedIndex private (
       .orderBy(col("rk"))
   }
 
+  /** BATCHED multi-query BM25 — the terms⋈postings shape for a QUERY SET:
+    * one bucket-pruned posting scan over the UNION of every query's terms,
+    * df per term computed once, contributions joined to the broadcast
+    * (qid, term) query table, per-(qid, doc) fold, per-qid top-k through
+    * a WindowGroupLimit. Per-term df/avgdl/nDocs are query-independent,
+    * so each qid's ranking is BIT-IDENTICAL to its own [[search]] call —
+    * this face just replaces |queries| sequential probes with ONE job
+    * (the right shape for a query batch; single interactive queries keep
+    * [[search]]). Output: (qid, rk, doc_id, n_terms, score).
+    */
+  def searchMany(querySets: Seq[(Long, Seq[String])], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = searchManyScores(querySets, k1, b)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** [[searchMany]] without the per-qid top-k — (qid, doc_id, n_terms,
+    * score), every match of every query; the batched twin of
+    * [[searchScores]] for callers folding to a coarser key first.
+    */
+  def searchManyScores(querySets: Seq[(Long, Seq[String])],
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(querySets.nonEmpty && querySets.forall(_._2.nonEmpty),
+      "searchMany needs at least one query, each with at least one term")
+    require(querySets.map(_._1).distinct.size == querySets.size,
+      "duplicate qid in the query set")
+    val st = stats
+    val avgdl = st.total_dl.toDouble / st.n_dl_docs.toDouble
+    val allTerms = querySets.flatMap(_._2).distinct
+    val postings = postingsOf(allTerms, st)
+    // Per-term df over the union's matched lists — identical per term to
+    // what each query's own probe would compute (df is a property of the
+    // term, not the query).
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = postings.join(broadcast(df), "term")
+      .select(col("term"), col("doc_id"),
+        bm25Micro(col("tf"), col("df"), col("dl"), st.n_docs, avgdl, k1, b).as("c"))
+    val qt = spark.createDataFrame(
+        querySets.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    contrib.join(broadcast(qt), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score"))
+  }
+
   /** The full scored frame behind [[search]] — (doc_id, n_terms, score),
     * every matched document, no top-k. For retrieval at a FINER
     * granularity than the ranking unit (chunk-indexed RAG: the index's
@@ -827,14 +877,16 @@ object InvertedIndex {
     * score, best_chunk, n_chunks_hit). Shared by the q134 entry and the
     * chunk_hybrid_search SQL face so the fold cannot drift.
     */
-  def foldChunkScores(scored: DataFrame, span: Long): DataFrame = {
+  def foldChunkScores(scored: DataFrame, span: Long,
+                      keys: Seq[String] = Nil): DataFrame = {
     require(span > 0, s"span must be positive, got $span")
-    scored.select(expr(s"doc_id div $span").as("doc_id"),
-        (col("score") * span + expr(s"doc_id % $span")).as("sk"))
-      .groupBy("doc_id")
+    val kc = keys.map(col)
+    scored.select(kc ++ Seq(expr(s"doc_id div $span").as("doc_id"),
+        (col("score") * span + expr(s"doc_id % $span")).as("sk")): _*)
+      .groupBy((keys :+ "doc_id").map(col): _*)
       .agg(max(col("sk")).as("bk"), count(lit(1)).as("n_chunks_hit"))
-      .select(col("doc_id"), expr(s"bk div $span").as("score"),
-        expr(s"bk % $span").as("best_chunk"), col("n_chunks_hit"))
+      .select(kc ++ Seq(col("doc_id"), expr(s"bk div $span").as("score"),
+        expr(s"bk % $span").as("best_chunk"), col("n_chunks_hit")): _*)
   }
 
   /** Reopen a built index (table self-describes via tabledef.json). The

@@ -3373,12 +3373,12 @@ object PipelineQueries {
     val idx = cacheInv.getOrElseUpdate(dir,
       graft.operators.InvertedIndex.build(spark, docs(spark, dir),
         java.nio.file.Files.createTempDirectory("inv_idx_").toString))
-    // Per-query lexical lists: each ≤ 20 rows BEFORE the union, each probe
-    // reading only its terms' bucket parts.
-    val lex = hybridQueryTerms.map { case (qid, ts) =>
-      idx.search(ts, k = 20)
-        .select(lit(qid).as("qid"), col("doc_id"), col("rk").as("lrk"))
-    }.reduce(_ unionByName _)
+    // Per-query lexical lists through the BATCHED probe (searchMany): ONE
+    // bucket-pruned posting scan over the union of every query's terms,
+    // per-qid rankings bit-identical to |queries| sequential search()
+    // calls — the terms⋈postings shape a corpus-sized query batch needs.
+    val lex = idx.searchMany(hybridQueryTerms, k = 20)
+      .select(col("qid"), col("doc_id"), col("rk").as("lrk"))
     val e = embDouble(spark, dir)
     val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
       .filter(col("qid") < 5)
@@ -3851,9 +3851,17 @@ object PipelineQueries {
     */
   def q134ChunkHybrid(spark: SparkSession, dir: String): DataFrame = {
     val idx = chunkIndexOf(spark, dir)
-    val lex = hybridQueryTerms.map { case (qid, ts) =>
-      chunkLexTopDocs(idx, qid, ts, k = 20)
-    }.reduce(_ unionByName _)
+    // Batched lexical side: ONE posting scan for all five queries
+    // (searchManyScores — per-qid scores bit-identical to sequential
+    // probes), chunk→doc max-chunk fold keyed by (qid, doc), per-qid
+    // top-20 through a WindowGroupLimit.
+    val perDoc = graft.operators.InvertedIndex.foldChunkScores(
+      idx.searchManyScores(hybridQueryTerms), ChunkKeySpan, keys = Seq("qid"))
+    val lw = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val lex = perDoc.withColumn("lrk", row_number().over(lw).cast("long"))
+      .filter(col("lrk") <= 20)
+      .select(col("qid"), col("doc_id"), col("lrk"),
+        col("best_chunk"), col("n_chunks_hit"))
     val e = embDouble(spark, dir)
     val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
       .filter(col("qid") < 5)

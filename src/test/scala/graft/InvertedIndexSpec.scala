@@ -369,6 +369,28 @@ class InvertedIndexSpec extends AnyFunSuite {
       "every ranked doc must come from the zh slice")
   }
 
+  test("searchMany: one batched probe == per-query search() bit for bit") {
+    val sets = Seq(
+      0L -> Seq("dup", "vector", "merge"),
+      1L -> Seq("join", "hash"),
+      2L -> Seq("scan", "filter", "column"))
+    val batched = idx.searchMany(sets, k = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val sequential = sets.flatMap { case (q, ts) =>
+      idx.search(ts, k = 12).collect().map(r =>
+        (q, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(batched == sequential,
+      s"batched probe drifted from per-query search:\n$batched\nvs\n$sequential")
+    // Degenerate and invalid query sets fail loudly.
+    intercept[IllegalArgumentException](idx.searchMany(Nil, 5))
+    intercept[IllegalArgumentException](
+      idx.searchMany(Seq(0L -> Seq("dup"), 0L -> Seq("join")), 5))
+    intercept[IllegalArgumentException](
+      idx.searchMany(Seq(0L -> Seq.empty[String]), 5))
+  }
+
   test("postings carry the denormalized document length") {
     val p = idx.table.scan()
       .filter(col("term") === "dup")
