@@ -725,6 +725,30 @@ object GraftFunctions {
     BpeEncode(children.head, children(1))
   }
 
+  /** `bpe_encode_dir(dir, text)` — the PERSISTED-tokenizer SQL face: the
+    * first argument names a directory holding a saved `_merges.json`
+    * artifact (BpeTokenizer.save); the artifact loads ONCE at analysis
+    * (the dir must be a foldable string literal) and the call rewrites to
+    * the same BpeEncode expression with the merges riding as a plan
+    * literal — a pure-SQL session encodes with a tokenizer another
+    * session trained, without retraining or hand-carrying the merge list.
+    */
+  private val bpeEncodeDirInfo = new ExpressionInfo(
+    classOf[BpeEncode].getName, "bpe_encode_dir")
+  private val bpeEncodeDirBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "bpe_encode_dir takes (artifact_dir, text)")
+    val dirExpr = children.head
+    require(dirExpr.foldable &&
+        dirExpr.dataType == org.apache.spark.sql.types.StringType,
+      "bpe_encode_dir: the artifact directory must be a string literal")
+    val dirEval = dirExpr.eval()
+    require(dirEval != null, "bpe_encode_dir: the directory must not be NULL")
+    val m = graft.operators.BpeTokenizer.open(String.valueOf(dirEval))
+    BpeEncode(children(1),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        m.encoded, ArrayType(org.apache.spark.sql.types.StringType)))
+  }
+
   private[functions] val expressionFunctions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("has_token"), hasTokenInfo, hasTokenBuilder),
@@ -733,7 +757,8 @@ object GraftFunctions {
     (FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder),
     (FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder),
     (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder),
-    (FunctionIdentifier("bpe_encode"), bpeEncodeInfo, bpeEncodeBuilder))
+    (FunctionIdentifier("bpe_encode"), bpeEncodeInfo, bpeEncodeBuilder),
+    (FunctionIdentifier("bpe_encode_dir"), bpeEncodeDirInfo, bpeEncodeDirBuilder))
 
   /** The UDAF family needs a live session (spark.udf); shared by
     * register() and GraftExtensions' analyzer hook. Idempotent.

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 
 /** The catalog identity of the `bucket(N, col)` partition transform —
@@ -70,7 +70,27 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
-class GraftBucketBound(dt: DataType) extends ScalarFunction[Integer] {
+class GraftBucketBound(dt: DataType) extends ScalarFunction[Integer]
+    with ReducibleFunction[Integer, Integer] {
+
+  /** Bucket-count MISMATCH compatibility (Spark's
+    * `v2.bucketing.allowCompatibleTransforms` path): bucket(kn, x) reduces
+    * to bucket(n, x) exactly — pmod(h, kn) mod n == pmod(h, n) whenever
+    * n divides kn — so a bucket(32) table joins a bucket(16) table
+    * exchange-free, the finer side folding each of its groups into the
+    * coarser grid. Only the FINER side returns a reducer (the coarser
+    * side has nothing to fold); any other pairing is incompatible.
+    */
+  override def reducer(thisNumBuckets: Int,
+      otherFunction: ReducibleFunction[_, _],
+      otherNumBuckets: Int): Reducer[Integer, Integer] =
+    otherFunction match {
+      case _: GraftBucketBound if otherNumBuckets > 0 &&
+          otherNumBuckets < thisNumBuckets &&
+          thisNumBuckets % otherNumBuckets == 0 =>
+        new GraftBucketReducer(otherNumBuckets)
+      case _ => null
+    }
 
   override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
   override def resultType(): DataType = IntegerType
@@ -101,4 +121,14 @@ class GraftBucketBound(dt: DataType) extends ScalarFunction[Integer] {
       .hash(v, dt, 42L)
     java.lang.Math.floorMod(h, input.getInt(0).toLong).toInt
   }
+}
+
+/** Folds a finer bucket id into a coarser grid (`to` divides the finer
+  * count): pmod(h, kn) mod n == pmod(h, n). NULL partitions stay NULL.
+  */
+class GraftBucketReducer(to: Int) extends Reducer[Integer, Integer]
+    with Serializable {
+  override def reduce(v: Integer): Integer =
+    if (v == null) null
+    else Integer.valueOf(java.lang.Math.floorMod(v.intValue(), to))
 }

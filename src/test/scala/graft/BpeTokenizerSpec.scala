@@ -199,6 +199,27 @@ class BpeTokenizerSpec extends AnyFunSuite {
     intercept[Exception](BpeTokenizer.open(art))
   }
 
+  test("bpe_encode_dir: pure SQL encodes with a persisted tokenizer " +
+    "another session trained") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = BpeTokenizer.trainOnCountsByteLevel(
+      Seq(("机器学习", 6L), ("机器翻译", 4L), ("data", 5L)), numMerges = 10)
+    val art = java.nio.file.Files.createTempDirectory("bpe_sql_").toString
+    BpeTokenizer.save(m, art)
+    val got = spark.sql(
+        s"SELECT bpe_encode_dir('$art', '机器学习 processes data') AS toks")
+      .collect()(0).getSeq[String](0)
+    assert(got == BpeTokenizer.encodeText("机器学习 processes data", m).toSeq,
+      s"SQL face drifted from the driver encode: $got")
+    // A directory with no artifact fails at analysis, loudly.
+    intercept[Exception](spark.sql(
+      s"SELECT bpe_encode_dir('${art}_nope', 'x')").collect())
+    // A non-literal directory fails at analysis (the artifact must load
+    // once, not per row).
+    intercept[Exception](spark.sql(
+      s"SELECT bpe_encode_dir(CAST(rand() AS STRING), 'x')").collect())
+  }
+
   test("q132 serves from the persisted artifact: per-lang stats stable, " +
     "zh tokenizes (the latin q130 gap)") {
     val a = graft.queries.PipelineQueries.q132BpePersisted(spark, dir).collect()

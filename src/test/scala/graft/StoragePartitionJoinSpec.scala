@@ -163,6 +163,56 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("MISMATCHED bucket counts join exchange-free when compatible " +
+    "transforms are allowed: bucket(16) folds onto bucket(4)") {
+    val wh = Files.createTempDirectory("spj_bucket_mix_wh_").toString
+    spark.conf.set("spark.sql.catalog.spj_mix",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj_mix.warehouse", wh)
+    import spark.implicits._
+    val a = (0 until 200).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val b = (0 until 50).map(i => (i.toLong, i * 2.0)).toDF("k", "w")
+    graft.mergetree.ColumnarMergeTree.create(spark, s"$wh/ma", a.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(16, k)")).insertBatch(a)
+    graft.mergetree.ColumnarMergeTree.create(spark, s"$wh/mb", b.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(4, k)")).insertBatch(b)
+    // The reducer itself: pmod(h, 16) mod 4 == pmod(h, 4), NULL stays NULL.
+    val red = new graft.sources.GraftBucketReducer(4)
+    for (h <- Seq(0L, 7L, -13L, 123456789L)) {
+      assert(red.reduce(java.lang.Math.floorMod(h, 16L).toInt) ==
+        java.lang.Math.floorMod(h, 4L).toInt)
+    }
+    assert(red.reduce(null) == null)
+    // Only the finer side reduces; non-divisible pairings are incompatible.
+    val f16 = new graft.sources.GraftBucketBound(
+      org.apache.spark.sql.types.LongType)
+    assert(f16.reducer(16, f16, 4) != null)
+    assert(f16.reducer(4, f16, 16) == null, "the coarser side never folds")
+    assert(f16.reducer(16, f16, 6) == null, "non-divisible counts never fold")
+    val confs = Seq(
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = "SELECT a.k, b.w FROM spj_mix.ma a JOIN spj_mix.mb b ON a.k = b.k"
+      val on = spark.sql(q)
+      val expect = (0 until 50).map(i => (i.toLong, i * 2.0)).toSet
+      assert(on.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == expect,
+        "mismatched-count SPJ must not change the answer")
+      val p = on.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucket(16)⋈bucket(4) must fold exchange-free:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"a real join must still be planned:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucket equality prunes to the value's bucket; DELETE by value " +
     "rewrites, never drops the bucket") {
     val dir = Files.createTempDirectory("spj_bucket_prune_").toString
