@@ -2165,6 +2165,24 @@ final class ColumnarMergeTree private (
         // and an aggregate projection is a derived copy, rebuilt the same).
         projectionTargets.foreach(_.overwriteBatch(scan()))
         rebuildAggProjections()
+      case Some(p) if ColumnarMergeTree.bucketPartition(p).isDefined =>
+        // HASH BUCKETS ARE NOT SEMANTIC SLICES: "replace the touched
+        // buckets" would silently delete every unrelated row that happens
+        // to share a bucket with the batch — dynamic partition overwrite
+        // is data loss by construction here. A bucket-partitioned
+        // overwrite is therefore a FULL-TABLE replace (the unpartitioned
+        // semantic), written through the partitioned path so the new
+        // parts keep their bucket tags (SPJ and bucket pruning survive).
+        val newMetas = writePartitioned(df, 0, p, register = false)
+        var gone = Seq.empty[GPartMeta]
+        lock.synchronized {
+          manifest = GManifest.update(path) { cur =>
+            gone = cur.parts
+            GManifest(cur.version, newMetas.toList)
+          }
+        }
+        retireParts(gone)
+        intentDrop(newMetas.map(_.dir))
       case Some(p) =>
         // ONE dynamic-partition write job stages every new part (the batch
         // plan is evaluated exactly once — a non-deterministic source can't

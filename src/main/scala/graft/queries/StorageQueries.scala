@@ -889,6 +889,79 @@ object StorageQueries {
     Files.createTempDirectory("graft_spj_wh_").toString
   private val cacheBucketSpj = TrieMap.empty[String, (String, String)]
 
+  /** Q135 — SPJ across MISMATCHED bucket counts (the ReducibleFunction
+    * path, Spark's v2.bucketing allowCompatibleTransforms): customer lands
+    * PARTITION BY bucket(16, c_custkey), orders PARTITION BY
+    * bucket(4, o_custkey) — the realistic state when two teams sized their
+    * tables years apart — and the fact join STILL plans with zero
+    * exchanges: the finer side folds each bucket onto the coarser grid
+    * (pmod(h, 16) mod 4 == pmod(h, 4); GraftBucketBound.reducer). Same
+    * self-enforced zero-exchange contract as q131/q133; same per-row
+    * fixed-point sums.
+    */
+  def q135BucketMixSpj(spark: SparkSession, dir: String): DataFrame = {
+    val (custTbl, ordTbl) = cacheBucketMix.getOrElseUpdate(dir, {
+      val wh = bucketSpjWarehouse
+      spark.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_spj.warehouse", wh)
+      val h = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val (cn, on) = (s"mixc_$h", s"mixo_$h")
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ColumnarMergeTree.create(spark, s"$wh/$cn", cust.schema,
+        orderBy = Seq("c_custkey"),
+        partitionBy = Some("bucket(16, c_custkey)")).insertBatch(cust)
+      ColumnarMergeTree.create(spark, s"$wh/$on", ord.schema,
+        orderBy = Seq("o_orderkey"),
+        partitionBy = Some("bucket(4, o_custkey)")).insertBatch(ord)
+      (cn, on)
+    })
+    val confs = Seq(
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.table(s"graft_spj.$custTbl")
+      val b = spark.table(s"graft_spj.$ordTbl")
+      val out = a.join(b, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_price"))
+        .select(col("c_custkey").cast("long").as("custkey"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("custkey"))
+      val rows = out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning")
+          && !plan.contains("BroadcastExchange")
+          && !plan.contains("Exchange SinglePartition"),
+        s"q135: the mismatched-bucket SPJ join must not shuffle or broadcast:\n$plan")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val cacheBucketMix = TrieMap.empty[String, (String, String)]
+
+  /** Same answer as q133 — the join is the same; only the physical bucket
+    * counts differ (that equality is itself part of what the oracle pins).
+    * `def`, not `val`: q133Sql is declared below and a val would read its
+    * pre-init null.
+    */
+  def q135Sql: String = q133Sql
+
   val q133Sql: String =
     """SELECT CAST(c_custkey AS BIGINT) AS custkey, count(*) AS n_orders,
       | CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
@@ -1013,5 +1086,6 @@ object StorageQueries {
     ("q107_agg_projection", q107AggProjection _, Some(q107Sql)),
     ("q128_set_index_scan", q128SetIndexScan _, Some(q128Sql)),
     ("q131_spj_join", q131SpjJoin _, Some(q131Sql)),
-    ("q133_bucket_spj", q133BucketSpj _, Some(q133Sql)))
+    ("q133_bucket_spj", q133BucketSpj _, Some(q133Sql)),
+    ("q135_bucket_mix_spj", q135BucketMixSpj _, Some(q135Sql)))
 }

@@ -240,6 +240,34 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS spj_bkt_prune")
   }
 
+  test("INSERT OVERWRITE on a bucket-partitioned table is a FULL replace, " +
+    "never a touched-buckets replace (hash buckets are not slices)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spj_bucket_ovw_").toString
+    val a = (0 until 80).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val t = graft.mergetree.ColumnarMergeTree.create(spark, dir, a.schema,
+      orderBy = Seq("k"), partitionBy = Some("bucket(8, k)"))
+    t.insertBatch(a)
+    // A 3-row overwrite: dynamic-partition semantics would keep every row
+    // of the 5+ untouched buckets AND silently delete the touched buckets'
+    // neighbors — the exact data loss the full-replace rule prevents.
+    t.overwriteBatch(Seq((1L, 9.0), (2L, 9.0), (3L, 9.0)).toDF("k", "v"))
+    val left = t.scan().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(left == Set((1L, 9.0), (2L, 9.0), (3L, 9.0)),
+      s"bucket overwrite must replace the WHOLE table: $left")
+    // New parts keep their bucket tags: an equality still prunes.
+    spark.sql(s"CREATE TABLE spj_bkt_ovw USING mergetree LOCATION '$dir'")
+    try {
+      assert(spark.sql("SELECT v FROM spj_bkt_ovw WHERE k = 2")
+        .collect().map(_.getDouble(0)).toSeq == Seq(9.0))
+      val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+      assert(planned <= total && total > 0)
+      assert(t.parts.forall(_.partition.isDefined),
+        "overwrite-born parts must carry bucket tags")
+    } finally spark.sql("DROP TABLE IF EXISTS spj_bkt_ovw")
+    t.shutdown()
+  }
+
   test("q133 bucket-SPJ entry: answer == first principles over raw parquet") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.StorageQueries.q133BucketSpj(spark, dir).collect()
