@@ -758,8 +758,12 @@ object StorageQueries {
     * Acctbals fixed-point per row BEFORE the sum (exact int64 both
     * engines).
     */
-  def q131SpjJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (pa, pb) = cacheSpjDirs.getOrElseUpdate(dir, {
+  /** The nation-partitioned customer/supplier mergetree tables shared by
+    * q131 (storage-partitioned join) and q136 (runtime part pruning) —
+    * built once per source dir.
+    */
+  private def spjDirs(spark: SparkSession, dir: String): (String, String) =
+    cacheSpjDirs.getOrElseUpdate(dir, {
       val cust = spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       val supp = spark.read.parquet(s"$dir/supplier.parquet")
@@ -774,6 +778,9 @@ object StorageQueries {
         .insertBatch(supp)
       (da, db)
     })
+
+  def q131SpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, pb) = spjDirs(spark, dir)
     val confs = Seq(
       "spark.graft.preserveDataGrouping" -> "true",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
@@ -955,6 +962,68 @@ object StorageQueries {
 
   private val cacheBucketMix = TrieMap.empty[String, (String, String)]
 
+  /** Q136 — RUNTIME part pruning from a join (Spark dynamic filtering,
+    * SPARK-35779 / the DSv2 face of dynamic partition pruning): customer
+    * lives as a mergetree table PARTITION BY c_nationkey (q131's table);
+    * nation is a tiny dim with a selective predicate. The scan reports its
+    * prunable columns through SupportsRuntimeFiltering, so Spark hands the
+    * BROADCAST side's join keys to the scan before any fact task launches
+    * and the scan drops every partition outside the dim's 5 nations — at
+    * 100 TB this is the star-join contract: the dim predicate names 5 of
+    * 1000 partitions and the fact scan never lists the other 995, without
+    * the query naming a partition anywhere. SELF-ENFORCED twice: the
+    * executed plan must carry the dynamicpruning subquery AND the scan's
+    * planned-part counter must show a strict subset of the manifest
+    * (regressing either fails the entry, not just a spec). Acctbals
+    * fixed-point per row before the sum (exact int64 both engines).
+    */
+  def q136RuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, _) = spjDirs(spark, dir)
+    val confs = Seq(
+      // Defaults, pinned: the entry's claim is about THIS machinery.
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.sql.exchange.reuse" -> "true",
+      // SPJ grouping off: key-grouped scans refuse runtime filtering
+      // (dropping a key group would break the co-partitioned join).
+      "spark.graft.preserveDataGrouping" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.format("mergetree").load(pa)
+      val dim = spark.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_regionkey") === 1)
+      val out = fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_bal"))
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy(col("nation"))
+      val rows = out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        s"q136: the fact scan must carry a dynamic-pruning runtime filter:\n$plan")
+      val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+      require(planned > 0 && planned < total,
+        s"q136: runtime filter must prune the fact scan to a strict subset " +
+          s"of its parts (planned $planned of $total)")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  val q136Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_cust,
+      | CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 1
+      |GROUP BY c_nationkey ORDER BY nation""".stripMargin
+
   /** Same answer as q133 — the join is the same; only the physical bucket
     * counts differ (that equality is itself part of what the oracle pins).
     * `def`, not `val`: q133Sql is declared below and a val would read its
@@ -1087,5 +1156,6 @@ object StorageQueries {
     ("q128_set_index_scan", q128SetIndexScan _, Some(q128Sql)),
     ("q131_spj_join", q131SpjJoin _, Some(q131Sql)),
     ("q133_bucket_spj", q133BucketSpj _, Some(q133Sql)),
-    ("q135_bucket_mix_spj", q135BucketMixSpj _, Some(q135Sql)))
+    ("q135_bucket_mix_spj", q135BucketMixSpj _, Some(q135Sql)),
+    ("q136_runtime_prune", q136RuntimePrune _, Some(q136Sql)))
 }

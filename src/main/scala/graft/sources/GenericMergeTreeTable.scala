@@ -442,16 +442,58 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
           case (n, c) if GraftBucketFunction.eligible(tableSchema(c).dataType) =>
             BucketSpj(n, c): SpjSpec
         })
+    // Runtime-filterable columns (SPARK-35779 dynamic filtering), most
+    // selective prune wins when a column is eligible several ways:
+    // partition tag > bucket hash > leading-key range > set sidecar >
+    // minmax bounds. The set sidecar outranks minmax for these because a
+    // runtime filter is always an equality set — exactly what the sidecar
+    // answers — while interleaved low-cardinality values defeat bounds.
+    val rtCols: Map[String, (RtKind, org.apache.spark.sql.types.DataType)] = {
+      val m = scala.collection.mutable.Map.empty[String, RtKind]
+      minmaxCols.foreach(c => m(c) = RtMinMax)
+      setIdxCols.foreach(c => m(c) = RtSet)
+      m(leadKey) = RtLeadKey
+      bucketSpec.foreach { case (n, c) =>
+        if (GraftBucketFunction.eligible(tableSchema(c).dataType)) m(c) = RtBucket(n)
+      }
+      partitionCol.foreach(c => m(c) = RtPartition)
+      m.map { case (c, k) => c -> (k, tableSchema(c).dataType) }.toMap
+    }
     route match {
       case Some((c, projPath)) =>
+        // Projection-routed scans read a DIFFERENT table whose manifest
+        // bounds cover only the routed column — runtime filters on it
+        // prune as the projection's leading key; nothing else is known.
         new GenericMergeTreeScanImpl(projPath, required, c, tableSchema(c).dataType,
-          los.get(c), his.get(c), wantedPartitions, snapshotSeq)
+          los.get(c), his.get(c), wantedPartitions, snapshotSeq,
+          rtCols = Map(c -> (RtLeadKey, tableSchema(c).dataType)))
       case None =>
         new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
-          wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap, spjSpec)
+          wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap, spjSpec,
+          rtCols)
     }
   }
 }
+
+/** How a runtime (join-driven) filter on a column prunes parts — the
+  * dynamic-partition-pruning face of the scan (SPARK-35779): Spark hands
+  * the build side's join-key values to [[SupportsRuntimeFiltering.filter]]
+  * as an `In`, and the scan drops every part that provably holds none of
+  * them, BEFORE any task launches. At 100 TB this is the pruning layer a
+  * star join lives on: the dim predicate names 5 of 1000 partitions and
+  * the fact scan never lists the other 995.
+  */
+private[sources] sealed trait RtKind
+/** Values are partition tags: exact narrowing on the stored string form. */
+private[sources] case object RtPartition extends RtKind
+/** bucket(N, col) partitioning: values hash to their bucket ids. */
+private[sources] final case class RtBucket(n: Int) extends RtKind
+/** The leading ORDER BY key: manifest min/max interval probes. */
+private[sources] case object RtLeadKey extends RtKind
+/** A minmax skip-index column: per-part colStats bounds probes. */
+private[sources] case object RtMinMax extends RtKind
+/** A set(N) skip-index column: per-part distinct-value sidecar probes. */
+private[sources] case object RtSet extends RtKind
 
 /** How a scan reports its storage layout for Spark's storage-partitioned
   * join: PARTITION BY a bare column (keys are the column values) or the
@@ -475,12 +517,97 @@ class GenericMergeTreeScanImpl(
     snapshotSeq: Option[Long] = None,
     colBounds: Map[String, (Option[Any], Option[Any])] = Map.empty,
     setEquals: Map[String, Set[String]] = Map.empty,
-    spjSpec: Option[SpjSpec] = None)
+    spjSpec: Option[SpjSpec] = None,
+    rtCols: Map[String, (RtKind, org.apache.spark.sql.types.DataType)] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ------------------------------------------------- runtime (join) filters
+
+  /** Columns Spark may runtime-filter (DPP, SPARK-35779), restricted to
+    * the scan's OUTPUT columns (Spark resolves each reported reference
+    * against the scan relation — a column pruning dropped must not be
+    * advertised; the join key that makes a filter possible is always in
+    * the output anyway). Empty while SPJ grouping is active: BatchScanExec
+    * requires a key-grouped scan to keep its partition count across
+    * runtime filtering, and dropping whole key groups would break the
+    * co-partitioned join it was reported for — the SPJ plan already
+    * avoids the corpus exchange, which is what the runtime filter would
+    * have bought.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (rtCols.isEmpty || spjGroups.isDefined) Array.empty
+    else rtCols.keys.toArray.filter(required.fieldNames.contains).sorted
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  /** Runtime In-value sets per column (conjuncts intersect). A column is
+    * only present when EVERY non-null pushed value was usable — narrowing
+    * on a partial set would prune parts that hold the values we failed to
+    * understand. NULLs are dropped before that check: a null never matches
+    * the equi-join the filter came from, so "only null" correctly narrows
+    * to the empty set (the join is empty).
+    */
+  @volatile private var rtValues: Map[String, Set[Any]] = Map.empty
+
+  /** Largest runtime-filter value set a column prunes with; beyond it the
+    * column's filter is ignored (scan everything — the filter is an
+    * optimization, the join still does the row-level work). Caps the
+    * driver-side per-part probing at |parts| × cap string compares.
+    */
+  private def rtMaxValues: Int = try {
+    SparkSession.active.conf.get("spark.graft.runtimeFilter.maxValues", "4096").toInt
+  } catch { case scala.util.control.NonFatal(_) => 4096 }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val updates = filters.flatMap {
+      case In(a, vs) if rtCols.contains(a)     => Some(a -> vs.toSet.filter(_ != null))
+      case EqualTo(a, v) if rtCols.contains(a) && v != null => Some(a -> Set[Any](v))
+      case _ => None // unrecognized runtime filter: no pruning, never wrong
+    }
+    updates.foreach { case (c, vs) =>
+      if (vs.size <= rtMaxValues && rtUsable(c, vs))
+        rtValues = rtValues.updated(c, rtValues.get(c).fold(vs)(_ intersect vs))
+    }
+  }
+
+  /** Every value must be narrowable for its column's prune kind. */
+  private def rtUsable(c: String, vs: Set[Any]): Boolean = {
+    val (kind, dt) = rtCols(c)
+    kind match {
+      case RtPartition => vs.forall(GenericMergeTreeScan.canonPartitionValue(_).isDefined)
+      case RtBucket(n) => vs.forall(GraftBucketFunction.bucketIdOfValue(n, dt, _).isDefined)
+      // overlaps/colAllowsRange/setIndexAllows keep the part on any value
+      // they can't compare — per-value usability is built in.
+      case RtLeadKey | RtMinMax | RtSet => true
+    }
+  }
+
+  /** Parts that can hold at least one runtime value of every filtered
+    * column. Partition/bucket narrowing is exact on the tag; the interval
+    * and sidecar kinds probe per (part, value) — bounded by rtMaxValues.
+    */
+  private def rtSurviving(parts: List[GPartMeta]): List[GPartMeta] =
+    rtValues.foldLeft(parts) { case (keep, (c, vs)) =>
+      val (kind, dt) = rtCols(c)
+      kind match {
+        case RtPartition =>
+          val wanted = vs.map(GenericMergeTreeScan.canonPartitionValue(_).get)
+          keep.filter(_.partition.forall(wanted)) // untagged parts stay
+        case RtBucket(n) =>
+          val wanted = vs.map(v =>
+            GraftBucketFunction.bucketIdOfValue(n, dt, v).get.toString)
+          keep.filter(_.partition.forall(wanted))
+        case RtLeadKey => keep.filter(p => vs.exists(v => p.overlaps(v, v)))
+        case RtMinMax =>
+          keep.filter(p => vs.exists(v => p.colAllowsRange(c, Some(v), Some(v))))
+        case RtSet =>
+          val canon = vs.map(ColumnarMergeTree.setIndexCanon)
+          keep.filter(p => ColumnarMergeTree.setIndexAllows(path, p.dir, c, canon))
+      }
+    }
 
   /** The manifest this scan plans against: live, or — under the `snapshot`
     * read option — the one committed at that snapshot, validated eagerly
@@ -523,12 +650,17 @@ class GenericMergeTreeScanImpl(
       else inKeyRange.filter(p => colBounds.forall { case (c, (l, h)) =>
         p.colAllowsRange(c, l, h)
       })
-    // set(N) skip-index pruning last: per-part distinct-value sidecars on
+    // set(N) skip-index pruning: per-part distinct-value sidecars on
     // pushed equality/IN predicates; sidecar-less/saturated parts are kept.
-    if (setEquals.isEmpty) inBounds
-    else inBounds.filter(p => setEquals.forall { case (c, vs) =>
-      ColumnarMergeTree.setIndexAllows(path, p.dir, c, vs)
-    })
+    val inSets =
+      if (setEquals.isEmpty) inBounds
+      else inBounds.filter(p => setEquals.forall { case (c, vs) =>
+        ColumnarMergeTree.setIndexAllows(path, p.dir, c, vs)
+      })
+    // Runtime (join-driven) filters last — empty until Spark's dynamic
+    // pruning calls filter(), so planning-time callers (statistics) see
+    // the static pruning only.
+    if (rtValues.isEmpty) inSets else rtSurviving(inSets)
   }
 
   override def estimateStatistics(): Statistics = {
