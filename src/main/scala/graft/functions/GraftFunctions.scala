@@ -646,10 +646,147 @@ case class BpeEncode(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Morton (Z-order) bit interleaving — the codec behind ClickHouse's
+  * public `mortonEncode`/`mortonDecode` functions, via the classic
+  * binary-magic-numbers spread/compact (Stanford Bit Twiddling Hacks,
+  * public domain). One place so the expression eval, its generated code,
+  * and any driver-side caller agree bit for bit.
+  */
+object MortonCodec {
+  /** Spread the low 32 bits of v onto the even bit positions. */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Inverse of [[spread]]: gather the even bit positions into 32 bits. */
+  def compact(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+    x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+    x
+  }
+
+  /** Interleave two unsigned 32-bit coordinates: x on even bits, y on odd
+    * (ClickHouse mortonEncode's argument order). Out-of-range coordinates
+    * fail loudly — silently truncating would put the row at the wrong
+    * curve position and break the sort-order contract downstream.
+    */
+  def encode(x: Long, y: Long): Long = {
+    if ((x >>> 32) != 0 || (y >>> 32) != 0) throw new IllegalArgumentException(
+      s"morton_encode: coordinates must fit in unsigned 32 bits, got ($x, $y)")
+    spread(x) | (spread(y) << 1)
+  }
+
+  def decodeX(code: Long): Long = compact(code)
+  def decodeY(code: Long): Long = compact(code >>> 1)
+}
+
+/** ClickHouse `mortonEncode(x, y)`: the 64-bit Z-order (Morton) code of
+  * two unsigned 32-bit coordinates — bit i of x lands at code bit 2i, bit
+  * i of y at 2i+1. Sorting by the code clusters rows so that a rectangle
+  * in (x, y) space touches few sort ranges: a table ORDER BY the code
+  * with minmax sidecars on BOTH source columns prunes parts on either
+  * predicate — multi-dimensional primary-key economics from one sort
+  * order (keep coordinates below 2^31 when the code feeds a SIGNED
+  * ordering such as a mergetree ORDER BY; the top interleaved bit would
+  * otherwise flip the long's sign). Codegen'd; null in → null out.
+  */
+case class MortonEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => integral(e.dataType))) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"morton_encode requires integral coordinates, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "morton_encode"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MortonCodec.encode(l.asInstanceOf[Number].longValue(),
+      r.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MortonCodec.encode($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ClickHouse `mortonDecode(2, code)`: the inverse of [[MortonEncode]] —
+  * array(x, y) recovered from a Z-order code. Round-trip identity:
+  * morton_decode(morton_encode(x, y)) == array(x, y) for all in-range
+  * coordinates.
+  */
+case class MortonDecode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"morton_decode requires a bigint code, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "morton_decode"
+
+  override def nullSafeEval(v: Any): Any = {
+    val c = v.asInstanceOf[Number].longValue()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](MortonCodec.decodeX(c), MortonCodec.decodeY(c)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new Object[]{ graft.functions.MortonCodec.decodeX($c),
+         |                graft.functions.MortonCodec.decodeY($c) });
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: direct (per-session FunctionRegistry) and via
   * SparkSessionExtensions for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
+
+  private val mortonEncodeInfo = new ExpressionInfo(
+    classOf[MortonEncode].getName, "morton_encode")
+  private val mortonEncodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "morton_encode takes (x, y)")
+    MortonEncode(children.head, children(1))
+  }
+
+  private val mortonDecodeInfo = new ExpressionInfo(
+    classOf[MortonDecode].getName, "morton_decode")
+  private val mortonDecodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "morton_decode takes (code)")
+    MortonDecode(children.head)
+  }
 
   private val cosineInfo = new ExpressionInfo(
     classOf[ArrayCosineSimilarity].getName, "cosine_similarity")
@@ -758,7 +895,9 @@ object GraftFunctions {
     (FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder),
     (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder),
     (FunctionIdentifier("bpe_encode"), bpeEncodeInfo, bpeEncodeBuilder),
-    (FunctionIdentifier("bpe_encode_dir"), bpeEncodeDirInfo, bpeEncodeDirBuilder))
+    (FunctionIdentifier("bpe_encode_dir"), bpeEncodeDirInfo, bpeEncodeDirBuilder),
+    (FunctionIdentifier("morton_encode"), mortonEncodeInfo, mortonEncodeBuilder),
+    (FunctionIdentifier("morton_decode"), mortonDecodeInfo, mortonDecodeBuilder))
 
   /** The UDAF family needs a live session (spark.udf); shared by
     * register() and GraftExtensions' analyzer hook. Idempotent.

@@ -1024,6 +1024,112 @@ object StorageQueries {
       |WHERE n_regionkey = 1
       |GROUP BY c_nationkey ORDER BY nation""".stripMargin
 
+  /** Q137 — Z-ORDER (Morton) clustering: multi-dimensional part pruning
+    * from ONE sort order. orders lands in a mergetree table ORDER BY
+    * morton_encode(o_custkey, o_day) — the native codegen expression
+    * interleaving both coordinates' bits (ClickHouse mortonEncode) — cut
+    * into 16 z-contiguous parts, with minmax sidecars on BOTH source
+    * columns. Because the z-curve keeps rectangles local, each part's
+    * (custkey, day) bounding box is TIGHT on both dimensions, so a
+    * rectangle predicate prunes parts on either column — the
+    * multi-column-primary-key economics a lexicographic (custkey, day)
+    * sort only gives its leading column. At 100 TB this is how a
+    * time+tenant (or user+day) workload avoids choosing which dimension
+    * gets pruning: layout once, prune on both. SELF-ENFORCED: the scan
+    * must plan at most half the parts (a lexicographic layout scans all
+    * 16 for any day-only-selective rectangle; regressing the layout or
+    * the sidecar pruning fails the entry). The rectangle is the middle
+    * quarter of each dimension's span, derived from the data so the entry
+    * is scale-free; prices fixed-point per row before the sum.
+    */
+  def q137ZOrderScan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val zdir = cacheZOrder.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("mt_q137_z_").toString
+      val src = zOrderSrc(spark, dir)
+        .withColumn("zval",
+          call_function("morton_encode", col("o_custkey"), col("o_day")))
+      val n = src.count()
+      // Build-time layout: ONE global z-sort cut into 16 equal ranges
+      // (each insertBatch = one part whose zval span is contiguous). The
+      // demo table is small; at 100 TB the same layout falls out of
+      // repartitionByRange(zval) with one part written per range — no
+      // single-partition window anywhere near the corpus.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("zval"), col("o_custkey"), col("o_day"))
+      val bucketed = src.withColumn("b",
+        ((row_number().over(w).cast("long") - 1L) * 16L / n).cast("int"))
+        .persist()
+      try {
+        val t = ColumnarMergeTree.create(spark, d, src.schema,
+          orderBy = Seq("zval"),
+          config = MergeTreeConfig(minmaxColumns = Seq("o_custkey", "o_day")))
+        (0 until 16).foreach(b =>
+          t.insertBatch(bucketed.filter(col("b") === b).drop("b")))
+      } finally bucketed.unpersist()
+      d
+    })
+    // The query rectangle: the middle quarter of each dimension's span
+    // (data-derived literals — 4 longs from one tiny aggregate — so the
+    // same entry exercises every scale factor).
+    val b = zOrderSrc(spark, dir)
+      .agg(min("o_custkey").as("ck0"), max("o_custkey").as("ck1"),
+        min("o_day").as("d0"), max("o_day").as("d1")).head()
+    val (ck0, ck1, d0, d1) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (ckLo, ckHi) = (ck0 + (ck1 - ck0) / 4, ck0 + (ck1 - ck0) / 2)
+    val (dLo, dHi) = (d0 + (d1 - d0) / 4, d0 + (d1 - d0) / 2)
+    val t = spark.read.format("mergetree").load(zdir)
+    val out = t
+      .filter(col("o_custkey").between(ckLo, ckHi) &&
+        col("o_day").between(dLo, dHi))
+      .groupBy(col("o_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("sum_price"))
+      .orderBy(col("o_day"))
+    val rows = out.collect()
+    val (planned, total) = graft.sources.GenericMergeTreeScan.lastPruning.get()
+    require(total == 16 && planned > 0 && planned <= total / 2,
+      s"q137: the z-layout must prune the rectangle scan to at most half " +
+        s"the parts (planned $planned of $total)")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
+  /** orders projected to the two z-order coordinates + the measure; o_day
+    * = days since 1992-01-01 (nonnegative longs, well under 2^31 — the
+    * signed-ordering contract of morton_encode as a sort key).
+    */
+  private def zOrderSrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("o_day"),
+        col("o_totalprice"))
+
+  private val cacheZOrder = TrieMap.empty[String, String]
+
+  val q137Sql: String =
+    """WITH src AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', DATE '1992-01-01', o_orderdate) AS o_day,
+      |         o_totalprice
+      |  FROM orders
+      |), b AS (
+      |  SELECT min(o_custkey) AS ck0, max(o_custkey) AS ck1,
+      |         min(o_day) AS d0, max(o_day) AS d1 FROM src
+      |)
+      |SELECT o_day, count(*) AS n_orders,
+      | CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS sum_price
+      |FROM src, b
+      |WHERE o_custkey BETWEEN ck0 + CAST(floor((ck1 - ck0) / 4.0) AS BIGINT)
+      |                    AND ck0 + CAST(floor((ck1 - ck0) / 2.0) AS BIGINT)
+      |  AND o_day BETWEEN d0 + CAST(floor((d1 - d0) / 4.0) AS BIGINT)
+      |                AND d0 + CAST(floor((d1 - d0) / 2.0) AS BIGINT)
+      |GROUP BY o_day ORDER BY o_day""".stripMargin
+
   /** Same answer as q133 — the join is the same; only the physical bucket
     * counts differ (that equality is itself part of what the oracle pins).
     * `def`, not `val`: q133Sql is declared below and a val would read its
@@ -1157,5 +1263,6 @@ object StorageQueries {
     ("q131_spj_join", q131SpjJoin _, Some(q131Sql)),
     ("q133_bucket_spj", q133BucketSpj _, Some(q133Sql)),
     ("q135_bucket_mix_spj", q135BucketMixSpj _, Some(q135Sql)),
-    ("q136_runtime_prune", q136RuntimePrune _, Some(q136Sql)))
+    ("q136_runtime_prune", q136RuntimePrune _, Some(q136Sql)),
+    ("q137_zorder_scan", q137ZOrderScan _, Some(q137Sql)))
 }
