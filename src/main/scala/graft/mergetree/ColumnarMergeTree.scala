@@ -232,7 +232,7 @@ final class ColumnarMergeTree private (
       case None    => Seq(writePart(df, partitions, register = true, partition = None))
       case Some(p) =>
         val metas = writePartitioned(df, partitions, p, register = false)
-        swapParts(Set.empty, metas, metas)
+        swapParts(Nil, metas, metas)
         metas
     }
     // MV defs re-read per batch (one tiny JSON read, like the manifest
@@ -1737,11 +1737,26 @@ final class ColumnarMergeTree private (
       .filter(col(column).isInCollection(values)))
   }
 
-  private def readParts(parts: Seq[GPartMeta]): DataFrame =
+  /** THE part-reading funnel for every query face: one multi-path parquet
+    * read per distinct pending-lightweight-delete predicate list, each
+    * with its keep filter applied, unioned. Tables with no pending
+    * deletes (the steady state) take the single-scan branch unchanged.
+    * File paths are baked from the caller's part list, so one manifest
+    * read fixes what a whole query sees — a concurrent DELETE cannot
+    * double- or part-read.
+    */
+  private[mergetree] def readParts(parts: Seq[GPartMeta]): DataFrame =
     if (parts.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(parts.map(p => s"$path/${p.dir}"): _*)
+    else {
+      val groups = parts.groupBy(_.preds).toSeq
+        .sortBy(_._1.mkString(" ")) // deterministic plan shape
+      groups.map { case (preds, ps) =>
+        ColumnarMergeTree.applyDeletePreds(
+          spark.read.schema(schema).parquet(ps.map(p => s"$path/${p.dir}"): _*),
+          preds)
+      }.reduce(_ union _)
+    }
 
   /** (planned, total) parts at the last scan — test/diagnostic hook. */
   @volatile var lastPruning: (Int, Int) = (0, 0)
@@ -1785,8 +1800,15 @@ final class ColumnarMergeTree private (
     * deletes its freshly-written `fresh` part dirs, and returns false.
     * On success the replaced parts retire through the grace GC.
     */
-  private[graft] def swapParts(oldIds: Set[Long], add: Seq[GPartMeta],
+  private[graft] def swapParts(old: Seq[GPartMeta], add: Seq[GPartMeta],
                                fresh: Seq[GPartMeta]): Boolean = {
+    val oldIds = old.map(_.partId).toSet
+    // The CAS compares (partId, pending delete predicates), not id alone:
+    // a maintenance op computed its outputs from the parts AS IT READ
+    // them — if a lightweight DELETE tagged any of them in between, the
+    // outputs would resurrect the newly-deleted rows. Ids don't change on
+    // a tag, so the preds are part of the compared identity.
+    val oldPreds = old.map(p => p.partId -> p.preds).toMap
     var applied = false
     var gone = Seq.empty[GPartMeta]
     lock.synchronized {
@@ -1796,7 +1818,9 @@ final class ColumnarMergeTree private (
         // flips false must not inherit applied=true/gone from a lost
         // attempt (the final run is the one whose result published — its
         // assignments are the ones that stick).
-        applied = oldIds.subsetOf(cur.parts.map(_.partId).toSet)
+        val curPreds = cur.parts.map(p => p.partId -> p.preds).toMap
+        applied = oldIds.forall(id =>
+          curPreds.get(id).contains(oldPreds(id)))
         gone = if (applied) cur.parts.filter(p => oldIds(p.partId)) else Nil
         if (applied)
           GManifest(cur.version, cur.parts.filterNot(p => oldIds(p.partId)) ++ add)
@@ -1841,12 +1865,15 @@ final class ColumnarMergeTree private (
     // rewrites singletons (one part can hold identical rows).
     val toMerge =
       if (dedup || ttl.isDefined || mode != MergeMode.Plain) groups
-      else groups.filter(_.size > 1)
+      // Pending lightweight deletes rewrite singletons too — OPTIMIZE
+      // FINAL is the materialization point `deleteLightweight` promises.
+      else groups.filter(g => g.size > 1 || g.exists(_.preds.nonEmpty))
     if (toMerge.isEmpty) return
     val rest = schema.fieldNames.filterNot(dedupBy.contains).map(col).toSeq
     val written = concurrently(toMerge) { bin =>
-      val raw = spark.read.schema(schema)
-        .parquet(bin.map(p => s"$path/${p.dir}"): _*)
+      // readParts applies each part's pending lightweight-delete
+      // predicates, so the rewrite MATERIALIZES them (outputs carry none).
+      val raw = readParts(bin)
       val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
       val deduped =
         if (dedupBy.nonEmpty && rest.nonEmpty) {
@@ -1871,11 +1898,11 @@ final class ColumnarMergeTree private (
     empty.foreach(m =>
       MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
     intentDrop(empty.map(_.dir))
-    val oldIds = toMerge.flatten.map(_.partId).toSet
     // CAS-swap: a conflict means another instance already merged these
-    // parts — its result stands, our outputs are discarded (merging is
+    // parts (or a lightweight DELETE re-tagged them — our outputs were
+    // computed before it) — our outputs are discarded (merging is
     // idempotent work, so losing the race is not an error).
-    swapParts(oldIds, newMetas, newMetas)
+    swapParts(toMerge.flatten, newMetas, newMetas)
     // A plain merge preserves the row set, but DEDUPLICATE is a row-level
     // mutation: projection copies must drop the same rows (dedupBy picks
     // its representative by column VALUES, so the differently-sorted copy
@@ -1885,6 +1912,7 @@ final class ColumnarMergeTree private (
       projectionTargets.foreach(_.optimizeFinal(deduplicate, dedupBy))
       rebuildAggProjections()
     }
+    clearLwMarkerIfClean()
   }
 
   /** Bin-packed compaction to ≤ maxParts, one rewrite per byte (same design
@@ -1922,8 +1950,9 @@ final class ColumnarMergeTree private (
         // Compaction is where lazy TTL bites (ClickHouse drops expired rows
         // when a merge rewrites the part); untouched parts keep theirs until
         // a merge or applyTtl() reaches them.
-        val raw = spark.read.schema(schema)
-          .parquet(bin.map(p => s"$path/${p.dir}").toSeq: _*)
+        // Merges materialize pending lightweight deletes exactly like
+        // lazy TTL: readParts drops the hidden rows, outputs carry none.
+        val raw = readParts(bin.toSeq)
         val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
         writePart(collapse(unexpired), 0, register = false,
           partition = bin.head.partition)
@@ -1939,7 +1968,8 @@ final class ColumnarMergeTree private (
     val keptIds = kept.map(_.partId).toSet
     // CAS-swap (see swapParts): on conflict only OUR fresh merge outputs
     // are deleted — pass-through bins are live original parts.
-    swapParts(liveIds, kept, kept.filterNot(m => liveIds(m.partId)))
+    swapParts(live, kept, kept.filterNot(m => liveIds(m.partId)))
+    clearLwMarkerIfClean()
   }
 
   /** Row deletion by predicate (ClickHouse's ALTER TABLE ... DELETE — the
@@ -1971,20 +2001,127 @@ final class ColumnarMergeTree private (
       val h = hitsByPart.getOrElse(p.partId, 0L); h > 0L && h < p.rowCount
     }
     val newMetas = concurrently(touched) { p =>
-      val df = spark.read.schema(schema).parquet(s"$path/${p.dir}")
+      // Pending lightweight deletes materialize in the same rewrite —
+      // outputs carry no predicates, so the hidden rows must go now.
+      val df = ColumnarMergeTree.applyDeletePreds(
+        spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.preds)
       writePart(df.filter(!isHit), 0, register = false, partition = p.partition)
     }
-    val goneIds = (dropped ++ touched).map(_.partId).toSet
+    // A rewrite can yield 0 rows when a part's visible residue all
+    // matched while lightweight-hidden rows padded its physical count:
+    // drop the empty output instead of registering a phantom part.
+    val (keptNew, emptyNew) = newMetas.partition(_.rowCount > 0)
+    emptyNew.foreach(m =>
+      MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
+    intentDrop(emptyNew.map(_.dir))
     // A mutation that loses the CAS must surface, not silently vanish —
     // the caller's rows were NOT deleted and a retry re-evaluates cond.
-    if (!swapParts(goneIds, newMetas, newMetas))
+    if (!swapParts(dropped ++ touched, keptNew, keptNew))
       throw new java.util.ConcurrentModificationException(
         "deleteWhere raced another maintenance op on the same parts; retry")
     // Keep projection copies in sync (see updateWhere).
     projectionTargets.foreach(_.deleteWhere(cond))
     rebuildAggProjections()
+    clearLwMarkerIfClean()
     removed
   }
+
+  /** ClickHouse LIGHTWEIGHT DELETE (`DELETE FROM t WHERE …`): O(manifest)
+    * — no part is read or rewritten. Every part live at commit time is
+    * tagged with the predicate; reads hide matching rows immediately
+    * (every query face funnels through readParts, which applies the
+    * tags), and the next part rewrite — a merge, OPTIMIZE [FINAL],
+    * deleteWhere, or updateWhere — materializes the deletion physically.
+    * Per-part as-of semantics: rows inserted AFTER the delete land in
+    * untagged parts and stay visible even if they match (the ClickHouse
+    * `_row_exists`-mask behavior, expressed as a stored predicate).
+    *
+    * At 100 TB this is the decontamination op's fast path: "hide this
+    * licensing-flagged slice NOW" costs one manifest CAS; the rewrite
+    * cost is deferred into merges that were going to happen anyway.
+    *
+    * Contract notes: the predicate must be deterministic and reference
+    * only table columns (validated here by round-tripping its SQL against
+    * the table schema — it is re-evaluated on every read); tables with
+    * projections refuse (a routed read serves the projection's COPY,
+    * which no tag covers — use deleteWhere, which propagates); at most
+    * [[ColumnarMergeTree.MaxLwDeletesPerPart]] pending predicates per
+    * part, then materialize first. Does not return a count — counting
+    * would cost the scan this op exists to avoid.
+    */
+  def deleteLightweight(cond: Column): Unit = maintenanceLock.synchronized {
+    require(projections.isEmpty && aggProjections.isEmpty,
+      "lightweight DELETE is not supported on tables with projections " +
+        "(their copies would keep serving the rows); use deleteWhere")
+    // Resolve the predicate against this table's schema (bad column refs
+    // fail analysis here, not on some later read) and take the RESOLVED
+    // condition's SQL — the stored text is re-evaluated on every read.
+    def analyzedCond(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(c).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.getOrElse(throw new IllegalStateException(
+          "lightweight DELETE: predicate did not analyze to a filter"))
+    val resolved = analyzedCond(cond)
+    require(resolved.deterministic,
+      s"lightweight DELETE predicates must be deterministic: ${resolved.sql}")
+    val sqlStr = resolved.sql
+    // The stored TEXT must round-trip: re-parse and resolve on the same
+    // schema, or a read would fail later where the delete should have.
+    analyzedCond(expr(sqlStr))
+    refresh()
+    if (manifest.parts.isEmpty) return
+    require(
+      manifest.parts.forall(_.preds.size < ColumnarMergeTree.MaxLwDeletesPerPart),
+      s"a part already carries ${ColumnarMergeTree.MaxLwDeletesPerPart} pending " +
+        "lightweight deletes; run optimizeFinal() (OPTIMIZE TABLE … FINAL) " +
+        "to materialize them first")
+    // Marker BEFORE the tag: a SQL read planned between the two must not
+    // skip the delete-aware rewrite (a stale marker is only a cheap
+    // manifest probe, the reverse order would be a correctness hole).
+    Files.write(ColumnarMergeTree.lwMarkerPath(path), Array.emptyByteArray,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    lock.synchronized {
+      // Tags whatever parts are live AT THE CAS — never a pre-read list:
+      // a part merged away in between must not resurface untagged (its
+      // replacement is current and gets the tag), and the closure always
+      // applies (no conflict path to retry).
+      manifest = GManifest.update(path) { cur =>
+        GManifest(cur.version, cur.parts.map(p =>
+          p.copy(deletePreds = Some((p.preds :+ sqlStr).distinct))))
+      }
+    }
+  }
+
+  /** Raw part rows with pending lightweight deletes applied — the SQL
+    * face's read for tagged tables (MergeTreeFinalRule): file paths are
+    * baked from ONE manifest (or snapshot) load, so the per-predicate
+    * union is self-consistent under concurrent deletes.
+    */
+  private[graft] def visibleRawScan(snapshotSeq: Option[Long]): DataFrame =
+    snapshotSeq match {
+      case None => refresh(); readParts(manifest.parts)
+      case Some(seq) =>
+        val m = SnapshotLog.load(path, seq).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot $seq at $path " +
+            s"(available: ${SnapshotLog.list(path).mkString(",")})"))
+        val missing = m.parts.filterNot(p =>
+          Files.isDirectory(Paths.get(path, p.dir)))
+        require(missing.isEmpty,
+          s"snapshot $seq is no longer readable: parts " +
+            s"${missing.map(_.partId).mkString(",")} were purged (GC grace passed)")
+        readParts(m.parts)
+    }
+
+  /** Remove the lightweight-delete marker once no live part carries a
+    * pending predicate (called after materializing rewrites). Reads the
+    * in-memory manifest the preceding swap refreshed.
+    */
+  private def clearLwMarkerIfClean(): Unit =
+    if (manifest.parts.forall(_.preds.isEmpty))
+      Files.deleteIfExists(ColumnarMergeTree.lwMarkerPath(path))
 
   /** ONE distributed job computing per-part predicate hit counts: a single
     * multi-path scan of every candidate part, grouped by the part id parsed
@@ -2012,13 +2149,17 @@ final class ColumnarMergeTree private (
 
   private def hitCountsByPart(parts: Seq[GPartMeta], isHit: Column): Map[Long, Long] =
     if (parts.isEmpty) Map.empty
-    else {
-      val byDir = parts.map(p => p.dir -> p.partId).toMap
-      hitCountPlan(parts, isHit).collect().iterator
+    // One job per distinct pending-delete predicate list (almost always
+    // exactly one group): hits are counted among VISIBLE rows only, so a
+    // mutation's removed/updated counts and whole-part-drop checks agree
+    // with what readers see.
+    else parts.groupBy(_.preds).toSeq.flatMap { case (preds, ps) =>
+      val byDir = ps.map(p => p.dir -> p.partId).toMap
+      val eff = ColumnarMergeTree.keepCond(preds).fold(isHit)(isHit && _)
+      hitCountPlan(ps, eff).collect().iterator
         .filterNot(_.isNullAt(0))
         .flatMap(r => byDir.get(r.getString(0)).map(_ -> r.getLong(1)))
-        .toMap
-    }
+    }.toMap
 
   /** Column mutation by predicate (ClickHouse's ALTER TABLE … UPDATE — the
     * twin of deleteWhere): rows matching `cond` get each column in `set`
@@ -2052,7 +2193,10 @@ final class ColumnarMergeTree private (
       if (updated == 0L) return 0L
       val touched = live.filter(p => hitsByPart.getOrElse(p.partId, 0L) > 0L)
       val newMetas = concurrently(touched) { p =>
-        val df = spark.read.schema(schema).parquet(s"$path/${p.dir}")
+        // Materialize pending lightweight deletes alongside the update
+        // (the rewritten part carries no predicates).
+        val df = ColumnarMergeTree.applyDeletePreds(
+          spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.preds)
         // Simultaneous-assignment semantics (like ClickHouse UPDATE): every
         // SET expression evaluates against the OLD row — stage new values
         // in temp columns before any target column is replaced, so
@@ -2066,8 +2210,12 @@ final class ColumnarMergeTree private (
         }.select(schema.fieldNames.map(col): _*)
         writePart(mutated, 0, register = false, partition = p.partition)
       }
-      val goneIds = touched.map(_.partId).toSet
-      if (!swapParts(goneIds, newMetas, newMetas))
+      // All-hidden parts rewrite to 0 rows — drop them (see deleteWhere).
+      val (keptNew, emptyNew) = newMetas.partition(_.rowCount > 0)
+      emptyNew.foreach(m =>
+        MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
+      intentDrop(emptyNew.map(_.dir))
+      if (!swapParts(touched, keptNew, keptNew))
         throw new java.util.ConcurrentModificationException(
           "updateWhere raced another maintenance op on the same parts; retry")
       // Projections hold copies of these rows under another sort order —
@@ -2081,6 +2229,7 @@ final class ColumnarMergeTree private (
         else p.updateWhere(cond, set)
       }
       rebuildAggProjections()
+      clearLwMarkerIfClean()
       updated
     }
 
@@ -2268,12 +2417,14 @@ final class ColumnarMergeTree private (
     // name the partition's live rows — undo the record and surface the
     // race instead of detaching a stale subset.
     var applied = false
+    var unlinked = Seq.empty[GPartMeta]
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
         // Assigned unconditionally: the log-mode CAS loop re-runs this
         // closure, and a retry whose subset check flips false must not
         // inherit applied=true from a lost attempt (the swapParts rule).
         applied = goneIds.subsetOf(cur.parts.map(_.partId).toSet)
+        unlinked = if (applied) cur.parts.filter(p => goneIds(p.partId)) else Nil
         if (applied)
           GManifest(cur.version, cur.parts.filterNot(p => goneIds(p.partId)))
         else cur
@@ -2284,7 +2435,13 @@ final class ColumnarMergeTree private (
       throw new java.util.ConcurrentModificationException(
         s"detachPartition('$value') raced another maintenance op; retry")
     }
-    gone.map(_.rowCount).sum
+    // Re-record the metas AS UNLINKED (not as pre-read): a lightweight
+    // DELETE tagging these parts between refresh and CAS rides in the
+    // closure-captured copies — an ATTACH must restore the tags, or the
+    // quarantine round-trip would resurrect the deleted rows.
+    DetachedSet.update(path)(cur =>
+      (cur.filterNot(p => goneIds(p.partId)) ++ unlinked).sortBy(_.partId))
+    unlinked.map(_.rowCount).sum
   }
 
   /** ClickHouse ALTER TABLE … ATTACH PARTITION: re-link the partition's
@@ -2406,6 +2563,38 @@ object ColumnarMergeTree {
     * eligible types).
     */
   private[graft] def setIndexCanon(v: Any): String = String.valueOf(v)
+
+  /** Visibility condition under pending lightweight-delete predicates: a
+    * row is deleted when SOME predicate is TRUE; NULL evaluations keep
+    * the row (SQL WHERE semantics, the same coalesce as deleteWhere).
+    */
+  private[graft] def keepCond(preds: Seq[String]): Option[Column] =
+    if (preds.isEmpty) None
+    else Some(!preds.map(p => coalesce(expr(p), lit(false))).reduce(_ || _))
+
+  private[graft] def applyDeletePreds(df: DataFrame, preds: Seq[String]): DataFrame =
+    keepCond(preds).fold(df)(df.filter)
+
+  /** Pending lightweight deletes a part may accumulate before the table
+    * demands materialization — each predicate is re-evaluated on every
+    * read of the part, so an unbounded list would quietly turn O(manifest)
+    * deletes into an O(preds)-deep read filter.
+    */
+  private[graft] val MaxLwDeletesPerPart = 64
+
+  /** Marker file flagging "this table may have pending lightweight
+    * deletes" — a cheap existence probe for the SQL resolution rule, which
+    * must not pay a manifest read per relation per fixpoint iteration on
+    * the 99% of tables that never saw a DELETE. Created when a delete
+    * tags parts; removed by the maintenance op that materializes the last
+    * pending predicate. A stale marker (crash between materialize and
+    * remove) only costs one manifest read, never correctness.
+    */
+  private[graft] def lwMarkerPath(tablePath: String): java.nio.file.Path =
+    Paths.get(tablePath, "_lw_deletes")
+
+  private[graft] def hasLwMarker(tablePath: String): Boolean =
+    Files.exists(lwMarkerPath(tablePath))
 
   /** Parsed set(N) sidecars, keyed by (file, mtime): sidecars are
     * write-once with the part dir, so repeat probes (every planned scan
@@ -2816,10 +3005,24 @@ object ColumnarMergeTree {
         * manifest CAS is the only claim. None (json4s reads missing as
         * absent) on default-layout parts and all pre-existing manifests.
         */
-      dirName: Option[String] = None) {
+      dirName: Option[String] = None,
+      /** Lightweight-DELETE predicates pending against this part
+        * (ClickHouse `DELETE FROM`): rows matching ANY of them are hidden
+        * from every read until a part rewrite (merge / OPTIMIZE /
+        * deleteWhere / updateWhere) materializes the deletion and clears
+        * the list. Per-PART, not per-table: rows inserted after the
+        * DELETE land in new untagged parts and stay visible — the
+        * ClickHouse `_row_exists`-mask semantics, expressed as an as-of
+        * predicate. None (json4s reads missing as absent) on pre-existing
+        * manifests and on every freshly-written part.
+        */
+      deletePreds: Option[List[String]] = None) {
 
     /** The part's directory name under the table path. */
     def dir: String = dirName.getOrElse(s"part_$partId")
+
+    /** Pending lightweight-delete predicates (empty = none). */
+    def preds: List[String] = deletePreds.getOrElse(Nil)
 
     /** Inclusive-range overlap. Null bounds mean the part is unbounded
       * (footer key stats were incomplete — see footerBounds): never pruned.

@@ -1130,6 +1130,61 @@ object StorageQueries {
       |                AND d0 + CAST(floor((d1 - d0) / 2.0) AS BIGINT)
       |GROUP BY o_day ORDER BY o_day""".stripMargin
 
+  /** Q138 — LIGHTWEIGHT DELETE (ClickHouse `DELETE FROM`, the O(manifest)
+    * mutation): events land as a mergetree table in 4 parts; `DELETE`ing
+    * the 'click' slice tags every part with the predicate in ONE manifest
+    * CAS — no part file is read or rewritten (SELF-ENFORCED: the entry
+    * fingerprints every data file before and after and requires identity)
+    * — and every subsequent read hides the rows until a merge
+    * materializes the deletion. At 100 TB this is the decontamination
+    * fast path: "hide the flagged slice NOW" costs metadata, the rewrite
+    * rides the merges that were going to happen anyway. The aggregate
+    * then runs through the SQL face (the resolution rule routes tagged
+    * tables through the delete-aware part funnel), values fixed-point per
+    * row before the sum.
+    */
+  def q138LightweightDelete(spark: SparkSession, dir: String): DataFrame = {
+    val d = cacheLwDel.getOrElseUpdate(dir, {
+      val p = Files.createTempDirectory("mt_q138_lw_").toString
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = ColumnarMergeTree.create(spark, p, ev.schema,
+        orderBy = Seq("event_id"))
+      (0 until 4).foreach(b =>
+        t.insertBatch(ev.filter(col("event_id") % 4 === b)))
+      def files: Set[(String, Long)] = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(f => (f.toString,
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+        } finally s.close()
+      }
+      val before = files
+      t.deleteLightweight(col("event_type") === lit("click"))
+      require(before.nonEmpty && files == before,
+        "q138: lightweight DELETE must not read or rewrite any data file")
+      p
+    })
+    spark.read.format("mergetree").load(d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("sum_val"))
+      .orderBy(col("event_type"))
+  }
+
+  private val cacheLwDel = TrieMap.empty[String, String]
+
+  val q138Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      | CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS sum_val
+      |FROM events
+      |WHERE NOT coalesce(event_type = 'click', FALSE)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Same answer as q133 — the join is the same; only the physical bucket
     * counts differ (that equality is itself part of what the oracle pins).
     * `def`, not `val`: q133Sql is declared below and a val would read its
@@ -1264,5 +1319,6 @@ object StorageQueries {
     ("q133_bucket_spj", q133BucketSpj _, Some(q133Sql)),
     ("q135_bucket_mix_spj", q135BucketMixSpj _, Some(q135Sql)),
     ("q136_runtime_prune", q136RuntimePrune _, Some(q136Sql)),
-    ("q137_zorder_scan", q137ZOrderScan _, Some(q137Sql)))
+    ("q137_zorder_scan", q137ZOrderScan _, Some(q137Sql)),
+    ("q138_lightweight_delete", q138LightweightDelete _, Some(q138Sql)))
 }

@@ -190,7 +190,16 @@ class GenericMergeTreeV2Table(
       case None =>
         val cond = filters.flatMap(filterToColumn(_))
           .reduceOption(_ && _).getOrElse(lit(true))
-        t.deleteWhere(cond)
+        // `SET spark.graft.lightweightDelete=true` routes DELETE FROM to
+        // the O(manifest) lightweight path (ClickHouse `DELETE FROM` vs
+        // ALTER … DELETE): rows hide immediately, parts rewrite later in
+        // merges. Default stays the physical rewrite.
+        val lightweight = try {
+          SparkSession.active.conf
+            .get("spark.graft.lightweightDelete", "false").toBoolean
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (lightweight) t.deleteLightweight(cond)
+        else t.deleteWhere(cond)
     }
   }
 

@@ -486,12 +486,25 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
     // are still the original instances when visited bottom-up).
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    // Protect every relation UNDER the target, not just the target node:
+    // the analyzer may leave the relation wrapped (SubqueryAlias) and the
+    // identity check on the wrapper alone would let the rewrite replace
+    // the inner relation — physical planning then fails on a DELETE whose
+    // "table" is a filtered read.
+    def protect(target: LogicalPlan): Unit = target.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r)
+      case _                       => ()
+    }
     plan.foreach {
-      case i: InsertIntoStatement => writeTargets.add(i.table)
-      case w: V2WriteCommand      => writeTargets.add(w.table)
-      case d: DeleteFromTable     => writeTargets.add(d.table)
-      case u: UpdateTable         => writeTargets.add(u.table)
-      case m: MergeIntoTable      => writeTargets.add(m.targetTable)
+      case i: InsertIntoStatement => protect(i.table)
+      case w: V2WriteCommand      => protect(w.table)
+      case d: DeleteFromTable     => protect(d.table)
+      // RewriteDeleteFromTable turns a SupportsDelete DELETE into this
+      // form in a later fixpoint iteration — just as much a write target.
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTableWithFilters =>
+        protect(d.table)
+      case u: UpdateTable         => protect(u.table)
+      case m: MergeIntoTable      => protect(m.targetTable)
       case _                      => ()
     }
     plan.resolveOperatorsUp {
@@ -521,7 +534,10 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def needsRewrite(rel: DataSourceV2Relation): Boolean = rel.table match {
     case t: GenericMergeTreeV2Table =>
       val (fin, samp, _) = effective(rel, t)
-      (fin && hasCollapse(t.path)) || samp.exists(f => f._1 != f._2)
+      (fin && hasCollapse(t.path)) || samp.exists(f => f._1 != f._2) ||
+        // Pending lightweight deletes: the read must hide tagged rows.
+        // The marker file keeps this a cheap stat() on untouched tables.
+        ColumnarMergeTree.hasLwMarker(t.path)
     case _ => false
   }
 
@@ -542,9 +558,18 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
     // time-travel read applies to the parts of THAT snapshot, matching
     // scanAt.
     val reader = session.read.format("mergetree")
-    val raw = snapshotSeq
-      .fold(reader)(s => reader.option("snapshot", s.toString))
-      .load(table.path)
+    val raw =
+      if (ColumnarMergeTree.hasLwMarker(table.path))
+        // Pending lightweight deletes: read through the engine's own
+        // part funnel (one parquet scan per distinct predicate list,
+        // keep-filters applied, file paths baked from one manifest load —
+        // self-consistent under concurrent deletes). Part-level manifest
+        // pruning is traded away only while deletes are pending; the next
+        // merge materializes them and the plain relation path returns.
+        ColumnarMergeTree.open(session, table.path).visibleRawScan(snapshotSeq)
+      else snapshotSeq
+        .fold(reader)(s => reader.option("snapshot", s.toString))
+        .load(table.path)
     val collapsed =
       if (fin && hasCollapse(table.path))
         ColumnarMergeTree.applyMode(

@@ -429,7 +429,7 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
       MergeTreeConfig(maxParts = 100, gcGraceSeconds = 0))
     t.insertBatch(df.filter(col("k") < 50))
     t.insertBatch(df.filter(col("k") >= 50))
-    val oldIds = t.parts.map(_.partId).toSet
+    val oldParts = t.parts
     // Winner merges the two parts into one.
     t.optimizeFinal()
     assert(t.partCount == 1 && t.totalRows == 100)
@@ -441,14 +441,14 @@ class ColumnarMergeTreeRetentionSpec extends AnyFunSuite {
     val loserMeta = merged.copy(partId = merged.partId + 1000)
     val loserDir = Paths.get(dir, s"part_${loserMeta.partId}")
     Files.createDirectories(loserDir)
-    assert(!t.swapParts(oldIds, Seq(loserMeta), Seq(loserMeta)),
+    assert(!t.swapParts(oldParts, Seq(loserMeta), Seq(loserMeta)),
       "stale swap must be refused")
     t.refresh()
     assert(t.partCount == 1 && t.totalRows == 100,
       "manifest must be untouched by the losing swap")
     assert(!Files.exists(loserDir), "loser's staged dir must be cleaned up")
     // and a VALID swap (current ids) still applies
-    assert(t.swapParts(Set(merged.partId), Seq(merged), Seq.empty))
+    assert(t.swapParts(Seq(merged), Seq(merged), Seq.empty))
   }
 
   test("TTL + PARTITION BY survive the self-describing reopen") {
