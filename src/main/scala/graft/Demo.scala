@@ -262,6 +262,46 @@ object Demo {
     println(s"== pairs = $pairs, zero-exchange plan = $noExchange")
     spark.conf.unset("spark.graft.preserveDataGrouping")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // Round 13: runtime part pruning from a join (DSv2 dynamic filtering)
+    // — the dim side's join keys prune the fact scan's partitions before
+    // any task launches.
+    println("== runtime filter: dim join keys prune the fact scan's parts:")
+    val rtDir = java.nio.file.Files.createTempDirectory("demo_rtf_").toString
+    val rtDf = spark.range(400).select((col("id") % 8).as("grp"),
+      col("id").as("k"), (col("id") * 2.0).as("v"))
+    val rtT = mergetree.ColumnarMergeTree.create(spark, rtDir, rtDf.schema,
+      orderBy = Seq("k"), partitionBy = Some("grp"))
+    rtT.insertBatch(rtDf)
+    val rtDim = spark.range(8).select(col("id").as("dgrp"))
+      .filter(col("dgrp") % 4 === 1) // grp 1 and 5
+    val rtOut = spark.read.format("mergetree").load(rtDir)
+      .join(org.apache.spark.sql.functions.broadcast(rtDim), col("grp") === col("dgrp")).count()
+    val (rtPlanned, rtTotal) = sources.GenericMergeTreeScan.lastPruning.get()
+    println(s"== joined rows = $rtOut, fact parts scanned = $rtPlanned/$rtTotal")
+
+    // Round 13: Z-order clustering — one sort order, both dimensions prune.
+    println("== z-order: morton_encode sort, rectangle prunes on x AND y:")
+    functions.GraftFunctions.register(spark)
+    val zc = spark.sql("SELECT morton_encode(5, 3) AS c, morton_decode(27) AS d").head()
+    println(s"== morton_encode(5, 3) = ${zc.getLong(0)}, " +
+      s"morton_decode(27) = ${zc.getSeq[Long](1).mkString("[", ",", "]")}")
+
+    // Round 13: lightweight DELETE — O(manifest) row hiding, merge
+    // materializes.
+    println("== lightweight DELETE: rows hide with no part rewritten:")
+    val lwDir = java.nio.file.Files.createTempDirectory("demo_lw_").toString
+    val lwDf = spark.range(100).select(col("id").as("k"), (col("id") % 4).as("grp"))
+    val lwT = mergetree.ColumnarMergeTree.create(spark, lwDir, lwDf.schema,
+      orderBy = Seq("k"))
+    lwT.insertBatch(lwDf)
+    lwT.deleteLightweight(col("grp") === 1)
+    val lwVisible = lwT.scan().count()
+    lwT.optimizeFinal()
+    println(s"== visible after DELETE = $lwVisible (of 100); " +
+      s"after OPTIMIZE FINAL parts carry " +
+      s"${lwT.parts.map(_.preds.size).sum} pending predicates, " +
+      s"rows = ${lwT.scan().count()}")
     spark.stop()
   }
 }
