@@ -300,7 +300,7 @@ object Demo {
     lwT.optimizeFinal()
     println(s"== visible after DELETE = $lwVisible (of 100); " +
       s"after OPTIMIZE FINAL parts carry " +
-      s"${lwT.parts.map(_.preds.size).sum} pending predicates, " +
+      s"${lwT.parts.map(_.muts.size).sum} pending mutations, " +
       s"rows = ${lwT.scan().count()}")
     spark.stop()
   }

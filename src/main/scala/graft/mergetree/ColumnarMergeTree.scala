@@ -1749,12 +1749,12 @@ final class ColumnarMergeTree private (
     if (parts.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val groups = parts.groupBy(_.preds).toSeq
-        .sortBy(_._1.mkString(" ")) // deterministic plan shape
-      groups.map { case (preds, ps) =>
-        ColumnarMergeTree.applyDeletePreds(
+      val groups = parts.groupBy(_.muts).toSeq
+        .sortBy(_._1.toString) // deterministic plan shape
+      groups.map { case (muts, ps) =>
+        ColumnarMergeTree.applyMuts(
           spark.read.schema(schema).parquet(ps.map(p => s"$path/${p.dir}"): _*),
-          preds)
+          muts)
       }.reduce(_ union _)
     }
 
@@ -1803,12 +1803,12 @@ final class ColumnarMergeTree private (
   private[graft] def swapParts(old: Seq[GPartMeta], add: Seq[GPartMeta],
                                fresh: Seq[GPartMeta]): Boolean = {
     val oldIds = old.map(_.partId).toSet
-    // The CAS compares (partId, pending delete predicates), not id alone:
-    // a maintenance op computed its outputs from the parts AS IT READ
-    // them — if a lightweight DELETE tagged any of them in between, the
-    // outputs would resurrect the newly-deleted rows. Ids don't change on
-    // a tag, so the preds are part of the compared identity.
-    val oldPreds = old.map(p => p.partId -> p.preds).toMap
+    // The CAS compares (partId, pending mutations), not id alone: a
+    // maintenance op computed its outputs from the parts AS IT READ
+    // them — if a lightweight DELETE/UPDATE tagged any of them in
+    // between, the outputs would resurrect or un-patch rows. Ids don't
+    // change on a tag, so the mutation list is part of the identity.
+    val oldPreds = old.map(p => p.partId -> p.muts).toMap
     var applied = false
     var gone = Seq.empty[GPartMeta]
     lock.synchronized {
@@ -1818,7 +1818,7 @@ final class ColumnarMergeTree private (
         // flips false must not inherit applied=true/gone from a lost
         // attempt (the final run is the one whose result published — its
         // assignments are the ones that stick).
-        val curPreds = cur.parts.map(p => p.partId -> p.preds).toMap
+        val curPreds = cur.parts.map(p => p.partId -> p.muts).toMap
         applied = oldIds.forall(id =>
           curPreds.get(id).contains(oldPreds(id)))
         gone = if (applied) cur.parts.filter(p => oldIds(p.partId)) else Nil
@@ -1865,9 +1865,10 @@ final class ColumnarMergeTree private (
     // rewrites singletons (one part can hold identical rows).
     val toMerge =
       if (dedup || ttl.isDefined || mode != MergeMode.Plain) groups
-      // Pending lightweight deletes rewrite singletons too — OPTIMIZE
-      // FINAL is the materialization point `deleteLightweight` promises.
-      else groups.filter(g => g.size > 1 || g.exists(_.preds.nonEmpty))
+      // Pending lightweight mutations rewrite singletons too — OPTIMIZE
+      // FINAL is the materialization point the lightweight DELETE/UPDATE
+      // statements promise.
+      else groups.filter(g => g.size > 1 || g.exists(_.muts.nonEmpty))
     if (toMerge.isEmpty) return
     val rest = schema.fieldNames.filterNot(dedupBy.contains).map(col).toSeq
     val written = concurrently(toMerge) { bin =>
@@ -2001,10 +2002,10 @@ final class ColumnarMergeTree private (
       val h = hitsByPart.getOrElse(p.partId, 0L); h > 0L && h < p.rowCount
     }
     val newMetas = concurrently(touched) { p =>
-      // Pending lightweight deletes materialize in the same rewrite —
-      // outputs carry no predicates, so the hidden rows must go now.
-      val df = ColumnarMergeTree.applyDeletePreds(
-        spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.preds)
+      // Pending lightweight mutations materialize in the same rewrite —
+      // outputs carry none, so hidden rows go and patches bake in now.
+      val df = ColumnarMergeTree.applyMuts(
+        spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.muts)
       writePart(df.filter(!isHit), 0, register = false, partition = p.partition)
     }
     // A rewrite can yield 0 rows when a part's visible residue all
@@ -2049,53 +2050,118 @@ final class ColumnarMergeTree private (
     * part, then materialize first. Does not return a count — counting
     * would cost the scan this op exists to avoid.
     */
-  def deleteLightweight(cond: Column): Unit = maintenanceLock.synchronized {
-    require(projections.isEmpty && aggProjections.isEmpty,
-      "lightweight DELETE is not supported on tables with projections " +
-        "(their copies would keep serving the rows); use deleteWhere")
-    // Resolve the predicate against this table's schema (bad column refs
-    // fail analysis here, not on some later read) and take the RESOLVED
-    // condition's SQL — the stored text is re-evaluated on every read.
-    def analyzedCond(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .filter(c).queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }.getOrElse(throw new IllegalStateException(
-          "lightweight DELETE: predicate did not analyze to a filter"))
-    val resolved = analyzedCond(cond)
-    require(resolved.deterministic,
-      s"lightweight DELETE predicates must be deterministic: ${resolved.sql}")
-    val sqlStr = resolved.sql
-    // The stored TEXT must round-trip: re-parse and resolve on the same
-    // schema, or a read would fail later where the delete should have.
-    analyzedCond(expr(sqlStr))
-    refresh()
-    if (manifest.parts.isEmpty) return
-    require(
-      manifest.parts.forall(_.preds.size < ColumnarMergeTree.MaxLwDeletesPerPart),
-      s"a part already carries ${ColumnarMergeTree.MaxLwDeletesPerPart} pending " +
-        "lightweight deletes; run optimizeFinal() (OPTIMIZE TABLE … FINAL) " +
-        "to materialize them first")
-    // Marker BEFORE the tag: a SQL read planned between the two must not
-    // skip the delete-aware rewrite (a stale marker is only a cheap
-    // manifest probe, the reverse order would be a correctness hole).
-    Files.write(ColumnarMergeTree.lwMarkerPath(path), Array.emptyByteArray,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-    lock.synchronized {
-      // Tags whatever parts are live AT THE CAS — never a pre-read list:
-      // a part merged away in between must not resurface untagged (its
-      // replacement is current and gets the tag), and the closure always
-      // applies (no conflict path to retry).
-      manifest = GManifest.update(path) { cur =>
-        GManifest(cur.version, cur.parts.map(p =>
-          p.copy(deletePreds = Some((p.preds :+ sqlStr).distinct))))
-      }
+  def deleteLightweight(cond: Column): Unit =
+    tagLightweight(ColumnarMergeTree.GMut("del", resolvedCondSql(cond)))
+
+  /** ClickHouse LIGHTWEIGHT UPDATE (patch-part semantics): O(manifest) —
+    * no part is read or rewritten. Every part live at commit time is
+    * tagged with (predicate, SET expressions); reads patch matching rows
+    * on the fly (simultaneous assignment against the old row, values cast
+    * back to the column's own type), and the next part rewrite bakes the
+    * patch in physically. Ordering with lightweight DELETEs is preserved
+    * per part — an UPDATE can change what a later DELETE matches and
+    * vice versa, exactly as if each statement had run physically.
+    *
+    * Columns that feed pruning may NOT be patched: ORDER BY, PARTITION
+    * BY references, and every declared skip-index column (minmax / set /
+    * bloom / tokenbf / ngrambf) — their stored per-part statistics are
+    * not recomputed by a tag, and a pruned scan consulting stale bounds
+    * would silently miss patched rows. updateWhere (the physical
+    * rewrite) remains the path for those.
+    */
+  def updateLightweight(cond: Column, set: Map[String, Column]): Unit = {
+    require(set.nonEmpty, "updateLightweight: empty SET")
+    require(set.keys.forall(schema.fieldNames.contains),
+      s"updateLightweight: unknown columns ${set.keys.filterNot(schema.fieldNames.contains).mkString(",")}")
+    val pruningCols = orderBy.toSet ++
+      partitionBy.toSeq.flatMap(exprRefs) ++
+      config.minmaxColumns ++ config.setIndexColumns ++
+      config.bloomFilterColumns ++ config.tokenBloomColumns ++
+      config.ngramBloomColumns
+    val bad = set.keys.filter(pruningCols.contains)
+    require(bad.isEmpty,
+      s"updateLightweight: cannot patch pruning columns (${bad.mkString(",")}) " +
+        "— their per-part statistics are not recomputed by a tag; use updateWhere")
+    val sets = set.toList.sortBy(_._1).map { case (c, e) =>
+      List(c, resolvedValueSql(e))
     }
+    tagLightweight(ColumnarMergeTree.GMut("upd", resolvedCondSql(cond), Some(sets)))
   }
 
-  /** Raw part rows with pending lightweight deletes applied — the SQL
+  /** Resolve a predicate against this table's schema (bad refs fail
+    * analysis HERE, not on some later read), require determinism, and
+    * return the resolved SQL — which must itself round-trip.
+    */
+  private def resolvedCondSql(cond: Column): String = {
+    def analyzed(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      emptyProbe.filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalStateException(
+        "lightweight mutation: predicate did not analyze to a filter"))
+    val resolved = analyzed(cond)
+    require(resolved.deterministic,
+      s"lightweight mutation predicates must be deterministic: ${resolved.sql}")
+    val sqlStr = resolved.sql
+    analyzed(expr(sqlStr)) // stored text must re-parse and resolve
+    sqlStr
+  }
+
+  /** Same contract for a SET value expression (resolved via a projection
+    * instead of a filter — values are not predicates).
+    */
+  private def resolvedValueSql(value: Column): String = {
+    def analyzed(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      emptyProbe.select(c).queryExecution.analyzed.expressions.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+    val resolved = analyzed(value)
+    require(resolved.deterministic,
+      s"lightweight mutation SET expressions must be deterministic: ${resolved.sql}")
+    val sqlStr = resolved.sql
+    analyzed(expr(sqlStr))
+    sqlStr
+  }
+
+  private def emptyProbe: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Append one pending mutation to every live part — the shared
+    * O(manifest) commit behind deleteLightweight/updateLightweight.
+    */
+  private def tagLightweight(mut: ColumnarMergeTree.GMut): Unit =
+    maintenanceLock.synchronized {
+      require(projections.isEmpty && aggProjections.isEmpty,
+        "lightweight DELETE/UPDATE is not supported on tables with " +
+          "projections (their copies would keep serving the old rows); " +
+          "use deleteWhere/updateWhere")
+      refresh()
+      if (manifest.parts.isEmpty) return
+      require(
+        manifest.parts.forall(_.muts.size < ColumnarMergeTree.MaxLwMutsPerPart),
+        s"a part already carries ${ColumnarMergeTree.MaxLwMutsPerPart} pending " +
+          "lightweight mutations; run optimizeFinal() (OPTIMIZE TABLE … FINAL) " +
+          "to materialize them first")
+      // Marker BEFORE the tag: a SQL read planned between the two must
+      // not skip the mutation-aware rewrite (a stale marker is only a
+      // cheap manifest probe, the reverse order would be a correctness
+      // hole).
+      Files.write(ColumnarMergeTree.lwMarkerPath(path), Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      lock.synchronized {
+        // Tags whatever parts are live AT THE CAS — never a pre-read
+        // list: a part merged away in between must not resurface
+        // untagged (its replacement is current and gets the tag), and
+        // the closure always applies (no conflict path to retry).
+        manifest = GManifest.update(path) { cur =>
+          GManifest(cur.version, cur.parts.map(p =>
+            p.copy(pendingMuts = Some(p.muts :+ mut))))
+        }
+      }
+    }
+
+  /** Raw part rows with pending lightweight mutations applied — the SQL
     * face's read for tagged tables (MergeTreeFinalRule): file paths are
     * baked from ONE manifest (or snapshot) load, so the per-predicate
     * union is self-consistent under concurrent deletes.
@@ -2120,7 +2186,7 @@ final class ColumnarMergeTree private (
     * in-memory manifest the preceding swap refreshed.
     */
   private def clearLwMarkerIfClean(): Unit =
-    if (manifest.parts.forall(_.preds.isEmpty))
+    if (manifest.parts.forall(_.muts.isEmpty))
       Files.deleteIfExists(ColumnarMergeTree.lwMarkerPath(path))
 
   /** ONE distributed job computing per-part predicate hit counts: a single
@@ -2132,9 +2198,11 @@ final class ColumnarMergeTree private (
     * constant five operators regardless of part count, and the collected
     * result is bounded by the number of parts with ≥1 hit.
     */
-  private[graft] def hitCountPlan(parts: Seq[GPartMeta], isHit: Column): DataFrame =
-    spark.read.schema(schema)
-      .parquet(parts.map(p => s"$path/${p.dir}"): _*)
+  private[graft] def hitCountPlan(parts: Seq[GPartMeta], isHit: Column,
+      muts: Seq[ColumnarMergeTree.GMut] = Nil): DataFrame =
+    ColumnarMergeTree.applyMuts(
+      spark.read.schema(schema)
+        .parquet(parts.map(p => s"$path/${p.dir}"): _*), muts)
       .filter(isHit)
       // Group by the part DIRECTORY NAME segment (anchored to the file's
       // parent, so a part-ish substring earlier in the table path can't
@@ -2149,14 +2217,14 @@ final class ColumnarMergeTree private (
 
   private def hitCountsByPart(parts: Seq[GPartMeta], isHit: Column): Map[Long, Long] =
     if (parts.isEmpty) Map.empty
-    // One job per distinct pending-delete predicate list (almost always
-    // exactly one group): hits are counted among VISIBLE rows only, so a
-    // mutation's removed/updated counts and whole-part-drop checks agree
-    // with what readers see.
-    else parts.groupBy(_.preds).toSeq.flatMap { case (preds, ps) =>
+    // One job per distinct pending-mutation list (almost always exactly
+    // one group): hits are counted on the MUTATION-APPLIED rows — what
+    // readers see — so removed/updated counts and whole-part-drop checks
+    // can never disagree with a read, and a pending UPDATE's patched
+    // values are what the predicate tests.
+    else parts.groupBy(_.muts).toSeq.flatMap { case (muts, ps) =>
       val byDir = ps.map(p => p.dir -> p.partId).toMap
-      val eff = ColumnarMergeTree.keepCond(preds).fold(isHit)(isHit && _)
-      hitCountPlan(ps, eff).collect().iterator
+      hitCountPlan(ps, isHit, muts).collect().iterator
         .filterNot(_.isNullAt(0))
         .flatMap(r => byDir.get(r.getString(0)).map(_ -> r.getLong(1)))
     }.toMap
@@ -2193,10 +2261,10 @@ final class ColumnarMergeTree private (
       if (updated == 0L) return 0L
       val touched = live.filter(p => hitsByPart.getOrElse(p.partId, 0L) > 0L)
       val newMetas = concurrently(touched) { p =>
-        // Materialize pending lightweight deletes alongside the update
-        // (the rewritten part carries no predicates).
-        val df = ColumnarMergeTree.applyDeletePreds(
-          spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.preds)
+        // Materialize pending lightweight mutations alongside the update
+        // (the rewritten part carries none).
+        val df = ColumnarMergeTree.applyMuts(
+          spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.muts)
         // Simultaneous-assignment semantics (like ClickHouse UPDATE): every
         // SET expression evaluates against the OLD row — stage new values
         // in temp columns before any target column is replaced, so
@@ -2564,23 +2632,39 @@ object ColumnarMergeTree {
     */
   private[graft] def setIndexCanon(v: Any): String = String.valueOf(v)
 
-  /** Visibility condition under pending lightweight-delete predicates: a
-    * row is deleted when SOME predicate is TRUE; NULL evaluations keep
-    * the row (SQL WHERE semantics, the same coalesce as deleteWhere).
+  /** Apply a part's pending lightweight mutations to its rows, IN ORDER.
+    * "del" hides rows where the predicate is TRUE (NULL keeps — SQL WHERE
+    * semantics, the same coalesce as deleteWhere); "upd" replaces each
+    * set column where the predicate is TRUE, simultaneous-assignment
+    * against the old row (like updateWhere), cast back to the column's
+    * own type so a patch can never drift the part schema.
     */
-  private[graft] def keepCond(preds: Seq[String]): Option[Column] =
-    if (preds.isEmpty) None
-    else Some(!preds.map(p => coalesce(expr(p), lit(false))).reduce(_ || _))
+  private[graft] def applyMuts(df: DataFrame, muts: Seq[GMut]): DataFrame =
+    muts.foldLeft(df) { (acc, m) =>
+      m.kind match {
+        case "del" => acc.filter(!coalesce(expr(m.cond), lit(false)))
+        case "upd" =>
+          val isHit = coalesce(expr(m.cond), lit(false))
+          val sets = m.set.getOrElse(Nil).collect { case List(c, e) => (c, e) }
+          val staged = sets.zipWithIndex
+          val withNew = staged.foldLeft(acc) { case (a, ((c, e), i)) =>
+            a.withColumn(s"__lwu_$i",
+              when(isHit, expr(e).cast(a.schema(c).dataType)).otherwise(col(c)))
+          }
+          staged.foldLeft(withNew) { case (a, ((c, _), i)) =>
+            a.withColumn(c, col(s"__lwu_$i"))
+          }.select(df.columns.map(col).toIndexedSeq: _*)
+        case other => throw new IllegalStateException(
+          s"unknown pending mutation kind '$other'")
+      }
+    }
 
-  private[graft] def applyDeletePreds(df: DataFrame, preds: Seq[String]): DataFrame =
-    keepCond(preds).fold(df)(df.filter)
-
-  /** Pending lightweight deletes a part may accumulate before the table
-    * demands materialization — each predicate is re-evaluated on every
-    * read of the part, so an unbounded list would quietly turn O(manifest)
-    * deletes into an O(preds)-deep read filter.
+  /** Pending lightweight mutations a part may accumulate before the table
+    * demands materialization — each is re-evaluated on every read of the
+    * part, so an unbounded list would quietly turn O(manifest) statements
+    * into an O(muts)-deep read plan.
     */
-  private[graft] val MaxLwDeletesPerPart = 64
+  private[graft] val MaxLwMutsPerPart = 64
 
   /** Marker file flagging "this table may have pending lightweight
     * deletes" — a cheap existence probe for the SQL resolution rule, which
@@ -3006,23 +3090,25 @@ object ColumnarMergeTree {
         * absent) on default-layout parts and all pre-existing manifests.
         */
       dirName: Option[String] = None,
-      /** Lightweight-DELETE predicates pending against this part
-        * (ClickHouse `DELETE FROM`): rows matching ANY of them are hidden
-        * from every read until a part rewrite (merge / OPTIMIZE /
-        * deleteWhere / updateWhere) materializes the deletion and clears
-        * the list. Per-PART, not per-table: rows inserted after the
-        * DELETE land in new untagged parts and stay visible — the
-        * ClickHouse `_row_exists`-mask semantics, expressed as an as-of
-        * predicate. None (json4s reads missing as absent) on pre-existing
-        * manifests and on every freshly-written part.
+      /** Lightweight mutations pending against this part, IN ORDER
+        * (ClickHouse `DELETE FROM` masks / patch-part `UPDATE`s): each is
+        * applied to the part's rows at read time until a part rewrite
+        * (merge / OPTIMIZE / deleteWhere / updateWhere) materializes and
+        * clears the list. Order matters — an UPDATE can change what a
+        * later DELETE matches and vice versa. Per-PART, not per-table:
+        * rows inserted after the statement land in new untagged parts
+        * and are not subject to it — the ClickHouse `_row_exists`/patch
+        * semantics, expressed as stored as-of expressions. None (json4s
+        * reads missing as absent) on pre-existing manifests and on every
+        * freshly-written part.
         */
-      deletePreds: Option[List[String]] = None) {
+      pendingMuts: Option[List[GMut]] = None) {
 
     /** The part's directory name under the table path. */
     def dir: String = dirName.getOrElse(s"part_$partId")
 
-    /** Pending lightweight-delete predicates (empty = none). */
-    def preds: List[String] = deletePreds.getOrElse(Nil)
+    /** Pending lightweight mutations, oldest first (empty = none). */
+    def muts: List[GMut] = pendingMuts.getOrElse(Nil)
 
     /** Inclusive-range overlap. Null bounds mean the part is unbounded
       * (footer key stats were incomplete — see footerBounds): never pruned.
@@ -3079,6 +3165,15 @@ object ColumnarMergeTree {
     * tag ("long" | "double" | "string") selecting the comparison.
     */
   case class GColStat(col: String, min: String, max: String, kind: String)
+
+  /** One pending lightweight mutation: kind "del" (hide rows where `cond`
+    * is TRUE) or "upd" (replace each `set` column by its expression where
+    * `cond` is TRUE — simultaneous assignment against the OLD row). SQL
+    * strings are the RESOLVED forms validated at statement time; `set`
+    * entries are [column, expressionSql] pairs (json4s-plain shape).
+    */
+  case class GMut(kind: String, cond: String,
+                  set: Option[List[List[String]]] = None)
 
   /** Type equality ignoring nullability at every nesting level (the
     * parquet-physical view: containsNull never changes the encoding).

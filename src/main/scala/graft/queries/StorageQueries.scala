@@ -1177,6 +1177,68 @@ object StorageQueries {
 
   private val cacheLwDel = TrieMap.empty[String, String]
 
+  /** Q139 — LIGHTWEIGHT UPDATE + ordered DELETE (ClickHouse patch-part
+    * updates): events land in 4 parts; an UPDATE patches every 'view'
+    * row's value (value*2+1) in ONE manifest CAS, then a DELETE hides
+    * every row whose PATCHED value exceeds the raw corpus maximum — a
+    * threshold only patched rows can cross, so the oracle equality is
+    * also a proof the engine applies the two mutations IN ORDER (the
+    * reversed order deletes nothing). No part file is read or rewritten
+    * by either statement (SELF-ENFORCED by file fingerprints). The
+    * aggregate runs through the SQL face; values fixed-point per row
+    * before the sum.
+    */
+  def q139LightweightUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val d = cacheLwUpd.getOrElseUpdate(dir, {
+      val p = Files.createTempDirectory("mt_q139_lwu_").toString
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val rawMax = ev.agg(max("value")).head().getDouble(0)
+      val t = ColumnarMergeTree.create(spark, p, ev.schema,
+        orderBy = Seq("event_id"))
+      (0 until 4).foreach(b =>
+        t.insertBatch(ev.filter(col("event_id") % 4 === b)))
+      def files: Set[(String, Long)] = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(f => (f.toString,
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+        } finally s.close()
+      }
+      val before = files
+      t.updateLightweight(col("event_type") === lit("view"),
+        Map("value" -> (col("value") * lit(2.0) + lit(1.0))))
+      t.deleteLightweight(col("value") > lit(rawMax))
+      require(before.nonEmpty && files == before,
+        "q139: lightweight UPDATE/DELETE must not read or rewrite any data file")
+      p
+    })
+    spark.read.format("mergetree").load(d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("sum_val"))
+      .orderBy(col("event_type"))
+  }
+
+  private val cacheLwUpd = TrieMap.empty[String, String]
+
+  val q139Sql: String =
+    """WITH patched AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_type = 'view' THEN value * 2.0 + 1.0
+      |              ELSE value END AS value
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n_events,
+      | CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS sum_val
+      |FROM patched
+      |WHERE NOT coalesce(value > (SELECT max(value) FROM events), FALSE)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q138Sql: String =
     """SELECT event_type, count(*) AS n_events,
       | CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
@@ -1320,5 +1382,6 @@ object StorageQueries {
     ("q135_bucket_mix_spj", q135BucketMixSpj _, Some(q135Sql)),
     ("q136_runtime_prune", q136RuntimePrune _, Some(q136Sql)),
     ("q137_zorder_scan", q137ZOrderScan _, Some(q137Sql)),
-    ("q138_lightweight_delete", q138LightweightDelete _, Some(q138Sql)))
+    ("q138_lightweight_delete", q138LightweightDelete _, Some(q138Sql)),
+    ("q139_lightweight_update", q139LightweightUpdate _, Some(q139Sql)))
 }

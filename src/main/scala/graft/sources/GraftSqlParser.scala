@@ -309,7 +309,16 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.expr
       val tbl = open(spark, t)
-      Seq(Row(tbl.updateWhere(expr(cond), sets.map { case (c, e) => c -> expr(e) }.toMap)))
+      val setMap = sets.map { case (c, e) => c -> expr(e) }.toMap
+      // `SET spark.graft.lightweightUpdate=true` routes the mutation to
+      // the O(manifest) patch path (ClickHouse lightweight update): rows
+      // patch at read, the next merge materializes. No count — counting
+      // would cost the scan the fast path exists to avoid.
+      val lightweight = try {
+        spark.conf.get("spark.graft.lightweightUpdate", "false").toBoolean
+      } catch { case scala.util.control.NonFatal(_) => false }
+      if (lightweight) { tbl.updateLightweight(expr(cond), setMap); Seq(Row(-1L)) }
+      else Seq(Row(tbl.updateWhere(expr(cond), setMap)))
     }
   }
 

@@ -44,7 +44,7 @@ class LightweightDeleteSpec extends AnyFunSuite {
     val before = dataFiles(dir)
     t.deleteLightweight(col("grp") === 1)
     assert(dataFiles(dir) == before, "lightweight delete is manifest-only")
-    assert(t.parts.forall(_.preds.nonEmpty), "every live part is tagged")
+    assert(t.parts.forall(_.muts.nonEmpty), "every live part is tagged")
     // API face
     assert(t.scan().count() == 75)
     assert(t.rangeScan(0L, 20L).count() == 21 - 5) // grp1 in [0,20]: 1,5,9,13,17
@@ -84,7 +84,7 @@ class LightweightDeleteSpec extends AnyFunSuite {
     t.deleteLightweight(col("grp") === 1)
     assert(ColumnarMergeTree.hasLwMarker(dir))
     t.optimizeFinal()
-    assert(t.parts.forall(_.preds.isEmpty), "materialized parts carry no tags")
+    assert(t.parts.forall(_.muts.isEmpty), "materialized parts carry no tags")
     assert(!ColumnarMergeTree.hasLwMarker(dir), "marker cleared once clean")
     // physically gone: read the part files directly, no engine filter
     val raw = spark.read.parquet(
@@ -102,7 +102,7 @@ class LightweightDeleteSpec extends AnyFunSuite {
       df.filter(col("k") >= b * 20 && col("k") < (b + 1) * 20)))
     t.deleteLightweight(col("grp") === 2)
     t.optimize() // 6 parts > maxParts 2 -> bins merge
-    assert(t.parts.forall(_.preds.isEmpty))
+    assert(t.parts.forall(_.muts.isEmpty))
     val raw = spark.read.parquet(t.parts.map(p => s"$dir/${p.dir}"): _*)
     assert(raw.filter(col("grp") === 2).count() == 0)
     assert(t.scan().count() == 80)
@@ -116,7 +116,7 @@ class LightweightDeleteSpec extends AnyFunSuite {
     // neither ever resurrects.
     val removed = t.deleteWhere(col("grp") === 2)
     assert(removed == 25, "count is of visible rows")
-    assert(t.parts.forall(_.preds.isEmpty))
+    assert(t.parts.forall(_.muts.isEmpty))
     assert(t.scan().count() == 50)
     assert(t.scan().filter(col("grp").isin(1, 2)).count() == 0)
   }
@@ -135,11 +135,11 @@ class LightweightDeleteSpec extends AnyFunSuite {
     // leaves it alone — still tagged, its rows still hidden, the next
     // merge materializes it. The touched part's rewrite cleared its tag.
     assert(t.parts.size == 2)
-    assert(t.parts.count(_.preds.nonEmpty) == 1)
+    assert(t.parts.count(_.muts.nonEmpty) == 1)
     assert(t.scan().count() == 10 &&
       t.scan().filter(col("v") === 9.0).count() == 10)
     t.optimizeFinal()
-    assert(t.parts.forall(_.preds.isEmpty) && t.scan().count() == 10)
+    assert(t.parts.forall(_.muts.isEmpty) && t.scan().count() == 10)
   }
 
   test("snapshot time travel is as-of: pre-delete snapshots still see the rows") {
@@ -214,7 +214,7 @@ class LightweightDeleteSpec extends AnyFunSuite {
       t.deleteLightweight(col("nope") === 1))
 
     val (_, tc) = mkTable()
-    (0 until graft.mergetree.ColumnarMergeTree.MaxLwDeletesPerPart).foreach(i =>
+    (0 until graft.mergetree.ColumnarMergeTree.MaxLwMutsPerPart).foreach(i =>
       tc.deleteLightweight(col("k") === (1000L + i)))
     val e3 = intercept[IllegalArgumentException](
       tc.deleteLightweight(col("k") === 9999L))
