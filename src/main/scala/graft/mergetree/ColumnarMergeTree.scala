@@ -2142,10 +2142,10 @@ final class ColumnarMergeTree private (
         s"a part already carries ${ColumnarMergeTree.MaxLwMutsPerPart} pending " +
           "lightweight mutations; run optimizeFinal() (OPTIMIZE TABLE … FINAL) " +
           "to materialize them first")
-      // Marker BEFORE the tag: a SQL read planned between the two must
-      // not skip the mutation-aware rewrite (a stale marker is only a
-      // cheap manifest probe, the reverse order would be a correctness
-      // hole).
+      // Marker BEFORE the tag, so the advisory can claim "marker present
+      // whenever live parts are tagged" (a stale marker is harmless; the
+      // reverse order would leave a tagged-but-unmarked window). Reads
+      // never depend on it — the scan applies muts from the manifest.
       Files.write(ColumnarMergeTree.lwMarkerPath(path), Array.emptyByteArray,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
@@ -2161,10 +2161,11 @@ final class ColumnarMergeTree private (
       }
     }
 
-  /** Raw part rows with pending lightweight mutations applied — the SQL
-    * face's read for tagged tables (MergeTreeFinalRule): file paths are
-    * baked from ONE manifest (or snapshot) load, so the per-predicate
-    * union is self-consistent under concurrent deletes.
+  /** Raw part rows with pending lightweight mutations applied, file paths
+    * baked from ONE manifest (or snapshot) load so the per-predicate union
+    * is self-consistent under concurrent deletes. An engine-face utility:
+    * the SQL/DSv2 face no longer routes through it — the connector scan
+    * applies mutations itself (MutProgram) and keeps part pruning.
     */
   private[graft] def visibleRawScan(snapshotSeq: Option[Long]): DataFrame =
     snapshotSeq match {
@@ -2181,13 +2182,23 @@ final class ColumnarMergeTree private (
         readParts(m.parts)
     }
 
-  /** Remove the lightweight-delete marker once no live part carries a
-    * pending predicate (called after materializing rewrites). Reads the
-    * in-memory manifest the preceding swap refreshed.
+  /** Remove the lightweight-delete marker once no part carries a pending
+    * predicate (called after materializing rewrites). The marker is
+    * ADVISORY — every read face applies mutations from the manifest
+    * (engine readParts, DSv2 MutProgram) — so a stale or missing marker
+    * can never corrupt an answer. Still, keep it honest: re-read the
+    * ON-DISK manifest (a concurrent handle may have tagged parts after
+    * this instance's refresh — the cross-instance race is decided by the
+    * disk state, not this handle's memory) and count detached parts too
+    * (an ATTACH would bring their tags back live).
     */
-  private def clearLwMarkerIfClean(): Unit =
-    if (manifest.parts.forall(_.muts.isEmpty))
+  private def clearLwMarkerIfClean(): Unit = {
+    val diskClean = GManifest.load(path)
+      .forall(_.parts.forall(_.muts.isEmpty))
+    val detachedClean = DetachedSet.load(path).forall(_.muts.isEmpty)
+    if (diskClean && detachedClean)
       Files.deleteIfExists(ColumnarMergeTree.lwMarkerPath(path))
+  }
 
   /** ONE distributed job computing per-part predicate hit counts: a single
     * multi-path scan of every candidate part, grouped by the part id parsed
@@ -2526,6 +2537,15 @@ final class ColumnarMergeTree private (
     require(missing.isEmpty, s"detached parts ${missing.map(_.partId).mkString(",")} " +
       s"of partition '$value' are gone from disk")
     var attached = List.empty[GPartMeta]
+    // Marker BEFORE the re-link (same order as tagLightweight): attached
+    // parts may carry lightweight-mutation tags captured at DETACH time —
+    // the advisory marker must cover them the moment they go live, even
+    // though no read face depends on it for correctness (the scan applies
+    // muts from the manifest itself).
+    if (candidates.exists(_.muts.nonEmpty))
+      Files.write(ColumnarMergeTree.lwMarkerPath(path), Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     lock.synchronized {
       manifest = GManifest.update(path) { cur =>
         val live = cur.parts.map(_.partId).toSet
@@ -2666,13 +2686,15 @@ object ColumnarMergeTree {
     */
   private[graft] val MaxLwMutsPerPart = 64
 
-  /** Marker file flagging "this table may have pending lightweight
-    * deletes" — a cheap existence probe for the SQL resolution rule, which
-    * must not pay a manifest read per relation per fixpoint iteration on
-    * the 99% of tables that never saw a DELETE. Created when a delete
-    * tags parts; removed by the maintenance op that materializes the last
-    * pending predicate. A stale marker (crash between materialize and
-    * remove) only costs one manifest read, never correctness.
+  /** ADVISORY marker file flagging "this table may have pending
+    * lightweight mutations" — an observability hint (and a cheap probe for
+    * tooling), NOT a correctness gate: every read face applies pending
+    * mutations from the manifest it plans against (engine readParts, DSv2
+    * MutProgram), so a missing or stale marker can never change an answer.
+    * Created when a statement tags parts (and when ATTACH re-links tagged
+    * parts); removed by the maintenance op that materializes the last
+    * pending predicate, checked against the ON-DISK manifest and the
+    * detached set.
     */
   private[graft] def lwMarkerPath(tablePath: String): java.nio.file.Path =
     Paths.get(tablePath, "_lw_deletes")

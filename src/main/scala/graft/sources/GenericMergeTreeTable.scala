@@ -473,11 +473,15 @@ class GenericScanBuilder(path: String, tableSchema: StructType, orderBy: Seq[Str
         // Projection-routed scans read a DIFFERENT table whose manifest
         // bounds cover only the routed column — runtime filters on it
         // prune as the projection's leading key; nothing else is known.
-        new GenericMergeTreeScanImpl(projPath, required, c, tableSchema(c).dataType,
+        // (Projection targets are never mut-tagged: lightweight mutations
+        // refuse tables with projections.)
+        new GenericMergeTreeScanImpl(projPath, required, tableSchema,
+          c, tableSchema(c).dataType,
           los.get(c), his.get(c), wantedPartitions, snapshotSeq,
           rtCols = Map(c -> (RtLeadKey, tableSchema(c).dataType)))
       case None =>
-        new GenericMergeTreeScanImpl(path, required, leadKey, leadType, lo, hi,
+        new GenericMergeTreeScanImpl(path, required, tableSchema,
+          leadKey, leadType, lo, hi,
           wantedPartitions, snapshotSeq, mmBounds, setEquals.toMap, spjSpec,
           rtCols)
     }
@@ -518,6 +522,7 @@ private[sources] final case class BucketSpj(n: Int, col: String) extends SpjSpec
 class GenericMergeTreeScanImpl(
     path: String,
     required: StructType,
+    tableSchema: StructType,
     leadKey: String,
     leadType: org.apache.spark.sql.types.DataType,
     lo: Option[Any],
@@ -653,7 +658,11 @@ class GenericMergeTreeScanImpl(
         p.overlaps(lo.getOrElse(p.minKey), hi.getOrElse(p.maxKey)))
     }
     // Minmax skip-index pruning: per-part bounds on pushed non-key range
-    // predicates; parts without bounds for a column are kept.
+    // predicates; parts without bounds for a column are kept. Every prune
+    // layer stays sound under pending lightweight mutations: DELETEs only
+    // remove rows, and updateLightweight REFUSES to patch any column that
+    // feeds pruning (ORDER BY, PARTITION BY refs, every skip-index column)
+    // precisely so stored per-part statistics never go stale against a tag.
     val inBounds =
       if (colBounds.isEmpty) inKeyRange
       else inKeyRange.filter(p => colBounds.forall { case (c, (l, h)) =>
@@ -720,7 +729,12 @@ class GenericMergeTreeScanImpl(
       if (!enabled) None
       else {
         val keep = surviving(manifestParts)
-        if (keep.isEmpty || keep.exists(_.partition.isEmpty)) None
+        // Pending lightweight mutations disable SPJ grouping for the scan:
+        // the mut program runs row-based per part and correctness must
+        // never wait on a marker/rule — the join shuffles until the next
+        // merge materializes the tags (mutations are transient by design).
+        if (keep.isEmpty || keep.exists(_.partition.isEmpty) ||
+            keep.exists(_.muts.nonEmpty)) None
         else Some(keep.groupBy(_.partition.get).toSeq.sortBy(_._1)
           .map { case (v, ps) => (typedPartitionKey(v, spec), ps) })
       }
@@ -800,8 +814,27 @@ class GenericMergeTreeScanImpl(
         val live = manifestParts
         val keep = surviving(live)
         GenericMergeTreeScan.lastPruning.set((keep.size, live.size))
-        keep.flatMap(p => parquetFiles(p).map(f =>
-          MergeTreePartition(f): InputPartition)).toArray
+        if (keep.forall(_.muts.isEmpty))
+          keep.flatMap(p => parquetFiles(p).map(f =>
+            MergeTreePartition(f): InputPartition)).toArray
+        else {
+          // Pending lightweight mutations: the scan applies them ITSELF —
+          // `format("mergetree")` needs no analyzer rule, and snapshot/
+          // attach paths inherit correctness from the manifest the scan
+          // plans from. One program compile per DISTINCT mutation list;
+          // untagged parts ride along row-based with an empty program
+          // (Spark forbids mixing columnar and row partitions in a scan).
+          val spark = SparkSession.active
+          val programs: Map[List[ColumnarMergeTree.GMut], (StructType, Seq[MutStage])] =
+            keep.map(_.muts).distinct
+              .map(ms => ms -> MutProgram.compile(spark, tableSchema, required, ms))
+              .toMap
+          keep.flatMap { p =>
+            val (readSchema, stages) = programs(p.muts)
+            parquetFiles(p).map(f =>
+              MergeTreeMutPartition(f, readSchema, stages): InputPartition)
+          }.toArray
+        }
     }
   }
 
@@ -854,18 +887,31 @@ class GenericReaderFactory(
     filter: Option[FilterPredicate])
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // Mut partitions are row-based (interpreted per-row programs); a scan
+  // emits either all-plain or all-mut partitions, so Spark's no-mixing
+  // invariant holds by construction.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !partition.isInstanceOf[MergeTreeMutPartition]
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
       case MergeTreePartition(f) => new ParquetColumnarReader(f, required, filter)
       case MergeTreeGroupedPartition(files, _) =>
         new ChainedColumnarReader(files, required, filter)
+      case other => throw new UnsupportedOperationException(
+        s"no columnar reader for ${other.getClass.getSimpleName}")
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    throw new UnsupportedOperationException(
-      "mergetree-generic scan is columnar; row reader is never planned")
+    partition match {
+      case MergeTreeMutPartition(f, readSchema, stages) =>
+        // The pushed range predicate stays valid on mut parts: it names
+        // only the leading ORDER BY key, which lightweight UPDATE refuses
+        // to patch (row-group skip is sound on pre-patch values).
+        new MutRowReader(f, readSchema, filter, stages, required)
+      case _ => throw new UnsupportedOperationException(
+        "mergetree-generic scan is columnar; row reader is never planned")
+    }
 }
 
 /** Sequential chain of per-file columnar readers — the reader behind a

@@ -534,10 +534,12 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def needsRewrite(rel: DataSourceV2Relation): Boolean = rel.table match {
     case t: GenericMergeTreeV2Table =>
       val (fin, samp, _) = effective(rel, t)
-      (fin && hasCollapse(t.path)) || samp.exists(f => f._1 != f._2) ||
-        // Pending lightweight deletes: the read must hide tagged rows.
-        // The marker file keeps this a cheap stat() on untouched tables.
-        ColumnarMergeTree.hasLwMarker(t.path)
+      // Pending lightweight mutations need NO rewrite: the connector's
+      // scan applies them itself from the manifest it plans against
+      // (MutProgram), so standalone format("mergetree") sessions, snapshot
+      // time travel, and detach/attach round trips are all mut-correct
+      // without this rule — and part pruning survives pending deletes.
+      (fin && hasCollapse(t.path)) || samp.exists(f => f._1 != f._2)
     case _ => false
   }
 
@@ -558,18 +560,11 @@ class MergeTreeFinalRule(session: SparkSession) extends Rule[LogicalPlan] {
     // time-travel read applies to the parts of THAT snapshot, matching
     // scanAt.
     val reader = session.read.format("mergetree")
-    val raw =
-      if (ColumnarMergeTree.hasLwMarker(table.path))
-        // Pending lightweight deletes: read through the engine's own
-        // part funnel (one parquet scan per distinct predicate list,
-        // keep-filters applied, file paths baked from one manifest load —
-        // self-consistent under concurrent deletes). Part-level manifest
-        // pruning is traded away only while deletes are pending; the next
-        // merge materializes them and the plain relation path returns.
-        ColumnarMergeTree.open(session, table.path).visibleRawScan(snapshotSeq)
-      else snapshotSeq
-        .fold(reader)(s => reader.option("snapshot", s.toString))
-        .load(table.path)
+    // The inner relation is mut-correct by itself (the connector scan
+    // applies pending lightweight mutations); FINAL/SAMPLE compose on top.
+    val raw = snapshotSeq
+      .fold(reader)(s => reader.option("snapshot", s.toString))
+      .load(table.path)
     val collapsed =
       if (fin && hasCollapse(table.path))
         ColumnarMergeTree.applyMode(
