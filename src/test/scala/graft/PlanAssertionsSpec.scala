@@ -161,9 +161,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"both windows and the per-user aggregate must reuse one user shuffle:\n$p")
   }
 
-  test("q71: dictGet plans a literal map lookup, not a join") {
+  test("q71: dictGet plans a codegen map probe, not a join and not a UDF") {
     val p = plan(AnalyticQueries.q71DictGet(spark, dir))
     assert(!p.contains("Join"), s"dictGet must not plan a join:\n$p")
+    assert(p.contains("static_invoke"),
+      s"dictGet must compile to the StaticInvoke map probe:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"dictGet must not route through a Scala UDF:\n$p")
   }
 
   test("q74: calendar spine joins broadcast, fact side aggregates first") {
