@@ -160,7 +160,11 @@ final class ColumnarMergeTree private (
           try Thread.sleep(config.mergeIntervalSeconds * 1000L)
           catch { case _: InterruptedException => }
           if (!closed) {
-            try optimize()
+            // Compaction first (it materializes tags in whatever it merges
+            // anyway), then fold the remaining pending mutations: a table
+            // UNDER maxParts otherwise never merges, so its tags would sit
+            // until the per-part cap refuses the next statement.
+            try { optimize(); materializePendingMutations() }
             catch {
               case e: Throwable if !closed =>
                 System.err.println(s"[cmt-bg] merge round failed, retrying: $e")
@@ -2310,6 +2314,42 @@ final class ColumnarMergeTree private (
       rebuildAggProjections()
       clearLwMarkerIfClean()
       updated
+    }
+
+  /** Fold pending lightweight mutations into their parts (ClickHouse's
+    * background mutation task, the half the lazy merge path can't reach):
+    * every live part carrying ≥ `minMuts` pending predicates is rewritten
+    * with its tags applied — concurrently, one rewrite per part, swapped in
+    * ONE CAS. Compaction already materializes whatever it merges; this
+    * pass exists for tables UNDER maxParts, whose tags would otherwise
+    * accumulate until the per-part cap refuses the next statement. The
+    * background worker calls it every wake, so statements landing within
+    * one interval coalesce into a single rewrite per part — the write cost
+    * of an explicit OPTIMIZE FINAL, amortized by the merge cadence, never
+    * paid on the statement itself. Returns the number of parts rewritten.
+    */
+  def materializePendingMutations(minMuts: Int = 1): Int =
+    maintenanceLock.synchronized {
+      refresh()
+      val tagged = manifest.parts.filter(_.muts.size >= math.max(1, minMuts))
+      if (tagged.isEmpty) { clearLwMarkerIfClean(); return 0 }
+      val newMetas = concurrently(tagged) { p =>
+        val df = ColumnarMergeTree.applyMuts(
+          spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.muts)
+        // Mutations are row-level filters/patches over non-ORDER-BY
+        // columns: the part's sort order survives, same as updateWhere.
+        writePart(df, 0, register = false, partition = p.partition)
+      }
+      // All-hidden parts rewrite to 0 rows — drop them (see deleteWhere).
+      val (kept, emptyNew) = newMetas.partition(_.rowCount > 0)
+      emptyNew.foreach(m =>
+        MergeTreeTable.deleteRecursively(Paths.get(s"$path/${m.dir}")))
+      intentDrop(emptyNew.map(_.dir))
+      if (!swapParts(tagged, kept, kept))
+        throw new java.util.ConcurrentModificationException(
+          "materializePendingMutations raced another maintenance op; retry")
+      clearLwMarkerIfClean()
+      tagged.size
     }
 
   /** Eager TTL pass: drop every currently-expired row right now (ClickHouse

@@ -73,6 +73,32 @@ class BackgroundWorkerSpec extends AnyFunSuite {
     t.shutdown()
   }
 
+  test("background worker materializes pending lightweight mutations under maxParts") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("cmt_bg_lw_").toString
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") % 4).cast("long").as("grp"), (col("id") * 1.0).as("v"))
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"),
+      // maxParts ABOVE the part count: compaction alone would never touch
+      // these parts, so convergence proves the materialization pass.
+      config = MergeTreeConfig(maxParts = 10, enableBackgroundMerge = true,
+        mergeIntervalSeconds = 1))
+    t.insertBatch(df.filter(col("k") < 50))
+    t.insertBatch(df.filter(col("k") >= 50))
+    t.deleteLightweight(col("grp") === 1)
+    t.updateLightweight(col("grp") === 2, Map("v" -> lit(-1.0)))
+    assert(waitUntil(60000) {
+      t.refresh(); t.parts.nonEmpty && t.parts.forall(_.muts.isEmpty)
+    }, s"tags never materialized: ${t.parts.map(_.muts.size)}")
+    assert(!ColumnarMergeTree.hasLwMarker(dir), "advisory marker cleared")
+    // Physically applied: raw parquet (no engine filter) shows the folds.
+    val raw = spark.read.parquet(t.parts.map(p => s"$dir/${p.dir}"): _*)
+    assert(raw.count() == 75 && raw.filter(col("grp") === 1).count() == 0)
+    assert(raw.filter(col("v") === -1.0).count() == 25)
+    assert(t.scan().count() == 75, "the answer never changes")
+    t.shutdown()
+  }
+
   test("parts landed while optimize() is compacting survive the manifest swap") {
     val t = MergeTreeTable.create(spark,
       Files.createTempDirectory("mt_race_").toString,
