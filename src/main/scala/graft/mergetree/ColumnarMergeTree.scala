@@ -3518,8 +3518,12 @@ object ColumnarMergeTree {
     // every commit publishes the FULL manifest state as its own immutable
     // numbered file, losers of a sequence number detect the conflict and
     // retry on the fresh state (optimistic CAS, the delta-log commit
-    // shape). Local put-if-absent is Files.createLink (atomic, EEXIST on
-    // conflict); an object-store deployment swaps in conditional-put.
+    // shape). Every commit-object operation routes through the pluggable
+    // [[CommitBackend]] (CommitBackends registry): the default is the
+    // local hard-link conditional put (atomic, EEXIST on conflict); an
+    // object-store deployment registers its conditional-put adapter and
+    // the whole protocol carries over (ManifestLogSpec races writers
+    // through the in-memory fake to pin the contract).
     // Commits double as the snapshot log (each file IS a full snapshot —
     // SnapshotLog serves time travel straight from it); compaction deletes
     // commits older than the latest LogKeep, bounding the directory.
@@ -3546,26 +3550,17 @@ object ColumnarMergeTree {
         }
       }
 
-    private def commitFile(tablePath: String, seq: Long) =
-      Paths.get(tablePath, LogDirName, f"$seq%020d.json")
+    private def logDir(tablePath: String) = Paths.get(tablePath, LogDirName)
+    private def commitName(seq: Long) = f"$seq%020d.json"
 
-    private[mergetree] def logSeqs(tablePath: String): Seq[Long] = {
-      val d = Paths.get(tablePath, LogDirName)
-      if (!Files.isDirectory(d)) Nil
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.endsWith(".json") && !n.startsWith("."))
-          .map(_.stripSuffix(".json").toLong).toList
-        finally s.close()
-      }
-    }
+    private[mergetree] def logSeqs(tablePath: String): Seq[Long] =
+      CommitBackends.forTable(tablePath).list(logDir(tablePath))
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json").toLong)
 
-    private[mergetree] def loadLogAt(tablePath: String, seq: Long): Option[GManifest] = {
-      val f = commitFile(tablePath, seq)
-      if (!Files.exists(f)) None
-      else Some(JsonMethods.parse(Files.readString(f)).extract[GManifest])
-    }
+    private[mergetree] def loadLogAt(tablePath: String, seq: Long): Option[GManifest] =
+      CommitBackends.forTable(tablePath).read(logDir(tablePath), commitName(seq))
+        .map(s => JsonMethods.parse(s).extract[GManifest])
 
     /** Latest (seq, state); (0, empty) on a fresh log. Re-lists if the
       * chosen commit is compacted away mid-read (only ever an OLD one).
@@ -3575,28 +3570,25 @@ object ColumnarMergeTree {
         val seqs = logSeqs(tablePath)
         if (seqs.isEmpty) return (0L, GManifest(0L, Nil))
         val mx = seqs.max
-        try return (mx, JsonMethods.parse(
-          Files.readString(commitFile(tablePath, mx))).extract[GManifest])
-        catch { case _: java.nio.file.NoSuchFileException => () }
+        loadLogAt(tablePath, mx) match {
+          case Some(m) => return (mx, m)
+          case None    => () // compacted away mid-read: re-list
+        }
       }
       throw new IllegalStateException("unreachable")
     }
 
     /** Atomic put-if-absent of commit `seq`: true iff WE published it. */
-    private def tryPublish(tablePath: String, m: GManifest, seq: Long): Boolean = {
-      val dir = Paths.get(tablePath, LogDirName)
-      val tmp = Files.createTempFile(dir, ".commit_", ".tmp")
-      try {
-        Files.writeString(tmp, Serialization.writePretty(m))
-        Files.createLink(commitFile(tablePath, seq), tmp)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      finally Files.deleteIfExists(tmp)
-    }
+    private def tryPublish(tablePath: String, m: GManifest, seq: Long): Boolean =
+      CommitBackends.forTable(tablePath).putIfAbsent(
+        logDir(tablePath), commitName(seq),
+        Serialization.writePretty(m)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     private def compactLog(tablePath: String, latest: Long): Unit =
       logSeqs(tablePath).filter(_ <= latest - LogKeep)
-        .foreach(s => Files.deleteIfExists(commitFile(tablePath, s)))
+        .foreach(s => CommitBackends.forTable(tablePath)
+          .delete(logDir(tablePath), commitName(s)))
 
     def load(tablePath: String): Option[GManifest] =
       if (logMode(tablePath)) {
