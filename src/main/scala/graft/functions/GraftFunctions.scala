@@ -688,20 +688,75 @@ object MortonCodec {
 
   def decodeX(code: Long): Long = compact(code)
   def decodeY(code: Long): Long = compact(code >>> 1)
+
+  /** Bits available per coordinate at arity n (the 64-bit code divides
+    * evenly only at n∈{1,2,4,8}; other arities waste the top 64 mod n
+    * bits, same as ClickHouse).
+    */
+  def bitsPerCoord(n: Int): Int = 64 / n
+
+  /** N-ary interleave (ClickHouse mortonEncode takes up to 8 columns):
+    * bit j of coordinate i lands at code bit j·n + i, so coordinate 0 is
+    * the 2-D x and coordinate 1 the 2-D y — encodeN(Array(x, y)) ==
+    * encode(x, y) bit for bit (the 2-ary case routes through the
+    * magic-number fast path). Out-of-range coordinates fail loudly, as in
+    * the binary case.
+    */
+  def encodeN(coords: Array[Long]): Long = {
+    val n = coords.length
+    require(n >= 2 && n <= 8, s"morton_encode arity must be 2..8, got $n")
+    if (n == 2) return encode(coords(0), coords(1))
+    val bits = bitsPerCoord(n)
+    var code = 0L
+    var i = 0
+    while (i < n) {
+      val v = coords(i)
+      if ((v >>> bits) != 0) throw new IllegalArgumentException(
+        s"morton_encode: coordinate $i must fit in unsigned $bits bits " +
+          s"at arity $n, got $v")
+      var j = 0
+      while (j < bits) {
+        code |= ((v >>> j) & 1L) << (j * n + i)
+        j += 1
+      }
+      i += 1
+    }
+    code
+  }
+
+  /** Inverse of [[encodeN]]: the n coordinates packed into `code`. */
+  def decodeN(n: Int, code: Long): Array[Long] = {
+    require(n >= 2 && n <= 8, s"morton_decode arity must be 2..8, got $n")
+    if (n == 2) return Array(decodeX(code), decodeY(code))
+    val bits = bitsPerCoord(n)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var j = 0
+      while (j < bits) {
+        v |= ((code >>> (j * n + i)) & 1L) << j
+        j += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    out
+  }
 }
 
-/** ClickHouse `mortonEncode(x, y)`: the 64-bit Z-order (Morton) code of
-  * two unsigned 32-bit coordinates — bit i of x lands at code bit 2i, bit
-  * i of y at 2i+1. Sorting by the code clusters rows so that a rectangle
-  * in (x, y) space touches few sort ranges: a table ORDER BY the code
-  * with minmax sidecars on BOTH source columns prunes parts on either
-  * predicate — multi-dimensional primary-key economics from one sort
-  * order (keep coordinates below 2^31 when the code feeds a SIGNED
+/** ClickHouse `mortonEncode(x₁, …, xₙ)` (n = 2..8, ClickHouse's arity):
+  * the 64-bit Z-order (Morton) code of n unsigned ⌊64/n⌋-bit coordinates —
+  * bit j of coordinate i lands at code bit j·n + i. Sorting by the code
+  * clusters rows so that a hyper-rectangle in coordinate space touches few
+  * sort ranges: a table ORDER BY the code with minmax sidecars on EVERY
+  * source column prunes parts on any dimension's predicate —
+  * multi-dimensional primary-key economics from one sort order (keep the
+  * first coordinate below 2^31 at n=2 when the code feeds a SIGNED
   * ordering such as a mergetree ORDER BY; the top interleaved bit would
   * otherwise flip the long's sign). Codegen'd; null in → null out.
   */
-case class MortonEncode(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class MortonEncode(children: Seq[Expression]) extends Expression {
 
   private def integral(dt: DataType): Boolean = dt match {
     case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
@@ -710,59 +765,95 @@ case class MortonEncode(left: Expression, right: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(e => integral(e.dataType))) TypeCheckResult.TypeCheckSuccess
+    if (children.size < 2 || children.size > 8)
+      TypeCheckResult.TypeCheckFailure(
+        s"morton_encode takes 2 to 8 coordinates, got ${children.size}")
+    else if (children.forall(e => integral(e.dataType)))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"morton_encode requires integral coordinates, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
-
+  override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "morton_encode"
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    MortonCodec.encode(l.asInstanceOf[Number].longValue(),
-      r.asInstanceOf[Number].longValue())
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val coords = new Array[Long](children.size)
+    var i = 0
+    while (i < coords.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      coords(i) = v.asInstanceOf[Number].longValue()
+      i += 1
+    }
+    MortonCodec.encodeN(coords)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.MortonCodec.encode($a, $b);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val coords = ctx.freshName("mortonCoords")
+    val evals = children.map(_.genCode(ctx))
+    val fill = evals.zipWithIndex.map { case (c, i) =>
+      s"""
+         |if (!${ev.isNull}) {
+         |  ${c.code}
+         |  if (${c.isNull}) { ${ev.isNull} = true; }
+         |  else { $coords[$i] = (long) ${c.value}; }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        |boolean ${ev.isNull} = false;
+        |long ${ev.value} = -1L;
+        |long[] $coords = new long[${children.size}];
+        |$fill
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.functions.MortonCodec.encodeN($coords);
+        |}
+       """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }
 
-/** ClickHouse `mortonDecode(2, code)`: the inverse of [[MortonEncode]] —
-  * array(x, y) recovered from a Z-order code. Round-trip identity:
-  * morton_decode(morton_encode(x, y)) == array(x, y) for all in-range
-  * coordinates.
+/** ClickHouse `mortonDecode(n, code)`: the inverse of [[MortonEncode]] —
+  * array(x₁, …, xₙ) recovered from a Z-order code. Round-trip identity:
+  * morton_decode(n, morton_encode(x₁, …, xₙ)) == array(x₁, …, xₙ) for all
+  * in-range coordinates; the 1-argument SQL form defaults to n = 2. The
+  * arity is a plan constant (ClickHouse takes it as a literal too), not a
+  * child expression.
   */
-case class MortonDecode(child: Expression)
+case class MortonDecode(child: Expression, n: Int = 2)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"morton_decode requires a bigint code, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 2 || n > 8) TypeCheckResult.TypeCheckFailure(
+      s"morton_decode arity must be 2..8, got $n")
+    else child.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"morton_decode requires a bigint code, got ${other.simpleString}")
+    }
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
   override def prettyName: String = "morton_decode"
 
-  override def nullSafeEval(v: Any): Any = {
-    val c = v.asInstanceOf[Number].longValue()
+  override def nullSafeEval(v: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array[Any](MortonCodec.decodeX(c), MortonCodec.decodeY(c)))
-  }
+      MortonCodec.decodeN(n, v.asInstanceOf[Number].longValue())
+        .map(x => x: Any))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  new Object[]{ graft.functions.MortonCodec.decodeX($c),
-         |                graft.functions.MortonCodec.decodeY($c) });
+         |  graft.functions.MortonCodec.decodeN($n, (long) $c));
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -777,15 +868,30 @@ object GraftFunctions {
   private val mortonEncodeInfo = new ExpressionInfo(
     classOf[MortonEncode].getName, "morton_encode")
   private val mortonEncodeBuilder: Seq[Expression] => Expression = { children =>
-    require(children.size == 2, "morton_encode takes (x, y)")
-    MortonEncode(children.head, children(1))
+    require(children.size >= 2 && children.size <= 8,
+      "morton_encode takes 2 to 8 coordinates")
+    MortonEncode(children)
   }
 
   private val mortonDecodeInfo = new ExpressionInfo(
     classOf[MortonDecode].getName, "morton_decode")
-  private val mortonDecodeBuilder: Seq[Expression] => Expression = { children =>
-    require(children.size == 1, "morton_decode takes (code)")
-    MortonDecode(children.head)
+  private val mortonDecodeBuilder: Seq[Expression] => Expression = {
+    case Seq(code) => MortonDecode(code)
+    case Seq(n, code) =>
+      // ClickHouse argument order: mortonDecode(arity, code); the arity is
+      // a plan constant, so it must fold at build time.
+      val integralArity = n.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      require(n.foldable && integralArity,
+        "morton_decode arity must be an integer literal")
+      MortonDecode(code, n.eval().asInstanceOf[Number].intValue())
+    case other => throw new IllegalArgumentException(
+      s"morton_decode takes (code) or (arity, code), got ${other.size} args")
   }
 
   private val cosineInfo = new ExpressionInfo(

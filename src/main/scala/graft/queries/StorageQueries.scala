@@ -1049,24 +1049,28 @@ object StorageQueries {
       val src = zOrderSrc(spark, dir)
         .withColumn("zval",
           call_function("morton_encode", col("o_custkey"), col("o_day")))
-      val n = src.count()
-      // Build-time layout: ONE global z-sort cut into 16 equal ranges
-      // (each insertBatch = one part whose zval span is contiguous). The
-      // demo table is small; at 100 TB the same layout falls out of
-      // repartitionByRange(zval) with one part written per range — no
-      // single-partition window anywhere near the corpus.
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("zval"), col("o_custkey"), col("o_day"))
-      val bucketed = src.withColumn("b",
-        ((row_number().over(w).cast("long") - 1L) * 16L / n).cast("int"))
-        .persist()
+      // Build-time layout: repartitionByRange(zval) — the 100 TB path its
+      // own scale story recommends (a distributed sample-based range
+      // shuffle; NO single-partition global window anywhere). Each range
+      // partition becomes one part with a contiguous, disjoint zval span:
+      // the per-partition MAX zvals are exact cut points (RangePartitioner
+      // never splits equal keys across partitions), so the half-open
+      // interval batches reproduce the partitioning row for row.
+      val cached = src.persist()
       try {
+        val uppers = cached.repartitionByRange(16, col("zval"))
+          .select(col("zval"),
+            org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+          .groupBy(col("pid")).agg(max(col("zval")).as("hi"))
+          .collect().map(_.getLong(1)).distinct.sorted
         val t = ColumnarMergeTree.create(spark, d, src.schema,
           orderBy = Seq("zval"),
           config = MergeTreeConfig(minmaxColumns = Seq("o_custkey", "o_day")))
-        (0 until 16).foreach(b =>
-          t.insertBatch(bucketed.filter(col("b") === b).drop("b")))
-      } finally bucketed.unpersist()
+        uppers.foldLeft(Long.MinValue) { (lo, hi) =>
+          t.insertBatch(cached.filter(col("zval") > lo && col("zval") <= hi))
+          hi
+        }
+      } finally cached.unpersist()
       d
     })
     // The query rectangle: the middle quarter of each dimension's span

@@ -51,6 +51,98 @@ class MortonZOrderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MortonCodec.encode(0L, -1L))
   }
 
+  test("codec: n-ary hand-computed values, 2-ary equivalence, round trip, range") {
+    // 3-D bit placement: bit j of coord i -> code bit 3j+i.
+    // x=1 -> bit 0; y=1 -> bit 1; z=1 -> bit 2.
+    assert(MortonCodec.encodeN(Array(1L, 0L, 0L)) == 1L)
+    assert(MortonCodec.encodeN(Array(0L, 1L, 0L)) == 2L)
+    assert(MortonCodec.encodeN(Array(0L, 0L, 1L)) == 4L)
+    assert(MortonCodec.encodeN(Array(1L, 1L, 1L)) == 7L)
+    // x=5 (101), y=3 (011), z=1 (001):
+    // x: bits 0,6; y: bits 1,4; z: bit 2 -> 1+64+2+16+4 = 87
+    assert(MortonCodec.encodeN(Array(5L, 3L, 1L)) == 87L)
+    // n=2 routes through the magic-number fast path, bit for bit
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val x = rnd.nextLong() & 0xFFFFFFFFL; val y = rnd.nextLong() & 0xFFFFFFFFL
+      assert(MortonCodec.encodeN(Array(x, y)) == MortonCodec.encode(x, y))
+    }
+    // round trip at every arity, including each arity's extreme values
+    (2 to 8).foreach { n =>
+      val bits = MortonCodec.bitsPerCoord(n)
+      val mx = (1L << bits) - 1L
+      val samples = Seq.fill(50)(Array.fill(n)(rnd.nextLong() & mx)) :+
+        Array.fill(n)(mx) :+ Array.fill(n)(0L)
+      samples.foreach { cs =>
+        assert(MortonCodec.decodeN(n, MortonCodec.encodeN(cs)).toSeq == cs.toSeq,
+          s"round-trip failed at n=$n for ${cs.mkString(",")}")
+      }
+      // one coordinate past the arity's budget fails loudly
+      intercept[IllegalArgumentException](
+        MortonCodec.encodeN(Array.fill(n)(0L).updated(n - 1, mx + 1L)))
+    }
+  }
+
+  test("SQL expressions: 3-D encode/decode, codegen sweep, arity checks") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT morton_encode(5, 3, 1) AS c, morton_decode(3, 87) AS d, " +
+        "morton_encode(1, 2, 3, CAST(NULL AS INT)) AS n").head()
+    assert(r.getLong(0) == 87L)
+    assert(r.getSeq[Long](1) == Seq(5L, 3L, 1L))
+    assert(r.isNullAt(2))
+    // codegen agrees with the driver codec at n=3 on a column sweep
+    val rows = spark.range(500)
+      .selectExpr("id % 1000 AS x", "id * 7 % 997 AS y", "id * 13 % 991 AS z")
+      .selectExpr("x", "y", "z", "morton_encode(x, y, z) AS c").collect()
+    rows.foreach(r => assert(r.getLong(3) ==
+      MortonCodec.encodeN(Array(r.getLong(0), r.getLong(1), r.getLong(2)))))
+    intercept[Exception](spark.sql("SELECT morton_encode(1)").collect())
+    intercept[Exception](
+      spark.sql("SELECT morton_encode(1,2,3,4,5,6,7,8,9)").collect())
+    intercept[Exception](spark.sql("SELECT morton_decode(9, 0)").collect())
+  }
+
+  test("3-D z-layout prunes rectangles on every dimension") {
+    GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("zorder3d_").toString
+    // a 32x32x32 cube, z-sorted into 16 contiguous code ranges
+    val src = spark.range(32L * 32L * 32L).select(
+      (col("id") % 32).as("x"),
+      (col("id") / 32 % 32).cast("long").as("y"),
+      (col("id") / 1024).cast("long").as("z"))
+      .withColumn("zval",
+        call_function("morton_encode", col("x"), col("y"), col("z")))
+    val cached = src.persist()
+    try {
+      val uppers = cached.repartitionByRange(16, col("zval"))
+        .select(col("zval"), spark_partition_id().as("pid"))
+        .groupBy(col("pid")).agg(max(col("zval")).as("hi"))
+        .collect().map(_.getLong(1)).distinct.sorted
+      val t = ColumnarMergeTree.create(spark, dir, src.schema,
+        orderBy = Seq("zval"),
+        config = MergeTreeConfig(minmaxColumns = Seq("x", "y", "z")))
+      uppers.foldLeft(Long.MinValue) { (lo, hi) =>
+        t.insertBatch(cached.filter(col("zval") > lo && col("zval") <= hi))
+        hi
+      }
+    } finally cached.unpersist()
+    val t = spark.read.format("mergetree").load(dir)
+    // The aligned first octant: 1/8 of the volume, few z-ranges. Inclusive
+    // bounds (between), matching the pushdown's conservative contract — a
+    // strict `< 16` pushes the INCLUSIVE bound 16 and keeps min==16 parts.
+    val oct = t.filter(col("x").between(0, 15) && col("y").between(0, 15) &&
+      col("z").between(0, 15))
+    assert(oct.count() == 16L * 16L * 16L)
+    val p1 = GenericMergeTreeScan.lastPruning.get()._1
+    assert(p1 <= 6, s"an aligned octant must touch few z-ranges (scanned $p1/16)")
+    // a z-only slab: prunes without touching x or y
+    val slab = t.filter(col("z").between(8, 15))
+    assert(slab.count() == 32L * 32L * 8L)
+    val p2 = GenericMergeTreeScan.lastPruning.get()._1
+    assert(p2 < 16, s"a z-only slab must prune (scanned $p2/16)")
+  }
+
   test("SQL expressions: codegen values, implicit int cast, null, decode") {
     GraftFunctions.register(spark)
     val r = spark.sql(
