@@ -3971,6 +3971,237 @@ object PipelineQueries {
        |  CAST(n_chunks_hit AS BIGINT) AS n_chunks_hit
        |FROM ranked WHERE frk <= 10 ORDER BY qid, frk""".stripMargin
 
+  /** Chunk embeddings under the q134 key scheme (doc_id·64 + chunk_idx):
+    * each q129 chunk carries a vector derived from its parent doc's
+    * embedding by a cyclic shift of chunk_idx positions — a deterministic,
+    * oracle-reproducible stand-in for a per-chunk embedding model (chunk 0
+    * is the doc vector exactly, so a one-chunk corpus degenerates to
+    * doc-level ANN — spec-pinned). Production swaps the shift for real
+    * chunk embeddings; every downstream shape (index build, probe, fold,
+    * fusion) is embedding-agnostic.
+    */
+  private[graft] def chunkVecs(spark: SparkSession, dir: String): DataFrame =
+    chunkVecsFrom(docs(spark, dir), embDouble(spark, dir))
+
+  /** [[chunkVecs]] over explicit frames — specs drive hand-built corpora
+    * through the exact production arithmetic. `d`: (doc_id, text);
+    * `e`: (vec_id, v array<double>).
+    */
+  private[graft] def chunkVecsFrom(d: DataFrame, e: DataFrame): DataFrame = {
+    val ch = ragChunksText(d, w = 16, o = 4)
+      .select(col("doc_id"), col("chunk_idx"))
+    ch.join(e.select(col("vec_id").as("doc_id"), col("v")), "doc_id")
+      .withColumn("cv", expr(
+        "transform(sequence(0, size(v) - 1), " +
+          "i -> element_at(v, CAST((i + chunk_idx) % size(v) AS INT) + 1))"))
+      .select((col("doc_id") * ChunkKeySpan + col("chunk_idx")).as("key"),
+        col("doc_id"), col("chunk_idx"), col("cv"))
+  }
+
+  /** Persisted IVF index over the chunk vectors, keyed doc_id·64 +
+    * chunk_idx — the vector twin of [[chunkIndexOf]]; built once per
+    * corpus dir. Also records the corpus's max chunks/doc (the search-k
+    * bound needs it).
+    */
+  private val cacheChunkIvf = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.operators.IvfIndex, Long)]
+
+  private[graft] def chunkIvfOf(spark: SparkSession, dir: String)
+      : (graft.operators.IvfIndex, Long) =
+    cacheChunkIvf.getOrElseUpdate(dir, {
+      val cv = chunkVecs(spark, dir)
+      val maxChunks = cv.agg(max(col("chunk_idx"))).first().getLong(0) + 1L
+      require(maxChunks <= ChunkKeySpan,
+        s"$maxChunks chunks/doc overflows the $ChunkKeySpan-chunk key span")
+      val idx = graft.operators.IvfIndex.build(spark,
+        cv.select(col("key").as("vec_id"), col("cv").as("v")),
+        java.nio.file.Files.createTempDirectory("ivf_chunks_").toString)
+      (idx, maxChunks)
+    })
+
+  /** Q140 — CHUNK-LEVEL hybrid retrieval with chunk VECTORS (closing
+    * q134's asymmetry: its vector side was doc-level, so a doc whose
+    * semantic evidence lives only in its 2nd chunk was invisible to ANN):
+    * the q129 chunk embeddings live in a persisted IvfIndex under the SAME
+    * doc_id·64 + chunk_idx key as the lexical chunk index; per-query
+    * chunk-cosine folds to per-doc best-chunk (composite micro-sim·64 +
+    * chunk_idx — deterministic, both halves unpack), RRF-fused with
+    * chunk-BM25, and BOTH sides attribute their evidence chunk
+    * (best_lex_chunk / best_vec_chunk).
+    *
+    * The entry probes every list (nprobe = nlist), which makes IVF search
+    * EXACT — hash-equal to DuckDB's brute-force chunk cosine; the 100 TB
+    * serve path (autoNprobe cluster pruning, recall ≥ 0.8, part-pruned
+    * scans) is pinned in IvfIndexSpec at chunk granularity. Search k =
+    * 21·maxChunks bounds doc-level top-20 exactly: a rank-r doc's best
+    * chunk is outranked only by better docs' chunks (≤ (r−1)·maxChunks)
+    * plus the excluded query doc's own (≤ maxChunks).
+    *
+    * SELF-ENFORCED: some fused doc is retrievable ONLY via a non-first
+    * chunk's vector (best_vec_chunk ≥ 1 AND absent from doc-level
+    * exact-cosine top-20) — the capability q134 lacked.
+    */
+  def q140ChunkVecHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val lexIdx = chunkIndexOf(spark, dir)
+    val perDocLex = graft.operators.InvertedIndex.foldChunkScores(
+      lexIdx.searchManyScores(hybridQueryTerms), ChunkKeySpan, keys = Seq("qid"))
+    val lw = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val lex = perDocLex.withColumn("lrk", row_number().over(lw).cast("long"))
+      .filter(col("lrk") <= 20)
+      .select(col("qid"), col("doc_id"), col("lrk"),
+        col("best_chunk").as("best_lex_chunk"), col("n_chunks_hit"))
+    val (vidx, maxChunks) = chunkIvfOf(spark, dir)
+    val e = embDouble(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // excludeSelf=false: query ids live in DOC space, hits in chunk-key
+    // space — the self-exclusion is the parent-doc filter below.
+    val hits = vidx.search(q, k = (21L * maxChunks).toInt,
+        nprobe = vidx.nlist, excludeSelf = false)
+      .filter(expr(s"vec_id div $ChunkKeySpan") =!= col("qid"))
+    val vw = Window.partitionBy(col("qid")).orderBy(col("comp").desc, col("doc_id"))
+    val vec = hits
+      .select(col("qid"), expr(s"vec_id div $ChunkKeySpan").as("doc_id"),
+        ((floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long")
+          + lit(1000000L)) * ChunkKeySpan
+          + expr(s"vec_id % $ChunkKeySpan")).as("comp"))
+      .groupBy(col("qid"), col("doc_id")).agg(max(col("comp")).as("comp"))
+      .withColumn("vrk", row_number().over(vw).cast("long"))
+      .filter(col("vrk") <= 20)
+      .select(col("qid"), col("doc_id"), col("vrk"),
+        expr(s"comp % $ChunkKeySpan").as("best_vec_chunk"))
+    chunkVecEnforced.getOrElseUpdate(dir, {
+      // Doc-level exact-cosine top-20 (q134's vector side): some chunk-vec
+      // hit with evidence chunk ≥ 1 must be invisible to it.
+      val dv = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          r6(cosine(col("qv"), col("v"))).as("sim"))
+      val dw = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))
+      val docTop = dv.withColumn("r", row_number().over(dw)).filter(col("r") <= 20)
+        .select(col("qid"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fresh = vec.filter(col("best_vec_chunk") >= 1).collect()
+        .exists(r => !docTop((r.getLong(0), r.getLong(1))))
+      require(fresh, "q140: no doc was retrievable only via a non-first " +
+        "chunk's vector — the chunk-ANN side adds nothing over doc-ANN")
+      true
+    })
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("1000000000L div (60L + lrk)"), lit(0L))
+          + coalesce(expr("1000000000L div (60L + vrk)"), lit(0L))).as("rrf"),
+        coalesce(col("lrk"), lit(0L)).as("lrk"),
+        coalesce(col("vrk"), lit(0L)).as("vrk"),
+        coalesce(col("best_lex_chunk"), lit(-1L)).as("best_lex_chunk"),
+        coalesce(col("n_chunks_hit"), lit(0L)).as("n_chunks_hit"),
+        coalesce(col("best_vec_chunk"), lit(-1L)).as("best_vec_chunk"))
+    val fw = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("frk", row_number().over(fw).cast("long"))
+      .filter(col("frk") <= 10)
+      .select(col("qid"), col("frk"), col("doc_id"), col("rrf"),
+        col("lrk"), col("vrk"), col("best_lex_chunk"), col("n_chunks_hit"),
+        col("best_vec_chunk"))
+      .orderBy(col("qid"), col("frk"))
+  }
+
+  private val chunkVecEnforced =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  val q140Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (SELECT doc_id, ws, n,
+       |    CAST((greatest(1, n - 4) + 11) // 12 AS BIGINT) AS n_chunks FROM t),
+       |ch0 AS (
+       |  SELECT doc_id, ws, n,
+       |    CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
+       |  FROM c),
+       |ch AS (
+       |  SELECT doc_id * 64 + chunk_idx AS chunk_id,
+       |    array_to_string(ws[CAST(chunk_idx * 12 + 1 AS INT) :
+       |                       CAST(chunk_idx * 12 + 16 AS INT)], ' ') AS txt
+       |  FROM ch0),
+       |cterms AS (
+       |  SELECT chunk_id, t.term FROM ch,
+       |    unnest(string_split_regex(lower(txt), '[^a-z]+')) AS t(term)
+       |  WHERE len(t.term) >= 3),
+       |qt AS (SELECT CAST(q AS BIGINT) AS qid, t AS term
+       |       FROM (VALUES $hybridQtSql) v(q, t)),
+       |tf AS (
+       |  SELECT chunk_id, term, count(*) AS tf FROM cterms
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY chunk_id, term),
+       |dl AS (SELECT chunk_id, count(*) AS dl FROM cterms GROUP BY chunk_id),
+       |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM ch),
+       |contrib AS (
+       |  SELECT tf.chunk_id, tf.term, CAST(floor(
+       |      ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |        * (tf.tf * (1.2 + 1.0))
+       |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       |        * 1000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM tf JOIN df USING (term) JOIN dl USING (chunk_id)
+       |    CROSS JOIN stats CROSS JOIN n),
+       |cscore AS (
+       |  SELECT qt.qid, contrib.chunk_id, sum(c) AS score
+       |  FROM contrib JOIN qt USING (term) GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT qid, chunk_id // 64 AS doc_id,
+       |    max(score * 64 + chunk_id % 64) AS bk,
+       |    CAST(count(*) AS BIGINT) AS n_chunks_hit
+       |  FROM cscore GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, doc_id, CAST(lrk AS BIGINT) AS lrk,
+       |    CAST(bk % 64 AS BIGINT) AS best_lex_chunk, n_chunks_hit FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY bk // 64 DESC, doc_id) AS lrk
+       |    FROM perdoc) s WHERE lrk <= 20),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |cidx AS (
+       |  SELECT doc_id, CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT)
+       |    AS chunk_idx FROM c),
+       |cv AS (
+       |  SELECT ci.doc_id, ci.chunk_idx,
+       |    list_transform(generate_series(0, len(e.v) - 1),
+       |      i -> e.v[((i + ci.chunk_idx) % len(e.v)) + 1]) AS cv
+       |  FROM cidx ci JOIN e ON e.vec_id = ci.doc_id),
+       |vsc AS (
+       |  SELECT qv.qid, cv.doc_id,
+       |    (CAST(floor((${R6Sql.format("list_cosine_similarity(qv, cv)")})
+       |        * 1000000.0 + 0.5) AS BIGINT) + 1000000) * 64 + cv.chunk_idx
+       |      AS comp
+       |  FROM qv, cv WHERE cv.doc_id != qv.qid),
+       |vperdoc AS (SELECT qid, doc_id, max(comp) AS comp FROM vsc GROUP BY 1, 2),
+       |vec AS (
+       |  SELECT qid, doc_id, CAST(vrk AS BIGINT) AS vrk,
+       |    CAST(comp % 64 AS BIGINT) AS best_vec_chunk FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY comp DESC, doc_id) AS vrk
+       |    FROM vperdoc) s WHERE vrk <= 20),
+       |fused AS (
+       |  SELECT coalesce(lex.qid, vec.qid) AS qid,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    coalesce(1000000000 // (60 + lrk), 0)
+       |      + coalesce(1000000000 // (60 + vrk), 0) AS rrf,
+       |    coalesce(lrk, 0) AS lrk, coalesce(vrk, 0) AS vrk,
+       |    coalesce(best_lex_chunk, -1) AS best_lex_chunk,
+       |    coalesce(n_chunks_hit, 0) AS n_chunks_hit,
+       |    coalesce(best_vec_chunk, -1) AS best_vec_chunk
+       |  FROM lex FULL JOIN vec
+       |    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fused)
+       |SELECT qid, CAST(frk AS BIGINT) AS frk, doc_id, CAST(rrf AS BIGINT) AS rrf,
+       |  CAST(lrk AS BIGINT) AS lrk, CAST(vrk AS BIGINT) AS vrk,
+       |  CAST(best_lex_chunk AS BIGINT) AS best_lex_chunk,
+       |  CAST(n_chunks_hit AS BIGINT) AS n_chunks_hit,
+       |  CAST(best_vec_chunk AS BIGINT) AS best_vec_chunk
+       |FROM ranked WHERE frk <= 10 ORDER BY qid, frk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_cosine_topk", q23CosineTopK _, Some(q23Sql)),
     ("q37_cosine_topk_hof", q37CosineTopKHof _, Some(q23Sql)),
@@ -4027,5 +4258,6 @@ object PipelineQueries {
     ("q129_rag_chunks", q129RagChunks _, Some(q129Sql)),
     ("q130_bpe_tokenize", q130BpeTokenize _, None),
     ("q132_bpe_persisted", q132BpePersisted _, None),
-    ("q134_chunk_hybrid", q134ChunkHybrid _, Some(q134Sql)))
+    ("q134_chunk_hybrid", q134ChunkHybrid _, Some(q134Sql)),
+    ("q140_chunkvec_hybrid", q140ChunkVecHybrid _, Some(q140Sql)))
 }
