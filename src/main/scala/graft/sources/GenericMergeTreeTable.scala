@@ -545,15 +545,16 @@ class GenericMergeTreeScanImpl(
     * the scan's OUTPUT columns (Spark resolves each reported reference
     * against the scan relation — a column pruning dropped must not be
     * advertised; the join key that makes a filter possible is always in
-    * the output anyway). Empty while SPJ grouping is active: BatchScanExec
-    * requires a key-grouped scan to keep its partition count across
-    * runtime filtering, and dropping whole key groups would break the
-    * co-partitioned join it was reported for — the SPJ plan already
-    * avoids the corpus exchange, which is what the runtime filter would
-    * have bought.
+    * the output anyway). Advertised under SPJ grouping too: runtime
+    * filters then prune parts WITHIN key groups — every group keeps its
+    * key and reports its (possibly empty) file set, which satisfies
+    * BatchScanExec's key-grouped contract (the filtered partition values
+    * must be a subset of the originals; Spark back-fills empties), so the
+    * 100 TB star join gets the shuffle-free plan AND dim-driven part
+    * pruning at once instead of choosing.
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (rtCols.isEmpty || spjGroups.isDefined) Array.empty
+    if (rtCols.isEmpty) Array.empty
     else rtCols.keys.toArray.filter(required.fieldNames.contains).sorted
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
@@ -646,6 +647,19 @@ class GenericMergeTreeScanImpl(
   }
 
   private def surviving(parts: List[GPartMeta]): List[GPartMeta] = {
+    val s = survivingStatic(parts)
+    // Runtime (join-driven) filters last — empty until Spark's dynamic
+    // pruning calls filter(), so planning-time callers (statistics) see
+    // the static pruning only.
+    if (rtValues.isEmpty) s else rtSurviving(s)
+  }
+
+  /** Static (planning-time) pruning only — the basis for SPJ group
+    * identity, which must not depend on WHEN a runtime filter arrived
+    * (groups formed after filter() would drop whole key groups; the
+    * key-grouped contract prunes within groups instead).
+    */
+  private def survivingStatic(parts: List[GPartMeta]): List[GPartMeta] = {
     // Partition pruning first (exact on the stored value; untagged parts are
     // conservatively kept), then leading-key range pruning.
     val inPartition = wantedPartitions match {
@@ -675,10 +689,7 @@ class GenericMergeTreeScanImpl(
       else inBounds.filter(p => setEquals.forall { case (c, vs) =>
         ColumnarMergeTree.setIndexAllows(path, p.dir, c, vs)
       })
-    // Runtime (join-driven) filters last — empty until Spark's dynamic
-    // pruning calls filter(), so planning-time callers (statistics) see
-    // the static pruning only.
-    if (rtValues.isEmpty) inSets else rtSurviving(inSets)
+    inSets
   }
 
   override def estimateStatistics(): Statistics = {
@@ -728,7 +739,10 @@ class GenericMergeTreeScanImpl(
       } catch { case scala.util.control.NonFatal(_) => false }
       if (!enabled) None
       else {
-        val keep = surviving(manifestParts)
+        // STATIC pruning only: group identity must not depend on when a
+        // runtime filter arrived — runtime values prune within the groups
+        // at planInputPartitions time.
+        val keep = survivingStatic(manifestParts)
         // Pending lightweight mutations disable SPJ grouping for the scan:
         // the mut program runs row-based per part and correctness must
         // never wait on a marker/rule — the join shuffles until the next
@@ -801,12 +815,22 @@ class GenericMergeTreeScanImpl(
   override def planInputPartitions(): Array[InputPartition] = {
     spjGroups match {
       case Some(gs) =>
+        // Runtime (join-driven) filters prune parts WITHIN key groups,
+        // never group identities: an emptied group still reports its key
+        // with zero files, so the KeyGroupedPartitioning the join planned
+        // against survives filtering (values stay a subset — exactly what
+        // BatchScanExec verifies). Composition of SPARK-37375 (SPJ) with
+        // SPARK-35779 (runtime pruning): zero-exchange AND a strict part
+        // subset under a selective dim filter.
+        val pruned = gs.map { case (key, ps) =>
+          (key, if (rtValues.isEmpty) ps else rtSurviving(ps))
+        }
         GenericMergeTreeScan.lastPruning.set(
-          (gs.map(_._2.size).sum, manifestParts.size))
+          (pruned.map(_._2.size).sum, manifestParts.size))
         // ONE InputPartition per partition value (all its parts' files
         // chained in a single reader) — the simplest layout every SPJ
         // planner version accepts.
-        gs.map { case (key, ps) =>
+        pruned.map { case (key, ps) =>
           MergeTreeGroupedPartition(ps.flatMap(parquetFiles).toArray, key)
             : InputPartition
         }.toArray

@@ -175,17 +175,83 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(plannedParts(s4) == 16)
   }
 
-  test("SPJ grouping disables runtime filtering (key groups must survive)") {
+  test("SPJ grouping composes with runtime filtering: parts prune WITHIN groups") {
     val dir = mkPartitioned()
     spark.conf.set("spark.graft.preserveDataGrouping", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
-      val (_, rt) = rtScan(dir)
-      assert(rt.filterAttributes().isEmpty,
-        "a key-grouped scan must not advertise runtime filtering")
+      val (scan, rt) = rtScan(dir)
+      assert(rt.filterAttributes().nonEmpty,
+        "a key-grouped scan still advertises runtime filtering")
+      rt.filter(flt(In("grp", Array[Any](2L, 5L))))
+      val parts = scan.toBatch.planInputPartitions()
+      // EVERY group keeps its identity (a subset of the reported partition
+      // values would also satisfy Spark, but identity is the simplest
+      // stable contract) — only the two surviving groups carry files.
+      assert(parts.length == 8, s"all 8 key groups must survive, got ${parts.length}")
+      val files = parts.map(_.asInstanceOf[graft.sources.MergeTreeGroupedPartition])
+      assert(files.count(_.files.nonEmpty) == 2,
+        "only the runtime-filtered groups carry files")
+      assert(files.map(_.files.length).sum == 4,
+        "2 groups x 2 batch parts = 4 part files")
+      assert(GenericMergeTreeScan.lastPruning.get() == (4, 16))
     } finally {
       spark.conf.unset("spark.graft.preserveDataGrouping")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("SPJ join under a selective dim filter: zero-exchange AND a strict part subset") {
+    val factDir = Files.createTempDirectory("rtf_spj_fact_").toString
+    val dimDir = Files.createTempDirectory("rtf_spj_dim_").toString
+    val fact = spark.range(400).select(
+      (col("id") % 8).as("grp"), col("id").as("k"),
+      (col("id") * 2).cast("double").as("v"))
+    val ft = ColumnarMergeTree.create(spark, factDir, fact.schema,
+      orderBy = Seq("k"), partitionBy = Some("grp"))
+    ft.insertBatch(fact.filter(col("id") < 200))
+    ft.insertBatch(fact.filter(col("id") >= 200))
+    val dim = spark.range(8).select(col("id").as("grp"),
+      col("id").as("dk"), (col("id") % 4).as("region"))
+    val dt = ColumnarMergeTree.create(spark, dimDir, dim.schema,
+      orderBy = Seq("dk"), partitionBy = Some("grp"))
+    dt.insertBatch(dim)
+    try {
+      spark.conf.set("spark.graft.preserveDataGrouping", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // No broadcast to reuse -> DPP must run as its own subquery.
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // AQE off so the executed plan is the plain tree (the exchange
+      // check walks plan NODES — the DPP subquery's internal shuffle is
+      // an expression subtree, not a join-path exchange).
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val f = spark.read.format("mergetree").load(factDir)
+      val d = spark.read.format("mergetree").load(dimDir)
+        .filter(col("region") === 1) // grp 1 and 5
+      // Dim on the LEFT: the fact side's partitions plan last, so the
+      // pruning probe below reads the FACT scan's numbers.
+      val out = d.join(f, "grp").select(col("grp"), col("k"))
+      val rows = out.collect()
+      assert(rows.length == 100, s"50 fact rows x 2 surviving groups")
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 5L))
+      val exec = out.queryExecution.executedPlan
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"the co-partitioned join must stay zero-exchange:\n$exec")
+      assert(exec.toString.toLowerCase.contains("dynamicpruning"),
+        s"the fact scan must carry the dim-driven runtime filter:\n$exec")
+      val (planned, total) = GenericMergeTreeScan.lastPruning.get()
+      assert(total == 16 && planned == 4,
+        s"fact must read a strict part subset: $planned/$total")
+    } finally {
+      spark.conf.unset("spark.graft.preserveDataGrouping")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
 
