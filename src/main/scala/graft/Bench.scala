@@ -73,7 +73,15 @@ object Bench {
     * The committed demo binaries are Mach-O, so we rebuild from the C++
     * sources out-of-tree; returns None if no toolchain is available.
     */
-  private def measureReference(n: Long): Option[(Double, Double)] = Try {
+  /** Reference timings run ≥9 reps regardless of SPARK_GRAFT_BENCH_REPS:
+    * the ref-side scan swung 3-4.5× between rounds at reps=3 (r13 verdict
+    * task 1a), which made every ours/ref ratio un-judgeable. The MEDIAN of
+    * the ≥9 runs is the contract denominator (`ref_*_med` in the baseline
+    * block); min rides along for continuity with earlier rounds.
+    */
+  private def refReps: Int = math.max(9, reps)
+
+  private def measureReference(n: Long): Option[((Double, Double), (Double, Double))] = Try {
     val bin = Paths.get("target", "refbench", "refbench").toAbsolutePath
     if (!Files.exists(bin)) {
       Files.createDirectories(bin.getParent)
@@ -85,9 +93,7 @@ object Bench {
       require(cmd.! == 0, "reference build failed")
     }
     import scala.sys.process._
-    // min-of-N like our side: one reference timing per round swung 3.3×
-    // between rounds and alone flipped the contract ratio.
-    val runs = (1 to reps).map { _ =>
+    val runs = (1 to refReps).map { _ =>
       val dir = Files.createTempDirectory("refbench_run_")
       val out = Process(Seq(bin.toString, n.toString, s"$dir/table")).!!
       val ingestMs = "INGEST_MS (\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
@@ -96,7 +102,8 @@ object Bench {
     }
     rawRuns(s"ref_ingest_${n}") = runs.map(_._1)
     rawRuns(s"ref_scan_${n}") = runs.map(_._2)
-    (runs.map(_._1).min, runs.map(_._2).min)
+    ((runs.map(_._1).min, runs.map(_._2).min),
+      (medianOf(runs.map(_._1)), medianOf(runs.map(_._2))))
   }.toOption
 
   /** The reference client's exact shape (tools/refbench.cpp): ONE writer
@@ -323,11 +330,17 @@ object Bench {
         if (isoFailed(name) || vs.isEmpty) Seq(-1.0) else vs)
     }
 
-    def ratio(ours: Double, ref: Option[(Double, Double)]): Double =
-      ref.map { case (ri, rq) => (ours / (ri + rq)) }.getOrElse(-1.0)
-    val vs50 = ratio(ing50._1 + scan50._1, ref50)
-    val vs50med = ratio(ing50._2 + scan50._2, ref50)
-    val vs1m = ratio(ing1m._1 + scan1m._1, ref1m)
+    // Contract ratios: OUR median over the REF median (the stable-by-
+    // construction denominator, r13 verdict task 1a); min-based columns
+    // ride along for continuity with earlier rounds' artifacts.
+    def ratioMin(ours: Double, ref: Option[((Double, Double), (Double, Double))]): Double =
+      ref.map { case ((ri, rq), _) => ours / (ri + rq) }.getOrElse(-1.0)
+    def ratioMed(ours: Double, ref: Option[((Double, Double), (Double, Double))]): Double =
+      ref.map { case (_, (ri, rq)) => ours / (ri + rq) }.getOrElse(-1.0)
+    val vs50 = ratioMin(ing50._1 + scan50._1, ref50)
+    val vs50med = ratioMed(ing50._2 + scan50._2, ref50)
+    val vs1m = ratioMin(ing1m._1 + scan1m._1, ref1m)
+    val vs1mMed = ratioMed(ing1m._2 + scan1m._2, ref1m)
 
     // Metadata-sketch workload: a 1M-row, 8-part table with the sketch
     // family declared — approxDistinct / approxTopK / approxQuantiles fold
@@ -394,8 +407,9 @@ object Bench {
       rawRuns.get(s"${name}_iso").map(_.min).filter(_ > 0).getOrElse(md)
     }.filter(_ > 0).sum
     val base = (ref50, ref1m) match {
-      case (Some((i5, q5)), Some((i1, q1))) =>
-        s""","baseline":{"ref_ingest_50k":$i5,"ref_scan_50k":$q5,"ref_ingest_1m":$i1,"ref_scan_1m":$q1}"""
+      case (Some(((i5, q5), (i5m, q5m))), Some(((i1, q1), (i1m, q1m)))) =>
+        s""","baseline":{"ref_ingest_50k":$i5,"ref_scan_50k":$q5,"ref_ingest_1m":$i1,"ref_scan_1m":$q1,""" +
+          s""""ref_ingest_50k_med":$i5m,"ref_scan_50k_med":$q5m,"ref_ingest_1m_med":$i1m,"ref_scan_1m_med":$q1m,"ref_reps":$refReps}"""
       case _ => ""
     }
     // Sweep-vs-iso contamination check, stated in the artifact (r10 task
@@ -430,7 +444,7 @@ object Bench {
       "one-time index/table construction incl. one serve; -1.0 = crashed " +
       "entry (excluded from totals and ratios); " +
       f"worst sweep/iso median ratio: ${worstIso._1} ${worstIso._2}%.2f"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_steady":$totalSteady,"queries":$qs,"queries_median":$qsMed,"iso_spread":$isoSpread,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"notes":"$notes"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_steady":$totalSteady,"queries":$qs,"queries_median":$qsMed,"iso_spread":$isoSpread,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"bench_vs_baseline_1m_median":$vs1mMed,"notes":"$notes"}"""
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the
     // 2 KB cap): persist the full line in-repo so rounds stay comparable.

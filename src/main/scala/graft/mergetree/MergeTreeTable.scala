@@ -48,6 +48,12 @@ case class MergeTreeConfig(
       * dominate.
       */
     localScanMaxRows: Long = 256 * 1024L,
+    /** Row budget for the driver-local part-row cache backing the
+      * short-circuit (see MergeTreeTable.partRowCache). KVRow is ~100 B, so
+      * the default 1M rows caps the cache near 100 MB of driver heap.
+      * 0 disables (every local scan re-reads parquet).
+      */
+    localCacheMaxRows: Long = 1024 * 1024L,
     /** Reader-safe part GC grace: a maintenance op (optimize / deleteWhere /
       * updateWhere / dropPartition) unlinks replaced parts from the manifest
       * immediately but leaves their directories on disk for this many
@@ -232,6 +238,24 @@ final class MergeTreeTable private (
   @volatile private var closed = false
   private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  // The sampling-free range exchange (dedupSort) needs its strategy in the
+  // session; imperative registration keeps the table usable in sessions
+  // without spark.sql.extensions configured.
+  graft.plans.BoundedRangeStrategy.register(spark)
+
+  /** Driver-local cache of decoded part rows, serving the small-query
+    * short-circuit from memory (the reference's scan IS an in-memory part
+    * walk — src/merge_tree.cpp:40-54 — because its parts live in RAM for
+    * the process lifetime; ours are parquet, so re-decoding the same small
+    * parts on every point lookup paid ~100 ms where the reference pays
+    * ~2 ms). Write-through at memtable flush (the rows are already sorted
+    * in driver memory), read-through on first scan of a small part,
+    * invalidated on part retirement. Bounded by `localCacheMaxRows` total —
+    * at 100 TB this only ever holds the recent small parts a short-circuit
+    * query would touch; the distributed path never consults it.
+    */
+  private val partRowCache = new PartRowCache(config.localCacheMaxRows)
+
   private val bgThread: Option[Thread] =
     if (!config.enableBackgroundMerge) None
     else {
@@ -348,6 +372,10 @@ final class MergeTreeTable private (
       writer.write(g)
     } finally writer.close()
     val size = Files.size(file)
+    // Key sample straight from the in-memory sorted run — free (see
+    // KeySample); written into the stage dir so it's atomic with the part.
+    KeySample.write(stage,
+      KeySample.Sample(sorted.size.toLong, KeySample.evenly(sorted.map(_.key).toIndexedSeq)))
     val now = System.currentTimeMillis()
     val meta = Manifest.register(path, stage, append = true) { partId =>
       PartMetadata(
@@ -361,6 +389,10 @@ final class MergeTreeTable private (
         diskSize = size,
         creationTime = now)
     }
+    // Write-through: the sorted rows are already in driver memory and the
+    // part is immutable from birth — the next short-circuit scan serves
+    // them without touching the file.
+    partRowCache.put(meta.partId, sorted.toArray)
     refresh()
     meta
   }
@@ -444,11 +476,23 @@ final class MergeTreeTable private (
       case Some((s, e)) => r => !KeyOrder.lt(r.key, s) && !KeyOrder.gt(r.key, e)
       case None         => _ => true
     }
-    // Per-part reads in parallel: parquet-mr pays ~15 ms of reader setup
-    // per file, so 50 tiny parts read serially would cost more than the
-    // distributed job the short-circuit avoids.
-    val partRows: Seq[Seq[KVRow]] =
-      inParallel(live)(p => LocalPartReader.read(partDir(p.partId), range))
+    // Cached parts are served synchronously (an in-memory binary-search
+    // slice needs no pool — a fully-cached short-circuit scan is a pure
+    // in-memory walk, the reference's own scan shape); only the misses pay
+    // parquet-mr I/O, in parallel (reader setup is ~15 ms per file, so 50
+    // tiny uncached parts read serially would cost more than the
+    // distributed job the short-circuit avoids).
+    val cachedRows: Map[Long, Array[KVRow]] =
+      live.flatMap(p => partRowCache.get(p.partId).map(p.partId -> _)).toMap
+    val misses = live.filterNot(p => cachedRows.contains(p.partId))
+    val missRows: Map[Long, Seq[KVRow]] =
+      misses.map(_.partId).zip(inParallel(misses)(p => readPartLocal(p, range))).toMap
+    val partRows: Seq[Seq[KVRow]] = live.map { p =>
+      cachedRows.get(p.partId) match {
+        case Some(rows) => sliceByRange(rows, range)
+        case None       => missRows(p.partId)
+      }
+    }
     val rows = partRows.iterator.flatten ++ mem.iterator
     // (key, ts) dedup keeping max(value) — same UTF-8 max the distributed
     // path's max() aggregate computes.
@@ -470,6 +514,51 @@ final class MergeTreeTable private (
     */
   @volatile var lastScanLocal: Boolean = false
 
+  /** (cached parts, cached rows) of the driver-local part-row cache —
+    * observability for tests and tuning.
+    */
+  private[graft] def localCacheStats: (Int, Long) =
+    (partRowCache.cachedPartCount, partRowCache.cachedRowCount)
+
+  /** One part's rows for the short-circuit: cache hit → in-memory slice;
+    * miss on a small part → read FULL part once (file order within a part
+    * dir is not globally sorted — N files written by N executors — so sort
+    * before caching), cache, slice; miss on a big part → ranged parquet
+    * read, uncached (reading a huge part whole to serve a narrow range
+    * would trade one small read for a giant one).
+    */
+  private def readPartLocal(p: PartMetadata, range: Option[(String, String)]): Seq[KVRow] =
+    if (partRowCache.enabled && p.rowCount <= partRowCache.perPartCap) {
+      val full = LocalPartReader.read(partDir(p.partId), None).toArray
+      val sorted = full.sortBy(r => (r.key, r.timestamp))(
+        Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
+      partRowCache.put(p.partId, sorted)
+      sliceByRange(sorted, range)
+    } else LocalPartReader.read(partDir(p.partId), range)
+
+  /** Binary-search slice of (key,ts)-sorted rows to the inclusive key
+    * range — O(log n + hits), never a full walk.
+    */
+  private def sliceByRange(rows: Array[KVRow], range: Option[(String, String)]): Seq[KVRow] =
+    range match {
+      case None => scala.collection.immutable.ArraySeq.unsafeWrapArray(rows)
+      case Some((s, e)) =>
+        var lo = 0
+        var hi = rows.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (KeyOrder.lt(rows(m).key, s)) lo = m + 1 else hi = m
+        }
+        val start = lo
+        hi = rows.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (KeyOrder.gt(rows(m).key, e)) hi = m else lo = m + 1
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          java.util.Arrays.copyOfRange(rows, start, lo))
+    }
+
   /** Row-group key bounds of one immutable part, cached per part id (the
     * map only grows with parts this instance ever ESTIMATED — bounded by
     * part churn, entries a few hundred bytes each).
@@ -478,6 +567,26 @@ final class MergeTreeTable private (
     new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String, Long)]]()
   private val granuleBoundsRetryAt =
     new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+
+  /** Per-part key sample, cached per immutable part id (see KeySample;
+    * `None` caches too — a part with no sidecar stays sampleless for its
+    * lifetime).
+    */
+  private val keySampleCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[KeySample.Sample]]()
+
+  private def keySampleOf(partId: Long): Option[KeySample.Sample] =
+    keySampleCache.computeIfAbsent(partId, id => KeySample.load(partDir(id)))
+
+  /** Merge-input samples as one weighted point set (each input key carries
+    * rowCount/sampleSize rows), or None when any input lacks a sample —
+    * the output then re-samples from its own files.
+    */
+  private def sampleHintOf(parts: Seq[PartMetadata]): Option[Seq[(String, Double)]] = {
+    val all = parts.map(p => keySampleOf(p.partId).map(ks =>
+      ks.keys.map(k => (k, p.rowCount.toDouble / math.max(1, ks.keys.size)))))
+    if (all.exists(_.isEmpty)) None else Some(all.flatMap(_.get))
+  }
   /** Run `f` over `items` on a bounded pool, results in order — the
     * driver-side parallel-I/O idiom the local part reads and the footer
     * prefetch share (parquet-mr reader setup and footer reads are ~ms
@@ -558,69 +667,109 @@ final class MergeTreeTable private (
     * hazard beyond the natural key distribution.
     */
   /** (key,ts) dedup keeping max(value), globally (key,ts)-sorted — in ONE
-    * exchange. The naive `groupBy …; orderBy …` pays TWO exchanges over the
-    * same rows (hash for the agg, then range for the sort, the latter with
-    * a sampling pass that re-executes the scan). Instead: range-partition
-    * FIRST — `RangePartitioning(key, ts)` co-locates equal (key,ts) tuples
-    * just as well as hashing does and satisfies the aggregate's clustering
-    * requirement, so the `groupBy` planner inserts no second exchange —
-    * then a partition-local sort restores the global (key,ts) order the
-    * range partitioning already established across partitions. The whole
-    * pipeline stays in Tungsten codegen; each range partition dedups and
-    * sorts independently at any scale. Partition count comes from
-    * `rangePartitionCount` (manifest row counts for full scans, sparse-
-    * index bounds for ranged ones), sizing each sort to ~128k rows
-    * instead of fixing 32 tasks; when a ranged scan's footers are
-    * unreadable the stock two-exchange shape serves as fallback (rare,
-    * and small results take `localScan` anyway).
+    * exchange with NO sampling pass. The naive `groupBy …; orderBy …` pays
+    * TWO exchanges over the same rows; `repartitionByRange` pays one
+    * exchange but SAMPLES its child to pick bounds, which re-executes the
+    * whole scan — a second full read of every surviving row group (at
+    * 100 TB, a second 100 TB scan). A storage engine already knows its key
+    * distribution: `rangeSplitBounds` derives the split keys driver-side
+    * from the sparse index (cached footer row-group bounds — zero data
+    * I/O) and [[graft.plans.BoundedRangeRepartition]] exchanges on them
+    * directly. The exchange reports `RangePartitioning(key)`, which
+    * co-locates equal (key,ts) tuples and satisfies the aggregate's
+    * clustering requirement — no second exchange — and a partition-local
+    * sort restores the global (key,ts) order the bounds established
+    * across partitions. Each range partition (~128k rows) dedups and
+    * sorts independently at any scale. When footers are unreadable the
+    * stock two-exchange shape serves as fallback (rare, and small results
+    * take `localScan` anyway).
     */
-  private def dedupSort(df: DataFrame, range: Option[(String, String)]): DataFrame = {
-    val nParts = rangePartitionCount(range)
-    if (nParts <= 0)
-      return df.groupBy(col("key"), col("timestamp"))
-        .agg(max(col("value")).as("value"))
-        .select(col("key"), col("value"), col("timestamp"))
-        .orderBy(col("key"), col("timestamp"))
-    df.repartitionByRange(nParts, col("key"), col("timestamp"))
-      .groupBy(col("key"), col("timestamp"))
-      .agg(max(col("value")).as("value"))
-      .select(col("key"), col("value"), col("timestamp"))
-      .sortWithinPartitions(col("key"), col("timestamp"))
-  }
+  private def dedupSort(df: DataFrame, range: Option[(String, String)]): DataFrame =
+    rangeSplitBounds(range) match {
+      case None =>
+        df.groupBy(col("key"), col("timestamp"))
+          .agg(max(col("value")).as("value"))
+          .select(col("key"), col("value"), col("timestamp"))
+          .orderBy(col("key"), col("timestamp"))
+      case Some(bounds) =>
+        org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+            graft.plans.BoundedRangeRepartition("key", bounds, df.queryExecution.analyzed))
+          .groupBy(col("key"), col("timestamp"))
+          .agg(max(col("value")).as("value"))
+          .select(col("key"), col("value"), col("timestamp"))
+          .sortWithinPartitions(col("key"), col("timestamp"))
+    }
 
-  /** Range-exchange partition count: each range partition dedups and
-    * sorts ~128k rows instead of spreading a medium scan over a fixed 32
-    * tasks (or cramming a huge one into them). Full scans (range=None)
-    * answer from manifest row counts — zero I/O, no footer dependence.
-    * Ranged scans size from the sparse index (cached footer row-group
-    * bounds over the pruned part set; O(row groups) driver work, zero
-    * data reads); row groups without key stats count fully (never
-    * under-size), and an unreadable footer returns 0 so the caller falls
-    * back to the stock two-exchange shape rather than guess.
+  /** Driver-computed split keys for the range exchange, sizing each range
+    * partition to ~64k rows — zero data I/O, no sampling job.
+    *
+    * Each pruned part contributes a weighted point set: its persisted key
+    * sample (one point per sample key, carrying rowCount/sampleSize rows —
+    * see [[KeySample]] for why footer row-group bounds CANNOT play this
+    * role on unclustered tables), or, for parts without a sample, its
+    * cached row-group bounds as endpoint masses (rows/2 at each — the
+    * degraded mode that still prunes and splits clustered parts well).
+    * Points outside the scan range are dropped — exact rank-space
+    * proration — and the split keys are the weighted quantiles of what
+    * remains: real keys, no density model, balance within one sample
+    * stride per part. A part with neither sample nor readable footer
+    * returns None (caller falls back to the stock sampling shape).
+    * `Some(Nil)` = everything fits one partition.
     */
-  private def rangePartitionCount(range: Option[(String, String)]): Int = {
+  private def rangeSplitBounds(range: Option[(String, String)]): Option[Seq[String]] = {
     val live = lock.synchronized(range match {
       case Some((s, e)) => manifest.parts.filter(_.overlapsRange(s, e))
       case None         => manifest.parts
     })
-    if (live.isEmpty) return 1
-    val total = range match {
-      // Full scan: every row group qualifies, so the manifest row counts
-      // ARE the answer — no footer I/O (O(parts) serial driver reads on a
-      // cold cache) and no footer-readability dependence.
-      case None => live.map(_.rowCount).sum
-      case Some((s, e)) =>
-        prefetchGranuleBounds(live)
-        val bounds = live.map(p => granuleBoundsOf(p.partId))
-        if (bounds.exists(_.isEmpty)) return 0
-        bounds.iterator.flatMap(_.get).map { case (lo, hi, rows) =>
-          val overlaps = lo == null || hi == null ||
-            !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
-          if (overlaps) rows else 0L
-        }.sum
+    if (live.isEmpty) return Some(Nil)
+    val inRange: String => Boolean = range match {
+      case Some((s, e)) => k => !KeyOrder.lt(k, s) && !KeyOrder.gt(k, e)
+      case None         => _ => true
     }
-    val targetPer = 128 * 1024L
-    math.min(math.max(1L, (total + targetPer - 1) / targetPer), 1 << 20).toInt
+    val pts = new ArrayBuffer[(String, Double)]()
+    val sampleless = new ArrayBuffer[PartMetadata]()
+    live.foreach { p =>
+      keySampleOf(p.partId) match {
+        case Some(ks) if ks.keys.nonEmpty =>
+          val w = p.rowCount.toDouble / ks.keys.size
+          ks.keys.foreach(k => if (inRange(k)) pts += ((k, w)))
+        case _ => sampleless += p
+      }
+    }
+    if (sampleless.nonEmpty) {
+      prefetchGranuleBounds(sampleless.toSeq)
+      val perPart = sampleless.map(p => granuleBoundsOf(p.partId))
+      if (perPart.exists(_.isEmpty)) return None
+      perPart.iterator.flatMap(_.get).foreach { case (lo, hi, rows) =>
+        val overlaps = range.forall { case (s, e) =>
+          lo == null || hi == null || !(KeyOrder.gt(lo, e) || KeyOrder.lt(hi, s))
+        }
+        if (overlaps) range match {
+          case Some((s, e)) =>
+            pts += ((if (lo == null || KeyOrder.lt(lo, s)) s else lo, rows / 2.0))
+            pts += ((if (hi == null || KeyOrder.gt(hi, e)) e else hi, rows / 2.0))
+          case None =>
+            if (lo != null) pts += ((lo, rows / 2.0))
+            if (hi != null) pts += ((hi, rows / 2.0))
+        }
+      }
+    }
+    val total = pts.iterator.map(_._2).sum
+    val targetPer = 64 * 1024L
+    val nParts = math.min(math.max(1L, (total.toLong + targetPer - 1) / targetPer), 1 << 20).toInt
+    if (nParts <= 1) return Some(Nil)
+    val sorted = pts.sortBy(_._1)(KeyOrder.ordering)
+    val bounds = new ArrayBuffer[String]()
+    var cum = 0.0
+    var k = 1
+    sorted.foreach { case (key, w) =>
+      while (k < nParts && cum >= (total * k) / nParts) {
+        if (bounds.isEmpty || KeyOrder.gt(key, bounds.last)) bounds += key
+        k += 1
+      }
+      cum += w
+    }
+    Some(bounds.toSeq)
   }
 
   // ----------------------------------------------------------- maintenance
@@ -710,7 +859,8 @@ final class MergeTreeTable private (
         .agg(max(col("value")).as("value"))
         .select(col("key"), col("value"), col("timestamp"))
       writePartInternal(merged,
-        partitionsForRows(group.map(_.rowCount).sum), register = false)
+        partitionsForRows(group.map(_.rowCount).sum), register = false,
+        sampleHint = sampleHintOf(group))
     }
 
   /** Greedy contiguous bin-packing of minKey-sorted parts into ≤ nOut bins,
@@ -769,7 +919,8 @@ final class MergeTreeTable private (
       .select(col("key"), col("value"), col("timestamp"))
     val mergedIds = toMerge.map(_.partId).toSet
     val newMeta = writePartInternal(merged,
-      partitionsForRows(toMerge.map(_.rowCount).sum), register = false)
+      partitionsForRows(toMerge.map(_.rowCount).sum), register = false,
+      sampleHint = sampleHintOf(toMerge))
     // Atomic read-merge swap: new manifest lists merged part, drops inputs,
     // keeps anything a concurrent writer registered meanwhile. Only the
     // swap holds the table lock (see mergePartsSync).
@@ -804,7 +955,8 @@ final class MergeTreeTable private (
   private def writePart(df: DataFrame, partitions: Int): PartMetadata =
     writePartInternal(df, partitions, register = true)
 
-  private def writePartInternal(df: DataFrame, partitions: Int, register: Boolean): PartMetadata = {
+  private def writePartInternal(df: DataFrame, partitions: Int, register: Boolean,
+      sampleHint: Option[Seq[(String, Double)]] = None): PartMetadata = {
     // The data write lands in a job-unique staging dir; the final
     // `part_<id>` name is claimed inside Manifest.register, where id
     // allocation and the rename are one locked step — so a concurrent DSv2
@@ -833,6 +985,17 @@ final class MergeTreeTable private (
     // write-path I/O; see PartStats).
     val stats = PartStats.readDir(spark.sessionState.newHadoopConf(), stage.toString)
     val size = dirSize(stage)
+    // Key sample (see KeySample): merges fold their inputs' samples with
+    // zero I/O; fresh batch parts pay one decimated column-pruned read
+    // (bounded — bigger parts carry no sample and fall back to granule
+    // bounds at query time).
+    val sample = sampleHint match {
+      case Some(points) if points.nonEmpty =>
+        Some(KeySample.Sample(stats.rows, KeySample.quantiles(points)))
+      case _ =>
+        KeySample.fromPartDir(spark.sessionState.newHadoopConf(), stage.toString, stats.rows)
+    }
+    sample.foreach(ks => KeySample.write(stage, ks))
     val now = System.currentTimeMillis()
     val meta = Manifest.register(path, stage, append = register) { partId =>
       PartMetadata(
@@ -868,6 +1031,8 @@ final class MergeTreeTable private (
     */
   private def retireParts(ids: Iterable[Long]): Unit = {
     if (ids.isEmpty) return
+    partRowCache.invalidate(ids)
+    ids.foreach(keySampleCache.remove(_))
     val now = System.currentTimeMillis()
     ColumnarMergeTree.GcList.update(path)(cur =>
       ColumnarMergeTree.GcList(

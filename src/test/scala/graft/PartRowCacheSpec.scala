@@ -1,0 +1,81 @@
+package graft
+
+import graft.mergetree.{KVRow, MergeTreeConfig, MergeTreeTable, PartRowCache}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Driver-local part-row cache: write-through at flush, read-through on
+  * scan, invalidation on merge retirement, LRU budget — and above all,
+  * identical query results cached, uncached, and after a cold reopen.
+  */
+class PartRowCacheSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.session
+
+  private def tmp(): String = Files.createTempDirectory("prc_spec_").toString
+
+  test("LRU unit behavior: budget, per-part cap, invalidation") {
+    val c = new PartRowCache(maxRows = 100)
+    def rows(n: Int): Array[KVRow] = Array.tabulate(n)(i => KVRow(s"k$i", "v", i.toLong))
+    c.put(1, rows(40)); c.put(2, rows(40))
+    assert(c.cachedRowCount == 80 && c.cachedPartCount == 2)
+    c.put(3, rows(40)) // evicts LRU (part 1)
+    assert(c.get(1).isEmpty && c.get(2).isDefined && c.get(3).isDefined)
+    c.put(4, rows(51)) // over per-part cap (maxRows/2) — never cached
+    assert(c.get(4).isEmpty)
+    c.invalidate(Seq(2L))
+    assert(c.get(2).isEmpty && c.cachedRowCount == 40)
+    val off = new PartRowCache(0)
+    off.put(1, rows(1))
+    assert(!off.enabled && off.get(1).isEmpty)
+  }
+
+  test("flush write-through serves scans with zero file reads; results match cold reopen") {
+    val dir = tmp()
+    val cfg = MergeTreeConfig(memtableFlushThreshold = 100, maxParts = 100)
+    val t = MergeTreeTable.create(spark, dir, cfg)
+    try {
+      (0 until 1000).foreach(i => t.insert(f"k${i % 300}%03d", s"v$i", i.toLong))
+      t.flush()
+      val (parts, rows) = t.localCacheStats
+      assert(parts == 10 && rows == 1000, s"write-through missing: $parts parts / $rows rows")
+      val hot = t.query("k050", "k149").collect()
+      assert(t.lastScanLocal)
+      // a fresh open has an empty cache — same query must read files and agree
+      val t2 = MergeTreeTable.open(spark, dir, cfg)
+      assert(t2.localCacheStats._1 == 0)
+      val cold = t2.query("k050", "k149").collect()
+      assert(t2.lastScanLocal)
+      assert(hot.toSeq == cold.toSeq)
+      // ... and the cold read itself populated the cache (read-through),
+      // but ONLY for the parts the manifest pruning let through: keys are
+      // written in thirds (k000-k099 / k100-k199 / k200-k299 per part), so
+      // the k050-k149 range overlaps exactly 7 of the 10 parts
+      assert(t2.localCacheStats._1 == 7)
+      t2.shutdown()
+    } finally {
+      t.shutdown()
+      MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+
+  test("merge retirement invalidates cached inputs; post-merge scans stay correct") {
+    val dir = tmp()
+    val t = MergeTreeTable.create(spark, dir,
+      MergeTreeConfig(memtableFlushThreshold = 50, maxParts = 2, gcGraceSeconds = 0))
+    try {
+      (0 until 500).foreach(i => t.insert(f"k${i % 100}%03d", s"v$i", i.toLong))
+      t.flush()
+      val before = t.fullScan().collect()
+      t.optimize()
+      val (parts, _) = t.localCacheStats
+      assert(parts == 0, s"retired inputs still cached ($parts) — merged output was written by Spark")
+      val after = t.fullScan().collect()
+      assert(before.toSeq == after.toSeq)
+    } finally {
+      t.shutdown()
+      MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+}

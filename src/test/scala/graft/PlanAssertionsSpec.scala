@@ -22,11 +22,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString()
 
   test("mt scans: (key,ts) dedup + global order in ONE range exchange") {
-    // The dedup-sort shape: range-partition FIRST satisfies the
-    // aggregate's clustering requirement, so groupBy plans no second
-    // (hash) exchange and the partition-local sort restores global
-    // order. A hash exchange appearing here means the one-exchange
-    // optimization regressed to the stock two-exchange shape.
+    // The dedup-sort shape: the custom bounded range exchange (split keys
+    // from persisted part key samples — NO sampling job, see
+    // BoundedRangeRepartition) satisfies the aggregate's clustering
+    // requirement, so groupBy plans no further exchange and the
+    // partition-local sort restores global order. A stock Exchange of ANY
+    // kind appearing here means either the sampling pass came back or the
+    // aggregate re-shuffled.
     import graft.mergetree.{KVRow, MergeTreeConfig, MergeTreeTable}
     import spark.implicits._
     val tdir = java.nio.file.Files.createTempDirectory("mt_plan_").toString
@@ -40,10 +42,10 @@ class PlanAssertionsSpec extends AnyFunSuite {
     t.insertBatch(spark.createDataset(rows), partitions = 2)
     for (df <- Seq(t.query("key_00100", "key_01000").toDF(), t.fullScan().toDF())) {
       val p = plan(df)
-      assert("Exchange rangepartitioning\\(key".r.findAllIn(p).size == 1,
-        s"exactly one range exchange on (key, ts):\n$p")
-      assert("Exchange ".r.findAllIn(p).size == 1,
-        s"no second exchange of any kind in the dedup path:\n$p")
+      assert("BoundedRangeRepartition".r.findAllIn(p).size == 1,
+        s"exactly one bounded range exchange on key:\n$p")
+      assert("Exchange ".r.findAllIn(p).size == 0,
+        s"no stock exchange of any kind in the dedup path:\n$p")
     }
     t.shutdown()
   }
