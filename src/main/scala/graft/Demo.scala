@@ -302,6 +302,18 @@ object Demo {
       s"after OPTIMIZE FINAL parts carry " +
       s"${lwT.parts.map(_.muts.size).sum} pending mutations, " +
       s"rows = ${lwT.scan().count()}")
+
+    // Round 14: system.query_log — every action above landed in the
+    // session's execution ring; read it back from pure SQL.
+    println("== system.query_log: the session's own executions from SQL:")
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (sources.QueryLog.entries.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(20) // the listener is async
+    val ql = spark.sql(
+      """SELECT status, count(*) AS n, cast(sum(duration_ms) AS bigint) AS ms
+        |FROM query_log() GROUP BY status ORDER BY status""".stripMargin).collect()
+    println(s"== query_log: " + ql.map(r =>
+      s"${r.getString(0)}=${r.getLong(1)} (${r.getLong(2)} ms)").mkString(", "))
     spark.stop()
   }
 }

@@ -520,15 +520,23 @@ final class MergeTreeTable private (
   private[graft] def localCacheStats: (Int, Long) =
     (partRowCache.cachedPartCount, partRowCache.cachedRowCount)
 
+  /** Read-through ceiling: a miss only reads the FULL part to cache it
+    * when the part is small. Write-through has no such cap (the rows are
+    * already in memory), but a read-side miss on a big part must serve
+    * the pushed-filter ranged read — reading a 500k-row part whole to
+    * answer a point lookup would trade a ~15 ms read for a ~1 s one.
+    */
+  private val readThroughCacheRows = 32 * 1024L
+
   /** One part's rows for the short-circuit: cache hit → in-memory slice;
     * miss on a small part → read FULL part once (file order within a part
     * dir is not globally sorted — N files written by N executors — so sort
     * before caching), cache, slice; miss on a big part → ranged parquet
-    * read, uncached (reading a huge part whole to serve a narrow range
-    * would trade one small read for a giant one).
+    * read, uncached.
     */
   private def readPartLocal(p: PartMetadata, range: Option[(String, String)]): Seq[KVRow] =
-    if (partRowCache.enabled && p.rowCount <= partRowCache.perPartCap) {
+    if (partRowCache.enabled &&
+        p.rowCount <= math.min(readThroughCacheRows, partRowCache.perPartCap)) {
       val full = LocalPartReader.read(partDir(p.partId), None).toArray
       val sorted = full.sortBy(r => (r.key, r.timestamp))(
         Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))

@@ -21,7 +21,12 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectResolutionRule(session => new MergeTreeFinalRule(session))
+    e.injectResolutionRule { session =>
+      // Piggyback on rule construction (once per session) to hook the
+      // query-log listener — extensions get no direct session callback.
+      QueryLog.install(session)
+      new MergeTreeFinalRule(session)
+    }
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     GraftExtensions.MetaFunctions.foreach { case (kind, fname) =>
       e.injectTableFunction((
@@ -57,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.getClass.getCanonicalName, "chunk_hybrid_search"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.chunkHybridRelation(args)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("query_log"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftExtensions.getClass.getCanonicalName, "query_log"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.queryLogRelation(args)))
   }
 }
 
@@ -99,6 +110,41 @@ object GraftExtensions {
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     LocalRelation(attrs,
       MergeTreeSystemTable.rowsFor(dir, kind).toIndexedSeq, isStreaming = false)
+  }
+
+  /** `SELECT * FROM query_log()` — the session's query-execution ring as a
+    * relation (see [[QueryLog]]). Materializes at analysis time like the
+    * metaRelation family; the snapshot is the log at the moment the query
+    * was planned (the query reading the log never sees itself).
+    */
+  private def queryLogRelation(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    require(args.isEmpty, "query_log() takes no arguments")
+    def utf8(s: String): UTF8String =
+      if (s == null) null else UTF8String.fromString(s)
+    val schema = StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("event_ms", LongType, nullable = false),
+      StructField("func", StringType, nullable = false),
+      StructField("duration_ms", DoubleType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("error", StringType, nullable = true),
+      StructField("output_rows", LongType, nullable = true),
+      StructField("plan_digest", StringType, nullable = false),
+      StructField("plan", StringType, nullable = false)))
+    val attrs = schema.fields.toIndexedSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    val rows = QueryLog.entries.map { e =>
+      new GenericInternalRow(Array[Any](e.seq, e.eventMs, utf8(e.func),
+        e.durationMs, utf8(e.status), utf8(e.error.orNull),
+        e.outputRows.getOrElse(null), utf8(e.planDigest), utf8(e.plan))): InternalRow
+    }.toIndexedSeq
+    LocalRelation(attrs, rows, isStreaming = false)
   }
 
   /** SQL table-function faces over the PERSISTED inverted index — a
