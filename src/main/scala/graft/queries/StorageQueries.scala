@@ -1355,6 +1355,36 @@ object StorageQueries {
       | count(*) AS count_all, max(event_id) AS max_event_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q141 — system.query_log (rows-only: the log is session-history by
+    * nature, so no DuckDB oracle exists; the entry is SELF-ENFORCING
+    * instead). Runs one deterministic probe action, then proves the probe
+    * landed in the ring by finding its own canonical plan digest via the
+    * `query_log()` SQL face with status ok and a positive duration.
+    */
+  def q141QueryLog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.QueryLog
+    QueryLog.install(spark) // idempotent; extensions normally do this
+    val probe = spark.read.parquet(s"$dir/region.parquet")
+      .selectExpr("count(*) AS n")
+    val n = probe.collect().head.getLong(0)
+    require(n > 0, "q141: probe must see rows")
+    val dig = QueryLog.digestOf(probe)
+    // the listener is async — poll briefly for the probe's entry
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (!QueryLog.entries.exists(e => e.planDigest == dig && e.status == "ok") &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    val mine = spark.sql(
+      s"SELECT plan_digest, status, duration_ms FROM query_log() " +
+        s"WHERE plan_digest = '$dig' AND status = 'ok'")
+    val rows = mine.collect()
+    require(rows.nonEmpty, "q141: the probe's execution must be in query_log()")
+    require(rows.forall(_.getDouble(2) > 0), "q141: logged duration must be positive")
+    import spark.implicits._
+    // Deterministic projection for the rows-only check: the probe was
+    // found, with its region count (stable per SF dir).
+    Seq(("ok", n)).toDF("probe_status", "region_rows")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -1387,5 +1417,6 @@ object StorageQueries {
     ("q136_runtime_prune", q136RuntimePrune _, Some(q136Sql)),
     ("q137_zorder_scan", q137ZOrderScan _, Some(q137Sql)),
     ("q138_lightweight_delete", q138LightweightDelete _, Some(q138Sql)),
-    ("q139_lightweight_update", q139LightweightUpdate _, Some(q139Sql)))
+    ("q139_lightweight_update", q139LightweightUpdate _, Some(q139Sql)),
+    ("q141_query_log", q141QueryLog _, None))
 }

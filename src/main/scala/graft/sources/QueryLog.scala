@@ -92,6 +92,12 @@ object QueryLog {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** The digest a log entry for `df`'s execution carries — lets a caller
+    * find its own query in the log.
+    */
+  def digestOf(df: org.apache.spark.sql.DataFrame): String =
+    digest(df.queryExecution.executedPlan.canonicalized.toString)
+
   def entries: Seq[Entry] = ring.synchronized {
     import scala.jdk.CollectionConverters._
     ring.iterator().asScala.toList
