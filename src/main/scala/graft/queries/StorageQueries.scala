@@ -1355,6 +1355,43 @@ object StorageQueries {
       | count(*) AS count_all, max(event_id) AS max_event_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q142 — FREEZE backup (ClickHouse `ALTER TABLE … FREEZE`): the backup
+    * must pin the PRE-mutation state while the original mutates on — the
+    * entry builds an events table, freezes it through the SQL verb, then
+    * physically DELETEs half the original and OPTIMIZEs it (rewriting and
+    * GC-ing the very dirs the backup hard-links), and aggregates the
+    * BACKUP. The oracle is the UN-mutated corpus: hash equality proves the
+    * frozen view stayed bit-stable through the original's rewrite cycle.
+    */
+  def q142Freeze(spark: SparkSession, dir: String): DataFrame = {
+    val bdir = cacheFreeze.getOrElseUpdate(dir, {
+      val ev = eventsSlim(spark, dir)
+      val p = Files.createTempDirectory("mt_q142_").toString
+      val tbl = ColumnarMergeTree.create(spark, p, ev.schema,
+        orderBy = Seq("user_id", "event_id"),
+        config = graft.mergetree.MergeTreeConfig(gcGraceSeconds = 0))
+      chunkedInsert(tbl, ev, ev.count())
+      val b = spark.sql(s"ALTER TABLE '$p' FREEZE WITH NAME 'q142'")
+        .collect().head.getString(0)
+      tbl.deleteWhere(col("event_type") === "click") // mutate the original…
+      tbl.optimizeFinal()                            // …rewrite + GC its parts
+      tbl.purgeGc(force = true)
+      b
+    })
+    ColumnarMergeTree.open(spark, bdir).scan()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("value")) * lit(100.0) + lit(0.5)).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val cacheFreeze = TrieMap.empty[String, String]
+
+  val q142Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Q141 — system.query_log (rows-only: the log is session-history by
     * nature, so no DuckDB oracle exists; the entry is SELF-ENFORCING
     * instead). Runs one deterministic probe action, then proves the probe
@@ -1418,5 +1455,6 @@ object StorageQueries {
     ("q137_zorder_scan", q137ZOrderScan _, Some(q137Sql)),
     ("q138_lightweight_delete", q138LightweightDelete _, Some(q138Sql)),
     ("q139_lightweight_update", q139LightweightUpdate _, Some(q139Sql)),
-    ("q141_query_log", q141QueryLog _, None))
+    ("q141_query_log", q141QueryLog _, None),
+    ("q142_freeze", q142Freeze _, Some(q142Sql)))
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 import java.nio.file.Paths
 
@@ -53,6 +53,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       ReplacePartitionCommand(target(q, id), value(vq, vb), target(q2, id2))
     case MaterializeTtlRe(q, id) =>
       MaterializeTtlCommand(target(q, id))
+    case FreezeRe(q, id, nm) =>
+      FreezeCommand(target(q, id), Option(nm))
     case AlterUpdateRe(q, id, tail) =>
       val (assigns, cond) = splitLastTopLevelWhere(tail).getOrElse(
         throw new IllegalArgumentException(
@@ -116,6 +118,9 @@ object GraftSqlParser {
       "\\s+REPLACE\\s+PARTITION\\s+" + V + "\\s+FROM\\s+" + T + "\\s*;?\\s*$").r
   private[sources] val MaterializeTtlRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+MATERIALIZE\\s+TTL\\s*;?\\s*$").r
+  private[sources] val FreezeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
+      "\\s+FREEZE(?:\\s+WITH\\s+NAME\\s+'([^']+)')?\\s*;?\\s*$").r
   // Captures everything after UPDATE; the assignments/predicate split
   // happens in splitLastTopLevelWhere (quote-aware — a regex split would
   // mis-handle ' WHERE ' inside a string literal).
@@ -266,6 +271,21 @@ object GraftSqlParser {
         case "DROP"   => tbl.dropPartition(value)
       }
       Seq(Row(n))
+    }
+  }
+
+  /** `ALTER TABLE … FREEZE [WITH NAME 'x']` → freeze(): zero-copy
+    * (hard-link) backup under `<table>/backups/<name>/`, independently
+    * openable; returns the backup path and part count.
+    */
+  final case class FreezeCommand(t: MtTarget, name: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("backup_path", StringType, nullable = false)(),
+      AttributeReference("parts", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (p, n) = open(spark, t).freeze(name)
+      Seq(Row(p, n.toLong))
     }
   }
 
