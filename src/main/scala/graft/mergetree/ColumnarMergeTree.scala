@@ -164,8 +164,11 @@ final class ColumnarMergeTree private (
             // anyway), then fold the remaining pending mutations: a table
             // UNDER maxParts otherwise never merges, so its tags would sit
             // until the per-part cap refuses the next statement.
-            try { optimize(); materializePendingMutations() }
-            catch {
+            // SYSTEM STOP MERGES pauses this whole block (re-checked every
+            // wake, so START MERGES resumes within one interval).
+            try {
+              if (!mergesStopped) { optimize(); materializePendingMutations() }
+            } catch {
               case e: Throwable if !closed =>
                 System.err.println(s"[cmt-bg] merge round failed, retrying: $e")
             }
@@ -2652,6 +2655,27 @@ final class ColumnarMergeTree private (
     (dst.toString, snap.parts.size)
   }
 
+  /** ClickHouse `SYSTEM STOP MERGES`: pause BACKGROUND maintenance (worker
+    * compaction and pending-mutation folding) on this table, across every
+    * instance and process — the switch is a marker file, polled by each
+    * worker at wake. Explicit `optimize()`/`OPTIMIZE TABLE` stays
+    * available (ClickHouse semantics): STOP MERGES is for operators who
+    * need I/O quiet or a stable part set (e.g. around a freeze), not a
+    * correctness gate. `startMerges` resumes.
+    */
+  def stopMerges(): Unit =
+    Files.write(Paths.get(path, ColumnarMergeTree.MergesStoppedMarker),
+      Array.emptyByteArray, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+
+  def startMerges(): Unit = {
+    Files.deleteIfExists(Paths.get(path, ColumnarMergeTree.MergesStoppedMarker))
+    ()
+  }
+
+  def mergesStopped: Boolean =
+    Files.exists(Paths.get(path, ColumnarMergeTree.MergesStoppedMarker))
+
   /** Detached part metadata (introspection for the quarantine workflow). */
   def detachedParts: Seq[GPartMeta] = DetachedSet.load(path)
 
@@ -2796,6 +2820,11 @@ object ColumnarMergeTree {
 
   private[graft] def hasLwMarker(tablePath: String): Boolean =
     Files.exists(lwMarkerPath(tablePath))
+
+  /** SYSTEM STOP MERGES switch (see stopMerges) — a marker file so the
+    * pause binds every instance and process on the table.
+    */
+  private[graft] val MergesStoppedMarker = "_merges_stopped"
 
   /** Parsed set(N) sidecars, keyed by (file, mtime): sidecars are
     * write-once with the part dir, so repeat probes (every planned scan

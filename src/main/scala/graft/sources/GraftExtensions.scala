@@ -92,7 +92,8 @@ object GraftExtensions {
   private val MetaFunctions = Seq(
     "uniq" -> "uniq_meta", "topk" -> "topk_meta",
     "quantiles" -> "quantiles_meta", "parts" -> "parts_meta",
-    "snapshots" -> "snapshots_meta", "columns" -> "columns_meta")
+    "snapshots" -> "snapshots_meta", "columns" -> "columns_meta",
+    "mutations" -> "mutations_meta")
 
   private def metaRelation(
       kind: String, fname: String,

@@ -55,6 +55,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       MaterializeTtlCommand(target(q, id))
     case FreezeRe(q, id, nm) =>
       FreezeCommand(target(q, id), Option(nm))
+    case SystemMergesRe(verb, q, id) =>
+      SystemMergesCommand(target(q, id), verb.equalsIgnoreCase("STOP"))
     case AlterUpdateRe(q, id, tail) =>
       val (assigns, cond) = splitLastTopLevelWhere(tail).getOrElse(
         throw new IllegalArgumentException(
@@ -121,6 +123,8 @@ object GraftSqlParser {
   private[sources] val FreezeRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
       "\\s+FREEZE(?:\\s+WITH\\s+NAME\\s+'([^']+)')?\\s*;?\\s*$").r
+  private[sources] val SystemMergesRe =
+    ("(?is)^\\s*SYSTEM\\s+(STOP|START)\\s+MERGES\\s+" + T + "\\s*;?\\s*$").r
   // Captures everything after UPDATE; the assignments/predicate split
   // happens in splitLastTopLevelWhere (quote-aware — a regex split would
   // mis-handle ' WHERE ' inside a string literal).
@@ -286,6 +290,20 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val (p, n) = open(spark, t).freeze(name)
       Seq(Row(p, n.toLong))
+    }
+  }
+
+  /** `SYSTEM STOP|START MERGES t` → stopMerges()/startMerges(): pause or
+    * resume background maintenance on the table (marker file — binds every
+    * instance/process; explicit OPTIMIZE stays available, ClickHouse
+    * semantics).
+    */
+  final case class SystemMergesCommand(t: MtTarget, stop: Boolean)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tbl = open(spark, t)
+      if (stop) tbl.stopMerges() else tbl.startMerges()
+      Nil
     }
   }
 

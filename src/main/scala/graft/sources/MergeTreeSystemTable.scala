@@ -67,9 +67,11 @@ object MergeTreeSystemTable {
     case "columns" => StructType.fromDDL(
       "position INT, name STRING, type STRING, is_order_by BOOLEAN, " +
         "is_partition BOOLEAN, indexes STRING")
+    case "mutations" => StructType.fromDDL(
+      "part_id BIGINT, ord INT, kind STRING, predicate STRING, sets STRING")
     case other => throw new IllegalArgumentException(
       s"mergetree: unknown system table '$other' " +
-        "(expected parts | snapshots | columns | uniq | topk | quantiles)")
+        "(expected parts | snapshots | columns | mutations | uniq | topk | quantiles)")
   }
 
   def rowsFor(path: String, kind: String): Array[InternalRow] = kind match {
@@ -78,7 +80,31 @@ object MergeTreeSystemTable {
     case "topk"      => topkRows(path)
     case "quantiles" => quantileRows(path)
     case "columns"   => columnRows(path)
+    case "mutations" => mutationRows(path)
     case _           => snapshotRows(path)
+  }
+
+  /** `system 'mutations'` (ClickHouse system.mutations): one row per
+    * PENDING lightweight mutation per live part, in application order —
+    * the operational view of "what will the next merge materialize" (and
+    * how close each part is to the per-part tag cap). Empty == no
+    * mutation debt.
+    */
+  private def mutationRows(path: String): Array[InternalRow] = {
+    val m = ColumnarMergeTree.GManifest.load(path).getOrElse(
+      throw new IllegalArgumentException(s"no mergetree manifest at $path"))
+    m.parts.toArray.flatMap { p =>
+      p.muts.zipWithIndex.map { case (mut, i) =>
+        val sets = mut.set.map(_.map(kv => kv.mkString(" = ")).mkString(", ")).orNull
+        val kind = mut.kind match { // stored short, presented ClickHouse-style
+          case "del" => "delete"
+          case "upd" => "update"
+          case other => other
+        }
+        new GenericInternalRow(Array[Any](p.partId, i, utf8(kind),
+          utf8(mut.cond), utf8(sets))): InternalRow
+      }
+    }
   }
 
   /** `system 'columns'` (ClickHouse system.columns): one row per schema
