@@ -2655,6 +2655,40 @@ final class ColumnarMergeTree private (
     (dst.toString, snap.parts.size)
   }
 
+  /** ClickHouse `ALTER TABLE … MODIFY TTL 'expr'` / `REMOVE TTL` (pass
+    * None): retention policy is table METADATA, changed without touching a
+    * data file — the next merge (or an explicit applyTtl/MATERIALIZE TTL)
+    * enforces the NEW predicate. Lazy-TTL semantics make the switch
+    * well-defined: rows the old policy would have expired but the new one
+    * keeps simply survive if nothing materialized them away yet, exactly
+    * like rows that straddle a policy's own evaluation times. The
+    * expression must analyze as a BOOLEAN over the table schema (checked
+    * here against an empty frame — a bad policy must fail at ALTER time,
+    * not inside some future background merge). Returns the reopened
+    * handle; this instance's background worker stops (the addColumn
+    * discipline — a live worker on a stale definition must not merge with
+    * the OLD policy).
+    */
+  def modifyTtl(ttlExpr: Option[String]): ColumnarMergeTree = {
+    stopBackgroundWorker()
+    ttlExpr.foreach { t =>
+      val refs = exprRefs(t)
+      require(refs.nonEmpty, s"TTL '$t' references no columns")
+      val missing = refs.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"TTL references unknown columns ${missing.mkString(",")}")
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      require(probe.filter(expr(t)).schema != null) // analysis must pass
+    }
+    ManifestLocks.locked(path) {
+      val defn = TableDef.load(path).getOrElse(
+        throw new IllegalStateException(s"no table definition at $path"))
+      TableDef.store(path, defn.copy(ttl = ttlExpr))
+    }
+    ColumnarMergeTree.open(spark, path, config)
+  }
+
   /** ClickHouse `SYSTEM STOP MERGES`: pause BACKGROUND maintenance (worker
     * compaction and pending-mutation folding) on this table, across every
     * instance and process — the switch is a marker file, polled by each

@@ -57,6 +57,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       FreezeCommand(target(q, id), Option(nm))
     case SystemMergesRe(verb, q, id) =>
       SystemMergesCommand(target(q, id), verb.equalsIgnoreCase("STOP"))
+    case ModifyTtlRe(q, id, ttl) =>
+      ModifyTtlCommand(target(q, id), Some(ttl))
+    case RemoveTtlRe(q, id) =>
+      ModifyTtlCommand(target(q, id), None)
     case AlterUpdateRe(q, id, tail) =>
       val (assigns, cond) = splitLastTopLevelWhere(tail).getOrElse(
         throw new IllegalArgumentException(
@@ -125,6 +129,10 @@ object GraftSqlParser {
       "\\s+FREEZE(?:\\s+WITH\\s+NAME\\s+'([^']+)')?\\s*;?\\s*$").r
   private[sources] val SystemMergesRe =
     ("(?is)^\\s*SYSTEM\\s+(STOP|START)\\s+MERGES\\s+" + T + "\\s*;?\\s*$").r
+  private[sources] val ModifyTtlRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+MODIFY\\s+TTL\\s+'([^']+)'\\s*;?\\s*$").r
+  private[sources] val RemoveTtlRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+REMOVE\\s+TTL\\s*;?\\s*$").r
   // Captures everything after UPDATE; the assignments/predicate split
   // happens in splitLastTopLevelWhere (quote-aware — a regex split would
   // mis-handle ' WHERE ' inside a string literal).
@@ -290,6 +298,18 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val (p, n) = open(spark, t).freeze(name)
       Seq(Row(p, n.toLong))
+    }
+  }
+
+  /** `ALTER TABLE … MODIFY TTL 'expr'` / `REMOVE TTL` → modifyTtl():
+    * retention policy changed as pure metadata; the next merge or
+    * MATERIALIZE TTL enforces the new predicate.
+    */
+  final case class ModifyTtlCommand(t: MtTarget, ttl: Option[String])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      open(spark, t).modifyTtl(ttl)
+      Nil
     }
   }
 
