@@ -303,6 +303,22 @@ object Demo {
       s"${lwT.parts.map(_.muts.size).sum} pending mutations, " +
       s"rows = ${lwT.scan().count()}")
 
+    // Round 14: operational verbs — FREEZE (zero-copy backup), SYSTEM
+    // STOP/START MERGES, system.mutations, MODIFY TTL.
+    println("== FREEZE + mutations + STOP MERGES + MODIFY TTL:")
+    spark.sql(s"SYSTEM STOP MERGES '$lwDir'").collect()
+    lwT.deleteLightweight(col("grp") === 2)
+    val pend = spark.sql(s"SELECT kind FROM mutations_meta('$lwDir')").count()
+    val (bk, bparts) = lwT.freeze(Some("demo"))
+    val bkRows = mergetree.ColumnarMergeTree.open(spark, bk).scan().count()
+    spark.sql(s"SYSTEM START MERGES '$lwDir'").collect()
+    spark.sql(s"ALTER TABLE '$lwDir' MODIFY TTL 'grp = 0'").collect()
+    spark.sql(s"ALTER TABLE '$lwDir' MATERIALIZE TTL").collect()
+    val afterTtl = mergetree.ColumnarMergeTree.open(spark, lwDir).scan().count()
+    println(s"== pending mutations = $pend; backup '$bk' parts = $bparts " +
+      s"rows = $bkRows (grp=2 stays hidden); rows after MODIFY+MATERIALIZE " +
+      s"TTL = $afterTtl")
+
     // Round 14: system.query_log — every action above landed in the
     // session's execution ring; read it back from pure SQL.
     println("== system.query_log: the session's own executions from SQL:")
