@@ -70,6 +70,29 @@ private[graft] object KeySample {
     out.toSeq
   }
 
+  /** n-way weighted split keys: the n−1 ascending bounds at the k/n
+    * quantiles of a (key, weight) multiset (deduped — may return fewer).
+    * Shared by the scan-side range exchange and the learned-bounds write
+    * path.
+    */
+  def splitBounds(points: Seq[(String, Double)], n: Int): Seq[String] = {
+    if (points.isEmpty || n <= 1) return Nil
+    val sorted = points.sortBy(_._1)(KeyOrder.ordering)
+    val total = sorted.iterator.map(_._2).sum
+    if (total <= 0) return Nil
+    val bounds = new ArrayBuffer[String]()
+    var cum = 0.0
+    var k = 1
+    sorted.foreach { case (key, w) =>
+      while (k < n && cum >= total * k / n) {
+        if (bounds.isEmpty || KeyOrder.gt(key, bounds.last)) bounds += key
+        k += 1
+      }
+      cum += w
+    }
+    bounds.toSeq
+  }
+
   def write(partDir: Path, sample: Sample): Unit = {
     import org.json4s.DefaultFormats
     import org.json4s.jackson.Serialization

@@ -766,18 +766,32 @@ final class MergeTreeTable private (
     val targetPer = 64 * 1024L
     val nParts = math.min(math.max(1L, (total.toLong + targetPer - 1) / targetPer), 1 << 20).toInt
     if (nParts <= 1) return Some(Nil)
-    val sorted = pts.sortBy(_._1)(KeyOrder.ordering)
-    val bounds = new ArrayBuffer[String]()
-    var cum = 0.0
-    var k = 1
-    sorted.foreach { case (key, w) =>
-      while (k < nParts && cum >= (total * k) / nParts) {
-        if (bounds.isEmpty || KeyOrder.gt(key, bounds.last)) bounds += key
-        k += 1
-      }
-      cum += w
-    }
-    Some(bounds.toSeq)
+    Some(KeySample.splitBounds(pts.toSeq, nParts))
+  }
+
+  /** Learned write bounds: split keys for sorting a NEW batch into `n`
+    * range-partitioned files, derived from the EXISTING parts' key samples
+    * — the steady-state ingest path plans no sampling job (the stock
+    * `repartitionByRange` reads every incoming batch twice: once to
+    * sample, once to write — a 2× ingest read at any scale). The incoming
+    * batch is assumed to follow the table's distribution; drift only
+    * unbalances the part's files (row groups stay sorted and correct), and
+    * the part's own persisted sample re-learns the shape for the next
+    * batch. None (→ caller samples) while the table is empty or its
+    * samples are too thin to cut n ways.
+    */
+  private def learnedWriteBounds(n: Int): Option[Seq[String]] = {
+    if (n <= 1) return None
+    val live = lock.synchronized(manifest.parts)
+    if (live.isEmpty) return None
+    val pts = live.flatMap(p => keySampleOf(p.partId) match {
+      case Some(ks) if ks.keys.nonEmpty =>
+        val w = p.rowCount.toDouble / ks.keys.size
+        ks.keys.map(k => (k, w))
+      case _ => Seq.empty[(String, Double)]
+    })
+    if (pts.size < n * 4) return None // too thin to cut n ways with confidence
+    Some(KeySample.splitBounds(pts, n)).filter(_.nonEmpty)
   }
 
   // ----------------------------------------------------------- maintenance
@@ -973,8 +987,18 @@ final class MergeTreeTable private (
     val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
     val sorted =
       if (partitions <= 1) df.coalesce(1).sortWithinPartitions("key", "timestamp")
-      else df.repartitionByRange(partitions, col("key"), col("timestamp"))
-        .sortWithinPartitions("key", "timestamp")
+      else learnedWriteBounds(partitions) match {
+        // Steady state: sort the batch by the table's LEARNED key
+        // distribution — no sampling job (see learnedWriteBounds).
+        case Some(bounds) =>
+          org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+              graft.plans.BoundedRangeRepartition("key", bounds, df.queryExecution.analyzed))
+            .sortWithinPartitions("key", "timestamp")
+        // First batches: nothing learned yet — pay the sampling pass once.
+        case None =>
+          df.repartitionByRange(partitions, col("key"), col("timestamp"))
+            .sortWithinPartitions("key", "timestamp")
+      }
     // Honor declared bloom columns (previously silently inert on the KV
     // writers — compare ColumnarMergeTree's writers).
     config.bloomFilterColumns.foldLeft(

@@ -128,6 +128,45 @@ class BoundedRangeExchangeSpec extends AnyFunSuite {
     }
   }
 
+  test("steady-state batch writes sort by LEARNED bounds — no sampling job") {
+    import graft.sources.QueryLog
+    QueryLog.install(spark)
+    val dir = tmp()
+    val t = MergeTreeTable.create(spark, dir, MergeTreeConfig(
+      memtableFlushThreshold = 1000000, maxParts = 100, localScanMaxRows = 0))
+    try {
+      import spark.implicits._
+      val rnd = new scala.util.Random(13)
+      def batch(n: Int) = spark.createDataset(
+        (0 until n).map(i => KVRow(f"k${rnd.nextInt(100000)}%06d", s"v$i", i.toLong)))
+      // batch 1: nothing learned — the sampling path runs (and persists a
+      // key sample for the part)
+      t.insertBatch(batch(20000), partitions = 4)
+      QueryLog.clear()
+      // batch 2: the table's samples supply the bounds
+      t.insertBatch(batch(20000), partitions = 4)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (!QueryLog.entries.exists(_.plan.contains("BoundedRangeRepartition")) &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      val writes = QueryLog.entries.filter(_.plan.contains("WriteFiles"))
+      assert(writes.exists(_.plan.contains("BoundedRangeRepartition")),
+        s"steady-state write must use learned bounds:\n${writes.map(_.plan).mkString("\n---\n")}")
+      assert(!writes.exists(_.plan.contains("rangepartitioning")),
+        "no sampling exchange may appear in a steady-state write")
+      // the learned layout must still read back correctly and balanced-ish
+      val total = t.fullScan().count()
+      assert(total > 0)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+        .map(_.toString).filter(_.split('/').last.startsWith("part_"))
+        .flatMap(p => java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+          .map(_.toString).filter(_.endsWith(".parquet")))
+      assert(files.length == 8, s"expected 2 parts x 4 files, got ${files.length}")
+    } finally {
+      t.shutdown()
+      MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+
   test("bounds route rows exactly: partition i ascending, equal keys co-located") {
     BoundedRangeStrategy.register(spark)
     import spark.implicits._
