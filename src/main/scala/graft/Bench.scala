@@ -216,9 +216,10 @@ object Bench {
     // was invisible). Each *_build number is the first invocation: the
     // build plus one served query (the serve is the per-query min below,
     // ~2 orders smaller). The sweep entries then time the steady state.
-    for (b <- Seq("q48_ivf_index", "q105_log_manifest", "q107_agg_projection",
-        "q109_pq_ann", "q111_bm25_index", "q115_ivfadc",
-        "q132_bpe_persisted", "q133_bucket_spj", "q134_chunk_hybrid")) {
+    for (b <- Seq("q48_ivf_index", "q101_incremental_dedup", "q105_log_manifest",
+        "q107_agg_projection", "q109_pq_ann", "q111_bm25_index", "q115_ivfadc",
+        "q132_bpe_persisted", "q133_bucket_spj", "q134_chunk_hybrid",
+        "q140_chunkvec_hybrid", "q142_freeze")) {
       // A failed build records the -1.0 sentinel, never its elapsed time —
       // the artifact must not report a crashed build as a fast one.
       var ok = true

@@ -142,6 +142,11 @@ final class ColumnarMergeTree private (
     * the manifest swap.
     */
   private val maintenanceLock = new Object
+
+  // The learned-bounds write path plans the custom range exchange; the
+  // imperative registration keeps it working in sessions without
+  // spark.sql.extensions configured (same as MergeTreeTable).
+  graft.plans.BoundedRangeStrategy.register(spark)
   @volatile private var manifest: GManifest =
     GManifest.load(path).getOrElse(GManifest(0L, Nil))
   @volatile private var closed = false
@@ -795,7 +800,19 @@ final class ColumnarMergeTree private (
       else math.max(1, math.min(spark.sparkContext.defaultParallelism, 32))
     val sorted =
       if (n <= 1) df.coalesce(1).sortWithinPartitions(sortCols: _*)
-      else df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else learnedWriteBounds(partition, n) match {
+        // Steady state (and every merge/rewrite): split the batch on the
+        // table's LEARNED lead-key distribution — the stock
+        // repartitionByRange reads the batch twice (a sampling pass, then
+        // the write pass), which for a merge means every input part read
+        // 2×. See learnedWriteBounds.
+        case Some(bounds) =>
+          org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+              graft.plans.BoundedRangeRepartition(leadKey, bounds, df.queryExecution.analyzed))
+            .sortWithinPartitions(sortCols: _*)
+        case None =>
+          df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      }
     val writer = config.bloomFilterColumns.foldLeft(
       sorted.write
         .option("parquet.block.row.count.limit", config.granuleSize)
@@ -804,6 +821,48 @@ final class ColumnarMergeTree private (
     }
     writer.mode("overwrite").parquet(stage.toString)
     registerStaged(stage, register, partition)
+  }
+
+  /** Per-part (row-group lead-key minimum, rows) points, cached per
+    * immutable part id — the write path's distribution sketch (see
+    * learnedWriteBounds). None caches too (unreadable footer: never
+    * retried for the part's lifetime — the write path falls back to
+    * sampling, correct either way).
+    */
+  private val leadPointsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Seq[(String, Long)]]]()
+
+  private def leadPointsOf(p: GPartMeta): Option[Seq[(String, Long)]] =
+    leadPointsCache.computeIfAbsent(p.partId, _ =>
+      scala.util.Try(PartStats.leadRanges(
+        spark.sessionState.newHadoopConf(), s"$path/${p.dir}", leadKey)).toOption)
+
+  /** Learned write bounds (the generic-engine analog of MergeTreeTable's
+    * key-sample path): split keys for sorting a new batch — or a MERGE's
+    * output — into `n` range-partitioned files, from the live parts' own
+    * row-group lead-key minima (rank samples of the table's distribution;
+    * parts are sorted runs, so their row-group boundaries tile their range
+    * finely). Scoped to the same PARTITION as the write, since merges
+    * never cross partitions and per-partition distributions differ by
+    * design. None (→ caller pays the one-off sampling pass) while the
+    * partition is empty, the lead type is unsupported, a footer is
+    * unreadable, or the points are too thin to cut n ways. Drift or a
+    * filtered rewrite only unbalances the part's files — row groups stay
+    * sorted and every reader correct.
+    */
+  private def learnedWriteBounds(partition: Option[String], n: Int): Option[Seq[String]] = {
+    if (n <= 1) return None
+    val dt = schema(leadKey).dataType
+    if (!graft.plans.BoundedRangeRepartitionExec.supports(dt)) return None
+    val live = lock.synchronized(manifest.parts).filter(_.partition == partition)
+    if (live.isEmpty) return None
+    val perPart = live.map(leadPointsOf)
+    if (perPart.exists(_.isEmpty)) return None
+    val pts = perPart.flatMap(_.get).collect {
+      case (lo, rows) if lo != null => (lo, rows.toDouble)
+    }
+    if (pts.size < n * 4) return None
+    Some(KeySample.splitBoundsTyped(pts, n, dt)).filter(_.nonEmpty)
   }
 
   /** Claim a staged part directory as `part_<id>`, computing its manifest
@@ -1205,6 +1264,7 @@ final class ColumnarMergeTree private (
     */
   private def retireParts(gone: Iterable[GPartMeta]): Unit = {
     if (gone.isEmpty) return
+    gone.foreach(p => leadPointsCache.remove(p.partId))
     val now = System.currentTimeMillis()
     GcList.update(path)(cur =>
       GcList(cur.retired ++ gone.map(p => GcEntry(p.partId, now, p.dirName))))

@@ -75,17 +75,40 @@ private[graft] object KeySample {
     * Shared by the scan-side range exchange and the learned-bounds write
     * path.
     */
-  def splitBounds(points: Seq[(String, Double)], n: Int): Seq[String] = {
+  def splitBounds(points: Seq[(String, Double)], n: Int): Seq[String] =
+    splitBoundsGeneric(points, n)(KeyOrder.ordering)
+
+  /** splitBounds in the KEY TYPE's own order for canonically-encoded
+    * numeric points ("10" must sort after "9") — the write-side learned
+    * bounds on tables ordered by a numeric lead key.
+    */
+  def splitBoundsTyped(points: Seq[(String, Double)], n: Int,
+      dt: org.apache.spark.sql.types.DataType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => splitBounds(points, n)
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType =>
+        splitBoundsGeneric(points.map { case (k, w) => (k.toLong, w) }, n)
+          .map(_.toString)
+      case FloatType | DoubleType =>
+        splitBoundsGeneric(points.map { case (k, w) => (k.toDouble, w) }, n)
+          .map(_.toString)
+      case _ => Nil
+    }
+  }
+
+  private def splitBoundsGeneric[T](points: Seq[(T, Double)], n: Int)
+      (implicit ord: Ordering[T]): Seq[T] = {
     if (points.isEmpty || n <= 1) return Nil
-    val sorted = points.sortBy(_._1)(KeyOrder.ordering)
+    val sorted = points.sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
     if (total <= 0) return Nil
-    val bounds = new ArrayBuffer[String]()
+    val bounds = new ArrayBuffer[T]()
     var cum = 0.0
     var k = 1
     sorted.foreach { case (key, w) =>
       while (k < n && cum >= total * k / n) {
-        if (bounds.isEmpty || KeyOrder.gt(key, bounds.last)) bounds += key
+        if (bounds.isEmpty || ord.gt(key, bounds.last)) bounds += key
         k += 1
       }
       cum += w

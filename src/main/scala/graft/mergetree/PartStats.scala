@@ -125,6 +125,35 @@ object PartStats {
     }
   }
 
+  /** Per-row-group (min of `colName`, rows) across the part's files, the
+    * value CANONICALLY string-encoded per its parquet physical type
+    * (Binary→UTF-8, numerics→toString — the encoding
+    * BoundedRangeRepartition's bound lists decode). Groups without stats
+    * report null. Footer-only driver I/O; cacheable per immutable part.
+    */
+  def leadRanges(conf: Configuration, dir: String, colName: String): Seq[(String, Long)] = {
+    listParquet(Paths.get(dir)).flatMap { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(f.toString), conf))
+      try reader.getFooter.getBlocks.asScala.toSeq
+        .filter(_.getRowCount > 0)
+        .map { block =>
+          val ks = block.getColumns.asScala
+            .find(_.getPath.toDotString == colName).map(_.getStatistics)
+          val lo = ks match {
+            case Some(s) if s != null && s.hasNonNullValue =>
+              s.genericGetMin match {
+                case b: Binary => b.toStringUsingUTF8
+                case other     => String.valueOf(other)
+              }
+            case _ => null
+          }
+          (lo, block.getRowCount)
+        }
+      finally reader.close()
+    }
+  }
+
   /** Per-row-group row counts across the part's files, for granule tests. */
   def rowGroupSizes(conf: Configuration, dir: String): Seq[Long] = {
     listParquet(Paths.get(dir)).flatMap { f =>

@@ -23,15 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * exchange directly.
   *
   * Semantics: partition `i` receives keys `k` with
-  * `bounds(i-1) < k <= bounds(i)` in unsigned-byte order (the collation
-  * Spark compares strings by), partition `bounds.size` the tail — i.e. a
-  * genuine ascending range partitioning, reported as
-  * [[RangePartitioning]] so downstream clustering requirements
-  * (`groupBy(key, …)`) are satisfied with NO further exchange and a
-  * partition-local sort restores global order.
+  * `bounds(i-1) < k <= bounds(i)` in the KEY TYPE's own order (strings as
+  * unsigned UTF-8 bytes — Spark's collation — integrals/date/timestamp as
+  * longs, float/double as doubles; see
+  * [[BoundedRangeRepartitionExec.supports]]), nulls first, partition
+  * `bounds.size` the tail — i.e. a genuine ascending range partitioning,
+  * reported as [[RangePartitioning]] so downstream clustering
+  * requirements (`groupBy(key, …)`) are satisfied with NO further
+  * exchange and a partition-local sort restores global order.
   *
-  * Bounds are real key strings (the table derives them from persisted
-  * per-part key samples — see KeySample); they compare as UTF-8 bytes.
+  * Bounds travel as CANONICAL STRINGS of real key values (the tables
+  * derive them from persisted per-part key samples or row-group lead
+  * stats — see KeySample) and decode per the key column's type.
   *
   * Rows are shuffled as `UnsafeRow` (Externalizable writes the raw bytes —
   * no object-graph serialization) keyed by the precomputed partition id.
@@ -65,10 +68,6 @@ case class BoundedRangeRepartitionExec(
     val out = child.output
     val keyIdx = out.indexWhere(_.name == keyName)
     val n = bounds.length + 1
-    // Ship raw bytes; rebuild UTF8String per task (cheap, avoids depending
-    // on UTF8String's own serialization in the closure).
-    val boundBytes: Array[Array[Byte]] =
-      bounds.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The id function runs inside the native exchange write path (see
     // ShuffleBridge): UnsafeRowSerializer relocates, so the writer
     // serializes each record on insert and the reused codegen row buffer
@@ -80,25 +79,103 @@ case class BoundedRangeRepartitionExec(
         case other => proj(other)
       }
     }, preservesPartitioning = true)
-    val bs: Array[UTF8String] = boundBytes.map(UTF8String.fromBytes)
     org.apache.spark.sql.graft.ShuffleBridge.shuffleByPrecomputedId(
       rows.asInstanceOf[RDD[InternalRow]], out.length, n,
-      row => {
-        val key = row.getUTF8String(keyIdx)
-        // first bound >= key → that bucket (keys equal to a bound go low,
-        // like RangePartitioner's binary search)
-        var lo = 0
-        var hi = bs.length
-        while (lo < hi) {
-          val m = (lo + hi) >>> 1
-          if (bs(m).compareTo(key) < 0) lo = m + 1 else hi = m
-        }
-        lo
-      })
+      BoundedRangeRepartitionExec.idFunction(keyAttr.dataType, bounds, keyIdx))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): BoundedRangeRepartitionExec =
     copy(child = newChild)
+}
+
+object BoundedRangeRepartitionExec {
+
+  /** Data types the exchange can route: the bound list travels as
+    * CANONICAL STRINGS (a TreeNode-friendly, explain-readable encoding)
+    * and decodes per type here.
+    */
+  def supports(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+    case _ => false
+  }
+
+  /** Canonical string for a lead-key value of a supported type (the
+    * inverse of the decoders in `idFunction`).
+    */
+  def encodeKey(v: Any): String = v match {
+    case null => null
+    case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case other => other.toString
+  }
+
+  /** Map-side partition-id function: binary search over the decoded
+    * bounds in the KEY TYPE's own order (keys equal to a bound go low,
+    * like RangePartitioner). Nulls route to partition 0 — NULLS FIRST,
+    * Spark's default ascending order. The type dispatch happens ONCE
+    * here; the returned closure captures the decoded bounds (UTF8String
+    * and primitives are closure-serializable) and runs a tight loop.
+    */
+  private[plans] def idFunction(dt: org.apache.spark.sql.types.DataType,
+      bounds: Array[String], keyIdx: Int): InternalRow => Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        val b: Array[UTF8String] = bounds.map(UTF8String.fromString)
+        row =>
+          if (row.isNullAt(keyIdx)) 0
+          else {
+            val key = row.getUTF8String(keyIdx)
+            var lo = 0
+            var hi = b.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (b(m).compareTo(key) < 0) lo = m + 1 else hi = m
+            }
+            lo
+          }
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType =>
+        val b = bounds.map(_.toLong)
+        val get: (InternalRow, Int) => Long = dt match {
+          case ByteType               => (r, i) => r.getByte(i).toLong
+          case ShortType              => (r, i) => r.getShort(i).toLong
+          case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+          case _                      => (r, i) => r.getLong(i)
+        }
+        row =>
+          if (row.isNullAt(keyIdx)) 0
+          else {
+            val key = get(row, keyIdx)
+            var lo = 0
+            var hi = b.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (b(m) < key) lo = m + 1 else hi = m
+            }
+            lo
+          }
+      case FloatType | DoubleType =>
+        val b = bounds.map(_.toDouble)
+        val isFloat = dt == FloatType
+        row =>
+          if (row.isNullAt(keyIdx)) 0
+          else {
+            val key = if (isFloat) row.getFloat(keyIdx).toDouble else row.getDouble(keyIdx)
+            var lo = 0
+            var hi = b.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (java.lang.Double.compare(b(m), key) < 0) lo = m + 1 else hi = m
+            }
+            lo
+          }
+      case other => throw new IllegalArgumentException(
+        s"BoundedRangeRepartition: unsupported key type $other")
+    }
+  }
 }
 
 object BoundedRangeStrategy extends SparkStrategy {
