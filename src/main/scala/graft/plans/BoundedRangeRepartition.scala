@@ -103,15 +103,6 @@ object BoundedRangeRepartitionExec {
     case _ => false
   }
 
-  /** Canonical string for a lead-key value of a supported type (the
-    * inverse of the decoders in `idFunction`).
-    */
-  def encodeKey(v: Any): String = v match {
-    case null => null
-    case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
-    case other => other.toString
-  }
-
   /** Map-side partition-id function: binary search over the decoded
     * bounds in the KEY TYPE's own order (keys equal to a bound go low,
     * like RangePartitioner). Nulls route to partition 0 — NULLS FIRST,
