@@ -392,7 +392,7 @@ final class MergeTreeTable private (
     // Write-through: the sorted rows are already in driver memory and the
     // part is immutable from birth — the next short-circuit scan serves
     // them without touching the file.
-    partRowCache.put(meta.partId, sorted.toArray)
+    partRowCache.put(meta.partId, meta.creationTime, sorted.toArray)
     refresh()
     meta
   }
@@ -483,7 +483,7 @@ final class MergeTreeTable private (
     // tiny uncached parts read serially would cost more than the
     // distributed job the short-circuit avoids).
     val cachedRows: Map[Long, Array[KVRow]] =
-      live.flatMap(p => partRowCache.get(p.partId).map(p.partId -> _)).toMap
+      live.flatMap(p => partRowCache.get(p.partId, p.creationTime).map(p.partId -> _)).toMap
     val misses = live.filterNot(p => cachedRows.contains(p.partId))
     val missRows: Map[Long, Seq[KVRow]] =
       misses.map(_.partId).zip(inParallel(misses)(p => readPartLocal(p, range))).toMap
@@ -540,7 +540,7 @@ final class MergeTreeTable private (
       val full = LocalPartReader.read(partDir(p.partId), None).toArray
       val sorted = full.sortBy(r => (r.key, r.timestamp))(
         Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
-      partRowCache.put(p.partId, sorted)
+      partRowCache.put(p.partId, p.creationTime, sorted)
       sliceByRange(sorted, range)
     } else LocalPartReader.read(partDir(p.partId), range)
 
@@ -549,7 +549,10 @@ final class MergeTreeTable private (
     */
   private def sliceByRange(rows: Array[KVRow], range: Option[(String, String)]): Seq[KVRow] =
     range match {
-      case None => scala.collection.immutable.ArraySeq.unsafeWrapArray(rows)
+      // Defensive copy: `rows` may be the PartRowCache's live storage, and
+      // the returned Seq escapes to scan consumers — an in-place mutation
+      // downstream must never corrupt the shared cache.
+      case None => scala.collection.immutable.ArraySeq.unsafeWrapArray(rows.clone())
       case Some((s, e)) =>
         var lo = 0
         var hi = rows.length

@@ -1399,27 +1399,45 @@ object StorageQueries {
     * `query_log()` SQL face with status ok and a positive duration.
     */
   def q141QueryLog(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.QueryLog
+    import graft.sources.{QueryLog, QueryLogSink}
     QueryLog.install(spark) // idempotent; extensions normally do this
-    val probe = spark.read.parquet(s"$dir/region.parquet")
-      .selectExpr("count(*) AS n")
-    val n = probe.collect().head.getLong(0)
-    require(n > 0, "q141: probe must see rows")
-    val dig = QueryLog.digestOf(probe)
-    // the listener is async — poll briefly for the probe's entry
-    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-    while (!QueryLog.entries.exists(e => e.planDigest == dig && e.status == "ok") &&
-        System.nanoTime() < deadline) Thread.sleep(20)
-    val mine = spark.sql(
-      s"SELECT plan_digest, status, duration_ms FROM query_log() " +
-        s"WHERE plan_digest = '$dig' AND status = 'ok'")
-    val rows = mine.collect()
-    require(rows.nonEmpty, "q141: the probe's execution must be in query_log()")
-    require(rows.forall(_.getDouble(2) > 0), "q141: logged duration must be positive")
-    import spark.implicits._
-    // Deterministic projection for the rows-only check: the probe was
-    // found, with its region count (stable per SF dir).
-    Seq(("ok", n)).toDF("probe_status", "region_rows")
+    // Persisted face (ClickHouse: query_log IS a MergeTree table): route
+    // the ring into a sink table for the duration of the entry.
+    val sinkDir = Files.createTempDirectory("mt_q141_sink_").toString
+    spark.conf.set(QueryLogSink.ConfKey, sinkDir)
+    try {
+      QueryLogSink.configure(spark)
+      val probe = spark.read.parquet(s"$dir/region.parquet")
+        .selectExpr("count(*) AS n")
+      val n = probe.collect().head.getLong(0)
+      require(n > 0, "q141: probe must see rows")
+      val dig = QueryLog.digestOf(probe)
+      // the listener is async — poll briefly for the probe's entry
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (!QueryLog.entries.exists(e => e.planDigest == dig && e.status == "ok") &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      val mine = spark.sql(
+        s"SELECT plan_digest, status, duration_ms FROM query_log() " +
+          s"WHERE plan_digest = '$dig' AND status = 'ok'")
+      val rows = mine.collect()
+      require(rows.nonEmpty, "q141: the probe's execution must be in query_log()")
+      require(rows.forall(_.getDouble(2) > 0), "q141: logged duration must be positive")
+      // …and the same digest must be durable: flush the sink, read the
+      // entry back through the ordinary mergetree connector.
+      QueryLogSink.flushNow()
+      val persisted = spark.read.format("mergetree").load(sinkDir)
+        .filter(col("plan_digest") === dig && col("status") === "ok")
+        .count()
+      require(persisted > 0, "q141: probe entry missing from the persisted query_log table")
+      import spark.implicits._
+      // Deterministic projection for the rows-only check: the probe was
+      // found (ring + persisted table), with its region count (stable per
+      // SF dir).
+      Seq(("ok", n)).toDF("probe_status", "region_rows")
+    } finally {
+      spark.conf.unset(QueryLogSink.ConfKey)
+      QueryLogSink.reset()
+    }
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -128,21 +128,11 @@ object GraftExtensions {
     require(args.isEmpty, "query_log() takes no arguments")
     def utf8(s: String): UTF8String =
       if (s == null) null else UTF8String.fromString(s)
-    val schema = StructType(Seq(
-      StructField("seq", LongType, nullable = false),
-      StructField("event_ms", LongType, nullable = false),
-      StructField("func", StringType, nullable = false),
-      StructField("duration_ms", DoubleType, nullable = false),
-      StructField("status", StringType, nullable = false),
-      StructField("error", StringType, nullable = true),
-      StructField("output_rows", LongType, nullable = true),
-      StructField("plan_digest", StringType, nullable = false),
-      StructField("plan", StringType, nullable = false)))
-    val attrs = schema.fields.toIndexedSeq
+    val attrs = QueryLogSink.schema.fields.toIndexedSeq
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     val rows = QueryLog.entries.map { e =>
-      new GenericInternalRow(Array[Any](e.seq, e.eventMs, utf8(e.func),
-        e.durationMs, utf8(e.status), utf8(e.error.orNull),
+      new GenericInternalRow(Array[Any](e.seq, e.eventMs, utf8(e.session),
+        utf8(e.func), e.durationMs, utf8(e.status), utf8(e.error.orNull),
         e.outputRows.getOrElse(null), utf8(e.planDigest), utf8(e.plan))): InternalRow
     }.toIndexedSeq
     LocalRelation(attrs, rows, isStreaming = false)

@@ -18,17 +18,33 @@ class PartRowCacheSpec extends AnyFunSuite {
   test("LRU unit behavior: budget, per-part cap, invalidation") {
     val c = new PartRowCache(maxRows = 100)
     def rows(n: Int): Array[KVRow] = Array.tabulate(n)(i => KVRow(s"k$i", "v", i.toLong))
-    c.put(1, rows(40)); c.put(2, rows(40))
+    c.put(1, 10L, rows(40)); c.put(2, 20L, rows(40))
     assert(c.cachedRowCount == 80 && c.cachedPartCount == 2)
-    c.put(3, rows(40)) // evicts LRU (part 1)
-    assert(c.get(1).isEmpty && c.get(2).isDefined && c.get(3).isDefined)
-    c.put(4, rows(51)) // over per-part cap (maxRows/2) — never cached
-    assert(c.get(4).isEmpty)
+    c.put(3, 30L, rows(40)) // evicts LRU (part 1)
+    assert(c.get(1, 10L).isEmpty && c.get(2, 20L).isDefined && c.get(3, 30L).isDefined)
+    c.put(4, 40L, rows(51)) // over per-part cap (maxRows/2) — never cached
+    assert(c.get(4, 40L).isEmpty)
     c.invalidate(Seq(2L))
-    assert(c.get(2).isEmpty && c.cachedRowCount == 40)
+    assert(c.get(2, 20L).isEmpty && c.cachedRowCount == 40)
     val off = new PartRowCache(0)
-    off.put(1, rows(1))
-    assert(!off.enabled && off.get(1).isEmpty)
+    off.put(1, 10L, rows(1))
+    assert(!off.enabled && off.get(1, 10L).isEmpty)
+  }
+
+  test("id reuse with a different fingerprint misses cleanly and evicts the stale entry") {
+    // The round-14 verdict's hardening ask: a restore/recovery path that
+    // re-allocates part ids must never be served another part's rows.
+    val c = new PartRowCache(maxRows = 100)
+    val original = Array.tabulate(10)(i => KVRow(s"old$i", "v", i.toLong))
+    c.put(7, /*creationTime*/ 1000L, original)
+    assert(c.get(7, 1000L).contains(original))
+    // same id, different creationTime (a reborn part_7): clean miss + evict
+    assert(c.get(7, 2000L).isEmpty)
+    assert(c.cachedPartCount == 0 && c.cachedRowCount == 0)
+    // read-through refill under the new fingerprint serves the new rows
+    val reborn = Array.tabulate(5)(i => KVRow(s"new$i", "v", i.toLong))
+    c.put(7, 2000L, reborn)
+    assert(c.get(7, 2000L).contains(reborn) && c.get(7, 1000L).isEmpty)
   }
 
   test("flush write-through serves scans with zero file reads; results match cold reopen") {
