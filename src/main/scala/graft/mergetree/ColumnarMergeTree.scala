@@ -790,17 +790,20 @@ final class ColumnarMergeTree private (
     * `register=false` leaves the part fenced but unlisted, for maintenance
     * jobs that swap a batch of outputs in atomically at the end.
     * `partition` is the part's partition value, carried through rewrites
-    * and merges (which never mix partitions).
+    * and merges (which never mix partitions). `inputs` nonEmpty = this
+    * write is a rewrite/merge of exactly those parts (bounds derive from
+    * them — see learnedWriteBounds).
     */
   private def writePart(df: DataFrame, partitions: Int, register: Boolean,
-                        partition: Option[String]): GPartMeta = {
+                        partition: Option[String],
+                        inputs: Seq[GPartMeta] = Nil): GPartMeta = {
     val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
     val sortCols = orderBy.map(col)
     val n = if (partitions > 0) partitions
       else math.max(1, math.min(spark.sparkContext.defaultParallelism, 32))
     val sorted =
       if (n <= 1) df.coalesce(1).sortWithinPartitions(sortCols: _*)
-      else learnedWriteBounds(partition, n) match {
+      else learnedWriteBounds(partition, n, inputs) match {
         // Steady state (and every merge/rewrite): split the batch on the
         // table's LEARNED lead-key distribution — the stock
         // repartitionByRange reads the batch twice (a sampling pass, then
@@ -823,46 +826,110 @@ final class ColumnarMergeTree private (
     registerStaged(stage, register, partition)
   }
 
-  /** Per-part (row-group lead-key minimum, rows) points, cached per
-    * immutable part id — the write path's distribution sketch (see
-    * learnedWriteBounds). None caches too (unreadable footer: never
-    * retried for the part's lifetime — the write path falls back to
-    * sampling, correct either way).
+  /** Per-part row-group (lead-key min, lead-key max, rows) triples, cached
+    * per immutable part id — the write path's distribution sketch (see
+    * learnedWriteBounds). Only SUCCESSFUL footer reads cache: a transient
+    * I/O blip must not disable the learned path for the part's lifetime
+    * (r14 advice — the old Option cache pinned Try failures forever); a
+    * permanently unreadable footer re-pays one footer read per write
+    * attempt, which the write job itself dwarfs.
     */
   private val leadPointsCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Option[Seq[(String, Long)]]]()
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String, Long)]]()
 
-  private def leadPointsOf(p: GPartMeta): Option[Seq[(String, Long)]] =
-    leadPointsCache.computeIfAbsent(p.partId, _ =>
-      scala.util.Try(PartStats.leadRanges(
-        spark.sessionState.newHadoopConf(), s"$path/${p.dir}", leadKey)).toOption)
+  private def leadPointsOf(p: GPartMeta): Option[Seq[(String, String, Long)]] =
+    Option(leadPointsCache.get(p.partId)).orElse(
+      scala.util.Try(PartStats.colRanges(
+        spark.sessionState.newHadoopConf(), s"$path/${p.dir}", leadKey)).toOption
+        .map { r => leadPointsCache.put(p.partId, r); r })
 
   /** Learned write bounds (the generic-engine analog of MergeTreeTable's
     * key-sample path): split keys for sorting a new batch — or a MERGE's
-    * output — into `n` range-partitioned files, from the live parts' own
-    * row-group lead-key minima (rank samples of the table's distribution;
-    * parts are sorted runs, so their row-group boundaries tile their range
-    * finely). Scoped to the same PARTITION as the write, since merges
-    * never cross partitions and per-partition distributions differ by
-    * design. None (→ caller pays the one-off sampling pass) while the
-    * partition is empty, the lead type is unsupported, a footer is
-    * unreadable, or the points are too thin to cut n ways. Drift or a
-    * filtered rewrite only unbalances the part's files — row groups stay
-    * sorted and every reader correct.
+    * output — into `n` range-partitioned files, from parts' own row-group
+    * lead-key bounds (rank samples of the table's distribution; parts are
+    * sorted runs, so their row-group boundaries tile their range finely).
+    * Each row group contributes BOTH endpoints at half its mass —
+    * weighting whole groups at their minima biased every split key low
+    * and let the tail partition absorb the overflow (r14 advice).
+    *
+    * `inputs` nonEmpty = a rewrite/merge of exactly those parts: bounds
+    * derive from the data actually being rewritten — the precise
+    * distribution, no drift possible. `inputs` empty = a fresh external
+    * batch: bounds come from the whole live partition, GUARDED by the
+    * staircase detector — under append/monotonic-key ingest every new
+    * batch's keys sit ABOVE all learned bounds (the whole batch would
+    * route to one tail task, steady-state, and nothing would re-trigger
+    * sampling because bounds stay "computable" forever — r14 advice).
+    * Monotonic ingest leaves an unmistakable metadata signature — each
+    * recently created part begins at or above everything older (see
+    * [[ingestStaircase]]) — on which the learned path hands back None and
+    * the caller pays the one sampling pass that balances the batch; at
+    * most one early batch misroutes before the staircase is visible.
+    *
+    * Scoped to the same PARTITION as the write, since merges never cross
+    * partitions and per-partition distributions differ by design. None
+    * (→ caller samples) while the partition is empty, the lead type is
+    * unsupported, a footer is unreadable, or the points are too thin to
+    * cut n ways.
     */
-  private def learnedWriteBounds(partition: Option[String], n: Int): Option[Seq[String]] = {
+  private def learnedWriteBounds(partition: Option[String], n: Int,
+      inputs: Seq[GPartMeta]): Option[Seq[String]] = {
     if (n <= 1) return None
     val dt = schema(leadKey).dataType
     if (!graft.plans.BoundedRangeRepartitionExec.supports(dt)) return None
-    val live = lock.synchronized(manifest.parts).filter(_.partition == partition)
-    if (live.isEmpty) return None
-    val perPart = live.map(leadPointsOf)
+    val src = if (inputs.nonEmpty) inputs
+      else lock.synchronized(manifest.parts).filter(_.partition == partition)
+    if (src.isEmpty) return None
+    if (inputs.isEmpty && ingestStaircase(src, dt)) return None
+    val perPart = src.map(leadPointsOf)
     if (perPart.exists(_.isEmpty)) return None
-    val pts = perPart.flatMap(_.get).collect {
-      case (lo, rows) if lo != null => (lo, rows.toDouble)
+    val pts = perPart.flatMap(_.get).flatMap { case (lo, hi, rows) =>
+      // Both endpoints at half the group's mass — weighting whole groups
+      // at their minima biased every split key low and the tail partition
+      // absorbed the overflow (r14 advice).
+      Seq(Option(lo).map(l => (l, rows / 2.0)),
+        Option(hi).map(h => (h, rows / 2.0))).flatten
     }
-    if (pts.size < n * 4) return None
+    if (pts.size < n * 8) return None // < 4 row groups per cut: too thin
     Some(KeySample.splitBoundsTyped(pts, n, dt)).filter(_.nonEmpty)
+  }
+
+  /** Append/monotonic-ingest detector over one partition's parts (see
+    * MergeTreeTable.ingestStaircase — same signature, typed compare):
+    * true when each of the (up to 3) most recently created parts begins
+    * at or above the max lead key of everything created before it. Null
+    * part bounds or unparseable values can't tell: not a staircase, keep
+    * the learned path.
+    */
+  private def ingestStaircase(live: Seq[GPartMeta],
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    if (live.size < 2) return false
+    if (live.exists(p => p.minKey == null || p.maxKey == null)) return false
+    def cmp(a: String, b: String): Int = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType =>
+        java.lang.Long.compare(a.toLong, b.toLong)
+      case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _                      => KeyOrder.cmp(a, b)
+    }
+    try {
+      val byTime = live.sortBy(p => (p.creationTime, p.partId))
+      val from = math.max(1, byTime.size - 3)
+      var olderMax = byTime.head.maxKey
+      var i = 1
+      while (i < from) {
+        if (cmp(byTime(i).maxKey, olderMax) > 0) olderMax = byTime(i).maxKey
+        i += 1
+      }
+      var stair = true
+      while (i < byTime.size) {
+        val p = byTime(i)
+        if (cmp(p.minKey, olderMax) < 0) stair = false
+        if (cmp(p.maxKey, olderMax) > 0) olderMax = p.maxKey
+        i += 1
+      }
+      stair
+    } catch { case _: NumberFormatException => false }
   }
 
   /** Claim a staged part directory as `part_<id>`, computing its manifest
@@ -1957,7 +2024,7 @@ final class ColumnarMergeTree private (
         else if (dedup) unexpired.dropDuplicates()
         else unexpired
       writePart(collapse(deduped), 0, register = false,
-        partition = bin.head.partition)
+        partition = bin.head.partition, inputs = bin)
     }
     // A fully-expired / fully-cancelled group yields 0 rows: drop it from
     // the table (and disk) instead of registering a phantom part with
@@ -2023,7 +2090,7 @@ final class ColumnarMergeTree private (
         val raw = readParts(bin.toSeq)
         val unexpired = ttl.fold(raw)(t => raw.filter(!coalesce(expr(t), lit(false))))
         writePart(collapse(unexpired), 0, register = false,
-          partition = bin.head.partition)
+          partition = bin.head.partition, inputs = bin.toSeq)
       }
     }
     val liveIds = live.map(_.partId).toSet
@@ -2073,7 +2140,8 @@ final class ColumnarMergeTree private (
       // outputs carry none, so hidden rows go and patches bake in now.
       val df = ColumnarMergeTree.applyMuts(
         spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.muts)
-      writePart(df.filter(!isHit), 0, register = false, partition = p.partition)
+      writePart(df.filter(!isHit), 0, register = false, partition = p.partition,
+        inputs = Seq(p))
     }
     // A rewrite can yield 0 rows when a part's visible residue all
     // matched while lightweight-hidden rows padded its physical count:
@@ -2354,7 +2422,8 @@ final class ColumnarMergeTree private (
         val mutated = staged.foldLeft(withNew) { case (acc, ((name, _), i)) =>
           acc.withColumn(name, col(s"__upd_$i"))
         }.select(schema.fieldNames.map(col): _*)
-        writePart(mutated, 0, register = false, partition = p.partition)
+        writePart(mutated, 0, register = false, partition = p.partition,
+          inputs = Seq(p))
       }
       // All-hidden parts rewrite to 0 rows — drop them (see deleteWhere).
       val (keptNew, emptyNew) = newMetas.partition(_.rowCount > 0)
@@ -2401,7 +2470,8 @@ final class ColumnarMergeTree private (
           spark.read.schema(schema).parquet(s"$path/${p.dir}"), p.muts)
         // Mutations are row-level filters/patches over non-ORDER-BY
         // columns: the part's sort order survives, same as updateWhere.
-        writePart(df, 0, register = false, partition = p.partition)
+        writePart(df, 0, register = false, partition = p.partition,
+          inputs = Seq(p))
       }
       // All-hidden parts rewrite to 0 rows — drop them (see deleteWhere).
       val (kept, emptyNew) = newMetas.partition(_.rowCount > 0)

@@ -181,4 +181,30 @@ private[graft] object KeySample {
     if (keys.isEmpty) None
     else Some(Sample(rows, evenly(keys.sortInPlace()(KeyOrder.ordering), Size)))
   }
+
+  /** Executor-side decimated sample for parts past the driver ceiling
+    * (rows > MaxDriverSampleRows): one column-pruned DISTRIBUTED read of
+    * the fresh part, thinned to ≤ ~64k keys before the collect, then
+    * quantiled down to Size on the driver. Keeps every part
+    * sample-carrying at any size — without it, a part born large stayed
+    * sampleless for life, its merged descendants inherited that (see
+    * sampleHintOf), and rangeSplitBounds degraded to endpoint masses
+    * forever (r14 advice). Cost: one bounded scan of the NEW part's key
+    * column only, on the write path that just produced it.
+    */
+  def fromPartDirDistributed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rows: Long): Option[Sample] = {
+    if (rows <= 0) return None
+    val cap = 64 * 1024
+    val frac = math.min(1.0, cap.toDouble / rows)
+    try {
+      val keys = spark.read.parquet(dir).select("key")
+        .sample(withReplacement = false, frac, seed = 42L)
+        .collect().map(_.getString(0))
+      if (keys.isEmpty) None
+      else Some(Sample(rows, evenly(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          keys.sorted(KeyOrder.ordering)), Size)))
+    } catch { case _: Exception => None } // sample is best-effort
+  }
 }

@@ -739,11 +739,13 @@ final class MergeTreeTable private (
     }
     val pts = new ArrayBuffer[(String, Double)]()
     val sampleless = new ArrayBuffer[PartMetadata]()
+    var sampledMass = 0.0
+    var endpointMass = 0.0
     live.foreach { p =>
       keySampleOf(p.partId) match {
         case Some(ks) if ks.keys.nonEmpty =>
           val w = p.rowCount.toDouble / ks.keys.size
-          ks.keys.foreach(k => if (inRange(k)) pts += ((k, w)))
+          ks.keys.foreach(k => if (inRange(k)) { pts += ((k, w)); sampledMass += w })
         case _ => sampleless += p
       }
     }
@@ -759,9 +761,10 @@ final class MergeTreeTable private (
           case Some((s, e)) =>
             pts += ((if (lo == null || KeyOrder.lt(lo, s)) s else lo, rows / 2.0))
             pts += ((if (hi == null || KeyOrder.gt(hi, e)) e else hi, rows / 2.0))
+            endpointMass += rows
           case None =>
-            if (lo != null) pts += ((lo, rows / 2.0))
-            if (hi != null) pts += ((hi, rows / 2.0))
+            if (lo != null) { pts += ((lo, rows / 2.0)); endpointMass += rows / 2.0 }
+            if (hi != null) { pts += ((hi, rows / 2.0)); endpointMass += rows / 2.0 }
         }
       }
     }
@@ -769,6 +772,14 @@ final class MergeTreeTable private (
     val targetPer = 64 * 1024L
     val nParts = math.min(math.max(1L, (total.toLong + targetPer - 1) / targetPer), 1 << 20).toInt
     if (nParts <= 1) return Some(Nil)
+    // Endpoint masses cannot balance UNCLUSTERED overlapping parts: every
+    // part's row-group boundaries collapse onto ~3 percentile positions
+    // (see KeySample — measured 73%-of-rows-in-one-partition). When they
+    // DOMINATE the point set being cut >1 way, the cut quality is that
+    // skew — worse than the one sampling pass the stock fallback costs —
+    // so return None (r14 advice). Rare now that big parts carry
+    // executor-side samples; this guards sidecar-less legacy parts.
+    if (endpointMass > sampledMass) return None
     Some(KeySample.splitBounds(pts.toSeq, nParts))
   }
 
@@ -777,16 +788,25 @@ final class MergeTreeTable private (
     * — the steady-state ingest path plans no sampling job (the stock
     * `repartitionByRange` reads every incoming batch twice: once to
     * sample, once to write — a 2× ingest read at any scale). The incoming
-    * batch is assumed to follow the table's distribution; drift only
-    * unbalances the part's files (row groups stay sorted and correct), and
-    * the part's own persisted sample re-learns the shape for the next
-    * batch. None (→ caller samples) while the table is empty or its
-    * samples are too thin to cut n ways.
+    * batch is assumed to follow the table's distribution — an assumption
+    * the STAIRCASE GUARD now checks: under append/monotonic-key ingest
+    * (time- or sequence-keyed tables) every new batch's keys sit ABOVE
+    * all learned bounds, the whole batch would route to one tail task
+    * steady-state, and nothing would re-trigger sampling because bounds
+    * stay "computable" forever (r14 advice). Monotonic ingest leaves an
+    * unmistakable metadata signature — each recently created part BEGINS
+    * at or above everything older (see [[ingestStaircase]]) — and on that
+    * signature we hand back None and let the caller pay the sampling pass
+    * that balances the batch; at most one early batch misroutes before
+    * the staircase is visible. Benign drift still only unbalances the
+    * part's files (row groups stay sorted and correct). None also while
+    * the table is empty or its samples are too thin to cut n ways.
     */
   private def learnedWriteBounds(n: Int): Option[Seq[String]] = {
     if (n <= 1) return None
     val live = lock.synchronized(manifest.parts)
     if (live.isEmpty) return None
+    if (ingestStaircase(live)) return None
     val pts = live.flatMap(p => keySampleOf(p.partId) match {
       case Some(ks) if ks.keys.nonEmpty =>
         val w = p.rowCount.toDouble / ks.keys.size
@@ -795,6 +815,38 @@ final class MergeTreeTable private (
     })
     if (pts.size < n * 4) return None // too thin to cut n ways with confidence
     Some(KeySample.splitBounds(pts, n)).filter(_.nonEmpty)
+  }
+
+  /** Append/monotonic-ingest detector — learnedWriteBounds' drift guard:
+    * true when each of the (up to 3) most recently created parts begins
+    * at or above the max key of everything created before it. Random or
+    * stationary ingest breaks the staircase immediately (every batch part
+    * spans the key space); compaction can fake at most one step (bins are
+    * key-contiguous), so a single random batch after an optimize resets
+    * the signal — worst case one extra sampling pass per compaction
+    * cycle. Null part bounds (incomplete footer stats) can't tell: not a
+    * staircase, keep the learned path, as before the guard existed.
+    */
+  private def ingestStaircase(live: Seq[PartMetadata]): Boolean = {
+    if (live.size < 2) return false
+    if (live.exists(p => p.minKey == null || p.maxKey == null)) return false
+    val byTime = live.sortBy(p => (p.creationTime, p.partId))(
+      Ordering.Tuple2(Ordering.Long, Ordering.Long))
+    val from = math.max(1, byTime.size - 3)
+    var olderMax = byTime.head.maxKey
+    var i = 1
+    while (i < from) {
+      if (KeyOrder.gt(byTime(i).maxKey, olderMax)) olderMax = byTime(i).maxKey
+      i += 1
+    }
+    var stair = true
+    while (i < byTime.size) {
+      val p = byTime(i)
+      if (KeyOrder.lt(p.minKey, olderMax)) stair = false
+      if (KeyOrder.gt(p.maxKey, olderMax)) olderMax = p.maxKey
+      i += 1
+    }
+    stair
   }
 
   // ----------------------------------------------------------- maintenance
@@ -988,9 +1040,22 @@ final class MergeTreeTable private (
     // connector commit (or another instance on the same path) can neither
     // reuse the id nor have its manifest append clobbered by ours.
     val stage = Paths.get(path, s".part_stage_${java.util.UUID.randomUUID()}")
+    // A merge's sampleHint IS the output's own distribution (the inputs'
+    // folded samples): cut its bounds directly — exact, no drift possible,
+    // and no exposure to learnedWriteBounds' whole-table guard (which
+    // would wrongly surrender a rewrite of OLD data on a monotonic-keyed
+    // table to a sampling pass). Fresh batches take the guarded learned
+    // path.
+    val bounds0 =
+      if (partitions <= 1) None
+      else sampleHint match {
+        case Some(points) if points.nonEmpty =>
+          Some(KeySample.splitBounds(points, partitions)).filter(_.nonEmpty)
+        case _ => learnedWriteBounds(partitions)
+      }
     val sorted =
       if (partitions <= 1) df.coalesce(1).sortWithinPartitions("key", "timestamp")
-      else learnedWriteBounds(partitions) match {
+      else bounds0 match {
         // Steady state: sort the batch by the table's LEARNED key
         // distribution — no sampling job (see learnedWriteBounds).
         case Some(bounds) =>
@@ -1028,7 +1093,13 @@ final class MergeTreeTable private (
       case Some(points) if points.nonEmpty =>
         Some(KeySample.Sample(stats.rows, KeySample.quantiles(points)))
       case _ =>
+        // Driver-side decimated read for small parts; parts past the
+        // driver ceiling get an EXECUTOR-side decimated sample instead of
+        // carrying none (r14 advice: sampleless big parts degraded
+        // rangeSplitBounds to endpoint masses for their whole lifetime —
+        // and their merged descendants' too, via sampleHintOf).
         KeySample.fromPartDir(spark.sessionState.newHadoopConf(), stage.toString, stats.rows)
+          .orElse(KeySample.fromPartDirDistributed(spark, stage.toString, stats.rows))
     }
     sample.foreach(ks => KeySample.write(stage, ks))
     val now = System.currentTimeMillis()

@@ -125,13 +125,13 @@ object PartStats {
     }
   }
 
-  /** Per-row-group (min of `colName`, rows) across the part's files, the
-    * value CANONICALLY string-encoded per its parquet physical type
+  /** Per-row-group (min, max, rows) of `colName` across the part's files,
+    * the values CANONICALLY string-encoded per their parquet physical type
     * (Binary→UTF-8, numerics→toString — the encoding
     * BoundedRangeRepartition's bound lists decode). Groups without stats
-    * report null. Footer-only driver I/O; cacheable per immutable part.
+    * report nulls. Footer-only driver I/O; cacheable per immutable part.
     */
-  def leadRanges(conf: Configuration, dir: String, colName: String): Seq[(String, Long)] = {
+  def colRanges(conf: Configuration, dir: String, colName: String): Seq[(String, String, Long)] = {
     listParquet(Paths.get(dir)).flatMap { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new HPath(f.toString), conf))
@@ -140,15 +140,15 @@ object PartStats {
         .map { block =>
           val ks = block.getColumns.asScala
             .find(_.getPath.toDotString == colName).map(_.getStatistics)
-          val lo = ks match {
-            case Some(s) if s != null && s.hasNonNullValue =>
-              s.genericGetMin match {
-                case b: Binary => b.toStringUsingUTF8
-                case other     => String.valueOf(other)
-              }
-            case _ => null
+          def enc(v: Any): String = v match {
+            case b: Binary => b.toStringUsingUTF8
+            case other     => String.valueOf(other)
           }
-          (lo, block.getRowCount)
+          ks match {
+            case Some(s) if s != null && s.hasNonNullValue =>
+              (enc(s.genericGetMin), enc(s.genericGetMax), block.getRowCount)
+            case _ => (null, null, block.getRowCount)
+          }
         }
       finally reader.close()
     }
