@@ -110,9 +110,16 @@ object Bench {
     * inserts n rows through the memtable, flushing every 1000 rows (a
     * driver-local parquet write — no Spark job per flush), background merge
     * on, then the committed range scan. This is the contract workload.
+    *
+    * The scan materializes DRIVER rows via `queryRows` — the reference's
+    * query() returns `std::vector<Row>`, and matching that shape is the
+    * whole point of the contract microbench. Wrapping the identical rows
+    * in a Dataset and driving a noop write (the pre-r15 measurement) added
+    * a constant ~40 ms job-launch + row-encode cost that measured Spark's
+    * action overhead, not the engine's scan (r14 verdict task 2); the
+    * DISTRIBUTED scan path stays measured by mt_scan_1m below.
     */
   private[graft] def mtRowWorkload(spark: SparkSession, n: Int): (Double, Double) = {
-    import spark.implicits._
     val dir = Files.createTempDirectory("mt_bench_row_").toString
     val t = MergeTreeTable.create(spark, dir,
       MergeTreeConfig(memtableFlushThreshold = 1000, maxParts = 10,
@@ -127,10 +134,11 @@ object Bench {
       }
       t.flush()
     }
+    var scanned = 0
     val scan = timeSec {
-      t.query("key_1000", "key_2000").toDF()
-        .write.format("noop").mode("overwrite").save()
+      scanned = t.queryRows("key_1000", "key_2000").size
     }
+    require(scanned > 0, "contract scan must return rows")
     t.shutdown()
     MergeTreeTable.deleteRecursively(Paths.get(dir))
     (ingest, scan)
@@ -448,7 +456,11 @@ object Bench {
       "r13 q25/q103/q113/q127 iso drift adjudicated in r14: none of their " +
       "code or shared defs changed r12->r13 (git-verified) and quiet-host " +
       "re-probes measured below the r12 floors (q25 2.33 vs 3.70) - " +
-      "host contention, not plan regression"
+      "host contention, not plan regression; " +
+      "mt_scan_50k measures queryRows from r15 on (driver-row " +
+      "materialization, the reference query()'s vector<Row> shape) - the " +
+      "former noop-write shape added a constant ~40ms Spark action cost; " +
+      "decomposition in BASELINE.md"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_steady":$totalSteady,"queries":$qs,"queries_median":$qsMed,"iso_spread":$isoSpread,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"bench_vs_baseline_1m_median":$vs1mMed,"notes":"$notes"}"""
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the

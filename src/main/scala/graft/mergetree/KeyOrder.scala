@@ -15,7 +15,32 @@ import java.nio.charset.StandardCharsets
   */
 object KeyOrder {
 
-  def cmp(a: String, b: String): Int =
+  /** Allocation-free fast path: for ASCII chars (< 0x80) UTF-16 code-unit
+    * order IS UTF-8 byte order, so compare char-wise until the first
+    * non-ASCII char on either side and only then pay the byte-accurate
+    * encode (getBytes allocated two arrays per call — with ~10⁵
+    * comparisons per local scan's sort this dominated the driver fast
+    * path's profile).
+    */
+  def cmp(a: String, b: String): Int = {
+    val la = a.length
+    val lb = b.length
+    val n = math.min(la, lb)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca >= 0x80 || cb >= 0x80) return cmpBytes(a, b)
+      if (ca != cb) return ca - cb
+      i += 1
+    }
+    // shared prefix equal and pure ASCII: byte order = length order; a
+    // longer string's next char may be non-ASCII but any extension of an
+    // equal prefix still sorts after it in both orders
+    la - lb
+  }
+
+  private def cmpBytes(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
       a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
 

@@ -344,7 +344,17 @@ final class MergeTreeTable private (
     * rows skips the job entirely. Distributed ingest (insertBatch) still
     * goes through Spark — this path only ever sees memtable-sized data.
     */
-  private def flushLocal(rows: Seq[KVRow]): PartMetadata = {
+  private def flushLocal(rows: Seq[KVRow]): PartMetadata =
+    writeLocalPart(rows, register = true)
+
+  /** Driver-local part writer shared by the memtable flush (register=true)
+    * and the small-merge path (register=false — the caller swaps outputs
+    * into the manifest itself). Sorts, writes ONE parquet-mr file with
+    * granule-sized row groups, derives metadata and the key sample from
+    * the in-memory run (zero extra I/O), and write-through caches the
+    * rows.
+    */
+  private def writeLocalPart(rows: Seq[KVRow], register: Boolean): PartMetadata = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
@@ -377,7 +387,7 @@ final class MergeTreeTable private (
     KeySample.write(stage,
       KeySample.Sample(sorted.size.toLong, KeySample.evenly(sorted.map(_.key).toIndexedSeq)))
     val now = System.currentTimeMillis()
-    val meta = Manifest.register(path, stage, append = true) { partId =>
+    val meta = Manifest.register(path, stage, append = register) { partId =>
       PartMetadata(
         partId = partId,
         minKey = sorted.head.key,
@@ -393,7 +403,7 @@ final class MergeTreeTable private (
     // part is immutable from birth — the next short-circuit scan serves
     // them without touching the file.
     partRowCache.put(meta.partId, meta.creationTime, sorted.toArray)
-    refresh()
+    if (register) refresh()
     meta
   }
 
@@ -416,6 +426,22 @@ final class MergeTreeTable private (
     */
   def queryKey(key: String): Dataset[KVRow] = query(key, key)
 
+  /** Range scan materialized as DRIVER rows — the reference's own query
+    * shape (`query` returns `std::vector<Row>`, src/merge_tree.cpp:37-63).
+    * When the pruned set is small and cached this is a pure in-memory
+    * walk: binary-search slices + dedup + sort, NO Spark plan, no job
+    * launch — single-digit ms where wrapping the same rows in a Dataset
+    * and running an action pays a fixed ~tens-of-ms job cost (the r14
+    * mt_scan_50k gap was exactly that constant). Falls back to collecting
+    * the distributed scan above the short-circuit threshold — callers
+    * wanting an unmaterialized/distributed result use `query`.
+    */
+  def queryRows(startKey: String, endKey: String): Seq[KVRow] = {
+    val range = Some((startKey, endKey))
+    localScanRows(range).getOrElse(
+      query(startKey, endKey).collect().toSeq)
+  }
+
   /** Full scan of all rows (O22) — dedup + sort applied like the reference's
     * query path so results are a consistent view.
     */
@@ -436,6 +462,15 @@ final class MergeTreeTable private (
     * when the estimate exceeds the threshold (caller takes the Spark path).
     */
   private def localScan(range: Option[(String, String)]): Option[Dataset[KVRow]] = {
+    import spark.implicits._
+    localScanRows(range).map(rows => spark.createDataset(rows))
+  }
+
+  /** The short-circuit's row core (see localScan): Some(sorted deduped
+    * rows) when the pruned set fits the local budget, None otherwise.
+    * `queryRows` serves these directly — no Dataset, no job.
+    */
+  private def localScanRows(range: Option[(String, String)]): Option[Seq[KVRow]] = {
     lastScanLocal = false
     if (config.localScanMaxRows <= 0) return None
     val (live, mem) = lock.synchronized {
@@ -487,26 +522,24 @@ final class MergeTreeTable private (
     val misses = live.filterNot(p => cachedRows.contains(p.partId))
     val missRows: Map[Long, Seq[KVRow]] =
       misses.map(_.partId).zip(inParallel(misses)(p => readPartLocal(p, range))).toMap
-    val partRows: Seq[Seq[KVRow]] = live.map { p =>
+    // One sorted RUN per source. Cached parts slice to exact, sorted runs;
+    // miss reads and the memtable are range-filtered and sorted here (a
+    // part dir's file iteration order isn't guaranteed to be its range
+    // order — see readPartLocal).
+    def sortedRun(rows: Seq[KVRow]): Array[KVRow] = {
+      val a = rows.iterator.filter(inRange).toArray
+      java.util.Arrays.sort(a, MergeTreeTable.rowOrder)
+      a
+    }
+    val runs: IndexedSeq[IndexedSeq[KVRow]] = (live.map { p =>
       cachedRows.get(p.partId) match {
-        case Some(rows) => sliceByRange(rows, range)
-        case None       => missRows(p.partId)
+        case Some(rows) => sliceByRange(rows, range).toIndexedSeq
+        case None       => scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          sortedRun(missRows(p.partId)))
       }
-    }
-    val rows = partRows.iterator.flatten ++ mem.iterator
-    // (key, ts) dedup keeping max(value) — same UTF-8 max the distributed
-    // path's max() aggregate computes.
-    val best = new java.util.HashMap[(String, Long), String]()
-    rows.filter(inRange).foreach { r =>
-      best.merge((r.key, r.timestamp), r.value,
-        (a, b) => if (KeyOrder.lt(a, b)) b else a)
-    }
-    val out = new ArrayBuffer[KVRow](best.size)
-    best.forEach((k, v) => out += KVRow(k._1, v, k._2))
-    val sorted = out.sortBy(r => (r.key, r.timestamp))(
-      Ordering.Tuple2(KeyOrder.ordering, Ordering.Long))
-    import spark.implicits._
-    Some(spark.createDataset(sorted.toSeq))
+    } :+ scala.collection.immutable.ArraySeq.unsafeWrapArray(sortedRun(mem)))
+      .filter(_.nonEmpty).toIndexedSeq
+    Some(MergeTreeTable.mergeDedupRuns(runs))
   }
 
   /** Whether the LAST query/fullScan was served by the driver-local
@@ -924,11 +957,11 @@ final class MergeTreeTable private (
   }
 
   /** Merge one key-contiguous bin into a single part (singleton bins pass
-    * through unrewritten).
+    * through unrewritten; small bins merge driver-locally).
     */
   private def mergeGroup(group: Seq[PartMetadata]): PartMetadata =
     if (group.size == 1) group.head
-    else {
+    else mergeGroupLocal(group).getOrElse {
       val inputs = spark.read.schema(schema)
         .parquet(group.map(p => partDir(p.partId)): _*)
       val merged = inputs
@@ -939,6 +972,47 @@ final class MergeTreeTable private (
         partitionsForRows(group.map(_.rowCount).sum), register = false,
         sampleHint = sampleHintOf(group))
     }
+
+  /** Row ceiling for the driver-local merge path (see mergeGroupLocal). */
+  private val localMergeMaxRows = 256 * 1024L
+
+  /** Driver-local small-part merge: when a merge group's rows fit the
+    * local budget, read the inputs from the part-row cache (or one
+    * parquet-mr pass per miss, in parallel), dedup + sort in memory, and
+    * write the output with the same driver-local writer the memtable
+    * flush uses — NO Spark job, one fixed job-launch + commit-protocol
+    * cost saved per merge round, and the output is write-through CACHED,
+    * so post-merge short-circuit scans keep their pure in-memory serve
+    * (the reference's merge IS this in-memory walk, src/merger.cpp:13-15
+    * — bounded here by localMergeMaxRows where the reference materializes
+    * any size). Returns None above the budget, when the cache is off, or
+    * on any read surprise — the distributed rewrite handles those.
+    */
+  private def mergeGroupLocal(group: Seq[PartMetadata]): Option[PartMetadata] = {
+    if (!partRowCache.enabled) return None
+    val total = group.map(_.rowCount).sum
+    if (total > math.min(localMergeMaxRows, partRowCache.perPartCap)) return None
+    val cached: Map[Long, Array[KVRow]] =
+      group.flatMap(p => partRowCache.get(p.partId, p.creationTime).map(p.partId -> _)).toMap
+    val misses = group.filterNot(p => cached.contains(p.partId))
+    val missRows: Map[Long, Seq[KVRow]] =
+      misses.map(_.partId).zip(inParallel(misses) { p =>
+        scala.util.Try(LocalPartReader.read(partDir(p.partId), None)).getOrElse(Nil)
+      }).toMap
+    if (misses.exists(p => missRows(p.partId).size != p.rowCount)) return None
+    val best = new java.util.HashMap[(String, Long), String]()
+    group.foreach { p =>
+      val rows: Iterator[KVRow] = cached.get(p.partId) match {
+        case Some(arr) => arr.iterator
+        case None      => missRows(p.partId).iterator
+      }
+      rows.foreach(r => best.merge((r.key, r.timestamp), r.value,
+        (a, b) => if (KeyOrder.lt(a, b)) b else a))
+    }
+    val out = new ArrayBuffer[KVRow](best.size)
+    best.forEach((k, v) => out += KVRow(k._1, v, k._2))
+    Some(writeLocalPart(out.toSeq, register = false))
+  }
 
   /** Greedy contiguous bin-packing of minKey-sorted parts into ≤ nOut bins,
     * balanced by row count.
@@ -986,18 +1060,22 @@ final class MergeTreeTable private (
     val candidates = Merger.selectMergeCandidates(manifest.parts)
     if (candidates.isEmpty) return false
     val toMerge = candidates.get
-    val inputs = spark.read.schema(schema).parquet(toMerge.map(p => partDir(p.partId)): _*)
-    // The reference materializes all rows in RAM (src/merger.cpp:13-15); we
-    // instead range-partition + locally sort + partially aggregate — fully
-    // spillable, no driver materialization (SURVEY §4).
-    val merged = inputs
-      .groupBy(col("key"), col("timestamp"))
-      .agg(max(col("value")).as("value"))
-      .select(col("key"), col("value"), col("timestamp"))
     val mergedIds = toMerge.map(_.partId).toSet
-    val newMeta = writePartInternal(merged,
-      partitionsForRows(toMerge.map(_.rowCount).sum), register = false,
-      sampleHint = sampleHintOf(toMerge))
+    // Small candidate sets merge driver-locally (cache-served, no Spark
+    // job — see mergeGroupLocal); above the budget the distributed path
+    // range-partitions + locally sorts + partially aggregates — fully
+    // spillable, no driver materialization (SURVEY §4). The reference
+    // materializes ANY size in RAM (src/merger.cpp:13-15).
+    val newMeta = mergeGroupLocal(toMerge).getOrElse {
+      val inputs = spark.read.schema(schema).parquet(toMerge.map(p => partDir(p.partId)): _*)
+      val merged = inputs
+        .groupBy(col("key"), col("timestamp"))
+        .agg(max(col("value")).as("value"))
+        .select(col("key"), col("value"), col("timestamp"))
+      writePartInternal(merged,
+        partitionsForRows(toMerge.map(_.rowCount).sum), register = false,
+        sampleHint = sampleHintOf(toMerge))
+    }
     // Atomic read-merge swap: new manifest lists merged part, drops inputs,
     // keeps anything a concurrent writer registered meanwhile. Only the
     // swap holds the table lock (see mergePartsSync).
@@ -1196,6 +1274,79 @@ final class MergeTreeTable private (
 }
 
 object MergeTreeTable {
+
+  /** (key, timestamp) order in UTF-8 collation — allocation-free comparator
+    * for the local scan's hot merge loop.
+    */
+  private[mergetree] val rowOrder: java.util.Comparator[KVRow] =
+    new java.util.Comparator[KVRow] {
+      def compare(a: KVRow, b: KVRow): Int = {
+        val c = KeyOrder.cmp(a.key, b.key)
+        if (c != 0) c else java.lang.Long.compare(a.timestamp, b.timestamp)
+      }
+    }
+
+  /** K-way merge of sorted (key,ts) runs with INLINE exact-dup collapse
+    * keeping max(value) — the local scan's hot loop. One pass, n·log k
+    * comparisons, no intermediate copy and no re-sort (the reference's
+    * scan is the same k-way part walk, src/merge_tree.cpp:40-63; the
+    * previous shape — concatenate + TimSort + adjacent dedup — cost 2-3×
+    * this on the contract microbench). Runs must each be (key,ts)-sorted;
+    * equal (key,ts) rows then surface consecutively, so the dedup is a
+    * compare against the last emitted row.
+    */
+  private[mergetree] def mergeDedupRuns(runs: IndexedSeq[IndexedSeq[KVRow]]): Seq[KVRow] = {
+    val k = runs.length
+    if (k == 0) return Seq.empty
+    val pos = new Array[Int](k)
+    val heap = new Array[Int](k)
+    var hs = 0
+    def cmpRun(i: Int, j: Int): Int = {
+      val c = rowOrder.compare(runs(i)(pos(i)), runs(j)(pos(j)))
+      if (c != 0) c else i - j
+    }
+    def siftUp(from: Int): Unit = {
+      var idx = from
+      while (idx > 0) {
+        val par = (idx - 1) >> 1
+        if (cmpRun(heap(idx), heap(par)) < 0) {
+          val t = heap(idx); heap(idx) = heap(par); heap(par) = t; idx = par
+        } else return
+      }
+    }
+    def siftDown(): Unit = {
+      var idx = 0
+      while (true) {
+        val l = 2 * idx + 1
+        if (l >= hs) return
+        var m = l
+        val r = l + 1
+        if (r < hs && cmpRun(heap(r), heap(l)) < 0) m = r
+        if (cmpRun(heap(m), heap(idx)) < 0) {
+          val t = heap(idx); heap(idx) = heap(m); heap(m) = t; idx = m
+        } else return
+      }
+    }
+    var i = 0
+    while (i < k) {
+      if (runs(i).nonEmpty) { heap(hs) = i; hs += 1; siftUp(hs - 1) }
+      i += 1
+    }
+    val out = new Array[KVRow](runs.iterator.map(_.length).sum)
+    var w = 0
+    while (hs > 0) {
+      val r = heap(0)
+      val row = runs(r)(pos(r))
+      if (w > 0 && rowOrder.compare(out(w - 1), row) == 0) {
+        if (KeyOrder.lt(out(w - 1).value, row.value)) out(w - 1) = row
+      } else { out(w) = row; w += 1 }
+      pos(r) += 1
+      if (pos(r) >= runs(r).length) { hs -= 1; heap(0) = heap(hs) }
+      siftDown()
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      java.util.Arrays.copyOf(out, w))
+  }
 
   /** Target rows per parquet file inside a part (see partitionsForRows). */
   private val RowsPerFileTarget = 1000000L

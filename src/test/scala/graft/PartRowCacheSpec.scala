@@ -76,7 +76,33 @@ class PartRowCacheSpec extends AnyFunSuite {
     }
   }
 
-  test("merge retirement invalidates cached inputs; post-merge scans stay correct") {
+  test("queryRows: driver-served rows equal the Dataset path; dups collapse through a local merge") {
+    val dir = tmp()
+    val t = MergeTreeTable.create(spark, dir,
+      MergeTreeConfig(memtableFlushThreshold = 100, maxParts = 3, gcGraceSeconds = 0))
+    try {
+      (0 until 900).foreach(i => t.insert(f"k${i % 300}%03d", s"v$i", (i % 450).toLong))
+      // exact (key,ts) duplicates in different parts: max(value) must win
+      t.insert("k007", "v_a", 7L); t.flush()
+      t.insert("k007", "v_z", 7L); t.flush()
+      t.optimize() // 11 parts -> local merges (all cached, < 256k rows)
+      val viaRows = t.queryRows("k000", "k149")
+      assert(t.lastScanLocal, "queryRows on a cached small table must serve locally")
+      val viaDs = t.query("k000", "k149").collect().toSeq
+      assert(viaRows == viaDs)
+      assert(viaRows.exists(r => r.key == "k007" && r.timestamp == 7L && r.value == "v_z"),
+        "local merge must keep max(value) on exact (key,ts) dups")
+      assert(!viaRows.exists(r => r.key == "k007" && r.timestamp == 7L && r.value == "v_a"))
+      // sorted by (key, ts) in UTF-8 order
+      assert(viaRows.map(r => (r.key, r.timestamp)) ==
+        viaRows.map(r => (r.key, r.timestamp)).sorted)
+    } finally {
+      t.shutdown()
+      MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+
+  test("merge retirement invalidates cached inputs; local-merge outputs stay cached and correct") {
     val dir = tmp()
     val t = MergeTreeTable.create(spark, dir,
       MergeTreeConfig(memtableFlushThreshold = 50, maxParts = 2, gcGraceSeconds = 0))
@@ -85,9 +111,14 @@ class PartRowCacheSpec extends AnyFunSuite {
       t.flush()
       val before = t.fullScan().collect()
       t.optimize()
-      val (parts, _) = t.localCacheStats
-      assert(parts == 0, s"retired inputs still cached ($parts) — merged output was written by Spark")
+      // small merges run driver-locally and write-through cache their
+      // outputs; every RETIRED input must be gone from the cache
+      val liveIds = t.parts.map(_.partId).toSet
+      val (parts, rows) = t.localCacheStats
+      assert(parts == liveIds.size && rows == 500,
+        s"cache must hold exactly the live merged outputs, got $parts parts / $rows rows")
       val after = t.fullScan().collect()
+      assert(t.lastScanLocal, "post-merge scan must stay cache-served")
       assert(before.toSeq == after.toSeq)
     } finally {
       t.shutdown()
