@@ -94,12 +94,21 @@ final class ColumnarMergeTree private (
       * lazily inside compaction merges (like ClickHouse — reads may still
       * see them until a merge touches the part) or eagerly via applyTtl().
       */
-    val ttl: Option[String] = None) {
+    val ttl: Option[String] = None,
+    /** ClickHouse SAMPLE BY column — see TableDef.sampleBy. */
+    val sampleBy: Option[String] = None) {
 
   import ColumnarMergeTree._
 
   require(orderBy.nonEmpty && orderBy.forall(schema.fieldNames.contains),
     s"orderBy ${orderBy.mkString(",")} must be columns of the schema")
+  sampleBy.foreach { c =>
+    require(schema.fieldNames.contains(c), s"sampleBy: unknown column $c")
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(schema(c).dataType),
+      s"sampleBy column $c must be integral (a uniform hash on [0, 2^32))")
+  }
   mode match {
     case MergeMode.Replacing(keys, v) =>
       require((keys :+ v).forall(schema.fieldNames.contains), "bad Replacing columns")
@@ -1160,6 +1169,35 @@ final class ColumnarMergeTree private (
   def rangeScan(lo: Any, hi: Any): DataFrame =
     collapse(scanPruned(Some(lo), Some(hi))
       .filter(col(leadKey) >= lit(lo) && col(leadKey) <= lit(hi)))
+
+  /** ClickHouse `SAMPLE k` (0 < k < 1): the deterministic slice of the
+    * table whose sampling value falls below k·2³² — every row of a
+    * sampling key lands in or out TOGETHER (consistent across queries and
+    * re-runs, the property `TABLESAMPLE`/`rand()` cannot give), and two
+    * samples with k₁ < k₂ nest. With a declared `sampleBy` column LEADING
+    * the ORDER BY, the slice is a lead-key range: whole parts prune
+    * driver-side (`lastPruning` reports it) and row groups prune from
+    * footer stats — the storage-level sampling that makes interactive
+    * exploration of a 100 TB table cost k·100 TB. Without `sampleBy`, an
+    * md5 slice of the lead key gives the same semantics but reads every
+    * granule (row-level filter only). SQL face: `SELECT … FROM t SAMPLE
+    * 0.1` (GraftSqlParser rewrite, same predicate).
+    */
+  def sampleScan(k: Double): DataFrame = {
+    require(k > 0 && k < 1, s"SAMPLE fraction must be in (0, 1), got $k")
+    val thr = ColumnarMergeTree.sampleThreshold(k)
+    sampleBy match {
+      case Some(c) if c == leadKey =>
+        // inclusive range [0, thr-1] ≡ `c < thr` on integral values;
+        // drives the same part pruning + pushed filter as rangeScan
+        collapse(scanPruned(Some(0L), Some(thr - 1))
+          .filter(col(c) >= lit(0L) && col(c) < lit(thr)))
+      case Some(c) =>
+        scan().filter(col(c) >= lit(0L) && col(c) < lit(thr))
+      case None =>
+        scan().filter(expr(ColumnarMergeTree.md5SlicePredicate(leadKey, k)))
+    }
+  }
 
   /** Range scan on a minmax skip-index column (ClickHouse `minmax` index,
     * part-level): parts whose recorded [min, max] for `column` is disjoint
@@ -3183,12 +3221,39 @@ object ColumnarMergeTree {
         coalesce(expr(p).cast("string"), lit(ColumnarMergeTree.NullPartition))
     }
 
+  /** `SAMPLE k` slice bound: floor(k · 2³²). */
+  def sampleThreshold(k: Double): Long = math.floor(k * 4294967296.0).toLong
+
+  /** The `SAMPLE k` predicate as SQL text — ONE definition shared by the
+    * Scala face (sampleScan) and the parser rewrite (GraftSqlParser), so
+    * the two can never sample different slices. `sampleBy` present: a
+    * plain range on the declared column (prunable). Absent: the md5 slice
+    * of the lead key (deterministic, row-level).
+    */
+  def samplePredicateSql(sampleBy: Option[String], orderBy: Seq[String], k: Double): String = {
+    require(k > 0 && k < 1, s"SAMPLE fraction must be in (0, 1), got $k")
+    sampleBy match {
+      case Some(c) => s"`$c` >= 0 AND `$c` < ${sampleThreshold(k)}"
+      case None    => md5SlicePredicate(orderBy.head, k)
+    }
+  }
+
+  /** Sampling-key-consistent md5 slice: first 8 hex chars of md5(lead key)
+    * compared against the k·2³² bound as lowercase hex — lexicographic hex
+    * order IS numeric order, and the same expression is spellable in any
+    * SQL engine (the DuckDB oracle uses
+    * `('0x' || substr(md5(x),1,8))::BIGINT < thr`).
+    */
+  def md5SlicePredicate(keyCol: String, k: Double): String =
+    f"substring(md5(CAST(`$keyCol` AS STRING)), 1, 8) < '${sampleThreshold(k)}%08x'"
+
   def create(spark: SparkSession, path: String, schema: StructType,
              orderBy: Seq[String],
              config: MergeTreeConfig = MergeTreeConfig(),
              mode: MergeMode = MergeMode.Plain,
              partitionBy: Option[String] = None,
-             ttl: Option[String] = None): ColumnarMergeTree = {
+             ttl: Option[String] = None,
+             sampleBy: Option[String] = None): ColumnarMergeTree = {
     Files.createDirectories(Paths.get(path))
     TableDef.store(path, TableDef(schema.toDDL, orderBy.toList,
       TableDef.encodeMode(mode), partitionBy, ttl,
@@ -3200,9 +3265,11 @@ object ColumnarMergeTree {
       Some(config.hllColumns.toList).filter(_.nonEmpty),
       Some(config.topKColumns.toList).filter(_.nonEmpty),
       Some(config.quantileColumns.toList).filter(_.nonEmpty),
-      Some(config.setIndexColumns.toList).filter(_.nonEmpty)))
+      Some(config.setIndexColumns.toList).filter(_.nonEmpty),
+      sampleBy))
     if (config.manifestLog) GManifest.enableLogLayout(path)
-    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
+    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl,
+      sampleBy)
   }
 
   def open(spark: SparkSession, path: String, schema: StructType,
@@ -3210,8 +3277,10 @@ object ColumnarMergeTree {
            config: MergeTreeConfig = MergeTreeConfig(),
            mode: MergeMode = MergeMode.Plain,
            partitionBy: Option[String] = None,
-           ttl: Option[String] = None): ColumnarMergeTree =
-    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl)
+           ttl: Option[String] = None,
+           sampleBy: Option[String] = None): ColumnarMergeTree =
+    new ColumnarMergeTree(spark, path, schema, orderBy, config, mode, partitionBy, ttl,
+      sampleBy)
 
   /** Open a self-describing table: schema, order keys, and merge mode come
     * from the table definition persisted at create() — the analogue of the
@@ -3266,7 +3335,7 @@ object ColumnarMergeTree {
     }
     new ColumnarMergeTree(spark, path,
       StructType.fromDDL(defn.schemaDdl), defn.orderBy, cfg,
-      TableDef.decodeMode(defn.mode), defn.partitionBy, defn.ttl)
+      TableDef.decodeMode(defn.mode), defn.partitionBy, defn.ttl, defn.sampleBy)
   }
 
   /** Persisted table definition (tabledef.json). Mode encoding:
@@ -3320,7 +3389,19 @@ object ColumnarMergeTree {
         * other skip indexes: a part written without the sidecar is kept
         * by every probe (correct, just unprunable).
         */
-      setIndexColumns: Option[List[String]] = None)
+      setIndexColumns: Option[List[String]] = None,
+      /** ClickHouse `SAMPLE BY`: the name of an integral column holding a
+        * value uniform on [0, 2^32) (e.g. the first 8 hex chars of
+        * md5(user_id), as an integer). `SAMPLE k` then reads the
+        * deterministic slice `sampleBy < k·2^32` — all rows of a sampling
+        * key land in or out together, the ClickHouse consistency contract.
+        * When the column LEADS the ORDER BY (ClickHouse requires SAMPLE BY
+        * in the primary key), the slice is a lead-key range: whole parts
+        * prune driver-side and row groups prune from footer stats, so
+        * SAMPLE 0.01 of 100 TB reads ~1 TB. Absent → `SAMPLE k` still
+        * works via an md5 slice of the lead key, but reads every granule.
+        */
+      sampleBy: Option[String] = None)
 
   object TableDef {
     import org.json4s._

@@ -1440,6 +1440,58 @@ object StorageQueries {
     }
   }
 
+  /** Q143 — ClickHouse `SAMPLE k` clause (storage-level sampling): a
+    * catalog table declares `sampleBy 'smp'` where smp = the first 8 hex
+    * chars of md5(user_id) as an integer (uniform on [0, 2³²), computed
+    * identically on both sides), leading the ORDER BY. `SELECT … FROM t
+    * SAMPLE 0.25` then reads the deterministic slice smp < 2³⁰ — all
+    * events of a sampled user together, parts/row groups outside the
+    * slice pruned (SampleClauseSpec pins the pruning; this entry pins the
+    * VALUES against DuckDB computing the same hash slice from raw
+    * parquet). Self-enforcing: the sampled row count must be a proper
+    * subset of the full table's.
+    */
+  def q143Sample(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = cacheSample.getOrElseUpdate(dir, {
+      val wh = Files.createTempDirectory("mt_q143_wh_").toString
+      spark.conf.set("spark.sql.catalog.gq143",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gq143.warehouse", wh)
+      val n = "t" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+      spark.read.parquet(s"$dir/events.parquet")
+        .createOrReplaceTempView("q143_events")
+      spark.sql(s"CREATE TABLE gq143.q143.$n (smp BIGINT, event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE) USING mergetree " +
+        "OPTIONS (orderBy 'smp,event_id', sampleBy 'smp')")
+      // two halves -> two parts; each part is smp-sorted, so the slice
+      // prunes row groups inside every part
+      for (half <- 0 to 1)
+        spark.sql(s"INSERT INTO gq143.q143.$n SELECT " +
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT), " +
+          s"event_id, user_id, event_type, value FROM q143_events WHERE event_id % 2 = $half")
+      s"gq143.q143.$n"
+    })
+    val sampled = spark.sql(
+      s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+         | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
+         |FROM $tblName SAMPLE 0.25
+         |GROUP BY event_type""".stripMargin)
+    val nSampled = sampled.agg(sum(col("n"))).collect().head.getLong(0)
+    val nAll = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
+    require(nSampled > 0 && nSampled < nAll,
+      s"q143: SAMPLE must read a proper subset ($nSampled of $nAll)")
+    sampled.orderBy(col("event_type"))
+  }
+
+  private val cacheSample = TrieMap.empty[String, String]
+
+  val q143Sql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
+      |FROM events
+      |WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT < 1073741824
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -1474,5 +1526,6 @@ object StorageQueries {
     ("q138_lightweight_delete", q138LightweightDelete _, Some(q138Sql)),
     ("q139_lightweight_update", q139LightweightUpdate _, Some(q139Sql)),
     ("q141_query_log", q141QueryLog _, None),
-    ("q142_freeze", q142Freeze _, Some(q142Sql)))
+    ("q142_freeze", q142Freeze _, Some(q142Sql)),
+    ("q143_sample", q143Sample _, Some(q143Sql)))
 }

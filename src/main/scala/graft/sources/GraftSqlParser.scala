@@ -39,7 +39,37 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  /** ClickHouse `SELECT … FROM t SAMPLE k` (0 < k < 1): rewrites each
+    * `FROM <graft table> SAMPLE <k>` into a filtered subquery carrying the
+    * table's deterministic sampling predicate
+    * (ColumnarMergeTree.samplePredicateSql — a prunable range on the
+    * declared SAMPLE BY column, or the md5 lead-key slice), aliased to the
+    * table's last name segment so column references keep resolving. A
+    * target that doesn't resolve to a graft table leaves the text
+    * untouched (Spark then reports its own error — no standard SQL changes
+    * meaning, since `FROM t SAMPLE 0.1` parses nowhere else).
+    */
+  private def rewriteSamples(sqlText: String): String =
+    if (!SampleProbeRe.pattern.matcher(sqlText).find()) sqlText
+    else SampleRe.replaceAllIn(sqlText, m => {
+      val ident = m.group(1)
+      val frac = m.group(2).toDouble
+      val rewritten = scala.util.Try {
+        val dir = resolveDir(session, IdentTarget(delegate.parseMultipartIdentifier(ident)))
+        val defn = TableDef.load(dir).get
+        val pred = ColumnarMergeTree.samplePredicateSql(defn.sampleBy, defn.orderBy, frac)
+        val alias = ident.split('.').last.replace("`", "")
+        s"FROM (SELECT * FROM $ident WHERE $pred) $alias"
+      }.getOrElse(m.matched)
+      java.util.regex.Matcher.quoteReplacement(rewritten)
+    })
+
+  override def parsePlan(sqlText0: String): LogicalPlan = {
+    val sqlText = rewriteSamples(sqlText0)
+    parseRewritten(sqlText)
+  }
+
+  private def parseRewritten(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(q, id, fin, dedup, cols) =>
       val by = Option(cols).toSeq
         .flatMap(_.split(',')).map(c => stripTicks(c.trim)).filter(_.nonEmpty)
@@ -105,6 +135,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 }
 
 object GraftSqlParser {
+
+  // Cheap containment probe before paying the full SAMPLE regex.
+  private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r
+  // `FROM <ident> SAMPLE <fraction>` — the ClickHouse sampling clause.
+  private[sources] val SampleRe =
+    "(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+SAMPLE\\s+(\\d*\\.\\d+|\\d+\\.?\\d*)".r
 
   // Target: quoted directory path | dotted (possibly backticked) identifier.
   private val T = "(?:'([^']+)'|([`\\w][\\w.`]*))"

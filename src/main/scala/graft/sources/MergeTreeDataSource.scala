@@ -198,6 +198,9 @@ object MergeTreeTableProvider {
       case other => throw new IllegalArgumentException(
         s"mergetree: unknown mode '$other' (plain|replacing|summing|collapsing|aggregating)")
     }
+    val sampleBy = Option(opts.get("sampleBy")).map(_.trim).filter(_.nonEmpty)
+    sampleBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"mergetree: sampleBy '$c' must name a table column"))
     TableDef(schema.toDDL, orderBy, TableDef.encodeMode(mode),
       Option(opts.get("partitionBy")), Option(opts.get("ttl")),
       Option(opts.get("gcGraceSeconds")).map(_.toInt),
@@ -208,7 +211,8 @@ object MergeTreeTableProvider {
       Some(list("hllColumns")).filter(_.nonEmpty),
       Some(list("topKColumns")).filter(_.nonEmpty),
       Some(list("quantileColumns")).filter(_.nonEmpty),
-      Some(list("setIndexColumns")).filter(_.nonEmpty))
+      Some(list("setIndexColumns")).filter(_.nonEmpty),
+      sampleBy)
   }
 
   /** CREATE MATERIALIZED VIEW, the DDL-options way: a CREATE TABLE carrying

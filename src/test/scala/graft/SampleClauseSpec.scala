@@ -1,0 +1,111 @@
+package graft
+
+import graft.mergetree.{ColumnarMergeTree, MergeTreeConfig, MergeTreeTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** ClickHouse `SAMPLE k`: deterministic storage-level sampling. Pins
+  * (a) slice semantics — nested, key-consistent, equal between the Scala
+  * face and the SQL rewrite; (b) the pruning contract — with SAMPLE BY
+  * leading the ORDER BY on a hash-clustered table, the slice prunes whole
+  * parts driver-side; (c) non-graft SQL stays untouched.
+  */
+class SampleClauseSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.session
+
+  test("sampleBy-led table: slice prunes parts, nests, and matches the explicit predicate") {
+    val dir = Files.createTempDirectory("sample_spec_").toString
+    import spark.implicits._
+    // smp uniform on [0, 2^32); four inserts CLUSTERED by smp quartile so
+    // each part covers one quarter of the hash space
+    def batch(q: Int) = spark.createDataset(0 until 20000)
+      .map(i => (q * 1073741824L + (i.toLong * 53687L) % 1073741824L, s"u${q}_$i", i))
+      .toDF("smp", "user", "v")
+    val t = ColumnarMergeTree.create(spark, dir, batch(0).schema,
+      orderBy = Seq("smp", "user"), sampleBy = Some("smp"))
+    try {
+      (0 to 3).foreach(q => t.insertBatch(batch(q)))
+      val s25 = t.sampleScan(0.25)
+      val n25 = s25.count()
+      // pruning: only the first quartile's part survives the manifest
+      assert(t.lastPruning == (1, 4),
+        s"SAMPLE 0.25 on a hash-clustered table must prune to 1/4 parts, got ${t.lastPruning}")
+      assert(n25 == 20000, s"quartile slice must be exactly one insert, got $n25")
+      // equality with the explicit predicate
+      val explicit = t.scan().filter(col("smp") < 1073741824L).count()
+      assert(n25 == explicit)
+      // nesting: SAMPLE 0.1 subset of SAMPLE 0.25
+      val keys10 = t.sampleScan(0.1).select("user").collect().map(_.getString(0)).toSet
+      val keys25 = s25.select("user").collect().map(_.getString(0)).toSet
+      assert(keys10.subsetOf(keys25), "samples must nest")
+      // determinism: re-run identical
+      assert(t.sampleScan(0.1).count() == keys10.size)
+    } finally {
+      t.shutdown()
+      MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+
+  test("no sampleBy: md5 lead-key slice is deterministic and key-consistent") {
+    val dir = Files.createTempDirectory("sample_md5_").toString
+    import spark.implicits._
+    // several rows per key: a sampled key must bring ALL its rows
+    val df = spark.createDataset(0 until 3000)
+      .map(i => (s"k${i % 500}", i)).toDF("k", "v")
+    val t = ColumnarMergeTree.create(spark, dir, df.schema, orderBy = Seq("k"))
+    try {
+      t.insertBatch(df)
+      val s = t.sampleScan(0.5).collect()
+      val s2 = t.sampleScan(0.5).collect()
+      assert(s.sortBy(_.getInt(1)).toSeq == s2.sortBy(_.getInt(1)).toSeq, "must be deterministic")
+      val sampledKeys = s.map(_.getString(0)).toSet
+      // key-consistency: every sampled key contributes all 6 of its rows
+      assert(s.length == sampledKeys.size * 6,
+        s"rows of a sampling key must land in or out together (${s.length} rows, ${sampledKeys.size} keys)")
+      // roughly half the keys (binomial: 500 keys, p=.5 — 5 sigma ≈ 56)
+      assert(math.abs(sampledKeys.size - 250) < 60, s"got ${sampledKeys.size} of 500 keys")
+    } finally {
+      t.shutdown()
+      MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+
+  test("SQL face equals the Scala face; non-graft SAMPLE text is untouched") {
+    val wh = Files.createTempDirectory("sample_sql_wh_").toString
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gsmp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsmp.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gsmp.ns.t (smp BIGINT, v BIGINT) USING mergetree " +
+        "OPTIONS (orderBy 'smp,v', sampleBy 'smp')")
+      spark.range(10000).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS smp",
+        "id AS v").createOrReplaceTempView("smp_src")
+      spark.sql("INSERT INTO gsmp.ns.t SELECT smp, v FROM smp_src")
+      val viaSql = spark.sql("SELECT count(*) FROM gsmp.ns.t SAMPLE 0.2")
+        .collect().head.getLong(0)
+      val viaScala = ColumnarMergeTree.open(spark,
+        s"$wh/ns/t").sampleScan(0.2).count()
+      assert(viaSql == viaScala && viaSql > 0 && viaSql < 10000,
+        s"SQL SAMPLE ($viaSql) must equal sampleScan ($viaScala)")
+      // a WHERE after SAMPLE composes
+      val composed = spark.sql(
+        "SELECT count(*) FROM gsmp.ns.t SAMPLE 0.2 WHERE v % 2 = 0").collect().head.getLong(0)
+      assert(composed > 0 && composed < viaSql)
+      // non-graft target: the clause is left for Spark, which rejects it —
+      // no silent reinterpretation of standard-ish SQL
+      Seq(1, 2).toDF("x").createOrReplaceTempView("plain_view")
+      intercept[Exception] {
+        spark.sql("SELECT * FROM plain_view SAMPLE 0.5").collect()
+      }
+      // …and SAMPLE as an ordinary alias still parses
+      assert(spark.sql("SELECT 1 AS sample").collect().head.getInt(0) == 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsmp")
+      MergeTreeTable.deleteRecursively(Paths.get(wh))
+    }
+  }
+}
