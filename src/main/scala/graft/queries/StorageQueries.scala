@@ -1492,6 +1492,37 @@ object StorageQueries {
       |WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT < 1073741824
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q145 — ClickHouse `ORDER BY … WITH FILL FROM a TO b STEP s` (gap
+    * filling through the parser): a sparse bucket aggregate over the q143
+    * catalog table (150 distinct buckets on a 211-point grid) fills its
+    * 61 missing grid rows with type defaults. Oracle: DuckDB
+    * generate_series/range LEFT JOIN with the same COALESCE defaults.
+    */
+  def q145WithFill(spark: SparkSession, dir: String): DataFrame = {
+    q143Sample(spark, dir).collect() // ensures the catalog table exists
+    val tblName = cacheSample(dir)
+    val out = spark.sql(
+      s"""SELECT bucket, count(*) AS n,
+         | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sv
+         |FROM (SELECT CAST(event_id % 211 AS BIGINT) * 2 AS bucket, value
+         |      FROM $tblName WHERE event_id < 150)
+         |GROUP BY bucket
+         |ORDER BY bucket WITH FILL FROM 0 TO 422 STEP 2""".stripMargin)
+    val rows = out.count()
+    require(rows == 211, s"q145: 211 grid rows expected, got $rows")
+    out
+  }
+
+  val q145Sql: String =
+    """WITH agg AS (
+      |  SELECT CAST(event_id % 211 AS BIGINT) * 2 AS bucket, count(*) AS n,
+      |   CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sv
+      |  FROM events WHERE event_id < 150 GROUP BY 1)
+      |SELECT g.bucket, coalesce(n, 0) AS n, coalesce(sv, 0) AS sv
+      |FROM (SELECT range AS bucket FROM range(0, 422, 2)) g
+      |LEFT JOIN agg USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -1527,5 +1558,6 @@ object StorageQueries {
     ("q139_lightweight_update", q139LightweightUpdate _, Some(q139Sql)),
     ("q141_query_log", q141QueryLog _, None),
     ("q142_freeze", q142Freeze _, Some(q142Sql)),
-    ("q143_sample", q143Sample _, Some(q143Sql)))
+    ("q143_sample", q143Sample _, Some(q143Sql)),
+    ("q145_with_fill", q145WithFill _, Some(q145Sql)))
 }

@@ -66,7 +66,67 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText0: String): LogicalPlan = {
     val sqlText = rewriteSamples(sqlText0)
-    parseRewritten(sqlText)
+    sqlText match {
+      case WithFillRe(prefix, fcol, fromS, toS, stepS) =>
+        withFillPlan(prefix, fcol, Option(fromS), Option(toS), Option(stepS))
+      case _ => parseRewritten(sqlText)
+    }
+  }
+
+  /** ClickHouse `ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]` — gap
+    * filling over an integral sort column: the result gains one row per
+    * missing grid point (FROM inclusive, TO exclusive, ClickHouse's
+    * contract; absent bounds default to the result's own min/max,
+    * inclusive), with non-fill columns taking their type defaults (0, '',
+    * false — ClickHouse fills defaults, not NULLs). Composes with the rest
+    * of the statement (and with SAMPLE): the de-FILLed text parses through
+    * the delegate, then the plan is original-rows UNION missing-grid-rows,
+    * re-sorted — original rows OFF the grid survive, exactly ClickHouse.
+    */
+  private def withFillPlan(prefix: String, fcolRaw: String,
+      fromS: Option[String], toS: Option[String], stepS: Option[String]): LogicalPlan = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fc = stripTicks(fcolRaw.trim)
+    val step = stepS.map(_.toLong).getOrElse(1L)
+    require(step > 0, s"WITH FILL STEP must be positive, got $step")
+    for (f <- fromS; t <- toS)
+      require(f.toLong < t.toLong, s"WITH FILL FROM $f must be below TO $t")
+    val inner = org.apache.spark.sql.graft.PlanBridge.ofRows(session,
+      delegate.parsePlan(prefix + fcolRaw))
+    require(inner.schema.fieldNames.contains(fc),
+      s"WITH FILL column '$fc' is not in the result")
+    val dt = inner.schema(fc).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"WITH FILL supports integral sort columns, got $dt for '$fc'")
+    // bounds row: both literals → a standalone one-row frame (an empty
+    // result still fills the full grid, like ClickHouse); any derived
+    // bound → the result's own min/max, lazily (one aggregate in the
+    // plan, no parse-time execution; empty result → no grid)
+    val boundsRow = (fromS, toS) match {
+      case (Some(f), Some(t)) =>
+        session.range(1).select(lit(f.toLong).as("__lo"), lit(t.toLong - 1).as("__hi"))
+      case _ =>
+        val lo = fromS.map(f => max(lit(f.toLong))).getOrElse(min(col(fc)).cast("long"))
+        val hi = toS.map(t => max(lit(t.toLong - 1))).getOrElse(max(col(fc)).cast("long"))
+        inner.agg(lo.as("__lo"), hi.as("__hi"))
+    }
+    val grid = boundsRow
+      .where(col("__lo").isNotNull && col("__hi").isNotNull && col("__lo") <= col("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__fill"))
+      .select(col("__fill").cast(dt).as(fc))
+    def dflt(f: StructField): Column = (f.dataType match {
+      case _: NumericType => lit(0).cast(f.dataType)
+      case StringType     => lit("")
+      case BooleanType    => lit(false)
+      case other          => lit(null).cast(other)
+    }).as(f.name)
+    val missing = grid.join(inner.select(col(fc)).distinct(), Seq(fc), "left_anti")
+    val fillRows = missing.select(inner.schema.fields.toSeq.map { f =>
+      if (f.name == fc) col(fc) else dflt(f)
+    }: _*)
+    inner.unionByName(fillRows).orderBy(col(fc)).queryExecution.logical
   }
 
   private def parseRewritten(sqlText: String): LogicalPlan = sqlText match {
@@ -135,6 +195,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 }
 
 object GraftSqlParser {
+
+  // `… ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]` at statement end.
+  private[sources] val WithFillRe =
+    ("(?is)^(.*\\bORDER\\s+BY\\s+)([`\\w.]+)\\s+WITH\\s+FILL" +
+      "(?:\\s+FROM\\s+(-?\\d+))?(?:\\s+TO\\s+(-?\\d+))?(?:\\s+STEP\\s+(\\d+))?\\s*;?\\s*$").r
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ClickHouse `ORDER BY … WITH FILL`: grid semantics (FROM inclusive, TO
+  * exclusive, STEP), type-default fill values, off-grid originals
+  * surviving, derived bounds, and empty-input safety.
+  */
+class WithFillSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.session
+
+  private def view(): Unit = {
+    import spark.implicits._
+    Seq((1L, "a", 10L), (4L, "b", 40L), (9L, "c", 90L))
+      .toDF("b", "s", "v").createOrReplaceTempView("wf_src")
+  }
+
+  test("literal bounds: grid filled with defaults, off-grid originals survive, sorted") {
+    view()
+    val rows = spark.sql(
+      "SELECT b, s, v FROM wf_src ORDER BY b WITH FILL FROM 0 TO 10 STEP 2").collect()
+    // grid {0,2,4,6,8}: 4 present only as fills (4 is original); originals 1, 9 off-grid survive
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L, 6L, 8L, 9L))
+    val byB = rows.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byB(0L) == (("", 0L)), "fill rows carry type defaults (ClickHouse), not NULLs")
+    assert(byB(1L) == (("a", 10L)) && byB(4L) == (("b", 40L)) && byB(9L) == (("c", 90L)))
+  }
+
+  test("derived bounds: min..max of the result, inclusive, default step 1") {
+    view()
+    val rows = spark.sql("SELECT b, v FROM wf_src ORDER BY b WITH FILL").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    assert(rows.map(_.getLong(1)).sum == 140L, "fills contribute 0")
+  }
+
+  test("empty input with derived bounds yields an empty result, no crash") {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("b", "v").createOrReplaceTempView("wf_empty")
+    assert(spark.sql("SELECT b, v FROM wf_empty ORDER BY b WITH FILL").count() == 0)
+    // …but explicit bounds fill even an empty result
+    assert(spark.sql(
+      "SELECT b, v FROM wf_empty ORDER BY b WITH FILL FROM 0 TO 5").count() == 5)
+  }
+
+  test("composes with SAMPLE-free standard SQL and rejects bad steps") {
+    view()
+    intercept[Exception] {
+      spark.sql("SELECT b FROM wf_src ORDER BY b WITH FILL FROM 5 TO 2").collect()
+    }
+    // plain ORDER BY is untouched
+    assert(spark.sql("SELECT b FROM wf_src ORDER BY b").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 4L, 9L))
+  }
+}
