@@ -1492,6 +1492,52 @@ object StorageQueries {
       |WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT < 1073741824
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q144 — STREAMING ingest under the oracle contract (the one §2.2
+    * category previously spec'd only): the events fixture is re-laid as 4
+    * files, streamed file-by-file (`maxFilesPerTrigger 1` → 4 real
+    * micro-batches) through [[graft.streaming.StreamingIngest.startGeneric]]
+    * — each micro-batch one distributed sorted part via insertBatch, the
+    * applied-batch replay guard armed — drained with Trigger.AvailableNow,
+    * then aggregated from the TABLE. Hash-equality against DuckDB reading
+    * the raw parquet proves streamed ingest ≡ batch ingest. Self-enforcing:
+    * the table must hold ≥ 2 parts (really several micro-batches) and
+    * every fixture row.
+    */
+  def q144StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tblDir = cacheStreamIngest.getOrElseUpdate(dir, {
+      val ev = eventsSlim(spark, dir)
+      val feed = Files.createTempDirectory("mt_q144_feed_").toString
+      ev.repartitionByRange(4, col("event_id")).write.mode("overwrite").parquet(feed)
+      val p = Files.createTempDirectory("mt_q144_tbl_").toString
+      val t = ColumnarMergeTree.create(spark, p, ev.schema,
+        orderBy = Seq("user_id", "event_id"))
+      val ckpt = Files.createTempDirectory("mt_q144_ckpt_").toString
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.StreamingIngest.startGeneric(t, stream, ckpt,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      require(t.parts.size >= 2,
+        s"q144: expected one part per micro-batch (>= 2), got ${t.parts.size}")
+      require(t.scan().count() == ev.count(), "q144: streamed rows must all land")
+      p
+    })
+    ColumnarMergeTree.open(spark, tblDir).scan()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+        floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("long").as("sum_value"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("event_type"))
+  }
+
+  private val cacheStreamIngest = TrieMap.empty[String, String]
+
+  val q144Sql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value,
+      | max(event_id) AS max_event
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Q145 — ClickHouse `ORDER BY … WITH FILL FROM a TO b STEP s` (gap
     * filling through the parser): a sparse bucket aggregate over the q143
     * catalog table (150 distinct buckets on a 211-point grid) fills its
@@ -1559,5 +1605,6 @@ object StorageQueries {
     ("q141_query_log", q141QueryLog _, None),
     ("q142_freeze", q142Freeze _, Some(q142Sql)),
     ("q143_sample", q143Sample _, Some(q143Sql)),
+    ("q144_stream_ingest", q144StreamIngest _, Some(q144Sql)),
     ("q145_with_fill", q145WithFill _, Some(q145Sql)))
 }

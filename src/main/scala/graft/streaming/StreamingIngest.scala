@@ -75,8 +75,10 @@ object StreamingIngest {
     * rows on a Plain table, doubled sums on a Summing one.
     */
   def startGeneric(table: ColumnarMergeTree, rows: DataFrame,
-                   checkpointDir: String): StreamingQuery =
-    rows.writeStream
+                   checkpointDir: String,
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val w = rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -85,7 +87,9 @@ object StreamingIngest {
           recordApplied(checkpointDir, batchId)
         }
       }
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 
   /** Streaming CORPUS ingest with cross-batch near-duplicate filtering —
     * the streaming face of the persisted-signature dedup (q101,
