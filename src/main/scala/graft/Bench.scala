@@ -460,7 +460,14 @@ object Bench {
       "mt_scan_50k measures queryRows from r15 on (driver-row " +
       "materialization, the reference query()'s vector<Row> shape) - the " +
       "former noop-write shape added a constant ~40ms Spark action cost; " +
-      "decomposition in BASELINE.md"
+      "decomposition in BASELINE.md; " +
+      "r14 q34_embed_neardup iso drift (1.32->2.03) adjudicated in r15 by " +
+      "re-running the UNCHANGED r13 TREE in a worktree on the current " +
+      "host: r13 code measures 2.71 min-of-5 (r15 code 2.48) while " +
+      "companion q26 reproduces its old floor (1.01 vs r13 1.17) - the " +
+      "1.32 floor reflects host CPU throughput that no longer exists, " +
+      "q34 being the registry's most compute-bound codegen entry (128 " +
+      "dot_products/row); not a plan regression"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_steady":$totalSteady,"queries":$qs,"queries_median":$qsMed,"iso_spread":$isoSpread,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"bench_vs_baseline_1m_median":$vs1mMed,"notes":"$notes"}"""
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the

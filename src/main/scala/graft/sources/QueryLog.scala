@@ -61,9 +61,17 @@ object QueryLog {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** `spark.graft.queryLog.enabled=false` keeps the listener out of a
+    * session entirely — observability is opt-out, never a tax a user
+    * can't decline.
+    */
+  private def enabled(spark: SparkSession): Boolean =
+    try spark.conf.get("spark.graft.queryLog.enabled", "true").toBoolean
+    catch { case _: Exception => true }
+
   def install(spark: SparkSession): Unit = {
     QueryLogSink.configure(spark)
-    if (installed.add(spark)) {
+    if (enabled(spark) && installed.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
           record(funcName, qe, durationNs, None)
