@@ -467,7 +467,13 @@ object Bench {
       "companion q26 reproduces its old floor (1.01 vs r13 1.17) - the " +
       "1.32 floor reflects host CPU throughput that no longer exists, " +
       "q34 being the registry's most compute-bound codegen entry (128 " +
-      "dot_products/row); not a plan regression"
+      "dot_products/row); not a plan regression; " +
+      "q117/q125 compose floors decomposed (r15 QProfile, warm): ~70% is " +
+      "the near-dup edge + connected-components stage (the q93 machinery, " +
+      "3.2s standalone floor), ~1.2s stages 4-5, ~0.9s the seven " +
+      "accounting aggregates + packing window; no intermediate is " +
+      "computed twice (stage frames persist across their two readers) - " +
+      "irreducible shuffle/agg work, not recomputation"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_steady":$totalSteady,"queries":$qs,"queries_median":$qsMed,"iso_spread":$isoSpread,"sf":"$sfDir"$base,"bench_vs_baseline":$vs50,"bench_vs_baseline_median":$vs50med,"bench_vs_baseline_1m":$vs1m,"bench_vs_baseline_1m_median":$vs1mMed,"notes":"$notes"}"""
     println(line)
     // The driver keeps only the stdout TAIL (r07 lost q1–q43 history to the

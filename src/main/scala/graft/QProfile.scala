@@ -1,10 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratch: stage-by-stage timing of the current suspect pipeline
-  * (round 9: the q109 PQ phases).
+  * (round 15: the q117 composition's seven stages).
   */
 object QProfile {
   def t(name: String)(f: => Unit): Unit = {
@@ -12,25 +11,29 @@ object QProfile {
     println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
   }
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-qprofile")
-    import graft.operators.ProductQuantizer
-    graft.functions.GraftFunctions.register(spark)
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
-      .filter(col("qid") < 5)
-    var cb: ProductQuantizer.PqCodebooks = null
-    t("train(2 iters)") { cb = ProductQuantizer.train(e, m = 8, k = 16, iters = 2) }
-    val codes = ProductQuantizer.encode(e, cb)
-    t("encode (1st)")(codes.write.format("noop").mode("overwrite").save())
-    t("encode (2nd)")(codes.write.format("noop").mode("overwrite").save())
-    var n = 0L
-    t("count") { n = e.count() }
-    val res = ProductQuantizer.adcSearch(q, codes, e, cb, k = 10,
-      shortlist = math.max(50L, n / 5).toInt)
-    t("adcSearch (1st)")(res.write.format("noop").mode("overwrite").save())
-    t("adcSearch (2nd)")(res.write.format("noop").mode("overwrite").save())
+    // warm: one full run untimed
+    t("q117 full (cold)") {
+      graft.queries.PipelineQueries.q117PipelineCompose(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("q117 full (warm)") {
+      graft.queries.PipelineQueries.q117PipelineCompose(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // staged: materialize each persisted frame in order, then the output
+    (1 to 2).foreach { rep =>
+      val t0 = System.nanoTime()
+      val (out, persisted) = graft.queries.PipelineQueries.q117Build(spark, dir)
+      println(f"PROF build(edges eager) rep$rep   ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      try {
+        persisted.zipWithIndex.foreach { case (df, i) =>
+          t(s"stage frame $i count rep$rep")(df.count())
+        }
+        t(s"accounting collect rep$rep")(out.collect())
+      } finally persisted.foreach(_.unpersist())
+    }
     spark.stop()
   }
 }
