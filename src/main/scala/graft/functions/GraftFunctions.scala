@@ -118,30 +118,81 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+  /** Foldable-plane fast path: `typedLit(plane)` literals are
+    * GenericArrayData over BOXED doubles, and getDouble unboxes per
+    * element — an LSH projection evaluates 128 planes × 64 dims PER ROW,
+    * i.e. ~8k pointer-chasing unboxings where a primitive `double[]` read
+    * costs one load. Fold the constant side to a primitive array once
+    * (driver-side at codegen; lazily per-executor for the interpreted
+    * path) and loop over it directly.
+    */
+  @transient private lazy val constRight: Option[Array[Double]] =
+    if (right.foldable)
+      Option(right.eval(null)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+    else None
+  @transient private lazy val constLeft: Option[Array[Double]] =
+    if (left.foldable)
+      Option(left.eval(null)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+    else None
+
+  override def nullSafeEval(l: Any, r: Any): Any = (constLeft, constRight) match {
+    case (_, Some(arr)) => dotPrim(l.asInstanceOf[ArrayData], arr)
+    case (Some(arr), _) => dotPrim(r.asInstanceOf[ArrayData], arr)
+    case _ =>
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+      dot
+  }
+
+  private def dotPrim(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) { dot += a.getDouble(i) * b(i); i += 1 }
     dot
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def primLoop(varSide: String, arrRef: String): String = {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = java.lang.Math.min($varSide.numElements(), $arrRef.length);
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  $dot += $varSide.getDouble($i) * $arrRef[$i];
          |}
          |${ev.value} = $dot;
        """.stripMargin
-    })
+    }
+    (constLeft, constRight) match {
+      case (_, Some(arr)) =>
+        val ref = ctx.addReferenceObj("dotPlane", arr, "double[]")
+        nullSafeCodeGen(ctx, ev, (a, _) => primLoop(a, ref))
+      case (Some(arr), _) =>
+        val ref = ctx.addReferenceObj("dotPlane", arr, "double[]")
+        nullSafeCodeGen(ctx, ev, (_, b) => primLoop(b, ref))
+      case _ =>
+        nullSafeCodeGen(ctx, ev, (a, b) => {
+          val n = ctx.freshName("n")
+          val i = ctx.freshName("i")
+          val dot = ctx.freshName("dot")
+          s"""
+             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |double $dot = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $dot += $a.getDouble($i) * $b.getDouble($i);
+             |}
+             |${ev.value} = $dot;
+           """.stripMargin
+        })
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
