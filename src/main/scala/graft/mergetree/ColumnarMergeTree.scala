@@ -1183,19 +1183,29 @@ final class ColumnarMergeTree private (
     * granule (row-level filter only). SQL face: `SELECT … FROM t SAMPLE
     * 0.1` (GraftSqlParser rewrite, same predicate).
     */
-  def sampleScan(k: Double): DataFrame = {
-    require(k > 0 && k < 1, s"SAMPLE fraction must be in (0, 1), got $k")
-    val thr = ColumnarMergeTree.sampleThreshold(k)
+  def sampleScan(k: Double): DataFrame = sampleScan(k, 0.0)
+
+  /** `SAMPLE k OFFSET m` (ClickHouse): the slice [m·2³², (m+k)·2³²) —
+    * disjoint offsets give DISJOINT, deterministic subsets of the same
+    * table (the train/test split a data pipeline wants: `SAMPLE 0.9` for
+    * training, `SAMPLE 0.1 OFFSET 0.9` for eval, no row in both, every
+    * row in one).
+    */
+  def sampleScan(k: Double, offset: Double): DataFrame = {
+    require(k > 0 && k <= 1 && offset >= 0 && offset + k <= 1 + 1e-12,
+      s"SAMPLE needs 0 < k, 0 <= offset, offset + k <= 1; got k=$k offset=$offset")
+    val lo = ColumnarMergeTree.sampleThreshold(offset)
+    val hi = ColumnarMergeTree.sampleThreshold(offset + k)
     sampleBy match {
       case Some(c) if c == leadKey =>
-        // inclusive range [0, thr-1] ≡ `c < thr` on integral values;
+        // inclusive range [lo, hi-1] ≡ `lo <= c < hi` on integral values;
         // drives the same part pruning + pushed filter as rangeScan
-        collapse(scanPruned(Some(0L), Some(thr - 1))
-          .filter(col(c) >= lit(0L) && col(c) < lit(thr)))
+        collapse(scanPruned(Some(lo), Some(hi - 1))
+          .filter(col(c) >= lit(lo) && col(c) < lit(hi)))
       case Some(c) =>
-        scan().filter(col(c) >= lit(0L) && col(c) < lit(thr))
+        scan().filter(col(c) >= lit(lo) && col(c) < lit(hi))
       case None =>
-        scan().filter(expr(ColumnarMergeTree.md5SlicePredicate(leadKey, k)))
+        scan().filter(expr(ColumnarMergeTree.md5SlicePredicate(leadKey, k, offset)))
     }
   }
 
@@ -3230,22 +3240,29 @@ object ColumnarMergeTree {
     * plain range on the declared column (prunable). Absent: the md5 slice
     * of the lead key (deterministic, row-level).
     */
-  def samplePredicateSql(sampleBy: Option[String], orderBy: Seq[String], k: Double): String = {
-    require(k > 0 && k < 1, s"SAMPLE fraction must be in (0, 1), got $k")
+  def samplePredicateSql(sampleBy: Option[String], orderBy: Seq[String], k: Double,
+      offset: Double = 0.0): String = {
+    require(k > 0 && k <= 1 && offset >= 0 && offset + k <= 1 + 1e-12,
+      s"SAMPLE needs 0 < k, 0 <= offset, offset + k <= 1; got k=$k offset=$offset")
     sampleBy match {
-      case Some(c) => s"`$c` >= 0 AND `$c` < ${sampleThreshold(k)}"
-      case None    => md5SlicePredicate(orderBy.head, k)
+      case Some(c) =>
+        s"`$c` >= ${sampleThreshold(offset)} AND `$c` < ${sampleThreshold(offset + k)}"
+      case None => md5SlicePredicate(orderBy.head, k, offset)
     }
   }
 
   /** Sampling-key-consistent md5 slice: first 8 hex chars of md5(lead key)
-    * compared against the k·2³² bound as lowercase hex — lexicographic hex
-    * order IS numeric order, and the same expression is spellable in any
-    * SQL engine (the DuckDB oracle uses
+    * compared against the [m·2³², (m+k)·2³²) bounds as lowercase hex —
+    * lexicographic hex order IS numeric order, and the same expression is
+    * spellable in any SQL engine (the DuckDB oracle uses
     * `('0x' || substr(md5(x),1,8))::BIGINT < thr`).
     */
-  def md5SlicePredicate(keyCol: String, k: Double): String =
-    f"substring(md5(CAST(`$keyCol` AS STRING)), 1, 8) < '${sampleThreshold(k)}%08x'"
+  def md5SlicePredicate(keyCol: String, k: Double, offset: Double = 0.0): String = {
+    val slice = f"substring(md5(CAST(`$keyCol` AS STRING)), 1, 8)"
+    val hi = f"$slice < '${sampleThreshold(offset + k)}%08x'"
+    if (offset <= 0) hi
+    else f"$slice >= '${sampleThreshold(offset)}%08x' AND $hi"
+  }
 
   def create(spark: SparkSession, path: String, schema: StructType,
              orderBy: Seq[String],

@@ -54,10 +54,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     else SampleRe.replaceAllIn(sqlText, m => {
       val ident = m.group(1)
       val frac = m.group(2).toDouble
+      val off = Option(m.group(3)).map(_.toDouble).getOrElse(0.0)
       val rewritten = scala.util.Try {
         val dir = resolveDir(session, IdentTarget(delegate.parseMultipartIdentifier(ident)))
         val defn = TableDef.load(dir).get
-        val pred = ColumnarMergeTree.samplePredicateSql(defn.sampleBy, defn.orderBy, frac)
+        val pred = ColumnarMergeTree.samplePredicateSql(defn.sampleBy, defn.orderBy, frac, off)
         val alias = ident.split('.').last.replace("`", "")
         s"FROM (SELECT * FROM $ident WHERE $pred) $alias"
       }.getOrElse(m.matched)
@@ -203,9 +204,11 @@ object GraftSqlParser {
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r
-  // `FROM <ident> SAMPLE <fraction>` — the ClickHouse sampling clause.
+  // `FROM <ident> SAMPLE <fraction> [OFFSET <fraction>]` — the ClickHouse
+  // sampling clause.
   private[sources] val SampleRe =
-    "(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+SAMPLE\\s+(\\d*\\.\\d+|\\d+\\.?\\d*)".r
+    ("(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+SAMPLE\\s+(\\d*\\.\\d+|\\d+\\.?\\d*)" +
+      "(?:\\s+OFFSET\\s+(\\d*\\.\\d+|\\d+\\.?\\d*))?").r
 
   // Target: quoted directory path | dotted (possibly backticked) identifier.
   private val T = "(?:'([^']+)'|([`\\w][\\w.`]*))"

@@ -43,6 +43,14 @@ class SampleClauseSpec extends AnyFunSuite {
       assert(keys10.subsetOf(keys25), "samples must nest")
       // determinism: re-run identical
       assert(t.sampleScan(0.1).count() == keys10.size)
+      // OFFSET: disjoint slices that together cover the table (train/test)
+      val train = t.sampleScan(0.75)
+      val test = t.sampleScan(0.25, offset = 0.75)
+      assert(t.lastPruning._1 == 1, "offset slice must prune to its own quartile")
+      val trainKeys = train.select("user").collect().map(_.getString(0)).toSet
+      val testKeys = test.select("user").collect().map(_.getString(0)).toSet
+      assert(trainKeys.intersect(testKeys).isEmpty, "offset slices must be disjoint")
+      assert(trainKeys.size + testKeys.size == 80000, "slices must cover the table")
     } finally {
       t.shutdown()
       MergeTreeTable.deleteRecursively(Paths.get(dir))
@@ -95,6 +103,12 @@ class SampleClauseSpec extends AnyFunSuite {
       val composed = spark.sql(
         "SELECT count(*) FROM gsmp.ns.t SAMPLE 0.2 WHERE v % 2 = 0").collect().head.getLong(0)
       assert(composed > 0 && composed < viaSql)
+      // SQL OFFSET face: complementary slices partition the table
+      val a = spark.sql("SELECT count(*) FROM gsmp.ns.t SAMPLE 0.5")
+        .collect().head.getLong(0)
+      val b = spark.sql("SELECT count(*) FROM gsmp.ns.t SAMPLE 0.5 OFFSET 0.5")
+        .collect().head.getLong(0)
+      assert(a + b == 10000, s"SAMPLE 0.5 ($a) + SAMPLE 0.5 OFFSET 0.5 ($b) must partition")
       // non-graft target: the clause is left for Spark, which rejects it —
       // no silent reinterpretation of standard-ish SQL
       Seq(1, 2).toDF("x").createOrReplaceTempView("plain_view")
