@@ -1451,8 +1451,9 @@ object StorageQueries {
     * parquet). Self-enforcing: the sampled row count must be a proper
     * subset of the full table's.
     */
-  def q143Sample(spark: SparkSession, dir: String): DataFrame = {
-    val tblName = cacheSample.getOrElseUpdate(dir, {
+  /** The q143/q145/q146/q147 shared catalog table — built once per dir. */
+  private def sampleTable(spark: SparkSession, dir: String): String =
+    cacheSample.getOrElseUpdate(dir, {
       val wh = Files.createTempDirectory("mt_q143_wh_").toString
       spark.conf.set("spark.sql.catalog.gq143",
         classOf[graft.sources.GraftCatalog].getName)
@@ -1471,6 +1472,9 @@ object StorageQueries {
           s"event_id, user_id, event_type, value FROM q143_events WHERE event_id % 2 = $half")
       s"gq143.q143.$n"
     })
+
+  def q143Sample(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = sampleTable(spark, dir)
     val sampled = spark.sql(
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
          | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
@@ -1545,8 +1549,7 @@ object StorageQueries {
     * generate_series/range LEFT JOIN with the same COALESCE defaults.
     */
   def q145WithFill(spark: SparkSession, dir: String): DataFrame = {
-    q143Sample(spark, dir).collect() // ensures the catalog table exists
-    val tblName = cacheSample(dir)
+    val tblName = sampleTable(spark, dir)
     val out = spark.sql(
       s"""SELECT bucket, count(*) AS n,
          | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sv
@@ -1568,6 +1571,66 @@ object StorageQueries {
       |FROM (SELECT range AS bucket FROM range(0, 422, 2)) g
       |LEFT JOIN agg USING (bucket)
       |ORDER BY bucket""".stripMargin
+
+  /** Q146 — `WITH FILL … INTERPOLATE (c)` (ClickHouse fill interpolation,
+    * carry-forward form): q145's sparse grid, but the filled rows CARRY
+    * the last real row's `sv` instead of zero — the time-series readout
+    * shape ("no data this bucket → hold the last reading"). `n` stays
+    * type-default 0, so the two fill behaviors are pinned side by side.
+    * Oracle: the same carry via DuckDB `last_value(sv IGNORE NULLS)`.
+    */
+  def q146FillInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = sampleTable(spark, dir)
+    spark.sql(
+      s"""SELECT bucket, count(*) AS n,
+         | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sv
+         |FROM (SELECT CAST(event_id % 211 AS BIGINT) * 2 AS bucket, value
+         |      FROM $tblName WHERE event_id < 150)
+         |GROUP BY bucket
+         |ORDER BY bucket WITH FILL FROM 0 TO 422 STEP 2 INTERPOLATE (sv)""".stripMargin)
+  }
+
+  val q146Sql: String =
+    """WITH agg AS (
+      |  SELECT CAST(event_id % 211 AS BIGINT) * 2 AS bucket, count(*) AS n,
+      |   CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sv
+      |  FROM events WHERE event_id < 150 GROUP BY 1)
+      |SELECT g.bucket, coalesce(n, 0) AS n,
+      |  coalesce(sv,
+      |    last_value(sv IGNORE NULLS) OVER (ORDER BY g.bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    0) AS sv
+      |FROM (SELECT range AS bucket FROM range(0, 422, 2)) g
+      |LEFT JOIN agg USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
+  /** Q147 — ClickHouse `LIMIT n BY cols` (top-n per key as a clause): the
+    * 3 highest-value events per event_type from the catalog table, ordered
+    * and tie-broken deterministically on both sides (value floored to
+    * integer cents for cross-engine ordering equality). Oracle: the
+    * equivalent row_number window in DuckDB.
+    */
+  def q147LimitBy(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = sampleTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, event_id,
+         | CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v100
+         |FROM $tblName
+         |ORDER BY event_type, v100 DESC, event_id
+         |LIMIT 3 BY event_type""".stripMargin)
+  }
+
+  val q147Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v100
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY v100 DESC, event_id) AS rk
+      |  FROM e)
+      |SELECT event_type, event_id, v100 FROM r WHERE rk <= 3
+      |ORDER BY event_type, v100 DESC, event_id""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
@@ -1606,5 +1669,7 @@ object StorageQueries {
     ("q142_freeze", q142Freeze _, Some(q142Sql)),
     ("q143_sample", q143Sample _, Some(q143Sql)),
     ("q144_stream_ingest", q144StreamIngest _, Some(q144Sql)),
-    ("q145_with_fill", q145WithFill _, Some(q145Sql)))
+    ("q145_with_fill", q145WithFill _, Some(q145Sql)),
+    ("q146_fill_interpolate", q146FillInterpolate _, Some(q146Sql)),
+    ("q147_limit_by", q147LimitBy _, Some(q147Sql)))
 }

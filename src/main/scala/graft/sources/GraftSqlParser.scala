@@ -68,10 +68,48 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText0: String): LogicalPlan = {
     val sqlText = rewriteSamples(sqlText0)
     sqlText match {
-      case WithFillRe(prefix, fcol, fromS, toS, stepS) =>
-        withFillPlan(prefix, fcol, Option(fromS), Option(toS), Option(stepS))
+      case WithFillRe(prefix, fcol, fromS, toS, stepS, interpS) =>
+        withFillPlan(prefix, fcol, Option(fromS), Option(toS), Option(stepS),
+          Option(interpS))
+      case LimitByRe(stmt, orderList, nS, byCols) =>
+        limitByPlan(stmt, orderList, nS.toInt, byCols)
       case _ => parseRewritten(sqlText)
     }
+  }
+
+  /** ClickHouse `… ORDER BY o1[, o2…] LIMIT n BY c1[, c2…]`: the first n
+    * rows of EACH (c1, c2, …) group under the query's own ORDER BY —
+    * "top-n per key" as one clause instead of a hand-written rank window.
+    * The de-LIMIT-BY'd statement parses through the delegate; the clause
+    * adds a row_number window partitioned by the BY columns and ordered by
+    * the statement's ORDER BY list (which is REQUIRED — ClickHouse permits
+    * an arbitrary-order LIMIT BY, this engine refuses the
+    * nondeterminism), then re-sorts by the same list. `LIMIT n` alone
+    * never matches (no BY), so standard SQL is untouched.
+    */
+  private def limitByPlan(stmt: String, orderList: String, n: Int,
+      byColsS: String): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    require(n > 0, s"LIMIT $n BY: n must be positive")
+    val inner = org.apache.spark.sql.graft.PlanBridge.ofRows(session,
+      delegate.parsePlan(stmt))
+    val by = byColsS.split(',').map(s => stripTicks(s.trim)).filter(_.nonEmpty).toSeq
+    require(by.nonEmpty, "LIMIT n BY needs at least one column")
+    by.foreach(c => require(inner.schema.fieldNames.contains(c),
+      s"LIMIT BY column '$c' is not in the result"))
+    val orderCols = splitTopLevel(orderList).map(_.trim).filter(_.nonEmpty).map { item =>
+      val up = item.toUpperCase
+      if (up.endsWith(" DESC")) expr(item.dropRight(5).trim).desc
+      else if (up.endsWith(" ASC")) expr(item.dropRight(4).trim).asc
+      else expr(item).asc
+    }
+    require(orderCols.nonEmpty, "LIMIT n BY requires an ORDER BY")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*).orderBy(orderCols: _*)
+    inner.withColumn("__lb_rn", row_number().over(w))
+      .filter(col("__lb_rn") <= n).drop("__lb_rn")
+      .orderBy(orderCols: _*)
+      .queryExecution.logical
   }
 
   /** ClickHouse `ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]` — gap
@@ -84,8 +122,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * the delegate, then the plan is original-rows UNION missing-grid-rows,
     * re-sorted — original rows OFF the grid survive, exactly ClickHouse.
     */
+  // `INTERPOLATE (c1, c2, …)` — ClickHouse's fill interpolation, the
+  // CARRY-FORWARD form (`c` / `c AS c`): listed columns take the last
+  // REAL row's value on fill rows instead of the type default (a running
+  // `last(…, ignoreNulls)` window over the fill order; fill rows before
+  // the first real row keep the default, like ClickHouse). Arbitrary
+  // `c AS expr` interpolation is rejected loudly rather than half
+  // supported. The interpolation window is unpartitioned — fine for
+  // grid-sized outputs, which gap filling produces by construction.
   private def withFillPlan(prefix: String, fcolRaw: String,
-      fromS: Option[String], toS: Option[String], stepS: Option[String]): LogicalPlan = {
+      fromS: Option[String], toS: Option[String], stepS: Option[String],
+      interpS: Option[String] = None): LogicalPlan = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -117,17 +164,46 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       .where(col("__lo").isNotNull && col("__hi").isNotNull && col("__lo") <= col("__hi"))
       .select(explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__fill"))
       .select(col("__fill").cast(dt).as(fc))
-    def dflt(f: StructField): Column = (f.dataType match {
+    def dflt(f: StructField): Column = f.dataType match {
       case _: NumericType => lit(0).cast(f.dataType)
       case StringType     => lit("")
       case BooleanType    => lit(false)
       case other          => lit(null).cast(other)
-    }).as(f.name)
+    }
     val missing = grid.join(inner.select(col(fc)).distinct(), Seq(fc), "left_anti")
     val fillRows = missing.select(inner.schema.fields.toSeq.map { f =>
-      if (f.name == fc) col(fc) else dflt(f)
+      if (f.name == fc) col(fc) else dflt(f).as(f.name)
     }: _*)
-    inner.unionByName(fillRows).orderBy(col(fc)).queryExecution.logical
+    val interpCols: Seq[String] = interpS.toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty).map { spec =>
+        val parts = spec.split("(?i)\\s+AS\\s+").map(s => stripTicks(s.trim))
+        require(parts.length <= 2 && parts.forall(_.nonEmpty),
+          s"bad INTERPOLATE entry '$spec'")
+        require(parts.length == 1 || parts(0) == parts(1),
+          s"INTERPOLATE supports carry-forward only ('c' or 'c AS c'); got '$spec'")
+        val c = parts(0)
+        require(inner.schema.fieldNames.contains(c),
+          s"INTERPOLATE column '$c' is not in the result")
+        require(c != fc, s"cannot INTERPOLATE the fill column '$fc'")
+        c
+      }
+    val unioned = if (interpCols.isEmpty)
+      inner.unionByName(fillRows)
+    else {
+      val marked = inner.withColumn("__fillmark", lit(false))
+        .unionByName(fillRows.withColumn("__fillmark", lit(true)))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(fc))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      interpCols.foldLeft(marked) { (df, c) =>
+        df.withColumn(c, when(col("__fillmark"),
+            coalesce(
+              last(when(!col("__fillmark"), col(c)), ignoreNulls = true).over(w),
+              dflt(inner.schema(c))))
+          .otherwise(col(c)))
+      }.drop("__fillmark")
+    }
+    unioned.orderBy(col(fc)).queryExecution.logical
   }
 
   private def parseRewritten(sqlText: String): LogicalPlan = sqlText match {
@@ -197,10 +273,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
 object GraftSqlParser {
 
-  // `… ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]` at statement end.
+  // `… ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]
+  //  [INTERPOLATE (c1[, c2…])]` at statement end.
   private[sources] val WithFillRe =
     ("(?is)^(.*\\bORDER\\s+BY\\s+)([`\\w.]+)\\s+WITH\\s+FILL" +
-      "(?:\\s+FROM\\s+(-?\\d+))?(?:\\s+TO\\s+(-?\\d+))?(?:\\s+STEP\\s+(\\d+))?\\s*;?\\s*$").r
+      "(?:\\s+FROM\\s+(-?\\d+))?(?:\\s+TO\\s+(-?\\d+))?(?:\\s+STEP\\s+(\\d+))?" +
+      "(?:\\s+INTERPOLATE\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+
+  // `… ORDER BY <list> LIMIT n BY c1[, c2…]` at statement end (plain
+  // `LIMIT n` has no BY and never matches).
+  private[sources] val LimitByRe =
+    ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(\\d+)\\s+BY\\s+" +
+      "([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)\\s*;?\\s*$").r
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r

@@ -43,6 +43,26 @@ class WithFillSpec extends AnyFunSuite {
       "SELECT b, v FROM wf_empty ORDER BY b WITH FILL FROM 0 TO 5").count() == 5)
   }
 
+  test("INTERPOLATE carries the last real value forward; other columns keep defaults") {
+    view()
+    val rows = spark.sql(
+      "SELECT b, s, v FROM wf_src ORDER BY b WITH FILL FROM 0 TO 11 INTERPOLATE (v)")
+      .collect()
+    val byB = rows.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byB(0L) == (("", 0L)), "fill before the first real row keeps the default")
+    assert(byB(2L) == (("", 10L)) && byB(3L) == (("", 10L)),
+      "fills after b=1 carry v=10")
+    assert(byB(5L) == (("", 40L)) && byB(8L) == (("", 40L)), "fills after b=4 carry v=40")
+    assert(byB(10L) == (("", 90L)), "fills after b=9 carry v=90")
+    assert(byB(1L) == (("a", 10L)) && byB(4L) == (("b", 40L)) && byB(9L) == (("c", 90L)),
+      "real rows untouched")
+    // 'c AS expr' (non-identity) is rejected loudly
+    intercept[Exception] {
+      spark.sql("SELECT b, v FROM wf_src ORDER BY b WITH FILL INTERPOLATE (v AS v+1)")
+        .collect()
+    }
+  }
+
   test("composes with SAMPLE-free standard SQL and rejects bad steps") {
     view()
     intercept[Exception] {
