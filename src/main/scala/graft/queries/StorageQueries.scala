@@ -1632,6 +1632,53 @@ object StorageQueries {
       |SELECT event_type, event_id, v100 FROM r WHERE rk <= 3
       |ORDER BY event_type, v100 DESC, event_id""".stripMargin
 
+  /** Q148 — `SELECT … FROM t FINAL` (ClickHouse's per-statement collapse
+    * spelling, the missing third face next to the per-table catalog
+    * property and the per-read DSv2 option): a Replacing table ingests
+    * every event (k = user_id, version = event_id) across two parts; the
+    * plain SELECT sees the RAW stored rows (ClickHouse semantics — one
+    * per event, self-enforced) while FROM t FINAL collapses to the
+    * latest version per key, cross-part. Oracle: DuckDB's latest-per-key
+    * window over the raw events.
+    */
+  def q148FromFinal(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = cacheFromFinal.getOrElseUpdate(dir, {
+      val wh = Files.createTempDirectory("mt_q148_wh_").toString
+      spark.conf.set("spark.sql.catalog.gq148",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gq148.warehouse", wh)
+      val n = "t" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+      spark.read.parquet(s"$dir/events.parquet")
+        .createOrReplaceTempView("q148_events")
+      spark.sql(s"CREATE TABLE gq148.q148.$n (k BIGINT, ver BIGINT, v100 BIGINT) " +
+        "USING mergetree OPTIONS (orderBy 'k', mode 'replacing', " +
+        "keys 'k', version 'ver')")
+      for (half <- 0 to 1)
+        spark.sql(s"INSERT INTO gq148.q148.$n SELECT user_id, event_id, " +
+          "CAST(floor(value * 100.0 + 0.5) AS BIGINT) " +
+          s"FROM q148_events WHERE event_id % 2 = $half")
+      s"gq148.q148.$n"
+    })
+    val raw = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
+    val fin = spark.sql(
+      s"SELECT k, ver, v100 FROM $tblName FINAL ORDER BY k")
+    val finRows = fin.count()
+    require(raw > finRows && finRows > 0,
+      s"q148: plain SELECT must see raw versions ($raw) above FINAL's collapse ($finRows)")
+    fin
+  }
+
+  private val cacheFromFinal = TrieMap.empty[String, String]
+
+  val q148Sql: String =
+    """SELECT user_id AS k, event_id AS ver,
+      | CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v100
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id DESC) AS rn
+      |  FROM events) sub
+      |WHERE rn = 1 ORDER BY k""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -1671,5 +1718,6 @@ object StorageQueries {
     ("q144_stream_ingest", q144StreamIngest _, Some(q144Sql)),
     ("q145_with_fill", q145WithFill _, Some(q145Sql)),
     ("q146_fill_interpolate", q146FillInterpolate _, Some(q146Sql)),
-    ("q147_limit_by", q147LimitBy _, Some(q147Sql)))
+    ("q147_limit_by", q147LimitBy _, Some(q147Sql)),
+    ("q148_from_final", q148FromFinal _, Some(q148Sql)))
 }

@@ -65,8 +65,41 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       java.util.regex.Matcher.quoteReplacement(rewritten)
     })
 
+  /** ClickHouse `SELECT … FROM t FINAL [SAMPLE k [OFFSET m]]`: the
+    * per-STATEMENT collapse spelling (the per-table default is the
+    * catalog's `final 'true'` property; the per-read form is the DSv2
+    * option). The target rewrites to a session temp view over the
+    * final-read connector table — MergeTreeFinalRule then collapses it
+    * exactly as the option form — and an attached SAMPLE applies AFTER
+    * the collapse (a sample of the live rows, ClickHouse's order). A
+    * target that doesn't resolve to a graft table leaves the text
+    * untouched.
+    */
+  private def rewriteFinal(sqlText: String): String =
+    if (!FinalProbeRe.pattern.matcher(sqlText).find()) sqlText
+    else FinalRe.replaceAllIn(sqlText, m => {
+      val ident = m.group(1)
+      val rewritten = scala.util.Try {
+        val dir = resolveDir(session, IdentTarget(delegate.parseMultipartIdentifier(ident)))
+        val v = "graft_final_" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+        session.read.format("mergetree").option("final", "true").load(dir)
+          .createOrReplaceTempView(v)
+        val alias = ident.split('.').last.replace("`", "")
+        Option(m.group(2)) match {
+          case Some(fracS) =>
+            val defn = TableDef.load(dir).get
+            val off = Option(m.group(3)).map(_.toDouble).getOrElse(0.0)
+            val pred = ColumnarMergeTree.samplePredicateSql(
+              defn.sampleBy, defn.orderBy, fracS.toDouble, off)
+            s"FROM (SELECT * FROM $v WHERE $pred) $alias"
+          case None => s"FROM $v $alias"
+        }
+      }.getOrElse(m.matched)
+      java.util.regex.Matcher.quoteReplacement(rewritten)
+    })
+
   override def parsePlan(sqlText0: String): LogicalPlan = {
-    val sqlText = rewriteSamples(sqlText0)
+    val sqlText = rewriteSamples(rewriteFinal(sqlText0))
     sqlText match {
       case WithFillRe(prefix, fcol, fromS, toS, stepS, interpS) =>
         withFillPlan(prefix, fcol, Option(fromS), Option(toS), Option(stepS),
@@ -288,6 +321,13 @@ object GraftSqlParser {
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r
+  private[sources] val FinalProbeRe = "(?i)\\bFINAL\\b".r
+  // `FROM <ident> FINAL [SAMPLE k [OFFSET m]]` — ClickHouse's
+  // per-statement collapse (+ post-collapse sampling).
+  private[sources] val FinalRe =
+    ("(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+FINAL\\b" +
+      "(?:\\s+SAMPLE\\s+(\\d*\\.\\d+|\\d+\\.?\\d*)" +
+      "(?:\\s+OFFSET\\s+(\\d*\\.\\d+|\\d+\\.?\\d*))?)?").r
   // `FROM <ident> SAMPLE <fraction> [OFFSET <fraction>]` — the ClickHouse
   // sampling clause.
   private[sources] val SampleRe =

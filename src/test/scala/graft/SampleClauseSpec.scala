@@ -81,6 +81,38 @@ class SampleClauseSpec extends AnyFunSuite {
     }
   }
 
+  test("FROM t FINAL collapses per statement; FINAL SAMPLE samples the collapsed rows") {
+    val wh = Files.createTempDirectory("final_sql_wh_").toString
+    spark.conf.set("spark.sql.catalog.gfin", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfin.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gfin.ns.r (smp BIGINT, ver BIGINT, x BIGINT) " +
+        "USING mergetree OPTIONS (orderBy 'smp', mode 'replacing', " +
+        "keys 'smp', version 'ver', sampleBy 'smp')")
+      // two versions of every key, in different parts
+      spark.range(1000).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS smp",
+        "1L AS ver", "id AS x").createOrReplaceTempView("fin_v1")
+      spark.sql("INSERT INTO gfin.ns.r SELECT * FROM fin_v1")
+      spark.sql("INSERT INTO gfin.ns.r SELECT smp, 2L AS ver, x + 1000 AS x FROM fin_v1")
+      val raw = spark.sql("SELECT count(*) FROM gfin.ns.r").collect().head.getLong(0)
+      assert(raw == 2000, "plain SELECT reads raw stored rows (ClickHouse without FINAL)")
+      val fin = spark.sql("SELECT ver, count(*) AS n FROM gfin.ns.r FINAL GROUP BY ver")
+        .collect()
+      assert(fin.length == 1 && fin.head.getLong(0) == 2 && fin.head.getLong(1) == 1000,
+        "FINAL collapses to the latest version of every key")
+      // FINAL SAMPLE: sampled subset OF THE COLLAPSED rows
+      val fs = spark.sql(
+        "SELECT count(*) FROM gfin.ns.r FINAL SAMPLE 0.5").collect().head.getLong(0)
+      val fs2 = spark.sql(
+        "SELECT count(*) FROM gfin.ns.r FINAL SAMPLE 0.5 OFFSET 0.5").collect().head.getLong(0)
+      assert(fs + fs2 == 1000, s"FINAL SAMPLE slices must partition the collapsed rows ($fs + $fs2)")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gfin")
+      graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(wh))
+    }
+  }
+
   test("SQL face equals the Scala face; non-graft SAMPLE text is untouched") {
     val wh = Files.createTempDirectory("sample_sql_wh_").toString
     import spark.implicits._
