@@ -1578,6 +1578,36 @@ object AnalyticQueries {
       |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q149 — q74's daily gap fill, THROUGH THE PARSER over a DATE column:
+    * `ORDER BY day WITH FILL FROM '2024-01-01' TO '2024-02-01'` (TO
+    * exclusive) zero-fills January's missing days; observed days OUTSIDE
+    * the window survive (WITH FILL keeps off-grid originals, where q74's
+    * spine join deliberately drops them — both shapes exist for a
+    * reason). day rendered as string for cross-engine hash stability.
+    */
+  def q149DateWithFill(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q149_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView(v)
+    try spark.sql(
+        s"SELECT day, n FROM $v " +
+          "ORDER BY day WITH FILL FROM '2024-01-01' TO '2024-02-01'")
+      .select(col("day").cast("string").as("day"), col("n"))
+      .orderBy(col("day"))
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q149Sql: String =
+    """WITH obs AS (SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(DATE '2024-01-01',
+      |  DATE '2024-01-31', INTERVAL 1 DAY))::DATE AS day),
+      |miss AS (SELECT day FROM grid WHERE day NOT IN (SELECT day FROM obs))
+      |SELECT CAST(day AS VARCHAR) AS day, n FROM obs
+      |UNION ALL SELECT CAST(day AS VARCHAR) AS day, 0 AS n FROM miss
+      |ORDER BY day""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1630,5 +1660,6 @@ object AnalyticQueries {
     ("q88_uniq_up_to", q88UniqUpTo _, Some(q88Sql)),
     ("q89_bit_aggregates", q89BitAggregates _, Some(q89Sql)),
     ("q90_entropy", q90Entropy _, Some(q90Sql)),
-    ("q100_histogram", q100Histogram _, Some(q100Sql)))
+    ("q100_histogram", q100Histogram _, Some(q100Sql)),
+    ("q149_date_with_fill", q149DateWithFill _, Some(q149Sql)))
 }

@@ -101,9 +101,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText0: String): LogicalPlan = {
     val sqlText = rewriteSamples(rewriteFinal(sqlText0))
     sqlText match {
-      case WithFillRe(prefix, fcol, fromS, toS, stepS, interpS) =>
-        withFillPlan(prefix, fcol, Option(fromS), Option(toS), Option(stepS),
-          Option(interpS))
+      case WithFillRe(prefix, fcol, fromD, fromI, toD, toI, stepS, interpS) =>
+        withFillPlan(prefix, fcol,
+          Option(fromD).orElse(Option(fromI)), Option(toD).orElse(Option(toI)),
+          Option(stepS), Option(interpS))
       case LimitByRe(stmt, orderList, nS, byCols) =>
         limitByPlan(stmt, orderList, nS.toInt, byCols)
       case _ => parseRewritten(sqlText)
@@ -172,30 +173,45 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val fc = stripTicks(fcolRaw.trim)
     val step = stepS.map(_.toLong).getOrElse(1L)
     require(step > 0, s"WITH FILL STEP must be positive, got $step")
-    for (f <- fromS; t <- toS)
-      require(f.toLong < t.toLong, s"WITH FILL FROM $f must be below TO $t")
     val inner = org.apache.spark.sql.graft.PlanBridge.ofRows(session,
       delegate.parsePlan(prefix + fcolRaw))
     require(inner.schema.fieldNames.contains(fc),
       s"WITH FILL column '$fc' is not in the result")
     val dt = inner.schema(fc).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"WITH FILL supports integral sort columns, got $dt for '$fc'")
+    val isDate = dt == DateType
+    require(isDate || Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"WITH FILL supports integral or DATE sort columns, got $dt for '$fc'")
+    def isDateLit(s: String) = s.contains("-") && s.length == 10
+    for (b <- fromS ++ toS)
+      require(isDateLit(b) == isDate,
+        s"WITH FILL bound '$b' does not match the $dt fill column '$fc'")
+    for (f <- fromS; t <- toS)
+      require(if (isDate) f < t else f.toLong < t.toLong,
+        s"WITH FILL FROM $f must be below TO $t")
+    // bound expressions in the fill column's own type; TO is EXCLUSIVE
+    // (ClickHouse), so the inclusive grid top is TO - 1 unit
+    def loLit(f: String): Column = if (isDate) to_date(lit(f)) else lit(f.toLong)
+    def hiLit(t: String): Column =
+      if (isDate) date_sub(to_date(lit(t)), 1) else lit(t.toLong - 1)
+    val stepExpr: Column =
+      if (isDate) expr(s"interval $step day") else lit(step)
     // bounds row: both literals → a standalone one-row frame (an empty
     // result still fills the full grid, like ClickHouse); any derived
     // bound → the result's own min/max, lazily (one aggregate in the
     // plan, no parse-time execution; empty result → no grid)
     val boundsRow = (fromS, toS) match {
       case (Some(f), Some(t)) =>
-        session.range(1).select(lit(f.toLong).as("__lo"), lit(t.toLong - 1).as("__hi"))
+        session.range(1).select(loLit(f).as("__lo"), hiLit(t).as("__hi"))
       case _ =>
-        val lo = fromS.map(f => max(lit(f.toLong))).getOrElse(min(col(fc)).cast("long"))
-        val hi = toS.map(t => max(lit(t.toLong - 1))).getOrElse(max(col(fc)).cast("long"))
+        val lo = fromS.map(f => max(loLit(f))).getOrElse(
+          if (isDate) min(col(fc)) else min(col(fc)).cast("long"))
+        val hi = toS.map(t => max(hiLit(t))).getOrElse(
+          if (isDate) max(col(fc)) else max(col(fc)).cast("long"))
         inner.agg(lo.as("__lo"), hi.as("__hi"))
     }
     val grid = boundsRow
       .where(col("__lo").isNotNull && col("__hi").isNotNull && col("__lo") <= col("__hi"))
-      .select(explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__fill"))
+      .select(explode(sequence(col("__lo"), col("__hi"), stepExpr)).as("__fill"))
       .select(col("__fill").cast(dt).as(fc))
     def dflt(f: StructField): Column = f.dataType match {
       case _: NumericType => lit(0).cast(f.dataType)
@@ -307,10 +323,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
 
   // `… ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]
-  //  [INTERPOLATE (c1[, c2…])]` at statement end.
+  //  [INTERPOLATE (c1[, c2…])]` at statement end. Bounds are integers for
+  // integral fill columns or 'yyyy-MM-dd' literals for DATE ones.
+  private val FB = "(?:'(\\d{4}-\\d{2}-\\d{2})'|(-?\\d+))"
   private[sources] val WithFillRe =
     ("(?is)^(.*\\bORDER\\s+BY\\s+)([`\\w.]+)\\s+WITH\\s+FILL" +
-      "(?:\\s+FROM\\s+(-?\\d+))?(?:\\s+TO\\s+(-?\\d+))?(?:\\s+STEP\\s+(\\d+))?" +
+      s"(?:\\s+FROM\\s+$FB)?(?:\\s+TO\\s+$FB)?(?:\\s+STEP\\s+(\\d+))?" +
       "(?:\\s+INTERPOLATE\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
 
   // `… ORDER BY <list> LIMIT n BY c1[, c2…]` at statement end (plain

@@ -63,6 +63,34 @@ class WithFillSpec extends AnyFunSuite {
     }
   }
 
+  test("DATE fill column: day grid, TO exclusive, STEP in days, mismatched bounds loud") {
+    import spark.implicits._
+    Seq(("2024-03-01", 5L), ("2024-03-04", 7L))
+      .toDF("ds", "n").selectExpr("CAST(ds AS DATE) AS day", "n")
+      .createOrReplaceTempView("wf_dates")
+    val rows = spark.sql(
+      "SELECT day, n FROM wf_dates ORDER BY day WITH FILL FROM '2024-03-01' TO '2024-03-06'")
+      .collect()
+    assert(rows.map(_.getDate(0).toString).toSeq ==
+      Seq("2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04", "2024-03-05"),
+      "daily grid, TO exclusive")
+    assert(rows.map(_.getLong(1)).toSeq == Seq(5L, 0L, 0L, 7L, 0L))
+    // STEP 2 days
+    val s2 = spark.sql(
+      "SELECT day, n FROM wf_dates ORDER BY day WITH FILL FROM '2024-03-01' TO '2024-03-08' STEP 2")
+      .collect()
+    assert(s2.map(_.getDate(0).toString).toSeq ==
+      Seq("2024-03-01", "2024-03-03", "2024-03-04", "2024-03-05", "2024-03-07"),
+      "2-day grid plus the off-grid original 03-04")
+    // derived bounds over dates
+    val d = spark.sql("SELECT day, n FROM wf_dates ORDER BY day WITH FILL").collect()
+    assert(d.length == 4 && d.map(_.getLong(1)).sum == 12L)
+    // an integer bound against a DATE column is a loud error
+    intercept[Exception] {
+      spark.sql("SELECT day, n FROM wf_dates ORDER BY day WITH FILL FROM 0 TO 5").collect()
+    }
+  }
+
   test("composes with SAMPLE-free standard SQL and rejects bad steps") {
     view()
     intercept[Exception] {
