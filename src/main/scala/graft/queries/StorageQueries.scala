@@ -1679,6 +1679,26 @@ object StorageQueries {
       |  FROM events) sub
       |WHERE rn = 1 ORDER BY k""".stripMargin
 
+  /** Q150 — ClickHouse `PREWHERE` (parser): the explicit early-filter
+    * clause rewrites to the semantically identical WHERE — Spark's scan
+    * already evaluates pushed predicates before materializing the other
+    * columns, so pasted ClickHouse queries keep working and get the very
+    * optimization PREWHERE asks for. Oracle: the same aggregate with
+    * WHERE.
+    */
+  def q150Prewhere(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = sampleTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n, max(event_id) AS max_ev
+         |FROM $tblName PREWHERE user_id % 3 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q150Sql: String =
+    """SELECT event_type, count(*) AS n, max(event_id) AS max_ev
+      |FROM events WHERE user_id % 3 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -1719,5 +1739,6 @@ object StorageQueries {
     ("q145_with_fill", q145WithFill _, Some(q145Sql)),
     ("q146_fill_interpolate", q146FillInterpolate _, Some(q146Sql)),
     ("q147_limit_by", q147LimitBy _, Some(q147Sql)),
-    ("q148_from_final", q148FromFinal _, Some(q148Sql)))
+    ("q148_from_final", q148FromFinal _, Some(q148Sql)),
+    ("q150_prewhere", q150Prewhere _, Some(q150Sql)))
 }

@@ -98,8 +98,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       java.util.regex.Matcher.quoteReplacement(rewritten)
     })
 
+  /** ClickHouse `PREWHERE cond`: in ClickHouse an explicit early-filter
+    * stage (read the predicate's columns first, skip the rest of the row
+    * on a miss); Spark's scan already evaluates pushed filters before
+    * materializing the remaining columns, so the clause rewrites to the
+    * semantically identical WHERE — pasted ClickHouse queries keep
+    * working, and the optimization they asked for is what the engine was
+    * going to do anyway. A statement carrying BOTH `PREWHERE` and `WHERE`
+    * anywhere (same block or nested) would need block-aware predicate
+    * merging this textual rewrite doesn't attempt — it is refused loudly
+    * rather than mis-parsed.
+    */
+  private def rewritePrewhere(sqlText: String): String = {
+    if (!PrewhereProbeRe.pattern.matcher(sqlText).find()) return sqlText
+    require(!WhereProbeRe.pattern.matcher(sqlText).find(),
+      "PREWHERE alongside WHERE is not supported — merge the predicates " +
+        "into one WHERE (Spark evaluates pushed filters early regardless)")
+    PrewhereProbeRe.replaceAllIn(sqlText, "WHERE")
+  }
+
   override def parsePlan(sqlText0: String): LogicalPlan = {
-    val sqlText = rewriteSamples(rewriteFinal(sqlText0))
+    val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(sqlText0)))
     sqlText match {
       case WithFillRe(prefix, fcol, fromD, fromI, toD, toI, stepS, interpS) =>
         withFillPlan(prefix, fcol,
@@ -340,6 +359,8 @@ object GraftSqlParser {
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r
   private[sources] val FinalProbeRe = "(?i)\\bFINAL\\b".r
+  private[sources] val PrewhereProbeRe = "(?i)\\bPREWHERE\\b".r
+  private[sources] val WhereProbeRe = "(?i)\\bWHERE\\b".r
   // `FROM <ident> FINAL [SAMPLE k [OFFSET m]]` — ClickHouse's
   // per-statement collapse (+ post-collapse sampling).
   private[sources] val FinalRe =

@@ -62,13 +62,27 @@ object QueryLogSink {
   private val buf = new ArrayBuffer[QueryLog.Entry]()
   private val lock = new Object
 
+  /** Seconds between timed flushes of a PARTIALLY filled buffer — a quiet
+    * session must not hold its last < FlushEvery entries hostage forever.
+    */
+  val FlushSeconds = 30L
+
   /** Single daemon flusher: batches are small and ordered; one thread
     * keeps part ids monotone with arrival order without any further
-    * synchronization.
+    * synchronization. Doubles as the timed-flush scheduler.
     */
-  private lazy val flusher = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-    val t = new Thread(r, "graft-querylog-sink"); t.setDaemon(true); t
-  })
+  private lazy val flusher = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-querylog-sink"); t.setDaemon(true); t
+    })
+    ex.scheduleWithFixedDelay(() => {
+      val batch = lock.synchronized {
+        if (buf.isEmpty) Vector.empty else { val b = buf.toVector; buf.clear(); b }
+      }
+      if (batch.nonEmpty) persist(batch)
+    }, FlushSeconds, FlushSeconds, java.util.concurrent.TimeUnit.SECONDS)
+    ex
+  }
 
   /** True iff `sessionUUID` is the sink's own write session — such
     * executions must never be logged (see recursion guard above).
@@ -93,6 +107,7 @@ object QueryLogSink {
           else ColumnarMergeTree.create(sink, dir, schema, orderBy = Seq("seq"),
             config = MergeTreeConfig(maxParts = 16))
         active = Some(new Active(dir, sink, table))
+        flusher // start the timed partial-buffer flush with the first activation
       case (None, Some(_)) => active = None
       case (None, None)    =>
     }

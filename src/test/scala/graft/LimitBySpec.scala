@@ -25,6 +25,17 @@ class LimitBySpec extends AnyFunSuite {
     }
   }
 
+  test("PREWHERE rewrites to WHERE; PREWHERE alongside WHERE is refused") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "g")
+      .createOrReplaceTempView("pw_src")
+    val rows = spark.sql("SELECT id FROM pw_src PREWHERE g = 'a' ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    intercept[Exception] {
+      spark.sql("SELECT id FROM pw_src PREWHERE g = 'a' WHERE id > 1").collect()
+    }
+  }
+
   test("multi-column BY and composition with WHERE") {
     import spark.implicits._
     Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 3L), ("b", "x", 4L), ("b", "x", 5L))
