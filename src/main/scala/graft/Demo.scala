@@ -319,6 +319,38 @@ object Demo {
       s"rows = $bkRows (grp=2 stays hidden); rows after MODIFY+MATERIALIZE " +
       s"TTL = $afterTtl")
 
+    // Round 15: the ClickHouse SELECT clauses — SAMPLE [BY] (prunable
+    // deterministic slices), FROM t FINAL (per-statement collapse),
+    // WITH FILL [INTERPOLATE] (gap filling), LIMIT n BY (top-n per key),
+    // PREWHERE — all through the parser, over one catalog table.
+    println("== SELECT clauses: SAMPLE / FINAL / WITH FILL / LIMIT BY / PREWHERE:")
+    val clWh = java.nio.file.Files.createTempDirectory("demo_clauses_wh_").toString
+    spark.conf.set("spark.sql.catalog.gdemo",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdemo.warehouse", clWh)
+    spark.sql("CREATE TABLE gdemo.ns.m (smp BIGINT, k BIGINT, ver BIGINT, v BIGINT) " +
+      "USING mergetree OPTIONS (orderBy 'smp,k', mode 'replacing', " +
+      "keys 'smp', version 'ver', sampleBy 'smp')")
+    spark.range(400).selectExpr(
+      "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS smp",
+      "id AS k", "1L AS ver", "id AS v").createOrReplaceTempView("demo_cl_src")
+    spark.sql("INSERT INTO gdemo.ns.m SELECT * FROM demo_cl_src")
+    spark.sql("INSERT INTO gdemo.ns.m SELECT smp, k, 2L, v + 1000 FROM demo_cl_src")
+    val clRaw = spark.sql("SELECT count(*) FROM gdemo.ns.m").collect().head.getLong(0)
+    val clFin = spark.sql("SELECT count(*) FROM gdemo.ns.m FINAL").collect().head.getLong(0)
+    val clS = spark.sql("SELECT count(*) FROM gdemo.ns.m FINAL SAMPLE 0.5")
+      .collect().head.getLong(0)
+    val clS2 = spark.sql("SELECT count(*) FROM gdemo.ns.m FINAL SAMPLE 0.5 OFFSET 0.5")
+      .collect().head.getLong(0)
+    val clFill = spark.sql("SELECT bucket, count(*) AS n FROM " +
+        "(SELECT k % 977 AS bucket FROM gdemo.ns.m PREWHERE k < 100) " +
+        "GROUP BY bucket ORDER BY bucket WITH FILL FROM 0 TO 120").count()
+    val clTop = spark.sql("SELECT k % 4 AS g, k, v FROM gdemo.ns.m " +
+        "ORDER BY g, v DESC, k LIMIT 2 BY g").count()
+    println(s"== raw = $clRaw, FINAL = $clFin (latest versions); FINAL SAMPLE " +
+      s"halves = $clS + $clS2 (disjoint, sum = FINAL); WITH FILL grid rows = " +
+      s"$clFill; LIMIT 2 BY over 4 groups = $clTop rows")
+
     // Round 14: system.query_log — every action above landed in the
     // session's execution ring; read it back from pure SQL.
     println("== system.query_log: the session's own executions from SQL:")
