@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style workload tests for the round-15 parser clauses: random
+  * data, random bounds/steps/limits — the SQL result must equal a plain
+  * Scala model of the documented semantics.
+  */
+class ParserClausePropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.session
+
+  test("WITH FILL matches the model across random grids, steps, and gaps") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729)
+      // sparse random buckets, possibly duplicated, possibly off-grid
+      val data = (0 until 5 + rnd.nextInt(40))
+        .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(100).toLong))
+      data.toDF("b", "v").createOrReplaceTempView(s"wfp_$seed")
+      val from = rnd.nextInt(50).toLong
+      val to = from + 1 + rnd.nextInt(150)
+      val step = 1L + rnd.nextInt(5)
+      val rows = spark.sql(
+        s"SELECT b, v FROM wfp_$seed ORDER BY b WITH FILL FROM $from TO $to STEP $step")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // model: originals + grid points absent from the originals' b-set
+      val present = data.map(_._1).toSet
+      val grid = (from until to by step).filterNot(present)
+      val expect = (data ++ grid.map(g => (g, 0L))).sortBy(_._1)
+      assert(rows.sorted == expect.sorted, s"seed $seed: WITH FILL mismatch")
+      assert(rows.map(_._1) == rows.map(_._1).sorted, s"seed $seed: output unsorted")
+      // INTERPOLATE: filled rows carry the last real value before them
+      val rowsI = spark.sql(
+        s"SELECT b, v FROM wfp_$seed ORDER BY b " +
+          s"WITH FILL FROM $from TO $to STEP $step INTERPOLATE (v)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val maxPerB = data.groupBy(_._1) // ties: any real row is "a real value"
+      val realVs = data.map(_._2).toSet + 0L
+      grid.foreach { g =>
+        val prior = data.filter(_._1 <= g)
+        val carried = rowsI.filter(_._1 == g).map(_._2)
+        assert(carried.size == 1)
+        if (prior.isEmpty) assert(carried.head == 0L, s"seed $seed: fill before first must default")
+        else {
+          val lastB = prior.map(_._1).max
+          val candidates = maxPerB(lastB).map(_._2).toSet
+          assert(candidates.contains(carried.head),
+            s"seed $seed: fill at $g must carry a value from the last real bucket $lastB")
+        }
+        assert(realVs.contains(carried.head))
+      }
+    }
+  }
+
+  test("LIMIT n BY matches the model across random groups and limits") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val data = (0 until 20 + rnd.nextInt(100)).map(i =>
+        (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(1000).toLong))
+      data.toDF("g", "id", "v").createOrReplaceTempView(s"lbp_$seed")
+      val n = 1 + rnd.nextInt(4)
+      val rows = spark.sql(
+        s"SELECT g, id, v FROM lbp_$seed ORDER BY g, v DESC, id LIMIT $n BY g")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val expect = data.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(n)
+      }.sortBy(r => (r._1, -r._3, r._2))
+      assert(rows == expect, s"seed $seed: LIMIT $n BY mismatch")
+    }
+  }
+}
