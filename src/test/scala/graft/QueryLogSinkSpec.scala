@@ -54,6 +54,35 @@ class QueryLogSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("re-activation appends to the existing table: both generations queryable") {
+    val dir = Files.createTempDirectory("qlog_sink_gen_").toString
+    QueryLog.install(spark)
+    spark.conf.set(QueryLogSink.ConfKey, dir)
+    try {
+      // generation 1
+      QueryLogSink.configure(spark)
+      QueryLog.clear()
+      spark.range(11L).count()
+      awaitLog(QueryLog.entries.nonEmpty)
+      QueryLogSink.flushNow()
+      val gen1 = spark.read.format("mergetree").load(dir).count()
+      assert(gen1 > 0)
+      // simulate a restart: deactivate, then re-configure the SAME dir
+      QueryLogSink.reset()
+      QueryLogSink.configure(spark)
+      val before = QueryLog.entries.size
+      spark.range(13L).selectExpr("max(id)").collect()
+      awaitLog(QueryLog.entries.size > before) // the NEW query's offer landed
+      QueryLogSink.flushNow()
+      val gen2 = spark.read.format("mergetree").load(dir).count()
+      assert(gen2 > gen1, s"re-activated sink must append ($gen1 -> $gen2)")
+    } finally {
+      spark.conf.unset(QueryLogSink.ConfKey)
+      QueryLogSink.reset()
+      graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+
   test("sink inactive without the conf: offers are dropped, nothing is written") {
     QueryLogSink.reset()
     val e = QueryLog.Entry(1L, 0L, "s", "f", 1.0, "ok", None, None, "d", "p")
