@@ -3259,9 +3259,18 @@ object ColumnarMergeTree {
     */
   def md5SlicePredicate(keyCol: String, k: Double, offset: Double = 0.0): String = {
     val slice = f"substring(md5(CAST(`$keyCol` AS STRING)), 1, 8)"
-    val hi = f"$slice < '${sampleThreshold(offset + k)}%08x'"
-    if (offset <= 0) hi
-    else f"$slice >= '${sampleThreshold(offset)}%08x' AND $hi"
+    // Every 8-hex-char slice is < 2^32 by construction, so when the slice
+    // reaches the top of the hash space the upper clause must be DROPPED,
+    // not formatted: 2^32 renders as the NINE-char '100000000' and the
+    // lexicographic hex compare would then exclude every slice above
+    // '10000001…' — SAMPLE 1 kept ~1/16 of rows and SAMPLE 0.5 OFFSET 0.5
+    // (the advertised train/test split) returned empty. Mirrors how the
+    // lower bound is dropped at offset <= 0.
+    val hi = Option(sampleThreshold(offset + k)).filter(_ < 4294967296L)
+      .map(t => f"$slice < '$t%08x'")
+    val lo = Option(sampleThreshold(offset)).filter(_ => offset > 0)
+      .map(t => f"$slice >= '$t%08x'")
+    (lo ++ hi).reduceOption(_ + " AND " + _).getOrElse("true")
   }
 
   def create(spark: SparkSession, path: String, schema: StructType,

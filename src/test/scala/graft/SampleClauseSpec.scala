@@ -75,6 +75,20 @@ class SampleClauseSpec extends AnyFunSuite {
         s"rows of a sampling key must land in or out together (${s.length} rows, ${sampledKeys.size} keys)")
       // roughly half the keys (binomial: 500 keys, p=.5 — 5 sigma ≈ 56)
       assert(math.abs(sampledKeys.size - 250) < 60, s"got ${sampledKeys.size} of 500 keys")
+      // top-of-hash-space slices (offset + k == 1): the upper bound is
+      // 2^32, which must be DROPPED, not hex-formatted to 9 chars —
+      // regression: SAMPLE 1 kept ~1/16 of rows, SAMPLE 0.5 OFFSET 0.5
+      // returned empty
+      assert(t.sampleScan(1.0).count() == 3000, "SAMPLE 1 must return every row")
+      val hiHalf = t.sampleScan(0.5, offset = 0.5).select("k")
+        .collect().map(_.getString(0)).toSet
+      assert(hiHalf.nonEmpty, "SAMPLE 0.5 OFFSET 0.5 must be non-empty")
+      assert(sampledKeys.intersect(hiHalf).isEmpty, "complementary slices must be disjoint")
+      assert(sampledKeys.size + hiHalf.size == 500,
+        s"slices must cover all keys (${sampledKeys.size} + ${hiHalf.size})")
+      val tiny = t.sampleScan(0.1, offset = 0.9).select("k")
+        .collect().map(_.getString(0)).toSet
+      assert(tiny.nonEmpty && tiny.subsetOf(hiHalf), "OFFSET 0.9 slice nests in the top half")
     } finally {
       t.shutdown()
       MergeTreeTable.deleteRecursively(Paths.get(dir))
