@@ -52,6 +52,17 @@ object QueryLog {
       plan: String)
 
   private val seq = new AtomicLong(0L)
+
+  /** Fast-forward the seq counter past `atLeast` — QueryLogSink seeds it
+    * from a reopened persisted log's max(seq), so entries appended after a
+    * driver restart continue the table's monotone key instead of
+    * restarting at 1 and interleaving generations on read.
+    */
+  private[sources] def seedSeq(atLeast: Long): Unit = {
+    var cur = seq.get()
+    while (cur < atLeast && !seq.compareAndSet(cur, atLeast)) cur = seq.get()
+  }
+
   private val ring = new java.util.ArrayDeque[Entry](Capacity)
 
   /** Sessions that already carry the listener — install is idempotent per

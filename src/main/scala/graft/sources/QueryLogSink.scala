@@ -102,9 +102,19 @@ object QueryLogSink {
       case (Some(dir), _) =>
         val sink = spark.newSession()
         val table =
-          if (ColumnarMergeTree.TableDef.load(dir).isDefined)
-            ColumnarMergeTree.open(sink, dir)
-          else ColumnarMergeTree.create(sink, dir, schema, orderBy = Seq("seq"),
+          if (ColumnarMergeTree.TableDef.load(dir).isDefined) {
+            val t = ColumnarMergeTree.open(sink, dir)
+            // Reopening an existing log (driver restart): fast-forward the
+            // process-lifetime seq counter past the persisted max(seq) —
+            // manifest-only (seq is the numeric lead key, so each part's
+            // maxKey IS its max seq) — else new entries would repeat seq
+            // values and readers ordering by seq would interleave
+            // generations, breaking the monotone-key/no-overlap posture.
+            val persistedMax = t.parts.flatMap(p => Option(p.maxKey))
+              .flatMap(k => scala.util.Try(k.toLong).toOption)
+            persistedMax.maxOption.foreach(QueryLog.seedSeq)
+            t
+          } else ColumnarMergeTree.create(sink, dir, schema, orderBy = Seq("seq"),
             config = MergeTreeConfig(maxParts = 16))
         active = Some(new Active(dir, sink, table))
         flusher // start the timed partial-buffer flush with the first activation

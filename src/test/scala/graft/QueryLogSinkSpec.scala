@@ -83,6 +83,39 @@ class QueryLogSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("reopening a persisted log fast-forwards seq past the table's max") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, max}
+    val dir = Files.createTempDirectory("qlog_seed_").toString
+    QueryLog.install(spark)
+    try {
+      // a previous process generation persisted entries up to seq = 10^9;
+      // this process's counter is far below it
+      val t = graft.mergetree.ColumnarMergeTree.create(spark, dir,
+        QueryLogSink.schema, orderBy = Seq("seq"))
+      import scala.jdk.CollectionConverters._
+      val old = (999999998L to 1000000000L).map(s =>
+        Row(s, 0L, "oldgen", "f", 1.0, "ok", null, null, "d", "p"))
+      t.insertBatch(spark.createDataFrame(old.asJava, QueryLogSink.schema),
+        partitions = 1)
+      spark.conf.set(QueryLogSink.ConfKey, dir)
+      QueryLogSink.configure(spark)
+      val before = QueryLog.entries.size
+      spark.range(7L).selectExpr("max(id)").collect()
+      awaitLog(QueryLog.entries.size > before)
+      QueryLogSink.flushNow()
+      val maxNew = spark.read.format("mergetree").load(dir)
+        .where(col("session") =!= "oldgen")
+        .agg(max(col("seq"))).collect().head.getLong(0)
+      assert(maxNew > 1000000000L,
+        s"new entries must continue the persisted monotone seq, got $maxNew")
+    } finally {
+      spark.conf.unset(QueryLogSink.ConfKey)
+      QueryLogSink.reset()
+      graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(dir))
+    }
+  }
+
   test("sink inactive without the conf: offers are dropped, nothing is written") {
     QueryLogSink.reset()
     val e = QueryLog.Entry(1L, 0L, "s", "f", 1.0, "ok", None, None, "d", "p")
