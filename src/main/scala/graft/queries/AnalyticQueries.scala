@@ -1608,6 +1608,86 @@ object AnalyticQueries {
       |UNION ALL SELECT CAST(day AS VARCHAR) AS day, 0 AS n FROM miss
       |ORDER BY day""".stripMargin
 
+  /** Q152 — `WITH FILL … INTERPOLATE (c AS expr)` (the EXPRESSION form,
+    * next to q146's plain carry): filled days take `sv + 7` EVALUATED
+    * OVER THE CARRIED ROW — the last real day's reading plus a drift
+    * constant — while `n` stays type-default 0. Oracle: DuckDB computes
+    * the same carry (`last_value IGNORE NULLS`) and applies the same
+    * arithmetic on fill rows only.
+    */
+  def q152InterpolateExpr(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q152_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("long").as("sv"))
+      .createOrReplaceTempView(v)
+    try spark.sql(
+        s"SELECT day, n, sv FROM $v " +
+          "ORDER BY day WITH FILL FROM '2024-01-01' TO '2024-02-01' " +
+          "INTERPOLATE (sv AS sv + 7)")
+      .select(col("day").cast("string").as("day"), col("n"), col("sv"))
+      .orderBy(col("day"))
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q152Sql: String =
+    """WITH obs AS (SELECT ts::DATE AS day, count(*) AS n,
+      |  CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sv
+      |  FROM events GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(DATE '2024-01-01',
+      |  DATE '2024-01-31', INTERVAL 1 DAY))::DATE AS day),
+      |j AS (SELECT g.day, n, sv FROM grid g LEFT JOIN obs USING (day)),
+      |c AS (SELECT day, n, sv,
+      |  last_value(sv IGNORE NULLS) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+      |  FROM j)
+      |SELECT CAST(day AS VARCHAR) AS day, coalesce(n, 0) AS n,
+      |  coalesce(sv, carry + 7, 0) AS sv
+      |FROM c ORDER BY day""".stripMargin
+
+  /** Q153 — MULTI-column `WITH FILL` (the cross-product grid): a sparse
+    * (day, bucket) aggregate fills the full DATE-range × bucket-range
+    * frame — ClickHouse's per-sort-key fill grammar, the dense matrix a
+    * per-segment time-series readout wants. The WHERE pins every original
+    * tuple onto the grid, so the output is exactly the 10×5 frame.
+    * Oracle: DuckDB cross-joins the two ranges and left-joins the
+    * observations.
+    */
+  def q153MultiFill(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q153_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir)
+      .where(to_date(col("ts")) < lit("2024-01-11") && col("user_id") % 97 === 0)
+      .groupBy(to_date(col("ts")).as("day"), (col("user_id") % 5).as("bk"))
+      .agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView(v)
+    try {
+      val out = spark.sql(
+          s"SELECT day, bk, n FROM $v " +
+            "ORDER BY day WITH FILL FROM '2024-01-01' TO '2024-01-11', " +
+            "bk WITH FILL FROM 0 TO 5")
+        .select(col("day").cast("string").as("day"), col("bk"), col("n"))
+        .orderBy(col("day"), col("bk"))
+      val rows = out.count()
+      require(rows == 50, s"q153: the 10x5 cross-product grid must land, got $rows")
+      out
+    } finally spark.catalog.dropTempView(v)
+  }
+
+  val q153Sql: String =
+    """WITH obs AS (
+      |  SELECT ts::DATE AS day, user_id % 5 AS bk, count(*) AS n
+      |  FROM events
+      |  WHERE ts::DATE < DATE '2024-01-11' AND user_id % 97 = 0
+      |  GROUP BY 1, 2),
+      |days AS (SELECT unnest(generate_series(DATE '2024-01-01',
+      |  DATE '2024-01-10', INTERVAL 1 DAY))::DATE AS day),
+      |bks AS (SELECT range AS bk FROM range(0, 5)),
+      |grid AS (SELECT day, bk FROM days CROSS JOIN bks)
+      |SELECT CAST(g.day AS VARCHAR) AS day, g.bk AS bk, coalesce(n, 0) AS n
+      |FROM grid g LEFT JOIN obs ON g.day = obs.day AND g.bk = obs.bk
+      |ORDER BY g.day, g.bk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1661,5 +1741,7 @@ object AnalyticQueries {
     ("q89_bit_aggregates", q89BitAggregates _, Some(q89Sql)),
     ("q90_entropy", q90Entropy _, Some(q90Sql)),
     ("q100_histogram", q100Histogram _, Some(q100Sql)),
-    ("q149_date_with_fill", q149DateWithFill _, Some(q149Sql)))
+    ("q149_date_with_fill", q149DateWithFill _, Some(q149Sql)),
+    ("q152_interpolate_expr", q152InterpolateExpr _, Some(q152Sql)),
+    ("q153_multi_fill", q153MultiFill _, Some(q153Sql)))
 }

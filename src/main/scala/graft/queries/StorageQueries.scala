@@ -1683,20 +1683,59 @@ object StorageQueries {
     * clause rewrites to the semantically identical WHERE — Spark's scan
     * already evaluates pushed predicates before materializing the other
     * columns, so pasted ClickHouse queries keep working and get the very
-    * optimization PREWHERE asks for. Oracle: the same aggregate with
-    * WHERE.
+    * optimization PREWHERE asks for. The query carries BOTH clauses —
+    * `PREWHERE cheap WHERE expensive`, the combination real ClickHouse
+    * queries routinely paste — which AND-merge; the WHERE condition ends
+    * with an OR so the merge's parenthesization (precedence) is under
+    * oracle too. Oracle: one WHERE with the conjunction spelled out.
     */
   def q150Prewhere(spark: SparkSession, dir: String): DataFrame = {
     val tblName = sampleTable(spark, dir)
     spark.sql(
       s"""SELECT event_type, count(*) AS n, max(event_id) AS max_ev
          |FROM $tblName PREWHERE user_id % 3 = 0
+         |WHERE event_id % 5 = 0 OR event_id % 7 = 0
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   val q150Sql: String =
     """SELECT event_type, count(*) AS n, max(event_id) AS max_ev
-      |FROM events WHERE user_id % 3 = 0
+      |FROM events
+      |WHERE (user_id % 3 = 0) AND (event_id % 5 = 0 OR event_id % 7 = 0)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q151 — ClickHouse `SAMPLE n` (the ABSOLUTE-rows spelling, next to
+    * q143's fractional form): `SAMPLE 250` reads ≈250 rows by deriving
+    * the fraction from the manifest's row count — metadata only, no
+    * counting scan — then applying the exact same deterministic slice
+    * predicate (here a prunable range on the declared SAMPLE BY column).
+    * The oracle derives the identical threshold in DuckDB from count(*):
+    * floor(250.0 / total · 2³²) is the same IEEE double arithmetic on
+    * both engines, so the slice hashes equal. Self-enforcing: a proper
+    * subset lands.
+    */
+  def q151SampleRows(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = sampleTable(spark, dir)
+    val sampled = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
+         |FROM $tblName SAMPLE 250
+         |GROUP BY event_type""".stripMargin)
+    val nSampled = sampled.agg(sum(col("n"))).collect().head.getLong(0)
+    val nAll = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
+    require(nSampled > 0 && nSampled < nAll,
+      s"q151: SAMPLE 250 must read a proper subset ($nSampled of $nAll)")
+    sampled.orderBy(col("event_type"))
+  }
+
+  val q151Sql: String =
+    """WITH thr AS (
+      |  SELECT CAST(floor(250.0 / count(*) * 4294967296.0) AS BIGINT) AS t
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
+      |FROM events, thr
+      |WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT < thr.t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -1740,5 +1779,6 @@ object StorageQueries {
     ("q146_fill_interpolate", q146FillInterpolate _, Some(q146Sql)),
     ("q147_limit_by", q147LimitBy _, Some(q147Sql)),
     ("q148_from_final", q148FromFinal _, Some(q148Sql)),
-    ("q150_prewhere", q150Prewhere _, Some(q150Sql)))
+    ("q150_prewhere", q150Prewhere _, Some(q150Sql)),
+    ("q151_sample_rows", q151SampleRows _, Some(q151Sql)))
 }

@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.chunkHybridRelation(args)))
     e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("mergetree_final"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftExtensions.getClass.getCanonicalName, "mergetree_final"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.finalRelation(args)))
+    e.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("query_log"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         GraftExtensions.getClass.getCanonicalName, "query_log"),
@@ -111,6 +117,31 @@ object GraftExtensions {
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     LocalRelation(attrs,
       MergeTreeSystemTable.rowsFor(dir, kind).toIndexedSeq, isStreaming = false)
+  }
+
+  /** `SELECT * FROM mergetree_final('graft.ns.tbl' | '<table dir>')` — the
+    * FINAL-collapsed read as a table function. Exists so the parser's
+    * `FROM t FINAL` rewrite can target it TEXTUALLY: the rewrite then has
+    * no parse-time side effects (no temp view, no catalog mutation, no
+    * storage I/O) — the read resolves HERE, at analysis time, like any
+    * other relation, and MergeTreeFinalRule collapses it in the same
+    * fixpoint exactly as the `option("final", "true")` form. The provider
+    * resolution (and its metadata I/O) happens when the analyzer invokes
+    * this builder — analysis time, never parse time. Also directly
+    * callable by users.
+    */
+  private def finalRelation(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    import org.apache.spark.sql.types.StringType
+    require(args.length == 1 && args.head.foldable &&
+      args.head.dataType == StringType,
+      "mergetree_final(table) takes exactly one string argument " +
+        "(catalog identifier or table directory)")
+    val spark = SparkSession.active
+    val dir = resolveTarget(spark, "mergetree_final", args.head.eval())
+    spark.read.format("mergetree").option("final", "true").load(dir)
+      .queryExecution.logical
   }
 
   /** `SELECT * FROM query_log()` — the session's query-execution ring as a

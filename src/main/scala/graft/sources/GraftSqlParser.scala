@@ -51,39 +51,58 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     */
   private def rewriteSamples(sqlText: String): String =
     if (!SampleProbeRe.pattern.matcher(sqlText).find()) sqlText
-    else SampleRe.replaceAllIn(sqlText, m => {
+    else replaceOutsideQuotes(sqlText, SampleRe) { m =>
       val ident = m.group(1)
-      val frac = m.group(2).toDouble
-      val off = Option(m.group(3)).map(_.toDouble).getOrElse(0.0)
-      val rewritten = scala.util.Try {
+      scala.util.Try {
         val dir = resolveDir(session, IdentTarget(delegate.parseMultipartIdentifier(ident)))
         val defn = TableDef.load(dir).get
-        val pred = ColumnarMergeTree.samplePredicateSql(defn.sampleBy, defn.orderBy, frac, off)
+        val off = Option(m.group(3)).map(_.toDouble).getOrElse(0.0)
+        val pred = ColumnarMergeTree.samplePredicateSql(
+          defn.sampleBy, defn.orderBy, sampleFraction(m.group(2), dir), off)
         val alias = ident.split('.').last.replace("`", "")
         s"FROM (SELECT * FROM $ident WHERE $pred) $alias"
       }.getOrElse(m.matched)
-      java.util.regex.Matcher.quoteReplacement(rewritten)
-    })
+    }
+
+  /** `SAMPLE k` accepts ClickHouse's two spellings: a fraction in (0, 1]
+    * ("0.1", "0.5"), or an ABSOLUTE row count ("SAMPLE 10000" — any
+    * dot-less integer above 1). The absolute form derives its fraction
+    * from the manifest's row count — metadata only, no counting scan — so
+    * the yield is ≈n (hash-uniform, deterministic, still nested: a larger
+    * n is a superset of a smaller one). n at or above the table size
+    * degenerates to the full scan, like sampleScanRows.
+    */
+  private def sampleFraction(kRaw: String, dir: String): Double =
+    if (kRaw.contains('.') || kRaw.toLong <= 1L) kRaw.toDouble
+    else {
+      val n = kRaw.toLong
+      val total = ColumnarMergeTree.GManifest.load(dir)
+        .map(_.parts.map(_.rowCount).sum).getOrElse(0L)
+      if (total == 0L || n >= total) 1.0 else n.toDouble / total
+    }
 
   /** ClickHouse `SELECT … FROM t FINAL [SAMPLE k [OFFSET m]]`: the
     * per-STATEMENT collapse spelling (the per-table default is the
     * catalog's `final 'true'` property; the per-read form is the DSv2
-    * option). The target rewrites to a session temp view over the
-    * final-read connector table — MergeTreeFinalRule then collapses it
-    * exactly as the option form — and an attached SAMPLE applies AFTER
-    * the collapse (a sample of the live rows, ClickHouse's order). A
-    * target that doesn't resolve to a graft table leaves the text
-    * untouched.
+    * option). The target rewrites to the `mergetree_final('<dir>')` table
+    * function — resolved at ANALYSIS time like any relation, so parsing a
+    * statement never mutates the session catalog or touches storage (an
+    * EXPLAIN or a dry-run lint of the text is side-effect free) — and
+    * MergeTreeFinalRule then collapses the read exactly as the option
+    * form. An attached SAMPLE applies AFTER the collapse (a sample of the
+    * live rows, ClickHouse's order). A target that doesn't resolve to a
+    * graft table leaves the text untouched; `FROM t AS final` keeps
+    * `final` as an ordinary alias (the AS spelling is the escape hatch,
+    * as in ClickHouse, where bare FINAL is always the modifier).
     */
   private def rewriteFinal(sqlText: String): String =
     if (!FinalProbeRe.pattern.matcher(sqlText).find()) sqlText
-    else FinalRe.replaceAllIn(sqlText, m => {
+    else replaceOutsideQuotes(sqlText, FinalRe) { m =>
       val ident = m.group(1)
-      val rewritten = scala.util.Try {
+      scala.util.Try {
         val dir = resolveDir(session, IdentTarget(delegate.parseMultipartIdentifier(ident)))
-        val v = "graft_final_" + Integer.toHexString(dir.hashCode & 0x7fffffff)
-        session.read.format("mergetree").option("final", "true").load(dir)
-          .createOrReplaceTempView(v)
+        require(!dir.contains("'"), s"table directory with a quote: $dir")
+        val rel = s"mergetree_final('$dir')"
         val alias = ident.split('.').last.replace("`", "")
         Option(m.group(2)) match {
           case Some(fracS) =>
@@ -91,12 +110,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             val off = Option(m.group(3)).map(_.toDouble).getOrElse(0.0)
             val pred = ColumnarMergeTree.samplePredicateSql(
               defn.sampleBy, defn.orderBy, fracS.toDouble, off)
-            s"FROM (SELECT * FROM $v WHERE $pred) $alias"
-          case None => s"FROM $v $alias"
+            s"FROM (SELECT * FROM $rel WHERE $pred) $alias"
+          case None => s"FROM $rel $alias"
         }
       }.getOrElse(m.matched)
-      java.util.regex.Matcher.quoteReplacement(rewritten)
-    })
+    }
 
   /** ClickHouse `PREWHERE cond`: in ClickHouse an explicit early-filter
     * stage (read the predicate's columns first, skip the rest of the row
@@ -104,26 +122,55 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * materializing the remaining columns, so the clause rewrites to the
     * semantically identical WHERE — pasted ClickHouse queries keep
     * working, and the optimization they asked for is what the engine was
-    * going to do anyway. A statement carrying BOTH `PREWHERE` and `WHERE`
-    * anywhere (same block or nested) would need block-aware predicate
-    * merging this textual rewrite doesn't attempt — it is refused loudly
-    * rather than mis-parsed.
+    * going to do anyway. `PREWHERE p … WHERE w` — the combination real
+    * ClickHouse queries routinely carry — AND-merges when the WHERE
+    * belongs to the PREWHERE's own block: `WHERE (p) AND (w)`, both sides
+    * parenthesized so operator precedence is preserved. The scan is
+    * quote-aware (a PREWHERE inside a string literal is data, and a
+    * `WHERE msg = 'PREWHERE'` statement is untouched); only a statement
+    * with MULTIPLE PREWHERE clauses is refused loudly — merging across
+    * blocks is genuinely ambiguous in a textual rewrite.
     */
   private def rewritePrewhere(sqlText: String): String = {
     if (!PrewhereProbeRe.pattern.matcher(sqlText).find()) return sqlText
-    require(!WhereProbeRe.pattern.matcher(sqlText).find(),
-      "PREWHERE alongside WHERE is not supported — merge the predicates " +
-        "into one WHERE (Spark evaluates pushed filters early regardless)")
-    PrewhereProbeRe.replaceAllIn(sqlText, "WHERE")
+    val spans = quotedSpans(sqlText)
+    val pres = PrewhereProbeRe.findAllMatchIn(sqlText)
+      .filter(m => !inSpan(spans, m.start)).toList
+    if (pres.isEmpty) return sqlText // PREWHERE appears only as literal text
+    require(pres.length == 1,
+      "multiple PREWHERE clauses in one statement are not supported — " +
+        "merge each block's predicates into its own WHERE")
+    val p = pres.head
+    val depths = parenDepths(sqlText)
+    val base = depths(p.start)
+    // The PREWHERE block's own WHERE: the first WHERE token after the
+    // predicate at the same paren depth, with the depth never dropping
+    // below it in between (a drop means the PREWHERE's block closed — a
+    // later WHERE belongs to an OUTER block and must stay).
+    val sameBlockWhere = WhereProbeRe.findAllMatchIn(sqlText).toList
+      .find(m => m.start > p.end && !inSpan(spans, m.start) &&
+        depths(m.start) == base &&
+        (p.end until m.start).forall(i => depths(i) >= base))
+    sameBlockWhere match {
+      case None =>
+        // no WHERE in the PREWHERE's own block: the clause rewrites 1:1
+        sqlText.substring(0, p.start) + "WHERE" + sqlText.substring(p.end)
+      case Some(w) =>
+        val pre = sqlText.substring(p.end, w.start).trim
+        val condEnd = clauseEnd(sqlText, w.end, base, depths, spans)
+        val cond = sqlText.substring(w.end, condEnd).trim
+        require(pre.nonEmpty && cond.nonEmpty,
+          s"malformed PREWHERE/WHERE combination in: $sqlText")
+        sqlText.substring(0, p.start) +
+          s"WHERE ($pre) AND ($cond)" + sqlText.substring(condEnd)
+    }
   }
 
   override def parsePlan(sqlText0: String): LogicalPlan = {
     val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(sqlText0)))
     sqlText match {
-      case WithFillRe(prefix, fcol, fromD, fromI, toD, toI, stepS, interpS) =>
-        withFillPlan(prefix, fcol,
-          Option(fromD).orElse(Option(fromI)), Option(toD).orElse(Option(toI)),
-          Option(stepS), Option(interpS))
+      case WithFillStmtRe(prefix, items, interpS) =>
+        withFillPlan(prefix, items, Option(interpS))
       case LimitByRe(stmt, orderList, nS, byCols) =>
         limitByPlan(stmt, orderList, nS.toInt, byCols)
       case _ => parseRewritten(sqlText)
@@ -165,113 +212,159 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       .queryExecution.logical
   }
 
-  /** ClickHouse `ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]` — gap
-    * filling over an integral sort column: the result gains one row per
+  /** ClickHouse `ORDER BY <c1> WITH FILL [FROM a] [TO b] [STEP s]
+    * [, <c2> WITH FILL …] [INTERPOLATE (…)]` — gap filling over one or
+    * more integral/DATE sort columns: the result gains one row per
     * missing grid point (FROM inclusive, TO exclusive, ClickHouse's
     * contract; absent bounds default to the result's own min/max,
     * inclusive), with non-fill columns taking their type defaults (0, '',
-    * false — ClickHouse fills defaults, not NULLs). Composes with the rest
-    * of the statement (and with SAMPLE): the de-FILLed text parses through
-    * the delegate, then the plan is original-rows UNION missing-grid-rows,
-    * re-sorted — original rows OFF the grid survive, exactly ClickHouse.
+    * false, epoch for date/time — ClickHouse fills defaults, not NULLs).
+    * With SEVERAL fill columns the grid is their CROSS PRODUCT — the
+    * (day, bucket) dense frame a time-series readout wants — and a row is
+    * missing when its full fill-key tuple is absent. Composes with the
+    * rest of the statement (and with SAMPLE): the de-FILLed text parses
+    * through the delegate, then the plan is original-rows UNION
+    * missing-grid-rows, re-sorted — original rows OFF the grid survive,
+    * exactly ClickHouse.
     */
-  // `INTERPOLATE (c1, c2, …)` — ClickHouse's fill interpolation, the
-  // CARRY-FORWARD form (`c` / `c AS c`): listed columns take the last
-  // REAL row's value on fill rows instead of the type default (a running
-  // `last(…, ignoreNulls)` window over the fill order; fill rows before
-  // the first real row keep the default, like ClickHouse). Arbitrary
-  // `c AS expr` interpolation is rejected loudly rather than half
-  // supported. The interpolation window is unpartitioned — fine for
-  // grid-sized outputs, which gap filling produces by construction.
-  private def withFillPlan(prefix: String, fcolRaw: String,
-      fromS: Option[String], toS: Option[String], stepS: Option[String],
-      interpS: Option[String] = None): LogicalPlan = {
+  // `INTERPOLATE (c1 [AS expr1], c2, …)` — ClickHouse's fill
+  // interpolation: on fill rows a listed column takes the last REAL row's
+  // value (`c` / `c AS c`, plain carry) or an EXPRESSION EVALUATED OVER
+  // THE CARRIED ROW (`c AS expr` — column references in expr resolve to
+  // the last real row's values; a running `last(…, ignoreNulls)` window
+  // over the fill order carries the evaluated value). Fill rows before
+  // the first real row keep the type default, like ClickHouse. DOCUMENTED
+  // DIVERGENCE: ClickHouse re-evaluates the expression per consecutive
+  // fill row (iteratively, over the previous OUTPUT row); this engine
+  // evaluates it once over the last REAL row — identical for the common
+  // single-gap and carry cases, simpler (and windowable) for runs. The
+  // interpolation window is unpartitioned — fine for grid-sized outputs,
+  // which gap filling produces by construction.
+  private def withFillPlan(prefix: String, itemsS: String,
+      interpS: Option[String]): LogicalPlan = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val fc = stripTicks(fcolRaw.trim)
-    val step = stepS.map(_.toLong).getOrElse(1L)
-    require(step > 0, s"WITH FILL STEP must be positive, got $step")
+    case class FillItem(col: String, from: Option[String], to: Option[String],
+        step: Long)
+    val items: Seq[FillItem] = splitTopLevel(itemsS).map(_.trim)
+      .filter(_.nonEmpty).map {
+        case FillItemRe(c, fromD, fromI, toD, toI, stepS) =>
+          val step = Option(stepS).map(_.toLong).getOrElse(1L)
+          require(step > 0, s"WITH FILL STEP must be positive, got $step")
+          FillItem(stripTicks(c), Option(fromD).orElse(Option(fromI)),
+            Option(toD).orElse(Option(toI)), step)
+        case bad => throw new IllegalArgumentException(
+          s"malformed WITH FILL item '$bad'")
+      }
+    require(items.map(_.col).distinct.size == items.size,
+      s"duplicate WITH FILL column in '$itemsS'")
     val inner = org.apache.spark.sql.graft.PlanBridge.ofRows(session,
-      delegate.parsePlan(prefix + fcolRaw))
-    require(inner.schema.fieldNames.contains(fc),
-      s"WITH FILL column '$fc' is not in the result")
-    val dt = inner.schema(fc).dataType
-    val isDate = dt == DateType
-    require(isDate || Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"WITH FILL supports integral or DATE sort columns, got $dt for '$fc'")
-    def isDateLit(s: String) = s.contains("-") && s.length == 10
-    for (b <- fromS ++ toS)
-      require(isDateLit(b) == isDate,
-        s"WITH FILL bound '$b' does not match the $dt fill column '$fc'")
-    for (f <- fromS; t <- toS)
-      require(if (isDate) f < t else f.toLong < t.toLong,
-        s"WITH FILL FROM $f must be below TO $t")
-    // bound expressions in the fill column's own type; TO is EXCLUSIVE
-    // (ClickHouse), so the inclusive grid top is TO - 1 unit
-    def loLit(f: String): Column = if (isDate) to_date(lit(f)) else lit(f.toLong)
-    def hiLit(t: String): Column =
-      if (isDate) date_sub(to_date(lit(t)), 1) else lit(t.toLong - 1)
-    val stepExpr: Column =
-      if (isDate) expr(s"interval $step day") else lit(step)
-    // bounds row: both literals → a standalone one-row frame (an empty
-    // result still fills the full grid, like ClickHouse); any derived
-    // bound → the result's own min/max, lazily (one aggregate in the
-    // plan, no parse-time execution; empty result → no grid)
-    val boundsRow = (fromS, toS) match {
-      case (Some(f), Some(t)) =>
-        session.range(1).select(loLit(f).as("__lo"), hiLit(t).as("__hi"))
-      case _ =>
-        val lo = fromS.map(f => max(loLit(f))).getOrElse(
-          if (isDate) min(col(fc)) else min(col(fc)).cast("long"))
-        val hi = toS.map(t => max(hiLit(t))).getOrElse(
-          if (isDate) max(col(fc)) else max(col(fc)).cast("long"))
-        inner.agg(lo.as("__lo"), hi.as("__hi"))
+      delegate.parsePlan(prefix + items.map(_.col).mkString(", ")))
+    def isDate(it: FillItem): Boolean = inner.schema(it.col).dataType == DateType
+    items.foreach { it =>
+      require(inner.schema.fieldNames.contains(it.col),
+        s"WITH FILL column '${it.col}' is not in the result")
+      val dt = inner.schema(it.col).dataType
+      require(dt == DateType ||
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"WITH FILL supports integral or DATE sort columns, got $dt for '${it.col}'")
+      def isDateLit(s: String) = s.contains("-") && s.length == 10
+      for (b <- it.from ++ it.to)
+        require(isDateLit(b) == (dt == DateType),
+          s"WITH FILL bound '$b' does not match the $dt fill column '${it.col}'")
+      for (f <- it.from; t <- it.to)
+        require(if (dt == DateType) f < t else f.toLong < t.toLong,
+          s"WITH FILL FROM $f must be below TO $t")
     }
-    val grid = boundsRow
-      .where(col("__lo").isNotNull && col("__hi").isNotNull && col("__lo") <= col("__hi"))
-      .select(explode(sequence(col("__lo"), col("__hi"), stepExpr)).as("__fill"))
-      .select(col("__fill").cast(dt).as(fc))
+    // bound expressions in each fill column's own type; TO is EXCLUSIVE
+    // (ClickHouse), so the inclusive grid top is TO - 1 unit
+    def loLit(it: FillItem, f: String): Column =
+      if (isDate(it)) to_date(lit(f)) else lit(f.toLong)
+    def hiLit(it: FillItem, t: String): Column =
+      if (isDate(it)) date_sub(to_date(lit(t)), 1) else lit(t.toLong - 1)
+    def stepExpr(it: FillItem): Column =
+      if (isDate(it)) expr(s"interval ${it.step} day") else lit(it.step)
+    // ONE bounds row carrying every column's [lo, hi]: all bounds literal
+    // → a standalone one-row frame (an empty result still fills the full
+    // grid, like ClickHouse); any derived bound → the result's own
+    // min/max, lazily (a single aggregate in the plan, no parse-time
+    // execution; empty result → no grid)
+    val allLiteral = items.forall(it => it.from.isDefined && it.to.isDefined)
+    val boundCols: Seq[Column] = items.zipWithIndex.flatMap { case (it, i) =>
+      if (allLiteral)
+        Seq(loLit(it, it.from.get).as(s"__lo_$i"),
+          hiLit(it, it.to.get).as(s"__hi_$i"))
+      else {
+        val lo = it.from.map(f => max(loLit(it, f))).getOrElse(
+          if (isDate(it)) min(col(it.col)) else min(col(it.col)).cast("long"))
+        val hi = it.to.map(t => max(hiLit(it, t))).getOrElse(
+          if (isDate(it)) max(col(it.col)) else max(col(it.col)).cast("long"))
+        Seq(lo.as(s"__lo_$i"), hi.as(s"__hi_$i"))
+      }
+    }
+    val boundsRow =
+      if (allLiteral) session.range(1).select(boundCols: _*)
+      else inner.agg(boundCols.head, boundCols.tail: _*)
+    val usable = items.indices.map(i =>
+      col(s"__lo_$i").isNotNull && col(s"__hi_$i").isNotNull &&
+        col(s"__lo_$i") <= col(s"__hi_$i")).reduce(_ && _)
+    // the grid is the cross product of the per-column sequences: each
+    // explode multiplies the one-row frame — grid-sized, never data-sized
+    val grid = items.zipWithIndex.foldLeft(boundsRow.where(usable)) {
+      case (df, (it, i)) => df.withColumn(it.col,
+        explode(sequence(col(s"__lo_$i"), col(s"__hi_$i"), stepExpr(it))))
+    }.select(items.map(it =>
+      col(it.col).cast(inner.schema(it.col).dataType).as(it.col)): _*)
     def dflt(f: StructField): Column = f.dataType match {
       case _: NumericType => lit(0).cast(f.dataType)
       case StringType     => lit("")
       case BooleanType    => lit(false)
+      // ClickHouse fills TYPE DEFAULTS: epoch for date/time columns
+      case DateType       => to_date(lit("1970-01-01"))
+      case TimestampType  => timestamp_seconds(lit(0))
       case other          => lit(null).cast(other)
     }
-    val missing = grid.join(inner.select(col(fc)).distinct(), Seq(fc), "left_anti")
+    val fillKey = items.map(_.col)
+    val missing = grid.join(
+      inner.select(fillKey.map(col): _*).distinct(), fillKey, "left_anti")
     val fillRows = missing.select(inner.schema.fields.toSeq.map { f =>
-      if (f.name == fc) col(fc) else dflt(f).as(f.name)
+      if (fillKey.contains(f.name)) col(f.name) else dflt(f).as(f.name)
     }: _*)
-    val interpCols: Seq[String] = interpS.toSeq.flatMap(_.split(','))
-      .map(_.trim).filter(_.nonEmpty).map { spec =>
-        val parts = spec.split("(?i)\\s+AS\\s+").map(s => stripTicks(s.trim))
-        require(parts.length <= 2 && parts.forall(_.nonEmpty),
-          s"bad INTERPOLATE entry '$spec'")
-        require(parts.length == 1 || parts(0) == parts(1),
-          s"INTERPOLATE supports carry-forward only ('c' or 'c AS c'); got '$spec'")
-        val c = parts(0)
+    // INTERPOLATE entries: (column, expression to carry). splitTopLevel,
+    // not split(',') — an expression may contain commas.
+    val interps: Seq[(String, Column)] = interpS.toSeq
+      .flatMap(s => splitTopLevel(s)).map(_.trim).filter(_.nonEmpty).map { spec =>
+        val parts = spec.split("(?i)\\s+AS\\s+", 2)
+        val c = stripTicks(parts(0).trim)
+        require(c.nonEmpty, s"bad INTERPOLATE entry '$spec'")
         require(inner.schema.fieldNames.contains(c),
           s"INTERPOLATE column '$c' is not in the result")
-        require(c != fc, s"cannot INTERPOLATE the fill column '$fc'")
-        c
+        require(!fillKey.contains(c), s"cannot INTERPOLATE the fill column '$c'")
+        val src: Column =
+          if (parts.length == 1 || stripTicks(parts(1).trim) == c) col(c)
+          else expr(parts(1).trim)
+        (c, src)
       }
-    val unioned = if (interpCols.isEmpty)
+    val sortCols = fillKey.map(c => col(c).asc)
+    val unioned = if (interps.isEmpty)
       inner.unionByName(fillRows)
     else {
       val marked = inner.withColumn("__fillmark", lit(false))
         .unionByName(fillRows.withColumn("__fillmark", lit(true)))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(fc))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      interpCols.foldLeft(marked) { (df, c) =>
+      interps.foldLeft(marked) { case (df, (c, src)) =>
         df.withColumn(c, when(col("__fillmark"),
             coalesce(
-              last(when(!col("__fillmark"), col(c)), ignoreNulls = true).over(w),
+              last(when(!col("__fillmark"), src), ignoreNulls = true).over(w)
+                .cast(inner.schema(c).dataType),
               dflt(inner.schema(c))))
           .otherwise(col(c)))
       }.drop("__fillmark")
     }
-    unioned.orderBy(col(fc)).queryExecution.logical
+    unioned.orderBy(sortCols: _*).queryExecution.logical
   }
 
   private def parseRewritten(sqlText: String): LogicalPlan = sqlText match {
@@ -341,14 +434,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
 object GraftSqlParser {
 
-  // `… ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]
-  //  [INTERPOLATE (c1[, c2…])]` at statement end. Bounds are integers for
-  // integral fill columns or 'yyyy-MM-dd' literals for DATE ones.
+  // `… ORDER BY <c1> WITH FILL [FROM a] [TO b] [STEP s][, <c2> WITH FILL …]
+  //  [INTERPOLATE (c [AS expr][, …])]` at statement end. Bounds are
+  // integers for integral fill columns or 'yyyy-MM-dd' literals for DATE
+  // ones. The statement regex captures the whole fill-item list (bounds
+  // non-capturing); FillItemRe re-parses each comma-separated item.
   private val FB = "(?:'(\\d{4}-\\d{2}-\\d{2})'|(-?\\d+))"
-  private[sources] val WithFillRe =
-    ("(?is)^(.*\\bORDER\\s+BY\\s+)([`\\w.]+)\\s+WITH\\s+FILL" +
-      s"(?:\\s+FROM\\s+$FB)?(?:\\s+TO\\s+$FB)?(?:\\s+STEP\\s+(\\d+))?" +
-      "(?:\\s+INTERPOLATE\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  private val FBn = "(?:'\\d{4}-\\d{2}-\\d{2}'|-?\\d+)"
+  private val FI = "[`\\w.]+\\s+WITH\\s+FILL" +
+    s"(?:\\s+FROM\\s+$FBn)?(?:\\s+TO\\s+$FBn)?(?:\\s+STEP\\s+\\d+)?"
+  // INTERPOLATE's body captures greedily to the LAST ')' — the clause is
+  // statement-end by construction, and entries may contain nested calls
+  // (`v AS greatest(v, 20)`), which a [^)]* body would cut short.
+  private[sources] val WithFillStmtRe =
+    (s"(?is)^(.*\\bORDER\\s+BY\\s+)($FI(?:\\s*,\\s*$FI)*)" +
+      "(?:\\s+INTERPOLATE\\s*\\((.*)\\))?\\s*;?\\s*$").r
+  private[sources] val FillItemRe =
+    ("(?is)^([`\\w.]+)\\s+WITH\\s+FILL" +
+      s"(?:\\s+FROM\\s+$FB)?(?:\\s+TO\\s+$FB)?(?:\\s+STEP\\s+(\\d+))?\\s*$$").r
 
   // `… ORDER BY <list> LIMIT n BY c1[, c2…]` at statement end (plain
   // `LIMIT n` has no BY and never matches).
@@ -408,6 +511,127 @@ object GraftSqlParser {
   private[sources] val AlterDeleteRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+DELETE\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private[sources] val AssignRe = "(?s)^\\s*([`\\w.]+)\\s*=\\s*(.+)$".r
+
+  /** Spans (start, end-exclusive) of single-quoted string literals and
+    * backtick-quoted identifiers — the regions where clause keywords are
+    * TEXT, not syntax. Same escape rules as splitTopLevel: `\x` and `''`
+    * inside a literal, doubled backticks inside an identifier. The textual
+    * SAMPLE/FINAL/PREWHERE rewrites consult these so a query SELECTING the
+    * literal `'FROM t SAMPLE 0.5'` returns it verbatim instead of being
+    * silently rewritten.
+    */
+  private[sources] def quotedSpans(s: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.Buffer.empty[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          val start = i
+          i += 1
+          var open = true
+          while (i < s.length && open) {
+            val c = s.charAt(i)
+            if (c == '\\' && i + 1 < s.length) i += 2
+            else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else if (c == '\'') { open = false; i += 1 }
+            else i += 1
+          }
+          out += ((start, i))
+        case '`' =>
+          val start = i
+          i += 1
+          var open = true
+          while (i < s.length && open) {
+            if (s.charAt(i) == '`') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '`') i += 2
+              else { open = false; i += 1 }
+            } else i += 1
+          }
+          out += ((start, i))
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private[sources] def inSpan(spans: Seq[(Int, Int)], pos: Int): Boolean =
+    spans.exists(sp => pos >= sp._1 && pos < sp._2)
+
+  /** Regex replace that leaves matches STARTING inside quoted spans
+    * verbatim. Replacement strings are appended literally (no
+    * group-reference semantics, so no quoteReplacement dance).
+    */
+  private[sources] def replaceOutsideQuotes(text: String,
+      re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val spans = quotedSpans(text)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    re.findAllMatchIn(text).foreach { m =>
+      if (m.start >= last) {
+        sb.append(text, last, m.start)
+        sb.append(if (inSpan(spans, m.start)) m.matched else f(m))
+        last = m.end
+      }
+    }
+    sb.append(text, last, text.length)
+    sb.toString
+  }
+
+  /** Parenthesis/bracket depth immediately BEFORE each character (index
+    * s.length = depth at end). Quoted spans are neutral — a paren inside a
+    * string literal never changes the depth.
+    */
+  private[sources] def parenDepths(s: String): Array[Int] = {
+    val spans = quotedSpans(s)
+    val d = new Array[Int](s.length + 1)
+    var cur = 0
+    var si = 0
+    var i = 0
+    while (i < s.length) {
+      d(i) = cur
+      if (si < spans.length && spans(si)._1 == i) {
+        var j = i + 1
+        while (j < spans(si)._2) { d(j) = cur; j += 1 }
+        i = spans(si)._2
+        si += 1
+      } else {
+        val c = s.charAt(i)
+        if (c == '(' || c == '[') cur += 1
+        else if (c == ')' || c == ']') cur -= 1
+        i += 1
+      }
+    }
+    d(s.length) = cur
+    d
+  }
+
+  // Keywords that terminate a WHERE clause's expression at its own depth.
+  private[sources] val ClauseKwRe =
+    ("(?i)\\b(GROUP\\s+BY|ORDER\\s+BY|HAVING|LIMIT|WINDOW|QUALIFY|" +
+      "UNION|EXCEPT|INTERSECT|SETTINGS|FORMAT)\\b").r
+
+  /** End (exclusive) of a clause expression starting at `from` in a block
+    * at paren depth `base`: the first same-depth clause keyword, top-level
+    * ';', or closing bracket that exits the block — whichever comes first.
+    */
+  private[sources] def clauseEnd(s: String, from: Int, base: Int,
+      depths: Array[Int], spans: Seq[(Int, Int)]): Int = {
+    var end = s.length
+    var i = from
+    while (i < end) {
+      if (!inSpan(spans, i)) {
+        val c = s.charAt(i)
+        if (((c == ')' || c == ']') && depths(i + 1) < base) ||
+            (c == ';' && depths(i) == base)) end = i
+      }
+      i += 1
+    }
+    ClauseKwRe.findAllMatchIn(s)
+      .filter(m => m.start >= from && m.start < end &&
+        !inSpan(spans, m.start) && depths(m.start) == base)
+      .map(_.start).foldLeft(end)(math.min)
+  }
 
   /** Split `assignments WHERE predicate` at the LAST `WHERE` keyword that
     * sits outside string literals and parentheses — `' WHERE '` inside a

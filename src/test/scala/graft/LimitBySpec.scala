@@ -25,14 +25,42 @@ class LimitBySpec extends AnyFunSuite {
     }
   }
 
-  test("PREWHERE rewrites to WHERE; PREWHERE alongside WHERE is refused") {
+  test("PREWHERE rewrites to WHERE and AND-merges with a same-block WHERE") {
     import spark.implicits._
-    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "g")
+    Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "a")).toDF("id", "g")
       .createOrReplaceTempView("pw_src")
     val rows = spark.sql("SELECT id FROM pw_src PREWHERE g = 'a' ORDER BY id").collect()
-    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // PREWHERE + WHERE in one block: both predicates apply (AND-merged)
+    val both = spark.sql(
+      "SELECT id FROM pw_src PREWHERE g = 'a' WHERE id > 1 ORDER BY id").collect()
+    assert(both.map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    // precedence survives the merge: an OR in the WHERE condition stays
+    // grouped — (g='a') AND (id=2 OR id=3) keeps only id=3, never id=2
+    val orRows = spark.sql(
+      "SELECT id FROM pw_src PREWHERE g = 'a' WHERE id = 2 OR id = 3").collect()
+    assert(orRows.map(_.getLong(0)).toSeq == Seq(3L))
+    // the WHERE clause ends at the next clause keyword, not at end of text
+    val grouped = spark.sql(
+      "SELECT g, count(*) AS n FROM pw_src PREWHERE id > 0 WHERE id < 4 " +
+        "GROUP BY g ORDER BY g").collect()
+    assert(grouped.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    // a WHERE in an OUTER block is not the PREWHERE's own: the inner
+    // clause rewrites 1:1, the outer WHERE stays where it is
+    val nested = spark.sql(
+      "SELECT id FROM (SELECT id FROM pw_src PREWHERE g = 'a') t WHERE id > 1").collect()
+    assert(nested.map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // quote-awareness: a PREWHERE inside a string literal is data, and a
+    // statement carrying both the literal and a real WHERE still parses
+    val lit = spark.sql(
+      "SELECT 'has PREWHERE inside' AS s FROM pw_src WHERE id = 1").collect()
+    assert(lit.head.getString(0) == "has PREWHERE inside")
+    // multiple PREWHERE clauses stay refused — cross-block merging is
+    // genuinely ambiguous for a textual rewrite
     intercept[Exception] {
-      spark.sql("SELECT id FROM pw_src PREWHERE g = 'a' WHERE id > 1").collect()
+      spark.sql("SELECT id FROM (SELECT id FROM pw_src PREWHERE g = 'a') t " +
+        "PREWHERE id > 1").collect()
     }
   }
 

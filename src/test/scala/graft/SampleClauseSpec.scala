@@ -127,6 +127,56 @@ class SampleClauseSpec extends AnyFunSuite {
     }
   }
 
+  test("SAMPLE n absolute rows, quote-aware rewrites, parse purity, AS final alias") {
+    val wh = Files.createTempDirectory("sample_abs_wh_").toString
+    spark.conf.set("spark.sql.catalog.gabs", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gabs.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gabs.ns.t (smp BIGINT, v BIGINT) USING mergetree " +
+        "OPTIONS (orderBy 'smp,v', sampleBy 'smp')")
+      spark.range(10000).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS smp",
+        "id AS v").createOrReplaceTempView("abs_src")
+      spark.sql("INSERT INTO gabs.ns.t SELECT smp, v FROM abs_src")
+      // SAMPLE n (ClickHouse's absolute form): ≈n rows, deterministic,
+      // nested inside a larger n — the fraction derives from the manifest
+      def sampled(n: Int): Set[Long] = spark.sql(
+        s"SELECT v FROM gabs.ns.t SAMPLE $n").collect().map(_.getLong(0)).toSet
+      val n1k = sampled(1000)
+      assert(math.abs(n1k.size - 1000) < 150, s"SAMPLE 1000 yielded ${n1k.size} rows")
+      val n3k = sampled(3000)
+      assert(math.abs(n3k.size - 3000) < 300, s"SAMPLE 3000 yielded ${n3k.size} rows")
+      assert(n1k.subsetOf(n3k), "absolute samples must nest like fractional ones")
+      assert(sampled(1000) == n1k, "SAMPLE n must be deterministic")
+      assert(spark.sql("SELECT count(*) FROM gabs.ns.t SAMPLE 50000")
+        .collect().head.getLong(0) == 10000,
+        "n at or above the table size degenerates to the full scan")
+      // quote-awareness: SAMPLE/FINAL/PREWHERE text inside a string
+      // literal is DATA — returned verbatim, never rewritten (this
+      // statement also carries a real SAMPLE clause to rewrite)
+      val lit = spark.sql("SELECT 'FROM gabs.ns.t SAMPLE 0.5 FINAL PREWHERE' AS s " +
+        "FROM gabs.ns.t SAMPLE 1000 LIMIT 1").collect()
+      assert(lit.head.getString(0) == "FROM gabs.ns.t SAMPLE 0.5 FINAL PREWHERE",
+        "literal text must survive the clause rewrites verbatim")
+      // parse purity: parsing (without executing) a FINAL or SAMPLE
+      // statement must not register views or touch the session catalog
+      val parser = spark.sessionState.sqlParser
+      val before = spark.catalog.listTables().collect().map(_.name).toSet
+      parser.parsePlan("SELECT count(*) FROM gabs.ns.t FINAL")
+      parser.parsePlan("SELECT count(*) FROM gabs.ns.t SAMPLE 0.5")
+      val after = spark.catalog.listTables().collect().map(_.name).toSet
+      assert(before == after, s"parsePlan mutated the catalog: ${after -- before}")
+      // `AS final` is the alias escape hatch (bare FINAL is the modifier,
+      // as in ClickHouse)
+      val aliased = spark.sql(
+        "SELECT final.v FROM gabs.ns.t AS final WHERE final.v = 7").collect()
+      assert(aliased.map(_.getLong(0)).toSeq == Seq(7L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gabs")
+      MergeTreeTable.deleteRecursively(Paths.get(wh))
+    }
+  }
+
   test("SQL face equals the Scala face; non-graft SAMPLE text is untouched") {
     val wh = Files.createTempDirectory("sample_sql_wh_").toString
     import spark.implicits._

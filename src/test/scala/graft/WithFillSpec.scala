@@ -56,9 +56,70 @@ class WithFillSpec extends AnyFunSuite {
     assert(byB(10L) == (("", 90L)), "fills after b=9 carry v=90")
     assert(byB(1L) == (("a", 10L)) && byB(4L) == (("b", 40L)) && byB(9L) == (("c", 90L)),
       "real rows untouched")
-    // 'c AS expr' (non-identity) is rejected loudly
+  }
+
+  test("INTERPOLATE c AS expr evaluates the expression over the carried row") {
+    view()
+    // fills take (last real v) + 1; real rows keep their own v
+    val rows = spark.sql(
+      "SELECT b, v FROM wf_src ORDER BY b WITH FILL FROM 0 TO 11 INTERPOLATE (v AS v + 1)")
+      .collect()
+    val byB = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byB(0L) == 0L, "fill before the first real row keeps the type default")
+    assert(byB(2L) == 11L && byB(3L) == 11L, "fills after b=1 carry v(10) + 1")
+    assert(byB(5L) == 41L && byB(8L) == 41L, "fills after b=4 carry v(40) + 1")
+    assert(byB(10L) == 91L, "fills after b=9 carry v(90) + 1")
+    assert(byB(1L) == 10L && byB(4L) == 40L && byB(9L) == 90L, "real rows untouched")
+    // the expression may reference OTHER columns of the carried row, and
+    // may contain commas (splitTopLevel, not a naive split)
+    val multi = spark.sql(
+      "SELECT b, s, v FROM wf_src ORDER BY b WITH FILL FROM 0 TO 6 " +
+        "INTERPOLATE (v AS greatest(v, 20), s)")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(multi(2L) == (("a", 20L)), "expr over the carried row: greatest(10, 20)")
+    assert(multi(5L) == (("b", 40L)), "greatest(40, 20) after b=4; s carries too")
+    // an INTERPOLATE column that is a fill column stays a loud error
     intercept[Exception] {
-      spark.sql("SELECT b, v FROM wf_src ORDER BY b WITH FILL INTERPOLATE (v AS v+1)")
+      spark.sql("SELECT b, v FROM wf_src ORDER BY b WITH FILL INTERPOLATE (b AS b+1)")
+        .collect()
+    }
+  }
+
+  test("multi-column WITH FILL: the grid is the cross product of the fill sequences") {
+    import spark.implicits._
+    // sparse (day, bucket) readings: 2 of the 3x3 grid points present
+    Seq((1L, 10L, 100L), (3L, 12L, 300L))
+      .toDF("d", "bk", "v").createOrReplaceTempView("wf_multi")
+    val rows = spark.sql(
+      "SELECT d, bk, v FROM wf_multi ORDER BY d WITH FILL FROM 1 TO 4, " +
+        "bk WITH FILL FROM 10 TO 13").collect()
+    assert(rows.length == 9, s"3x3 cross-product grid, got ${rows.length}")
+    val byKey = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byKey((1L, 10L)) == 100L && byKey((3L, 12L)) == 300L, "originals survive")
+    assert(byKey((1L, 11L)) == 0L && byKey((2L, 10L)) == 0L && byKey((3L, 10L)) == 0L,
+      "missing grid tuples fill with defaults")
+    // result sorted by the fill key tuple
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (for (d <- 1L to 3L; bk <- 10L to 12L) yield (d, bk)))
+    // derived bounds per column compose with literal ones: d derives
+    // [1,3] from the data, bk is pinned
+    val mixed = spark.sql(
+      "SELECT d, bk, v FROM wf_multi ORDER BY d WITH FILL, bk WITH FILL FROM 10 TO 12")
+      .collect()
+    // 3x2 grid plus the off-grid original (3, bk=12), which survives
+    assert(mixed.length == 7, s"3x2 grid + 1 off-grid original, got ${mixed.length}")
+    assert(mixed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .contains((3L, 12L, 300L)), "off-grid original must survive")
+    // INTERPOLATE composes with the multi-column grid
+    val interp = spark.sql(
+      "SELECT d, bk, v FROM wf_multi ORDER BY d WITH FILL FROM 1 TO 3, " +
+        "bk WITH FILL FROM 10 TO 12 INTERPOLATE (v)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(interp((1L, 11L)) == 100L && interp((2L, 10L)) == 100L,
+      "carry runs along the (d, bk) fill order")
+    // duplicate fill column is loud
+    intercept[Exception] {
+      spark.sql("SELECT d, bk, v FROM wf_multi ORDER BY d WITH FILL, d WITH FILL")
         .collect()
     }
   }
