@@ -468,6 +468,15 @@ object Bench {
       "1.32 floor reflects host CPU throughput that no longer exists, " +
       "q34 being the registry's most compute-bound codegen entry (128 " +
       "dot_products/row); not a plan regression; " +
+      "r15 q115_ivfadc (+35%), q101_incremental_dedup (+30%) and " +
+      "mt_ingest_50k (+28%) drifts adjudicated in r16 by INTERLEAVED " +
+      "A/B against the UNCHANGED r14 TREE (a1d2e45 worktree, graft.AdjProbe, " +
+      "3 process alternations x 5 reps, sf0.1): r14-tree floors today are " +
+      "q101 1.516 / q115 1.129 / ingest 0.632 vs current-tree 1.608 / " +
+      "1.188 / 0.620 - deltas collapse to <=6% (ingest -2%, current " +
+      "FASTER), q101's current floor sits BELOW r14's recorded 1.667, and " +
+      "the r14 tree itself re-measures +11-18% above its own r15-era " +
+      "records - host drift, not plan regressions; " +
       "q117/q125 compose floors decomposed (r15 QProfile, warm): ~70% is " +
       "the near-dup edge + connected-components stage (the q93 machinery, " +
       "3.2s standalone floor), ~1.2s stages 4-5, ~0.9s the seven " +
