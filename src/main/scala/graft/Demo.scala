@@ -350,6 +350,20 @@ object Demo {
     println(s"== raw = $clRaw, FINAL = $clFin (latest versions); FINAL SAMPLE " +
       s"halves = $clS + $clS2 (disjoint, sum = FINAL); WITH FILL grid rows = " +
       s"$clFill; LIMIT 2 BY over 4 groups = $clTop rows")
+    // Round 16: PREWHERE+WHERE AND-merge, SAMPLE n (absolute rows), FINAL
+    // on a JOIN target, multi-column WITH FILL (cross-product grid).
+    val clBoth = spark.sql("SELECT count(*) FROM gdemo.ns.m " +
+        "PREWHERE k < 100 WHERE k % 2 = 0 OR k % 3 = 0").collect().head.getLong(0)
+    val clAbs = spark.sql("SELECT count(*) FROM gdemo.ns.m SAMPLE 100")
+      .collect().head.getLong(0)
+    val clJoinFin = spark.sql("SELECT count(*) FROM gdemo.ns.m a " +
+        "JOIN gdemo.ns.m FINAL ON a.smp = m.smp").collect().head.getLong(0)
+    val clGrid = spark.sql("SELECT k % 3 AS g1, k % 2 AS g2, count(*) AS n " +
+        "FROM gdemo.ns.m PREWHERE k < 2 GROUP BY g1, g2 " +
+        "ORDER BY g1 WITH FILL FROM 0 TO 3, g2 WITH FILL FROM 0 TO 2").count()
+    println(s"== PREWHERE+WHERE merged rows = $clBoth; SAMPLE 100 ~= " +
+      s"$clAbs rows of 800; JOIN ... FINAL = $clJoinFin (raw x collapsed); " +
+      s"multi-fill (3 x 2) grid rows = $clGrid")
 
     // Round 14: system.query_log — every action above landed in the
     // session's execution ring; read it back from pure SQL.

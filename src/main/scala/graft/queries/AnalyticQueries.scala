@@ -1617,7 +1617,10 @@ object AnalyticQueries {
     */
   def q152InterpolateExpr(spark: SparkSession, dir: String): DataFrame = {
     val v = s"graft_q152_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // odd days only — STRUCTURAL gaps (every even day is a fill row at
+    // every scale factor, so the interpolation path is really under oracle)
     events(spark, dir)
+      .where(dayofmonth(to_date(col("ts"))) % 2 === 1)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
         floor(sum(col("value")) * lit(100.0) + lit(0.5)).cast("long").as("sv"))
@@ -1634,7 +1637,8 @@ object AnalyticQueries {
   val q152Sql: String =
     """WITH obs AS (SELECT ts::DATE AS day, count(*) AS n,
       |  CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sv
-      |  FROM events GROUP BY 1),
+      |  FROM events
+      |  WHERE date_part('day', ts::DATE) % 2 = 1 GROUP BY 1),
       |grid AS (SELECT unnest(generate_series(DATE '2024-01-01',
       |  DATE '2024-01-31', INTERVAL 1 DAY))::DATE AS day),
       |j AS (SELECT g.day, n, sv FROM grid g LEFT JOIN obs USING (day)),
@@ -1656,10 +1660,13 @@ object AnalyticQueries {
     */
   def q153MultiFill(spark: SparkSession, dir: String): DataFrame = {
     val v = s"graft_q153_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // checkerboard: only (day + bk)-even cells keep data — STRUCTURAL
+    // gaps, so half the grid is fill rows at every scale factor
     events(spark, dir)
-      .where(to_date(col("ts")) < lit("2024-01-11") && col("user_id") % 97 === 0)
+      .where(to_date(col("ts")) < lit("2024-01-11"))
       .groupBy(to_date(col("ts")).as("day"), (col("user_id") % 5).as("bk"))
       .agg(count(lit(1)).as("n"))
+      .where((dayofmonth(col("day")) + col("bk")) % 2 === 0)
       .createOrReplaceTempView(v)
     try {
       val out = spark.sql(
@@ -1678,8 +1685,9 @@ object AnalyticQueries {
     """WITH obs AS (
       |  SELECT ts::DATE AS day, user_id % 5 AS bk, count(*) AS n
       |  FROM events
-      |  WHERE ts::DATE < DATE '2024-01-11' AND user_id % 97 = 0
-      |  GROUP BY 1, 2),
+      |  WHERE ts::DATE < DATE '2024-01-11'
+      |  GROUP BY 1, 2
+      |  HAVING (date_part('day', day) + bk) % 2 = 0),
       |days AS (SELECT unnest(generate_series(DATE '2024-01-01',
       |  DATE '2024-01-10', INTERVAL 1 DAY))::DATE AS day),
       |bks AS (SELECT range AS bk FROM range(0, 5)),

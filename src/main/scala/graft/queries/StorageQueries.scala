@@ -1641,8 +1641,9 @@ object StorageQueries {
     * latest version per key, cross-part. Oracle: DuckDB's latest-per-key
     * window over the raw events.
     */
-  def q148FromFinal(spark: SparkSession, dir: String): DataFrame = {
-    val tblName = cacheFromFinal.getOrElseUpdate(dir, {
+  /** The q148/q154 shared Replacing catalog table — built once per dir. */
+  private def fromFinalTable(spark: SparkSession, dir: String): String =
+    cacheFromFinal.getOrElseUpdate(dir, {
       val wh = Files.createTempDirectory("mt_q148_wh_").toString
       spark.conf.set("spark.sql.catalog.gq148",
         classOf[graft.sources.GraftCatalog].getName)
@@ -1659,6 +1660,9 @@ object StorageQueries {
           s"FROM q148_events WHERE event_id % 2 = $half")
       s"gq148.q148.$n"
     })
+
+  def q148FromFinal(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = fromFinalTable(spark, dir)
     val raw = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
     val fin = spark.sql(
       s"SELECT k, ver, v100 FROM $tblName FINAL ORDER BY k")
@@ -1703,6 +1707,43 @@ object StorageQueries {
       |FROM events
       |WHERE (user_id % 3 = 0) AND (event_id % 5 = 0 OR event_id % 7 = 0)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q154 — FINAL on a JOIN target (round 16; ClickHouse allows the
+    * modifier on any table expression): the raw Replacing table (every
+    * version, 2 per key) joins its OWN collapsed face — each raw row
+    * pairs with its key's latest version, the "annotate history with the
+    * current value" shape. Self-enforcing: the join must preserve the raw
+    * row count exactly (one latest per key). Oracle: DuckDB joins the raw
+    * events against the latest-per-key window.
+    */
+  def q154JoinFinal(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = fromFinalTable(spark, dir)
+    val al = tblName.split('.').last
+    val out = spark.sql(
+      s"""SELECT a.k AS k, a.ver AS ver, $al.ver AS latest_ver,
+         | $al.v100 AS latest_v100
+         |FROM $tblName a JOIN $tblName FINAL ON a.k = $al.k
+         |ORDER BY k, ver""".stripMargin)
+    val raw = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
+    val joined = out.count()
+    require(joined == raw,
+      s"q154: raw x collapsed must preserve the raw count ($joined vs $raw)")
+    out
+  }
+
+  val q154Sql: String =
+    """WITH latest AS (
+      |  SELECT user_id AS k, event_id AS ver,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v100
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY event_id DESC) AS rn
+      |    FROM events) sub
+      |  WHERE rn = 1)
+      |SELECT e.user_id AS k, e.event_id AS ver,
+      |  l.ver AS latest_ver, l.v100 AS latest_v100
+      |FROM events e JOIN latest l ON e.user_id = l.k
+      |ORDER BY k, ver""".stripMargin
 
   /** Q151 — ClickHouse `SAMPLE n` (the ABSOLUTE-rows spelling, next to
     * q143's fractional form): `SAMPLE 250` reads ≈250 rows by deriving
@@ -1780,5 +1821,6 @@ object StorageQueries {
     ("q147_limit_by", q147LimitBy _, Some(q147Sql)),
     ("q148_from_final", q148FromFinal _, Some(q148Sql)),
     ("q150_prewhere", q150Prewhere _, Some(q150Sql)),
-    ("q151_sample_rows", q151SampleRows _, Some(q151Sql)))
+    ("q151_sample_rows", q151SampleRows _, Some(q151Sql)),
+    ("q154_join_final", q154JoinFinal _, Some(q154Sql)))
 }

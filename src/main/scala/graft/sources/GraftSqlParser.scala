@@ -39,8 +39,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   import GraftSqlParser._
 
-  /** ClickHouse `SELECT … FROM t SAMPLE k` (0 < k < 1): rewrites each
-    * `FROM <graft table> SAMPLE <k>` into a filtered subquery carrying the
+  /** ClickHouse `SELECT … FROM t SAMPLE k` (a fraction in (0, 1] or an
+    * absolute row count; also on JOIN targets): rewrites each
+    * `FROM|JOIN <graft table> SAMPLE <k>` into a filtered subquery carrying the
     * table's deterministic sampling predicate
     * (ColumnarMergeTree.samplePredicateSql — a prunable range on the
     * declared SAMPLE BY column, or the md5 lead-key slice), aliased to the
@@ -52,15 +53,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rewriteSamples(sqlText: String): String =
     if (!SampleProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, SampleRe) { m =>
-      val ident = m.group(1)
+      val kw = m.group(1)
+      val ident = m.group(2)
       scala.util.Try {
         val dir = resolveDir(session, IdentTarget(delegate.parseMultipartIdentifier(ident)))
         val defn = TableDef.load(dir).get
-        val off = Option(m.group(3)).map(_.toDouble).getOrElse(0.0)
+        val off = Option(m.group(4)).map(_.toDouble).getOrElse(0.0)
         val pred = ColumnarMergeTree.samplePredicateSql(
-          defn.sampleBy, defn.orderBy, sampleFraction(m.group(2), dir), off)
+          defn.sampleBy, defn.orderBy, sampleFraction(m.group(3), dir), off)
         val alias = ident.split('.').last.replace("`", "")
-        s"FROM (SELECT * FROM $ident WHERE $pred) $alias"
+        s"$kw (SELECT * FROM $ident WHERE $pred) $alias"
       }.getOrElse(m.matched)
     }
 
@@ -81,7 +83,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       if (total == 0L || n >= total) 1.0 else n.toDouble / total
     }
 
-  /** ClickHouse `SELECT … FROM t FINAL [SAMPLE k [OFFSET m]]`: the
+  /** ClickHouse `SELECT … FROM t FINAL [SAMPLE k [OFFSET m]]` (also on
+    * JOIN targets — ClickHouse allows FINAL on any table expression): the
     * per-STATEMENT collapse spelling (the per-table default is the
     * catalog's `final 'true'` property; the per-read form is the DSv2
     * option). The target rewrites to the `mergetree_final('<dir>')` table
@@ -98,20 +101,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rewriteFinal(sqlText: String): String =
     if (!FinalProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, FinalRe) { m =>
-      val ident = m.group(1)
+      val kw = m.group(1)
+      val ident = m.group(2)
       scala.util.Try {
         val dir = resolveDir(session, IdentTarget(delegate.parseMultipartIdentifier(ident)))
         require(!dir.contains("'"), s"table directory with a quote: $dir")
         val rel = s"mergetree_final('$dir')"
         val alias = ident.split('.').last.replace("`", "")
-        Option(m.group(2)) match {
+        Option(m.group(3)) match {
           case Some(fracS) =>
             val defn = TableDef.load(dir).get
-            val off = Option(m.group(3)).map(_.toDouble).getOrElse(0.0)
+            val off = Option(m.group(4)).map(_.toDouble).getOrElse(0.0)
             val pred = ColumnarMergeTree.samplePredicateSql(
               defn.sampleBy, defn.orderBy, fracS.toDouble, off)
-            s"FROM (SELECT * FROM $rel WHERE $pred) $alias"
-          case None => s"FROM $rel $alias"
+            s"$kw (SELECT * FROM $rel WHERE $pred) $alias"
+          case None => s"$kw $rel $alias"
         }
       }.getOrElse(m.matched)
     }
@@ -464,16 +468,17 @@ object GraftSqlParser {
   private[sources] val FinalProbeRe = "(?i)\\bFINAL\\b".r
   private[sources] val PrewhereProbeRe = "(?i)\\bPREWHERE\\b".r
   private[sources] val WhereProbeRe = "(?i)\\bWHERE\\b".r
-  // `FROM <ident> FINAL [SAMPLE k [OFFSET m]]` — ClickHouse's
-  // per-statement collapse (+ post-collapse sampling).
+  // `FROM|JOIN <ident> FINAL [SAMPLE k [OFFSET m]]` — ClickHouse's
+  // per-statement collapse (+ post-collapse sampling). JOIN targets take
+  // the clause too (ClickHouse allows FINAL on any table expression).
   private[sources] val FinalRe =
-    ("(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+FINAL\\b" +
+    ("(?is)\\b(FROM|JOIN)\\s+([`\\w][\\w.`]*)\\s+FINAL\\b" +
       "(?:\\s+SAMPLE\\s+(\\d*\\.\\d+|\\d+\\.?\\d*)" +
       "(?:\\s+OFFSET\\s+(\\d*\\.\\d+|\\d+\\.?\\d*))?)?").r
-  // `FROM <ident> SAMPLE <fraction> [OFFSET <fraction>]` — the ClickHouse
-  // sampling clause.
+  // `FROM|JOIN <ident> SAMPLE <k> [OFFSET <m>]` — the ClickHouse sampling
+  // clause (k a fraction in (0,1] or an absolute row count).
   private[sources] val SampleRe =
-    ("(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+SAMPLE\\s+(\\d*\\.\\d+|\\d+\\.?\\d*)" +
+    ("(?is)\\b(FROM|JOIN)\\s+([`\\w][\\w.`]*)\\s+SAMPLE\\s+(\\d*\\.\\d+|\\d+\\.?\\d*)" +
       "(?:\\s+OFFSET\\s+(\\d*\\.\\d+|\\d+\\.?\\d*))?").r
 
   // Target: quoted directory path | dotted (possibly backticked) identifier.

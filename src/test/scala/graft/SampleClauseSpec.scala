@@ -121,6 +121,13 @@ class SampleClauseSpec extends AnyFunSuite {
       val fs2 = spark.sql(
         "SELECT count(*) FROM gfin.ns.r FINAL SAMPLE 0.5 OFFSET 0.5").collect().head.getLong(0)
       assert(fs + fs2 == 1000, s"FINAL SAMPLE slices must partition the collapsed rows ($fs + $fs2)")
+      // FINAL on a JOIN target collapses too (ClickHouse allows FINAL on
+      // any table expression): raw left (2 versions/key) x collapsed right
+      // (1/key) joins to 2000; without FINAL it would be 4000
+      val j = spark.sql(
+        "SELECT count(*) FROM gfin.ns.r a JOIN gfin.ns.r FINAL ON a.smp = r.smp")
+        .collect().head.getLong(0)
+      assert(j == 2000, s"JOIN target FINAL must collapse the right side, got $j")
     } finally {
       spark.conf.unset("spark.sql.catalog.gfin")
       graft.mergetree.MergeTreeTable.deleteRecursively(Paths.get(wh))
@@ -205,6 +212,12 @@ class SampleClauseSpec extends AnyFunSuite {
       val b = spark.sql("SELECT count(*) FROM gsmp.ns.t SAMPLE 0.5 OFFSET 0.5")
         .collect().head.getLong(0)
       assert(a + b == 10000, s"SAMPLE 0.5 ($a) + SAMPLE 0.5 OFFSET 0.5 ($b) must partition")
+      // SAMPLE on a JOIN target: the right side reads its slice (v is
+      // unique, so the join count equals the slice size)
+      val js = spark.sql(
+        "SELECT count(*) FROM gsmp.ns.t a JOIN gsmp.ns.t SAMPLE 0.5 ON a.v = t.v")
+        .collect().head.getLong(0)
+      assert(js == a, s"JOIN target SAMPLE must read the slice ($js vs $a)")
       // non-graft target: the clause is left for Spark, which rejects it —
       // no silent reinterpretation of standard-ish SQL
       Seq(1, 2).toDF("x").createOrReplaceTempView("plain_view")
