@@ -1650,6 +1650,37 @@ object AnalyticQueries {
       |  coalesce(sv, carry + 7, 0) AS sv
       |FROM c ORDER BY day""".stripMargin
 
+  /** Q155 — DESC `WITH FILL` (round 16): ClickHouse's descending fill —
+    * `ORDER BY day DESC WITH FILL FROM '2024-01-31' TO '2023-12-31'`
+    * (FROM above TO, default step −1 day) emits the newest-first daily
+    * readout with gaps filled, the shape a monitoring "last 31 days"
+    * panel reads. Odd days only (q152's structural-gap discipline), so
+    * half the grid is really filled at every scale factor. Oracle: the
+    * same grid in DuckDB, ordered descending.
+    */
+  def q155DescFill(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q155_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir)
+      .where(dayofmonth(to_date(col("ts"))) % 2 === 1)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView(v)
+    try spark.sql(
+        s"SELECT day, n FROM $v " +
+          "ORDER BY day DESC WITH FILL FROM '2024-01-31' TO '2023-12-31'")
+      .select(col("day").cast("string").as("day"), col("n"))
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q155Sql: String =
+    """WITH obs AS (SELECT ts::DATE AS day, count(*) AS n FROM events
+      |  WHERE date_part('day', ts::DATE) % 2 = 1 GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(DATE '2024-01-01',
+      |  DATE '2024-01-31', INTERVAL 1 DAY))::DATE AS day)
+      |SELECT CAST(g.day AS VARCHAR) AS day, coalesce(n, 0) AS n
+      |FROM grid g LEFT JOIN obs USING (day)
+      |ORDER BY g.day DESC""".stripMargin
+
   /** Q153 — MULTI-column `WITH FILL` (the cross-product grid): a sparse
     * (day, bucket) aggregate fills the full DATE-range × bucket-range
     * frame — ClickHouse's per-sort-key fill grammar, the dense matrix a
@@ -1751,5 +1782,6 @@ object AnalyticQueries {
     ("q100_histogram", q100Histogram _, Some(q100Sql)),
     ("q149_date_with_fill", q149DateWithFill _, Some(q149Sql)),
     ("q152_interpolate_expr", q152InterpolateExpr _, Some(q152Sql)),
-    ("q153_multi_fill", q153MultiFill _, Some(q153Sql)))
+    ("q153_multi_fill", q153MultiFill _, Some(q153Sql)),
+    ("q155_desc_fill", q155DescFill _, Some(q155Sql)))
 }

@@ -1632,6 +1632,33 @@ object StorageQueries {
       |SELECT event_type, event_id, v100 FROM r WHERE rk <= 3
       |ORDER BY event_type, v100 DESC, event_id""".stripMargin
 
+  /** Q156 — `LIMIT o, n BY cols` (round 16; ClickHouse's offset form):
+    * skip each event_type's 2 highest-value events, return the next 3 —
+    * per-key pagination as one clause. Oracle: the same rank window with
+    * `rk > 2 AND rk <= 5` in DuckDB.
+    */
+  def q156LimitOffsetBy(spark: SparkSession, dir: String): DataFrame = {
+    val tblName = sampleTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, event_id,
+         | CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v100
+         |FROM $tblName
+         |ORDER BY event_type, v100 DESC, event_id
+         |LIMIT 2, 3 BY event_type""".stripMargin)
+  }
+
+  val q156Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v100
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY v100 DESC, event_id) AS rk
+      |  FROM e)
+      |SELECT event_type, event_id, v100 FROM r WHERE rk > 2 AND rk <= 5
+      |ORDER BY event_type, v100 DESC, event_id""".stripMargin
+
   /** Q148 — `SELECT … FROM t FINAL` (ClickHouse's per-statement collapse
     * spelling, the missing third face next to the per-table catalog
     * property and the per-read DSv2 option): a Replacing table ingests
@@ -1822,5 +1849,6 @@ object StorageQueries {
     ("q148_from_final", q148FromFinal _, Some(q148Sql)),
     ("q150_prewhere", q150Prewhere _, Some(q150Sql)),
     ("q151_sample_rows", q151SampleRows _, Some(q151Sql)),
-    ("q154_join_final", q154JoinFinal _, Some(q154Sql)))
+    ("q154_join_final", q154JoinFinal _, Some(q154Sql)),
+    ("q156_limit_offset_by", q156LimitOffsetBy _, Some(q156Sql)))
 }

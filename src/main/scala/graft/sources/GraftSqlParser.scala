@@ -175,26 +175,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
-      case LimitByRe(stmt, orderList, nS, byCols) =>
-        limitByPlan(stmt, orderList, nS.toInt, byCols)
+      case LimitByRe(stmt, orderList, offS, nS, byCols) =>
+        limitByPlan(stmt, orderList,
+          Option(offS).map(_.toInt).getOrElse(0), nS.toInt, byCols)
       case _ => parseRewritten(sqlText)
     }
   }
 
-  /** ClickHouse `… ORDER BY o1[, o2…] LIMIT n BY c1[, c2…]`: the first n
-    * rows of EACH (c1, c2, …) group under the query's own ORDER BY —
-    * "top-n per key" as one clause instead of a hand-written rank window.
-    * The de-LIMIT-BY'd statement parses through the delegate; the clause
-    * adds a row_number window partitioned by the BY columns and ordered by
-    * the statement's ORDER BY list (which is REQUIRED — ClickHouse permits
-    * an arbitrary-order LIMIT BY, this engine refuses the
-    * nondeterminism), then re-sorts by the same list. `LIMIT n` alone
-    * never matches (no BY), so standard SQL is untouched.
+  /** ClickHouse `… ORDER BY o1[, o2…] LIMIT [o,] n BY c1[, c2…]`: the
+    * first n rows of EACH (c1, c2, …) group under the query's own ORDER
+    * BY — "top-n per key" as one clause instead of a hand-written rank
+    * window; the optional OFFSET form (`LIMIT 2, 3 BY g` — ClickHouse's
+    * full grammar) skips each group's first o rows and returns the next n
+    * (pagination per key). The de-LIMIT-BY'd statement parses through the
+    * delegate; the clause adds a row_number window partitioned by the BY
+    * columns and ordered by the statement's ORDER BY list (which is
+    * REQUIRED — ClickHouse permits an arbitrary-order LIMIT BY, this
+    * engine refuses the nondeterminism), then re-sorts by the same list.
+    * `LIMIT n` alone never matches (no BY), so standard SQL is untouched.
     */
-  private def limitByPlan(stmt: String, orderList: String, n: Int,
+  private def limitByPlan(stmt: String, orderList: String, off: Int, n: Int,
       byColsS: String): LogicalPlan = {
     import org.apache.spark.sql.functions._
     require(n > 0, s"LIMIT $n BY: n must be positive")
+    require(off >= 0, s"LIMIT $off, $n BY: the offset must not be negative")
     val inner = org.apache.spark.sql.graft.PlanBridge.ofRows(session,
       delegate.parsePlan(stmt))
     val by = byColsS.split(',').map(s => stripTicks(s.trim)).filter(_.nonEmpty).toSeq
@@ -211,7 +215,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(by.map(col): _*).orderBy(orderCols: _*)
     inner.withColumn("__lb_rn", row_number().over(w))
-      .filter(col("__lb_rn") <= n).drop("__lb_rn")
+      .filter(col("__lb_rn") > off && col("__lb_rn") <= off + n).drop("__lb_rn")
       .orderBy(orderCols: _*)
       .queryExecution.logical
   }
@@ -250,21 +254,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     case class FillItem(col: String, from: Option[String], to: Option[String],
-        step: Long)
+        step: Long, desc: Boolean)
     val items: Seq[FillItem] = splitTopLevel(itemsS).map(_.trim)
       .filter(_.nonEmpty).map {
-        case FillItemRe(c, fromD, fromI, toD, toI, stepS) =>
-          val step = Option(stepS).map(_.toLong).getOrElse(1L)
-          require(step > 0, s"WITH FILL STEP must be positive, got $step")
+        case FillItemRe(c, descS, fromD, fromI, toD, toI, stepS) =>
+          val desc = descS != null && descS.trim.equalsIgnoreCase("DESC")
+          val step = Option(stepS).map(_.toLong).getOrElse(if (desc) -1L else 1L)
+          // ClickHouse's grammar: a DESC fill takes a NEGATIVE step
+          // (`ORDER BY n DESC WITH FILL FROM 10 TO 0 STEP -2`)
+          require(if (desc) step < 0 else step > 0,
+            s"WITH FILL STEP must be ${if (desc) "negative with DESC" else "positive"}, got $step")
           FillItem(stripTicks(c), Option(fromD).orElse(Option(fromI)),
-            Option(toD).orElse(Option(toI)), step)
+            Option(toD).orElse(Option(toI)), step, desc)
         case bad => throw new IllegalArgumentException(
           s"malformed WITH FILL item '$bad'")
       }
     require(items.map(_.col).distinct.size == items.size,
       s"duplicate WITH FILL column in '$itemsS'")
     val inner = org.apache.spark.sql.graft.PlanBridge.ofRows(session,
-      delegate.parsePlan(prefix + items.map(_.col).mkString(", ")))
+      delegate.parsePlan(prefix + items.map(it =>
+        it.col + (if (it.desc) " DESC" else "")).mkString(", ")))
     def isDate(it: FillItem): Boolean = inner.schema(it.col).dataType == DateType
     items.foreach { it =>
       require(inner.schema.fieldNames.contains(it.col),
@@ -277,42 +286,55 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       for (b <- it.from ++ it.to)
         require(isDateLit(b) == (dt == DateType),
           s"WITH FILL bound '$b' does not match the $dt fill column '${it.col}'")
-      for (f <- it.from; t <- it.to)
-        require(if (dt == DateType) f < t else f.toLong < t.toLong,
-          s"WITH FILL FROM $f must be below TO $t")
+      for (f <- it.from; t <- it.to) {
+        val ok = (it.desc, dt == DateType) match {
+          case (false, true)  => f < t
+          case (false, false) => f.toLong < t.toLong
+          case (true, true)   => f > t
+          case (true, false)  => f.toLong > t.toLong
+        }
+        require(ok, s"WITH FILL FROM $f must be ${if (it.desc) "above" else "below"} TO $t")
+      }
     }
-    // bound expressions in each fill column's own type; TO is EXCLUSIVE
-    // (ClickHouse), so the inclusive grid top is TO - 1 unit
-    def loLit(it: FillItem, f: String): Column =
+    // bound expressions in each fill column's own type. The grid runs
+    // START → END in the item's direction: FROM is the inclusive start;
+    // TO is EXCLUSIVE (ClickHouse), so the inclusive end is TO ∓ 1 unit.
+    def startLit(it: FillItem, f: String): Column =
       if (isDate(it)) to_date(lit(f)) else lit(f.toLong)
-    def hiLit(it: FillItem, t: String): Column =
-      if (isDate(it)) date_sub(to_date(lit(t)), 1) else lit(t.toLong - 1)
+    def endLit(it: FillItem, t: String): Column = {
+      val adj = if (it.desc) 1 else -1
+      if (isDate(it)) date_add(to_date(lit(t)), adj) else lit(t.toLong + adj)
+    }
     def stepExpr(it: FillItem): Column =
       if (isDate(it)) expr(s"interval ${it.step} day") else lit(it.step)
-    // ONE bounds row carrying every column's [lo, hi]: all bounds literal
-    // → a standalone one-row frame (an empty result still fills the full
-    // grid, like ClickHouse); any derived bound → the result's own
-    // min/max, lazily (a single aggregate in the plan, no parse-time
+    // ONE bounds row carrying every column's [start, end]: all bounds
+    // literal → a standalone one-row frame (an empty result still fills
+    // the full grid, like ClickHouse); any derived bound → the result's
+    // own min/max, lazily (a single aggregate in the plan, no parse-time
     // execution; empty result → no grid)
     val allLiteral = items.forall(it => it.from.isDefined && it.to.isDefined)
     val boundCols: Seq[Column] = items.zipWithIndex.flatMap { case (it, i) =>
       if (allLiteral)
-        Seq(loLit(it, it.from.get).as(s"__lo_$i"),
-          hiLit(it, it.to.get).as(s"__hi_$i"))
+        Seq(startLit(it, it.from.get).as(s"__lo_$i"),
+          endLit(it, it.to.get).as(s"__hi_$i"))
       else {
-        val lo = it.from.map(f => max(loLit(it, f))).getOrElse(
-          if (isDate(it)) min(col(it.col)) else min(col(it.col)).cast("long"))
-        val hi = it.to.map(t => max(hiLit(it, t))).getOrElse(
-          if (isDate(it)) max(col(it.col)) else max(col(it.col)).cast("long"))
+        def extreme(wantMax: Boolean) =
+          if (isDate(it)) { if (wantMax) max(col(it.col)) else min(col(it.col)) }
+          else { if (wantMax) max(col(it.col)).cast("long")
+                 else min(col(it.col)).cast("long") }
+        val lo = it.from.map(f => max(startLit(it, f))).getOrElse(extreme(it.desc))
+        val hi = it.to.map(t => max(endLit(it, t))).getOrElse(extreme(!it.desc))
         Seq(lo.as(s"__lo_$i"), hi.as(s"__hi_$i"))
       }
     }
     val boundsRow =
       if (allLiteral) session.range(1).select(boundCols: _*)
       else inner.agg(boundCols.head, boundCols.tail: _*)
-    val usable = items.indices.map(i =>
+    val usable = items.zipWithIndex.map { case (it, i) =>
       col(s"__lo_$i").isNotNull && col(s"__hi_$i").isNotNull &&
-        col(s"__lo_$i") <= col(s"__hi_$i")).reduce(_ && _)
+        (if (it.desc) col(s"__lo_$i") >= col(s"__hi_$i")
+         else col(s"__lo_$i") <= col(s"__hi_$i"))
+    }.reduce(_ && _)
     // the grid is the cross product of the per-column sequences: each
     // explode multiplies the one-row frame — grid-sized, never data-sized
     val grid = items.zipWithIndex.foldLeft(boundsRow.where(usable)) {
@@ -350,7 +372,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           else expr(parts(1).trim)
         (c, src)
       }
-    val sortCols = fillKey.map(c => col(c).asc)
+    val sortCols = items.map(it =>
+      if (it.desc) col(it.col).desc else col(it.col).asc)
     val unioned = if (interps.isEmpty)
       inner.unionByName(fillRows)
     else {
@@ -445,8 +468,8 @@ object GraftSqlParser {
   // non-capturing); FillItemRe re-parses each comma-separated item.
   private val FB = "(?:'(\\d{4}-\\d{2}-\\d{2})'|(-?\\d+))"
   private val FBn = "(?:'\\d{4}-\\d{2}-\\d{2}'|-?\\d+)"
-  private val FI = "[`\\w.]+\\s+WITH\\s+FILL" +
-    s"(?:\\s+FROM\\s+$FBn)?(?:\\s+TO\\s+$FBn)?(?:\\s+STEP\\s+\\d+)?"
+  private val FI = "[`\\w.]+(?:\\s+DESC)?\\s+WITH\\s+FILL" +
+    s"(?:\\s+FROM\\s+$FBn)?(?:\\s+TO\\s+$FBn)?(?:\\s+STEP\\s+-?\\d+)?"
   // INTERPOLATE's body captures greedily to the LAST ')' — the clause is
   // statement-end by construction, and entries may contain nested calls
   // (`v AS greatest(v, 20)`), which a [^)]* body would cut short.
@@ -454,13 +477,13 @@ object GraftSqlParser {
     (s"(?is)^(.*\\bORDER\\s+BY\\s+)($FI(?:\\s*,\\s*$FI)*)" +
       "(?:\\s+INTERPOLATE\\s*\\((.*)\\))?\\s*;?\\s*$").r
   private[sources] val FillItemRe =
-    ("(?is)^([`\\w.]+)\\s+WITH\\s+FILL" +
-      s"(?:\\s+FROM\\s+$FB)?(?:\\s+TO\\s+$FB)?(?:\\s+STEP\\s+(\\d+))?\\s*$$").r
+    ("(?is)^([`\\w.]+)(\\s+DESC)?\\s+WITH\\s+FILL" +
+      s"(?:\\s+FROM\\s+$FB)?(?:\\s+TO\\s+$FB)?(?:\\s+STEP\\s+(-?\\d+))?\\s*$$").r
 
-  // `… ORDER BY <list> LIMIT n BY c1[, c2…]` at statement end (plain
+  // `… ORDER BY <list> LIMIT [o,] n BY c1[, c2…]` at statement end (plain
   // `LIMIT n` has no BY and never matches).
   private[sources] val LimitByRe =
-    ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(\\d+)\\s+BY\\s+" +
+    ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(?:(\\d+)\\s*,\\s*)?(\\d+)\\s+BY\\s+" +
       "([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)\\s*;?\\s*$").r
 
   // Cheap containment probe before paying the full SAMPLE regex.

@@ -17,6 +17,13 @@ class LimitBySpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 4L), ("c", 6L)),
       "top-2 per group by v DESC, groups in order")
+    // LIMIT o, n BY (ClickHouse's offset form): skip each group's first o
+    // rows, return the next n — per-key pagination
+    val paged = spark.sql(
+      "SELECT g, id, v FROM lb_src ORDER BY g, v DESC, id LIMIT 1, 2 BY g").collect()
+    assert(paged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("a", 3L), ("b", 4L)),
+      "offset 1 skips each group's top row; c has nothing past its first")
     // plain LIMIT still standard
     assert(spark.sql("SELECT g FROM lb_src ORDER BY g LIMIT 2").count() == 2)
     // unknown BY column is loud

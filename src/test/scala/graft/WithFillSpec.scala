@@ -152,6 +152,38 @@ class WithFillSpec extends AnyFunSuite {
     }
   }
 
+  test("DESC WITH FILL: descending grid, FROM above TO, negative STEP") {
+    view()
+    // ClickHouse's grammar: ORDER BY b DESC WITH FILL FROM 10 TO 0 STEP -2
+    val rows = spark.sql(
+      "SELECT b, v FROM wf_src ORDER BY b DESC WITH FILL FROM 10 TO 0 STEP -2")
+      .collect()
+    // grid {10,8,6,4,2}: originals 1, 9 off-grid survive, 4 is original
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 9L, 8L, 6L, 4L, 2L, 1L),
+      s"descending grid + off-grid originals, got ${rows.map(_.getLong(0)).toSeq}")
+    val byB = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byB(10L) == 0L && byB(4L) == 40L && byB(9L) == 90L)
+    // derived bounds descend max..min, default step -1
+    val d = spark.sql("SELECT b, v FROM wf_src ORDER BY b DESC WITH FILL").collect()
+    assert(d.map(_.getLong(0)).toSeq == (9L to 1L by -1L))
+    // DESC with a positive step is loud; ASC with a negative step is loud
+    intercept[Exception] {
+      spark.sql("SELECT b FROM wf_src ORDER BY b DESC WITH FILL STEP 2").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT b FROM wf_src ORDER BY b WITH FILL STEP -2").collect()
+    }
+    // mixed directions across a multi-column grid
+    import spark.implicits._
+    Seq((1L, 10L, 100L)).toDF("d", "bk", "v").createOrReplaceTempView("wf_mixdir")
+    val mixed = spark.sql(
+      "SELECT d, bk, v FROM wf_mixdir ORDER BY d WITH FILL FROM 1 TO 3, " +
+        "bk DESC WITH FILL FROM 11 TO 9").collect()
+    assert(mixed.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (1L, 10L), (2L, 11L), (2L, 10L)),
+      "asc x desc cross product in the declared directions")
+  }
+
   test("composes with SAMPLE-free standard SQL and rejects bad steps") {
     view()
     intercept[Exception] {
