@@ -477,6 +477,14 @@ object Bench {
       "FASTER), q101's current floor sits BELOW r14's recorded 1.667, and " +
       "the r14 tree itself re-measures +11-18% above its own r15-era " +
       "records - host drift, not plan regressions; " +
+      "r16 bench-run q106_semantic_dedup (+64%) and q126_hybrid_rrf (+39%) " +
+      "moves adjudicated the same day by the same AdjProbe discipline " +
+      "(4 process alternations x 5 reps vs the unchanged r15 tree): " +
+      "per-tree floors q106 1.571 vs 1.409, q126 1.454 vs 1.326 - the " +
+      "residual ~10% is INSIDE the same-tree run-to-run min spread " +
+      "(one current-tree run floored q106 at 2.91, another at 1.57; " +
+      "neither entry's code or shared defs changed r15->r16, git-verified); " +
+      "host noise, not plan regressions; " +
       "q117/q125 compose floors decomposed (r15 QProfile, warm): ~70% is " +
       "the near-dup edge + connected-components stage (the q93 machinery, " +
       "3.2s standalone floor), ~1.2s stages 4-5, ~0.9s the seven " +
