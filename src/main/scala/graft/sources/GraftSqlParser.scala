@@ -170,8 +170,57 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   }
 
+  /** ClickHouse `SETTINGS k = v[, …]` at statement end: per-query knobs.
+    * EXECUTION-TUNING settings are accepted and ignored — Spark owns
+    * thread counts, memory budgets, and spill thresholds, and the pasted
+    * query should run rather than die on its tuning tail — while settings
+    * that would CHANGE RESULTS (join_use_nulls, final, limit, …: anything
+    * off the allowlist) are refused loudly rather than silently dropped.
+    * Stripped FIRST so the statement-end clauses (WITH FILL, LIMIT BY)
+    * compose with a trailing SETTINGS. Quote-aware; a tail that is not
+    * actually the clause shape is left for the delegate's own error.
+    */
+  private def rewriteSettings(sqlText: String): String = {
+    if (!SettingsProbeRe.pattern.matcher(sqlText).find()) return sqlText
+    val spans = quotedSpans(sqlText)
+    val depths = parenDepths(sqlText)
+    SettingsProbeRe.findAllMatchIn(sqlText).toList
+      .filter(m => !inSpan(spans, m.start) && depths(m.start) == 0)
+      .lastOption match {
+      case Some(m) =>
+        val tail = sqlText.substring(m.end).replaceFirst("(?s)\\s*;\\s*$", "")
+        val pairs = splitTopLevel(tail).map(_.trim)
+        if (pairs.isEmpty || !pairs.forall(SettingPairRe.pattern.matcher(_).matches()))
+          sqlText // not the clause shape — leave for the delegate
+        else {
+          pairs.foreach { p =>
+            val k = p.takeWhile(_ != '=').trim.toLowerCase
+            require(IgnorableSettings.contains(k),
+              s"SETTINGS '$k' could change query results and is not supported — " +
+                "only execution-tuning settings are accepted (and ignored): " +
+                IgnorableSettings.toSeq.sorted.mkString(", "))
+          }
+          sqlText.substring(0, m.start).trim
+        }
+      case None => sqlText
+    }
+  }
+
+  /** ClickHouse `GLOBAL JOIN` / `GLOBAL [NOT] IN`: the distributed
+    * broadcast-the-right-side spelling. On this engine every join and IN
+    * subquery already plans against the WHOLE table (Spark owns
+    * distribution and picks broadcast itself), so GLOBAL is the identity
+    * — the token drops (quote-aware) and the plain form parses. GLOBAL as
+    * an ordinary identifier is untouched (the drop requires a following
+    * join/IN keyword).
+    */
+  private def rewriteGlobal(sqlText: String): String =
+    if (!GlobalProbeRe.pattern.matcher(sqlText).find()) sqlText
+    else replaceOutsideQuotes(sqlText, GlobalRe)(m => m.group(1))
+
   override def parsePlan(sqlText0: String): LogicalPlan = {
-    val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(sqlText0)))
+    val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(
+      rewriteGlobal(rewriteSettings(sqlText0)))))
     sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
@@ -485,6 +534,29 @@ object GraftSqlParser {
   private[sources] val LimitByRe =
     ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(?:(\\d+)\\s*,\\s*)?(\\d+)\\s+BY\\s+" +
       "([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)\\s*;?\\s*$").r
+
+  // `SETTINGS k = v[, …]` at statement end; each pair `ident = literal`.
+  private[sources] val SettingsProbeRe = "(?i)\\bSETTINGS\\b".r
+  private[sources] val SettingPairRe =
+    "(?s)^[\\w.]+\\s*=\\s*(?:'[^']*'|[\\w.+-]+)$".r
+  /** Per-query knobs safe to IGNORE: pure execution tuning — thread/batch
+    * sizing, memory/spill budgets, time guards, caching, logging. Nothing
+    * here changes what rows come back.
+    */
+  private[sources] val IgnorableSettings: Set[String] = Set(
+    "max_threads", "max_insert_threads", "max_block_size",
+    "max_insert_block_size", "max_memory_usage", "max_execution_time",
+    "max_bytes_before_external_sort", "max_bytes_before_external_group_by",
+    "use_query_cache", "enable_reads_from_query_cache",
+    "enable_writes_to_query_cache", "log_queries", "send_logs_level",
+    "optimize_read_in_order", "prefer_localhost_replica",
+    "distributed_product_mode", "network_compression_method", "priority")
+
+  private[sources] val GlobalProbeRe = "(?i)\\bGLOBAL\\b".r
+  private[sources] val GlobalRe =
+    ("(?is)\\bGLOBAL\\s+((?:NOT\\s+)?IN\\b|" +
+      "(?:ANY\\s+|ALL\\s+)?(?:INNER\\s+|LEFT\\s+|RIGHT\\s+|FULL\\s+|" +
+      "CROSS\\s+|SEMI\\s+|ANTI\\s+|OUTER\\s+)*JOIN\\b)").r
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r

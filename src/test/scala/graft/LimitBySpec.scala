@@ -71,6 +71,37 @@ class LimitBySpec extends AnyFunSuite {
     }
   }
 
+  test("SETTINGS tuning knobs strip; semantic settings refuse; GLOBAL drops") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "g")
+      .createOrReplaceTempView("st_src")
+    // execution-tuning SETTINGS are accepted and ignored
+    val rows = spark.sql("SELECT id FROM st_src WHERE id > 1 ORDER BY id " +
+      "SETTINGS max_threads = 8, max_memory_usage = 10000000000").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // ...and compose with the statement-end clauses (stripped first)
+    val filled = spark.sql("SELECT id, count(*) AS n FROM st_src GROUP BY id " +
+      "ORDER BY id WITH FILL FROM 0 TO 5 SETTINGS max_threads = 4").collect()
+    assert(filled.length == 5)
+    // a result-changing setting is a loud refusal, never a silent drop
+    intercept[Exception] {
+      spark.sql("SELECT id FROM st_src SETTINGS join_use_nulls = 1").collect()
+    }
+    // SETTINGS inside a string literal is data
+    assert(spark.sql("SELECT 'SETTINGS max_threads = 8' AS s FROM st_src WHERE id = 1")
+      .collect().head.getString(0) == "SETTINGS max_threads = 8")
+    // GLOBAL JOIN / GLOBAL NOT IN: the distributed spelling parses as the
+    // plain form (Spark owns distribution)
+    val j = spark.sql("SELECT count(*) FROM st_src a GLOBAL JOIN st_src b ON a.g = b.g")
+      .collect().head.getLong(0)
+    assert(j == 5, s"GLOBAL JOIN must plan as a plain join, got $j")
+    val notIn = spark.sql("SELECT id FROM st_src WHERE id GLOBAL NOT IN " +
+      "(SELECT id FROM st_src WHERE id > 2) ORDER BY id").collect()
+    assert(notIn.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // GLOBAL as an ordinary identifier is untouched
+    assert(spark.sql("SELECT 1 AS global").collect().head.getInt(0) == 1)
+  }
+
   test("multi-column BY and composition with WHERE") {
     import spark.implicits._
     Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 3L), ("b", "x", 4L), ("b", "x", 5L))
