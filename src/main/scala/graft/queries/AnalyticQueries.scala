@@ -1681,6 +1681,32 @@ object AnalyticQueries {
       |FROM grid g LEFT JOIN obs USING (day)
       |ORDER BY g.day DESC""".stripMargin
 
+  /** Q157 — ClickHouse `ARRAY JOIN` (round 16; parser): per-element row
+    * expansion — token frequencies over exploded `split(text)` arrays,
+    * the clause ClickHouse uses where Spark says LATERAL VIEW explode.
+    * `ARRAY JOIN toks AS tok` keeps the array and rides the element
+    * alongside; the aggregate is deterministic (count DESC, token
+    * tiebreak). Oracle: DuckDB unnest(string_split(…)) — identical
+    * split semantics including empty fields.
+    */
+  def q157ArrayJoin(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q157_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 50)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT tok, count(*) AS n FROM $v ARRAY JOIN toks AS tok
+           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q157Sql: String =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |      FROM documents WHERE doc_id < 50) u
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
   /** Q153 — MULTI-column `WITH FILL` (the cross-product grid): a sparse
     * (day, bucket) aggregate fills the full DATE-range × bucket-range
     * frame — ClickHouse's per-sort-key fill grammar, the dense matrix a
@@ -1783,5 +1809,6 @@ object AnalyticQueries {
     ("q149_date_with_fill", q149DateWithFill _, Some(q149Sql)),
     ("q152_interpolate_expr", q152InterpolateExpr _, Some(q152Sql)),
     ("q153_multi_fill", q153MultiFill _, Some(q153Sql)),
-    ("q155_desc_fill", q155DescFill _, Some(q155Sql)))
+    ("q155_desc_fill", q155DescFill _, Some(q155Sql)),
+    ("q157_array_join", q157ArrayJoin _, Some(q157Sql)))
 }

@@ -218,9 +218,42 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (!GlobalProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, GlobalRe)(m => m.group(1))
 
+  /** ClickHouse `FROM t [LEFT] ARRAY JOIN arr [AS e]` — per-element row
+    * expansion, the clause ClickHouse uses where Spark says LATERAL VIEW
+    * explode. Rewrites to a subquery exploding the array:
+    *   - bare `ARRAY JOIN arr`: the array column is REPLACED by its
+    *     element under the same name (ClickHouse's contract) —
+    *     `SELECT * EXCEPT (arr), explode(arr) AS arr`;
+    *   - `ARRAY JOIN arr AS e`: the array column stays, the element rides
+    *     alongside as `e`;
+    *   - `LEFT ARRAY JOIN` keeps empty/NULL-array rows (explode_outer;
+    *     DOCUMENTED DIVERGENCE: the element is NULL on such rows where
+    *     ClickHouse emits the type default).
+    * The multi-array zip form (`ARRAY JOIN a, b`) is refused (the text is
+    * left for the delegate's loud parse error), and a genuine join whose
+    * LEFT side is aliased `array` (`FROM t array JOIN u ON …`) is
+    * protected by the ON/USING lookahead.
+    */
+  private def rewriteArrayJoin(sqlText: String): String =
+    if (!ArrayJoinProbeRe.pattern.matcher(sqlText).find()) sqlText
+    else replaceOutsideQuotes(sqlText, ArrayJoinRe) { m =>
+      val ident = m.group(1)
+      val left = m.group(2) != null
+      val arr = stripTicks(m.group(3))
+      val alias = Option(m.group(4)).map(stripTicks)
+      val fn = if (left) "explode_outer" else "explode"
+      val tAlias = ident.split('.').last.replace("`", "")
+      alias match {
+        case Some(e) =>
+          s"FROM (SELECT *, $fn(`$arr`) AS `$e` FROM $ident) $tAlias"
+        case None =>
+          s"FROM (SELECT * EXCEPT (`$arr`), $fn(`$arr`) AS `$arr` FROM $ident) $tAlias"
+      }
+    }
+
   override def parsePlan(sqlText0: String): LogicalPlan = {
     val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(
-      rewriteGlobal(rewriteSettings(sqlText0)))))
+      rewriteArrayJoin(rewriteGlobal(rewriteSettings(sqlText0))))))
     sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
@@ -557,6 +590,19 @@ object GraftSqlParser {
     ("(?is)\\bGLOBAL\\s+((?:NOT\\s+)?IN\\b|" +
       "(?:ANY\\s+|ALL\\s+)?(?:INNER\\s+|LEFT\\s+|RIGHT\\s+|FULL\\s+|" +
       "CROSS\\s+|SEMI\\s+|ANTI\\s+|OUTER\\s+)*JOIN\\b)").r
+
+  // `FROM <ident> [LEFT] ARRAY JOIN <col> [AS <e>]` — single unqualified
+  // array column; the lookaheads refuse the multi-array zip form (`, b`
+  // would otherwise leak as a silent comma-join) and protect a genuine
+  // join aliased `array` (followed by ON/USING).
+  private[sources] val ArrayJoinProbeRe = "(?i)\\bARRAY\\s+JOIN\\b".r
+  // The identifier tokens are POSSESSIVE (++): backtracking would
+  // otherwise shorten them by a character to slip past the negative
+  // lookaheads (matching `aj_othe` out of `aj_other o ON …`).
+  private[sources] val ArrayJoinRe =
+    ("(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+" +
+      "([`\\w]++)(?:\\s+AS\\s+([`\\w]++))?+(?!\\s*,)" +
+      "(?!(?:\\s+(?:AS\\s+)?[`\\w]+)?\\s+(?:ON|USING)\\b)").r
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r

@@ -102,6 +102,37 @@ class LimitBySpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 AS global").collect().head.getInt(0) == 1)
   }
 
+  test("ARRAY JOIN: element expansion, column replacement, LEFT keeps empties") {
+    import spark.implicits._
+    Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))
+      .toDF("id", "arr").createOrReplaceTempView("aj_src")
+    // bare form: arr is REPLACED by its element; empty-array rows drop
+    val bare = spark.sql(
+      "SELECT id, arr FROM aj_src ARRAY JOIN arr ORDER BY id, arr").collect()
+    assert(bare.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, "c")))
+    // AS e: the array column stays, the element rides alongside
+    val al = spark.sql(
+      "SELECT id, e, size(arr) AS n FROM aj_src ARRAY JOIN arr AS e ORDER BY id, e")
+      .collect()
+    assert(al.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 2), (1L, "b", 2), (2L, "c", 1)))
+    // LEFT keeps the empty-array row, element NULL (documented divergence
+    // from ClickHouse's type default)
+    val lj = spark.sql(
+      "SELECT id, e FROM aj_src LEFT ARRAY JOIN arr AS e ORDER BY id, e").collect()
+    assert(lj.length == 4 && lj.last.getLong(0) == 3L && lj.last.isNullAt(1))
+    // a REAL join whose left side is aliased `array` stays a join
+    Seq((1L, 10L)).toDF("id", "v").createOrReplaceTempView("aj_other")
+    val real = spark.sql("SELECT array.id, o.v FROM aj_src array " +
+      "JOIN aj_other o ON array.id = o.id").collect()
+    assert(real.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+    // the multi-array zip form is refused loudly, never a silent comma-join
+    intercept[Exception] {
+      spark.sql("SELECT id FROM aj_src ARRAY JOIN arr, arr").collect()
+    }
+  }
+
   test("multi-column BY and composition with WHERE") {
     import spark.implicits._
     Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 3L), ("b", "x", 4L), ("b", "x", 5L))
