@@ -68,6 +68,65 @@ class ParserClausePropertySpec extends AnyFunSuite {
         rs.sortBy(r => (-r._3, r._2)).take(n)
       }.sortBy(r => (r._1, -r._3, r._2))
       assert(rows == expect, s"seed $seed: LIMIT $n BY mismatch")
+      // offset form: skip each group's first o rows, then take n
+      val o = rnd.nextInt(3)
+      val paged = spark.sql(
+        s"SELECT g, id, v FROM lbp_$seed ORDER BY g, v DESC, id LIMIT $o, $n BY g")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val expectPaged = data.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).slice(o, o + n)
+      }.sortBy(r => (r._1, -r._3, r._2))
+      assert(paged == expectPaged, s"seed $seed: LIMIT $o, $n BY mismatch")
+    }
+  }
+
+  test("DESC WITH FILL matches the model across random grids and negative steps") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 15485863)
+      val data = (0 until 5 + rnd.nextInt(40))
+        .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(100).toLong))
+      data.toDF("b", "v").createOrReplaceTempView(s"wfd_$seed")
+      val to = rnd.nextInt(50).toLong
+      val from = to + 1 + rnd.nextInt(150) // FROM above TO, TO exclusive
+      val step = -(1L + rnd.nextInt(5))
+      val rows = spark.sql(
+        s"SELECT b, v FROM wfd_$seed ORDER BY b DESC WITH FILL FROM $from TO $to STEP $step")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val present = data.map(_._1).toSet
+      val grid = (from until to by step).filterNot(present)
+      val expect = (data ++ grid.map(g => (g, 0L))).sortBy(-_._1)
+      assert(rows.sorted == expect.sorted, s"seed $seed: DESC WITH FILL mismatch")
+      assert(rows.map(_._1) == rows.map(_._1).sorted.reverse,
+        s"seed $seed: output not descending")
+    }
+  }
+
+  test("multi-column WITH FILL matches the cross-product model") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 2147483)
+      val data = (0 until 3 + rnd.nextInt(25))
+        .map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+        .distinct
+      data.toDF("x", "y", "v").createOrReplaceTempView(s"wfm_$seed")
+      val (xFrom, xTo) = (rnd.nextInt(4).toLong, 5L + rnd.nextInt(8))
+      val (yFrom, yTo) = (rnd.nextInt(3).toLong, 4L + rnd.nextInt(5))
+      val rows = spark.sql(
+        s"SELECT x, y, v FROM wfm_$seed ORDER BY x WITH FILL FROM $xFrom TO $xTo, " +
+          s"y WITH FILL FROM $yFrom TO $yTo")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // model: originals + cross-product tuples whose (x, y) is absent
+      val present = data.map(d => (d._1, d._2)).toSet
+      val grid = for {
+        x <- xFrom until xTo
+        y <- yFrom until yTo
+        if !present((x, y))
+      } yield (x, y, 0L)
+      val expect = data ++ grid
+      assert(rows.sorted == expect.sorted, s"seed $seed: multi-fill mismatch")
+      assert(rows.map(r => (r._1, r._2)) == rows.map(r => (r._1, r._2)).sorted,
+        s"seed $seed: output not sorted by the fill key tuple")
     }
   }
 }
