@@ -228,26 +228,47 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     *     alongside as `e`;
     *   - `LEFT ARRAY JOIN` keeps empty/NULL-array rows (explode_outer;
     *     DOCUMENTED DIVERGENCE: the element is NULL on such rows where
-    *     ClickHouse emits the type default).
-    * The multi-array zip form (`ARRAY JOIN a, b`) is refused (the text is
-    * left for the delegate's loud parse error), and a genuine join whose
-    * LEFT side is aliased `array` (`FROM t array JOIN u ON …`) is
-    * protected by the ON/USING lookahead.
+    *     ClickHouse emits the type default);
+    *   - the MULTI-array form (`ARRAY JOIN a, b AS e`) ZIPS the arrays
+    *     positionally — row i carries (a[i], b[i]), ClickHouse's
+    *     parallel-arrays contract — via one `explode(arrays_zip(…))`
+    *     (DOCUMENTED DIVERGENCE: unequal lengths NULL-pad the shorter
+    *     array where ClickHouse errors).
+    * A genuine join whose LEFT side is aliased `array`
+    * (`FROM t array JOIN u [x] ON …`) is protected by the ON/USING
+    * lookahead.
     */
   private def rewriteArrayJoin(sqlText: String): String =
     if (!ArrayJoinProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, ArrayJoinRe) { m =>
       val ident = m.group(1)
       val left = m.group(2) != null
-      val arr = stripTicks(m.group(3))
-      val alias = Option(m.group(4)).map(stripTicks)
+      val items: Seq[(String, Option[String])] =
+        splitTopLevel(m.group(3)).map(_.trim).filter(_.nonEmpty).map { it =>
+          val parts = it.split("(?i)\\s+AS\\s+")
+          (stripTicks(parts(0).trim),
+            if (parts.length > 1) Some(stripTicks(parts(1).trim)) else None)
+        }
+      require(items.map(_._1).distinct.size == items.size,
+        s"duplicate ARRAY JOIN column in '${m.group(3)}'")
       val fn = if (left) "explode_outer" else "explode"
       val tAlias = ident.split('.').last.replace("`", "")
-      alias match {
-        case Some(e) =>
+      items match {
+        case Seq((arr, Some(e))) =>
           s"FROM (SELECT *, $fn(`$arr`) AS `$e` FROM $ident) $tAlias"
-        case None =>
+        case Seq((arr, None)) =>
           s"FROM (SELECT * EXCEPT (`$arr`), $fn(`$arr`) AS `$arr` FROM $ident) $tAlias"
+        case many =>
+          val zipped = many.map(i => s"`${i._1}`").mkString(", ")
+          // bare entries are REPLACED (dropped then re-emitted under the
+          // same name); AS entries keep their array column
+          val except = (many.collect { case (c, None) => s"`$c`" } :+ "`__aj_z`")
+            .mkString(", ")
+          val outs = many.map { case (c, al) =>
+            s"__aj_z.`$c` AS `${al.getOrElse(c)}`"
+          }.mkString(", ")
+          s"FROM (SELECT * EXCEPT ($except), $outs FROM " +
+            s"(SELECT *, $fn(arrays_zip($zipped)) AS __aj_z FROM $ident) __aj_in) $tAlias"
       }
     }
 
@@ -591,17 +612,17 @@ object GraftSqlParser {
       "(?:ANY\\s+|ALL\\s+)?(?:INNER\\s+|LEFT\\s+|RIGHT\\s+|FULL\\s+|" +
       "CROSS\\s+|SEMI\\s+|ANTI\\s+|OUTER\\s+)*JOIN\\b)").r
 
-  // `FROM <ident> [LEFT] ARRAY JOIN <col> [AS <e>]` — single unqualified
-  // array column; the lookaheads refuse the multi-array zip form (`, b`
-  // would otherwise leak as a silent comma-join) and protect a genuine
-  // join aliased `array` (followed by ON/USING).
+  // `FROM <ident> [LEFT] ARRAY JOIN <col> [AS <e>][, <col> [AS <e>]…]` —
+  // unqualified array columns. The identifier tokens are POSSESSIVE
+  // (++/?+/*+): backtracking would otherwise shorten them by a character
+  // to slip past the negative lookahead (matching `aj_othe` out of
+  // `aj_other o ON …`), which protects a genuine join aliased `array`
+  // (followed by an optional alias then ON/USING).
   private[sources] val ArrayJoinProbeRe = "(?i)\\bARRAY\\s+JOIN\\b".r
-  // The identifier tokens are POSSESSIVE (++): backtracking would
-  // otherwise shorten them by a character to slip past the negative
-  // lookaheads (matching `aj_othe` out of `aj_other o ON …`).
+  private val AJI = "[`\\w]++(?:\\s+AS\\s+[`\\w]++)?+"
   private[sources] val ArrayJoinRe =
     ("(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+" +
-      "([`\\w]++)(?:\\s+AS\\s+([`\\w]++))?+(?!\\s*,)" +
+      s"($AJI(?:\\s*,\\s*$AJI)*+)" +
       "(?!(?:\\s+(?:AS\\s+)?[`\\w]+)?\\s+(?:ON|USING)\\b)").r
 
   // Cheap containment probe before paying the full SAMPLE regex.

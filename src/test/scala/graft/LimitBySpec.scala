@@ -127,7 +127,17 @@ class LimitBySpec extends AnyFunSuite {
     val real = spark.sql("SELECT array.id, o.v FROM aj_src array " +
       "JOIN aj_other o ON array.id = o.id").collect()
     assert(real.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
-    // the multi-array zip form is refused loudly, never a silent comma-join
+    // multi-array form ZIPS positionally (ClickHouse's parallel arrays):
+    // bare first column replaced, AS second rides alongside
+    Seq((1L, Seq("a", "b"), Seq(10L, 20L)), (2L, Seq("c"), Seq(30L)))
+      .toDF("id", "ks", "vs").createOrReplaceTempView("aj_zip")
+    val zip = spark.sql(
+      "SELECT id, ks, v FROM aj_zip ARRAY JOIN ks, vs AS v ORDER BY id, ks")
+      .collect()
+    assert(zip.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L)),
+      "row i must carry (ks[i], vs[i])")
+    // a duplicate array column is loud
     intercept[Exception] {
       spark.sql("SELECT id FROM aj_src ARRAY JOIN arr, arr").collect()
     }
