@@ -1056,6 +1056,121 @@ object GraftFunctions {
     (FunctionIdentifier("morton_encode"), mortonEncodeInfo, mortonEncodeBuilder),
     (FunctionIdentifier("morton_decode"), mortonDecodeInfo, mortonDecodeBuilder))
 
+  /** ClickHouse FUNCTION-NAME COMPATIBILITY: the conversion, date-part,
+    * array and -If-combinator families a pasted ClickHouse query actually
+    * uses, each a pure alias over Catalyst built-ins (Cast, Year,
+    * TruncDate, ArrayContains, Sum(If(…)), …) — codegen'd expressions,
+    * never UDFs, so they cost exactly what the spelled-out Spark form
+    * costs. Documented mappings:
+    *   - unsigned integers map to the closest signed Spark type ONE STEP
+    *     WIDER (UInt8→smallint, UInt16→int, UInt32→bigint); UInt64 maps
+    *     to bigint — values above 2⁶³−1 are out of range (Spark has no
+    *     unsigned types);
+    *   - toDayOfWeek follows ClickHouse's Monday=1…Sunday=7;
+    *   - the -If combinators aggregate only rows where the condition
+    *     holds (NULL condition rows excluded, like ClickHouse).
+    */
+  private[functions] val clickhouseAliases: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    def fn(name: String, cls: String, arity: Int)(
+        f: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), new ExpressionInfo(cls, name),
+        { children: Seq[Expression] =>
+          require(children.size == arity,
+            s"$name takes exactly $arity argument(s)")
+          f(children)
+        })
+    def one(name: String, cls: String)(f: Expression => Expression) =
+      fn(name, cls, 1)(cs => f(cs.head))
+    val casts = Seq(
+      "toString" -> StringType, "toInt8" -> ByteType, "toInt16" -> ShortType,
+      "toInt32" -> IntegerType, "toInt64" -> LongType,
+      "toUInt8" -> ShortType, "toUInt16" -> IntegerType,
+      "toUInt32" -> LongType, "toUInt64" -> LongType,
+      "toFloat32" -> FloatType, "toFloat64" -> DoubleType,
+      "toDate" -> DateType, "toDateTime" -> TimestampType
+    ).map { case (n, dt) => one(n, classOf[Cast].getName)(c => Cast(c, dt)) }
+    val dateParts = Seq(
+      one("toYear", classOf[Year].getName)(Year),
+      one("toMonth", classOf[Month].getName)(Month),
+      one("toDayOfMonth", classOf[DayOfMonth].getName)(DayOfMonth),
+      one("toDayOfYear", classOf[DayOfYear].getName)(DayOfYear),
+      one("toQuarter", classOf[Quarter].getName)(Quarter),
+      one("toHour", classOf[Hour].getName)(c => Hour(c)),
+      one("toMinute", classOf[Minute].getName)(c => Minute(c)),
+      one("toSecond", classOf[Second].getName)(c => Second(c)),
+      // ClickHouse: Monday = 1 … Sunday = 7; Spark WeekDay: Monday = 0
+      one("toDayOfWeek", classOf[WeekDay].getName)(c =>
+        Add(WeekDay(c), Literal(1))),
+      one("toStartOfDay", classOf[TruncTimestamp].getName)(c =>
+        TruncTimestamp(Literal("day"), c)),
+      one("toStartOfHour", classOf[TruncTimestamp].getName)(c =>
+        TruncTimestamp(Literal("hour"), c)),
+      one("toStartOfMinute", classOf[TruncTimestamp].getName)(c =>
+        TruncTimestamp(Literal("minute"), c)),
+      one("toStartOfMonth", classOf[TruncDate].getName)(c =>
+        TruncDate(c, Literal("month"))),
+      one("toStartOfQuarter", classOf[TruncDate].getName)(c =>
+        TruncDate(c, Literal("quarter"))),
+      one("toStartOfYear", classOf[TruncDate].getName)(c =>
+        TruncDate(c, Literal("year"))),
+      one("toUnixTimestamp", classOf[UnixTimestamp].getName)(c =>
+        UnixTimestamp(c, Literal("yyyy-MM-dd HH:mm:ss"))),
+      one("fromUnixTimestamp", classOf[SecondsToTimestamp].getName)(
+        SecondsToTimestamp),
+      (FunctionIdentifier("today"),
+        new ExpressionInfo(classOf[CurrentDate].getName, "today"),
+        { children: Seq[Expression] =>
+          require(children.isEmpty, "today takes no arguments")
+          CurrentDate()
+        }))
+    val arrays = Seq(
+      fn("has", classOf[ArrayContains].getName, 2)(cs =>
+        ArrayContains(cs.head, cs(1))),
+      fn("indexOf", classOf[ArrayPosition].getName, 2)(cs =>
+        ArrayPosition(cs.head, cs(1))),
+      (FunctionIdentifier("arrayStringConcat"),
+        new ExpressionInfo(classOf[ArrayJoin].getName, "arrayStringConcat"),
+        { children: Seq[Expression] =>
+          children match {
+            case Seq(a)      => ArrayJoin(a, Literal(""), None)
+            case Seq(a, sep) => ArrayJoin(a, sep, None)
+            case other => throw new IllegalArgumentException(
+              s"arrayStringConcat takes (array[, separator]), got ${other.size}")
+          }
+        }),
+      // splitByChar(sep, s) — ClickHouse's argument order; the separator
+      // is a LITERAL single character, regex-quoted into StringSplit
+      fn("splitByChar", classOf[StringSplit].getName, 2)(cs => {
+        val sep = cs.head
+        require(sep.foldable && sep.dataType == StringType,
+          "splitByChar: the separator must be a string literal")
+        val sepEval = sep.eval()
+        require(sepEval != null && sepEval.toString.length == 1,
+          "splitByChar: the separator must be one character")
+        StringSplit(cs(1),
+          Literal(java.util.regex.Pattern.quote(sepEval.toString)),
+          Literal(-1))
+      }))
+    def nullUnless(cond: Expression, value: Expression): Expression =
+      If(cond, value, Literal.create(null, NullType))
+    val combinators = Seq(
+      one("countIf", classOf[Count].getName)(c =>
+        Count(nullUnless(c, Literal(1)))),
+      fn("sumIf", classOf[Sum].getName, 2)(cs =>
+        Sum(nullUnless(cs(1), cs.head))),
+      fn("avgIf", classOf[Average].getName, 2)(cs =>
+        Average(nullUnless(cs(1), cs.head))),
+      fn("minIf", classOf[Min].getName, 2)(cs =>
+        Min(nullUnless(cs(1), cs.head))),
+      fn("maxIf", classOf[Max].getName, 2)(cs =>
+        Max(nullUnless(cs(1), cs.head))))
+    casts ++ dateParts ++ arrays ++ combinators
+  }
+
   /** The UDAF family needs a live session (spark.udf); shared by
     * register() and GraftExtensions' analyzer hook. Idempotent.
     */
@@ -1074,7 +1189,7 @@ object GraftFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
-    expressionFunctions.foreach { case (id, info, builder) =>
+    (expressionFunctions ++ clickhouseAliases).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     registerUdafs(spark)
@@ -1087,8 +1202,9 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // The SAME list register() iterates — the two faces cannot drift.
-    GraftFunctions.expressionFunctions.foreach(ext.injectFunction)
+    // The SAME lists register() iterates — the two faces cannot drift.
+    (GraftFunctions.expressionFunctions ++ GraftFunctions.clickhouseAliases)
+      .foreach(ext.injectFunction)
     // UDAFs need a live session (spark.udf); the check-rule hook hands us
     // one at analyzer build — registration is idempotent, so re-running
     // per analyzer construction is harmless.

@@ -1707,6 +1707,40 @@ object AnalyticQueries {
       |      FROM documents WHERE doc_id < 50) u
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** Q158 — ClickHouse FUNCTION-NAME aliases under oracle (round 16): a
+    * pasted ClickHouse aggregate using the conversion (`toDate`,
+    * `toInt64`), date-part (`toYear`, `toMonth`, `toStartOfMonth`) and
+    * -If-combinator (`countIf`, `sumIf`, `maxIf`) families runs
+    * unchanged — each alias is a pure Catalyst composition (Cast, Year,
+    * TruncDate, Sum(If(…))), codegen'd. Oracle: DuckDB's native
+    * spellings (year/month/date_trunc/FILTER).
+    */
+  def q158ChFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q158_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir).createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT toYear(ts) AS y, toMonth(ts) AS m,
+           | CAST(toStartOfMonth(toDate(ts)) AS STRING) AS mon,
+           | countIf(value > 0.5) AS hi,
+           | CAST(floor(coalesce(sumIf(value, user_id % 3 = 0), 0) * 100.0 + 0.5)
+           |   AS BIGINT) AS sv100,
+           | toInt64(coalesce(maxIf(event_id, user_id % 2 = 0), -1)) AS max_even_ev,
+           | count(*) AS n
+           |FROM $v GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q158Sql: String =
+    """SELECT year(ts) AS y, month(ts) AS m,
+      | CAST(date_trunc('month', ts::DATE)::DATE AS VARCHAR) AS mon,
+      | count(*) FILTER (WHERE value > 0.5) AS hi,
+      | CAST(floor(coalesce(sum(value) FILTER (WHERE user_id % 3 = 0), 0)
+      |   * 100.0 + 0.5) AS BIGINT) AS sv100,
+      | CAST(coalesce(max(event_id) FILTER (WHERE user_id % 2 = 0), -1)
+      |   AS BIGINT) AS max_even_ev,
+      | count(*) AS n
+      |FROM events GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin
+
   /** Q153 — MULTI-column `WITH FILL` (the cross-product grid): a sparse
     * (day, bucket) aggregate fills the full DATE-range × bucket-range
     * frame — ClickHouse's per-sort-key fill grammar, the dense matrix a
@@ -1810,5 +1844,6 @@ object AnalyticQueries {
     ("q152_interpolate_expr", q152InterpolateExpr _, Some(q152Sql)),
     ("q153_multi_fill", q153MultiFill _, Some(q153Sql)),
     ("q155_desc_fill", q155DescFill _, Some(q155Sql)),
-    ("q157_array_join", q157ArrayJoin _, Some(q157Sql)))
+    ("q157_array_join", q157ArrayJoin _, Some(q157Sql)),
+    ("q158_ch_functions", q158ChFunctions _, Some(q158Sql)))
 }

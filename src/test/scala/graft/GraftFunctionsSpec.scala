@@ -15,6 +15,54 @@ class GraftFunctionsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
 
+  test("ClickHouse name aliases: conversions, date parts, arrays, -If combinators") {
+    GraftFunctions.register(spark)
+    val conv = spark.sql(
+      "SELECT toString(42) AS s, toInt64('7') AS i, toUInt8(200) AS u, " +
+        "toFloat64('2.5') AS f, toDate('2024-03-05') AS d").collect().head
+    assert(conv.getString(0) == "42" && conv.getLong(1) == 7L &&
+      conv.getShort(2) == 200 && conv.getDouble(3) == 2.5 &&
+      conv.getDate(4).toString == "2024-03-05")
+    // 2024-03-04 is a Monday: ClickHouse toDayOfWeek = 1
+    val dp = spark.sql(
+      "SELECT toYear(DATE'2024-03-05') AS y, toMonth(DATE'2024-03-05') AS m, " +
+        "toDayOfMonth(DATE'2024-03-05') AS dm, toDayOfWeek(DATE'2024-03-04') AS dw, " +
+        "toQuarter(DATE'2024-05-05') AS q, " +
+        "CAST(toStartOfMonth(DATE'2024-03-05') AS STRING) AS som, " +
+        "CAST(toStartOfDay(TIMESTAMP'2024-03-05 13:45:10') AS STRING) AS sod")
+      .collect().head
+    assert(dp.getInt(0) == 2024 && dp.getInt(1) == 3 && dp.getInt(2) == 5 &&
+      dp.getInt(3) == 1 && dp.getInt(4) == 2 &&
+      dp.getString(5) == "2024-03-01" && dp.getString(6) == "2024-03-05 00:00:00")
+    // unix round trip (session TZ is UTC)
+    val ut = spark.sql(
+      "SELECT toUnixTimestamp(TIMESTAMP'1970-01-01 00:01:40') AS u, " +
+        "CAST(fromUnixTimestamp(100) AS STRING) AS t").collect().head
+    assert(ut.getLong(0) == 100L && ut.getString(1) == "1970-01-01 00:01:40")
+    assert(spark.sql("SELECT today()").collect().head.getDate(0) != null)
+    // arrays
+    val ar = spark.sql(
+      "SELECT has(array(1, 2), 2) AS h, indexOf(array('a','b'), 'b') AS p, " +
+        "arrayStringConcat(array('a','b'), '-') AS j, " +
+        "splitByChar(',', 'a,b,c') AS sp, splitByChar('.', 'x.y') AS spd")
+      .collect().head
+    assert(ar.getBoolean(0) && ar.getLong(1) == 2L && ar.getString(2) == "a-b")
+    assert(ar.getSeq[String](3) == Seq("a", "b", "c"))
+    assert(ar.getSeq[String](4) == Seq("x", "y"), "separator must be regex-quoted")
+    // -If combinators: only condition-true rows aggregate
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("chfa")
+    val agg = spark.sql(
+      "SELECT countIf(v > 10) AS c, sumIf(v, v > 10) AS s, avgIf(v, v > 10) AS a, " +
+        "minIf(v, v > 10) AS mn, maxIf(v, v > 10) AS mx FROM chfa").collect().head
+    assert(agg.getLong(0) == 2L && agg.getLong(1) == 50L &&
+      agg.getDouble(2) == 25.0 && agg.getLong(3) == 20L && agg.getLong(4) == 30L)
+    // grouped combinators keep map-side partial aggregation semantics
+    val g = spark.sql("SELECT k % 2 AS g, countIf(v >= 20) AS c FROM chfa " +
+      "GROUP BY k % 2 ORDER BY g").collect()
+    assert(g.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L), (1L, 1L)))
+  }
+
   test("pq expressions fail safe: zero vectors, shape mismatches, bounds") {
     GraftFunctions.register(spark)
     // m=2 subspaces, k=4 centroids, dsub=2 -> vectors of dim 4
