@@ -206,6 +206,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   }
 
+  /** ClickHouse `FORMAT <name>` at statement end: the client-side
+    * serialization directive. Results here are DataFrames — serialization
+    * is the caller's concern — so a KNOWN ClickHouse format name strips
+    * and the pasted query runs; any other trailing word is left alone (a
+    * column named `format` stays a column). Statement-end anchoring makes
+    * this literal-safe without a scanner: a string literal always ends
+    * with a quote, which the word-then-end pattern cannot match. Stripped
+    * before SETTINGS in the chain mirror-imaging ClickHouse's
+    * `[SETTINGS …] [FORMAT f]` clause order.
+    */
+  private def rewriteFormat(sqlText: String): String = sqlText match {
+    case FormatRe(stmt, fmt) if KnownFormats.contains(fmt.toLowerCase) => stmt
+    case _ => sqlText
+  }
+
   /** ClickHouse `GLOBAL JOIN` / `GLOBAL [NOT] IN`: the distributed
     * broadcast-the-right-side spelling. On this engine every join and IN
     * subquery already plans against the WHOLE table (Spark owns
@@ -274,7 +289,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText0: String): LogicalPlan = {
     val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(
-      rewriteArrayJoin(rewriteGlobal(rewriteSettings(sqlText0))))))
+      rewriteArrayJoin(rewriteGlobal(rewriteSettings(rewriteFormat(sqlText0)))))))
     sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
@@ -588,6 +603,14 @@ object GraftSqlParser {
   private[sources] val LimitByRe =
     ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(?:(\\d+)\\s*,\\s*)?(\\d+)\\s+BY\\s+" +
       "([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)\\s*;?\\s*$").r
+
+  // `FORMAT <name>` at statement end; names are ClickHouse output formats.
+  private[sources] val FormatRe = "(?is)^(.*?)\\s+FORMAT\\s+(\\w+)\\s*;?\\s*$".r
+  private[sources] val KnownFormats: Set[String] = Set(
+    "json", "jsoneachrow", "jsoncompact", "jsoncompacteachrow",
+    "csv", "csvwithnames", "tsv", "tabseparated", "tabseparatedwithnames",
+    "pretty", "prettycompact", "prettyspace", "values", "vertical",
+    "parquet", "arrow", "native", "rowbinary", "orc", "avro")
 
   // `SETTINGS k = v[, …]` at statement end; each pair `ident = literal`.
   private[sources] val SettingsProbeRe = "(?i)\\bSETTINGS\\b".r

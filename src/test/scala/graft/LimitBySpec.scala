@@ -100,6 +100,17 @@ class LimitBySpec extends AnyFunSuite {
     assert(notIn.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     // GLOBAL as an ordinary identifier is untouched
     assert(spark.sql("SELECT 1 AS global").collect().head.getInt(0) == 1)
+    // FORMAT <known format> at statement end strips (and composes with
+    // SETTINGS in ClickHouse's clause order)
+    val fmt = spark.sql("SELECT id FROM st_src WHERE id = 2 " +
+      "SETTINGS max_threads = 4 FORMAT JSONEachRow").collect()
+    assert(fmt.map(_.getLong(0)).toSeq == Seq(2L))
+    // an unknown trailing word is NOT eaten — a column named format stays
+    Seq((1L, "x")).toDF("id", "format").createOrReplaceTempView("fmt_src")
+    assert(spark.sql("SELECT format FROM fmt_src").collect().head.getString(0) == "x")
+    // a literal ending in a format name survives (quote anchors the end)
+    assert(spark.sql("SELECT 'use FORMAT JSON' AS s").collect()
+      .head.getString(0) == "use FORMAT JSON")
   }
 
   test("ARRAY JOIN: element expansion, column replacement, LEFT keeps empties") {
