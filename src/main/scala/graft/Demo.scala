@@ -364,6 +364,42 @@ object Demo {
     println(s"== PREWHERE+WHERE merged rows = $clBoth; SAMPLE 100 ~= " +
       s"$clAbs rows of 800; JOIN ... FINAL = $clJoinFin (raw x collapsed); " +
       s"multi-fill (3 x 2) grid rows = $clGrid")
+    // Round 16, second wave: parametric aggregates (f(params)(args)),
+    // ClickHouse aggregate/array-HOF name aliases, ClickHouse-native
+    // CREATE TABLE DDL, and ALTER TABLE ADD/MATERIALIZE INDEX.
+    println("== ClickHouse dialect, second wave: parametrics / aliases / DDL / ADD INDEX:")
+    val para = spark.sql(
+      """SELECT quantile(0.5)(v) AS p50, array_join(topK(2)(CAST(k % 3 AS STRING)), ',') AS top2,
+        |  uniqUpTo(5)(CAST(k % 10 AS STRING)) AS usat,
+        |  argMax(v, (k * 10 + ver) * 1000000.0 + v) AS am,
+        |  CAST(arraySum(arrayMap(x -> x * 2, array(1, 2, 3))) AS BIGINT) AS s6
+        |FROM gdemo.ns.m""".stripMargin).collect().head
+    println(s"== quantile(0.5)(v) = ${para.get(0)}, topK(2) = ${para.get(1)}, " +
+      s"uniqUpTo(5) over 10 distinct = ${para.get(2)} (saturated), " +
+      s"argMax = ${para.get(3)}, arraySum(arrayMap(x -> x*2, [1,2,3])) = ${para.get(4)}")
+    val chDir = java.nio.file.Files.createTempDirectory("demo_chddl_").toString
+    spark.sql(
+      s"""CREATE TABLE demo_ch_ddl (k UInt64, ver UInt64,
+         |  cat LowCardinality(String), v Nullable(Float64))
+         |ENGINE = ReplacingMergeTree(ver) ORDER BY k
+         |SETTINGS index_granularity = 8192
+         |LOCATION '$chDir/t'""".stripMargin)
+    // two inserts split on cat → two parts with disjoint cat values, so
+    // the retrofitted set sidecars have something to prune
+    spark.sql("INSERT INTO demo_ch_ddl SELECT k, ver, CAST(k < 200 AS STRING), " +
+      "CAST(v AS DOUBLE) FROM gdemo.ns.m WHERE k < 200")
+    spark.sql("INSERT INTO demo_ch_ddl SELECT k, ver, CAST(k < 200 AS STRING), " +
+      "CAST(v AS DOUBLE) FROM gdemo.ns.m WHERE k >= 200")
+    val chFin = spark.sql("SELECT count(*) FROM demo_ch_ddl FINAL")
+      .collect().head.getLong(0)
+    spark.sql(s"ALTER TABLE '$chDir/t' ADD INDEX idx_cat cat TYPE set(100)")
+    val chMat = spark.sql(s"ALTER TABLE '$chDir/t' MATERIALIZE INDEX cat")
+      .collect().head.getLong(0)
+    val chT = mergetree.ColumnarMergeTree.open(spark, s"$chDir/t")
+    val chIn = chT.scanIn("cat", Seq("true")).count()
+    println(s"== CH CREATE TABLE (ReplacingMergeTree DDL): FINAL rows = $chFin; " +
+      s"ADD INDEX set + MATERIALIZE built $chMat sidecars; " +
+      s"scanIn(cat='true') = $chIn rows reading ${chT.lastPruning._1}/${chT.lastPruning._2} parts")
 
     // Round 14: system.query_log — every action above landed in the
     // session's execution ring; read it back from pure SQL.

@@ -1186,12 +1186,18 @@ object GraftFunctions {
     // ClickHouse uniqUpTo(8)(x): bounded-state distinct-or-saturate.
     spark.udf.register("uniq_up_to_8",
       org.apache.spark.sql.functions.udaf(new UniqUpToAggregator(8)))
+    // The parser's uniqUpTo(n)(x) rewrite targets this wider instance:
+    // least(uniq_up_to_100(x), n+1) is exact for every n ≤ 100 while the
+    // state stays ≤ 101 values per group.
+    spark.udf.register("uniq_up_to_100",
+      org.apache.spark.sql.functions.udaf(new UniqUpToAggregator(100)))
   }
 
   def register(spark: SparkSession): Unit = {
-    (expressionFunctions ++ clickhouseAliases).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    (expressionFunctions ++ clickhouseAliases ++ ClickHouseNames.all)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
     registerUdafs(spark)
   }
 }
@@ -1203,8 +1209,8 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // The SAME lists register() iterates — the two faces cannot drift.
-    (GraftFunctions.expressionFunctions ++ GraftFunctions.clickhouseAliases)
-      .foreach(ext.injectFunction)
+    (GraftFunctions.expressionFunctions ++ GraftFunctions.clickhouseAliases ++
+      ClickHouseNames.all).foreach(ext.injectFunction)
     // UDAFs need a live session (spark.udf); the check-rule hook hands us
     // one at analyzer build — registration is idempotent, so re-running
     // per analyzer construction is harmless.

@@ -1559,16 +1559,18 @@ final class ColumnarMergeTree private (
     * correctness.
     */
   private def buildTokenBlooms(stage: java.nio.file.Path): Unit =
-    config.tokenBloomColumns.foreach { c =>
+    buildTokenBlooms(stage, config.tokenBloomColumns)
+
+  private def buildTokenBlooms(dir: java.nio.file.Path, cols: Seq[String]): Unit =
+    cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"tokenBloomColumns: unknown column $c")
-      val toks = spark.read.schema(schema).parquet(stage.toString)
+      val toks = spark.read.schema(schema).parquet(dir.toString)
         .select(explode(split(col(c).cast("string"),
           ColumnarMergeTree.TokenSplitRe)).as("tok"))
         .filter(length(col("tok")) > 0)
       val bf = toks.stat.bloomFilter("tok",
         ColumnarMergeTree.TokenBloomExpectedTokens, ColumnarMergeTree.TokenBloomFpp)
-      val out = Files.newOutputStream(stage.resolve(s"_tokenbf_$c"))
-      try bf.writeTo(out) finally out.close()
+      writeSidecarAtomic(dir, s"_tokenbf_$c")(out => bf.writeTo(out))
     }
 
   /** Build the ngrambf sidecars for a freshly-staged part: one distributed
@@ -1579,19 +1581,21 @@ final class ColumnarMergeTree private (
     * and probes never ask about them (needles < 3 chars full-scan).
     */
   private def buildNgramBlooms(stage: java.nio.file.Path): Unit =
-    config.ngramBloomColumns.foreach { c =>
+    buildNgramBlooms(stage, config.ngramBloomColumns)
+
+  private def buildNgramBlooms(dir: java.nio.file.Path, cols: Seq[String]): Unit =
+    cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"ngramBloomColumns: unknown column $c")
       val str = col(c).cast("string")
       val grams = transform(
         sequence(lit(1), greatest(lit(1), length(str) - lit(ColumnarMergeTree.NgramSize - 1))),
         i => str.substr(i, lit(ColumnarMergeTree.NgramSize)))
-      val g = spark.read.schema(schema).parquet(stage.toString)
+      val g = spark.read.schema(schema).parquet(dir.toString)
         .select(explode(grams).as("g"))
         .filter(length(col("g")) > 0)
       val bf = g.stat.bloomFilter("g",
         ColumnarMergeTree.NgramBloomExpectedNgrams, ColumnarMergeTree.NgramBloomFpp)
-      val out = Files.newOutputStream(stage.resolve(s"_ngrambf_$c"))
-      try bf.writeTo(out) finally out.close()
+      writeSidecarAtomic(dir, s"_ngrambf_$c")(out => bf.writeTo(out))
     }
 
   /** Build the set(N) sidecars for a freshly-staged part: one distributed
@@ -1606,11 +1610,14 @@ final class ColumnarMergeTree private (
     * correctly prunable via its (empty) set.
     */
   private def buildSetIndexes(stage: java.nio.file.Path): Unit =
-    config.setIndexColumns.foreach { c =>
+    buildSetIndexes(stage, config.setIndexColumns)
+
+  private def buildSetIndexes(dir: java.nio.file.Path, cols: Seq[String]): Unit =
+    cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"setIndexColumns: unknown column $c")
       if (ColumnarMergeTree.setIndexEligible(schema(c).dataType)) {
         val cap = ColumnarMergeTree.SetIndexMaxValues
-        val vals = spark.read.schema(schema).parquet(stage.toString)
+        val vals = spark.read.schema(schema).parquet(dir.toString)
           .select(col(c).cast("string").as("v"))
           .filter(col("v").isNotNull)
           .distinct().limit(cap + 1)
@@ -1622,9 +1629,25 @@ final class ColumnarMergeTree private (
             import org.json4s.jackson.Serialization
             Serialization.write(Map("values" -> vals.sorted.toList))(DefaultFormats)
           }
-        Files.write(stage.resolve(s"_set_$c"), payload.getBytes("UTF-8"))
+        writeSidecarAtomic(dir, s"_set_$c")(out =>
+          out.write(payload.getBytes("UTF-8")))
       }
     }
+
+  /** Write a sidecar file atomically: temp sibling + ATOMIC_MOVE, so a
+    * reader probing an EXISTING part dir (materializeIndex retrofits
+    * sidecars onto live parts) never sees a half-written filter — it sees
+    * no file (correct, unprunable) or the whole file.
+    */
+  private def writeSidecarAtomic(dir: java.nio.file.Path, name: String)(
+      write: java.io.OutputStream => Unit): Unit = {
+    val tmp = dir.resolve(s".tmp_$name")
+    val out = Files.newOutputStream(tmp)
+    try write(out) finally out.close()
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Build the per-part HLL `uniq` sidecars: one distributed hash+aggregate
     * pass per listed column over the freshly-staged files, 2 KB of
@@ -2867,6 +2890,126 @@ final class ColumnarMergeTree private (
     ColumnarMergeTree.open(spark, path, config)
   }
 
+  /** ClickHouse `ALTER TABLE … ADD INDEX … TYPE <kind>`: declare a skip
+    * index on an EXISTING table — a metadata-only tabledef update (the
+    * modifyTtl discipline: manifest lock, definition CAS, reopen, this
+    * instance's background worker stops). Parts written FROM NOW ON carry
+    * the sidecar; existing parts stay readable and merely unprunable on
+    * that column until [[materializeIndex]] retrofits them (tokenbf/
+    * ngrambf/set) or a merge rewrites them (minmax/bloom_filter — those
+    * live in footers/manifest stats, which only a part write can produce).
+    * Kinds: bloom_filter | minmax | tokenbf (tokenbf_v1) | ngrambf
+    * (ngrambf_v1) | set.
+    */
+  def addIndexColumn(kind: String, column: String): ColumnarMergeTree = {
+    stopBackgroundWorker()
+    require(schema.fieldNames.contains(column),
+      s"ADD INDEX: unknown column '$column'")
+    val k = ColumnarMergeTree.normalizeIndexKind(kind)
+    if (k == "set")
+      require(ColumnarMergeTree.setIndexEligible(schema(column).dataType),
+        s"ADD INDEX set: column '$column' is ${schema(column).dataType.sql} — " +
+          "only integral/string/boolean columns have an unambiguous set form")
+    ManifestLocks.locked(path) {
+      val defn = TableDef.load(path).getOrElse(
+        throw new IllegalStateException(s"no table definition at $path"))
+      def add(cur: Option[List[String]]) =
+        Some((cur.getOrElse(Nil) :+ column).distinct)
+      TableDef.store(path, k match {
+        case "bloom_filter" => defn.copy(bloomFilterColumns = add(defn.bloomFilterColumns))
+        case "minmax"       => defn.copy(minmaxColumns = add(defn.minmaxColumns))
+        case "tokenbf"      => defn.copy(tokenBloomColumns = add(defn.tokenBloomColumns))
+        case "ngrambf"      => defn.copy(ngramBloomColumns = add(defn.ngramBloomColumns))
+        case "set"          => defn.copy(setIndexColumns = add(defn.setIndexColumns))
+      })
+    }
+    ColumnarMergeTree.open(spark, path, config)
+  }
+
+  /** ClickHouse `ALTER TABLE … DROP INDEX <column>`: remove the column
+    * from EVERY index family that lists it (indexes here are
+    * column-addressed — the ADD INDEX name is cosmetic). Metadata-only;
+    * existing sidecar files stay on their immutable parts (they still
+    * describe the part's data exactly, so probes that consult them stay
+    * correct — they just stop being built for new parts). Loud when the
+    * column is indexed nowhere.
+    */
+  def dropIndexColumn(column: String): ColumnarMergeTree = {
+    stopBackgroundWorker()
+    ManifestLocks.locked(path) {
+      val defn = TableDef.load(path).getOrElse(
+        throw new IllegalStateException(s"no table definition at $path"))
+      def rm(cur: Option[List[String]]) =
+        cur.map(_.filterNot(_ == column)).filter(_.nonEmpty)
+      val had = Seq(defn.bloomFilterColumns, defn.minmaxColumns,
+        defn.tokenBloomColumns, defn.ngramBloomColumns, defn.setIndexColumns)
+        .exists(_.exists(_.contains(column)))
+      require(had, s"DROP INDEX: column '$column' is not indexed " +
+        "(indexes are column-addressed — name ADD INDEX after its column)")
+      TableDef.store(path, defn.copy(
+        bloomFilterColumns = rm(defn.bloomFilterColumns),
+        minmaxColumns = rm(defn.minmaxColumns),
+        tokenBloomColumns = rm(defn.tokenBloomColumns),
+        ngramBloomColumns = rm(defn.ngramBloomColumns),
+        setIndexColumns = rm(defn.setIndexColumns)))
+    }
+    // The reopen must not resurrect the column through THIS instance's
+    // config: open() treats an absent tabledef list as "opener's choice"
+    // (the pre-existing-table posture), so a now-empty list would fall
+    // back to the very config that still carries the dropped column.
+    ColumnarMergeTree.open(spark, path, config.copy(
+      bloomFilterColumns = config.bloomFilterColumns.filterNot(_ == column),
+      minmaxColumns = config.minmaxColumns.filterNot(_ == column),
+      tokenBloomColumns = config.tokenBloomColumns.filterNot(_ == column),
+      ngramBloomColumns = config.ngramBloomColumns.filterNot(_ == column),
+      setIndexColumns = config.setIndexColumns.filterNot(_ == column)))
+  }
+
+  /** ClickHouse `ALTER TABLE … MATERIALIZE INDEX <column>`: retrofit the
+    * declared FILE-backed sidecars (tokenbf/ngrambf/set) onto existing
+    * parts that predate the ADD INDEX — one distributed pass per missing
+    * (part, kind), the sidecar landing via atomic rename so concurrent
+    * readers see either no file (unprunable, correct) or the whole file.
+    * Parts are immutable, so a retrofit sidecar is exact forever. Returns
+    * the number of sidecars built. minmax/bloom_filter refuse — they live
+    * in footers/manifest stats, only OPTIMIZE TABLE … FINAL (a part
+    * rewrite) can produce them for old parts.
+    */
+  def materializeIndex(column: String): Int = {
+    val defn = TableDef.load(path).getOrElse(
+      throw new IllegalStateException(s"no table definition at $path"))
+    val fileKinds = Seq(
+      ("tokenbf", defn.tokenBloomColumns, s"_tokenbf_$column"),
+      ("ngrambf", defn.ngramBloomColumns, s"_ngrambf_$column"),
+      ("set", defn.setIndexColumns, s"_set_$column")
+    ).filter(_._2.exists(_.contains(column)))
+    val rewriteOnly = Seq(defn.minmaxColumns, defn.bloomFilterColumns)
+      .exists(_.exists(_.contains(column)))
+    require(fileKinds.nonEmpty || rewriteOnly,
+      s"MATERIALIZE INDEX: column '$column' is not indexed")
+    require(fileKinds.nonEmpty,
+      s"MATERIALIZE INDEX: '$column' has only footer/manifest-backed " +
+        "indexes (minmax/bloom_filter) — OPTIMIZE TABLE … FINAL rewrites " +
+        "parts and materializes those")
+    val parts = ColumnarMergeTree.GManifest.load(path)
+      .map(_.parts).getOrElse(Nil)
+    var built = 0
+    parts.foreach { p =>
+      val dir = Paths.get(path, p.dir)
+      fileKinds.foreach { case (kind, _, file) =>
+        if (!Files.exists(dir.resolve(file))) {
+          kind match {
+            case "tokenbf" => buildTokenBlooms(dir, Seq(column))
+            case "ngrambf" => buildNgramBlooms(dir, Seq(column))
+            case "set"     => buildSetIndexes(dir, Seq(column))
+          }
+          built += 1
+        }
+      }
+    }
+    built
+  }
+
   /** ClickHouse `SYSTEM STOP MERGES`: pause BACKGROUND maintenance (worker
     * compaction and pending-mutation folding) on this table, across every
     * instance and process — the switch is a marker file, polled by each
@@ -2975,6 +3118,25 @@ object ColumnarMergeTree {
   private[graft] def setIndexEligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType | BooleanType => true
     case _ => false
+  }
+
+  /** ADD INDEX kind names: ClickHouse's spellings (tokenbf_v1 with sizing
+    * args, set(N) — the args are sizing tuning, this engine's sidecars are
+    * fixed-sized, accepted and ignored with the SETTINGS-allowlist posture)
+    * normalize to the engine's five families; anything else is loud.
+    */
+  private[graft] def normalizeIndexKind(kind0: String): String = {
+    val base = kind0.trim.takeWhile(_ != '(').trim.toLowerCase
+    base match {
+      case "bloom_filter"           => "bloom_filter"
+      case "minmax"                 => "minmax"
+      case "tokenbf_v1" | "tokenbf" => "tokenbf"
+      case "ngrambf_v1" | "ngrambf" => "ngrambf"
+      case "set"                    => "set"
+      case other => throw new IllegalArgumentException(
+        s"unsupported index TYPE '$other' — " +
+          "bloom_filter | minmax | tokenbf_v1 | ngrambf_v1 | set(N) map here")
+    }
   }
 
   /** Canonical probe-value encoding — must match the build job's

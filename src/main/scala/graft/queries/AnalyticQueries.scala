@@ -1787,6 +1787,176 @@ object AnalyticQueries {
       |FROM grid g LEFT JOIN obs ON g.day = obs.day AND g.bk = obs.bk
       |ORDER BY g.day, g.bk""".stripMargin
 
+  /** Q159 — ClickHouse AGGREGATE-NAME aliases under oracle (round 16,
+    * second family): argMax/argMin (→ max_by/min_by), uniqExact (the
+    * builder-level count-DISTINCT), groupUniqArray (→ collect_set), and
+    * avgWeighted/stddevPop — each a pure alias over Spark's aggregate
+    * machinery, so the whole statement stays one hash aggregate with
+    * map-side partial combine. Determinism: the arg ordering key
+    * (l_orderkey*10+l_linenumber) is UNIQUE, so argMax/argMin are
+    * single-valued; the array face is sorted then stringified (array
+    * dtype round-trips differ between engines, strings don't).
+    */
+  def q159AggNames(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q159_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT l_returnflag,
+           | argMax(l_extendedprice,
+           |   (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
+           |   AS last_price,
+           | argMin(l_extendedprice,
+           |   (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
+           |   AS first_price,
+           | uniqExact(l_partkey) AS parts,
+           | uniqExact(l_suppkey, l_linestatus) AS supp_status,
+           | array_join(sort_array(groupUniqArray(l_linestatus)), ',') AS statuses,
+           | CAST(floor(avgWeighted(l_extendedprice, l_quantity) * 100.0 + 0.5)
+           |   AS BIGINT) AS aw100,
+           | CAST(floor(stddevPop(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS sd6
+           |FROM $v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q159Sql: String =
+    """SELECT l_returnflag,
+      | arg_max(l_extendedprice,
+      |   (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
+      |   AS last_price,
+      | arg_min(l_extendedprice,
+      |   (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
+      |   AS first_price,
+      | count(DISTINCT l_partkey) AS parts,
+      | count(DISTINCT (l_suppkey, l_linestatus)) AS supp_status,
+      | array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      | CAST(floor(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100.0
+      |   + 0.5) AS BIGINT) AS aw100,
+      | CAST(floor(stddev_pop(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS sd6
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q160 — ClickHouse PARAMETRIC aggregate syntax under oracle:
+    * `quantile(0.5)(x)`, `quantiles(…)(x)`, `topK(3)(x)`, `uniqUpTo(n)(x)`
+    * — the `f(params)(args)` call shape Spark's grammar cannot parse,
+    * rewritten by GraftSqlParser.rewriteParametrics to flat calls over
+    * percentile / the SpaceSaving and bounded-distinct UDAFs. Quantiles
+    * run over l_quantity (integral values) at dyadic levels (.25/.5/.75),
+    * so the interpolated doubles are EXACT in both engines and
+    * hash-comparable without rounding. topK is exact here (3 distinct
+    * values, nothing evicts) with the deterministic (cnt desc, term asc)
+    * order; uniqUpTo is pinned below (2 distinct ≤ 4) and at saturation.
+    */
+  def q160Parametric(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q160_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT
+           | quantile(0.5)(l_quantity) AS p50,
+           | array_join(transform(quantiles(0.25, 0.75)(l_quantity),
+           |   e -> CAST(e AS STRING)), ',') AS p25_75,
+           | array_join(topK(3)(l_returnflag), ',') AS top_flags,
+           | uniqUpTo(4)(l_linestatus) AS u_small,
+           | uniqUpTo(10)(CAST(l_partkey % 40 AS STRING)) AS u_sat
+           |FROM $v""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q160Sql: String =
+    """SELECT
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | array_to_string(quantile_cont(l_quantity, [0.25, 0.75]), ',') AS p25_75,
+      | array_to_string((SELECT list(rf ORDER BY c DESC, rf)[1:3]
+      |   FROM (SELECT l_returnflag rf, count(*) c FROM lineitem GROUP BY 1)),
+      |   ',') AS top_flags,
+      | least(count(DISTINCT l_linestatus), 5) AS u_small,
+      | least(count(DISTINCT CAST(l_partkey % 40 AS VARCHAR)), 11) AS u_sat
+      |FROM lineitem""".stripMargin
+
+  /** Q161 — higher-order array functions in ClickHouse's LAMBDA-FIRST
+    * order under oracle: arrayMap/arrayFilter/arraySum/arraySort over
+    * per-order quantity arrays. The builders swap arguments into Spark's
+    * own HigherOrderFunction expressions (transform/filter/aggregate),
+    * so the plan is identical to the Spark spelling — codegen'd lambda
+    * evaluation, no UDFs. Arrays are stringified for the compare (dtype
+    * round-trips differ between engines); sums of integral-valued
+    * doubles are exact.
+    */
+  def q161ArrayHofCh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q161_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").where(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("q"))
+      .createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT l_orderkey,
+           | array_join(arrayMap(x -> x * 2, q), ',') AS doubled,
+           | array_join(arrayFilter(x -> x > 25, q), ',') AS big,
+           | CAST(arraySum(q) AS BIGINT) AS total,
+           | arrayCount(x -> x >= 10, q) AS n10,
+           | array_join(arrayReverseSort(q), ',') AS rev
+           |FROM $v ORDER BY l_orderkey""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q161Sql: String =
+    """WITH arrs AS (
+      |  SELECT l_orderkey, list_sort(list(l_quantity)) AS q
+      |  FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      | array_to_string(list_transform(q, x -> x * 2), ',') AS doubled,
+      | coalesce(array_to_string(list_filter(q, x -> x > 25), ','), '') AS big,
+      | CAST(list_sum(q) AS BIGINT) AS total,
+      | length(list_filter(q, x -> x >= 10)) AS n10,
+      | array_to_string(list_reverse_sort(q), ',') AS rev
+      |FROM arrs ORDER BY l_orderkey""".stripMargin
+
+  /** Q162 — ClickHouse string/arithmetic/date-name families under oracle:
+    * positionUTF8, replaceOne (locate+overlay — first occurrence only),
+    * leftPad, multiIf, intDiv, toYYYYMM, addDays, the quoted-unit
+    * dateDiff('day', …) (normalized by rewriteDateDiffUnit into Spark's
+    * own grammar form), and formatDateTime's %-token translation. All
+    * codegen'd built-in compositions.
+    */
+  def q162ChScalars(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q162_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "orders").where(col("o_orderkey") < 500)
+      .createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT o_orderkey,
+           | positionUTF8(o_orderpriority, '-') AS dash_at,
+           | replaceOne(o_orderpriority, '-', '_') AS pri_u,
+           | leftPad(CAST(o_orderkey AS STRING), 8, '0') AS key8,
+           | multiIf(o_totalprice > 200000, 'high',
+           |         o_totalprice > 100000, 'mid', 'low') AS bucket,
+           | intDiv(o_orderkey, 7) AS k7,
+           | toYYYYMM(o_orderdate) AS ym,
+           | CAST(addDays(toDate(o_orderdate), 30) AS STRING) AS due,
+           | dateDiff('day', toDate(o_orderdate), DATE '2025-01-01') AS days_left,
+           | formatDateTime(o_orderdate, '%Y/%m/%d') AS ymd
+           |FROM $v ORDER BY o_orderkey""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q162Sql: String =
+    """SELECT o_orderkey,
+      | strpos(o_orderpriority, '-') AS dash_at,
+      | CASE WHEN strpos(o_orderpriority, '-') = 0 THEN o_orderpriority
+      |   ELSE substr(o_orderpriority, 1, strpos(o_orderpriority, '-') - 1)
+      |     || '_' || substr(o_orderpriority, strpos(o_orderpriority, '-') + 1)
+      | END AS pri_u,
+      | lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS key8,
+      | CASE WHEN o_totalprice > 200000 THEN 'high'
+      |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+      | o_orderkey // 7 AS k7,
+      | year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+      | CAST((o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS VARCHAR) AS due,
+      | date_diff('day', o_orderdate::DATE, DATE '2025-01-01') AS days_left,
+      | strftime(o_orderdate, '%Y/%m/%d') AS ymd
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -1845,5 +2015,9 @@ object AnalyticQueries {
     ("q153_multi_fill", q153MultiFill _, Some(q153Sql)),
     ("q155_desc_fill", q155DescFill _, Some(q155Sql)),
     ("q157_array_join", q157ArrayJoin _, Some(q157Sql)),
-    ("q158_ch_functions", q158ChFunctions _, Some(q158Sql)))
+    ("q158_ch_functions", q158ChFunctions _, Some(q158Sql)),
+    ("q159_agg_names", q159AggNames _, Some(q159Sql)),
+    ("q160_parametric", q160Parametric _, Some(q160Sql)),
+    ("q161_array_hof_ch", q161ArrayHofCh _, Some(q161Sql)),
+    ("q162_ch_scalars", q162ChScalars _, Some(q162Sql)))
 }

@@ -1806,6 +1806,69 @@ object StorageQueries {
       |WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT < thr.t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q163 — ClickHouse-NATIVE CREATE TABLE DDL under oracle (round 16):
+    * the pasted-ClickHouse form `CREATE TABLE … ENGINE =
+    * ReplacingMergeTree(ver) PARTITION BY … PRIMARY KEY … ORDER BY …
+    * SETTINGS index_granularity = 8192` rewrites (ChCreateTable) to the
+    * SAME options-face DDL q148 spells by hand — UInt64/LowCardinality/
+    * Date map per the published type rules, the engine args become
+    * mode/keys/version, PRIMARY KEY is checked as an ORDER BY prefix and
+    * subsumed, and the SETTINGS tail is tuning-allowlisted. PARTITION BY
+    * k % 4 keeps every key inside one partition, so FINAL's collapse is
+    * the oracle's plain per-key max-version pick. The engine posture is
+    * q148's: version-latest dedup at read via mergetree_final, no
+    * cartesian, partition-pruned scans.
+    */
+  private val cacheChDdl = TrieMap.empty[String, String]
+
+  private def chDdlTable(spark: SparkSession, dir: String): String =
+    cacheChDdl.getOrElseUpdate(dir, {
+      val wh = Files.createTempDirectory("mt_q163_wh_").toString
+      spark.conf.set("spark.sql.catalog.gq163",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gq163.warehouse", wh)
+      val n = "t" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+      spark.read.parquet(s"$dir/events.parquet")
+        .createOrReplaceTempView("q163_events")
+      spark.sql(
+        s"""CREATE TABLE gq163.q163.$n (
+           |  k    UInt64,
+           |  ver  UInt64,
+           |  cat  LowCardinality(String) CODEC(ZSTD(3)),
+           |  v100 Nullable(Int64),
+           |  d    Date
+           |) ENGINE = ReplacingMergeTree(ver)
+           |PARTITION BY k % 4
+           |PRIMARY KEY k
+           |ORDER BY k
+           |SETTINGS index_granularity = 8192""".stripMargin)
+      for (half <- 0 to 1)
+        spark.sql(s"INSERT INTO gq163.q163.$n SELECT user_id, event_id, " +
+          "event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT), " +
+          s"CAST(ts AS DATE) FROM q163_events WHERE event_id % 2 = $half")
+      s"gq163.q163.$n"
+    })
+
+  def q163ChCreateTable(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = chDdlTable(spark, dir)
+    val raw = spark.sql(s"SELECT count(*) FROM $tbl").collect().head.getLong(0)
+    val fin = spark.sql(
+      s"SELECT k, ver, cat, v100, CAST(d AS STRING) AS d FROM $tbl FINAL ORDER BY k")
+    val finRows = fin.count()
+    require(raw > finRows && finRows > 0,
+      s"q163: raw versions ($raw) must exceed FINAL's collapse ($finRows)")
+    fin
+  }
+
+  val q163Sql: String =
+    """SELECT k, ver, cat, v100, CAST(d AS VARCHAR) AS d FROM (
+      |  SELECT user_id AS k, event_id AS ver, event_type AS cat,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v100,
+      |    ts::DATE AS d,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) sub
+      |WHERE rn = 1 ORDER BY k""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q1_point_lookup", q1PointLookup _, Some(q1Sql)),
     ("q2_range_scan", q2RangeScan _, Some(q2Sql)),
@@ -1850,5 +1913,6 @@ object StorageQueries {
     ("q150_prewhere", q150Prewhere _, Some(q150Sql)),
     ("q151_sample_rows", q151SampleRows _, Some(q151Sql)),
     ("q154_join_final", q154JoinFinal _, Some(q154Sql)),
-    ("q156_limit_offset_by", q156LimitOffsetBy _, Some(q156Sql)))
+    ("q156_limit_offset_by", q156LimitOffsetBy _, Some(q156Sql)),
+    ("q163_ch_create_table", q163ChCreateTable _, Some(q163Sql)))
 }

@@ -25,6 +25,9 @@ import java.nio.file.Paths
   *   ALTER TABLE t MATERIALIZE TTL
   *   ALTER TABLE t UPDATE c1 = expr1, c2 = expr2 WHERE pred
   *   ALTER TABLE t DELETE WHERE pred
+  *   ALTER TABLE t ADD INDEX name col TYPE kind [GRANULARITY g]
+  *   ALTER TABLE t DROP INDEX col
+  *   ALTER TABLE t MATERIALIZE INDEX col
   * }}}
   *
   * `t` is either a GraftCatalog identifier (`graft.ns.tbl`) or a quoted
@@ -233,6 +236,107 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (!GlobalProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, GlobalRe)(m => m.group(1))
 
+  /** ClickHouse PARAMETRIC aggregates — `name(params)(args)`, a call shape
+    * Spark's grammar cannot parse — rewritten to flat Spark calls:
+    *
+    *   - `quantile(p)(x)` / `quantileExact(p)(x)` → `percentile(x, p)`
+    *     (exact interpolated — a deterministic superset of ClickHouse's
+    *     sampling approximation, documented); `quantiles(p…)(x)` → the
+    *     array form; `quantileTDigest(p)(x)` → `percentile_approx(x, p)`
+    *     (Spark's mergeable sketch, same accuracy class).
+    *   - `topK(k)(x)` / `topKWeighted(k)(x, w)` → a slice of the engine's
+    *     SpaceSaving UDAFs (capacity 4096, k ≤ 50 — the registered sketch
+    *     width; exact when nothing evicts, same as q63's contract).
+    *   - `uniqUpTo(n)(x)`, n ≤ 100 → `least(uniq_up_to_100(x), n+1)` —
+    *     the saturating distinct count (exact ≤ n, n+1 past it) from the
+    *     bounded-state aggregator.
+    *   - `groupArray(n)(x)` / `groupUniqArray(n)(x)` → a slice of the
+    *     unbounded forms.
+    *
+    * Scanner, not regex-only: the two groups are balanced-paren matched
+    * (quote-aware), leftmost occurrence per pass until fixpoint, so nested
+    * parametrics in arguments resolve too. A name WITHOUT a second group
+    * (plain `groupArray(x)`) is untouched — that is the registry alias.
+    */
+  private def rewriteParametrics(sqlText: String): String = {
+    if (!ParametricHeadRe.pattern.matcher(sqlText).find()) return sqlText
+    var cur = sqlText
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val spans = quotedSpans(cur)
+      val hit = ParametricHeadRe.findAllMatchIn(cur)
+        .filter(m => !inSpan(spans, m.start))
+        .flatMap { m =>
+          val open1 = m.end - 1 // the regex ends at '('
+          scala.util.Try {
+            val close1 = matchParenQ(cur, open1)
+            var j = close1 + 1
+            while (j < cur.length && cur.charAt(j).isWhitespace) j += 1
+            if (j >= cur.length || cur.charAt(j) != '(') None
+            else {
+              val close2 = matchParenQ(cur, j)
+              Some((m.start, close2 + 1, m.group(1),
+                cur.substring(open1 + 1, close1).trim,
+                cur.substring(j + 1, close2).trim))
+            }
+          }.toOption.flatten
+        }.toStream.headOption
+      hit match {
+        case Some((start, end, name, params, args)) =>
+          cur = cur.substring(0, start) +
+            parametricCall(name, params, args) + cur.substring(end)
+        case None => return cur
+      }
+    }
+    cur
+  }
+
+  private def parametricCall(name: String, params: String, args: String): String = {
+    require(params.nonEmpty, s"$name(…)(…): empty parameter list")
+    require(args.nonEmpty, s"$name(…)(…): empty argument list")
+    def intParam(lo: Int, hi: Int): Int = {
+      val n = scala.util.Try(params.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name($params): the parameter must be an integer literal"))
+      require(n >= lo && n <= hi, s"$name($params): parameter out of [$lo, $hi]")
+      n
+    }
+    name.toLowerCase match {
+      case "quantile" | "quantileexact" | "median" =>
+        s"percentile($args, $params)"
+      case "quantiles" | "quantilesexact" =>
+        s"percentile($args, array($params))"
+      case "quantiletdigest" => s"percentile_approx($args, $params)"
+      case "topk" =>
+        val k = intParam(1, 50)
+        s"slice(transform(topk_approx($args), ch_t -> ch_t.term), 1, $k)"
+      case "topkweighted" =>
+        val k = intParam(1, 50)
+        s"slice(transform(topk_weighted($args), ch_t -> ch_t.term), 1, $k)"
+      case "uniqupto" =>
+        val n = intParam(1, 100)
+        s"least(uniq_up_to_100($args), ${n + 1})"
+      case "grouparray"     => s"slice(groupArray($args), 1, ${intParam(1, 1 << 20)})"
+      case "groupuniqarray" => s"slice(groupUniqArray($args), 1, ${intParam(1, 1 << 20)})"
+      case other => throw new IllegalStateException(s"unhandled parametric $other")
+    }
+  }
+
+  /** ClickHouse spells datetime units as STRING literals —
+    * `dateDiff('day', a, b)`, `dateAdd('hour', 3, t)` — where Spark's
+    * grammar wants the bare keyword (`datediff(day, a, b)`). Unquote the
+    * first argument when it is a known unit; any other quoted first
+    * argument (for example date_add('2024-01-01', 3)) is data and stays.
+    */
+  private def rewriteDateDiffUnit(sqlText: String): String =
+    if (!DateUnitCallRe.pattern.matcher(sqlText).find()) sqlText
+    else replaceOutsideQuotes(sqlText, DateUnitCallRe) { m =>
+      if (DatetimeUnits.contains(m.group(2).toLowerCase))
+        s"${m.group(1)}(${m.group(2)}, "
+      else m.matched
+    }
+
   /** ClickHouse `FROM t [LEFT] ARRAY JOIN arr [AS e]` — per-element row
     * expansion, the clause ClickHouse uses where Spark says LATERAL VIEW
     * explode. Rewrites to a subquery exploding the array:
@@ -288,8 +392,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
 
   override def parsePlan(sqlText0: String): LogicalPlan = {
+    // ClickHouse-native CREATE TABLE (ENGINE = *MergeTree) → the Spark DDL
+    // face; recognized by its ENGINE clause, so no Spark DDL changes meaning
+    ChCreateTable.rewrite(sqlText0) match {
+      case Some(ddl) => return delegate.parsePlan(ddl)
+      case None =>
+    }
     val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(
-      rewriteArrayJoin(rewriteGlobal(rewriteSettings(rewriteFormat(sqlText0)))))))
+      rewriteArrayJoin(rewriteGlobal(rewriteSettings(rewriteFormat(
+        rewriteParametrics(rewriteDateDiffUnit(sqlText0)))))))))
     sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
@@ -534,6 +645,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       ModifyTtlCommand(target(q, id), Some(ttl))
     case RemoveTtlRe(q, id) =>
       ModifyTtlCommand(target(q, id), None)
+    case AddIndexRe(q, id, col, kind) =>
+      AddIndexCommand(target(q, id), stripTicks(col), kind)
+    case DropIndexRe(q, id, col) =>
+      DropIndexCommand(target(q, id), stripTicks(col))
+    case MaterializeIndexRe(q, id, col) =>
+      MaterializeIndexCommand(target(q, id), stripTicks(col))
     case AlterUpdateRe(q, id, tail) =>
       val (assigns, cond) = splitLastTopLevelWhere(tail).getOrElse(
         throw new IllegalArgumentException(
@@ -635,6 +752,41 @@ object GraftSqlParser {
       "(?:ANY\\s+|ALL\\s+)?(?:INNER\\s+|LEFT\\s+|RIGHT\\s+|FULL\\s+|" +
       "CROSS\\s+|SEMI\\s+|ANTI\\s+|OUTER\\s+)*JOIN\\b)").r
 
+  private[sources] val ParametricHeadRe =
+    ("(?i)\\b(quantile|quantileExact|quantiles|quantilesExact|" +
+      "quantileTDigest|topK|topKWeighted|uniqUpTo|groupArray|" +
+      "groupUniqArray)\\s*\\(").r
+
+  private[sources] val DateUnitCallRe =
+    ("(?i)\\b(dateDiff|date_diff|timestampDiff|timestamp_diff|dateAdd|" +
+      "date_add|timestampAdd|timestamp_add|datediff|dateadd)\\s*\\(\\s*" +
+      "'([A-Za-z]+)'\\s*,").r
+  private[sources] val DatetimeUnits = Set(
+    "microsecond", "millisecond", "second", "minute", "hour",
+    "day", "dayofyear", "week", "month", "quarter", "year")
+
+  /** Index of the ')' matching the '(' at `open`, skipping quoted spans. */
+  private[sources] def matchParenQ(s: String, open: Int): Int = {
+    require(s.charAt(open) == '(', s"expected '(' at $open")
+    var depth = 0
+    var i = open
+    var inQ = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ != ' ') { if (c == inQ) inQ = ' ' }
+      else c match {
+        case '\'' | '"' | '`' => inQ = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
   // `FROM <ident> [LEFT] ARRAY JOIN <col> [AS <e>][, <col> [AS <e>]…]` —
   // unqualified array columns. The identifier tokens are POSSESSIVE
   // (++/?+/*+): backtracking would otherwise shorten them by a character
@@ -693,6 +845,22 @@ object GraftSqlParser {
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+MODIFY\\s+TTL\\s+'([^']+)'\\s*;?\\s*$").r
   private[sources] val RemoveTtlRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+REMOVE\\s+TTL\\s*;?\\s*$").r
+  // ADD INDEX <name> <column> TYPE <kind[(args)]> [GRANULARITY n] — the
+  // name is cosmetic (indexes are column-addressed), kind args and
+  // GRANULARITY are sizing tuning (accepted, ignored — fixed-size
+  // sidecars); the expression must be a plain column (loud otherwise,
+  // via the \w+ capture refusing expressions).
+  private[sources] val AddIndexRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
+      "\\s+ADD\\s+INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?[`\\w]+\\s+(`?\\w+`?)" +
+      "\\s+TYPE\\s+(\\w+\\s*(?:\\([^)]*\\))?)" +
+      "(?:\\s+GRANULARITY\\s+\\d+)?\\s*;?\\s*$").r
+  private[sources] val DropIndexRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
+      "\\s+DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?(`?\\w+`?)\\s*;?\\s*$").r
+  private[sources] val MaterializeIndexRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
+      "\\s+MATERIALIZE\\s+INDEX\\s+(`?\\w+`?)\\s*;?\\s*$").r
   // Captures everything after UPDATE; the assignments/predicate split
   // happens in splitLastTopLevelWhere (quote-aware — a regex split would
   // mis-handle ' WHERE ' inside a string literal).
@@ -903,6 +1071,17 @@ object GraftSqlParser {
   private[sources] def resolveDir(spark: SparkSession, t: MtTarget): String = {
     val dir = t match {
       case PathTarget(p) => MergeTreeTableProvider.localPath(p)
+      case IdentTarget(parts) if parts.length == 1 =>
+        // a session-catalog (V1) table born from `CREATE TABLE t USING
+        // mergetree LOCATION '<dir>'` — resolve through its own metadata,
+        // so FINAL/SAMPLE and the maintenance verbs work on unqualified
+        // names exactly as on catalog identifiers
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parts.head))
+        require(meta.provider.exists(_.equalsIgnoreCase("mergetree")),
+          s"'${parts.head}' is not a mergetree table (provider " +
+            s"${meta.provider.getOrElse("<none>")})")
+        MergeTreeTableProvider.localPath(meta.location.toString)
       case IdentTarget(parts) =>
         require(parts.length >= 2,
           s"maintenance target '${parts.mkString(".")}' must be " +
@@ -1033,6 +1212,36 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = affected
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(open(spark, t).applyTtl()))
+  }
+
+  /** `ALTER TABLE … ADD INDEX name col TYPE kind` → addIndexColumn: a
+    * metadata-only tabledef update (new parts build the sidecar; existing
+    * parts need MATERIALIZE INDEX or a merge — the table's Scaladoc).
+    */
+  final case class AddIndexCommand(t: MtTarget, column: String, kind: String)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      open(spark, t).addIndexColumn(kind, column)
+      Nil
+    }
+  }
+
+  final case class DropIndexCommand(t: MtTarget, column: String)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      open(spark, t).dropIndexColumn(column)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … MATERIALIZE INDEX col` → materializeIndex: retrofit
+    * file-backed sidecars onto pre-existing parts; returns the build count.
+    */
+  final case class MaterializeIndexCommand(t: MtTarget, column: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = affected
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(open(spark, t).materializeIndex(column).toLong))
   }
 
   /** ClickHouse's mutation spelling `ALTER TABLE … UPDATE c = e, … WHERE p`

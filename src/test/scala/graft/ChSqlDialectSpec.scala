@@ -1,0 +1,198 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.sources.ChCreateTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-16 second-wave SQL dialect surfaces: parametric aggregates
+  * (`f(params)(args)`), quoted datetime units, and ClickHouse-native
+  * CREATE TABLE DDL (ChCreateTable).
+  */
+class ChSqlDialectSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.session
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("parametric quantile/quantiles rewrite to percentile") {
+    import spark.implicits._
+    (1 to 9).map(_.toLong).toDF("v").createOrReplaceTempView("pq_t")
+    val r = spark.sql(
+      """SELECT quantile(0.5)(v) AS p50,
+        |  quantileExact(0.25)(v) AS p25,
+        |  array_join(transform(quantiles(0.25, 0.75)(v),
+        |    e -> CAST(e AS STRING)), ',') AS qs
+        |FROM pq_t""".stripMargin).collect().head
+    assert(r.getAs[Double]("p50") == 5.0)
+    assert(r.getAs[Double]("p25") == 3.0)
+    assert(r.getAs[String]("qs") == "3.0,7.0")
+    // the approximate family goes to percentile_approx — exact here, and
+    // (like ClickHouse's quantileExact) it returns an ACTUAL element, so
+    // the result keeps the input's type
+    val td = spark.sql("SELECT quantileTDigest(0.5)(v) AS p FROM pq_t")
+      .collect().head
+    assert(td.getLong(0) == 5L)
+  }
+
+  test("parametric topK/topKWeighted slice the SpaceSaving sketch") {
+    import spark.implicits._
+    (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .toDF("s").createOrReplaceTempView("pt_t")
+    val r = spark.sql(
+      """SELECT array_join(topK(2)(s), ',') AS t2,
+        |  array_join(topKWeighted(2)(s, 10), ',') AS tw
+        |FROM pt_t""".stripMargin).collect().head
+    assert(r.getAs[String]("t2") == "a,b")
+    assert(r.getAs[String]("tw") == "a,b")
+    val err = intercept[Exception] {
+      spark.sql("SELECT topK(99)(s) FROM pt_t").collect()
+    }
+    assert(err.getMessage.contains("out of [1, 50]"))
+  }
+
+  test("parametric uniqUpTo saturates at n+1; groupArray(n) slices") {
+    import spark.implicits._
+    (1 to 30).map(i => (s"v${i % 12}", i)).toDF("s", "i")
+      .createOrReplaceTempView("pu_t")
+    val r = spark.sql(
+      """SELECT uniqUpTo(20)(s) AS u20, uniqUpTo(5)(s) AS u5,
+        |  size(groupArray(7)(s)) AS ga7,
+        |  size(groupUniqArray(3)(s)) AS gu3
+        |FROM pu_t""".stripMargin).collect().head
+    assert(r.getAs[Long]("u20") == 12L) // exact below the cap
+    assert(r.getAs[Long]("u5") == 6L)   // saturated at n+1
+    assert(r.getAs[Int]("ga7") == 7 && r.getAs[Int]("gu3") == 3)
+  }
+
+  test("parametric names inside string literals are data") {
+    val r = spark.sql("SELECT 'quantile(0.5)(x)' AS s").collect().head
+    assert(r.getString(0) == "quantile(0.5)(x)")
+  }
+
+  test("quoted datetime units unquote for dateDiff/dateAdd; data stays") {
+    val r = spark.sql(
+      """SELECT dateDiff('day', DATE'2024-01-03', DATE'2024-01-10') AS dd,
+        |  dateDiff('hour', TIMESTAMP'2024-01-01 00:00:00',
+        |           TIMESTAMP'2024-01-01 06:30:00') AS dh,
+        |  dateAdd('month', 2, TIMESTAMP'2024-01-15 00:00:00') AS dm,
+        |  date_add('2024-01-01', 3) AS plain
+        |FROM (SELECT 1)""".stripMargin).collect().head
+    assert(r.getAs[Long]("dd") == 7L && r.getAs[Long]("dh") == 6L)
+    assert(r.getAs[java.sql.Timestamp]("dm").toString.startsWith("2024-03-15"))
+    assert(r.getAs[java.sql.Date]("plain").toString == "2024-01-04")
+  }
+
+  test("ClickHouse type mapping") {
+    assert(ChCreateTable.chTypeToSpark("UInt64") == "BIGINT")
+    assert(ChCreateTable.chTypeToSpark("Nullable(Float32)") == "FLOAT")
+    assert(ChCreateTable.chTypeToSpark("LowCardinality(String)") == "STRING")
+    assert(ChCreateTable.chTypeToSpark("Array(Nullable(UInt8))") == "ARRAY<SMALLINT>")
+    assert(ChCreateTable.chTypeToSpark("Map(String, UInt32)") == "MAP<STRING, BIGINT>")
+    assert(ChCreateTable.chTypeToSpark("Tuple(a UInt8, b String)") ==
+      "STRUCT<a: SMALLINT, b: STRING>")
+    assert(ChCreateTable.chTypeToSpark("Decimal(10, 2)") == "DECIMAL(10, 2)")
+    assert(ChCreateTable.chTypeToSpark("Decimal64(4)") == "DECIMAL(18, 4)")
+    assert(ChCreateTable.chTypeToSpark("DateTime64(3)") == "TIMESTAMP")
+    assert(ChCreateTable.chTypeToSpark("Enum8('a' = 1, 'b' = 2)") == "STRING")
+    assert(ChCreateTable.chTypeToSpark("FixedString(16)") == "STRING")
+    intercept[IllegalArgumentException](ChCreateTable.chTypeToSpark("Int128"))
+    intercept[IllegalArgumentException](
+      ChCreateTable.chTypeToSpark("Tuple(UInt8, String)")) // positional
+    intercept[IllegalArgumentException](
+      ChCreateTable.chTypeToSpark("AggregateFunction(sum, UInt64)"))
+  }
+
+  test("ChCreateTable.rewrite: the full clause set") {
+    val ddl = ChCreateTable.rewrite(
+      """CREATE TABLE IF NOT EXISTS graft.ns.t ON CLUSTER main (
+        |  id UInt64,
+        |  s  LowCardinality(String) CODEC(ZSTD) COMMENT 'tag',
+        |  d  Date,
+        |  v  Nullable(Float64) DEFAULT 0,
+        |  n  Int32 NOT NULL
+        |) ENGINE = ReplacingMergeTree(id)
+        |PARTITION BY toYYYYMM(d)
+        |PRIMARY KEY id
+        |ORDER BY (id, d)
+        |SAMPLE BY id
+        |TTL d + INTERVAL 90 DAY DELETE
+        |SETTINGS index_granularity = 8192, storage_policy = 'hot'""".stripMargin).get
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS graft.ns.t"))
+    assert(ddl.contains("USING mergetree"))
+    assert(ddl.contains("`id` BIGINT"))
+    assert(ddl.contains("`s` STRING COMMENT 'tag'"))
+    assert(ddl.contains("`v` DOUBLE"))
+    assert(ddl.contains("`n` INT NOT NULL"))
+    assert(ddl.contains("orderBy 'id,d'"))
+    assert(ddl.contains("mode 'replacing'"))
+    assert(ddl.contains("keys 'id,d'"))
+    assert(ddl.contains("version 'id'"))
+    assert(ddl.contains("partitionBy 'toYYYYMM(d)'"))
+    assert(ddl.contains("sampleBy 'id'"))
+    assert(ddl.contains("ttl '(d + INTERVAL 90 DAY) <= current_timestamp()'"))
+  }
+
+  test("ChCreateTable.rewrite: engines, defaults, refusals") {
+    def rw(s: String) = ChCreateTable.rewrite(s)
+    // not ClickHouse DDL → None (standard Spark DDL untouched)
+    assert(rw("CREATE TABLE t (a BIGINT) USING parquet").isEmpty)
+    assert(rw("SELECT 'ENGINE = MergeTree()'").isEmpty)
+    // SummingMergeTree with no args sums every numeric non-key column
+    val sum = rw(
+      """CREATE TABLE t (k UInt64, a Int64, b Float64, s String)
+        |ENGINE = SummingMergeTree() ORDER BY k
+        |LOCATION '/tmp/x'""".stripMargin).get
+    assert(sum.contains("mode 'summing'") && sum.contains("sums 'a,b'"))
+    // VersionedCollapsing → collapsing + sign + version
+    val vc = rw(
+      """CREATE TABLE graft.ns.c (k UInt64, sign Int8, ver UInt64)
+        |ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY k""".stripMargin).get
+    assert(vc.contains("mode 'collapsing'") && vc.contains("sign 'sign'") &&
+      vc.contains("version 'ver'"))
+    // refusals, each loud
+    def refuses(s: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](rw(s))
+      assert(e.getMessage.contains(frag), s"wanted '$frag' in: ${e.getMessage}")
+    }
+    refuses("CREATE TABLE t (k UInt64) ENGINE = Memory ORDER BY k LOCATION '/tmp/x'",
+      "unsupported ENGINE")
+    refuses("CREATE TABLE t (k UInt64) ENGINE = AggregatingMergeTree() ORDER BY k LOCATION '/tmp/x'",
+      "options face")
+    refuses("CREATE TABLE t (k UInt64) ENGINE = MergeTree ORDER BY tuple() LOCATION '/tmp/x'",
+      "tuple()")
+    refuses("CREATE TABLE t (k UInt64, v UInt64 MATERIALIZED k + 1) ENGINE = MergeTree ORDER BY k LOCATION '/tmp/x'",
+      "MATERIALIZED")
+    refuses("CREATE TABLE t (k UInt64) ENGINE = MergeTree ORDER BY k TTL d TO DISK 'x' LOCATION '/tmp/x'",
+      "TO DISK")
+    refuses("CREATE TABLE t (k UInt64) ENGINE = MergeTree ORDER BY k SETTINGS join_use_nulls = 1 LOCATION '/tmp/x'",
+      "could change table semantics")
+    refuses("CREATE TABLE t (k UInt64) ENGINE = MergeTree ORDER BY k",
+      "LOCATION")
+    refuses("CREATE TABLE t (k UInt64, d Date) ENGINE = MergeTree PRIMARY KEY d ORDER BY (k, d) LOCATION '/tmp/x'",
+      "prefix")
+  }
+
+  test("ClickHouse CREATE TABLE end-to-end: create, insert, FINAL read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ch_ddl_e2e_").toString
+    spark.sql(
+      s"""CREATE TABLE ch_ddl_e2e (
+         |  k UInt64, ver UInt64, v Float64
+         |) ENGINE = ReplacingMergeTree(ver) ORDER BY k
+         |SETTINGS index_granularity = 8192
+         |LOCATION '$dir/t'""".stripMargin)
+    try {
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "ver", "v")
+        .createOrReplaceTempView("ch_e2e_in1")
+      Seq((1L, 2L, 11.0), (3L, 1L, 30.0)).toDF("k", "ver", "v")
+        .createOrReplaceTempView("ch_e2e_in2")
+      spark.sql("INSERT INTO ch_ddl_e2e SELECT * FROM ch_e2e_in1")
+      spark.sql("INSERT INTO ch_ddl_e2e SELECT * FROM ch_e2e_in2")
+      val fin = spark.sql("SELECT k, ver, v FROM ch_ddl_e2e FINAL ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(fin == Seq((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_e2e")
+  }
+}
