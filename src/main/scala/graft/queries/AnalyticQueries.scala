@@ -1957,6 +1957,38 @@ object AnalyticQueries {
       | strftime(o_orderdate, '%Y/%m/%d') AS ymd
       |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
 
+  /** Q164 — ClickHouse `ASOF JOIN` through the SQL face (round 16): each
+    * event joined to the same customer's latest order at or before the
+    * event time — q39's operator, but spelled as ClickHouse spells it
+    * (`FROM e ASOF JOIN o ON e.k = o.k AND o.t <= e.ts`) and planned by
+    * extractAsof's marker splice (eq-join + per-left-row top-1 window).
+    * The projected column is the DATE (not the order key), so ties on
+    * o_orderdate are value-deterministic. Oracle: DuckDB's explicit
+    * row_number formulation.
+    */
+  def q164AsofSql(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q164_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val vo = s"${v}_o"
+    events(spark, dir).createOrReplaceTempView(v)
+    t(spark, dir, "orders").createOrReplaceTempView(vo)
+    try spark.sql(
+        s"""SELECT e.event_id, e.user_id,
+           |  CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS od
+           |FROM $v e ASOF JOIN $vo o
+           |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+           |ORDER BY e.event_id""".stripMargin)
+    finally { spark.catalog.dropTempView(v); spark.catalog.dropTempView(vo) }
+  }
+
+  val q164Sql: String =
+    """SELECT event_id, user_id, CAST(od::DATE AS VARCHAR) AS od FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderdate AS od,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) sub
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -2019,5 +2051,6 @@ object AnalyticQueries {
     ("q159_agg_names", q159AggNames _, Some(q159Sql)),
     ("q160_parametric", q160Parametric _, Some(q160Sql)),
     ("q161_array_hof_ch", q161ArrayHofCh _, Some(q161Sql)),
-    ("q162_ch_scalars", q162ChScalars _, Some(q162Sql)))
+    ("q162_ch_scalars", q162ChScalars _, Some(q162Sql)),
+    ("q164_asof_sql", q164AsofSql _, Some(q164Sql)))
 }

@@ -337,6 +337,152 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       else m.matched
     }
 
+  /** ClickHouse `FROM l [la] ASOF [LEFT] JOIN r [ra] ON eq… AND ineq` —
+    * for every left row, the single right row with the matching equality
+    * keys and the CLOSEST time satisfying the inequality (`ra.t <= la.t`
+    * picks the latest-at-or-before; the other three operators analogous).
+    * Spark has no such join; the clause is cut out of the text (a marker
+    * relation takes its place so the REST of the statement parses through
+    * the delegate untouched) and replaced at plan level by:
+    *
+    *   Project(la.*, ra.*,                       ← exactly both sides' columns
+    *     Filter(__asof_rn = 1,
+    *       Project(*, row_number over (partition by __asof_id
+    *                                   order by <right time> closest-first),
+    *         Join(Project(*, monotonically_increasing_id as __asof_id,
+    *                SubqueryAlias(la, l)),       ← id OUTSIDE the alias, so
+    *              SubqueryAlias(ra, r),            la.* never includes it
+    *              INNER | LEFT OUTER, eq AND ineq))))
+    *
+    * Pure plan construction — no catalog touch, no view, EXPLAIN-safe.
+    * Both aliases survive (the spliced Project preserves qualifiers), so
+    * `SELECT la.x, ra.y` and `SELECT *` resolve exactly as in ClickHouse
+    * (both sides' columns, helpers invisible). ASOF LEFT keeps unmatched
+    * left rows with NULL right columns (ClickHouse fills type defaults —
+    * documented divergence, same as LEFT ARRAY JOIN).
+    *
+    * Contract, each refusal loud: ONE ASOF JOIN per statement; plain
+    * table/view identifiers as sides; ON must be equality conjuncts plus
+    * EXACTLY ONE inequality whose sides are qualified by the two aliases
+    * (ClickHouse's own requirement modulo the qualifiers); USING is not
+    * supported (spell the ON form). Ties on the time expression pick one
+    * row nondeterministically (document ClickHouse: undefined too).
+    *
+    * Scale: the eq-join shuffles on the keys, the per-left-row top-1 is a
+    * window partitioned by __asof_id — rows multiply only within each
+    * key's time neighborhood. The Scala-face composition (q39) trades the
+    * window for a map-side-partial max_by; both avoid a cartesian.
+    */
+  private def extractAsof(sqlText: String): (String, Option[(String, LogicalPlan)]) = {
+    val spans = quotedSpans(sqlText)
+    val probes = AsofProbeRe.findAllMatchIn(sqlText).toList
+      .filter(m => !inSpan(spans, m.start))
+    if (probes.isEmpty) return (sqlText, None)
+    require(probes.size == 1,
+      "only one ASOF JOIN per statement is supported — nest the second in a subquery")
+    val m = AsofRe.findFirstMatchIn(sqlText).getOrElse(
+      throw new IllegalArgumentException(
+        "unsupported ASOF JOIN shape — supported: FROM <table> [alias] " +
+          "ASOF [LEFT] JOIN <table> [alias] ON <eq-conds AND one inequality>: " +
+          sqlText))
+    val lIdent = m.group(1); val lAlias0 = Option(m.group(2))
+    val isLeft = m.group(3) != null
+    val rIdent = m.group(4); val rAlias0 = Option(m.group(5))
+    val conds = m.group(6).trim
+    def lastSeg(id: String) = stripTicks(id.split('.').last)
+    val lAlias = lAlias0.getOrElse(lastSeg(lIdent))
+    val rAlias = rAlias0.getOrElse(lastSeg(rIdent))
+
+    // split the ON conjuncts; exactly one inequality, the rest equalities
+    val conjuncts = splitTopLevelAnd(conds)
+    val (ineqs, eqs) = conjuncts.partition(c => IneqOpRe.findFirstMatchIn(
+      maskQuoted(c)).isDefined)
+    require(ineqs.size == 1,
+      s"ASOF JOIN needs exactly ONE inequality in ON, got ${ineqs.size}: $conds")
+    require(eqs.nonEmpty,
+      s"ASOF JOIN needs at least one equality conjunct in ON: $conds")
+    val ineq = ineqs.head
+    val im = IneqOpRe.findFirstMatchIn(maskQuoted(ineq)).get
+    val (lhs, op, rhs) =
+      (ineq.substring(0, im.start).trim, im.group(1), ineq.substring(im.end).trim)
+    // which side is the RIGHT relation's time — by alias qualification
+    def belongsTo(e: String, alias: String) =
+      ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\s*\\.").r
+        .findFirstIn(e).isDefined
+    val rightExprS =
+      if (belongsTo(lhs, rAlias) && !belongsTo(rhs, rAlias)) lhs
+      else if (belongsTo(rhs, rAlias) && !belongsTo(lhs, rAlias)) rhs
+      else throw new IllegalArgumentException(
+        s"ASOF inequality must compare a $rAlias.-qualified expression " +
+          s"against a $lAlias.-qualified one: $ineq")
+    // normalize to rightExpr REL leftExpr: <=/< → pick MAX right (DESC)
+    val rel = if (rightExprS == lhs) op else op match {
+      case "<=" => ">="
+      case ">=" => "<="
+      case "<"  => ">"
+      case ">"  => "<"
+    }
+    val direction =
+      if (rel == "<=" || rel == "<") org.apache.spark.sql.catalyst.expressions.Descending
+      else org.apache.spark.sql.catalyst.expressions.Ascending
+
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, EqualTo, Literal, MonotonicallyIncreasingID, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join, JoinHint, Project, SubqueryAlias}
+    def rel0(id: String) =
+      UnresolvedRelation(delegate.parseMultipartIdentifier(id))
+    val leftQ = SubqueryAlias(lAlias, rel0(lIdent))
+    val leftId = Project(Seq(UnresolvedStar(None),
+      Alias(MonotonicallyIncreasingID(), "__asof_id")()), leftQ)
+    val rightQ = SubqueryAlias(rAlias, rel0(rIdent))
+    val joined = Join(leftId, rightQ, if (isLeft) LeftOuter else Inner,
+      Some(delegate.parseExpression(conds)), JoinHint.NONE)
+    val rn = WindowExpression(RowNumber(), WindowSpecDefinition(
+      Seq(UnresolvedAttribute("__asof_id")),
+      Seq(SortOrder(delegate.parseExpression(rightExprS), direction)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)))
+    val withRn = Project(Seq(UnresolvedStar(None), Alias(rn, "__asof_rn")()), joined)
+    val filtered = LFilter(
+      EqualTo(UnresolvedAttribute("__asof_rn"), Literal(1)), withRn)
+    val out = Project(Seq(UnresolvedStar(Some(Seq(lAlias))),
+      UnresolvedStar(Some(Seq(rAlias)))), filtered)
+
+    val marker = s"__graft_asof_${math.abs(sqlText.hashCode).toHexString}"
+    val replaced = sqlText.substring(0, m.start) +
+      s" FROM $marker " + sqlText.substring(m.end)
+    (replaced, Some((marker, out)))
+  }
+
+  /** Top-level AND split (quote- and paren-aware) for the ASOF ON list. */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val masked = maskQuoted(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var last = 0
+    val re = "(?i)\\bAND\\b".r
+    re.findAllMatchIn(masked).foreach { m =>
+      depth = masked.substring(0, m.start).count(_ == '(') -
+        masked.substring(0, m.start).count(_ == ')')
+      if (depth == 0) { out += s.substring(last, m.start); last = m.end }
+    }
+    out += s.substring(last)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Replace quoted spans with spaces so operators inside literals never
+    * match (length-preserving — offsets stay valid on the original).
+    */
+  private def maskQuoted(s: String): String = {
+    val spans = quotedSpans(s)
+    val b = s.toCharArray
+    spans.foreach { case (a, z) =>
+      var i = a
+      while (i < z && i < b.length) { b(i) = ' '; i += 1 }
+    }
+    new String(b)
+  }
+
   /** ClickHouse `FROM t [LEFT] ARRAY JOIN arr [AS e]` — per-element row
     * expansion, the clause ClickHouse uses where Spark says LATERAL VIEW
     * explode. Rewrites to a subquery exploding the array:
@@ -398,16 +544,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(ddl) => return delegate.parsePlan(ddl)
       case None =>
     }
-    val sqlText = rewriteSamples(rewriteFinal(rewritePrewhere(
+    val rewritten = rewriteSamples(rewriteFinal(rewritePrewhere(
       rewriteArrayJoin(rewriteGlobal(rewriteSettings(rewriteFormat(
         rewriteParametrics(rewriteDateDiffUnit(sqlText0)))))))))
-    sqlText match {
+    // ASOF JOIN: the clause is cut out of the TEXT (replaced by a marker
+    // relation) and its plan spliced back into whatever the statement
+    // parses to — transformUp reaches the marker inside WITH FILL /
+    // LIMIT BY wrappings too.
+    val (sqlText, asofSub) = extractAsof(rewritten)
+    val plan0 = sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
       case LimitByRe(stmt, orderList, offS, nS, byCols) =>
         limitByPlan(stmt, orderList,
           Option(offS).map(_.toInt).getOrElse(0), nS.toInt, byCols)
       case _ => parseRewritten(sqlText)
+    }
+    asofSub match {
+      case Some((marker, rel)) => plan0 transformUp {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.map(_.toLowerCase) == Seq(marker) => rel
+      }
+      case None => plan0
     }
   }
 
@@ -751,6 +909,22 @@ object GraftSqlParser {
     ("(?is)\\bGLOBAL\\s+((?:NOT\\s+)?IN\\b|" +
       "(?:ANY\\s+|ALL\\s+)?(?:INNER\\s+|LEFT\\s+|RIGHT\\s+|FULL\\s+|" +
       "CROSS\\s+|SEMI\\s+|ANTI\\s+|OUTER\\s+)*JOIN\\b)").r
+
+  private[sources] val AsofProbeRe =
+    "(?i)\\bASOF\\s+(?:LEFT\\s+)?(?:INNER\\s+)?JOIN\\b".r
+  // FROM <ident> [alias] ASOF [LEFT] JOIN <ident> [alias] ON <conds>;
+  // conds run lazily to the next top-level clause keyword or statement end
+  private[sources] val AsofRe =
+    ("(?is)\\bFROM\\s+([`\\w.]+)(?:\\s+(?:AS\\s+)?(?!ASOF\\b)(\\w+))?" +
+      "\\s+ASOF\\s+(LEFT\\s+)?(?:INNER\\s+)?JOIN\\s+([`\\w.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)" +
+      "(?=\\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|WINDOW|UNION|EXCEPT|" +
+      "INTERSECT|QUALIFY|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|SETTINGS)\\b" +
+      "|\\s*;?\\s*$)").r
+  // comparison operators that make a conjunct the ASOF inequality;
+  // <> (not-equal) must NOT match — its '<' is followed by '>', its '>'
+  // preceded by '<'
+  private[sources] val IneqOpRe = "(<=|>=|<(?![=>])|(?<!<)>(?!=))".r
 
   private[sources] val ParametricHeadRe =
     ("(?i)\\b(quantile|quantileExact|quantiles|quantilesExact|" +
