@@ -1989,6 +1989,28 @@ object AnalyticQueries {
       |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) sub
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Q165 — `ORDER BY … LIMIT n WITH TIES` (round 16): the first n rows
+    * plus the n-th row's whole tie group, as `rank() <= n` over the
+    * statement's ORDER BY. Projecting exactly the ordered columns makes
+    * every tie row identical, so the result is hash-deterministic while
+    * the TIES semantics still shows (the result is far larger than n).
+    */
+  def q165LimitWithTies(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q165_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT l_returnflag, l_linestatus FROM $v
+           |ORDER BY l_returnflag, l_linestatus LIMIT 100 WITH TIES""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q165Sql: String =
+    """SELECT l_returnflag, l_linestatus FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |    rank() OVER (ORDER BY l_returnflag, l_linestatus) AS rk
+      |  FROM lineitem) sub
+      |WHERE rk <= 100 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -2052,5 +2074,6 @@ object AnalyticQueries {
     ("q160_parametric", q160Parametric _, Some(q160Sql)),
     ("q161_array_hof_ch", q161ArrayHofCh _, Some(q161Sql)),
     ("q162_ch_scalars", q162ChScalars _, Some(q162Sql)),
-    ("q164_asof_sql", q164AsofSql _, Some(q164Sql)))
+    ("q164_asof_sql", q164AsofSql _, Some(q164Sql)),
+    ("q165_limit_with_ties", q165LimitWithTies _, Some(q165Sql)))
 }

@@ -236,6 +236,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (!GlobalProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, GlobalRe)(m => m.group(1))
 
+  /** ClickHouse word order `SEMI LEFT JOIN` / `ANTI LEFT JOIN` → Spark's
+    * `LEFT SEMI JOIN` / `LEFT ANTI JOIN` — identical semantics, swapped
+    * keywords. The RIGHT-side variants have no Spark counterpart and fall
+    * through to Spark's own parse error.
+    */
+  private def rewriteJoinWords(sqlText: String): String =
+    if (!SemiAntiProbeRe.pattern.matcher(sqlText).find()) sqlText
+    else replaceOutsideQuotes(sqlText, SemiAntiRe)(m =>
+      s"LEFT ${m.group(1).toUpperCase} JOIN")
+
   /** ClickHouse PARAMETRIC aggregates — `name(params)(args)`, a call shape
     * Spark's grammar cannot parse — rewritten to flat Spark calls:
     *
@@ -341,6 +351,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * for every left row, the single right row with the matching equality
     * keys and the CLOSEST time satisfying the inequality (`ra.t <= la.t`
     * picks the latest-at-or-before; the other three operators analogous).
+    * `ANY [LEFT] JOIN` is the same top-1 shape with equality-only ON and
+    * an ARBITRARY pick among matches (ClickHouse's contract —
+    * deterministic only when matches are unique; a constant window
+    * ordering says exactly that).
     * Spark has no such join; the clause is cut out of the text (a marker
     * relation takes its place so the REST of the statement parses through
     * the delegate untouched) and replaced at plan level by:
@@ -375,16 +389,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     */
   private def extractAsof(sqlText: String): (String, Option[(String, LogicalPlan)]) = {
     val spans = quotedSpans(sqlText)
-    val probes = AsofProbeRe.findAllMatchIn(sqlText).toList
+    val asofProbes = AsofProbeRe.findAllMatchIn(sqlText).toList
       .filter(m => !inSpan(spans, m.start))
-    if (probes.isEmpty) return (sqlText, None)
-    require(probes.size == 1,
-      "only one ASOF JOIN per statement is supported — nest the second in a subquery")
-    val m = AsofRe.findFirstMatchIn(sqlText).getOrElse(
+    val anyProbes = AnyProbeRe.findAllMatchIn(sqlText).toList
+      .filter(m => !inSpan(spans, m.start))
+    if (asofProbes.isEmpty && anyProbes.isEmpty) return (sqlText, None)
+    require(asofProbes.size + anyProbes.size == 1,
+      "only one ASOF/ANY JOIN per statement is supported — nest the others " +
+        "in subqueries")
+    val isAny = anyProbes.nonEmpty
+    val kw = if (isAny) "ANY" else "ASOF"
+    val re = if (isAny) AnyRe else AsofRe
+    val m = re.findFirstMatchIn(sqlText).getOrElse(
       throw new IllegalArgumentException(
-        "unsupported ASOF JOIN shape — supported: FROM <table> [alias] " +
-          "ASOF [LEFT] JOIN <table> [alias] ON <eq-conds AND one inequality>: " +
-          sqlText))
+        s"unsupported $kw JOIN shape — supported: FROM <table> [alias] " +
+          s"$kw [LEFT] JOIN <table> [alias] ON <conditions> (if '$kw' here " +
+          s"is a TABLE named ${kw.toLowerCase}, backquote it): " + sqlText))
     val lIdent = m.group(1); val lAlias0 = Option(m.group(2))
     val isLeft = m.group(3) != null
     val rIdent = m.group(4); val rAlias0 = Option(m.group(5))
@@ -393,38 +413,55 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val lAlias = lAlias0.getOrElse(lastSeg(lIdent))
     val rAlias = rAlias0.getOrElse(lastSeg(rIdent))
 
-    // split the ON conjuncts; exactly one inequality, the rest equalities
+    // split the ON conjuncts: ASOF wants exactly one inequality among
+    // equalities; ANY wants equalities only (the pick is arbitrary)
     val conjuncts = splitTopLevelAnd(conds)
     val (ineqs, eqs) = conjuncts.partition(c => IneqOpRe.findFirstMatchIn(
       maskQuoted(c)).isDefined)
-    require(ineqs.size == 1,
-      s"ASOF JOIN needs exactly ONE inequality in ON, got ${ineqs.size}: $conds")
-    require(eqs.nonEmpty,
-      s"ASOF JOIN needs at least one equality conjunct in ON: $conds")
-    val ineq = ineqs.head
-    val im = IneqOpRe.findFirstMatchIn(maskQuoted(ineq)).get
-    val (lhs, op, rhs) =
-      (ineq.substring(0, im.start).trim, im.group(1), ineq.substring(im.end).trim)
-    // which side is the RIGHT relation's time — by alias qualification
-    def belongsTo(e: String, alias: String) =
-      ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\s*\\.").r
-        .findFirstIn(e).isDefined
-    val rightExprS =
-      if (belongsTo(lhs, rAlias) && !belongsTo(rhs, rAlias)) lhs
-      else if (belongsTo(rhs, rAlias) && !belongsTo(lhs, rAlias)) rhs
-      else throw new IllegalArgumentException(
-        s"ASOF inequality must compare a $rAlias.-qualified expression " +
-          s"against a $lAlias.-qualified one: $ineq")
-    // normalize to rightExpr REL leftExpr: <=/< → pick MAX right (DESC)
-    val rel = if (rightExprS == lhs) op else op match {
-      case "<=" => ">="
-      case ">=" => "<="
-      case "<"  => ">"
-      case ">"  => "<"
-    }
-    val direction =
-      if (rel == "<=" || rel == "<") org.apache.spark.sql.catalyst.expressions.Descending
-      else org.apache.spark.sql.catalyst.expressions.Ascending
+    val orderSpec: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      if (isAny) {
+        require(ineqs.isEmpty,
+          s"ANY JOIN takes only equality conditions (use ASOF JOIN for the " +
+            s"closest-time pick): $conds")
+        require(eqs.nonEmpty, s"ANY JOIN needs at least one equality: $conds")
+        // ClickHouse ANY: an ARBITRARY single match — a constant ordering
+        // says exactly that (deterministic only when matches are unique)
+        Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+          org.apache.spark.sql.catalyst.expressions.Literal(1),
+          org.apache.spark.sql.catalyst.expressions.Ascending))
+      } else {
+        require(ineqs.size == 1,
+          s"ASOF JOIN needs exactly ONE inequality in ON, got ${ineqs.size}: $conds")
+        require(eqs.nonEmpty,
+          s"ASOF JOIN needs at least one equality conjunct in ON: $conds")
+        val ineq = ineqs.head
+        val im = IneqOpRe.findFirstMatchIn(maskQuoted(ineq)).get
+        val (lhs, op, rhs) =
+          (ineq.substring(0, im.start).trim, im.group(1), ineq.substring(im.end).trim)
+        // which side is the RIGHT relation's time — by alias qualification
+        def belongsTo(e: String, alias: String) =
+          ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\s*\\.").r
+            .findFirstIn(e).isDefined
+        val rightExprS =
+          if (belongsTo(lhs, rAlias) && !belongsTo(rhs, rAlias)) lhs
+          else if (belongsTo(rhs, rAlias) && !belongsTo(lhs, rAlias)) rhs
+          else throw new IllegalArgumentException(
+            s"ASOF inequality must compare a $rAlias.-qualified expression " +
+              s"against a $lAlias.-qualified one: $ineq")
+        // normalize to rightExpr REL leftExpr: <=/< → pick MAX right (DESC)
+        val rel = if (rightExprS == lhs) op else op match {
+          case "<=" => ">="
+          case ">=" => "<="
+          case "<"  => ">"
+          case ">"  => "<"
+        }
+        val direction =
+          if (rel == "<=" || rel == "<")
+            org.apache.spark.sql.catalyst.expressions.Descending
+          else org.apache.spark.sql.catalyst.expressions.Ascending
+        Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+          delegate.parseExpression(rightExprS), direction))
+      }
 
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, EqualTo, Literal, MonotonicallyIncreasingID, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
@@ -439,8 +476,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val joined = Join(leftId, rightQ, if (isLeft) LeftOuter else Inner,
       Some(delegate.parseExpression(conds)), JoinHint.NONE)
     val rn = WindowExpression(RowNumber(), WindowSpecDefinition(
-      Seq(UnresolvedAttribute("__asof_id")),
-      Seq(SortOrder(delegate.parseExpression(rightExprS), direction)),
+      Seq(UnresolvedAttribute("__asof_id")), orderSpec,
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)))
     val withRn = Project(Seq(UnresolvedStar(None), Alias(rn, "__asof_rn")()), joined)
     val filtered = LFilter(
@@ -545,8 +581,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case None =>
     }
     val rewritten = rewriteSamples(rewriteFinal(rewritePrewhere(
-      rewriteArrayJoin(rewriteGlobal(rewriteSettings(rewriteFormat(
-        rewriteParametrics(rewriteDateDiffUnit(sqlText0)))))))))
+      rewriteArrayJoin(rewriteJoinWords(rewriteGlobal(rewriteSettings(
+        rewriteFormat(rewriteParametrics(rewriteDateDiffUnit(sqlText0))))))))))
     // ASOF JOIN: the clause is cut out of the TEXT (replaced by a marker
     // relation) and its plan spliced back into whatever the statement
     // parses to — transformUp reaches the marker inside WITH FILL /
@@ -558,6 +594,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case LimitByRe(stmt, orderList, offS, nS, byCols) =>
         limitByPlan(stmt, orderList,
           Option(offS).map(_.toInt).getOrElse(0), nS.toInt, byCols)
+      case LimitWithTiesRe(stmt, orderList, nS) =>
+        limitWithTiesPlan(stmt, orderList, nS.toInt)
       case _ => parseRewritten(sqlText)
     }
     asofSub match {
@@ -603,6 +641,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       .partitionBy(by.map(col): _*).orderBy(orderCols: _*)
     inner.withColumn("__lb_rn", row_number().over(w))
       .filter(col("__lb_rn") > off && col("__lb_rn") <= off + n).drop("__lb_rn")
+      .orderBy(orderCols: _*)
+      .queryExecution.logical
+  }
+
+  /** ClickHouse/standard-SQL `ORDER BY … LIMIT n WITH TIES`: the first n
+    * rows PLUS every row tying with the n-th on the ORDER BY key — which
+    * is exactly `rank() <= n` over the statement's own ORDER BY (rank
+    * repeats on ties and jumps past them, so row n's whole tie-group
+    * survives and the next distinct key does not). The de-TIES'd statement
+    * parses through the delegate; the clause adds the rank window and
+    * re-sorts. The window is UNPARTITIONED by construction — a LIMIT-shaped
+    * result is small, and the statement's global ORDER BY already paid the
+    * total sort; Spark's own LIMIT keywords never carry WITH TIES, so no
+    * standard SQL changes meaning.
+    */
+  private def limitWithTiesPlan(stmt: String, orderList: String, n: Int): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    require(n > 0, s"LIMIT $n WITH TIES: n must be positive")
+    val inner = org.apache.spark.sql.graft.PlanBridge.ofRows(session,
+      delegate.parsePlan(stmt))
+    val orderCols = splitTopLevel(orderList).map(_.trim).filter(_.nonEmpty).map { item =>
+      val up = item.toUpperCase
+      if (up.endsWith(" DESC")) expr(item.dropRight(5).trim).desc
+      else if (up.endsWith(" ASC")) expr(item.dropRight(4).trim).asc
+      else expr(item).asc
+    }
+    require(orderCols.nonEmpty, "LIMIT WITH TIES requires an ORDER BY")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
+    inner.withColumn("__lt_rk", rank().over(w))
+      .filter(col("__lt_rk") <= n).drop("__lt_rk")
       .orderBy(orderCols: _*)
       .queryExecution.logical
   }
@@ -878,6 +946,10 @@ object GraftSqlParser {
   private[sources] val LimitByRe =
     ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(?:(\\d+)\\s*,\\s*)?(\\d+)\\s+BY\\s+" +
       "([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)\\s*;?\\s*$").r
+  // `ORDER BY … LIMIT n WITH TIES` — statement-end, like LIMIT BY
+  private[sources] val LimitWithTiesRe =
+    ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(\\d+)\\s+WITH\\s+TIES" +
+      "\\s*;?\\s*$").r
 
   // `FORMAT <name>` at statement end; names are ClickHouse output formats.
   private[sources] val FormatRe = "(?is)^(.*?)\\s+FORMAT\\s+(\\w+)\\s*;?\\s*$".r
@@ -912,6 +984,17 @@ object GraftSqlParser {
 
   private[sources] val AsofProbeRe =
     "(?i)\\bASOF\\s+(?:LEFT\\s+)?(?:INNER\\s+)?JOIN\\b".r
+  private[sources] val SemiAntiProbeRe = "(?i)\\b(SEMI|ANTI)\\s+LEFT\\s+JOIN\\b".r
+  private[sources] val SemiAntiRe = "(?i)\\b(SEMI|ANTI)\\s+LEFT\\s+JOIN\\b".r
+  private[sources] val AnyProbeRe =
+    "(?i)\\bANY\\s+(?:LEFT\\s+)?(?:INNER\\s+)?JOIN\\b".r
+  private[sources] val AnyRe =
+    ("(?is)\\bFROM\\s+([`\\w.]+)(?:\\s+(?:AS\\s+)?(?!ANY\\b)(\\w+))?" +
+      "\\s+ANY\\s+(LEFT\\s+)?(?:INNER\\s+)?JOIN\\s+([`\\w.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)" +
+      "(?=\\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|WINDOW|UNION|EXCEPT|" +
+      "INTERSECT|QUALIFY|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|SETTINGS)\\b" +
+      "|\\s*;?\\s*$)").r
   // FROM <ident> [alias] ASOF [LEFT] JOIN <ident> [alias] ON <conds>;
   // conds run lazily to the next top-level clause keyword or statement end
   private[sources] val AsofRe =

@@ -86,6 +86,41 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(lit == Seq("x ASOF JOIN y"))
   }
 
+  test("ANY JOIN: one right row per left match; LEFT keeps unmatched") {
+    // unique matches -> deterministic: ANY == plain join here, but the
+    // t=15 trade has TWO b-quotes and must surface exactly once
+    val r = rows(
+      """SELECT tr.sym, tr.t, count(*) AS n FROM asof_trades tr
+        |ANY JOIN asof_quotes q ON tr.sym = q.sym
+        |GROUP BY tr.sym, tr.t ORDER BY tr.sym, tr.t""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r == Seq(("a", 10L, 1L), ("a", 20L, 1L), ("b", 15L, 1L)),
+      s"each matching left row exactly once: $r")
+    val left = rows(
+      """SELECT tr.sym, q.px FROM asof_trades tr
+        |ANY LEFT JOIN asof_quotes q ON tr.sym = q.sym
+        |WHERE tr.sym = 'c'""".stripMargin)
+    assert(left.size == 1 && left.head.isNullAt(1))
+    val e = intercept[Exception](spark.sql(
+      """SELECT * FROM asof_trades tr ANY JOIN asof_quotes q
+        |ON tr.sym = q.sym AND q.qt <= tr.t""".stripMargin).collect())
+    assert(e.getMessage.contains("equality conditions"))
+  }
+
+  test("SEMI/ANTI LEFT JOIN word order maps to Spark's LEFT SEMI/ANTI") {
+    val semi = rows(
+      """SELECT tr.sym, tr.t FROM asof_trades tr
+        |SEMI LEFT JOIN asof_quotes q ON tr.sym = q.sym
+        |ORDER BY tr.sym, tr.t""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(semi == Seq(("a", 10L), ("a", 20L), ("b", 15L)))
+    val anti = rows(
+      """SELECT tr.sym FROM asof_trades tr
+        |ANTI LEFT JOIN asof_quotes q ON tr.sym = q.sym""".stripMargin)
+      .map(_.getString(0))
+    assert(anti == Seq("c"))
+  }
+
   test("refusals: no inequality, two inequalities, unqualified time, USING") {
     def bad(sql: String, frag: String): Unit = {
       val e = intercept[Exception](spark.sql(sql).collect())

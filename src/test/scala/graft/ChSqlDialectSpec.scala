@@ -84,6 +84,20 @@ class ChSqlDialectSpec extends AnyFunSuite {
     assert(r.getAs[java.sql.Date]("plain").toString == "2024-01-04")
   }
 
+  test("LIMIT n WITH TIES keeps the n-th row's whole tie group") {
+    import spark.implicits._
+    Seq(1, 2, 2, 2, 3, 3).map(v => (v, s"r$v")).toDF("v", "s")
+      .createOrReplaceTempView("lwt_t")
+    val got = spark.sql("SELECT v FROM lwt_t ORDER BY v LIMIT 2 WITH TIES")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 2, 2), s"rank<=2 keeps all the 2s: $got")
+    val one = spark.sql("SELECT v FROM lwt_t ORDER BY v DESC LIMIT 1 WITH TIES")
+      .collect().map(_.getInt(0)).toSeq
+    assert(one == Seq(3, 3))
+    // plain LIMIT (no TIES) keeps Spark semantics
+    assert(spark.sql("SELECT v FROM lwt_t ORDER BY v LIMIT 2").count() == 2)
+  }
+
   test("ClickHouse type mapping") {
     assert(ChCreateTable.chTypeToSpark("UInt64") == "BIGINT")
     assert(ChCreateTable.chTypeToSpark("Nullable(Float32)") == "FLOAT")
