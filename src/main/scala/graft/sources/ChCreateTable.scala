@@ -76,10 +76,27 @@ object ChCreateTable {
     val name = m.group(2)
     val colsStart = m.end - 1 // at the '('
     val colsEnd = matchParen(sqlText, colsStart)
-    val colDefs = GraftSqlParser.splitTopLevel(
+    val defs = GraftSqlParser.splitTopLevel(
       sqlText.substring(colsStart + 1, colsEnd)).map(_.trim).filter(_.nonEmpty)
-    require(colDefs.nonEmpty, "ClickHouse CREATE TABLE: empty column list")
+    require(defs.nonEmpty, "ClickHouse CREATE TABLE: empty column list")
+    // ClickHouse's column list carries more than columns: INDEX entries
+    // map to the engine's skip-index options; PROJECTION and CONSTRAINT
+    // refuse (projections have their own options face; constraints have
+    // no engine counterpart)
+    defs.filter(d => "(?is)^(PROJECTION|CONSTRAINT)\\b".r
+      .findFirstIn(d).isDefined).foreach { d =>
+      val kw = d.split("\\s+").head.toUpperCase
+      throw new IllegalArgumentException(
+        if (kw == "PROJECTION")
+          "in-list PROJECTION is not supported — declare alternate sort " +
+            "orders via OPTIONS (projections 'name:cols')"
+        else "CONSTRAINT has no engine counterpart and is not supported")
+    }
+    val (idxDefs, colDefs) =
+      defs.partition(d => "(?is)^INDEX\\b".r.findFirstIn(d).isDefined)
+    require(colDefs.nonEmpty, "ClickHouse CREATE TABLE: no columns declared")
     val cols = colDefs.map(parseColumn)
+    val indexes = idxDefs.map(parseInListIndex)
     val clauses = parseClauses(sqlText.substring(colsEnd + 1))
 
     val engine = clauses.getOrElse("engine", throw new IllegalArgumentException(
@@ -91,6 +108,11 @@ object ChCreateTable {
     val opts = scala.collection.mutable.LinkedHashMap[String, String]()
     opts("orderBy") = orderByCols.mkString(",")
     engineOptions(engine, orderByCols, cols).foreach { case (k, v) => opts(k) = v }
+    indexes.groupBy(_._1).foreach { case (optKey, entries) =>
+      entries.map(_._2).foreach(c => require(colNames.contains(c),
+        s"INDEX column '$c' is not a declared column"))
+      opts(optKey) = entries.map(_._2).distinct.mkString(",")
+    }
     clauses.get("partition by").foreach(e => opts("partitionBy") = e.trim)
     clauses.get("sample by").foreach { e =>
       val c = stripTicks(e.trim)
@@ -183,6 +205,31 @@ object ChCreateTable {
     }
     (name, chTypeToSpark(chType),
       (if (notNull) " NOT NULL" else "") + comment)
+  }
+
+  private val InListIndexRe =
+    ("(?is)^INDEX\\s+[`\\w]+\\s+(`?\\w+`?)\\s+TYPE\\s+" +
+      "(\\w+\\s*(?:\\([^)]*\\))?)(?:\\s+GRANULARITY\\s+\\d+)?$").r
+
+  /** One in-list `INDEX name col TYPE kind [GRANULARITY g]` → the option
+    * key carrying that index family plus its column — the same contract as
+    * ALTER TABLE ADD INDEX (name cosmetic, kind args/GRANULARITY sizing
+    * tuning accepted and ignored, plain columns only).
+    */
+  private def parseInListIndex(d: String): (String, String) = {
+    val m = InListIndexRe.findFirstMatchIn(d).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported INDEX declaration '$d' — supported: INDEX name " +
+          "<column> TYPE <kind[(args)]> [GRANULARITY g] (plain columns only)"))
+    val optKey = graft.mergetree.ColumnarMergeTree
+      .normalizeIndexKind(m.group(2)) match {
+        case "bloom_filter" => "bloomFilterColumns"
+        case "minmax"       => "minmaxColumns"
+        case "tokenbf"      => "tokenBloomColumns"
+        case "ngrambf"      => "ngramBloomColumns"
+        case "set"          => "setIndexColumns"
+      }
+    (optKey, stripTicks(m.group(1)))
   }
 
   /** Drop one expression from the head of `s` — everything up to the next
@@ -395,6 +442,101 @@ object ChCreateTable {
           "supported — storage-tuning settings accepted (and ignored): " +
           IgnorableCreateSettings.toSeq.sorted.mkString(", "))
     }
+
+  // -------------------------------------------------- SHOW CREATE (inverse)
+
+  /** ClickHouse-dialect CREATE TABLE text for a persisted tabledef — the
+    * INVERSE of [[rewrite]] (`show_create('<dir>')` table function, the
+    * engine's system.tables.create_table_query face). Round-trip contract,
+    * property-spec-pinned: `rewrite(showCreate(dir))` reproduces the same
+    * options the tabledef carries. Lossy by type design, each loss stated:
+    * unsigned widths (UInt64 arrived as BIGINT, re-emits Int64); an
+    * expired-when TTL that is not the canonical `(e) <= current_timestamp()`
+    * shape is emitted as a `-- TTL (predicate): …` comment (ClickHouse
+    * cannot spell predicate TTLs); sketch sidecar columns (hll/topk/
+    * quantile) have no ClickHouse index type and emit as comments too.
+    */
+  def showCreate(dir: String): String = {
+    import graft.mergetree.ColumnarMergeTree.TableDef
+    val d = TableDef.load(dir).getOrElse(throw new IllegalArgumentException(
+      s"no mergetree table definition at $dir"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(d.schemaDdl)
+    val colLines = schema.fields.map { f =>
+      s"  `${f.name}` ${sparkTypeToCh(f.dataType)}" +
+        (if (f.nullable) "" else " NOT NULL")
+    }
+    def idx(kind: String, cols: Option[List[String]], args: String = "") =
+      cols.getOrElse(Nil).map(c => s"  INDEX idx_$c `$c` TYPE $kind$args")
+    val idxLines =
+      idx("bloom_filter", d.bloomFilterColumns) ++
+      idx("minmax", d.minmaxColumns) ++
+      idx("tokenbf_v1", d.tokenBloomColumns, "(32768, 3, 0)") ++
+      idx("ngrambf_v1", d.ngramBloomColumns, "(3, 32768, 3, 0)") ++
+      idx("set", d.setIndexColumns, "(100)")
+    val mode = TableDef.decodeMode(d.mode)
+    import graft.mergetree.MergeMode
+    val engine = mode match {
+      case MergeMode.Plain => "MergeTree()"
+      case r: MergeMode.Replacing =>
+        s"ReplacingMergeTree(${Option(r.versionCol).getOrElse("")})"
+      case s: MergeMode.Summing =>
+        s"SummingMergeTree((${s.sumCols.mkString(", ")}))"
+      case c: MergeMode.Collapsing =>
+        Option(c.versionCol).filter(_.nonEmpty) match {
+          case Some(v) => s"VersionedCollapsingMergeTree(${c.signCol}, $v)"
+          case None    => s"CollapsingMergeTree(${c.signCol})"
+        }
+      case _: MergeMode.Aggregating => "AggregatingMergeTree()"
+    }
+    val ttlLine = d.ttl.map { t =>
+      val canonical = "^\\((.*)\\) <= current_timestamp\\(\\)$".r
+      canonical.findFirstMatchIn(t) match {
+        case Some(mm) => s"TTL ${mm.group(1)}"
+        case None => s"-- TTL (predicate, no ClickHouse spelling): $t"
+      }
+    }
+    val sketchNote = Seq(
+      d.hllColumns.map(c => s"uniq: ${c.mkString(",")}"),
+      d.topKColumns.map(c => s"topK: ${c.mkString(",")}"),
+      d.quantileColumns.map(c => s"quantiles: ${c.mkString(",")}")
+    ).flatten match {
+      case Nil => None
+      case xs => Some(s"-- per-part sketches (no ClickHouse index type): " +
+        xs.mkString("; "))
+    }
+    (Seq(s"CREATE TABLE `$dir` (") ++
+      Seq((colLines ++ idxLines).mkString(",\n")) ++
+      Seq(s") ENGINE = $engine") ++
+      d.partitionBy.map(p => s"PARTITION BY $p") ++
+      Seq(s"ORDER BY (${d.orderBy.mkString(", ")})") ++
+      d.sampleBy.map(c => s"SAMPLE BY $c") ++
+      ttlLine ++ sketchNote).mkString("\n")
+  }
+
+  private[graft] def sparkTypeToCh(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case TimestampType | TimestampNTZType => "DateTime"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case ArrayType(e, _) => s"Array(${sparkTypeToCh(e)})"
+      case MapType(k, v, _) => s"Map(${sparkTypeToCh(k)}, ${sparkTypeToCh(v)})"
+      case s: StructType =>
+        s"Tuple(${s.fields.map(f => s"${f.name} ${sparkTypeToCh(f.dataType)}")
+          .mkString(", ")})"
+      case BinaryType => "String"
+      case other => throw new IllegalArgumentException(
+        s"no ClickHouse spelling for Spark type ${other.sql}")
+    }
+  }
 
   // ------------------------------------------------------------- helpers
 

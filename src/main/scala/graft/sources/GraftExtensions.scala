@@ -99,7 +99,7 @@ object GraftExtensions {
     "uniq" -> "uniq_meta", "topk" -> "topk_meta",
     "quantiles" -> "quantiles_meta", "parts" -> "parts_meta",
     "snapshots" -> "snapshots_meta", "columns" -> "columns_meta",
-    "mutations" -> "mutations_meta")
+    "mutations" -> "mutations_meta", "create" -> "show_create")
 
   private def metaRelation(
       kind: String, fname: String,

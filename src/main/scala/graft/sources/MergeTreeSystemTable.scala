@@ -69,9 +69,10 @@ object MergeTreeSystemTable {
         "is_partition BOOLEAN, indexes STRING")
     case "mutations" => StructType.fromDDL(
       "part_id BIGINT, ord INT, kind STRING, predicate STRING, sets STRING")
+    case "create" => StructType.fromDDL("create_table_query STRING")
     case other => throw new IllegalArgumentException(
       s"mergetree: unknown system table '$other' " +
-        "(expected parts | snapshots | columns | mutations | uniq | topk | quantiles)")
+        "(expected parts | snapshots | columns | mutations | uniq | topk | quantiles | create)")
   }
 
   def rowsFor(path: String, kind: String): Array[InternalRow] = kind match {
@@ -81,6 +82,10 @@ object MergeTreeSystemTable {
     case "quantiles" => quantileRows(path)
     case "columns"   => columnRows(path)
     case "mutations" => mutationRows(path)
+    // ClickHouse system.tables.create_table_query: the table's OWN DDL in
+    // the ClickHouse dialect (ChCreateTable.showCreate — rewrite's inverse)
+    case "create"    => Array[InternalRow](
+      new GenericInternalRow(Array[Any](utf8(ChCreateTable.showCreate(path)))))
     case _           => snapshotRows(path)
   }
 

@@ -188,6 +188,62 @@ class ChSqlDialectSpec extends AnyFunSuite {
       "prefix")
   }
 
+  test("in-list INDEX declarations map to skip-index options; PROJECTION refuses") {
+    val ddl = ChCreateTable.rewrite(
+      """CREATE TABLE graft.ns.ix (
+        |  k UInt64,
+        |  body String,
+        |  lang LowCardinality(String),
+        |  INDEX idx_body body TYPE tokenbf_v1(32768, 3, 0) GRANULARITY 4,
+        |  INDEX idx_lang lang TYPE set(100),
+        |  INDEX idx_k k TYPE minmax
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin).get
+    assert(ddl.contains("tokenBloomColumns 'body'"))
+    assert(ddl.contains("setIndexColumns 'lang'"))
+    assert(ddl.contains("minmaxColumns 'k'"))
+    assert(!ddl.contains("INDEX"), "index entries must leave the column list")
+    val e = intercept[IllegalArgumentException](ChCreateTable.rewrite(
+      """CREATE TABLE graft.ns.p (k UInt64,
+        |  PROJECTION p1 (SELECT k ORDER BY k)
+        |) ENGINE = MergeTree ORDER BY k""".stripMargin))
+    assert(e.getMessage.contains("projections 'name:cols'"))
+  }
+
+  test("show_create round-trips: rewrite(showCreate(dir)) reproduces the options") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ch_showcreate_").toString
+    spark.sql(
+      s"""CREATE TABLE ch_sc_rt (
+         |  k UInt64, ver UInt64, body String, d Date,
+         |  INDEX ib body TYPE ngrambf_v1(3, 32768, 3, 0)
+         |) ENGINE = ReplacingMergeTree(ver)
+         |PARTITION BY k % 4
+         |ORDER BY (k, d)
+         |SAMPLE BY k
+         |TTL d + INTERVAL 90 DAY
+         |LOCATION '$dir/t'""".stripMargin)
+    try {
+      val stmt = spark.sql(s"SELECT create_table_query FROM show_create('$dir/t')")
+        .collect().head.getString(0)
+      assert(stmt.contains("ReplacingMergeTree(ver)"))
+      assert(stmt.contains("ORDER BY (k, d)"))
+      assert(stmt.contains("PARTITION BY k % 4"))
+      assert(stmt.contains("SAMPLE BY k"))
+      assert(stmt.contains("TTL d + INTERVAL 90 DAY"))
+      assert(stmt.contains("INDEX idx_body `body` TYPE ngrambf_v1"))
+      // the inverse: the emitted ClickHouse DDL parses back to the SAME
+      // option set (modulo the lost unsigned widths, documented)
+      val back = ChCreateTable.rewrite(
+        stmt.replace(s"CREATE TABLE `$dir/t`",
+          s"CREATE TABLE rt2 ") + s"\nLOCATION '$dir/t2'").get
+      Seq("orderBy 'k,d'", "mode 'replacing'", "version 'ver'",
+        "partitionBy 'k % 4'", "sampleBy 'k'",
+        "ngramBloomColumns 'body'",
+        "ttl '(d + INTERVAL 90 DAY) <= current_timestamp()'")
+        .foreach(frag => assert(back.contains(frag), s"missing $frag in: $back"))
+    } finally spark.sql("DROP TABLE IF EXISTS ch_sc_rt")
+  }
+
   test("ClickHouse CREATE TABLE end-to-end: create, insert, FINAL read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ch_ddl_e2e_").toString
