@@ -583,11 +583,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val rewritten = rewriteSamples(rewriteFinal(rewritePrewhere(
       rewriteArrayJoin(rewriteJoinWords(rewriteGlobal(rewriteSettings(
         rewriteFormat(rewriteParametrics(rewriteDateDiffUnit(sqlText0))))))))))
-    // ASOF JOIN: the clause is cut out of the TEXT (replaced by a marker
-    // relation) and its plan spliced back into whatever the statement
-    // parses to — transformUp reaches the marker inside WITH FILL /
-    // LIMIT BY wrappings too.
-    val (sqlText, asofSub) = extractAsof(rewritten)
+    // Subqueries carrying the statement-END clauses (WITH FILL, LIMIT BY,
+    // LIMIT WITH TIES — the three whose grammar anchors at the end): each
+    // is cut out of the TEXT, recursively parsed as its own statement (so
+    // every clause composes at any depth), and spliced back as a marker
+    // relation — the same discipline as ASOF below.
+    val (deSubbed, subSplices) = extractClauseSubqueries(rewritten)
+    // ASOF/ANY JOIN: the clause is cut out of the TEXT (replaced by a
+    // marker relation) and its plan spliced back into whatever the
+    // statement parses to — transformUp reaches the marker inside
+    // WITH FILL / LIMIT BY wrappings too.
+    val (sqlText, asofSub) = extractAsof(deSubbed)
     val plan0 = sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
@@ -598,13 +604,60 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         limitWithTiesPlan(stmt, orderList, nS.toInt)
       case _ => parseRewritten(sqlText)
     }
-    asofSub match {
-      case Some((marker, rel)) => plan0 transformUp {
+    val splices = subSplices ++ asofSub.toSeq
+    if (splices.isEmpty) plan0
+    else {
+      val byMarker = splices.toMap
+      plan0 transformUp {
         case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if r.multipartIdentifier.map(_.toLowerCase) == Seq(marker) => rel
+          if r.multipartIdentifier.size == 1 &&
+            byMarker.contains(r.multipartIdentifier.head.toLowerCase) =>
+          byMarker(r.multipartIdentifier.head.toLowerCase)
       }
-      case None => plan0
     }
+  }
+
+  /** Find parenthesized SUBQUERIES whose inner statement ends in one of
+    * the statement-end clauses (WITH FILL / LIMIT BY / LIMIT n WITH TIES)
+    * and cut each out: the inner text recursively re-enters [[parsePlan]]
+    * (every rewrite and clause applies at any depth), the hole gets a
+    * marker relation (any alias after the parens keeps working — Spark
+    * aliases the marker, the splice replaces only the relation). Ordinary
+    * parenthesized expressions are untouched (the inner must START with
+    * SELECT/WITH and MATCH a clause at its own end).
+    */
+  private def extractClauseSubqueries(
+      sqlText0: String): (String, Seq[(String, LogicalPlan)]) = {
+    var cur = sqlText0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, LogicalPlan)]
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false; guard += 1
+      val spans = quotedSpans(cur)
+      val starts = "\\(".r.findAllMatchIn(cur).map(_.start).toList
+        .filter(i => !inSpan(spans, i))
+      val hit = starts.iterator.flatMap { open =>
+        scala.util.Try(matchParenQ(cur, open)).toOption.flatMap { close =>
+          val inner = cur.substring(open + 1, close).trim
+          val isStmt = "(?is)^(SELECT|WITH)\\b".r.findFirstIn(inner).isDefined
+          val hasClause = isStmt && (inner match {
+            case WithFillStmtRe(_, _, _) => true
+            case LimitByRe(_, _, _, _, _) => true
+            case LimitWithTiesRe(_, _, _) => true
+            case _ => false
+          })
+          if (hasClause) Some((open, close, inner)) else None
+        }
+      }.find(_ => true)
+      hit.foreach { case (open, close, inner) =>
+        val marker = s"__graft_sub_${out.size}_${math.abs(inner.hashCode).toHexString}"
+        out += ((marker.toLowerCase, parsePlan(inner)))
+        cur = cur.substring(0, open) + s" $marker " + cur.substring(close + 1)
+        changed = true
+      }
+    }
+    (cur, out.toSeq)
   }
 
   /** ClickHouse `… ORDER BY o1[, o2…] LIMIT [o,] n BY c1[, c2…]`: the

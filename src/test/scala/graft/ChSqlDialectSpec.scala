@@ -98,6 +98,48 @@ class ChSqlDialectSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM lwt_t ORDER BY v LIMIT 2").count() == 2)
   }
 
+  test("statement-end clauses compose inside subqueries") {
+    import spark.implicits._
+    Seq((0L, 5L), (2L, 7L), (5L, 1L)).toDF("b", "v")
+      .createOrReplaceTempView("sub_fill_t")
+    // WITH FILL inside FROM (…): the grid lands, the outer aggregates it
+    val n = spark.sql(
+      """SELECT count(*) AS n, sum(v) AS s FROM (
+        |  SELECT b, v FROM sub_fill_t ORDER BY b WITH FILL FROM 0 TO 10
+        |) g""".stripMargin).collect().head
+    assert(n.getLong(0) == 10L, s"10-point grid inside the subquery: $n")
+    assert(n.getLong(1) == 13L) // fill rows carry the type default 0
+    // two fill subqueries JOIN on the grid key
+    val j = spark.sql(
+      """SELECT count(*) AS n FROM
+        |  (SELECT b FROM sub_fill_t ORDER BY b WITH FILL FROM 0 TO 6) a
+        |JOIN
+        |  (SELECT b FROM sub_fill_t ORDER BY b WITH FILL FROM 3 TO 9) c
+        |ON a.b = c.b""".stripMargin).collect().head.getLong(0)
+    // a = grid {0..5}; c = grid {3..8} PLUS the off-grid originals 0 and 2
+    // (original rows off the grid survive — the documented contract), so
+    // the join meets on {0, 2, 3, 4, 5}
+    assert(j == 5L, s"grid ∩ (grid + off-grid originals): $j")
+    // LIMIT BY and LIMIT WITH TIES inside subqueries
+    Seq(("g1", 1), ("g1", 2), ("g1", 3), ("g2", 1), ("g2", 2))
+      .toDF("g", "v").createOrReplaceTempView("sub_lb_t")
+    val lb = spark.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT g, v FROM sub_lb_t ORDER BY g, v DESC LIMIT 2 BY g
+        |) s""".stripMargin).collect().head.getLong(0)
+    assert(lb == 4L)
+    val wt = spark.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT v FROM sub_lb_t ORDER BY v LIMIT 3 WITH TIES
+        |) s""".stripMargin).collect().head.getLong(0)
+    assert(wt == 4L) // sorted 1,1,2,2,3: the 3rd row's tie group survives
+    // plain parenthesized expressions and IN (...) subqueries untouched
+    val ok = spark.sql(
+      "SELECT (1 + 2) AS a, 3 IN (SELECT v FROM sub_lb_t) AS b")
+      .collect().head
+    assert(ok.getInt(0) == 3 && ok.getBoolean(1))
+  }
+
   test("ClickHouse type mapping") {
     assert(ChCreateTable.chTypeToSpark("UInt64") == "BIGINT")
     assert(ChCreateTable.chTypeToSpark("Nullable(Float32)") == "FLOAT")
