@@ -596,11 +596,140 @@ object ClickHouseNames {
     }
   }
 
+  // ------------------------------------------- JSON / bit / map / tuple
+
+  /** The third vocabulary wave a pasted log-pipeline query hits: the
+    * JSONExtract family over Spark's codegen'd get_json_object (the PATH
+    * builds at registration from the literal key/index arguments —
+    * ClickHouse's varargs `('a', 1, 'b')` become `$.a[0].b`, ClickHouse
+    * indices are 1-based and negative-from-the-end, JsonPath's 0-based
+    * non-negative only, so negatives refuse loudly); bitwise names over
+    * the &,|,^,~,shift expressions; map/tuple accessors; the remaining
+    * split/regexp names. `assumeNotNull` is the no-op nullability hint
+    * (ClickHouse leaves NULL behavior undefined — this engine passes the
+    * value through rather than inventing one).
+    */
+  private def jsonBitMap: Seq[Entry] = {
+    def jsonPath(name: String, cs: Seq[Expression]): Expression = {
+      require(cs.size >= 2, s"$name takes (json, key_or_index…)")
+      val path = cs.tail.map { e =>
+        require(e.foldable, s"$name: path arguments must be literals")
+        (e.dataType, e.eval()) match {
+          case (_, null) => throw new IllegalArgumentException(
+            s"$name: NULL path argument")
+          case (StringType, v) => s".${v}"
+          case (ByteType | ShortType | IntegerType | LongType, v) =>
+            val i = v.toString.toLong
+            require(i >= 1, s"$name: ClickHouse 1-based positive indices " +
+              s"only (JsonPath cannot count from the end), got $i")
+            s"[${i - 1}]"
+          case (dt, _) => throw new IllegalArgumentException(
+            s"$name: path arguments are strings or integers, got ${dt.sql}")
+        }
+      }.mkString
+      GetJsonObject(cs.head, Literal("$" + path))
+    }
+    def jsonAs(name: String, dt: DataType): Entry =
+      (FunctionIdentifier(name), new ExpressionInfo(classOf[GetJsonObject].getName, name),
+        { cs0: Seq[Expression] =>
+          val cs = cs0.toList
+          val raw = jsonPath(name, cs)
+          dt match {
+            case StringType => raw
+            case BooleanType =>
+              // ClickHouse: true/1 → true; anything else → false
+              Coalesce(Seq(In(raw, Seq(Literal("true"), Literal("1"))),
+                Literal(false)))
+            case d => Coalesce(Seq(Cast(raw, d, None, EvalMode.TRY),
+              Cast(Literal(0), d))) // ClickHouse returns 0 on absence/mismatch
+          }
+        })
+    Seq(
+      jsonAs("JSONExtractString", StringType),
+      jsonAs("JSONExtractInt", LongType),
+      jsonAs("JSONExtractUInt", LongType),
+      jsonAs("JSONExtractFloat", DoubleType),
+      jsonAs("JSONExtractBool", BooleanType),
+      entry("JSONExtractRaw", classOf[GetJsonObject], (2 to 8))(cs =>
+        jsonPath("JSONExtractRaw", cs)),
+      entry("JSONHas", classOf[GetJsonObject], (2 to 8))(cs =>
+        IsNotNull(jsonPath("JSONHas", cs))),
+      entry("bitAnd", classOf[BitwiseAnd], Seq(2))(cs =>
+        BitwiseAnd(cs.head, cs(1))),
+      entry("bitOr", classOf[BitwiseOr], Seq(2))(cs => BitwiseOr(cs.head, cs(1))),
+      entry("bitXor", classOf[BitwiseXor], Seq(2))(cs =>
+        BitwiseXor(cs.head, cs(1))),
+      entry("bitNot", classOf[BitwiseNot], Seq(1))(cs => BitwiseNot(cs.head)),
+      entry("bitShiftLeft", classOf[ShiftLeft], Seq(2))(cs =>
+        ShiftLeft(cs.head, Cast(cs(1), IntegerType))),
+      entry("bitShiftRight", classOf[ShiftRight], Seq(2))(cs =>
+        ShiftRight(cs.head, Cast(cs(1), IntegerType))),
+      entry("mapKeys", classOf[MapKeys], Seq(1))(cs => MapKeys(cs.head)),
+      entry("mapValues", classOf[MapValues], Seq(1))(cs => MapValues(cs.head)),
+      entry("mapContains", classOf[MapContainsKey], Seq(2))(cs =>
+        MapContainsKey(cs.head, cs(1))),
+      // tupleElement(t, n) — 1-based ordinal into a STRUCT (children are
+      // resolved at build time, so the field is known); or by name
+      entry("tupleElement", classOf[GetStructField], Seq(2)) { cs =>
+        require(cs(1).foldable, "tupleElement: the selector must be a literal")
+        val st = cs.head.dataType match {
+          case s: StructType => s
+          case other => throw new IllegalArgumentException(
+            s"tupleElement: first argument must be a Tuple/STRUCT, got ${other.sql}")
+        }
+        cs(1).dataType match {
+          case StringType =>
+            val nm = String.valueOf(cs(1).eval())
+            val i = st.fieldNames.indexOf(nm)
+            require(i >= 0, s"tupleElement: no field '$nm' in ${st.sql}")
+            GetStructField(cs.head, i, Some(nm))
+          case ByteType | ShortType | IntegerType | LongType =>
+            val i = cs(1).eval().toString.toInt
+            require(i >= 1 && i <= st.size,
+              s"tupleElement: ordinal $i out of 1..${st.size}")
+            GetStructField(cs.head, i - 1, Some(st.fieldNames(i - 1)))
+          case other => throw new IllegalArgumentException(
+            s"tupleElement: selector is a name or 1-based ordinal, got ${other.sql}")
+        }
+      },
+      // splitByString(sep, s): any-length literal separator (splitByChar's
+      // general form); splitByRegexp(re, s): the raw regex form
+      entry("splitByString", classOf[StringSplit], Seq(2)) { cs =>
+        require(cs.head.foldable && cs.head.dataType == StringType,
+          "splitByString: the separator must be a string literal")
+        val sep = String.valueOf(cs.head.eval())
+        require(sep.nonEmpty, "splitByString: empty separator")
+        StringSplit(cs(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1))
+      },
+      entry("splitByRegexp", classOf[StringSplit], Seq(2))(cs =>
+        StringSplit(cs(1), cs.head, Literal(-1))),
+      entry("extractAll", classOf[RegExpExtractAll], Seq(2)) { cs =>
+        // ClickHouse: matches of the first capture group when the regex
+        // has one, whole matches otherwise — same static inspection as
+        // the regex builders elsewhere require a literal pattern
+        require(cs(1).foldable && cs(1).dataType == StringType,
+          "extractAll: the pattern must be a string literal")
+        val re = String.valueOf(cs(1).eval())
+        val group = if (re.replace("\\\\", "").replace("\\(", "")
+          .contains("(")) 1 else 0
+        RegExpExtractAll(cs.head, cs(1), Literal(group))
+      },
+      entry("countMatches", classOf[RegExpCount], Seq(2))(cs =>
+        RegExpCount(cs.head, cs(1))),
+      entry("assumeNotNull", classOf[KnownNotNull], Seq(1))(cs =>
+        KnownNotNull(cs.head)),
+      // toStartOfWeek: ClickHouse's default mode 0 = SUNDAY-start week
+      // (toMonday is the Monday form): the Sunday at or before d
+      entry("toStartOfWeek", classOf[TruncDate], Seq(1))(cs =>
+        DateSub(TruncDate(DateAdd(Cast(cs.head, DateType), Literal(1)),
+          Literal("week")), Literal(1))))
+  }
+
   /** Every entry, in one list for both registration faces (register() and
     * the spark.sql.extensions path) — the same no-drift discipline as
     * [[GraftFunctions.expressionFunctions]].
     */
   val all: Seq[Entry] =
     aggregates ++ arrayHof ++ arrayPlain ++ strings ++ arithmetic ++
-      dates ++ conversions
+      dates ++ conversions ++ jsonBitMap
 }

@@ -2011,6 +2011,43 @@ object AnalyticQueries {
       |  FROM lineitem) sub
       |WHERE rk <= 100 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Q166 — the JSON/bit/split/regexp name families under oracle (round
+    * 16, third wave): JSONExtractInt over the events props JSON (ClickHouse
+    * returns 0 on absence — the coalesce is part of the alias), bitwise
+    * names, splitByString, countMatches — DuckDB spells the same
+    * computations natively (json_extract, &, <<, string_split, regexp).
+    */
+  def q166JsonBit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q166_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir).where(col("event_id") < 500).createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT event_id,
+           |  JSONExtractInt(props, 'k') AS k,
+           |  JSONExtractInt(props, 'missing') AS k0,
+           |  JSONHas(props, 'k') AS hk,
+           |  bitAnd(user_id, 255) AS low8,
+           |  bitShiftLeft(bitAnd(user_id, 7), 2) AS sh,
+           |  bitXor(user_id, event_id) AS bx,
+           |  size(splitByString('-', event_type)) AS segs,
+           |  countMatches(props, '[0-9]+') AS digits
+           |FROM $v ORDER BY event_id""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q166Sql: String =
+    """SELECT event_id,
+      |  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+      |  coalesce(TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT),
+      |           0) AS k0,
+      |  json_extract_string(props, '$.k') IS NOT NULL AS hk,
+      |  user_id & 255 AS low8,
+      |  (user_id & 7) << 2 AS sh,
+      |  xor(user_id, event_id) AS bx,
+      |  len(string_split(event_type, '-')) AS segs,
+      |  len(regexp_extract_all(props, '[0-9]+')) AS digits
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -2075,5 +2112,6 @@ object AnalyticQueries {
     ("q161_array_hof_ch", q161ArrayHofCh _, Some(q161Sql)),
     ("q162_ch_scalars", q162ChScalars _, Some(q162Sql)),
     ("q164_asof_sql", q164AsofSql _, Some(q164Sql)),
-    ("q165_limit_with_ties", q165LimitWithTies _, Some(q165Sql)))
+    ("q165_limit_with_ties", q165LimitWithTies _, Some(q165Sql)),
+    ("q166_json_bit", q166JsonBit _, Some(q166Sql)))
 }

@@ -308,6 +308,70 @@ class ClickHouseNamesSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("k")))
   }
 
+  test("JSON extraction family over get_json_object paths") {
+    val r = one(
+      """SELECT
+        |  JSONExtractString('{"a": "x", "b": {"c": "y"}}', 'a') AS s1,
+        |  JSONExtractString('{"a": "x", "b": {"c": "y"}}', 'b', 'c') AS s2,
+        |  JSONExtractInt('{"n": 42}', 'n') AS i1,
+        |  JSONExtractInt('{"n": "zz"}', 'n') AS i0,
+        |  JSONExtractFloat('{"f": 1.5}', 'f') AS f1,
+        |  JSONExtractBool('{"b": true}', 'b') AS b1,
+        |  JSONExtractBool('{"b": "no"}', 'b') AS b0,
+        |  JSONExtractString('{"arr": ["p", "q"]}', 'arr', 2) AS ax,
+        |  JSONExtractRaw('{"b": {"c": 1}}', 'b') AS raw,
+        |  JSONHas('{"a": 1}', 'a') AS h1,
+        |  JSONHas('{"a": 1}', 'z') AS h0""".stripMargin)
+    assert(r.getAs[String]("s1") == "x" && r.getAs[String]("s2") == "y")
+    assert(r.getAs[Long]("i1") == 42L && r.getAs[Long]("i0") == 0L)
+    assert(r.getAs[Double]("f1") == 1.5)
+    assert(r.getAs[Boolean]("b1") && !r.getAs[Boolean]("b0"))
+    assert(r.getAs[String]("ax") == "q") // ClickHouse 1-based index
+    assert(r.getAs[String]("raw") == """{"c":1}""")
+    assert(r.getAs[Boolean]("h1") && !r.getAs[Boolean]("h0"))
+    val err = intercept[Exception](
+      spark.sql("SELECT JSONExtractString('{}', 'a', -1)").collect())
+    assert(err.getMessage.contains("1-based"))
+  }
+
+  test("bit/map/tuple/split/regexp names") {
+    val r = one(
+      """SELECT
+        |  bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, bitXor(12, 10) AS bx,
+        |  bitNot(0) AS bn, bitShiftLeft(1, 4) AS bl, bitShiftRight(16, 2) AS br,
+        |  mapKeys(map('a', 1, 'b', 2)) AS mk,
+        |  mapValues(map('a', 1, 'b', 2)) AS mv,
+        |  mapContains(map('a', 1), 'a') AS mc1,
+        |  mapContains(map('a', 1), 'z') AS mc0,
+        |  tupleElement(named_struct('x', 7, 'y', 'q'), 2) AS t2,
+        |  tupleElement(named_struct('x', 7, 'y', 'q'), 'x') AS tx,
+        |  array_join(splitByString('--', 'a--b--c'), ',') AS sbs,
+        |  array_join(splitByRegexp('[0-9]+', 'a1b22c'), ',') AS sbr,
+        |  array_join(extractAll('k=1, k=22', 'k=([0-9]+)'), ',') AS xa,
+        |  array_join(extractAll('ab cd', '[a-z]+'), ',') AS xw,
+        |  countMatches('a1b22c333', '[0-9]+') AS cm,
+        |  assumeNotNull(5) AS an,
+        |  CAST(toStartOfWeek(DATE'2024-08-15') AS STRING) AS sw,
+        |  CAST(toStartOfWeek(DATE'2024-08-11') AS STRING) AS sw2""".stripMargin)
+    def num(n: String): Long = r.getAs[Number](n).longValue
+    assert(num("ba") == 8L && num("bo") == 14L && num("bx") == 6L)
+    assert(num("bn") == -1L)
+    assert(num("bl") == 16L && num("br") == 4L)
+    assert(r.seqOf[String]("mk") == Seq("a", "b"))
+    assert(r.seqOf[Int]("mv") == Seq(1, 2))
+    assert(r.getAs[Boolean]("mc1") && !r.getAs[Boolean]("mc0"))
+    assert(r.getAs[String]("t2") == "q" && r.getAs[Int]("tx") == 7)
+    assert(r.getAs[String]("sbs") == "a,b,c")
+    assert(r.getAs[String]("sbr") == "a,b,c")
+    assert(r.getAs[String]("xa") == "1,22") // first capture group
+    assert(r.getAs[String]("xw") == "ab,cd") // whole matches, no group
+    assert(r.getAs[Number]("cm").longValue == 3L)
+    assert(r.getAs[Int]("an") == 5)
+    // 2024-08-15 is a Thursday -> Sunday 2024-08-11; a Sunday maps to itself
+    assert(r.getAs[String]("sw") == "2024-08-11")
+    assert(r.getAs[String]("sw2") == "2024-08-11")
+  }
+
   test("no alias shadows a Spark builtin") {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     val shadowed = ClickHouseNames.all.map(_._1.funcName)
