@@ -305,6 +305,15 @@ object ClickHouseNames {
     * standard generator placement rules (SELECT list or LATERAL VIEW).
     */
   private def arrayPlain: Seq[Entry] = Seq(
+    // ClickHouse's FUNCTION-position row expansion (`SELECT arrayJoin(arr)`
+    // duplicates the row per element) is exactly Spark's explode generator;
+    // registering the name makes the pasted spelling work wherever Spark
+    // allows a generator (select list, LATERAL VIEW) and fail loudly
+    // elsewhere (ClickHouse additionally allows it in WHERE — out of the
+    // generator model, refused by the analyzer rather than mis-evaluated).
+    // No name clash: Spark's array_join (concat-with-separator) is a
+    // different identifier; that semantics is arrayStringConcat here.
+    entry("arrayJoin", classOf[Explode], Seq(1))(cs => Explode(cs.head)),
     entry("arrayConcat", classOf[Concat], (2 to 8))(cs => Concat(cs)),
     entry("arrayDistinct", classOf[ArrayDistinct], Seq(1))(cs =>
       ArrayDistinct(cs.head)),

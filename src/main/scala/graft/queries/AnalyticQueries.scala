@@ -2048,6 +2048,79 @@ object AnalyticQueries {
       |  len(regexp_extract_all(props, '[0-9]+')) AS digits
       |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
 
+  /** Q167 — `numbers()` table function + `arrayJoin()` in function
+    * position (round 16): ClickHouse's integer-sequence TVF (both arities,
+    * through the parser's range() rewrite) feeding arrayJoin's per-element
+    * row expansion (the registered explode alias). The join of the two
+    * forms exercises the implicit `numbers` alias and a user alias at
+    * once. DuckDB spells the same with range() and unnest().
+    */
+  def q167NumbersArrayJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(
+      """SELECT numbers.number, m.number AS off,
+        |  arrayJoin(sequence(0L, numbers.number % 3)) AS x
+        |FROM numbers(20) JOIN numbers(100, 20) m
+        |  ON m.number = numbers.number + 100
+        |ORDER BY number, off, x""".stripMargin)
+  }
+
+  val q167Sql: String =
+    """SELECT n.number, m.number AS off,
+      |  unnest(generate_series(0, n.number % 3)) AS x
+      |FROM (SELECT CAST(range AS BIGINT) AS number FROM range(0, 20)) n
+      |JOIN (SELECT CAST(range AS BIGINT) AS number FROM range(100, 120)) m
+      |  ON m.number = n.number + 100
+      |ORDER BY n.number, off, x""".stripMargin
+
+  /** Q168 — `SELECT DISTINCT ON (cols) …` (round 16): ClickHouse's
+    * first-row-per-group clause, folded by the parser onto LIMIT 1 BY
+    * (ClickHouse's own documented equivalence) with the trailing plain
+    * LIMIT applied after the fold (ClickHouse's clause order). The ORDER
+    * BY makes the pick deterministic — the engine refuses the clause
+    * without one. DuckDB spells DISTINCT ON natively.
+    */
+  def q168DistinctOn(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q168_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber, l_quantity
+           |FROM $v
+           |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q168Sql: String =
+    """SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin
+
+  /** Q169 — ClickHouse's select-list star machinery (round 16):
+    * `* REPLACE (expr AS col)` substitutes IN PLACE inside a subquery, and
+    * `COLUMNS('regex')` (partial-match, ClickHouse's re2 posture) selects
+    * from the replaced expansion — the two modifiers composing through one
+    * statement. The oracle spells the expanded columns explicitly (DuckDB's
+    * COLUMNS/EXCLUDE grammar differs; the semantics is what's pinned).
+    */
+  def q169StarModifiers(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q169_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT COLUMNS('^l_(orderkey|linenumber)$$'), l_extendedprice
+           |FROM (SELECT * REPLACE (
+           |        l_extendedprice * (1 - l_discount) AS l_extendedprice)
+           |      FROM $v)
+           |WHERE l_orderkey < 1000
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q169Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS l_extendedprice
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -2113,5 +2186,8 @@ object AnalyticQueries {
     ("q162_ch_scalars", q162ChScalars _, Some(q162Sql)),
     ("q164_asof_sql", q164AsofSql _, Some(q164Sql)),
     ("q165_limit_with_ties", q165LimitWithTies _, Some(q165Sql)),
-    ("q166_json_bit", q166JsonBit _, Some(q166Sql)))
+    ("q166_json_bit", q166JsonBit _, Some(q166Sql)),
+    ("q167_numbers_array_join", q167NumbersArrayJoin _, Some(q167Sql)),
+    ("q168_distinct_on", q168DistinctOn _, Some(q168Sql)),
+    ("q169_star_modifiers", q169StarModifiers _, Some(q169Sql)))
 }

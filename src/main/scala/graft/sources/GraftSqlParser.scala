@@ -5,7 +5,7 @@ import graft.mergetree.ColumnarMergeTree.TableDef
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -235,6 +235,134 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rewriteGlobal(sqlText: String): String =
     if (!GlobalProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, GlobalRe)(m => m.group(1))
+
+  /** ClickHouse's `numbers(N)` / `numbers(offset, N)` table function (and
+    * the `numbers_mt` spelling — parallelism is Spark's concern either
+    * way): rewritten onto Spark's own `range` TVF with the column renamed
+    * to ClickHouse's `number`. `numbers(N)` yields 0…N-1,
+    * `numbers(o, N)` yields o…o+N-1 — both as BIGINT (ClickHouse's UInt64
+    * has no Spark counterpart; the usual signedness divergence,
+    * documented). A trailing alias is kept; without one the subquery is
+    * aliased `numbers` so qualified references (`numbers.number`) resolve
+    * exactly as they do in ClickHouse. The alias capture refuses clause
+    * keywords, so `FROM numbers(3) WHERE …` aliases correctly.
+    */
+  private def rewriteNumbers(sqlText: String): String =
+    if (!NumbersProbeRe.pattern.matcher(sqlText).find()) sqlText
+    else replaceOutsideQuotes(sqlText, NumbersRe) { m =>
+      val kw = m.group(1)
+      val (start, end) = Option(m.group(3)) match {
+        case Some(n) => (BigInt(m.group(2)), BigInt(m.group(2)) + BigInt(n))
+        case None => (BigInt(0), BigInt(m.group(2)))
+      }
+      val alias = Option(m.group(4)).getOrElse("numbers")
+      s"$kw (SELECT id AS number FROM range($start, $end)) $alias"
+    }
+
+  /** ClickHouse's star modifiers and regex column selector, the two
+    * select-list shapes Spark's grammar lacks:
+    *
+    *   - `[t.]* [EXCEPT (c1, …)] REPLACE (expr AS c1[, …])` — star
+    *     expansion with listed columns replaced IN PLACE by expressions
+    *     (Spark parses `* EXCEPT` natively, but not REPLACE, and not the
+    *     combination);
+    *   - `COLUMNS('regex')` — every column whose name matches the
+    *     pattern (ClickHouse's re2 dialect read as Java regex, the SQL
+    *     face's documented regex posture).
+    *
+    * Each occurrence is cut out of the TEXT and a marker identifier left
+    * in the hole; after the statement parses, the marker attribute is
+    * spliced to a [[graft.plans.ChStarReplace]] /
+    * [[graft.plans.ChColumnsRegex]] — Catalyst [[Star]]s carrying the
+    * exact ClickHouse contract (in-place replacement, partial-match
+    * regex, loud on unknown/empty). Stars also expand as FUNCTION
+    * arguments (`hash(COLUMNS('^k'))`), ClickHouse's other use of
+    * COLUMNS. The `APPLY` modifier is not supported (no analyzer
+    * counterpart) and falls through to a loud parse error.
+    */
+  private def extractStarMods(
+      sqlText0: String): (String, Map[String, Expression]) = {
+    var cur = sqlText0
+    val out = scala.collection.mutable.Map.empty[String, Expression]
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false; guard += 1
+      val spans = quotedSpans(cur)
+      StarReplaceHeadRe.findAllMatchIn(cur)
+        .find(m => !inSpan(spans, m.start)).foreach { m =>
+          val qual = Option(m.group(1)).map(q => Seq(stripTicks(q)))
+          val excepts: Seq[String] = Option(m.group(2)).toSeq.flatMap(
+            _.split(',').map(s => stripTicks(s.trim)).toSeq)
+          val close = matchParenQ(cur, m.end - 1)
+          val items = splitTopLevel(cur.substring(m.end, close))
+            .map(_.trim).filter(_.nonEmpty)
+          require(items.nonEmpty, "star REPLACE needs at least one item")
+          val repls = items.map { it =>
+            delegate.parseExpression(it) match {
+              case a: Alias => a.name -> (a: NamedExpression)
+              case other => throw new IllegalArgumentException(
+                s"star REPLACE items must be `expr AS column`, got: " +
+                  other.sql)
+            }
+          }
+          val marker = s"__graft_star_${out.size}_${math.abs(cur.hashCode).toHexString}"
+          out(marker.toLowerCase) = graft.plans.ChStarReplace(qual, excepts, repls)
+          cur = cur.substring(0, m.start) + s" $marker " + cur.substring(close + 1)
+          changed = true
+        }
+      if (!changed) {
+        val spans2 = quotedSpans(cur)
+        ColumnsSelectorRe.findAllMatchIn(cur)
+          .find(m => !inSpan(spans2, m.start)).foreach { m =>
+            val marker = s"__graft_cols_${out.size}_${math.abs(cur.hashCode).toHexString}"
+            out(marker.toLowerCase) = graft.plans.ChColumnsRegex(m.group(1))
+            cur = cur.substring(0, m.start) + s" $marker " + cur.substring(m.end)
+            changed = true
+          }
+      }
+    }
+    (cur, out.toMap)
+  }
+
+  /** ClickHouse `SELECT DISTINCT ON (c1[, c2…]) …`: the first row of each
+    * (c1, c2, …) group — by ClickHouse's own documented equivalence,
+    * exactly `LIMIT 1 BY c1, c2…` — so the clause FOLDS onto the LIMIT BY
+    * machinery textually and inherits its discipline: the statement must
+    * carry an ORDER BY (ClickHouse permits an arbitrary pick per group;
+    * this engine refuses the nondeterminism loudly) and the ON columns
+    * must be in the result. A trailing plain `LIMIT k` moves AFTER the
+    * folded clause (`… LIMIT 1 BY cols LIMIT k`), ClickHouse's clause
+    * order, which limitByPlan applies post-sort. Only the statement's own
+    * head is folded here — a parenthesized DISTINCT ON subquery re-enters
+    * parsePlan through extractClauseSubqueries. Top-level set operations
+    * under DISTINCT ON are refused (the fold would mis-scope the clause).
+    */
+  private def rewriteDistinctOn(sqlText: String): String = {
+    val m = DistinctOnHeadRe.findFirstMatchIn(sqlText).getOrElse(return sqlText)
+    val open = m.end - 1
+    val close = matchParenQ(sqlText, open)
+    val cols = sqlText.substring(open + 1, close).trim
+    require(cols.nonEmpty, s"DISTINCT ON needs at least one column: $sqlText")
+    val rest0 = sqlText.substring(close + 1)
+    // a top-level set operation would make the fold's scope ambiguous
+    val depths = parenDepths(rest0)
+    val spans = quotedSpans(rest0)
+    "(?i)\\b(UNION|EXCEPT|INTERSECT)\\b".r.findAllMatchIn(rest0).foreach { u =>
+      require(depths(u.start) > 0 || inSpan(spans, u.start),
+        "DISTINCT ON over a set operation is not supported — " +
+          "parenthesize the DISTINCT ON branch")
+    }
+    // a trailing plain LIMIT k (no BY / WITH TIES) moves after the fold;
+    // the span check keeps a statement ENDING in a string literal intact
+    val trail = "(?is)\\s+LIMIT\\s+(\\d+)\\s*;?\\s*$".r.findFirstMatchIn(rest0)
+      .filterNot(mm => inSpan(spans, mm.start(1)))
+    val (rest, tail) = trail match {
+      case Some(mm) => (rest0.substring(0, mm.start), s" LIMIT ${mm.group(1)}")
+      case None => (rest0.replaceAll("(?s)[;\\s]+$", ""), "")
+    }
+    s"SELECT $rest LIMIT 1 BY $cols$tail"
+  }
 
   /** ClickHouse word order `SEMI LEFT JOIN` / `ANTI LEFT JOIN` → Spark's
     * `LEFT SEMI JOIN` / `LEFT ANTI JOIN` — identical semantics, swapped
@@ -580,9 +708,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(ddl) => return delegate.parsePlan(ddl)
       case None =>
     }
-    val rewritten = rewriteSamples(rewriteFinal(rewritePrewhere(
-      rewriteArrayJoin(rewriteJoinWords(rewriteGlobal(rewriteSettings(
-        rewriteFormat(rewriteParametrics(rewriteDateDiffUnit(sqlText0))))))))))
+    val rewritten0 = rewriteDistinctOn(rewriteSamples(rewriteFinal(
+      rewritePrewhere(rewriteArrayJoin(rewriteJoinWords(rewriteGlobal(
+        rewriteNumbers(rewriteSettings(rewriteFormat(rewriteParametrics(
+          rewriteDateDiffUnit(sqlText0))))))))))))
+    // Star modifiers (`* REPLACE`, `COLUMNS('re')`): cut from the text
+    // here, spliced into the parsed plan at the end of this method.
+    val (rewritten, starSplices) =
+      if (!StarModProbeRe.pattern.matcher(rewritten0).find())
+        (rewritten0, Map.empty[String, Expression])
+      else extractStarMods(rewritten0)
     // Subqueries carrying the statement-END clauses (WITH FILL, LIMIT BY,
     // LIMIT WITH TIES — the three whose grammar anchors at the end): each
     // is cut out of the TEXT, recursively parsed as its own statement (so
@@ -597,15 +732,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val plan0 = sqlText match {
       case WithFillStmtRe(prefix, items, interpS) =>
         withFillPlan(prefix, items, Option(interpS))
-      case LimitByRe(stmt, orderList, offS, nS, byCols) =>
+      case LimitByRe(stmt, orderList, offS, nS, byCols, finalLimS) =>
         limitByPlan(stmt, orderList,
-          Option(offS).map(_.toInt).getOrElse(0), nS.toInt, byCols)
+          Option(offS).map(_.toInt).getOrElse(0), nS.toInt, byCols,
+          Option(finalLimS).map(_.toInt))
       case LimitWithTiesRe(stmt, orderList, nS) =>
         limitWithTiesPlan(stmt, orderList, nS.toInt)
       case _ => parseRewritten(sqlText)
     }
     val splices = subSplices ++ asofSub.toSeq
-    if (splices.isEmpty) plan0
+    val plan1 = if (splices.isEmpty) plan0
     else {
       val byMarker = splices.toMap
       plan0 transformUp {
@@ -614,6 +750,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             byMarker.contains(r.multipartIdentifier.head.toLowerCase) =>
           byMarker(r.multipartIdentifier.head.toLowerCase)
       }
+    }
+    if (starSplices.isEmpty) plan1
+    else plan1 transformAllExpressions {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.size == 1 &&
+          starSplices.contains(a.nameParts.head.toLowerCase) =>
+        starSplices(a.nameParts.head.toLowerCase)
     }
   }
 
@@ -643,7 +786,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           val isStmt = "(?is)^(SELECT|WITH)\\b".r.findFirstIn(inner).isDefined
           val hasClause = isStmt && (inner match {
             case WithFillStmtRe(_, _, _) => true
-            case LimitByRe(_, _, _, _, _) => true
+            case LimitByRe(_, _, _, _, _, _) => true
+            case _ if DistinctOnHeadRe.findFirstIn(inner).isDefined => true
             case LimitWithTiesRe(_, _, _) => true
             case _ => false
           })
@@ -671,9 +815,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * REQUIRED — ClickHouse permits an arbitrary-order LIMIT BY, this
     * engine refuses the nondeterminism), then re-sorts by the same list.
     * `LIMIT n` alone never matches (no BY), so standard SQL is untouched.
+    * ClickHouse's full clause order allows a plain row limit AFTER the
+    * per-group one (`LIMIT 1 BY g LIMIT 10`) — `finalLimit` applies it on
+    * the re-sorted result, deterministic because the sort already happened.
     */
   private def limitByPlan(stmt: String, orderList: String, off: Int, n: Int,
-      byColsS: String): LogicalPlan = {
+      byColsS: String, finalLimit: Option[Int] = None): LogicalPlan = {
     import org.apache.spark.sql.functions._
     require(n > 0, s"LIMIT $n BY: n must be positive")
     require(off >= 0, s"LIMIT $off, $n BY: the offset must not be negative")
@@ -692,10 +839,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     require(orderCols.nonEmpty, "LIMIT n BY requires an ORDER BY")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(by.map(col): _*).orderBy(orderCols: _*)
-    inner.withColumn("__lb_rn", row_number().over(w))
+    val limited = inner.withColumn("__lb_rn", row_number().over(w))
       .filter(col("__lb_rn") > off && col("__lb_rn") <= off + n).drop("__lb_rn")
       .orderBy(orderCols: _*)
-      .queryExecution.logical
+    finalLimit.fold(limited)(limited.limit).queryExecution.logical
   }
 
   /** ClickHouse/standard-SQL `ORDER BY … LIMIT n WITH TIES`: the first n
@@ -998,7 +1145,7 @@ object GraftSqlParser {
   // `LIMIT n` has no BY and never matches).
   private[sources] val LimitByRe =
     ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(?:(\\d+)\\s*,\\s*)?(\\d+)\\s+BY\\s+" +
-      "([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)\\s*;?\\s*$").r
+      "([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$").r
   // `ORDER BY … LIMIT n WITH TIES` — statement-end, like LIMIT BY
   private[sources] val LimitWithTiesRe =
     ("(?is)^(.*\\bORDER\\s+BY\\s+(.*?))\\s+LIMIT\\s+(\\d+)\\s+WITH\\s+TIES" +
@@ -1109,6 +1256,38 @@ object GraftSqlParser {
     ("(?is)\\bFROM\\s+([`\\w][\\w.`]*)\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+" +
       s"($AJI(?:\\s*,\\s*$AJI)*+)" +
       "(?!(?:\\s+(?:AS\\s+)?[`\\w]+)?\\s+(?:ON|USING)\\b)").r
+
+  // `FROM|JOIN numbers[_mt](N | o, N) [alias]` — ClickHouse's integer
+  // sequence table function. The alias token refuses clause keywords so
+  // `FROM numbers(3) WHERE x` gets the implicit `numbers` alias and the
+  // WHERE stays a clause.
+  private[sources] val NumbersProbeRe = "(?i)\\bnumbers(?:_mt)?\\s*\\(".r
+  private[sources] val NumbersRe =
+    ("(?is)\\b(FROM|JOIN)\\s+numbers(?:_mt)?\\s*\\(\\s*(\\d+)\\s*" +
+      "(?:,\\s*(\\d+)\\s*)?\\)" +
+      "(?:\\s+(?:AS\\s+)?(?!(?:WHERE|GROUP|ORDER|LIMIT|HAVING|WINDOW|" +
+      "UNION|EXCEPT|INTERSECT|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|ASOF|ANY|" +
+      "SEMI|ANTI|ON|USING|SETTINGS|FORMAT|AS|SAMPLE|FINAL|PREWHERE|ARRAY|" +
+      "NATURAL|LATERAL)\\b)(`?\\w+`?))?").r
+
+  // `SELECT DISTINCT ON (cols) …` at the statement's own head; the paren
+  // is balance-matched from the match end (cols may carry backticks).
+  private[sources] val DistinctOnHeadRe =
+    "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r
+
+  // `[t.]* [EXCEPT (cols)] REPLACE (` — the head of ClickHouse's star
+  // REPLACE modifier; the REPLACE body is balance-matched from the match
+  // end. The EXCEPT group is regex-captured (bare column names only, per
+  // both dialects' grammar).
+  private[sources] val StarReplaceHeadRe =
+    ("(?is)(?:([`\\w]+)\\s*\\.\\s*)?\\*\\s+(?:EXCEPT\\s*\\(([^)]*)\\)\\s+)?" +
+      "REPLACE\\s*\\(").r
+  // `COLUMNS('regex')` — ClickHouse's regex column selector.
+  private[sources] val ColumnsSelectorRe =
+    "(?is)\\bCOLUMNS\\s*\\(\\s*'([^']+)'\\s*\\)".r
+  // Cheap containment probe before paying the star-mod scanner.
+  private[sources] val StarModProbeRe =
+    "(?i)\\*\\s+(?:EXCEPT\\b|REPLACE\\b)|\\bCOLUMNS\\s*\\(\\s*'".r
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r

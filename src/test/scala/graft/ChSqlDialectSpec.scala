@@ -307,4 +307,86 @@ class ChSqlDialectSpec extends AnyFunSuite {
       assert(fin == Seq((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
     } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_e2e")
   }
+
+  test("numbers() table function: both arities, aliases, numbers_mt") {
+    val one = spark.sql("SELECT number FROM numbers(5)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(0L, 1L, 2L, 3L, 4L))
+    // two-arg = offset, count; explicit alias; clause keyword right after
+    // the call must NOT be eaten as an alias
+    val two = spark.sql(
+      "SELECT n.number FROM numbers(10, 3) AS n WHERE n.number > 10")
+      .collect().map(_.getLong(0)).toSeq
+    assert(two == Seq(11L, 12L))
+    val filtered = spark.sql(
+      "SELECT number FROM numbers_mt(100) WHERE number % 25 = 0 ORDER BY number")
+      .collect().map(_.getLong(0)).toSeq
+    assert(filtered == Seq(0L, 25L, 50L, 75L))
+    // the implicit alias is `numbers`, exactly ClickHouse's table name
+    val qualified = spark.sql(
+      "SELECT numbers.number FROM numbers(3) ORDER BY numbers.number DESC")
+      .collect().map(_.getLong(0)).toSeq
+    assert(qualified == Seq(2L, 1L, 0L))
+    // a string literal containing the call shape is NOT rewritten
+    val lit = spark.sql("SELECT 'FROM numbers(3)' AS s").collect().head
+    assert(lit.getString(0) == "FROM numbers(3)")
+  }
+
+  test("star REPLACE keeps column position; composes with EXCEPT") {
+    import spark.implicits._
+    Seq((1L, 2L, 3L), (4L, 5L, 6L)).toDF("a", "b", "c")
+      .createOrReplaceTempView("sr_t")
+    val df = spark.sql("SELECT * REPLACE (b * 10 AS b) FROM sr_t ORDER BY a")
+    assert(df.columns.toSeq == Seq("a", "b", "c"), "b stays IN PLACE")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 20L, 3L), (4L, 50L, 6L)))
+    // EXCEPT + REPLACE combined (Spark parses neither combined form)
+    val both = spark.sql(
+      "SELECT * EXCEPT (c) REPLACE (a + 100 AS a) FROM sr_t ORDER BY b")
+    assert(both.columns.toSeq == Seq("a", "b"))
+    assert(both.collect().map(_.getLong(0)).toSeq == Seq(101L, 104L))
+    // qualified star; plain * EXCEPT stays Spark-native
+    val qual = spark.sql(
+      "SELECT t.* REPLACE (c - 1 AS c) FROM sr_t t ORDER BY a")
+    assert(qual.collect().map(_.getLong(2)).toSeq == Seq(2L, 5L))
+    assert(spark.sql("SELECT * EXCEPT (a) FROM sr_t").columns.toSeq ==
+      Seq("b", "c"))
+    // unknown replaced column is loud
+    intercept[Exception] {
+      spark.sql("SELECT * REPLACE (1 AS nope) FROM sr_t").collect()
+    }
+    // a string literal carrying the shape is data
+    val lit = spark.sql("SELECT '* REPLACE (x AS y)' AS s FROM sr_t LIMIT 1")
+      .collect().head.getString(0)
+    assert(lit == "* REPLACE (x AS y)")
+  }
+
+  test("COLUMNS('regex') expands matching columns, also as function args") {
+    import spark.implicits._
+    Seq((1L, 2L, 3L, "x")).toDF("k_a", "k_b", "v", "s")
+      .createOrReplaceTempView("cols_t")
+    val df = spark.sql("SELECT COLUMNS('^k_') FROM cols_t")
+    assert(df.columns.toSeq == Seq("k_a", "k_b"))
+    // function-argument expansion — ClickHouse's other COLUMNS use
+    val sum2 = spark.sql(
+      "SELECT k_a + k_b AS manual, hash(COLUMNS('^k_')) AS h FROM cols_t")
+    assert(sum2.columns.toSeq == Seq("manual", "h"))
+    // alongside ordinary items
+    val mixed = spark.sql("SELECT s, COLUMNS('^k_') FROM cols_t")
+    assert(mixed.columns.toSeq == Seq("s", "k_a", "k_b"))
+  }
+
+  test("arrayJoin() in function position expands rows like explode") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT number, arrayJoin(sequence(1L, number)) AS x
+        |FROM numbers(1, 3) ORDER BY number, x""".stripMargin)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(r == Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (3L, 3L)))
+    // empty arrays drop the row — ClickHouse's arrayJoin contract
+    val empty = spark.sql(
+      "SELECT arrayJoin(array()) AS x FROM numbers(2)").collect()
+    assert(empty.isEmpty)
+  }
 }

@@ -163,4 +163,46 @@ class LimitBySpec extends AnyFunSuite {
         "ORDER BY g1, g2, id LIMIT 1 BY g1, g2").collect()
     assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 3L, 4L))
   }
+
+  test("LIMIT n BY followed by a plain LIMIT applies both (ClickHouse order)") {
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L))
+      .toDF("g", "id").createOrReplaceTempView("lb_fl")
+    val rows = spark.sql(
+      "SELECT g, id FROM lb_fl ORDER BY g, id LIMIT 1 BY g LIMIT 2").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 3L),
+      "one per group, then the first two groups overall")
+  }
+
+  test("DISTINCT ON folds to LIMIT 1 BY: first row per group, deterministic") {
+    import spark.implicits._
+    Seq(("a", 3L, 30L), ("a", 1L, 10L), ("b", 2L, 20L), ("b", 4L, 40L),
+        ("c", 5L, 50L))
+      .toDF("g", "id", "v").createOrReplaceTempView("don_src")
+    val rows = spark.sql(
+      "SELECT DISTINCT ON (g) g, id, v FROM don_src ORDER BY g, id").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 5L)))
+    // DESC pick: highest id per group
+    val hi = spark.sql(
+      "SELECT DISTINCT ON (g) g, id FROM don_src ORDER BY g, id DESC").collect()
+    assert(hi.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L))
+    // trailing plain LIMIT applies AFTER the per-group pick
+    val lim = spark.sql(
+      "SELECT DISTINCT ON (g) g, id FROM don_src ORDER BY g, id LIMIT 2")
+      .collect()
+    assert(lim.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    // no ORDER BY → loud refusal (nondeterministic pick)
+    intercept[Exception] {
+      spark.sql("SELECT DISTINCT ON (g) g, id FROM don_src").collect()
+    }
+    // plain SELECT DISTINCT stays standard Spark
+    assert(spark.sql("SELECT DISTINCT g FROM don_src").count() == 3)
+    // composes as a subquery: the inner DISTINCT ON re-enters the parser
+    val sub = spark.sql(
+      """SELECT count(*) AS c FROM (
+        |  SELECT DISTINCT ON (g) g, id FROM don_src ORDER BY g, id)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(sub == 3L)
+  }
 }
