@@ -108,6 +108,30 @@ object ClickHouseNames {
       CovPopulation(cs.head, cs(1))),
     entry("covarSamp", classOf[CovSample], Seq(2))(cs =>
       CovSample(cs.head, cs(1))),
+    // The -State/-Merge combinator pair — AggregatingMergeTree's
+    // pre-aggregation vocabulary (partial per part/batch, merge at read).
+    // uniq's state is a REAL mergeable sketch: DataSketches HLL binary via
+    // Spark's hll_sketch_agg/hll_union_agg (exact while the sketch holds
+    // coupons — low hundreds of distincts — estimating past that, the
+    // same contract as ClickHouse's uniqState). For the MONOID aggregates
+    // the state IS the value (sum's partial is a sum), so State maps to
+    // the aggregate and Merge to its combiner — unlike ClickHouse's
+    // opaque blobs, these states are readable columns, documented
+    // divergence. avg/quantile States have non-scalar states and are
+    // deliberately absent (loud unresolved-function error).
+    entry("uniqState", classOf[HllSketchAgg], Seq(1))(cs =>
+      new HllSketchAgg(cs.head)),
+    entry("uniqMerge", classOf[HllUnionAgg], Seq(1))(cs =>
+      HllSketchEstimate(AggregateExpression(new HllUnionAgg(cs.head),
+        Complete, isDistinct = false))),
+    entry("sumState", classOf[Sum], Seq(1))(cs => Sum(cs.head)),
+    entry("sumMerge", classOf[Sum], Seq(1))(cs => Sum(cs.head)),
+    entry("countState", classOf[Count], (1 to 8))(cs => Count(cs)),
+    entry("countMerge", classOf[Sum], Seq(1))(cs => Sum(cs.head)),
+    entry("minState", classOf[Min], Seq(1))(cs => Min(cs.head)),
+    entry("minMerge", classOf[Min], Seq(1))(cs => Min(cs.head)),
+    entry("maxState", classOf[Max], Seq(1))(cs => Max(cs.head)),
+    entry("maxMerge", classOf[Max], Seq(1))(cs => Max(cs.head)),
     // avgWeighted(x, w) = sum(x*w)/sum(w) in Float64, rows with NULL x
     // excluded from BOTH sums (ClickHouse skips them entirely).
     entry("avgWeighted", classOf[Average], Seq(2)) { cs =>
@@ -734,11 +758,89 @@ object ClickHouseNames {
           Literal("week")), Literal(1))))
   }
 
+  // ------------------------------------------- windows & readability
+
+  /** Window-function names, text tokenizers, and the human-readable
+    * formatters ClickHouse tutorials lean on.
+    */
+  private def misc: Seq[Entry] = Seq(
+    // lagInFrame/leadInFrame: ClickHouse's explicit-window lag/lead (its
+    // bare lag/lead are aliases of these) — Spark's Lag/Lead directly;
+    // the analyzer wraps them in the OVER clause's WindowExpression.
+    entry("lagInFrame", classOf[Lag], Seq(1, 2, 3)) { cs =>
+      val off = if (cs.size >= 2) cs(1) else Literal(1)
+      val dflt = if (cs.size >= 3) cs(2) else Literal(null)
+      new Lag(cs.head, off, dflt, false)
+    },
+    entry("leadInFrame", classOf[Lead], Seq(1, 2, 3)) { cs =>
+      val off = if (cs.size >= 2) cs(1) else Literal(1)
+      val dflt = if (cs.size >= 3) cs(2) else Literal(null)
+      new Lead(cs.head, off, dflt, false)
+    },
+    // bar(x, min, max, width): width·(x−min)/(max−min) full blocks of
+    // U+2588, clamped to [0, width]. ClickHouse draws fractional eighths
+    // too — whole blocks only here (documented; the shape reads the same).
+    entry("bar", classOf[StringRepeat], Seq(4)) { cs =>
+      val x = Cast(cs.head, DoubleType)
+      val lo = Cast(cs(1), DoubleType)
+      val hi = Cast(cs(2), DoubleType)
+      val w = Cast(cs(3), DoubleType)
+      val n = Floor(Multiply(w,
+        Divide(Subtract(x, lo), Subtract(hi, lo))))
+      val clamped = Greatest(Seq(Literal(0L),
+        Least(Seq(Cast(w, LongType), Cast(n, LongType)))))
+      StringRepeat(Literal("█"), Cast(clamped, IntegerType))
+    },
+    // formatReadableSize: IEC units with two decimals, ClickHouse's print
+    entry("formatReadableSize", classOf[FormatString], Seq(1)) { cs =>
+      val b = Cast(cs.head, DoubleType)
+      def tier(p: Int) = Literal(math.pow(1024.0, p))
+      def fmt(unit: String, p: Int) =
+        FormatString(Literal(s"%.2f $unit"), Divide(b, tier(p)))
+      CaseWhen(Seq(
+        (LessThan(b, tier(1)), fmt("B", 0)),
+        (LessThan(b, tier(2)), fmt("KiB", 1)),
+        (LessThan(b, tier(3)), fmt("MiB", 2)),
+        (LessThan(b, tier(4)), fmt("GiB", 3)),
+        (LessThan(b, tier(5)), fmt("TiB", 4)),
+        (LessThan(b, tier(6)), fmt("PiB", 5))), Some(fmt("EiB", 6)))
+    },
+    entry("formatReadableQuantity", classOf[FormatString], Seq(1)) { cs =>
+      val n = Cast(cs.head, DoubleType)
+      def tier(p: Double) = Literal(p)
+      def fmt(unit: String, p: Double) =
+        FormatString(Literal(s"%.2f$unit"), Divide(n, tier(p)))
+      CaseWhen(Seq(
+        (LessThan(n, Literal(1e3)), FormatString(Literal("%.2f"), n)),
+        (LessThan(n, Literal(1e6)), fmt(" thousand", 1e3)),
+        (LessThan(n, Literal(1e9)), fmt(" million", 1e6)),
+        (LessThan(n, Literal(1e12)), fmt(" billion", 1e9))),
+        Some(fmt(" trillion", 1e12)))
+    },
+    // ngrams(s, n): the array of all length-n substrings (ClickHouse's
+    // character n-grams); empty when the string is shorter than n.
+    entry("ngrams", classOf[ArrayTransform], Seq(2)) { cs =>
+      require(cs(1).foldable, "ngrams: n must be a literal")
+      val n = cs(1)
+      val count = Subtract(Add(Length(cs.head), Literal(1)), n)
+      CaseWhen(Seq((LessThanOrEqual(count, Literal(0)),
+        Literal.create(Array.empty[String], ArrayType(StringType)))),
+        Some(ArrayTransform(new Sequence(Literal(1), count),
+          lambda1(i => Substring(cs.head, Cast(i, IntegerType), Cast(n, IntegerType))))))
+    },
+    // tokens(s): split on non-alphanumeric runs, no empty tokens —
+    // ClickHouse's default tokenizer (Unicode letters/digits here, Java
+    // regex classes; ClickHouse is byte-ASCII — documented).
+    entry("tokens", classOf[StringSplit], Seq(1)) { cs =>
+      val split = StringSplit(cs.head, Literal("[^\\p{L}\\p{N}]+"), Literal(-1))
+      ArrayFilter(split, lambda1(x => GreaterThan(Length(x), Literal(0))))
+    })
+
   /** Every entry, in one list for both registration faces (register() and
     * the spark.sql.extensions path) — the same no-drift discipline as
     * [[GraftFunctions.expressionFunctions]].
     */
   val all: Seq[Entry] =
     aggregates ++ arrayHof ++ arrayPlain ++ strings ++ arithmetic ++
-      dates ++ conversions ++ jsonBitMap
+      dates ++ conversions ++ jsonBitMap ++ misc
 }

@@ -1351,6 +1351,23 @@ final class ColumnarMergeTree private (
     * (drop last month) is O(manifest) instead of O(data) like deleteWhere.
     * Returns the number of rows dropped.
     */
+  /** ClickHouse `TRUNCATE TABLE`: drop every live part in ONE manifest
+    * swap — O(manifest), no data rewrite, schema/indexes/tabledef kept.
+    * Retired parts go through the reader-grace GC like every maintenance
+    * op, so in-flight scans keep their inputs.
+    */
+  def truncate(): Long = maintenanceLock.synchronized {
+    var gone = Seq.empty[GPartMeta]
+    lock.synchronized {
+      manifest = GManifest.update(path) { cur =>
+        gone = cur.parts
+        GManifest(cur.version, Nil)
+      }
+    }
+    retireParts(gone)
+    gone.map(_.rowCount).sum
+  }
+
   def dropPartition(value: String): Long = maintenanceLock.synchronized {
     require(partitionBy.nonEmpty, "dropPartition on an unpartitioned table")
     // Victims are selected by partition VALUE inside the RMW itself: a

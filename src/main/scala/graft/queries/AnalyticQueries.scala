@@ -2121,6 +2121,163 @@ object AnalyticQueries {
       |FROM lineitem WHERE l_orderkey < 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Q170 — ClickHouse expression-alias `WITH` macros (round 16): a
+    * constant (`24 AS qty_cap`), a per-row expression (`net`, used inside
+    * an aggregate), and a scalar subquery (`avg_qty`, used in WHERE
+    * arithmetic) — all three macro shapes in one statement, substituted
+    * at their use sites by the parser. Sums in integer cents (the
+    * registry's deterministic-double discipline). DuckDB spells the
+    * substitutions out.
+    */
+  def q170WithMacros(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q170_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""WITH 24 AS qty_cap,
+           |     l_extendedprice * (1 - l_discount) AS net,
+           |     (SELECT avg(l_quantity) FROM $v) AS avg_qty
+           |SELECT l_returnflag, count(*) AS c,
+           |  sum(CAST(floor(net * 100.0 + 0.5) AS BIGINT)) AS net_cents
+           |FROM $v
+           |WHERE l_quantity < qty_cap AND l_quantity > avg_qty - 20
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q170Sql: String =
+    """SELECT l_returnflag, count(*) AS c,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS net_cents
+      |FROM lineitem
+      |WHERE l_quantity < 24
+      |  AND l_quantity > (SELECT avg(l_quantity) FROM lineitem) - 20
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q171 — ClickHouse collection literals (round 16): `[1, 3, 5]` array
+    * literals (as function arguments) and `{'k': v}` map literals (with
+    * subscript access), both rewritten by the parser onto array()/map()
+    * constructors with subscripts left intact. DuckDB shares the bracket
+    * syntax; the map access is constant-folded in the oracle.
+    */
+  def q171CollectionLiterals(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q171_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT l_returnflag,
+           |  CAST(count_if(array_contains([1, 3, 5], l_linenumber))
+           |    AS BIGINT) AS odd_lines,
+           |  CAST({'low': 10, 'high': 40}['low'] AS BIGINT) AS low_bound,
+           |  CAST(count_if(l_quantity < {'low': 10, 'high': 40}['low'])
+           |    AS BIGINT) AS below_low
+           |FROM $v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q171Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(count_if(list_contains([1, 3, 5], l_linenumber))
+      |    AS BIGINT) AS odd_lines,
+      |  CAST(10 AS BIGINT) AS low_bound,
+      |  CAST(count_if(l_quantity < 10) AS BIGINT) AS below_low
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q172 — the `-State`/`-Merge` combinator pair (round 16):
+    * AggregatingMergeTree's two-stage vocabulary — partial aggregate
+    * STATES per fine group (here (flag, status), standing in for
+    * per-part pre-aggregation), MERGED at read into the coarse group.
+    * uniqState/uniqMerge ride a real mergeable HLL sketch (DataSketches
+    * binary — exact at this cardinality, the sketch still holds coupons);
+    * sum/count/max states are their own values. The oracle computes the
+    * same aggregates single-stage — the whole point of the combinator
+    * contract is that the two-stage answer is the same answer.
+    */
+  def q172AggStates(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q172_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT f,
+           |  CAST(uniqMerge(u) AS BIGINT) AS uniq_orders,
+           |  CAST(sumMerge(q) AS BIGINT) AS qty,
+           |  CAST(countMerge(c) AS BIGINT) AS cnt,
+           |  maxMerge(m) AS mx
+           |FROM (SELECT l_returnflag AS f, l_linestatus AS s,
+           |        uniqState(l_orderkey) AS u,
+           |        sumState(CAST(l_quantity AS BIGINT)) AS q,
+           |        countState(l_orderkey) AS c,
+           |        maxState(l_quantity) AS m
+           |      FROM $v WHERE l_orderkey < 400
+           |      GROUP BY l_returnflag, l_linestatus)
+           |GROUP BY f ORDER BY f""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q172Sql: String =
+    """SELECT l_returnflag AS f,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS uniq_orders,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(count(l_orderkey) AS BIGINT) AS cnt,
+      |  max(l_quantity) AS mx
+      |FROM lineitem WHERE l_orderkey < 400
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q173 — the ternary operator `cond ? a : b` (round 16): ClickHouse's
+    * conditional spelling inside an aggregate, over the numbers() TVF —
+    * rewritten by the parser onto if(). DuckDB spells CASE WHEN.
+    */
+  def q173Ternary(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      """SELECT number % 3 AS g,
+        |  CAST(sum(number % 2 = 0 ? number : 0) AS BIGINT) AS even_sum,
+        |  count(*) AS c
+        |FROM numbers(300) GROUP BY number % 3 ORDER BY g""".stripMargin)
+
+  val q173Sql: String =
+    """SELECT number % 3 AS g,
+      |  CAST(sum(CASE WHEN number % 2 = 0 THEN number ELSE 0 END)
+      |    AS BIGINT) AS even_sum,
+      |  CAST(count(*) AS BIGINT) AS c
+      |FROM (SELECT CAST(range AS BIGINT) AS number FROM range(0, 300))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q174 — text tokenizers + the readability bar (round 16): `tokens()`
+    * (split on non-alphanumeric runs, no empties), `ngrams(s, 3)`
+    * (character trigrams), and `bar()` (clamped block-chart) over the
+    * per-type event counts. formatReadable* stays spec-only — C printf
+    * rounds %.2f half-even where Java rounds half-up, so the text face is
+    * pinned in ClickHouseNamesSpec instead of against DuckDB.
+    */
+  def q174TokensBar(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q174_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir).createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT event_type,
+           |  array_join(tokens(event_type), '|') AS toks,
+           |  array_join(ngrams(event_type, 3), ',') AS tri,
+           |  bar(cnt, 0, 1000, 10) AS b,
+           |  cnt
+           |FROM (SELECT event_type, count(*) AS cnt FROM $v
+           |      GROUP BY event_type)
+           |ORDER BY event_type""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q174Sql: String =
+    """SELECT event_type,
+      |  array_to_string(list_filter(
+      |    regexp_split_to_array(event_type, '[^a-zA-Z0-9]+'),
+      |    x -> len(x) > 0), '|') AS toks,
+      |  array_to_string(
+      |    [substr(event_type, CAST(i AS INT), 3)
+      |     FOR i IN generate_series(1, len(event_type) - 2)], ',') AS tri,
+      |  repeat('█', CAST(least(10, greatest(0,
+      |    floor(10 * ((cnt * 1.0 - 0) / (1000.0 - 0))))) AS INT)) AS b,
+      |  cnt
+      |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -2189,5 +2346,10 @@ object AnalyticQueries {
     ("q166_json_bit", q166JsonBit _, Some(q166Sql)),
     ("q167_numbers_array_join", q167NumbersArrayJoin _, Some(q167Sql)),
     ("q168_distinct_on", q168DistinctOn _, Some(q168Sql)),
-    ("q169_star_modifiers", q169StarModifiers _, Some(q169Sql)))
+    ("q169_star_modifiers", q169StarModifiers _, Some(q169Sql)),
+    ("q170_with_macros", q170WithMacros _, Some(q170Sql)),
+    ("q171_collection_literals", q171CollectionLiterals _, Some(q171Sql)),
+    ("q172_agg_states", q172AggStates _, Some(q172Sql)),
+    ("q173_ternary", q173Ternary _, Some(q173Sql)),
+    ("q174_tokens_bar", q174TokensBar _, Some(q174Sql)))
 }

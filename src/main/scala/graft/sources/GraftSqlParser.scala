@@ -236,6 +236,276 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (!GlobalProbeRe.pattern.matcher(sqlText).find()) sqlText
     else replaceOutsideQuotes(sqlText, GlobalRe)(m => m.group(1))
 
+  /** ClickHouse's EXPRESSION-alias WITH items — `WITH <expr> AS <ident>`
+    * (constants, per-row expressions, aggregates, scalar subqueries) —
+    * the macro CTE form Spark's grammar lacks: each use of the ident in
+    * the rest of the statement means the expression, evaluated AT THE USE
+    * SITE. Implemented as textual macro expansion: the WITH list splits
+    * top-level, items whose LAST top-level AS is followed by a bare
+    * identifier are macros (standard `ident AS (subquery)` items are
+    * untouched and stay in the WITH clause — the two forms mix, as in
+    * ClickHouse), and each macro substitutes `(expr)` for word-boundary
+    * uses of the ident in later items and the statement body
+    * (quote-aware; `x.ident`, `ident(`, and backticked names never
+    * substitute). Statements with no macro items pass through BYTE-exact,
+    * so no standard SQL changes meaning. Top-level WITH only — the
+    * documented scope (a parenthesized subquery's own WITH re-enters the
+    * parser only via the statement-end clause extraction). Divergence
+    * from ClickHouse (documented): substitution is textual, so a macro
+    * ident that collides with a column name inside a nested derived table
+    * is substituted there too, where ClickHouse scopes per-query.
+    */
+  private def rewriteWithMacros(sqlText: String): String = {
+    val m = WithHeadRe.findFirstMatchIn(sqlText).getOrElse(return sqlText)
+    val after = sqlText.substring(m.end)
+    val spans0 = quotedSpans(after)
+    val depths0 = parenDepths(after)
+    val sel = "(?i)\\bSELECT\\b".r.findAllMatchIn(after)
+      .find(u => depths0(u.start) == 0 && !inSpan(spans0, u.start))
+      .getOrElse(return sqlText)
+    val items = splitTopLevel(after.substring(0, sel.start))
+      .map(_.trim).filter(_.nonEmpty).toArray
+    if (items.isEmpty) return sqlText
+    var body = after.substring(sel.start)
+    val StandardCte = "(?is)^[`\\w]+\\s+AS\\s*\\(.*\\)\\s*$".r
+    val kept = scala.collection.mutable.Buffer.empty[String]
+    var anyMacro = false
+    def substitute(text: String, ident: String, expr: String): String =
+      replaceOutsideQuotes(text, ("(?i)(?<![.\\w`])" +
+        java.util.regex.Pattern.quote(ident) + "(?![\\w`(])").r)(_ => s"($expr)")
+    var i = 0
+    while (i < items.length) {
+      val it = items(i)
+      val asMacro: Option[(String, String)] =
+        if (StandardCte.pattern.matcher(it).matches()) None
+        else {
+          val sp = quotedSpans(it)
+          val dp = parenDepths(it)
+          "(?i)\\bAS\\b".r.findAllMatchIn(it).toSeq.reverseIterator
+            .find(a => dp(a.start) == 0 && !inSpan(sp, a.start))
+            .flatMap { a =>
+              val ident = it.substring(a.end).trim
+              val expr = it.substring(0, a.start).trim
+              if (expr.nonEmpty && "^[`\\w]+$".r.pattern.matcher(ident).matches())
+                Some((stripTicks(ident), expr))
+              else None
+            }
+        }
+      asMacro match {
+        case Some((ident, expr)) =>
+          anyMacro = true
+          var j = i + 1
+          while (j < items.length) {
+            items(j) = substitute(items(j), ident, expr); j += 1
+          }
+          body = substitute(body, ident, expr)
+        case None => kept += it
+      }
+      i += 1
+    }
+    if (!anyMacro) sqlText
+    else if (kept.isEmpty) body
+    else s"WITH ${kept.mkString(", ")} $body"
+  }
+
+  /** ClickHouse's collection literals — `[1, 2, 3]` arrays and
+    * `{'k': v}` maps — rewritten onto Spark's `array(…)` / `map(k, v, …)`
+    * constructors. A `[` opens a LITERAL exactly when the previous
+    * non-space character cannot end a primary expression (identifier,
+    * `)`, `]`, `'…'`, backticked name) — otherwise it is Spark's own
+    * subscript and stays; this is the same disambiguation every
+    * bracket-literal dialect uses. Nested literals resolve by iterating
+    * leftmost-outermost for arrays (the inner `[` then follows `(` or `,`
+    * and qualifies on the next pass) and innermost-first for maps (so the
+    * top-level `:` split never sees a nested brace). Quote-aware
+    * throughout — `'[1,2]'` is data. Empty `[]` becomes `array()`
+    * (Spark types it array<void>, usable wherever ClickHouse's
+    * emptyArray* family would be).
+    */
+  private def rewriteCollectionLiterals(sqlText: String): String = {
+    if (sqlText.indexOf('[') < 0 && sqlText.indexOf('{') < 0) return sqlText
+    var cur = sqlText
+    var guard = 0
+    var changed = true
+    while (changed && guard < 256) {
+      changed = false; guard += 1
+      val spans = quotedSpans(cur)
+      // leftmost literal-open '['
+      var i = 0
+      var hit = -1
+      while (i < cur.length && hit < 0) {
+        if (cur.charAt(i) == '[' && !inSpan(spans, i)) {
+          var p = i - 1
+          while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
+          val prev = if (p < 0) ' ' else cur.charAt(p)
+          val subscript =
+            if (prev == ')' || prev == ']' || prev == '}' || prev == '\'' ||
+              prev == '`') true
+            else if (prev.isLetterOrDigit || prev == '_') {
+              // a word ends the preceding token: an identifier/number takes
+              // a subscript; a KEYWORD is followed by a literal
+              var w = p
+              while (w >= 0 && (cur.charAt(w).isLetterOrDigit ||
+                cur.charAt(w) == '_')) w -= 1
+              !LiteralLeadKeywords.contains(
+                cur.substring(w + 1, p + 1).toUpperCase)
+            } else false
+          if (!subscript) hit = i
+        }
+        i += 1
+      }
+      if (hit >= 0) {
+        val close = matchBracketQ(cur, hit, '[', ']')
+        cur = cur.substring(0, hit) + "array(" +
+          cur.substring(hit + 1, close) + ")" + cur.substring(close + 1)
+        changed = true
+      } else {
+        // innermost '{…}' (no nested brace inside)
+        var j = 0
+        var open = -1
+        var innermost = -1
+        while (j < cur.length) {
+          if (!inSpan(spans, j)) {
+            if (cur.charAt(j) == '{') open = j
+            else if (cur.charAt(j) == '}' && open >= 0 && innermost < 0)
+              innermost = open
+          }
+          j += 1
+        }
+        if (innermost >= 0) {
+          val close = matchBracketQ(cur, innermost, '{', '}')
+          val body = cur.substring(innermost + 1, close).trim
+          val pairs = splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
+          val args = pairs.map { p =>
+            val sp = quotedSpans(p)
+            val at = Iterator.range(0, p.length)
+              .find(k => p.charAt(k) == ':' && !inSpan(sp, k))
+              .getOrElse(throw new IllegalArgumentException(
+                s"map literal entry needs 'key: value', got: $p"))
+            s"${p.substring(0, at).trim}, ${p.substring(at + 1).trim}"
+          }
+          cur = cur.substring(0, innermost) + "map(" + args.mkString(", ") +
+            ")" + cur.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    cur
+  }
+
+  /** ClickHouse's ternary operator `cond ? a : b` → `if((cond), (a), (b))`.
+    * Spark has no `?:`; the operands are recovered by a quote- and
+    * depth-aware scan around the leftmost `?`:
+    *
+    *   - `cond` extends LEFT to the nearest enclosing `(`, a depth-0
+    *     comma, or a depth-0 clause/expression-head keyword (SELECT,
+    *     WHERE, WHEN, THEN, …). AND/OR stay INSIDE the condition —
+    *     ClickHouse parses `a AND b ? x : y` as `(a AND b) ? x : y`
+    *     (ternary binds loosest).
+    *   - the matching `:` is found RIGHT of `?` at the same depth,
+    *     counting nested `?` (each consumes one `:` first); `::` casts
+    *     never match.
+    *   - `b` extends RIGHT symmetrically (enclosing `)`, depth-0 comma,
+    *     or clause keyword — FROM, AS, ORDER, ASC/DESC, …). A nested
+    *     ternary inside `b` rides along textually and resolves on the
+    *     next pass (leftmost-first to fixpoint).
+    *
+    * Runs AFTER the collection-literal rewrite, so map-literal colons are
+    * gone before this scan. `?` inside string literals is data.
+    */
+  private def rewriteTernary(sqlText: String): String = {
+    if (sqlText.indexOf('?') < 0) return sqlText
+    var cur = sqlText
+    var from = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val spans = quotedSpans(cur)
+      val q = Iterator.range(from, cur.length)
+        .find(i => cur.charAt(i) == '?' && !inSpan(spans, i))
+        .getOrElse(return cur)
+      // ---- matching ':' to the right
+      var i = q + 1
+      var depth = 0
+      var nested = 0
+      var colon = -1
+      while (i < cur.length && colon < 0) {
+        if (!inSpan(spans, i)) {
+          cur.charAt(i) match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1
+            case '?' if depth == 0 => nested += 1
+            case ':' if depth == 0 &&
+              (i + 1 >= cur.length || cur.charAt(i + 1) != ':') &&
+              cur.charAt(i - 1) != ':' =>
+              if (nested == 0) colon = i else nested -= 1
+            case _ =>
+          }
+        }
+        i += 1
+      }
+      if (colon < 0) {
+        // no ternary here — a bare '?' is Spark's positional parameter
+        // marker; leave it for the delegate and look past it
+        from = q + 1
+      } else {
+      // ---- left boundary of cond
+      var l = q - 1
+      depth = 0
+      var condStart = 0
+      while (l >= 0 && condStart == 0) {
+        if (!inSpan(spans, l)) {
+          val c = cur.charAt(l)
+          if (c == ')' || c == ']') depth += 1
+          else if (c == '(' || c == '[') {
+            if (depth == 0) condStart = l + 1 else depth -= 1
+          } else if (depth == 0 && c == ',') condStart = l + 1
+          else if (depth == 0 && (c.isLetter || c == '_')) {
+            var w = l
+            while (w >= 0 && (cur.charAt(w).isLetterOrDigit ||
+              cur.charAt(w) == '_')) w -= 1
+            val word = cur.substring(w + 1, l + 1).toUpperCase
+            if (TernaryLeftKeywords.contains(word)) condStart = l + 1
+            else l = w + 1 // skip the whole word
+          }
+        }
+        l -= 1
+      }
+      // ---- right boundary of b
+      var r = colon + 1
+      depth = 0
+      var bEnd = cur.length
+      while (r < cur.length && bEnd == cur.length) {
+        if (!inSpan(spans, r)) {
+          val c = cur.charAt(r)
+          if (c == '(' || c == '[') depth += 1
+          else if (c == ')' || c == ']') {
+            if (depth == 0) bEnd = r else depth -= 1
+          } else if (depth == 0 && (c == ',' || c == ';')) bEnd = r
+          else if (depth == 0 && (c.isLetter || c == '_')) {
+            var w = r
+            while (w < cur.length && (cur.charAt(w).isLetterOrDigit ||
+              cur.charAt(w) == '_')) w += 1
+            val word = cur.substring(r, w).toUpperCase
+            if (TernaryRightKeywords.contains(word)) bEnd = r
+            else r = w - 1 // skip the whole word
+          }
+        }
+        r += 1
+      }
+      val cond = cur.substring(condStart, q).trim
+      val a = cur.substring(q + 1, colon).trim
+      val b = cur.substring(colon + 1, bEnd).trim
+      require(cond.nonEmpty && a.nonEmpty && b.nonEmpty,
+        s"malformed ternary around '?' in: $cur")
+      cur = cur.substring(0, condStart) +
+        s" if(($cond), ($a), ($b)) " + cur.substring(bEnd)
+      from = 0
+      }
+    }
+    cur
+  }
+
   /** ClickHouse's `numbers(N)` / `numbers(offset, N)` table function (and
     * the `numbers_mt` spelling — parallelism is Spark's concern either
     * way): rewritten onto Spark's own `range` TVF with the column renamed
@@ -363,6 +633,48 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
     s"SELECT $rest LIMIT 1 BY $cols$tail"
   }
+
+  /** ClickHouse's EXPLAIN variants → Spark's: `EXPLAIN AST|SYNTAX` →
+    * `EXPLAIN EXTENDED` (the closest "show me the rewritten/parsed form"),
+    * `EXPLAIN PLAN` → plain `EXPLAIN`, `EXPLAIN PIPELINE` → `EXPLAIN
+    * FORMATTED` (the physical/operator view), `EXPLAIN ESTIMATE` →
+    * `EXPLAIN COST`. Output is Spark's, not ClickHouse's — EXPLAIN text is
+    * engine-specific everywhere; the point is the verb parsing instead of
+    * erroring. Spark's own EXPLAIN words are untouched.
+    */
+  private def rewriteExplain(sqlText: String): String =
+    ExplainChRe.findFirstMatchIn(sqlText) match {
+      case Some(m) =>
+        val word = m.group(1).toUpperCase match {
+          case "AST" | "SYNTAX" => "EXTENDED"
+          case "PLAN" => ""
+          case "PIPELINE" => "FORMATTED"
+          case "ESTIMATE" => "COST"
+        }
+        s"EXPLAIN $word ${sqlText.substring(m.end)}"
+      case None => sqlText
+    }
+
+  /** `system.one` (the 1-row dummy table ClickHouse cross-joins constants
+    * against) and `system.numbers` (the unbounded integer stream, always
+    * used under LIMIT) as FROM targets: rewritten to a 1-row relation and
+    * a Long.MaxValue range (Spark's range iterates lazily, so `FROM
+    * system.numbers LIMIT 10` stops after 10). Same alias discipline as
+    * numbers().
+    */
+  private def rewriteSystemTables(sqlText: String): String =
+    if (!SystemTableProbeRe.pattern.matcher(sqlText).find()) sqlText
+    else replaceOutsideQuotes(sqlText, SystemTableRe) { m =>
+      val kw = m.group(1)
+      val alias = Option(m.group(3))
+      m.group(2).toLowerCase match {
+        case "one" =>
+          s"$kw (SELECT CAST(0 AS TINYINT) AS dummy) ${alias.getOrElse("one")}"
+        case "numbers" =>
+          s"$kw (SELECT id AS number FROM range(0, 9223372036854775807)) " +
+            alias.getOrElse("numbers")
+      }
+    }
 
   /** ClickHouse word order `SEMI LEFT JOIN` / `ANTI LEFT JOIN` → Spark's
     * `LEFT SEMI JOIN` / `LEFT ANTI JOIN` — identical semantics, swapped
@@ -710,8 +1022,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
     val rewritten0 = rewriteDistinctOn(rewriteSamples(rewriteFinal(
       rewritePrewhere(rewriteArrayJoin(rewriteJoinWords(rewriteGlobal(
-        rewriteNumbers(rewriteSettings(rewriteFormat(rewriteParametrics(
-          rewriteDateDiffUnit(sqlText0))))))))))))
+        rewriteNumbers(rewriteSystemTables(rewriteSettings(rewriteFormat(
+          rewriteParametrics(rewriteDateDiffUnit(rewriteTernary(
+            rewriteCollectionLiterals(rewriteWithMacros(
+              rewriteExplain(sqlText0)))))))))))))))))
     // Star modifiers (`* REPLACE`, `COLUMNS('re')`): cut from the text
     // here, spliced into the parsed plan at the end of this method.
     val (rewritten, starSplices) =
@@ -1050,6 +1364,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   private def parseRewritten(sqlText: String): LogicalPlan = sqlText match {
+    // ClickHouse TRUNCATE on a graft target (dir path, or an ident that
+    // resolves to a graft table); other idents fall to Spark's own verb.
+    case TruncateRe(q, id) if q != null ||
+        scala.util.Try(resolveDir(session,
+          IdentTarget(delegate.parseMultipartIdentifier(id)))).isSuccess =>
+      TruncateTableCommand(target(q, id))
+    // ClickHouse `MODIFY COLUMN c <ChType>` → Spark `ALTER COLUMN c TYPE`
+    // with the type mapped; non-ClickHouse type names pass through as-is
+    // (Spark validates).
+    case ModifyColumnRe(id, col, chType) =>
+      val sparkT = scala.util.Try(ChCreateTable.chTypeToSpark(chType))
+        .getOrElse(chType)
+      delegate.parsePlan(s"ALTER TABLE $id ALTER COLUMN $col TYPE $sparkT")
     case OptimizeRe(q, id, fin, dedup, cols) =>
       val by = Option(cols).toSeq
         .flatMap(_.split(',')).map(c => stripTicks(c.trim)).filter(_.nonEmpty)
@@ -1223,25 +1550,30 @@ object GraftSqlParser {
     "day", "dayofyear", "week", "month", "quarter", "year")
 
   /** Index of the ')' matching the '(' at `open`, skipping quoted spans. */
-  private[sources] def matchParenQ(s: String, open: Int): Int = {
-    require(s.charAt(open) == '(', s"expected '(' at $open")
+  private[sources] def matchParenQ(s: String, open: Int): Int =
+    matchBracketQ(s, open, '(', ')')
+
+  /** Index of the bracket closing the one at `open` (quote-aware), for any
+    * open/close pair — parens, square brackets, braces.
+    */
+  private[sources] def matchBracketQ(s: String, open: Int, oc: Char,
+      cc: Char): Int = {
+    require(s.charAt(open) == oc, s"expected '$oc' at $open")
     var depth = 0
     var i = open
     var inQ = ' '
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ != ' ') { if (c == inQ) inQ = ' ' }
-      else c match {
-        case '\'' | '"' | '`' => inQ = c
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return i
-        case _ =>
+      else if (c == '\'' || c == '"' || c == '`') inQ = c
+      else if (c == oc) depth += 1
+      else if (c == cc) {
+        depth -= 1
+        if (depth == 0) return i
       }
       i += 1
     }
-    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+    throw new IllegalArgumentException(s"unbalanced '$oc$cc' in: $s")
   }
 
   // `FROM <ident> [LEFT] ARRAY JOIN <col> [AS <e>][, <col> [AS <e>]…]` —
@@ -1275,6 +1607,34 @@ object GraftSqlParser {
   private[sources] val DistinctOnHeadRe =
     "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r
 
+  // `WITH [RECURSIVE] <item list> SELECT …` at the statement head; the
+  // RECURSIVE keyword stays with Spark's own grammar (no macro there).
+  private[sources] val WithHeadRe = "(?is)^\\s*WITH\\s+(?!RECURSIVE\\b)".r
+
+  // Ternary operand boundaries: keywords that can't be part of the
+  // CONDITION (left) or the ELSE value (right). AND/OR are in neither set
+  // — ClickHouse's ternary binds loosest, so they stay inside operands.
+  private[sources] val TernaryLeftKeywords: Set[String] = Set(
+    "SELECT", "WHERE", "PREWHERE", "HAVING", "WHEN", "THEN", "ELSE", "ON",
+    "BY", "SET", "ALL", "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
+    "VALUES", "RETURN")
+  private[sources] val TernaryRightKeywords: Set[String] = Set(
+    "FROM", "WHERE", "PREWHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "UNION", "EXCEPT", "INTERSECT", "SETTINGS", "FORMAT", "AS", "WHEN",
+    "THEN", "ELSE", "END", "ASC", "DESC", "BY", "INTO", "WINDOW", "JOIN",
+    "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ON", "USING", "NULLS")
+
+  // Words after which a `[` opens an ARRAY LITERAL (a keyword cannot take
+  // a subscript); after an identifier/number/`)`/`]`/literal, `[` is
+  // Spark's subscript and stays.
+  private[sources] val LiteralLeadKeywords: Set[String] = Set(
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "AS", "ON", "WHEN",
+    "THEN", "ELSE", "END", "BY", "HAVING", "ALL", "DISTINCT", "UNION",
+    "EXCEPT", "INTERSECT", "VALUES", "IS", "BETWEEN", "LIKE", "RLIKE",
+    "ILIKE", "RETURN", "IF", "CASE", "ARRAY", "USING", "FILL", "TO",
+    "FROM", "STEP", "INTERPOLATE", "LIMIT", "SETTINGS", "PREWHERE",
+    "WITH", "OVER", "PARTITION", "ORDER", "GROUP", "SET", "ELSEIF")
+
   // `[t.]* [EXCEPT (cols)] REPLACE (` — the head of ClickHouse's star
   // REPLACE modifier; the REPLACE body is balance-matched from the match
   // end. The EXCEPT group is regex-captured (bare column names only, per
@@ -1288,6 +1648,18 @@ object GraftSqlParser {
   // Cheap containment probe before paying the star-mod scanner.
   private[sources] val StarModProbeRe =
     "(?i)\\*\\s+(?:EXCEPT\\b|REPLACE\\b)|\\bCOLUMNS\\s*\\(\\s*'".r
+
+  // `EXPLAIN <ch-word> …` at the statement head (ClickHouse's verbs only —
+  // Spark's own EXTENDED/CODEGEN/COST/FORMATTED words never match).
+  private[sources] val ExplainChRe =
+    "(?is)^\\s*EXPLAIN\\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)\\b".r
+  private[sources] val SystemTableProbeRe = "(?i)\\bsystem\\s*\\.".r
+  private[sources] val SystemTableRe =
+    ("(?is)\\b(FROM|JOIN)\\s+system\\s*\\.\\s*(one|numbers)\\b" +
+      "(?:\\s+(?:AS\\s+)?(?!(?:WHERE|GROUP|ORDER|LIMIT|HAVING|WINDOW|" +
+      "UNION|EXCEPT|INTERSECT|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|ASOF|ANY|" +
+      "SEMI|ANTI|ON|USING|SETTINGS|FORMAT|AS|SAMPLE|FINAL|PREWHERE|ARRAY|" +
+      "NATURAL|LATERAL)\\b)(`?\\w+`?))?").r
 
   // Cheap containment probe before paying the full SAMPLE regex.
   private[sources] val SampleProbeRe = "(?i)\\bSAMPLE\\b".r
@@ -1328,6 +1700,14 @@ object GraftSqlParser {
   private[sources] val FreezeRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + T +
       "\\s+FREEZE(?:\\s+WITH\\s+NAME\\s+'([^']+)')?\\s*;?\\s*$").r
+  private[sources] val TruncateRe =
+    ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?" + T + "\\s*;?\\s*$").r
+  // ClickHouse `ALTER TABLE t MODIFY COLUMN c <Type>` — Spark spells it
+  // `ALTER COLUMN c TYPE <type>`; the ClickHouse type name maps through
+  // ChCreateTable's one type table.
+  private[sources] val ModifyColumnRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([`\\w][\\w.`]*)\\s+MODIFY\\s+COLUMN\\s+" +
+      "(`?\\w+`?)\\s+(\\w+(?:\\([^)]*\\))?)\\s*;?\\s*$").r
   private[sources] val SystemMergesRe =
     ("(?is)^\\s*SYSTEM\\s+(STOP|START)\\s+MERGES\\s+" + T + "\\s*;?\\s*$").r
   private[sources] val ModifyTtlRe =
@@ -1757,6 +2137,16 @@ object GraftSqlParser {
       if (lightweight) { tbl.updateLightweight(expr(cond), setMap); Seq(Row(-1L)) }
       else Seq(Row(tbl.updateWhere(expr(cond), setMap)))
     }
+  }
+
+  /** ClickHouse `TRUNCATE TABLE` → truncate(): every live part retired in
+    * one manifest swap — O(manifest), schema and tabledef kept.
+    */
+  final case class TruncateTableCommand(t: MtTarget)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = affected
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(open(spark, t).truncate()))
   }
 
   /** ClickHouse's mutation spelling `ALTER TABLE … DELETE WHERE p` →

@@ -376,6 +376,105 @@ class ChSqlDialectSpec extends AnyFunSuite {
     assert(mixed.columns.toSeq == Seq("s", "k_a", "k_b"))
   }
 
+  test("WITH expression macros: constants, row exprs, scalar subqueries") {
+    import spark.implicits._
+    Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("b", 4L, 40.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("wm_t")
+    // constant + per-row expression macro, used inside an aggregate
+    val r = spark.sql(
+      """WITH 2 AS cap, v * 10 AS v10
+        |SELECT g, sum(v10) AS s FROM wm_t WHERE id <= cap
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(1))).toSeq ==
+      Seq(("a", 300.0)))
+    // scalar-subquery macro in WHERE arithmetic
+    val sc = spark.sql(
+      """WITH (SELECT max(id) FROM wm_t) AS top
+        |SELECT id FROM wm_t WHERE id > top - 2 ORDER BY id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sc == Seq(3L, 4L))
+    // macro referencing an EARLIER macro; mixing with a standard CTE
+    val mixed = spark.sql(
+      """WITH 5 AS base, base * 2 AS dbl,
+        |  big AS (SELECT id FROM wm_t WHERE id >= 3)
+        |SELECT id + dbl AS x FROM big ORDER BY x""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mixed == Seq(13L, 14L))
+    // standard-only WITH is untouched; the macro name as a literal is data
+    assert(spark.sql(
+      "WITH c AS (SELECT count(*) AS n FROM wm_t) SELECT n FROM c")
+      .collect().head.getLong(0) == 4L)
+    val lit = spark.sql(
+      "WITH 9 AS k SELECT 'k keeps k' AS s, k FROM wm_t WHERE id = k - 8")
+      .collect().head
+    assert(lit.getString(0) == "k keeps k" && lit.getInt(1) == 9)
+  }
+
+  test("collection literals: [..] arrays and {k: v} maps; subscripts stay") {
+    import spark.implicits._
+    val r = spark.sql("SELECT [1, 2, 3] AS a, [1, 2][0] AS first").collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getInt(1) == 1, "subscript on a literal still subscripts")
+    // nested arrays; literal as function argument (ClickHouse has())
+    val n = spark.sql(
+      "SELECT [[1], [2, 3]] AS nested, array_contains([5, 6], 6) AS has6")
+      .collect().head
+    assert(n.getSeq[Seq[Int]](0) == Seq(Seq(1), Seq(2, 3)) && n.getBoolean(1))
+    // subscript on a column reference is untouched
+    Seq((Seq(10, 20), 1)).toDF("arr", "i").createOrReplaceTempView("cl_t")
+    assert(spark.sql("SELECT arr[1] FROM cl_t").collect().head.getInt(0) == 20)
+    // map literal, array inside a map value, string keys with colons
+    val m = spark.sql(
+      "SELECT {'a': 1, 'b': 2}['b'] AS b, {'k:x': [7, 8]} AS km").collect().head
+    assert(m.getInt(0) == 2)
+    assert(m.getMap[String, scala.collection.Seq[Int]](1)("k:x").toSeq ==
+      Seq(7, 8))
+    // literals inside strings are data
+    val s = spark.sql("SELECT '[1,2] and {3: 4}' AS s").collect().head
+    assert(s.getString(0) == "[1,2] and {3: 4}")
+  }
+
+  test("ternary cond ? a : b maps to if(); nesting and AND-binding hold") {
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("id", "v")
+      .createOrReplaceTempView("tern_t")
+    val r = spark.sql(
+      "SELECT id, v > 10 ? 'big' : 'small' AS size FROM tern_t ORDER BY id")
+      .collect().map(_.getString(1)).toSeq
+    assert(r == Seq("small", "big", "big"))
+    // nested ternary in the else branch (ClickHouse chains them)
+    val n = spark.sql(
+      """SELECT id, v > 20 ? 'xl' : v > 10 ? 'l' : 's' AS size
+        |FROM tern_t ORDER BY id""".stripMargin)
+      .collect().map(_.getString(1)).toSeq
+    assert(n == Seq("s", "l", "xl"))
+    // AND binds tighter than ?: — (id > 1 AND v < 20) ? … ; and the
+    // ternary composes inside a function argument and with GROUP BY after
+    val a = spark.sql(
+      "SELECT sum(id > 1 AND v < 20 ? 10 : 1) AS s FROM tern_t")
+      .collect().head.getLong(0)
+    assert(a == 12L, "rows: id1 -> 1, id2 -> 10, id3 -> 1")
+    // '?' in a string literal is data
+    val lit = spark.sql("SELECT 'a ? b : c' AS s FROM tern_t LIMIT 1")
+      .collect().head.getString(0)
+    assert(lit == "a ? b : c")
+  }
+
+  test("ClickHouse EXPLAIN verbs and system.one / system.numbers") {
+    val ex = spark.sql("EXPLAIN PIPELINE SELECT 1 AS x").collect().head
+      .getString(0)
+    assert(ex.contains("Physical Plan"), "EXPLAIN PIPELINE -> FORMATTED")
+    assert(spark.sql("EXPLAIN SYNTAX SELECT 1 AS x").collect().head
+      .getString(0).nonEmpty)
+    // system.one: the 1-row dummy relation
+    val one = spark.sql("SELECT 42 AS v FROM system.one").collect()
+    assert(one.length == 1 && one.head.getInt(0) == 42)
+    // system.numbers is unbounded but lazy — LIMIT stops it
+    val nums = spark.sql("SELECT number FROM system.numbers LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(nums == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("arrayJoin() in function position expands rows like explode") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -372,6 +372,70 @@ class ClickHouseNamesSpec extends AnyFunSuite {
     assert(r.getAs[String]("sw2") == "2024-08-11")
   }
 
+  test("-State/-Merge: two-stage aggregation equals single-stage") {
+    import spark.implicits._
+    (1 to 400).map(i => (s"g${i % 3}", s"s${i % 5}", i.toLong, i * 1.5))
+      .toDF("g", "s", "k", "v").createOrReplaceTempView("st_t")
+    val two = spark.sql(
+      """SELECT g, CAST(uniqMerge(u) AS BIGINT) AS uq,
+        |  sumMerge(sm) AS sm, CAST(countMerge(c) AS BIGINT) AS c,
+        |  minMerge(mn) AS mn, maxMerge(mx) AS mx
+        |FROM (SELECT g, s, uniqState(k) AS u, sumState(k) AS sm,
+        |        countState(k) AS c, minState(v) AS mn, maxState(v) AS mx
+        |      FROM st_t GROUP BY g, s)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val one = spark.sql(
+      """SELECT g, count(DISTINCT k) AS uq, sum(k) AS sm, count(k) AS c,
+        |  min(v) AS mn, max(v) AS mx
+        |FROM st_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(two.map(_.toSeq).toSeq == one.map(_.toSeq).toSeq,
+      "merge-of-states equals the single-stage aggregate (exact at this " +
+        "cardinality: the HLL sketch still holds coupons)")
+    // the sketch state is a real binary blob, not a value
+    val st = spark.sql("SELECT uniqState(k) AS u FROM st_t").schema.head
+    assert(st.dataType == org.apache.spark.sql.types.BinaryType)
+    // avgState is deliberately absent (non-scalar state) — loud
+    intercept[Exception] {
+      spark.sql("SELECT avgState(v) FROM st_t").collect()
+    }
+  }
+
+  test("windows & readability: lagInFrame, bar, formatReadable*, ngrams, tokens") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 30.0), (3L, 20.0)).toDF("id", "v")
+      .createOrReplaceTempView("wr_t")
+    val lag = spark.sql(
+      """SELECT id, lagInFrame(v) OVER (ORDER BY id) AS pv,
+        |  leadInFrame(v, 1, -1.0) OVER (ORDER BY id) AS nv
+        |FROM wr_t ORDER BY id""".stripMargin).collect()
+    assert(lag.map(r => Option(r.get(1))).toSeq ==
+      Seq(None, Some(10.0), Some(30.0)))
+    assert(lag.map(_.getDouble(2)).toSeq == Seq(30.0, 20.0, -1.0))
+    // window functions refuse bare use (no OVER) — loud
+    intercept[Exception] {
+      spark.sql("SELECT lagInFrame(v) FROM wr_t").collect()
+    }
+    val r = spark.sql(
+      """SELECT bar(5, 0, 10, 8) AS b, bar(99, 0, 10, 8) AS bmax,
+        |  bar(-1, 0, 10, 8) AS bmin,
+        |  formatReadableSize(1536) AS ks,
+        |  formatReadableSize(3 * 1024 * 1024) AS ms,
+        |  formatReadableQuantity(1234567) AS q,
+        |  array_join(ngrams('abcd', 3), ',') AS tri,
+        |  ngrams('ab', 3) AS none,
+        |  array_join(tokens('foo, bar-baz!'), '|') AS toks""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "████")
+    assert(r.getString(1) == "████████", "clamped to width")
+    assert(r.getString(2) == "", "clamped to zero")
+    assert(r.getString(3) == "1.50 KiB")
+    assert(r.getString(4) == "3.00 MiB")
+    assert(r.getString(5) == "1.23 million")
+    assert(r.getString(6) == "abc,bcd")
+    assert(r.getSeq[String](7).isEmpty)
+    assert(r.getString(8) == "foo|bar|baz")
+  }
+
   test("no alias shadows a Spark builtin") {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     val shadowed = ClickHouseNames.all.map(_._1.funcName)
