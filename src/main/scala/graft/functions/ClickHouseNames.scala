@@ -828,6 +828,33 @@ object ClickHouseNames {
         Some(ArrayTransform(new Sequence(Literal(1), count),
           lambda1(i => Substring(cs.head, Cast(i, IntegerType), Cast(n, IntegerType))))))
     },
+    // base64 family: ClickHouse's names over Spark's Base64/UnBase64
+    // (Spark decodes leniently where ClickHouse base64Decode throws on
+    // malformed input — tryBase64Decode is therefore the exact match and
+    // base64Decode a documented-lenient alias).
+    entry("base64Encode", classOf[Base64], Seq(1))(cs =>
+      Base64(Cast(cs.head, BinaryType))),
+    entry("base64Decode", classOf[UnBase64], Seq(1))(cs =>
+      Cast(UnBase64(cs.head), StringType)),
+    entry("tryBase64Decode", classOf[UnBase64], Seq(1))(cs =>
+      Cast(UnBase64(cs.head), StringType)),
+    entry("generateUUIDv4", classOf[Uuid], Seq(0))(_ => Uuid()),
+    // IPv4 dotted-quad <-> UInt32 (as BIGINT here; the standing
+    // signedness divergence)
+    entry("IPv4NumToString", classOf[FormatString], Seq(1)) { cs =>
+      val n = Cast(cs.head, LongType)
+      def oct(shift: Int) = Cast(BitwiseAnd(
+        ShiftRight(n, Literal(shift)), Literal(255L)), IntegerType)
+      FormatString(Literal("%d.%d.%d.%d"), oct(24), oct(16), oct(8), oct(0))
+    },
+    entry("IPv4StringToNum", classOf[StringSplit], Seq(1)) { cs =>
+      val parts = StringSplit(cs.head, Literal("\\."), Literal(-1))
+      def oct(i: Int) =
+        Cast(GetArrayItem(parts, Literal(i)), LongType)
+      Add(Add(Add(Multiply(oct(0), Literal(16777216L)),
+        Multiply(oct(1), Literal(65536L))),
+        Multiply(oct(2), Literal(256L))), oct(3))
+    },
     // tokens(s): split on non-alphanumeric runs, no empty tokens —
     // ClickHouse's default tokenizer (Unicode letters/digits here, Java
     // regex classes; ClickHouse is byte-ASCII — documented).

@@ -2278,6 +2278,38 @@ object AnalyticQueries {
       |      FROM events GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** Q175 — base64 + IPv4 name families (round 16): round-trip
+    * base64Encode/Decode and dotted-quad/UInt32 conversions, both spelled
+    * natively in DuckDB (base64/from_base64 over blobs, printf + integer
+    * arithmetic).
+    */
+  def q175Base64Ip(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = s"graft_q175_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events(spark, dir).createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT event_id,
+           |  base64Encode(event_type) AS b64,
+           |  base64Decode(base64Encode(event_type)) AS rt,
+           |  IPv4NumToString(3232235777 + event_id % 10) AS ip,
+           |  IPv4StringToNum(IPv4NumToString(3232235777 + event_id % 10))
+           |    AS ipn
+           |FROM $v WHERE event_id < 20 ORDER BY event_id""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q175Sql: String =
+    """SELECT event_id,
+      |  base64(encode(event_type)) AS b64,
+      |  event_type AS rt,
+      |  printf('%d.%d.%d.%d',
+      |    (3232235777 + event_id % 10) // 16777216 % 256,
+      |    (3232235777 + event_id % 10) // 65536 % 256,
+      |    (3232235777 + event_id % 10) // 256 % 256,
+      |    (3232235777 + event_id % 10) % 256) AS ip,
+      |  CAST(3232235777 + event_id % 10 AS BIGINT) AS ipn
+      |FROM events WHERE event_id < 20 ORDER BY event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -2351,5 +2383,6 @@ object AnalyticQueries {
     ("q171_collection_literals", q171CollectionLiterals _, Some(q171Sql)),
     ("q172_agg_states", q172AggStates _, Some(q172Sql)),
     ("q173_ternary", q173Ternary _, Some(q173Sql)),
-    ("q174_tokens_bar", q174TokensBar _, Some(q174Sql)))
+    ("q174_tokens_bar", q174TokensBar _, Some(q174Sql)),
+    ("q175_base64_ip", q175Base64Ip _, Some(q175Sql)))
 }

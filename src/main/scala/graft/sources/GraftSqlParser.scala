@@ -634,6 +634,40 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     s"SELECT $rest LIMIT 1 BY $cols$tail"
   }
 
+  /** `INSERT INTO t FORMAT JSONEachRow {…} {…}` → an INSERT…SELECT that
+    * parses each object with from_json against the TARGET's schema
+    * (resolved read-only at parse time — the same posture as the SAMPLE
+    * rewrite's TableDef lookup). Lines split on top-level braces, so
+    * nested objects and brace characters inside string values survive.
+    */
+  private def rewriteInsertJsonRows(head: String, ident: String,
+      lines0: String): String = {
+    val schema = org.apache.spark.sql.graft.PlanBridge
+      .ofRows(session, delegate.parsePlan(s"SELECT * FROM $ident"))
+      .schema
+    val ddl = schema.toDDL.replace("'", "''")
+    // each top-level {...} is one row
+    val lines = scala.collection.mutable.Buffer.empty[String]
+    var i = 0
+    val s = lines0
+    while (i < s.length) {
+      if (s.charAt(i) == '{') {
+        val close = matchBracketQ(s, i, '{', '}')
+        lines += s.substring(i, close + 1)
+        i = close + 1
+      } else {
+        require(s.charAt(i).isWhitespace || s.charAt(i) == ',' ||
+          s.charAt(i) == ';',
+          s"JSONEachRow: unexpected text outside objects: ${s.substring(i)}")
+        i += 1
+      }
+    }
+    require(lines.nonEmpty, "JSONEachRow: no rows")
+    val vals = lines.map(l => s"('${l.replace("'", "''")}')").mkString(", ")
+    s"$head SELECT j.* FROM (SELECT from_json(col1, '$ddl') AS j " +
+      s"FROM (VALUES $vals))"
+  }
+
   /** ClickHouse's EXPLAIN variants → Spark's: `EXPLAIN AST|SYNTAX` →
     * `EXPLAIN EXTENDED` (the closest "show me the rewritten/parsed form"),
     * `EXPLAIN PLAN` → plain `EXPLAIN`, `EXPLAIN PIPELINE` → `EXPLAIN
@@ -1020,12 +1054,37 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(ddl) => return delegate.parsePlan(ddl)
       case None =>
     }
+    // `SELECT … INTO OUTFILE 'path' [FORMAT f]` — matched BEFORE the
+    // rewrite chain (rewriteFormat would strip the trailing FORMAT word).
+    // The inner statement text is kept verbatim and parsed/executed only
+    // when the command RUNS — parsing stays side-effect free.
+    (if (OutfileProbeRe.pattern.matcher(sqlText0).find())
+      OutfileRe.findFirstMatchIn(sqlText0) else None)
+      // the INTO keyword must be SYNTAX, not text inside a literal
+      .filterNot(m => inSpan(quotedSpans(sqlText0), m.end(1) + 1))
+      .foreach { m =>
+        val fmt = Option(m.group(4)).map(_.toLowerCase).getOrElse("tabseparated")
+        require(OutfileFormats.contains(fmt),
+          s"INTO OUTFILE: unsupported FORMAT '$fmt' " +
+            s"(supported: ${OutfileFormats.keys.toSeq.sorted.mkString(", ")})")
+        return OutfileCommand(m.group(1), m.group(2), fmt, m.group(3) != null)
+      }
+    // ClickHouse INSERT spellings: `INSERT INTO t FORMAT Values (…), (…)`
+    // is Spark's own VALUES form one keyword apart; `FORMAT JSONEachRow
+    // {…} {…}` parses each JSON object against the TARGET's schema
+    // (from_json over the catalog/table-def schema — a read-only lookup).
+    val sqlText1 = sqlText0 match {
+      case InsertFormatValuesRe(head, tuples) => s"$head VALUES $tuples"
+      case InsertJsonRowsRe(head, ident, lines) =>
+        rewriteInsertJsonRows(head, ident, lines)
+      case _ => sqlText0
+    }
     val rewritten0 = rewriteDistinctOn(rewriteSamples(rewriteFinal(
       rewritePrewhere(rewriteArrayJoin(rewriteJoinWords(rewriteGlobal(
         rewriteNumbers(rewriteSystemTables(rewriteSettings(rewriteFormat(
           rewriteParametrics(rewriteDateDiffUnit(rewriteTernary(
             rewriteCollectionLiterals(rewriteWithMacros(
-              rewriteExplain(sqlText0)))))))))))))))))
+              rewriteExplain(sqlText1)))))))))))))))))
     // Star modifiers (`* REPLACE`, `COLUMNS('re')`): cut from the text
     // here, spliced into the parsed plan at the end of this method.
     val (rewritten, starSplices) =
@@ -1649,6 +1708,31 @@ object GraftSqlParser {
   private[sources] val StarModProbeRe =
     "(?i)\\*\\s+(?:EXCEPT\\b|REPLACE\\b)|\\bCOLUMNS\\s*\\(\\s*'".r
 
+  // `<stmt> INTO OUTFILE 'path' [TRUNCATE] [FORMAT f]` at statement end.
+  private[sources] val OutfileProbeRe = "(?i)\\bOUTFILE\\b".r
+  private[sources] val OutfileRe =
+    ("(?is)^(.*\\S)\\s+INTO\\s+OUTFILE\\s+'([^']+)'" +
+      "(?:\\s+(TRUNCATE))?(?:\\s+FORMAT\\s+(\\w+))?\\s*;?\\s*$").r
+  /** INTO OUTFILE format word → (Spark writer format, options). */
+  private[sources] val OutfileFormats: Map[String, (String, Map[String, String])] =
+    Map(
+      "csv" -> (("csv", Map("header" -> "false"))),
+      "csvwithnames" -> (("csv", Map("header" -> "true"))),
+      "tsv" -> (("csv", Map("header" -> "false", "sep" -> "\t"))),
+      "tabseparated" -> (("csv", Map("header" -> "false", "sep" -> "\t"))),
+      "tabseparatedwithnames" ->
+        (("csv", Map("header" -> "true", "sep" -> "\t"))),
+      "jsoneachrow" -> (("json", Map.empty[String, String])),
+      "parquet" -> (("parquet", Map.empty[String, String])))
+  // `INSERT INTO t [(cols)] FORMAT Values (…), …` — one keyword from
+  // Spark's own VALUES form.
+  private[sources] val InsertFormatValuesRe =
+    ("(?is)^(\\s*INSERT\\s+INTO\\s+[`'\\w][\\w.`']*\\s*(?:\\([^)]*\\))?)" +
+      "\\s+FORMAT\\s+VALUES\\s+(.+)$").r
+  private[sources] val InsertJsonRowsRe =
+    ("(?is)^(\\s*INSERT\\s+INTO\\s+([`\\w][\\w.`]*))" +
+      "\\s+FORMAT\\s+JSONEachRow\\s+(.+)$").r
+
   // `EXPLAIN <ch-word> …` at the statement head (ClickHouse's verbs only —
   // Spark's own EXTENDED/CODEGEN/COST/FORMATTED words never match).
   private[sources] val ExplainChRe =
@@ -2136,6 +2220,42 @@ object GraftSqlParser {
       } catch { case scala.util.control.NonFatal(_) => false }
       if (lightweight) { tbl.updateLightweight(expr(cond), setMap); Seq(Row(-1L)) }
       else Seq(Row(tbl.updateWhere(expr(cond), setMap)))
+    }
+  }
+
+  /** `SELECT … INTO OUTFILE 'path' [TRUNCATE] [FORMAT f]` — ClickHouse's
+    * export verb: the inner statement (kept as TEXT; parsed and executed
+    * only here, so parse time stays pure) writes ONE file at exactly
+    * `path` — Spark's directory-shaped output is written to a temp dir,
+    * then its single part moves to the requested name. The file existing
+    * is loud unless TRUNCATE (ClickHouse's contract). Returns the row
+    * count. Single-file export is a driver-funnel by design — the verb is
+    * for extracts, not datasets; the dataset path is the engine's own
+    * write surface.
+    */
+  final case class OutfileCommand(innerSql: String, path: String, fmt: String,
+      truncate: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = affected
+    override def run(spark: SparkSession): Seq[Row] = {
+      import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+      val target = JPaths.get(path)
+      require(truncate || !JFiles.exists(target),
+        s"INTO OUTFILE: '$path' already exists (add TRUNCATE to overwrite)")
+      val (fmtName, opts) = OutfileFormats(fmt)
+      val df = spark.sql(innerSql)
+      val n = df.count()
+      val tmp = JFiles.createTempDirectory("graft_outfile_")
+      try {
+        df.coalesce(1).write.options(opts).format(fmtName)
+          .mode("overwrite").save(tmp.toString)
+        val part = JFiles.list(tmp).toArray.map(_.toString)
+          .filter(p => p.contains("/part-") && !p.endsWith(".crc"))
+        require(part.length == 1, s"expected one part file, got ${part.toSeq}")
+        Option(target.getParent).foreach(JFiles.createDirectories(_))
+        JFiles.move(JPaths.get(part.head), target,
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally graft.mergetree.MergeTreeTable.deleteRecursively(tmp)
+      Seq(Row(n))
     }
   }
 

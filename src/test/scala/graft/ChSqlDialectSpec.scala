@@ -475,6 +475,44 @@ class ChSqlDialectSpec extends AnyFunSuite {
     assert(nums == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("INSERT FORMAT Values / JSONEachRow; SELECT INTO OUTFILE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ch_ins_").toString
+    spark.sql(
+      s"""CREATE TABLE ch_ins_t (k UInt64, s String) ENGINE = MergeTree
+         |ORDER BY k LOCATION '$dir/t'""".stripMargin)
+    try {
+      spark.sql("INSERT INTO ch_ins_t FORMAT Values (1, 'a'), (2, 'b')")
+      spark.sql(
+        """INSERT INTO ch_ins_t FORMAT JSONEachRow
+          |{"k": 3, "s": "c"} {"k": 4, "s": "d, with {braces}"}""".stripMargin)
+      val rows = spark.sql("SELECT k, s FROM ch_ins_t ORDER BY k").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(rows.last.getString(1) == "d, with {braces}")
+      // INTO OUTFILE: one file at the exact path; refuses to overwrite
+      val out = s"$dir/export.csv"
+      val n = spark.sql(
+        s"""SELECT k, s FROM ch_ins_t ORDER BY k
+           |INTO OUTFILE '$out' FORMAT CSVWithNames""".stripMargin)
+        .collect().head.getLong(0)
+      assert(n == 4L)
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out))
+      assert(lines.size == 5 && lines.get(0) == "k,s" &&
+        lines.get(1) == "1,a")
+      intercept[Exception] {
+        spark.sql(s"SELECT k FROM ch_ins_t INTO OUTFILE '$out'").collect()
+      }
+      // TRUNCATE overwrites; default format is TabSeparated
+      spark.sql(
+        s"SELECT k, s FROM ch_ins_t ORDER BY k INTO OUTFILE '$out' TRUNCATE")
+        .collect()
+      val tsv = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out))
+      assert(tsv.size == 4 && tsv.get(0) == "1\ta")
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ins_t")
+  }
+
   test("arrayJoin() in function position expands rows like explode") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -129,4 +129,66 @@ class ParserClausePropertySpec extends AnyFunSuite {
         s"seed $seed: output not sorted by the fill key tuple")
     }
   }
+
+  test("ternary chains match the model across random values and depths") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 31337)
+      val data = (0 until 30 + rnd.nextInt(50))
+        .map(i => (i.toLong, rnd.nextInt(100).toLong))
+      data.toDF("id", "v").createOrReplaceTempView(s"tp_$seed")
+      val (t1, t2) = (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)
+      // a 2-deep right-chained ternary, the ClickHouse bucketing idiom
+      val rows = spark.sql(
+        s"""SELECT id, v > $t1 ? 'hi' : v > $t2 ? 'mid' : 'lo' AS b
+           |FROM tp_$seed ORDER BY id""".stripMargin)
+        .collect().map(_.getString(1)).toSeq
+      val expect = data.map { case (_, v) =>
+        if (v > t1) "hi" else if (v > t2) "mid" else "lo"
+      }
+      assert(rows == expect, s"seed $seed: ternary chain mismatch")
+      // ternary inside a function argument with arithmetic operands
+      val s = spark.sql(
+        s"SELECT sum(v % 2 = 0 ? v * 2 : v) AS s FROM tp_$seed")
+        .collect().head.getLong(0)
+      val sExpect = data.map { case (_, v) =>
+        if (v % 2 == 0) v * 2 else v }.sum
+      assert(s == sExpect, s"seed $seed: ternary-in-aggregate mismatch")
+    }
+  }
+
+  test("collection literals match the model across random shapes") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 48611)
+      val xs = (0 until 1 + rnd.nextInt(8)).map(_ => rnd.nextInt(50))
+      val probe = rnd.nextInt(50)
+      val lit = xs.mkString("[", ", ", "]")
+      val r = spark.sql(
+        s"""SELECT size($lit) AS n, array_contains($lit, $probe) AS has,
+           |  {'k': $lit}['k'][0] AS first""".stripMargin).collect().head
+      assert(r.getInt(0) == xs.size, s"seed $seed: size mismatch")
+      assert(r.getBoolean(1) == xs.contains(probe), s"seed $seed: contains")
+      assert(r.getInt(2) == xs.head, s"seed $seed: map-of-array first")
+    }
+  }
+
+  test("WITH macros substitute like the model across random expressions") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 15073)
+      val data = (0 until 20 + rnd.nextInt(40))
+        .map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      data.toDF("id", "v").createOrReplaceTempView(s"wmp_$seed")
+      val k = 1 + rnd.nextInt(9)
+      val rows = spark.sql(
+        s"""WITH $k AS mult, v * mult AS scaled
+           |SELECT id, scaled FROM wmp_$seed WHERE scaled >= ${k * 100}
+           |ORDER BY id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expect = data.map { case (id, v) => (id, v * k) }
+        .filter(_._2 >= k * 100)
+      assert(rows == expect, s"seed $seed: WITH macro mismatch")
+    }
+  }
 }
