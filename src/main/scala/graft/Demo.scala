@@ -401,6 +401,35 @@ object Demo {
       s"ADD INDEX set + MATERIALIZE built $chMat sidecars; " +
       s"scanIn(cat='true') = $chIn rows reading ${chT.lastPruning._1}/${chT.lastPruning._2} parts")
 
+    // Round 16, later waves: numbers()/DISTINCT ON/star mods/WITH macros/
+    // collection literals/ternary/-State-Merge/INTO OUTFILE — the pasted
+    // ClickHouse SELECT vocabulary end to end.
+    println("== ClickHouse dialect, later waves: clauses / literals / combinators:")
+    val don = spark.sql("SELECT DISTINCT ON (g) g, number FROM " +
+        "(SELECT number % 5 AS g, number FROM numbers(40)) " +
+        "ORDER BY g, number DESC LIMIT 3").count()
+    val star = spark.sql("SELECT COLUMNS('^(k|v)$'), ver FROM " +
+        "(SELECT * REPLACE (v * 2 AS v) FROM gdemo.ns.m) LIMIT 1").columns.toSeq
+    val mac = spark.sql(
+      """WITH 3 AS lim, number * 10 AS tens
+        |SELECT CAST(sum(number % 2 = 0 ? tens : [1, 2][0]) AS BIGINT) AS s
+        |FROM numbers(10) WHERE number < lim""".stripMargin)
+      .collect().head.getLong(0)
+    val sm = spark.sql(
+      """SELECT CAST(uniqMerge(u) AS BIGINT) AS uq FROM
+        |  (SELECT number % 4 AS g, uniqState(number % 50) AS u
+        |   FROM numbers(200) GROUP BY number % 4)""".stripMargin)
+      .collect().head.getLong(0)
+    val ofPath = java.nio.file.Files.createTempDirectory("demo_of_").toString + "/x.csv"
+    val ofN = spark.sql("SELECT number, bar(number, 0, 10, 5) AS b " +
+        s"FROM numbers(4) INTO OUTFILE '$ofPath' FORMAT CSVWithNames")
+      .collect().head.getLong(0)
+    println(s"== DISTINCT ON picks = $don (3 after LIMIT); star mods columns = " +
+      s"${star.mkString(",")}; WITH-macro ternary sum = $mac " +
+      s"(0?10:1 + 1 + 2?20:1 over number<3); uniqMerge of 4 states = $sm; " +
+      s"INTO OUTFILE wrote $ofN rows to one file = " +
+      s"${java.nio.file.Files.exists(java.nio.file.Paths.get(ofPath))}")
+
     // Round 14: system.query_log — every action above landed in the
     // session's execution ring; read it back from pure SQL.
     println("== system.query_log: the session's own executions from SQL:")

@@ -362,6 +362,35 @@ object ClickHouseNames {
     entry("arrayPopFront", classOf[Slice], Seq(1))(cs =>
       Slice(cs.head, Literal(2), Greatest(Seq(
         Subtract(Size(cs.head, false), Literal(1)), Literal(0))))),
+    // Running sums in ONE pass: aggregate() with a (sums, running) struct
+    // accumulator — no O(n²) per-prefix re-reduction. Float64 result
+    // (ClickHouse keeps the integer type for integer inputs — documented;
+    // one numeric face keeps the expression monomorphic and codegen'd).
+    entry("arrayCumSum", classOf[ArrayAggregate], Seq(1)) { cs =>
+      val zero = CreateNamedStruct(Seq(
+        Literal("a"), Literal.create(Array.empty[Double], ArrayType(DoubleType)),
+        Literal("s"), Literal(0.0)))
+      val merge = {
+        val acc = freshVar(); val x = freshVar()
+        val s2 = Add(UnresolvedExtractValue(acc, Literal("s")),
+          Cast(x, DoubleType))
+        LambdaFunction(CreateNamedStruct(Seq(
+          Literal("a"), Concat(Seq(UnresolvedExtractValue(acc, Literal("a")),
+            CreateArray(Seq(s2)))),
+          Literal("s"), s2)), Seq(acc, x))
+      }
+      val finish = lambda1(acc => UnresolvedExtractValue(acc, Literal("a")))
+      ArrayAggregate(cs.head, zero, merge, finish)
+    },
+    // Collapse CONSECUTIVE duplicates (ClickHouse arrayCompact): keep
+    // element i when i is first or differs from its predecessor — the
+    // (x, i) filter lambda reading the source array positionally.
+    entry("arrayCompact", classOf[ArrayFilter], Seq(1)) { cs =>
+      val x = freshVar(); val i = freshVar()
+      ArrayFilter(cs.head, LambdaFunction(
+        Or(EqualTo(i, Literal(0)),
+          Not(EqualNullSafe(ElementAt(cs.head, i), x))), Seq(x, i)))
+    },
     // [1..len(arr)] — the index array ClickHouse pairs with ARRAY JOIN
     entry("arrayEnumerate", classOf[Sequence], Seq(1)) { cs =>
       val n = Size(cs.head, false)

@@ -787,11 +787,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       n
     }
     name.toLowerCase match {
-      case "quantile" | "quantileexact" | "median" =>
+      // quantileTiming/Deterministic/Interpolated: ClickHouse's variant
+      // zoo differs in SAMPLING strategy, not in what is asked — the
+      // exact interpolated percentile is a deterministic superset of all
+      // of them (same posture as quantileExact).
+      case "quantile" | "quantileexact" | "median" | "quantiletiming" |
+           "quantiledeterministic" | "quantileinterpolatedweighted" =>
         s"percentile($args, $params)"
-      case "quantiles" | "quantilesexact" =>
+      case "quantiles" | "quantilesexact" | "quantilestiming" =>
         s"percentile($args, array($params))"
-      case "quantiletdigest" => s"percentile_approx($args, $params)"
+      case "quantiletdigest" | "quantilebfloat16" =>
+        s"percentile_approx($args, $params)"
       case "topk" =>
         val k = intParam(1, 50)
         s"slice(transform(topk_approx($args), ch_t -> ch_t.term), 1, $k)"
@@ -1597,7 +1603,9 @@ object GraftSqlParser {
 
   private[sources] val ParametricHeadRe =
     ("(?i)\\b(quantile|quantileExact|quantiles|quantilesExact|" +
-      "quantileTDigest|topK|topKWeighted|uniqUpTo|groupArray|" +
+      "quantileTDigest|quantileTiming|quantilesTiming|" +
+      "quantileDeterministic|quantileInterpolatedWeighted|" +
+      "quantileBFloat16|median|topK|topKWeighted|uniqUpTo|groupArray|" +
       "groupUniqArray)\\s*\\(").r
 
   private[sources] val DateUnitCallRe =

@@ -436,6 +436,25 @@ class ClickHouseNamesSpec extends AnyFunSuite {
     assert(r.getString(8) == "foo|bar|baz")
   }
 
+  test("arrayCumSum single-pass running sums; arrayCompact consecutive dedup") {
+    val r = spark.sql(
+      """SELECT array_join(transform(arrayCumSum(array(1, 2, 3, 4)),
+        |    x -> CAST(x AS STRING)), ',') AS cs,
+        |  array_join(transform(arrayCompact(array(1, 1, 2, 2, 2, 1, 3)),
+        |    x -> CAST(x AS STRING)), ',') AS cp,
+        |  size(arrayCumSum(array())) AS z
+        |""".stripMargin.stripLineEnd).collect().head
+    assert(r.getString(0) == "1.0,3.0,6.0,10.0")
+    assert(r.getString(1) == "1,2,1,3", "consecutive dups collapse, " +
+      "non-consecutive repeats survive")
+    assert(r.getInt(2) == 0)
+    // quantileTiming parametric maps to the same exact percentile
+    import spark.implicits._
+    (1 to 9).map(_.toLong).toDF("v").createOrReplaceTempView("qt_t")
+    assert(spark.sql("SELECT quantileTiming(0.5)(v) AS p FROM qt_t")
+      .collect().head.getDouble(0) == 5.0)
+  }
+
   test("no alias shadows a Spark builtin") {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     val shadowed = ClickHouseNames.all.map(_._1.funcName)
