@@ -2310,6 +2310,28 @@ object AnalyticQueries {
       |  CAST(3232235777 + event_id % 10 AS BIGINT) AS ipn
       |FROM events WHERE event_id < 20 ORDER BY event_id""".stripMargin
 
+  /** Q176 — `QUALIFY` (round 16): the window-result filter clause, as the
+    * idiomatic top-1-per-key pick with ORDER BY + LIMIT applying AFTER
+    * the filter. DuckDB spells QUALIFY natively — same clause, same
+    * semantics, hash-equal.
+    */
+  def q176Qualify(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q176_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+        s"""SELECT l_orderkey, l_linenumber, l_quantity,
+           |  row_number() OVER (PARTITION BY l_orderkey
+           |    ORDER BY l_quantity DESC, l_linenumber) AS rn
+           |FROM $v QUALIFY rn = 1 ORDER BY l_orderkey LIMIT 800""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val q176Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_quantity DESC, l_linenumber) AS rn
+      |FROM lineitem QUALIFY rn = 1 ORDER BY l_orderkey LIMIT 800""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q9_agg_tpch1", q9Agg _, Some(q9Sql)),
     ("q10_filter_project", q10FilterProject _, Some(q10Sql)),
@@ -2384,5 +2406,6 @@ object AnalyticQueries {
     ("q172_agg_states", q172AggStates _, Some(q172Sql)),
     ("q173_ternary", q173Ternary _, Some(q173Sql)),
     ("q174_tokens_bar", q174TokensBar _, Some(q174Sql)),
-    ("q175_base64_ip", q175Base64Ip _, Some(q175Sql)))
+    ("q175_base64_ip", q175Base64Ip _, Some(q175Sql)),
+    ("q176_qualify", q176Qualify _, Some(q176Sql)))
 }

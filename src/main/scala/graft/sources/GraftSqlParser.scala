@@ -668,6 +668,42 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       s"FROM (VALUES $vals))"
   }
 
+  /** ClickHouse's `QUALIFY <pred>` (filter over window-function results —
+    * the clause between HAVING and ORDER BY): rewritten by wrapping the
+    * de-QUALIFY'd select in a derived table and filtering OUTSIDE it —
+    * `SELECT … QUALIFY p ORDER BY o LIMIT n` becomes `SELECT * FROM
+    * (SELECT …) WHERE p ORDER BY o LIMIT n` — so the predicate sees the
+    * select list's ALIASES (the idiomatic `QUALIFY rn = 1` shape). A
+    * predicate spelling a NEW window function inline is refused by
+    * Spark's own window-in-WHERE error (loud, not silent). Top-level
+    * statements only; the clause is cut at the first top-level QUALIFY
+    * outside quotes, the tail (ORDER BY/LIMIT/set-op …) stays outside
+    * the wrap.
+    */
+  private def rewriteQualify(sqlText: String): String = {
+    if (!QualifyProbeRe.pattern.matcher(sqlText).find()) return sqlText
+    val spans = quotedSpans(sqlText)
+    val depths = parenDepths(sqlText)
+    val m = "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sqlText)
+      .find(u => depths(u.start) == 0 && !inSpan(spans, u.start))
+      .getOrElse(return sqlText)
+    val head = sqlText.substring(0, m.start).trim
+    require("(?is)^\\s*(SELECT|WITH)\\b".r.findFirstIn(head).isDefined,
+      s"QUALIFY outside a SELECT statement: $sqlText")
+    val rest = sqlText.substring(m.end)
+    // the predicate runs to the next top-level clause keyword (or end)
+    val rSpans = quotedSpans(rest)
+    val rDepths = parenDepths(rest)
+    val cut = ("(?i)\\b(ORDER|LIMIT|UNION|EXCEPT|INTERSECT|SETTINGS|" +
+      "FORMAT|INTO)\\b").r.findAllMatchIn(rest)
+      .find(u => rDepths(u.start) == 0 && !inSpan(rSpans, u.start))
+      .map(_.start).getOrElse(rest.length)
+    val pred = rest.substring(0, cut).trim
+    val tail = rest.substring(cut)
+    require(pred.nonEmpty, s"QUALIFY with no predicate: $sqlText")
+    s"SELECT * FROM ($head) __graft_qualify WHERE $pred $tail"
+  }
+
   /** ClickHouse's EXPLAIN variants → Spark's: `EXPLAIN AST|SYNTAX` →
     * `EXPLAIN EXTENDED` (the closest "show me the rewritten/parsed form"),
     * `EXPLAIN PLAN` → plain `EXPLAIN`, `EXPLAIN PIPELINE` → `EXPLAIN
@@ -1089,8 +1125,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       rewritePrewhere(rewriteArrayJoin(rewriteJoinWords(rewriteGlobal(
         rewriteNumbers(rewriteSystemTables(rewriteSettings(rewriteFormat(
           rewriteParametrics(rewriteDateDiffUnit(rewriteTernary(
-            rewriteCollectionLiterals(rewriteWithMacros(
-              rewriteExplain(sqlText1)))))))))))))))))
+            rewriteCollectionLiterals(rewriteQualify(rewriteWithMacros(
+              rewriteExplain(sqlText1))))))))))))))))))
     // Star modifiers (`* REPLACE`, `COLUMNS('re')`): cut from the text
     // here, spliced into the parsed plan at the end of this method.
     val (rewritten, starSplices) =
@@ -1740,6 +1776,8 @@ object GraftSqlParser {
   private[sources] val InsertJsonRowsRe =
     ("(?is)^(\\s*INSERT\\s+INTO\\s+([`\\w][\\w.`]*))" +
       "\\s+FORMAT\\s+JSONEachRow\\s+(.+)$").r
+
+  private[sources] val QualifyProbeRe = "(?i)\\bQUALIFY\\b".r
 
   // `EXPLAIN <ch-word> …` at the statement head (ClickHouse's verbs only —
   // Spark's own EXTENDED/CODEGEN/COST/FORMATTED words never match).

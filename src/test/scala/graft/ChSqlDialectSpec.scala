@@ -513,6 +513,28 @@ class ChSqlDialectSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ch_ins_t")
   }
 
+  test("QUALIFY filters window results; tail clauses stay outside the wrap") {
+    import spark.implicits._
+    Seq(("a", 1L, 30L), ("a", 2L, 20L), ("b", 3L, 50L), ("b", 4L, 40L),
+        ("c", 5L, 10L))
+      .toDF("g", "id", "v").createOrReplaceTempView("ql_t")
+    // the idiomatic top-1-per-group via alias reference
+    val top = spark.sql(
+      """SELECT g, id, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |FROM ql_t QUALIFY rn = 1 ORDER BY g""".stripMargin).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 3L, 5L))
+    // ORDER BY + LIMIT after QUALIFY apply to the filtered result
+    val lim = spark.sql(
+      """SELECT g, v, rank() OVER (ORDER BY v DESC) AS rk
+        |FROM ql_t QUALIFY rk <= 3 ORDER BY v DESC LIMIT 2""".stripMargin)
+      .collect()
+    assert(lim.map(_.getLong(1)).toSeq == Seq(50L, 40L))
+    // 'QUALIFY' inside a string literal is data
+    val lit = spark.sql("SELECT 'no QUALIFY here' AS s").collect().head
+    assert(lit.getString(0) == "no QUALIFY here")
+  }
+
   test("arrayJoin() in function position expands rows like explode") {
     GraftFunctions.register(spark)
     val r = spark.sql(
