@@ -173,6 +173,48 @@ class ParserClausePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DISTINCT ON matches the first-per-group model across random data") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 86243)
+      val data = (0 until 20 + rnd.nextInt(60)).map(i =>
+        (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(500).toLong))
+      data.toDF("g", "id", "v").createOrReplaceTempView(s"dop_$seed")
+      val desc = rnd.nextBoolean()
+      val ord = if (desc) "v DESC, id" else "v, id"
+      val rows = spark.sql(
+        s"SELECT DISTINCT ON (g) g, id, v FROM dop_$seed ORDER BY g, $ord")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expect = data.groupBy(_._1).toSeq.map { case (g, rs) =>
+        val pick = rs.sortBy(r => (if (desc) -r._3 else r._3, r._2)).head
+        (g, pick._2)
+      }.sortBy(_._1)
+      assert(rows == expect, s"seed $seed: DISTINCT ON mismatch")
+    }
+  }
+
+  test("star REPLACE matches the in-place model across random column picks") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 27779)
+      Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+        .createOrReplaceTempView(s"srp_$seed")
+      val cols = Seq("a", "b", "c", "d")
+      val replaced = rnd.shuffle(cols).take(1 + rnd.nextInt(3))
+      val mult = 1 + rnd.nextInt(9)
+      val items = replaced.map(c => s"$c * $mult AS $c").mkString(", ")
+      val df = spark.sql(s"SELECT * REPLACE ($items) FROM srp_$seed")
+      assert(df.columns.toSeq == cols, s"seed $seed: column order must " +
+        "be unchanged (in-place replacement)")
+      val row = df.collect().head
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val base = i + 1L
+        val expect = if (replaced.contains(c)) base * mult else base
+        assert(row.getLong(i) == expect, s"seed $seed: $c")
+      }
+    }
+  }
+
   test("WITH macros substitute like the model across random expressions") {
     import spark.implicits._
     (1 to 6).foreach { seed =>
