@@ -13,6 +13,11 @@ object QProfile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-qprofile")
+    if (args.contains("edges")) {
+      // round-16 suspect: the shared near-dup edge machinery's phases
+      graft.queries.PipelineQueries.profileEdgePhases(spark, dir)
+      spark.stop(); return
+    }
     // warm: one full run untimed
     t("q117 full (cold)") {
       graft.queries.PipelineQueries.q117PipelineCompose(spark, dir)

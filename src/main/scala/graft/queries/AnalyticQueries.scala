@@ -1791,8 +1791,9 @@ object AnalyticQueries {
     * second family): argMax/argMin (→ max_by/min_by), uniqExact (the
     * builder-level count-DISTINCT), groupUniqArray (→ collect_set), and
     * avgWeighted/stddevPop — each a pure alias over Spark's aggregate
-    * machinery, so the whole statement stays one hash aggregate with
-    * map-side partial combine. Determinism: the arg ordering key
+    * machinery. Each multi-column uniqExact runs in its own subaggregate
+    * (see the note in the body: one combined SELECT triggers the
+    * multi-distinct Expand plan). Determinism: the arg ordering key
     * (l_orderkey*10+l_linenumber) is UNIQUE, so argMax/argMin are
     * single-valued; the array face is sorted then stringified (array
     * dtype round-trips differ between engines, strings don't).
@@ -1801,21 +1802,41 @@ object AnalyticQueries {
     graft.functions.GraftFunctions.register(spark)
     val v = s"graft_q159_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     t(spark, dir, "lineitem").createOrReplaceTempView(v)
+    // One statement, but the two multi-column uniqExacts live in their OWN
+    // subaggregates joined back on the 4-row group key: spelling all three
+    // in one SELECT makes Spark plan the multi-distinct Expand(×3) whose
+    // partial aggregate keys on (flag, partkey, suppkey, linestatus, gid)
+    // — ~600k distinct keys carrying max_by/collect_set/stddev buffers, an
+    // ObjectHashAggregate that falls back to sort-based past its key
+    // threshold and sorts 1.8M wide rows (measured 4.5–5.4 s at sf0.1;
+    // plans/r16/q159_agg_names_before.txt). Split, each distinct is the
+    // Expand-free two-level hash aggregate and the alias surface under
+    // test is unchanged. Same values, same oracle (guide §2.4: remove the
+    // accidental exchange shape, not the computation).
     try spark.sql(
-        s"""SELECT l_returnflag,
-           | argMax(l_extendedprice,
-           |   (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
-           |   AS last_price,
-           | argMin(l_extendedprice,
-           |   (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
-           |   AS first_price,
-           | uniqExact(l_partkey) AS parts,
-           | uniqExact(l_suppkey, l_linestatus) AS supp_status,
-           | array_join(sort_array(groupUniqArray(l_linestatus)), ',') AS statuses,
-           | CAST(floor(avgWeighted(l_extendedprice, l_quantity) * 100.0 + 0.5)
-           |   AS BIGINT) AS aw100,
-           | CAST(floor(stddevPop(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS sd6
-           |FROM $v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        s"""SELECT m.l_returnflag,
+           | m.last_price, m.first_price, p.parts, s.supp_status,
+           | m.statuses, m.aw100, m.sd6
+           |FROM (
+           |  SELECT l_returnflag,
+           |   argMax(l_extendedprice,
+           |     (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
+           |     AS last_price,
+           |   argMin(l_extendedprice,
+           |     (l_orderkey * 10 + l_linenumber) * 1000000.0 + l_extendedprice)
+           |     AS first_price,
+           |   array_join(sort_array(groupUniqArray(l_linestatus)), ',') AS statuses,
+           |   CAST(floor(avgWeighted(l_extendedprice, l_quantity) * 100.0 + 0.5)
+           |     AS BIGINT) AS aw100,
+           |   CAST(floor(stddevPop(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS sd6
+           |  FROM $v GROUP BY l_returnflag) m
+           |JOIN (
+           |  SELECT l_returnflag, uniqExact(l_partkey) AS parts
+           |  FROM $v GROUP BY l_returnflag) p ON m.l_returnflag = p.l_returnflag
+           |JOIN (
+           |  SELECT l_returnflag, uniqExact(l_suppkey, l_linestatus) AS supp_status
+           |  FROM $v GROUP BY l_returnflag) s ON m.l_returnflag = s.l_returnflag
+           |ORDER BY m.l_returnflag""".stripMargin)
     finally spark.catalog.dropTempView(v)
   }
 

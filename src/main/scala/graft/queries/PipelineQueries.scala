@@ -475,6 +475,80 @@ object PipelineQueries {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** Dev-only (QProfile): phase decomposition of the shared near-dup edge
+    * machinery plus micro-benches separating tokenize / shingle-string /
+    * hash / distinct / join / verify / CC costs. NOT a query path.
+    */
+  private[graft] def profileEdgePhases(spark: SparkSession, dir: String): Unit = {
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"PROF $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    val d = docsSpread(spark, dir)
+    t("docs noop")(d.write.format("noop").mode("overwrite").save())
+    t("tokenize size only")(
+      d.select(size(tokens)).write.format("noop").mode("overwrite").save())
+    t("shingle strings noop")(
+      d.select(explode(shingles)).write.format("noop").mode("overwrite").save())
+    t("shingle hashes noop")(
+      d.select(explode(shingles).as("s")).select(xxhash64(col("s")))
+        .write.format("noop").mode("overwrite").save())
+    val th = transform(tokens, w => xxhash64(w))
+    val hashShingles = transform(
+      sequence(lit(1), greatest(lit(1), size(col("th")) - lit(4))),
+      i => xxhash64(slice(col("th"), i, lit(5))))
+    t("tokenhash shingles noop")(
+      d.select(th.as("th")).select(explode(hashShingles))
+        .write.format("noop").mode("overwrite").save())
+    (1 to 2).foreach { rep =>
+      val dsh = d.select(col("doc_id"), explode(shingles).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .distinct().persist()
+      t(s"dsh distinct+persist rep$rep")(dsh.count())
+      val hot = dsh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).select(col("h"))
+      val rare = dsh.join(hot, Seq("h"), "left_anti")
+      val cand = rare.select(col("doc_id").as("doc_a"), col("h"))
+        .join(rare.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct().persist()
+      t(s"cand join+distinct rep$rep")(cand.count())
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
+        .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+      val withSets = cand
+        .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+        .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
+      val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+      val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
+      val out = withSets.filter(j >= 0.8)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      var edges: DataFrame = null
+      t(s"verify collect rep$rep") {
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        edges = spark.createDataFrame(rows, out.schema)
+      }
+      t(s"cc run rep$rep")(
+        graft.operators.ConnectedComponents.run(edges).count())
+      dsh.unpersist(); cand.unpersist()
+    }
+    // Verdict-signal pass (q96/q117 stage 1-2): whole vs parts.
+    t("verdict signals noop")(
+      verdictSignals(d).write.format("noop").mode("overwrite").save())
+    val ws = tokens
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    t("bigram topRun only noop")(
+      d.select(topBigramRun(bigrams)).write.format("noop").mode("overwrite").save())
+    t("array_distinct only noop")(
+      d.select(size(array_distinct(ws))).write.format("noop").mode("overwrite").save())
+    t("stops only noop")(
+      d.select(latinStopsOf(ws)).write.format("noop").mode("overwrite").save())
+  }
+
   /** DuckDB spelling of [[graft.operators.InvertedIndex.mixedTokens]] over
     * the `text` column — ONE definition shared by every multilingual
     * cleaning oracle (q118–q125), so the tokenizer the cross-engine parity
@@ -649,6 +723,67 @@ object PipelineQueries {
       maxShingleFreq: Int): DataFrame =
     verifiedJaccardEdgesOf(docsSpread(spark, dir), maxShingleFreq)
 
+  /** Bound under which the exact-Jaccard candidate verify runs DRIVER-SIDE
+    * (round-16 optimization). The distributed verify shape already
+    * materializes every candidate doc's shingle-hash set in a driver-built
+    * broadcast, so the driver path holds the SAME data with the same memory
+    * bound — it just skips the broadcast exchanges and the extra Spark jobs
+    * (the verify stage cost ~2.0 s of the edge machinery's ~5 s warm floor
+    * for ~50 pairs; QProfile, sf0.1). Above the bound — candidate-doc
+    * populations the isin literal list shouldn't carry — the distributed
+    * broadcast shape below remains the path, unchanged.
+    */
+  private val VerifyDriverMaxDocs = 10000
+
+  /** Sorted-long-array intersection size — the driver twin of
+    * size(array_intersect(sha, shb)).
+    */
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  /** Collect the (doc_id, h) rows of `dsh` restricted to `ids` into sorted
+    * per-doc hash arrays. One filtered scan of the (persisted) hash table —
+    * the only Spark job the driver verify pays.
+    */
+  private def collectHashSets(dsh: DataFrame, ids: Array[Long]): Map[Long, Array[Long]] =
+    dsh.filter(col("doc_id").isin(ids: _*)).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).sorted }
+
+  /** Exact-Jaccard verification of candidate pairs on the driver: for each
+    * (a, b), J = |A∩B| / (|A|+|B|-|A∩B|) over the full (uncapped) distinct
+    * shingle-hash sets — double arithmetic identical to the distributed
+    * spelling (int sizes cast to double), so the kept pair set and raw
+    * ratios are bit-equal. Returns pairs with raw J ≥ 0.8.
+    */
+  private def verifyPairsDriver(pairs: Array[(Long, Long)],
+      setsA: Map[Long, Array[Long]], setsB: Map[Long, Array[Long]])
+      : Array[(Long, Long, Double)] =
+    pairs.flatMap { case (a, b) =>
+      (setsA.get(a), setsB.get(b)) match {
+        case (Some(sa), Some(sb)) =>
+          val inter = sortedIntersectCount(sa, sb).toDouble
+          val j = inter / (sa.length + sb.length - inter).toDouble
+          if (j >= 0.8) Some((a, b, j)) else None
+        case _ => None
+      }
+    }
+
+  private val RawJSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_b",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("raw_j",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
   /** [[verifiedJaccardEdges]] over an arbitrary (doc_id, text) frame — the
     * q117 composition feeds it the mid-pipeline survivor set instead of the
     * raw corpus.
@@ -671,23 +806,39 @@ object PipelineQueries {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
       .persist()
-    cand.count() // barrier: materialize before the broadcast-racing verify subtree
-    val candIds = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
-    val withSets = cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
-    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-    val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
-    val out = withSets.filter(j >= 0.8)
-      .select(col("doc_a"), col("doc_b"), j.as("raw_j"))
-    val rows = java.util.Arrays.asList(out.collect(): _*)
+    // The pair set is near-dup-population-sized by construction; collecting
+    // it doubles as the materialization barrier the broadcast-racing
+    // distributed verify needed.
+    val candPairs = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candDocs = candPairs.flatMap(p => Iterator(p._1, p._2)).distinct
+    val out: DataFrame =
+      if (candDocs.length <= VerifyDriverMaxDocs) {
+        // Driver verify: one filtered scan of the persisted hash table,
+        // then in-process set intersection (see VerifyDriverMaxDocs).
+        val sets = collectHashSets(dsh, candDocs)
+        val verified = verifyPairsDriver(candPairs, sets, sets)
+        spark.createDataFrame(
+          java.util.Arrays.asList(verified.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2, t._3)): _*), RawJSchema)
+      } else {
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
+          .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+        val withSets = cand
+          .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+          .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+        val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
+        val distOut = withSets.filter(j >= 0.8)
+          .select(col("doc_a"), col("doc_b"), j.as("raw_j"))
+        val rows = java.util.Arrays.asList(distOut.collect(): _*)
+        spark.createDataFrame(rows, distOut.schema)
+      }
     dsh.unpersist()
     cand.unpersist()
-    spark.createDataFrame(rows, out.schema)
+    out
   }
 
   /** Q93 — near-duplicate CLUSTER resolution: the q26 pair set is only half
@@ -797,45 +948,62 @@ object PipelineQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .persist() // read 3× below (id set + both verify joins); tiny by construction
-    // Materialize cand (and transitively dsh) BEFORE the verify subtree:
-    // broadcast exchanges below are kicked off eagerly and in parallel, and
-    // without this barrier they race the main plan into computing the whole
-    // signature+band chain two or three times before either cache fills.
-    cand.count()
-    // Exact verification of candidates: build the per-doc hash sets ONLY for
-    // docs that appear in a candidate pair (broadcast semi-filter), not the
-    // whole corpus — at scale the collect_set shuffle is then proportional
-    // to the near-dup population, not the corpus, and the verify joins
-    // broadcast the small set side instead of shuffling the corpus.
-    val candIds = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
-    val withSets = cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
-    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-    val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
+      .persist() // read again when the driver verify overflows to Spark
+    // Collect the candidate pair set (near-dup-population-sized by
+    // construction) — this is also the materialization barrier that kept
+    // the broadcast-racing verify subtree from recomputing the signature
+    // chain in the old distributed shape.
+    val candPairs = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candDocs = candPairs.flatMap(p => Iterator(p._1, p._2)).distinct
+    // Exact verification of candidates, driver-side when bounded (see
+    // VerifyDriverMaxDocs): one filtered scan of the persisted hash table
+    // builds the per-candidate-doc sets — the SAME data the old shape put
+    // in a driver-built broadcast — then in-process intersection.
     // Threshold on the RAW ratio, rounding only the emitted column — the
     // identical semantics jaccardExact/q26 use, so the two sides can never
     // disagree on a value in [0.7999995, 0.8).
-    val out = withSets
-      .filter(j >= 0.8)
-      .select(col("doc_a"), col("doc_b"), r6(j).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      if (candDocs.length <= VerifyDriverMaxDocs) {
+        val sets = collectHashSets(dsh, candDocs)
+        val verified = verifyPairsDriver(candPairs, sets, sets)
+          .map { case (a, b, j) =>
+            org.apache.spark.sql.Row(a, b,
+              math.floor(j * 1000000.0 + 0.5) / 1000000.0)
+          }
+          .sortBy(r => (r.getLong(0), r.getLong(1)))
+        java.util.Arrays.asList(verified: _*)
+      } else {
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
+          .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+        val withSets = cand
+          .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+          .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+        val j = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
+        val out = withSets
+          .filter(j >= 0.8)
+          .select(col("doc_a"), col("doc_b"), r6(j).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+        java.util.Arrays.asList(out.collect(): _*)
+      }
     // Materialize the verified pair set on the driver so the persisted
     // hashes can be released — repeated invocations must not accrete cached
-    // intermediates. The pair set is tiny by construction (near-dup pairs,
-    // already exact-verified); collect + createDataFrame keeps the
-    // query-registry contract (a DataFrame) without localCheckpoint's
-    // unrecoverable-on-executor-loss caveat.
-    val rows = java.util.Arrays.asList(out.collect(): _*)
+    // intermediates.
     dsh.unpersist()
     cand.unpersist()
-    spark.createDataFrame(rows, out.schema)
+    spark.createDataFrame(outRows, JaccardOutSchema)
   }
+
+  private val JaccardOutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_b",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("jaccard",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
 
   val q25Sql: String = JaccardPairsSql
 
@@ -867,33 +1035,61 @@ object PipelineQueries {
     // Only the incoming batch is shingle-hashed on the steady-state path.
     val newDsh = dshOf(d.filter(isNew)).persist()
     val cand = store.candidatePairs(MinHashStore.bandSignatures(newDsh)).persist()
-    cand.count() // barrier: materialize before the broadcast-racing verify subtree
-    // Exact verification — historical text re-read for CANDIDATE docs only.
-    val oldCandIds = cand.select(col("store_id").as("doc_id")).distinct()
-    val oldSets = dshOf(d.join(broadcast(oldCandIds), Seq("doc_id"), "left_semi"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
-    val newCandIds = cand.select(col("batch_id").as("doc_id")).distinct()
-    val newSets = newDsh.join(broadcast(newCandIds), Seq("doc_id"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
-    val withSets = cand
-      .join(broadcast(oldSets.select(col("doc_id").as("store_id"), col("sh").as("sho"))),
-        Seq("store_id"))
-      .join(broadcast(newSets.select(col("doc_id").as("batch_id"), col("sh").as("shn"))),
-        Seq("batch_id"))
-    val inter = size(array_intersect(col("sho"), col("shn"))).cast("double")
-    val j = inter / (size(col("sho")) + size(col("shn")) - inter).cast("double")
-    val out = withSets
-      .filter(j >= 0.8)
-      .select(col("batch_id").as("new_id"), col("store_id").as("old_id"),
-        r6(j).as("jaccard"))
-      .orderBy(col("new_id"), col("old_id"))
+    // Candidate pair set is batch-bounded; collecting it is the barrier.
+    val candPairs = cand.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("store_id")))
+    val newIds = candPairs.map(_._1).distinct
+    val oldIds = candPairs.map(_._2).distinct
+    // Exact verification — historical text re-read for CANDIDATE docs only;
+    // driver-side when bounded (see VerifyDriverMaxDocs), broadcast shape
+    // beyond.
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      if (newIds.length + oldIds.length <= VerifyDriverMaxDocs) {
+        val oldSets = collectHashSets(
+          dshOf(d.filter(col("doc_id").isin(oldIds: _*))), oldIds)
+        val newSets = collectHashSets(newDsh, newIds)
+        val verified = verifyPairsDriver(candPairs, newSets, oldSets)
+          .map { case (n, o, j) =>
+            org.apache.spark.sql.Row(n, o,
+              math.floor(j * 1000000.0 + 0.5) / 1000000.0)
+          }
+          .sortBy(r => (r.getLong(0), r.getLong(1)))
+        java.util.Arrays.asList(verified: _*)
+      } else {
+        val oldCandIds = cand.select(col("store_id").as("doc_id")).distinct()
+        val oldSets = dshOf(d.join(broadcast(oldCandIds), Seq("doc_id"), "left_semi"))
+          .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+        val newCandIds = cand.select(col("batch_id").as("doc_id")).distinct()
+        val newSets = newDsh.join(broadcast(newCandIds), Seq("doc_id"))
+          .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+        val withSets = cand
+          .join(broadcast(oldSets.select(col("doc_id").as("store_id"), col("sh").as("sho"))),
+            Seq("store_id"))
+          .join(broadcast(newSets.select(col("doc_id").as("batch_id"), col("sh").as("shn"))),
+            Seq("batch_id"))
+        val inter = size(array_intersect(col("sho"), col("shn"))).cast("double")
+        val j = inter / (size(col("sho")) + size(col("shn")) - inter).cast("double")
+        val out = withSets
+          .filter(j >= 0.8)
+          .select(col("batch_id").as("new_id"), col("store_id").as("old_id"),
+            r6(j).as("jaccard"))
+          .orderBy(col("new_id"), col("old_id"))
+        java.util.Arrays.asList(out.collect(): _*)
+      }
     // Same materialize-and-release discipline as q25: the verified pair set
     // is tiny by construction; repeated invocations must not accrete caches.
-    val rows = java.util.Arrays.asList(out.collect(): _*)
     newDsh.unpersist()
     cand.unpersist()
-    spark.createDataFrame(rows, out.schema)
+    spark.createDataFrame(outRows, IncDedupOutSchema)
   }
+
+  private val IncDedupOutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("new_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("old_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("jaccard",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
 
   private val cacheMinhash =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.MinHashStore]
