@@ -1766,9 +1766,13 @@ object AnalyticQueries {
             "bk WITH FILL FROM 0 TO 5")
         .select(col("day").cast("string").as("day"), col("bk"), col("n"))
         .orderBy(col("day"), col("bk"))
-      val rows = out.count()
-      require(rows == 50, s"q153: the 10x5 cross-product grid must land, got $rows")
-      out
+      // Materialize the 50-row grid ONCE and self-enforce on the collected
+      // rows — the old count() + lazy return ran the fill twice per
+      // invocation (round-16 optimization).
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      require(rows.size == 50,
+        s"q153: the 10x5 cross-product grid must land, got ${rows.size}")
+      spark.createDataFrame(rows, out.schema)
     } finally spark.catalog.dropTempView(v)
   }
 

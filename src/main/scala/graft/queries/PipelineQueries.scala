@@ -2405,10 +2405,16 @@ object PipelineQueries {
       queryTerms: Seq[String], k: Int): DataFrame = {
     import graft.operators.InvertedIndex
     val nDocs = d.select(countDistinct(col("doc_id"))).first().getLong(0)
+    // perDoc (one row per doc: dl + per-query-term tf) is read twice — by
+    // the driver-side stats fold below AND by the scoring plan — and each
+    // read re-ran the tokenize+explode pass over the corpus. Persist the
+    // doc-count-sized aggregate so the corpus is tokenized once (round-16
+    // optimization; guide §5 caching).
     val perDoc = terms.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),
       queryTerms.map(t =>
         sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statsRow = perDoc.agg(
       avg(col("dl")).as("avgdl"),
       queryTerms.map(t =>
@@ -2432,9 +2438,14 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score"))
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rk", row_number().over(w).cast("long"))
+    // Materialize the k-row answer, then release the cached per-doc
+    // aggregate — repeated invocations must not accrete caches.
+    val out = top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy(col("rk"))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    perDoc.unpersist()
+    d.sparkSession.createDataFrame(rows, out.schema)
   }
 
   def q110Bm25(spark: SparkSession, dir: String): DataFrame = {
@@ -2569,7 +2580,15 @@ object PipelineQueries {
           i => struct(element_at(col("lst"), i).as("w1"),
             element_at(col("lst"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    // The bigram-count table is read THREE ways (c1 rollup, the vocabulary
+    // count action, the scoring join) and each read re-ran the corpus
+    // tokenize+explode+aggregate behind it — persist the DISTINCT-bigram
+    // aggregate (far smaller than the instance table) so the corpus pass
+    // runs twice total (once into this cache, once for the scoring join's
+    // instance side) instead of four times (round-16 optimization; guide
+    // §5 caching: reused and expensive to recompute).
     val c2 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = c2.select(col("w1")).distinct().count()
     val scored = inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -2583,9 +2602,14 @@ object PipelineQueries {
           .cast("long").as("avg_lp_micro"))
     val top = perDoc.orderBy(col("avg_lp_micro").asc, col("doc_id")).limit(15)
     val w = Window.orderBy(col("avg_lp_micro").asc, col("doc_id"))
-    top.withColumn("rk", row_number().over(w).cast("long"))
+    // Materialize the 15-row answer, then RELEASE the cached bigram
+    // counts — repeated invocations must not accrete caches.
+    val out = top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_bigrams"), col("avg_lp_micro"))
       .orderBy(col("rk"))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    c2.unpersist()
+    d.sparkSession.createDataFrame(rows, out.schema)
   }
 
   val q113Sql: String =

@@ -1479,12 +1479,17 @@ object StorageQueries {
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
          | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
          |FROM $tblName SAMPLE 0.25
-         |GROUP BY event_type""".stripMargin)
-    val nSampled = sampled.agg(sum(col("n"))).collect().head.getLong(0)
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+    // Materialize the grouped sample ONCE; the subset self-enforcement
+    // folds over the collected rows instead of re-running the sampled scan
+    // (round-16 optimization: the old agg + lazy return scanned twice).
+    val rows = java.util.Arrays.asList(sampled.collect(): _*)
+    val nSampled = rows.stream.mapToLong(_.getLong(1)).sum()
     val nAll = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
     require(nSampled > 0 && nSampled < nAll,
       s"q143: SAMPLE must read a proper subset ($nSampled of $nAll)")
-    sampled.orderBy(col("event_type"))
+    spark.createDataFrame(rows, sampled.schema)
   }
 
   private val cacheSample = TrieMap.empty[String, String]
@@ -1557,9 +1562,12 @@ object StorageQueries {
          |      FROM $tblName WHERE event_id < 150)
          |GROUP BY bucket
          |ORDER BY bucket WITH FILL FROM 0 TO 422 STEP 2""".stripMargin)
-    val rows = out.count()
-    require(rows == 211, s"q145: 211 grid rows expected, got $rows")
-    out
+    // Materialize the 211-row grid ONCE and self-enforce on the collected
+    // rows (round-16 optimization: count() + lazy return ran the fill
+    // twice per invocation).
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    require(rows.size == 211, s"q145: 211 grid rows expected, got ${rows.size}")
+    spark.createDataFrame(rows, out.schema)
   }
 
   val q145Sql: String =
@@ -1693,10 +1701,13 @@ object StorageQueries {
     val raw = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
     val fin = spark.sql(
       s"SELECT k, ver, v100 FROM $tblName FINAL ORDER BY k")
-    val finRows = fin.count()
-    require(raw > finRows && finRows > 0,
-      s"q148: plain SELECT must see raw versions ($raw) above FINAL's collapse ($finRows)")
-    fin
+    // Materialize the collapsed face ONCE and self-enforce on the collected
+    // rows — the old count() + lazy return executed the FINAL collapse
+    // twice per invocation (round-16 optimization). Key-count-sized.
+    val rows = java.util.Arrays.asList(fin.collect(): _*)
+    require(raw > rows.size && rows.size > 0,
+      s"q148: plain SELECT must see raw versions ($raw) above FINAL's collapse (${rows.size})")
+    spark.createDataFrame(rows, fin.schema)
   }
 
   private val cacheFromFinal = TrieMap.empty[String, String]
@@ -1752,10 +1763,13 @@ object StorageQueries {
          |FROM $tblName a JOIN $tblName FINAL ON a.k = $al.k
          |ORDER BY k, ver""".stripMargin)
     val raw = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
-    val joined = out.count()
-    require(joined == raw,
-      s"q154: raw x collapsed must preserve the raw count ($joined vs $raw)")
-    out
+    // Materialize the join ONCE and self-enforce on the collected rows —
+    // the old count() + lazy return executed the raw×collapsed join twice
+    // per invocation (round-16 optimization). Raw-row-sized (4 longs/row).
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    require(rows.size == raw,
+      s"q154: raw x collapsed must preserve the raw count (${rows.size} vs $raw)")
+    spark.createDataFrame(rows, out.schema)
   }
 
   val q154Sql: String =
@@ -1788,12 +1802,17 @@ object StorageQueries {
       s"""SELECT event_type, count(*) AS n,
          | CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
          |FROM $tblName SAMPLE 250
-         |GROUP BY event_type""".stripMargin)
-    val nSampled = sampled.agg(sum(col("n"))).collect().head.getLong(0)
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+    // Materialize the grouped sample ONCE; the subset self-enforcement
+    // folds over the collected rows instead of re-running the sampled scan
+    // (round-16 optimization: the old agg + lazy return scanned twice).
+    val rows = java.util.Arrays.asList(sampled.collect(): _*)
+    val nSampled = rows.stream.mapToLong(_.getLong(1)).sum()
     val nAll = spark.sql(s"SELECT count(*) FROM $tblName").collect().head.getLong(0)
     require(nSampled > 0 && nSampled < nAll,
       s"q151: SAMPLE 250 must read a proper subset ($nSampled of $nAll)")
-    sampled.orderBy(col("event_type"))
+    spark.createDataFrame(rows, sampled.schema)
   }
 
   val q151Sql: String =
@@ -1854,10 +1873,12 @@ object StorageQueries {
     val raw = spark.sql(s"SELECT count(*) FROM $tbl").collect().head.getLong(0)
     val fin = spark.sql(
       s"SELECT k, ver, cat, v100, CAST(d AS STRING) AS d FROM $tbl FINAL ORDER BY k")
-    val finRows = fin.count()
-    require(raw > finRows && finRows > 0,
-      s"q163: raw versions ($raw) must exceed FINAL's collapse ($finRows)")
-    fin
+    // Materialize the collapsed face ONCE and self-enforce on the collected
+    // rows (round-16 optimization: count() + lazy return collapsed twice).
+    val rows = java.util.Arrays.asList(fin.collect(): _*)
+    require(raw > rows.size && rows.size > 0,
+      s"q163: raw versions ($raw) must exceed FINAL's collapse (${rows.size})")
+    spark.createDataFrame(rows, fin.schema)
   }
 
   val q163Sql: String =
