@@ -199,6 +199,71 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SimHash-64 driver loop, shared by the interpreted eval and the generated
+  * code (the codegen calls this static method — the 64-counter loop is not
+  * worth inlining into generated Java).
+  *
+  * Semantics are EXACTLY the q27 aggregate formulation it replaces: per
+  * token t, h = xxhash64(t) (Spark seed 42; a null element contributes the
+  * seed, matching xxhash64(null)); bit b of the signature is set iff
+  * Σ_tokens (bit_b(h) ? +1 : −1) > 0. Addition is commutative, so the
+  * per-document result is independent of token order and equals the old
+  * explode → 64×sum(when) → groupBy(doc) plan bit-for-bit — without the
+  * 1M-row explode, the 64-buffer hash aggregate, or its exchange
+  * (round-16 optimization; guide §4: keep the hot path in codegen).
+  */
+object SimHash64 {
+  def compute(a: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h =
+        if (a.isNullAt(i)) 42L
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          a.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** `simhash64(array<string>) -> bigint` — the per-document SimHash
+  * signature as ONE map-side codegen expression (see [[SimHash64]]).
+  */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash64.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared plumbing for the product-quantization expressions: the codebooks
   * arrive as a FOLDABLE nested-array literal child (`typedLit(cb)`) and are
   * converted to a primitive double[][][] exactly once per expression
@@ -1003,6 +1068,13 @@ object GraftFunctions {
       children(1))
   }
 
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64Expr].getName, "simhash64")
+  private val simhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "simhash64 takes exactly 1 argument")
+    SimHash64Expr(children.head)
+  }
+
   /** One shared list of every native EXPRESSION function: both
     * registration faces — [[register]] on a live session and the
     * [[GraftExtensions]] spark.sql.extensions deployment path — iterate
@@ -1051,6 +1123,7 @@ object GraftFunctions {
     (FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder),
     (FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder),
     (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder),
+    (FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder),
     (FunctionIdentifier("bpe_encode"), bpeEncodeInfo, bpeEncodeBuilder),
     (FunctionIdentifier("bpe_encode_dir"), bpeEncodeDirInfo, bpeEncodeDirBuilder),
     (FunctionIdentifier("morton_encode"), mortonEncodeInfo, mortonEncodeBuilder),

@@ -1122,17 +1122,15 @@ object PipelineQueries {
     * against q26's exact answer in PipelineQueriesSpec.
     */
   def q27Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docsSpread(spark, dir)
-      .select(col("doc_id"), explode(tokens).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val scored = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    val sigs = scored.select(col("doc_id"), sig.as("sig"))
+    // The signature is ONE map-side codegen expression over the token
+    // array (graft.functions.SimHash64Expr) — bit-identical to the former
+    // explode → 64×sum(when ±1) → groupBy(doc_id) formulation (addition
+    // commutes), without the corpus-token-sized explode, the 64-buffer
+    // aggregate, or its exchange (round-16 optimization; the per-doc
+    // equivalence stays pinned against q26 in PipelineQueriesSpec).
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = docsSpread(spark, dir)
+      .select(col("doc_id"), call_function("simhash64", tokens).as("sig"))
     val chunks = (0 until 8).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("ck"))

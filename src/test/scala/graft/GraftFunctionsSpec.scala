@@ -15,6 +15,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
 
+  test("simhash64 expression matches the 64-aggregate formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with other words entirely"),
+      (4L, "a"), (5L, ""), (6L, "repeat repeat repeat repeat")
+    ).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val fast = docs.select(col("doc_id"),
+      call_function("simhash64", toks).as("sig"))
+    // the former q27 spelling: explode → 64 conditional sums → sign bits
+    val tok = docs.select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val scored = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    val slow = scored.select(col("doc_id"), sig.as("sig"))
+    assert(fast.orderBy("doc_id").collect().toSeq ==
+      slow.orderBy("doc_id").collect().toSeq)
+    // interpreted eval path agrees with codegen
+    val row = fast.filter(col("doc_id") === 1L).collect().head
+    val interp = graft.functions.SimHash64.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        "the quick brown fox jumps over the lazy dog".split(" ")
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+    assert(row.getLong(1) == interp)
+  }
+
   test("ClickHouse name aliases: conversions, date parts, arrays, -If combinators") {
     GraftFunctions.register(spark)
     val conv = spark.sql(
