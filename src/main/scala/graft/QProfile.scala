@@ -18,6 +18,10 @@ object QProfile {
       graft.queries.PipelineQueries.profileEdgePhases(spark, dir)
       spark.stop(); return
     }
+    if (args.contains("q140")) {
+      graft.queries.PipelineQueries.profileQ140Phases(spark, dir)
+      spark.stop(); return
+    }
     // warm: one full run untimed
     t("q117 full (cold)") {
       graft.queries.PipelineQueries.q117PipelineCompose(spark, dir)

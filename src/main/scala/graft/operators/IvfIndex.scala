@@ -68,10 +68,7 @@ final class IvfIndex private (
     // Probed clusters across the whole query batch: ≤ nlist values.
     val cids = probe.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // Each rangeScan prunes to the cluster's own part(s) via the manifest.
-    val probedVectors = cids.map(cid => table.rangeScan(cid, cid))
-      .reduceOption(_ unionByName _)
-      .getOrElse(table.scan().limit(0))
+    val probedVectors = probedScan(cids)
     // The probe set is query-batch-sized (|queries| · nprobe rows) while
     // the probed vectors side scales with the corpus: broadcast the small
     // side explicitly — stats-blind estimation must never shuffle the
@@ -90,6 +87,29 @@ final class IvfIndex private (
       .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** Scan of exactly the probed clusters: the sorted cid set coalesces
+    * into maximal CONSECUTIVE runs and each run is ONE rangeScan — row-set
+    * identical to the former per-cid union (a run contains only probed
+    * cids) while planning one scan subtree per run instead of one per
+    * cluster. Exact-mode searches (nprobe = nlist, e.g. q140's
+    * oracle-exact serve) unioned nlist subtrees, and the per-subtree
+    * plan/scan overhead dominated the query (round-16 optimization; each
+    * rangeScan still prunes to its runs' parts via the manifest).
+    */
+  private def probedScan(cids: Array[Long]): DataFrame =
+    if (cids.isEmpty) table.scan().limit(0)
+    else {
+      val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var lo = cids(0); var hi = cids(0)
+      cids.iterator.drop(1).foreach { c =>
+        if (c == hi + 1) hi = c
+        else { runs += ((lo, hi)); lo = c; hi = c }
+      }
+      runs += ((lo, hi))
+      runs.map { case (l, h) => table.rangeScan(l, h) }
+        .reduce(_ unionByName _)
+    }
 
   /** (planned, total) parts at the last probed scan — pruning visibility. */
   def lastPruning: (Int, Int) = table.lastPruning
@@ -143,10 +163,7 @@ final class IvfIndex private (
       .select(col("qid"), col("qv"), col("cid"))
     val cids = probe.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // Part pruning: each rangeScan plans only the probed cluster's parts.
-    val probed = cids.map(cid => table.rangeScan(cid, cid))
-      .reduceOption(_ unionByName _)
-      .getOrElse(table.scan().limit(0))
+    val probed = probedScan(cids)
     // The query's m×k lookup table is computed ONCE on the broadcast side;
     // per probed row the approximate score is m array lookups (pq_adc).
     val qlut = queries.select(col("qid"),

@@ -4237,6 +4237,38 @@ object PipelineQueries {
       (idx, maxChunks)
     })
 
+  /** Dev-only (QProfile): q140's side-by-side phase costs. NOT a query
+    * path.
+    */
+  private[graft] def profileQ140Phases(spark: SparkSession, dir: String): Unit = {
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"PROF $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    t("full q140 (cold: builds)")(q140ChunkVecHybrid(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    (1 to 2).foreach { rep =>
+      val lexIdx = chunkIndexOf(spark, dir)
+      t(s"lex searchMany+fold rep$rep") {
+        graft.operators.InvertedIndex.foldChunkScores(
+          lexIdx.searchManyScores(hybridQueryTerms), ChunkKeySpan,
+          keys = Seq("qid"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val (vidx, maxChunks) = chunkIvfOf(spark, dir)
+      val e = embDouble(spark, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      t(s"ivf search all-lists rep$rep") {
+        vidx.search(q, k = (21L * maxChunks).toInt,
+          nprobe = vidx.nlist, excludeSelf = false)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t(s"full q140 warm rep$rep")(q140ChunkVecHybrid(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+    }
+  }
+
   /** Q140 — CHUNK-LEVEL hybrid retrieval with chunk VECTORS (closing
     * q134's asymmetry: its vector side was doc-level, so a doc whose
     * semantic evidence lives only in its 2nd chunk was invisible to ANN):

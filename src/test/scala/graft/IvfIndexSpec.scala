@@ -107,7 +107,13 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"IVFADC recall@10 $mean < 0.8 (per-query: $recalls)")
-    // part pruning: the probed scan planned a strict subset of the parts
+    // part pruning: a BOUNDED probe plans a strict subset of the parts.
+    // Measured on a single-query nprobe=3 probe: the exact nprobe=8 search
+    // above now legitimately plans every part in ONE coalesced range scan
+    // (probed cid runs merge, round-16), where the old per-cid union left
+    // lastPruning showing the final 1-cluster scan regardless of how many
+    // clusters the batch actually read.
+    idx.searchAdc(queries.limit(1), k = 10, nprobe = 3, shortlist).collect()
     val (planned, total) = idx.lastPruning
     assert(planned < total, s"ADC probe must prune parts: $planned/$total")
     // the exact re-rank input is capped at |queries|·shortlist rows —
