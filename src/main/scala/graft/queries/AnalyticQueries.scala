@@ -360,27 +360,39 @@ object AnalyticQueries {
 
   /** Q39 — AS-OF join (an operator the reference class of engines ships and
     * Spark lacks): for each event, the most recent order of the same
-    * customer at or before the event time, composed from an equi-join on the
-    * key plus a `max_by` aggregate — preference order (a) of the
-    * custom-operator ladder: compose existing ops when semantics allow.
-    * max_by over struct(o_orderdate, o_orderkey) picks the lexicographic max
-    * = ORDER BY date DESC, key DESC LIMIT 1, deterministically (orderkey is
-    * unique), and is partial-aggregable: the multiplied join rows collapse
-    * map-side to one buffer per (event, user) BEFORE the shuffle, where the
-    * previous rank-window formulation shuffled every multiplied row and
-    * sorted per event. Scale: one shuffle on the join key; skewed users get
-    * salting, not a different algorithm.
+    * customer at or before the event time — the MERGE formulation: union
+    * both sides tagged, ONE hash exchange on the key, one per-key ordered
+    * window carrying the latest order key forward
+    * (`last(o_orderkey) ignoreNulls` over rows-unbounded-preceding), then
+    * keep the event rows that saw an order. Orders sort BEFORE events at
+    * the same instant (kind 0 < 1 — the `<=` bound) and ascending orderkey
+    * within a date makes `last` pick the max key — exactly the
+    * `ORDER BY date DESC, key DESC LIMIT 1` row the previous join+max_by
+    * formulation aggregated. That formulation multiplied every event by
+    * ALL its user's prior orders before collapsing (rows ∝ Σ_user
+    * events·orders); this one shuffles each input row once (rows ∝
+    * events + orders) — round-16 optimization, guide §2.3/§2.4. Scale:
+    * one shuffle on the join key; skewed users get salting, not a
+    * different algorithm.
     */
   def q39AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
     val ord = t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    ev.join(ord, ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"))
-      .groupBy(col("event_id"), col("user_id"))
-      .agg(max_by(col("o_orderkey"),
-        struct(col("o_orderdate"), col("o_orderkey"))).as("o_orderkey"))
-      .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    val tagged = ord.select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("time"), lit(0).as("kind"),
+        col("o_orderkey"), lit(null).cast("long").as("event_id"))
+      .unionByName(ev.select(col("user_id"), col("ts").as("time"),
+        lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"),
+        col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("time"), col("kind"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_key", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("asof_key").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_key").as("o_orderkey"))
       .orderBy(col("event_id"))
   }
 

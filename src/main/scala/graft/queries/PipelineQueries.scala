@@ -304,12 +304,16 @@ object PipelineQueries {
       .filter(r6(cosine(col("va"), col("vb"))) >= 0.3)
       .select(col("cid"), col("ia"), col("ib"))
     val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
-    val pc = pairs.groupBy(col("cid")).agg(count(lit(1)).as("dup_pairs"))
-    val dc = pairs.select(col("cid"), col("ib")).distinct()
-      .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+    // ONE pass over the pair set: dup_pairs and n_dropped (distinct
+    // dropped ids) fold in the same aggregate — the former pc/dc pair of
+    // aggregates re-ran the within-cluster cosine self-join twice
+    // (round-16 optimization; values identical: n_dropped = distinct ib
+    // per cluster either way).
+    val pcdc = pairs.groupBy(col("cid")).agg(
+      count(lit(1)).as("dup_pairs"),
+      countDistinct(col("ib")).as("n_dropped"))
     val out = sizes
-      .join(pc, Seq("cid"), "left")
-      .join(dc, Seq("cid"), "left")
+      .join(pcdc, Seq("cid"), "left")
       .select(col("cid"), col("n_vectors"),
         coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
@@ -3436,6 +3440,12 @@ object PipelineQueries {
   private def spanDedup15(d: DataFrame, ws: Column): DataFrame = {
     val k = 15
     val nw = size(ws) - lit(k) + 1
+    // The hashed-window table feeds BOTH the ≥2-docs digest aggregate and
+    // the dup join, and the dup rows feed two rollups (coverage + per-doc
+    // window counts): without the persists the corpus-wide window explode
+    // ran ~3× and the digest aggregate twice (round-16 optimization;
+    // guide §5 caching — MEMORY_AND_DISK so a big corpus spills, and both
+    // caches release after the 15-row answer materializes below).
     val wnd = d
       .select(col("doc_id"),
         explode(when(nw >= 1, transform(sequence(lit(1), nw),
@@ -3443,6 +3453,7 @@ object PipelineQueries {
               concat_ws(" ", slice(ws, i, lit(k))).as("w"))))
           .otherwise(array())).as("s"))
       .select(col("doc_id"), col("s.start"), xxhash64(col("s.w")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ">= 2 distinct docs" == "min(doc_id) != max(doc_id)": two plain
     // min/max partials instead of a distinct expansion on the hot
     // window-digest aggregate (identical predicate, the oracle spells it
@@ -3451,6 +3462,7 @@ object PipelineQueries {
       .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("multi"))
       .filter(col("multi")).drop("multi")
     val dup = wnd.join(dfc, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cov = dup
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
@@ -3469,10 +3481,14 @@ object PipelineQueries {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
     val top = per.orderBy(col("covered_tokens").desc, col("doc_id")).limit(15)
     val w = Window.orderBy(col("covered_tokens").desc, col("doc_id"))
-    top.withColumn("rk", row_number().over(w).cast("long"))
+    val out = top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_windows"), col("dup_windows"),
         col("covered_tokens"))
       .orderBy(col("rk"))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    wnd.unpersist()
+    dup.unpersist()
+    d.sparkSession.createDataFrame(rows, out.schema)
   }
 
   /** The q116 window/dup/coverage SQL downstream of a `toks(doc_id, ws)`
