@@ -800,14 +800,24 @@ object PipelineQueries {
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
       .persist() // feeds candidate generation AND the exact verify sets
-    val hot = dsh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleFreq)
-      .select(col("h"))
-    val rare = dsh.join(hot, Seq("h"), "left_anti")
-    val cand = rare.select(col("doc_id").as("doc_a"), col("h"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // Candidate pairs in ONE exchange: group the hash table by shingle,
+    // keep lists of 2..cap docs (size > cap IS the hot-shingle drop; size
+    // 1 yields no pair), and explode each list's unordered pairs map-side.
+    // The former hot-aggregate + anti-join + self-join + distinct spelled
+    // the identical pair set across FOUR exchanges of the corpus-sized
+    // hash table (round-16 optimization; guide §2.4). Per-shingle pair
+    // fan-out stays bounded by cap² exactly as the join was.
+    val pairsOf = {
+      val ds = col("ds")
+      flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), size(ds)), y =>
+          struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+    }
+    val cand = dsh.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxShingleFreq))
+      .select(explode(pairsOf).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
       .persist()
     // The pair set is near-dup-population-sized by construction; collecting
