@@ -236,6 +236,82 @@ object SimHash64 {
   }
 }
 
+/** MinHash band-signature driver loop — the map-side twin of
+  * MinHashStore.bandSignatures' aggregate formulation, shared by the
+  * interpreted eval and the generated code. For each distinct shingle hash
+  * h, the 96 per-seed values are xxhash64(h, i) — replicated EXACTLY via
+  * XxHash64Function.hash folds (Long child then Int child, seed 42), so
+  * min-per-seed and the per-band xxhash64 over 4 mins are bit-identical to
+  * the aggregate face (min commutes; GraftFunctionsSpec pins equality).
+  * Returns the 24 band signatures; the band id is the array position.
+  */
+object MinHashBandSigs {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  def compute(a: ArrayData): ArrayData = {
+    val nh = graft.operators.MinHashStore.NumHashes
+    val br = graft.operators.MinHashStore.BandRows
+    val nb = graft.operators.MinHashStore.NumBands
+    val mins = Array.fill(nh)(Long.MaxValue)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val base = XxHash64Function.hash(a.getLong(i), LongType, 42L)
+      var s = 0
+      while (s < nh) {
+        val v = XxHash64Function.hash(Integer.valueOf(s), IntegerType, base)
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    val sigs = new Array[Long](nb)
+    var b = 0
+    while (b < nb) {
+      var acc = 42L
+      var r = 0
+      while (r < br) {
+        acc = XxHash64Function.hash(mins(b * br + r), LongType, acc)
+        r += 1
+      }
+      sigs(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+}
+
+/** `minhash_band_sigs(array<long>) -> array<long>[24]` — per-document
+  * MinHash band signatures as ONE map-side codegen expression (see
+  * [[MinHashBandSigs]]).
+  */
+case class MinHashBandSigsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_sigs requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_band_sigs"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashBandSigs.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashBandSigs.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>) -> bigint` — the per-document SimHash
   * signature as ONE map-side codegen expression (see [[SimHash64]]).
   */
@@ -1075,6 +1151,13 @@ object GraftFunctions {
     SimHash64Expr(children.head)
   }
 
+  private val minhashBandInfo = new ExpressionInfo(
+    classOf[MinHashBandSigsExpr].getName, "minhash_band_sigs")
+  private val minhashBandBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "minhash_band_sigs takes exactly 1 argument")
+    MinHashBandSigsExpr(children.head)
+  }
+
   /** One shared list of every native EXPRESSION function: both
     * registration faces — [[register]] on a live session and the
     * [[GraftExtensions]] spark.sql.extensions deployment path — iterate
@@ -1124,6 +1207,7 @@ object GraftFunctions {
     (FunctionIdentifier("pq_lut"), pqLutInfo, pqLutBuilder),
     (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder),
     (FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder),
+    (FunctionIdentifier("minhash_band_sigs"), minhashBandInfo, minhashBandBuilder),
     (FunctionIdentifier("bpe_encode"), bpeEncodeInfo, bpeEncodeBuilder),
     (FunctionIdentifier("bpe_encode_dir"), bpeEncodeDirInfo, bpeEncodeDirBuilder),
     (FunctionIdentifier("morton_encode"), mortonEncodeInfo, mortonEncodeBuilder),

@@ -938,20 +938,22 @@ object PipelineQueries {
     * verification runs on candidates, not the corpus.
     */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Distinct (doc_id, shingle-hash) pairs: hash BEFORE the distinct() so
-    // its shuffle moves 16-byte rows, not strings.
-    val dsh = docsSpread(spark, dir)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .distinct()
-      .persist() // feeds the signature aggregate and the verification sets
-    // Signature math is shared with the persisted cross-snapshot store
-    // (operators/MinHashStore, q101) — ONE definition of the 96-hash/24-band
-    // geometry. The signature aggregate is kept separate from the
-    // collect_set verification aggregate below: mixing them would force the
-    // pass onto ObjectHashAggregateExec, dragging the 96 xxhash64+min
-    // columns out of whole-stage codegen.
-    val banded = graft.operators.MinHashStore.bandSignatures(dsh)
+    graft.functions.GraftFunctions.register(spark)
+    // Per-doc DISTINCT shingle-hash ARRAYS, built map-side: array_distinct
+    // replaces the corpus-wide (doc_id, h) distinct exchange, and the
+    // 96-hash/24-band signature computes per row via the
+    // minhash_band_sigs codegen expression — bit-identical to
+    // MinHashStore.bandSignatures' aggregate face (min commutes; equality
+    // spec-pinned in GraftFunctionsSpec), with NO signature shuffle at
+    // all (round-16 optimization; the old shape paid the distinct
+    // exchange plus the 96-min groupBy exchange before banding).
+    val docsH = docsSpread(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(shingles, s => xxhash64(s))).as("hs"))
+      .persist() // feeds the band explode AND the verification sets
+    val banded = docsH.select(col("doc_id"),
+      posexplode(call_function("minhash_band_sigs", col("hs"))))
+      .toDF("doc_id", "band", "sig")
     // Near-dup pairs collide in MOST of the 24 bands, so dedup the pair
     // BEFORE joining the sets back — otherwise the verification join and its
     // array_intersect run once per colliding band. The dedup shuffle moves
@@ -978,7 +980,8 @@ object PipelineQueries {
     // disagree on a value in [0.7999995, 0.8).
     val outRows: java.util.List[org.apache.spark.sql.Row] =
       if (candDocs.length <= VerifyDriverMaxDocs) {
-        val sets = collectHashSets(dsh, candDocs)
+        val sets = docsH.filter(col("doc_id").isin(candDocs: _*)).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray.sorted).toMap
         val verified = verifyPairsDriver(candPairs, sets, sets)
           .map { case (a, b, j) =>
             org.apache.spark.sql.Row(a, b,
@@ -990,6 +993,7 @@ object PipelineQueries {
         val candIds = cand
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
+        val dsh = docsH.select(col("doc_id"), explode(col("hs")).as("h"))
         val sets = dsh.join(broadcast(candIds), Seq("doc_id"))
           .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
         val withSets = cand
@@ -1004,9 +1008,9 @@ object PipelineQueries {
         java.util.Arrays.asList(out.collect(): _*)
       }
     // Materialize the verified pair set on the driver so the persisted
-    // hashes can be released — repeated invocations must not accrete cached
-    // intermediates.
-    dsh.unpersist()
+    // hash arrays can be released — repeated invocations must not accrete
+    // cached intermediates.
+    docsH.unpersist()
     cand.unpersist()
     spark.createDataFrame(outRows, JaccardOutSchema)
   }

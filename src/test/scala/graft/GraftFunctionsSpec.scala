@@ -48,6 +48,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == interp)
   }
 
+  test("minhash_band_sigs matches MinHashStore.bandSignatures bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map { id =>
+      (id, (0 until rnd.nextInt(60) + 1).map(_ => rnd.nextLong()).distinct)
+    }
+    val docsH = docs.toDF("doc_id", "hs")
+    val fast = docsH.select(col("doc_id"),
+        posexplode(call_function("minhash_band_sigs", col("hs"))))
+      .toDF("doc_id", "band", "sig")
+    val dsh = docsH.select(col("doc_id"), explode(col("hs")).as("h"))
+    val slow = graft.operators.MinHashStore.bandSignatures(dsh)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))
+    assert(fast.collect().map(key).sortBy(identity).toSeq ==
+      slow.collect().map(key).sortBy(identity).toSeq)
+  }
+
   test("ClickHouse name aliases: conversions, date parts, arrays, -If combinators") {
     GraftFunctions.register(spark)
     val conv = spark.sql(
