@@ -2204,21 +2204,41 @@ object PipelineQueries {
         i => concat_ws(" ", slice(arr, i, lit(13)))))
       .otherwise(array().cast("array<string>"))
 
+  /** 13-gram DIGESTS of a pre-hashed token array `th` (one xxhash64 per
+    * token, hashed once by the caller): xxhash64 over each 13-long slice.
+    * Digest equality == token-sequence equality == the space-joined gram
+    * string equality grams13 spells (the join is a bijection of the token
+    * sequence); a cross-doc digest collision is the same accepted ~1e-13
+    * trade the shingle machinery documents. Joining/counting on digests
+    * never BUILDS the ~80-byte gram strings the broadcast join used to
+    * carry (round-16 optimization; the oracles keep the string spelling —
+    * flags and counts are equal under the bijection).
+    */
+  private def gramHashes13(th: Column): Column =
+    when(size(th) >= 13,
+      transform(sequence(lit(1), size(th) - lit(12)),
+        i => xxhash64(slice(th, i, lit(13)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  private def tokenHashes(ws: Column): Column = transform(ws, t => xxhash64(t))
+
   /** The q103 eval-item 13-gram side (token spans [6, 45] of every 25th
     * doc, distinct per item) — derived from the FULL corpus, because eval
     * benchmarks are external fixed sets, not part of the cleaned stream.
+    * Emits gram DIGESTS (see [[gramHashes13]]).
     */
   private def evalGrams13(spark: SparkSession, dir: String): DataFrame =
     docsSpread(spark, dir).filter(col("doc_id") % 25 === 3)
       .select(col("doc_id").as("eval_id"),
-        explode(grams13(slice(tokens, 6, 40))).as("g"))
+        tokenHashes(slice(tokens, 6, 40)).as("th"))
+      .select(col("eval_id"), explode(gramHashes13(col("th"))).as("g"))
       .distinct()
 
   def q103NgramContamination(spark: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(spark, dir)
-    val ws = tokens
     val evalGrams = evalGrams13(spark, dir)
-    d.select(col("doc_id"), explode(grams13(ws)).as("g"))
+    d.select(col("doc_id"), tokenHashes(tokens).as("th"))
+      .select(col("doc_id"), explode(gramHashes13(col("th"))).as("g"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(countDistinct(col("g")).as("shared_grams"))
@@ -3104,7 +3124,8 @@ object PipelineQueries {
         .select(col("node").as("doc_id"))
       val ndKeep = keep(exKeep.join(losers, Seq("doc_id"), "left_anti"))
       val contaminated = ndKeep
-        .select(col("doc_id"), explode(grams13(toks)).as("g"))
+        .select(col("doc_id"), tokenHashes(toks).as("th"))
+        .select(col("doc_id"), explode(gramHashes13(col("th"))).as("g"))
         .join(broadcast(evalGrams13(spark, dir)), Seq("g"))
         .groupBy(col("doc_id"), col("eval_id"))
         .agg(countDistinct(col("g")).as("shared_grams"))
