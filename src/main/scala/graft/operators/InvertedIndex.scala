@@ -231,11 +231,15 @@ final class InvertedIndex private (
     val avgdl = st.total_dl.toDouble / st.n_dl_docs.toDouble
     val allTerms = querySets.flatMap(_._2).distinct
     val postings = postingsOf(allTerms, st)
-    // Per-term df over the union's matched lists — identical per term to
-    // what each query's own probe would compute (df is a property of the
-    // term, not the query).
-    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = postings.join(broadcast(df), "term")
+    // Per-term df as a whole-partition window count over the SAME posting
+    // rows — identical per term to the groupBy the old broadcast-join
+    // spelling computed, but the bucket-pruned posting scan now runs ONCE
+    // (the df aggregate was a second full read of the matched lists
+    // feeding a broadcast; round-16 optimization). One term-keyed
+    // exchange of query-bounded posting rows replaces it.
+    val dfw = Window.partitionBy(col("term"))
+    val contrib = postings
+      .withColumn("df", count(lit(1)).over(dfw))
       .select(col("term"), col("doc_id"),
         bm25Micro(col("tf"), col("df"), col("dl"), st.n_docs, avgdl, k1, b).as("c"))
     val qt = spark.createDataFrame(
@@ -265,10 +269,12 @@ final class InvertedIndex private (
     val avgdl = st.total_dl.toDouble / st.n_dl_docs.toDouble
     val postings = postingsOf(terms, st)
     // df per term from the matched lists themselves — exact by
-    // construction, appended parts included; ≤ |terms| rows broadcast
-    // back onto the postings.
-    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = postings.join(broadcast(df), "term")
+    // construction, appended parts included; computed as a
+    // whole-partition window count so the posting scan runs once (see
+    // searchManyScores).
+    val dfw = Window.partitionBy(col("term"))
+    val contrib = postings
+      .withColumn("df", count(lit(1)).over(dfw))
       .select(col("doc_id"),
         bm25Micro(col("tf"), col("df"), col("dl"), st.n_docs, avgdl, k1, b).as("c"))
     contrib.groupBy("doc_id")

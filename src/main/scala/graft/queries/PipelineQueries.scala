@@ -1050,9 +1050,20 @@ object PipelineQueries {
       val p = java.nio.file.Files.createTempDirectory("minhash_q101_").toString
       MinHashStore.create(spark, p, dshOf(d.filter(!isNew)))
     })
-    // Only the incoming batch is shingle-hashed on the steady-state path.
-    val newDsh = dshOf(d.filter(isNew)).persist()
-    val cand = store.candidatePairs(MinHashStore.bandSignatures(newDsh)).persist()
+    // Only the incoming batch is shingle-hashed on the steady-state path —
+    // as per-doc distinct hash ARRAYS with the map-side minhash_band_sigs
+    // signature (the q25 shape, bit-identical to bandSignatures per the
+    // GraftFunctionsSpec equality pin), so the batch pays no distinct
+    // exchange and no 96-min aggregate exchange (round-16 optimization).
+    graft.functions.GraftFunctions.register(spark)
+    val newDocsH = d.filter(isNew)
+      .select(col("doc_id"),
+        array_distinct(transform(shingles, s => xxhash64(s))).as("hs"))
+      .persist()
+    val newBanded = newDocsH.select(col("doc_id"),
+        posexplode(call_function("minhash_band_sigs", col("hs"))))
+      .toDF("doc_id", "band", "sig")
+    val cand = store.candidatePairs(newBanded).persist()
     // Candidate pair set is batch-bounded; collecting it is the barrier.
     val candPairs = cand.collect()
       .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("store_id")))
@@ -1065,7 +1076,8 @@ object PipelineQueries {
       if (newIds.length + oldIds.length <= VerifyDriverMaxDocs) {
         val oldSets = collectHashSets(
           dshOf(d.filter(col("doc_id").isin(oldIds: _*))), oldIds)
-        val newSets = collectHashSets(newDsh, newIds)
+        val newSets = newDocsH.filter(col("doc_id").isin(newIds: _*)).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray.sorted).toMap
         val verified = verifyPairsDriver(candPairs, newSets, oldSets)
           .map { case (n, o, j) =>
             org.apache.spark.sql.Row(n, o,
@@ -1078,6 +1090,7 @@ object PipelineQueries {
         val oldSets = dshOf(d.join(broadcast(oldCandIds), Seq("doc_id"), "left_semi"))
           .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
         val newCandIds = cand.select(col("batch_id").as("doc_id")).distinct()
+        val newDsh = newDocsH.select(col("doc_id"), explode(col("hs")).as("h"))
         val newSets = newDsh.join(broadcast(newCandIds), Seq("doc_id"))
           .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
         val withSets = cand
@@ -1096,7 +1109,7 @@ object PipelineQueries {
       }
     // Same materialize-and-release discipline as q25: the verified pair set
     // is tiny by construction; repeated invocations must not accrete caches.
-    newDsh.unpersist()
+    newDocsH.unpersist()
     cand.unpersist()
     spark.createDataFrame(outRows, IncDedupOutSchema)
   }
