@@ -795,11 +795,16 @@ object PipelineQueries {
   private[graft] def verifiedJaccardEdgesOf(d: DataFrame,
       maxShingleFreq: Int, shingleExpr: Column = shingles): DataFrame = {
     val spark = d.sparkSession
-    val dsh = d
-      .select(col("doc_id"), explode(shingleExpr).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .distinct()
-      .persist() // feeds candidate generation AND the exact verify sets
+    // Per-doc DISTINCT hash arrays, built map-side: the corpus-wide
+    // (doc_id, h) distinct() only ever deduped within a document, so
+    // array_distinct replaces that exchange outright (round-16
+    // optimization, the q25 shape); the exploded face below feeds
+    // candidate generation, the arrays feed the verify sets.
+    val docsH = d
+      .select(col("doc_id"),
+        array_distinct(transform(shingleExpr, s => xxhash64(s))).as("hs"))
+      .persist()
+    val dsh = docsH.select(col("doc_id"), explode(col("hs")).as("h"))
     // Candidate pairs in ONE exchange: group the hash table by shingle,
     // keep lists of 2..cap docs (size > cap IS the hot-shingle drop; size
     // 1 yields no pair), and explode each list's unordered pairs map-side.
@@ -827,9 +832,10 @@ object PipelineQueries {
     val candDocs = candPairs.flatMap(p => Iterator(p._1, p._2)).distinct
     val out: DataFrame =
       if (candDocs.length <= VerifyDriverMaxDocs) {
-        // Driver verify: one filtered scan of the persisted hash table,
+        // Driver verify: one filtered scan of the persisted hash arrays,
         // then in-process set intersection (see VerifyDriverMaxDocs).
-        val sets = collectHashSets(dsh, candDocs)
+        val sets = docsH.filter(col("doc_id").isin(candDocs: _*)).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray.sorted).toMap
         val verified = verifyPairsDriver(candPairs, sets, sets)
         spark.createDataFrame(
           java.util.Arrays.asList(verified.map(t =>
@@ -850,7 +856,7 @@ object PipelineQueries {
         val rows = java.util.Arrays.asList(distOut.collect(): _*)
         spark.createDataFrame(rows, distOut.schema)
       }
-    dsh.unpersist()
+    docsH.unpersist()
     cand.unpersist()
     out
   }
