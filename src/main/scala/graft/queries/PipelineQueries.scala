@@ -2361,13 +2361,18 @@ object PipelineQueries {
     */
   def q108Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunks10(tokens)
+    // The digest-instance table feeds the df aggregate AND the join back —
+    // persist it so the corpus tokenize+chunk explode runs once, not
+    // twice (round-16 optimization); released after the per-lang rollup
+    // materializes.
     val inst = docsSpread(spark, dir)
       .select(col("lang"), col("doc_id"), explode(chunks).as("c"))
       .select(col("lang"), col("doc_id"),
         xxhash64(col("c")).as("ch"), length(col("c")).cast("long").as("clen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = inst.groupBy(col("ch"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    inst.join(dfc.withColumn("boiler", col("df") >= 3).drop("df"), Seq("ch"))
+    val out = inst.join(dfc.withColumn("boiler", col("df") >= 3).drop("df"), Seq("ch"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("chunks"),
@@ -2376,6 +2381,9 @@ object PipelineQueries {
           .as("removed_chars"),
         countDistinct(when(col("boiler"), col("doc_id"))).as("docs_affected"))
       .orderBy(col("lang"))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    inst.unpersist()
+    spark.createDataFrame(rows, out.schema)
   }
 
   val q108Sql: String =
@@ -2938,13 +2946,17 @@ object PipelineQueries {
     */
   def q121MultilingualBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunks10(graft.operators.InvertedIndex.mixedTokens(col("text")))
+    // Same persist discipline as q108: one tokenize+chunk pass, released
+    // after the rollup materializes (the mixed tokenizer is the most
+    // expensive tokenize in the repo — regex runs + bigramming).
     val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
       .select(col("source"), col("doc_id"), explode(chunks).as("c"))
       .select(col("source"), col("doc_id"),
         xxhash64(col("c")).as("ch"), length(col("c")).cast("long").as("clen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = inst.groupBy(col("ch"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    inst.join(dfc.withColumn("boiler", col("df") >= 2).drop("df"), Seq("ch"))
+    val out = inst.join(dfc.withColumn("boiler", col("df") >= 2).drop("df"), Seq("ch"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("chunks"),
@@ -2952,6 +2964,9 @@ object PipelineQueries {
         sum(when(col("boiler"), col("clen")).otherwise(0L)).as("removed_chars"),
         countDistinct(when(col("boiler"), col("doc_id"))).as("docs_affected"))
       .orderBy(col("source"))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    inst.unpersist()
+    spark.createDataFrame(rows, out.schema)
   }
 
   val q121Sql: String =
