@@ -2360,6 +2360,17 @@ object PipelineQueries {
     * ~n²/2⁶⁵ odds, the standard content-digest dedup posture.
     */
   def q108Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val (out, inst) = q108Plan(spark, dir)
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    inst.unpersist()
+    spark.createDataFrame(rows, out.schema)
+  }
+
+  /** The LAZY q108 plan plus its persisted instance table — split out
+    * (q117Build pattern) for the PlanAssertionsSpec pin.
+    */
+  private[graft] def q108Plan(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val chunks = chunks10(tokens)
     // The digest-instance table feeds the df aggregate AND the join back —
     // persist it so the corpus tokenize+chunk explode runs once, not
@@ -2381,9 +2392,7 @@ object PipelineQueries {
           .as("removed_chars"),
         countDistinct(when(col("boiler"), col("doc_id"))).as("docs_affected"))
       .orderBy(col("lang"))
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    inst.unpersist()
-    spark.createDataFrame(rows, out.schema)
+    (out, inst)
   }
 
   val q108Sql: String =
@@ -2466,6 +2475,21 @@ object PipelineQueries {
     */
   private def bm25Brute(d: DataFrame, terms: DataFrame,
       queryTerms: Seq[String], k: Int): DataFrame = {
+    val (out, perDoc) = bm25BrutePlan(d, terms, queryTerms, k)
+    // Materialize the k-row answer, then release the cached per-doc
+    // aggregate — repeated invocations must not accrete caches.
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    perDoc.unpersist()
+    d.sparkSession.createDataFrame(rows, out.schema)
+  }
+
+  /** The LAZY q110/q114 scoring plan plus its persisted per-doc frame —
+    * split out (q117Build pattern) so PlanAssertionsSpec can pin the
+    * computation's physical plan; the public face collapses to a
+    * LocalRelation to release the cache.
+    */
+  private[graft] def bm25BrutePlan(d: DataFrame, terms: DataFrame,
+      queryTerms: Seq[String], k: Int): (DataFrame, DataFrame) = {
     import graft.operators.InvertedIndex
     val nDocs = d.select(countDistinct(col("doc_id"))).first().getLong(0)
     // perDoc (one row per doc: dl + per-query-term tf) is read twice — by
@@ -2501,19 +2525,22 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score"))
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    // Materialize the k-row answer, then release the cached per-doc
-    // aggregate — repeated invocations must not accrete caches.
     val out = top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy(col("rk"))
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    perDoc.unpersist()
-    d.sparkSession.createDataFrame(rows, out.schema)
+    (out, perDoc)
   }
 
   def q110Bm25(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     bm25Brute(d, graft.operators.InvertedIndex.tokenize(d), bm25Terms, k = 15)
+  }
+
+  /** q110's lazy face for the plan pin (caller unpersists the frame). */
+  private[graft] def q110Plan(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = docs(spark, dir)
+    bm25BrutePlan(d, graft.operators.InvertedIndex.tokenize(d), bm25Terms, k = 15)
   }
 
   val q110Sql: String =
@@ -2628,6 +2655,12 @@ object PipelineQueries {
     lmScoreWorst15(docsSpread(spark, dir),
       filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 3))
 
+  /** q113's lazy face for the plan pin (caller unpersists the frame). */
+  private[graft] def q113Plan(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    lmScoreWorst15Plan(docsSpread(spark, dir),
+      filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 3))
+
   /** The q113 add-one-smoothed bigram-LM worst-15 scoring over an
     * arbitrary documents frame and token-array expression — ONE definition
     * shared by q113 (latin tokenizer, whole corpus) and q122 (mixed
@@ -2635,6 +2668,21 @@ object PipelineQueries {
     * rounding their oracles depend on cannot drift between them.
     */
   private def lmScoreWorst15(d: DataFrame, arr: Column): DataFrame = {
+    val (out, c2) = lmScoreWorst15Plan(d, arr)
+    // Materialize the 15-row answer, then RELEASE the cached bigram
+    // counts — repeated invocations must not accrete caches.
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    c2.unpersist()
+    d.sparkSession.createDataFrame(rows, out.schema)
+  }
+
+  /** The LAZY q113/q122 scoring plan plus its persisted bigram-count
+    * frame — split out (q117Build pattern) so PlanAssertionsSpec can pin
+    * the computation's physical plan; the public face collapses to a
+    * LocalRelation to release the cache.
+    */
+  private[graft] def lmScoreWorst15Plan(d: DataFrame, arr: Column)
+      : (DataFrame, DataFrame) = {
     // size >= 2 BEFORE sequence: Spark's sequence(1, 0) counts DOWN.
     val inst = d.select(col("doc_id"), arr.as("lst"))
       .filter(size(col("lst")) >= 2)
@@ -2665,14 +2713,10 @@ object PipelineQueries {
           .cast("long").as("avg_lp_micro"))
     val top = perDoc.orderBy(col("avg_lp_micro").asc, col("doc_id")).limit(15)
     val w = Window.orderBy(col("avg_lp_micro").asc, col("doc_id"))
-    // Materialize the 15-row answer, then RELEASE the cached bigram
-    // counts — repeated invocations must not accrete caches.
     val out = top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_bigrams"), col("avg_lp_micro"))
       .orderBy(col("rk"))
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    c2.unpersist()
-    d.sparkSession.createDataFrame(rows, out.schema)
+    (out, c2)
   }
 
   val q113Sql: String =
@@ -3500,6 +3544,11 @@ object PipelineQueries {
   def q116SpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedup15(docsSpread(spark, dir), tokens)
 
+  /** q116's lazy face for the plan pin (caller unpersists the frames). */
+  private[graft] def q116Plan(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    spanDedup15Plan(docsSpread(spark, dir), tokens)
+
   /** The q116 overlapping-window span-dedup accounting over an arbitrary
     * documents frame and token-array expression — ONE definition shared by
     * q116 (whitespace tokens, whole corpus) and q123 (mixed tokenizer, zh
@@ -3507,6 +3556,19 @@ object PipelineQueries {
     * depend on cannot drift between them.
     */
   private def spanDedup15(d: DataFrame, ws: Column): DataFrame = {
+    val (out, persisted) = spanDedup15Plan(d, ws)
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    persisted.foreach(_.unpersist())
+    d.sparkSession.createDataFrame(rows, out.schema)
+  }
+
+  /** The LAZY q116/q123 plan plus its persisted frames — split out
+    * (q117Build pattern) so PlanAssertionsSpec can pin the computation's
+    * physical plan; the public face collapses to a LocalRelation to
+    * release the caches.
+    */
+  private[graft] def spanDedup15Plan(d: DataFrame, ws: Column)
+      : (DataFrame, Seq[DataFrame]) = {
     val k = 15
     val nw = size(ws) - lit(k) + 1
     // The hashed-window table feeds BOTH the ≥2-docs digest aggregate and
@@ -3554,10 +3616,7 @@ object PipelineQueries {
       .select(col("rk"), col("doc_id"), col("n_windows"), col("dup_windows"),
         col("covered_tokens"))
       .orderBy(col("rk"))
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    wnd.unpersist()
-    dup.unpersist()
-    d.sparkSession.createDataFrame(rows, out.schema)
+    (out, Seq(wnd, dup))
   }
 
   /** The q116 window/dup/coverage SQL downstream of a `toks(doc_id, ws)`

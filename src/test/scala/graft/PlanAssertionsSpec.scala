@@ -112,14 +112,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"q9 must hash-aggregate with map-side partials:\n$formatted")
   }
 
-  test("q39: as-of join aggregates with map-side partial max_by, no rank window") {
+  test("q39: as-of merges both sides through ONE user exchange — no join") {
+    // The r16 merge formulation: union the tagged sides, one hash
+    // exchange on the key, carry the latest order forward with a
+    // per-user ordered window. No join ⇒ no event×orders row
+    // multiplication; rows shuffled ∝ events + orders.
     val df = AnalyticQueries.q39AsofJoin(spark, dir)
     val p = plan(df)
-    assert(!p.contains("Window"), s"as-of must not sort multiplied rows per event:\n$p")
-    val formatted = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    assert(formatted.contains("partial_max_by"),
-      s"join output must collapse map-side before the shuffle:\n$formatted")
+    assert(!p.contains("Join"), s"as-of must not multiply rows through a join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"the window must be the only hash exchange:\n$p")
+    assert(p.contains("Window"), s"the carry-forward window must plan:\n$p")
   }
 
   test("q44: key range and column pruning reach the generic connector scan") {
@@ -232,54 +235,77 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("q108: shuffles key on the chunk digest, never the chunk text") {
-    val p = plan(PipelineQueries.q108Boilerplate(spark, dir))
-    // Both the df aggregate and the join back shuffle on xxhash64(c); the
-    // chunk text itself is dropped map-side (only its length survives), so
-    // no exchange carries the ~60-char chunk string.
-    assert("Exchange hashpartitioning\\(ch".r.findAllIn(p).nonEmpty,
-      s"df aggregate and join must exchange on the 8-byte digest:\n$p")
-    assert(!"Exchange hashpartitioning\\(c[#,]".r.findAllIn(p).hasNext,
-      s"no exchange may key on the raw chunk text:\n$p")
+    // Pinned on the LAZY builder face (the public entry collapses to a
+    // LocalRelation after its single-pass materialization, r16).
+    val (out, inst) = PipelineQueries.q108Plan(spark, dir)
+    try {
+      val p = plan(out)
+      // Both the df aggregate and the join back shuffle on xxhash64(c);
+      // the chunk text itself is dropped map-side (only its length
+      // survives), so no exchange carries the ~60-char chunk string.
+      assert("Exchange hashpartitioning\\(ch".r.findAllIn(p).nonEmpty,
+        s"df aggregate and join must exchange on the 8-byte digest:\n$p")
+      assert(!"Exchange hashpartitioning\\(c[#,]".r.findAllIn(p).hasNext,
+        s"no exchange may key on the raw chunk text:\n$p")
+    } finally inst.unpersist()
   }
 
   test("q116: shuffles key on the window digest, never the window text") {
-    val p = plan(PipelineQueries.q116SpanDedup(spark, dir))
-    assert("Exchange hashpartitioning\\(h".r.findAllIn(p).nonEmpty,
-      s"window df and join-back must exchange on the 8-byte digest:\n$p")
-    assert(!"Exchange hashpartitioning\\(w[#,]".r.findAllIn(p).hasNext,
-      s"no exchange may key on the raw 15-token window text:\n$p")
+    val (out, persisted) = PipelineQueries.q116Plan(spark, dir)
+    try {
+      val p = plan(out)
+      assert("Exchange hashpartitioning\\(h".r.findAllIn(p).nonEmpty,
+        s"window df and join-back must exchange on the 8-byte digest:\n$p")
+      assert(!"Exchange hashpartitioning\\(w[#,]".r.findAllIn(p).hasNext,
+        s"no exchange may key on the raw 15-token window text:\n$p")
+    } finally persisted.foreach(_.unpersist())
   }
 
-  test("q110: BM25 scoring is one doc_id exchange end to end") {
-    val p = plan(PipelineQueries.q110Bm25(spark, dir))
-    // One hash exchange only — the per-doc tf/dl aggregate; the melt and
-    // the per-document score sum preserve its doc_id partitioning, and df
-    // arrives as driver-folded literals, not a join.
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"score sum must reuse the doc_id partitioning:\n$p")
-    assert(!p.contains("Join"), s"df must be literals, never a join:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
+  test("q110: BM25 scoring reuses the per-doc partitioning; df is literal") {
+    val (out, perDoc) = PipelineQueries.q110Plan(spark, dir)
+    try {
+      val p = plan(out)
+      // Every hash exchange keys on doc_id — the per-doc tf/dl aggregate
+      // (its cached-build plan renders once more inside the
+      // InMemoryTableScan node, hence counting by KEY, not occurrences);
+      // the melt and the per-document score sum preserve that
+      // partitioning, and df arrives as driver-folded literals, not a
+      // join.
+      val total = "Exchange hashpartitioning".r.findAllIn(p).size
+      val onDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+      assert(total == onDoc && onDoc >= 1,
+        s"score sum must reuse the doc_id partitioning ($onDoc/$total):\n$p")
+      assert(!p.contains("Join"), s"df must be literals, never a join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
+    } finally perDoc.unpersist()
   }
 
-  test("q111: term filter pushes into the postings scan; df broadcasts") {
+  test("q111: term filter pushes into the postings scan; df is a window, no join") {
     val p = plan(PipelineQueries.q111Bm25Index(spark, dir))
     assert(p.contains("In(term"),
       s"the term IN filter must reach the postings parquet scan:\n$p")
-    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
-      s"df (<= |terms| rows) must broadcast onto the postings:\n$p")
+    // r16: per-term df is a whole-partition window count over the SAME
+    // posting rows — the old groupBy+broadcast join read the postings
+    // twice. No join of any kind remains in the probe.
+    assert(!p.contains("Join"),
+      s"df must ride the posting rows as a window, never a join:\n$p")
+    assert(p.contains("Window"), s"the df window must plan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
   }
 
   test("q113: bigram instances are map-side; LM tables broadcast at this scale") {
-    val p = plan(PipelineQueries.q113LmScore(spark, dir))
-    assert(p.contains("Generate"),
-      s"bigram construction must be a map-side explode, not a position join:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the vocab-bounded LM count tables must broadcast onto instances:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"worst-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
+    val (out, c2) = PipelineQueries.q113Plan(spark, dir)
+    try {
+      val p = plan(out)
+      assert(p.contains("Generate"),
+        s"bigram construction must be a map-side explode, not a position join:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the vocab-bounded LM count tables must broadcast onto instances:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"worst-15 must plan TakeOrderedAndProject, not a global sort:\n$p")
+    } finally c2.unpersist()
   }
 
   test("q48/q115: probed corpus rows meet the query-batch probe via broadcast") {
