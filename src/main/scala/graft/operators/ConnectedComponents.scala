@@ -55,15 +55,15 @@ object ConnectedComponents {
     // smallGraphThreshold = 0 to force the distributed rounds (the
     // property specs' pin).
     val named0 = edgesIn.toDF("u", "v")
-    if (smallGraphThreshold > 0 && named0.queryExecution.optimizedPlan
+    // Gate on LONG edge columns (r16 ADVICE): the fast path returns Long
+    // node/component columns, so an Int/String-id LocalRelation must fall
+    // through to the distributed rounds below — which preserve the input
+    // type — instead of silently changing the output schema (or throwing).
+    val longIds = named0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (smallGraphThreshold > 0 && longIds && named0.queryExecution.optimizedPlan
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
-      val raw = named0.collect().map { r =>
-        def l(i: Int): Long = r.get(i) match {
-          case x: java.lang.Number => x.longValue
-          case other => throw new IllegalArgumentException(s"non-numeric edge: $other")
-        }
-        (l(0), l(1))
-      }
+      val raw = named0.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -123,7 +123,7 @@ object ConnectedComponents {
     // the per-round fingerprint hash and the edge-set checkpoint are
     // skipped entirely on this path (round-8 verdict: eager-checkpoint +
     // fingerprint jobs dominated q93's tiny-graph runs).
-    if (oriented.count() <= smallGraphThreshold) {
+    if (longIds && oriented.count() <= smallGraphThreshold) {
       val collected = oriented.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

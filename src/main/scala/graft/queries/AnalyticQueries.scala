@@ -380,12 +380,20 @@ object AnalyticQueries {
       .select(col("event_id"), col("user_id"), col("ts"))
     val ord = t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    // NULL-time rows are dropped BEFORE the union (r16 ADVICE): a null
+    // o_orderdate sorts NULLS FIRST in the window ordering and its
+    // o_orderkey would carry forward to every event of that user, where
+    // the join formulation's `o_orderdate <= ts` predicate dropped such
+    // rows. (Assumes unique event_ids, as the events table guarantees —
+    // the former groupBy collapsed exact-duplicate (event_id, user_id)
+    // input rows, the merge does not.)
     val tagged = ord.select(col("o_custkey").as("user_id"),
         col("o_orderdate").cast("timestamp").as("time"), lit(0).as("kind"),
         col("o_orderkey"), lit(null).cast("long").as("event_id"))
       .unionByName(ev.select(col("user_id"), col("ts").as("time"),
         lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"),
         col("event_id")))
+      .filter(col("time").isNotNull)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("time"), col("kind"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -85,4 +85,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(viaDriver == viaRounds,
       "small-graph union-find must produce the identical labelling")
   }
+
+  test("non-Long edge ids skip the driver fast paths and keep their type") {
+    // r16 ADVICE: the Long-returning fast path must not silently change an
+    // Int-id edge frame's output schema (or throw) — it falls through to
+    // the distributed rounds, which preserve the input column type.
+    import spark.implicits._
+    val edges = Seq((1, 2), (2, 3), (10, 11)).toDF("u", "v")
+    val out = ConnectedComponents.run(edges) // default (driver) threshold
+    assert(out.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.IntegerType),
+      "Int-id input must keep Int node/component columns")
+    val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
 }
