@@ -299,14 +299,27 @@ case class MinHashBandSigsExpr(child: Expression)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
+  // NULL for an EMPTY input array (not Long.MaxValue-derived band sigs):
+  // the aggregate face this expression is documented bit-identical to
+  // (MinHashStore.bandSignatures) emits NO row for a doc with no shingles,
+  // and a signature row here would band-collide every empty doc (r16
+  // ADVICE). In-repo callers never produce empty arrays (shinglesOf yields
+  // ≥ 1 element); posexplode drops the null, matching "no row".
+  override def nullable: Boolean = true
+
   override def prettyName: String = "minhash_band_sigs"
 
-  override def nullSafeEval(a: Any): Any =
-    MinHashBandSigs.compute(a.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else MinHashBandSigs.compute(arr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.MinHashBandSigs.compute($a);")
+      s"""
+         |if ($a.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.MinHashBandSigs.compute($a); }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -327,14 +340,425 @@ case class SimHash64Expr(child: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
+  // NULL for an EMPTY input array (not the all-bits-zero signature): the
+  // aggregate face this expression is documented bit-identical to (the q27
+  // explode → 64×sum formulation) emits NO row for a doc with no tokens,
+  // and sig 0 here would pair every empty doc (r16 ADVICE). In-repo
+  // callers never produce empty arrays (split yields ≥ 1 element).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(a: Any): Any =
-    SimHash64.compute(a.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHash64.compute(arr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.SimHash64.compute($a);")
+      s"""
+         |if ($a.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SimHash64.compute($a); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-bigram run-length driver loop, shared by the interpreted eval and
+  * the generated code. Semantics are EXACTLY the HOF formulation it
+  * replaces (PipelineQueries.topBigramRun over the signalCols bigram
+  * spelling): from the token array ws, bigram i = concat_ws(" ",
+  * slice(ws, i, 2)) for i in 1..max(1, n−1) — so a 1-token doc's only
+  * "bigram" is the token itself and an empty doc's is "" — each bigram
+  * hashed with xxhash64 (seed 42), the hashes sorted ascending, and the
+  * longest run of equal adjacent values returned. The HOF version walked
+  * three interpreted lambda layers (transform → array_sort → aggregate
+  * over a struct accumulator) and BUILT every bigram string through
+  * concat_ws; this loop hashes the two tokens' bytes plus the separator
+  * in one pass and never leaves whole-stage codegen (round-17
+  * optimization; guide §1.2 step 2 / §4: keep the hot path in codegen).
+  * concat_ws's null handling is mirrored (null tokens are skipped, no
+  * doubled separator); equality with the HOF face is pinned on random
+  * data in GraftFunctionsSpec.
+  */
+object TopBigramRun {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  private def hashOf(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, 42L)
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    val m = math.max(1, n - 1)
+    val hs = new Array[Long](m)
+    if (n <= 1) {
+      // n == 0: concat_ws over the empty slice is ""; n == 1: the token
+      // itself (a null token is skipped by concat_ws, yielding "").
+      val s = if (n == 1 && !a.isNullAt(0)) a.getUTF8String(0)
+        else UTF8String.EMPTY_UTF8
+      hs(0) = hashOf(s)
+    } else {
+      var i = 0
+      while (i < m) {
+        val x = if (a.isNullAt(i)) null else a.getUTF8String(i)
+        val y = if (a.isNullAt(i + 1)) null else a.getUTF8String(i + 1)
+        val s =
+          if (x == null && y == null) UTF8String.EMPTY_UTF8
+          else if (x == null) y
+          else if (y == null) x
+          else UTF8String.concat(x, Space, y)
+        hs(i) = hashOf(s)
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < m) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1L
+      i += 1
+    }
+    best
+  }
+}
+
+/** `top_bigram_run(array<string>) -> bigint` — the most-repeated adjacent
+  * token bigram's count as ONE map-side codegen expression (see
+  * [[TopBigramRun]]).
+  */
+case class TopBigramRunExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_bigram_run requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "top_bigram_run"
+
+  override def nullSafeEval(a: Any): Any =
+    TopBigramRun.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TopBigramRun.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Mixed (CJK-aware) tokenizer driver loop, shared by the interpreted eval
+  * and the generated code. Semantics are EXACTLY the HOF formulation it
+  * replaces (InvertedIndex.mixedTokens):
+  *   - latin tokens: maximal `[a-z]` runs of the LOWERCASED text
+  *     (UTF8String.toLowerCase — the identical Lower kernel) of length ≥ 3.
+  *     The regex split `[^a-z]+` + length filter reduces to a byte scan:
+  *     multi-byte UTF-8 sequences never contain ASCII bytes, so `[a-z]`
+  *     byte runs ARE `[a-z]` char runs;
+  *   - Han bigrams: maximal Han-script code-point runs of the ORIGINAL
+  *     text (`[\p{IsHan}]+` == UnicodeScript.HAN), each run emitting its
+  *     consecutive code-point bigrams (a 1-char run emits itself), exactly
+  *     substr(i, 2)'s code-point geometry.
+  * The HOF version paid two regex scans plus interpreted transform/filter
+  * lambdas per row — the costliest tokenizer in the repo (r16 "not yet
+  * optimized" list); this loop is one lowercase + two linear scans, inside
+  * whole-stage codegen. Equality with the HOF face is pinned on Han /
+  * mixed / unicode fixtures and random ASCII in GraftFunctionsSpec.
+  */
+object MixedTokens {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** The latin half on its own — `filter(split(lower(text), "[^a-z]+"),
+    * len >= 3)` as one byte scan; shared with [[compute]] and exposed for
+    * [[LatinTokensExpr]] (q113's per-row tokenizer).
+    */
+  def computeLatin(t: UTF8String): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    appendLatin(out, t)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private def appendLatin(
+      out: scala.collection.mutable.ArrayBuffer[Any], t: UTF8String): Unit = {
+    // Latin: [a-z] byte runs of the lowercased text, length >= 3.
+    val low = t.toLowerCase.getBytes
+    var i = 0
+    var start = -1
+    while (i <= low.length) {
+      val isAz = i < low.length && low(i) >= 'a' && low(i) <= 'z'
+      if (isAz) { if (start < 0) start = i }
+      else if (start >= 0) {
+        if (i - start >= 3) out += UTF8String.fromBytes(low, start, i - start)
+        start = -1
+      }
+      i += 1
+    }
+  }
+
+  def compute(t: UTF8String): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    appendLatin(out, t)
+    // Han: script runs of the ORIGINAL text, bigrammed per run.
+    val s = t.toString
+    var j = 0
+    val run = new scala.collection.mutable.ArrayBuffer[Int](4)
+    def flushRun(): Unit = {
+      if (run.length == 1) {
+        out += UTF8String.fromString(new String(Character.toChars(run(0))))
+      } else if (run.length > 1) {
+        var k = 0
+        while (k < run.length - 1) {
+          val sb = new java.lang.StringBuilder(4)
+          sb.appendCodePoint(run(k)); sb.appendCodePoint(run(k + 1))
+          out += UTF8String.fromString(sb.toString)
+          k += 1
+        }
+      }
+      run.clear()
+    }
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      // ASCII fast path: never Han, skips the script binary search.
+      val han = cp >= 0x80 &&
+        Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN
+      if (han) run += cp else flushRun()
+      j += Character.charCount(cp)
+    }
+    flushRun()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Sliding-window digest driver loop, shared by the interpreted eval and
+  * the generated code. For a token array ws of n elements and window size
+  * k, emits xxhash64(concat_ws(" ", slice(ws, i, k))) for i in
+  * 1..(n−k+1) — bit-identical to the HOF spelling (the window bytes are
+  * assembled into ONE reused scratch buffer and hashed; concat_ws's
+  * null-skip is mirrored), without building a window STRING object per
+  * position or walking three interpreted lambda layers per element
+  * (round-17 optimization; guide §1.2 step 2). `atLeastOne` selects the
+  * shingle geometry (`sequence(1, greatest(1, n−k+1))` — a doc shorter
+  * than k yields ONE truncated window, an empty doc the "" window);
+  * without it a short doc yields no windows (the q116 span geometry).
+  */
+object WindowHashes {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(a: ArrayData, k: Int, atLeastOne: Boolean): ArrayData = {
+    val n = a.numElements()
+    var m = n - k + 1
+    if (m < 1) m = if (atLeastOne) 1 else 0
+    val out = new Array[Long](m)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < m) {
+      var len = 0
+      var first = true
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (!a.isNullAt(j)) { // concat_ws skips nulls, no doubled separator
+          val t = a.getUTF8String(j)
+          val tn = t.numBytes()
+          val need = len + tn + (if (first) 0 else 1)
+          if (need > buf.length) {
+            buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+          }
+          if (!first) { buf(len) = ' '; len += 1 }
+          t.writeToMemory(buf,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += tn
+          first = false
+        }
+        j += 1
+      }
+      out(i) = XxHash64Function.hash(
+        UTF8String.fromBytes(buf, 0, len), StringType, 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `window_hashes(array<string>, k [, at_least_one]) -> array<long>` — the
+  * per-position k-token window digests as ONE map-side codegen expression
+  * (see [[WindowHashes]]): the shingle machinery (k=5, atLeastOne) and the
+  * span-dedup windows (k=15) share it.
+  */
+case class WindowHashesExpr(child: Expression, k: Int, atLeastOne: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1, s"window_hashes needs k >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    WindowHashes.compute(a.asInstanceOf[ArrayData], k, atLeastOne)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WindowHashes.compute($a, $k, $atLeastOne);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Token-k-gram digest driver loop: per-token xxhash64 (seed 42) followed
+  * by the xxhash64 array-fold over each k-long slice — bit-identical to
+  * `transform(sequence(1, n−k+1), i => xxhash64(slice(th, i, k)))` over
+  * `th = transform(ws, xxhash64)` (Spark's XxHash64 over an array child
+  * folds hash(elem, acc) over non-null elements from the seed), fused so
+  * neither the intermediate hash array nor any per-position slice is
+  * allocated and no interpreted lambda runs (round-17 optimization).
+  * A doc shorter than k yields an empty array (the grams13 guard).
+  */
+object TokenGramHashes {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  def compute(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    val m = n - k + 1
+    if (m < 1) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Long](0))
+    }
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (a.isNullAt(i)) 42L // xxhash64(null) leaves the seed
+        else XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 42L
+      var j = i
+      while (j < i + k) {
+        acc = XxHash64Function.hash(th(j), LongType, acc)
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `token_gram_hashes(array<string>, k) -> array<long>` — the per-position
+  * k-token-gram digests of a token array as ONE map-side codegen
+  * expression (see [[TokenGramHashes]]); the q103/compose contamination
+  * joins key on these digests.
+  */
+case class TokenGramHashesExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1, s"token_gram_hashes needs k >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_gram_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "token_gram_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenGramHashes.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenGramHashes.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `latin_tokens(string) -> array<string>` — the latin corpus tokenizer
+  * (`filter(split(lower(text), "[^a-z]+"), len >= 3)`) as ONE map-side
+  * codegen expression (see [[MixedTokens.computeLatin]]) — the q113 LM
+  * scorer's per-row tokenizer, formerly a regex split plus an interpreted
+  * filter lambda.
+  */
+case class LatinTokensExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"latin_tokens requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "latin_tokens"
+
+  override def nullSafeEval(a: Any): Any =
+    MixedTokens.computeLatin(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MixedTokens.computeLatin($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `mixed_tokens(string) -> array<string>` — the CJK-aware tokenizer as ONE
+  * map-side codegen expression (see [[MixedTokens]]).
+  */
+case class MixedTokensExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mixed_tokens requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "mixed_tokens"
+
+  override def nullSafeEval(a: Any): Any =
+    MixedTokens.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MixedTokens.compute($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -601,6 +1025,89 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `collect_capped(bigint, limit)` — collect_list over a bigint column with
+  * the buffer CAPPED at `limit` elements during aggregation (update AND
+  * merge stop appending at the cap). The candidate-pair generator groups
+  * shingle hashes and keeps only lists of 2..maxShingleFreq docs — but
+  * plain collect_list materializes a hot boilerplate shingle's full
+  * million-doc list (and its sort-fallback spill) before the size filter
+  * drops it (r16 ADVICE, medium). With limit = maxShingleFreq + 1 the kept
+  * groups' lists are bit-identical (a group of ≤ maxShingleFreq total rows
+  * never hits the cap on any partial path) while a hot group saturates at
+  * limit elements — per-key memory is bounded by the cap, not the key's
+  * corpus frequency. Same ObjectHashAggregate plan shape as collect_list.
+  */
+case class CollectCappedLong(
+    child: Expression,
+    limit: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(limit > 0, s"collect_capped needs a positive limit, got $limit")
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  override def update(buffer: scala.collection.mutable.ArrayBuffer[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buffer.size < limit) {
+      val v = child.eval(input)
+      if (v != null) buffer += v.asInstanceOf[Long]
+    }
+    buffer
+  }
+
+  override def merge(b1: scala.collection.mutable.ArrayBuffer[Long],
+      b2: scala.collection.mutable.ArrayBuffer[Long])
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (i < b2.size && b1.size < limit) { b1 += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer.toArray)
+
+  override def serialize(buffer: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buffer.size)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) buf += bb.getLong
+    buf
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"collect_capped requires a bigint column, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "collect_capped"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCappedLong =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCappedLong =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): CollectCappedLong =
+    copy(child = newChild)
 }
 
 /** Typed UDAF (SURVEY §2.2 last row): per-group numeric summary as a single
@@ -1158,6 +1665,27 @@ object GraftFunctions {
     MinHashBandSigsExpr(children.head)
   }
 
+  private val topBigramRunInfo = new ExpressionInfo(
+    classOf[TopBigramRunExpr].getName, "top_bigram_run")
+  private val topBigramRunBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "top_bigram_run takes exactly 1 argument")
+    TopBigramRunExpr(children.head)
+  }
+
+  private val mixedTokensInfo = new ExpressionInfo(
+    classOf[MixedTokensExpr].getName, "mixed_tokens")
+  private val mixedTokensBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "mixed_tokens takes exactly 1 argument")
+    MixedTokensExpr(children.head)
+  }
+
+  private val latinTokensInfo = new ExpressionInfo(
+    classOf[LatinTokensExpr].getName, "latin_tokens")
+  private val latinTokensBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "latin_tokens takes exactly 1 argument")
+    LatinTokensExpr(children.head)
+  }
+
   /** One shared list of every native EXPRESSION function: both
     * registration faces — [[register]] on a live session and the
     * [[GraftExtensions]] spark.sql.extensions deployment path — iterate
@@ -1208,6 +1736,9 @@ object GraftFunctions {
     (FunctionIdentifier("pq_adc"), pqAdcInfo, pqAdcBuilder),
     (FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder),
     (FunctionIdentifier("minhash_band_sigs"), minhashBandInfo, minhashBandBuilder),
+    (FunctionIdentifier("top_bigram_run"), topBigramRunInfo, topBigramRunBuilder),
+    (FunctionIdentifier("mixed_tokens"), mixedTokensInfo, mixedTokensBuilder),
+    (FunctionIdentifier("latin_tokens"), latinTokensInfo, latinTokensBuilder),
     (FunctionIdentifier("bpe_encode"), bpeEncodeInfo, bpeEncodeBuilder),
     (FunctionIdentifier("bpe_encode_dir"), bpeEncodeDirInfo, bpeEncodeDirBuilder),
     (FunctionIdentifier("morton_encode"), mortonEncodeInfo, mortonEncodeBuilder),

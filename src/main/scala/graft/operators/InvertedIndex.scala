@@ -630,7 +630,22 @@ object InvertedIndex {
     * make that character unsearchable). Pure map-side expressions, and
     * spelled operation-for-operation like the q114 oracle SQL.
     */
-  def mixedTokens(text: Column): Column = {
+  def mixedTokens(text: Column): Column =
+    // The fused codegen expression (graft.functions.MixedTokensExpr) —
+    // bit-identical to [[mixedTokensHof]] below (equality pinned on Han /
+    // mixed / unicode fixtures and random ASCII in GraftFunctionsSpec),
+    // without the two regex scans or the interpreted filter/transform
+    // lambdas per row; this was the repo's costliest tokenizer (round-17
+    // optimization; guide §1.2 step 2).
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MixedTokensExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** The pre-r17 HOF spelling of [[mixedTokens]] — kept as the reference
+    * face the codegen expression is equality-pinned against (and the
+    * operation-for-operation mirror of the q114 oracle SQL).
+    */
+  private[graft] def mixedTokensHof(text: Column): Column = {
     val latin = filter(split(lower(text), "[^a-z]+"), t => length(t) >= 3)
     val runs = regexp_extract_all(text, lit("[\\p{IsHan}]+"), lit(0))
     val han = flatten(transform(runs, r =>

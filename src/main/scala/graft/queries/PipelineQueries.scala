@@ -545,8 +545,10 @@ object PipelineQueries {
     val bigrams = transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(2))))
-    t("bigram topRun only noop")(
+    t("bigram topRun HOF only noop")(
       d.select(topBigramRun(bigrams)).write.format("noop").mode("overwrite").save())
+    t("bigram topRun codegen only noop")(
+      d.select(topRunOf(ws)).write.format("noop").mode("overwrite").save())
     t("array_distinct only noop")(
       d.select(size(array_distinct(ws))).write.format("noop").mode("overwrite").save())
     t("stops only noop")(
@@ -594,11 +596,64 @@ object PipelineQueries {
       },
       acc => acc.getField("best"))
 
+  /** The most-repeated adjacent-bigram count over a TOKEN array, as the
+    * fused codegen expression (graft.functions.TopBigramRunExpr) — bit-
+    * identical to [[topBigramRun]] over the signalCols bigram spelling
+    * (equality pinned on random data in GraftFunctionsSpec), without the
+    * three interpreted HOF layers or the per-bigram concat_ws string build
+    * (round-17 optimization; guide §1.2 step 2). Every verdict/repetition
+    * path (q95/q96/q117/q119/q124/q125) routes through THIS definition.
+    */
+  private def topRunOf(ws: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TopBigramRunExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ws)))
+
   /** The word-5-gram shingle expression, shared by q25 and q26 (and the dev
     * profiler): ONE definition so the tokenization the q25 == q26 oracle
     * equivalence depends on cannot drift between them.
     */
   private[graft] def shingles: Column = shinglesOf(tokens)
+
+  /** Distinct per-doc shingle-hash array over a TOKEN array — the fused
+    * codegen `window_hashes(ws, 5, atLeastOne)` (bit-identical to
+    * `array_distinct(transform(shinglesOf(ws), s => xxhash64(s)))`, the
+    * shingle geometry included; equality pinned in GraftFunctionsSpec)
+    * without building a 5-gram string per position or walking the
+    * interpreted transform lambdas (round-17 optimization). Every
+    * hashed-shingle consumer (q25, q101's batch side, the verified-edge
+    * machinery behind q93/q117/q125) routes through THIS definition; q26
+    * keeps the string shingles — it IS the oracle shape.
+    */
+  private def shingleHashesOf(ws: Column): Column =
+    array_distinct(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WindowHashesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ws),
+        5, atLeastOne = true)))
+
+  /** The q116/q123 15-token sliding-window digests as the fused codegen
+    * expression — bit-identical to
+    * `xxhash64(concat_ws(" ", slice(ws, i, 15)))` per position with the
+    * no-window-for-short-docs guard (equality pinned in
+    * GraftFunctionsSpec).
+    */
+  private def windowHashes15(ws: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WindowHashesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ws),
+        15, atLeastOne = false))
+
+  /** The 13-token-gram digests of a token array as the fused codegen
+    * expression — bit-identical to `gramHashes13(tokenHashes(ws))`
+    * (equality pinned in GraftFunctionsSpec) with neither the
+    * intermediate per-token hash array nor any per-position slice
+    * allocated (round-17 optimization). q103's two sides and the
+    * compose contamination stage route through THIS definition.
+    */
+  private def tokenGramHashes13(ws: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenGramHashesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ws), 13))
 
   /** The 5-gram shingle window over an ARBITRARY token array — q125's
     * per-language-tokenizer composition shingles routed (mixed-for-zh)
@@ -793,16 +848,17 @@ object PipelineQueries {
     * raw corpus.
     */
   private[graft] def verifiedJaccardEdgesOf(d: DataFrame,
-      maxShingleFreq: Int, shingleExpr: Column = shingles): DataFrame = {
+      maxShingleFreq: Int, wsExpr: Column = tokens): DataFrame = {
     val spark = d.sparkSession
     // Per-doc DISTINCT hash arrays, built map-side: the corpus-wide
     // (doc_id, h) distinct() only ever deduped within a document, so
     // array_distinct replaces that exchange outright (round-16
-    // optimization, the q25 shape); the exploded face below feeds
-    // candidate generation, the arrays feed the verify sets.
+    // optimization, the q25 shape); r17 fuses the shingle build + hash
+    // into the window_hashes codegen expression (see shingleHashesOf).
+    // The exploded face below feeds candidate generation, the arrays
+    // feed the verify sets.
     val docsH = d
-      .select(col("doc_id"),
-        array_distinct(transform(shingleExpr, s => xxhash64(s))).as("hs"))
+      .select(col("doc_id"), shingleHashesOf(wsExpr).as("hs"))
       .persist()
     val dsh = docsH.select(col("doc_id"), explode(col("hs")).as("h"))
     // Candidate pairs in ONE exchange: group the hash table by shingle,
@@ -818,8 +874,18 @@ object PipelineQueries {
         transform(slice(ds, i + lit(2), size(ds)), y =>
           struct(least(x, y).as("a"), greatest(x, y).as("b")))))
     }
+    // collect_capped (not collect_list): the aggregation buffer saturates
+    // at maxShingleFreq + 1 docs, so a hot boilerplate shingle appearing in
+    // millions of docs costs cap-bounded memory instead of materializing
+    // its full list before the size filter drops it (r16 ADVICE, medium).
+    // Kept groups (≤ cap total rows) never truncate on any partial path —
+    // identical lists, identical pair set.
+    val collectCapped = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CollectCappedLong(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("doc_id")),
+        maxShingleFreq + 1).toAggregateExpression())
     val cand = dsh.groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(collectCapped.as("ds"))
       .filter(size(col("ds")).between(2, maxShingleFreq))
       .select(explode(pairsOf).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -954,8 +1020,7 @@ object PipelineQueries {
     // all (round-16 optimization; the old shape paid the distinct
     // exchange plus the 96-min groupBy exchange before banding).
     val docsH = docsSpread(spark, dir)
-      .select(col("doc_id"),
-        array_distinct(transform(shingles, s => xxhash64(s))).as("hs"))
+      .select(col("doc_id"), shingleHashesOf(tokens).as("hs"))
       .persist() // feeds the band explode AND the verification sets
     val banded = docsH.select(col("doc_id"),
       posexplode(call_function("minhash_band_sigs", col("hs"))))
@@ -1063,8 +1128,7 @@ object PipelineQueries {
     // exchange and no 96-min aggregate exchange (round-16 optimization).
     graft.functions.GraftFunctions.register(spark)
     val newDocsH = d.filter(isNew)
-      .select(col("doc_id"),
-        array_distinct(transform(shingles, s => xxhash64(s))).as("hs"))
+      .select(col("doc_id"), shingleHashesOf(tokens).as("hs"))
       .persist()
     val newBanded = newDocsH.select(col("doc_id"),
         posexplode(call_function("minhash_band_sigs", col("hs"))))
@@ -1675,15 +1739,13 @@ object PipelineQueries {
   def q95Repetition(spark: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(spark, dir)
     val ws = tokens
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(2))))
-    // bt = |bigrams| = max(1, n-1) by construction — derived arithmetically
-    // so the bigram array is built once (inside topBigramRun), not twice.
+    // bt = |bigrams| = max(1, n-1) by construction — derived arithmetically;
+    // tb is the fused codegen top_bigram_run over the token array (no
+    // bigram strings are ever built — see topRunOf).
     d.select(col("lang"),
         size(ws).cast("long").as("n"),
         size(array_distinct(ws)).cast("long").as("dn"),
-        topBigramRun(bigrams).as("tb"),
+        topRunOf(ws).as("tb"),
         greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"),
@@ -1907,17 +1969,13 @@ object PipelineQueries {
     * [[verdictReasons]]/[[verdictReasonsMixed]] consume. One spelling:
     * a threshold-critical tweak lands in every verdict path at once.
     */
-  private def signalCols(ws: Column, wchars: Column, stops: Column): Seq[Column] = {
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(2))))
+  private def signalCols(ws: Column, wchars: Column, stops: Column): Seq[Column] =
     Seq(size(ws).cast("long").as("n"),
       size(array_distinct(ws)).cast("long").as("dn"),
       wchars.cast("long").as("wchars"),
       stops.cast("long").as("stops"),
-      topBigramRun(bigrams).as("tb"),
+      topRunOf(ws).as("tb"),
       greatest(lit(1L), size(ws).cast("long") - lit(1L)).as("bt"))
-  }
 
   /** Latin wchars: raw non-space chars of the text (the q96 spelling). */
   private def latinWchars: Column =
@@ -2213,51 +2271,29 @@ object PipelineQueries {
     * aggregate. A boilerplate-heavy corpus would cap hot grams exactly as
     * q26's maxShingleFreq does.
     */
-  /** Token 13-grams of an array, empty for short docs (Spark's
-    * sequence(1, n) is DESCENDING for n < 1 — the q99 trap). Shared by
-    * q103 and the q117 composition.
-    */
-  private def grams13(arr: Column): Column =
-    when(size(arr) >= 13,
-      transform(sequence(lit(1), size(arr) - lit(12)),
-        i => concat_ws(" ", slice(arr, i, lit(13)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** 13-gram DIGESTS of a pre-hashed token array `th` (one xxhash64 per
-    * token, hashed once by the caller): xxhash64 over each 13-long slice.
-    * Digest equality == token-sequence equality == the space-joined gram
-    * string equality grams13 spells (the join is a bijection of the token
-    * sequence); a cross-doc digest collision is the same accepted ~1e-13
-    * trade the shingle machinery documents. Joining/counting on digests
-    * never BUILDS the ~80-byte gram strings the broadcast join used to
-    * carry (round-16 optimization; the oracles keep the string spelling —
-    * flags and counts are equal under the bijection).
-    */
-  private def gramHashes13(th: Column): Column =
-    when(size(th) >= 13,
-      transform(sequence(lit(1), size(th) - lit(12)),
-        i => xxhash64(slice(th, i, lit(13)))))
-      .otherwise(array().cast("array<bigint>"))
-
-  private def tokenHashes(ws: Column): Column = transform(ws, t => xxhash64(t))
+  // 13-gram DIGESTS (r16 introduced the digest keying; r17 fused the
+  // per-token hashing + per-position slice fold into the single
+  // token_gram_hashes codegen expression — see tokenGramHashes13 above).
+  // Digest equality == token-sequence equality == the space-joined gram
+  // string equality the oracles spell (the join is a bijection of the
+  // token sequence); a cross-doc digest collision is the same accepted
+  // ~1e-13 trade the shingle machinery documents.
 
   /** The q103 eval-item 13-gram side (token spans [6, 45] of every 25th
     * doc, distinct per item) — derived from the FULL corpus, because eval
     * benchmarks are external fixed sets, not part of the cleaned stream.
-    * Emits gram DIGESTS (see [[gramHashes13]]).
+    * Emits gram DIGESTS (see [[tokenGramHashes13]]).
     */
   private def evalGrams13(spark: SparkSession, dir: String): DataFrame =
     docsSpread(spark, dir).filter(col("doc_id") % 25 === 3)
       .select(col("doc_id").as("eval_id"),
-        tokenHashes(slice(tokens, 6, 40)).as("th"))
-      .select(col("eval_id"), explode(gramHashes13(col("th"))).as("g"))
+        explode(tokenGramHashes13(slice(tokens, 6, 40))).as("g"))
       .distinct()
 
   def q103NgramContamination(spark: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(spark, dir)
     val evalGrams = evalGrams13(spark, dir)
-    d.select(col("doc_id"), tokenHashes(tokens).as("th"))
-      .select(col("doc_id"), explode(gramHashes13(col("th"))).as("g"))
+    d.select(col("doc_id"), explode(tokenGramHashes13(tokens)).as("g"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(countDistinct(col("g")).as("shared_grams"))
@@ -2652,14 +2688,23 @@ object PipelineQueries {
     * still aggregate-sized on the build side, never corpus × corpus.
     */
   def q113LmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScoreWorst15(docsSpread(spark, dir),
-      filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 3))
+    lmScoreWorst15(docsSpread(spark, dir), latinToks)
 
   /** q113's lazy face for the plan pin (caller unpersists the frame). */
   private[graft] def q113Plan(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
-    lmScoreWorst15Plan(docsSpread(spark, dir),
-      filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 3))
+    lmScoreWorst15Plan(docsSpread(spark, dir), latinToks)
+
+  /** The latin corpus tokenizer (`filter(split(lower(text), "[^a-z]+"),
+    * len >= 3)`) as the fused codegen expression
+    * (graft.functions.LatinTokensExpr) — bit-identical to the HOF spelling
+    * (equality pinned in GraftFunctionsSpec), without the regex split or
+    * the interpreted filter lambda per row (round-17 optimization).
+    */
+  private def latinToks: Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LatinTokensExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
 
   /** The q113 add-one-smoothed bigram-LM worst-15 scoring over an
     * arbitrary documents frame and token-array expression — ONE definition
@@ -2888,12 +2933,10 @@ object PipelineQueries {
       .select(col("source"), ws0.as("ws"))
       .filter(size(col("ws")) >= 2)
     val ws = col("ws")
-    val bigrams = transform(sequence(lit(1), size(ws) - lit(1)),
-      i => concat_ws(" ", slice(ws, i, lit(2))))
     d.select(col("source"),
         size(ws).cast("long").as("n"),
         size(array_distinct(ws)).cast("long").as("dn"),
-        topBigramRun(bigrams).as("tb"),
+        topRunOf(ws).as("tb"),
         (size(ws).cast("long") - lit(1L)).as("bt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
@@ -3195,15 +3238,14 @@ object PipelineQueries {
       // small-star. The edge set is driver-materialized and tiny.
       val edges = verifiedJaccardEdgesOf(
           exKeep.select(col("doc_id"), col("lang"), col("text")),
-          maxShingleFreq = 1000, shingleExpr = shinglesOf(toks))
+          maxShingleFreq = 1000, wsExpr = toks)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       val losers = graft.operators.ConnectedComponents.run(edges)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       val ndKeep = keep(exKeep.join(losers, Seq("doc_id"), "left_anti"))
       val contaminated = ndKeep
-        .select(col("doc_id"), tokenHashes(toks).as("th"))
-        .select(col("doc_id"), explode(gramHashes13(col("th"))).as("g"))
+        .select(col("doc_id"), explode(tokenGramHashes13(toks)).as("g"))
         .join(broadcast(evalGrams13(spark, dir)), Seq("g"))
         .groupBy(col("doc_id"), col("eval_id"))
         .agg(countDistinct(col("g")).as("shared_grams"))
@@ -3577,13 +3619,14 @@ object PipelineQueries {
     // ran ~3× and the digest aggregate twice (round-16 optimization;
     // guide §5 caching — MEMORY_AND_DISK so a big corpus spills, and both
     // caches release after the 15-row answer materializes below).
+    // r17: the per-position digests come from the fused window_hashes
+    // codegen expression — no 15-token window string is ever built (the
+    // former transform/struct/concat_ws/slice stack was interpreted HOF
+    // evaluation per position); posexplode on the empty short-doc array
+    // emits no rows, exactly like the former explode(array()) guard.
     val wnd = d
-      .select(col("doc_id"),
-        explode(when(nw >= 1, transform(sequence(lit(1), nw),
-            i => struct(i.as("start"),
-              concat_ws(" ", slice(ws, i, lit(k))).as("w"))))
-          .otherwise(array())).as("s"))
-      .select(col("doc_id"), col("s.start"), xxhash64(col("s.w")).as("h"))
+      .select(col("doc_id"), posexplode(windowHashes15(ws)).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + lit(1)).as("start"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ">= 2 distinct docs" == "min(doc_id) != max(doc_id)": two plain
     // min/max partials instead of a distinct expansion on the hot

@@ -66,6 +66,167 @@ class GraftFunctionsSpec extends AnyFunSuite {
       slow.collect().map(key).sortBy(identity).toSeq)
   }
 
+  test("simhash64 and minhash_band_sigs return NULL for an empty array") {
+    // The aggregate faces emit NO row for a doc with no tokens/shingles;
+    // a signature here would make every empty doc band-collide (r16
+    // ADVICE). Null propagates to "no row" through explode.
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(CAST(array() AS ARRAY<STRING>)) AS s, " +
+        "minhash_band_sigs(CAST(array() AS ARRAY<BIGINT>)) AS m").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // non-empty stays non-null
+    val r2 = spark.sql("SELECT simhash64(array('a')) AS s, " +
+      "minhash_band_sigs(array(1L)) AS m").collect().head
+    assert(!r2.isNullAt(0) && !r2.isNullAt(1))
+  }
+
+  test("top_bigram_run matches the HOF aggregate formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "", "yy")
+    val docs = (1L to 60L).map { id =>
+      // lengths 0..30, with repetition-heavy docs mixed in
+      val n = rnd.nextInt(31)
+      val ws = (0 until n).map(_ =>
+        if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.size))
+        else vocab(rnd.nextInt(2)))
+      (id, ws)
+    }
+    val df = docs.toDF("doc_id", "ws")
+    val fast = df.select(col("doc_id"),
+      call_function("top_bigram_run", col("ws")).as("tb"))
+    // the former PipelineQueries.topBigramRun spelling over the
+    // signalCols bigram construction
+    val ws = col("ws")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    val hof = aggregate(
+      array_sort(transform(bigrams, b => xxhash64(b))),
+      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val slow = df.select(col("doc_id"), hof.as("tb"))
+    assert(fast.orderBy("doc_id").collect().toSeq ==
+      slow.orderBy("doc_id").collect().toSeq)
+    // interpreted eval agrees with codegen on a repetition-heavy doc
+    val interp = graft.functions.TopBigramRun.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        "a b a b a b c".split(" ")
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+    assert(interp == 3L) // "a b" occurs 3 times
+  }
+
+  test("mixed_tokens matches the HOF formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val asciiVocab = Vector("alpha", "be", "gamma9", "Delta", "x!y", "a-b-c")
+    val fixtures = Seq(
+      "", " ", "abc", "ab", "ABC def!GHIJ", "mixed 中文 text",
+      "中文字符串没有空格", "中", "中a文", "汉字two汉字", "日本語 かな 中間",
+      "İstanbul DİŞLİ straße ÄÖÜ", "a中b文c", "中 文", "ab中文cd ef",
+      "𪚥𪚥e") ++ // supplementary Han (U+2A6A5) pair
+      (1 to 40).map(_ => (0 until rnd.nextInt(12)).map(_ =>
+        asciiVocab(rnd.nextInt(asciiVocab.size))).mkString(" "))
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val fast = df.select(col("id"),
+      call_function("mixed_tokens", col("text")).as("ws"))
+    val slow = df.select(col("id"),
+      graft.operators.InvertedIndex.mixedTokensHof(col("text")).as("ws"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getSeq[String](1))
+    assert(fast.collect().map(key).sortBy(_._1).toSeq ==
+      slow.collect().map(key).sortBy(_._1).toSeq)
+    // latin_tokens == the latin HOF spelling on the same fixtures
+    val fastL = df.select(col("id"),
+      call_function("latin_tokens", col("text")).as("ws"))
+    val slowL = df.select(col("id"),
+      filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 3).as("ws"))
+    assert(fastL.collect().map(key).sortBy(_._1).toSeq ==
+      slowL.collect().map(key).sortBy(_._1).toSeq)
+  }
+
+  test("window_hashes matches the HOF shingle/window spellings bit-for-bit") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "", "yy", "zz中")
+    val docs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(40) // 0..39: short docs exercise both geometries
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.toDF("doc_id", "ws")
+    val ws = col("ws")
+    def fused(k: Int, atLeastOne: Boolean) = ColumnBridge.column(
+      graft.functions.WindowHashesExpr(ColumnBridge.expression(ws), k, atLeastOne))
+    // shingle geometry (k=5, at least one window — short docs truncate)
+    val shingleHof = transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(4))),
+      i => xxhash64(concat_ws(" ", slice(ws, i, lit(5)))))
+    val a = df.select(col("doc_id"), fused(5, atLeastOne = true).as("hs")).collect()
+    val b = df.select(col("doc_id"), shingleHof.as("hs")).collect()
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getSeq[Long](1))
+    assert(a.map(key).sortBy(_._1).toSeq == b.map(key).sortBy(_._1).toSeq)
+    // span geometry (k=15, no window for short docs)
+    val nw = size(ws) - lit(15) + 1
+    val spanHof = when(nw >= 1, transform(sequence(lit(1), nw),
+        i => xxhash64(concat_ws(" ", slice(ws, i, lit(15))))))
+      .otherwise(array().cast("array<bigint>"))
+    val c = df.select(col("doc_id"), fused(15, atLeastOne = false).as("hs")).collect()
+    val d = df.select(col("doc_id"), spanHof.as("hs")).collect()
+    assert(c.map(key).sortBy(_._1).toSeq == d.map(key).sortBy(_._1).toSeq)
+  }
+
+  test("token_gram_hashes matches the hash-then-slice HOF spelling bit-for-bit") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "")
+    val docs = (1L to 50L).map { id =>
+      val n = rnd.nextInt(30) // 0..29: includes sub-13-token docs
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.toDF("doc_id", "ws")
+    val ws = col("ws")
+    val fused = ColumnBridge.column(
+      graft.functions.TokenGramHashesExpr(ColumnBridge.expression(ws), 13))
+    val th = transform(ws, t => xxhash64(t))
+    val hof = when(size(th) >= 13,
+      transform(sequence(lit(1), size(th) - lit(12)),
+        i => xxhash64(slice(th, i, lit(13)))))
+      .otherwise(array().cast("array<bigint>"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getSeq[Long](1))
+    assert(df.select(col("doc_id"), fused.as("g")).collect().map(key).sortBy(_._1).toSeq ==
+      df.select(col("doc_id"), hof.as("g")).collect().map(key).sortBy(_._1).toSeq)
+  }
+
+  test("collect_capped equals collect_list below the cap and saturates at it") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.graft.ColumnBridge
+    def capped(limit: Int) = ColumnBridge.column(
+      graft.functions.CollectCappedLong(
+        ColumnBridge.expression(col("v")), limit).toAggregateExpression())
+    val df = Seq.tabulate(100)(i => (i % 7L, i.toLong)).toDF("k", "v")
+      .repartition(8, col("k") + col("v") % 3) // multiple partial paths
+    // below the cap: same multiset as collect_list per key
+    val full = df.groupBy("k").agg(collect_list(col("v")).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val cap = df.groupBy("k").agg(capped(50).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(cap == full)
+    // above the cap: exactly limit elements retained, all from the key
+    val sat = df.groupBy("k").agg(capped(5).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sat.values.forall(_.size == 5))
+    assert(sat.forall { case (k, ds) => ds.forall(v => full(k).contains(v)) })
+  }
+
   test("ClickHouse name aliases: conversions, date parts, arrays, -If combinators") {
     GraftFunctions.register(spark)
     val conv = spark.sql(
