@@ -627,6 +627,98 @@ case class WindowHashesExpr(child: Expression, k: Int, atLeastOne: Boolean)
     copy(child = newChild)
 }
 
+/** Non-overlapping k-token chunk digest driver loop: for chunk i of
+  * ⌊n/k⌋, emits (xxhash64(concat_ws(" ", slice(ws, i·k+1, k))),
+  * numChars of that joined string) — bit-identical to hashing/measuring
+  * the chunks10 strings (same assembled bytes incl. concat_ws null-skip;
+  * length() counts code points = Σ token code points + separators),
+  * without building a chunk string per position or walking the
+  * transform/concat_ws lambdas (round-17 optimization). Trailing partial
+  * chunks are dropped, exactly like chunks10's ⌊n/k⌋ guard.
+  */
+object ChunkDigests {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    val m = n / k
+    val out = new Array[Any](m)
+    var buf = new Array[Byte](64)
+    var ci = 0
+    while (ci < m) {
+      var len = 0
+      var chars = 0L
+      var first = true
+      var j = ci * k
+      val end = j + k
+      while (j < end) {
+        if (!a.isNullAt(j)) { // concat_ws skips nulls, no doubled separator
+          val t = a.getUTF8String(j)
+          val tn = t.numBytes()
+          val need = len + tn + (if (first) 0 else 1)
+          if (need > buf.length) {
+            buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+          }
+          if (!first) { buf(len) = ' '; len += 1; chars += 1 }
+          t.writeToMemory(buf,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += tn
+          chars += t.numChars()
+          first = false
+        }
+        j += 1
+      }
+      val h = XxHash64Function.hash(
+        UTF8String.fromBytes(buf, 0, len), StringType, 42L)
+      out(ci) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h, chars))
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `chunk_digests(array<string>, k) -> array<struct<h:long, clen:long>>` —
+  * the per-chunk (digest, char length) pairs of the non-overlapping
+  * k-token chunking as ONE map-side codegen expression (see
+  * [[ChunkDigests]]); the boilerplate/chunk-dedup rollups (q108/q120/q121)
+  * consume these instead of materializing chunk strings.
+  */
+case class ChunkDigestsExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1, s"chunk_digests needs k >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chunk_digests requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("clen",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "chunk_digests"
+
+  override def nullSafeEval(a: Any): Any =
+    ChunkDigests.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ChunkDigests.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Token-k-gram digest driver loop: per-token xxhash64 (seed 42) followed
   * by the xxhash64 array-fold over each k-long slice — bit-identical to
   * `transform(sequence(1, n−k+1), i => xxhash64(slice(th, i, k)))` over
@@ -1629,6 +1721,15 @@ object GraftFunctions {
     require(children.size == 2, "pq_adc takes (code, lut)")
     PqAdc(children.head, children(1))
   }
+
+  /** [[LatinTokensExpr]] as a Column — the shared latin corpus tokenizer
+    * (`filter(split(lower(text), "[^a-z]+"), len >= 3)` fused into one
+    * codegen byte scan); every non-positional latin tokenize site routes
+    * through this.
+    */
+  def latinTokensCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      LatinTokensExpr(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** Idempotently register SQL-callable functions on an existing session. */
   private val hasTokenInfo = new ExpressionInfo(

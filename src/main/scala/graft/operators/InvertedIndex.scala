@@ -607,7 +607,13 @@ object InvertedIndex {
     * share: lowercase, split on non-letters, keep length ≥ 3.
     */
   def tokenize(docs: DataFrame): DataFrame =
-    tokenizeWithPos(docs).select(col("doc_id"), col("term"))
+    // Positions aren't needed here, so the fused latin_tokens codegen
+    // expression replaces the posexplode-over-raw-split + length filter —
+    // identical (doc_id, term) multiset (round-17 optimization);
+    // [[tokenizeWithPos]] keeps the positional spelling for postings.
+    docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.latinTokensCol(col("text")))
+        .as("term"))
 
   /** [[tokenize]] plus each surviving term's position in the RAW split
     * array (0-based, before the length filter) — token-space adjacency

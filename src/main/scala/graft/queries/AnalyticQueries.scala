@@ -1114,10 +1114,12 @@ object AnalyticQueries {
   def q78Tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val nDocs = docs.select(countDistinct("doc_id")).first().getLong(0)
+    // latin_tokens fuses the lowercase + regex split + length filter into
+    // one codegen byte scan (bit-identical term multiset; round-17).
     val terms = docs
       .select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= 3)
+        explode(graft.functions.GraftFunctions.latinTokensCol(col("text")))
+          .as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")

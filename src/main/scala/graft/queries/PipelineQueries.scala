@@ -2344,6 +2344,19 @@ object PipelineQueries {
       .otherwise(array())
   }
 
+  /** The (digest, char length) pairs of the 10-token chunking as the fused
+    * codegen expression — bit-identical to `xxhash64(c)` / `length(c)`
+    * over the [[chunks10]] strings (equality pinned in GraftFunctionsSpec)
+    * with no chunk string ever built (round-17 optimization). The
+    * digest-keyed consumers (q108/q120/q121) route through THIS
+    * definition; q99 keeps [[chunks10]] — its window keys on the chunk
+    * TEXT, the oracle shape.
+    */
+  private def chunkDigests10(ws: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ChunkDigestsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ws), 10))
+
   def q99ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunks10(tokens)
     val inst = docsSpread(spark, dir)
@@ -2407,15 +2420,15 @@ object PipelineQueries {
     */
   private[graft] def q108Plan(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val chunks = chunks10(tokens)
     // The digest-instance table feeds the df aggregate AND the join back —
     // persist it so the corpus tokenize+chunk explode runs once, not
     // twice (round-16 optimization); released after the per-lang rollup
-    // materializes.
+    // materializes. r17: the (digest, clen) pairs come from the fused
+    // chunk_digests expression — no chunk string is ever materialized.
     val inst = docsSpread(spark, dir)
-      .select(col("lang"), col("doc_id"), explode(chunks).as("c"))
+      .select(col("lang"), col("doc_id"), explode(chunkDigests10(tokens)).as("cd"))
       .select(col("lang"), col("doc_id"),
-        xxhash64(col("c")).as("ch"), length(col("c")).cast("long").as("clen"))
+        col("cd.h").as("ch"), col("cd.clen").as("clen"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = inst.groupBy(col("ch"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -2702,9 +2715,7 @@ object PipelineQueries {
     * the interpreted filter lambda per row (round-17 optimization).
     */
   private def latinToks: Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.LatinTokensExpr(
-        org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
+    graft.functions.GraftFunctions.latinTokensCol(col("text"))
 
   /** The q113 add-one-smoothed bigram-LM worst-15 scoring over an
     * arbitrary documents frame and token-array expression — ONE definition
@@ -2989,11 +3000,16 @@ object PipelineQueries {
     * because no collision occurs on checked inputs).
     */
   def q120MultilingualChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = chunks10(graft.operators.InvertedIndex.mixedTokens(col("text")))
+    // r17: mixed_tokens + chunk_digests fused — no chunk string built;
+    // posexplode keeps the within-doc chunk position the dedup window
+    // orders on.
     val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
-      .select(col("source"), col("doc_id"), posexplode(chunks).as(Seq("pos", "c")))
+      .select(col("source"), col("doc_id"),
+        posexplode(chunkDigests10(
+          graft.operators.InvertedIndex.mixedTokens(col("text"))))
+          .as(Seq("pos", "cd")))
       .select(col("source"), col("doc_id"), col("pos"),
-        xxhash64(col("c")).as("h"), length(col("c")).cast("long").as("clen"))
+        col("cd.h").as("h"), col("cd.clen").as("clen"))
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     inst.withColumn("rn", row_number().over(w))
       .groupBy(col("source"))
@@ -3032,14 +3048,16 @@ object PipelineQueries {
     * a length map-side, the chunk text never crosses an exchange.
     */
   def q121MultilingualBoilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = chunks10(graft.operators.InvertedIndex.mixedTokens(col("text")))
     // Same persist discipline as q108: one tokenize+chunk pass, released
-    // after the rollup materializes (the mixed tokenizer is the most
-    // expensive tokenize in the repo — regex runs + bigramming).
+    // after the rollup materializes. r17: mixed_tokens + chunk_digests are
+    // both fused codegen expressions — neither tokens' regex passes nor
+    // chunk strings are materialized.
     val inst = docsSpread(spark, dir).filter(col("lang") === "zh")
-      .select(col("source"), col("doc_id"), explode(chunks).as("c"))
       .select(col("source"), col("doc_id"),
-        xxhash64(col("c")).as("ch"), length(col("c")).cast("long").as("clen"))
+        explode(chunkDigests10(
+          graft.operators.InvertedIndex.mixedTokens(col("text")))).as("cd"))
+      .select(col("source"), col("doc_id"),
+        col("cd.h").as("ch"), col("cd.clen").as("clen"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = inst.groupBy(col("ch"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -3864,9 +3882,14 @@ object PipelineQueries {
     * production arithmetic. See [[q127DsirSelect]].
     */
   private[graft] def dsirRank(d: DataFrame, target: String, topN: Int): DataFrame = {
+    // latin_tokens is the fused codegen tokenizer (bit-identical term
+    // multiset to the regex split + length filter) — this frame is read
+    // by BOTH the lm aggregate and the scoring join, i.e. the corpus is
+    // tokenized twice per call, so the per-row tokenizer cost counts
+    // double (round-17 optimization).
     val toks = d.select(col("doc_id"), col("lang"), col("source"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= 3)
+        explode(graft.functions.GraftFunctions.latinTokensCol(col("text")))
+          .as("term"))
     // Unigram LM table for BOTH distributions in one corpus-reduced
     // aggregate (cnt_t is a conditional sum — the target slice is never
     // re-scanned). Vocabulary-sized, the frame every later step joins —

@@ -206,6 +206,35 @@ class GraftFunctionsSpec extends AnyFunSuite {
       df.select(col("doc_id"), hof.as("g")).collect().map(key).sortBy(_._1).toSeq)
   }
 
+  test("chunk_digests matches hashing/measuring the chunks10 strings bit-for-bit") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "", "中文", "汉")
+    val docs = (1L to 50L).map { id =>
+      val n = rnd.nextInt(45) // 0..44: partial trailing chunks exercised
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.toDF("doc_id", "ws")
+    val ws = col("ws")
+    val fused = df.select(col("doc_id"),
+        explode(ColumnBridge.column(graft.functions.ChunkDigestsExpr(
+          ColumnBridge.expression(ws), 10))).as("cd"))
+      .select(col("doc_id"), col("cd.h").as("h"), col("cd.clen").as("clen"))
+    val nch = (size(ws) / lit(10)).cast("int")
+    val chunks = when(nch >= 1,
+      transform(sequence(lit(1), nch),
+        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
+      .otherwise(array())
+    val hof = df.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), xxhash64(col("c")).as("h"),
+        length(col("c")).cast("long").as("clen"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(fused.collect().map(key).sortBy(identity).toSeq ==
+      hof.collect().map(key).sortBy(identity).toSeq)
+  }
+
   test("collect_capped equals collect_list below the cap and saturates at it") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.graft.ColumnBridge
